@@ -1,0 +1,28 @@
+"""tropology_spark — a PySpark-native analytics engine.
+
+A from-scratch, Spark-first re-expression of the query and
+data-processing capabilities of ``ricardojmendez/tropology`` (a Clojure
+crawler that turns TVTropes link structure into a PostgreSQL-backed
+graph; see SURVEY.md §0.1), extended with LLM-data-pipeline operators
+(dedup, similarity search, text analysis, multimodal columns) and
+designed for 100 TB scale (SURVEY.md §7.7).
+
+Importing this package populates the query registry
+(:mod:`tropology_spark.registry`) used by ``__spark_entry__.py``.
+"""
+
+from tropology_spark.registry import QUERIES, ORACLES, register  # noqa: F401
+
+# Import all operator modules for their registration side effects.
+from tropology_spark.operators import relational  # noqa: F401
+from tropology_spark.operators import aggregates  # noqa: F401
+from tropology_spark.operators import windows  # noqa: F401
+from tropology_spark.operators import graph  # noqa: F401
+from tropology_spark.operators import dedup  # noqa: F401
+from tropology_spark.operators import text  # noqa: F401
+from tropology_spark.operators import similarity  # noqa: F401
+from tropology_spark.operators import udfs  # noqa: F401
+from tropology_spark.functions import scalar  # noqa: F401
+from tropology_spark.streaming import jobs  # noqa: F401
+
+__all__ = ["QUERIES", "ORACLES", "register"]

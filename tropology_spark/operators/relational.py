@@ -1,0 +1,810 @@
+"""Relational core: scans, filters, joins, basic aggregates, sorts, sets.
+
+SURVEY.md §2 rows A1-A3, B1-B6, C1-C10, D1-D3, D9-D10, F1-F3, G1-G4,
+plus the stage-1 flagship (§7.2).  The reference analogs are
+tropology's fixed SQL query layer (``src/tropology/db.clj`` —
+reconstructed, see SURVEY.md §0): PK probes, link joins, degree counts,
+crawl-frontier anti-joins, ORDER BY + LIMIT scheduling.  Here each is
+expressed declaratively so Catalyst does pushdown/pruning/broadcast
+(SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tropology_spark.functions.exact import (
+    exact_avg,
+    exact_sum,
+    sql_exact_avg,
+    sql_exact_sum,
+    ts_str,
+    sql_ts_str,
+    date_str,
+    sql_date_str,
+)
+from tropology_spark.registry import register
+from tropology_spark.sources.tables import load
+from tropology_spark.functions.exact import TS_FMT_SPARK  # noqa: F401  (doc aid)
+
+# Fixed probe constants (chosen for non-empty results at sf0.01, the
+# correctness-gate scale; see FIXTURES.md §1 for key ranges).
+PART_PROBE_KEY = 42
+CUST_A = 0  # "work page A" for common-neighbor / intersect queries
+CUST_B = 5  # "work page B" — shares 4 parts with CUST_A at sf0.01
+
+
+# --------------------------------------------------------------------------
+# Flagship (stage 1, SURVEY.md §7.2): revenue by region, 1995 window.
+# --------------------------------------------------------------------------
+
+@register(
+    "flagship_revenue_by_region",
+    oracle="""
+    SELECT r_name,
+           {rev} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-01-01'
+    GROUP BY r_name
+    """.format(rev=sql_exact_sum("l_extendedprice * (1 - l_discount)", 2)),
+)
+def flagship_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → broadcast star join → filter → agg → sort (one op per risk
+    class).  region/nation/customer are broadcast: at 100 TB the fact
+    side (lineitem) never shuffles for these dims."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# A. Scans / sources
+# --------------------------------------------------------------------------
+
+@register(
+    "scan_project",
+    oracle="SELECT l_orderkey, l_partkey, l_extendedprice FROM lineitem",
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — projection pruned to 3 columns at the parquet scan
+    (tropology's SELECT lists over ``pages``)."""
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+
+
+@register(
+    "scan_pushdown_lookup",
+    oracle=f"""
+    SELECT p_partkey, p_name, p_brand, p_retailprice
+    FROM part WHERE p_partkey = {PART_PROBE_KEY}
+    """,
+)
+def scan_pushdown_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — key probe; the filter reaches the parquet reader as a
+    PushedFilter (tropology's indexed query-by-code)."""
+    return (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") == PART_PROBE_KEY)
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+    )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — semi-structured jsonb analog: parse ``events.props`` with an
+    explicit schema (``from_json``), filter on the extracted field."""
+    events = load(spark, sf_dir, "events")
+    parsed = events.withColumn(
+        "k", F.from_json(F.col("props"), "struct<k:bigint>").getField("k")
+    )
+    return parsed.filter(F.col("k") >= 50).select("event_id", "k")
+
+
+# --------------------------------------------------------------------------
+# B. Projections / filters
+# --------------------------------------------------------------------------
+
+@register(
+    "select_compute",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * (1 - l_discount) * 100.0) AS BIGINT) / 100.0
+             AS revenue
+    FROM lineitem
+    """,
+)
+def select_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 — computed projection (derived display fields in the
+    reference API layer).
+
+    Cent-exact form: ``round(x, 2)`` on a computed double is NOT
+    cross-engine deterministic (Spark rounds the shortest decimal repr
+    HALF_UP, DuckDB rounds the binary value — they disagree on ``.xx5``
+    boundaries), but round-to-integer then divide is.
+    """
+    revenue_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+    ).cast("long")
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (revenue_cents / F.lit(100.0)).alias("revenue"),
+    )
+
+
+@register(
+    "filter_in",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE o_orderstatus IN ('F', 'P')
+    """,
+)
+def filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 — IN-list filter (category filtering of pages)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("F", "P"))
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+@register(
+    "filter_ts_range",
+    oracle=f"""
+    SELECT event_id, user_id, {sql_ts_str('ts')} AS ts_s
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    """,
+)
+def filter_ts_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 — timestamp-range predicate (crawl due-date check
+    ``next_update < now``)."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.filter(
+            (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+        )
+        .select("event_id", "user_id", ts_str(F.col("ts")).alias("ts_s"))
+    )
+
+
+@register(
+    "filter_boolean_logic",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+    WHERE (o_orderstatus = 'F' AND o_totalprice > 200000.0)
+       OR (o_orderpriority = '1-URGENT' AND NOT o_orderstatus = 'O')
+    """,
+)
+def filter_boolean_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 — composite AND/OR/NOT predicate (crawl eligibility:
+    ``NOT is_redirect AND NOT has_error``)."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        ((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000.0))
+        | ((F.col("o_orderpriority") == "1-URGENT") & ~(F.col("o_orderstatus") == "O"))
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "filter_like",
+    oracle="""
+    SELECT p_partkey, p_type FROM part
+    WHERE p_type LIKE '%PROMO%' OR p_type LIKE 'SMALL%'
+    """,
+)
+def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 — LIKE patterns (the wiki-URL pattern gate in link
+    extraction)."""
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("%PROMO%") | F.col("p_type").like("SMALL%")
+    ).select("p_partkey", "p_type")
+
+
+@register(
+    "filter_null_semantics",
+    oracle="""
+    SELECT p.p_partkey,
+           coalesce(CAST(s.n AS BIGINT), 0) AS n_lineitems,
+           CASE WHEN s.n IS NULL THEN 'never_ordered' ELSE 'ordered' END AS status
+    FROM part p
+    LEFT JOIN (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey) s
+      ON p.p_partkey = s.l_partkey
+    WHERE s.n IS NULL OR s.n >= 40
+    """,
+)
+def filter_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 — IS NULL / coalesce over outer-join-produced nulls (the
+    fixtures store none; FIXTURES.md §4)."""
+    part = load(spark, sf_dir, "part")
+    counts = (
+        load(spark, sf_dir, "lineitem").groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    )
+    joined = part.join(counts, part.p_partkey == counts.l_partkey, "left")
+    return (
+        joined.filter(F.col("n").isNull() | (F.col("n") >= 40))
+        .select(
+            "p_partkey",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_lineitems"),
+            F.when(F.col("n").isNull(), F.lit("never_ordered"))
+            .otherwise(F.lit("ordered"))
+            .alias("status"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C. Joins
+# --------------------------------------------------------------------------
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, c_name, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 300000.0
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 — inner equi join (out-neighbors: ``links ⋈ pages``)."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000.0)
+    customer = load(spark, sf_dir, "customer")
+    return orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
+    "join_broadcast_star",
+    oracle=f"""
+    SELECT r_name, n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           {sql_exact_sum('c_acctbal', 2)} AS total_acctbal
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 — explicit broadcast of the small dimensions; at scale the
+    customer side streams map-side with zero shuffle for the joins."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            exact_sum(F.col("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT p.p_partkey, coalesce(l.l_orderkey, -1) AS order_ref,
+           coalesce(l.l_quantity, 0.0) AS qty
+    FROM part p LEFT JOIN lineitem l
+      ON p.p_partkey = l.l_partkey AND l.l_quantity > 45.0
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 — left outer join keeping unmatched parts (pages without
+    fetched content keep their row)."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    cond = (part.p_partkey == li.l_partkey) & (li.l_quantity > 45.0)
+    return part.join(li, cond, "left").select(
+        "p_partkey",
+        F.coalesce(F.col("l_orderkey"), F.lit(-1)).alias("order_ref"),
+        F.coalesce(F.col("l_quantity"), F.lit(0.0)).alias("qty"),
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_cust
+               FROM customer WHERE c_acctbal > 9000.0 GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_supp
+               FROM supplier WHERE s_acctbal > 5000.0 GROUP BY s_nationkey)
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(c.n_cust, 0) AS n_cust,
+           coalesce(s.n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — full outer join over partially-overlapping key sets."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000.0)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000.0)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c.c_nk == s.s_nk, "full_outer").select(
+        F.coalesce(F.col("c_nk"), F.col("s_nk")).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 250000.0)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 — left semi join: existence check without multiplying rows
+    ("pages having at least one incoming link")."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000.0)
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_frontier",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    """,
+)
+def join_anti_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 — left anti join: the crawl-frontier discovery shape (link
+    targets not yet crawled; SURVEY.md §3.3)."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+@register(
+    "join_self_twohop",
+    oracle="""
+    WITH edges AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+    SELECT a.src AS src_a, b.src AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY a.src, b.src
+    HAVING count(*) >= 3
+    """,
+)
+def join_self_twohop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 — self-join co-citation: pairs of "works" sharing >= 3
+    "tropes" (tropology's common-neighbor structure)."""
+    from tropology_spark.sources.tables import edges
+
+    e = edges(spark, sf_dir)
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
+@register(
+    "join_range_events",
+    oracle="""
+    SELECT s.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON s.user_id = p.user_id
+     AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
+    GROUP BY s.user_id
+    """,
+)
+def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 — range (non-equi) join: purchases within 1h after a signup,
+    per user.  Equi key (user) + range residual keeps it a hash join,
+    not a cartesian."""
+    e = load(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id"), F.col("ts").alias("s_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    return (
+        s.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("s_ts"))
+            & (F.col("p_ts") < F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "join_asof_lastevent",
+    oracle=f"""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT * FROM events WHERE event_type = 'view'),
+         j AS (SELECT p.event_id AS purchase_id, p.user_id,
+                      v.ts AS v_ts, v.event_id AS v_id,
+                      row_number() OVER (
+                        PARTITION BY p.event_id
+                        ORDER BY v.ts DESC NULLS LAST, v.event_id DESC NULLS LAST
+                      ) AS rn
+               FROM p LEFT JOIN v
+                 ON p.user_id = v.user_id AND v.ts <= p.ts)
+    SELECT purchase_id, user_id,
+           coalesce({sql_ts_str('v_ts')}, 'none') AS last_view_ts,
+           coalesce(v_id, -1) AS last_view_id
+    FROM j WHERE rn = 1
+    """,
+)
+def join_asof_lastevent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 — as-of join: for each purchase, the most recent prior view by
+    the same user (backward as-of), via non-equi join + row_number=1."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+    )
+    joined = p.join(
+        v, (F.col("user_id") == F.col("v_user")) & (F.col("v_ts") <= F.col("p_ts")), "left"
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("v_ts").desc_nulls_last(), F.col("v_id").desc_nulls_last()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.coalesce(ts_str(F.col("v_ts")), F.lit("none")).alias("last_view_ts"),
+            F.coalesce(F.col("v_id"), F.lit(-1)).alias("last_view_id"),
+        )
+    )
+
+
+@register(
+    "join_cross_count",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT r_name) AS BIGINT) AS n_regions
+    FROM region CROSS JOIN nation
+    """,
+)
+def join_cross_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 — cross join (completeness op; kept to small dims)."""
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    return region.crossJoin(nation).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("r_name").alias("n_regions"),
+    )
+
+
+# --------------------------------------------------------------------------
+# D. Core aggregations
+# --------------------------------------------------------------------------
+
+@register(
+    "agg_degree",
+    oracle="""
+    WITH edges AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+    SELECT dst AS partkey, CAST(count(*) AS BIGINT) AS in_degree
+    FROM edges GROUP BY dst
+    """,
+)
+def agg_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — degree maintenance: tropology persists per-page incoming /
+    outgoing counts (``update-link-count!``); here it's a groupBy."""
+    from tropology_spark.sources.tables import edges
+
+    return (
+        edges(spark, sf_dir)
+        .groupBy(F.col("dst").alias("partkey"))
+        .agg(F.count(F.lit(1)).alias("in_degree"))
+    )
+
+
+@register(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_exact_sum('l_quantity', 2)} AS sum_qty,
+           {sql_exact_sum('l_extendedprice', 2)} AS sum_base_price,
+           {sql_exact_sum('l_extendedprice * (1 - l_discount)', 2)} AS sum_disc_price,
+           {sql_exact_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 2)} AS sum_charge,
+           {sql_exact_avg('l_quantity', 2, 6)} AS avg_qty,
+           {sql_exact_avg('l_extendedprice', 2, 4)} AS avg_price,
+           {sql_exact_avg('l_discount', 6, 6)} AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 — multi-aggregate pricing summary (TPC-H Q1 shape), using
+    cent-exact sums so results are independent of partitioning."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        exact_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+        exact_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+        exact_sum(disc_price, 2).alias("sum_disc_price"),
+        exact_sum(charge, 2).alias("sum_charge"),
+        exact_avg(F.col("l_quantity"), 2, 6).alias("avg_qty"),
+        exact_avg(F.col("l_extendedprice"), 2, 4).alias("avg_price"),
+        exact_avg(F.col("l_discount"), 6, 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 — exact distinct count (distinct link targets per page)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 — approximate distinct (HLL++).  Declared rows-only
+    (SURVEY.md §2 D4): sketch estimates are engine-specific."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(count(*) AS BIGINT) AS n_total,
+           round(CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+                 / CAST(count(*) AS DOUBLE), 6) AS high_ratio
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 — conditional aggregation (error-rate per category).  The
+    ratio divides two exact integers → deterministic double."""
+    e = load(spark, sf_dir, "events")
+    n_high = F.sum(F.when(F.col("value") > 50.0, 1).otherwise(0)).cast("bigint")
+    return e.groupBy("event_type").agg(
+        n_high.alias("n_high"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.round(n_high / F.count(F.lit(1)).cast("double"), 6).alias("high_ratio"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    WITH edges AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+    SELECT src AS custkey, CAST(count(*) AS BIGINT) AS out_degree
+    FROM edges GROUP BY src HAVING count(*) >= 30
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 — post-aggregation filter ("pages with >= N links")."""
+    from tropology_spark.sources.tables import edges
+
+    return (
+        edges(spark, sf_dir)
+        .groupBy(F.col("src").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("out_degree"))
+        .filter(F.col("out_degree") >= 30)
+    )
+
+
+# --------------------------------------------------------------------------
+# F. Sorts / limits / top-k
+# --------------------------------------------------------------------------
+
+@register(
+    "sort_multi_key",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders WHERE o_totalprice > 350000.0
+    ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+    """,
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — multi-key global sort with a unique tie-break key."""
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 350000.0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy(
+            F.col("o_orderpriority").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        )
+    )
+
+
+@register(
+    "topk_global",
+    oracle=f"""
+    SELECT o_orderkey, {sql_date_str('o_orderdate')} AS order_date, o_totalprice
+    FROM orders
+    ORDER BY o_orderdate ASC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — the crawl-scheduler shape: next N due pages by timestamp
+    (ORDER BY + LIMIT → TakeOrderedAndProject, no global sort)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select(
+            "o_orderkey",
+            date_str(F.col("o_orderdate")).alias("order_date"),
+            "o_totalprice",
+        )
+    )
+
+
+@register("limit_unordered")  # rows-only: row choice is engine-dependent
+def limit_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — LIMIT without ORDER BY (paging); content nondeterministic
+    across engines, declared rows-only."""
+    return load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber").limit(50)
+
+
+# --------------------------------------------------------------------------
+# G. Set operations
+# --------------------------------------------------------------------------
+
+_G_LEFT = "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'"
+_G_RIGHT = "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 250000.0"
+
+
+def _g_sides(spark: SparkSession, sf_dir: str):
+    o = load(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    right = o.filter(F.col("o_totalprice") > 250000.0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    return left, right
+
+
+@register("set_union_all", oracle=f"{_G_LEFT} UNION ALL {_G_RIGHT}")
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 — UNION ALL keeps duplicates (merging link batches)."""
+    left, right = _g_sides(spark, sf_dir)
+    return left.unionByName(right)
+
+
+@register("set_union_distinct", oracle=f"{_G_LEFT} UNION {_G_RIGHT}")
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 — UNION distinct (link dedup on re-crawl)."""
+    left, right = _g_sides(spark, sf_dir)
+    return left.unionByName(right).distinct()
+
+
+@register(
+    "set_intersect_common",
+    oracle=f"""
+    WITH edges AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+    SELECT dst FROM edges WHERE src = {CUST_A}
+    INTERSECT
+    SELECT dst FROM edges WHERE src = {CUST_B}
+    """,
+)
+def set_intersect_common(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 — the marquee "tropes in common between two works" query as a
+    set intersection of neighbor sets (SURVEY.md §2 G3)."""
+    from tropology_spark.sources.tables import edges
+
+    e = edges(spark, sf_dir)
+    a = e.filter(F.col("src") == CUST_A).select("dst")
+    b = e.filter(F.col("src") == CUST_B).select("dst")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle=f"""
+    WITH edges AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+    SELECT dst FROM edges WHERE src = {CUST_A}
+    EXCEPT
+    SELECT dst FROM edges WHERE src = {CUST_B}
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 — set difference ("links only A has")."""
+    from tropology_spark.sources.tables import edges
+
+    e = edges(spark, sf_dir)
+    a = e.filter(F.col("src") == CUST_A).select("dst")
+    b = e.filter(F.col("src") == CUST_B).select("dst")
+    return a.exceptAll(b).distinct()

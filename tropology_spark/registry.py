@@ -1,0 +1,47 @@
+"""Query registry — the single source of the declared operator surface.
+
+Every operator from SURVEY.md §2 that is oracle-checkable registers a
+``(spark, sf_dir) -> DataFrame`` callable here, plus (for SQL-verifiable
+rows) the equivalent DuckDB SQL string.  ``__spark_entry__.py`` simply
+re-exports these dicts; the pytest harness replays the driver's
+comparison over them.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tropology_spark.session import configure
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a declared query (SURVEY.md §2 "Query name" column).
+
+    ``oracle`` is the DuckDB-runnable ANSI SQL twin; omit it only for
+    ops declared rows-only in SURVEY.md §2 (sketches, sampling,
+    iterative algorithms).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            configure(spark)
+            return fn(spark, sf_dir)
+
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name}")
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco

@@ -1,0 +1,71 @@
+"""SparkSession factory and per-session runtime configuration.
+
+Two jobs:
+
+* :func:`configure` — runtime confs that EVERY query needs for
+  cross-engine (DuckDB-oracle) determinism, safe to apply to a session
+  we did not create (the verify driver hands us its own session).
+* :func:`get_spark` — the session our own tests/bench build, tuned for
+  local mode per SURVEY.md §4.3; the same settings are the documented
+  cluster posture at scale (§7.7): AQE for skew/coalescing, Arrow for
+  the pandas-UDF slow path, shuffle partitions sized to cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime confs applied before every registered query runs.  These are
+#: all runtime-settable (verified on pyspark 4.1):
+#:
+#: * UTC session time zone — DuckDB computes on naive wall-clock
+#:   timestamps; pinning UTC makes Spark's TIMESTAMP ops agree
+#:   (SURVEY.md §7.6).
+#: * ``nanosAsLong`` — Spark 4 refuses parquet TIMESTAMP(NANOS) (the
+#:   ``events.ts`` physical type); with this flag it reads the raw
+#:   int64 and the loader converts ns → µs exactly like DuckDB does.
+#: * AQE — runtime coalescing + skew-join handling (SURVEY.md §4.2).
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply cross-engine determinism confs to an existing session."""
+    for key, value in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # A conf may be static in some deployment; queries that
+            # depend on it will fail loudly rather than silently drift.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "tropology-spark") -> SparkSession:
+    """Build the local session used by tests and bench.
+
+    Honors ``SPARK_GRAFT_CPUS`` (default 32 — the container's core
+    count) and ``SPARK_GRAFT_DRIVER_MEM``.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # One shuffle partition per core: at sf<=0.1 every partition is
+        # small; at cluster scale this is raised to ~2-3x total cores.
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in _RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return configure(spark)

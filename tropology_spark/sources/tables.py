@@ -1,0 +1,80 @@
+"""Fixture-table loader and canonical schemas (SURVEY.md §1.4-§1.5).
+
+One canonical load path so every query (and the DuckDB oracle, which
+reads the same parquet files) sees identical values:
+
+* ``events.ts`` is physically parquet TIMESTAMP(NANOS); Spark 4 cannot
+  read that type directly, so the loader reads it as a raw int64
+  (``nanosAsLong``, set in :mod:`tropology_spark.session`) and converts
+  ns → µs with exact integer division — bit-identical to DuckDB 1.0's
+  ns → TIMESTAMP truncation (verified empirically).
+* everything else round-trips as-is (timestamp[ms] → timestamp_ntz,
+  list<float> → array<float>).
+
+The tropology graph analog (FIXTURES.md §6): ``edges`` is the derived
+bipartite customer→part "LINKSTO" table, the Spark shape of tropology's
+``links`` table (SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tropology_spark.session import configure
+
+#: The ten driver fixture tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with canonical types."""
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ns → µs: integer `div` keeps full int64 precision (a double
+        # division would lose bits above 2^53) and truncates exactly
+        # like DuckDB's TIMESTAMP(NANOS) → TIMESTAMP read.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived graph edge table: ``(src=o_custkey, dst=l_partkey)``.
+
+    The bipartite "work LINKSTO trope" analog of tropology's ``links``
+    table (SURVEY.md §1.4): customers play work pages, parts play trope
+    pages.  Deduplicated, as the reference keeps link pairs unique.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst"))
+        .distinct()
+    )
+
+
+#: The same edge derivation as a DuckDB CTE body, shared by all graph
+#: oracles so both engines agree on the graph by construction.
+EDGES_SQL = (
+    "SELECT DISTINCT o_custkey AS src, l_partkey AS dst "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register fixture tables as temp views for ``spark.sql`` queries."""
+    for name in names:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
