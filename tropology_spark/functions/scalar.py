@@ -1,1 +1,222 @@
-"""Placeholder — filled in a later stage."""
+"""Scalar-function surface (SURVEY.md §2 H-rows).
+
+The reference analogs are tropology's code-normalization and parsing
+helpers (``base.clj code-from-url``, ``parsing.clj get-wiki-links`` —
+reconstructed): lowercase ``Category/PageName`` identities derived from
+pmwiki URLs, split/explode link extraction, regex URL gating, crawl
+backoff date arithmetic, and log-scaled display sizes.  All stay
+JVM-side (built-in functions, whole-stage codegen) — no Python UDFs in
+this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tropology_spark.registry import register
+from tropology_spark.sources.tables import load
+
+
+@register(
+    "fn_string_core",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_name) AS name_lc,
+           upper(c_mktsegment) AS seg_uc,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           lower(concat_ws('/', c_mktsegment, replace(c_name, ' ', ''))) AS code,
+           substring(c_name, 1, 8) AS name_prefix
+    FROM customer
+    """,
+)
+def fn_string_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1 — string core; ``code`` is the tropology page-identity shape:
+    lowercased ``category/pagename`` with whitespace stripped."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower(F.col("c_name")).alias("name_lc"),
+        F.upper(F.col("c_mktsegment")).alias("seg_uc"),
+        F.length(F.col("c_name")).cast("bigint").alias("name_len"),
+        F.lower(
+            F.concat_ws("/", F.col("c_mktsegment"), F.replace(F.col("c_name"), F.lit(" "), F.lit("")))
+        ).alias("code"),
+        F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
+    )
+
+
+@register(
+    "fn_explode_tokens",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+    """,
+)
+def fn_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 — split + explode: the parse flatMap (one page → many
+    links)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+
+
+@register(
+    "fn_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(url, 'pmwiki[.]php/([A-Za-z0-9#]+)/([A-Za-z0-9]+)$', 1)
+             AS category,
+           regexp_extract(url, 'pmwiki[.]php/([A-Za-z0-9#]+)/([A-Za-z0-9]+)$', 2)
+             AS page,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+    FROM (SELECT p_partkey, p_brand,
+                 'http://tvtropes.org/pmwiki/pmwiki.php/' || p_brand || '/'
+                   || regexp_replace(p_name, '[^A-Za-z0-9]', '', 'g') AS url
+          FROM part)
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 — the pmwiki-URL → code extraction pattern (tropology's
+    identity derivation), over synthesized URLs."""
+    p = load(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("http://tvtropes.org/pmwiki/pmwiki.php/"),
+        F.col("p_brand"),
+        F.lit("/"),
+        F.regexp_replace(F.col("p_name"), "[^A-Za-z0-9]", ""),
+    )
+    pat = r"pmwiki[.]php/([A-Za-z0-9#]+)/([A-Za-z0-9]+)$"
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(url, pat, 1).alias("category"),
+        F.regexp_extract(url, pat, 2).alias("page"),
+        F.regexp_extract(F.col("p_brand"), "([0-9]+)", 1).alias("brand_num"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT)
+             AS days_to_2002,
+           strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS next_update
+    FROM orders
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H4 — date arithmetic; ``next_update`` is the re-crawl backoff
+    shape (``next_update = time_stamp + 30 days``)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("days_to_2002"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias(
+            "next_update"
+        ),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT o_orderkey,
+           round(ln(o_totalprice), 6) AS ln_price,
+           round(sqrt(o_totalprice), 6) AS sqrt_price,
+           CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
+           CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
+           abs(o_totalprice) AS abs_price
+    FROM orders
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H5 — math surface (sigma.js node size ∝ log(degree) in the
+    reference API layer)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round(F.log(F.col("o_totalprice")), 6).alias("ln_price"),
+        F.round(F.sqrt(F.col("o_totalprice")), 6).alias("sqrt_price"),
+        F.ceil(F.col("o_totalprice")).cast("bigint").alias("ceil_price"),
+        F.floor(F.col("o_totalprice")).cast("bigint").alias("floor_price"),
+        F.abs(F.col("o_totalprice")).alias("abs_price"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE c_mktsegment
+             WHEN 'BUILDING' THEN '#ff0000'
+             WHEN 'AUTOMOBILE' THEN '#00ff00'
+             WHEN 'MACHINERY' THEN '#0000ff'
+             ELSE '#999999'
+           END AS color,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'suppressed') AS seg_or_suppressed
+    FROM customer
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6 — CASE / nullif / coalesce (the category→color mapping for
+    the network visualization payload)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "BUILDING", "#ff0000")
+        .when(F.col("c_mktsegment") == "AUTOMOBILE", "#00ff00")
+        .when(F.col("c_mktsegment") == "MACHINERY", "#0000ff")
+        .otherwise("#999999")
+        .alias("color"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("suppressed")).alias(
+            "seg_or_suppressed"
+        ),
+    )
+
+
+@register(
+    "fn_array_ops",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+           list_contains(string_split(text, ' '), 'data') AS has_data,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',')
+             AS first3_tokens
+    FROM documents
+    """,
+)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H7 — array surface over tokenized text (the transient link-set
+    manipulation during parsing)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ",").alias(
+            "first3_tokens"
+        ),
+    )
+
+
+@register(
+    "fn_hash_md5",
+    oracle="SELECT doc_id, md5(text) AS text_md5 FROM documents",
+)
+def fn_hash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H9 — portable content hashing (dedup key; both engines emit
+    lowercase hex md5)."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("text_md5")
+    )

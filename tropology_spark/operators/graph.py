@@ -1,1 +1,234 @@
-"""Placeholder — filled in a later stage."""
+"""Graph-analysis layer (SURVEY.md §2 I-rows) — tropology's identity.
+
+The reference stores a wiki-link property graph relationally
+(``pages`` + ``links`` tables) and serves degree counts, neighbor
+lists, common-neighbor intersections, and 1-hop ego networks for its
+sigma.js visualization (``db.clj`` / ``api.clj`` — reconstructed,
+SURVEY.md §0/§3.2).  Here the graph is the derived bipartite
+customer→part edge table (FIXTURES.md §6); node ids are namespaced
+``c:<custkey>`` / ``p:<partkey>`` so the two key spaces never collide.
+
+Scale posture (§7.7): every query below is a join/agg over the edge
+table keyed on src or dst — at 100 TB the edge table is stored twice,
+bucketed by src and by dst, making each direction a shuffle-free
+bucket join; celebrity-node skew is handled by AQE skew-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tropology_spark.operators.relational import CUST_A, CUST_B
+from tropology_spark.registry import register
+from tropology_spark.sources.tables import edges
+
+_EDGES_CTE = """
+    WITH edges AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+"""
+
+
+@register(
+    "graph_build_edges",
+    oracle=_EDGES_CTE + "SELECT src, dst FROM edges",
+)
+def graph_build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 — edge-table construction (the links import: normalized
+    pairs, deduplicated)."""
+    return edges(spark, sf_dir)
+
+
+@register(
+    "graph_degrees",
+    oracle=_EDGES_CTE
+    + """
+    , o AS (SELECT 'c:' || CAST(src AS VARCHAR) AS node,
+                   CAST(count(*) AS BIGINT) AS out_degree FROM edges GROUP BY src),
+      i AS (SELECT 'p:' || CAST(dst AS VARCHAR) AS node,
+                   CAST(count(*) AS BIGINT) AS in_degree FROM edges GROUP BY dst)
+    SELECT coalesce(o.node, i.node) AS node,
+           coalesce(o.out_degree, 0) AS out_degree,
+           coalesce(i.in_degree, 0) AS in_degree
+    FROM o FULL OUTER JOIN i ON o.node = i.node
+    """,
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I2 — in/out degree per node, the materialized aggregate
+    tropology persists on every crawl (``update-link-count!``).  In the
+    bipartite model customers have only out-degree and parts only
+    in-degree; the full-outer merge is the general (non-bipartite)
+    shape."""
+    e = edges(spark, sf_dir)
+    out_deg = e.groupBy(
+        F.concat(F.lit("c:"), F.col("src").cast("string")).alias("node")
+    ).agg(F.count(F.lit(1)).alias("out_degree"))
+    in_deg = e.groupBy(
+        F.concat(F.lit("p:"), F.col("dst").cast("string")).alias("node")
+    ).agg(F.count(F.lit(1)).alias("in_degree"))
+    joined = out_deg.withColumnRenamed("node", "o_node").join(
+        in_deg, F.col("o_node") == F.col("node"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("o_node"), F.col("node")).alias("node"),
+        F.coalesce(F.col("out_degree"), F.lit(0)).alias("out_degree"),
+        F.coalesce(F.col("in_degree"), F.lit(0)).alias("in_degree"),
+    )
+
+
+@register(
+    "graph_neighbors",
+    oracle=_EDGES_CTE
+    + f"""
+    SELECT e.dst AS partkey, p.p_name, p.p_brand
+    FROM edges e JOIN part p ON e.dst = p.p_partkey
+    WHERE e.src = {CUST_A}
+    """,
+)
+def graph_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3 — 1-hop out-neighbors with node attributes (the
+    ``query-from`` API: links joined back to pages)."""
+    from tropology_spark.sources.tables import load
+
+    e = edges(spark, sf_dir).filter(F.col("src") == CUST_A)
+    part = load(spark, sf_dir, "part")
+    return e.join(part, e.dst == part.p_partkey).select(
+        F.col("dst").alias("partkey"), "p_name", "p_brand"
+    )
+
+
+@register(
+    "graph_common_neighbors",
+    oracle=_EDGES_CTE
+    + f"""
+    SELECT a.dst AS partkey, p.p_name
+    FROM edges a
+    JOIN edges b ON a.dst = b.dst
+    JOIN part p ON a.dst = p.p_partkey
+    WHERE a.src = {CUST_A} AND b.src = {CUST_B}
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4 — the marquee tropes-in-common query with attributes
+    (``query-common-links``): neighbor-set intersection of two works,
+    joined to the trope pages."""
+    from tropology_spark.sources.tables import load
+
+    e = edges(spark, sf_dir)
+    a = e.filter(F.col("src") == CUST_A).select("dst")
+    b = e.filter(F.col("src") == CUST_B).select(F.col("dst").alias("b_dst"))
+    part = load(spark, sf_dir, "part")
+    return (
+        a.join(b, a.dst == b.b_dst)
+        .join(part, F.col("dst") == F.col("p_partkey"))
+        .select(F.col("dst").alias("partkey"), "p_name")
+    )
+
+
+@register(
+    "graph_ego_edges",
+    oracle=_EDGES_CTE
+    + f"""
+    SELECT e.src, e.dst
+    FROM edges e
+    WHERE e.dst IN (SELECT dst FROM edges WHERE src = {CUST_A})
+    """,
+)
+def graph_ego_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5 — ego network edge list for ``/api/network/:code``: every
+    edge incident to the focus node's neighborhood (the induced
+    subgraph the visualization renders)."""
+    e = edges(spark, sf_dir)
+    hood = e.filter(F.col("src") == CUST_A).select(F.col("dst").alias("n_dst"))
+    return e.join(hood, e.dst == F.col("n_dst"), "left_semi").select("src", "dst")
+
+
+@register(
+    "graph_twohop_count",
+    oracle=_EDGES_CTE
+    + """
+    SELECT a.src AS custkey, CAST(count(DISTINCT b.src) AS BIGINT) AS n_twohop
+    FROM edges a JOIN edges b ON a.dst = b.dst AND a.src <> b.src
+    GROUP BY a.src
+    """,
+)
+def graph_twohop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I6 — 2-hop reachability count (related-works discovery): how
+    many other works share at least one trope."""
+    e = edges(spark, sf_dir)
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") != F.col("b.src")))
+        .groupBy(F.col("a.src").alias("custkey"))
+        .agg(F.countDistinct(F.col("b.src")).alias("n_twohop"))
+    )
+
+
+@register(
+    "graph_sample_nodes",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_acctbal > 0.0
+      AND substring(md5(CAST(c_custkey AS VARCHAR)), 1, 2) <= '19'
+    """,
+)
+def graph_sample_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I7 — random-article sampling of eligible pages.
+
+    Deterministic hash sampling (md5 prefix, ~10%) instead of
+    ``DataFrame.sample``: reproducible across engines, runs, AND
+    partitionings — the correct idiom at scale, and it upgrades this
+    query from the rows-only check SURVEY.md §2 anticipated to a full
+    SQL-oracle row."""
+    from tropology_spark.sources.tables import load
+
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.filter(
+            (F.col("c_acctbal") > 0.0)
+            & (F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2) <= "19")
+        )
+        .select("c_custkey", "c_name")
+    )
+
+
+@register("graph_pagerank3")  # rows-only: iterative fixpoint, not ANSI-SQL
+def graph_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I8 — PageRank, 3 iterations, damping 0.85, on the undirected
+    view of the bipartite graph (each edge contributes both ways, as
+    wiki links are traversed both directions in the reference UI).
+
+    Driver-side loop of join+agg with ``localCheckpoint()`` per
+    iteration to cut lineage (SURVEY.md §4.2) — the Spark idiom for
+    iterative algorithms.  Verified by a fixed-point unit test
+    (tests/test_units.py); declared rows-only for the oracle."""
+    e = edges(spark, sf_dir)
+    c_node = F.concat(F.lit("c:"), F.col("src").cast("string"))
+    p_node = F.concat(F.lit("p:"), F.col("dst").cast("string"))
+    # Undirected: both traversal directions.
+    bi = (
+        e.select(c_node.alias("u"), p_node.alias("v"))
+        .unionByName(e.select(p_node.alias("u"), c_node.alias("v")))
+    )
+    out_deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = bi.select(F.col("u").alias("node")).distinct()
+    ranks = nodes.withColumn("pr", F.lit(1.0))
+
+    for _ in range(3):
+        contribs = (
+            bi.join(ranks, bi.u == ranks.node)
+            .join(out_deg, "u")
+            .select(F.col("v").alias("node"), (F.col("pr") / F.col("deg")).alias("contrib"))
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("mass"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(0.15) + F.lit(0.85) * F.coalesce(F.col("mass"), F.lit(0.0))).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.round("pr", 6).alias("pr"))

@@ -1,1 +1,219 @@
-"""Placeholder — filled in a later stage."""
+"""Similarity search over embeddings (SURVEY.md §2 J8-J10).
+
+Approximate-nearest-neighbor building blocks on the ``embeddings``
+fixture (``array<float>``, dim 64): brute-force cosine top-k (the
+baseline), a label-blocked kNN join (the blocked/IVF-shaped scale
+path — at 100 TB the block key is a coarse quantizer cell id instead
+of the label), and nearest-centroid assignment (the IVF training +
+assignment step).
+
+Numerics convention (SURVEY.md §7.4): elements are widened fp32→fp64
+(exact), cosines are rounded to 6 dp in BOTH engines before any
+ranking, and every rank has a unique tie-break — so ordering is
+deterministic despite sub-ulp summation-order drift between engines.
+
+Spark side computes dot products array-natively (``zip_with`` +
+``aggregate`` — single pass, no shuffle per element); the oracle
+enumerates positions relationally.  Both reduce 64 exact fp64 products
+whose sum drift is ~1e-14, far inside the 1e-6 rounding bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tropology_spark.registry import register
+from tropology_spark.sources.tables import load
+
+QUERY_VEC_ID = 0
+EMB_DIM = 64  # fixed (FIXTURES.md §2)
+
+
+def as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+#: Shared oracle CTE: embeddings in long (vec_id, pos, val) form.
+_EX_CTE = f"""
+    WITH ex AS (
+      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, (SELECT unnest(generate_series(1, {EMB_DIM})) AS i) s
+    ),
+    nrm AS (SELECT vec_id, sqrt(sum(val * val)) AS nv FROM ex GROUP BY vec_id)
+"""
+
+
+@register(
+    "sim_topk_cosine",
+    oracle=_EX_CTE
+    + f"""
+    , q AS (SELECT pos, val FROM ex WHERE vec_id = {QUERY_VEC_ID}),
+    d AS (SELECT e.vec_id, sum(e.val * q.val) AS dp
+          FROM ex e JOIN q ON e.pos = q.pos
+          WHERE e.vec_id <> {QUERY_VEC_ID}
+          GROUP BY e.vec_id)
+    SELECT d.vec_id,
+           round(d.dp / (n1.nv * n2.nv), 6) AS cosine
+    FROM d
+    JOIN nrm n1 ON d.vec_id = n1.vec_id
+    CROSS JOIN (SELECT nv FROM nrm WHERE vec_id = {QUERY_VEC_ID}) n2
+    ORDER BY cosine DESC, d.vec_id
+    LIMIT 10
+    """,
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — brute-force cosine top-10 for one query vector.  The query
+    row is broadcast; the corpus is scanned once.  At scale this is the
+    exact-rerank stage after an ANN pre-filter (J9's blocking)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    q = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("emb").alias("qemb"))
+    )
+    cos = F.round(
+        dot(F.col("emb"), F.col("qemb")) / (norm(F.col("emb")) * norm(F.col("qemb"))), 6
+    )
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "sim_knn_join",
+    oracle=_EX_CTE
+    + """
+    , d AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.val * b.val) AS dp
+      FROM ex a JOIN ex b
+        ON a.pos = b.pos AND a.label = b.label AND a.vec_id <> b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    cos AS (
+      SELECT d.va, d.vb, round(d.dp / (na.nv * nb.nv), 6) AS cosine
+      FROM d JOIN nrm na ON d.va = na.vec_id JOIN nrm nb ON d.vb = nb.vec_id
+    )
+    SELECT va AS vec_id, vb AS neighbor_id, cosine, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY va
+                                       ORDER BY cosine DESC, vb) AS rn
+          FROM cos) t
+    WHERE rn <= 3
+    """,
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 — blocked kNN self-join: top-3 neighbors per vector within
+    its label block.  The block bounds the pair count (the IVF/LSH
+    bucket idea); an unblocked all-pairs join would be O(n²)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    )
+    a = e.select(
+        F.col("vec_id").alias("va"), F.col("label"), F.col("emb").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vb"), F.col("label").alias("lb"), F.col("emb").alias("eb")
+    )
+    cos = F.round(
+        dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb"))), 6
+    )
+    pairs = (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("va") != F.col("vb")))
+        .select("va", "vb", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("va").orderBy(F.col("cosine").desc(), F.col("vb"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("va").alias("vec_id"),
+            F.col("vb").alias("neighbor_id"),
+            "cosine",
+            "rn",
+        )
+    )
+
+
+@register(
+    "sim_centroid_assign",
+    oracle=_EX_CTE
+    + """
+    , cen AS (SELECT label AS clabel, pos, avg(val) AS cval FROM ex GROUP BY label, pos),
+    cn AS (SELECT clabel, sqrt(sum(cval * cval)) AS nc FROM cen GROUP BY clabel),
+    d AS (SELECT e.vec_id, c.clabel, sum(e.val * c.cval) AS dp
+          FROM ex e JOIN cen c ON e.pos = c.pos
+          GROUP BY e.vec_id, c.clabel),
+    cos AS (SELECT d.vec_id, d.clabel,
+                   round(d.dp / (nrm.nv * cn.nc), 6) AS cosine
+            FROM d JOIN nrm ON d.vec_id = nrm.vec_id
+                   JOIN cn ON d.clabel = cn.clabel)
+    SELECT cos.vec_id, emb.label AS own_label, cos.clabel AS assigned_label, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cosine DESC, clabel) AS rn
+          FROM cos) cos
+    JOIN embeddings emb ON cos.vec_id = emb.vec_id
+    WHERE rn = 1
+    """,
+)
+def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 — label centroids + nearest-centroid assignment (the IVF
+    train/assign step).  Long (vec, pos, val) form mirrors the oracle
+    relationally; centroids are tiny (10×64) and broadcast."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos0", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("v").cast("double").alias("val"),
+    )
+    nrm = ex.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nv"))
+    cen = (
+        ex.groupBy(F.col("label").alias("clabel"), F.col("pos"))
+        .agg(F.avg("val").alias("cval"))
+    )
+    cn = cen.groupBy("clabel").agg(F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("nc"))
+    d = (
+        ex.join(F.broadcast(cen), "pos")
+        .groupBy("vec_id", "clabel")
+        .agg(F.sum(F.col("val") * F.col("cval")).alias("dp"))
+    )
+    cos = (
+        d.join(nrm, "vec_id")
+        .join(F.broadcast(cn), "clabel")
+        .select(
+            "vec_id",
+            "clabel",
+            F.round(F.col("dp") / (F.col("nv") * F.col("nc")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("clabel"))
+    return (
+        cos.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(e.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            F.col("label").alias("own_label"),
+            F.col("clabel").alias("assigned_label"),
+            "cosine",
+        )
+    )

@@ -1,1 +1,225 @@
-"""Placeholder — filled in a later stage."""
+"""Streaming layer (SURVEY.md §2 K-rows).
+
+The reference analog is tropology's continuous crawl loop — periodic
+batches driven by the schedule query (``core.clj`` — reconstructed,
+SURVEY.md §3.3).  Per the survey's batch-twin-first strategy, each
+windowed aggregation is implemented twice:
+
+* a **batch twin** registered in ``queries()`` with a full DuckDB
+  oracle (this module's ``@register`` functions), and
+* a **streaming builder** (``stream_*`` functions) applying the same
+  logic to an unbounded DataFrame; pytest runs them with
+  ``trigger(availableNow=True)`` and asserts equality with the twin
+  (tests/test_streaming.py).
+
+Scale posture: watermarks bound state exactly where tropology bounds
+re-crawl recency; session windows use Spark's native session_window
+state merging.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tropology_spark.functions.exact import sql_ts_str, ts_str
+from tropology_spark.registry import register
+from tropology_spark.sources.tables import load
+
+_VAL_MICROS = "CAST(round(value * 1000000.0) AS BIGINT)"
+
+
+def _tumbling_agg(df: DataFrame, window_expr) -> DataFrame:
+    """Shared agg shape for K1/K2: count + micro-exact value sum."""
+    micros = F.round(F.col("value") * 1000000.0).cast("long")
+    return (
+        df.groupBy(window_expr.alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(micros) / F.lit(1000000.0), 6).alias("total_value"),
+        )
+        .select(
+            ts_str(F.col("win.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_tumbling_1h",
+    oracle=f"""
+    SELECT {sql_ts_str("date_trunc('hour', ts)")} AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum({_VAL_MICROS}) AS DOUBLE) / 1000000.0, 6) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 batch twin — tumbling 1-hour windows.  Spark's window() is
+    epoch-aligned half-open [start, start+1h), identical to
+    date_trunc('hour')."""
+    e = load(spark, sf_dir, "events")
+    return _tumbling_agg(e, F.window("ts", "1 hour"))
+
+
+@register(
+    "stream_sliding_1h_30m",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type, value
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+               AS window_start, event_type, value
+      FROM events
+    )
+    SELECT {sql_ts_str('window_start')} AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum({_VAL_MICROS}) AS DOUBLE) / 1000000.0, 6) AS total_value
+    FROM assigned
+    GROUP BY window_start, event_type
+    """,
+)
+def stream_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 batch twin — sliding 1h windows every 30m; each event belongs
+    to exactly two windows (the oracle materializes both
+    assignments)."""
+    e = load(spark, sf_dir, "events")
+    return _tumbling_agg(e, F.window("ts", "1 hour", "30 minutes"))
+
+
+@register(
+    "stream_sessionize_30m",
+    oracle="""
+    WITH secs AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, sec,
+             CASE WHEN sec - lag(sec) OVER w IS NULL
+                    OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+      FROM secs
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, event_id, sec,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_idx
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_idx AS BIGINT) AS session_idx,
+           min(sec) AS session_start,
+           max(sec) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_idx
+    """,
+)
+def stream_sessionize_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 batch twin — 30-minute-gap sessionization via the classic
+    lag → gap flag → running sum pattern.  Timestamps are truncated to
+    epoch seconds (identically in both engines) so gap arithmetic is
+    pure integers."""
+    e = load(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.select(
+        "user_id", "event_id", sec.alias("sec"), "ts"
+    ).withColumn(
+        "new_session",
+        F.when(
+            (F.col("sec") - F.lag("sec").over(w_lag)).isNull()
+            | ((F.col("sec") - F.lag("sec").over(w_lag)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_idx", F.sum("new_session").over(w_run).cast("bigint")
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.min("sec").alias("session_start"),
+        F.max("sec").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming builders (K1-K7) — applied to unbounded DataFrames in tests.
+# --------------------------------------------------------------------------
+
+def stream_tumbling(events: DataFrame) -> DataFrame:
+    """K1 streaming side: identical logic over an unbounded source."""
+    return _tumbling_agg(events, F.window("ts", "1 hour"))
+
+
+def stream_sliding(events: DataFrame) -> DataFrame:
+    """K2 streaming side."""
+    return _tumbling_agg(events, F.window("ts", "1 hour", "30 minutes"))
+
+
+def stream_sessions(events: DataFrame) -> DataFrame:
+    """K3 streaming side: native session windows (30-min gap) with a
+    watermark bounding state."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def stream_watermark_tumbling(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """K4: tumbling agg with watermark — late rows beyond ``delay`` are
+    dropped once the watermark passes (observable only in streaming;
+    exercised with out-of-order micro-batches in tests)."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
+def stream_dedup(events: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """K5: exactly-once event stream via keyed dedup + watermark (the
+    re-crawl idempotency analog)."""
+    return events.withWatermark("ts", delay).dropDuplicates(["event_id"])
+
+
+def stream_running_count(events: DataFrame) -> DataFrame:
+    """K6: stateful running count per user (update-mode output; batch
+    twin is win_running_sum's count shape)."""
+    return events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """K7: stream-static enrichment join (stream events ⋈ static dim).
+    The static side is broadcast per micro-batch."""
+    return events.join(
+        F.broadcast(customer.select(F.col("c_custkey"), F.col("c_mktsegment"))),
+        events.user_id == F.col("c_custkey"),
+        "left",
+    ).select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("c_mktsegment"), F.lit("unknown")).alias("segment"),
+    )
