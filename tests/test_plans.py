@@ -1,0 +1,65 @@
+"""Plan-shape tests (SURVEY.md §5.2 item 5, §4.2): the physical plans
+Catalyst picks must stay the plans we designed for — pushdown reaching
+the parquet scan, broadcasts on the small dims, TakeOrderedAndProject
+for top-k, partial aggregation before the shuffle.  Guards against
+silent performance regressions."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from tests.conftest import SF_UNIT
+from tropology_spark import QUERIES
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_scan_projection_prunes_columns(spark):
+    plan = plan_of(QUERIES["scan_project"](spark, SF_UNIT))
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_partkey" in read_schema
+    assert "l_shipdate" not in read_schema and "l_quantity" not in read_schema
+
+
+def test_key_probe_pushes_filter_to_scan(spark):
+    plan = plan_of(QUERIES["scan_pushdown_lookup"](spark, SF_UNIT))
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "p_partkey" in pushed and "EqualTo" in pushed
+
+
+def test_flagship_uses_broadcast_joins(spark):
+    plan = plan_of(QUERIES["flagship_revenue_by_region"](spark, SF_UNIT))
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    plan = plan_of(QUERIES["topk_global"](spark, SF_UNIT))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_degree_agg_is_two_phase(spark):
+    """D11 — partial (map-side) aggregation must appear below the
+    shuffle and final above it."""
+    plan = plan_of(QUERIES["agg_degree"](spark, SF_UNIT), "simple")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_whole_stage_codegen_covers_flagship(spark):
+    plan = plan_of(QUERIES["flagship_revenue_by_region"](spark, SF_UNIT), "codegen")
+    assert "WholeStageCodegen" in plan and "Found" in plan
+
+
+def test_ts_range_filter_pushdown(spark):
+    plan = plan_of(QUERIES["filter_ts_range"](spark, SF_UNIT))
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "ts" in pushed

@@ -1,0 +1,137 @@
+"""Property-based tests (SURVEY.md §5.2 item 3): algebraic invariants
+over generated inputs.  Example counts are kept small — each example
+runs Spark jobs."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SMALL = dict(max_examples=10, deadline=None)
+
+
+@settings(**SMALL)
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=30),
+    ys=st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=30),
+)
+def test_union_all_count_additivity_and_intersect_subset(spark, xs, ys):
+    a = spark.createDataFrame([(x,) for x in xs] or [(None,)], "v int").filter(
+        F.col("v").isNotNull()
+    )
+    b = spark.createDataFrame([(y,) for y in ys] or [(None,)], "v int").filter(
+        F.col("v").isNotNull()
+    )
+    assert a.unionByName(b).count() == len(xs) + len(ys)
+    inter = {r["v"] for r in a.intersect(b).collect()}
+    assert inter == (set(xs) & set(ys))
+
+
+@settings(**SMALL)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8), st.integers(min_value=0, max_value=8)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_degree_sums_equal_edge_count(spark, edges):
+    distinct_edges = sorted(set(edges))
+    df = spark.createDataFrame(distinct_edges, "src int, dst int")
+    out_sum = df.groupBy("src").count().agg(F.sum("count")).collect()[0][0]
+    in_sum = df.groupBy("dst").count().agg(F.sum("count")).collect()[0][0]
+    assert out_sum == in_sum == len(distinct_edges)
+
+
+@settings(**SMALL)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1000, max_value=1000, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_exact_sum_matches_rational_arithmetic(spark, vals):
+    """Cent-exact sum == exact Fraction arithmetic of per-element
+    rounded cents (the declared semantics)."""
+    from tropology_spark.functions.exact import exact_sum
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = df.agg(exact_sum(F.col("v"), 2).alias("s")).collect()[0]["s"]
+
+    def cents(x: float) -> int:
+        # Spark's round(): half away from zero on the shortest repr.
+        from decimal import Decimal, ROUND_HALF_UP
+
+        return int(Decimal(repr(x * 100.0)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+    want = float(
+        Fraction(sum(cents(v) for v in vals), 100)
+    )
+    assert got == round(want, 2)
+
+
+@settings(**SMALL)
+@given(
+    vec=st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False, allow_infinity=False),
+        min_size=4,
+        max_size=16,
+    ).filter(lambda v: any(abs(x) > 1e-3 for x in v))
+)
+def test_cosine_self_similarity_is_one(spark, vec):
+    from tropology_spark.operators.similarity import dot, norm
+
+    df = spark.createDataFrame([(vec,)], "emb array<double>")
+    cos = df.select(
+        (dot(F.col("emb"), F.col("emb")) / (norm(F.col("emb")) * norm(F.col("emb")))).alias("c")
+    ).collect()[0]["c"]
+    assert abs(cos - 1.0) < 1e-9
+
+
+@settings(**SMALL)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=20).filter(lambda t: t.strip()),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_jaccard_bounds_and_orientation(spark, texts):
+    """Every emitted Jaccard pair is in (0,1] and doc_a < doc_b."""
+    from tropology_spark.registry import QUERIES  # noqa: F401  (import check)
+
+    rows = [(i, t, len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    tok = df.select(
+        "doc_id",
+        F.substring(F.col("text"), 1, 40).alias("pfx"),
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token"),
+    ).filter(F.col("token") != "")
+    siz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.pfx") == F.col("b.pfx"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = siz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = siz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    out = inter.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", jac.alias("j")
+    )
+    for r in out.collect():
+        assert 0.0 < r["j"] <= 1.0
+        assert r["doc_a"] < r["doc_b"]

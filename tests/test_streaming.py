@@ -1,0 +1,167 @@
+"""Streaming equivalence tests (SURVEY.md §5.2 item 4, §2 K-rows).
+
+Each windowed streaming job, run with availableNow over the same rows,
+must equal its batch twin (exactly-once, deterministic).  Late-data
+and dedup semantics are exercised with sequenced micro-batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_UNIT
+from tropology_spark.sources.tables import load
+from tropology_spark.streaming import jobs
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """sf0.001 events (ts already ns→µs converted) as a parquet dir a
+    file stream can read."""
+    path = str(tmp_path_factory.mktemp("events_stream") / "data")
+    load(spark, SF_UNIT, "events").coalesce(1).write.parquet(path)
+    return path
+
+
+def run_stream_to_memory(spark, sdf, name, output_mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+    return spark.table(name)
+
+
+def assert_same_rows(a, b, cols):
+    ra = sorted([tuple(r[c] for c in cols) for r in a.collect()])
+    rb = sorted([tuple(r[c] for c in cols) for r in b.collect()])
+    assert ra == rb
+
+
+def _stream_events(spark, events_dir):
+    schema = load(spark, SF_UNIT, "events").schema
+    return spark.readStream.schema(schema).parquet(events_dir)
+
+
+def test_tumbling_equals_batch(spark, events_dir):
+    batch = jobs.stream_tumbling(spark.read.parquet(events_dir))
+    stream = run_stream_to_memory(
+        spark, jobs.stream_tumbling(_stream_events(spark, events_dir)),
+        "t_tumbling", "complete",
+    )
+    assert_same_rows(batch, stream, ["window_start", "event_type", "n_events", "total_value"])
+
+
+def test_sliding_equals_batch(spark, events_dir):
+    batch = jobs.stream_sliding(spark.read.parquet(events_dir))
+    stream = run_stream_to_memory(
+        spark, jobs.stream_sliding(_stream_events(spark, events_dir)),
+        "t_sliding", "complete",
+    )
+    assert_same_rows(batch, stream, ["window_start", "event_type", "n_events", "total_value"])
+
+
+def test_session_windows_match_batch_twin(spark, events_dir):
+    """Native session_window output must agree with the lag/cumsum batch
+    twin on (user, session_start, n_events)."""
+    stream = run_stream_to_memory(
+        spark, jobs.stream_sessions(_stream_events(spark, events_dir)),
+        "t_sessions", "complete",
+    )
+    from tropology_spark import QUERIES
+
+    twin = QUERIES["stream_sessionize_30m"](spark, SF_UNIT).select(
+        "user_id", "session_start", "n_events"
+    )
+    assert_same_rows(twin, stream.select("user_id", "session_start", "n_events"),
+                     ["user_id", "session_start", "n_events"])
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """K5 — duplicated input rows collapse to one per event_id."""
+    path = str(tmp_path / "dup")
+    ev = load(spark, SF_UNIT, "events").limit(200)
+    ev.unionByName(ev).coalesce(1).write.parquet(path)
+    sdf = spark.readStream.schema(ev.schema).parquet(path)
+    out = run_stream_to_memory(spark, jobs.stream_dedup(sdf), "t_dedup", "append")
+    assert out.count() == 200
+    assert out.select("event_id").distinct().count() == 200
+
+
+def test_running_count_update_mode(spark, events_dir):
+    """K6 — stateful per-user counts equal the batch groupBy."""
+    stream = run_stream_to_memory(
+        spark, jobs.stream_running_count(_stream_events(spark, events_dir)),
+        "t_runcount", "complete",
+    )
+    batch = spark.read.parquet(events_dir).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    assert_same_rows(batch, stream, ["user_id", "n_events"])
+
+
+def test_stream_static_join(spark, events_dir):
+    """K7 — stream-static enrichment preserves every event exactly
+    once."""
+    customer = load(spark, SF_UNIT, "customer")
+    out = run_stream_to_memory(
+        spark,
+        jobs.stream_static_join(_stream_events(spark, events_dir), customer),
+        "t_enrich", "append",
+    )
+    n = spark.read.parquet(events_dir).count()
+    assert out.count() == n
+    assert out.filter(F.col("segment").isNull()).count() == 0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """K4 — a row older than the watermark is dropped; a fresh row is
+    not.  Two sequenced micro-batches via maxFilesPerTrigger=1."""
+    import datetime as dt
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src, exist_ok=True)
+    schema = "ts timestamp, event_id long"
+
+    def write_batch(rows, fname):
+        df = spark.createDataFrame(rows, schema=schema)
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    # Batch 1: events up to 12:00 → watermark after batch1 = 11:50.
+    write_batch([(t0, 1), (t0 - dt.timedelta(minutes=5), 2)], "b1")
+
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("t_late")
+        .outputMode("update").start()
+    )
+    try:
+        q.processAllAvailable()
+        # Batch 2: one hopelessly late row (> 2h before watermark) and
+        # one fresh row.
+        write_batch(
+            [(t0 - dt.timedelta(hours=3), 3), (t0 + dt.timedelta(minutes=1), 4)], "b2"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["ws"]: r["n"] for r in spark.table("t_late").collect()}
+    late_window = t0.replace(hour=9)
+    # The late row's window never appears; the fresh row reached the
+    # noon window (events at 12:00 and 12:01); 11:55 sits in 11:00.
+    assert late_window not in rows
+    assert rows[t0.replace(minute=0)] == 2
+    assert rows[t0.replace(hour=11, minute=0)] == 1

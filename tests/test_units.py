@@ -1,0 +1,200 @@
+"""Operator unit tests (SURVEY.md §5.2 item 2): the cases the sf
+fixtures under-sample — nulls, ties, empties — plus algorithm-level
+checks for the non-oracle ops (PageRank fixpoint, MinHash recall,
+HTML parsing, multimodal plumbing, sinks)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_UNIT
+from tropology_spark import QUERIES
+
+
+def test_pagerank_matches_numpy(spark):
+    """graph_pagerank3 equals an independent dense NumPy computation of
+    the same recurrence on the same graph."""
+    import numpy as np
+
+    from tropology_spark.sources.tables import edges
+
+    e = [(r["src"], r["dst"]) for r in edges(spark, SF_UNIT).collect()]
+    nodes = sorted({f"c:{s}" for s, _ in e} | {f"p:{d}" for _, d in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for s, d in e:
+        adj[idx[f"c:{s}"], idx[f"p:{d}"]] = 1.0
+        adj[idx[f"p:{d}"], idx[f"c:{s}"]] = 1.0
+    deg = adj.sum(axis=1)
+    pr = np.ones(n)
+    for _ in range(3):
+        pr = 0.15 + 0.85 * (adj.T @ (pr / deg))
+    got = {r["node"]: r["pr"] for r in QUERIES["graph_pagerank3"](spark, SF_UNIT).collect()}
+    assert len(got) == n
+    for node, i in idx.items():
+        assert got[node] == pytest.approx(pr[i], abs=2e-6), node
+
+
+def test_minhash_recall_of_jaccard_pairs(spark):
+    """Every Jaccard>=0.5 pair (J2 ground truth) must appear among the
+    LSH candidates — the property that makes J3 a valid J2 scale-out."""
+    true = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_jaccard_pairs"](spark, SF_UNIT).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_minhash_lsh"](spark, SF_UNIT).collect()
+    }
+    assert true, "fixtures should contain near-dup pairs (FIXTURES.md §5)"
+    missed = true - cand
+    assert not missed, f"LSH missed true near-dups: {sorted(missed)[:5]}"
+
+
+def test_null_semantics_inline(spark):
+    """Fixtures store no NULLs (FIXTURES.md §4); exercise null ops on an
+    inline frame."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "err"), (3, None)], "id int, msg string"
+    )
+    out = df.select(
+        "id",
+        F.col("msg").isNull().alias("ok"),
+        F.coalesce(F.col("msg"), F.lit("-")).alias("m"),
+    ).collect()
+    assert [(r["ok"], r["m"]) for r in sorted(out, key=lambda r: r["id"])] == [
+        (True, "-"),
+        (False, "err"),
+        (True, "-"),
+    ]
+
+
+def test_rank_tie_semantics_inline(spark):
+    df = spark.createDataFrame(
+        [("a", 10.0), ("b", 10.0), ("c", 5.0)], "k string, v double"
+    )
+    w = Window.orderBy(F.col("v").desc())
+    rows = {
+        r["k"]: (r["rnk"], r["drnk"])
+        for r in df.select(
+            "k", F.rank().over(w).alias("rnk"), F.dense_rank().over(w).alias("drnk")
+        ).collect()
+    }
+    assert rows["a"] == (1, 1) and rows["b"] == (1, 1) and rows["c"] == (3, 2)
+
+
+def test_exact_sum_is_partitioning_invariant(spark):
+    """Cent-exact sums must not depend on the number of partitions."""
+    from tropology_spark.functions.exact import exact_sum
+
+    data = [(i, 0.005 + i * 0.015) for i in range(1000)]
+    df = spark.createDataFrame(data, "id int, v double")
+    vals = set()
+    for parts in (1, 7, 32):
+        v = (
+            df.repartition(parts)
+            .agg(exact_sum(F.col("v"), 2).alias("s"))
+            .collect()[0]["s"]
+        )
+        vals.add(v)
+    assert len(vals) == 1
+
+
+def test_html_parse_links_and_redirect(spark):
+    from tropology_spark.sources import html as H
+
+    page = """
+    <html><head><title> Cowboy Bebop </title>
+    <meta property="og:url" content="http://tvtropes.org/pmwiki/pmwiki.php/Anime/CowboyBebop"/>
+    </head><body>
+    <a href="http://tvtropes.org/pmwiki/pmwiki.php/Main/SpaceWestern">x</a>
+    <a href='/pmwiki/pmwiki.php/Main/BountyHunter'>y</a>
+    <a href="/pmwiki/pmwiki.php/Main/BountyHunter">dup</a>
+    <a href="http://elsewhere.org/other">ignored</a>
+    </body></html>"""
+    frontier = spark.createDataFrame(
+        [("http://tvtropes.org/pmwiki/pmwiki.php/Anime/CowboyBebop", page),
+         ("http://tvtropes.org/pmwiki/pmwiki.php/Anime/OldName", page)],
+        "url string, html string",
+    )
+    rows = {r["url"]: r for r in H.parse_pages(frontier).collect()}
+    direct = rows["http://tvtropes.org/pmwiki/pmwiki.php/Anime/CowboyBebop"]
+    assert direct["code"] == "anime/cowboybebop"
+    assert direct["category"] == "anime"
+    assert direct["title"] == "Cowboy Bebop"
+    assert direct["is_redirect"] == "false"
+    assert direct["links"] == ["main/bountyhunter", "main/spacewestern"]
+    redirected = rows["http://tvtropes.org/pmwiki/pmwiki.php/Anime/OldName"]
+    assert redirected["is_redirect"] == "true"
+    assert redirected["code"] == "anime/cowboybebop"
+
+
+def test_multimodal_feature_extraction(spark):
+    from tropology_spark.operators import multimodal as MM
+
+    payloads = [(bytearray(f"media-{i}".encode() * 10),) for i in range(8)]
+    df = spark.createDataFrame(payloads, "payload binary")
+    media = MM.attach_media(df, "payload", "image/fake")
+    feats = MM.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 8
+    for r in rows:
+        raw = bytes(r["n_bytes"])  # placeholder; recompute below
+    by_sha = {r["sha256"]: r for r in rows}
+    for (p,) in payloads:
+        sha = hashlib.sha256(bytes(p)).hexdigest()
+        r = by_sha[sha]
+        assert r["n_bytes"] == len(p)
+        assert len(r["features"]) == MM.FEATURE_DIM
+        assert r["features"] == [
+            pytest.approx(b / 255.0) for b in hashlib.sha256(bytes(p)).digest()[: MM.FEATURE_DIM]
+        ]
+    # decode hook is a declared stub
+    with pytest.raises(NotImplementedError):
+        MM.decode_payload(b"x", "image/png")
+
+
+def test_upsert_sink_newest_wins_and_idempotent(spark, tmp_path):
+    from tropology_spark.sources.sinks import upsert_parquet
+
+    path = str(tmp_path / "pages")
+    v1 = spark.createDataFrame(
+        [("a/x", "t1", 1), ("a/y", "t1", 1)], "code string, title string, v int"
+    )
+    upsert_parquet(spark, v1, path, key="code", version_col="v")
+    v2 = spark.createDataFrame(
+        [("a/x", "t2", 2), ("a/z", "t1", 1)], "code string, title string, v int"
+    )
+    upsert_parquet(spark, v2, path, key="code", version_col="v")
+    rows = {r["code"]: r["title"] for r in spark.read.parquet(path).collect()}
+    assert rows == {"a/x": "t2", "a/y": "t1", "a/z": "t1"}
+    # idempotent: replay the same batch
+    upsert_parquet(spark, v2, path, key="code", version_col="v")
+    rows2 = {r["code"]: r["title"] for r in spark.read.parquet(path).collect()}
+    assert rows2 == rows
+
+
+def test_partitioned_sink_prunes(spark, tmp_path):
+    from tropology_spark.sources.sinks import write_partitioned
+    from tropology_spark.sources.tables import load
+
+    path = str(tmp_path / "orders_part")
+    orders = load(spark, SF_UNIT, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    write_partitioned(orders, path, ["order_year"], sort_col="o_orderkey")
+    back = spark.read.parquet(path).filter(F.col("order_year") == 1997)
+    expected = orders.filter(F.col("order_year") == 1997).count()
+    assert back.count() == expected
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.explain()
+    assert "PartitionFilters" in buf.getvalue()
