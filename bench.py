@@ -27,13 +27,27 @@ def main() -> None:
     # Warm the JVM + parquet footers with the flagship query once.
     QUERIES["flagship_revenue_by_region"](spark, sf_dir).collect()
 
+    import gc
+
+    def release_cached_blocks() -> None:
+        """Queries that materialize intermediates (localCheckpoint)
+        leave blocks pinned until their JVM references are collected;
+        across 76 queries that pressure degrades the block manager.
+        Dropping Python refs + forcing both GCs lets the ContextCleaner
+        reclaim them between queries."""
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
     per_query: dict[str, float] = {}
     t_all = time.perf_counter()
-    for name in sorted(QUERIES):
+    for i, name in enumerate(sorted(QUERIES)):
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.perf_counter() - t0, 3)
+        del df
+        if i % 4 == 3:
+            release_cached_blocks()
     total = round(time.perf_counter() - t_all, 3)
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None

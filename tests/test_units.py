@@ -198,3 +198,16 @@ def test_partitioned_sink_prunes(spark, tmp_path):
     with redirect_stdout(buf):
         back.explain()
     assert "PartitionFilters" in buf.getvalue()
+
+
+def test_jdbc_reader_options_assemble(spark):
+    """A4 — no database in this environment; the partitioned-read
+    configuration (the scale-relevant part) must assemble cleanly."""
+    from tropology_spark.sources.jdbc import partitioned_jdbc_reader
+
+    reader = partitioned_jdbc_reader(
+        spark, "jdbc:postgresql://host/db", "pages",
+        partition_column="id", lower_bound=0, upper_bound=1_000_000,
+        num_partitions=32,
+    )
+    assert reader is not None

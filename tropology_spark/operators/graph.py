@@ -112,9 +112,9 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I4 — the marquee tropes-in-common query with attributes
     (``query-common-links``): neighbor-set intersection of two works,
     joined to the trope pages."""
-    from tropology_spark.sources.tables import load
+    from tropology_spark.sources.tables import edges_materialized, load
 
-    e = edges(spark, sf_dir)
+    e = edges_materialized(spark, sf_dir, srcs=[CUST_A, CUST_B])
     a = e.filter(F.col("src") == CUST_A).select("dst")
     b = e.filter(F.col("src") == CUST_B).select(F.col("dst").alias("b_dst"))
     part = load(spark, sf_dir, "part")
@@ -138,7 +138,9 @@ def graph_ego_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I5 — ego network edge list for ``/api/network/:code``: every
     edge incident to the focus node's neighborhood (the induced
     subgraph the visualization renders)."""
-    e = edges(spark, sf_dir)
+    from tropology_spark.sources.tables import edges_materialized
+
+    e = edges_materialized(spark, sf_dir)
     hood = e.filter(F.col("src") == CUST_A).select(F.col("dst").alias("n_dst"))
     return e.join(hood, e.dst == F.col("n_dst"), "left_semi").select("src", "dst")
 
@@ -155,7 +157,9 @@ def graph_ego_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_twohop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I6 — 2-hop reachability count (related-works discovery): how
     many other works share at least one trope."""
-    e = edges(spark, sf_dir)
+    from tropology_spark.sources.tables import edges_materialized
+
+    e = edges_materialized(spark, sf_dir)
     a = e.alias("a")
     b = e.alias("b")
     return (
@@ -206,29 +210,34 @@ def graph_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = edges(spark, sf_dir)
     c_node = F.concat(F.lit("c:"), F.col("src").cast("string"))
     p_node = F.concat(F.lit("p:"), F.col("dst").cast("string"))
-    # Undirected: both traversal directions.
+    # Undirected: both traversal directions.  The edge list is reused
+    # by every iteration — persist it once instead of re-deriving the
+    # orders⋈lineitem join 3×; pre-join the degree so the loop body is
+    # a single join + agg per iteration.
     bi = (
         e.select(c_node.alias("u"), p_node.alias("v"))
         .unionByName(e.select(p_node.alias("u"), c_node.alias("v")))
     )
     out_deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = bi.select(F.col("u").alias("node")).distinct()
+    bi_deg = bi.join(out_deg, "u").localCheckpoint(eager=True)
+    nodes = bi_deg.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
     ranks = nodes.withColumn("pr", F.lit(1.0))
 
     for _ in range(3):
         contribs = (
-            bi.join(ranks, bi.u == ranks.node)
-            .join(out_deg, "u")
+            bi_deg.join(ranks, bi_deg.u == ranks.node)
             .select(F.col("v").alias("node"), (F.col("pr") / F.col("deg")).alias("contrib"))
             .groupBy("node")
             .agg(F.sum("contrib").alias("mass"))
         )
+        # Eager checkpoint: truncates lineage so iteration N+1 does not
+        # re-execute iterations 1..N (SURVEY.md §4.2).
         ranks = (
             nodes.join(contribs, "node", "left")
             .select(
                 "node",
                 (F.lit(0.15) + F.lit(0.85) * F.coalesce(F.col("mass"), F.lit(0.0))).alias("pr"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.round("pr", 6).alias("pr"))

@@ -426,9 +426,9 @@ def join_anti_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_self_twohop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 — self-join co-citation: pairs of "works" sharing >= 3
     "tropes" (tropology's common-neighbor structure)."""
-    from tropology_spark.sources.tables import edges
+    from tropology_spark.sources.tables import edges_materialized
 
-    e = edges(spark, sf_dir)
+    e = edges_materialized(spark, sf_dir)
     a = e.alias("a")
     b = e.alias("b")
     return (
@@ -782,9 +782,9 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_intersect_common(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 — the marquee "tropes in common between two works" query as a
     set intersection of neighbor sets (SURVEY.md §2 G3)."""
-    from tropology_spark.sources.tables import edges
+    from tropology_spark.sources.tables import edges_materialized
 
-    e = edges(spark, sf_dir)
+    e = edges_materialized(spark, sf_dir, srcs=[CUST_A, CUST_B])
     a = e.filter(F.col("src") == CUST_A).select("dst")
     b = e.filter(F.col("src") == CUST_B).select("dst")
     return a.intersect(b)
@@ -802,9 +802,9 @@ def set_intersect_common(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4 — set difference ("links only A has")."""
-    from tropology_spark.sources.tables import edges
+    from tropology_spark.sources.tables import edges_materialized
 
-    e = edges(spark, sf_dir)
+    e = edges_materialized(spark, sf_dir, srcs=[CUST_A, CUST_B])
     a = e.filter(F.col("src") == CUST_A).select("dst")
     b = e.filter(F.col("src") == CUST_B).select("dst")
     return a.exceptAll(b).distinct()

@@ -77,15 +77,14 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     row is broadcast; the corpus is scanned once.  At scale this is the
     exact-rerank stage after an ANN pre-filter (J9's blocking)."""
     e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("emb")
-    )
+        "vec_id",
+        as_double(F.col("embedding")).alias("emb"),
+    ).withColumn("nv", norm(F.col("emb")))  # norm once per vector, not per pair
     q = (
         e.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select(F.col("emb").alias("qemb"))
+        .select(F.col("emb").alias("qemb"), F.col("nv").alias("nq"))
     )
-    cos = F.round(
-        dot(F.col("emb"), F.col("qemb")) / (norm(F.col("emb")) * norm(F.col("qemb"))), 6
-    )
+    cos = F.round(dot(F.col("emb"), F.col("qemb")) / (F.col("nv") * F.col("nq")), 6)
     return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
@@ -122,16 +121,16 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket idea); an unblocked all-pairs join would be O(n²)."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("emb")
-    )
+    ).withColumn("nv", norm(F.col("emb")))  # norm once per vector, not per pair
     a = e.select(
-        F.col("vec_id").alias("va"), F.col("label"), F.col("emb").alias("ea")
+        F.col("vec_id").alias("va"), F.col("label"), F.col("emb").alias("ea"),
+        F.col("nv").alias("na"),
     )
     b = e.select(
-        F.col("vec_id").alias("vb"), F.col("label").alias("lb"), F.col("emb").alias("eb")
+        F.col("vec_id").alias("vb"), F.col("label").alias("lb"), F.col("emb").alias("eb"),
+        F.col("nv").alias("nb"),
     )
-    cos = F.round(
-        dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea")) * norm(F.col("eb"))), 6
-    )
+    cos = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
     pairs = (
         a.join(b, (F.col("label") == F.col("lb")) & (F.col("va") != F.col("vb")))
         .select("va", "vb", cos.alias("cosine"))

@@ -109,14 +109,16 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 — bigram counts via adjacent-array zip (no shuffle until the
     final count; the oracle enumerates positions relationally)."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # Materialize the token array once (three references below would
+    # otherwise re-split the text three times per row).
+    toked = d.select(F.split(F.col("text"), " ").alias("t"))
     bigrams = F.zip_with(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(F.col("t"), 1, F.greatest(F.size(F.col("t")) - 1, F.lit(0))),
+        F.slice(F.col("t"), 2, F.greatest(F.size(F.col("t")) - 1, F.lit(0))),
         lambda x, y: F.concat(x, F.lit(" "), y),
     )
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        toked.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
     )

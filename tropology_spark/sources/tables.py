@@ -66,6 +66,20 @@ def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def edges_materialized(spark: SparkSession, sf_dir: str, srcs=None) -> DataFrame:
+    """Edge table materialized once (eager localCheckpoint) for queries
+    that reference it from multiple plan branches (self-joins,
+    intersections).  Without this, each branch re-derives the
+    orders⋈lineitem join — Spark's exchange reuse does not canonicalize
+    across the aliased branches.  ``srcs`` optionally pre-filters to a
+    few source nodes (the filter is pushed to the orders scan *before*
+    materialization)."""
+    e = edges(spark, sf_dir)
+    if srcs is not None:
+        e = e.filter(F.col("src").isin(list(srcs)))
+    return e.localCheckpoint(eager=True)
+
+
 #: The same edge derivation as a DuckDB CTE body, shared by all graph
 #: oracles so both engines agree on the graph by construction.
 EDGES_SQL = (
