@@ -211,3 +211,20 @@ def test_jdbc_reader_options_assemble(spark):
         num_partitions=32,
     )
     assert reader is not None
+
+
+def test_connected_components_on_disconnected_graph(spark):
+    """Two disjoint cliques + an isolated edge → 3 components, each
+    labeled by its lexicographically smallest node."""
+    from tropology_spark.operators.graph import connected_components
+
+    edges = [("a1", "a2"), ("a2", "a3"), ("b1", "b2"), ("c1", "c2"), ("a3", "a4")]
+    bi = spark.createDataFrame(
+        edges + [(v, u) for u, v in edges], "u string, v string"
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(bi).collect()}
+    assert comp == {
+        "a1": "a1", "a2": "a1", "a3": "a1", "a4": "a1",
+        "b1": "b1", "b2": "b1",
+        "c1": "c1", "c2": "c1",
+    }

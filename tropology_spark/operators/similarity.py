@@ -216,3 +216,124 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=_EX_CTE
+    + f"""
+    , cen AS (SELECT label AS clabel, pos, avg(val) AS cval FROM ex GROUP BY label, pos),
+    cn AS (SELECT clabel, sqrt(sum(cval * cval)) AS nc FROM cen GROUP BY clabel),
+    vc AS (SELECT e.vec_id, c.clabel,
+                  round(sum(e.val * c.cval) / (any_value(nrm.nv) * any_value(cn.nc)), 6)
+                    AS ccos
+           FROM ex e
+           JOIN cen c ON e.pos = c.pos
+           JOIN nrm ON e.vec_id = nrm.vec_id
+           JOIN cn ON c.clabel = cn.clabel
+           GROUP BY e.vec_id, c.clabel),
+    assign AS (SELECT vec_id, clabel AS cell
+               FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                  ORDER BY ccos DESC, clabel) AS rn
+                     FROM vc) t WHERE rn = 1),
+    probe AS (SELECT clabel AS pcell
+              FROM (SELECT *, row_number() OVER (ORDER BY ccos DESC, clabel) AS rn
+                    FROM vc WHERE vec_id = {QUERY_VEC_ID}) t WHERE rn <= 2),
+    q AS (SELECT pos, val FROM ex WHERE vec_id = {QUERY_VEC_ID}),
+    cand AS (SELECT a.vec_id, a.cell FROM assign a
+             JOIN probe ON a.cell = probe.pcell
+             WHERE a.vec_id <> {QUERY_VEC_ID}),
+    d AS (SELECT e.vec_id, sum(e.val * q.val) AS dp
+          FROM ex e JOIN q ON e.pos = q.pos
+          JOIN cand ON e.vec_id = cand.vec_id
+          GROUP BY e.vec_id)
+    SELECT d.vec_id, cand.cell,
+           round(d.dp / (n1.nv * n2.nv), 6) AS cosine
+    FROM d
+    JOIN cand ON d.vec_id = cand.vec_id
+    JOIN nrm n1 ON d.vec_id = n1.vec_id
+    CROSS JOIN (SELECT nv FROM nrm WHERE vec_id = {QUERY_VEC_ID}) n2
+    ORDER BY cosine DESC, d.vec_id
+    LIMIT 10
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: train centroids (one per label partition), assign
+    every vector to its nearest centroid (the inverted file), probe the
+    query's 2 nearest cells, exact-rerank only the candidates — the
+    full coarse-quantizer search pipeline, the scale path where
+    brute-force J8 is infeasible.
+
+    At 100 TB the assignment is written bucketed by cell so a probe
+    touches only matching buckets."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode(F.col("embedding")).alias("pos0", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("v").cast("double").alias("val"),
+    )
+    nrm = ex.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nv"))
+    cen = (
+        e.select("label", F.posexplode(F.col("embedding")).alias("pos0", "v"))
+        .select(F.col("label").alias("clabel"), (F.col("pos0") + 1).alias("pos"),
+                F.col("v").cast("double").alias("cv"))
+        .groupBy("clabel", "pos")
+        .agg(F.avg("cv").alias("cval"))
+    )
+    cn = cen.groupBy("clabel").agg(F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("nc"))
+    vc = (
+        ex.join(F.broadcast(cen), "pos")
+        .join(nrm, "vec_id")
+        .join(F.broadcast(cn), "clabel")
+        .groupBy("vec_id", "clabel")
+        .agg(
+            F.round(
+                F.sum(F.col("val") * F.col("cval"))
+                / (F.any_value(F.col("nv")) * F.any_value(F.col("nc"))),
+                6,
+            ).alias("ccos")
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("clabel"))
+    assign = (
+        vc.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("clabel").alias("cell"))
+    )
+    probe = (
+        vc.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .withColumn("rn", F.row_number().over(
+            Window.orderBy(F.col("ccos").desc(), F.col("clabel"))))
+        .filter(F.col("rn") <= 2)
+        .select(F.col("clabel").alias("pcell"))
+    )
+    cand = (
+        assign.join(F.broadcast(probe), assign.cell == F.col("pcell"), "left_semi")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+    )
+    q = ex.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("pos").alias("qpos"), F.col("val").alias("qval")
+    )
+    d = (
+        ex.join(cand.select("vec_id"), "vec_id", "left_semi")
+        .join(F.broadcast(q), F.col("pos") == F.col("qpos"))
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("val") * F.col("qval")).alias("dp"))
+    )
+    qn = nrm.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("nv").alias("nq"))
+    return (
+        d.join(cand, "vec_id")
+        .join(nrm, "vec_id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(F.col("dp") / (F.col("nv") * F.col("nq")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )

@@ -144,3 +144,196 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6).alias("avg_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# North-star text-analysis extensions: language ID, quality scoring,
+# token counting, document fingerprinting (BASELINE.json north star).
+# --------------------------------------------------------------------------
+
+_STOPWORDS = ("a", "the", "data", "key")
+
+
+@register(
+    "text_langid_nb",
+    oracle="""
+    WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    tf_doc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+               FROM tok GROUP BY doc_id, token),
+    prof AS (SELECT lang AS p_lang, token AS p_token, CAST(count(*) AS BIGINT) AS cnt
+             FROM tok GROUP BY lang, token),
+    tot AS (SELECT lang AS t_lang, CAST(count(*) AS BIGINT) AS total FROM tok GROUP BY lang),
+    vocab AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM tok),
+    langs AS (SELECT DISTINCT lang AS cand_lang FROM documents),
+    scores AS (
+      SELECT t.doc_id, l.cand_lang,
+             round(sum(t.tf * ln((coalesce(p.cnt, 0) + 1.0) / (tot.total + vocab.v))), 6)
+               AS score
+      FROM tf_doc t
+      CROSS JOIN langs l
+      LEFT JOIN prof p ON p.p_lang = l.cand_lang AND p.p_token = t.token
+      JOIN tot ON tot.t_lang = l.cand_lang
+      CROSS JOIN vocab
+      GROUP BY t.doc_id, l.cand_lang, tot.total, vocab.v
+    )
+    SELECT s.doc_id, d.lang AS true_lang, s.cand_lang AS pred_lang, s.score
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, cand_lang) AS rn
+          FROM scores) s
+    JOIN documents d ON s.doc_id = d.doc_id
+    WHERE rn = 1
+    """,
+)
+def text_langid_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via a corpus-trained naive-Bayes n-gram (unigram)
+    model: per-language token frequencies with add-one smoothing,
+    argmax of the summed log-likelihood.  The heuristic the north star
+    asks for, self-trained so it is fully SQL-expressible; ranking runs
+    on the 6-dp-rounded score with the language as tie-break."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    tf_doc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    prof = tok.groupBy(
+        F.col("lang").alias("p_lang"), F.col("token").alias("p_token")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = tok.groupBy(F.col("lang").alias("t_lang")).agg(F.count(F.lit(1)).alias("total"))
+    vocab = tok.agg(F.countDistinct("token").alias("v"))
+    langs = d.select(F.col("lang").alias("cand_lang")).distinct()
+    scores = (
+        tf_doc.crossJoin(F.broadcast(langs))
+        .join(
+            F.broadcast(prof),
+            (F.col("p_lang") == F.col("cand_lang")) & (F.col("p_token") == F.col("token")),
+            "left",
+        )
+        .join(F.broadcast(tot), F.col("t_lang") == F.col("cand_lang"))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "cand_lang")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log((F.coalesce(F.col("cnt"), F.lit(0)) + 1.0) / (F.col("total") + F.col("v")))
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand_lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(d.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+        .select("doc_id", "true_lang", F.col("cand_lang").alias("pred_lang"), "score")
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    st AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(length(token)) AS BIGINT) AS sum_len,
+             CAST(sum(CASE WHEN token IN {_STOPWORDS!r} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_stop
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(CAST(sum_len AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+           round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+           round(CAST(n_stop AS DOUBLE) / n_tokens * 0.5
+                 + CAST(least(n_tokens, 100) AS DOUBLE) / 200.0, 6) AS quality
+    FROM st
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring from cheap surface statistics (length, stopword
+    ratio) — the north-star heuristic filter shape.  All components are
+    exact integer ratios → deterministic."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    st = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.length("token")).cast("bigint").alias("sum_len"),
+        F.sum(F.when(F.col("token").isin(*_STOPWORDS), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    n_t = F.col("n_tokens")
+    return st.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("sum_len").cast("double") / n_t, 6).alias("avg_token_len"),
+        F.round(F.col("n_stop").cast("double") / n_t, 6).alias("stop_ratio"),
+        F.round(
+            F.col("n_stop").cast("double") / n_t * 0.5
+            + F.least(n_t, F.lit(100)).cast("double") / 200.0,
+            6,
+        ).alias("quality"),
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    WITH tok AS (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS token
+                 FROM documents)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS ws_tokens,
+           CAST(sum(CAST(ceil(length(token) / 4.0) AS BIGINT)) AS BIGINT) AS bpe_est,
+           round(CAST(any_value(n_chars) AS DOUBLE) / count(*), 6) AS chars_per_token
+    FROM tok GROUP BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish subword
+    estimate (ceil(len/4) per word — the ~4-chars-per-token rule used
+    for budget estimation in LLM pipelines)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "n_chars", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    return tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("ws_tokens"),
+        F.sum(F.ceil(F.length("token") / 4.0)).cast("bigint").alias("bpe_est"),
+        F.round(F.any_value(F.col("n_chars")).cast("double") / F.count(F.lit(1)), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, l[i] || ' ' || l[i + 1] AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           (SELECT unnest(generate_series(1, 200)) AS i)
+      WHERE i <= len(l) - 1
+    )
+    SELECT doc_id,
+           min(md5(shingle)) AS fingerprint,
+           CAST(count(DISTINCT shingle) AS BIGINT) AS n_shingles
+    FROM sh GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: min-hash over rolling word-bigram
+    shingles (winnowing's 'min of window hashes' idea with md5 as the
+    portable hash).  Equal fingerprints → near-identical leading
+    content; the fingerprint doubles as a cheap cluster key."""
+    d = load(spark, sf_dir, "documents")
+    toked = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    shingles = F.zip_with(
+        F.slice(F.col("t"), 1, F.greatest(F.size(F.col("t")) - 1, F.lit(0))),
+        F.slice(F.col("t"), 2, F.greatest(F.size(F.col("t")) - 1, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    sh = toked.select("doc_id", F.explode(shingles).alias("shingle"))
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5(F.col("shingle"))).alias("fingerprint"),
+        F.countDistinct("shingle").alias("n_shingles"),
+    )
