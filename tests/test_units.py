@@ -228,3 +228,18 @@ def test_connected_components_on_disconnected_graph(spark):
         "b1": "b1", "b2": "b1",
         "c1": "c1", "c2": "c1",
     }
+
+
+def test_entry_golden_sf0001(spark):
+    """SURVEY.md §5.2 item 6 — the flagship result at sf0.001 pinned to
+    checked-in golden values (guards against silent semantics drift)."""
+    import __spark_entry__ as E
+
+    rows = [(r["r_name"], r["revenue"], r["n_items"]) for r in E.entry(spark).collect()]
+    assert rows == [
+        ("AMERICA", 12849601.14, 248),
+        ("MIDDLE EAST", 10198106.87, 205),
+        ("AFRICA", 9457989.83, 191),
+        ("EUROPE", 8649702.37, 168),
+        ("ASIA", 7327627.59, 150),
+    ]

@@ -224,8 +224,12 @@ def graph_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.withColumn("pr", F.lit(1.0))
 
     for _ in range(3):
+        # The rank vector is tiny relative to the edge list — broadcast
+        # it so the edges never reshuffle across iterations.  (At 100 TB
+        # node counts the same loop runs with both sides pre-bucketed by
+        # node instead; see §7.7.)
         contribs = (
-            bi_deg.join(ranks, bi_deg.u == ranks.node)
+            bi_deg.join(F.broadcast(ranks), bi_deg.u == ranks.node)
             .select(F.col("v").alias("node"), (F.col("pr") / F.col("deg")).alias("contrib"))
             .groupBy("node")
             .agg(F.sum("contrib").alias("mass"))
@@ -255,9 +259,11 @@ def connected_components(bi_edges: DataFrame, max_iter: int = 10) -> DataFrame:
         .distinct()
     )
     labels = nodes.withColumn("comp", F.col("node")).localCheckpoint(eager=True)
+    prev_sig = None
     for _ in range(max_iter):
+        # Broadcast the (small) label table; the edge list stays put.
         neighbor_min = (
-            bi_edges.join(labels, bi_edges.u == labels.node)
+            bi_edges.join(F.broadcast(labels), bi_edges.u == labels.node)
             .select(F.col("v").alias("node"), F.col("comp"))
             .groupBy("node")
             .agg(F.min("comp").alias("n_comp"))
@@ -272,16 +278,15 @@ def connected_components(bi_edges: DataFrame, max_iter: int = 10) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        # Convergence via a cheap order-insensitive signature of the
+        # labeling (one agg, no join): unchanged signature → fixpoint.
+        sig = new_labels.agg(
+            F.sum(F.crc32(F.concat_ws("=", F.col("node"), F.col("comp")))).alias("s")
+        ).collect()[0]["s"]
         labels = new_labels
-        if changed == 0:
+        if sig == prev_sig:
             break
+        prev_sig = sig
     return labels
 
 
