@@ -220,3 +220,36 @@ def fn_hash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "documents").select(
         "doc_id", F.md5(F.col("text")).alias("text_md5")
     )
+
+
+@register(
+    "fn_fuzzy_levenshtein",
+    oracle="""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+    FROM part a
+    JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def fn_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-duplicate detection by edit distance: part-name pairs
+    within a brand block at Levenshtein <= 2 (both engines implement
+    the standard unit-cost edit distance).  The brand block bounds the
+    quadratic pair count — same blocking discipline as the dedup
+    family."""
+    p = load(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("part_a"), F.col("p_brand"), F.col("p_name").alias("name_a")
+    )
+    b = p.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        a.join(b, (F.col("p_brand") == F.col("brand_b")) & (F.col("part_a") < F.col("part_b")))
+        .filter(dist <= 2)
+        .select("part_a", "part_b", dist.cast("bigint").alias("distance"))
+    )

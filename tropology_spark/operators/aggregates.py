@@ -155,3 +155,55 @@ def agg_collect_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_neighbors"),
         )
     )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_ALIASES = ["p_urgent", "p_high", "p_medium", "p_notspec", "p_low"]
+
+
+@register(
+    "agg_pivot",
+    oracle="SELECT o_orderstatus, "
+    + ", ".join(
+        f"CAST(sum(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS {a}"
+        for p, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
+    )
+    + " FROM orders GROUP BY o_orderstatus",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts as a status × priority crosstab.  Pivot
+    values are pinned explicitly (never inferred — inference is a
+    separate job and nondeterministic column order at scale); absent
+    combinations coalesce to 0 to match the oracle's CASE-sums."""
+    o = load(spark, sf_dir, "orders")
+    pivoted = o.groupBy("o_orderstatus").pivot("o_orderpriority", _PRIORITIES).count()
+    return pivoted.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("bigint").alias(a)
+            for p, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
+        ],
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(median(o_totalprice), 4) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median + p90).  Both engines
+    define quantiles by linear interpolation at (n-1)*q over the sorted
+    values; 4-dp rounding absorbs the last-ulp difference in the
+    interpolation arithmetic."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -52,7 +52,9 @@ def upsert_parquet(
         .drop("_rn", "_src_rank")
     )
     # Write-then-swap: never leave the target half-written.
-    tmp = tempfile.mkdtemp(prefix="upsert_", dir=os.path.dirname(path) or ".")
+    parent = os.path.dirname(path) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix="upsert_", dir=parent)
     staging = os.path.join(tmp, "data")
     result.write.mode("overwrite").parquet(staging)
     if os.path.exists(path):
