@@ -165,3 +165,36 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert late_window not in rows
     assert rows[t0.replace(minute=0)] == 2
     assert rows[t0.replace(hour=11, minute=0)] == 1
+
+
+def test_foreachbatch_streaming_upsert(spark, tmp_path):
+    """Streaming crawl-persist path: micro-batches land in the keyed
+    upsert sink via foreachBatch; the final store holds exactly the
+    newest row per key (the reference's continuous persist loop)."""
+    from tropology_spark.sources.sinks import upsert_parquet
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "pages")
+    schema = "code string, title string, v long"
+
+    spark.createDataFrame(
+        [("a/x", "t1", 1), ("a/y", "t1", 1)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+
+    def sink(batch_df, batch_id):
+        upsert_parquet(spark, batch_df, store, key="code", version_col="v")
+
+    q = sdf.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [("a/x", "t2", 2), ("a/z", "t1", 1)], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {r["code"]: r["title"] for r in spark.read.parquet(store).collect()}
+    assert rows == {"a/x": "t2", "a/y": "t1", "a/z": "t1"}
