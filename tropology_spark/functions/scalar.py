@@ -248,8 +248,20 @@ def fn_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("name_b"),
     )
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    # |len diff| <= k is a necessary condition for levenshtein <= k and
+    # costs nothing; on THIS fixture it prunes only ~14% (names are
+    # uniform length), so the distance over the brand block dominates
+    # (~12s at sf0.1, measured).  The 100 TB path is PassJoin-style
+    # segment-signature blocking (pigeonhole: k edits cannot touch all
+    # k+1 segments), which turns the candidate set into equi-join
+    # matches — same discipline as the MinHash bands.
     return (
-        a.join(b, (F.col("p_brand") == F.col("brand_b")) & (F.col("part_a") < F.col("part_b")))
+        a.join(
+            b,
+            (F.col("p_brand") == F.col("brand_b"))
+            & (F.col("part_a") < F.col("part_b"))
+            & (F.abs(F.length(F.col("name_a")) - F.length(F.col("name_b"))) <= 2),
+        )
         .filter(dist <= 2)
         .select("part_a", "part_b", dist.cast("bigint").alias("distance"))
     )

@@ -207,3 +207,28 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / covar / stddev).  Both engines
+    accumulate co-moments; order drift is ~1e-12 relative, absorbed by
+    rounding chosen per magnitude (corr∈[-1,1] → 6 dp; covar/stddev
+    ~1e4-1e5 → 2 dp)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.count(F.lit(1)).alias("n"),
+    )

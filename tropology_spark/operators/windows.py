@@ -214,3 +214,36 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "win_range_1h",
+    oracle="""
+    WITH secs AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_hour
+    FROM secs
+    """,
+)
+def win_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) frame: events per user in the trailing hour
+    — the frame is bounded by the ORDER BY *value* (epoch seconds), not
+    a row count, so ties and gaps behave identically in both engines.
+    The rate-limiting / burst-detection shape."""
+    e = load(spark, sf_dir, "events")
+    secs = e.select("user_id", "event_id", F.unix_timestamp("ts").alias("sec"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return secs.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_hour"),
+    )
