@@ -306,3 +306,64 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(e.select(p_node.alias("u"), c_node.alias("v")))
     )
     return connected_components(bi)
+
+
+@register(
+    "graph_network_payload",
+    oracle=_EDGES_CTE
+    + f"""
+    , indeg AS (SELECT dst, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY dst),
+    outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src)
+    SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS node_id,
+           c_name AS label,
+           '#ff6600' AS color,
+           round(ln(outdeg.d + 1), 6) AS size
+    FROM customer JOIN outdeg ON c_custkey = outdeg.src
+    WHERE c_custkey = {CUST_A}
+    UNION ALL
+    SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS node_id,
+           p_name AS label,
+           '#3366cc' AS color,
+           round(ln(indeg.d + 1), 6) AS size
+    FROM part
+    JOIN (SELECT DISTINCT dst FROM edges WHERE src = {CUST_A}) n ON p_partkey = n.dst
+    JOIN indeg ON p_partkey = indeg.dst
+    """,
+)
+def graph_network_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``/api/network/:code`` presentation payload (SURVEY.md
+    §3.2): the focus node plus its 1-hop neighborhood, each styled for
+    sigma.js — category color, size ∝ log(degree+1).  Everything the
+    reference's api.clj transform computes, as one declarative query;
+    the JSON serialization is the driver-side ``toJSON()`` boundary."""
+    from tropology_spark.sources.tables import edges_materialized, load
+
+    e = edges_materialized(spark, sf_dir)
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    customer = load(spark, sf_dir, "customer")
+    part = load(spark, sf_dir, "part")
+    focus = (
+        customer.filter(F.col("c_custkey") == CUST_A)
+        .join(outdeg, F.col("c_custkey") == F.col("src"))
+        .select(
+            F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("node_id"),
+            F.col("c_name").alias("label"),
+            F.lit("#ff6600").alias("color"),
+            F.round(F.log(F.col("d") + 1), 6).alias("size"),
+        )
+    )
+    hood = (
+        e.filter(F.col("src") == CUST_A)
+        .select("dst")
+        .distinct()
+        .join(part, F.col("dst") == F.col("p_partkey"))
+        .join(indeg, "dst")
+        .select(
+            F.concat(F.lit("p:"), F.col("p_partkey").cast("string")).alias("node_id"),
+            F.col("p_name").alias("label"),
+            F.lit("#3366cc").alias("color"),
+            F.round(F.log(F.col("d") + 1), 6).alias("size"),
+        )
+    )
+    return focus.unionByName(hood)

@@ -337,3 +337,33 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5(F.col("shingle"))).alias("fingerprint"),
         F.countDistinct("shingle").alias("n_shingles"),
     )
+
+
+@register(
+    "text_snippets",
+    oracle="""
+    SELECT doc_id,
+           CAST(instr(text, 'data') AS BIGINT) AS hit_pos,
+           substring(text, greatest(CAST(instr(text, 'data') AS BIGINT) - 20, 1), 60)
+             AS snippet
+    FROM documents
+    WHERE instr(text, 'data') > 0
+    """,
+)
+def text_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippet extraction — the reference's
+    trope-snippet view (``tropes-from-node``: the text fragment around
+    each trope link).  Pure string arithmetic: first-hit position and
+    a fixed window around it, identical in both engines."""
+    d = load(spark, sf_dir, "documents")
+    pos = F.instr(F.col("text"), "data").cast("bigint")
+    return (
+        d.filter(pos > 0)
+        .select(
+            "doc_id",
+            pos.alias("hit_pos"),
+            F.expr(
+                "substring(text, greatest(CAST(instr(text, 'data') AS BIGINT) - 20, 1L), 60)"
+            ).alias("snippet"),
+        )
+    )
