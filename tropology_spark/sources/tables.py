@@ -38,15 +38,28 @@ TABLES = (
 )
 
 
+#: DataFrame handles are immutable logical plans — reusing one across
+#: queries saves the per-query footer read + analysis without sharing
+#: any mutable state.  Keyed by the Spark applicationId (unique per
+#: context, new after a restart — unlike ``id(spark)``, which the
+#: allocator can reuse) so a fresh session never sees stale handles.
+_LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with canonical types."""
     configure(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _LOAD_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ns → µs: integer `div` keeps full int64 precision (a double
         # division would lose bits above 2^53) and truncates exactly
         # like DuckDB's TIMESTAMP(NANOS) → TIMESTAMP read.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _LOAD_CACHE[key] = df
     return df
 
 
