@@ -63,3 +63,24 @@ def test_ts_range_filter_pushdown(spark):
     assert "PushedFilters" in plan
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
     assert "ts" in pushed
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """SURVEY.md §4.2 — dynamic partition pruning: joining a
+    partitioned fact to a filtered dim must inject a runtime pruning
+    subquery into the fact scan."""
+    import pyspark.sql.functions as F
+
+    from tropology_spark.sources.tables import load
+
+    path = str(tmp_path / "orders_by_year")
+    orders = load(spark, SF_UNIT, "orders").withColumn("order_year", F.year("o_orderdate"))
+    orders.write.partitionBy("order_year").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(y, "pick" if y == 1997 else "skip") for y in range(1995, 2002)],
+        "y int, tag string",
+    ).filter("tag = 'pick'")  # DPP triggers only for a *filtered* dim side
+    joined = fact.join(dim, fact.order_year == dim.y).select("o_orderkey", "tag")
+    plan = plan_of(joined)
+    assert "dynamicpruning" in plan.lower()

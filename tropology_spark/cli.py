@@ -1,0 +1,68 @@
+"""Command-line entry point — run any declared query from a shell.
+
+The usability surface a reference user gets on day one:
+
+    python -m tropology_spark.cli list
+    python -m tropology_spark.cli run flagship_revenue_by_region
+    python -m tropology_spark.cli run graph_neighbors --sf-dir /root/testdata/sf0.01 --limit 5
+    python -m tropology_spark.cli oracle dedup_exact     # print the DuckDB twin
+
+Output is JSON lines (one object per row) so results pipe into jq or
+back into another job.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="tropology_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list declared query names")
+
+    run = sub.add_parser("run", help="run a declared query, print JSON lines")
+    run.add_argument("name")
+    run.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    run.add_argument("--limit", type=int, default=20, help="max rows printed (0 = all)")
+
+    orc = sub.add_parser("oracle", help="print a query's DuckDB oracle SQL")
+    orc.add_argument("name")
+
+    args = parser.parse_args(argv)
+
+    from tropology_spark import ORACLES, QUERIES
+
+    if args.cmd == "list":
+        for name in sorted(QUERIES):
+            kind = "sql-oracle" if name in ORACLES else "rows-only"
+            print(f"{name}\t{kind}")
+        return 0
+
+    if args.cmd == "oracle":
+        if args.name not in ORACLES:
+            print(f"no oracle for {args.name!r}", file=sys.stderr)
+            return 1
+        print(ORACLES[args.name].strip())
+        return 0
+
+    if args.name not in QUERIES:
+        print(f"unknown query {args.name!r}; try: python -m tropology_spark.cli list",
+              file=sys.stderr)
+        return 1
+    from tropology_spark.session import get_spark
+
+    spark = get_spark("tropology-cli")
+    df = QUERIES[args.name](spark, args.sf_dir)
+    rows = df.collect() if args.limit == 0 else df.limit(args.limit).collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -367,3 +367,26 @@ def graph_network_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return focus.unionByName(hood)
+
+
+@register(
+    "graph_neighbors_in",
+    oracle=_EDGES_CTE
+    + """
+    SELECT e.src AS custkey, c.c_name
+    FROM edges e JOIN customer c ON e.src = c.c_custkey
+    WHERE e.dst = 42
+    """,
+)
+def graph_neighbors_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3b — 1-hop IN-neighbors with attributes: the works linking to a
+    given trope (the reference's ``query-to``, the mirror of
+    ``query-from``/graph_neighbors).  At scale this reads the
+    dst-bucketed copy of the edge table (SCALE.md)."""
+    from tropology_spark.sources.tables import load
+
+    e = edges(spark, sf_dir).filter(F.col("dst") == 42)
+    customer = load(spark, sf_dir, "customer")
+    return e.join(customer, e.src == customer.c_custkey).select(
+        F.col("src").alias("custkey"), "c_name"
+    )
