@@ -243,3 +243,27 @@ def test_entry_golden_sf0001(spark):
         ("EUROPE", 8649702.37, 168),
         ("ASIA", 7327627.59, 150),
     ]
+
+
+def test_salted_join_and_count_equal_plain(spark):
+    """Skew utilities (plans/skew.py): salted results must equal the
+    straightforward plan on data with one celebrity key."""
+    from tropology_spark.plans.skew import salted_count, salted_join
+
+    rows = [(0, f"v{i}") for i in range(500)] + [(k, "x") for k in range(1, 20)]
+    fact = spark.createDataFrame(rows, "k int, payload string")
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(20)], "k int, attr string")
+
+    plain = sorted(
+        (r["k"], r["payload"], r["attr"])
+        for r in fact.join(dim, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["payload"], r["attr"])
+        for r in salted_join(fact, dim, "k", n_salt=4).collect()
+    )
+    assert salted == plain
+
+    plain_counts = {r["k"]: r["count"] for r in fact.groupBy("k").count().collect()}
+    salted_counts = {r["k"]: r["n"] for r in salted_count(fact, "k", n_salt=4).collect()}
+    assert salted_counts == plain_counts
