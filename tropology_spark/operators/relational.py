@@ -808,3 +808,80 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.filter(F.col("src") == CUST_A).select("dst")
     b = e.filter(F.col("src") == CUST_B).select("dst")
     return a.exceptAll(b).distinct()
+
+
+# --------------------------------------------------------------------------
+# Subqueries (round-1 extension): the reference emits none (SURVEY.md
+# §4.1), but they are core engine surface — Catalyst decorrelates them
+# into the joins the rest of this module writes by hand.
+# --------------------------------------------------------------------------
+
+@register(
+    "sub_correlated_avg",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity
+    FROM lineitem l1
+    WHERE l_quantity > 1.4 * (SELECT avg(l_quantity) FROM lineitem l2
+                              WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+def sub_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): lineitems well
+    above their part's average quantity.  Written as literal SQL so
+    Catalyst's decorrelation (subquery → aggregate + join) is the
+    path under test; the threshold comparison is strict (>) against a
+    40% margin, keeping float-average boundary rows far from the
+    cut."""
+    from tropology_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_partkey, l_quantity
+        FROM lineitem l1
+        WHERE l_quantity > 1.4 * (SELECT avg(l_quantity) FROM lineitem l2
+                                  WHERE l2.l_partkey = l1.l_partkey)
+        """
+    )
+
+
+@register(
+    "sub_scalar_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2.0 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def sub_scalar_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: orders above twice the global
+    average price (the subquery executes once and broadcasts)."""
+    from tropology_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 2.0 * (SELECT avg(o_totalprice) FROM orders)
+        """
+    )
+
+
+@register(
+    "source_range",
+    oracle="""
+    SELECT i AS n, i * i AS n_squared,
+           CASE WHEN i % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+    FROM (SELECT unnest(generate_series(0, 999)) AS i)
+    """,
+)
+def source_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated (table-function) source: ``spark.range`` — the
+    synthetic-data entry point used for backfills and tests; no
+    storage read at all."""
+    return spark.range(0, 1000).select(
+        F.col("id").alias("n"),
+        (F.col("id") * F.col("id")).alias("n_squared"),
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("parity"),
+    )
