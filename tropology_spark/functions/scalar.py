@@ -238,30 +238,114 @@ def fn_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard unit-cost edit distance).  The brand block bounds the
     quadratic pair count — same blocking discipline as the dedup
     family."""
-    p = load(spark, sf_dir, "part")
-    a = p.select(
-        F.col("p_partkey").alias("part_a"), F.col("p_brand"), F.col("p_name").alias("name_a")
+    # PassJoin segment blocking (k=2, 3 segments).  Pigeonhole: two
+    # edits cannot touch all three segments, so for every true pair one
+    # of the target's segments appears UNEDITED in the probe string,
+    # shifted by at most k positions.  Candidates therefore come from
+    # an equi-join on (brand, target_len, segment_idx, content) —
+    # ~0.5M pairs instead of the 8M brute-force brand block at sf0.1 —
+    # and the unchanged naive oracle proves the rewrite misses nothing.
+    k = 2
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_name", F.length("p_name").alias("len")
     )
-    b = p.select(
-        F.col("p_partkey").alias("part_b"),
-        F.col("p_brand").alias("brand_b"),
-        F.col("p_name").alias("name_b"),
+
+    def _as_col(i):
+        from pyspark.sql import Column
+
+        return i if isinstance(i, Column) else F.lit(i)
+
+    def seg_len(total, i):
+        third = F.floor(total / 3)
+        return F.when(_as_col(i) < 2, third).otherwise(total - 2 * third)
+
+    def seg_start(total, i):
+        third = F.floor(total / 3)
+        return _as_col(i) * third
+
+    # Index side: each string's three segments at its own length.
+    segs = p.select(
+        F.col("p_partkey").alias("s_key"),
+        F.col("p_brand").alias("s_brand"),
+        F.col("len").alias("s_len"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.substring(
+                            F.col("p_name"),
+                            (seg_start(F.col("len"), i) + 1).cast("int"),
+                            seg_len(F.col("len"), i).cast("int"),
+                        ).alias("content"),
+                    )
+                    for i in range(3)
+                ]
+            )
+        ).alias("sg"),
+    ).select("s_key", "s_brand", "s_len", F.col("sg.i").alias("i"), F.col("sg.content").alias("content"))
+
+    # Probe side: substrings matching any segment of any target length
+    # within ±k, at positions shifted by at most ±k.
+    probes = (
+        p.select(
+            F.col("p_partkey").alias("r_key"),
+            F.col("p_brand").alias("r_brand"),
+            F.col("p_name").alias("r_name"),
+            F.col("len").alias("r_len"),
+            F.explode(F.sequence(F.col("len") - k, F.col("len") + k)).alias("L"),
+        )
+        .filter(F.col("L") >= 3)
+        .select(
+            "r_key", "r_brand", "r_name", "r_len", "L",
+            F.explode(F.array(*[F.lit(i) for i in range(3)])).alias("i"),
+        )
+        .withColumn("m", seg_len(F.col("L"), F.col("i")))
+        .withColumn("pstart", seg_start(F.col("L"), F.col("i")))
+        .withColumn("q_lo", F.greatest(F.col("pstart") - k, F.lit(0)))
+        .withColumn("q_hi", F.least(F.col("pstart") + k, F.col("r_len") - F.col("m")))
+        # sequence(lo, hi) DESCENDS when lo > hi (empty window must
+        # yield no probes, not reversed garbage) — guard with an empty
+        # array.
+        .withColumn(
+            "q",
+            F.explode(
+                F.when(
+                    F.col("q_lo") <= F.col("q_hi"),
+                    F.sequence(F.col("q_lo"), F.col("q_hi")),
+                ).otherwise(F.array().cast("array<bigint>"))
+            ),
+        )
+        .select(
+            "r_key", "r_brand", "r_name", "L", "i",
+            F.expr("substring(r_name, CAST(q + 1 AS INT), CAST(m AS INT))").alias("content"),
+        )
+        # Adjacent shifts often yield identical substrings (repeated
+        # words); dedupe before the join.
+        .distinct()
+    )
+
+    cand = (
+        probes.join(
+            segs,
+            (F.col("r_brand") == F.col("s_brand"))
+            & (F.col("L") == F.col("s_len"))
+            & (probes.i == segs.i)
+            & (probes.content == segs.content)
+            & (F.col("r_key") != F.col("s_key")),
+        )
+        .select(
+            F.least(F.col("r_key"), F.col("s_key")).alias("part_a"),
+            F.greatest(F.col("r_key"), F.col("s_key")).alias("part_b"),
+        )
+        .distinct()
+    )
+    names = p.select(F.col("p_partkey"), F.col("p_name"))
+    verified = (
+        cand.join(names.select(F.col("p_partkey").alias("part_a"), F.col("p_name").alias("name_a")), "part_a")
+        .join(names.select(F.col("p_partkey").alias("part_b"), F.col("p_name").alias("name_b")), "part_b")
     )
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
-    # |len diff| <= k is a necessary condition for levenshtein <= k and
-    # costs nothing; on THIS fixture it prunes only ~14% (names are
-    # uniform length), so the distance over the brand block dominates
-    # (~12s at sf0.1, measured).  The 100 TB path is PassJoin-style
-    # segment-signature blocking (pigeonhole: k edits cannot touch all
-    # k+1 segments), which turns the candidate set into equi-join
-    # matches — same discipline as the MinHash bands.
-    return (
-        a.join(
-            b,
-            (F.col("p_brand") == F.col("brand_b"))
-            & (F.col("part_a") < F.col("part_b"))
-            & (F.abs(F.length(F.col("name_a")) - F.length(F.col("name_b"))) <= 2),
-        )
-        .filter(dist <= 2)
-        .select("part_a", "part_b", dist.cast("bigint").alias("distance"))
+    return verified.filter(dist <= k).select(
+        "part_a", "part_b", dist.cast("bigint").alias("distance")
     )
