@@ -260,24 +260,26 @@ def connected_components(bi_edges: DataFrame, max_iter: int = 10) -> DataFrame:
     )
     labels = nodes.withColumn("comp", F.col("node")).localCheckpoint(eager=True)
     prev_sig = None
-    for _ in range(max_iter):
+
+    def propagate(lbls):
         # Broadcast the (small) label table; the edge list stays put.
         neighbor_min = (
-            bi_edges.join(F.broadcast(labels), bi_edges.u == labels.node)
+            bi_edges.join(F.broadcast(lbls), bi_edges.u == lbls.node)
             .select(F.col("v").alias("node"), F.col("comp"))
             .groupBy("node")
             .agg(F.min("comp").alias("n_comp"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias(
-                    "comp"
-                ),
-            )
-            .localCheckpoint(eager=True)
+        return lbls.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
         )
+
+    for _ in range(max_iter):
+        # Two propagation hops per checkpoint cycle: halves the number
+        # of materializations and convergence checks for the same total
+        # join work (label distance to the component minimum shrinks by
+        # 2 per cycle).
+        new_labels = propagate(propagate(labels)).localCheckpoint(eager=True)
         # Convergence via a cheap order-insensitive signature of the
         # labeling (one agg, no join): unchanged signature → fixpoint.
         sig = new_labels.agg(
