@@ -78,17 +78,32 @@ def main() -> None:
     total = round(time.perf_counter() - t_all, 3)
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    # stdout gets ONE COMPACT line (slowest 10 only): round 1 showed the
+    # driver's capture window is ~2 KB and a 95-entry line gets clipped
+    # into unparseable garbage ("parsed": null in BENCH_r01.json).  The
+    # full per-query map goes to stderr and bench_detail.json for humans.
+    slowest = dict(sorted(per_query.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "declared_suite_wall_time",
                 "value": total,
                 "unit": "sec",
-                "queries": per_query,
+                "queries": slowest,
+                "n_queries": len(per_query),
                 "sf": sf,
             }
-        )
+        ),
+        flush=True,
     )
+    detail = {"total_sec": total, "sf": sf, "queries": per_query}
+    print(json.dumps(detail), file=sys.stderr, flush=True)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json"), "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
     spark.stop()
 
 

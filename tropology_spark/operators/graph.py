@@ -19,9 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tropology_spark.operators.relational import CUST_A, CUST_B
 from tropology_spark.registry import register
-from tropology_spark.sources.tables import edges
+from tropology_spark.sources.tables import CUST_A, CUST_B, edges
 
 _EDGES_CTE = """
     WITH edges AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst

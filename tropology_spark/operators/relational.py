@@ -25,14 +25,16 @@ from tropology_spark.functions.exact import (
     sql_date_str,
 )
 from tropology_spark.registry import register
-from tropology_spark.sources.tables import load
+from tropology_spark.sources.tables import CUST_A, CUST_B, load  # noqa: F401
 from tropology_spark.functions.exact import TS_FMT_SPARK  # noqa: F401  (doc aid)
 
 # Fixed probe constants (chosen for non-empty results at sf0.01, the
 # correctness-gate scale; see FIXTURES.md §1 for key ranges).
 PART_PROBE_KEY = 42
-CUST_A = 0  # "work page A" for common-neighbor / intersect queries
-CUST_B = 5  # "work page B" — shares 4 parts with CUST_A at sf0.01
+# CUST_A / CUST_B ("work page" probe nodes) live in sources.tables so
+# graph.py can import them without triggering this module's (large)
+# registration block first — registry insertion order is externally
+# significant (see tropology_spark/__init__.py).
 
 
 # --------------------------------------------------------------------------

@@ -23,6 +23,13 @@ from pyspark.sql import functions as F
 
 from tropology_spark.session import configure
 
+#: Fixture node ids used by the neighbor/intersect query family
+#: (FIXTURES.md §6): two "work pages" that share 4 parts at sf0.01.
+#: Defined here (not in operators/relational.py) so operator modules can
+#: share them without import-order side effects on the registry.
+CUST_A = 0
+CUST_B = 5
+
 #: The ten driver fixture tables (TESTDATA.md).
 TABLES = (
     "region",
