@@ -346,6 +346,29 @@ def fn_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(names.select(F.col("p_partkey").alias("part_b"), F.col("p_name").alias("name_b")), "part_b")
     )
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
-    return verified.filter(dist <= k).select(
+    passjoin = verified.filter(dist <= k).select(
         "part_a", "part_b", dist.cast("bigint").alias("distance")
     )
+    # Segment blocking needs >= 3 usable characters (the probe filter
+    # L >= 3 above): a pair where BOTH strings are shorter than 3 never
+    # generates a candidate in either direction.  Brute-force that tiny
+    # block directly — it is empty on p_name but keeps the operator
+    # total for arbitrary string columns.  (Pairs with exactly one short
+    # string still come from the main path via the long side's probes.)
+    tiny = p.filter(F.col("len") < 3).select("p_partkey", "p_brand", "p_name")
+    ta, tb = tiny.alias("ta"), tiny.alias("tb")
+    tiny_dist = F.levenshtein(F.col("ta.p_name"), F.col("tb.p_name"))
+    tiny_pairs = (
+        ta.join(
+            tb,
+            (F.col("ta.p_brand") == F.col("tb.p_brand"))
+            & (F.col("ta.p_partkey") < F.col("tb.p_partkey")),
+        )
+        .filter(tiny_dist <= k)
+        .select(
+            F.col("ta.p_partkey").alias("part_a"),
+            F.col("tb.p_partkey").alias("part_b"),
+            tiny_dist.cast("bigint").alias("distance"),
+        )
+    )
+    return passjoin.unionAll(tiny_pairs)

@@ -224,7 +224,18 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (corr / covar / stddev).  Both engines
     accumulate co-moments; order drift is ~1e-12 relative, absorbed by
     rounding chosen per magnitude (corr∈[-1,1] → 6 dp; covar/stddev
-    ~1e4-1e5 → 2 dp)."""
+    ~1e4-1e5 → 2 dp).
+
+    ACCEPTED-RISK exception to the "no round(x, k>0) as a value
+    carrier" invariant (functions/exact.py): co-moments have no exact
+    integer representation (unlike money, there is no cents trick), so
+    rounding is the only available carrier.  A co-moment landing within
+    ~1e-12 relative of a half-ulp rounding boundary could flip the last
+    digit between engines/partitionings; with 3 groups × 3 stats the
+    per-run flip probability is ~1e-9.  Empirically stable across
+    shuffle.partitions ∈ {7, 11, 32} at sf0.01 and sf0.1.  If this row
+    ever hash-mismatches, the last-digit flip is the first suspect —
+    widen the rounding one notch rather than chase a logic bug."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),

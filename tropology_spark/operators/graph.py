@@ -16,6 +16,8 @@ bucket join; celebrity-node skew is handled by AQE skew-join.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -251,17 +253,27 @@ def connected_components(bi_edges: DataFrame, max_iter: int = 10) -> DataFrame:
     edge list ``(u, v)`` of string node ids.  Each iteration joins
     current labels across edges and keeps the minimum seen; stops early
     at a fixpoint.  Eager checkpoints cut lineage per iteration (the
-    same discipline as PageRank)."""
+    same discipline as PageRank).
+
+    Convergence is an exact changed-label count, not a hashed signature:
+    the pre-hop label is carried alongside the propagated one, so the
+    same single aggregate that used to compute a (collidable) crc32 sum
+    now counts ``comp != orig`` directly — zero extra jobs, no
+    premature-stop window.  If the loop exhausts ``max_iter`` without
+    reaching the fixpoint (changed == 0), a warning is logged: the
+    returned labels are a valid *refinement* (every labeled pair is
+    truly connected) but high-eccentricity graphs may still have
+    distinct labels inside one component."""
     nodes = (
         bi_edges.select(F.col("u").alias("node"))
         .unionByName(bi_edges.select(F.col("v").alias("node")))
         .distinct()
     )
     labels = nodes.withColumn("comp", F.col("node")).localCheckpoint(eager=True)
-    prev_sig = None
 
     def propagate(lbls):
         # Broadcast the (small) label table; the edge list stays put.
+        carry = [c for c in lbls.columns if c not in ("node", "comp")]
         neighbor_min = (
             bi_edges.join(F.broadcast(lbls), bi_edges.u == lbls.node)
             .select(F.col("v").alias("node"), F.col("comp"))
@@ -270,24 +282,31 @@ def connected_components(bi_edges: DataFrame, max_iter: int = 10) -> DataFrame:
         )
         return lbls.join(neighbor_min, "node", "left").select(
             "node",
+            *carry,
             F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
         )
 
+    converged = False
     for _ in range(max_iter):
         # Two propagation hops per checkpoint cycle: halves the number
         # of materializations and convergence checks for the same total
         # join work (label distance to the component minimum shrinks by
         # 2 per cycle).
-        new_labels = propagate(propagate(labels)).localCheckpoint(eager=True)
-        # Convergence via a cheap order-insensitive signature of the
-        # labeling (one agg, no join): unchanged signature → fixpoint.
-        sig = new_labels.agg(
-            F.sum(F.crc32(F.concat_ws("=", F.col("node"), F.col("comp")))).alias("s")
-        ).collect()[0]["s"]
-        labels = new_labels
-        if sig == prev_sig:
+        seeded = labels.select("node", F.col("comp").alias("orig"), "comp")
+        new_labels = propagate(propagate(seeded)).localCheckpoint(eager=True)
+        changed = new_labels.agg(
+            F.sum((F.col("comp") != F.col("orig")).cast("long")).alias("c")
+        ).collect()[0]["c"]
+        labels = new_labels.select("node", "comp")
+        if changed == 0:
+            converged = True
             break
-        prev_sig = sig
+    if not converged:
+        logging.getLogger(__name__).warning(
+            "connected_components: max_iter=%d exhausted before fixpoint; "
+            "labels are a refinement, not final components",
+            max_iter,
+        )
     return labels
 
 

@@ -7,7 +7,7 @@ objects.  The decode step itself is STUBBED behind a deterministic
 fake (this container ships no image/audio codecs — SURVEY.md §7.5);
 the Spark-side plumbing — schema, batch iteration, partition-level
 behavior, output contract — is real and unit-tested
-(tests/test_multimodal.py).
+(tests/test_units.py::test_multimodal_feature_extraction).
 
 At 100 TB: payloads live in Parquet binary columns partitioned by
 (modality, date); feature extraction is embarrassingly parallel with

@@ -9,7 +9,8 @@ an Arrow-batched stage producing (page metadata, outbound codes);
 Network fetch is STUBBED (no network in this environment, and live
 crawling is untestable by design — the reference's own tests also run
 on saved local HTML, SURVEY.md §5.1).  The parser is real and runs
-against inline HTML fixtures in tests/test_html_source.py.
+against inline HTML fixtures in
+tests/test_units.py::test_html_parse_links_and_redirect.
 """
 
 from __future__ import annotations

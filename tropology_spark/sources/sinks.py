@@ -51,16 +51,29 @@ def upsert_parquet(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src_rank")
     )
-    # Write-then-swap: never leave the target half-written.
+    # Write-then-swap: never leave the target half-written.  The old
+    # directory is renamed aside (os.rename: atomic within a filesystem)
+    # before the staging dir moves in, so a crash at any single point
+    # leaves either the old table or the new one at `path` — never
+    # nothing.  On failure the backup is restored; on success it is
+    # deleted.
     parent = os.path.dirname(path) or "."
     os.makedirs(parent, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix="upsert_", dir=parent)
     staging = os.path.join(tmp, "data")
     result.write.mode("overwrite").parquet(staging)
+    backup = None
     if os.path.exists(path):
-        shutil.rmtree(path)
-    shutil.move(staging, path)
-    shutil.rmtree(tmp, ignore_errors=True)
+        backup = os.path.join(tmp, "bak")
+        os.rename(path, backup)
+    try:
+        shutil.move(staging, path)
+    except BaseException:
+        if backup is not None and not os.path.exists(path):
+            os.rename(backup, path)
+        raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def write_partitioned(
