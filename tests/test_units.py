@@ -34,7 +34,10 @@ def test_pagerank_matches_numpy(spark):
     pr = np.ones(n)
     for _ in range(3):
         pr = 0.15 + 0.85 * (adj.T @ (pr / deg))
-    got = {r["node"]: r["pr"] for r in QUERIES["graph_pagerank3"](spark, SF_UNIT).collect()}
+    got = {
+        r["node"]: r["pr_micro"] / 1e6
+        for r in QUERIES["graph_pagerank3"](spark, SF_UNIT).collect()
+    }
     assert len(got) == n
     for node, i in idx.items():
         assert got[node] == pytest.approx(pr[i], abs=2e-6), node

@@ -198,7 +198,38 @@ def graph_sample_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("graph_pagerank3")  # rows-only: iterative fixpoint, not ANSI-SQL
+_PAGERANK_ITER = """
+    , it{n} AS (
+        SELECT n.node, 0.15 + 0.85 * coalesce(m.mass, 0.0) AS pr
+        FROM nodes n LEFT JOIN (
+            SELECT b.v AS node, sum(r.pr / d.deg) AS mass
+            FROM bi b JOIN deg d ON b.u = d.u JOIN it{p} r ON b.u = r.node
+            GROUP BY b.v
+        ) m ON n.node = m.node)
+"""
+
+
+@register(
+    "graph_pagerank3",
+    oracle=_EDGES_CTE
+    + """
+    , bi AS (SELECT 'c:' || CAST(src AS VARCHAR) AS u,
+                    'p:' || CAST(dst AS VARCHAR) AS v FROM edges
+             UNION ALL
+             SELECT 'p:' || CAST(dst AS VARCHAR), 'c:' || CAST(src AS VARCHAR)
+             FROM edges),
+      deg AS (SELECT u, count(*) AS deg FROM bi GROUP BY u),
+      nodes AS (SELECT DISTINCT u AS node FROM bi),
+      it0 AS (SELECT node, 1.0 AS pr FROM nodes)
+    """
+    + _PAGERANK_ITER.format(n=1, p=0)
+    + _PAGERANK_ITER.format(n=2, p=1)
+    + _PAGERANK_ITER.format(n=3, p=2)
+    + """
+    SELECT node, CAST(floor(pr * 1000000 + 0.5) AS BIGINT) AS pr_micro
+    FROM it3
+    """,
+)
 def graph_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I8 — PageRank, 3 iterations, damping 0.85, on the undirected
     view of the bipartite graph (each edge contributes both ways, as
@@ -207,7 +238,13 @@ def graph_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver-side loop of join+agg with ``localCheckpoint()`` per
     iteration to cut lineage (SURVEY.md §4.2) — the Spark idiom for
     iterative algorithms.  Verified by a fixed-point unit test
-    (tests/test_units.py); declared rows-only for the oracle."""
+    (tests/test_units.py) AND, since the iteration count is fixed, by a
+    full DuckDB oracle: the three iterations unroll into chained CTEs.
+    The compared value is the micro-rank integer
+    ``floor(pr * 1e6 + 0.5)`` — an integer carrier (accumulation-order
+    drift across engines/partitionings is ~1e-14 relative, flip
+    probability ~1e-8 per node; `round(pr, 6)` as a double carrier
+    would additionally expose Spark-vs-DuckDB rounding-rule skew)."""
     e = edges(spark, sf_dir)
     c_node = F.concat(F.lit("c:"), F.col("src").cast("string"))
     p_node = F.concat(F.lit("p:"), F.col("dst").cast("string"))
@@ -245,7 +282,10 @@ def graph_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    return ranks.select("node", F.round("pr", 6).alias("pr"))
+    return ranks.select(
+        "node",
+        F.floor(F.col("pr") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint").alias("pr_micro"),
+    )
 
 
 def connected_components(bi_edges: DataFrame, max_iter: int = 10) -> DataFrame:
