@@ -2,7 +2,7 @@
 
 Approximate-nearest-neighbor building blocks on the ``embeddings``
 fixture (``array<float>``, dim 64): brute-force cosine top-k (the
-baseline), a label-blocked kNN join (the blocked/IVF-shaped scale
+baseline), a learned-cell-blocked kNN join (the blocked/IVF-shaped scale
 path — at 100 TB the block key is a coarse quantizer cell id instead
 of the label), and nearest-centroid assignment (the IVF training +
 assignment step).
@@ -98,10 +98,30 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_knn_join",
     oracle=_EX_CTE
     + """
-    , d AS (
-      SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.val * b.val) AS dp
-      FROM ex a JOIN ex b
-        ON a.pos = b.pos AND a.label = b.label AND a.vec_id <> b.vec_id
+    , params AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+    tp AS (SELECT vec_id, (vec_id * 1000003) % (SELECT k FROM params) AS tcell
+           FROM embeddings),
+    cen AS (SELECT tp.tcell, ex.pos, avg(ex.val) AS cval
+            FROM ex JOIN tp ON ex.vec_id = tp.vec_id
+            GROUP BY tp.tcell, ex.pos),
+    cn AS (SELECT tcell, sqrt(sum(cval * cval)) AS nc FROM cen GROUP BY tcell),
+    vc AS (SELECT e.vec_id, c.tcell,
+                  round(sum(e.val * c.cval) / (any_value(nrm.nv) * any_value(cn.nc)), 6)
+                    AS ccos
+           FROM ex e
+           JOIN cen c ON e.pos = c.pos
+           JOIN nrm ON e.vec_id = nrm.vec_id
+           JOIN cn ON c.tcell = cn.tcell
+           GROUP BY e.vec_id, c.tcell),
+    assign AS (SELECT vec_id, tcell AS cell
+               FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                  ORDER BY ccos DESC, tcell) AS rn
+                     FROM vc) t WHERE rn = 1),
+    d AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, sum(ea.val * eb.val) AS dp
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      JOIN ex ea ON ea.vec_id = a.vec_id
+      JOIN ex eb ON eb.vec_id = b.vec_id AND ea.pos = eb.pos
       GROUP BY a.vec_id, b.vec_id
     ),
     cos AS (
@@ -116,23 +136,76 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J9 — blocked kNN self-join: top-3 neighbors per vector within
-    its label block.  The block bounds the pair count (the IVF/LSH
-    bucket idea); an unblocked all-pairs join would be O(n²)."""
+    """J9 — cell-blocked kNN self-join: top-3 neighbors per vector
+    within its LEARNED coarse-quantizer cell (the IVF bucket idea).
+
+    Blocking that survives 100×: ``k = ceil(sqrt(n))`` centroids are
+    trained as the mean of deterministic hash partitions of the corpus
+    (one-shot k-means with hash init), then every vector is assigned to
+    its nearest centroid by rounded cosine — so both the number of
+    cells AND the expected cell population grow as √n, keeping the
+    within-cell pair count at O(n^1.5) total instead of the O(n²/C)
+    of any fixed-cardinality block (round-1 verdict on the label
+    variant).  The multiplicative vec_id hash is exact integer
+    arithmetic in both engines (multiplier < 2³⁰: ANSI-overflow-safe).
+
+    Assignment reuses J10's nearest-centroid shape; at 100 TB the
+    assignment table is written bucketed by cell so the pair join is
+    shuffle-free (SURVEY.md §7.7)."""
+    import math
+
     e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+        "vec_id", as_double(F.col("embedding")).alias("emb")
     ).withColumn("nv", norm(F.col("emb")))  # norm once per vector, not per pair
-    a = e.select(
-        F.col("vec_id").alias("va"), F.col("label"), F.col("emb").alias("ea"),
+    n = e.count()  # one tiny count job; fixes k = ceil(sqrt(n))
+    k = math.ceil(math.sqrt(n))
+    tp = e.select("vec_id", F.pmod(F.col("vec_id") * F.lit(1000003), F.lit(k)).alias("tcell"))
+
+    # Train: centroid = mean of each hash partition, in long form.
+    ex = e.select("vec_id", F.posexplode("emb").alias("pos0", "val")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), "val"
+    )
+    cen = (
+        ex.join(tp, "vec_id")
+        .groupBy("tcell", "pos")
+        .agg(F.avg("val").alias("cval"))
+    )
+    cn = cen.groupBy("tcell").agg(F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("nc"))
+
+    # Assign: nearest centroid by rounded cosine (J10's discipline —
+    # centroids are tiny, k×64 doubles, and broadcast).
+    vc = (
+        ex.join(F.broadcast(cen), "pos")
+        .join(e.select("vec_id", "nv"), "vec_id")
+        .join(F.broadcast(cn), "tcell")
+        .groupBy("vec_id", "tcell")
+        .agg(
+            F.round(
+                F.sum(F.col("val") * F.col("cval"))
+                / (F.any_value(F.col("nv")) * F.any_value(F.col("nc"))),
+                6,
+            ).alias("ccos")
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("tcell"))
+    assign = (
+        vc.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("tcell").alias("cell"))
+    )
+
+    # Block the pair join on the learned cell; cosine array-natively.
+    ea = e.join(assign, "vec_id").select(
+        F.col("vec_id").alias("va"), F.col("cell"), F.col("emb").alias("ea"),
         F.col("nv").alias("na"),
     )
-    b = e.select(
-        F.col("vec_id").alias("vb"), F.col("label").alias("lb"), F.col("emb").alias("eb"),
+    eb = e.join(assign, "vec_id").select(
+        F.col("vec_id").alias("vb"), F.col("cell").alias("cb"), F.col("emb").alias("eb"),
         F.col("nv").alias("nb"),
     )
     cos = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
     pairs = (
-        a.join(b, (F.col("label") == F.col("lb")) & (F.col("va") != F.col("vb")))
+        ea.join(eb, (F.col("cell") == F.col("cb")) & (F.col("va") != F.col("vb")))
         .select("va", "vb", cos.alias("cosine"))
     )
     w = Window.partitionBy("va").orderBy(F.col("cosine").desc(), F.col("vb"))
