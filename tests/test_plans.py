@@ -65,6 +65,37 @@ def test_ts_range_filter_pushdown(spark):
     assert "ts" in pushed
 
 
+def test_iterative_vector_join_shuffle_path_plan(spark):
+    """The non-broadcast iterative-graph path must (a) never broadcast
+    the node vector and (b) reuse the persisted edge partitioning, so
+    the only exchange Catalyst inserts (ENSURE_REQUIREMENTS) is on the
+    O(nodes) vector side — the property that keeps per-iteration cost
+    off the edge list at 100 TB node counts."""
+    import pyspark.sql.functions as F
+
+    from tropology_spark.operators.graph import _vector_join
+
+    bi = spark.range(1000).select(
+        (F.col("id") % 100).cast("string").alias("u"),
+        ((F.col("id") + 7) % 100).cast("string").alias("v"),
+    )
+    bi_p = bi.repartition("u").persist()
+    bi_p.count()
+    vec = spark.range(100).select(
+        F.col("id").cast("string").alias("node"), F.lit(1.0).alias("pr")
+    )
+    try:
+        plan = plan_of(_vector_join(bi_p, vec, use_broadcast=False), "simple")
+        assert "Broadcast" not in plan
+        assert "ShuffledHashJoin" in plan
+        # Exactly one requirement-driven exchange: the vector side.
+        # (The REPARTITION_BY_COL exchange inside the cached relation is
+        # the one-time setup shuffle, not per-iteration work.)
+        assert plan.count("ENSURE_REQUIREMENTS") == 1
+    finally:
+        bi_p.unpersist()
+
+
 def test_dynamic_partition_pruning(spark, tmp_path):
     """SURVEY.md §4.2 — dynamic partition pruning: joining a
     partitioned fact to a filtered dim must inject a runtime pruning

@@ -233,6 +233,36 @@ def test_connected_components_on_disconnected_graph(spark):
     }
 
 
+def test_iterative_graph_broadcast_and_shuffle_paths_equal(spark):
+    """The size-thresholded join strategies (broadcast vs co-partitioned
+    shuffle-hash) of the iterative loops are physically different plans
+    for the SAME computation — outputs must match exactly on the sf
+    fixture graph."""
+    from pyspark.sql import functions as F
+
+    from tropology_spark.operators.graph import connected_components, pagerank
+    from tropology_spark.sources.tables import edges
+
+    e = edges(spark, SF_UNIT)
+    bi = (
+        e.select(F.concat(F.lit("c:"), F.col("src").cast("string")).alias("u"),
+                 F.concat(F.lit("p:"), F.col("dst").cast("string")).alias("v"))
+        .unionByName(
+            e.select(F.concat(F.lit("p:"), F.col("dst").cast("string")).alias("u"),
+                     F.concat(F.lit("c:"), F.col("src").cast("string")).alias("v")))
+    )
+    micro = F.floor(F.col("pr") * 1e6 + F.lit(0.5)).cast("bigint")
+    pr_b = {r["node"]: r["m"] for r in
+            pagerank(bi, use_broadcast=True).select("node", micro.alias("m")).collect()}
+    pr_s = {r["node"]: r["m"] for r in
+            pagerank(bi, use_broadcast=False).select("node", micro.alias("m")).collect()}
+    assert pr_b == pr_s
+
+    cc_b = {r["node"]: r["comp"] for r in connected_components(bi, use_broadcast=True).collect()}
+    cc_s = {r["node"]: r["comp"] for r in connected_components(bi, use_broadcast=False).collect()}
+    assert cc_b == cc_s
+
+
 def test_entry_golden_sf0001(spark):
     """SURVEY.md §5.2 item 6 — the flagship result at sf0.001 pinned to
     checked-in golden values (guards against silent semantics drift)."""

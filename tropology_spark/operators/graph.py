@@ -248,26 +248,82 @@ def graph_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = edges(spark, sf_dir)
     c_node = F.concat(F.lit("c:"), F.col("src").cast("string"))
     p_node = F.concat(F.lit("p:"), F.col("dst").cast("string"))
-    # Undirected: both traversal directions.  The edge list is reused
-    # by every iteration — persist it once instead of re-deriving the
-    # orders⋈lineitem join 3×; pre-join the degree so the loop body is
-    # a single join + agg per iteration.
+    # Undirected: both traversal directions.
     bi = (
         e.select(c_node.alias("u"), p_node.alias("v"))
         .unionByName(e.select(p_node.alias("u"), c_node.alias("v")))
     )
-    out_deg = bi.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    bi_deg = bi.join(out_deg, "u").localCheckpoint(eager=True)
-    nodes = bi_deg.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
+    ranks = pagerank(bi, iters=3)
+    return ranks.select(
+        "node",
+        F.floor(F.col("pr") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint").alias("pr_micro"),
+    )
+
+
+#: Above this node count a per-iteration rank/label vector (~50 B/node
+#: → ~100 MB) stops being comfortable to broadcast every iteration; the
+#: iterative loops switch to a co-partitioned shuffle-hash join where
+#: the checkpointed edge list keeps its hash partitioning on ``u`` and
+#: only the O(nodes) vector shuffles per iteration.  This is the code
+#: path SCALE.md §"iterative graph" promised: at 100 TB (billions of
+#: nodes) the broadcast variant is simply not runnable.
+BROADCAST_NODE_LIMIT = 2_000_000
+
+
+def _vector_join(bi_edges: DataFrame, vec: DataFrame, use_broadcast: bool) -> DataFrame:
+    """Join the static edge list with the per-iteration node vector on
+    ``bi_edges.u == vec.node``, choosing the physical strategy:
+
+    * broadcast — edge partitions never move; the vector ships whole to
+      every executor.  Right while the vector fits in memory.
+    * shuffle-hash — the edge list was pre-partitioned by ``u`` and its
+      ``localCheckpoint`` preserves that hash partitioning, so Catalyst
+      inserts an exchange ONLY on the vector side and builds the hash
+      table from it (hint prevents AQE from "helpfully" broadcasting
+      the small side, which is exactly what cannot happen at scale).
+      No sort, no edge movement — per-iteration cost is O(nodes)
+      shuffle, not O(edges).  Pinned by tests/test_plans.py.
+    """
+    if use_broadcast:
+        return bi_edges.join(F.broadcast(vec), bi_edges.u == vec.node)
+    return bi_edges.join(vec.hint("shuffle_hash"), bi_edges.u == vec.node)
+
+
+def pagerank(
+    bi_edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    teleport: float = 0.15,
+    use_broadcast: bool | None = None,
+) -> DataFrame:
+    """PageRank over an undirected edge list ``(u, v)``: returns
+    ``(node, pr)``.  The edge list is persisted once (every iteration
+    reuses it); the loop body is one join + one aggregation.
+    ``use_broadcast=None`` picks the join strategy from the node count
+    (BROADCAST_NODE_LIMIT); both paths are proven equal in
+    tests/test_units.py."""
+    out_deg = bi_edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    bi_deg = bi_edges.join(out_deg, "u")
+    nodes = (
+        bi_edges.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
+    )
+    if use_broadcast is None:
+        use_broadcast = nodes.count() <= BROADCAST_NODE_LIMIT
+    if use_broadcast:
+        bi_deg = bi_deg.localCheckpoint(eager=True)
+    else:
+        # One up-front shuffle of the edges onto the join key.  persist
+        # (NOT localCheckpoint: a checkpoint scan reports
+        # UnknownPartitioning, verified empirically) keeps the
+        # InMemoryTableScan's hashpartitioning(u) visible to Catalyst,
+        # so each iteration exchanges only the rank vector.
+        bi_deg = bi_deg.repartition("u").persist()
+        bi_deg.count()  # materialize once
     ranks = nodes.withColumn("pr", F.lit(1.0))
 
-    for _ in range(3):
-        # The rank vector is tiny relative to the edge list — broadcast
-        # it so the edges never reshuffle across iterations.  (At 100 TB
-        # node counts the same loop runs with both sides pre-bucketed by
-        # node instead; see §7.7.)
+    for _ in range(iters):
         contribs = (
-            bi_deg.join(F.broadcast(ranks), bi_deg.u == ranks.node)
+            _vector_join(bi_deg, ranks, use_broadcast)
             .select(F.col("v").alias("node"), (F.col("pr") / F.col("deg")).alias("contrib"))
             .groupBy("node")
             .agg(F.sum("contrib").alias("mass"))
@@ -278,17 +334,16 @@ def graph_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
             nodes.join(contribs, "node", "left")
             .select(
                 "node",
-                (F.lit(0.15) + F.lit(0.85) * F.coalesce(F.col("mass"), F.lit(0.0))).alias("pr"),
+                (F.lit(teleport) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias("pr"),
             )
             .localCheckpoint(eager=True)
         )
-    return ranks.select(
-        "node",
-        F.floor(F.col("pr") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint").alias("pr_micro"),
-    )
+    return ranks
 
 
-def connected_components(bi_edges: DataFrame, max_iter: int = 10) -> DataFrame:
+def connected_components(
+    bi_edges: DataFrame, max_iter: int = 10, use_broadcast: bool | None = None
+) -> DataFrame:
     """Min-label propagation connected components over an undirected
     edge list ``(u, v)`` of string node ids.  Each iteration joins
     current labels across edges and keeps the minimum seen; stops early
@@ -310,12 +365,22 @@ def connected_components(bi_edges: DataFrame, max_iter: int = 10) -> DataFrame:
         .distinct()
     )
     labels = nodes.withColumn("comp", F.col("node")).localCheckpoint(eager=True)
+    if use_broadcast is None:
+        use_broadcast = labels.count() <= BROADCAST_NODE_LIMIT
+    if not use_broadcast:
+        # One up-front shuffle of the edges onto the join key; persist
+        # (not localCheckpoint) keeps hashpartitioning(u) visible so
+        # each propagation hop exchanges only the label vector (see
+        # pagerank).
+        bi_edges = bi_edges.repartition("u").persist()
+        bi_edges.count()  # materialize once
 
     def propagate(lbls):
-        # Broadcast the (small) label table; the edge list stays put.
+        # Join the label vector to the static edge list (strategy per
+        # _vector_join; the edge list never moves after setup).
         carry = [c for c in lbls.columns if c not in ("node", "comp")]
         neighbor_min = (
-            bi_edges.join(F.broadcast(lbls), bi_edges.u == lbls.node)
+            _vector_join(bi_edges, lbls, use_broadcast)
             .select(F.col("v").alias("node"), F.col("comp"))
             .groupBy("node")
             .agg(F.min("comp").alias("n_comp"))
