@@ -23,6 +23,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from tropology_spark.registry import register
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -106,11 +108,18 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
-def attach_media(df: DataFrame, payload_col: str, mime: str) -> DataFrame:
+def attach_media(
+    df: DataFrame, payload_col: str, mime: str, id_col: str | None = None
+) -> DataFrame:
     """Wrap an existing binary column into the canonical media shape
-    (metadata computed JVM-side; sha256 via the built-in function)."""
+    (metadata computed JVM-side; sha256 via the built-in function).
+    ``id_col`` supplies a stable media_id; the default generated id is
+    partitioning-dependent (fine for ad-hoc use, not for oracles)."""
+    media_id = (
+        F.col(id_col).cast("long") if id_col else F.monotonically_increasing_id()
+    )
     return df.select(
-        F.monotonically_increasing_id().alias("media_id"),
+        media_id.alias("media_id"),
         F.col(payload_col).alias("payload"),
         F.struct(
             F.lit(mime).alias("mime"),
@@ -118,4 +127,47 @@ def attach_media(df: DataFrame, payload_col: str, mime: str) -> DataFrame:
             F.lit(None).cast("long").alias("height"),
             F.sha2(F.col(payload_col), 256).alias("sha256"),
         ).alias("meta"),
+    )
+
+
+@register(
+    "mm_features",
+    oracle="""
+    WITH hexmap AS (SELECT i, printf('%02x', i) AS h
+                    FROM (SELECT unnest(generate_series(0, 255)) AS i) s)
+    SELECT d.doc_id AS media_id,
+           'text/plain' AS mime,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+           sha256(d.text) AS sha256,
+           CAST(hexmap.i AS BIGINT) AS f0_byte
+    FROM documents d
+    JOIN hexmap ON substr(sha256(d.text), 1, 2) = hexmap.h
+    """,
+)
+def mm_features(spark, sf_dir: str) -> DataFrame:
+    """J11 as a DECLARED query: documents.text re-encoded as a binary
+    payload (the fixture stand-in for an image/audio blob — no codecs
+    ship in this container), wrapped in MEDIA_SCHEMA, and pushed
+    through the REAL Arrow-batched mapInPandas feature stage.
+
+    Oracle-checkable outputs prove the Python stage end-to-end:
+    n_bytes and sha256 must equal DuckDB's octet_length/sha256 over the
+    same UTF-8 bytes, and f0_byte recovers the first fake-feature
+    component (digest byte 0) — if the batch plumbing dropped, reordered
+    or re-encoded payloads, every column here would mismatch."""
+    from tropology_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    media = attach_media(docs, "payload", "text/plain", id_col="doc_id")
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        "sha256",
+        F.floor(F.element_at("features", 1) * F.lit(255.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("f0_byte"),
     )
