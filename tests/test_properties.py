@@ -135,3 +135,30 @@ def test_jaccard_bounds_and_orientation(spark, texts):
     for r in out.collect():
         assert 0.0 < r["j"] <= 1.0
         assert r["doc_a"] < r["doc_b"]
+
+
+@settings(**SMALL)
+@given(
+    tail_a=st.lists(st.sampled_from(["red", "blue", "green", "cyan"]),
+                    unique=True, min_size=3, max_size=4),
+)
+def test_jaccard_block_width_recall(spark, tail_a):
+    """jaccard_pairs' recall contract: a planted near-dup pair whose
+    only edit is AFTER the block prefix is always recalled at that
+    width; a pair edited in the FIRST token is missed by any positive
+    prefix block but recalled with blocking disabled (block_width=0)."""
+    from tropology_spark.operators.dedup import jaccard_pairs
+
+    base = "prefix0 " + " ".join(tail_a)           # > 8 shared leading chars
+    late_edit = base + " extratoken"               # edit strictly after prefix
+    early_edit = "zprefix0 " + " ".join(tail_a)    # first token differs
+    df = spark.createDataFrame(
+        [(0, base), (1, late_edit), (2, early_edit)], "doc_id long, text string"
+    )
+    blocked = {(r["doc_a"], r["doc_b"])
+               for r in jaccard_pairs(df, block_width=8, threshold=0.5).collect()}
+    assert (0, 1) in blocked            # recalled: edit after the block key
+    assert (0, 2) not in blocked        # documented miss: edit inside the key
+    unblocked = {(r["doc_a"], r["doc_b"])
+                 for r in jaccard_pairs(df, block_width=0, threshold=0.5).collect()}
+    assert {(0, 1), (0, 2)} <= unblocked  # no block -> full recall

@@ -70,13 +70,35 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 — near-dup candidate pairs: block on the 40-char prefix, then
-    token-set Jaccard >= 0.5 via co-occurrence counts.  The ratio is an
-    exact integer division → deterministic across engines."""
-    d = load(spark, sf_dir, "documents")
-    tok = d.select(
+    """J2 — near-dup candidate pairs: prefix-blocked token-set Jaccard
+    (the declared query pins block_width=40, which the fixture's
+    duplicate generator never edits inside; see ``jaccard_pairs`` for
+    the recall/width contract)."""
+    return jaccard_pairs(load(spark, sf_dir, "documents"), block_width=40)
+
+
+def jaccard_pairs(
+    docs: DataFrame, block_width: int = 40, threshold: float = 0.5
+) -> DataFrame:
+    """Token-set Jaccard >= ``threshold`` over pairs sharing the same
+    ``block_width``-char prefix.  The ratio is an exact integer
+    division → deterministic across engines.
+
+    Recall/width trade-off: the prefix block is a RECALL PRECONDITION,
+    not a heuristic — a true near-dup pair is found iff its edits all
+    occur strictly after ``block_width`` characters.  Wider blocks mean
+    fewer candidate pairs (cost shrinks roughly with block selectivity)
+    but silently miss near-dups edited early in the document;
+    ``block_width=0`` disables blocking entirely (exact all-pairs
+    Jaccard, O(n²) — only for small corpora or within another block).
+    Pick the width to match where your duplicates actually diverge
+    (crawl dumps: boilerplate header length).  For edits anywhere in
+    the document at scale, use MinHash-LSH (J3, `dedup_minhash_lsh`) —
+    its banding recalls pairs regardless of edit position.  Property
+    test: tests/test_properties.py::test_jaccard_block_width_recall."""
+    tok = docs.select(
         "doc_id",
-        F.substring(F.col("text"), 1, 40).alias("pfx"),
+        F.substring(F.col("text"), 1, block_width).alias("pfx"),
         F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token"),
     )
     siz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -98,7 +120,7 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= 0.5)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard"))
     )
 
