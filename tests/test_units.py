@@ -300,3 +300,61 @@ def test_salted_join_and_count_equal_plain(spark):
     plain_counts = {r["k"]: r["count"] for r in fact.groupBy("k").count().collect()}
     salted_counts = {r["k"]: r["n"] for r in salted_count(fact, "k", n_salt=4).collect()}
     assert salted_counts == plain_counts
+
+
+def test_word_ngrams_short_docs(spark):
+    """word_ngrams must return an EMPTY array (not descending-sequence
+    garbage) when the doc has fewer than n tokens."""
+    from pyspark.sql import functions as F
+
+    from tropology_spark.operators.pipeline_ops import word_ngrams
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("a",), ("",)], "text string"
+    ).select(word_ngrams(F.split(F.col("text"), " "), 3).alias("g"))
+    got = [r["g"] for r in df.collect()]
+    assert got == [["a b c", "b c d"], [], [], []]
+
+
+def test_cluster_canonical_groups_transitive_chain(spark):
+    """dedup_cluster_canonical: a transitive near-dup chain A~B, B~C
+    (A and C NOT direct pairs) must collapse to one canonical id within
+    the 3 fixed label rounds."""
+    from pyspark.sql import functions as F
+
+    from tropology_spark.operators.dedup import jaccard_pairs
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    chain = {
+        10: base,
+        11: base.replace("tok39", "alt39"),          # ~ A (39/41 common)
+        12: base.replace("tok39", "alt39").replace("tok38", "alt38"),  # ~ B
+        99: " ".join(f"other{i}" for i in range(40)),  # unrelated
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in chain.items()], "doc_id long, text string"
+    )
+    pairs = jaccard_pairs(docs, block_width=0, threshold=0.95)
+    got_pairs = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (10, 11) in got_pairs and (11, 12) in got_pairs
+    assert (10, 12) not in got_pairs  # 38/42 = 0.905 < 0.95: chain, not clique
+
+    # Min-label propagation over the pair graph (the operator's core,
+    # inlined on the tiny fixture): 3 rounds must reach label 10 for
+    # the whole chain.
+    ids = docs.select("doc_id")
+    p = pairs.select("doc_a", "doc_b")
+    es = (
+        p.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .unionByName(p.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .unionByName(ids.select(F.col("doc_id").alias("s"), F.col("doc_id").alias("d")))
+    )
+    labels = ids.select("doc_id", F.col("doc_id").alias("lbl"))
+    for _ in range(3):
+        labels = (
+            es.join(labels, es.s == labels.doc_id)
+            .groupBy(F.col("d").alias("doc_id"))
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    got = {r["doc_id"]: r["lbl"] for r in labels.collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 99: 99}

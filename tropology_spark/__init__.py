@@ -18,10 +18,11 @@ from tropology_spark.registry import QUERIES, ORACLES, register  # noqa: F401
 # ORDER MATTERS for external verification: the driver checks registry
 # entries in insertion order with a bounded window (round 1 checked
 # exactly the first 50).  The novel families (dedup / text / similarity /
-# graph / scalar fns / multimodal / streaming / udfs — 45 queries) go
-# first so every one lands inside the window; the relational core
-# (48/48 driver-green in round 1) registers last and keeps repo-side
-# parity coverage via tests/test_oracle_parity.py.
+# graph / scalar fns / multimodal / streaming / udfs / pipeline_ops — 53
+# queries) go first so the window covers as much of the novel surface as
+# possible; the relational core (48/48 driver-green in round 1)
+# registers last and keeps repo-side parity coverage via
+# tests/test_oracle_parity.py.
 from tropology_spark.operators import dedup  # noqa: F401
 from tropology_spark.operators import text  # noqa: F401
 from tropology_spark.operators import similarity  # noqa: F401
@@ -30,6 +31,7 @@ from tropology_spark.functions import scalar  # noqa: F401
 from tropology_spark.operators import multimodal  # noqa: F401
 from tropology_spark.streaming import jobs  # noqa: F401
 from tropology_spark.operators import udfs  # noqa: F401
+from tropology_spark.operators import pipeline_ops  # noqa: F401
 from tropology_spark.operators import windows  # noqa: F401
 from tropology_spark.operators import aggregates  # noqa: F401
 from tropology_spark.operators import relational  # noqa: F401

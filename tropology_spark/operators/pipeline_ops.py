@@ -1,0 +1,488 @@
+"""Training-data pipeline operators (round-2 additions; SURVEY.md §2.M
+M24-M30) — the end-to-end curation stages a 100 TB LLM data pipeline
+runs between "crawl" and "train": near-dup clustering with canonical
+selection, benchmark-contamination detection, deterministic dataset
+splitting, n-gram Jaccard dedup, intra-document repetition scoring,
+sequence packing, and token-length profiling.
+
+All seven are declared queries with full DuckDB oracles: every float
+is either an exact integer ratio or a single rounded division of exact
+integers (functions/exact.py conventions).
+
+Scale notes (§7.7): the cluster loop is THREE fixed label-propagation
+rounds over the near-dup pair graph — near-dup clusters have tiny
+diameter (a dup of a dup of a dup is still a dup), so a bounded unroll
+is the honest production shape, and fixing the round count makes the
+operator ANSI-SQL-expressible (same trick as graph_pagerank3).
+Contamination joins the full corpus against a benchmark that is always
+tiny → broadcast.  Splitting/profiling are one narrow pass + one
+map-side-combinable aggregation.  Packing is a per-partition-key
+window (running sum), the same shape as sessionization (K3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from tropology_spark.registry import register
+from tropology_spark.sources.tables import load
+
+
+def word_ngrams(toks: F.Column, n: int) -> F.Column:
+    """Word ``n``-gram array from a token-array column (empty when the
+    doc has fewer than ``n`` tokens — F.sequence would otherwise count
+    DOWN and fabricate shingles)."""
+    cnt = F.size(toks) - (n - 1)
+    return F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast(ArrayType(StringType())))
+
+
+def _ngram_tok_cte(n: int) -> str:
+    """DuckDB CTE fragment ``tok(doc_id, pfx, token)``: distinct word
+    ``n``-grams per doc with the 40-char blocking prefix (mirror of
+    word_ngrams + the dedup.py J2 block)."""
+    return f"""
+    tok AS (
+      SELECT DISTINCT doc_id, substring(text, 1, 40) AS pfx,
+             array_to_string(l[i:i+{n - 1}], ' ') AS token
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+           (SELECT unnest(generate_series(1, 4096)) AS i)
+      WHERE i <= len(l) - {n - 1}
+    )
+    """
+
+
+# ---------------------------------------------------------------------------
+# M24 — near-dup clustering + canonical selection
+# ---------------------------------------------------------------------------
+
+# The J2 pair CTE (dedup.py) reshaped as a WITH fragment ending in
+# pairs(doc_a, doc_b).  Kept textually in sync with dedup_jaccard_pairs:
+# same 40-char block, token-set Jaccard >= 0.5.
+_PAIRS_CTE = """
+    tok AS (
+      SELECT DISTINCT doc_id, substring(text, 1, 40) AS pfx,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    siz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM tok a
+      JOIN tok b ON a.token = b.token AND a.pfx = b.pfx AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN siz sa ON doc_a = sa.doc_id
+      JOIN siz sb ON doc_b = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    )
+"""
+
+_LABEL_ITER = """
+    , l{n} AS (
+        SELECT e.d AS doc_id, min(l.lbl) AS lbl
+        FROM es e JOIN l{p} l ON l.doc_id = e.s
+        GROUP BY e.d)
+"""
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle="WITH "
+    + _PAIRS_CTE
+    + """
+    , es AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+             UNION ALL SELECT doc_b, doc_a FROM pairs
+             UNION ALL SELECT doc_id, doc_id FROM documents),
+      l0 AS (SELECT doc_id, doc_id AS lbl FROM documents)
+    """
+    + _LABEL_ITER.format(n=1, p=0)
+    + _LABEL_ITER.format(n=2, p=1)
+    + _LABEL_ITER.format(n=3, p=2)
+    + """
+    SELECT doc_id, lbl AS canonical_id,
+           CAST(CASE WHEN doc_id = lbl THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+    FROM l3
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M24 — near-dup CLUSTERING with canonical-document selection: the
+    stage after pair generation that an actual dedup pipeline needs
+    (pairs alone don't tell you which rows to drop).
+
+    Three min-label propagation rounds over the J2 Jaccard pair graph
+    (plus self-loops) assign every doc the smallest doc_id reachable
+    within 3 hops — for near-dup clusters (tiny diameter by
+    construction: transitive edits stay similar) this IS the connected
+    component, and the fixed round count unrolls into 3 DuckDB CTEs
+    exactly like graph_pagerank3.  ``is_kept`` marks the canonical
+    representative; `anti-join docs against is_kept=0` is the actual
+    drop step.  For arbitrary-diameter graphs use
+    graph_connected_components (fixpoint loop, rows-only)."""
+    from tropology_spark.operators.dedup import jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    # Materialize the pair join once: three label rounds reuse it, and
+    # Spark does not reuse non-materialized shared subplans.
+    pairs = jaccard_pairs(d, block_width=40).select("doc_a", "doc_b").localCheckpoint(
+        eager=True
+    )
+    ids = d.select("doc_id")
+    es = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .unionByName(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .unionByName(ids.select(F.col("doc_id").alias("s"), F.col("doc_id").alias("d")))
+    )
+    labels = ids.select("doc_id", F.col("doc_id").alias("lbl"))
+    for _ in range(3):
+        labels = (
+            es.join(labels, es.s == labels.doc_id)
+            .groupBy(F.col("d").alias("doc_id"))
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("canonical_id"),
+        F.when(F.col("doc_id") == F.col("lbl"), 1).otherwise(0).cast("bigint").alias("is_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M25 — benchmark-contamination detection
+# ---------------------------------------------------------------------------
+
+_CONTAM_N = 4  # word n-gram width; the standard 8-13 token windows out-
+# size the fixtures' 31-word vocab (5-grams leave one hit at sf0.01,
+# 3-grams are collision noise) — 4 keeps the check discriminative
+_CONTAM_EVAL_MOD = 97  # doc_id % 97 == 0 plays the held-out benchmark
+
+
+@register(
+    "text_contamination",
+    oracle=f"""
+    WITH {_ngram_tok_cte(_CONTAM_N)},
+    ev AS (SELECT doc_id, token FROM tok WHERE doc_id % {_CONTAM_EVAL_MOD} = 0),
+    tr AS (SELECT doc_id, token FROM tok WHERE doc_id % {_CONTAM_EVAL_MOD} <> 0)
+    SELECT tr.doc_id AS doc_id,
+           CAST(count(DISTINCT tr.token) AS BIGINT) AS n_shared_ngrams,
+           CAST(count(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs_hit
+    FROM tr JOIN ev ON tr.token = ev.token
+    GROUP BY tr.doc_id
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M25 — train/benchmark contamination check: which training docs
+    share word {n}-grams with the held-out eval set (docs with
+    doc_id % 97 == 0 stand in for the benchmark).
+
+    The canonical decontamination shape: shingle both sides, join on
+    the shingle, count distinct overlaps per training doc.  At 100 TB
+    the eval side is always tiny (benchmarks are KBs) → Spark
+    broadcasts it and the corpus is scanned exactly once, no shuffle
+    of the training shingles."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams(F.split(F.col("text"), " "), _CONTAM_N))
+        ).alias("token"),
+    )
+    ev = tok.filter(F.col("doc_id") % _CONTAM_EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"), F.col("token").alias("ev_token")
+    )
+    tr = tok.filter(F.col("doc_id") % _CONTAM_EVAL_MOD != 0)
+    return (
+        tr.join(F.broadcast(ev), tr.token == ev.ev_token)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("token").alias("n_shared_ngrams"),
+            F.countDistinct("eval_id").alias("n_eval_docs_hit"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M26 — deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_split_assign",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             ((strpos('0123456789abcdef',
+                      substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef',
+                       substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 10
+               AS bucket,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+           lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM b
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M26 — deterministic 80/10/10 train/val/test split by content-
+    independent hash bucket (first md5 byte of the doc_id, mod 10),
+    profiled per language.
+
+    Hash splitting is THE production idiom: stable under reshuffling,
+    re-ingestion, and cluster size (unlike `randomSplit`), and any
+    engine can recompute membership — which is exactly what the DuckDB
+    oracle does.  ``id_checksum`` pins the exact membership, not just
+    the counts."""
+    d = load(spark, sf_dir, "documents")
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.conv(F.substring(md5, 1, 2), 16, 10).cast("int") % 10
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            "lang",
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+            "doc_id",
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M27 — n-gram Jaccard near-dup pairs (north-star "n-gram Jaccard")
+# ---------------------------------------------------------------------------
+
+_NGRAM_N = 3
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_ngram_tok_cte(_NGRAM_N)},
+    siz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM tok a
+      JOIN tok b ON a.token = b.token AND a.pfx = b.pfx AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN siz sa ON doc_a = sa.doc_id
+    JOIN siz sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.4
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M27 — word-trigram Jaccard near-dup pairs: the n-gram variant
+    the north star lists alongside token-set Jaccard (J2).  Shingling
+    makes the similarity order-sensitive — token-set Jaccard calls a
+    shuffled doc a perfect dup, trigram Jaccard does not — at the cost
+    of a larger shingle universe (good: sparser blocks at scale).
+    Same 40-char prefix block and exact-integer-ratio discipline as
+    J2; threshold 0.4 (trigram Jaccard runs lower than token Jaccard
+    for the same edit density)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.substring(F.col("text"), 1, 40).alias("pfx"),
+        F.explode(
+            F.array_distinct(word_ngrams(F.split(F.col("text"), " "), _NGRAM_N))
+        ).alias("token"),
+    )
+    siz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.pfx") == F.col("b.pfx"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = siz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = siz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.4)
+        .select("doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# M28 — intra-document repetition (Gopher-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, l[i] || ' ' || l[i+1] AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           (SELECT unnest(generate_series(1, 4096)) AS i)
+      WHERE i <= len(l) - 1
+    ),
+    st AS (SELECT doc_id, count(*) AS n_bigrams,
+                  count(DISTINCT bg) AS n_unique
+           FROM g GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(n_unique AS BIGINT) AS n_unique,
+           round(CAST(n_bigrams - n_unique AS DOUBLE) / n_bigrams, 6)
+             AS dup_bigram_ratio
+    FROM st
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M28 — duplicate-bigram fraction per document: the Gopher-rules
+    repetition signal (high ratio = boilerplate/spam loops; the filter
+    downstream drops docs above a threshold).  Complements
+    text_quality_score's surface stats with the one signal that needs
+    an n-gram pass.  Exact integers + one rounded division."""
+    d = load(spark, sf_dir, "documents")
+    bg = d.select(
+        "doc_id",
+        F.explode(word_ngrams(F.split(F.col("text"), " "), 2)).alias("bg"),
+    )
+    st = bg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.countDistinct("bg").alias("n_unique"),
+    )
+    ratio = (F.col("n_bigrams") - F.col("n_unique")).cast("double") / F.col("n_bigrams")
+    return st.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.col("n_unique").cast("bigint").alias("n_unique"),
+        F.round(ratio, 6).alias("dup_bigram_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M29 — greedy sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_CAPACITY = 512  # tokens per training sequence
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM t
+    )
+    SELECT lang, CAST(cum_before // {_PACK_CAPACITY} AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM c
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M29 — greedy sequence packing: concatenate docs (per language,
+    in deterministic doc_id order) into ~{cap}-token training
+    sequences, reporting per-bin composition.  The running-sum window
+    is the same shape as sessionization (K3): one shuffle on the
+    partition key, then a linear in-partition pass — at 100 TB the
+    packing parallelism is the number of (lang, shard) partition keys,
+    so production adds a shard column; semantics are unchanged."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        c.groupBy(
+            "lang",
+            F.expr(f"cum_before DIV {_PACK_CAPACITY}").cast("bigint").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M30 — token-length histogram
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKET = 8  # tokens per bucket
+
+
+@register(
+    "text_token_histogram",
+    oracle=f"""
+    SELECT CAST(len(string_split(text, ' ')) // {_HIST_BUCKET} AS BIGINT)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M30 — document-length histogram in {w}-token buckets: the
+    profiling pass that sizes packing capacity (M29), batch shapes,
+    and truncation losses before a training run.  One narrow scan +
+    map-side-combinable aggregation."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return (
+        d.select(n_tokens.alias("n_tokens"))
+        .groupBy(F.expr(f"n_tokens DIV {_HIST_BUCKET}").cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+    )
