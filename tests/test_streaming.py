@@ -198,3 +198,67 @@ def test_foreachbatch_streaming_upsert(spark, tmp_path):
 
     rows = {r["code"]: r["title"] for r in spark.read.parquet(store).collect()}
     assert rows == {"a/x": "t2", "a/y": "t1", "a/z": "t1"}
+
+
+def test_stateful_crawl_scheduler_accumulates_across_batches(spark, tmp_path):
+    """K6+ — applyInPandasWithState: per-user state must FOLD across
+    micro-batches (not reset), and the emitted schedule must follow the
+    capped-backoff rule."""
+    src = str(tmp_path / "sched_src")
+    ev = load(spark, SF_UNIT, "events").orderBy("event_id")
+    half = ev.count() // 2
+    ev.limit(half).coalesce(1).write.mode("append").parquet(src)
+
+    sdf = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        jobs.stream_stateful_crawl_scheduler(sdf)
+        .writeStream.format("memory")
+        .queryName("t_sched")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ev.exceptAll(ev.limit(half)).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # Last emitted row per user (max n_events — counts only grow) must
+    # equal the batch-side totals.
+    got = (
+        spark.table("t_sched")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("last_sec").alias("last_sec"),
+            F.max("next_update_sec").alias("next_update_sec"),
+        )
+    )
+    batch = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.unix_timestamp("ts")).alias("last_sec"),
+    )
+    exp = {
+        r["user_id"]: (
+            r["n_events"],
+            r["last_sec"],
+            r["last_sec"] + min(3600 * r["n_events"], 86400),
+        )
+        for r in batch.collect()
+    }
+    act = {
+        r["user_id"]: (r["n_events"], r["last_sec"], r["next_update_sec"])
+        for r in got.collect()
+    }
+    assert act == exp
+    # State genuinely spanned batches: some user must have rows from
+    # both triggers with growing counts.
+    per_user_rows = (
+        spark.table("t_sched").groupBy("user_id").count().filter("count > 1").count()
+    )
+    assert per_user_rows > 0

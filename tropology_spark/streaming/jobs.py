@@ -211,6 +211,54 @@ def stream_running_count(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
 
 
+def stream_stateful_crawl_scheduler(events: DataFrame) -> DataFrame:
+    """K6+ — CUSTOM stateful operator via ``applyInPandasWithState``:
+    the re-crawl scheduler as a per-user state machine (tropology's
+    `next_update` backoff bookkeeping, SURVEY.md §3.3, as a stream).
+
+    State per user = (n_events, last_sec).  Each micro-batch folds its
+    rows into the state and emits the refreshed schedule row:
+    ``next_update_sec = last_sec + min(3600 * n_events, 86400)`` — the
+    linear-to-capped backoff shape.  This is the escape hatch for
+    stateful logic Spark's built-in windows can't express (arbitrary
+    per-key transition functions); state lives in the executor state
+    store, bounded here by key cardinality (users), at scale by a
+    timeout (GroupStateTimeout) — the watermark analog for custom
+    state.  Arrow-batched: the Python transition cost is per GROUP per
+    BATCH, not per row."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, n_events long, last_sec long, next_update_sec long"
+    )
+    state_schema = "n_events long, last_sec long"
+
+    def update(key, pdfs, state):
+        n, last = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            last = max(last, int(pdf["sec"].max()))
+        state.update((n, last))
+        backoff = min(3600 * n, 86400)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "last_sec": [last],
+                "next_update_sec": [last + backoff],
+            }
+        )
+
+    return (
+        events.select("user_id", F.unix_timestamp("ts").alias("sec"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
     """K7: stream-static enrichment join (stream events ⋈ static dim).
     The static side is broadcast per micro-batch."""
