@@ -358,3 +358,60 @@ def test_cluster_canonical_groups_transitive_chain(spark):
         )
     got = {r["doc_id"]: r["lbl"] for r in labels.collect()}
     assert got == {10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_txlog_append_overwrite_timetravel(spark, tmp_path):
+    """Transactional sink: snapshot isolation, append/overwrite commits,
+    time travel, and invisibility of uncommitted data files."""
+    from tropology_spark.sources.txlog import tx_read, tx_versions, tx_write
+
+    path = str(tmp_path / "tx_table")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+
+    v0 = tx_write(spark, df1, path, mode="overwrite")
+    v1 = tx_write(spark, df2, path, mode="append")
+    assert (v0, v1) == (0, 1)
+    assert tx_versions(path) == [0, 1]
+
+    latest = {r["id"] for r in tx_read(spark, path).collect()}
+    assert latest == {1, 2, 3}
+    # time travel to v0
+    old = {r["id"] for r in tx_read(spark, path, version=0).collect()}
+    assert old == {1, 2}
+
+    # overwrite replaces the snapshot but v0/v1 stay readable
+    df3 = spark.createDataFrame([(9, "z")], "id long, v string")
+    tx_write(spark, df3, path, mode="overwrite")
+    assert {r["id"] for r in tx_read(spark, path).collect()} == {9}
+    assert {r["id"] for r in tx_read(spark, path, version=1).collect()} == {1, 2, 3}
+
+    # an orphan data dir (crash before manifest) is invisible
+    import os
+
+    orphan = os.path.join(path, "data", "b-orphan")
+    df1.write.parquet(orphan)
+    assert {r["id"] for r in tx_read(spark, path).collect()} == {9}
+
+
+def test_txlog_commit_race_retries(spark, tmp_path):
+    """Losing the version race must retry against the new tip, not
+    clobber the winner's manifest."""
+    import json
+    import os
+
+    from tropology_spark.sources.txlog import _manifest_path, tx_read, tx_write
+
+    path = str(tmp_path / "tx_race")
+    tx_write(spark, spark.createDataFrame([(1,)], "id long"), path, mode="overwrite")
+
+    # Simulate a concurrent winner for version 1.
+    os.makedirs(os.path.dirname(_manifest_path(path, 1)), exist_ok=True)
+    with open(_manifest_path(path, 1), "w") as fh:
+        json.dump({"version": 1, "mode": "append", "files": []}, fh)
+
+    v = tx_write(spark, spark.createDataFrame([(2,)], "id long"), path, mode="append")
+    assert v == 2
+    # winner's (empty) manifest untouched; v2 = v0 files + new files
+    # (append folds from the tip manifest, which named no files)
+    assert {r["id"] for r in tx_read(spark, path, version=2).collect()} == {2}

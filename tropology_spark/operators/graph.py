@@ -515,3 +515,68 @@ def graph_neighbors_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.join(customer, e.src == customer.c_custkey).select(
         F.col("src").alias("custkey"), "c_name"
     )
+
+
+@register(
+    "graph_link_prediction",
+    oracle=_EDGES_CTE
+    + """
+    , deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    common AS (
+      SELECT a.src AS cust_a, b.src AS cust_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM edges a JOIN edges b ON a.dst = b.dst AND a.src <> b.src
+      GROUP BY a.src, b.src
+    ),
+    scored AS (
+      SELECT cust_a, cust_b, n_common,
+             round(CAST(n_common AS DOUBLE) / (da.d + db.d - n_common), 6) AS jaccard
+      FROM common
+      JOIN deg da ON cust_a = da.src
+      JOIN deg db ON cust_b = db.src
+    )
+    SELECT cust_a, cust_b, n_common, jaccard, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY cust_a
+                                       ORDER BY jaccard DESC, cust_b) AS rk
+          FROM scored) t
+    WHERE rk <= 3
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I9 — neighbor-set Jaccard link prediction: for every work, the 3
+    most similar other works ranked by shared-trope Jaccard (the
+    "related works you might also like" discovery query; common
+    neighbors I4 generalized from one pair to all pairs).
+
+    Pair enumeration is blocked by co-citation (only works sharing >= 1
+    trope meet — the same bounded shape as graph_twohop_count), degrees
+    join twice, and the top-3 window ranks on the 6-dp-rounded score
+    with the unique cust_b tie-break (the CLAUDE.md rank rule).  At
+    100 TB: the dst-blocked self-join reads the dst-bucketed edge copy
+    shuffle-free, celebrity tropes are AQE skew-split, and the rank
+    window shuffles once on cust_a."""
+    from pyspark.sql import Window
+    from tropology_spark.sources.tables import edges_materialized
+
+    e = edges_materialized(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    a, b = e.alias("a"), e.alias("b")
+    common = (
+        a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") != F.col("b.src")))
+        .groupBy(F.col("a.src").alias("cust_a"), F.col("b.src").alias("cust_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("src").alias("cust_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("src").alias("cust_b"), F.col("d").alias("db"))
+    jac = F.round(
+        F.col("n_common").cast("double") / (F.col("da") + F.col("db") - F.col("n_common")), 6
+    )
+    scored = (
+        common.join(da, "cust_a")
+        .join(db, "cust_b")
+        .select("cust_a", "cust_b", "n_common", jac.alias("jaccard"))
+    )
+    w = Window.partitionBy("cust_a").orderBy(F.col("jaccard").desc(), F.col("cust_b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+    )
