@@ -415,3 +415,32 @@ def test_txlog_commit_race_retries(spark, tmp_path):
     # winner's (empty) manifest untouched; v2 = v0 files + new files
     # (append folds from the tip manifest, which named no files)
     assert {r["id"] for r in tx_read(spark, path, version=2).collect()} == {2}
+
+
+def test_cli_list_run_oracle_sql(spark, capsys):
+    """M19 — the CLI surface: list every query, run one, print an
+    oracle, and execute ad-hoc SQL over the registered views, all
+    without stopping the shared test session."""
+    import json as _json
+
+    from tropology_spark import QUERIES, cli
+
+    assert cli.main(["list"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == len(QUERIES)
+
+    assert cli.main(["oracle", "dedup_exact"]) == 0
+    assert "md5(text)" in capsys.readouterr().out
+
+    assert cli.main(["run", "flagship_revenue_by_region", "--sf-dir", SF_UNIT]) == 0
+    rows = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(rows) == 5 and {"r_name", "revenue", "n_items"} <= set(rows[0])
+
+    assert (
+        cli.main(["sql", "SELECT count(*) AS n FROM lineitem", "--sf-dir", SF_UNIT])
+        == 0
+    )
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out == {"n": 6000}
+    # session must still be alive for subsequent tests
+    assert spark.sql("SELECT 1 AS x").collect()[0]["x"] == 1

@@ -6,6 +6,7 @@ The usability surface a reference user gets on day one:
     python -m tropology_spark.cli run flagship_revenue_by_region
     python -m tropology_spark.cli run graph_neighbors --sf-dir /root/testdata/sf0.01 --limit 5
     python -m tropology_spark.cli oracle dedup_exact     # print the DuckDB twin
+    python -m tropology_spark.cli sql "SELECT count(*) AS n FROM lineitem"
 
 Output is JSON lines (one object per row) so results pipe into jq or
 back into another job.
@@ -32,6 +33,13 @@ def main(argv: list[str] | None = None) -> int:
     orc = sub.add_parser("oracle", help="print a query's DuckDB oracle SQL")
     orc.add_argument("name")
 
+    sql = sub.add_parser(
+        "sql", help="run ad-hoc Spark SQL over the fixture tables"
+    )
+    sql.add_argument("query", help="SQL text; fixture tables are registered as views")
+    sql.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sql.add_argument("--limit", type=int, default=20, help="max rows printed (0 = all)")
+
     args = parser.parse_args(argv)
 
     from tropology_spark import ORACLES, QUERIES
@@ -49,18 +57,39 @@ def main(argv: list[str] | None = None) -> int:
         print(ORACLES[args.name].strip())
         return 0
 
+    if args.cmd == "sql":
+        from pyspark.sql import SparkSession
+
+        from tropology_spark.session import get_spark
+        from tropology_spark.sources.tables import register_views
+
+        owns_session = SparkSession.getActiveSession() is None
+        spark = get_spark("tropology-cli")
+        register_views(spark, args.sf_dir)
+        df = spark.sql(args.query)
+        rows = df.collect() if args.limit == 0 else df.limit(args.limit).collect()
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+        if owns_session:
+            spark.stop()
+        return 0
+
     if args.name not in QUERIES:
         print(f"unknown query {args.name!r}; try: python -m tropology_spark.cli list",
               file=sys.stderr)
         return 1
+    from pyspark.sql import SparkSession
+
     from tropology_spark.session import get_spark
 
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("tropology-cli")
     df = QUERIES[args.name](spark, args.sf_dir)
     rows = df.collect() if args.limit == 0 else df.limit(args.limit).collect()
     for r in rows:
         print(json.dumps(r.asDict(), default=str))
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 
