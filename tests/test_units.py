@@ -444,3 +444,35 @@ def test_cli_list_run_oracle_sql(spark, capsys):
     assert out == {"n": 6000}
     # session must still be alive for subsequent tests
     assert spark.sql("SELECT 1 AS x").collect()[0]["x"] == 1
+
+
+def test_csv_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    """Format wrappers: documents round-trip CSV AND JSONL exactly
+    (embedded spaces, unicode-safe), and malformed JSONL rows land in
+    quarantine instead of killing the read."""
+    from tropology_spark.sources import formats as FF
+    from tropology_spark.sources.tables import load
+
+    docs = load(spark, SF_UNIT, "documents")
+    want = sorted(tuple(r) for r in docs.collect())
+
+    csv_path = str(tmp_path / "docs_csv")
+    FF.write_csv(docs, csv_path)
+    back_csv, corrupt_csv = FF.quarantine_split(FF.read_csv(spark, csv_path, docs))
+    assert sorted(tuple(r) for r in back_csv.collect()) == want
+    assert corrupt_csv.count() == 0
+
+    jl_path = str(tmp_path / "docs_jsonl")
+    FF.write_jsonl(docs, jl_path)
+    back_jl, corrupt_jl = FF.quarantine_split(FF.read_jsonl(spark, jl_path, docs))
+    assert sorted(tuple(r) for r in back_jl.collect()) == want
+    assert corrupt_jl.count() == 0
+
+    # malformed line → quarantined, clean rows survive
+    bad = str(tmp_path / "bad.jsonl")
+    with open(bad, "w") as fh:
+        fh.write('{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n')
+        fh.write("THIS IS NOT JSON\n")
+    clean, corrupt = FF.quarantine_split(FF.read_jsonl(spark, bad, docs))
+    assert clean.count() == 1 and corrupt.count() == 1
+    assert corrupt.collect()[0][0] == "THIS IS NOT JSON"

@@ -1,0 +1,96 @@
+"""Text-format sources/sinks (SURVEY.md §2 A-family completeness):
+CSV and JSON-lines with explicit-schema discipline.
+
+The reference ingests exactly one wire format (HTML, A5) and persists
+via JDBC; a standalone engine also needs the two interchange formats
+every pipeline meets.  Both wrappers enforce the §1.2 rule — **no
+schema inference in production paths**: readers take an explicit
+schema (or a reference DataFrame to borrow one from), so a malformed
+file fails loudly instead of silently widening every column to
+string.
+
+Scale notes: CSV/JSONL are splittable when uncompressed (Spark
+parallelizes by byte range) but carry no column pruning or predicate
+pushdown — both wrappers exist to get data INTO parquet, not to serve
+queries.  ``PERMISSIVE``-mode corrupt-record capture keeps a 100 TB
+ingest from dying on row 37 billion.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructField, StructType, StringType
+
+#: Column capturing rows that failed to parse (PERMISSIVE mode).
+CORRUPT_COL = "_corrupt_record"
+
+
+def _schema_of(schema: Union[StructType, DataFrame]) -> StructType:
+    return schema.schema if isinstance(schema, DataFrame) else schema
+
+
+def _with_corrupt(schema: StructType) -> StructType:
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return StructType(list(schema) + [StructField(CORRUPT_COL, StringType(), True)])
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: Union[StructType, DataFrame],
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV with explicit schema; unparseable rows land in
+    ``_corrupt_record`` instead of aborting the scan (filter it to
+    quarantine them)."""
+    return (
+        spark.read.schema(_with_corrupt(_schema_of(schema)))
+        .option("header", header)
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",") -> None:
+    """CSV out (quoting handled by Spark; embedded separators/newlines
+    round-trip)."""
+    df.write.mode("overwrite").option("header", header).option("sep", sep).csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: Union[StructType, DataFrame],
+) -> DataFrame:
+    """JSON-lines with explicit schema and corrupt-row capture."""
+    return (
+        spark.read.schema(_with_corrupt(_schema_of(schema)))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines out (one object per line — the LLM-corpus wire
+    format)."""
+    df.write.mode("overwrite").json(path)
+
+
+def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, corrupt) split of a PERMISSIVE read: clean rows with the
+    capture column dropped, corrupt raw lines for the dead-letter
+    sink.  The parsed batch is cached first — Spark (correctly) refuses
+    queries that project ONLY the corrupt column from a raw file scan
+    (the parser would never mark anything corrupt), and one ingest
+    batch feeding two outputs should be parsed once anyway."""
+    df = df.cache()
+    corrupt = df.filter(df[CORRUPT_COL].isNotNull()).select(CORRUPT_COL)
+    clean = df.filter(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
+    return clean, corrupt
