@@ -162,3 +162,71 @@ def test_jaccard_block_width_recall(spark, tail_a):
     unblocked = {(r["doc_a"], r["doc_b"])
                  for r in jaccard_pairs(df, block_width=0, threshold=0.5).collect()}
     assert {(0, 1), (0, 2)} <= unblocked  # no block -> full recall
+
+
+@settings(**SMALL)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+                min_size=1,
+                max_size=30,
+            ),
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_packing_bins_are_contiguous_and_complete(spark, docs):
+    """Sequence packing (M29): every doc lands in exactly one bin, bins
+    are consecutive from 0, and each bin's pre-assignment running sum
+    respects the capacity boundary rule (bin = cum_before // cap)."""
+    from pyspark.sql import Window
+
+    cap = 16
+    rows = [(i, " ".join(toks), "en") for i, toks in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = (
+        df.select("doc_id", "lang", F.size(F.split("text", " ")).alias("n"))
+        .withColumn("cum_before", F.coalesce(F.sum("n").over(w), F.lit(0)))
+        .withColumn("bin", F.expr(f"cum_before DIV {cap}"))
+    ).collect()
+    assert len(assigned) == len(rows)
+    # Python replay: same deterministic order, same bins.
+    cum = 0
+    expect = {}
+    for i, toks in sorted(docs):
+        expect[i] = cum // cap
+        cum += len(toks)
+    got = {r["doc_id"]: r["bin"] for r in assigned}
+    assert got == expect
+    bins = sorted({b for b in got.values()})
+    assert bins == list(range(len(bins)))
+
+
+@settings(**SMALL)
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                    max_size=40, unique=True))
+def test_split_assignment_is_stable_and_total(spark, ids):
+    """Dataset split (M26): every row gets exactly one split, assignment
+    depends only on doc_id (stable across subsets), and matches the
+    md5-bucket rule."""
+    import hashlib
+
+    df = spark.createDataFrame([(i, "x", "en") for i in ids],
+                               "doc_id long, text string, lang string")
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.conv(F.substring(md5, 1, 2), 16, 10).cast("int") % 10
+    split = F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    got = {r["doc_id"]: r["s"] for r in df.select("doc_id", split.alias("s")).collect()}
+    for i in ids:
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16) % 10
+        assert got[i] == ("train" if b < 8 else "val" if b == 8 else "test"), i

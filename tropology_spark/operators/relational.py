@@ -887,3 +887,63 @@ def source_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") * F.col("id")).alias("n_squared"),
         F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("parity"),
     )
+
+
+@register(
+    "agg_unpivot_measures",
+    oracle="""
+    SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice', p_retailprice FROM part
+    """,
+)
+def agg_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long melt), the inverse of agg_pivot: each part
+    row becomes one row per measure via ``stack``.  Values are stored
+    columns (no computed doubles), so they carry across engines
+    exactly; the oracle is the equivalent UNION ALL."""
+    from tropology_spark.sources.tables import load
+
+    return load(spark, sf_dir, "part").selectExpr(
+        "p_partkey",
+        "stack(2, 'size', CAST(p_size AS DOUBLE), "
+        "'retailprice', p_retailprice) AS (measure, value)",
+    )
+
+
+@register(
+    "join_lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) o
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL join — per-customer top-2 orders via a correlated
+    derived table (literal SQL so Catalyst's lateral-subquery
+    decorrelation is the path under test; semantically the E7 rank
+    window, syntactically the SQL idiom users bring from Postgres —
+    the reference's native dialect).  Deterministic: ORDER BY the
+    stored price with the unique order key as tie-break."""
+    from tropology_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) o
+        """
+    )
