@@ -115,3 +115,31 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     joined = fact.join(dim, fact.order_year == dim.y).select("o_orderkey", "tag")
     plan = plan_of(joined)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """M25 — the benchmark (eval) side must be the broadcast build side;
+    the corpus shingle stream must not shuffle for the join."""
+    plan = plan_of(QUERIES["text_contamination"](spark, SF_UNIT))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_link_prediction_broadcasts_degrees(spark):
+    """M32 — degree enrichment must broadcast the O(nodes) side, never
+    shuffle the O(pairs) table; pair blocking stays an equi join."""
+    plan = plan_of(QUERIES["graph_link_prediction"](spark, SF_UNIT))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    """M37 — the LATERAL LIMIT-per-group subquery must decorrelate into
+    a rank window (or equivalent join), never a per-row nested loop."""
+    plan = plan_of(QUERIES["join_lateral_topk"](spark, SF_UNIT))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_split_assign_partial_aggregates(spark):
+    """M26 — the profiling groupBy must partial-aggregate map-side."""
+    plan = plan_of(QUERIES["pipeline_split_assign"](spark, SF_UNIT), "simple")
+    assert plan.count("HashAggregate") >= 2

@@ -208,8 +208,11 @@ def test_packing_bins_are_contiguous_and_complete(spark, docs):
         cum += len(toks)
     got = {r["doc_id"]: r["bin"] for r in assigned}
     assert got == expect
-    bins = sorted({b for b in got.values()})
-    assert bins == list(range(len(bins)))
+    # Bins start at 0 and only move forward in doc_id order (a doc
+    # longer than the capacity may legitimately skip bin numbers).
+    ordered_bins = [expect[i] for i, _ in sorted(docs)]
+    assert ordered_bins[0] == 0
+    assert all(a <= b for a, b in zip(ordered_bins, ordered_bins[1:]))
 
 
 @settings(**SMALL)

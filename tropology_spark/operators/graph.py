@@ -570,9 +570,12 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.round(
         F.col("n_common").cast("double") / (F.col("da") + F.col("db") - F.col("n_common")), 6
     )
+    # Degrees are O(nodes) — broadcast them so the O(pairs) table
+    # (17M rows at sf0.1) is never shuffled for the enrichment joins;
+    # without the hint Catalyst sort-merge-joins the pair table twice.
     scored = (
-        common.join(da, "cust_a")
-        .join(db, "cust_b")
+        common.join(F.broadcast(da), "cust_a")
+        .join(F.broadcast(db), "cust_b")
         .select("cust_a", "cust_b", "n_common", jac.alias("jaccard"))
     )
     w = Window.partitionBy("cust_a").orderBy(F.col("jaccard").desc(), F.col("cust_b"))

@@ -1,0 +1,83 @@
+"""Graph traversal operators (SURVEY.md §2.M M38) — bounded-depth
+shortest paths over the bipartite wiki-link graph.
+
+Registered after the pipeline_ops module on purpose: the driver's
+correctness window covers registry positions in insertion order, and
+the north-star pipeline ops outrank traversal depth for window slots
+(tropology_spark/__init__.py ordering note).
+
+Scale notes (§7.7): each expansion is one join of the frontier against
+the src-bucketed edge table — frontier-sized shuffle, never an edge
+shuffle.  Depth is fixed (the product shape: "how close is trope X" UI
+hops are 2-3), which bounds cost AND makes the operator ANSI-SQL
+expressible via unrolled CTEs, the graph_pagerank3 trick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tropology_spark.registry import register
+from tropology_spark.sources.tables import CUST_A
+
+_BI_CTE = """
+    WITH edges AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    bi AS (SELECT 'c:' || CAST(src AS VARCHAR) AS u,
+                  'p:' || CAST(dst AS VARCHAR) AS v FROM edges
+           UNION ALL
+           SELECT 'p:' || CAST(dst AS VARCHAR), 'c:' || CAST(src AS VARCHAR)
+           FROM edges)
+"""
+
+
+@register(
+    "graph_bfs3",
+    oracle=_BI_CTE
+    + f"""
+    , n1 AS (SELECT DISTINCT v FROM bi WHERE u = 'c:{CUST_A}'),
+      n2 AS (SELECT DISTINCT b.v FROM bi b JOIN n1 ON b.u = n1.v),
+      n3 AS (SELECT DISTINCT b.v FROM bi b JOIN n2 ON b.u = n2.v),
+      levels AS (
+        SELECT 'c:{CUST_A}' AS node, 0 AS dist
+        UNION ALL SELECT v, 1 FROM n1
+        UNION ALL SELECT v, 2 FROM n2
+        UNION ALL SELECT v, 3 FROM n3)
+    SELECT node, CAST(min(dist) AS BIGINT) AS dist
+    FROM levels GROUP BY node
+    """,
+)
+def graph_bfs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M38 — BFS shortest-path distance (<= 3 hops) from a focus work
+    over the undirected bipartite graph: the "degrees of separation"
+    between a work and every reachable trope/work in UI range.
+
+    Three frontier expansions (join frontier → edge table, distinct),
+    then min-distance per node over the leveled union — identical
+    unrolled shape in the DuckDB oracle.  Distances are small ints;
+    node ids are namespaced strings — exact carriers."""
+    from tropology_spark.sources.tables import edges_materialized
+
+    e = edges_materialized(spark, sf_dir)
+    c_node = F.concat(F.lit("c:"), F.col("src").cast("string"))
+    p_node = F.concat(F.lit("p:"), F.col("dst").cast("string"))
+    bi = (
+        e.select(c_node.alias("u"), p_node.alias("v"))
+        .unionByName(e.select(p_node.alias("u"), c_node.alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    start = spark.createDataFrame([(f"c:{CUST_A}",)], "v string")
+    levels = [start.select(F.col("v").alias("node"), F.lit(0).alias("dist"))]
+    frontier = start
+    for depth in (1, 2, 3):
+        frontier = (
+            bi.join(frontier.select(F.col("v").alias("u")), "u")
+            .select("v")
+            .distinct()
+        )
+        levels.append(frontier.select(F.col("v").alias("node"), F.lit(depth).alias("dist")))
+    leveled = levels[0]
+    for lv in levels[1:]:
+        leveled = leveled.unionByName(lv)
+    return leveled.groupBy("node").agg(F.min("dist").cast("bigint").alias("dist"))
