@@ -57,8 +57,10 @@ def main() -> None:
     names = sorted(QUERIES)
     # Heavy queries first so they overlap the long tail of small ones.
     heavy = [
-        "fn_fuzzy_levenshtein", "graph_connected_components", "graph_pagerank3",
+        "graph_link_prediction", "fn_fuzzy_levenshtein",
+        "graph_connected_components", "graph_pagerank3",
         "graph_twohop_count", "join_self_twohop", "sim_knn_join",
+        "dedup_ngram_jaccard",
     ]
     ordered = [n for n in heavy if n in names] + [n for n in names if n not in heavy]
 
