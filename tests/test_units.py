@@ -476,3 +476,33 @@ def test_csv_jsonl_roundtrip_and_quarantine(spark, tmp_path):
     clean, corrupt = FF.quarantine_split(FF.read_jsonl(spark, bad, docs))
     assert clean.count() == 1 and corrupt.count() == 1
     assert corrupt.collect()[0][0] == "THIS IS NOT JSON"
+
+
+def test_txlog_compact_preserves_rows_and_history(spark, tmp_path):
+    """Compaction rewrites the snapshot as one batch: same rows, fewer
+    files in the new manifest, old versions untouched."""
+    from tropology_spark.sources.txlog import (
+        _read_manifest,
+        tx_compact,
+        tx_read,
+        tx_versions,
+        tx_write,
+    )
+
+    path = str(tmp_path / "tx_compact")
+    for i in range(3):
+        tx_write(
+            spark,
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string").repartition(2),
+            path,
+            mode="append",
+        )
+    before = _read_manifest(path, tx_versions(path)[-1])
+    v = tx_compact(spark, path)
+    after = _read_manifest(path, v)
+    assert {tuple(r) for r in tx_read(spark, path).collect()} == {
+        (0, "v0"), (1, "v1"), (2, "v2")
+    }
+    assert len(after["files"]) < len(before["files"])
+    # history intact
+    assert tx_read(spark, path, version=0).count() == 1

@@ -126,6 +126,20 @@ def tx_write(
     raise RuntimeError(f"tx_write: lost the commit race {max_retries} times")
 
 
+def tx_compact(spark: SparkSession, path: str) -> int:
+    """Rewrite the current snapshot as one fresh batch and commit it as
+    an overwrite: append-heavy tables accumulate one file set per
+    commit, and both the manifest file-list and small-file count grow
+    with commit frequency (the documented cost of any log-structured
+    table).  Readers of old versions are unaffected — data files are
+    immutable and compaction only publishes a NEW manifest.  Vacuuming
+    unreferenced files is intentionally separate (and not implemented):
+    deleting data is a retention policy, not a compaction side
+    effect."""
+    snapshot = tx_read(spark, path)
+    return tx_write(spark, snapshot, path, mode="overwrite")
+
+
 def tx_read(
     spark: SparkSession, path: str, version: Optional[int] = None
 ) -> DataFrame:
