@@ -262,3 +262,39 @@ def test_stateful_crawl_scheduler_accumulates_across_batches(spark, tmp_path):
         spark.table("t_sched").groupBy("user_id").count().filter("count > 1").count()
     )
     assert per_user_rows > 0
+
+
+def test_streaming_transactional_ingest(spark, tmp_path):
+    """foreachBatch → txlog: each micro-batch commits atomically, the
+    table gains one readable version per batch, and history is
+    time-travelable — the transactional variant of the crawl persist
+    loop."""
+    from tropology_spark.sources.txlog import tx_read, tx_versions, tx_write
+
+    src = str(tmp_path / "tx_src")
+    table = str(tmp_path / "tx_table")
+    schema = "code string, title string"
+
+    spark.createDataFrame([("a/x", "t1")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+
+    def sink(batch_df, batch_id):
+        if batch_df.count() > 0:
+            tx_write(spark, batch_df, table, mode="append")
+
+    q = sdf.writeStream.foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame([("a/y", "t1")], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert tx_versions(table) == [0, 1]
+    assert {r["code"] for r in tx_read(spark, table).collect()} == {"a/x", "a/y"}
+    assert tx_read(spark, table, version=0).count() == 1

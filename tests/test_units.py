@@ -506,3 +506,44 @@ def test_txlog_compact_preserves_rows_and_history(spark, tmp_path):
     assert len(after["files"]) < len(before["files"])
     # history intact
     assert tx_read(spark, path, version=0).count() == 1
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """ANN quality gate: on CLUSTERED vectors (the distribution IVF is
+    built for — the fixture's near-orthogonal random vectors are not),
+    2-probe IVF top-k must recover the full brute-force top-k, which
+    lives inside the query's own cluster."""
+    import math
+    import random
+
+    from tropology_spark.operators.similarity import ivf_topk
+
+    rng = random.Random(7)
+    dim, per_cluster = 8, 12
+    rows = []
+    vid = 0
+    for c in range(4):
+        center = [rng.uniform(-1, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in center))
+        center = [x / n for x in center]
+        for _ in range(per_cluster):
+            vec = [x + rng.uniform(-0.05, 0.05) for x in center]
+            rows.append((vid, c, vec))
+            vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    got = {r["vec_id"] for r in ivf_topk(emb, query_vec_id=0, k=5).collect()}
+    # Brute-force top-5 for vec 0 (python replay)
+    def cos(a, b):
+        dp = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dp / (na * nb)
+
+    q = rows[0][2]
+    brute = sorted(
+        ((cos(q, v), i) for i, _, v in rows if i != 0), reverse=True
+    )[:5]
+    want = {i for _, i in brute}
+    assert got == want

@@ -486,3 +486,49 @@ def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M41 — incremental (cross-snapshot) dedup
+# ---------------------------------------------------------------------------
+
+_PRIOR_MOD = 7  # doc_id % 7 == 0 plays the already-ingested corpus
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH prior AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % {_PRIOR_MOD} = 0
+    ),
+    batch AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % {_PRIOR_MOD} <> 0
+    )
+    SELECT b.doc_id, b.h AS text_hash
+    FROM batch b LEFT JOIN prior p ON b.h = p.h
+    WHERE p.h IS NULL
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M41 — incremental ingestion dedup: which documents in the new
+    batch are NOT already in the existing corpus, by content hash
+    (docs with doc_id % 7 == 0 stand in for the prior snapshot).
+
+    The daily-crawl shape: the prior corpus is represented by its hash
+    set only — at 100 TB that set is a fraction of corpus bytes (16 B/
+    doc), lives pre-bucketed on the hash, and the anti-join is
+    shuffle-free against it; the new batch is the only full-width
+    scan.  Expressed as a left-anti join (C6's frontier idiom applied
+    to content identity)."""
+    d = load(spark, sf_dir, "documents")
+    prior = (
+        d.filter(F.col("doc_id") % _PRIOR_MOD == 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    batch = d.filter(F.col("doc_id") % _PRIOR_MOD != 0).select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+    return batch.join(
+        prior, batch.text_hash == prior.h, "left_anti"
+    ).select("doc_id", "text_hash")

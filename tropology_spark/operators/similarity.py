@@ -339,9 +339,18 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the assignment is written bucketed by cell so a probe
     touches only matching buckets."""
-    from pyspark.sql import Window
+    return ivf_topk(load(spark, sf_dir, "embeddings"), QUERY_VEC_ID)
 
-    e = load(spark, sf_dir, "embeddings")
+
+def ivf_topk(
+    e: DataFrame, query_vec_id: int, n_probe: int = 2, k: int = 10
+) -> DataFrame:
+    """The IVF search pipeline over any ``(vec_id, label, embedding)``
+    frame (labels seed one centroid per partition).  Exactness is
+    oracle-pinned on the fixture (sim_ivf_topk); recall quality is
+    pinned on clustered synthetic data in
+    tests/test_units.py::test_ivf_recall_on_clustered_data."""
+    from pyspark.sql import Window
     ex = e.select(
         "vec_id", "label", F.posexplode(F.col("embedding")).alias("pos0", "v")
     ).select(
@@ -378,17 +387,17 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("clabel").alias("cell"))
     )
     probe = (
-        vc.filter(F.col("vec_id") == QUERY_VEC_ID)
+        vc.filter(F.col("vec_id") == query_vec_id)
         .withColumn("rn", F.row_number().over(
             Window.orderBy(F.col("ccos").desc(), F.col("clabel"))))
-        .filter(F.col("rn") <= 2)
+        .filter(F.col("rn") <= n_probe)
         .select(F.col("clabel").alias("pcell"))
     )
     cand = (
         assign.join(F.broadcast(probe), assign.cell == F.col("pcell"), "left_semi")
-        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .filter(F.col("vec_id") != query_vec_id)
     )
-    q = ex.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    q = ex.filter(F.col("vec_id") == query_vec_id).select(
         F.col("pos").alias("qpos"), F.col("val").alias("qval")
     )
     d = (
@@ -397,7 +406,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum(F.col("val") * F.col("qval")).alias("dp"))
     )
-    qn = nrm.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("nv").alias("nq"))
+    qn = nrm.filter(F.col("vec_id") == query_vec_id).select(F.col("nv").alias("nq"))
     return (
         d.join(cand, "vec_id")
         .join(nrm, "vec_id")
@@ -408,5 +417,5 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dp") / (F.col("nv") * F.col("nq")), 6).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
-        .limit(10)
+        .limit(k)
     )
