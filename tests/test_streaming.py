@@ -298,3 +298,57 @@ def test_streaming_transactional_ingest(spark, tmp_path):
     assert tx_versions(table) == [0, 1]
     assert {r["code"] for r in tx_read(spark, table).collect()} == {"a/x", "a/y"}
     assert tx_read(spark, table, version=0).count() == 1
+
+
+def _tws_runner_available() -> bool:
+    """transformWithStateInPandas spawns a separate streaming Python
+    runner that imports google.protobuf; if that import is broken in
+    the env, the query crashes at init (not at plan time)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _tws_runner_available(),
+    reason="transformWithState streaming runner needs google.protobuf",
+)
+def test_transform_with_state_matches_applyinpandas_twin(spark, tmp_path):
+    """The transformWithStateInPandas scheduler must produce the same
+    final per-user schedule as the applyInPandasWithState one over the
+    same two micro-batches."""
+    src = str(tmp_path / "tws_src")
+    ev = load(spark, SF_UNIT, "events").orderBy("event_id").limit(400)
+    ev.limit(200).coalesce(1).write.mode("append").parquet(src)
+
+    def run(builder, name):
+        sdf = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            builder(sdf)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+        return (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("next_update_sec").alias("next_update_sec"),
+            )
+        )
+
+    ev.exceptAll(ev.limit(200)).coalesce(1).write.mode("append").parquet(src)
+    old_api = run(jobs.stream_stateful_crawl_scheduler, "t_sched_old")
+    new_api = run(jobs.stream_stateful_scheduler_tws, "t_sched_tws")
+    assert_same_rows(old_api, new_api, ["user_id", "n_events", "next_update_sec"])

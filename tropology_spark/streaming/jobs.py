@@ -259,6 +259,81 @@ def stream_stateful_crawl_scheduler(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_stateful_scheduler_tws(events: DataFrame) -> DataFrame:
+    """K6+ twin on the NEWER stateful API (`transformWithStateInPandas`,
+    Spark 4): the same per-user crawl-scheduler state machine as
+    ``stream_stateful_crawl_scheduler``, expressed as a
+    ``StatefulProcessor`` with an explicit named ValueState.
+
+    The two APIs are semantically equivalent here (tests assert equal
+    outputs); transformWithState adds what the scheduler would use
+    next at scale — timers (emit a due-list WITHOUT waiting for the
+    user's next event) and state TTL (drop users idle past the
+    re-crawl horizon) — so this is the forward path, kept alongside
+    the stable API.
+
+    Env gate: the transformWithState streaming runner is a separate
+    Python driver process that imports google.protobuf at init; where
+    that package is broken the query crashes at start (SQLSTATE XXKST)
+    — the parity test skips itself in that case and
+    ``stream_stateful_crawl_scheduler`` remains the tested path."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("n_events", LongType(), False),
+            StructField("last_sec", LongType(), False),
+            StructField("next_update_sec", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n_events", LongType(), False),
+            StructField("last_sec", LongType(), False),
+        ]
+    )
+
+    class SchedulerProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("sched", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, last = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                last = max(last, int(pdf["sec"].max()))
+            self._state.update((n, last))
+            backoff = min(3600 * n, 86400)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "last_sec": [last],
+                    "next_update_sec": [last + backoff],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", F.unix_timestamp("ts").alias("sec"))
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SchedulerProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
     """K7: stream-static enrichment join (stream events ⋈ static dim).
     The static side is broadcast per micro-batch."""
