@@ -532,3 +532,202 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(
         prior, batch.text_hash == prior.h, "left_anti"
     ).select("doc_id", "text_hash")
+
+
+# ---------------------------------------------------------------------------
+# M42 — inverted index (token → posting list)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_inverted_index",
+    oracle="""
+    SELECT token,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(count(*) AS BIGINT) AS total_tf,
+           array_to_string(list_sort(list(DISTINCT doc_id))[1:5], ',') AS top_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M42 — inverted-index construction: token → document frequency,
+    total term frequency, and the first five posting doc_ids (sorted,
+    comma-joined — a string so both engines serialize it identically).
+
+    The retrieval-side primitive of a data pipeline (quality probes,
+    corpus search, dedup forensics all query it).  One explode + one
+    groupBy: the shuffle is proportional to distinct (token, doc)
+    pairs and partial aggregation combines map-side; at 100 TB the
+    posting lists are the large payload, which is why the declared
+    query truncates them — production writes the full lists bucketed
+    by token so index lookups are single-partition."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    return tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(F.collect_set("doc_id")), 1, 5),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("top_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M43 — deterministic global shuffle → shard layout
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+@register(
+    "pipeline_shard_layout",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS h,
+             ((strpos('0123456789abcdef',
+                      substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef',
+                       substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               % {_N_SHARDS} AS shard
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                AS BIGINT) AS pos
+    FROM b
+    """,
+)
+def pipeline_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M43 — deterministic global shuffle: every doc gets a shard
+    (first md5 byte of its id, mod {n}) and a position within the
+    shard (row_number over the md5 hex, so the within-shard order is a
+    content-independent pseudo-random permutation).
+
+    This is how training data is actually shuffled at 100 TB: a full
+    sort is pointless, a `rand()` order is irreproducible — a hash
+    shard + hash order is both parallel (one shuffle on the shard key,
+    then in-partition sort) and exactly reproducible on any engine,
+    which the DuckDB oracle demonstrates.  Production follows with
+    `partitionBy('shard')` parquet writes (A7)."""
+    d = load(spark, sf_dir, "documents")
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    b = d.select(
+        "doc_id",
+        md5.alias("h"),
+        (F.conv(F.substring(md5, 1, 2), 16, 10).cast("int") % _N_SHARDS)
+        .cast("bigint")
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return b.select(
+        "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M44 — per-language length-percentile quality gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_length_gate",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, lang, n_chars,
+             percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS pr
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM r WHERE pr >= 0.05 AND pr <= 0.95
+    """,
+)
+def text_length_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M44 — length-outlier gate: keep documents inside the per-
+    language 5th–95th percentile band of n_chars (drop truncated
+    fragments and concatenation blobs — the standard first quality
+    filter).  percent_rank is (rank-1)/(n-1) on a unique integer
+    ordering (n_chars, doc_id), so both engines compute bit-identical
+    doubles and the band comparison is deterministic; the output
+    itself is all integers.  One shuffle on lang; at 100 TB the
+    per-lang rank would be computed on a sampled quantile sketch
+    instead (approx_percentile), traded here for exactness."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    pr = F.percent_rank().over(w)
+    return (
+        d.select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"), pr.alias("pr"))
+        .filter((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M45 — vocabulary build + per-doc OOV rate
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 20
+
+
+@register(
+    "text_vocab_oov",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    freq AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, row_number() OVER (ORDER BY n DESC, token) AS rn FROM freq
+      ) WHERE rn <= {_VOCAB_K}
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+    """,
+)
+def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M45 — vocabulary coverage: build the top-{k} corpus vocabulary
+    (frequency desc, token asc tie-break — deterministic on integer
+    counts) and report each document's out-of-vocabulary token count
+    and rate (exact integer ratio, one rounded division).
+
+    The tokenizer-fitting feedback loop: high corpus OOV → grow the
+    vocab or fix normalization.  The vocab is by construction tiny →
+    broadcast to the token pass, so the corpus is scanned once with
+    no shuffle besides the per-doc aggregation.  The top-k window is
+    a single-partition sort over distinct tokens only (already
+    aggregated), not over raw corpus tokens."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    wv = Window.orderBy(F.col("n").desc(), F.col("token"))
+    vocab = (
+        freq.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= _VOCAB_K)
+        .select(F.col("token").alias("v_token"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), tok.token == F.col("v_token"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("v_token").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("v_token").isNull(), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
