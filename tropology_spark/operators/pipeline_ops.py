@@ -731,3 +731,168 @@ def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M46 — stratified deterministic sample
+# ---------------------------------------------------------------------------
+
+_SAMPLE_PER_STRATUM = 25
+
+
+@register(
+    "pipeline_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS samp_rank
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= {_SAMPLE_PER_STRATUM}
+    """,
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M46 — stratified reproducible sampling: the {n} docs with the
+    smallest md5(doc_id) per language — a uniform random sample per
+    stratum that any engine reproduces exactly (the eval-set /
+    human-inspection selection idiom; `TABLESAMPLE` and `rand()` give
+    a different set every run and can't be re-derived).
+
+    One shuffle on the stratum key; the per-partition top-n needs no
+    full sort at scale (rank + filter; at 100 TB replace the window
+    with a per-partition bounded heap via the same top-k-per-group
+    shape as E7)."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _SAMPLE_PER_STRATUM)
+        .select("doc_id", "lang", F.col("rn").cast("bigint").alias("samp_rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# M47 — hot-key / skew profile (group-size histogram)
+# ---------------------------------------------------------------------------
+
+
+def _pow2_bucket_sql(col: str) -> str:
+    """CASE chain mapping a positive integer count to floor(log2(n))
+    with pure integer comparisons — no float log, so the bucket edges
+    are exact in every engine."""
+    whens = "\n".join(
+        f"WHEN {col} >= {1 << p} THEN {p}" for p in range(30, 0, -1)
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+@register(
+    "pipeline_skew_profile",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    )
+    SELECT CAST({_pow2_bucket_sql('n')} AS BIGINT) AS bucket_pow,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS sum_events,
+           CAST(max(n) AS BIGINT) AS max_key_count
+    FROM per_key
+    GROUP BY 1
+    """,
+)
+def pipeline_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M47 — shuffle-skew diagnosis: histogram of per-key group sizes
+    in power-of-two buckets (how many join/groupBy keys carry 2^p..
+    2^(p+1) rows), plus the heaviest key's count.  This is the report
+    you run BEFORE a 100 TB join to decide between plain shuffle, AQE
+    skew-split, and salting (M23's toolkit) — a long tail plus a
+    multi-million-row bucket means salt the top keys.  Two map-side-
+    combinable aggregations; the bucket edges are integer comparisons
+    (no float log2), identical across engines."""
+    ev = load(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    bucket = F.expr(_pow2_bucket_sql("n")).cast("bigint")
+    return (
+        per_key.groupBy(bucket.alias("bucket_pow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").cast("bigint").alias("sum_events"),
+            F.max("n").cast("bigint").alias("max_key_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M48 — Z-order layout key (multi-dimensional clustering)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 16
+_Z_BUCKET_SHIFT = 12
+
+
+def _zkey_sql(a: str, b: str, shift: str) -> str:
+    """Bit-interleave expression z = …b1a1b0a0 over the low {bits}
+    bits of ``a`` and ``b`` as a sum of masked shifts — plain integer
+    arithmetic (``shift`` spells the engine's right-shift: 'shiftright'
+    style callables differ between Spark SQL and DuckDB)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"({shift.format(col=a, n=i)} & 1) * {1 << (2 * i)}")
+        terms.append(f"({shift.format(col=b, n=i)} & 1) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+_Z_DUCK = _zkey_sql("(o_custkey % 65536)", "(day % 65536)", "({col} >> {n})")
+_Z_SPARK = _zkey_sql("(o_custkey % 65536)", "(day % 65536)", "shiftright({col}, {n})")
+
+
+@register(
+    "pipeline_zorder_layout",
+    oracle=f"""
+    WITH d AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS day
+      FROM orders
+    ),
+    z AS (SELECT o_orderkey, CAST({_Z_DUCK} AS BIGINT) AS zkey FROM d)
+    SELECT CAST(zkey >> {_Z_BUCKET_SHIFT} AS BIGINT) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(zkey) AS BIGINT) AS min_z,
+           CAST(max(zkey) AS BIGINT) AS max_z,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+    FROM z GROUP BY 1
+    """,
+)
+def pipeline_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M48 — Z-order (Morton) clustering key over (customer, order
+    day): interleaving the two dimensions' bits gives a 1-D sort key
+    whose ranges are 2-D locality boxes, so files sorted by it can be
+    pruned by min/max statistics for BOTH `o_custkey` filters and date
+    ranges — the data-layout trick behind Delta's OPTIMIZE ZORDER,
+    expressed in pure integer arithmetic both engines evaluate
+    identically.  The query reports per-bucket occupancy (the file-
+    skipping profile a layout job would print); production follows
+    with a range-partitioned write sorted by zkey.  One narrow scan +
+    one aggregation."""
+    o = load(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day"),
+    )
+    z = d.select("o_orderkey", F.expr(_Z_SPARK).cast("bigint").alias("zkey"))
+    return (
+        z.groupBy(
+            F.shiftright(F.col("zkey"), _Z_BUCKET_SHIFT).cast("bigint").alias("zbucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("zkey").cast("bigint").alias("min_z"),
+            F.max("zkey").cast("bigint").alias("max_z"),
+            F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+        )
+    )
