@@ -564,16 +564,25 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     by token so index lookups are single-partition."""
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
-    return tok.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df"),
-        F.count(F.lit(1)).alias("total_tf"),
-        F.array_join(
-            F.transform(
-                F.slice(F.array_sort(F.collect_set("doc_id")), 1, 5),
-                lambda x: x.cast("string"),
-            ),
-            ",",
-        ).alias("top_docs"),
+    # df derives from the collected posting set rather than a separate
+    # countDistinct: a distinct-agg next to collect_set would plan a
+    # second Exchange (expand + re-shuffle); this way the whole query
+    # is one partial+final aggregation.
+    postings = F.array_sort(F.collect_set("doc_id"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            postings.alias("p"),
+            F.count(F.lit(1)).alias("total_tf"),
+        )
+        .select(
+            "token",
+            F.size("p").cast("bigint").alias("df"),
+            "total_tf",
+            F.array_join(
+                F.transform(F.slice(F.col("p"), 1, 5), lambda x: x.cast("string")), ","
+            ).alias("top_docs"),
+        )
     )
 
 
