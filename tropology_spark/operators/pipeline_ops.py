@@ -905,3 +905,154 @@ def pipeline_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M49 — CDC changelog apply (last-writer-wins snapshot)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_cdc_apply",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM events
+    )
+    SELECT user_id,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           event_type AS last_type,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def pipeline_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M49 — changelog → snapshot materialization (the MERGE half of
+    CDC ingestion): treat events as a per-user change stream, keep the
+    last writer by (ts, event_id) — the unique tie-break the exactness
+    rules require — and drop keys whose final change is a delete
+    (``event_type = 'error'`` plays the tombstone).
+
+    One shuffle on the key, one window pass: the same top-1-per-group
+    shape as E7, which is exactly how Delta/Iceberg MERGE compaction
+    resolves multiple updates to a key inside a batch.  Pairs with the
+    M33 transactional sink (write the snapshot atomically) and M41
+    (incremental arrival filtering)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    wc = Window.partitionBy("user_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_changes"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_id").cast("bigint").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.col("n_changes").cast("bigint").alias("n_changes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M50 — data-quality constraint report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_dq_report",
+    oracle="""
+    SELECT 'orders_orphan_custkey' AS check_name,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+             AS n_violations,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_scanned
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_dup_orderkey',
+           CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'customer_null_name',
+           CAST((SELECT count(*) FROM customer WHERE c_name IS NULL) AS BIGINT),
+           CAST((SELECT count(*) FROM customer) AS BIGINT)
+    UNION ALL
+    SELECT 'events_nonpositive_value',
+           CAST((SELECT count(*) FROM events WHERE value <= 0) AS BIGINT),
+           CAST((SELECT count(*) FROM events) AS BIGINT)
+    """,
+)
+def pipeline_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M50 — dbt-style data-quality audit: referential integrity
+    (orphan foreign keys via left-anti joins), primary-key uniqueness,
+    null constraints, and a domain check, one row per check with the
+    violation and scanned counts.  The gate a production pipeline runs
+    between ingest and publish (M33's commit step would abort on
+    n_violations > 0).
+
+    Each same-table check is a single conditional aggregation (one
+    scan per table); the two integrity checks are anti-joins where the
+    lookup side ships as a broadcast at dim scale or a co-bucketed
+    join at fact scale (M23).  Everything is a count → exact."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    ev = load(spark, sf_dir, "events")
+
+    def one(name: str, viol, scanned) -> DataFrame:
+        return viol.crossJoin(scanned).select(
+            F.lit(name).alias("check_name"),
+            F.col("v").cast("bigint").alias("n_violations"),
+            F.col("s").cast("bigint").alias("n_scanned"),
+        )
+
+    n_orders = o.agg(F.count(F.lit(1)).alias("s"))
+    checks = [
+        one(
+            "orders_orphan_custkey",
+            o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+                F.count(F.lit(1)).alias("v")
+            ),
+            n_orders,
+        ),
+        one(
+            "lineitem_orphan_orderkey",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti").agg(
+                F.count(F.lit(1)).alias("v")
+            ),
+            li.agg(F.count(F.lit(1)).alias("s")),
+        ),
+        one(
+            "orders_dup_orderkey",
+            o.agg((F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v")),
+            n_orders,
+        ),
+        one(
+            "customer_null_name",
+            c.agg(F.sum(F.when(F.col("c_name").isNull(), 1).otherwise(0)).alias("v")),
+            c.agg(F.count(F.lit(1)).alias("s")),
+        ),
+        one(
+            "events_nonpositive_value",
+            ev.agg(F.sum(F.when(F.col("value") <= 0, 1).otherwise(0)).alias("v")),
+            ev.agg(F.count(F.lit(1)).alias("s")),
+        ),
+    ]
+    out = checks[0]
+    for ck in checks[1:]:
+        out = out.unionByName(ck)
+    return out
