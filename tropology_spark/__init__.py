@@ -35,6 +35,7 @@ from tropology_spark.operators import pipeline_ops  # noqa: F401
 from tropology_spark.operators import graph_paths  # noqa: F401
 from tropology_spark.operators import media_frames  # noqa: F401
 from tropology_spark.operators import timeseries  # noqa: F401
+from tropology_spark.operators import analytics  # noqa: F401
 from tropology_spark.operators import windows  # noqa: F401
 from tropology_spark.operators import aggregates  # noqa: F401
 from tropology_spark.operators import relational  # noqa: F401
