@@ -142,3 +142,126 @@ def analytics_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", off.alias("week_offset"))
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# M53 — end-to-end curation pipeline (composition of the M-stages)
+# ---------------------------------------------------------------------------
+
+_REP_MAX = 0.2  # max duplicate-bigram ratio (text_repetition's signal)
+
+
+@register(
+    "pipeline_curation_e2e",
+    oracle=f"""
+    WITH gate AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               percent_rank() OVER (PARTITION BY lang
+                                    ORDER BY n_chars, doc_id) AS pr
+        FROM documents
+      ) WHERE pr >= 0.05 AND pr <= 0.95
+    ),
+    g AS (
+      SELECT doc_id, l[i] || ' ' || l[i+1] AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           (SELECT unnest(generate_series(1, 4096)) AS i)
+      WHERE i <= len(l) - 1
+    ),
+    rep AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, count(*) AS n_bigrams, count(DISTINCT bg) AS n_unique
+        FROM g GROUP BY doc_id
+      ) WHERE CAST(n_bigrams - n_unique AS DOUBLE) / n_bigrams <= {_REP_MAX}
+    ),
+    tok AS (
+      SELECT DISTINCT doc_id, substring(text, 1, 40) AS pfx,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    siz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM tok a
+      JOIN tok b ON a.token = b.token AND a.pfx = b.pfx AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN siz sa ON doc_a = sa.doc_id
+      JOIN siz sb ON doc_b = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    ),
+    es AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs
+           UNION ALL SELECT doc_id, doc_id FROM documents),
+    l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
+    l1 AS (SELECT e.d AS doc_id, min(l.lbl) AS lbl FROM es e
+           JOIN l0 l ON l.doc_id = e.s GROUP BY e.d),
+    l2 AS (SELECT e.d AS doc_id, min(l.lbl) AS lbl FROM es e
+           JOIN l1 l ON l.doc_id = e.s GROUP BY e.d),
+    l3 AS (SELECT e.d AS doc_id, min(l.lbl) AS lbl FROM es e
+           JOIN l2 l ON l.doc_id = e.s GROUP BY e.d),
+    canon AS (SELECT doc_id FROM l3 WHERE doc_id = lbl),
+    kept AS (
+      SELECT d.doc_id, d.lang, d.source,
+             len(string_split(d.text, ' ')) AS n_tokens
+      FROM documents d
+      JOIN gate USING (doc_id)
+      JOIN rep USING (doc_id)
+      JOIN canon USING (doc_id)
+    )
+    SELECT d.lang, d.source,
+           CAST(count(*) AS BIGINT) AS n_docs_in,
+           CAST(count(k.doc_id) AS BIGINT) AS n_docs_kept,
+           CAST(coalesce(sum(k.n_tokens), 0) AS BIGINT) AS sum_tokens_kept
+    FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M53 — the curation stages COMPOSED: a document survives iff it
+    passes the per-lang length band (M44), has duplicate-bigram ratio
+    <= {r} (M28's signal as a filter), and is its near-dup cluster's
+    canonical representative (M24).  Reported as per-(lang, source)
+    yield — docs in, docs kept, kept token budget — the table a data
+    lead reads before a training run.
+
+    Built by composing the registered stage builders directly (each
+    returns a DataFrame; Catalyst fuses the semi-joins into one plan),
+    so the e2e query cannot drift from the stages it summarizes.  The
+    unrounded exact-integer ratios are compared to thresholds only —
+    both engines evaluate the identical IEEE division."""
+    from tropology_spark import QUERIES
+
+    d = load(spark, sf_dir, "documents")
+    gate = QUERIES["text_length_gate"](spark, sf_dir).select("doc_id")
+    rep_src = QUERIES["text_repetition"](spark, sf_dir)
+    rep = rep_src.filter(
+        (F.col("n_bigrams") - F.col("n_unique")).cast("double") / F.col("n_bigrams")
+        <= _REP_MAX
+    ).select("doc_id")
+    canon = (
+        QUERIES["dedup_cluster_canonical"](spark, sf_dir)
+        .filter(F.col("is_kept") == 1)
+        .select("doc_id")
+    )
+    kept = (
+        d.join(gate, "doc_id")
+        .join(rep, "doc_id")
+        .join(canon, "doc_id")
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        )
+    )
+    return (
+        d.select("doc_id", "lang", "source")
+        .join(kept, "doc_id", "left")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_in"),
+            F.count("n_tokens").alias("n_docs_kept"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("sum_tokens_kept"),
+        )
+    )
