@@ -143,3 +143,35 @@ def test_split_assign_partial_aggregates(spark):
     """M26 — the profiling groupBy must partial-aggregate map-side."""
     plan = plan_of(QUERIES["pipeline_split_assign"](spark, SF_UNIT), "simple")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_vocab_oov_broadcasts_vocab(spark):
+    """M45 — the top-K vocab must ship as a broadcast build side; the
+    corpus token stream must not shuffle for the membership join."""
+    plan = plan_of(QUERIES["text_vocab_oov"](spark, SF_UNIT))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_inverted_index_single_exchange(spark):
+    """M42 — deriving df from the collected posting set must keep the
+    whole query to ONE aggregation exchange (a countDistinct next to
+    collect_set would plan a second expand+shuffle)."""
+    plan = plan_of(QUERIES["text_inverted_index"](spark, SF_UNIT), "simple")
+    assert plan.count("Exchange") == 1
+
+
+def test_zorder_single_pass(spark):
+    """M48 — the Morton-key build is projection-only: one scan, one
+    partial+final aggregation, no join or window."""
+    plan = plan_of(QUERIES["pipeline_zorder_layout"](spark, SF_UNIT), "simple")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_dq_report_orphan_checks_use_broadcast_anti_join(spark):
+    """M50 — the referential-integrity lookups at fixture scale must be
+    broadcast anti-joins (at fact scale they co-bucket instead; the pin
+    guards the small-dim default)."""
+    plan = plan_of(QUERIES["pipeline_dq_report"](spark, SF_UNIT))
+    assert "BroadcastHashJoin LeftAnti" in plan
