@@ -144,6 +144,50 @@ def analytics_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "analytics_rolling_wau",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT CAST(CAST(ts AS DATE) - DATE '{_EPOCH}' AS BIGINT) AS day,
+             user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d
+    JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+)
+def analytics_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M54 — 7-day rolling active users per day: the sliding DISTINCT
+    aggregate no SQL window frame can express (COUNT(DISTINCT) over
+    RANGE is unsupported in both engines), built instead as a range
+    join of the day spine against per-day distinct users — the C8
+    range-join shape applied to the K2 sliding-window semantics.
+
+    Days are integers since a fixed epoch (no truncation policy).  The
+    events scan reduces to distinct (day, user) pairs first — O(days ×
+    users) rows, metadata-sized next to the fact table — and the day
+    spine side of the range join is tiny → broadcast; at 100 TB this
+    stays one scan plus a broadcast-range join, never a self-join of
+    raw events."""
+    ev = load(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit(_EPOCH).cast("date")).cast(
+        "bigint"
+    )
+    du = ev.select(day.alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    u = du.select(F.col("day").alias("u_day"), "user_id")
+    return (
+        F.broadcast(days)
+        .join(u, (F.col("u_day") >= F.col("day") - 6) & (F.col("u_day") <= F.col("day")))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # M53 — end-to-end curation pipeline (composition of the M-stages)
 # ---------------------------------------------------------------------------
