@@ -126,11 +126,15 @@ def jaccard_pairs(
 
 
 # MinHash parameters: 16 permutations in 4 bands of 4 rows.  The hash
-# family is (a*x + b) mod p over crc32(token) — fixed large odd
-# multipliers (a well-mixed universal family) so the signature is
-# deterministic across runs and partitionings.
+# family is (a*x + b) mod p over the low 32 bits of md5(token) — the
+# base hash is md5 (not crc32/xxhash) precisely so ANY engine can
+# recompute the signature: both Spark (`conv(substring(md5,1,8),16,
+# 10)`) and DuckDB (`('0x' || substring(md5,1,8))::BIGINT`) parse the
+# same 8 hex chars to the same integer.  Fixed large odd multipliers
+# (a well-mixed universal family) keep the signature deterministic
+# across runs and partitionings.
 _MH_PRIME = 4294967311  # smallest prime > 2^32
-# Multipliers are < 2^30 so a*crc32 < 2^62 never overflows int64
+# Multipliers are < 2^30 so a*h < 2^62 never overflows int64
 # (Spark runs ANSI mode: overflow would raise, not wrap).
 _MH_AS = [
     664525013, 931386389, 822752279, 668265263, 374761393, 536870923,
@@ -142,7 +146,49 @@ _MH_PERMS = list(zip(_MH_AS, _MH_BS))
 _MH_BAND_ROWS = 4
 
 
-@register("dedup_minhash_lsh")  # rows-only: sketch, not ANSI-SQL-expressible
+def _minhash_oracle_sql() -> str:
+    """DuckDB twin of dedup_minhash_lsh, generated from the SAME
+    permutation constants: distinct word-bigram shingles → 16 affine
+    min-hashes over md5-low-32 → 4 band buckets → distinct bucket-
+    sharing pairs."""
+    mins = ",\n             ".join(
+        f"min((h * {a} + {b}) % {_MH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(_MH_PERMS)
+    )
+    n_bands = len(_MH_PERMS) // _MH_BAND_ROWS
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, concat_ws('_', {cols}) AS bucket FROM sig".format(
+            j=j,
+            cols=", ".join(
+                f"mh{j * _MH_BAND_ROWS + r}" for r in range(_MH_BAND_ROWS)
+            ),
+        )
+        for j in range(n_bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] AS token
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           (SELECT unnest(generate_series(1, 4096)) AS i)
+      WHERE i <= len(l) - 1
+    ),
+    hv AS (SELECT doc_id,
+                  ('0x' || substring(md5(token), 1, 8))::BIGINT AS h
+           FROM sh),
+    sig AS (SELECT doc_id,
+             {mins}
+            FROM hv GROUP BY doc_id),
+    bands AS (
+      {band_rows}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 — MinHash-LSH near-dup candidates, the 100 TB-scale
     replacement for J2's pair enumeration.
@@ -151,10 +197,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy min per permutation — map-side combinable), bands of 4 are
     hashed to buckets, and candidate pairs are docs sharing any band
     bucket.  Shingles are word 2-grams — unigrams carry no signal
-    against the fixtures' 31-word vocabulary.  Declared rows-only
-    (SURVEY.md §2 J3): the sketch is not portable SQL; correctness is
-    pinned by unit tests (J2's confirmed pairs are recalled —
-    tests/test_units.py)."""
+    against the fixtures' 31-word vocabulary.
+
+    Full SQL oracle (upgraded from rows-only): because the base hash
+    is md5-low-32 and the permutations are fixed integer constants,
+    the entire sketch is portable arithmetic — the DuckDB twin is
+    generated from the same constant table, so the driver hash-compares
+    the candidate set exactly.  Recall against J2's confirmed pairs is
+    additionally pinned by tests/test_units.py."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     shingles = F.array_distinct(
@@ -165,7 +215,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tok = d.select("doc_id", F.explode(shingles).alias("token")).select(
-        "doc_id", F.crc32(F.col("token")).alias("h")
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
     )
     sigs = tok.groupBy("doc_id").agg(
         *[
