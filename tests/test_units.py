@@ -547,3 +547,43 @@ def test_ivf_recall_on_clustered_data(spark):
     )[:5]
     want = {i for _, i in brute}
     assert got == want
+
+
+def test_approx_distinct_error_bound(spark):
+    """D4 (rows-only) — the HLL++ estimate must sit within 5% relative
+    error of the exact per-group distinct count (the default rsd is
+    0.05; engine-specific values are WHY it has no oracle, bounded
+    error is why it is still correct)."""
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["agg_approx_distinct"](spark, SF_UNIT).collect()
+    }
+    from tropology_spark.sources.tables import load
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, SF_UNIT, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)
+
+
+def test_limit_unordered_contract(spark):
+    """F3 (rows-only) — LIMIT without ORDER BY must return exactly N
+    rows and every row must exist in the source (content is
+    nondeterministic, the contract is not)."""
+    got = QUERIES["limit_unordered"](spark, SF_UNIT).collect()
+    assert len(got) == 50
+    from tropology_spark.sources.tables import load
+
+    src = {
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in load(spark, SF_UNIT, "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .collect()
+    }
+    assert all((r["l_orderkey"], r["l_linenumber"]) in src for r in got)
