@@ -60,7 +60,7 @@ def main() -> None:
         "graph_link_prediction", "fn_fuzzy_levenshtein",
         "graph_connected_components", "graph_pagerank3",
         "graph_twohop_count", "join_self_twohop", "sim_knn_join",
-        "dedup_ngram_jaccard",
+        "dedup_ngram_jaccard", "graph_bfs3", "pipeline_curation_e2e",
     ]
     ordered = [n for n in heavy if n in names] + [n for n in names if n not in heavy]
 
