@@ -22,7 +22,7 @@ aggregates on the already-shuffled key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tropology_spark.registry import register
@@ -185,6 +185,81 @@ def analytics_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(u, (F.col("u_day") >= F.col("day") - 6) & (F.col("u_day") <= F.col("day")))
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+_ATTR_WINDOW_SEC = 3600  # attribution lookback
+
+
+@register(
+    "analytics_attribution",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+          FROM events WHERE event_type = 'click'),
+    m AS (
+      SELECT p.user_id, p.event_id, p.cents, c.click_id,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+      FROM p JOIN c
+        ON c.user_id = p.user_id
+       AND c.click_ts <= p.ts
+       AND c.click_ts >= p.ts - INTERVAL {_ATTR_WINDOW_SEC} SECONDS
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_attributed,
+           CAST(sum(cents) AS BIGINT) AS attributed_cents,
+           CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks_credited
+    FROM m WHERE rn = 1
+    GROUP BY user_id
+    """,
+)
+def analytics_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M55 — last-touch attribution: each purchase is credited to the
+    user's most recent click within the preceding hour (the C9 as-of
+    join shape pointed backwards), and credited revenue is summed
+    per user.
+
+    Money follows the cents-integer discipline (functions/exact.py):
+    per-row round-to-cents then integer sum — immune to summation
+    order across engines and partitionings.  The as-of match uses the
+    unique (click_ts, click_id) tie-break.  Both sides reduce to the
+    user's event subsets before the range join, which is partitioned
+    on user_id — co-located at scale, never a cross of raw events."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    m = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("ts"))
+        & (F.col("click_ts") >= F.col("ts") - F.expr(f"INTERVAL {_ATTR_WINDOW_SEC} SECONDS")),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("click_ts").desc(), F.col("click_id").desc()
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.sum("cents").cast("bigint").alias("attributed_cents"),
+            F.countDistinct("click_id").alias("n_clicks_credited"),
+        )
     )
 
 
