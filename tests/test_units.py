@@ -587,3 +587,18 @@ def test_limit_unordered_contract(spark):
         .collect()
     }
     assert all((r["l_orderkey"], r["l_linenumber"]) in src for r in got)
+
+
+def test_connected_components_high_diameter_path(spark):
+    """M8 — pointer jumping must converge a diameter-200 path within
+    max_iter=10 cycles (pure 2-hop propagation would cover only 20 of
+    the 200 hops and return an unconverged refinement)."""
+    from tropology_spark.operators.graph import connected_components
+
+    n = 200
+    rows = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)]
+    e = spark.createDataFrame(rows, "u string, v string")
+    bi = e.unionByName(e.selectExpr("v AS u", "u AS v"))
+    comp = {r["node"]: r["comp"] for r in connected_components(bi, max_iter=10).collect()}
+    assert len(comp) == n + 1
+    assert set(comp.values()) == {"n000"}

@@ -358,7 +358,17 @@ def connected_components(
     reaching the fixpoint (changed == 0), a warning is logged: the
     returned labels are a valid *refinement* (every labeled pair is
     truly connected) but high-eccentricity graphs may still have
-    distinct labels inside one component."""
+    distinct labels inside one component.
+
+    Each cycle ends with a POINTER-JUMPING shortcut (``comp :=
+    comp[comp]``, one O(nodes) self-join): label distance to the
+    component minimum then contracts multiplicatively instead of by a
+    constant per cycle — the Hash-to-Min idea — so a path graph of
+    diameter d needs O(log d) cycles, not O(d).  On a 100 TB graph
+    that is the difference between ~6 shuffle rounds and hundreds;
+    correctness is unchanged because labels only ever decrease toward
+    the same unique fixpoint (component-min everywhere), which is
+    stable under both the hop and the shortcut."""
     nodes = (
         bi_edges.select(F.col("u").alias("node"))
         .unionByName(bi_edges.select(F.col("v").alias("node")))
@@ -391,14 +401,29 @@ def connected_components(
             F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
         )
 
+    def shortcut(lbls):
+        # Pointer jumping: comp := comp's current comp.  Labels are
+        # node ids, so the lookup is a self-join of the O(nodes) label
+        # table — cheap next to the edge hop, and it is what turns
+        # per-cycle progress from additive into multiplicative.
+        carry = [c for c in lbls.columns if c not in ("node", "comp")]
+        lookup = lbls.select(
+            F.col("node").alias("s_node"), F.col("comp").alias("s_comp")
+        )
+        return lbls.join(lookup, lbls.comp == lookup.s_node, "left").select(
+            "node",
+            *carry,
+            F.coalesce(F.col("s_comp"), F.col("comp")).alias("comp"),
+        )
+
     converged = False
     for _ in range(max_iter):
-        # Two propagation hops per checkpoint cycle: halves the number
-        # of materializations and convergence checks for the same total
-        # join work (label distance to the component minimum shrinks by
-        # 2 per cycle).
+        # Two propagation hops + one shortcut per checkpoint cycle:
+        # halves the number of materializations and convergence checks
+        # for the same total join work, and the shortcut compounds the
+        # distance contraction (O(log d) cycles on a diameter-d path).
         seeded = labels.select("node", F.col("comp").alias("orig"), "comp")
-        new_labels = propagate(propagate(seeded)).localCheckpoint(eager=True)
+        new_labels = shortcut(propagate(propagate(seeded))).localCheckpoint(eager=True)
         changed = new_labels.agg(
             F.sum((F.col("comp") != F.col("orig")).cast("long")).alias("c")
         ).collect()[0]["c"]
