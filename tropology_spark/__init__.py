@@ -33,6 +33,7 @@ from tropology_spark.streaming import jobs  # noqa: F401
 from tropology_spark.operators import udfs  # noqa: F401
 from tropology_spark.operators import pipeline_ops  # noqa: F401
 from tropology_spark.operators import graph_paths  # noqa: F401
+from tropology_spark.operators import graph_motifs  # noqa: F401
 from tropology_spark.operators import media_frames  # noqa: F401
 from tropology_spark.operators import timeseries  # noqa: F401
 from tropology_spark.operators import analytics  # noqa: F401

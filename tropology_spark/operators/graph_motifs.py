@@ -1,0 +1,106 @@
+"""Graph motif counting (SURVEY.md §2.M M56) — triangle counts on the
+co-purchase projection of the bipartite link graph.
+
+The link table (``sources.tables.edges``) is bipartite (work → trope in
+tropology terms, customer → part here), so it contains no triangles by
+construction.  The standard motif pipeline first PROJECTS it to a
+unipartite co-occurrence graph — two customers are adjacent when they
+share at least ``_MIN_SHARED`` parts — then counts triangles with the
+oriented wedge join (every edge stored once as ``u < v``, so each
+triangle ``u < v < w`` is enumerated exactly once).
+
+Determinism: every output is an integer count over integer keys — no
+floats anywhere.
+
+Scale notes (SURVEY.md §7.7): the projection's cost is Σ_parts C(deg,2)
+— quadratic in hub-part degree, the same celebrity-node shape as J2/J9;
+the shared-part threshold prunes the long tail of weak pairs before the
+triangle join, hub parts are AQE-skew-split, and beyond that the
+projection itself would be LSH/cap-bounded like the dedup family.  The
+triangle join is self-joins of the (much smaller) projected edge list,
+materialized once (Spark does not reuse aliased exchange branches —
+CLAUDE.md perf note) and shuffled on the join keys; orientation keeps
+each wedge closed once instead of six times.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tropology_spark.registry import register
+from tropology_spark.sources.tables import edges
+
+#: Minimum shared parts for a projected co-purchase edge.  At sf0.01
+#: this keeps ~65k of 214k candidate pairs; at sf0.1 the graph is
+#: sparser (more customers dilute co-purchase) and ~15k pairs survive.
+_MIN_SHARED = 3
+
+
+@register(
+    "graph_triangles",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    proj AS (
+      SELECT a.src AS u, b.src AS v
+      FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+      HAVING count(*) >= {_MIN_SHARED}
+    ),
+    tri AS (
+      SELECT e1.u, e1.v, e2.v AS w
+      FROM proj e1
+      JOIN proj e2 ON e2.u = e1.v
+      JOIN proj e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    members AS (
+      SELECT u AS node FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM members GROUP BY node
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M56 — per-node triangle participation on the co-purchase
+    projection: project the bipartite link graph onto customers (edge
+    iff >= {k} shared parts), then close oriented wedges.  Output is
+    one row per node appearing in at least one triangle.
+
+    The projected edge list is localCheckpoint-materialized because the
+    triangle join references it from three aliased branches — without
+    it Spark re-derives the projection (orders ⋈ lineitem ⋈ itself)
+    per branch."""
+    e = edges(spark, sf_dir)
+    a = e.select(F.col("src").alias("ua"), F.col("dst").alias("d"))
+    b = e.select(F.col("src").alias("ub"), F.col("dst").alias("d"))
+    proj = (
+        a.join(b, "d")
+        .filter(F.col("ua") < F.col("ub"))
+        .groupBy(F.col("ua").alias("u"), F.col("ub").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _MIN_SHARED)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    e1 = proj
+    e2 = proj.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = proj.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    tri = (
+        e1.join(e2, "v")
+        .join(e3, (F.col("u3") == F.col("u")) & (F.col("w3") == F.col("w")))
+        .select("u", "v", "w")
+    )
+    members = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    return members.groupBy(F.col("node").cast("bigint").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

@@ -1,5 +1,6 @@
-"""Time-series operators (SURVEY.md §2.M M40) — resample + gap-fill
-over the ``events`` stream.
+"""Time-series operators (SURVEY.md §2.M M40, M57, M58) — resample +
+gap-fill, batch sessionization, and exact EWMA smoothing over the
+``events`` stream.
 
 The windowed aggregations (K1-K3) report only buckets that contain
 events; monitoring/teaching pipelines need the DENSE series — every
@@ -16,7 +17,7 @@ the usual map-side-combinable groupBy.  The facts are scanned once.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tropology_spark.functions.exact import sql_ts_str, ts_str
@@ -79,3 +80,125 @@ def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M57 — batch sessionization (the K3 session-window semantics, batch form)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap, in µs
+
+
+@register(
+    "ts_sessionize",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN prev_us IS NULL
+                       OR us - prev_us > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM t
+    ),
+    sess AS (
+      SELECT user_id, us,
+             sum(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_seq
+      FROM flagged
+    )
+    SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(us) - min(us) AS BIGINT) AS duration_us
+    FROM sess GROUP BY user_id, sess_seq
+    """,
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M57 — gap-based sessionization in batch: a new session starts
+    when a user is silent for more than 30 minutes; each session
+    reports its event count and exact µs duration.  The batch twin of
+    the K3 streaming session window (streaming/jobs.py), so the two
+    surfaces can be reconciled.
+
+    Determinism: all arithmetic is on exact µs integers (the loader's
+    ns→µs contract); ordering ties break on the unique event_id.
+    Scale: one shuffle on user_id covers the lag, the running sum and
+    the final per-session aggregate — the window partitioning is
+    reused across all three steps in a single stage."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t = ev.select("user_id", "event_id", us.alias("us")).withColumn(
+        "prev_us", F.lag("us").over(order)
+    )
+    flagged = t.withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("us") - F.col("prev_us") > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sess_seq",
+        F.sum("new_sess").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", F.col("sess_seq").cast("bigint").alias("sess_seq")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).cast("bigint").alias("duration_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M58 — EWMA smoothing with dyadic weights (exact integer arithmetic)
+# ---------------------------------------------------------------------------
+
+_EWMA_TAPS = 8  # alpha = 1/2, truncated to 8 lags
+
+
+@register(
+    "ts_ewma",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST({' + '.join(
+               f"coalesce(lag(cents, {j}) OVER (PARTITION BY user_id "
+               f"ORDER BY ts, event_id), 0) * {1 << (_EWMA_TAPS - 1 - j)}"
+               for j in range(_EWMA_TAPS)
+           )} AS BIGINT) AS ewma_x256
+    FROM c
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M58 — exponentially-weighted moving average (alpha = 1/2) of the
+    per-user event value, truncated to {t} taps.  Because the weights
+    are dyadic (128, 64, …, 1 over cents integers) the whole smoothing
+    is EXACT integer arithmetic scaled by 256 — the one EWMA a
+    cross-engine hash gate can check bit-for-bit, sidestepping the
+    float-recurrence order-dependence that makes general EWMA
+    undeclarable under the exactness rules (functions/exact.py).
+
+    Scale: one shuffle on user_id; all {t} lags share a single window
+    ordering, so Spark evaluates them in one window stage."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    acc = F.lit(0)
+    for j in range(_EWMA_TAPS):
+        weight = 1 << (_EWMA_TAPS - 1 - j)
+        acc = acc + F.coalesce(F.lag("cents", j).over(w), F.lit(0)) * weight
+    return c.select("user_id", "event_id", acc.cast("bigint").alias("ewma_x256"))
