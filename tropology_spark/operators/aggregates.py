@@ -243,3 +243,177 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M59-M61 — order-statistic and distribution aggregates (round-2 additions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_median_mode",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders
+    ),
+    ranked AS (
+      SELECT o_orderpriority, cents,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY cents, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM c
+    ),
+    med AS (
+      SELECT o_orderpriority, cents AS median_cents
+      FROM ranked WHERE rn = (n + 1) // 2
+    ),
+    freq AS (
+      SELECT o_orderpriority, cents, count(*) AS cnt
+      FROM c GROUP BY 1, 2
+    ),
+    modes AS (
+      SELECT o_orderpriority, cents AS mode_cents, cnt AS mode_count
+      FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                         ORDER BY cnt DESC, cents) AS mr
+            FROM freq)
+      WHERE mr = 1
+    )
+    SELECT m.o_orderpriority, m.median_cents,
+           mo.mode_cents, CAST(mo.mode_count AS BIGINT) AS mode_count
+    FROM med m JOIN modes mo USING (o_orderpriority)
+    """,
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M59 — EXACT order statistics per group: the lower median (the
+    element at rank ceil(n/2) in cents order — a real data value, no
+    even-count interpolation, hence integer-exact cross-engine) and the
+    mode (most frequent cents value, smallest-value tie-break).
+
+    approx_percentile (D-row `agg_percentiles`) is the sketch path;
+    this is the exact path a billing reconciliation needs.  Scale: both
+    statistics partition by the group key — one shuffle; the mode's
+    (group, value) pre-aggregation combines map-side, and the median's
+    within-group sort is the standard single-pass window (at 100 TB a
+    group that exceeds one partition would move to approx_percentile or
+    a two-pass count-then-select on the value histogram, which the
+    `agg_histogram` shape already provides)."""
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    c = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = c.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    med = ranked.filter(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+    ).select("o_orderpriority", F.col("cents").alias("median_cents"))
+    freq = c.groupBy("o_orderpriority", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wm = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("cnt").desc(), F.col("cents")
+    )
+    modes = (
+        freq.withColumn("mr", F.row_number().over(wm))
+        .filter(F.col("mr") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("cents").alias("mode_cents"),
+            F.col("cnt").cast("bigint").alias("mode_count"),
+        )
+    )
+    return med.join(modes, "o_orderpriority")
+
+
+_HH_K = 50  # heavy hitter = token with count > total/50 (exact phi-frequent)
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+    total AS (SELECT sum(cnt) AS n FROM counts)
+    SELECT token, cnt, CAST(n AS BIGINT) AS total_tokens
+    FROM counts, total
+    WHERE cnt * {_HH_K} > n
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M60 — exact phi-frequent items: tokens whose corpus frequency
+    exceeds 1/{k} of all tokens.  The threshold test is the integer
+    cross-multiplication ``cnt * {k} > total`` — no float share, no
+    rounding policy.  This is the exact counterpart of the streaming
+    Misra-Gries / count-min sketches: at 100 TB the same plan holds
+    (token counts combine map-side; the scalar total broadcasts), and a
+    sketch replaces the exact count only when the distinct-token
+    dictionary itself outgrows a shuffle.
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * _HH_K > F.col("n"))
+        .select("token", "cnt", F.col("n").cast("bigint").alias("total_tokens"))
+    )
+
+
+_HIST_WIDTH_CENTS = 50_000_00  # $50k equi-width buckets
+
+
+@register(
+    "agg_histogram",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    )
+    SELECT cents // {_HIST_WIDTH_CENTS} AS bucket,
+           CAST(cents // {_HIST_WIDTH_CENTS} * {_HIST_WIDTH_CENTS} AS BIGINT)
+             AS bucket_lo_cents,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents
+    FROM c GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M61 — equi-width value histogram of order totals with integer
+    bucket edges (floor-division of cents by a fixed width — no float
+    `width_bucket` boundary policy).  The distribution-profiling
+    primitive behind `pipeline_skew_profile`'s power-of-two variant,
+    here with linear buckets.  Scale: one map-side-combinable groupBy
+    on a derived integer key; bucket count is bounded by the value
+    range, not the row count."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    c = o.select(cents.alias("cents"))
+    bucket = F.floor(F.col("cents") / _HIST_WIDTH_CENTS)
+    return (
+        c.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").cast("bigint").alias("min_cents"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * _HIST_WIDTH_CENTS).cast("bigint").alias("bucket_lo_cents"),
+            "n_orders",
+            "min_cents",
+            "max_cents",
+        )
+    )

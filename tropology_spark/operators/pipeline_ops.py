@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
+from tropology_spark.functions.exact import sql_ts_str
 from tropology_spark.registry import register
 from tropology_spark.sources.tables import load
 
@@ -1056,3 +1057,120 @@ def pipeline_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ck in checks[1:]:
         out = out.unionByName(ck)
     return out
+
+
+# ---------------------------------------------------------------------------
+# M62 — SCD Type-2 dimension build (the history-keeping half of CDC)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_scd2",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS attr_cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS version,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, CAST(version AS BIGINT) AS version, event_id,
+           attr_cents,
+           {sql_ts_str('ts')} AS valid_from,
+           CASE WHEN next_ts IS NULL THEN NULL
+                ELSE {sql_ts_str('next_ts')} END AS valid_to,
+           CAST(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_current
+    FROM v
+    """,
+)
+def pipeline_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M62 — slowly-changing-dimension Type 2: every change to a key's
+    attribute becomes a version row with a [valid_from, valid_to)
+    interval; the open interval (valid_to NULL) is the current row.
+    The history-preserving complement of `pipeline_cdc_apply`'s
+    last-writer-wins snapshot — together they are the two halves of a
+    warehouse MERGE.
+
+    The change stream is the purchase events per user; the tracked
+    attribute is the cents-exact value.  Versioning orders by the
+    unique (ts, event_id); validity bounds are second-granularity
+    strings (the exactness timestamp convention).  Scale: one shuffle
+    on user_id drives both window functions in a single stage; at
+    100 TB the dimension would be range-partitioned on key and the
+    open-interval rows compacted separately (txlog sink shape)."""
+    from tropology_spark.functions.exact import ts_str
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("attr_cents"),
+        )
+        .withColumn("version", F.row_number().over(w).cast("bigint"))
+        .withColumn("next_ts", F.lead("ts").over(w))
+    )
+    return v.select(
+        "user_id",
+        "version",
+        "event_id",
+        "attr_cents",
+        ts_str(F.col("ts")).alias("valid_from"),
+        F.when(F.col("next_ts").isNull(), F.lit(None).cast("string"))
+        .otherwise(ts_str(F.col("next_ts")))
+        .alias("valid_to"),
+        F.when(F.col("next_ts").isNull(), 1).otherwise(0).cast("bigint").alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M63 — weighted reproducible sampling (A-ES with md5 randomness)
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_K = 100
+
+
+@register(
+    "pipeline_weighted_sample",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, weight, u
+    FROM pri
+    ORDER BY CAST(u AS DOUBLE) / weight ASC, doc_id
+    LIMIT {_WSAMPLE_K}
+    """,
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M63 — weighted sampling without replacement, reproducible: each
+    document draws a deterministic pseudo-uniform u (md5 low-32 of its
+    id — the portable hash family from dedup_minhash_lsh) and the
+    sample keeps the {k} smallest u/weight priorities — the A-ES
+    exponential-jump scheme's deterministic core, weighting by
+    n_chars so longer documents are proportionally likelier.
+
+    Determinism: u and weight are exact integers; u/weight is ONE IEEE
+    division, bit-identical in both engines, ranked with the unique
+    doc_id tie-break (the CLAUDE.md rank rule).  Scale: a global top-k
+    — TakeOrderedAndProject, per-partition heaps, no full sort, no
+    shuffle of the corpus."""
+    d = load(spark, sf_dir, "documents")
+    pri = d.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("u"),
+    )
+    return pri.orderBy(
+        (F.col("u").cast("double") / F.col("weight")).asc(), F.col("doc_id")
+    ).limit(_WSAMPLE_K)

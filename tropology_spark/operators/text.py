@@ -367,3 +367,48 @@ def text_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("snippet"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M64 — PII-style redaction (regex scrubbing with audit counts)
+# ---------------------------------------------------------------------------
+
+#: Digit runs (ids, account numbers) — the one PII-ish pattern the
+#: synthetic fixtures actually contain (events.props carries JSON
+#: integers).  The pattern is deliberately dialect-neutral: both Java
+#: regex (Spark) and RE2 (DuckDB) read `[0-9]+` identically.
+_REDACT_PATTERN = "[0-9]+"
+_REDACT_TOKEN = "<NUM>"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    SELECT event_id,
+           regexp_replace(event_type || ' ' || props,
+                          '{_REDACT_PATTERN}', '{_REDACT_TOKEN}', 'g') AS redacted,
+           CAST(len(regexp_extract_all(event_type || ' ' || props,
+                                       '{_REDACT_PATTERN}')) AS BIGINT) AS n_redacted
+    FROM events
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M64 — PII-style scrubbing: replace every digit run in the event
+    log line (type + raw JSON props) with a redaction token and report
+    the per-row redaction count — the audit column a compliance
+    pipeline ships alongside the scrubbed text.  Real PII patterns
+    (emails, phone numbers) are the same plan with a longer regex
+    alternation; the fixtures only contain numeric ids, so the declared
+    pattern is the digit run.
+
+    Both the rewrite and the count are single JVM-side regex passes
+    (no Python); DuckDB needs the explicit 'g' flag where Spark's
+    regexp_replace is global by default.  Scale: embarrassingly
+    parallel — a narrow map with no shuffle at all."""
+    ev = load(spark, sf_dir, "events")
+    line = F.concat_ws(" ", F.col("event_type"), F.col("props"))
+    return ev.select(
+        "event_id",
+        F.regexp_replace(line, _REDACT_PATTERN, _REDACT_TOKEN).alias("redacted"),
+        F.regexp_count(line, F.lit(_REDACT_PATTERN)).cast("bigint").alias("n_redacted"),
+    )
