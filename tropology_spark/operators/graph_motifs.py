@@ -1,5 +1,6 @@
-"""Graph motif counting (SURVEY.md §2.M M56) — triangle counts on the
-co-purchase projection of the bipartite link graph.
+"""Graph motif counting (SURVEY.md §2.M M56, M65) — triangle counts on
+the co-purchase projection, and butterfly counts on the bipartite link
+graph itself.
 
 The link table (``sources.tables.edges``) is bipartite (work → trope in
 tropology terms, customer → part here), so it contains no triangles by
@@ -103,4 +104,72 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return members.groupBy(F.col("node").cast("bigint").alias("node")).agg(
         F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M65 — butterfly counting (the bipartite motif; triangles cannot exist)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_butterflies",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    pairs AS (
+      SELECT a.src AS u, b.src AS v, count(*) AS n_common
+      FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+    ),
+    bf AS (
+      SELECT u, v, n_common * (n_common - 1) // 2 AS n_bf
+      FROM pairs WHERE n_common >= 2
+    ),
+    members AS (
+      SELECT u AS node, n_bf FROM bf
+      UNION ALL SELECT v, n_bf FROM bf
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(sum(n_bf) AS BIGINT) AS n_butterflies
+    FROM members GROUP BY node
+    """,
+)
+def graph_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M65 — per-node butterfly (2x2 biclique) counts: the bipartite
+    analog of triangle participation, the standard cohesion motif for
+    two-mode graphs (Sanei-Mehri et al., KDD'18 — public algorithm).
+    Two customers sharing n parts close C(n,2) butterflies; each
+    counts toward both endpoints.  All-integer arithmetic.
+
+    Plan: the wedge pair table (same dst-blocked self-join as I4/I9)
+    aggregated once — no third join; butterfly counts are a closed form
+    of the common-neighbor count.  At 100 TB the hub-part quadratic is
+    the usual celebrity shape: per-part degree cap / AQE skew split on
+    the dst join, and the pair table never re-shuffles (u and v sums
+    are map-side-combinable unions)."""
+    e = edges(spark, sf_dir)
+    a = e.select(F.col("src").alias("ua"), F.col("dst").alias("d"))
+    b = e.select(F.col("src").alias("ub"), F.col("dst").alias("d"))
+    pairs = (
+        a.join(b, "d")
+        .filter(F.col("ua") < F.col("ub"))
+        .groupBy(F.col("ua").alias("u"), F.col("ub").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    bf = pairs.select(
+        "u",
+        "v",
+        (F.col("n_common") * (F.col("n_common") - 1) / 2)
+        .cast("bigint")
+        .alias("n_bf"),
+    )
+    members = bf.select(F.col("u").alias("node"), "n_bf").unionAll(
+        bf.select(F.col("v").alias("node"), "n_bf")
+    )
+    return members.groupBy(F.col("node").cast("bigint").alias("node")).agg(
+        F.sum("n_bf").cast("bigint").alias("n_butterflies")
     )

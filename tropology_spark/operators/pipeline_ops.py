@@ -1174,3 +1174,57 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pri.orderBy(
         (F.col("u").cast("double") / F.col("weight")).asc(), F.col("doc_id")
     ).limit(_WSAMPLE_K)
+
+
+# ---------------------------------------------------------------------------
+# M66 — integer min-max feature scaling (training-feature normalization)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_minmax_scale",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    b AS (
+      SELECT event_type, min(cents) AS lo, max(cents) AS hi
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_id, c.event_type, c.cents,
+           CAST(CASE WHEN b.hi = b.lo THEN 0
+                     ELSE (c.cents - b.lo) * 1000 // (b.hi - b.lo)
+                END AS BIGINT) AS permille
+    FROM c JOIN b USING (event_type)
+    """,
+)
+def pipeline_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M66 — min-max feature normalization into integer per-mille
+    (0-1000): the standard pre-training feature scaler, made
+    cross-engine exact by floor-dividing the integer spread instead of
+    producing a float in [0,1] (`(x-lo)*1000 // (hi-lo)` — every term
+    an exact integer; a degenerate group scales to 0).
+
+    Scale: the per-group bounds are a map-side-combinable aggregate of
+    a handful of rows; they broadcast back onto the fact scan, so the
+    normalization pass itself is shuffle-free over the big table."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    b = c.groupBy("event_type").agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    permille = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.floor((F.col("cents") - F.col("lo")) * 1000 / (F.col("hi") - F.col("lo")))
+    )
+    return c.join(F.broadcast(b), "event_type").select(
+        "event_id",
+        "event_type",
+        "cents",
+        permille.cast("bigint").alias("permille"),
+    )

@@ -412,3 +412,58 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(line, _REDACT_PATTERN, _REDACT_TOKEN).alias("redacted"),
         F.regexp_count(line, F.lit(_REDACT_PATTERN)).cast("bigint").alias("n_redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M67 — rare-token rate (corpus-frequency quality signal)
+# ---------------------------------------------------------------------------
+
+_RARE_MAX_DF = 50  # a token is "rare" if its corpus document frequency < this
+
+
+@register(
+    "text_rare_token_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    df AS (
+      SELECT token, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY token
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN d.doc_freq < {_RARE_MAX_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rare
+    FROM tok t JOIN df d USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def text_rare_token_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M67 — per-document rare-token exposure: how many of a document's
+    tokens have corpus document-frequency below {n}.  The integer core
+    of a perplexity-style quality gate — a document dominated by tokens
+    the corpus has rarely seen is OCR noise, boilerplate mangling, or
+    another language; the full -Σ log p score is float-order-dependent,
+    but its actionable signal (rare-token count vs total) is exact.
+
+    Scale: the document-frequency table is vocabulary-sized — broadcast
+    onto the token stream, so the big side never shuffles for the
+    enrichment join (the M45 vocab/OOV shape); the per-doc aggregate
+    combines map-side."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    return (
+        tok.join(F.broadcast(df), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("doc_freq") < _RARE_MAX_DF, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_rare"),
+        )
+    )
