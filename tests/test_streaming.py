@@ -352,3 +352,25 @@ def test_transform_with_state_matches_applyinpandas_twin(spark, tmp_path):
     old_api = run(jobs.stream_stateful_crawl_scheduler, "t_sched_old")
     new_api = run(jobs.stream_stateful_scheduler_tws, "t_sched_tws")
     assert_same_rows(old_api, new_api, ["user_id", "n_events", "next_update_sec"])
+
+
+def test_stream_stream_interval_join_equals_batch_twin(spark, events_dir):
+    """K8: the stream-stream interval join (two unbounded sides, both
+    watermarked) must emit exactly the pairs the registered batch twin
+    counts."""
+    src = _stream_events(spark, events_dir)
+    clicks = src.filter(F.col("event_type") == "click")
+    purchases = src.filter(F.col("event_type") == "purchase")
+    out = run_stream_to_memory(
+        spark,
+        jobs.stream_stream_interval_join(clicks, purchases),
+        "t_ssjoin",
+        "append",
+    )
+    stream_counts = out.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_prior_1h")
+    )
+    batch = jobs.stream_interval_join(spark, SF_UNIT)
+    assert_same_rows(
+        batch, stream_counts, ["event_id", "user_id", "n_clicks_prior_1h"]
+    )

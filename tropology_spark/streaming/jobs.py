@@ -346,3 +346,87 @@ def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
         "user_id",
         F.coalesce(F.col("c_mktsegment"), F.lit("unknown")).alias("segment"),
     )
+
+
+# --------------------------------------------------------------------------
+# K8 — stream-stream interval join
+# --------------------------------------------------------------------------
+
+_SSJOIN_LOOKBACK_SEC = 3600
+
+
+@register(
+    "stream_interval_join",
+    oracle=f"""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, event_id AS click_id, ts AS click_ts FROM events
+          WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           CAST(count(*) AS BIGINT) AS n_clicks_prior_1h
+    FROM p JOIN c
+      ON c.user_id = p.user_id
+     AND c.click_ts <= p.ts
+     AND c.click_ts >= p.ts - INTERVAL {_SSJOIN_LOOKBACK_SEC} SECONDS
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 batch twin — every (purchase, click-within-preceding-hour)
+    pair per user, aggregated to a per-purchase click count.  The
+    ALL-matches complement of M55's last-touch pick; in streaming form
+    this is Spark's stream-stream inner join, where the time-bound
+    condition is what lets both sides expire state (clicks older than
+    the watermark + lookback can never match a future purchase).
+
+    Scale: both sides pre-filter to their event subset and shuffle
+    once on user_id; state per key is bounded by the 1-hour lookback ×
+    click rate — the watermark contract, not a heuristic."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("click_ts") <= F.col("ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("ts") - F.expr(f"INTERVAL {_SSJOIN_LOOKBACK_SEC} SECONDS")
+            ),
+        )
+        .groupBy("event_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks_prior_1h"))
+    )
+
+
+def stream_stream_interval_join(
+    clicks: DataFrame, purchases: DataFrame, delay: str = "1 hour"
+) -> DataFrame:
+    """K8 streaming side — stream-stream inner join of two unbounded
+    sources.  Both sides carry watermarks; the interval condition gives
+    the state store an expiry bound (a click's join window closes once
+    the purchase watermark passes click_ts + lookback).  Output is the
+    matched pair stream in append mode; the test aggregates it and
+    compares against the registered batch twin."""
+    c = clicks.withWatermark("ts", delay).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", delay).select("event_id", "user_id", "ts")
+    return p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("ts") - F.expr(f"INTERVAL {_SSJOIN_LOOKBACK_SEC} SECONDS")
+        ),
+    ).select("event_id", "user_id", "click_id")
