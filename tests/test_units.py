@@ -602,3 +602,49 @@ def test_connected_components_high_diameter_path(spark):
     comp = {r["node"]: r["comp"] for r in connected_components(bi, max_iter=10).collect()}
     assert len(comp) == n + 1
     assert set(comp.values()) == {"n000"}
+
+
+def test_sessionize_conserves_events_and_numbers_sessions_contiguously(spark):
+    """M57: sessions partition the event stream — per-user event counts
+    are conserved, and session numbers are 1..n_sessions with no gap."""
+    from tropology_spark import QUERIES
+    from tropology_spark.sources.tables import load
+
+    sess = QUERIES["ts_sessionize"](spark, SF_UNIT)
+    per_user = (
+        sess.groupBy("user_id")
+        .agg(
+            F.sum("n_events").alias("total"),
+            F.countDistinct("sess_seq").alias("n_sessions"),
+            F.max("sess_seq").alias("max_seq"),
+            F.min("sess_seq").alias("min_seq"),
+        )
+        .collect()
+    )
+    truth = {
+        r["user_id"]: r["cnt"]
+        for r in load(spark, SF_UNIT, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert per_user, "no sessions produced"
+    for r in per_user:
+        assert r["total"] == truth[r["user_id"]]
+        assert r["min_seq"] == 1 and r["max_seq"] == r["n_sessions"]
+
+
+def test_motif_counts_satisfy_handshake_identities(spark):
+    """M56/M65: per-node triangle counts sum to 3x the triangle total;
+    butterfly counts sum to 2x the butterfly total (each motif is
+    counted once per participating node)."""
+    from tropology_spark import QUERIES
+
+    tri_total = QUERIES["graph_triangles"](spark, SF_UNIT).agg(
+        F.sum("n_triangles")
+    ).collect()[0][0]
+    assert tri_total is None or tri_total % 3 == 0
+    bf_total = QUERIES["graph_butterflies"](spark, SF_UNIT).agg(
+        F.sum("n_butterflies")
+    ).collect()[0][0]
+    assert bf_total is not None and bf_total % 2 == 0

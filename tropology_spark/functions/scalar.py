@@ -372,3 +372,38 @@ def fn_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return passjoin.unionAll(tiny_pairs)
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           CAST((event_id & 255) & (user_id & 255) AS BIGINT) AS b_and,
+           CAST((event_id & 255) | (user_id & 255) AS BIGINT) AS b_or,
+           CAST(xor(event_id & 255, user_id & 255) AS BIGINT) AS b_xor,
+           CAST((event_id & 255) << 3 AS BIGINT) AS b_shl,
+           CAST(event_id >> 4 AS BIGINT) AS b_shr
+    FROM events
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H10 — bitwise surface (AND/OR/XOR/shifts): the primitive layer
+    under the engine's own hash-family and Z-order operators
+    (pipeline_zorder_layout builds Morton keys from exactly these).
+    Operands are masked to one byte BEFORE shifting so no value ever
+    nears int64 overflow — shift overflow is silent wraparound in
+    Spark and an error in DuckDB, the one place the engines disagree.
+
+    Dialect note: XOR is `^` in Spark SQL but the `xor()` function in
+    DuckDB (whose `^` is exponentiation)."""
+    ev = load(spark, sf_dir, "events")
+    ebyte = F.col("event_id").bitwiseAND(F.lit(255))
+    ubyte = F.col("user_id").bitwiseAND(F.lit(255))
+    return ev.select(
+        "event_id",
+        ebyte.bitwiseAND(ubyte).cast("bigint").alias("b_and"),
+        ebyte.bitwiseOR(ubyte).cast("bigint").alias("b_or"),
+        ebyte.bitwiseXOR(ubyte).cast("bigint").alias("b_xor"),
+        F.shiftleft(ebyte, 3).cast("bigint").alias("b_shl"),
+        F.shiftright(F.col("event_id"), 4).cast("bigint").alias("b_shr"),
+    )

@@ -202,3 +202,83 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight = 1 << (_EWMA_TAPS - 1 - j)
         acc = acc + F.coalesce(F.lag("cents", j).over(w), F.lit(0)) * weight
     return c.select("user_id", "event_id", acc.cast("bigint").alias("ewma_x256"))
+
+
+# ---------------------------------------------------------------------------
+# M68 — exact anomaly top-k (deviation from the per-group median)
+# ---------------------------------------------------------------------------
+
+_ANOMALY_TOPK = 5
+
+
+@register(
+    "ts_anomaly_topk",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    ),
+    med AS (
+      SELECT event_type, cents AS median_cents
+      FROM ranked WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT c.event_id, c.event_type, c.cents, m.median_cents,
+             abs(c.cents - m.median_cents) AS deviation_cents
+      FROM c JOIN med m USING (event_type)
+    )
+    SELECT event_id, event_type, cents, median_cents, deviation_cents,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY deviation_cents DESC, event_id) AS rk
+          FROM dev) t
+    WHERE rk <= {_ANOMALY_TOPK}
+    """,
+)
+def ts_anomaly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M68 — exact outlier detection: the {k} events per type whose
+    value deviates most from the group's lower median (M59's exact
+    order statistic).  Median-absolute-deviation scoring with every
+    quantity an integer — the z-score's robust cousin, and the variant
+    that is cross-engine hashable (a float stddev threshold is not,
+    because a boundary-straddling score flips between engines).
+
+    Scale: the medians are one windowed pass (or a two-pass histogram
+    select at extreme group sizes — see agg_median_mode); they
+    broadcast back onto the scan, and the top-k rank shuffles once on
+    event_type."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    med = (
+        c.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("cents").alias("median_cents"))
+    )
+    dev = c.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "cents",
+        "median_cents",
+        F.abs(F.col("cents") - F.col("median_cents")).alias("deviation_cents"),
+    )
+    wk = Window.partitionBy("event_type").orderBy(
+        F.col("deviation_cents").desc(), F.col("event_id")
+    )
+    return dev.withColumn("rk", F.row_number().over(wk).cast("bigint")).filter(
+        F.col("rk") <= _ANOMALY_TOPK
+    )
