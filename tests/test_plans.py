@@ -175,3 +175,27 @@ def test_dq_report_orphan_checks_use_broadcast_anti_join(spark):
     guards the small-dim default)."""
     plan = plan_of(QUERIES["pipeline_dq_report"](spark, SF_UNIT))
     assert "BroadcastHashJoin LeftAnti" in plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """M63 — the weighted sample must be a per-partition-heap top-k,
+    never a global sort."""
+    plan = plan_of(QUERIES["pipeline_weighted_sample"](spark, SF_UNIT))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+def test_enrichment_joins_broadcast_the_small_side(spark):
+    """M66/M67/M68 — per-group bounds, the df table, and the medians
+    are metadata-sized: they must broadcast so the fact scan never
+    shuffles for the enrichment join."""
+    for name in ("pipeline_minmax_scale", "text_rare_token_rate", "ts_anomaly_topk"):
+        plan = plan_of(QUERIES[name](spark, SF_UNIT))
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_heavy_hitters_total_is_broadcast_scalar(spark):
+    """M60 — the grand total joins the count table as a 1-row
+    broadcast, not a shuffled cross."""
+    plan = plan_of(QUERIES["agg_heavy_hitters"](spark, SF_UNIT))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

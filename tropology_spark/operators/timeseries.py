@@ -282,3 +282,58 @@ def ts_anomaly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dev.withColumn("rk", F.row_number().over(wk).cast("bigint")).filter(
         F.col("rk") <= _ANOMALY_TOPK
     )
+
+
+# ---------------------------------------------------------------------------
+# M69 — consecutive-sequence pattern match (MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+_PATTERN = ("view", "click", "purchase")
+
+
+@register(
+    "ts_pattern_triples",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches
+    FROM seq
+    WHERE event_type = '{_PATTERN[0]}' AND t1 = '{_PATTERN[1]}'
+      AND t2 = '{_PATTERN[2]}'
+    GROUP BY user_id
+    """,
+)
+def ts_pattern_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M69 — event-sequence pattern matching: per user, how many times
+    the exact consecutive pattern {p} occurs in their timeline — the
+    core of SQL-2016 MATCH_RECOGNIZE (which neither engine ships)
+    expressed with lead() self-alignment: a row matches when it and
+    its next two events spell the pattern.  Overlapping matches count
+    (standard AFTER MATCH SKIP TO NEXT ROW semantics).
+
+    Ordering uses the unique (ts, event_id); output is integer counts.
+    Scale: one shuffle on user_id; both leads share one window
+    ordering, and the filter + count collapse into the same stage —
+    the pattern length extends by adding leads, not joins."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == _PATTERN[0])
+            & (F.col("t1") == _PATTERN[1])
+            & (F.col("t2") == _PATTERN[2])
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
