@@ -1,6 +1,6 @@
-"""Graph motif counting (SURVEY.md §2.M M56, M65) — triangle counts on
-the co-purchase projection, and butterfly counts on the bipartite link
-graph itself.
+"""Graph motif counting (SURVEY.md §2.M M56, M65, M70) — triangle
+counts and local clustering structure on the co-purchase projection,
+and butterfly counts on the bipartite link graph itself.
 
 The link table (``sources.tables.edges``) is bipartite (work → trope in
 tropology terms, customer → part here), so it contains no triangles by
@@ -172,4 +172,94 @@ def graph_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return members.groupBy(F.col("node").cast("bigint").alias("node")).agg(
         F.sum("n_bf").cast("bigint").alias("n_butterflies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M70 — local clustering structure (triangles vs wedges, exact integers)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_clustering_pairs",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    proj AS (
+      SELECT a.src AS u, b.src AS v
+      FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+      HAVING count(*) >= {_MIN_SHARED}
+    ),
+    und AS (SELECT u, v FROM proj UNION ALL SELECT v, u FROM proj),
+    deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
+    tri AS (
+      SELECT e1.u, e1.v, e2.v AS w
+      FROM proj e1
+      JOIN proj e2 ON e2.u = e1.v
+      JOIN proj e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    members AS (
+      SELECT u AS node FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri
+    ),
+    tcount AS (SELECT node, count(*) AS n_triangles FROM members GROUP BY node)
+    SELECT CAST(d.node AS BIGINT) AS node,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(d.d * (d.d - 1) // 2 AS BIGINT) AS n_wedges
+    FROM deg d LEFT JOIN tcount t ON t.node = d.node
+    WHERE d.d >= 2
+    """,
+)
+def graph_clustering_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M70 — local clustering structure on the co-purchase projection:
+    per node, closed triangles vs potential wedges C(deg,2).  The
+    local clustering coefficient is their ratio — reported as the
+    exact integer PAIR rather than the float division, so the gate
+    stays hash-checkable and the consumer picks the precision.
+
+    Plan: the M56 triangle pipeline plus a degree count on the same
+    materialized projected edge list — the checkpoint is shared within
+    the query, so the projection's hub-part quadratic (see M56) is
+    paid once."""
+    e = edges(spark, sf_dir)
+    a = e.select(F.col("src").alias("ua"), F.col("dst").alias("d"))
+    b = e.select(F.col("src").alias("ub"), F.col("dst").alias("d"))
+    proj = (
+        a.join(b, "d")
+        .filter(F.col("ua") < F.col("ub"))
+        .groupBy(F.col("ua").alias("u"), F.col("ub").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _MIN_SHARED)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    und = proj.unionAll(proj.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("dg"))
+    e2 = proj.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = proj.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    tri = (
+        proj.join(e2, "v")
+        .join(e3, (F.col("u3") == F.col("u")) & (F.col("w3") == F.col("w")))
+        .select("u", "v", "w")
+    )
+    members = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    tcount = members.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        deg.filter(F.col("dg") >= 2)
+        .join(tcount, "node", "left")
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            (F.col("dg") * (F.col("dg") - 1) / 2).cast("bigint").alias("n_wedges"),
+        )
     )
