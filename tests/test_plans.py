@@ -199,3 +199,41 @@ def test_heavy_hitters_total_is_broadcast_scalar(spark):
     broadcast, not a shuffled cross."""
     plan = plan_of(QUERIES["agg_heavy_hitters"](spark, SF_UNIT))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """M71 (scale policy) — with a selective filter on the build side
+    and broadcast disabled (the big-big join shape at 100 TB), Spark
+    must inject a runtime bloom filter on the probe side: the fact
+    scan is pre-filtered by `might_contain` before the shuffle, the
+    row-level analog of dynamic partition pruning."""
+    from pyspark.sql import functions as F
+    from tropology_spark.sources.tables import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load(spark, SF_UNIT, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = load(spark, SF_UNIT, "lineitem")
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -417,3 +417,32 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_cents",
         )
     )
+
+
+@register(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M73 — several COUNT(DISTINCT x) over DIFFERENT columns in one
+    aggregate (D3 counts one).  Spark plans this with Expand (one
+    replicated stream per distinct column, then a two-phase aggregate)
+    — the row count multiplies by the number of distinct columns, which
+    is the scale lever to watch: at 100 TB, replace columns whose
+    exact count nobody reconciles with approx_count_distinct to drop
+    their Expand branch."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -37,6 +37,38 @@ from tropology_spark.sources.tables import edges
 #: sparser (more customers dilute co-purchase) and ~15k pairs survive.
 _MIN_SHARED = 3
 
+#: The thresholded projection is the shared (and dominant: the wedge
+#: self-join) input of M56 and M70 — checkpoint it once per
+#: (session, sf) like sources.tables._LOAD_CACHE, so a session running
+#: several motif queries pays the projection once.  Keyed by
+#: applicationId: a fresh session never sees stale handles.
+_PROJ_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def copurchase_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected co-purchase edge list ``(u < v)`` with >= _MIN_SHARED
+    shared parts, localCheckpoint-materialized (three aliased triangle
+    branches + the degree count would otherwise each re-derive the
+    orders ⋈ lineitem ⋈ self pipeline)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PROJ_CACHE.get(key)
+    if cached is not None:
+        return cached
+    e = edges(spark, sf_dir)
+    a = e.select(F.col("src").alias("ua"), F.col("dst").alias("d"))
+    b = e.select(F.col("src").alias("ub"), F.col("dst").alias("d"))
+    proj = (
+        a.join(b, "d")
+        .filter(F.col("ua") < F.col("ub"))
+        .groupBy(F.col("ua").alias("u"), F.col("ub").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _MIN_SHARED)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    _PROJ_CACHE[key] = proj
+    return proj
+
 
 @register(
     "graph_triangles",
@@ -77,18 +109,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle join references it from three aliased branches — without
     it Spark re-derives the projection (orders ⋈ lineitem ⋈ itself)
     per branch."""
-    e = edges(spark, sf_dir)
-    a = e.select(F.col("src").alias("ua"), F.col("dst").alias("d"))
-    b = e.select(F.col("src").alias("ub"), F.col("dst").alias("d"))
-    proj = (
-        a.join(b, "d")
-        .filter(F.col("ua") < F.col("ub"))
-        .groupBy(F.col("ua").alias("u"), F.col("ub").alias("v"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= _MIN_SHARED)
-        .select("u", "v")
-        .localCheckpoint(eager=True)
-    )
+    proj = copurchase_projection(spark, sf_dir)
     e1 = proj
     e2 = proj.select(F.col("u").alias("v"), F.col("v").alias("w"))
     e3 = proj.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
@@ -225,18 +246,7 @@ def graph_clustering_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized projected edge list — the checkpoint is shared within
     the query, so the projection's hub-part quadratic (see M56) is
     paid once."""
-    e = edges(spark, sf_dir)
-    a = e.select(F.col("src").alias("ua"), F.col("dst").alias("d"))
-    b = e.select(F.col("src").alias("ub"), F.col("dst").alias("d"))
-    proj = (
-        a.join(b, "d")
-        .filter(F.col("ua") < F.col("ub"))
-        .groupBy(F.col("ua").alias("u"), F.col("ub").alias("v"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= _MIN_SHARED)
-        .select("u", "v")
-        .localCheckpoint(eager=True)
-    )
+    proj = copurchase_projection(spark, sf_dir)
     und = proj.unionAll(proj.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("dg"))
     e2 = proj.select(F.col("u").alias("v"), F.col("v").alias("w"))

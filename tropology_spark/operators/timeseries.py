@@ -337,3 +337,62 @@ def ts_pattern_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_matches"))
     )
+
+
+# ---------------------------------------------------------------------------
+# M72 — gaps-and-islands: maximal consecutive runs of one event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_runs",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rt
+      FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(rn - rt AS BIGINT) AS run_key,
+           CAST(count(*) AS BIGINT) AS run_len,
+           CAST(min(event_id) AS BIGINT) AS first_event_id
+    FROM seq
+    GROUP BY user_id, event_type, rn - rt
+    """,
+)
+def ts_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M72 — gaps-and-islands: every MAXIMAL run of consecutive
+    same-type events per user, via the classic row_number-difference
+    trick (rn over the timeline minus rn over the per-type subsequence
+    is constant exactly within a consecutive run).  The value-change
+    sibling of M57's time-gap sessionization: together they cover both
+    standard island definitions.
+
+    All keys are integers; ordering uses the unique (ts, event_id).
+    Scale: both row_numbers and the final aggregate ride one user_id
+    shuffle (the per-(user, type) window is a finer partitioning of
+    the same exchange)."""
+    ev = load(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.row_number().over(w_all).alias("rn"),
+        F.row_number().over(w_typ).alias("rt"),
+    )
+    return (
+        seq.groupBy(
+            "user_id",
+            "event_type",
+            (F.col("rn") - F.col("rt")).cast("bigint").alias("run_key"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("event_id").cast("bigint").alias("first_event_id"),
+        )
+    )
