@@ -446,3 +446,47 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity) AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(sum(qty * cents) AS BIGINT) AS wsum_qty_cents,
+           CAST(sum(qty) AS BIGINT) AS total_qty,
+           round(CAST(sum(qty * cents) AS DOUBLE) / (sum(qty) * 100.0), 6)
+             AS wavg_price
+    FROM c GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M75 — quantity-weighted average price, exactly: numerator and
+    denominator are exact integer sums (qty × cents stays far below
+    2^53), reported alongside ONE final IEEE division — which is
+    bit-identical across engines because its operands are — rounded
+    for display.  The order-independent form of the weighted mean the
+    float-SUM version can't guarantee (functions/exact.py).
+
+    Scale: a plain map-side-combinable aggregate — the integer pair is
+    also the mergeable partial state a rollup tier would store."""
+    l = load(spark, sf_dir, "lineitem")
+    c = l.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.sum(F.col("qty") * F.col("cents")).cast("bigint").alias("wsum_qty_cents"),
+        F.sum("qty").cast("bigint").alias("total_qty"),
+        F.round(
+            F.sum(F.col("qty") * F.col("cents")).cast("double")
+            / (F.sum("qty") * F.lit(100.0)),
+            6,
+        ).alias("wavg_price"),
+    )

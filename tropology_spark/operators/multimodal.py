@@ -171,3 +171,43 @@ def mm_features(spark, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("f0_byte"),
     )
+
+
+@register(
+    "mm_dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS sha256,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS keep_id
+    FROM documents
+    GROUP BY sha256(text)
+    HAVING count(*) > 1
+    """,
+)
+def mm_dedup_exact(spark, sf_dir: str) -> DataFrame:
+    """M77 — exact BINARY-payload dedup: content-hash the media blobs
+    through the real Arrow mapInPandas stage (the same digest a crawler
+    stores beside each asset), group by digest, keep the smallest id —
+    J1's dedup policy applied to the multimodal column instead of
+    text.  Only duplicated payloads are reported (the drop list).
+
+    The oracle recomputes the digests from the source text the payloads
+    were encoded from, so a payload corrupted anywhere in the Arrow
+    round-trip would change its sha256 and break the match.  Scale:
+    shuffle on the 32-byte digest only — payloads themselves never
+    shuffle (the hash is computed in the scan-side map stage)."""
+    from tropology_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    media = attach_media(docs, "payload", "text/plain", id_col="doc_id")
+    feats = extract_features(media)
+    return (
+        feats.groupBy("sha256")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("media_id").cast("bigint").alias("keep_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

@@ -396,3 +396,76 @@ def ts_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").cast("bigint").alias("first_event_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M74 — OHLC bars (open/high/low/close per hour)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_ohlc_hourly",
+    oracle=f"""
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS bucket, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    rn AS (
+      SELECT bucket, cents,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY ts, event_id) AS r_open,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY ts DESC, event_id DESC) AS r_close
+      FROM c
+    )
+    SELECT {sql_ts_str('bucket')} AS bucket,
+           CAST(max(CASE WHEN r_open = 1 THEN cents END) AS BIGINT) AS open_cents,
+           CAST(max(cents) AS BIGINT) AS high_cents,
+           CAST(min(cents) AS BIGINT) AS low_cents,
+           CAST(max(CASE WHEN r_close = 1 THEN cents END) AS BIGINT) AS close_cents,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM rn GROUP BY bucket
+    """,
+)
+def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M74 — OHLC candlestick bars: per hour, the first (open), max
+    (high), min (low) and last (close) event value in cents — the
+    financial-rollup shape.  First/last are row_number picks over the
+    unique (ts, event_id) ordering folded into the same aggregate as
+    the min/max (conditional agg, no join).
+
+    Scale: one shuffle on the bucket key; both row_number directions
+    and the final aggregate share that partitioning, and bars are
+    bounded by the time range, not the event count."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    w_open = Window.partitionBy("bucket").orderBy("ts", "event_id")
+    w_close = Window.partitionBy("bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    rn = c.select(
+        "bucket",
+        "cents",
+        F.row_number().over(w_open).alias("r_open"),
+        F.row_number().over(w_close).alias("r_close"),
+    )
+    return rn.groupBy("bucket").agg(
+        F.max(F.when(F.col("r_open") == 1, F.col("cents"))).cast("bigint").alias("open_cents"),
+        F.max("cents").cast("bigint").alias("high_cents"),
+        F.min("cents").cast("bigint").alias("low_cents"),
+        F.max(F.when(F.col("r_close") == 1, F.col("cents"))).cast("bigint").alias("close_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        ts_str(F.col("bucket")).alias("bucket"),
+        "open_cents",
+        "high_cents",
+        "low_cents",
+        "close_cents",
+        "n_events",
+    )

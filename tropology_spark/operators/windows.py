@@ -247,3 +247,72 @@ def win_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_last_hour"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M76 — Pareto / ABC classification (cumulative-share banding)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "win_pareto_abc",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT o_orderpriority, o_orderkey, cents,
+             sum(cents) OVER (PARTITION BY o_orderpriority
+                              ORDER BY cents DESC, o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents,
+             sum(cents) OVER (PARTITION BY o_orderpriority) AS total_cents
+      FROM c
+    )
+    SELECT o_orderpriority, o_orderkey, cents,
+           CAST(cum_cents AS BIGINT) AS cum_cents,
+           CASE WHEN cum_cents * 5 <= total_cents * 4 THEN 'A'
+                WHEN cum_cents * 20 <= total_cents * 19 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM r
+    """,
+)
+def win_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M76 — Pareto/ABC analysis: within each priority, orders sorted
+    by value get a running revenue share and an A/B/C band (first 80%,
+    next 15%, tail).  The band test is integer cross-multiplication
+    (`cum·5 <= total·4`), never a float share — exact at every
+    boundary in both engines.
+
+    Scale: the running sum partitions on the banding key; a GLOBAL
+    Pareto needs two passes (per-partition totals, then prefix-offset
+    broadcast) — the range-partitioned prefix-sum shape, not a
+    single-partition window."""
+    o = load(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w_run = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("cents").desc(), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("o_orderpriority")
+    r = c.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "cents",
+        F.sum("cents").over(w_run).cast("bigint").alias("cum_cents"),
+        F.sum("cents").over(w_tot).alias("total_cents"),
+    )
+    abc = (
+        F.when(F.col("cum_cents") * 5 <= F.col("total_cents") * 4, "A")
+        .when(F.col("cum_cents") * 20 <= F.col("total_cents") * 19, "B")
+        .otherwise("C")
+    )
+    return r.select(
+        "o_orderpriority", "o_orderkey", "cents", "cum_cents", abc.alias("abc_class")
+    )
