@@ -407,3 +407,50 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(ebyte, 3).cast("bigint").alias("b_shl"),
         F.shiftright(F.col("event_id"), 4).cast("bigint").alias("b_shr"),
     )
+
+
+@register(
+    "fn_higher_order",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS n_dims,
+           CAST(list_aggregate(
+                  list_transform(embedding,
+                                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                                           AS BIGINT)),
+                  'sum') AS BIGINT) AS sum_micro,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           CAST(list_aggregate(
+                  list_transform(embedding,
+                                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                                           AS BIGINT)),
+                  'max') AS BIGINT) AS max_micro
+    FROM embeddings
+    """,
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H11 — higher-order array functions (transform / filter /
+    aggregate lambdas): the embedding vector quantized to exact
+    micro-units element-wise, then folded JVM-side — the lambda
+    surface that keeps array math out of Python.  Element quantization
+    (floor(x·10⁶ + ½) on the float32→double widening both engines
+    share) happens BEFORE any fold, so the sums are exact integers in
+    any order.
+
+    Scale: embarrassingly parallel projection — no shuffle, no UDF;
+    at 100 TB this is the cheap pre-pass that feeds the similarity
+    family (J8-J10) integer-exact features."""
+    e = load(spark, sf_dir, "embeddings")
+    micro = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast("long"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("n_dims"),
+        F.aggregate(
+            micro, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).cast("bigint").alias("sum_micro"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.array_max(micro).cast("bigint").alias("max_micro"),
+    )

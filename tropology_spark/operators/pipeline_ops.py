@@ -1228,3 +1228,74 @@ def pipeline_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         permille.cast("bigint").alias("permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M78 — point-in-time (temporal) join against the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_point_in_time",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS version,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS attr_cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id,
+           CAST(v.version AS BIGINT) AS version, v.attr_cents
+    FROM c JOIN v
+      ON v.user_id = c.user_id
+     AND v.valid_from <= c.ts
+     AND (v.valid_to IS NULL OR c.ts < v.valid_to)
+    """,
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M78 — point-in-time correctness: each click is enriched with the
+    dimension version that was valid AT ITS TIMESTAMP (the M62 SCD2
+    intervals rebuilt inline) — the feature-store / ML-training join
+    where reading the current row instead of the as-at row is silent
+    label leakage.  Intervals partition time per user, so every click
+    matches at most one version.
+
+    Scale: facts and versions shuffle once on user_id and the interval
+    probe is within-key; a production feature store sorts versions per
+    key so the probe is a binary search (the C9 as-of shape), not a
+    scan of all versions."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("v_user"),
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("attr_cents"),
+        )
+        .select(
+            "v_user",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(
+                Window.partitionBy("v_user").orderBy("ts", "event_id")
+            ).alias("valid_to"),
+            F.row_number()
+            .over(Window.partitionBy("v_user").orderBy("ts", "event_id"))
+            .cast("bigint")
+            .alias("version"),
+            "attr_cents",
+        )
+    )
+    c = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    return c.join(
+        v,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    ).select("event_id", "user_id", "version", "attr_cents")
