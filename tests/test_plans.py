@@ -237,3 +237,17 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_window_family_rides_one_exchange(spark):
+    """M57/M58/M62/M69/M72/M74/M76/M78 — every per-user/per-group
+    window pipeline must plan exactly ONE hash exchange: lag, running
+    sums, all taps/leads, both row_number directions and the final
+    aggregate reuse the same partitioning."""
+    for name in (
+        "ts_sessionize", "ts_ewma", "ts_runs", "ts_ohlc_hourly",
+        "ts_pattern_triples", "win_pareto_abc", "pipeline_scd2",
+        "join_point_in_time",
+    ):
+        plan = plan_of(QUERIES[name](spark, SF_UNIT), "simple")
+        assert plan.count("Exchange hashpartitioning") == 1, name
