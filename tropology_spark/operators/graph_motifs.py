@@ -273,3 +273,66 @@ def graph_clustering_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dg") * (F.col("dg") - 1) / 2).cast("bigint").alias("n_wedges"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M79 — degree-assortativity terms (exact integer co-moments)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_assortativity_terms",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    proj AS (
+      SELECT a.src AS u, b.src AS v
+      FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+      HAVING count(*) >= {_MIN_SHARED}
+    ),
+    und AS (SELECT u, v FROM proj UNION ALL SELECT v, u FROM proj),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u)
+    SELECT CAST(count(*) AS BIGINT) AS n_dir_edges,
+           CAST(sum(du.d) AS BIGINT) AS sum_du,
+           CAST(sum(dv.d) AS BIGINT) AS sum_dv,
+           CAST(sum(du.d * dv.d) AS BIGINT) AS sum_dudv,
+           CAST(sum(du.d * du.d) AS BIGINT) AS sum_du2,
+           CAST(sum(dv.d * dv.d) AS BIGINT) AS sum_dv2
+    FROM und
+    JOIN deg du ON und.u = du.node
+    JOIN deg dv ON und.v = dv.node
+    """,
+)
+def graph_assortativity_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M79 — degree-assortativity raw terms over the co-purchase
+    projection: for every directed edge (both orientations, the
+    standard convention), the exact integer sums n, Σd_u, Σd_v,
+    Σd_u·d_v, Σd_u², Σd_v².  Newman's assortativity coefficient is a
+    closed-form ratio of these — emitted as integers so the gate stays
+    hash-exact and the one float division happens at the consumer.
+
+    Scale: degrees are O(nodes) → broadcast onto the edge list (no
+    shuffle of edges for the enrichment); the final fold is a single
+    scalar aggregate with map-side partials."""
+    proj = copurchase_projection(spark, sf_dir)
+    und = proj.unionAll(proj.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    return (
+        und.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .agg(
+            F.count(F.lit(1)).alias("n_dir_edges"),
+            F.sum("du").cast("bigint").alias("sum_du"),
+            F.sum("dv").cast("bigint").alias("sum_dv"),
+            F.sum(F.col("du") * F.col("dv")).cast("bigint").alias("sum_dudv"),
+            F.sum(F.col("du") * F.col("du")).cast("bigint").alias("sum_du2"),
+            F.sum(F.col("dv") * F.col("dv")).cast("bigint").alias("sum_dv2"),
+        )
+    )

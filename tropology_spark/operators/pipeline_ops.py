@@ -1299,3 +1299,90 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("valid_from") <= F.col("ts"))
         & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
     ).select("event_id", "user_id", "version", "attr_cents")
+
+
+# ---------------------------------------------------------------------------
+# M80 — deterministic negative sampling (link-prediction training pairs)
+# ---------------------------------------------------------------------------
+
+_NEG_NODES = 50  # sampled src/dst universe per side
+_NEG_K = 500  # negatives kept
+
+
+@register(
+    "pipeline_negative_sample",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    s AS (
+      SELECT src FROM (
+        SELECT src, row_number() OVER (ORDER BY md5(CAST(src AS VARCHAR)), src) AS r
+        FROM (SELECT DISTINCT src FROM e)
+      ) WHERE r <= {_NEG_NODES}
+    ),
+    d AS (
+      SELECT dst FROM (
+        SELECT dst, row_number() OVER (ORDER BY md5(CAST(dst AS VARCHAR)), dst) AS r
+        FROM (SELECT DISTINCT dst FROM e)
+      ) WHERE r <= {_NEG_NODES}
+    ),
+    cand AS (SELECT s.src, d.dst FROM s, d),
+    neg AS (
+      SELECT c.src, c.dst
+      FROM cand c LEFT JOIN e ON e.src = c.src AND e.dst = c.dst
+      WHERE e.src IS NULL
+    )
+    SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+           CAST(row_number() OVER (
+                  ORDER BY md5(CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)),
+                           src, dst) AS BIGINT) AS rk
+    FROM neg
+    QUALIFY rk <= {_NEG_K}
+    """,
+)
+def pipeline_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M80 — reproducible negative sampling: the non-edges a link
+    predictor trains against.  A deterministic md5-ordered sample of
+    {n} sources × {n} destinations forms the candidate grid; existing
+    edges are anti-joined away; the {k} survivors with the smallest
+    pair-hash are the negative set — every step pure md5 arithmetic
+    (the M43/M46 reproducibility discipline), so the same training
+    set regenerates on any engine, any partitioning, any day.
+
+    Scale: both node samples are global top-n over distinct keys
+    (TakeOrderedAndProject on O(nodes)); the candidate grid is
+    |S|x|D| rows — constant-sized, broadcast into the anti-join probe
+    against the edge table, which is scanned once; at 100 TB a bloom
+    filter on (src,dst) replaces the exact anti-join's shuffle."""
+    from tropology_spark.sources.tables import edges
+
+    e = edges(spark, sf_dir).localCheckpoint(eager=True)
+    s = (
+        e.select("src")
+        .distinct()
+        .orderBy(F.md5(F.col("src").cast("string")), F.col("src"))
+        .limit(_NEG_NODES)
+    )
+    d = (
+        e.select("dst")
+        .distinct()
+        .orderBy(F.md5(F.col("dst").cast("string")), F.col("dst"))
+        .limit(_NEG_NODES)
+    )
+    cand = F.broadcast(s.crossJoin(d))
+    neg = cand.join(e, ["src", "dst"], "left_anti")
+    pair_hash = F.md5(
+        F.concat(F.col("src").cast("string"), F.lit("_"), F.col("dst").cast("string"))
+    )
+    w = Window.orderBy(pair_hash, "src", "dst")
+    return (
+        neg.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _NEG_K)
+        .select(
+            F.col("src").cast("bigint").alias("src"),
+            F.col("dst").cast("bigint").alias("dst"),
+            "rk",
+        )
+    )
