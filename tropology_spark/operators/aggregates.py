@@ -490,3 +490,44 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("wavg_price"),
     )
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, event_id, event_type,
+             printf('%020d%020d', epoch_us(ts), event_id) AS ord_key
+      FROM events
+    )
+    SELECT user_id,
+           CAST(arg_min(event_id, ord_key) AS BIGINT) AS first_event_id,
+           CAST(arg_max(event_id, ord_key) AS BIGINT) AS last_event_id,
+           arg_max(event_type, ord_key) AS last_event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM k
+    GROUP BY user_id
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M81 — argmin/argmax aggregation (`min_by`/`max_by` ⟷ DuckDB
+    `arg_min`/`arg_max`): the first/last event per user WITHOUT a
+    window — a single map-side-combinable aggregate instead of a
+    row_number + filter, the cheaper plan whenever only the extreme
+    row's attributes are needed.  The comparator is the unique
+    (ts, event_id) ordering encoded as a fixed-width digit string
+    (lexicographic = numeric; DuckDB 1.0's arg_min/arg_max cannot
+    compare structs), so ties are impossible and the pick is
+    deterministic in both engines.
+
+    Scale: one shuffle, partial aggregation keeps per-partition state
+    at one candidate row per key — compare E6/E7, which sort every
+    group's rows."""
+    ev = load(spark, sf_dir, "events")
+    key = F.format_string("%020d%020d", F.unix_micros(F.col("ts")), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_id", key).cast("bigint").alias("first_event_id"),
+        F.max_by("event_id", key).cast("bigint").alias("last_event_id"),
+        F.max_by("event_type", key).alias("last_event_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -89,3 +89,46 @@ def udf_grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").applyInPandas(
         normalize, schema="event_id bigint, event_type string, z double"
     )
+
+
+@register(
+    "udf_udtf_tokenize",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS pos,
+           l[i] AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         (SELECT unnest(generate_series(1, 4096)) AS i)
+    WHERE i <= len(l)
+    """,
+)
+def udf_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 as a REAL Python UDTF (Spark 3.5+ ``@udtf``): one input row
+    fans out to one output row per token with its 1-based position —
+    the table-function tier of the UDF ladder (L1 scalar → L2
+    vectorized → L3 grouped → L4 table).  The SQL twin (posexplode's
+    semantics) proves the UDTF's fan-out is exact.
+
+    Scale: UDTFs run row-at-a-time through Python — the SLOWEST tier;
+    the JVM-side equivalent (posexplode, used by H2/J4-J6) is the hot
+    path, and this surface exists for logic that genuinely needs
+    imperative per-row fan-out.  No shuffle: fan-out happens in the
+    scan stage."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: long, token: string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" "), start=1):
+                yield i, tok
+
+    from tropology_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM documents d, LATERAL tokenize_udtf(d.text) t
+        """
+    )
