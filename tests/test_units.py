@@ -648,3 +648,38 @@ def test_motif_counts_satisfy_handshake_identities(spark):
         F.sum("n_butterflies")
     ).collect()[0][0]
     assert bf_total is not None and bf_total % 2 == 0
+
+
+def test_hub_cap_projection_is_a_sparsifying_subset(spark):
+    """M56 scale lever — the hub-capped co-purchase projection must be
+    a subset of the uncapped one (dropping a hub part can only lower a
+    pair's shared count), and a cap above the max part degree must be
+    a no-op."""
+    from tropology_spark.operators.graph_motifs import copurchase_projection
+
+    base = {
+        (r["u"], r["v"])
+        for r in copurchase_projection(spark, SF_UNIT).collect()
+    }
+    nocap = {
+        (r["u"], r["v"])
+        for r in copurchase_projection(spark, SF_UNIT, hub_cap=10**9).collect()
+    }
+    capped = {
+        (r["u"], r["v"])
+        for r in copurchase_projection(spark, SF_UNIT, hub_cap=20).collect()
+    }
+    assert nocap == base
+    assert capped <= base
+    assert base, "projection unexpectedly empty at SF_UNIT"
+
+
+def test_cli_explain_prints_physical_plan(spark, capsys):
+    """The explain subcommand must print the formatted physical plan
+    for a declared query."""
+    from tropology_spark import cli
+
+    rc = cli.main(["explain", "scan_project", "--mode", "formatted"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Physical Plan" in out and "Scan parquet" in out

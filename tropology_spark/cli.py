@@ -6,6 +6,7 @@ The usability surface a reference user gets on day one:
     python -m tropology_spark.cli run flagship_revenue_by_region
     python -m tropology_spark.cli run graph_neighbors --sf-dir /root/testdata/sf0.01 --limit 5
     python -m tropology_spark.cli oracle dedup_exact     # print the DuckDB twin
+    python -m tropology_spark.cli explain graph_triangles --mode formatted
     python -m tropology_spark.cli sql "SELECT count(*) AS n FROM lineitem"
 
 Output is JSON lines (one object per row) so results pipe into jq or
@@ -33,6 +34,17 @@ def main(argv: list[str] | None = None) -> int:
     orc = sub.add_parser("oracle", help="print a query's DuckDB oracle SQL")
     orc.add_argument("name")
 
+    exp = sub.add_parser(
+        "explain", help="print a declared query's physical plan"
+    )
+    exp.add_argument("name")
+    exp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    exp.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "formatted", "codegen", "cost"],
+    )
+
     sql = sub.add_parser(
         "sql", help="run ad-hoc Spark SQL over the fixture tables"
     )
@@ -55,6 +67,21 @@ def main(argv: list[str] | None = None) -> int:
             print(f"no oracle for {args.name!r}", file=sys.stderr)
             return 1
         print(ORACLES[args.name].strip())
+        return 0
+
+    if args.cmd == "explain":
+        if args.name not in QUERIES:
+            print(f"unknown query {args.name!r}", file=sys.stderr)
+            return 1
+        from pyspark.sql import SparkSession
+
+        from tropology_spark.session import get_spark
+
+        owns_session = SparkSession.getActiveSession() is None
+        spark = get_spark("tropology-cli")
+        QUERIES[args.name](spark, args.sf_dir).explain(args.mode)
+        if owns_session:
+            spark.stop()
         return 0
 
     if args.cmd == "sql":

@@ -42,19 +42,38 @@ _MIN_SHARED = 3
 #: (session, sf) like sources.tables._LOAD_CACHE, so a session running
 #: several motif queries pays the projection once.  Keyed by
 #: applicationId: a fresh session never sees stale handles.
-_PROJ_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PROJ_CACHE: dict[tuple[str, str, int | None], DataFrame] = {}
 
 
-def copurchase_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def copurchase_projection(
+    spark: SparkSession, sf_dir: str, hub_cap: int | None = None
+) -> DataFrame:
     """Projected co-purchase edge list ``(u < v)`` with >= _MIN_SHARED
     shared parts, localCheckpoint-materialized (three aliased triangle
     branches + the degree count would otherwise each re-derive the
-    orders ⋈ lineitem ⋈ self pipeline)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    orders ⋈ lineitem ⋈ self pipeline).
+
+    ``hub_cap`` is the 100 TB skew lever (SCALE.md watchlist item 1,
+    wired before any full run): parts linked by more than ``hub_cap``
+    customers are dropped BEFORE the wedge self-join, bounding its
+    per-part cost at C(hub_cap, 2).  A documented sparsifier: capped
+    output pairs are always a subset of the uncapped projection
+    (removing a part can only lower a pair's shared count), pinned by
+    tests/test_units.py.  Declared queries run uncapped — the fixture
+    graphs need no cap."""
+    key = (spark.sparkContext.applicationId, sf_dir, hub_cap)
     cached = _PROJ_CACHE.get(key)
     if cached is not None:
         return cached
     e = edges(spark, sf_dir)
+    if hub_cap is not None:
+        small = (
+            e.groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("part_deg"))
+            .filter(F.col("part_deg") <= hub_cap)
+            .select("dst")
+        )
+        e = e.join(F.broadcast(small), "dst")
     a = e.select(F.col("src").alias("ua"), F.col("dst").alias("d"))
     b = e.select(F.col("src").alias("ub"), F.col("dst").alias("d"))
     proj = (
