@@ -1386,3 +1386,90 @@ def pipeline_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M82 — dataset card (per-language corpus summary)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    pert AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS sum_tokens,
+             CAST(count(DISTINCT token) AS BIGINT) AS n_vocab
+      FROM tok GROUP BY lang
+    ),
+    dups AS (
+      SELECT lang, CAST(sum(n - 1) AS BIGINT) AS n_exact_dup_docs
+      FROM (SELECT lang, md5(text) AS h, count(*) AS n
+            FROM documents GROUP BY 1, 2)
+      WHERE n > 1 GROUP BY lang
+    ),
+    base AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang
+    )
+    SELECT b.lang, b.n_docs, b.n_sources, b.sum_chars,
+           p.sum_tokens, p.n_vocab,
+           CAST(coalesce(d.n_exact_dup_docs, 0) AS BIGINT) AS n_exact_dup_docs
+    FROM base b
+    JOIN pert p USING (lang)
+    LEFT JOIN dups d USING (lang)
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M82 — the dataset card: per language, the summary a data lead
+    publishes next to a corpus release — document/source counts, char
+    and token budgets, vocabulary size, and how many documents are
+    redundant exact copies (J1's md5 identity; dup count = Σ(n-1),
+    the rows a dedup pass would remove).  Every figure is an exact
+    integer.
+
+    Scale: one documents scan feeds the doc-level aggregate, one
+    explode feeds the token aggregate (map-side combinable, the J4
+    shape), and the dup table groups on the 16-byte hash — three
+    shuffles over progressively smaller data, joined on the tiny lang
+    key."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("lang", "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    pert = tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("sum_tokens"),
+        F.countDistinct("token").alias("n_vocab"),
+    )
+    dups = (
+        d.groupBy("lang", F.md5(F.col("text")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .groupBy("lang")
+        .agg(F.sum(F.col("n") - 1).cast("bigint").alias("n_exact_dup_docs"))
+    )
+    base = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    return (
+        base.join(pert, "lang")
+        .join(dups, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "n_sources",
+            "sum_chars",
+            "sum_tokens",
+            "n_vocab",
+            F.coalesce(F.col("n_exact_dup_docs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_exact_dup_docs"),
+        )
+    )
