@@ -355,3 +355,67 @@ def graph_assortativity_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("dv") * F.col("dv")).cast("bigint").alias("sum_dv2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M83 — HITS-style authority via exact path counts (bipartite-native)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_hits_paths",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    auth1 AS (SELECT dst, CAST(count(*) AS BIGINT) AS a1 FROM e GROUP BY dst),
+    hub1 AS (
+      SELECT e.src, CAST(sum(a.a1) AS BIGINT) AS h1
+      FROM e JOIN auth1 a ON e.dst = a.dst
+      GROUP BY e.src
+    ),
+    auth2 AS (
+      SELECT e.dst, CAST(sum(h.h1) AS BIGINT) AS a2
+      FROM e JOIN hub1 h ON e.src = h.src
+      GROUP BY e.dst
+    )
+    SELECT CAST(a1.dst AS BIGINT) AS node,
+           a1.a1 AS authority_1, a2.a2 AS authority_2
+    FROM auth1 a1 JOIN auth2 a2 ON a1.dst = a2.dst
+    """,
+)
+def graph_hits_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M83 — HITS (Kleinberg) authority on the bipartite link graph,
+    kept EXACT by skipping normalization: with all-ones init, the
+    unnormalized iterates are path counts — authority_1(part) = its
+    degree, authority_2(part) = Σ paths of length 3 ending at it — and
+    path counts are integers, so the ranking (identical to normalized
+    HITS, which only rescales) is hash-checkable.  The float-vector
+    HITS loop would sit under the same accepted-risk caveat as
+    PageRank; this is the declarable form.
+
+    Scale: two hub/authority half-steps = two map-side-combinable
+    aggregates with the per-node vector joined back along the edge
+    partitioning — the I8/PageRank shape without the damping floats;
+    further iterations chain the same two joins."""
+    e = edges(spark, sf_dir).localCheckpoint(eager=True)
+    auth1 = e.groupBy("dst").agg(F.count(F.lit(1)).cast("bigint").alias("a1"))
+    hub1 = (
+        e.join(auth1, "dst")
+        .groupBy("src")
+        .agg(F.sum("a1").cast("bigint").alias("h1"))
+    )
+    auth2 = (
+        e.join(hub1, "src")
+        .groupBy("dst")
+        .agg(F.sum("h1").cast("bigint").alias("a2"))
+    )
+    return (
+        auth1.join(auth2, "dst")
+        .select(
+            F.col("dst").cast("bigint").alias("node"),
+            F.col("a1").alias("authority_1"),
+            F.col("a2").alias("authority_2"),
+        )
+    )
