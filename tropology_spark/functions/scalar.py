@@ -454,3 +454,50 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("bigint").alias("n_pos"),
         F.array_max(micro).cast("bigint").alias("max_micro"),
     )
+
+
+_TRY_MULT = 1 << 40  # pushes cents >= 2^23 over the int64 boundary
+
+
+@register(
+    "fn_try_arithmetic",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             event_id % 5 AS k
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN k = 0 THEN NULL
+                ELSE round(CAST(cents AS DOUBLE) / k, 6) END AS safe_div,
+           CASE WHEN cents >= {1 << 23} THEN NULL
+                ELSE cents * {_TRY_MULT} END AS safe_mul
+    FROM c
+    """,
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H12 — ANSI-safe arithmetic (`try_divide`, `try_multiply`):
+    Spark 4 runs ANSI mode, where /0 and int64 overflow RAISE; the
+    try_* family converts those to NULL — the per-row safety valve a
+    pipeline uses when a poisoned row must not kill a 100 TB job
+    (the arithmetic sibling of M34's corrupt-row quarantine).
+
+    The oracle proves the NULL semantics analytically: divisor 0 ⟷
+    NULL, and the multiply overflows int64 exactly when cents >= 2^23
+    (x · 2^40 >= 2^63) — DuckDB would error on the overflow, so its
+    CASE must short-circuit first.  Scale: projection-only, no
+    shuffle."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        (F.col("event_id") % 5).alias("k"),
+    )
+    return c.select(
+        "event_id",
+        F.round(F.try_divide(F.col("cents").cast("double"), F.col("k")), 6).alias(
+            "safe_div"
+        ),
+        F.try_multiply(F.col("cents"), F.lit(_TRY_MULT).cast("bigint")).alias("safe_mul"),
+    )

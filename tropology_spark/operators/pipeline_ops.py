@@ -1473,3 +1473,49 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_exact_dup_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M84 — source-balanced interleave (training-order construction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_interleave_sources",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS epoch_step
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(epoch_step AS BIGINT) AS epoch_step,
+           CAST(row_number() OVER (ORDER BY epoch_step, source, doc_id)
+                AS BIGINT) AS position
+    FROM r
+    """,
+)
+def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M84 — source-balanced training order: documents are md5-shuffled
+    WITHIN each source, then round-robin interleaved across sources —
+    the curriculum trick that stops a giant source from monopolizing
+    any training window, fully reproducible (M43's md5 discipline, no
+    RNG state).
+
+    Scale: the per-source shuffle is one window on the source key; the
+    global position is a single total order — at fixture scale one
+    window, at 100 TB the two-pass range-partitioned prefix-sum
+    (per-partition counts broadcast as offsets, the M76 note) replaces
+    the single-partition sort."""
+    d = load(spark, sf_dir, "documents")
+    w_src = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    r = d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w_src).cast("bigint").alias("epoch_step"),
+    )
+    w_all = Window.orderBy("epoch_step", "source", "doc_id")
+    return r.withColumn("position", F.row_number().over(w_all).cast("bigint"))
