@@ -125,6 +125,32 @@ def jaccard_pairs(
     )
 
 
+#: Checkpointed (doc_a, doc_b) pair table per (session, sf, width) —
+#: the near-dup pair graph feeds both the clustering query (M24) and
+#: the curation composition (M53); the same handle-reuse policy as
+#: sources.tables._LOAD_CACHE so one session pays the pair join once.
+_PAIRS_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def jaccard_pairs_materialized(
+    spark: SparkSession, sf_dir: str, block_width: int = 40
+) -> DataFrame:
+    """The J2 pair graph (doc_a, doc_b only), eagerly materialized and
+    cached per (session, sf): the label-propagation rounds reference it
+    from several plan branches, and two declared queries share it."""
+    key = (spark.sparkContext.applicationId, sf_dir, block_width)
+    cached = _PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    pairs = (
+        jaccard_pairs(load(spark, sf_dir, "documents"), block_width=block_width)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    _PAIRS_CACHE[key] = pairs
+    return pairs
+
+
 # MinHash parameters: 16 permutations in 4 bands of 4 rows.  The hash
 # family is (a*x + b) mod p over the low 32 bits of md5(token) — the
 # base hash is md5 (not crc32/xxhash) precisely so ANY engine can

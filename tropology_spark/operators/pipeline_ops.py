@@ -130,14 +130,13 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative; `anti-join docs against is_kept=0` is the actual
     drop step.  For arbitrary-diameter graphs use
     graph_connected_components (fixpoint loop, rows-only)."""
-    from tropology_spark.operators.dedup import jaccard_pairs
+    from tropology_spark.operators.dedup import jaccard_pairs_materialized
 
     d = load(spark, sf_dir, "documents")
-    # Materialize the pair join once: three label rounds reuse it, and
-    # Spark does not reuse non-materialized shared subplans.
-    pairs = jaccard_pairs(d, block_width=40).select("doc_a", "doc_b").localCheckpoint(
-        eager=True
-    )
+    # Materialized once per session: three label rounds reuse it (Spark
+    # does not reuse non-materialized shared subplans), and the curation
+    # composition (M53) shares the same cached handle.
+    pairs = jaccard_pairs_materialized(spark, sf_dir, block_width=40)
     ids = d.select("doc_id")
     es = (
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
