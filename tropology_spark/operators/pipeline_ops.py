@@ -1518,3 +1518,166 @@ def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_all = Window.orderBy("epoch_step", "source", "doc_id")
     return r.withColumn("position", F.row_number().over(w_all).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# M69 — context-window chunking with overlap
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 16  # tokens per chunk (context window)
+_CHUNK_S = 12  # stride (W - S = 4 tokens of overlap between chunks)
+
+
+@register(
+    "pipeline_chunk_documents",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, toks, n,
+             1 + CAST(floor((CASE WHEN n > {_CHUNK_W} THEN n - {_CHUNK_W} ELSE 0 END
+                             + {_CHUNK_S} - 1) / {_CHUNK_S}) AS BIGINT) AS n_chunks
+      FROM t
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+           CAST(least(1 + k * {_CHUNK_S} + {_CHUNK_W} - 1, n)
+                - (1 + k * {_CHUNK_S}) + 1 AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(
+                 toks[1 + k * {_CHUNK_S} : least(1 + k * {_CHUNK_S} + {_CHUNK_W} - 1, n)],
+                 ' ')) AS chunk_md5
+    FROM sized, (SELECT unnest(generate_series(0, 63)) AS k) s
+    WHERE k < n_chunks
+    """,
+)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M69 — split every document into fixed-size token windows
+    (W={w}, stride S={s}: the context-window chunking every training
+    and RAG pipeline runs before tokenization).  Chunk count is
+    1 + ceil(max(0, n-W)/S) so the final partial window is always
+    emitted and every token is covered; chunk identity is the md5 of
+    the space-joined token slice, making the output hash-verifiable
+    without carrying the text.
+
+    Scale: embarrassingly parallel — one scan, a per-row sequence
+    explode (fan-out ≤ n/S per doc), no shuffle at all; the array
+    slice/join/md5 chain is whole-stage-codegen JVM work."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sized = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).alias("n"),
+    ).withColumn(
+        "n_chunks",
+        (
+            F.lit(1)
+            + F.floor(
+                (
+                    F.greatest(F.col("n") - _CHUNK_W, F.lit(0))
+                    + _CHUNK_S
+                    - 1
+                )
+                / _CHUNK_S
+            )
+        ).cast("bigint"),
+    )
+    start = F.lit(1) + F.col("k") * _CHUNK_S  # 1-based slice start
+    end = F.least(start + _CHUNK_W - 1, F.col("n"))
+    return (
+        sized.select(
+            "doc_id",
+            "toks",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("k"),
+        )
+        .select(
+            "doc_id",
+            F.col("k").cast("bigint").alias("chunk_id"),
+            (end - start + 1).cast("bigint").alias("chunk_tokens"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), start, end - start + 1))
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M70 — training-mixture sampling weights per source
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHT_CAP = 4.0  # never upsample a source more than 4 epochs
+
+
+@register(
+    "pipeline_mixture_weights",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_sources
+      FROM per_source
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(floor(1000000 * n_docs / total) AS BIGINT) AS share_ppm,
+           CAST(floor(1000000 / n_sources) AS BIGINT) AS target_ppm,
+           least(CAST(total AS DOUBLE) / (n_sources * n_docs),
+                 {_MIX_WEIGHT_CAP}) AS sample_weight,
+           CAST(floor((total + n_sources * n_docs - 1) / (n_sources * n_docs))
+                AS BIGINT) AS epochs
+    FROM per_source, tot
+    """,
+)
+def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M70 — per-source sampling weights that rebalance the corpus to a
+    uniform target mixture (the data-mixing step before a training
+    run): weight = target_share / actual_share, capped at {c}× so no
+    source is over-epoched.  Every ratio is a SINGLE division of two
+    exact integers — both engines perform the identical IEEE operation
+    — and the integer views (ppm shares, ceil epochs) carry the
+    decision-grade values exactly.
+
+    Scale: the per-source aggregate is map-side combinable; the totals
+    row is one scalar broadcast back over a source-cardinality frame —
+    metadata-sized at any corpus scale."""
+    d = load(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_docs").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.floor(F.lit(1000000) * F.col("n_docs") / F.col("total"))
+            .cast("bigint")
+            .alias("share_ppm"),
+            F.floor(F.lit(1000000) / F.col("n_sources"))
+            .cast("bigint")
+            .alias("target_ppm"),
+            F.least(
+                F.col("total").cast("double")
+                / (F.col("n_sources") * F.col("n_docs")),
+                F.lit(_MIX_WEIGHT_CAP),
+            ).alias("sample_weight"),
+            F.floor(
+                (F.col("total") + F.col("n_sources") * F.col("n_docs") - 1)
+                / (F.col("n_sources") * F.col("n_docs"))
+            )
+            .cast("bigint")
+            .alias("epochs"),
+        )
+    )

@@ -467,3 +467,81 @@ def text_rare_token_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_rare"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M68 — syllable-heuristic readability profile
+# ---------------------------------------------------------------------------
+
+#: Flesch-style avg-syllables-per-word bands, held as integer cross-
+#: multiplications (n_syll*10 vs n_words*k) so the classification never
+#: touches a float: <1.3 simple, <1.6 moderate, else complex.
+_READ_SIMPLE_X10 = 13
+_READ_MODERATE_X10 = 16
+
+
+@register(
+    "text_readability",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             count(*) AS n_words,
+             sum(len(regexp_extract_all(lower(token), '[aeiouy]+'))) AS n_syll
+      FROM tok GROUP BY doc_id, lang
+    ),
+    classed AS (
+      SELECT lang, n_words, n_syll,
+             CASE WHEN n_syll * 10 < n_words * {_READ_SIMPLE_X10} THEN 'simple'
+                  WHEN n_syll * 10 < n_words * {_READ_MODERATE_X10} THEN 'moderate'
+                  ELSE 'complex' END AS readability
+      FROM per_doc
+    )
+    SELECT lang, readability,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS sum_words,
+           CAST(sum(n_syll) AS BIGINT) AS sum_syllables
+    FROM classed GROUP BY lang, readability
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M68 — readability banding via the classic vowel-group syllable
+    heuristic: syllables(word) ~= count of maximal [aeiouy]+ runs.  The
+    Flesch-grade core (avg syllables per word) is a ratio of two exact
+    integers, so the banding compares cross-multiplied integers and the
+    whole profile is float-free.
+
+    Scale: one token explode (the corpus scan), one map-side-combinable
+    per-doc aggregate, one tiny (lang × band) rollup — no joins, no
+    Python; regexp_count runs in whole-stage codegen."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    per_doc = tok.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(
+            F.regexp_count(F.lower(F.col("token")), F.lit("[aeiouy]+"))
+        ).alias("n_syll"),
+    )
+    readability = (
+        F.when(
+            F.col("n_syll") * 10 < F.col("n_words") * _READ_SIMPLE_X10, "simple"
+        )
+        .when(
+            F.col("n_syll") * 10 < F.col("n_words") * _READ_MODERATE_X10, "moderate"
+        )
+        .otherwise("complex")
+    )
+    return (
+        per_doc.withColumn("readability", readability)
+        .groupBy("lang", "readability")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("sum_words"),
+            F.sum("n_syll").cast("bigint").alias("sum_syllables"),
+        )
+    )
