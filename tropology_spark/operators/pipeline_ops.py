@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
-from tropology_spark.functions.exact import sql_ts_str
+from tropology_spark.functions.exact import sql_exact_sum, sql_ts_str
 from tropology_spark.registry import register
 from tropology_spark.sources.tables import load
 
@@ -1679,5 +1679,56 @@ def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("epochs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M72 — hot-key salted join as a declared query
+# ---------------------------------------------------------------------------
+
+_SALT_N = 8
+
+
+@register(
+    "join_salted_hotkey",
+    oracle="""
+    SELECT p_brand,
+           {rev} AS revenue_sum,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """.format(rev=sql_exact_sum("l_extendedprice * (1 - l_discount)", 2)),
+)
+def join_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M72 — the skew-mitigation join (plans/skew.py salted_join) as a
+    declared, oracle-checked query: lineitem x part revenue per brand
+    where the fact side carries a content-derived salt and the
+    dimension is replicated once per salt value, spreading any hot
+    part key across {n} tasks.  The oracle is the PLAIN join — the
+    whole point is bit-identical output with a skew-proof plan.
+
+    Scale: replication cost is n_salt x |dimension| (the small side
+    only); the fact table still shuffles once on (key, salt).  AQE's
+    skew splitting handles moderate skew automatically — this is the
+    explicit tool for the pathological keys it can't (the TVTropes
+    celebrity-node case, SCALE.md)."""
+    from tropology_spark.functions.exact import exact_sum
+    from tropology_spark.plans.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    return (
+        salted_join(li, part, "l_partkey", n_salt=_SALT_N)
+        .groupBy("p_brand")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue_sum"),
+            F.count(F.lit(1)).alias("n_items"),
         )
     )

@@ -469,3 +469,96 @@ def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close_cents",
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# M71 — CUSUM changepoint detection (exact integer form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, event_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    seq AS (
+      SELECT event_type, ts,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS i,
+             sum(cents) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS prefix,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(cents) OVER (PARTITION BY event_type) AS total
+      FROM c
+    ),
+    scored AS (
+      SELECT event_type, ts, i, n,
+             CAST(n * prefix - i * total AS BIGINT) AS cusum_scaled
+      FROM seq
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(i AS BIGINT) AS cp_index,
+           {sql_ts_str('ts')} AS cp_ts,
+           cusum_scaled
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY abs(cusum_scaled) DESC, i) AS rk
+          FROM scored) t
+    WHERE rk = 1
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M71 — CUSUM changepoint per event type: the index where the
+    cumulative deviation from the series mean peaks.  The textbook
+    statistic max_i |prefix_i - i*mean| is float; multiplying through
+    by n gives |n*prefix_i - i*total| — BIGINT-exact over cents, so
+    the argmax is deterministic (unique (|score| desc, i) ordering).
+
+    Scale: one shuffle on event_type, then two window passes over each
+    sorted partition; per-key state is a running sum — the same shape
+    Spark executes for any ranked window (SURVEY.md §2 E4)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wp = Window.partitionBy("event_type")
+    seq = ev.select(
+        "event_type",
+        "ts",
+        F.row_number().over(wo).alias("i"),
+        F.sum("cents")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("prefix"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("cents").over(wp).alias("total"),
+    )
+    scored = seq.select(
+        "event_type",
+        "ts",
+        "i",
+        "n",
+        (F.col("n") * F.col("prefix") - F.col("i") * F.col("total"))
+        .cast("bigint")
+        .alias("cusum_scaled"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_scaled")).desc(), F.col("i")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("i").cast("bigint").alias("cp_index"),
+            ts_str(F.col("ts")).alias("cp_ts"),
+            "cusum_scaled",
+        )
+    )
