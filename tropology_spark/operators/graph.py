@@ -608,3 +608,80 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# M74 — k-core peeling (3 unrolled rounds)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 25
+_KCORE_ROUNDS = 3
+
+
+@register(
+    "graph_kcore",
+    oracle=_EDGES_CTE
+    + f"""
+    , ue AS (
+      SELECT 'c:' || CAST(src AS VARCHAR) AS a, 'p:' || CAST(dst AS VARCHAR) AS b
+      FROM edges
+      UNION ALL
+      SELECT 'p:' || CAST(dst AS VARCHAR), 'c:' || CAST(src AS VARCHAR)
+      FROM edges
+    ),
+    d0 AS (SELECT a, count(*) AS deg FROM ue GROUP BY a),
+    k0 AS (SELECT a FROM d0 WHERE deg >= {_KCORE_K}),
+    e1 AS (SELECT ue.a, ue.b FROM ue
+           JOIN k0 x ON ue.a = x.a JOIN k0 y ON ue.b = y.a),
+    d1 AS (SELECT a, count(*) AS deg FROM e1 GROUP BY a),
+    k1 AS (SELECT a FROM d1 WHERE deg >= {_KCORE_K}),
+    e2 AS (SELECT e1.a, e1.b FROM e1
+           JOIN k1 x ON e1.a = x.a JOIN k1 y ON e1.b = y.a),
+    d2 AS (SELECT a, count(*) AS deg FROM e2 GROUP BY a),
+    k2 AS (SELECT a FROM d2 WHERE deg >= {_KCORE_K}),
+    e3 AS (SELECT e2.a, e2.b FROM e2
+           JOIN k2 x ON e2.a = x.a JOIN k2 y ON e2.b = y.a)
+    SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM e3 GROUP BY a
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M74 — k-core peeling, {r} unrolled rounds at k={k}: repeatedly
+    drop nodes whose degree in the surviving subgraph is below k, then
+    report each survivor's induced degree.  The dense-core extractor
+    (spam/boilerplate hubs in a link graph, community cores) — a fixed
+    round count keeps it SQL-oracle-checkable; the fixpoint variant is
+    the connected-components loop shape (rows-only).
+
+    Scale: each round is degree-agg + two semi joins on the node set —
+    all key-partitioned shuffles.  Each surviving edge set is eagerly
+    materialized: round i+1 references round i from THREE plan branches
+    (degree agg + both endpoint joins), and Spark does not reuse
+    un-materialized shared subplans (BASELINE.md round-1 finding)."""
+    e = edges(spark, sf_dir)
+    ue = (
+        e.select(
+            F.concat(F.lit("c:"), F.col("src").cast("string")).alias("a"),
+            F.concat(F.lit("p:"), F.col("dst").cast("string")).alias("b"),
+        )
+        .unionAll(
+            e.select(
+                F.concat(F.lit("p:"), F.col("dst").cast("string")).alias("a"),
+                F.concat(F.lit("c:"), F.col("src").cast("string")).alias("b"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    cur = ue
+    for _ in range(_KCORE_ROUNDS):
+        deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("a")
+        cur = (
+            cur.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return cur.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )

@@ -419,3 +419,160 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# M73 — random-projection LSH ANN (signed random hyperplanes)
+# ---------------------------------------------------------------------------
+
+_RP_TABLES = 4  # independent hash tables (union of candidates)
+_RP_BITS = 8  # hyperplane bits per table (2^8 buckets)
+
+
+@register(
+    "sim_rp_lsh_topk",
+    oracle=_EX_CTE
+    + f"""
+    , exm AS (
+      SELECT vec_id, pos, CAST(round(val * 1000000) AS BIGINT) AS vm FROM ex
+    ),
+    hp AS (
+      SELECT t.t, b.b, p.pos,
+             CASE WHEN (('0x' || substring(md5(CAST(t.t AS VARCHAR) || '_'
+                           || CAST(b.b AS VARCHAR) || '_'
+                           || CAST(p.pos AS VARCHAR)), 1, 8))::BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS w
+      FROM (SELECT unnest(generate_series(0, {_RP_TABLES - 1})) AS t) t,
+           (SELECT unnest(generate_series(0, {_RP_BITS - 1})) AS b) b,
+           (SELECT unnest(generate_series(1, {EMB_DIM})) AS pos) p
+    ),
+    bits AS (
+      SELECT e.vec_id, h.t, h.b,
+             CASE WHEN sum(h.w * e.vm) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM exm e JOIN hp h ON e.pos = h.pos
+      GROUP BY e.vec_id, h.t, h.b
+    ),
+    sigs AS (
+      SELECT vec_id, t, sum(bit * (CAST(1 AS BIGINT) << b)) AS sig
+      FROM bits GROUP BY vec_id, t
+    ),
+    qsig AS (SELECT t, sig FROM sigs WHERE vec_id = {QUERY_VEC_ID}),
+    cand AS (
+      SELECT DISTINCT s.vec_id
+      FROM sigs s JOIN qsig q ON s.t = q.t AND s.sig = q.sig
+      WHERE s.vec_id <> {QUERY_VEC_ID}
+    ),
+    qq AS (SELECT pos, val FROM ex WHERE vec_id = {QUERY_VEC_ID}),
+    d AS (
+      SELECT e.vec_id, sum(e.val * qq.val) AS dp
+      FROM ex e JOIN cand c ON e.vec_id = c.vec_id
+      JOIN qq ON e.pos = qq.pos
+      GROUP BY e.vec_id
+    )
+    SELECT d.vec_id, round(d.dp / (n1.nv * n2.nv), 6) AS cosine
+    FROM d JOIN nrm n1 ON d.vec_id = n1.vec_id
+    CROSS JOIN (SELECT nv FROM nrm WHERE vec_id = {QUERY_VEC_ID}) n2
+    ORDER BY cosine DESC, d.vec_id
+    LIMIT 10
+    """,
+)
+def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M73 — cosine ANN via signed-random-projection LSH (the SimHash
+    idea applied to embeddings): {t} independent tables of {b}
+    hyperplane bits, candidates = vectors sharing the query's full
+    signature in ANY table, exact cosine rerank of the candidates.
+    The complement to IVF (sim_ivf_topk): no training pass, and recall
+    comes from table multiplicity instead of cell probing.
+
+    Determinism: hyperplane signs derive from md5(t_b_pos) — the
+    engine-portable hash family (dedup.py) — and each projection is a
+    sum of ±(value-in-micros) BIGINTs, so every signature bit is
+    integer-exact in both engines; floats appear only in the final
+    rounded rerank.
+
+    Scale: signatures are one scan + two map-side-combinable aggs; the
+    candidate lookup is an equi-join on (table, signature) — at 100 TB
+    the signature table is written bucketed by signature so a query
+    probe touches {t} buckets, never the corpus."""
+    spark_session = spark
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    ).withColumn("nv", norm(F.col("emb")))
+
+    # Long integer-micros form: the projection sums stay BIGINT-exact.
+    exm = e.select(
+        "vec_id", F.posexplode("emb").alias("pos0", "val")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("val") * 1000000).cast("bigint").alias("vm"),
+    )
+
+    # Hyperplane table: (t, b, pos) -> w in {-1, +1}, ~2k rows, broadcast.
+    one = spark_session.range(1)
+    hp = (
+        one.select(
+            F.explode(F.sequence(F.lit(0), F.lit(_RP_TABLES - 1))).alias("t")
+        )
+        .select("t", F.explode(F.sequence(F.lit(0), F.lit(_RP_BITS - 1))).alias("b"))
+        .select(
+            "t", "b", F.explode(F.sequence(F.lit(1), F.lit(EMB_DIM))).alias("pos")
+        )
+        .select(
+            "t",
+            "b",
+            "pos",
+            (
+                F.lit(1)
+                - 2
+                * (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("_", F.col("t"), F.col("b"), F.col("pos"))),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % 2
+                )
+            ).alias("w"),
+        )
+    )
+
+    bits = (
+        exm.join(F.broadcast(hp), "pos")
+        .groupBy("vec_id", "t", "b")
+        .agg(
+            F.when(F.sum(F.col("w") * F.col("vm")) >= 0, 1).otherwise(0).alias("bit")
+        )
+    )
+    sigs = bits.groupBy("vec_id", "t").agg(
+        F.sum(F.col("bit") * F.expr("CAST(shiftleft(1, b) AS BIGINT)")).alias("sig")
+    )
+    qsig = sigs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("t").alias("qt"), F.col("sig").alias("qs")
+    )
+    cand = (
+        sigs.join(
+            F.broadcast(qsig),
+            (F.col("t") == F.col("qt")) & (F.col("sig") == F.col("qs")),
+            "left_semi",
+        )
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id")
+        .distinct()
+    )
+
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("qemb"), F.col("nv").alias("nq")
+    )
+    cos = F.round(dot(F.col("emb"), F.col("qemb")) / (F.col("nv") * F.col("nq")), 6)
+    return (
+        e.join(cand, "vec_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
