@@ -454,3 +454,91 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.4)
     )
+
+
+# ---------------------------------------------------------------------------
+# M78 — containment near-dup pairs (asymmetric overlap)
+# ---------------------------------------------------------------------------
+
+_CONTAIN_NUM = 4  # containment threshold 4/5 = 0.8, held as integers
+_CONTAIN_DEN = 5
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, substring(text, 1, 40) AS pfx,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    siz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM tok a
+      JOIN tok b ON a.token = b.token AND a.pfx = b.pfx AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(sa.n AS BIGINT) AS size_a,
+           CAST(sb.n AS BIGINT) AS size_b,
+           CAST(n_common AS DOUBLE) / sa.n AS contain_a,
+           CAST(n_common AS DOUBLE) / sb.n AS contain_b
+    FROM inter
+    JOIN siz sa ON doc_a = sa.doc_id
+    JOIN siz sb ON doc_b = sb.doc_id
+    WHERE n_common * {_CONTAIN_DEN} >= {_CONTAIN_NUM} * least(sa.n, sb.n)
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M78 — near-containment pairs: the smaller document's token set
+    is >= {n}/{d} inside the other's.  Catches the quote/excerpt/
+    boilerplate-wrapper duplicates Jaccard misses (a short doc embedded
+    in a long one has low Jaccard but high containment — the dedup
+    literature's C(A,B) = |A∩B|/|A|).  The threshold compares
+    cross-multiplied integers; the reported containments are single
+    divisions of exact integers (bit-identical both engines).
+
+    Shares J2's prefix blocking and intersection shape (same recall
+    precondition, see ``jaccard_pairs``); at 100 TB the scale path is
+    MinHash with containment-calibrated banding instead of the
+    prefix."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.substring(F.col("text"), 1, 40).alias("pfx"),
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token"),
+    )
+    siz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.pfx") == F.col("b.pfx"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = siz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = siz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("n_common") * _CONTAIN_DEN
+            >= _CONTAIN_NUM * F.least(F.col("na"), F.col("nb"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("na").cast("bigint").alias("size_a"),
+            F.col("nb").cast("bigint").alias("size_b"),
+            (F.col("n_common").cast("double") / F.col("na")).alias("contain_a"),
+            (F.col("n_common").cast("double") / F.col("nb")).alias("contain_b"),
+        )
+    )

@@ -81,3 +81,80 @@ def graph_bfs3(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lv in levels[1:]:
         leveled = leveled.unionByName(lv)
     return leveled.groupBy("node").agg(F.min("dist").cast("bigint").alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# M75 — deterministic random walks (node2vec-style sampling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_random_walk3",
+    oracle=_BI_CTE
+    + """
+    , starts AS (SELECT DISTINCT 'c:' || CAST(src AS VARCHAR) AS start FROM edges),
+    s1 AS (
+      SELECT start, v AS n1 FROM (
+        SELECT s.start, b.v,
+               row_number() OVER (PARTITION BY s.start
+                                  ORDER BY md5(s.start || '_1_' || b.v), b.v) AS rn
+        FROM starts s JOIN bi b ON b.u = s.start) t
+      WHERE rn = 1
+    ),
+    s2 AS (
+      SELECT start, n1, v AS n2 FROM (
+        SELECT s.start, s.n1, b.v,
+               row_number() OVER (PARTITION BY s.start
+                                  ORDER BY md5(s.n1 || '_2_' || b.v), b.v) AS rn
+        FROM s1 s JOIN bi b ON b.u = s.n1) t
+      WHERE rn = 1
+    ),
+    s3 AS (
+      SELECT start, n1, n2, v AS n3 FROM (
+        SELECT s.start, s.n1, s.n2, b.v,
+               row_number() OVER (PARTITION BY s.start
+                                  ORDER BY md5(s.n2 || '_3_' || b.v), b.v) AS rn
+        FROM s2 s JOIN bi b ON b.u = s.n2) t
+      WHERE rn = 1
+    )
+    SELECT start, n1, n2, n3 FROM s3
+    """,
+)
+def graph_random_walk3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M75 — one length-3 walk from every work node, the sampling pass
+    graph-embedding training data comes from (DeepWalk/node2vec input
+    sequences).  "Random" is a deterministic hash choice: at step i the
+    walker at u moves to the neighbor v minimizing md5(u_i_v) — an
+    unbiased-looking but reproducible draw, so retries, both engines,
+    and any partitioning agree on every path (the plans/skew.py
+    content-salt philosophy applied to sampling).
+
+    Scale: each step is frontier ⋈ src-bucketed edges + an argmin
+    window partitioned by walker — frontier-sized shuffles only; depth
+    is fixed so the whole walk unrolls into 3 joins (the bfs3 shape)."""
+    from tropology_spark.sources.tables import edges_materialized
+
+    e = edges_materialized(spark, sf_dir)
+    c_node = F.concat(F.lit("c:"), F.col("src").cast("string"))
+    p_node = F.concat(F.lit("p:"), F.col("dst").cast("string"))
+    bi = (
+        e.select(c_node.alias("u"), p_node.alias("v"))
+        .unionByName(e.select(p_node.alias("u"), c_node.alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    cur = e.select(c_node.alias("start")).distinct()
+    carried = ["start"]
+    for step in (1, 2, 3):
+        prev = carried[-1]
+        h = F.md5(F.concat(F.col(prev), F.lit(f"_{step}_"), F.col("v")))
+        w = Window.partitionBy("start").orderBy(h, F.col("v"))
+        cur = (
+            cur.join(bi, F.col(prev) == F.col("u"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(*carried, F.col("v").alias(f"n{step}"))
+        )
+        carried.append(f"n{step}")
+    return cur

@@ -1732,3 +1732,59 @@ def join_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M76 — label-balance audit (exact Gini impurity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_label_balance",
+    oracle="""
+    WITH per AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang
+    ),
+    agg AS (
+      SELECT source,
+             CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_langs,
+             CAST(sum(n * n) AS BIGINT) AS sum_sq
+      FROM per GROUP BY source
+    )
+    SELECT source, n_docs, n_langs,
+           CAST(n_docs * n_docs - sum_sq AS BIGINT) AS gini_num,
+           CAST(n_docs * n_docs AS BIGINT) AS gini_den,
+           CAST(n_docs * n_docs - sum_sq AS DOUBLE) / (n_docs * n_docs)
+             AS gini_impurity
+    FROM agg
+    """,
+)
+def pipeline_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M76 — class-balance audit per source: Gini impurity of the lang
+    distribution, the diversity line on a dataset card.  Entropy needs
+    logs (float-order-dependent); Gini is 1 - Σ(nᵢ/N)² =
+    (N² - Σnᵢ²)/N² — numerator and denominator are exact BIGINTs, the
+    reported double is ONE division of the two (bit-identical in both
+    engines).
+
+    Scale: two map-side-combinable aggregates over (source, lang) —
+    a metadata-cardinality result at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    agg = per.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_sq"),
+    )
+    num = (F.col("n_docs") * F.col("n_docs") - F.col("sum_sq")).cast("bigint")
+    den = (F.col("n_docs") * F.col("n_docs")).cast("bigint")
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        num.alias("gini_num"),
+        den.alias("gini_den"),
+        (num.cast("double") / den).alias("gini_impurity"),
+    )

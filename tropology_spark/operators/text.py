@@ -545,3 +545,93 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_syll").cast("bigint").alias("sum_syllables"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M77 — per-source token drift (over-representation flags)
+# ---------------------------------------------------------------------------
+
+_DRIFT_TOP = 5  # most over-represented tokens reported per source
+
+
+@register(
+    "text_source_drift",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    per AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS n
+      FROM tok GROUP BY source, token
+    ),
+    tot AS (
+      SELECT source, CAST(sum(n) AS BIGINT) AS t FROM per GROUP BY source
+    ),
+    corpus AS (
+      SELECT token, CAST(sum(n) AS BIGINT) AS n_all FROM per GROUP BY token
+    ),
+    grand AS (SELECT CAST(sum(t) AS BIGINT) AS g FROM tot),
+    scored AS (
+      SELECT p.source, p.token, p.n AS n_in_source,
+             (c.n_all - p.n) AS n_elsewhere,
+             round(CAST(p.n * (g.g - t.t) AS DOUBLE)
+                   / ((c.n_all - p.n + 1) * t.t), 6) AS drift_ratio
+      FROM per p
+      JOIN tot t USING (source)
+      JOIN corpus c USING (token)
+      CROSS JOIN grand g
+    )
+    SELECT source, token, n_in_source, n_elsewhere, drift_ratio,
+           CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY drift_ratio DESC, token) AS rn
+          FROM scored) ranked
+    WHERE rn <= {_DRIFT_TOP}
+    """,
+)
+def text_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M77 — distribution-drift audit: each source's {k} most over-
+    represented tokens vs the rest of the corpus (rate_in_source /
+    rate_elsewhere, add-one smoothed) — the contamination/bias smell
+    test a data lead runs per ingest batch.  The ratio is ONE division
+    of two exact BIGINTs (bit-identical both engines), then 6-dp
+    rounded with a token tie-break before ranking (the repo's rank
+    discipline).
+
+    Scale: token counts are map-side combinable; the corpus and
+    per-source total tables are vocabulary-/source-sized — broadcast
+    enrichments over the (source, token) frame, which shuffles once;
+    the final rank partitions by source."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    per = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = per.groupBy("source").agg(F.sum("n").cast("bigint").alias("t"))
+    corpus = per.groupBy("token").agg(F.sum("n").cast("bigint").alias("n_all"))
+    grand = tot.agg(F.sum("t").cast("bigint").alias("g"))
+    scored = (
+        per.join(F.broadcast(tot), "source")
+        .join(F.broadcast(corpus), "token")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "token",
+            F.col("n").alias("n_in_source"),
+            (F.col("n_all") - F.col("n")).alias("n_elsewhere"),
+            F.round(
+                (F.col("n") * (F.col("g") - F.col("t"))).cast("double")
+                / ((F.col("n_all") - F.col("n") + 1) * F.col("t")),
+                6,
+            ).alias("drift_ratio"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("drift_ratio").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= _DRIFT_TOP)
+    )
