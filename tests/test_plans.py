@@ -251,3 +251,27 @@ def test_window_family_rides_one_exchange(spark):
     ):
         plan = plan_of(QUERIES[name](spark, SF_UNIT), "simple")
         assert plan.count("Exchange hashpartitioning") == 1, name
+
+
+def test_bitmap_distinct_avoids_expand(spark):
+    """M80 — the bitmap-partial distinct must NOT use the Expand-based
+    distinct rewrite (which re-shuffles raw keys); its aggregate state
+    is bitmap_construct_agg over (group, bucket)."""
+    plan = plan_of(QUERIES["agg_bitmap_distinct"](spark, SF_UNIT))
+    assert "Expand" not in plan
+    assert "bitmap_construct_agg" in plan
+
+
+def test_source_drift_broadcasts_enrichments(spark):
+    """M77 — the vocab/source-total enrichment joins onto the
+    (source, token) frame must be broadcasts."""
+    plan = plan_of(QUERIES["text_source_drift"](spark, SF_UNIT))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row grand total
+
+
+def test_rp_lsh_hyperplanes_broadcast(spark):
+    """M73 — the 2k-row hyperplane table joins the corpus long form as
+    a broadcast; the signature aggs combine map-side."""
+    plan = plan_of(QUERIES["sim_rp_lsh_topk"](spark, SF_UNIT))
+    assert "BroadcastHashJoin" in plan

@@ -531,3 +531,47 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("event_type", key).alias("last_event_type"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M80 — bitmap-partial distinct count (the scalable COUNT DISTINCT)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M80 — exact distinct counting via bitmap partial aggregation:
+    keys bucket into 32k-bit bitmaps (bitmap_bit_position /
+    bitmap_construct_agg per (group, bucket)), partial bitmaps OR-merge,
+    and the final count is the popcount sum.  The oracle is plain
+    COUNT(DISTINCT) — identical answer, but the bitmap plan's partial
+    state is a fixed-size bitmap per bucket instead of a hash set of
+    keys, the shape that survives a 100-TB distinct (D3's expand-mode
+    COUNT DISTINCT re-shuffles raw keys; this ships compressed
+    set-state that merges associatively, e.g. for a rollup cube or a
+    streaming refresh).
+
+    Spark-side it is pure SQL (bitmap functions are JVM built-ins,
+    Spark 3.5+); two map-side-combinable aggregates, one shuffle on
+    (group, bucket)."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, CAST(sum(cnt) AS BIGINT) AS n_parts
+        FROM (
+          SELECT l_returnflag,
+                 bitmap_count(bitmap_construct_agg(
+                   bitmap_bit_position(l_partkey))) AS cnt
+          FROM lineitem
+          GROUP BY l_returnflag, bitmap_bucket_number(l_partkey)
+        )
+        GROUP BY l_returnflag
+        """
+    )

@@ -384,3 +384,62 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("sum_tokens_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M79 — first-order Markov transition matrix over event streams
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    outs AS (
+      SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_out FROM trans
+      GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, t.n, o.n_out,
+           CAST(t.n AS DOUBLE) / o.n_out AS p
+    FROM trans t JOIN outs o USING (prev_type)
+    """,
+)
+def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M79 — the first-order behavior model: for each (prev, next)
+    event-type pair, the transition count and row-normalized
+    probability over per-user event sequences.  The sequence-model
+    summary (user-journey simulation, synthetic-session generation,
+    anomaly baselines).  Counts are exact; p is ONE division of two
+    exact BIGINTs — bit-identical in both engines.
+
+    Scale: one shuffle on user_id for the lag window (per-user state
+    is one row), then a map-side-combinable pair count; the row-
+    normalizer is an event-type-cardinality broadcast."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    outs = trans.groupBy("prev_type").agg(
+        F.sum("n").cast("bigint").alias("n_out")
+    )
+    return trans.join(F.broadcast(outs), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        "n_out",
+        (F.col("n").cast("double") / F.col("n_out")).alias("p"),
+    )

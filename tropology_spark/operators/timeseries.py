@@ -562,3 +562,42 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cusum_scaled",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M81 — seasonal (day-of-week × hour) activity profile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_seasonal_profile",
+    oracle="""
+    SELECT event_type,
+           CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    GROUP BY event_type, isodow(ts), hour(ts)
+    """,
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M81 — the seasonality heatmap behind every ops dashboard:
+    activity and value by (ISO weekday × hour-of-day) per event type.
+    Spark's weekday() is Monday=0, DuckDB's isodow is Monday=1 — the
+    +1 below aligns them; values sum as cents (the float invariant).
+
+    Scale: a single map-side-combinable aggregate onto a 7×24×types
+    result — the canonical low-cardinality rollup."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        (F.weekday("ts") + 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )
