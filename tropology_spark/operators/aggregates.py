@@ -534,7 +534,7 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# M80 — bitmap-partial distinct count (the scalable COUNT DISTINCT)
+# M97 — bitmap-partial distinct count (the scalable COUNT DISTINCT)
 # ---------------------------------------------------------------------------
 
 
@@ -547,7 +547,7 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M80 — exact distinct counting via bitmap partial aggregation:
+    """M97 — exact distinct counting via bitmap partial aggregation:
     keys bucket into 32k-bit bitmaps (bitmap_bit_position /
     bitmap_construct_agg per (group, bucket)), partial bitmaps OR-merge,
     and the final count is the popcount sum.  The oracle is plain

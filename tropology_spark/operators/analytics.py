@@ -387,7 +387,7 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# M79 — first-order Markov transition matrix over event streams
+# M96 — first-order Markov transition matrix over event streams
 # ---------------------------------------------------------------------------
 
 
@@ -415,7 +415,7 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M79 — the first-order behavior model: for each (prev, next)
+    """M96 — the first-order behavior model: for each (prev, next)
     event-type pair, the transition count and row-normalized
     probability over per-user event sequences.  The sequence-model
     summary (user-journey simulation, synthetic-session generation,

@@ -457,7 +457,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# M78 — containment near-dup pairs (asymmetric overlap)
+# M95 — containment near-dup pairs (asymmetric overlap)
 # ---------------------------------------------------------------------------
 
 _CONTAIN_NUM = 4  # containment threshold 4/5 = 0.8, held as integers
@@ -492,7 +492,7 @@ _CONTAIN_DEN = 5
     """,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M78 — near-containment pairs: the smaller document's token set
+    """M95 — near-containment pairs: the smaller document's token set
     is >= {n}/{d} inside the other's.  Catches the quote/excerpt/
     boilerplate-wrapper duplicates Jaccard misses (a short doc embedded
     in a long one has low Jaccard but high containment — the dedup

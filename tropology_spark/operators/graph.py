@@ -611,7 +611,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# M74 — k-core peeling (3 unrolled rounds)
+# M91 — k-core peeling (3 unrolled rounds)
 # ---------------------------------------------------------------------------
 
 _KCORE_K = 25
@@ -646,7 +646,7 @@ _KCORE_ROUNDS = 3
     """,
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M74 — k-core peeling, {r} unrolled rounds at k={k}: repeatedly
+    """M91 — k-core peeling, {r} unrolled rounds at k={k}: repeatedly
     drop nodes whose degree in the surviving subgraph is below k, then
     report each survivor's induced degree.  The dense-core extractor
     (spam/boilerplate hubs in a link graph, community cores) — a fixed

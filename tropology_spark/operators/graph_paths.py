@@ -84,7 +84,7 @@ def graph_bfs3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# M75 — deterministic random walks (node2vec-style sampling)
+# M92 — deterministic random walks (node2vec-style sampling)
 # ---------------------------------------------------------------------------
 
 
@@ -121,7 +121,7 @@ def graph_bfs3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_random_walk3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M75 — one length-3 walk from every work node, the sampling pass
+    """M92 — one length-3 walk from every work node, the sampling pass
     graph-embedding training data comes from (DeepWalk/node2vec input
     sequences).  "Random" is a deterministic hash choice: at step i the
     walker at u moves to the neighbor v minimizing md5(u_i_v) — an

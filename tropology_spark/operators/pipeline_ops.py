@@ -1521,7 +1521,7 @@ def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# M69 — context-window chunking with overlap
+# M86 — context-window chunking with overlap
 # ---------------------------------------------------------------------------
 
 _CHUNK_W = 16  # tokens per chunk (context window)
@@ -1553,7 +1553,7 @@ _CHUNK_S = 12  # stride (W - S = 4 tokens of overlap between chunks)
     """,
 )
 def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M69 — split every document into fixed-size token windows
+    """M86 — split every document into fixed-size token windows
     (W={w}, stride S={s}: the context-window chunking every training
     and RAG pipeline runs before tokenization).  Chunk count is
     1 + ceil(max(0, n-W)/S) so the final partial window is always
@@ -1605,7 +1605,7 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# M70 — training-mixture sampling weights per source
+# M87 — training-mixture sampling weights per source
 # ---------------------------------------------------------------------------
 
 _MIX_WEIGHT_CAP = 4.0  # never upsample a source more than 4 epochs
@@ -1636,7 +1636,7 @@ _MIX_WEIGHT_CAP = 4.0  # never upsample a source more than 4 epochs
     """,
 )
 def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M70 — per-source sampling weights that rebalance the corpus to a
+    """M87 — per-source sampling weights that rebalance the corpus to a
     uniform target mixture (the data-mixing step before a training
     run): weight = target_share / actual_share, capped at {c}× so no
     source is over-epoched.  Every ratio is a SINGLE division of two
@@ -1684,7 +1684,7 @@ def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# M72 — hot-key salted join as a declared query
+# M89 — hot-key salted join as a declared query
 # ---------------------------------------------------------------------------
 
 _SALT_N = 8
@@ -1701,7 +1701,7 @@ _SALT_N = 8
     """.format(rev=sql_exact_sum("l_extendedprice * (1 - l_discount)", 2)),
 )
 def join_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M72 — the skew-mitigation join (plans/skew.py salted_join) as a
+    """M89 — the skew-mitigation join (plans/skew.py salted_join) as a
     declared, oracle-checked query: lineitem x part revenue per brand
     where the fact side carries a content-derived salt and the
     dimension is replicated once per salt value, spreading any hot
@@ -1735,7 +1735,7 @@ def join_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# M76 — label-balance audit (exact Gini impurity)
+# M93 — label-balance audit (exact Gini impurity)
 # ---------------------------------------------------------------------------
 
 
@@ -1762,7 +1762,7 @@ def join_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pipeline_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M76 — class-balance audit per source: Gini impurity of the lang
+    """M93 — class-balance audit per source: Gini impurity of the lang
     distribution, the diversity line on a dataset card.  Entropy needs
     logs (float-order-dependent); Gini is 1 - Σ(nᵢ/N)² =
     (N² - Σnᵢ²)/N² — numerator and denominator are exact BIGINTs, the

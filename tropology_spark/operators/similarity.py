@@ -422,7 +422,7 @@ def ivf_topk(
 
 
 # ---------------------------------------------------------------------------
-# M73 — random-projection LSH ANN (signed random hyperplanes)
+# M90 — random-projection LSH ANN (signed random hyperplanes)
 # ---------------------------------------------------------------------------
 
 _RP_TABLES = 4  # independent hash tables (union of candidates)
@@ -477,7 +477,7 @@ _RP_BITS = 8  # hyperplane bits per table (2^8 buckets)
     """,
 )
 def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M73 — cosine ANN via signed-random-projection LSH (the SimHash
+    """M90 — cosine ANN via signed-random-projection LSH (the SimHash
     idea applied to embeddings): {t} independent tables of {b}
     hyperplane bits, candidates = vectors sharing the query's full
     signature in ANY table, exact cosine rerank of the candidates.

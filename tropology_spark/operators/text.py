@@ -470,7 +470,7 @@ def text_rare_token_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# M68 — syllable-heuristic readability profile
+# M85 — syllable-heuristic readability profile
 # ---------------------------------------------------------------------------
 
 #: Flesch-style avg-syllables-per-word bands, held as integer cross-
@@ -508,7 +508,7 @@ _READ_MODERATE_X10 = 16
     """,
 )
 def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M68 — readability banding via the classic vowel-group syllable
+    """M85 — readability banding via the classic vowel-group syllable
     heuristic: syllables(word) ~= count of maximal [aeiouy]+ runs.  The
     Flesch-grade core (avg syllables per word) is a ratio of two exact
     integers, so the banding compares cross-multiplied integers and the
@@ -548,7 +548,7 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# M77 — per-source token drift (over-representation flags)
+# M94 — per-source token drift (over-representation flags)
 # ---------------------------------------------------------------------------
 
 _DRIFT_TOP = 5  # most over-represented tokens reported per source
@@ -590,7 +590,7 @@ _DRIFT_TOP = 5  # most over-represented tokens reported per source
     """,
 )
 def text_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M77 — distribution-drift audit: each source's {k} most over-
+    """M94 — distribution-drift audit: each source's {k} most over-
     represented tokens vs the rest of the corpus (rate_in_source /
     rate_elsewhere, add-one smoothed) — the contamination/bias smell
     test a data lead runs per ingest batch.  The ratio is ONE division

@@ -472,7 +472,7 @@ def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# M71 — CUSUM changepoint detection (exact integer form)
+# M88 — CUSUM changepoint detection (exact integer form)
 # ---------------------------------------------------------------------------
 
 
@@ -512,7 +512,7 @@ def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M71 — CUSUM changepoint per event type: the index where the
+    """M88 — CUSUM changepoint per event type: the index where the
     cumulative deviation from the series mean peaks.  The textbook
     statistic max_i |prefix_i - i*mean| is float; multiplying through
     by n gives |n*prefix_i - i*total| — BIGINT-exact over cents, so
@@ -565,7 +565,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# M81 — seasonal (day-of-week × hour) activity profile
+# M98 — seasonal (day-of-week × hour) activity profile
 # ---------------------------------------------------------------------------
 
 
@@ -583,7 +583,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M81 — the seasonality heatmap behind every ops dashboard:
+    """M98 — the seasonality heatmap behind every ops dashboard:
     activity and value by (ISO weekday × hour-of-day) per event type.
     Spark's weekday() is Monday=0, DuckDB's isodow is Monday=1 — the
     +1 below aligns them; values sum as cents (the float invariant).
