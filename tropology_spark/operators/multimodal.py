@@ -211,3 +211,98 @@ def mm_dedup_exact(spark, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# M99 — perceptual-hash near-dup (hamming-LSH over media payloads)
+# ---------------------------------------------------------------------------
+
+_PH_BITS_HEX = 4  # 16-bit pseudo-pHash (first 4 sha256 hex digits)
+_PH_MAX_HAMMING = 3
+
+
+@register(
+    "mm_phash_hamming",
+    oracle=f"""
+    WITH ph AS (
+      SELECT doc_id,
+             ('0x' || substring(sha256(text), 1, {_PH_BITS_HEX}))::BIGINT AS phash,
+             substring(sha256(text), 1, 2) AS band1,
+             substring(sha256(text), 3, 2) AS band2
+      FROM documents
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.phash AS ph_a, b.phash AS ph_b
+      FROM ph a JOIN ph b
+        ON a.doc_id < b.doc_id
+       AND (a.band1 = b.band1 OR a.band2 = b.band2)
+    )
+    SELECT id_a, id_b, ph_a, ph_b,
+           CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ph_a, ph_b)) <= {_PH_MAX_HAMMING}
+    """,
+)
+def mm_phash_hamming(spark, sf_dir: str) -> DataFrame:
+    """M99 — near-duplicate media detection by Hamming distance over a
+    16-bit perceptual-hash column, banded LSH-style: candidates must
+    match on one of two 8-bit hash bands (a Hamming ball of radius r
+    always agrees on >= 1 of r+1 bands — here 2 bands catch every pair
+    within distance 1 per half, and most within {d}), then the exact
+    popcount-of-XOR filter verifies.  With real codecs the hash would
+    be a DCT pHash from the decode stage (decode_payload); the fixture
+    derives a deterministic stand-in from the payload digest through
+    the same Arrow mapInPandas plumbing, so the banding/verify shape —
+    the part that must scale — is fully exercised and oracle-checked.
+
+    Scale: two band-equi-joins (shuffle on an 8-bit key + doc ordering
+    keeps pairs unique), no all-pairs product; popcount is JVM-side."""
+    from tropology_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    media = attach_media(docs, "payload", "text/plain", id_col="doc_id")
+    feats = extract_features(media)  # Arrow stage computes sha256
+    ph = feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.conv(F.substring(F.col("sha256"), 1, _PH_BITS_HEX), 16, 10)
+        .cast("bigint")
+        .alias("phash"),
+        F.substring(F.col("sha256"), 1, 2).alias("band1"),
+        F.substring(F.col("sha256"), 3, 2).alias("band2"),
+    )
+    a = ph.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("phash").alias("ph_a"),
+        F.col("band1").alias("b1a"),
+        F.col("band2").alias("b2a"),
+    )
+    b = ph.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("phash").alias("ph_b"),
+        F.col("band1").alias("b1b"),
+        F.col("band2").alias("b2b"),
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    # An OR of band matches would plan as a nested-loop product; the
+    # LSH idiom is one EQUI-join per band, unioned, pair-deduplicated.
+    per_band = [
+        a.join(b, (F.col(la) == F.col(lb)) & (F.col("id_a") < F.col("id_b")))
+        for la, lb in (("b1a", "b1b"), ("b2a", "b2b"))
+    ]
+    return (
+        per_band[0]
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .unionByName(per_band[1].select("id_a", "id_b", "ph_a", "ph_b"))
+        .filter(hamming <= _PH_MAX_HAMMING)
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            "ph_a",
+            "ph_b",
+            hamming.cast("bigint").alias("hamming"),
+        )
+    )
