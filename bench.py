@@ -62,7 +62,7 @@ def main() -> None:
         "graph_twohop_count", "join_self_twohop", "sim_knn_join",
         "dedup_ngram_jaccard", "graph_bfs3", "pipeline_curation_e2e",
         "graph_triangles", "graph_clustering_pairs",
-        "graph_kcore", "graph_random_walk3",
+        "graph_kcore", "graph_random_walk3", "graph_sssp3",
     ]
     ordered = [n for n in heavy if n in names] + [n for n in names if n not in heavy]
 

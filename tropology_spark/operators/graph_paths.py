@@ -158,3 +158,94 @@ def graph_random_walk3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         carried.append(f"n{step}")
     return cur
+
+
+# ---------------------------------------------------------------------------
+# M100 — weighted shortest path (<= 3 hops): Bellman-Ford, cents-exact
+# ---------------------------------------------------------------------------
+
+_WEIGHTED_CTE = """
+    WITH we AS (
+      SELECT o_custkey AS src, l_partkey AS dst,
+             CAST(min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ),
+    bi AS (SELECT 'c:' || CAST(src AS VARCHAR) AS u,
+                  'p:' || CAST(dst AS VARCHAR) AS v, w FROM we
+           UNION ALL
+           SELECT 'p:' || CAST(dst AS VARCHAR),
+                  'c:' || CAST(src AS VARCHAR), w FROM we)
+"""
+
+
+@register(
+    "graph_sssp3",
+    oracle=_WEIGHTED_CTE
+    + f"""
+    , p1 AS (SELECT v AS node, CAST(min(w) AS BIGINT) AS d
+             FROM bi WHERE u = 'c:{CUST_A}' GROUP BY v),
+      p2 AS (SELECT b.v AS node, CAST(min(p1.d + b.w) AS BIGINT) AS d
+             FROM bi b JOIN p1 ON b.u = p1.node GROUP BY b.v),
+      p3 AS (SELECT b.v AS node, CAST(min(p2.d + b.w) AS BIGINT) AS d
+             FROM bi b JOIN p2 ON b.u = p2.node GROUP BY b.v),
+      lv AS (SELECT 'c:{CUST_A}' AS node, CAST(0 AS BIGINT) AS d
+             UNION ALL SELECT node, d FROM p1
+             UNION ALL SELECT node, d FROM p2
+             UNION ALL SELECT node, d FROM p3)
+    SELECT node, CAST(min(d) AS BIGINT) AS dist_cents FROM lv GROUP BY node
+    """,
+)
+def graph_sssp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M100 — single-source WEIGHTED shortest path (<= 3 hops) from the
+    focus work: Bellman-Ford unrolled to a fixed depth, the weighted
+    sibling of graph_bfs3.  Edge weight = cheapest observed price of
+    the link in integer cents (exact carrier); path cost is a BIGINT
+    sum, so min-plus relaxation is bit-identical across engines.
+
+    Each round is the dynamic program p_k(v) = min_u(p_{{k-1}}(u) +
+    w(u,v)) — exactly-k-hop best cost — and the answer is the min over
+    rounds.  Scale (SURVEY.md §7.7): identical to bfs3 — frontier ⋈
+    src-bucketed weighted edges per round, frontier-sized shuffles,
+    never an edge-table shuffle; weights ride along the existing edge
+    partitioning.  Fixed depth keeps it ANSI-expressible (the
+    pagerank3 unroll trick)."""
+    from tropology_spark.sources.tables import load
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_extendedprice")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    we = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst"))
+        .agg(F.min(cents).cast("bigint").alias("w"))
+    )
+    c_node = F.concat(F.lit("c:"), F.col("src").cast("string"))
+    p_node = F.concat(F.lit("p:"), F.col("dst").cast("string"))
+    bi = (
+        we.select(c_node.alias("u"), p_node.alias("v"), "w")
+        .unionByName(we.select(p_node.alias("u"), c_node.alias("v"), "w"))
+        .localCheckpoint(eager=True)
+    )
+    focus = f"c:{CUST_A}"
+    p = (
+        bi.filter(F.col("u") == focus)
+        .groupBy(F.col("v").alias("node"))
+        .agg(F.min("w").cast("bigint").alias("d"))
+    )
+    levels = [
+        spark.createDataFrame([(focus, 0)], "node string, d long"),
+        p,
+    ]
+    for _ in (2, 3):
+        p = (
+            bi.join(p.select(F.col("node").alias("u"), "d"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min(F.col("d") + F.col("w")).cast("bigint").alias("d"))
+        )
+        levels.append(p)
+    lv = levels[0]
+    for x in levels[1:]:
+        lv = lv.unionByName(x)
+    return lv.groupBy("node").agg(F.min("d").cast("bigint").alias("dist_cents"))

@@ -635,3 +635,145 @@ def text_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= _DRIFT_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# M102 — BPE first-merge statistics: adjacent character-pair counts
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 10
+
+
+@register(
+    "text_bpe_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    pr AS (
+      SELECT lang, substring(token, i, 2) AS pair
+      FROM tok, (SELECT unnest(generate_series(1, 64)) AS i) g
+      WHERE i <= len(token) - 1
+    ),
+    c AS (
+      SELECT lang, pair, CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY 1, 2
+    )
+    SELECT lang, pair, n,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY n DESC, pair) AS BIGINT) AS rn
+    FROM c QUALIFY rn <= {_BPE_TOP}
+    """,
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M102 — the first iteration of BPE tokenizer training: count
+    every adjacent character pair inside each whitespace token and
+    rank the top {t} per language — the merge-candidate table a
+    byte-pair-encoding vocab build reads on round one.
+
+    Counts are exact integers; the rank orders on (count DESC, pair)
+    — a total order, no rounded score.  Scale: explode is linear in
+    corpus characters, the pair count is map-side combinable on a
+    (lang, pair) key whose cardinality is alphabet², and the top-k
+    window partitions by lang — the same shape as text_bigrams one
+    level down."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.length("token") >= 2)
+    pairs = tok.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(token) - 1),"
+                " i -> substring(token, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    c = pairs.groupBy("lang", "pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("pair"))
+    return (
+        c.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= _BPE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# M103 — Gopher-style document quality gates (integer cross-multiplied)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_gopher_rules",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    st AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(len(token)) AS BIGINT) AS sum_len,
+             CAST(sum(CASE WHEN regexp_matches(token, '[A-Za-z]')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+             CAST(count(DISTINCT token) AS BIGINT) AS n_unique
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, n_words,
+           CAST(CASE WHEN n_words BETWEEN 20 AND 80 THEN 1 ELSE 0 END
+                AS BIGINT) AS flag_nwords,
+           CAST(CASE WHEN 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+                     THEN 1 ELSE 0 END AS BIGINT) AS flag_meanlen,
+           CAST(CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END
+                AS BIGINT) AS flag_alpha,
+           CAST(CASE WHEN 4 * (n_words - n_unique) <= n_words THEN 1 ELSE 0 END
+                AS BIGINT) AS flag_dup,
+           CAST(CASE WHEN n_words BETWEEN 20 AND 80
+                      AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+                      AND 5 * n_alpha >= 4 * n_words
+                      AND 4 * (n_words - n_unique) <= n_words
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM st
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M103 — the published Gopher-style repetition/quality gate set
+    (word-count band, mean-word-length band, alphabetic-word fraction,
+    duplicate-unigram fraction), each as a 0/1 flag plus the combined
+    keep decision.  Every threshold compares integers via
+    cross-multiplication (mean len in [3,10] ⇔ 3n <= Σlen <= 10n;
+    alpha >= 0.8 ⇔ 5·n_alpha >= 4n; dup <= 0.25 ⇔ 4(n−uniq) <= n) —
+    no ratio is ever materialized, so no float crosses the engine
+    boundary.
+
+    Scale: one explode + one map-side-combinable per-doc aggregate
+    (count-distinct partials on the doc key); flags are projections.
+    Complements text_quality_score (additive score) with the
+    hard-gate shape production filters actually use."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    st = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.length("token")).cast("bigint").alias("sum_len"),
+        F.sum(
+            F.when(F.col("token").rlike("[A-Za-z]"), 1).otherwise(0)
+        ).cast("bigint").alias("n_alpha"),
+        F.countDistinct("token").cast("bigint").alias("n_unique"),
+    )
+    n = F.col("n_words")
+    f_nwords = (n >= 20) & (n <= 80)
+    f_meanlen = (3 * n <= F.col("sum_len")) & (F.col("sum_len") <= 10 * n)
+    f_alpha = 5 * F.col("n_alpha") >= 4 * n
+    f_dup = 4 * (n - F.col("n_unique")) <= n
+    as_flag = lambda cond: F.when(cond, 1).otherwise(0).cast("bigint")  # noqa: E731
+    return st.select(
+        "doc_id",
+        "n_words",
+        as_flag(f_nwords).alias("flag_nwords"),
+        as_flag(f_meanlen).alias("flag_meanlen"),
+        as_flag(f_alpha).alias("flag_alpha"),
+        as_flag(f_dup).alias("flag_dup"),
+        as_flag(f_nwords & f_meanlen & f_alpha & f_dup).alias("keep"),
+    )

@@ -601,3 +601,100 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M101 — autocorrelation terms at lags 1..3, integer-exact co-moments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_acf_terms",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events
+    ),
+    lagd AS (
+      SELECT event_type, c AS head,
+             lag(c, 1) OVER w AS t1,
+             lag(c, 2) OVER w AS t2,
+             lag(c, 3) OVER w AS t3
+      FROM x WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    u AS (
+      SELECT event_type, 1 AS lag_k, head, t1 AS tail FROM lagd WHERE t1 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 2, head, t2 FROM lagd WHERE t2 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 3, head, t3 FROM lagd WHERE t3 IS NOT NULL
+    ),
+    t AS (
+      SELECT event_type, CAST(lag_k AS BIGINT) AS lag_k,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(head * tail) AS BIGINT) AS s_xy,
+             CAST(sum(head) AS BIGINT) AS s_h,
+             CAST(sum(tail) AS BIGINT) AS s_t,
+             CAST(sum(head * head) AS BIGINT) AS s_hh,
+             CAST(sum(tail * tail) AS BIGINT) AS s_tt
+      FROM u GROUP BY event_type, lag_k
+    )
+    SELECT event_type, lag_k, m, s_xy, s_h, s_t, s_hh, s_tt,
+           (CAST(m AS DOUBLE) * s_xy - CAST(s_h AS DOUBLE) * s_t)
+           / sqrt((CAST(m AS DOUBLE) * s_hh - CAST(s_h AS DOUBLE) * s_h)
+                  * (CAST(m AS DOUBLE) * s_tt - CAST(s_t AS DOUBLE) * s_t))
+             AS r
+    FROM t
+    """,
+)
+def ts_acf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M101 — sample autocorrelation of the per-type value series at
+    lags 1..3: the dependence diagnostic run before any forecasting or
+    sampling-rate decision.  Every co-moment is an exact BIGINT over
+    integer cents (head/tail sums, cross and squared products — cents
+    <= ~5.6e4, so even 1e8-row series stay under 2^63); r is ONE
+    identical IEEE expression of those exact integers in both engines
+    (the graph_assortativity_terms discipline), so the computed double
+    is bit-identical — no rounded-value carrier.
+
+    Scale: one shuffle on event_type for the lag window (per-series
+    state is three trailing rows), then a map-side-combinable
+    aggregate onto a types×3 result."""
+    ev = load(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagd = ev.select(
+        "event_type",
+        c.alias("head"),
+        *[F.lag(c, k).over(w).alias(f"t{k}") for k in (1, 2, 3)],
+    )
+    parts = [
+        lagd.filter(F.col(f"t{k}").isNotNull()).select(
+            "event_type",
+            F.lit(k).cast("bigint").alias("lag_k"),
+            "head",
+            F.col(f"t{k}").alias("tail"),
+        )
+        for k in (1, 2, 3)
+    ]
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    t = u.groupBy("event_type", "lag_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.col("head") * F.col("tail")).cast("bigint").alias("s_xy"),
+        F.sum("head").cast("bigint").alias("s_h"),
+        F.sum("tail").cast("bigint").alias("s_t"),
+        F.sum(F.col("head") * F.col("head")).cast("bigint").alias("s_hh"),
+        F.sum(F.col("tail") * F.col("tail")).cast("bigint").alias("s_tt"),
+    )
+    m_d = F.col("m").cast("double")
+    sh_d = F.col("s_h").cast("double")
+    st_d = F.col("s_t").cast("double")
+    r = (m_d * F.col("s_xy") - sh_d * F.col("s_t")) / F.sqrt(
+        (m_d * F.col("s_hh") - sh_d * F.col("s_h"))
+        * (m_d * F.col("s_tt") - st_d * F.col("s_t"))
+    )
+    return t.select(
+        "event_type", "lag_k", "m", "s_xy", "s_h", "s_t", "s_hh", "s_tt",
+        r.alias("r"),
+    )
