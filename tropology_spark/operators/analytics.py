@@ -443,3 +443,75 @@ def analytics_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_out",
         (F.col("n").cast("double") / F.col("n_out")).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M105 — new vs returning users per day + cumulative distinct users
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_new_vs_returning",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id,
+             CAST(CAST(ts AS DATE) - DATE '{_EPOCH}' AS BIGINT) AS day
+      FROM events
+    ),
+    fu AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY user_id),
+    du AS (SELECT DISTINCT user_id, day FROM d),
+    per AS (
+      SELECT du.day,
+             CAST(count(*) AS BIGINT) AS n_active,
+             CAST(sum(CASE WHEN du.day = fu.first_day THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN du.day > fu.first_day THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_returning
+      FROM du JOIN fu USING (user_id)
+      GROUP BY du.day
+    )
+    SELECT day, n_active, n_new, n_returning,
+           CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
+    FROM per
+    """,
+)
+def analytics_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M105 — daily new-vs-returning split plus the cumulative distinct
+    user count: the growth-accounting table.  The running COUNT(DISTINCT
+    ... ) OVER that no engine supports is re-expressed exactly via the
+    first-occurrence trick — a user is "new" on min(day), and the
+    cumulative distinct total is the running sum of daily news.
+
+    All counts exact; days are integers since a fixed epoch (no
+    truncation policy).  Scale: events reduce to distinct (user, day)
+    immediately (map-side combinable), first-day is one more user-keyed
+    aggregate joined co-partitioned, and the running sum acts on the
+    O(days) result — the only O(events) stage is the first projection."""
+    ev = load(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit(_EPOCH).cast("date")).cast(
+        "bigint"
+    )
+    d = ev.select("user_id", day.alias("day"))
+    fu = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    du = d.distinct()
+    per = (
+        du.join(fu, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(F.col("day") > F.col("first_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_returning"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "day",
+        "n_active",
+        "n_new",
+        "n_returning",
+        F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
+    )

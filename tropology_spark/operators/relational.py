@@ -947,3 +947,50 @@ def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) o
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# M106 — correlated EXISTS / NOT EXISTS predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sub_exists_notexists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'P')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+    """,
+)
+def sub_exists_notexists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M106 — the correlated-quantifier surface: customers with at
+    least one pending order (EXISTS) and no order above the price cap
+    (NOT EXISTS).  Written as literal SQL so Catalyst's
+    RewritePredicateSubquery is the path under test — EXISTS becomes a
+    left-semi join, NOT EXISTS a null-safe left-anti join, both
+    hash-partitioned on the correlation key.
+
+    All compared values are stored columns (no computed floats).
+    Scale: two shuffles on o_custkey with the per-status filters
+    pushed below them; the semi/anti sides reduce to distinct custkeys
+    at map side."""
+    from tropology_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'P')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000)
+        """
+    )

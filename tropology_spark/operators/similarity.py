@@ -576,3 +576,129 @@ def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# M104 — product-quantization ANN (seeded codebook, integer-exact ADC)
+# ---------------------------------------------------------------------------
+
+_PQ_K = 8  # codes per subspace (codebook seeded from vec_id 1..8)
+_PQ_CAND = 50  # ADC candidates kept for exact rerank
+
+
+@register(
+    "sim_pq_topk",
+    oracle=_EX_CTE
+    + f"""
+    , exm AS (SELECT vec_id, pos, CAST(round(val * 1000000) AS BIGINT) AS vm
+              FROM ex),
+    sub AS (SELECT vec_id, pos, vm,
+                   CASE WHEN pos <= {EMB_DIM // 2} THEN 0 ELSE 1 END AS s
+            FROM exm),
+    cb AS (SELECT vec_id AS code, s, pos, vm AS cm FROM sub
+           WHERE vec_id BETWEEN 1 AND {_PQ_K}),
+    enc0 AS (SELECT v.vec_id, v.s, c.code,
+                    CAST(sum((v.vm - c.cm) * (v.vm - c.cm)) AS BIGINT) AS d2
+             FROM sub v JOIN cb c ON c.s = v.s AND c.pos = v.pos
+             GROUP BY v.vec_id, v.s, c.code),
+    enc AS (SELECT vec_id, s, code FROM (
+              SELECT vec_id, s, code,
+                     row_number() OVER (PARTITION BY vec_id, s
+                                        ORDER BY d2, code) AS rn
+              FROM enc0) t WHERE rn = 1),
+    qd AS (SELECT s, code, d2 AS qd2 FROM enc0
+           WHERE vec_id = {QUERY_VEC_ID}),
+    adc AS (SELECT e.vec_id, CAST(sum(q.qd2) AS BIGINT) AS adc_d2
+            FROM enc e JOIN qd q ON q.s = e.s AND q.code = e.code
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+            GROUP BY e.vec_id),
+    cand AS (SELECT vec_id, adc_d2 FROM (
+               SELECT vec_id, adc_d2,
+                      row_number() OVER (ORDER BY adc_d2, vec_id) AS rn
+               FROM adc) t WHERE rn <= {_PQ_CAND}),
+    rer AS (SELECT v.vec_id,
+                   CAST(sum((v.vm - q.vm) * (v.vm - q.vm)) AS BIGINT) AS dist2
+            FROM exm v
+            JOIN exm q ON q.vec_id = {QUERY_VEC_ID} AND q.pos = v.pos
+            JOIN cand ON cand.vec_id = v.vec_id
+            GROUP BY v.vec_id)
+    SELECT r.vec_id, c.adc_d2, r.dist2
+    FROM rer r JOIN cand c ON r.vec_id = c.vec_id
+    ORDER BY r.dist2, r.vec_id
+    LIMIT 10
+    """,
+)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M104 — product-quantization ANN: split each vector into 2
+    subspaces, encode every subvector as its nearest codebook entry
+    (codebook deterministically seeded from vec_id 1..{k}), rank the
+    corpus by asymmetric-distance (ADC = sum over subspaces of the
+    query-to-centroid squared distance looked up by the vector's
+    code), exact-rerank the top {c} candidates by true squared L2.
+
+    The whole pipeline is INTEGER-exact: values become micro-unit
+    BIGINTs, every distance is a sum of squared BIGINT diffs, and both
+    rank orders carry a unique (distance, vec_id) tie-break — the only
+    ANN variant with zero floats end-to-end (complements IVF's
+    cell-probe and RP-LSH's signature-bucket recall paths).
+
+    Scale (SURVEY.md §7.7): codes are 2 small ints per vector — the
+    classic 64x memory compression; the ADC scan reads codes only
+    (never raw vectors), the codebook is a {k}x{d} broadcast, and the
+    rerank touches {c} vectors.  At 100 TB the encoded table is the
+    only full-corpus artifact, written bucketed by (s0_code) so probes
+    prune."""
+    e = load(spark, sf_dir, "embeddings")
+    exm = (
+        e.select("vec_id", F.posexplode(as_double(F.col("embedding"))).alias("pos0", "val"))
+        .select(
+            "vec_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.round(F.col("val") * 1000000).cast("bigint").alias("vm"),
+        )
+    )
+    sub = exm.withColumn(
+        "s", F.when(F.col("pos") <= EMB_DIM // 2, 0).otherwise(1)
+    )
+    cb = (
+        sub.filter(F.col("vec_id").between(1, _PQ_K))
+        .select(F.col("vec_id").alias("code"), "s", "pos", F.col("vm").alias("cm"))
+    )
+    diff = F.col("vm") - F.col("cm")
+    enc0 = (
+        sub.join(F.broadcast(cb), ["s", "pos"])
+        .groupBy("vec_id", "s", "code")
+        .agg(F.sum(diff * diff).cast("bigint").alias("d2"))
+    )
+    w_enc = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
+    enc = (
+        enc0.withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code")
+    )
+    qd = enc0.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "s", "code", F.col("d2").alias("qd2")
+    )
+    adc = (
+        enc.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qd), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd2").cast("bigint").alias("adc_d2"))
+    )
+    cand = adc.orderBy("adc_d2", "vec_id").limit(_PQ_CAND)
+    qm = exm.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("pos").alias("qpos"), F.col("vm").alias("qm")
+    )
+    rdiff = F.col("vm") - F.col("qm")
+    rer = (
+        exm.join(cand.select("vec_id"), "vec_id", "left_semi")
+        .join(F.broadcast(qm), F.col("pos") == F.col("qpos"))
+        .groupBy("vec_id")
+        .agg(F.sum(rdiff * rdiff).cast("bigint").alias("dist2"))
+    )
+    return (
+        rer.join(cand, "vec_id")
+        .select("vec_id", "adc_d2", "dist2")
+        .orderBy("dist2", "vec_id")
+        .limit(10)
+    )
