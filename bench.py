@@ -47,11 +47,17 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     def run_one(name: str) -> None:
         t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — one bad query must not
+            # zero out the whole bench (BENCH_r02 lost every number to a
+            # single loader exception); correctness is gated elsewhere.
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
         per_query[name] = round(time.perf_counter() - t0, 3)
 
     names = sorted(QUERIES)
@@ -95,12 +101,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": slowest,
                 "n_queries": len(per_query),
+                "n_errors": len(errors),
                 "sf": sf,
             }
         ),
         flush=True,
     )
-    detail = {"total_sec": total, "sf": sf, "queries": per_query}
+    detail = {"total_sec": total, "sf": sf, "queries": per_query, "errors": errors}
     print(json.dumps(detail), file=sys.stderr, flush=True)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

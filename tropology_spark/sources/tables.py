@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from tropology_spark.session import configure
 
@@ -62,10 +63,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ns → µs: integer `div` keeps full int64 precision (a double
-        # division would lose bits above 2^53) and truncates exactly
-        # like DuckDB's TIMESTAMP(NANOS) → TIMESTAMP read.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # The physical type of ``ts`` depends on the generator vintage:
+        # TIMESTAMP(NANOS) (read as raw int64 via ``nanosAsLong``) or
+        # TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ).  Normalize both to
+        # the same UTC TimestampType every query/oracle was built on.
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # ns → µs: integer `div` keeps full int64 precision (a
+            # double division would lose bits above 2^53) and truncates
+            # exactly like DuckDB's TIMESTAMP(NANOS) → TIMESTAMP read.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # NTZ → LTZ under the pinned UTC session zone is the same
+            # wall-clock instant; DuckDB reads the file as naive
+            # TIMESTAMP with identical values.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _LOAD_CACHE[key] = df
     return df
 
