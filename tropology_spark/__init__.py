@@ -11,7 +11,7 @@ Importing this package populates the query registry
 (:mod:`tropology_spark.registry`) used by ``__spark_entry__.py``.
 """
 
-from tropology_spark.registry import QUERIES, ORACLES, register  # noqa: F401
+from tropology_spark.registry import QUERIES, ORACLES, register, prioritize  # noqa: F401
 
 # Import all operator modules for their registration side effects.
 #
@@ -41,4 +41,64 @@ from tropology_spark.operators import windows  # noqa: F401
 from tropology_spark.operators import aggregates  # noqa: F401
 from tropology_spark.operators import relational  # noqa: F401
 
-__all__ = ["QUERIES", "ORACLES", "register"]
+# Round-3 driver window (the driver hash-checks the FIRST 50 entries
+# per round — r01 covered the relational/agg/window core, r02 the
+# dedup/text/sim/graph/fn families).  Promote: the two r02 failures
+# (events-loader type regression, fixed this round), the queries whose
+# oracle was upgraded this round, then the oldest never-driver-checked
+# entries in registration order.  Remaining never-checked entries queue
+# for the round-4 window.
+prioritize([
+    "text_pii_redact",
+    "fn_bitwise",
+    "graph_connected_components",
+    "fn_higher_order",
+    "fn_try_arithmetic",
+    "mm_features",
+    "mm_dedup_exact",
+    "mm_phash_hamming",
+    "stream_tumbling_1h",
+    "stream_sliding_1h_30m",
+    "stream_sessionize_30m",
+    "stream_interval_join",
+    "udf_scalar_code_norm",
+    "udf_pandas_vectorized",
+    "udf_grouped_normalize",
+    "udf_udtf_tokenize",
+    "dedup_cluster_canonical",
+    "text_contamination",
+    "pipeline_split_assign",
+    "dedup_ngram_jaccard",
+    "text_repetition",
+    "pipeline_pack_sequences",
+    "text_token_histogram",
+    "dedup_incremental",
+    "text_inverted_index",
+    "pipeline_shard_layout",
+    "text_length_gate",
+    "text_vocab_oov",
+    "pipeline_stratified_sample",
+    "pipeline_skew_profile",
+    "pipeline_zorder_layout",
+    "pipeline_cdc_apply",
+    "pipeline_dq_report",
+    "pipeline_scd2",
+    "pipeline_weighted_sample",
+    "pipeline_minmax_scale",
+    "join_point_in_time",
+    "pipeline_negative_sample",
+    "pipeline_dataset_card",
+    "pipeline_interleave_sources",
+    "pipeline_chunk_documents",
+    "pipeline_mixture_weights",
+    "join_salted_hotkey",
+    "pipeline_label_balance",
+    "graph_bfs3",
+    "graph_random_walk3",
+    "graph_sssp3",
+    "graph_triangles",
+    "graph_butterflies",
+    "graph_clustering_pairs",
+])
+
+__all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

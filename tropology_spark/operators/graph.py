@@ -440,12 +440,40 @@ def connected_components(
     return labels
 
 
-@register("graph_connected_components")  # rows-only: iterative fixpoint
+@register(
+    "graph_connected_components",
+    # The iterative min-label fixpoint has an exact declarative twin:
+    # a node's component id is the minimum node id among ALL ids
+    # reachable from it, which DuckDB computes as a recursive
+    # reachability closure (UNION dedups (node,label) pairs, so the
+    # recursion terminates; min over the same 'c:'/'p:' string ids is
+    # lexicographic in both engines' binary collation).  O(nodes ×
+    # component-size) pairs — fine at oracle scale, which is exactly
+    # why the Spark side uses propagation + pointer jumping instead.
+    oracle="""
+    WITH RECURSIVE
+    edges AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    bi AS (SELECT 'c:' || CAST(src AS VARCHAR) AS u,
+                  'p:' || CAST(dst AS VARCHAR) AS v FROM edges
+           UNION ALL
+           SELECT 'p:' || CAST(dst AS VARCHAR),
+                  'c:' || CAST(src AS VARCHAR) FROM edges),
+    walk(node, lab) AS (
+        SELECT u, u FROM bi
+        UNION
+        SELECT bi.v, walk.lab FROM walk JOIN bi ON walk.node = bi.u
+    )
+    SELECT node, min(lab) AS comp FROM walk GROUP BY node
+    """,
+)
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the undirected bipartite graph via
-    min-label propagation (the 'related-works clusters' view).  Rows
-    only — iterative, not ANSI-SQL; pinned by a unit test on a known
-    disconnected graph (tests/test_units.py)."""
+    min-label propagation (the 'related-works clusters' view).
+    Iterative Hash-to-Min loop on the Spark side; the DuckDB oracle is
+    the reachability-closure formulation of the same fixpoint.  Also
+    pinned by a unit test on a known disconnected graph
+    (tests/test_units.py)."""
     from tropology_spark.sources.tables import edges_materialized
 
     e = edges_materialized(spark, sf_dir)

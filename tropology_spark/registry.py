@@ -23,6 +23,23 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+def prioritize(first: list[str]) -> None:
+    """Reorder ``QUERIES`` so ``first`` (in order) leads the registry.
+
+    The external driver hash-checks registry entries in insertion order
+    with a bounded window (50 per round, observed in rounds 1-2).  Each
+    round the build promotes the queries that most need a fresh driver
+    CORRECTNESS row — never-checked entries and any that failed last
+    round — without touching module structure.  Unknown names are
+    ignored so the list can reference queries under development.
+    """
+    lead = [n for n in first if n in QUERIES]
+    rest = [n for n in QUERIES if n not in set(lead)]
+    ordered = {n: QUERIES[n] for n in lead + rest}
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
 def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
     """Register a declared query (SURVEY.md §2 "Query name" column).
 
