@@ -52,6 +52,13 @@ prioritize([
     "text_pii_redact",
     "fn_bitwise",
     "graph_connected_components",
+    # round-3 additions (M107-M112) — claimed ops need driver rows
+    "dedup_keep_best",
+    "pipeline_token_budget",
+    "ts_drawdown",
+    "ts_winsorize",
+    "graph_closeness3",
+    "sim_ann_recall",
     "fn_higher_order",
     "fn_try_arithmetic",
     "mm_features",

@@ -249,3 +249,80 @@ def graph_sssp3(spark: SparkSession, sf_dir: str) -> DataFrame:
     for x in levels[1:]:
         lv = lv.unionByName(x)
     return lv.groupBy("node").agg(F.min("d").cast("bigint").alias("dist_cents"))
+
+
+# ---------------------------------------------------------------------------
+# M111 — bounded closeness centrality (multi-source BFS)
+# ---------------------------------------------------------------------------
+
+_CLOSENESS_MAX_SRC = 10  # focus works: src < 10 (the UI compare panel)
+
+
+@register(
+    "graph_closeness3",
+    oracle=_BI_CTE
+    + f"""
+    , starts AS (SELECT DISTINCT 'c:' || CAST(src AS VARCHAR) AS start
+                 FROM edges WHERE src < {_CLOSENESS_MAX_SRC}),
+    f1 AS (SELECT DISTINCT s.start, b.v FROM starts s JOIN bi b ON b.u = s.start),
+    f2 AS (SELECT DISTINCT f.start, b.v FROM f1 f JOIN bi b ON b.u = f.v),
+    f3 AS (SELECT DISTINCT f.start, b.v FROM f2 f JOIN bi b ON b.u = f.v),
+    levels AS (
+        SELECT start, start AS node, 0 AS dist FROM starts
+        UNION ALL SELECT start, v, 1 FROM f1
+        UNION ALL SELECT start, v, 2 FROM f2
+        UNION ALL SELECT start, v, 3 FROM f3),
+    sp AS (SELECT start, node, min(dist) AS dist
+           FROM levels GROUP BY start, node)
+    SELECT start,
+           CAST(count(*) - 1 AS BIGINT) AS n_reached,
+           CAST(sum(dist) AS BIGINT) AS sum_dist
+    FROM sp GROUP BY start
+    """,
+)
+def graph_closeness3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M111 — bounded closeness centrality for the focus works
+    (src < 10): how many nodes each reaches within 3 hops and
+    the total shortest-path distance — the exact integer terms of
+    harmonic/closeness centrality (the float ratio n_reached/sum_dist
+    is left to the consumer, per the M79 co-moment discipline).
+
+    Multi-source BFS: the (start, node) frontier expands through the
+    same three unrolled joins as M38, deduplicated per level, then
+    min-dist per pair.  Scale: frontier-sized shuffles only; starts
+    are a filter pushdown on the edge scan, so cost is proportional to
+    the probed neighborhood, not the graph."""
+    from tropology_spark.sources.tables import edges_materialized
+
+    e = edges_materialized(spark, sf_dir)
+    c_node = F.concat(F.lit("c:"), F.col("src").cast("string"))
+    p_node = F.concat(F.lit("p:"), F.col("dst").cast("string"))
+    bi = (
+        e.select(c_node.alias("u"), p_node.alias("v"))
+        .unionByName(e.select(p_node.alias("u"), c_node.alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    starts = (
+        e.filter(F.col("src") < _CLOSENESS_MAX_SRC)
+        .select(c_node.alias("start"))
+        .distinct()
+    )
+    levels = [starts.select("start", F.col("start").alias("node"), F.lit(0).alias("dist"))]
+    frontier = starts.select("start", F.col("start").alias("v"))
+    for depth in (1, 2, 3):
+        frontier = (
+            bi.join(frontier.select("start", F.col("v").alias("u")), "u")
+            .select("start", "v")
+            .distinct()
+        )
+        levels.append(
+            frontier.select("start", F.col("v").alias("node"), F.lit(depth).alias("dist"))
+        )
+    leveled = levels[0]
+    for lv in levels[1:]:
+        leveled = leveled.unionByName(lv)
+    sp = leveled.groupBy("start", "node").agg(F.min("dist").alias("dist"))
+    return sp.groupBy("start").agg(
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_reached"),
+        F.sum("dist").cast("bigint").alias("sum_dist"),
+    )

@@ -1788,3 +1788,153 @@ def pipeline_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.alias("gini_den"),
         (num.cast("double") / den).alias("gini_impurity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M107 — quality-priority canonical keep (dedup policy plug-in)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_keep_best",
+    oracle="WITH "
+    + _PAIRS_CTE
+    + """
+    , es AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+             UNION ALL SELECT doc_b, doc_a FROM pairs
+             UNION ALL SELECT doc_id, doc_id FROM documents),
+      l0 AS (SELECT doc_id, doc_id AS lbl FROM documents)
+    """
+    + _LABEL_ITER.format(n=1, p=0)
+    + _LABEL_ITER.format(n=2, p=1)
+    + _LABEL_ITER.format(n=3, p=2)
+    + """
+    , ntok AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents) t
+        GROUP BY doc_id),
+    ranked AS (
+        SELECT l.doc_id, l.lbl, ntok.n_tokens,
+               row_number() OVER (PARTITION BY l.lbl
+                                  ORDER BY ntok.n_tokens DESC, l.doc_id) AS rn
+        FROM l3 l JOIN ntok ON l.doc_id = ntok.doc_id),
+    best AS (SELECT lbl, doc_id AS keep_id FROM ranked WHERE rn = 1)
+    SELECT r.doc_id, r.lbl AS canonical_id, r.n_tokens, b.keep_id,
+           CAST(CASE WHEN r.doc_id = b.keep_id THEN 1 ELSE 0 END AS BIGINT)
+             AS is_kept
+    FROM ranked r JOIN best b ON r.lbl = b.lbl
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M107 — near-dup keep with a QUALITY policy instead of min-id:
+    within each near-dup cluster (the M24 3-round label propagation over
+    the J2 pair graph), keep the longest document (most whitespace
+    tokens, doc_id tie-break) — the "keep the superset copy" rule real
+    curation pipelines use, where M24's min-id keep is an arbitrary
+    but reproducible fallback.
+
+    Shares the session-cached pair graph with M24/M53, so the marginal
+    cost is one token count + one per-cluster arg-max window.  At
+    100 TB the policy column rides along the label propagation — same
+    shuffle count as plain canonical selection."""
+    from pyspark.sql import Window
+    from tropology_spark.operators.dedup import jaccard_pairs_materialized
+
+    d = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_materialized(spark, sf_dir, block_width=40)
+    ids = d.select("doc_id")
+    es = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .unionByName(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+        .unionByName(ids.select(F.col("doc_id").alias("s"), F.col("doc_id").alias("d")))
+    )
+    labels = ids.select("doc_id", F.col("doc_id").alias("lbl"))
+    for _ in range(3):
+        labels = (
+            es.join(labels, es.s == labels.doc_id)
+            .groupBy(F.col("d").alias("doc_id"))
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    ntok = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    w = Window.partitionBy("lbl").orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+    ranked = labels.join(ntok, "doc_id").withColumn("rn", F.row_number().over(w))
+    best = ranked.filter(F.col("rn") == 1).select("lbl", F.col("doc_id").alias("keep_id"))
+    return (
+        ranked.join(best, "lbl")
+        .select(
+            "doc_id",
+            F.col("lbl").alias("canonical_id"),
+            "n_tokens",
+            "keep_id",
+            F.when(F.col("doc_id") == F.col("keep_id"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M108 — token-budget corpus selection
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET = 500  # per-source token budget (fixture-scaled; a real
+# run sets this to the per-source share of the training token budget)
+
+
+@register(
+    "pipeline_token_budget",
+    oracle=f"""
+    WITH ntok AS (
+        SELECT doc_id, source,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+              FROM documents) t
+        GROUP BY doc_id, source),
+    ordered AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM ntok)
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(CASE WHEN cum_tokens <= {_TOKEN_BUDGET} THEN 1 ELSE 0 END AS BIGINT)
+             AS kept
+    FROM ordered
+    """,
+)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M108 — budgeted corpus selection: every training mix is built
+    under a token budget, not a document count.  Docs are md5-shuffled
+    within each source (reproducible sampling order, the M84 trick),
+    then kept while the running token total stays inside the
+    per-source budget — an exact integer cumulative-sum cutoff.
+
+    Scale: one window per source partition; the running sum is
+    integer, order pinned by (md5(doc_id), doc_id), so the kept set is
+    identical across engines, partitionings, and reruns."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    ntok = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ntok.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+    ).withColumn(
+        "kept",
+        F.when(F.col("cum_tokens") <= _TOKEN_BUDGET, 1).otherwise(0).cast("bigint"),
+    )

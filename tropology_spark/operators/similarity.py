@@ -702,3 +702,51 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist2", "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# M112 — ANN recall audit (approx vs exact ground truth)
+# ---------------------------------------------------------------------------
+
+# Composed textually from the two already-registered oracles: DuckDB
+# accepts a full WITH...SELECT as a CTE body, so the audit oracle IS
+# the two audited oracles joined — no re-derivation to drift.
+from tropology_spark.registry import ORACLES as _ORACLES
+
+_RECALL_ORACLE = f"""
+    WITH exact AS ({_ORACLES['sim_topk_cosine']}),
+         approx AS ({_ORACLES['sim_ivf_topk']})
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST(count(*) AS BIGINT) AS n_hit,
+           round(CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM exact), 6) AS recall_at_10
+    FROM exact JOIN approx ON exact.vec_id = approx.vec_id
+"""
+
+
+@register("sim_ann_recall", oracle=_RECALL_ORACLE)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M112 — the ANN quality gate: recall@10 of the IVF 2-probe search
+    (sim_ivf_topk) against the brute-force ground truth
+    (sim_topk_cosine) for the fixture query vector.  Production vector
+    search ships with exactly this audit — approximate indexes are
+    only trustworthy alongside a measured recall, and at 100 TB the
+    audit runs on a sampled query set while the index serves the rest.
+
+    Both branches are the already-verified query pipelines; the audit
+    adds one tiny join + count, so the oracle composes the two audited
+    oracles verbatim."""
+    exact = sim_topk_cosine(spark, sf_dir).select("vec_id")
+    approx = sim_ivf_topk(spark, sf_dir).select("vec_id")
+    n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    n_hit = (
+        exact.join(approx, "vec_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    return n_exact.crossJoin(n_hit).select(
+        "n_exact",
+        "n_hit",
+        F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 6).alias(
+            "recall_at_10"
+        ),
+    )

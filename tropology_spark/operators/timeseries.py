@@ -698,3 +698,156 @@ def ts_acf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "lag_k", "m", "s_xy", "s_h", "s_t", "s_hh", "s_tt",
         r.alias("r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M109 — maximum drawdown (exact cents)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_drawdown",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, event_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    run AS (
+      SELECT event_type, event_id, ts,
+             sum(cents) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+      FROM c
+    ),
+    dd AS (
+      SELECT event_type, event_id, ts, cum,
+             max(cum) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS peak
+      FROM run
+    )
+    SELECT event_type,
+           CAST(peak - cum AS BIGINT) AS max_drawdown_cents,
+           CAST(peak AS BIGINT) AS peak_cents,
+           {sql_ts_str('ts')} AS trough_ts
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY peak - cum DESC, ts, event_id) AS rk
+          FROM dd) t
+    WHERE rk = 1
+    """,
+)
+def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M109 — maximum drawdown per event type: the deepest drop of the
+    running cents total below its prior peak (the risk metric every
+    monitoring/finance series wants).  Running sum and running max are
+    both exact BIGINTs over cents; the argmax row is pinned by the
+    unique (drawdown desc, ts, event_id) order, so the reported trough
+    is deterministic across engines.
+
+    Scale: one shuffle on event_type, two running-window passes and a
+    rank — identical shape to the CUSUM statistic (M88)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.sum("cents").over(wo).alias("cum"),
+    ).withColumn("peak", F.max("cum").over(wo))
+    rk = Window.partitionBy("event_type").orderBy(
+        (F.col("peak") - F.col("cum")).desc(), "ts", "event_id"
+    )
+    return (
+        dd.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            (F.col("peak") - F.col("cum")).cast("bigint").alias("max_drawdown_cents"),
+            F.col("peak").cast("bigint").alias("peak_cents"),
+            ts_str(F.col("ts")).alias("trough_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M110 — winsorization at exact rank-picked percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_winsorize",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, event_id, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM c
+    ),
+    cuts AS (
+      SELECT event_type,
+             min(CASE WHEN rn = (n + 99) // 100 THEN cents END) AS lo,
+             min(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS hi
+      FROM ranked GROUP BY event_type
+    )
+    SELECT r.event_type, r.event_id, r.cents,
+           CAST(least(greatest(r.cents, c.lo), c.hi) AS BIGINT) AS winsorized_cents,
+           CAST(c.lo AS BIGINT) AS lo_cents, CAST(c.hi AS BIGINT) AS hi_cents
+    FROM ranked r JOIN cuts c ON r.event_type = c.event_type
+    """,
+)
+def ts_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M110 — outlier clamping at exact discrete percentiles: every
+    value is clamped into [p01, p99] of its event type, where the
+    cutoffs are the ACTUAL cents values at integer ranks ceil(n/100)
+    and ceil(99n/100) (percentile_disc semantics — no interpolation,
+    so no float drift; ties broken by event_id make the rank pick
+    unique in both engines).
+
+    Scale: one shuffle on event_type for the rank window; the
+    two-value-per-group cutoff table broadcasts back onto the rows —
+    the standard robust-scaling preprocessing step before training."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    lo_rank = F.floor((F.col("n") + 99) / 100)
+    hi_rank = F.floor((99 * F.col("n") + 99) / 100)
+    cuts = ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == lo_rank, F.col("cents"))).alias("lo"),
+        F.min(F.when(F.col("rn") == hi_rank, F.col("cents"))).alias("hi"),
+    )
+    return (
+        ranked.join(F.broadcast(cuts), "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            "cents",
+            F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+            .cast("bigint")
+            .alias("winsorized_cents"),
+            F.col("lo").cast("bigint").alias("lo_cents"),
+            F.col("hi").cast("bigint").alias("hi_cents"),
+        )
+    )
