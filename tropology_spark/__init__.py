@@ -59,6 +59,9 @@ prioritize([
     "ts_winsorize",
     "graph_closeness3",
     "sim_ann_recall",
+    "stream_latedrop_1h",
+    "graph_degree_histogram",
+    "pipeline_kanon_audit",
     "fn_higher_order",
     "fn_try_arithmetic",
     "mm_features",

@@ -713,3 +713,70 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# M114 — degree-distribution histogram (power-law audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_histogram",
+    oracle=_EDGES_CTE
+    + """
+    , deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT 'c:' || CAST(src AS VARCHAR) AS node FROM edges
+        UNION ALL
+        SELECT 'p:' || CAST(dst AS VARCHAR) FROM edges) t
+      GROUP BY node
+    )
+    , bucketed AS (
+      SELECT d, CAST(length(printf('%b', d)) AS BIGINT) AS bucket FROM deg
+    )
+    SELECT bucket,
+           CAST(power(2, bucket - 1) AS BIGINT) AS bucket_min,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(d) AS BIGINT) AS min_deg,
+           CAST(max(d) AS BIGINT) AS max_deg
+    FROM bucketed
+    GROUP BY bucket
+    """,
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M114 — log2-bucketed degree distribution of the undirected
+    bipartite graph: the power-law audit every graph pipeline runs
+    before choosing a partitioning strategy (a heavy tail at bucket
+    ≥ 12 is the signal to salt or split celebrity keys).
+
+    The bucket is the integer bit-length of the degree (floor(log2 d)
+    + 1) — computed as the length of the binary string representation
+    in BOTH engines, so no float log at any point.  Scale: degree agg
+    is one shuffle; the histogram is 32 rows regardless of graph
+    size."""
+    from tropology_spark.sources.tables import edges_materialized
+
+    e = edges_materialized(spark, sf_dir)
+    nodes = (
+        e.select(F.concat(F.lit("c:"), F.col("src").cast("string")).alias("node"))
+        .unionByName(
+            e.select(F.concat(F.lit("p:"), F.col("dst").cast("string")).alias("node"))
+        )
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    bucket = F.length(F.bin(F.col("d"))).cast("bigint")
+    return (
+        deg.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("d").cast("bigint").alias("min_deg"),
+            F.max("d").cast("bigint").alias("max_deg"),
+        )
+        .select(
+            "bucket",
+            F.pow(F.lit(2), F.col("bucket") - 1).cast("bigint").alias("bucket_min"),
+            "n_nodes",
+            "min_deg",
+            "max_deg",
+        )
+    )

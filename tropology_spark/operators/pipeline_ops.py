@@ -1938,3 +1938,46 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kept",
         F.when(F.col("cum_tokens") <= _TOKEN_BUDGET, 1).otherwise(0).cast("bigint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M115 — k-anonymity audit (privacy governance gate)
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+@register(
+    "pipeline_kanon_audit",
+    oracle=f"""
+    SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(CASE WHEN count(*) < {_KANON_K} THEN 1 ELSE 0 END AS BIGINT)
+             AS suppress
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def pipeline_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M115 — k-anonymity audit over the quasi-identifier tuple
+    (nation, market segment): any equivalence class smaller than k
+    re-identifies its members and must be suppressed or generalized
+    before the table is released — the standard privacy gate before a
+    training corpus ships.
+
+    Scale: one map-side-combinable aggregate on the QI columns; the
+    suppression list is |distinct QI| rows, tiny at any input size.
+    The release step (anti-join facts against suppress=1) composes
+    with A6/A7 sinks."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .withColumn(
+            "suppress",
+            F.when(F.col("n_rows") < _KANON_K, 1).otherwise(0).cast("bigint"),
+        )
+    )

@@ -430,3 +430,73 @@ def stream_stream_interval_join(
             >= F.col("ts") - F.expr(f"INTERVAL {_SSJOIN_LOOKBACK_SEC} SECONDS")
         ),
     ).select("event_id", "user_id", "click_id")
+
+
+# ---------------------------------------------------------------------------
+# M113 — watermark late-drop as a declared deterministic replay (K4)
+# ---------------------------------------------------------------------------
+
+_LATE_DELAY_MIN = 10  # watermark delay (minutes), matches the K4 builder
+
+
+@register(
+    "stream_latedrop_1h",
+    oracle=f"""
+    WITH wm AS (
+      SELECT event_id, ts, event_type,
+             max(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS max_seen
+      FROM events
+    ),
+    kept AS (
+      SELECT * FROM wm
+      WHERE max_seen IS NULL
+         OR ts >= max_seen - INTERVAL {_LATE_DELAY_MIN} MINUTE
+    )
+    SELECT {sql_ts_str("date_trunc('hour', ts)")} AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM kept
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_latedrop_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M113 — K4's watermark late-drop semantics as a DECLARED query:
+    replaying the event log in arrival order (event_id — the append
+    sequence), a row is late iff its event time trails the
+    high-watermark of everything that arrived strictly before it by
+    more than the delay.  Survivors aggregate into the K1 tumbling
+    windows.  This is the per-row-granularity watermark (streaming
+    applies it per micro-batch, dropping a subset of these rows —
+    the builder's behavior is pinned separately in
+    tests/test_streaming.py); the declared twin makes the late-drop
+    POLICY itself oracle-checkable.
+
+    Scale: one global arrival-order running max — in production this
+    is per-partition state (watermarks are maintained per source
+    partition), so the single-ordering window here is the fixture
+    framing, not the cluster plan."""
+    e = load(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    wm = e.select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.max("ts").over(w).alias("max_seen"),
+    )
+    kept = wm.filter(
+        F.col("max_seen").isNull()
+        | (F.col("ts") >= F.col("max_seen") - F.expr(f"INTERVAL {_LATE_DELAY_MIN} MINUTES"))
+    )
+    return (
+        kept.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("win_start"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            ts_str(F.col("win_start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
