@@ -62,6 +62,9 @@ prioritize([
     "stream_latedrop_1h",
     "graph_degree_histogram",
     "pipeline_kanon_audit",
+    "graph_component_sizes",
+    "analytics_ab_lift",
+    "pipeline_filter_funnel",
     "fn_higher_order",
     "fn_try_arithmetic",
     "mm_features",

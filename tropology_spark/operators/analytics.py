@@ -515,3 +515,67 @@ def analytics_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_returning",
         F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M117 — A/B experiment lift accounting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_ab_lift",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (
+      SELECT user_id,
+             CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM u
+    ),
+    conv AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT v.variant,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(conv.user_id) AS BIGINT) AS n_converted,
+           round(CAST(count(conv.user_id) AS DOUBLE) / count(*), 6)
+             AS conversion_rate
+    FROM v LEFT JOIN conv ON v.user_id = conv.user_id
+    GROUP BY v.variant
+    """,
+)
+def analytics_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M117 — A/B experiment accounting: users deterministically
+    hash-split into variants (md5 first hex digit < '8' ≈ 50/50 — the
+    reproducible assignment every experimentation platform uses so a
+    user sees one variant forever), conversion = any purchase event.
+    Counts are exact integers; the rate is one final division of
+    exact ints rounded to 6 dp.
+
+    Scale: distinct-user and converter sets are both user-keyed
+    aggregates (map-side combinable); the variant is a pure hash of
+    the key, so assignment needs no lookup table and no shuffle of
+    its own."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    v = u.withColumn(
+        "variant",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "A"
+        ).otherwise("B"),
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("cuid"))
+        .distinct()
+    )
+    return (
+        v.join(conv, v.user_id == F.col("cuid"), "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.count("cuid").cast("bigint").alias("n_converted"),
+        )
+        .withColumn(
+            "conversion_rate",
+            F.round(F.col("n_converted").cast("double") / F.col("n_users"), 6),
+        )
+    )

@@ -474,8 +474,25 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reachability-closure formulation of the same fixpoint.  Also
     pinned by a unit test on a known disconnected graph
     (tests/test_units.py)."""
+    return cc_labels_materialized(spark, sf_dir)
+
+
+#: Converged CC label vectors shared across queries in one session
+#: (same discipline as the edge / pair-graph caches): the fixpoint
+#: loop is the most expensive computation in the repo, and every
+#: component-level rollup starts from its output.
+_CC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def cc_labels_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(node, comp)`` labels of the converged fixpoint, eagerly
+    materialized once per (session, sf_dir)."""
     from tropology_spark.sources.tables import edges_materialized
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CC_CACHE.get(key)
+    if cached is not None:
+        return cached
     e = edges_materialized(spark, sf_dir)
     c_node = F.concat(F.lit("c:"), F.col("src").cast("string"))
     p_node = F.concat(F.lit("p:"), F.col("dst").cast("string"))
@@ -483,7 +500,61 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(c_node.alias("u"), p_node.alias("v"))
         .unionByName(e.select(p_node.alias("u"), c_node.alias("v")))
     )
-    return connected_components(bi)
+    out = connected_components(bi).localCheckpoint(eager=True)
+    _CC_CACHE[key] = out
+    return out
+
+
+# ---------------------------------------------------------------------------
+# M116 — component-size rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_component_sizes",
+    oracle="""
+    WITH RECURSIVE
+    edges AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    bi AS (SELECT 'c:' || CAST(src AS VARCHAR) AS u,
+                  'p:' || CAST(dst AS VARCHAR) AS v FROM edges
+           UNION ALL
+           SELECT 'p:' || CAST(dst AS VARCHAR),
+                  'c:' || CAST(src AS VARCHAR) FROM edges),
+    walk(node, lab) AS (
+        SELECT u, u FROM bi
+        UNION
+        SELECT bi.v, walk.lab FROM walk JOIN bi ON walk.node = bi.u
+    ),
+    comp AS (SELECT node, min(lab) AS comp FROM walk GROUP BY node)
+    SELECT comp,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(CASE WHEN node LIKE 'c:%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_works,
+           CAST(sum(CASE WHEN node LIKE 'p:%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tropes
+    FROM comp GROUP BY comp
+    """,
+)
+def graph_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M116 — component-level rollup: size and work/trope composition
+    of every connected component — the "how fragmented is the graph"
+    summary that decides whether per-component processing is feasible
+    (one giant component → the iterative operators must scale; many
+    small ones → applyInPandas per component is an option).
+
+    Reuses the session-cached converged label vector, so the marginal
+    cost over CC itself is one aggregate."""
+    labels = cc_labels_materialized(spark, sf_dir)
+    return labels.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.when(F.col("node").startswith("c:"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_works"),
+        F.sum(F.when(F.col("node").startswith("p:"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tropes"),
+    )
 
 
 @register(

@@ -1981,3 +1981,93 @@ def pipeline_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_rows") < _KANON_K, 1).otherwise(0).cast("bigint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M118 — filter-funnel observability report
+# ---------------------------------------------------------------------------
+
+_FUNNEL_MIN_TOKENS = 10
+_FUNNEL_MAX_TOKENS = 1000
+_FUNNEL_MIN_MWL_X1 = 3  # mean word length bounds, held as integer
+_FUNNEL_MAX_MWL_X1 = 12  # cross-multiplications (no float division)
+
+
+@register(
+    "pipeline_filter_funnel",
+    oracle=f"""
+    WITH st AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(length(token)) AS BIGINT) AS sum_len
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents) t
+      GROUP BY doc_id
+    ),
+    gated AS (
+      SELECT doc_id,
+             CASE WHEN n_tokens BETWEEN {_FUNNEL_MIN_TOKENS} AND {_FUNNEL_MAX_TOKENS}
+                  THEN 1 ELSE 0 END AS g1,
+             CASE WHEN sum_len >= {_FUNNEL_MIN_MWL_X1} * n_tokens
+                   AND sum_len <= {_FUNNEL_MAX_MWL_X1} * n_tokens
+                  THEN 1 ELSE 0 END AS g2
+      FROM st
+    )
+    SELECT 1 AS step, 'length_gate' AS gate,
+           CAST(count(*) AS BIGINT) AS n_in,
+           CAST(sum(1 - g1) AS BIGINT) AS n_dropped,
+           CAST(sum(g1) AS BIGINT) AS n_out
+    FROM gated
+    UNION ALL
+    SELECT 2, 'mean_word_len',
+           CAST(sum(g1) AS BIGINT),
+           CAST(sum(CASE WHEN g1 = 1 AND g2 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN g1 = 1 AND g2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM gated
+    """,
+)
+def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M118 — the filter-funnel report: per quality gate, how many
+    docs entered, were dropped, and survived — the observability
+    artifact every curation pipeline publishes alongside its output
+    (a gate silently dropping 40% of a source is a bug you find HERE).
+
+    Two sequential gates (token-count band, mean-word-length band via
+    integer cross-multiplication); all counts are exact integer
+    aggregates of one per-doc stats pass — the funnel costs one scan
+    no matter how many gates stack."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    st = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.length("token")).cast("bigint").alias("sum_len"),
+    )
+    g1 = (
+        F.col("n_tokens").between(_FUNNEL_MIN_TOKENS, _FUNNEL_MAX_TOKENS)
+    ).cast("int")
+    g2 = (
+        (F.col("sum_len") >= _FUNNEL_MIN_MWL_X1 * F.col("n_tokens"))
+        & (F.col("sum_len") <= _FUNNEL_MAX_MWL_X1 * F.col("n_tokens"))
+    ).cast("int")
+    gated = st.select("doc_id", g1.alias("g1"), g2.alias("g2"))
+    step1 = gated.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in"),
+        F.sum(1 - F.col("g1")).cast("bigint").alias("n_dropped"),
+        F.sum("g1").cast("bigint").alias("n_out"),
+    ).select(
+        F.lit(1).alias("step"), F.lit("length_gate").alias("gate"),
+        "n_in", "n_dropped", "n_out",
+    )
+    step2 = gated.agg(
+        F.sum("g1").cast("bigint").alias("n_in"),
+        F.sum(F.when((F.col("g1") == 1) & (F.col("g2") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.sum(F.when((F.col("g1") == 1) & (F.col("g2") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_out"),
+    ).select(
+        F.lit(2).alias("step"), F.lit("mean_word_len").alias("gate"),
+        "n_in", "n_dropped", "n_out",
+    )
+    return step1.unionByName(step2)
