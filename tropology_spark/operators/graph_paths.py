@@ -57,16 +57,9 @@ def graph_bfs3(spark: SparkSession, sf_dir: str) -> DataFrame:
     then min-distance per node over the leveled union — identical
     unrolled shape in the DuckDB oracle.  Distances are small ints;
     node ids are namespaced strings — exact carriers."""
-    from tropology_spark.sources.tables import edges_materialized
+    from tropology_spark.operators.graph import bi_materialized
 
-    e = edges_materialized(spark, sf_dir)
-    c_node = F.concat(F.lit("c:"), F.col("src").cast("string"))
-    p_node = F.concat(F.lit("p:"), F.col("dst").cast("string"))
-    bi = (
-        e.select(c_node.alias("u"), p_node.alias("v"))
-        .unionByName(e.select(p_node.alias("u"), c_node.alias("v")))
-        .localCheckpoint(eager=True)
-    )
+    bi = bi_materialized(spark, sf_dir)
     start = spark.createDataFrame([(f"c:{CUST_A}",)], "v string")
     levels = [start.select(F.col("v").alias("node"), F.lit(0).alias("dist"))]
     frontier = start
@@ -132,16 +125,12 @@ def graph_random_walk3(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each step is frontier ⋈ src-bucketed edges + an argmin
     window partitioned by walker — frontier-sized shuffles only; depth
     is fixed so the whole walk unrolls into 3 joins (the bfs3 shape)."""
+    from tropology_spark.operators.graph import bi_materialized
     from tropology_spark.sources.tables import edges_materialized
 
     e = edges_materialized(spark, sf_dir)
     c_node = F.concat(F.lit("c:"), F.col("src").cast("string"))
-    p_node = F.concat(F.lit("p:"), F.col("dst").cast("string"))
-    bi = (
-        e.select(c_node.alias("u"), p_node.alias("v"))
-        .unionByName(e.select(p_node.alias("u"), c_node.alias("v")))
-        .localCheckpoint(eager=True)
-    )
+    bi = bi_materialized(spark, sf_dir)
     from pyspark.sql import Window
 
     cur = e.select(c_node.alias("start")).distinct()
@@ -292,16 +281,12 @@ def graph_closeness3(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-dist per pair.  Scale: frontier-sized shuffles only; starts
     are a filter pushdown on the edge scan, so cost is proportional to
     the probed neighborhood, not the graph."""
+    from tropology_spark.operators.graph import bi_materialized
     from tropology_spark.sources.tables import edges_materialized
 
     e = edges_materialized(spark, sf_dir)
     c_node = F.concat(F.lit("c:"), F.col("src").cast("string"))
-    p_node = F.concat(F.lit("p:"), F.col("dst").cast("string"))
-    bi = (
-        e.select(c_node.alias("u"), p_node.alias("v"))
-        .unionByName(e.select(p_node.alias("u"), c_node.alias("v")))
-        .localCheckpoint(eager=True)
-    )
+    bi = bi_materialized(spark, sf_dir)
     starts = (
         e.filter(F.col("src") < _CLOSENESS_MAX_SRC)
         .select(c_node.alias("start"))
