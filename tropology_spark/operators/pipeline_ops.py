@@ -308,13 +308,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     J2; threshold 0.4 (trigram Jaccard runs lower than token Jaccard
     for the same edit density)."""
     d = load(spark, sf_dir, "documents")
+    # Materialized once: the shingle explode feeds THREE plan branches
+    # (both self-join sides + the size agg) and Spark re-derives
+    # un-materialized shared subplans per branch (BASELINE.md).
     tok = d.select(
         "doc_id",
         F.substring(F.col("text"), 1, 40).alias("pfx"),
         F.explode(
             F.array_distinct(word_ngrams(F.split(F.col("text"), " "), _NGRAM_N))
         ).alias("token"),
-    )
+    ).localCheckpoint(eager=True)
     siz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = tok.alias("a"), tok.alias("b")
     inter = (
@@ -333,8 +336,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .filter(jac >= 0.4)
         .select("doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard"))
     )
