@@ -683,3 +683,19 @@ def test_cli_explain_prints_physical_plan(spark, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "Physical Plan" in out and "Scan parquet" in out
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """M119: ORC round-trip preserves rows and schema exactly (ORC
+    carries its own types, so no explicit-schema discipline needed)."""
+    from tropology_spark.sources import formats as FF
+    from tropology_spark.sources.tables import load
+
+    docs = load(spark, SF_UNIT, "documents")
+    path = str(tmp_path / "docs_orc")
+    FF.write_orc(docs, path)
+    back = FF.read_orc(spark, path)
+    assert back.schema == docs.schema
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in docs.collect()
+    )

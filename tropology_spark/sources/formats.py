@@ -94,3 +94,18 @@ def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     corrupt = df.filter(df[CORRUPT_COL].isNotNull()).select(CORRUPT_COL)
     clean = df.filter(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
     return clean, corrupt
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (M119).  Columnar like parquet — stripes, per-column
+    statistics, predicate pushdown — the interchange format for
+    Hive-ecosystem consumers.  Overwrite-mode: deterministic
+    re-publish, same policy as the CSV/JSONL writers."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (M119).  Schema comes from the ORC footer (columnar
+    formats carry their types — the no-inference rule above is about
+    text formats, which do not)."""
+    return spark.read.orc(path)
