@@ -41,65 +41,15 @@ from tropology_spark.operators import windows  # noqa: F401
 from tropology_spark.operators import aggregates  # noqa: F401
 from tropology_spark.operators import relational  # noqa: F401
 
-# Round-3 driver window (the driver hash-checks the FIRST 50 entries
+# Round-4 driver window (the driver hash-checks the FIRST 50 entries
 # per round — r01 covered the relational/agg/window core, r02 the
-# dedup/text/sim/graph/fn families).  Promote: the two r02 failures
-# (events-loader type regression, fixed this round), the queries whose
-# oracle was upgraded this round, then the oldest never-driver-checked
-# entries in registration order.  Remaining never-checked entries queue
-# for the round-4 window.
+# dedup/text/sim/graph/fn families, r03 the streaming/udf/pipeline/mm
+# set).  Exactly 44 registered queries have never received a driver
+# CORRECTNESS row (they all pass the in-repo driver replica,
+# tests/test_oracle_parity.py); promote all 44, then round-4 additions
+# and oracle upgrades in the spare slots.  Done = 191/191 driver-green.
 prioritize([
-    "text_pii_redact",
-    "fn_bitwise",
-    "graph_connected_components",
-    # round-3 additions (M107-M112) — claimed ops need driver rows
-    "dedup_keep_best",
-    "pipeline_token_budget",
-    "ts_drawdown",
-    "ts_winsorize",
-    "graph_closeness3",
-    "sim_ann_recall",
-    "stream_latedrop_1h",
-    "graph_degree_histogram",
-    "pipeline_kanon_audit",
-    "graph_component_sizes",
-    "analytics_ab_lift",
-    "pipeline_filter_funnel",
-    "fn_higher_order",
-    "fn_try_arithmetic",
-    "mm_features",
-    "mm_dedup_exact",
-    "mm_phash_hamming",
-    "stream_tumbling_1h",
-    "stream_sliding_1h_30m",
-    "stream_sessionize_30m",
-    "stream_interval_join",
-    "udf_scalar_code_norm",
-    "udf_pandas_vectorized",
-    "udf_grouped_normalize",
-    "udf_udtf_tokenize",
-    "dedup_cluster_canonical",
-    "text_contamination",
-    "pipeline_split_assign",
-    "dedup_ngram_jaccard",
-    "text_repetition",
-    "pipeline_pack_sequences",
-    "text_token_histogram",
-    "dedup_incremental",
-    "text_inverted_index",
-    "pipeline_shard_layout",
-    "text_length_gate",
-    "text_vocab_oov",
-    "pipeline_stratified_sample",
-    "pipeline_skew_profile",
-    "pipeline_zorder_layout",
-    "pipeline_cdc_apply",
-    "pipeline_dq_report",
-    "pipeline_scd2",
-    "pipeline_weighted_sample",
-    "pipeline_minmax_scale",
-    "join_point_in_time",
-    "pipeline_negative_sample",
+    # -- the 44 never-driver-sampled queries (registration order) --
     "pipeline_dataset_card",
     "pipeline_interleave_sources",
     "pipeline_chunk_documents",
@@ -112,6 +62,41 @@ prioritize([
     "graph_triangles",
     "graph_butterflies",
     "graph_clustering_pairs",
+    "graph_assortativity_terms",
+    "graph_hits_paths",
+    "mm_frame_sample",
+    "ts_resample_gapfill",
+    "ts_sessionize",
+    "ts_ewma",
+    "ts_anomaly_topk",
+    "ts_pattern_triples",
+    "ts_runs",
+    "ts_ohlc_hourly",
+    "ts_cusum_changepoint",
+    "ts_seasonal_profile",
+    "ts_acf_terms",
+    "analytics_funnel",
+    "analytics_retention",
+    "analytics_rolling_wau",
+    "analytics_attribution",
+    "pipeline_curation_e2e",
+    "analytics_markov_transitions",
+    "analytics_new_vs_returning",
+    "win_range_1h",
+    "win_pareto_abc",
+    "agg_median_mode",
+    "agg_heavy_hitters",
+    "agg_histogram",
+    "agg_multi_distinct",
+    "agg_weighted_avg",
+    "agg_min_max_by",
+    "agg_bitmap_distinct",
+    "agg_unpivot_measures",
+    "join_lateral_topk",
+    "sub_exists_notexists",
+    # -- round-4 additions / oracle upgrades (spare window slots) --
+    "graph_twohop_capped",
+    "agg_approx_distinct",
 ])
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]
