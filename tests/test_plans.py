@@ -275,3 +275,20 @@ def test_rp_lsh_hyperplanes_broadcast(spark):
     a broadcast; the signature aggs combine map-side."""
     plan = plan_of(QUERIES["sim_rp_lsh_topk"](spark, SF_UNIT))
     assert "BroadcastHashJoin" in plan
+
+
+def test_twohop_capped_anti_joins_hot_dsts_before_wedge(spark):
+    """M119 — the celebrity split must be physical: the hot-dst list is
+    removed from the wedge input via a broadcast anti join (the hot
+    list is |E|/cap rows, no explicit hint so extreme-scale planning
+    stays free), and the wedge self-join itself survives as the only
+    SortMergeJoin-eligible big join."""
+    from tropology_spark.operators.graph import TWOHOP_DEGREE_CAP, twohop_capped_frames
+    from tropology_spark.sources.tables import edges
+
+    result, _ = twohop_capped_frames(
+        edges(spark, SF_UNIT), TWOHOP_DEGREE_CAP, materialize=False
+    )
+    plan = plan_of(result)
+    assert "LeftAnti" in plan  # hot dsts excluded before the pair join
+    assert "BroadcastHashJoin" in plan  # small hot side broadcast locally

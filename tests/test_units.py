@@ -699,3 +699,55 @@ def test_orc_roundtrip(spark, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in docs.collect()
     )
+
+
+def test_twohop_capped_splits_celebrity_path(spark):
+    """M119 — on a synthetic power-law graph the degree cap must (a)
+    classify exactly the celebrity dst as hot, (b) keep celebrity edges
+    OUT of the wedge pair join (pair count bounded by cap·|E_cold|, not
+    Σ deg²), and (c) still produce the exact declared semantics,
+    cross-checked against a brute-force Python computation."""
+    from itertools import combinations
+
+    from tropology_spark.operators.graph import twohop_capped_frames
+
+    # One celebrity dst (degree 12) + a cold tail of degree-2/3 dsts.
+    edges = [(s, 900) for s in range(12)]
+    edges += [(0, 1), (1, 1), (2, 2), (3, 2), (4, 2), (5, 3), (6, 3), (13, 4)]
+    cap = 4
+    e = spark.createDataFrame(edges, "src long, dst long")
+    result, hot = twohop_capped_frames(e, cap)
+
+    hot_rows = {(r["dst"], r["d"]) for r in hot.collect()}
+    assert hot_rows == {(900, 12)}  # (a) exactly the celebrity is hot
+
+    # (b) the wedge input excludes the celebrity: cold pair volume is
+    # sum C(deg,2) over cold dsts only.
+    cold = [(s, d) for s, d in edges if d != 900]
+    from collections import defaultdict
+
+    by_dst = defaultdict(set)
+    for s, d in cold:
+        by_dst[d].add(s)
+    cold_pairs = {
+        frozenset(p) for members in by_dst.values() for p in combinations(members, 2)
+    }
+    # (c) brute-force the declared semantics.
+    partners = defaultdict(set)
+    for p in cold_pairs:
+        a, b = tuple(p)
+        partners[a].add(b)
+        partners[b].add(a)
+    hot_touch = defaultdict(list)
+    for s, d in edges:
+        if d == 900:
+            hot_touch[s].append(12)
+    expect = {
+        s: (len(partners[s]), len(hot_touch[s]), sum(x - 1 for x in hot_touch[s]))
+        for s in {s for s, _ in edges}
+    }
+    got = {
+        r["custkey"]: (r["n_twohop_cold"], r["n_hot_parts"], r["hot_exposure"])
+        for r in result.collect()
+    }
+    assert got == expect

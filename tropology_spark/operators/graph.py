@@ -235,6 +235,123 @@ def graph_twohop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Degree cap for the celebrity-split two-hop path (M119).  Parts with
+#: more than this many incident works are "hot": their wedge
+#: contribution is deg² and at 100 TB the handful of celebrity tropes
+#: would dominate the pair shuffle.  32 sits at the ~90th degree
+#: percentile of the test corpus so both classes are exercised at
+#: every sf.
+TWOHOP_DEGREE_CAP = 32
+
+
+def twohop_capped_frames(
+    e: DataFrame, cap: int, materialize: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """The degree-capped two-hop pipeline (SCALE.md §graph watch-item 1)
+    over an arbitrary ``(src, dst)`` edge table.
+
+    Splits dst nodes at ``cap``: cold dsts (degree <= cap) go through
+    the exact wedge self-join, whose pair count is bounded by
+    cap·|E_cold| instead of Σ deg²; hot (celebrity) dsts are routed to
+    a separate exact path — a per-src aggregate over the
+    ``(dst, degree)`` hot list.  The hot list (|E|/cap rows by
+    construction) is materialized once and broadcast only while it is
+    provably small (BROADCAST_NODE_LIMIT, the pagerank gate — never an
+    unconditional hint); the half pair table is checkpointed so the
+    mirror branch reuses it instead of re-running the wedge join.
+
+    Returns ``(result, hot)`` where ``result`` has one row per src:
+    ``custkey, n_twohop_cold`` (distinct partners via cold dsts),
+    ``n_hot_parts`` (hot dsts touched), ``hot_exposure``
+    (Σ degree-1 over those — the exact partner-slot count the cap
+    excluded), and ``hot`` is the celebrity list for inspection/tests.
+    """
+    deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    hot = deg.filter(F.col("d") > cap)
+    if materialize:  # False only for plan tests, which need the full lineage
+        hot = hot.localCheckpoint(eager=True)
+    small = hot.count() <= BROADCAST_NODE_LIMIT
+    hot_keys = hot.select("dst")
+    cold_e = e.join(
+        F.broadcast(hot_keys) if small else hot_keys, "dst", "left_anti"
+    )
+    a, b = cold_e.alias("a"), cold_e.alias("b")
+    half = (
+        a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")))
+        .select(F.col("a.src").alias("cust_a"), F.col("b.src").alias("cust_b"))
+        .distinct()
+    )
+    if materialize:
+        half = half.localCheckpoint(eager=True)
+    pairs = half.unionByName(
+        half.select(F.col("cust_b").alias("cust_a"), F.col("cust_a").alias("cust_b"))
+    )
+    cold_cnt = pairs.groupBy(F.col("cust_a").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_twohop_cold")
+    )
+    hot_sum = (
+        e.join(F.broadcast(hot) if small else hot, "dst")
+        .groupBy(F.col("src").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hot_parts"),
+            F.sum(F.col("d") - 1).cast("bigint").alias("hot_exposure"),
+        )
+    )
+    base = e.select(F.col("src").alias("custkey")).distinct()
+    result = (
+        base.join(cold_cnt, "custkey", "left")
+        .join(hot_sum, "custkey", "left")
+        .select(
+            "custkey",
+            F.coalesce("n_twohop_cold", F.lit(0)).cast("bigint").alias("n_twohop_cold"),
+            F.coalesce("n_hot_parts", F.lit(0)).cast("bigint").alias("n_hot_parts"),
+            F.coalesce("hot_exposure", F.lit(0)).cast("bigint").alias("hot_exposure"),
+        )
+    )
+    return result, hot
+
+
+@register(
+    "graph_twohop_capped",
+    oracle=_EDGES_CTE
+    + f"""
+    , deg AS (SELECT dst, count(*) AS d FROM edges GROUP BY dst),
+    hot AS (SELECT dst, d FROM deg WHERE d > {TWOHOP_DEGREE_CAP}),
+    cold_e AS (SELECT src, dst FROM edges
+               WHERE dst NOT IN (SELECT dst FROM hot)),
+    cold_cnt AS (SELECT a.src AS custkey,
+                        CAST(count(DISTINCT b.src) AS BIGINT) AS n_twohop_cold
+                 FROM cold_e a JOIN cold_e b
+                   ON a.dst = b.dst AND a.src <> b.src
+                 GROUP BY a.src),
+    hot_sum AS (SELECT e.src AS custkey,
+                       CAST(count(*) AS BIGINT) AS n_hot_parts,
+                       CAST(sum(h.d - 1) AS BIGINT) AS hot_exposure
+                FROM edges e JOIN hot h ON e.dst = h.dst GROUP BY e.src)
+    SELECT b.custkey,
+           CAST(coalesce(c.n_twohop_cold, 0) AS BIGINT) AS n_twohop_cold,
+           CAST(coalesce(h.n_hot_parts, 0) AS BIGINT) AS n_hot_parts,
+           CAST(coalesce(h.hot_exposure, 0) AS BIGINT) AS hot_exposure
+    FROM (SELECT DISTINCT src AS custkey FROM edges) b
+    LEFT JOIN cold_cnt c ON b.custkey = c.custkey
+    LEFT JOIN hot_sum h ON b.custkey = h.custkey
+    """,
+)
+def graph_twohop_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M119 — celebrity-degree-capped two-hop reachability, the
+    100 TB-safe form of I6 (SCALE.md §graph watch-item 1 wired as
+    code).  Exact wedge counts flow only through dsts with degree <=
+    TWOHOP_DEGREE_CAP; celebrity dsts are summarized exactly on a
+    separate path (hot-part count + excluded partner-slot exposure)
+    without ever entering the quadratic pair join."""
+    from tropology_spark.sources.tables import edges_materialized
+
+    result, _ = twohop_capped_frames(
+        edges_materialized(spark, sf_dir), TWOHOP_DEGREE_CAP
+    )
+    return result
+
+
 @register(
     "graph_sample_nodes",
     oracle="""
