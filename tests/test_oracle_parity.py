@@ -1,9 +1,21 @@
 """The primary gate (SURVEY.md §5.2 item 1): every declared SQL-oracle
-query must match DuckDB at the driver's correctness scale (sf0.01)."""
+query must match DuckDB at the driver's correctness scale (sf0.01).
+
+The comparisons run CONCURRENTLY (the bench.py thread-pool discipline:
+Spark's scheduler overlaps the per-query job overhead across cores,
+DuckDB work happens on thread-local cursors over the shared in-memory
+catalog).  That cut the full-suite wall clock from ~9.5 min to under
+the ~5 min CI budget without dropping a single comparison; failures
+are collected and reported together with their per-query detail.  Set
+``TROPOLOGY_PARITY_SEQ=1`` to fall back to one-at-a-time execution
+when debugging a specific failure.
+"""
 
 from __future__ import annotations
 
-import pytest
+import gc
+import os
+from concurrent.futures import ThreadPoolExecutor
 
 from tropology_spark import ORACLES, QUERIES
 from tests.conftest import SF_ORACLE
@@ -14,9 +26,38 @@ def all_sql_queries():
     return sorted(ORACLES.keys())
 
 
-@pytest.mark.parametrize("name", all_sql_queries())
-def test_oracle_parity(name, spark, duck_oracle):
-    compare(name, spark, duck_oracle, QUERIES[name], ORACLES[name], SF_ORACLE)
+def test_oracle_parity_all(spark, duck_oracle):
+    names = all_sql_queries()
+    failures: dict[str, str] = {}
+
+    def run(name: str) -> None:
+        try:
+            # cursor() = a new connection over the same catalog: the
+            # parent DuckDB connection is not thread-safe, its views
+            # are shared.
+            compare(
+                name, spark, duck_oracle.cursor(), QUERIES[name],
+                ORACLES[name], SF_ORACLE,
+            )
+        except Exception as exc:  # noqa: BLE001 — every failure reported
+            failures[name] = f"{type(exc).__name__}: {exc}"[:400]
+
+    if os.environ.get("TROPOLOGY_PARITY_SEQ") == "1":
+        for n in names:
+            run(n)
+    else:
+        # Waves bound peak concurrent memory; GC between waves lets the
+        # ContextCleaner reclaim checkpointed blocks (bench.py:40).
+        wave = 24
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            for start in range(0, len(names), wave):
+                list(pool.map(run, names[start : start + wave]))
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
+    assert not failures, (
+        f"{len(failures)}/{len(names)} oracle comparisons failed:\n"
+        + "\n".join(f"  {k}: {v}" for k, v in sorted(failures.items()))
+    )
 
 
 def test_rows_only_queries_run(spark):

@@ -751,3 +751,42 @@ def test_twohop_capped_splits_celebrity_path(spark):
         for r in result.collect()
     }
     assert got == expect
+
+
+def test_upgraded_oracle_partitioning_invariance(spark):
+    """CLAUDE.md invariant, third-setting edition: the upgraded-oracle
+    set (md5 sampling, MinHash-LSH, PageRank, KMV approx-distinct,
+    capped two-hop) must produce IDENTICAL value sets under three
+    shuffle-partition settings — whatever partition counts the
+    driver's AQE picks can never flip a result hash.  Session caches
+    are cleared per setting so the materialized views genuinely
+    re-derive under each partitioning."""
+    from tests.parity import canon_rows, spark_result
+    from tropology_spark import QUERIES
+    from tropology_spark.sources.tables import clear_session_caches
+
+    names = [
+        "graph_sample_nodes",
+        "dedup_minhash_lsh",
+        "graph_pagerank3",
+        "agg_approx_distinct",
+        "graph_twohop_capped",
+    ]
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results: dict[str, set] = {n: set() for n in names}
+        rows_only: set = set()
+        for parts in ("5", "13", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            clear_session_caches()
+            for n in names:
+                cols, rows = spark_result(QUERIES[n](spark, SF_UNIT))
+                results[n].add(tuple(canon_rows(cols, rows)))
+            # the permanent rows-only entry: row COUNT must be stable
+            rows_only.add(QUERIES["limit_unordered"](spark, SF_UNIT).count())
+        for n, seen in results.items():
+            assert len(seen) == 1, f"{n} varies with shuffle partitioning"
+        assert len(rows_only) == 1, "limit_unordered row count varies"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+        clear_session_caches()

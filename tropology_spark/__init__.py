@@ -96,6 +96,7 @@ prioritize([
     "sub_exists_notexists",
     # -- round-4 additions / oracle upgrades (spare window slots) --
     "graph_twohop_capped",
+    "graph_triangles_capped",
     "agg_approx_distinct",
 ])
 

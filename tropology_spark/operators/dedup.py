@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tropology_spark.registry import register
-from tropology_spark.sources.tables import load
+from tropology_spark.sources.tables import SESSION_CACHES, cache_put, load
 
 
 @register(
@@ -130,6 +130,7 @@ def jaccard_pairs(
 #: the curation composition (M53); the same handle-reuse policy as
 #: sources.tables._LOAD_CACHE so one session pays the pair join once.
 _PAIRS_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+SESSION_CACHES.append(_PAIRS_CACHE)
 
 
 def jaccard_pairs_materialized(
@@ -147,7 +148,7 @@ def jaccard_pairs_materialized(
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
-    _PAIRS_CACHE[key] = pairs
+    cache_put(_PAIRS_CACHE, key, pairs)
     return pairs
 
 

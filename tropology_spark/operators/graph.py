@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tropology_spark.registry import register
-from tropology_spark.sources.tables import CUST_A, CUST_B, edges
+from tropology_spark.sources.tables import (
+    CUST_A,
+    CUST_B,
+    SESSION_CACHES,
+    cache_put,
+    edges,
+)
 
 _EDGES_CTE = """
     WITH edges AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst
@@ -35,6 +41,7 @@ _EDGES_CTE = """
 #: iterative queries consume exactly the (u, v) both-directions shape,
 #: and each used to re-derive + re-checkpoint its own copy.
 _BI_CACHE: dict[tuple[str, str], DataFrame] = {}
+SESSION_CACHES.append(_BI_CACHE)
 
 
 def bi_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,7 +62,7 @@ def bi_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(e.select(p_node.alias("u"), c_node.alias("v")))
         .localCheckpoint(eager=True)
     )
-    _BI_CACHE[key] = out
+    cache_put(_BI_CACHE, key, out)
     return out
 
 
@@ -64,6 +71,7 @@ def bi_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: graph_link_prediction (and at sf0.1 produces ~18M intermediate
 #: rows) runs once over the a.src < b.src half and mirrors.
 _COPAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+SESSION_CACHES.append(_COPAIR_CACHE)
 
 
 def copair_counts_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,7 +104,7 @@ def copair_counts_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_common",
         )
     )
-    _COPAIR_CACHE[key] = out
+    cache_put(_COPAIR_CACHE, key, out)
     return out
 
 
@@ -518,7 +526,10 @@ def pagerank(
 
 
 def connected_components(
-    bi_edges: DataFrame, max_iter: int = 10, use_broadcast: bool | None = None
+    bi_edges: DataFrame,
+    max_iter: int = 10,
+    use_broadcast: bool | None = None,
+    strict: bool = False,
 ) -> DataFrame:
     """Min-label propagation connected components over an undirected
     edge list ``(u, v)`` of string node ids.  Each iteration joins
@@ -531,10 +542,13 @@ def connected_components(
     same single aggregate that used to compute a (collidable) crc32 sum
     now counts ``comp != orig`` directly — zero extra jobs, no
     premature-stop window.  If the loop exhausts ``max_iter`` without
-    reaching the fixpoint (changed == 0), a warning is logged: the
-    returned labels are a valid *refinement* (every labeled pair is
-    truly connected) but high-eccentricity graphs may still have
-    distinct labels inside one component.
+    reaching the fixpoint (changed == 0), a warning is logged — or,
+    with ``strict=True`` (the registered/oracle-checked path), an
+    exception is raised: the non-converged labels are a valid
+    *refinement* (every labeled pair is truly connected) but
+    high-eccentricity graphs may still have distinct labels inside one
+    component, and a silent refinement would surface only as an
+    unattributable oracle hash mismatch.
 
     Each cycle ends with a POINTER-JUMPING shortcut (``comp :=
     comp[comp]``, one O(nodes) self-join): label distance to the
@@ -608,11 +622,13 @@ def connected_components(
             converged = True
             break
     if not converged:
-        logging.getLogger(__name__).warning(
-            "connected_components: max_iter=%d exhausted before fixpoint; "
-            "labels are a refinement, not final components",
-            max_iter,
+        msg = (
+            f"connected_components: max_iter={max_iter} exhausted before "
+            "fixpoint; labels are a refinement, not final components"
         )
+        if strict:
+            raise RuntimeError(msg)
+        logging.getLogger(__name__).warning(msg)
     return labels
 
 
@@ -658,6 +674,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: loop is the most expensive computation in the repo, and every
 #: component-level rollup starts from its output.
 _CC_CACHE: dict[tuple[str, str], DataFrame] = {}
+SESSION_CACHES.append(_CC_CACHE)
 
 
 def cc_labels_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -669,10 +686,13 @@ def cc_labels_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _CC_CACHE.get(key)
     if cached is not None:
         return cached
-    out = connected_components(bi_materialized(spark, sf_dir)).localCheckpoint(
-        eager=True
-    )
-    _CC_CACHE[key] = out
+    # strict: every consumer of this cache is oracle-checked against a
+    # fully-converged closure, so a non-converged refinement must fail
+    # loudly here, not as a bare hash mismatch downstream.
+    out = connected_components(
+        bi_materialized(spark, sf_dir), strict=True
+    ).localCheckpoint(eager=True)
+    cache_put(_CC_CACHE, key, out)
     return out
 
 

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tropology_spark.registry import register
-from tropology_spark.sources.tables import edges
+from tropology_spark.sources.tables import SESSION_CACHES, cache_put, edges
 
 #: Minimum shared parts for a projected co-purchase edge.  At sf0.01
 #: this keeps ~65k of 214k candidate pairs; at sf0.1 the graph is
@@ -43,6 +43,7 @@ _MIN_SHARED = 3
 #: several motif queries pays the projection once.  Keyed by
 #: applicationId: a fresh session never sees stale handles.
 _PROJ_CACHE: dict[tuple[str, str, int | None], DataFrame] = {}
+SESSION_CACHES.append(_PROJ_CACHE)
 
 
 def copurchase_projection(
@@ -85,7 +86,7 @@ def copurchase_projection(
         .select("u", "v")
         .localCheckpoint(eager=True)
     )
-    _PROJ_CACHE[key] = proj
+    cache_put(_PROJ_CACHE, key, proj)
     return proj
 
 
@@ -129,6 +130,71 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     it Spark re-derives the projection (orders ⋈ lineitem ⋈ itself)
     per branch."""
     proj = copurchase_projection(spark, sf_dir)
+    e1 = proj
+    e2 = proj.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = proj.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    tri = (
+        e1.join(e2, "v")
+        .join(e3, (F.col("u3") == F.col("u")) & (F.col("w3") == F.col("w")))
+        .select("u", "v", "w")
+    )
+    members = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    return members.groupBy(F.col("node").cast("bigint").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+#: Hub cap for the DECLARED capped motif query (M120): same constant
+#: as the two-hop celebrity split (graph.py::TWOHOP_DEGREE_CAP) so the
+#: two capped families cut the degree distribution at the same place.
+_HUB_CAP = 32
+
+
+@register(
+    "graph_triangles_capped",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    keep AS (SELECT dst FROM e0 GROUP BY dst HAVING count(*) <= {_HUB_CAP}),
+    e AS (SELECT src, dst FROM e0 WHERE dst IN (SELECT dst FROM keep)),
+    proj AS (
+      SELECT a.src AS u, b.src AS v
+      FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+      HAVING count(*) >= {_MIN_SHARED}
+    ),
+    tri AS (
+      SELECT e1.u, e1.v, e2.v AS w
+      FROM proj e1
+      JOIN proj e2 ON e2.u = e1.v
+      JOIN proj e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    members AS (
+      SELECT u AS node FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM members GROUP BY node
+    """,
+)
+def graph_triangles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M120 — hub-capped triangle participation: M56 over the
+    sparsified projection (``hub_cap`` drops parts with more than
+    _HUB_CAP linked customers BEFORE the wedge self-join, bounding
+    per-part wedge cost at C(cap, 2) — the SCALE.md watch-item-1
+    lever, now exercised by a DECLARED oracle-checked query instead of
+    only a unit test).  Semantics are the documented sparsifier:
+    capped pairs are a subset of the uncapped projection, and the
+    triangle closure runs unchanged on the smaller edge list."""
+    proj = copurchase_projection(spark, sf_dir, hub_cap=_HUB_CAP)
     e1 = proj
     e2 = proj.select(F.col("u").alias("v"), F.col("v").alias("w"))
     e3 = proj.select(F.col("u").alias("u3"), F.col("v").alias("w3"))

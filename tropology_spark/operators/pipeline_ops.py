@@ -332,12 +332,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = siz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = siz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    # The per-doc size table is O(docs) rows: explicitly broadcast only
+    # while that is provably driver-safe (the connected-components
+    # gate); on a larger corpus leave strategy to AQE rather than
+    # force-building a hash table that could OOM an executor.
+    from tropology_spark.operators.graph import BROADCAST_NODE_LIMIT
+    from tropology_spark.sources.tables import table_count
+
+    if table_count(spark, sf_dir, "documents") <= BROADCAST_NODE_LIMIT:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= 0.4)
         .select("doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard"))
     )

@@ -626,14 +626,78 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+#: KMV sketch size: estimate error ~ 1/sqrt(k) ≈ 12%, the same class
+#: as HLL at this footprint; 64 minima per group is metadata-sized.
+_KMV_K = 64
+
+
+@register(
+    "agg_approx_distinct",
+    # Same md5-low-32 base hash as the MinHash oracle (dedup.py): both
+    # engines parse the identical 8 hex chars to the identical integer,
+    # so the k-th smallest distinct hash — the KMV sufficient statistic
+    # — matches exactly, and the estimate is derived with INTEGER
+    # division only (no float carrier).  +1 on the divisor guards the
+    # (probability ~k/2^32) zero-hash case deterministically.
+    oracle=f"""
+    WITH h AS (SELECT DISTINCT event_type,
+                  ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+               FROM events),
+    r AS (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM h),
+    p AS (SELECT event_type, count(*) AS n_h,
+                 max(CASE WHEN rn = {_KMV_K} THEN h END) AS mk
+          FROM r GROUP BY event_type)
+    SELECT event_type,
+           CAST(CASE WHEN n_h >= {_KMV_K}
+                     THEN ({_KMV_K - 1} * 4294967296) // (mk + 1)
+                     ELSE n_h END AS BIGINT) AS approx_users
+    FROM p
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D4 — approximate distinct (HLL++).  Declared rows-only
-    (SURVEY.md §2 D4): sketch estimates are engine-specific."""
-    return (
-        load(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    """D4 — approximate distinct count per group.
+
+    Round 4 upgraded this from the rows-only HLL++ form (sketches are
+    engine-specific) to a K-MINIMUM-VALUES estimator following the
+    I7/J3 playbook: hash every user to md5-low-32, keep each group's k
+    smallest DISTINCT hashes, and estimate n ≈ (k-1)·2³²/m_k from the
+    k-th minimum.  Same ~1/√k error regime as HLL, but every
+    intermediate is an exact integer both engines agree on — so D4 now
+    carries a full value-hash oracle instead of a rows-only check.
+    Groups with fewer than k distinct hashes report the exact count
+    (KMV's standard small-cardinality fallback).  At scale: one
+    map-side-combinable distinct + one O(k·groups) rank — strictly
+    cheaper than the exact D3 count-distinct expand."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    dist = e.select("event_type", h).distinct()
+    ranked = dist.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("h")
+        ),
+    )
+    per = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("mk"),
+    )
+    return per.select(
+        "event_type",
+        F.when(
+            F.col("n_h") >= _KMV_K,
+            F.expr(f"({_KMV_K - 1} * 4294967296) div (mk + 1)"),
+        )
+        .otherwise(F.col("n_h"))
+        .cast("bigint")
+        .alias("approx_users"),
     )
 
 
@@ -733,8 +797,12 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("limit_unordered")  # rows-only: row choice is engine-dependent
 def limit_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3 — LIMIT without ORDER BY (paging); content nondeterministic
-    across engines, declared rows-only."""
+    """F3 — LIMIT without ORDER BY (paging).  THE one permanent
+    rows-only entry (re-confirmed round 4 after D4's KMV upgrade
+    emptied the rest of the list): an unordered LIMIT's value set is
+    engine- and partitioning-dependent BY DEFINITION — any oracle that
+    pinned the values would be testing an ordering the query does not
+    promise.  Row count is the entire checkable contract."""
     return load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber").limit(50)
 
 

@@ -157,7 +157,9 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("emb")
     ).withColumn("nv", norm(F.col("emb")))  # norm once per vector, not per pair
-    n = e.count()  # one tiny count job; fixes k = ceil(sqrt(n))
+    from tropology_spark.sources.tables import table_count
+
+    n = table_count(spark, sf_dir, "embeddings")  # cached; fixes k = ceil(sqrt(n))
     k = math.ceil(math.sqrt(n))
     tp = e.select("vec_id", F.pmod(F.col("vec_id") * F.lit(1000003), F.lit(k)).alias("tcell"))
 

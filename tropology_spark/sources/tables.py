@@ -46,12 +46,38 @@ TABLES = (
 )
 
 
+#: Every session-keyed cache in the package registers itself here so
+#: tests (and long-lived hosts) can drop all materialized handles at
+#: once — e.g. the partitioning-invariance probe must re-derive the
+#: materialized views under each shuffle-partition setting.
+SESSION_CACHES: list[dict] = []
+
+
+def clear_session_caches() -> None:
+    for c in SESSION_CACHES:
+        c.clear()
+
+
+def cache_put(cache: dict, key: tuple, value) -> None:
+    """Insert into a session-keyed cache (``key[0]`` is the Spark
+    applicationId), first evicting entries from OTHER sessions: one
+    live session at a time is the actual usage pattern, and handles
+    held for stopped contexts only pin driver memory for the process
+    lifetime (bench.py now opens a second session for isolated
+    re-times, so this is exercised, not theoretical)."""
+    app = key[0]
+    for stale in [k for k in cache if k[0] != app]:
+        del cache[stale]
+    cache[key] = value
+
+
 #: DataFrame handles are immutable logical plans — reusing one across
 #: queries saves the per-query footer read + analysis without sharing
 #: any mutable state.  Keyed by the Spark applicationId (unique per
 #: context, new after a restart — unlike ``id(spark)``, which the
 #: allocator can reuse) so a fresh session never sees stale handles.
 _LOAD_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+SESSION_CACHES.append(_LOAD_CACHE)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -78,8 +104,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # wall-clock instant; DuckDB reads the file as naive
             # TIMESTAMP with identical values.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    _LOAD_CACHE[key] = df
+    cache_put(_LOAD_CACHE, key, df)
     return df
+
+
+#: Row counts cached with the table handles: several queries size a
+#: parameter from the corpus cardinality (√n cells in sim_knn_join,
+#: broadcast gates); the count is parquet-metadata-cheap but it is
+#: still a driver action, and a query build should not re-run it.
+_COUNT_CACHE: dict[tuple[str, str, str], int] = {}
+SESSION_CACHES.append(_COUNT_CACHE)
+
+
+def table_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Cached ``load(...).count()`` per (session, sf_dir, table)."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _COUNT_CACHE.get(key)
+    if cached is None:
+        cached = load(spark, sf_dir, name).count()
+        cache_put(_COUNT_CACHE, key, cached)
+    return cached
 
 
 def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,7 +149,8 @@ def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: each at sf0.1 and N copies of the same blocks.  One shared copy is
 #: the "materialized view" a warehouse would maintain for the hot edge
 #: table — identical results, strictly less work and block pressure.
-_EDGE_CACHE: dict[tuple[str, str, tuple], DataFrame] = {}
+_EDGE_CACHE: dict[tuple[str, str, tuple | None], DataFrame] = {}
+SESSION_CACHES.append(_EDGE_CACHE)
 
 
 def edges_materialized(spark: SparkSession, sf_dir: str, srcs=None) -> DataFrame:
@@ -116,10 +161,13 @@ def edges_materialized(spark: SparkSession, sf_dir: str, srcs=None) -> DataFrame
     across the aliased branches.  ``srcs`` optionally pre-filters to a
     few source nodes (the filter is pushed to the orders scan *before*
     materialization).  Cached per (session, sf_dir, srcs)."""
+    # None (no filter) and an explicit empty filter are DIFFERENT
+    # plans: keep None as its own sentinel so ``srcs=[]`` (zero edges)
+    # can never be served — or poison — the unfiltered entry.
     key = (
         spark.sparkContext.applicationId,
         sf_dir,
-        tuple(sorted(srcs)) if srcs is not None else (),
+        tuple(sorted(srcs)) if srcs is not None else None,
     )
     cached = _EDGE_CACHE.get(key)
     if cached is not None:
@@ -128,7 +176,7 @@ def edges_materialized(spark: SparkSession, sf_dir: str, srcs=None) -> DataFrame
     if srcs is not None:
         e = e.filter(F.col("src").isin(list(srcs)))
     out = e.localCheckpoint(eager=True)
-    _EDGE_CACHE[key] = out
+    cache_put(_EDGE_CACHE, key, out)
     return out
 
 
