@@ -97,6 +97,7 @@ prioritize([
     # -- round-4 additions / oracle upgrades (spare window slots) --
     "graph_twohop_capped",
     "graph_triangles_capped",
+    "graph_link_prediction_capped",
     "agg_approx_distinct",
 ])
 

@@ -274,6 +274,20 @@ def twohop_capped_frames(
     (Σ degree-1 over those — the exact partner-slot count the cap
     excluded), and ``hot`` is the celebrity list for inspection/tests.
     """
+    parts = capped_copair_parts(e, cap, materialize)
+    return _twohop_from_parts(e, parts), parts[0]
+
+
+def capped_copair_parts(
+    e: DataFrame, cap: int, materialize: bool = True
+) -> tuple[DataFrame, DataFrame, DataFrame, bool]:
+    """Shared core of the capped family (M119/M121): returns
+    ``(hot, half, cold_deg, small)`` — the celebrity ``(dst, d)`` list,
+    the ORDERED-half cold co-pair table ``(cust_a < cust_b, n_common)``,
+    per-src cold degrees, and whether the hot list passed the broadcast
+    gate.  The session-cached instance (``capped_copair_materialized``)
+    is consumed by both the capped two-hop and capped link-prediction
+    queries, so the wedge join over cold edges runs once per session."""
     deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
     hot = deg.filter(F.col("d") > cap)
     if materialize:  # False only for plan tests, which need the full lineage
@@ -286,12 +300,38 @@ def twohop_capped_frames(
     a, b = cold_e.alias("a"), cold_e.alias("b")
     half = (
         a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") < F.col("b.src")))
-        .select(F.col("a.src").alias("cust_a"), F.col("b.src").alias("cust_b"))
-        .distinct()
+        .groupBy(F.col("a.src").alias("cust_a"), F.col("b.src").alias("cust_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
     )
     if materialize:
         half = half.localCheckpoint(eager=True)
-    pairs = half.unionByName(
+    cold_deg = cold_e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    return hot, half, cold_deg, small
+
+
+#: Session-shared capped co-pair parts at the production cap.
+_CAPPED_CACHE: dict[tuple[str, str], tuple] = {}
+SESSION_CACHES.append(_CAPPED_CACHE)
+
+
+def capped_copair_materialized(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, bool]:
+    from tropology_spark.sources.tables import edges_materialized
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CAPPED_CACHE.get(key)
+    if cached is None:
+        cached = capped_copair_parts(
+            edges_materialized(spark, sf_dir), TWOHOP_DEGREE_CAP
+        )
+        cache_put(_CAPPED_CACHE, key, cached)
+    return cached
+
+
+def _twohop_from_parts(e: DataFrame, parts: tuple) -> DataFrame:
+    hot, half, _cold_deg, small = parts
+    pairs = half.select("cust_a", "cust_b").unionByName(
         half.select(F.col("cust_b").alias("cust_a"), F.col("cust_a").alias("cust_b"))
     )
     cold_cnt = pairs.groupBy(F.col("cust_a").alias("custkey")).agg(
@@ -306,7 +346,7 @@ def twohop_capped_frames(
         )
     )
     base = e.select(F.col("src").alias("custkey")).distinct()
-    result = (
+    return (
         base.join(cold_cnt, "custkey", "left")
         .join(hot_sum, "custkey", "left")
         .select(
@@ -316,7 +356,6 @@ def twohop_capped_frames(
             F.coalesce("hot_exposure", F.lit(0)).cast("bigint").alias("hot_exposure"),
         )
     )
-    return result, hot
 
 
 @register(
@@ -354,10 +393,9 @@ def graph_twohop_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     without ever entering the quadratic pair join."""
     from tropology_spark.sources.tables import edges_materialized
 
-    result, _ = twohop_capped_frames(
-        edges_materialized(spark, sf_dir), TWOHOP_DEGREE_CAP
+    return _twohop_from_parts(
+        edges_materialized(spark, sf_dir), capped_copair_materialized(spark, sf_dir)
     )
-    return result
 
 
 @register(
@@ -887,6 +925,75 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without the hint Catalyst sort-merge-joins the pair table twice.
     scored = (
         common.join(F.broadcast(da), "cust_a")
+        .join(F.broadcast(db), "cust_b")
+        .select("cust_a", "cust_b", "n_common", jac.alias("jaccard"))
+    )
+    w = Window.partitionBy("cust_a").orderBy(F.col("jaccard").desc(), F.col("cust_b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "graph_link_prediction_capped",
+    oracle=_EDGES_CTE
+    + f"""
+    , deg0 AS (SELECT dst, count(*) AS d FROM edges GROUP BY dst),
+    hot AS (SELECT dst FROM deg0 WHERE d > {TWOHOP_DEGREE_CAP}),
+    cold AS (SELECT src, dst FROM edges
+             WHERE dst NOT IN (SELECT dst FROM hot)),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM cold GROUP BY src),
+    common AS (
+      SELECT a.src AS cust_a, b.src AS cust_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM cold a JOIN cold b ON a.dst = b.dst AND a.src <> b.src
+      GROUP BY a.src, b.src
+    ),
+    scored AS (
+      SELECT cust_a, cust_b, n_common,
+             round(CAST(n_common AS DOUBLE) / (da.d + db.d - n_common), 6) AS jaccard
+      FROM common
+      JOIN deg da ON cust_a = da.src
+      JOIN deg db ON cust_b = db.src
+    )
+    SELECT cust_a, cust_b, n_common, jaccard, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY cust_a
+                                       ORDER BY jaccard DESC, cust_b) AS rk
+          FROM scored) t
+    WHERE rk <= 3
+    """,
+)
+def graph_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M121 — degree-capped link prediction: I9 with both the pair
+    enumeration AND the Jaccard universe restricted to cold (degree <=
+    TWOHOP_DEGREE_CAP) tropes.  This is the standard scale form of the
+    query AND the better-signal one: a celebrity trope shared by half
+    the corpus contributes ~nothing to similarity while exploding the
+    pair table quadratically — capping removes exactly those terms.
+    Consumes the session-shared capped co-pair view (one cold wedge
+    join per session, shared with graph_twohop_capped); cold degrees
+    ride the same cached parts; rank on the 6-dp score with the unique
+    cust_b tie-break (CLAUDE.md rank rule)."""
+    from pyspark.sql import Window
+
+    _hot, half, cold_deg, _small = capped_copair_materialized(spark, sf_dir)
+    pairs = half.unionByName(
+        half.select(
+            F.col("cust_b").alias("cust_a"),
+            F.col("cust_a").alias("cust_b"),
+            "n_common",
+        )
+    )
+    da = cold_deg.select(F.col("src").alias("cust_a"), F.col("d").alias("da"))
+    db = cold_deg.select(F.col("src").alias("cust_b"), F.col("d").alias("db"))
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("da") + F.col("db") - F.col("n_common")),
+        6,
+    )
+    # Degrees are O(nodes) — broadcast, same rationale as I9.
+    scored = (
+        pairs.join(F.broadcast(da), "cust_a")
         .join(F.broadcast(db), "cust_b")
         .select("cust_a", "cust_b", "n_common", jac.alias("jaccard"))
     )
