@@ -233,3 +233,108 @@ def test_split_assignment_is_stable_and_total(spark, ids):
     for i in ids:
         b = int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16) % 10
         assert got[i] == ("train" if b < 8 else "val" if b == 8 else "test"), i
+
+
+@settings(**SMALL)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=100, max_value=112),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    cap=st.integers(min_value=1, max_value=6),
+)
+def test_twohop_capped_invariants(spark, edges, cap):
+    """M119 invariants on arbitrary graphs: (a) cold partner count never
+    exceeds the uncapped two-hop partner count, (b) hot_exposure is an
+    upper bound on partners reachable via hot dsts, (c) every src with
+    zero hot parts has hot_exposure 0, (d) cold+hot paths cover every
+    partner (a partner reachable at all is reachable via a cold dst or
+    counted in a hot dst's slots)."""
+    from collections import defaultdict
+
+    from tropology_spark.operators.graph import twohop_capped_frames
+
+    uniq = sorted(set(edges))
+    e = spark.createDataFrame(uniq, "src long, dst long")
+    result, _hot = twohop_capped_frames(e, cap)
+    got = {
+        r["custkey"]: (r["n_twohop_cold"], r["n_hot_parts"], r["hot_exposure"])
+        for r in result.collect()
+    }
+
+    by_dst = defaultdict(set)
+    for s, d in uniq:
+        by_dst[d].add(s)
+    partners_all = defaultdict(set)
+    partners_cold = defaultdict(set)
+    hot_dsts = {d for d, ms in by_dst.items() if len(ms) > cap}
+    for d, ms in by_dst.items():
+        for s in ms:
+            others = ms - {s}
+            partners_all[s] |= others
+            if d not in hot_dsts:
+                partners_cold[s] |= others
+
+    for s, _d in uniq:
+        n_cold, n_hot, exposure = got[s]
+        assert n_cold == len(partners_cold[s])
+        assert n_cold <= len(partners_all[s])  # (a)
+        via_hot = set()
+        for d in hot_dsts:
+            if s in by_dst[d]:
+                via_hot |= by_dst[d] - {s}
+        assert len(via_hot) <= exposure  # (b)
+        if n_hot == 0:
+            assert exposure == 0  # (c)
+        assert partners_all[s] == partners_cold[s] | via_hot  # (d)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    n_users=st.integers(min_value=1, max_value=400),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_kmv_estimate_within_error_bound(spark, n_users, seed):
+    """D4's KMV estimator: for any cardinality, the estimate must land
+    within 5/sqrt(k) relative error (theoretical sd is ~1/sqrt(k-2);
+    5 sigma keeps the test deterministic-in-practice), and exactly
+    equal the true count below the sketch size."""
+    import math
+
+    from pyspark.sql import Window
+
+    from tropology_spark.operators.relational import _KMV_K
+
+    ids = [(f"g", (seed * 1_000_003 + i) % 2_147_483_647) for i in range(n_users)]
+    df = spark.createDataFrame(ids, "event_type string, user_id long")
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    dist = df.select("event_type", h).distinct()
+    ranked = dist.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+    )
+    per = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("mk"),
+    )
+    est = per.select(
+        F.when(
+            F.col("n_h") >= _KMV_K,
+            F.expr(f"({_KMV_K - 1} * 4294967296) div (mk + 1)"),
+        )
+        .otherwise(F.col("n_h"))
+        .cast("bigint")
+        .alias("e")
+    ).collect()[0]["e"]
+    true = len({u for _, u in ids})
+    if true < _KMV_K:
+        assert est == true
+    else:
+        assert abs(est - true) / true <= 5 / math.sqrt(_KMV_K)
