@@ -68,13 +68,23 @@ def copurchase_projection(
         return cached
     e = edges(spark, sf_dir)
     if hub_cap is not None:
-        small = (
+        # Anti-join the HOT list (|E|/cap rows by construction — the
+        # small side), not an inner join on the O(parts) cold list:
+        # at scale the cold list is nearly the whole part dimension
+        # and broadcasting it would be the wrong side.  Broadcast is
+        # gated like the other capped paths (graph.py).
+        from tropology_spark.operators.graph import BROADCAST_NODE_LIMIT
+
+        hot = (
             e.groupBy("dst")
             .agg(F.count(F.lit(1)).alias("part_deg"))
-            .filter(F.col("part_deg") <= hub_cap)
+            .filter(F.col("part_deg") > hub_cap)
             .select("dst")
+            .localCheckpoint(eager=True)
         )
-        e = e.join(F.broadcast(small), "dst")
+        if hot.count() <= BROADCAST_NODE_LIMIT:
+            hot = F.broadcast(hot)
+        e = e.join(hot, "dst", "left_anti")
     a = e.select(F.col("src").alias("ua"), F.col("dst").alias("d"))
     b = e.select(F.col("src").alias("ub"), F.col("dst").alias("d"))
     proj = (

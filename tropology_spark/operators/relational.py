@@ -667,9 +667,14 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate is an exact integer both engines agree on — so D4 now
     carries a full value-hash oracle instead of a rows-only check.
     Groups with fewer than k distinct hashes report the exact count
-    (KMV's standard small-cardinality fallback).  At scale: one
-    map-side-combinable distinct + one O(k·groups) rank — strictly
-    cheaper than the exact D3 count-distinct expand."""
+    (KMV's standard small-cardinality fallback).  At scale: the
+    dominant cost is the (event_type, hash) distinct — one shuffle
+    with map-side combine, the same first phase the exact D3 pays —
+    followed by a per-group rank over the distinct hashes.  A
+    production 100 TB variant would keep a bounded k-heap per
+    partition (pandas UDAF) so only k·partitions rows reach the final
+    merge; the declarative form here is the oracle-matching reference
+    of that sketch."""
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
