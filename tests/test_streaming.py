@@ -374,3 +374,42 @@ def test_stream_stream_interval_join_equals_batch_twin(spark, events_dir):
     assert_same_rows(
         batch, stream_counts, ["event_id", "user_id", "n_clicks_prior_1h"]
     )
+
+
+def test_window_topk_counts_equal_batch(spark, events_dir):
+    """M124 — the streaming half (watermarked windowed counts) must
+    equal the batch count stage row-for-row; applying the rank to the
+    streamed counts must then reproduce the registered batch twin
+    exactly (the foreachBatch contract)."""
+    from pyspark.sql import Window
+
+    batch_counts = jobs.stream_window_counts(spark.read.parquet(events_dir))
+    streamed = run_stream_to_memory(
+        spark, jobs.stream_window_counts(_stream_events(spark, events_dir)),
+        "t_window_counts", "append",
+    )
+    # Append-mode contract: every emitted row matches the batch stage
+    # exactly, and the ONLY rows withheld are the trailing windows the
+    # watermark could not close (no later event ever advances past the
+    # final window).
+    cols = ["window_start", "event_type", "n_events"]
+    b_rows = {tuple(r[c] for c in cols) for r in batch_counts.collect()}
+    s_rows = {tuple(r[c] for c in cols) for r in streamed.collect()}
+    assert s_rows <= b_rows
+    frontier = max(r[0] for r in s_rows)
+    assert all(r[0] > frontier for r in b_rows - s_rows)
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    ranked_stream = (
+        streamed.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+    )
+    from tropology_spark import QUERIES
+
+    twin = QUERIES["stream_window_topk_1h"](spark, SF_UNIT).filter(
+        F.col("window_start") <= frontier  # closed windows only
+    )
+    assert_same_rows(ranked_stream, twin,
+                     ["window_start", "event_type", "n_events", "rk"])

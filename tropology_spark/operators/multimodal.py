@@ -213,6 +213,68 @@ def mm_dedup_exact(spark, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_modality_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text,
+             (['image/png', 'audio/wav', 'video/mp4'])[
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+                    % 3 AS INT) + 1] AS modality
+      FROM documents
+    )
+    SELECT modality,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+           CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_distinct_payloads,
+           CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM m GROUP BY modality
+    """,
+)
+def mm_modality_stats(spark, sf_dir: str) -> DataFrame:
+    """M122 — per-modality corpus rollup: the first table a multimodal
+    dataset owner reads (items, byte volume, distinct payloads, largest
+    asset per modality).  Fixture docs are deterministically assigned a
+    pseudo-modality by md5 bucket (no modality column exists in the
+    testdata); payloads flow through the REAL Arrow mapInPandas feature
+    stage with a per-row mime, so the stage's handling of mixed-mime
+    batches is what the oracle checks.  All outputs are exact integers.
+    Scale: scan → map stage → one map-side-combinable groupBy on a
+    3-value key; the distinct-payload count shuffles 32-byte digests,
+    never payloads."""
+    from tropology_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    mime = F.element_at(
+        F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+            .cast("int")
+            % 3
+        )
+        + 1,
+    )
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.col("payload"),
+        F.struct(
+            mime.alias("mime"),
+            F.lit(None).cast("long").alias("width"),
+            F.lit(None).cast("long").alias("height"),
+            F.sha2(F.col("payload"), 256).alias("sha256"),
+        ).alias("meta"),
+    )
+    feats = extract_features(media)
+    return feats.groupBy(F.col("mime").alias("modality")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").cast("bigint").alias("sum_bytes"),
+        F.countDistinct("sha256").cast("bigint").alias("n_distinct_payloads"),
+        F.max("n_bytes").cast("bigint").alias("max_bytes"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # M99 — perceptual-hash near-dup (hamming-LSH over media payloads)
 # ---------------------------------------------------------------------------

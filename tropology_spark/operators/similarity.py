@@ -752,3 +752,42 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_10"
         ),
     )
+
+
+@register(
+    "sim_norm_histogram",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, (SELECT unnest(generate_series(1, {EMB_DIM})) AS i) s
+    ),
+    n2 AS (SELECT vec_id, round(sum(val * val), 6) AS norm2 FROM ex GROUP BY vec_id)
+    SELECT CAST(floor(norm2) AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(vec_id) AS BIGINT) AS first_vec
+    FROM n2 GROUP BY band
+    """,
+)
+def sim_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M123 — embedding-norm histogram: the vector-quality audit run
+    before any similarity work (zero / degenerate / unnormalized
+    vectors show up as outlier bands).  Bands are unit-wide in norm²
+    so no sqrt enters the comparison; the band edge is taken on the
+    6-dp-rounded sum — same accepted-risk class as the sim family's
+    rounded cosines (a flip needs a norm² within 5e-7 of an integer
+    AND a cross-engine ulp disagreement at that exact point).  Scale:
+    one narrow pass computing a per-row scalar, then a
+    map-side-combinable groupBy on a ~100-value key — pure scan
+    throughput."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    norm2 = F.round(dot(F.col("emb"), F.col("emb")), 6)
+    return (
+        e.select("vec_id", F.floor(norm2).cast("bigint").alias("band"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").cast("bigint").alias("first_vec"),
+        )
+    )

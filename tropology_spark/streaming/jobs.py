@@ -187,6 +187,23 @@ def stream_sessions(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_window_counts(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """M124 streaming side: watermarked tumbling per-type counts —
+    append-mode streamable; the top-k rank over each CLOSED window is
+    applied downstream (foreachBatch / the batch twin), because a rank
+    inside an open window is not incrementally maintainable."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            ts_str(F.col("win.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def stream_watermark_tumbling(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
     """K4: tumbling agg with watermark — late rows beyond ``delay`` are
     dropped once the watermark passes (observable only in streaming;
@@ -499,4 +516,45 @@ def stream_latedrop_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_events",
         )
+    )
+
+
+@register(
+    "stream_window_topk_1h",
+    oracle=f"""
+    WITH c AS (
+      SELECT {sql_ts_str("date_trunc('hour', ts)")} AS window_start,
+             event_type, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY window_start
+                                       ORDER BY n_events DESC, event_type) AS rk
+          FROM c) t
+    WHERE rk <= 3
+    """,
+)
+def stream_window_topk_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M124 batch twin — top-3 event types per tumbling hour.  The
+    streaming half is ``stream_window_counts`` (watermarked windowed
+    counts, append mode); the rank runs over closed windows — exactly
+    what a foreachBatch sink or this batch query computes.  Rank is on
+    exact integer counts with the unique event_type tie-break (no float
+    anywhere).  Scale: one shuffle on (window, type) with map-side
+    combine, then a per-window rank over at most |event_types| rows."""
+    e = load(spark, sf_dir, "events")
+    c = (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            ts_str(F.col("win.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return c.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rk") <= 3
     )
