@@ -99,6 +99,10 @@ prioritize([
     "graph_triangles_capped",
     "graph_link_prediction_capped",
     "agg_approx_distinct",
+    "mm_modality_stats",
+    "sim_norm_histogram",
+    # stream_window_topk_1h (M124) intentionally left for the round-5
+    # window — the 50 slots above are exactly full.
 ])
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]
