@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tropology_spark.registry import register
-from tropology_spark.sources.tables import SESSION_CACHES, cache_put, load
+from tropology_spark.sources.tables import SESSION_CACHES, cache_get_or_build, load
 
 
 @register(
@@ -140,16 +140,15 @@ def jaccard_pairs_materialized(
     cached per (session, sf): the label-propagation rounds reference it
     from several plan branches, and two declared queries share it."""
     key = (spark.sparkContext.applicationId, sf_dir, block_width)
-    cached = _PAIRS_CACHE.get(key)
-    if cached is not None:
-        return cached
-    pairs = (
-        jaccard_pairs(load(spark, sf_dir, "documents"), block_width=block_width)
+    return cache_get_or_build(
+        _PAIRS_CACHE,
+        key,
+        lambda: jaccard_pairs(
+            load(spark, sf_dir, "documents"), block_width=block_width
+        )
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True),
     )
-    cache_put(_PAIRS_CACHE, key, pairs)
-    return pairs
 
 
 # MinHash parameters: 16 permutations in 4 bands of 4 rows.  The hash

@@ -26,6 +26,7 @@ from tropology_spark.sources.tables import (
     CUST_A,
     CUST_B,
     SESSION_CACHES,
+    cache_get_or_build,
     cache_put,
     edges,
 )
@@ -51,19 +52,18 @@ def bi_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tropology_spark.sources.tables import edges_materialized
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _BI_CACHE.get(key)
-    if cached is not None:
-        return cached
-    e = edges_materialized(spark, sf_dir)
-    c_node = F.concat(F.lit("c:"), F.col("src").cast("string"))
-    p_node = F.concat(F.lit("p:"), F.col("dst").cast("string"))
-    out = (
-        e.select(c_node.alias("u"), p_node.alias("v"))
-        .unionByName(e.select(p_node.alias("u"), c_node.alias("v")))
-        .localCheckpoint(eager=True)
-    )
-    cache_put(_BI_CACHE, key, out)
-    return out
+
+    def build() -> DataFrame:
+        e = edges_materialized(spark, sf_dir)
+        c_node = F.concat(F.lit("c:"), F.col("src").cast("string"))
+        p_node = F.concat(F.lit("p:"), F.col("dst").cast("string"))
+        return (
+            e.select(c_node.alias("u"), p_node.alias("v"))
+            .unionByName(e.select(p_node.alias("u"), c_node.alias("v")))
+            .localCheckpoint(eager=True)
+        )
+
+    return cache_get_or_build(_BI_CACHE, key, build)
 
 
 #: Co-citation pair counts shared across queries in a session: the
@@ -82,9 +82,14 @@ def copair_counts_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tropology_spark.sources.tables import edges_materialized
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _COPAIR_CACHE.get(key)
-    if cached is not None:
-        return cached
+    return cache_get_or_build(
+        _COPAIR_CACHE, key, lambda: _copair_build(spark, sf_dir)
+    )
+
+
+def _copair_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tropology_spark.sources.tables import edges_materialized
+
     e = edges_materialized(spark, sf_dir)
     a, b = e.alias("a"), e.alias("b")
     # Only the a < b half is joined, aggregated, and stored; the
@@ -97,15 +102,13 @@ def copair_counts_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_common"))
         .localCheckpoint(eager=True)
     )
-    out = half.unionByName(
+    return half.unionByName(
         half.select(
             F.col("cust_b").alias("cust_a"),
             F.col("cust_a").alias("cust_b"),
             "n_common",
         )
     )
-    cache_put(_COPAIR_CACHE, key, out)
-    return out
 
 
 @register(
@@ -320,13 +323,13 @@ def capped_copair_materialized(
     from tropology_spark.sources.tables import edges_materialized
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _CAPPED_CACHE.get(key)
-    if cached is None:
-        cached = capped_copair_parts(
+    return cache_get_or_build(
+        _CAPPED_CACHE,
+        key,
+        lambda: capped_copair_parts(
             edges_materialized(spark, sf_dir), TWOHOP_DEGREE_CAP
-        )
-        cache_put(_CAPPED_CACHE, key, cached)
-    return cached
+        ),
+    )
 
 
 def _twohop_from_parts(e: DataFrame, parts: tuple) -> DataFrame:
@@ -721,17 +724,16 @@ def cc_labels_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tropology_spark.sources.tables import edges_materialized
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _CC_CACHE.get(key)
-    if cached is not None:
-        return cached
     # strict: every consumer of this cache is oracle-checked against a
     # fully-converged closure, so a non-converged refinement must fail
     # loudly here, not as a bare hash mismatch downstream.
-    out = connected_components(
-        bi_materialized(spark, sf_dir), strict=True
-    ).localCheckpoint(eager=True)
-    cache_put(_CC_CACHE, key, out)
-    return out
+    return cache_get_or_build(
+        _CC_CACHE,
+        key,
+        lambda: connected_components(
+            bi_materialized(spark, sf_dir), strict=True
+        ).localCheckpoint(eager=True),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tropology_spark.registry import register
-from tropology_spark.sources.tables import SESSION_CACHES, cache_put, edges
+from tropology_spark.sources.tables import SESSION_CACHES, cache_get_or_build, edges
 
 #: Minimum shared parts for a projected co-purchase edge.  At sf0.01
 #: this keeps ~65k of 214k candidate pairs; at sf0.1 the graph is
@@ -63,9 +63,14 @@ def copurchase_projection(
     tests/test_units.py.  Declared queries run uncapped — the fixture
     graphs need no cap."""
     key = (spark.sparkContext.applicationId, sf_dir, hub_cap)
-    cached = _PROJ_CACHE.get(key)
-    if cached is not None:
-        return cached
+    return cache_get_or_build(
+        _PROJ_CACHE, key, lambda: _projection_build(spark, sf_dir, hub_cap)
+    )
+
+
+def _projection_build(
+    spark: SparkSession, sf_dir: str, hub_cap: int | None
+) -> DataFrame:
     e = edges(spark, sf_dir)
     if hub_cap is not None:
         # Anti-join the HOT list (|E|/cap rows by construction — the
@@ -96,7 +101,6 @@ def copurchase_projection(
         .select("u", "v")
         .localCheckpoint(eager=True)
     )
-    cache_put(_PROJ_CACHE, key, proj)
     return proj
 
 

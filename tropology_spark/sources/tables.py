@@ -58,6 +58,30 @@ def clear_session_caches() -> None:
         c.clear()
 
 
+_LOCKS_GUARD = __import__("threading").Lock()
+_BUILD_LOCKS: dict = {}
+
+
+def cache_get_or_build(cache: dict, key: tuple, builder):
+    """Concurrency-correct session-cache access: under the bench's
+    thread pool, N queries racing on a cold cache used to ALL derive
+    the same materialized view (N eager checkpoints of identical
+    data).  A per-(cache, key) build lock makes the first thread build
+    and the rest wait-and-reuse — double-checked so the hot path stays
+    lock-free."""
+    val = cache.get(key)
+    if val is not None:
+        return val
+    with _LOCKS_GUARD:
+        lock = _BUILD_LOCKS.setdefault((id(cache), key), __import__("threading").Lock())
+    with lock:
+        val = cache.get(key)
+        if val is None:
+            val = builder()
+            cache_put(cache, key, val)
+    return val
+
+
 def cache_put(cache: dict, key: tuple, value) -> None:
     """Insert into a session-keyed cache (``key[0]`` is the Spark
     applicationId), first evicting entries from OTHER sessions: one
@@ -84,9 +108,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with canonical types."""
     configure(spark)
     key = (spark.sparkContext.applicationId, sf_dir, name)
-    cached = _LOAD_CACHE.get(key)
-    if cached is not None:
-        return cached
+    return cache_get_or_build(_LOAD_CACHE, key, lambda: _load_uncached(spark, sf_dir, name))
+
+
+def _load_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # The physical type of ``ts`` depends on the generator vintage:
@@ -104,7 +129,6 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # wall-clock instant; DuckDB reads the file as naive
             # TIMESTAMP with identical values.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    cache_put(_LOAD_CACHE, key, df)
     return df
 
 
@@ -119,11 +143,9 @@ SESSION_CACHES.append(_COUNT_CACHE)
 def table_count(spark: SparkSession, sf_dir: str, name: str) -> int:
     """Cached ``load(...).count()`` per (session, sf_dir, table)."""
     key = (spark.sparkContext.applicationId, sf_dir, name)
-    cached = _COUNT_CACHE.get(key)
-    if cached is None:
-        cached = load(spark, sf_dir, name).count()
-        cache_put(_COUNT_CACHE, key, cached)
-    return cached
+    return cache_get_or_build(
+        _COUNT_CACHE, key, lambda: load(spark, sf_dir, name).count()
+    )
 
 
 def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,15 +191,13 @@ def edges_materialized(spark: SparkSession, sf_dir: str, srcs=None) -> DataFrame
         sf_dir,
         tuple(sorted(srcs)) if srcs is not None else None,
     )
-    cached = _EDGE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    e = edges(spark, sf_dir)
-    if srcs is not None:
-        e = e.filter(F.col("src").isin(list(srcs)))
-    out = e.localCheckpoint(eager=True)
-    cache_put(_EDGE_CACHE, key, out)
-    return out
+    def build() -> DataFrame:
+        e = edges(spark, sf_dir)
+        if srcs is not None:
+            e = e.filter(F.col("src").isin(list(srcs)))
+        return e.localCheckpoint(eager=True)
+
+    return cache_get_or_build(_EDGE_CACHE, key, build)
 
 
 #: The same edge derivation as a DuckDB CTE body, shared by all graph
