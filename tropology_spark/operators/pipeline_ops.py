@@ -2083,3 +2083,95 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_in", "n_dropped", "n_out",
     )
     return step1.unionByName(step2)
+
+
+# ---------------------------------------------------------------------------
+# M125 — duplicated-span fraction (cross-document boilerplate signal)
+# ---------------------------------------------------------------------------
+
+#: A trigram counts as boilerplate when it appears in more than this
+#: many distinct documents.
+_DUPSPAN_DF = 4
+#: Keep a document while boilerplate trigrams are <= 10% of its
+#: distinct trigrams (integer cross-multiplication, no float; 10% puts
+#: ~2% of the fixture corpus in the drop class so both branches are
+#: driver-exercised — the corpus boilerplate fraction tops out ~27%).
+_DUPSPAN_PCT10 = 1
+
+
+@register(
+    "text_dup_span_frac",
+    oracle=f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           (SELECT unnest(generate_series(1, 4096)) AS i)
+      WHERE i <= len(l) - 2
+    ),
+    bo AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > {_DUPSPAN_DF}),
+    pd AS (
+      SELECT g.doc_id,
+             count(*) AS n_grams,
+             sum(CASE WHEN bo.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+      FROM g LEFT JOIN bo USING (gram)
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_boiler AS BIGINT) AS n_boiler,
+           CAST(CASE WHEN n_boiler * 10 <= n_grams * {_DUPSPAN_PCT10}
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+    FROM pd
+    """,
+)
+def text_dup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M125 — duplicated-span fraction: the RefinedWeb/C4-style
+    CROSS-document boilerplate signal (distinct from M28's intra-doc
+    repetition and M25's benchmark contamination).  A trigram seen in
+    more than _DUPSPAN_DF distinct docs is boilerplate; a doc survives
+    while boilerplate covers <= 30% of its distinct trigrams — the
+    keep decision is an exact integer cross-multiplication.
+
+    Scale: one shingle explode (distinct per doc) feeding two
+    map-side-combinable aggs; the boilerplate set is vocabulary-sized
+    → gated-broadcast membership join back onto the shingle stream
+    (the M45 vocab-OOV shape).  Nothing touches O(pairs)."""
+    d = load(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams(F.split(F.col("text"), " "), _NGRAM_N))
+        ).alias("gram"),
+    )
+    # g is distinct (doc_id, gram) by construction, so count(*) per
+    # gram is its document frequency.
+    bo = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _DUPSPAN_DF)
+        .select("gram", F.lit(1).alias("is_bo"))
+    )
+    from tropology_spark.operators.graph import BROADCAST_NODE_LIMIT
+    from tropology_spark.sources.tables import table_count
+
+    if table_count(spark, sf_dir, "documents") <= BROADCAST_NODE_LIMIT:
+        bo = F.broadcast(bo)
+    pd_ = (
+        g.join(bo, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_bo"), F.lit(0))).cast("bigint").alias("n_boiler"),
+        )
+    )
+    return pd_.select(
+        "doc_id",
+        "n_grams",
+        "n_boiler",
+        F.when(
+            F.col("n_boiler") * 10 <= F.col("n_grams") * _DUPSPAN_PCT10, 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_kept"),
+    )
