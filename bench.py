@@ -69,6 +69,9 @@ def main() -> None:
         "dedup_ngram_jaccard", "graph_bfs3", "pipeline_curation_e2e",
         "graph_triangles", "graph_clustering_pairs",
         "graph_kcore", "graph_random_walk3", "graph_sssp3",
+        "graph_triangles_capped", "graph_twohop_capped",
+        "graph_link_prediction_capped", "dedup_embedding_cosine",
+        "mm_dedup_exact", "mm_phash_hamming",
     ]
     ordered = [n for n in heavy if n in names] + [n for n in names if n not in heavy]
 

@@ -790,3 +790,26 @@ def test_upgraded_oracle_partitioning_invariance(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
         clear_session_caches()
+
+
+def test_materialized_view_build_is_shared_across_threads(spark):
+    """The per-key build locks must make concurrent cold-cache callers
+    share ONE build: every thread gets the identical DataFrame handle
+    (identity, not just equality), for both the edge view and the
+    bi-directional view."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tropology_spark.operators.graph import bi_materialized
+    from tropology_spark.sources.tables import clear_session_caches, edges_materialized
+
+    clear_session_caches()
+    try:
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            handles = list(
+                pool.map(lambda _: edges_materialized(spark, SF_UNIT), range(6))
+            )
+            bis = list(pool.map(lambda _: bi_materialized(spark, SF_UNIT), range(6)))
+        assert all(h is handles[0] for h in handles)
+        assert all(b is bis[0] for b in bis)
+    finally:
+        clear_session_caches()

@@ -101,9 +101,10 @@ prioritize([
     "agg_approx_distinct",
     "mm_modality_stats",
     "sim_norm_histogram",
-    # stream_window_topk_1h (M124) and text_dup_span_frac (M125)
-    # intentionally queue for the round-5 window — the 50 slots above
-    # are exactly full; both pass the in-repo driver replica.
+    # stream_window_topk_1h (M124), text_dup_span_frac (M125) and
+    # dedup_lsh_recall (M126) intentionally queue for the round-5
+    # window — the 50 slots above are exactly full; all pass the
+    # in-repo driver replica.
 ])
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

@@ -542,3 +542,84 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_common").cast("double") / F.col("nb")).alias("contain_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M126 — LSH recall/precision audit (the dedup counterpart of M112)
+# ---------------------------------------------------------------------------
+
+_J2_ORACLE = """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, substring(text, 1, 40) AS pfx,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    siz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM tok a
+      JOIN tok b ON a.token = b.token AND a.pfx = b.pfx AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN siz sa ON doc_a = sa.doc_id
+    JOIN siz sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    """
+
+
+@register(
+    "dedup_lsh_recall",
+    oracle=f"""
+    WITH truth AS (SELECT doc_a, doc_b FROM ({{j2}}) t),
+    cand AS (SELECT doc_a, doc_b FROM ({{lsh}}) c),
+    hit AS (SELECT doc_a, doc_b FROM truth INTERSECT SELECT doc_a, doc_b FROM cand)
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+           round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                 / greatest((SELECT count(*) FROM truth), 1), 6) AS recall,
+           round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                 / greatest((SELECT count(*) FROM cand), 1), 6) AS precision
+    """.format(j2=_J2_ORACLE, lsh=_minhash_oracle_sql()),
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M126 — the dedup counterpart of the ANN recall audit (M112):
+    run BOTH registered near-dup pipelines — exact prefix-blocked
+    Jaccard (J2, ground truth at threshold 0.5) and MinHash-LSH
+    candidates (J3) — and report hit counts plus recall/precision as
+    one audit row.  The ratios divide exact integers and are rounded
+    once.  This is the table that justifies shipping LSH at 100 TB:
+    the exact pipeline cannot run there, so its agreement with LSH is
+    measured at oracle scale per corpus snapshot."""
+    from tropology_spark import QUERIES
+
+    truth = QUERIES["dedup_jaccard_pairs"](spark, sf_dir).select("doc_a", "doc_b")
+    cand = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
+    hit = truth.intersect(cand)
+    # Fully declarative (the M112 shape): three single-row aggregates
+    # crossJoined — broadcast-of-one-row scalar attaches, no
+    # driver-side collect.
+    n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    n_hit = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.greatest(F.col("n_true"), F.lit(1)), 6
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.greatest(F.col("n_candidates"), F.lit(1)),
+                6,
+            ).alias("precision"),
+        )
+    )

@@ -238,7 +238,10 @@ def graph_ego_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_twohop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """I6 — 2-hop reachability count (related-works discovery): how
-    many other works share at least one trope."""
+    many other works share at least one trope.  Exact/oracle-scale
+    form; at 100 TB run the declared capped twin (M119,
+    ``graph_twohop_capped``) which keeps celebrity tropes out of the
+    quadratic pair join."""
     return (
         copair_counts_materialized(spark, sf_dir)
         .groupBy(F.col("cust_a").alias("custkey"))
@@ -906,9 +909,11 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     trope meet — the same bounded shape as graph_twohop_count), degrees
     join twice, and the top-3 window ranks on the 6-dp-rounded score
     with the unique cust_b tie-break (the CLAUDE.md rank rule).  At
-    100 TB: the dst-blocked self-join reads the dst-bucketed edge copy
-    shuffle-free, celebrity tropes are AQE skew-split, and the rank
-    window shuffles once on cust_a."""
+    100 TB: run the declared capped twin (M121,
+    ``graph_link_prediction_capped``) — celebrity tropes carry no
+    similarity signal and explode the pair table; the capped view
+    excises exactly them.  This exact form remains the oracle-scale
+    reference."""
     from pyspark.sql import Window
     from tropology_spark.sources.tables import edges_materialized
 

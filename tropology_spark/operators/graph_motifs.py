@@ -142,7 +142,8 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     The projected edge list is localCheckpoint-materialized because the
     triangle join references it from three aliased branches — without
     it Spark re-derives the projection (orders ⋈ lineitem ⋈ itself)
-    per branch."""
+    per branch.  At 100 TB run the declared hub-capped twin (M120,
+    ``graph_triangles_capped``)."""
     proj = copurchase_projection(spark, sf_dir)
     e1 = proj
     e2 = proj.select(F.col("u").alias("v"), F.col("v").alias("w"))
