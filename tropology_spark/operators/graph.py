@@ -27,7 +27,6 @@ from tropology_spark.sources.tables import (
     CUST_B,
     SESSION_CACHES,
     cache_get_or_build,
-    cache_put,
     edges,
 )
 
