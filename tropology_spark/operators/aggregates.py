@@ -575,3 +575,77 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# M128 — Count-Min sketch matrix (deterministic, portable hashes)
+# ---------------------------------------------------------------------------
+
+#: CMS geometry: d=4 hash rows × w=64 counters.  Error bound e·N/w with
+#: probability 1-(1/2)^d over the min of the rows.  The row hashes are
+#: fixed affine maps over md5-low-32 — the dedup.py MinHash discipline,
+#: so any engine recomputes the identical sketch.
+_CMS_W = 64
+_CMS_PRIME = 4294967311
+_CMS_ROWS = [(1049, 337), (2089, 619), (4093, 829), (8191, 523)]
+
+
+@register(
+    "agg_cms_matrix",
+    oracle=f"""
+    WITH h AS (
+      SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+      FROM events
+    ),
+    cells AS (
+      {" UNION ALL ".join(
+          f"SELECT {i} AS row_id, ((hv * {a} + {b}) % {_CMS_PRIME}) % {_CMS_W} AS col_id FROM h"
+          for i, (a, b) in enumerate(_CMS_ROWS)
+      )}
+    )
+    SELECT CAST(row_id AS BIGINT) AS row_id,
+           CAST(col_id AS BIGINT) AS col_id,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM cells GROUP BY row_id, col_id
+    """,
+)
+def agg_cms_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M128 — Count-Min sketch of per-user event frequency as the
+    materialized d×w counter matrix.  The sketch a 100 TB pipeline
+    ships to the driver for heavy-hitter / frequency estimation when
+    the exact key histogram (M47) no longer fits: 256 counters
+    summarize any number of events, merging is cell-wise addition
+    (map-side combinable by construction), and a key's estimate is the
+    min over its d cells.  All portable integer arithmetic (md5-low-32
+    base hash + fixed affine rows, the J3 discipline) — the oracle
+    recomputes the identical matrix."""
+    from tropology_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "events")
+    hv = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("hv")
+    )
+    h = e.select(hv)
+    cells = h.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("bigint").alias("row_id"),
+                        (
+                            ((F.col("hv") * F.lit(a) + F.lit(b)) % F.lit(_CMS_PRIME))
+                            % F.lit(_CMS_W)
+                        )
+                        .cast("bigint")
+                        .alias("col_id"),
+                    )
+                    for i, (a, b) in enumerate(_CMS_ROWS)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row_id", "c.col_id")
+    return cells.groupBy("row_id", "col_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )

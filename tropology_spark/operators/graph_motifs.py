@@ -500,3 +500,128 @@ def graph_hits_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a2").alias("authority_2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M129 — modularity terms of a node partition (exact integer form)
+# ---------------------------------------------------------------------------
+
+_MOD_BUCKETS = 8
+
+
+@register(
+    "graph_modularity_terms",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS u,
+                      'p:' || CAST(l_partkey AS VARCHAR) AS v
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    m AS (SELECT count(*) AS m_edges FROM e),
+    nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+    bk AS (SELECT node,
+                  ('0x' || substring(md5(node), 1, 8))::BIGINT % {_MOD_BUCKETS}
+                    AS bucket
+           FROM nodes),
+    deg AS (SELECT node, count(*) AS d
+            FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) t
+            GROUP BY node),
+    per AS (
+      SELECT bk.bucket,
+             count(*) AS n_nodes,
+             sum(deg.d) AS sum_degree
+      FROM bk JOIN deg USING (node) GROUP BY bk.bucket
+    ),
+    internal AS (
+      SELECT bu.bucket, count(*) AS n_internal
+      FROM e JOIN bk bu ON e.u = bu.node JOIN bk bv ON e.v = bv.node
+      WHERE bu.bucket = bv.bucket
+      GROUP BY bu.bucket
+    )
+    SELECT per.bucket,
+           CAST(per.n_nodes AS BIGINT) AS n_nodes,
+           CAST(per.sum_degree AS BIGINT) AS sum_degree,
+           CAST(coalesce(internal.n_internal, 0) AS BIGINT) AS n_internal,
+           CAST((SELECT m_edges FROM m) AS BIGINT) AS m_edges,
+           CAST(4 * (SELECT m_edges FROM m) * coalesce(internal.n_internal, 0)
+                - per.sum_degree * per.sum_degree AS BIGINT) AS q_num
+    FROM per LEFT JOIN internal USING (bucket)
+    """,
+)
+def graph_modularity_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M129 — Newman modularity terms of a node partition, in EXACT
+    integer form: per community, Q's contribution is
+    (e_c/m) - (d_c/2m)² = (4·m·e_c - d_c²) / 4m², so the query emits
+    the integer numerator ``q_num`` (plus the raw e_c, d_c, m) and the
+    caller divides once.  The partition audited here is the md5
+    hash-bucket partition — the NULL MODEL: its modularity must sit
+    near 0, which is the calibration row a community-detection run is
+    compared against (real communities must clear it).  Any node
+    partition (CC labels, label-prop output, a hub split) reuses the
+    identical shape.  Scale: degrees and buckets are O(nodes) (gated
+    broadcast against the edge stream); the internal-edge test is one
+    equi-join per endpoint — no pair explosion anywhere."""
+    from pyspark.sql import DataFrame as _DF
+
+    from tropology_spark.operators.graph import BROADCAST_NODE_LIMIT
+
+    e = edges(spark, sf_dir).select(
+        F.concat(F.lit("c:"), F.col("src").cast("string")).alias("u"),
+        F.concat(F.lit("p:"), F.col("dst").cast("string")).alias("v"),
+    )
+    nodes = e.select(F.col("u").alias("node")).union(
+        e.select(F.col("v").alias("node"))
+    ).distinct()
+    bk = nodes.select(
+        "node",
+        (
+            F.conv(F.substring(F.md5(F.col("node")), 1, 8), 16, 10).cast("bigint")
+            % _MOD_BUCKETS
+        ).alias("bucket"),
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    small = nodes.count() <= BROADCAST_NODE_LIMIT
+
+    def maybe_b(df: _DF) -> _DF:
+        return F.broadcast(df) if small else df
+
+    per = (
+        bk.join(deg, "node")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("sum_degree"),
+        )
+    )
+    bu = bk.select(F.col("node").alias("u"), F.col("bucket").alias("b_u"))
+    bv = bk.select(F.col("node").alias("v"), F.col("bucket").alias("b_v"))
+    internal = (
+        e.join(maybe_b(bu), "u")
+        .join(maybe_b(bv), "v")
+        .filter(F.col("b_u") == F.col("b_v"))
+        .groupBy(F.col("b_u").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_internal"))
+    )
+    m_edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("m_edges"))
+    return (
+        per.join(internal, "bucket", "left")
+        .crossJoin(F.broadcast(m_edges))
+        .select(
+            "bucket",
+            "n_nodes",
+            "sum_degree",
+            F.coalesce("n_internal", F.lit(0)).cast("bigint").alias("n_internal"),
+            "m_edges",
+            (
+                F.lit(4) * F.col("m_edges") * F.coalesce("n_internal", F.lit(0))
+                - F.col("sum_degree") * F.col("sum_degree")
+            )
+            .cast("bigint")
+            .alias("q_num"),
+        )
+    )

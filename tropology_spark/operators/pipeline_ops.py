@@ -2175,3 +2175,56 @@ def text_dup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M127 — deterministic per-epoch shuffle order
+# ---------------------------------------------------------------------------
+
+_N_EPOCHS = 3
+
+
+@register(
+    "pipeline_epoch_shuffle",
+    oracle=f"""
+    WITH e AS (SELECT unnest(generate_series(0, {_N_EPOCHS - 1})) AS epoch),
+    keyed AS (
+      SELECT e.epoch, d.doc_id,
+             md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS k
+      FROM documents d, e
+    )
+    SELECT epoch, doc_id,
+           CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS BIGINT)
+             AS shuffle_rank
+    FROM keyed
+    """,
+)
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M127 — per-epoch deterministic shuffle order: every training
+    epoch must visit the corpus in a different but REPRODUCIBLE order
+    (job restarts, data-parallel workers and audit replays all need to
+    agree).  The order key is md5(epoch:doc_id) — pure arithmetic, no
+    engine RNG — so any engine derives the identical permutation.
+
+    The declared query emits the dense per-epoch rank (a global sort
+    per epoch, fine at audit scale).  At 100 TB the rank itself is
+    never materialized: the writer range-partitions on the hash key
+    and emits shards in key order — readers stream shards
+    sequentially and see exactly this permutation."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(_N_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    keyed = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat_ws(":", F.col("epoch").cast("string"), F.col("doc_id").cast("string"))
+        ).alias("k"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("epoch").orderBy("k", "doc_id")
+    return keyed.select(
+        "epoch",
+        "doc_id",
+        F.row_number().over(w).cast("bigint").alias("shuffle_rank"),
+    )
