@@ -813,3 +813,38 @@ def test_materialized_view_build_is_shared_across_threads(spark):
         assert all(b is bis[0] for b in bis)
     finally:
         clear_session_caches()
+
+
+def test_driver_window_composition(spark):
+    """The driver hash-checks the FIRST 50 registry entries.  Pin the
+    round-4 window invariants so a module-import or registration-order
+    change can never silently evict a query: every never-driver-sampled
+    query and every round-4 addition/upgrade must sit inside the first
+    50, and each windowed query must either carry an oracle or be the
+    declared rows-only entry."""
+    import json
+    from pathlib import Path
+
+    from tropology_spark import ORACLES, QUERIES
+
+    sampled: set = set()
+    for f in sorted(Path(".").glob("CORRECTNESS_r0*.json")):
+        sampled |= set(json.loads(f.read_text()).keys())
+    window = list(QUERIES)[:50]
+    must_have = {
+        "graph_twohop_capped", "graph_triangles_capped",
+        "graph_link_prediction_capped", "agg_approx_distinct",
+        "mm_modality_stats", "sim_norm_histogram",
+    }
+    assert must_have <= set(window)
+    never = [q for q in QUERIES if q not in sampled]
+    # Every never-sampled query except the declared round-5 queue must
+    # be in the window.
+    r5_queue = {
+        "stream_window_topk_1h", "text_dup_span_frac", "dedup_lsh_recall",
+        "pipeline_epoch_shuffle", "agg_cms_matrix", "graph_modularity_terms",
+    }
+    missing = [q for q in never if q not in set(window) | r5_queue]
+    assert not missing, f"never-sampled queries outside the window: {missing}"
+    for q in window:
+        assert q in ORACLES or q == "limit_unordered", q
