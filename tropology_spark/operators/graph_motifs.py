@@ -625,3 +625,92 @@ def graph_modularity_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q_num"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M130 — label-propagation communities (3 deterministic rounds)
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_round_sql(i: int) -> str:
+    """One synchronous LPA round as SQL: candidate multiset = own label
+    + neighbor labels; adopt the most frequent, smallest label on
+    ties."""
+    prev = f"l{i - 1}"
+    return f"""
+    cand{i} AS (
+      SELECT und.u AS node, l.lbl FROM und JOIN {prev} l ON und.v = l.node
+      UNION ALL SELECT node, lbl FROM {prev}
+    ),
+    cnt{i} AS (SELECT node, lbl, count(*) AS c FROM cand{i} GROUP BY node, lbl),
+    l{i} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        FROM cnt{i}
+      ) t WHERE rn = 1
+    )"""
+
+
+@register(
+    "graph_label_prop3",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    proj AS (
+      SELECT a.src AS u, b.src AS v
+      FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+      HAVING count(*) >= {_MIN_SHARED}
+    ),
+    und AS (SELECT u, v FROM proj UNION ALL SELECT v, u FROM proj),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    l0 AS (SELECT node, node AS lbl FROM nodes),
+    {",".join(_lpa_round_sql(i) for i in range(1, _LPA_ROUNDS + 1))}
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(lbl AS BIGINT) AS community
+    FROM l{_LPA_ROUNDS}
+    """,
+)
+def graph_label_prop3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M130 — label-propagation community detection (Raghavan LPA) made
+    deterministic: synchronous updates, candidate multiset = own label
+    + neighbor labels, adopt the most frequent with smallest-label
+    tie-break, exactly {_LPA_ROUNDS} unrolled rounds (the pagerank3 /
+    bfs3 fixed-depth discipline — plan depth is static, no fixpoint
+    scan).  Runs on the thresholded co-purchase projection (communities
+    = works that keep co-citing the same tropes), NOT the raw bipartite
+    graph — so the result is finer than connected components.  Audit
+    its quality with M129's modularity terms against the null model.
+    Scale: each round is one edge join + one (node, lbl) count + one
+    per-node top-1 window; labels are O(nodes); the projection is the
+    session-cached (and at 100 TB hub-capped) view."""
+    from pyspark.sql import Window
+
+    proj = copurchase_projection(spark, sf_dir)
+    und = proj.unionByName(
+        proj.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    nodes = edges(spark, sf_dir).select(F.col("src").alias("node")).distinct()
+    labels = nodes.withColumn("lbl", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl"))
+    for _ in range(_LPA_ROUNDS):
+        cand = (
+            und.join(labels, und.v == labels.node)
+            .select(F.col("u").alias("node"), "lbl")
+            .unionAll(labels.select("node", "lbl"))
+        )
+        counts = cand.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return labels.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("lbl").cast("bigint").alias("community"),
+    )
