@@ -1067,3 +1067,65 @@ def sub_exists_notexists(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND o.o_totalprice > 400000)
         """
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle=f"""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         e2 AS (SELECT * FROM events WHERE event_type = 'error'),
+         j AS (SELECT p.event_id AS purchase_id, p.user_id,
+                      e2.ts AS n_ts, e2.event_id AS n_id,
+                      row_number() OVER (
+                        PARTITION BY p.event_id
+                        ORDER BY e2.ts ASC NULLS LAST, e2.event_id ASC NULLS LAST
+                      ) AS rn
+               FROM p LEFT JOIN e2
+                 ON p.user_id = e2.user_id
+                AND e2.ts > p.ts
+                AND e2.ts <= p.ts + INTERVAL 24 HOUR)
+    SELECT purchase_id, user_id,
+           coalesce({{tss}}, 'none') AS next_error_ts,
+           coalesce(n_id, -1) AS next_error_id
+    FROM j WHERE rn = 1
+    """.format(tss=sql_ts_str('n_ts')),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M131 — FORWARD as-of join, C9's mirror: for each purchase, the
+    first error by the same user within the following 24 h (the "did
+    the purchase precede a failure" attribution probe).  Bounded
+    lookahead keeps the non-equi join range-prunable — at scale both
+    sides bucket by user and sort by ts, so the probe scans one
+    partition-local time band (the same plan shape as C8/C9).
+    Deterministic: rank on (ts, event_id) with the unique id
+    tie-break; missing matches surface as ('none', -1), never NULL."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    n = e.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("n_user"), F.col("ts").alias("n_ts"),
+        F.col("event_id").alias("n_id"),
+    )
+    joined = p.join(
+        n,
+        (F.col("user_id") == F.col("n_user"))
+        & (F.col("n_ts") > F.col("p_ts"))
+        & (F.col("n_ts") <= F.col("p_ts") + F.expr("INTERVAL 24 HOURS")),
+        "left",
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("n_ts").asc_nulls_last(), F.col("n_id").asc_nulls_last()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.coalesce(ts_str(F.col("n_ts")), F.lit("none")).alias("next_error_ts"),
+            F.coalesce(F.col("n_id"), F.lit(-1)).alias("next_error_id"),
+        )
+    )

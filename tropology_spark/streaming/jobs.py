@@ -558,3 +558,33 @@ def stream_window_topk_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.withColumn("rk", F.row_number().over(w).cast("bigint")).filter(
         F.col("rk") <= 3
     )
+
+
+@register(
+    "stream_dedup_counts",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, min(ts) AS ts
+      FROM events GROUP BY event_id, event_type
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_unique_events,
+           {sql_ts_str("min(ts)")} AS first_ts
+    FROM d GROUP BY event_type
+    """,
+)
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M132 — batch twin of the K5 streaming dedup (stream_dedup:
+    watermarked dropDuplicates on event_id): unique-event counts per
+    type after exactly-once dedup.  The fixture has no duplicate
+    event_ids, so dedup-by-min-ts is deterministic regardless of which
+    physical copy survives — and the oracle's group-then-count form is
+    what a foreachBatch sink aggregates after the streaming dedup.
+    Gives the K5 family a driver-checkable oracle row where it
+    previously had only the harness test."""
+    e = load(spark, sf_dir, "events")
+    d = e.groupBy("event_id", "event_type").agg(F.min("ts").alias("ts"))
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unique_events"),
+        ts_str(F.min("ts")).alias("first_ts"),
+    )
