@@ -844,6 +844,7 @@ def test_driver_window_composition(spark):
         "stream_window_topk_1h", "text_dup_span_frac", "dedup_lsh_recall",
         "pipeline_epoch_shuffle", "agg_cms_matrix", "graph_modularity_terms",
         "graph_label_prop3", "join_asof_forward", "stream_dedup_counts",
+        "ts_sax_symbols",
     }
     missing = [q for q in never if q not in set(window) | r5_queue]
     assert not missing, f"never-sampled queries outside the window: {missing}"

@@ -101,10 +101,11 @@ prioritize([
     "agg_approx_distinct",
     "mm_modality_stats",
     "sim_norm_histogram",
-    # M124-M132 (stream_window_topk_1h, text_dup_span_frac,
+    # M124-M133 (stream_window_topk_1h, text_dup_span_frac,
     # dedup_lsh_recall, pipeline_epoch_shuffle, agg_cms_matrix,
     # graph_modularity_terms, graph_label_prop3, join_asof_forward,
-    # stream_dedup_counts) intentionally queue for the round-5 window
+    # stream_dedup_counts, ts_sax_symbols) intentionally queue for the
+    # round-5 window
     # — the 50 slots above are exactly full; all pass the in-repo
     # driver replica at both sf0.001 and sf0.01.
 ])

@@ -851,3 +851,60 @@ def ts_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hi").cast("bigint").alias("hi_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M133 — symbolic sequence encoding (SAX-style, integer quartile bands)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_sax_symbols",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id, event_id, ts, value,
+             ntile(4) OVER (PARTITION BY user_id
+                            ORDER BY value, event_id) AS band
+      FROM events
+    )
+    SELECT user_id,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           string_agg(CAST(band AS VARCHAR), '' ORDER BY ts, event_id)
+             AS symbols,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM b GROUP BY user_id, date_trunc('day', ts)
+    """,
+)
+def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M133 — SAX-style symbolic encoding of each user's value stream:
+    per-user quartile band (ntile over the EXACT unique ordering
+    (value, event_id) — integer ranks, no float z-score, so the
+    alphabet is engine-portable), then per (user, day) the bands
+    concatenated in time order into a symbol word.  Downstream,
+    symbol words feed motif mining / anomaly grep with plain string
+    ops.  Both engines implement standard SQL ntile (front-loaded
+    remainder), and the unique tie-break makes every band assignment
+    deterministic.  Scale: one window shuffle on user_id, one
+    (user, day) agg — the words are per-day short; no explosion."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    b = e.withColumn(
+        "band",
+        F.ntile(4).over(
+            Window.partitionBy("user_id").orderBy(F.col("value"), F.col("event_id"))
+        ),
+    )
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("band")))
+    )
+    return (
+        b.groupBy("user_id", day.alias("day"))
+        .agg(
+            F.array_join(
+                F.transform(ordered, lambda r: r["band"].cast("string")), ""
+            ).alias("symbols"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
