@@ -32,6 +32,47 @@ def main() -> None:
     from tropology_spark import QUERIES
     from tropology_spark.session import get_spark
 
+    try:
+        load_start = list(os.getloadavg())
+    except OSError:  # pragma: no cover — platform without getloadavg
+        load_start = None
+
+    per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
+
+    # Fresh-session isolated re-times for the heaviest queries, run
+    # FIRST (BASELINE.md: measuring them after the concurrent suite
+    # contaminated one CC entry with the suite's GC tail — 42.7 s vs
+    # ~12 s fresh).  Each heavy gets its OWN SparkContext (own block
+    # manager + applicationId → session caches derive from cold) plus a
+    # throwaway warm-up query so JIT/footer costs don't land on the
+    # measured number — sharing one session re-created the very
+    # contamination this phase exists to remove (CC's pinned checkpoint
+    # blocks inflated link_prediction 11 s → 26 s, measured).
+    isolated: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
+        from tropology_spark.sources.tables import clear_session_caches
+
+        for name in [
+            "graph_connected_components", "graph_pagerank3",
+            "graph_link_prediction", "sim_knn_join", "dedup_ngram_jaccard",
+        ]:
+            if name not in QUERIES:
+                continue
+            spark = get_spark(f"tropology-bench-isolated-{name}")
+            try:
+                QUERIES["flagship_revenue_by_region"](spark, sf_dir).collect()
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                isolated[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001
+                errors[f"isolated:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+            spark.stop()
+            clear_session_caches()
+            gc.collect()
+
     spark = get_spark("tropology-bench")
 
     # Warm the JVM + parquet footers with the flagship query once.
@@ -45,9 +86,6 @@ def main() -> None:
         the ContextCleaner reclaim them between waves."""
         gc.collect()
         spark.sparkContext._jvm.System.gc()
-
-    per_query: dict[str, float] = {}
-    errors: dict[str, str] = {}
 
     def run_one(name: str) -> None:
         t0 = time.perf_counter()
@@ -92,33 +130,14 @@ def main() -> None:
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
 
-    # Fresh-session isolated re-times for the heaviest queries
-    # (BASELINE.md: late-in-loop heavies inflate 2-5x from
-    # block-manager pressure; r1/r3 regressions were unattributable
-    # without a manual re-run).  A NEW SparkContext = new block
-    # manager + new applicationId, so the session-level materialized
-    # views re-derive from cold — the honest per-query number.
-    isolated: dict[str, float] = {}
-    if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
-        spark.stop()
-        spark = get_spark("tropology-bench-isolated")
-        for name in [
-            "graph_connected_components", "graph_pagerank3",
-            "graph_link_prediction", "sim_knn_join", "dedup_ngram_jaccard",
-        ]:
-            if name not in QUERIES:
-                continue
-            t0 = time.perf_counter()
-            try:
-                QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                isolated[name] = round(time.perf_counter() - t0, 3)
-            except Exception as exc:  # noqa: BLE001
-                errors[f"isolated:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
-            release_cached_blocks()
+    try:
+        load_end = list(os.getloadavg())
+    except OSError:  # pragma: no cover
+        load_end = None
 
     detail = {
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
         "total_sec": total,
         "sf": sf,
         "queries": per_query,
@@ -140,6 +159,9 @@ def main() -> None:
     # The full per-query map lives in bench_detail.json only — r3's
     # stderr copy was exactly what the tail capture swallowed.
     slowest = dict(sorted(per_query.items(), key=lambda kv: -kv[1])[:10])
+    # n_errors counts only DECLARED-SUITE failures; isolated re-time
+    # failures are diagnostic-only and reported under their own key.
+    n_suite_errors = sum(1 for k in errors if not k.startswith("isolated:"))
     print(
         json.dumps(
             {
@@ -148,8 +170,11 @@ def main() -> None:
                 "metric": "declared_suite_wall_time",
                 "unit": "sec",
                 "sf": sf,
+                "loadavg_start": load_start,
+                "loadavg_end": load_end,
                 "n_queries": len(per_query),
-                "n_errors": len(errors),
+                "n_errors": n_suite_errors,
+                "n_isolated_errors": len(errors) - n_suite_errors,
                 "value": total,
                 "total_sec": total,
             }

@@ -822,10 +822,11 @@ def test_materialized_view_build_is_shared_across_threads(spark):
 
 def test_driver_window_composition(spark):
     """The driver hash-checks the FIRST 50 registry entries.  Pin the
-    round-4 window invariants so a module-import or registration-order
-    change can never silently evict a query: every never-driver-sampled
-    query and every round-4 addition/upgrade must sit inside the first
-    50, and each windowed query must either carry an oracle or be the
+    round-5 window invariants so a module-import or registration-order
+    change can never silently evict a query: the 10 never-driver-sampled
+    M124-M133 queries LEAD the window (positions 0-9), every other
+    never-sampled query (round-5 additions) sits inside the first 50,
+    and each windowed query must either carry an oracle or be the
     declared rows-only entry."""
     import json
     from pathlib import Path
@@ -836,22 +837,15 @@ def test_driver_window_composition(spark):
     for f in sorted(Path(".").glob("CORRECTNESS_r0*.json")):
         sampled |= set(json.loads(f.read_text()).keys())
     window = list(QUERIES)[:50]
-    must_have = {
-        "graph_twohop_capped", "graph_triangles_capped",
-        "graph_link_prediction_capped", "agg_approx_distinct",
-        "mm_modality_stats", "sim_norm_histogram",
-    }
-    assert must_have <= set(window)
-    never = [q for q in QUERIES if q not in sampled]
-    # Every never-sampled query except the declared round-5 queue must
-    # be in the window.
-    r5_queue = {
+    m124_133 = [
         "stream_window_topk_1h", "text_dup_span_frac", "dedup_lsh_recall",
         "pipeline_epoch_shuffle", "agg_cms_matrix", "graph_modularity_terms",
         "graph_label_prop3", "join_asof_forward", "stream_dedup_counts",
         "ts_sax_symbols",
-    }
-    missing = [q for q in never if q not in set(window) | r5_queue]
+    ]
+    assert window[:10] == m124_133, window[:10]
+    never = [q for q in QUERIES if q not in sampled]
+    missing = [q for q in never if q not in set(window)]
     assert not missing, f"never-sampled queries outside the window: {missing}"
     for q in window:
         assert q in ORACLES or q == "limit_unordered", q

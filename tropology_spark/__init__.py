@@ -41,73 +41,27 @@ from tropology_spark.operators import windows  # noqa: F401
 from tropology_spark.operators import aggregates  # noqa: F401
 from tropology_spark.operators import relational  # noqa: F401
 
-# Round-4 driver window (the driver hash-checks the FIRST 50 entries
+# Round-5 driver window (the driver hash-checks the FIRST 50 entries
 # per round — r01 covered the relational/agg/window core, r02 the
 # dedup/text/sim/graph/fn families, r03 the streaming/udf/pipeline/mm
-# set).  Exactly 44 registered queries have never received a driver
-# CORRECTNESS row (they all pass the in-repo driver replica,
-# tests/test_oracle_parity.py); promote all 44, then round-4 additions
-# and oracle upgrades in the spare slots.  Done = 191/191 driver-green.
+# set, r04 all 44 then-unsampled queries plus the capped-graph/KMV
+# upgrades).  Only the 10 late-round-4 queries (M124-M133) have never
+# received a driver CORRECTNESS row — they lead; round-5 additions fill
+# the spare slots as they land.  Done = every registered query
+# driver-green at least once.
 prioritize([
-    # -- the 44 never-driver-sampled queries (registration order) --
-    "pipeline_dataset_card",
-    "pipeline_interleave_sources",
-    "pipeline_chunk_documents",
-    "pipeline_mixture_weights",
-    "join_salted_hotkey",
-    "pipeline_label_balance",
-    "graph_bfs3",
-    "graph_random_walk3",
-    "graph_sssp3",
-    "graph_triangles",
-    "graph_butterflies",
-    "graph_clustering_pairs",
-    "graph_assortativity_terms",
-    "graph_hits_paths",
-    "mm_frame_sample",
-    "ts_resample_gapfill",
-    "ts_sessionize",
-    "ts_ewma",
-    "ts_anomaly_topk",
-    "ts_pattern_triples",
-    "ts_runs",
-    "ts_ohlc_hourly",
-    "ts_cusum_changepoint",
-    "ts_seasonal_profile",
-    "ts_acf_terms",
-    "analytics_funnel",
-    "analytics_retention",
-    "analytics_rolling_wau",
-    "analytics_attribution",
-    "pipeline_curation_e2e",
-    "analytics_markov_transitions",
-    "analytics_new_vs_returning",
-    "win_range_1h",
-    "win_pareto_abc",
-    "agg_median_mode",
-    "agg_heavy_hitters",
-    "agg_histogram",
-    "agg_multi_distinct",
-    "agg_weighted_avg",
-    "agg_min_max_by",
-    "agg_bitmap_distinct",
-    "agg_unpivot_measures",
-    "join_lateral_topk",
-    "sub_exists_notexists",
-    # -- round-4 additions / oracle upgrades (spare window slots) --
-    "graph_twohop_capped",
-    "graph_triangles_capped",
-    "graph_link_prediction_capped",
-    "agg_approx_distinct",
-    "mm_modality_stats",
-    "sim_norm_histogram",
-    # M124-M133 (stream_window_topk_1h, text_dup_span_frac,
-    # dedup_lsh_recall, pipeline_epoch_shuffle, agg_cms_matrix,
-    # graph_modularity_terms, graph_label_prop3, join_asof_forward,
-    # stream_dedup_counts, ts_sax_symbols) intentionally queue for the
-    # round-5 window
-    # — the 50 slots above are exactly full; all pass the in-repo
-    # driver replica at both sf0.001 and sf0.01.
+    # -- M124-M133: the 10 never-driver-sampled queries --
+    "stream_window_topk_1h",
+    "text_dup_span_frac",
+    "dedup_lsh_recall",
+    "pipeline_epoch_shuffle",
+    "agg_cms_matrix",
+    "graph_modularity_terms",
+    "graph_label_prop3",
+    "join_asof_forward",
+    "stream_dedup_counts",
+    "ts_sax_symbols",
+    # -- round-5 additions (M134+) — appended as they are registered --
 ])
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

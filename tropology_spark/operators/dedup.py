@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tropology_spark.registry import register
+from tropology_spark.registry import ORACLES, register
 from tropology_spark.sources.tables import SESSION_CACHES, cache_get_or_build, load
 
 
@@ -548,27 +548,10 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # M126 — LSH recall/precision audit (the dedup counterpart of M112)
 # ---------------------------------------------------------------------------
 
-_J2_ORACLE = """
-    WITH tok AS (
-      SELECT DISTINCT doc_id, substring(text, 1, 40) AS pfx,
-             unnest(string_split(text, ' ')) AS token
-      FROM documents
-    ),
-    siz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM tok a
-      JOIN tok b ON a.token = b.token AND a.pfx = b.pfx AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           CAST(n_common AS BIGINT) AS n_common,
-           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
-    FROM inter
-    JOIN siz sa ON doc_a = sa.doc_id
-    JOIN siz sb ON doc_b = sb.doc_id
-    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
-    """
+# The audit's DuckDB truth is the REGISTERED J2 oracle, not a copy: the
+# Spark side calls QUERIES['dedup_jaccard_pairs'], so any future edit to
+# J2 propagates to both halves of the recall audit at once.
+_J2_ORACLE = ORACLES["dedup_jaccard_pairs"]
 
 
 @register(

@@ -2129,8 +2129,9 @@ def text_dup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     CROSS-document boilerplate signal (distinct from M28's intra-doc
     repetition and M25's benchmark contamination).  A trigram seen in
     more than _DUPSPAN_DF distinct docs is boilerplate; a doc survives
-    while boilerplate covers <= 30% of its distinct trigrams — the
-    keep decision is an exact integer cross-multiplication.
+    while boilerplate covers <= _DUPSPAN_PCT10*10% (= 10%) of its
+    distinct trigrams — the keep decision is an exact integer
+    cross-multiplication.
 
     Scale: one shingle explode (distinct per doc) feeding two
     map-side-combinable aggs; the boilerplate set is vocabulary-sized

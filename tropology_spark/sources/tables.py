@@ -91,7 +91,10 @@ def cache_put(cache: dict, key: tuple, value) -> None:
     re-times, so this is exercised, not theoretical)."""
     app = key[0]
     for stale in [k for k in cache if k[0] != app]:
-        del cache[stale]
+        # pop, not del: two threads building DIFFERENT keys of the same
+        # cache can each select the same stale entry; the second delete
+        # must be a no-op rather than a KeyError.
+        cache.pop(stale, None)
     cache[key] = value
 
 
