@@ -62,6 +62,8 @@ prioritize([
     "stream_dedup_counts",
     "ts_sax_symbols",
     # -- round-5 additions (M134+) — appended as they are registered --
+    "graph_butterflies_capped",
+    "graph_clustering_pairs_capped",
 ])
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tropology_spark.operators.graph import TWOHOP_DEGREE_CAP
 from tropology_spark.registry import register
 from tropology_spark.sources.tables import SESSION_CACHES, cache_get_or_build, edges
 
@@ -297,6 +298,68 @@ def graph_butterflies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# M134 — hub-capped butterflies (the M120 pattern for M65)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_butterflies_capped",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    keep AS (SELECT dst FROM e0 GROUP BY dst
+             HAVING count(*) <= {TWOHOP_DEGREE_CAP}),
+    e AS (SELECT src, dst FROM e0 WHERE dst IN (SELECT dst FROM keep)),
+    pairs AS (
+      SELECT a.src AS u, b.src AS v, count(*) AS n_common
+      FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+    ),
+    bf AS (
+      SELECT u, v, n_common * (n_common - 1) // 2 AS n_bf
+      FROM pairs WHERE n_common >= 2
+    ),
+    members AS (
+      SELECT u AS node, n_bf FROM bf
+      UNION ALL SELECT v, n_bf FROM bf
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(sum(n_bf) AS BIGINT) AS n_butterflies
+    FROM members GROUP BY node
+    """,
+)
+def graph_butterflies_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M134 — hub-capped butterfly counts: M65 restricted to COLD parts
+    (degree <= the shared celebrity cut, graph.TWOHOP_DEGREE_CAP), the
+    declared 100 TB scale path for the one remaining quadratic motif
+    without one.  The wedge cost drops from Σ deg² to cap·|E_cold|.
+
+    Reuses the SESSION-SHARED cold co-pair view
+    (``graph.capped_copair_materialized`` — the same half table M119
+    and M121 consume), so butterflies are a closed-form fold over an
+    aggregate that is already materialized: C(n_common, 2) per ordered
+    pair, summed per endpoint.  No new wedge join at all."""
+    from tropology_spark.operators.graph import capped_copair_materialized
+
+    _hot, half, _cold_deg, _small = capped_copair_materialized(spark, sf_dir)
+    bf = half.filter(F.col("n_common") >= 2).select(
+        F.col("cust_a").alias("u"),
+        F.col("cust_b").alias("v"),
+        (F.col("n_common") * (F.col("n_common") - 1) / 2)
+        .cast("bigint")
+        .alias("n_bf"),
+    )
+    members = bf.select(F.col("u").alias("node"), "n_bf").unionAll(
+        bf.select(F.col("v").alias("node"), "n_bf")
+    )
+    return members.groupBy(F.col("node").cast("bigint").alias("node")).agg(
+        F.sum("n_bf").cast("bigint").alias("n_butterflies")
+    )
+
+
+# ---------------------------------------------------------------------------
 # M70 — local clustering structure (triangles vs wedges, exact integers)
 # ---------------------------------------------------------------------------
 
@@ -347,6 +410,86 @@ def graph_clustering_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query, so the projection's hub-part quadratic (see M56) is
     paid once."""
     proj = copurchase_projection(spark, sf_dir)
+    und = proj.unionAll(proj.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("dg"))
+    e2 = proj.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = proj.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    tri = (
+        proj.join(e2, "v")
+        .join(e3, (F.col("u3") == F.col("u")) & (F.col("w3") == F.col("w")))
+        .select("u", "v", "w")
+    )
+    members = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    tcount = members.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        deg.filter(F.col("dg") >= 2)
+        .join(tcount, "node", "left")
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            (F.col("dg") * (F.col("dg") - 1) / 2).cast("bigint").alias("n_wedges"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M135 — hub-capped clustering pairs (the M120 pattern for M70)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_clustering_pairs_capped",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    keep AS (SELECT dst FROM e0 GROUP BY dst HAVING count(*) <= {_HUB_CAP}),
+    e AS (SELECT src, dst FROM e0 WHERE dst IN (SELECT dst FROM keep)),
+    proj AS (
+      SELECT a.src AS u, b.src AS v
+      FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+      HAVING count(*) >= {_MIN_SHARED}
+    ),
+    und AS (SELECT u, v FROM proj UNION ALL SELECT v, u FROM proj),
+    deg AS (SELECT u AS node, count(*) AS d FROM und GROUP BY u),
+    tri AS (
+      SELECT e1.u, e1.v, e2.v AS w
+      FROM proj e1
+      JOIN proj e2 ON e2.u = e1.v
+      JOIN proj e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    members AS (
+      SELECT u AS node FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri
+    ),
+    tcount AS (SELECT node, count(*) AS n_triangles FROM members GROUP BY node)
+    SELECT CAST(d.node AS BIGINT) AS node,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(d.d * (d.d - 1) // 2 AS BIGINT) AS n_wedges
+    FROM deg d LEFT JOIN tcount t ON t.node = d.node
+    WHERE d.d >= 2
+    """,
+)
+def graph_clustering_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M135 — hub-capped local clustering structure: M70 over the
+    SPARSIFIED projection (parts above _HUB_CAP linked customers are
+    dropped before the wedge self-join — graph.TWOHOP_DEGREE_CAP's
+    cut, same constant), closing the last quadratic motif without a
+    declared scale path.  Reuses the session-cached hub-capped
+    projection already built for M120 (``copurchase_projection`` with
+    the same ``hub_cap`` key), so a session running both capped motif
+    queries pays the capped wedge join once; the degree count and
+    triangle closure run unchanged on the smaller edge list."""
+    proj = copurchase_projection(spark, sf_dir, hub_cap=_HUB_CAP)
     und = proj.unionAll(proj.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("dg"))
     e2 = proj.select(F.col("u").alias("v"), F.col("v").alias("w"))
