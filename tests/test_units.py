@@ -849,3 +849,45 @@ def test_driver_window_composition(spark):
     assert not missing, f"never-sampled queries outside the window: {missing}"
     for q in window:
         assert q in ORACLES or q == "limit_unordered", q
+
+
+def test_passjoin_blocking_prunes_skewed_brand(spark):
+    """The fuzzy-join scale story (SURVEY §2 M12): on a CELEBRITY brand
+    block — every string in one brand — PassJoin segment blocking must
+    (a) generate far fewer candidate pairs than the brute-force C(n,2)
+    brand block, and (b) verify to exactly the brute-force result.
+    This is the test that makes the 100 TB claim code, not prose."""
+    from tropology_spark.functions.scalar import passjoin_blocked_pairs
+
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "fox", "golf", "hotel"]
+    rows = []
+    for i in range(120):
+        rows.append((i, "BRAND#1", f"{words[i % 8]} {words[(i * 3 + 1) % 8]} widget {i // 8}"))
+    for i in range(20):  # planted near-dups: one appended char
+        rows.append((1000 + i, "BRAND#1", f"{words[i % 8]} {words[(i * 3 + 1) % 8]} widget {i // 8}x"))
+    p = spark.createDataFrame(
+        rows, "p_partkey long, p_brand string, p_name string"
+    ).withColumn("len", F.length("p_name"))
+    cand, result = passjoin_blocked_pairs(p)
+    n = len(rows)
+    brute_pairs = n * (n - 1) // 2
+    n_cand = cand.count()
+    assert n_cand < brute_pairs * 0.5, (n_cand, brute_pairs)
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    brute = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(dist <= 2)
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            dist.cast("bigint").alias("distance"),
+        )
+    )
+    got = sorted(map(tuple, result.collect()))
+    want = sorted(map(tuple, brute.collect()))
+    assert got == want and len(want) >= 20, (len(got), len(want))

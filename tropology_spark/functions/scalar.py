@@ -238,17 +238,29 @@ def fn_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard unit-cost edit distance).  The brand block bounds the
     quadratic pair count — same blocking discipline as the dedup
     family."""
-    # PassJoin segment blocking (k=2, 3 segments).  Pigeonhole: two
-    # edits cannot touch all three segments, so for every true pair one
-    # of the target's segments appears UNEDITED in the probe string,
-    # shifted by at most k positions.  Candidates therefore come from
-    # an equi-join on (brand, target_len, segment_idx, content) —
-    # ~0.5M pairs instead of the 8M brute-force brand block at sf0.1 —
-    # and the unchanged naive oracle proves the rewrite misses nothing.
-    k = 2
     p = load(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_name", F.length("p_name").alias("len")
     )
+    _cand, result = passjoin_blocked_pairs(p)
+    return result
+
+
+def passjoin_blocked_pairs(p: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """PassJoin segment blocking (k=2, 3 segments) over a
+    ``(p_partkey, p_brand, p_name, len)`` frame.  Pigeonhole: two
+    edits cannot touch all three segments, so for every true pair one
+    of the target's segments appears UNEDITED in the probe string,
+    shifted by at most k positions.  Candidates therefore come from
+    an equi-join on (brand, target_len, segment_idx, content) —
+    ~0.5M pairs instead of the 8M brute-force brand block at sf0.1 —
+    and the unchanged naive oracle proves the rewrite misses nothing.
+
+    Returns ``(candidates, verified)``: the blocked candidate pair
+    set (what the skew test counts against the brute-force C(n,2))
+    and the Levenshtein-verified result the declared query returns.
+    At 100 TB a single celebrity brand block is quadratic under naive
+    blocking; this bounds it by candidate generation instead."""
+    k = 2
 
     def _as_col(i):
         from pyspark.sql import Column
@@ -371,7 +383,7 @@ def fn_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             tiny_dist.cast("bigint").alias("distance"),
         )
     )
-    return passjoin.unionAll(tiny_pairs)
+    return cand, passjoin.unionAll(tiny_pairs)
 
 
 @register(
