@@ -64,6 +64,8 @@ prioritize([
     # -- round-5 additions (M134+) — appended as they are registered --
     "graph_butterflies_capped",
     "graph_clustering_pairs_capped",
+    "stream_running_counts",
+    "stream_static_join_counts",
 ])
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

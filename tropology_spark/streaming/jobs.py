@@ -588,3 +588,61 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_unique_events"),
         ts_str(F.min("ts")).alias("first_ts"),
     )
+
+
+@register(
+    "stream_running_counts",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS BIGINT) AS n_so_far
+    FROM events
+    """,
+)
+def stream_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M136 — batch twin of the K6 stateful running count
+    (``stream_running_count``: per-user count in update mode): the full
+    update-mode EMISSION HISTORY — one row per event carrying the
+    count-so-far for its user at that point in event order (ts with the
+    unique event_id tie-break).  The last row per user equals the K6
+    builder's final state, which tests/test_streaming.py pins against
+    the streaming run; this declared form makes the per-update
+    trajectory itself oracle-checkable.  Scale: one hash partition by
+    user plus an in-partition sort — the same state layout the
+    streaming operator keeps, with no global ordering anywhere."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).cast("bigint").alias("n_so_far"),
+    )
+
+
+@register(
+    "stream_static_join_counts",
+    oracle="""
+    SELECT coalesce(c.c_mktsegment, 'unknown') AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M137 — batch twin of the K7 stream-static enrichment join,
+    built THROUGH the K7 builder itself (``stream_static_join`` on the
+    batch frames — identical join, broadcast hint, and
+    unknown-segment coalesce), then aggregated to per-segment event and
+    distinct-user counts: what a foreachBatch sink would maintain from
+    the enriched stream.  Gives K7 a driver-checkable oracle row where
+    it previously had only the harness test.  Scale: the dim side is
+    the explicit broadcast the streaming form re-ships per micro-batch;
+    the agg is one map-side-combinable shuffle on segment."""
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+    enriched = stream_static_join(e, c)
+    return enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
