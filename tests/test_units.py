@@ -771,11 +771,24 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "graph_pagerank3",
         "agg_approx_distinct",
         "graph_twohop_capped",
-        # round-4 queue: rank/ntile-based queries are the highest
-        # partitioning-sensitivity class — unique tie-breaks pinned here
+        # round-5 driver queue (M124-M133): rank/ntile-based queries
+        # are the highest partitioning-sensitivity class — unique
+        # tie-breaks pinned here BEFORE the driver samples them
         "graph_label_prop3",
         "ts_sax_symbols",
         "agg_cms_matrix",
+        "stream_window_topk_1h",
+        "text_dup_span_frac",
+        "dedup_lsh_recall",
+        "pipeline_epoch_shuffle",
+        "graph_modularity_terms",
+        "join_asof_forward",
+        "stream_dedup_counts",
+        # round-5 additions (M134-M137)
+        "graph_butterflies_capped",
+        "graph_clustering_pairs_capped",
+        "stream_running_counts",
+        "stream_static_join_counts",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -891,3 +904,34 @@ def test_passjoin_blocking_prunes_skewed_brand(spark):
     got = sorted(map(tuple, result.collect()))
     want = sorted(map(tuple, brute.collect()))
     assert got == want and len(want) >= 20, (len(got), len(want))
+
+
+def test_checkpoint_dir_swap(spark, tmp_path, monkeypatch):
+    """TROPOLOGY_CHECKPOINT_DIR swaps the iterative loops from
+    localCheckpoint to a RELIABLE checkpoint into that directory
+    (SCALE.md watch-item 4): results must be identical, and the
+    checkpoint dir must actually receive RDD checkpoint data."""
+    import os
+
+    from tropology_spark.operators.graph import connected_components
+    from tropology_spark.sources.tables import clear_session_caches
+
+    bi = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("x", "y"), ("y", "x")],
+        "u string, v string",
+    )
+    local = {r["node"]: r["comp"] for r in connected_components(bi, strict=True).collect()}
+    ckdir = str(tmp_path / "ck")
+    monkeypatch.setenv("TROPOLOGY_CHECKPOINT_DIR", ckdir)
+    clear_session_caches()
+    try:
+        reliable = {
+            r["node"]: r["comp"] for r in connected_components(bi, strict=True).collect()
+        }
+    finally:
+        monkeypatch.delenv("TROPOLOGY_CHECKPOINT_DIR")
+        clear_session_caches()
+    assert reliable == local == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    # the reliable path really wrote checkpoint data
+    found = [f for root, _d, fs in os.walk(ckdir) for f in fs]
+    assert found, "no RDD checkpoint files written under TROPOLOGY_CHECKPOINT_DIR"

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tropology_spark.registry import register
+from tropology_spark.session import iter_materialize
 from tropology_spark.sources.tables import (
     CUST_A,
     CUST_B,
@@ -556,14 +557,14 @@ def pagerank(
             .agg(F.sum("contrib").alias("mass"))
         )
         # Eager checkpoint: truncates lineage so iteration N+1 does not
-        # re-execute iterations 1..N (SURVEY.md §4.2).
-        ranks = (
+        # re-execute iterations 1..N (SURVEY.md §4.2).  Reliable-
+        # checkpoint swap via TROPOLOGY_CHECKPOINT_DIR (SCALE.md #4).
+        ranks = iter_materialize(
             nodes.join(contribs, "node", "left")
             .select(
                 "node",
                 (F.lit(teleport) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
     return ranks
 
@@ -656,7 +657,7 @@ def connected_components(
         # for the same total join work, and the shortcut compounds the
         # distance contraction (O(log d) cycles on a diameter-d path).
         seeded = labels.select("node", F.col("comp").alias("orig"), "comp")
-        new_labels = shortcut(propagate(propagate(seeded))).localCheckpoint(eager=True)
+        new_labels = iter_materialize(shortcut(propagate(propagate(seeded))))
         changed = new_labels.agg(
             F.sum((F.col("comp") != F.col("orig")).cast("long")).alias("c")
         ).collect()[0]["c"]
@@ -1064,11 +1065,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_KCORE_ROUNDS):
         deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= _KCORE_K).select("a")
-        cur = (
+        cur = iter_materialize(
             cur.join(keep, "a", "left_semi")
             .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=True)
         )
     return cur.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")

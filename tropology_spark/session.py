@@ -69,3 +69,25 @@ def get_spark(app_name: str = "tropology-spark") -> SparkSession:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return configure(spark)
+
+
+def iter_materialize(df):
+    """Eager lineage truncation for the ITERATIVE loops (pagerank,
+    connected components, k-core): per round, the new vector must be
+    materialized so round N+1 does not re-execute rounds 1..N.
+
+    Local default is ``localCheckpoint`` — executor block storage, the
+    fastest option and fine on local[n].  At cluster scale local
+    blocks are NOT durable across executor loss, so setting
+    ``TROPOLOGY_CHECKPOINT_DIR`` (an HDFS/S3/shared path) swaps every
+    in-loop materialization to a RELIABLE ``checkpoint()`` into that
+    directory (SCALE.md watch-item 4).  The checkpoint dir is applied
+    to the owning SparkContext on first use; results are identical
+    either way — only failure-recovery durability changes."""
+    ckdir = os.environ.get("TROPOLOGY_CHECKPOINT_DIR")
+    if not ckdir:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(ckdir)
+    return df.checkpoint(eager=True)
