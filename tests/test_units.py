@@ -784,11 +784,17 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "graph_modularity_terms",
         "join_asof_forward",
         "stream_dedup_counts",
-        # round-5 additions (M134-M137)
+        # round-5 additions (M134-M143)
         "graph_butterflies_capped",
         "graph_clustering_pairs_capped",
         "stream_running_counts",
         "stream_static_join_counts",
+        "agg_kmv_intersect",
+        "analytics_cohort_revenue",
+        "analytics_stickiness_terms",
+        "dedup_topk_similar",
+        "pipeline_token_fertility",
+        "sim_maxsim_topk",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

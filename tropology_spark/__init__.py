@@ -66,6 +66,12 @@ prioritize([
     "graph_clustering_pairs_capped",
     "stream_running_counts",
     "stream_static_join_counts",
+    "agg_kmv_intersect",
+    "analytics_cohort_revenue",
+    "analytics_stickiness_terms",
+    "dedup_topk_similar",
+    "pipeline_token_fertility",
+    "sim_maxsim_topk",
 ])
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

@@ -649,3 +649,128 @@ def agg_cms_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.groupBy("row_id", "col_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# M138 — KMV sketch set-intersection (mergeable audience overlap)
+# ---------------------------------------------------------------------------
+
+_KMVX_K = 64
+
+
+@register(
+    "agg_kmv_intersect",
+    oracle=f"""
+    WITH h AS (SELECT DISTINCT event_type,
+                  ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+               FROM events),
+    t AS (SELECT DISTINCT event_type FROM events),
+    pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+           FROM t a JOIN t b ON a.event_type < b.event_type),
+    m AS (
+      SELECT pr.type_a, pr.type_b, h.h,
+             max(CASE WHEN h.event_type = pr.type_a THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN h.event_type = pr.type_b THEN 1 ELSE 0 END) AS in_b
+      FROM pr JOIN h ON h.event_type IN (pr.type_a, pr.type_b)
+      GROUP BY pr.type_a, pr.type_b, h.h
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+          FROM m),
+    s AS (SELECT type_a, type_b, count(*) AS n_u,
+                 max(CASE WHEN rn = {_KMVX_K} THEN h END) AS mk,
+                 sum(CASE WHEN rn <= {_KMVX_K} AND in_a = 1 AND in_b = 1
+                          THEN 1 ELSE 0 END) AS n_both_k,
+                 sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS n_both_all
+          FROM r GROUP BY type_a, type_b)
+    SELECT type_a, type_b,
+           CAST(CASE WHEN n_u >= {_KMVX_K}
+                     THEN (n_both_k * (({_KMVX_K - 1} * 4294967296) // (mk + 1)))
+                          // {_KMVX_K}
+                     ELSE n_both_all END AS BIGINT) AS approx_common_users
+    FROM s
+    """,
+)
+def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M138 — approximate audience overlap |users(A) ∩ users(B)| for
+    every event-type pair via K-MINIMUM-VALUES intersection (the D4
+    estimator's pair form, Beyer et al. SIGMOD'07): over the UNION's k
+    smallest distinct md5-low-32 hashes, the fraction present in both
+    sets scales the KMV union estimate — every intermediate an exact
+    integer, estimate by integer division only, exact-count fallback
+    below k.  This is the MERGEABLE way to audit training-mixture
+    overlap: per-set sketches are k integers each, pair estimates need
+    only sketch×sketch merges.  At 100 TB the per-type sketches are
+    built once in one distinct shuffle (the D3/D4 first phase) and the
+    O(T²) pair stage touches k·T integers, never raw data; the
+    declarative form here is that sketch's oracle-matching reference.
+    """
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    hcol = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    h = e.select("event_type", hcol).distinct()
+    t = e.select("event_type").distinct()
+    pr = (
+        t.alias("a")
+        .join(
+            t.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    # The per-(pair, hash) membership fold: T is tiny (event types), so
+    # the pair table broadcasts and the heavy side streams through once.
+    m = (
+        F.broadcast(pr)
+        .join(
+            h,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "h")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == F.col("type_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == F.col("type_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    r = m.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("type_a", "type_b").orderBy("h"))
+    )
+    s = r.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_u"),
+        F.max(F.when(F.col("rn") == _KMVX_K, F.col("h"))).alias("mk"),
+        F.sum(
+            F.when(
+                (F.col("rn") <= _KMVX_K) & (F.col("in_a") == 1) & (F.col("in_b") == 1),
+                1,
+            ).otherwise(0)
+        ).alias("n_both_k"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).alias("n_both_all"),
+    )
+    return s.select(
+        "type_a",
+        "type_b",
+        F.when(
+            F.col("n_u") >= _KMVX_K,
+            F.expr(
+                f"(n_both_k * (({_KMVX_K - 1} * 4294967296) div (mk + 1)))"
+                f" div {_KMVX_K}"
+            ),
+        )
+        .otherwise(F.col("n_both_all"))
+        .cast("bigint")
+        .alias("approx_common_users"),
+    )

@@ -579,3 +579,119 @@ def analytics_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_converted").cast("double") / F.col("n_users"), 6),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M139 — cohort revenue matrix (the money twin of M52's retention counts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_cohort_revenue",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id,
+             CAST((CAST(ts AS DATE) - DATE '{_EPOCH}') // 7 AS BIGINT) AS week,
+             CAST(round(value * 1000000.0) AS BIGINT) AS vm
+      FROM events WHERE event_type = 'purchase'
+    ),
+    cohort AS (SELECT user_id, min(week) AS cohort_week FROM p GROUP BY user_id)
+    SELECT c.cohort_week,
+           CAST(p.week - c.cohort_week AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_buyers,
+           CAST(sum(p.vm) AS BIGINT) AS revenue_micros
+    FROM cohort c
+    JOIN p ON p.user_id = c.user_id
+    WHERE p.week - c.cohort_week BETWEEN 0 AND {_MAX_OFFSET}
+    GROUP BY 1, 2
+    """,
+)
+def analytics_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M139 — cohort REVENUE matrix: users cohorted by first-purchase
+    week (M52's integer week arithmetic — days since a fixed epoch
+    floor-divided by 7, no engine week-truncation policy), each later
+    week's purchase revenue summed µs-exactly (value × 1e6 as BIGINT,
+    the K1 micros discipline — no float carrier anywhere).  The LTV
+    build-up curve a growth dashboard draws next to M52's retention
+    triangle.  Scale: the events scan reduces immediately to
+    (user, week, micros) purchase rows; cohort assignment and the
+    matrix join are both user-keyed — O(purchases) shuffle once, then
+    co-partitioned joins, the M52 plan with one extra summed column."""
+    ev = load(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit(_EPOCH).cast("date")) / 7
+    ).cast("bigint")
+    vm = F.round(F.col("value") * 1000000.0).cast("long")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", week.alias("week"), vm.alias("vm")
+    )
+    cohort = p.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    off = F.col("week") - F.col("cohort_week")
+    return (
+        cohort.join(p, "user_id")
+        .filter((off >= 0) & (off <= _MAX_OFFSET))
+        .groupBy("cohort_week", off.alias("week_offset"))
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_buyers"),
+            F.sum("vm").cast("bigint").alias("revenue_micros"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M140 — DAU/MAU stickiness terms (two sliding-distinct widths at once)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_stickiness_terms",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT CAST(CAST(ts AS DATE) - DATE '{_EPOCH}' AS BIGINT) AS day,
+             user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day,
+           CAST(count(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END)
+                AS BIGINT) AS dau,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+    FROM days d
+    JOIN du u ON u.day BETWEEN d.day - 29 AND d.day
+    GROUP BY d.day
+    """,
+)
+def analytics_stickiness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M140 — DAU and 30-day MAU per day, the two integer terms of the
+    stickiness KPI (DAU/MAU), emitted exactly (the consumer divides
+    once — the M70 integer-pair discipline).  Day = integer days since
+    the fixed epoch (M52/M54 arithmetic).  Both sliding DISTINCTs come
+    from ONE day-range join pass: the daily term is the same distinct
+    counted under an equality flag, so adding DAU costs no second
+    scan.  Scale: the events stream reduces to distinct (day, user)
+    immediately (map-side combine); the 30× day fan-out is bounded by
+    the window width, and at 100 TB each day keeps a mergeable KMV/
+    bitmap user sketch (D4/M97) so the window union is sketch merges,
+    not raw re-joins — this exact query is that path's oracle-scale
+    reference."""
+    ev = load(spark, sf_dir, "events")
+    day = (
+        F.datediff(F.col("ts").cast("date"), F.lit(_EPOCH).cast("date"))
+        .cast("bigint")
+        .alias("day")
+    )
+    du = ev.select(day, "user_id").distinct()
+    days = du.select("day").distinct().withColumnRenamed("day", "d")
+    return (
+        F.broadcast(days)
+        .join(du, (F.col("day") >= F.col("d") - 29) & (F.col("day") <= F.col("d")))
+        .groupBy(F.col("d").alias("day"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("day") == F.col("d"), F.col("user_id"))
+            )
+            .cast("bigint")
+            .alias("dau"),
+            F.countDistinct("user_id").cast("bigint").alias("mau"),
+        )
+    )

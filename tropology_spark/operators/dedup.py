@@ -78,7 +78,10 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def jaccard_pairs(
-    docs: DataFrame, block_width: int = 40, threshold: float = 0.5
+    docs: DataFrame,
+    block_width: int = 40,
+    threshold: float = 0.5,
+    include_sizes: bool = False,
 ) -> DataFrame:
     """Token-set Jaccard >= ``threshold`` over pairs sharing the same
     ``block_width``-char prefix.  The ratio is an exact integer
@@ -117,11 +120,14 @@ def jaccard_pairs(
     sa = siz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = siz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    out = ["doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard")]
+    if include_sizes:
+        out += [F.col("na"), F.col("nb")]
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= threshold)
-        .select("doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard"))
+        .select(*out)
     )
 
 
@@ -605,4 +611,92 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("precision"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M141 — per-document top-k most-similar neighbors (integer-ppm rank)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_topk_similar",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, substring(text, 1, 40) AS pfx,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    siz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM tok a
+      JOIN tok b ON a.token = b.token AND a.pfx = b.pfx AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b, n_common,
+             (1000000 * n_common) // (sa.n + sb.n - n_common) AS jaccard_ppm
+      FROM inter
+      JOIN siz sa ON doc_a = sa.doc_id
+      JOIN siz sb ON doc_b = sb.doc_id
+      WHERE 2 * n_common >= (sa.n + sb.n - n_common)
+    ),
+    und AS (
+      SELECT doc_a AS doc_id, doc_b AS neighbor_id, jaccard_ppm FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a, jaccard_ppm FROM pairs
+    )
+    SELECT doc_id, neighbor_id,
+           CAST(jaccard_ppm AS BIGINT) AS jaccard_ppm,
+           CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY jaccard_ppm DESC, neighbor_id) AS rn
+          FROM und) t
+    WHERE rn <= 3
+    """,
+)
+def dedup_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M141 — per-document top-3 most-similar neighbors over the J2
+    candidate graph, ranked by INTEGER-ppm Jaccard
+    ((10⁶·|∩|) // |∪| — no float carrier, unique neighbor-id
+    tie-break): the "which copy do I drop, and how close was it"
+    review table a dedup pipeline publishes next to its keep
+    decisions.  The >= 0.5 gate is applied as the exact integer
+    cross-multiplication 2·|∩| >= |∪|.
+
+    Scale: candidate generation is J2's prefix-blocked join (at 100 TB
+    swap in J3's LSH candidates — same downstream rank); the mirror is
+    a unionAll (no shuffle) and the top-3 is a per-key window over
+    each doc's candidates only."""
+    pairs = jaccard_pairs(
+        load(spark, sf_dir, "documents"), block_width=40, include_sizes=True
+    ).select(
+        "doc_a",
+        "doc_b",
+        (
+            (F.lit(1000000) * F.col("n_common"))
+            / (F.col("na") + F.col("nb") - F.col("n_common"))
+        )
+        .cast("bigint")
+        .alias("jaccard_ppm"),
+    )
+    und = pairs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("neighbor_id"),
+        "jaccard_ppm",
+    ).unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("neighbor_id"),
+            "jaccard_ppm",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard_ppm").desc(), F.col("neighbor_id")
+    )
+    return und.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rn") <= 3
     )

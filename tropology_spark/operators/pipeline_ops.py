@@ -2229,3 +2229,59 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.row_number().over(w).cast("bigint").alias("shuffle_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M142 — tokenizer fertility audit (tokens per character, per slice)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_token_fertility",
+    oracle="""
+    WITH d AS (
+      SELECT source, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST((1000000 * sum(n_tokens)) // sum(n_chars) AS BIGINT)
+             AS tokens_per_char_ppm
+    FROM d GROUP BY source, lang
+    """,
+)
+def pipeline_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M142 — tokenizer FERTILITY per (source, lang) slice: tokens and
+    characters summed exactly, plus the tokens-per-character ratio as
+    an integer ppm (single integer division — the M70 pair
+    discipline).  Fertility drift across corpus slices is the standard
+    pre-training audit for tokenizer fit (a slice whose fertility is
+    an outlier wastes context length or signals mis-identified
+    language); whitespace tokens here stand in for the M5/M30 BPE-ish
+    counting family.  Scale: one narrow projection computes both
+    per-doc integers without exploding tokens (len(split) — no
+    per-token rows at all), then a map-side-combinable agg on the tiny
+    (source, lang) key space."""
+    d = load(spark, sf_dir, "documents")
+    per = d.select(
+        "source",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return (
+        per.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .withColumn(
+            "tokens_per_char_ppm",
+            F.expr("(1000000 * n_tokens) div n_chars").cast("bigint"),
+        )
+    )

@@ -791,3 +791,90 @@ def sim_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("vec_id").cast("bigint").alias("first_vec"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M143 — ColBERT-style MaxSim late-interaction scoring
+# ---------------------------------------------------------------------------
+
+_MS_CHUNKS = 4
+_MS_CW = EMB_DIM // _MS_CHUNKS  # 16 dims per chunk
+
+
+@register(
+    "sim_maxsim_topk",
+    oracle=_EX_CTE
+    + f"""
+    , cx AS (
+      SELECT vec_id, (pos - 1) // {_MS_CW} AS ck, (pos - 1) % {_MS_CW} AS r, val
+      FROM ex
+    ),
+    cn AS (SELECT vec_id, ck, sqrt(sum(val * val)) AS n FROM cx GROUP BY 1, 2),
+    dp AS (
+      SELECT d.vec_id, q.ck AS qck, d.ck AS dck, sum(d.val * q.val) AS dp
+      FROM cx d JOIN cx q ON q.vec_id = {QUERY_VEC_ID} AND d.r = q.r
+      WHERE d.vec_id <> {QUERY_VEC_ID}
+      GROUP BY 1, 2, 3
+    ),
+    cm AS (
+      SELECT dp.vec_id, dp.qck,
+             CAST(round(dp.dp / (cq.n * cd.n) * 1000000) AS BIGINT) AS cos_micro
+      FROM dp
+      JOIN cn cq ON cq.vec_id = {QUERY_VEC_ID} AND cq.ck = dp.qck
+      JOIN cn cd ON cd.vec_id = dp.vec_id AND cd.ck = dp.dck
+    ),
+    mx AS (SELECT vec_id, qck, max(cos_micro) AS m FROM cm GROUP BY 1, 2),
+    sc AS (SELECT vec_id, CAST(sum(m) AS BIGINT) AS maxsim_micro
+           FROM mx GROUP BY vec_id)
+    SELECT vec_id, maxsim_micro
+    FROM sc ORDER BY maxsim_micro DESC, vec_id LIMIT 10
+    """,
+)
+def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M143 — late-interaction MaxSim scoring (the ColBERT retrieval
+    operator, Khattab & Zaharia SIGIR'20 — public algorithm): treating
+    each vector's {_MS_CHUNKS} contiguous {_MS_CW}-dim slices as its
+    "token embeddings", score(query, doc) = Σ over query chunks of the
+    MAX chunk-cosine against any doc chunk; top-10 docs by score.
+    Determinism: each chunk-cosine becomes an INTEGER (µ-units,
+    rounded once); max and sum over integers are order-free, and the
+    rank carries the unique vec_id tie-break — stricter than the
+    rounded-double convention the rest of the sim family uses.
+
+    Scale: the doc side explodes 1→{_MS_CHUNKS} chunk rows (narrow, no
+    shuffle); the query's chunk table is {_MS_CHUNKS} rows broadcast;
+    per doc the {_MS_CHUNKS}×{_MS_CHUNKS} interaction stays inside one
+    partition and reduces by two map-side-combinable aggs.  This is
+    the exact-rerank stage of a token-level retrieval pipeline — the
+    candidate pre-filter at 100 TB is IVF/LSH (M7/M90) over the
+    pooled vectors."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    chunks = e.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("emb"), i * _MS_CW + 1, _MS_CW)
+                    for i in range(_MS_CHUNKS)
+                ]
+            )
+        ).alias("ck", "arr"),
+    ).withColumn("n", norm(F.col("arr")))
+    q = chunks.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("ck").alias("qck"), F.col("arr").alias("qarr"), F.col("n").alias("qn")
+    )
+    d = chunks.filter(F.col("vec_id") != QUERY_VEC_ID)
+    cm = d.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "qck",
+        F.round(
+            dot(F.col("arr"), F.col("qarr")) / (F.col("n") * F.col("qn")) * 1000000
+        )
+        .cast("bigint")
+        .alias("cos_micro"),
+    )
+    mx = cm.groupBy("vec_id", "qck").agg(F.max("cos_micro").alias("m"))
+    sc = mx.groupBy("vec_id").agg(F.sum("m").cast("bigint").alias("maxsim_micro"))
+    return sc.orderBy(F.col("maxsim_micro").desc(), F.col("vec_id")).limit(10)
