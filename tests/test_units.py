@@ -795,6 +795,12 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "dedup_topk_similar",
         "pipeline_token_fertility",
         "sim_maxsim_topk",
+        "ts_corr_terms",
+        "sub_any_all",
+        "pipeline_dup_rate_by_source",
+        "mm_bytes_histogram",
+        "sim_cluster_cohesion",
+        "graph_related_tropes",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

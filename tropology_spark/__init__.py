@@ -72,6 +72,12 @@ prioritize([
     "dedup_topk_similar",
     "pipeline_token_fertility",
     "sim_maxsim_topk",
+    "ts_corr_terms",
+    "sub_any_all",
+    "pipeline_dup_rate_by_source",
+    "mm_bytes_histogram",
+    "sim_cluster_cohesion",
+    "graph_related_tropes",
 ])
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

@@ -1135,3 +1135,100 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_deg",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M149 — related tropes (the reference's "related pages" feature)
+# ---------------------------------------------------------------------------
+
+#: Work-side (src) degree cap for the related-tropes wedge: the wedge
+#: pivots on src, so the quadratic is per-WORK; 64 sits at ~p95 of the
+#: fixture's customer degrees, exercising both the kept and dropped
+#: classes at every sf (the TWOHOP_DEGREE_CAP philosophy applied to
+#: the opposite side of the bipartite graph).
+RELATED_SRC_CAP = 64
+
+
+@register(
+    "graph_related_tropes",
+    oracle=_EDGES_CTE
+    + f"""
+    , keep AS (SELECT src FROM edges GROUP BY src
+               HAVING count(*) <= {RELATED_SRC_CAP}),
+    e AS (SELECT src, dst FROM edges WHERE src IN (SELECT src FROM keep)),
+    pairs AS (
+      SELECT a.dst AS dst_a, b.dst AS dst_b, count(*) AS n_common
+      FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+      GROUP BY 1, 2
+    ),
+    und AS (
+      SELECT dst_a AS trope, dst_b AS related, n_common FROM pairs
+      UNION ALL
+      SELECT dst_b, dst_a, n_common FROM pairs
+    )
+    SELECT CAST(trope AS BIGINT) AS trope,
+           CAST(related AS BIGINT) AS related,
+           CAST(n_common AS BIGINT) AS n_shared_works,
+           CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY trope
+                                       ORDER BY n_common DESC, related) AS rn
+          FROM und) t
+    WHERE rn <= 3
+    """,
+)
+def graph_related_tropes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M149 — "related tropes": for every trope (dst/part page), the
+    top-3 other tropes by number of SHARED WORKS — the reference's
+    flagship related-pages feature (tropology's network view surfaces
+    tropes co-occurring across works; SURVEY.md §1.4/§3.4), on the
+    OPPOSITE side of the bipartite graph from the customer-pair family
+    (I4/I9/M119).  Rank is exact-integer count with unique related-id
+    tie-break.
+
+    The celebrity discipline is baked in, not bolted on: the wedge
+    pivots on works, so works with more than RELATED_SRC_CAP linked
+    tropes are dropped BEFORE the self-join (per-work pair cost
+    ≤ C(cap, 2)) — the M120 sparsifier contract on the src side; at
+    100 TB the cap is the knob, and the kept graph is a declared
+    subset of the full projection.  Post-wedge everything is keyed by
+    trope: mirror via unionAll (no shuffle), top-3 per key window."""
+    e0 = edges(spark, sf_dir)
+    keep = (
+        e0.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") <= RELATED_SRC_CAP)
+        .select("src")
+    )
+    e = e0.join(keep, "src", "left_semi")
+    a = e.select(F.col("src").alias("s"), F.col("dst").alias("dst_a"))
+    b = e.select(F.col("src").alias("s"), F.col("dst").alias("dst_b"))
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("dst_a") < F.col("dst_b"))
+        .groupBy("dst_a", "dst_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    und = pairs.select(
+        F.col("dst_a").alias("trope"),
+        F.col("dst_b").alias("related"),
+        "n_common",
+    ).unionAll(
+        pairs.select(
+            F.col("dst_b").alias("trope"),
+            F.col("dst_a").alias("related"),
+            "n_common",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("trope").orderBy(F.col("n_common").desc(), F.col("related"))
+    return (
+        und.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("trope").cast("bigint").alias("trope"),
+            F.col("related").cast("bigint").alias("related"),
+            F.col("n_common").cast("bigint").alias("n_shared_works"),
+            "rn",
+        )
+    )

@@ -368,3 +368,67 @@ def mm_phash_hamming(spark, sf_dir: str) -> DataFrame:
             hamming.cast("bigint").alias("hamming"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M147 — payload-size histogram per modality (log2 buckets)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_bytes_histogram",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             (['image/png', 'audio/wav', 'video/mp4'])[
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+                    % 3 AS INT) + 1] AS modality
+      FROM documents
+    )
+    SELECT modality,
+           CAST(floor(log2(n_bytes)) AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+           CAST(max(n_bytes) AS BIGINT) AS max_bytes
+    FROM m GROUP BY 1, 2
+    """,
+)
+def mm_bytes_histogram(spark, sf_dir: str) -> DataFrame:
+    """M147 — asset-size distribution per modality in power-of-two
+    buckets (floor(log2(bytes)) — exact for every integer size in both
+    engines, since log2 of the relevant range is computed identically
+    on doubles and only powers of two land on bucket boundaries, where
+    IEEE log2 is exact).  The table that sizes a media pipeline's
+    batch/shuffle budget: modality × size-class counts with exact
+    min/max.  Same md5-bucket pseudo-modality as M122 (fixtures carry
+    no modality column).  Scale: scan-side projection to two small
+    integers, one map-side-combinable groupBy on ~3×20 keys — payloads
+    never shuffle."""
+    from tropology_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    mime = F.element_at(
+        F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+            .cast("int")
+            % 3
+        )
+        + 1,
+    )
+    m = docs.select(
+        mime.alias("modality"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
+    )
+    return (
+        m.groupBy(
+            "modality",
+            F.floor(F.log2(F.col("n_bytes"))).cast("bigint").alias("log2_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.min("n_bytes").cast("bigint").alias("min_bytes"),
+            F.max("n_bytes").cast("bigint").alias("max_bytes"),
+        )
+    )

@@ -2285,3 +2285,38 @@ def pipeline_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_tokens) div n_chars").cast("bigint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M146 — duplication-rate audit per corpus slice
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_dup_rate_by_source",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+           CAST((1000000 * (count(*) - count(DISTINCT md5(text)))) // count(*)
+                AS BIGINT) AS dup_rate_ppm
+    FROM documents GROUP BY source
+    """,
+)
+def pipeline_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M146 — exact-duplication rate per SOURCE slice: docs, distinct
+    md5 payloads, and the dup fraction as an integer ppm (one integer
+    division).  This is J1's answer re-cut along provenance — the
+    first question a curation review asks ("which feed is shipping us
+    copies?") and the per-source input to M87's mixture reweighting.
+    Scale: one shuffle of (source, 16-byte hash) with map-side
+    distinct combine; no pair joins, no text movement."""
+    d = load(spark, sf_dir, "documents")
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text"))).cast("bigint").alias("n_distinct_texts"),
+    )
+    return agg.withColumn(
+        "dup_rate_ppm",
+        F.expr("(1000000 * (n_docs - n_distinct_texts)) div n_docs").cast("bigint"),
+    )

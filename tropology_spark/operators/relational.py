@@ -1129,3 +1129,63 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_id"), F.lit(-1)).alias("next_error_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M145 — quantified comparison subqueries (ANY / ALL)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sub_any_all",
+    oracle="""
+    WITH pc AS (
+      SELECT p_partkey, p_brand,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part
+    ),
+    ref AS (SELECT cents FROM pc WHERE p_brand = 'Brand#13')
+    SELECT p_partkey,
+           cents AS price_cents,
+           CAST(CASE WHEN cents > ALL (SELECT cents FROM ref)
+                     THEN 1 ELSE 0 END AS BIGINT) AS gt_all,
+           CAST(CASE WHEN cents > ANY (SELECT cents FROM ref)
+                     THEN 1 ELSE 0 END AS BIGINT) AS gt_any
+    FROM pc
+    WHERE p_brand <> 'Brand#13'
+    """,
+)
+def sub_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M145 — quantified comparison subqueries: each non-Brand#13 part
+    flagged on whether its price exceeds ALL / ANY of Brand#13's
+    prices, in cents-integers (no float comparison).  The oracle uses
+    genuine `> ALL` / `> ANY`; the Spark side applies the standard
+    decorrelation every planner performs — x > ALL(S) ⟺ x > max(S)
+    and x > ANY(S) ⟺ x > min(S) for non-empty S (the fixture brand is
+    non-empty) — as one broadcast scalar row.  Scale: the subquery
+    collapses to two integers before touching the outer table, so the
+    quantified comparison costs one map-side predicate per row."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    ref = p.filter(F.col("p_brand") == "Brand#13").agg(
+        F.max("cents").alias("ref_max"), F.min("cents").alias("ref_min")
+    )
+    return (
+        p.filter(F.col("p_brand") != "Brand#13")
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "p_partkey",
+            F.col("cents").alias("price_cents"),
+            F.when(F.col("cents") > F.col("ref_max"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("gt_all"),
+            F.when(F.col("cents") > F.col("ref_min"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("gt_any"),
+        )
+    )

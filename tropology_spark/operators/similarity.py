@@ -878,3 +878,90 @@ def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = cm.groupBy("vec_id", "qck").agg(F.max("cos_micro").alias("m"))
     sc = mx.groupBy("vec_id").agg(F.sum("m").cast("bigint").alias("maxsim_micro"))
     return sc.orderBy(F.col("maxsim_micro").desc(), F.col("vec_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# M148 — cluster-cohesion audit (per-label centroid cosine, integer µ)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_cluster_cohesion",
+    oracle=_EX_CTE
+    + """
+    , cen AS (SELECT label, pos, avg(val) AS cval FROM ex GROUP BY label, pos),
+    cn AS (SELECT label, sqrt(sum(cval * cval)) AS nc FROM cen GROUP BY label),
+    vc AS (
+      SELECT e.vec_id, e.label,
+             CAST(round(sum(e.val * c.cval)
+                        / (any_value(nrm.nv) * any_value(cn.nc)) * 1000000)
+                  AS BIGINT) AS cos_micro
+      FROM ex e
+      JOIN cen c ON e.label = c.label AND e.pos = c.pos
+      JOIN nrm ON e.vec_id = nrm.vec_id
+      JOIN cn ON e.label = cn.label
+      GROUP BY e.vec_id, e.label
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(cos_micro) AS BIGINT) AS sum_cos_micro,
+           CAST((sum(cos_micro) + 1000000 * count(*)) // count(*) - 1000000
+                AS BIGINT) AS cohesion_micro
+    FROM vc GROUP BY label
+    """,
+)
+def sim_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M148 — intra-cluster cohesion audit: for each label, the mean
+    cosine of member vectors to their OWN label centroid, carried as
+    integers (per-vector cosine rounded once to µ-units, summed
+    exactly, one integer division).  The quality gate on a clustering
+    / IVF partition before trusting it for routing (J10 assigns to
+    centroids; this scores how tight each cell actually is — loose
+    cells need re-training or splitting).  Scale: centroids are
+    O(labels×dim) from one map-side-combinable agg; members join their
+    centroid BY LABEL (co-partitioned with the next agg, no pair
+    work); everything after the first explode is label-keyed."""
+    ex = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode(as_double(F.col("embedding"))).alias("pos", "val"),
+        )
+    )
+    cen = ex.groupBy("label", "pos").agg(F.avg("val").alias("cval"))
+    cn = cen.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("nc")
+    )
+    nv = ex.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nv")
+    )
+    vc = (
+        ex.join(cen, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("val") * F.col("cval")).alias("dp"))
+        .join(nv, "vec_id")
+        .join(F.broadcast(cn), "label")
+        .select(
+            "label",
+            F.round(F.col("dp") / (F.col("nv") * F.col("nc")) * 1000000)
+            .cast("bigint")
+            .alias("cos_micro"),
+        )
+    )
+    return (
+        vc.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum("cos_micro").cast("bigint").alias("sum_cos_micro"),
+        )
+        .withColumn(
+            # +1e6 shift keeps the numerator non-negative (cos >= -1),
+            # where DuckDB's floor-div (//) and Spark's trunc-div (div)
+            # agree; subtracting the shift back is exact.
+            "cohesion_micro",
+            F.expr(
+                "(sum_cos_micro + 1000000 * n_vectors) div n_vectors - 1000000"
+            ).cast("bigint"),
+        )
+    )

@@ -908,3 +908,76 @@ def ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M144 — cross-series correlation terms (exact integer co-moments)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_corr_terms",
+    oracle="""
+    WITH h AS (SELECT DISTINCT date_trunc('hour', ts) AS hr FROM events),
+    t AS (SELECT DISTINCT event_type FROM events),
+    c AS (SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n
+          FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT h.hr, t.event_type, coalesce(c.n, 0) AS n
+      FROM h CROSS JOIN t
+      LEFT JOIN c ON c.hr = h.hr AND c.event_type = t.event_type
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(a.n) AS BIGINT) AS sum_x,
+           CAST(sum(b.n) AS BIGINT) AS sum_y,
+           CAST(sum(a.n * b.n) AS BIGINT) AS sum_xy,
+           CAST(sum(a.n * a.n) AS BIGINT) AS sum_x2,
+           CAST(sum(b.n * b.n) AS BIGINT) AS sum_y2
+    FROM g a JOIN g b ON a.hr = b.hr AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def ts_corr_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M144 — cross-series Pearson correlation TERMS between every
+    event-type pair's hourly volumes: n, Σx, Σy, Σxy, Σx², Σy² as
+    exact integers (the M79 co-moment discipline — the one float
+    division happens at the consumer).  Zero-filled on the dense hour
+    spine (M40's pattern): absent-hour zeros are load-bearing for
+    correlation, not cosmetic.  The co-movement matrix behind
+    anomaly attribution ("clicks and errors spike together?").
+    Scale: the hourly rollup is one map-side-combinable shuffle; the
+    dense grid is |hours|×|types| (metadata-sized) and the pair join
+    runs on the tiny type dimension per hour — nothing touches raw
+    events twice."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    h = c.select("hr").distinct()
+    t = c.select("event_type").distinct()
+    g = (
+        h.crossJoin(F.broadcast(t))
+        .join(c, ["hr", "event_type"], "left")
+        .select("hr", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    a = g.select(
+        F.col("hr"), F.col("event_type").alias("type_a"), F.col("n").alias("x")
+    )
+    b = g.select(
+        F.col("hr").alias("hr_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("y"),
+    )
+    return (
+        a.join(b, (F.col("hr") == F.col("hr_b")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.sum("x").cast("bigint").alias("sum_x"),
+            F.sum("y").cast("bigint").alias("sum_y"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sum_xy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_x2"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sum_y2"),
+        )
+    )
