@@ -801,6 +801,10 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "mm_bytes_histogram",
         "sim_cluster_cohesion",
         "graph_related_tropes",
+        "analytics_time_to_convert",
+        "sim_topk_l2",
+        "pipeline_split_leakage",
+        "analytics_activity_histogram",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -78,6 +78,10 @@ prioritize([
     "mm_bytes_histogram",
     "sim_cluster_cohesion",
     "graph_related_tropes",
+    "analytics_time_to_convert",
+    "sim_topk_l2",
+    "pipeline_split_leakage",
+    "analytics_activity_histogram",
 ])
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

@@ -695,3 +695,106 @@ def analytics_stickiness_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("bigint").alias("mau"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M150 — time-to-convert distribution (signup → first purchase)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_time_to_convert",
+    oracle="""
+    WITH s AS (SELECT user_id, min(ts) AS t_signup FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN s ON s.user_id = e.user_id AND e.ts > s.t_signup
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+    d AS (SELECT s.user_id,
+                 CAST(floor(epoch(p.t_purchase)) - floor(epoch(s.t_signup))
+                      AS BIGINT) AS sec
+          FROM s JOIN p ON s.user_id = p.user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(sec) AS BIGINT) AS min_sec,
+           round(median(sec), 4) AS p50_sec,
+           round(quantile_cont(sec, 0.9), 4) AS p90_sec,
+           CAST(max(sec) AS BIGINT) AS max_sec
+    FROM d
+    """,
+)
+def analytics_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M150 — conversion-latency distribution: per user, seconds from
+    first signup to first STRICTLY LATER purchase (M51's step-ordering
+    rule), summarized as count / min / interpolated p50+p90 / max.
+    Timestamps truncate to epoch seconds before differencing (the M57
+    integer discipline); the two quantiles follow M11's proven
+    convention (both engines interpolate at (n-1)·q, 4-dp rounding
+    absorbs last-ulp drift).  Scale: two conditional per-user min
+    aggregates on the user-partitioned stream, then one scalar
+    aggregate over O(users) rows — the funnel plan plus a quantile."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    d = s.join(p, "user_id").select(
+        (
+            F.floor(F.unix_timestamp("t_purchase"))
+            - F.floor(F.unix_timestamp("t_signup"))
+        )
+        .cast("bigint")
+        .alias("sec")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.min("sec").cast("bigint").alias("min_sec"),
+        F.round(F.median("sec"), 4).alias("p50_sec"),
+        F.round(F.percentile("sec", 0.9), 4).alias("p90_sec"),
+        F.max("sec").cast("bigint").alias("max_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M153 — user-activity histogram (power-law audit for the events stream)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_activity_histogram",
+    oracle="""
+    WITH a AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+    SELECT CAST(floor(log2(n)) AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(n) AS BIGINT) AS min_events,
+           CAST(max(n) AS BIGINT) AS max_events,
+           CAST(sum(n) AS BIGINT) AS sum_events
+    FROM a GROUP BY 1
+    """,
+)
+def analytics_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M153 — per-user activity distribution in power-of-two buckets
+    (M114's degree-histogram audit applied to the events stream): the
+    skew table that decides whether user-keyed jobs need salting
+    (M89) or a celebrity split (M119's cap philosophy) before scaling.
+    floor(log2) on exact integer counts is engine-identical (powers of
+    two are exact in IEEE log2).  Scale: one user-keyed count with
+    map-side combine, then a ~20-key rollup."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        a.groupBy(F.floor(F.log2(F.col("n"))).cast("bigint").alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.min("n").cast("bigint").alias("min_events"),
+            F.max("n").cast("bigint").alias("max_events"),
+            F.sum("n").cast("bigint").alias("sum_events"),
+        )
+    )

@@ -2320,3 +2320,95 @@ def pipeline_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_rate_ppm",
         F.expr("(1000000 * (n_docs - n_distinct_texts)) div n_docs").cast("bigint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M152 — train/val/test near-dup leakage audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_split_leakage",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, substring(text, 1, 40) AS pfx,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    siz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM tok a
+      JOIN tok b ON a.token = b.token AND a.pfx = b.pfx AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN siz sa ON doc_a = sa.doc_id
+      JOIN siz sb ON doc_b = sb.doc_id
+      WHERE 2 * n_common >= (sa.n + sb.n - n_common)
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+                       % 10 < 8 THEN 'train'
+                  WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+                       % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT least(pa.split, pb.split) AS split_a,
+           greatest(pa.split, pb.split) AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN pa.split = pb.split THEN 0 ELSE 1 END AS BIGINT)
+             AS is_leak
+    FROM pairs
+    JOIN sp pa ON pairs.doc_a = pa.doc_id
+    JOIN sp pb ON pairs.doc_b = pb.doc_id
+    GROUP BY 1, 2, 4
+    """,
+)
+def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M152 — near-dup LEAKAGE across train/val/test: every J2
+    candidate pair (the >= 0.5 gate as the exact 2·|∩| >= |∪|
+    cross-multiplication) labeled with its endpoints' M26 hash-bucket
+    splits, rolled up per unordered split pair with an is_leak flag.
+    A val/test doc whose near-duplicate sits in train silently
+    inflates eval — this is the audit GPT-class pipelines run before
+    trusting a benchmark number, composed from the SAME split
+    expression M26 ships and the SAME pair generator J2/M53 use (no
+    drift possible between audit and pipeline).  Scale: pair
+    generation is the J2/LSH path; the split join is two broadcastable
+    md5 lookups and the rollup has at most 6 rows."""
+    from tropology_spark.operators.dedup import jaccard_pairs_materialized
+
+    pairs = jaccard_pairs_materialized(spark, sf_dir, block_width=40)
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int")
+        % 10
+    )
+    sp = d.select(
+        "doc_id",
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    pa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sp_a"))
+    pb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sp_b"))
+    return (
+        pairs.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .groupBy(
+            F.least("sp_a", "sp_b").alias("split_a"),
+            F.greatest("sp_a", "sp_b").alias("split_b"),
+            F.when(F.col("sp_a") == F.col("sp_b"), 0)
+            .otherwise(1)
+            .cast("bigint")
+            .alias("is_leak"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select("split_a", "split_b", "n_pairs", "is_leak")
+    )

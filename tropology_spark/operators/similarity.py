@@ -965,3 +965,58 @@ def sim_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M151 — L2-distance top-k (the metric twin of J8's cosine)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_topk_l2",
+    oracle=_EX_CTE
+    + f"""
+    , q AS (SELECT pos, val FROM ex WHERE vec_id = {QUERY_VEC_ID}),
+    d AS (SELECT e.vec_id,
+                 CAST(round(sum((e.val - q.val) * (e.val - q.val)) * 1000000)
+                      AS BIGINT) AS d2_micro
+          FROM ex e JOIN q ON e.pos = q.pos
+          WHERE e.vec_id <> {QUERY_VEC_ID}
+          GROUP BY e.vec_id)
+    SELECT vec_id, d2_micro
+    FROM d ORDER BY d2_micro, vec_id LIMIT 10
+    """,
+)
+def sim_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M151 — brute-force SQUARED-L2 top-10 for one query vector: the
+    metric twin of J8's cosine (embeddings trained with L2 objectives
+    rank differently from cosine unless normalized — a retrieval
+    engine must offer both).  The squared distance becomes one integer
+    (µ-units, rounded once; sums of 64 exact fp64 squares drift ~1e-14,
+    far inside the bucket), ranked ascending with the unique vec_id
+    tie-break — no sqrt, which preserves order and exactness.
+    Scale: identical plan to J8 — query row broadcast, corpus scanned
+    once, per-row array fold, global top-10; the ANN pre-filter at
+    100 TB is the same IVF/LSH family re-keyed for L2 (cell metric
+    changes, plan shape does not)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("qemb")
+    )
+    diff2 = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("qemb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(diff2 * 1000000).cast("bigint").alias("d2_micro"),
+        )
+        .orderBy("d2_micro", "vec_id")
+        .limit(10)
+    )
