@@ -805,6 +805,10 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "sim_topk_l2",
         "pipeline_split_leakage",
         "analytics_activity_histogram",
+        "topk_with_ties",
+        "ts_peak_hours",
+        "fn_date_intervals",
+        "analytics_rfm_segments",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

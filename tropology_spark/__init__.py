@@ -82,6 +82,10 @@ prioritize([
     "sim_topk_l2",
     "pipeline_split_leakage",
     "analytics_activity_histogram",
+    "topk_with_ties",
+    "ts_peak_hours",
+    "fn_date_intervals",
+    "analytics_rfm_segments",
 ])
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

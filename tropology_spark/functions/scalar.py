@@ -513,3 +513,43 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.try_multiply(F.col("cents"), F.lit(_TRY_MULT).cast("bigint")).alias("safe_mul"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M156 — calendar-interval surface (months, quarters, ISO weekdays)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_date_intervals",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3_months,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+           CAST(isodow(o_orderdate) AS BIGINT) AS iso_weekday,
+           CAST(CASE WHEN isodow(o_orderdate) >= 6 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_weekend
+    FROM orders
+    """,
+)
+def fn_date_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M156 — CALENDAR interval surface, complementing H4's day-based
+    arithmetic: month addition (calendar-aware: Jan 31 + 3 months
+    clamps to Apr 30 in both engines), last-day-of-month, quarter, and
+    ISO weekday (Mon=1..Sun=7 — Spark's dayofweek is Sun=1, so the
+    declared column pins the ISO convention via weekday()+1).  The
+    month/quarter keys are what partitioned-retention and fiscal
+    rollups bucket by; clamping differences between engines is exactly
+    the class of bug this row pins.  Scale: pure per-row projection —
+    whole-stage codegen, no shuffle."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3_months"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.quarter(d).cast("bigint").alias("order_quarter"),
+        (F.weekday(d) + 1).cast("bigint").alias("iso_weekday"),
+        F.when(F.weekday(d) + 1 >= 6, 1).otherwise(0).cast("bigint").alias("is_weekend"),
+    )

@@ -798,3 +798,91 @@ def analytics_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("bigint").alias("sum_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M157 — RFM segmentation (recency / frequency / monetary quartiles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS t_ref FROM events),
+    u AS (
+      SELECT user_id,
+             CAST(floor(epoch((SELECT t_ref FROM mx))) - floor(epoch(max(ts)))
+                  AS BIGINT) AS recency_sec,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 1000000.0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS monetary_micros
+      FROM events GROUP BY user_id
+    ),
+    q AS (
+      SELECT user_id,
+             ntile(4) OVER (ORDER BY recency_sec, user_id) AS r_quartile,
+             ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_quartile,
+             ntile(4) OVER (ORDER BY monetary_micros DESC, user_id) AS m_quartile
+      FROM u
+    )
+    SELECT CAST(r_quartile AS BIGINT) AS r_quartile,
+           CAST(f_quartile AS BIGINT) AS f_quartile,
+           CAST(m_quartile AS BIGINT) AS m_quartile,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM q GROUP BY 1, 2, 3
+    """,
+)
+def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M157 — RFM segmentation: per user, recency (seconds before the
+    corpus max timestamp, integer-truncated), frequency (events), and
+    monetary (purchase micros, exact) → quartile each with ntile over
+    a UNIQUE ordering (metric + user_id tie-break, the E5/M133 ntile
+    discipline — partitioning can never flip an assignment) → user
+    counts per (R,F,M) cell.  The classic growth-marketing cut, and a
+    deliberate stress of three ntiles over different orderings of one
+    frame.  Scale: one user-keyed agg (map-side combine), then three
+    global sorts of the O(users) summary — at 100 TB those become
+    range-partitioned sorts of a table thousands of times smaller
+    than the events stream; the reference timestamp is a broadcast
+    scalar, not a driver collect."""
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("t_ref"))
+    u = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.floor(F.unix_timestamp(F.first("t_ref")))
+                - F.floor(F.unix_timestamp(F.max("ts")))
+            )
+            .cast("bigint")
+            .alias("recency_sec"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 1000000.0).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("bigint")
+            .alias("monetary_micros"),
+        )
+    )
+    q = u.select(
+        "user_id",
+        F.ntile(4)
+        .over(Window.orderBy("recency_sec", "user_id"))
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary_micros").desc(), "user_id"))
+        .alias("m_quartile"),
+    )
+    return q.groupBy(
+        F.col("r_quartile").cast("bigint").alias("r_quartile"),
+        F.col("f_quartile").cast("bigint").alias("f_quartile"),
+        F.col("m_quartile").cast("bigint").alias("m_quartile"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))

@@ -981,3 +981,71 @@ def ts_corr_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sum_y2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M155 — strict local peaks in the hourly series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_peak_hours",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type, hr, n,
+             lag(n) OVER w AS prev_n,
+             lead(n) OVER w AS next_n
+      FROM c WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+    )
+    SELECT event_type,
+           {sql_ts_str('hr')} AS hour,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(prev_n AS BIGINT) AS prev_n,
+           CAST(next_n AS BIGINT) AS next_n
+    FROM x
+    WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+      AND n > prev_n AND n > next_n
+    """,
+)
+def ts_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M155 — STRICT local maxima of each event type's hourly volume
+    (n > both neighbors in bucket order; series endpoints excluded):
+    the peak-detection primitive under alerting and capacity review,
+    complementing M68's deviation top-k (global outliers) with local
+    shape.  All integers; the bucket sequence orders uniquely so
+    lag/lead are deterministic.  NOTE the gap semantics, pinned by the
+    oracle: neighbors are adjacent OBSERVED buckets, not wall-clock
+    hours — compose with M40's gap-fill when empty hours should count
+    as zero-valued neighbors.  Scale: one map-side-combinable rollup,
+    then lag/lead inside each type's partition — no self-join."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    x = c.select(
+        "event_type",
+        "hr",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+    )
+    return (
+        x.filter(
+            F.col("prev_n").isNotNull()
+            & F.col("next_n").isNotNull()
+            & (F.col("n") > F.col("prev_n"))
+            & (F.col("n") > F.col("next_n"))
+        )
+        .select(
+            "event_type",
+            ts_str(F.col("hr")).alias("hour"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("prev_n").cast("bigint").alias("prev_n"),
+            F.col("next_n").cast("bigint").alias("next_n"),
+        )
+    )

@@ -316,3 +316,42 @@ def win_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(
         "o_orderpriority", "o_orderkey", "cents", "cum_cents", abc.alias("abc_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# M154 — top-k WITH TIES (rank-based cut, the WITH TIES SQL surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_with_ties",
+    oracle="""
+    WITH c AS (
+      SELECT p_brand, p_type,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY p_brand, p_type
+    )
+    SELECT p_brand, p_type, n_parts, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, rank() OVER (PARTITION BY p_brand
+                                 ORDER BY n_parts DESC) AS rnk
+          FROM c) t
+    WHERE rnk <= 2
+    """,
+)
+def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M154 — per-group top-k WITH TIES: the FETCH FIRST k WITH TIES /
+    rank()-cut semantics, deliberately DISTINCT from E7's row_number
+    cut — here every part type tied at the boundary count survives, so
+    the result set is value-determined (no tie-break needed, and none
+    is used: equal counts are genuinely equal rows).  Emitting the
+    rank itself keeps the tie structure visible and the hash exact.
+    Scale: count rollup with map-side combine, then a per-brand rank
+    over the few part types each brand has."""
+    p = load(spark, sf_dir, "part")
+    c = p.groupBy("p_brand", "p_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts")
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("n_parts").desc())
+    return c.withColumn("rnk", F.rank().over(w).cast("bigint")).filter(
+        F.col("rnk") <= 2
+    )
