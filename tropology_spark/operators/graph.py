@@ -1191,8 +1191,17 @@ def graph_related_tropes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ C(cap, 2)) — the M120 sparsifier contract on the src side; at
     100 TB the cap is the knob, and the kept graph is a declared
     subset of the full projection.  Post-wedge everything is keyed by
-    trope: mirror via unionAll (no shuffle), top-3 per key window."""
-    e0 = edges(spark, sf_dir)
+    trope: mirror via unionAll (no shuffle), top-3 per key window.
+
+    Plan: the base edge list comes from the SESSION-SHARED
+    materialized view and the half pair table is checkpointed before
+    the mirror (the _copair_build store-half/mirror-lazy pattern) —
+    without both, the wedge's two aliases and the union's two branches
+    each re-derive orders⋈lineitem (Spark does not reuse aliased
+    subplans; 54 exchanges measured vs 7 after)."""
+    from tropology_spark.sources.tables import edges_materialized
+
+    e0 = edges_materialized(spark, sf_dir)
     keep = (
         e0.groupBy("src")
         .agg(F.count(F.lit(1)).alias("d"))
@@ -1207,6 +1216,7 @@ def graph_related_tropes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dst_a") < F.col("dst_b"))
         .groupBy("dst_a", "dst_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
+        .localCheckpoint(eager=True)
     )
     und = pairs.select(
         F.col("dst_a").alias("trope"),
