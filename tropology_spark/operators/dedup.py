@@ -669,6 +669,9 @@ def dedup_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap in J3's LSH candidates — same downstream rank); the mirror is
     a unionAll (no shuffle) and the top-3 is a per-key window over
     each doc's candidates only."""
+    # Checkpoint the half pair table before the mirror: both unionAll
+    # branches would otherwise re-run the J2 token self-join (the
+    # store-half/mirror-lazy rule, graph.py::_copair_build).
     pairs = jaccard_pairs(
         load(spark, sf_dir, "documents"), block_width=40, include_sizes=True
     ).select(
@@ -680,7 +683,7 @@ def dedup_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("jaccard_ppm"),
-    )
+    ).localCheckpoint(eager=True)
     und = pairs.select(
         F.col("doc_a").alias("doc_id"),
         F.col("doc_b").alias("neighbor_id"),
