@@ -809,6 +809,9 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "ts_peak_hours",
         "fn_date_intervals",
         "analytics_rfm_segments",
+        "join_asof_nearest",
+        "fn_hash_sha2",
+        "sim_batch_topk",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -86,6 +86,9 @@ prioritize([
     "ts_peak_hours",
     "fn_date_intervals",
     "analytics_rfm_segments",
+    "join_asof_nearest",
+    "fn_hash_sha2",
+    "sim_batch_topk",
 ])
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

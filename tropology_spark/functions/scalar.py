@@ -553,3 +553,38 @@ def fn_date_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.weekday(d) + 1).cast("bigint").alias("iso_weekday"),
         F.when(F.weekday(d) + 1 >= 6, 1).otherwise(0).cast("bigint").alias("is_weekend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M159 — SHA-2 hash surface (the content-addressing complement of H9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_hash_sha2",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS sha256_hex,
+           CAST(('0x' || substring(sha256(text), 1, 8))::BIGINT % 1024 AS BIGINT)
+             AS shard_1024
+    FROM documents
+    """,
+)
+def fn_hash_sha2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M159 — SHA-256 content addressing: the collision-resistant
+    complement of H9's md5 (dedup keys and provenance records use
+    sha256 where adversarial collisions matter — md5's are practical,
+    sha256's are not), plus the standard hex-prefix shard key
+    (mod 1024) used to lay out content-addressed stores.  Both engines
+    emit lowercase hex; the shard derivation is the J3 integer-parse
+    discipline on the first 8 hex chars.  Scale: pure per-row
+    projection, whole-stage codegen."""
+    d = load(spark, sf_dir, "documents")
+    sha = F.sha2(F.col("text"), 256)
+    return d.select(
+        "doc_id",
+        sha.alias("sha256_hex"),
+        (F.conv(F.substring(sha, 1, 8), 16, 10).cast("bigint") % 1024)
+        .cast("bigint")
+        .alias("shard_1024"),
+    )

@@ -1189,3 +1189,83 @@ def sub_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gt_any"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M158 — nearest-event as-of join (bidirectional, bounded)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof_nearest",
+    oracle=f"""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT * FROM events WHERE event_type = 'view'),
+         j AS (SELECT p.event_id AS purchase_id, p.user_id,
+                      v.event_id AS v_id,
+                      abs(floor(epoch(v.ts)) - floor(epoch(p.ts))) AS gap,
+                      v.ts AS v_ts,
+                      row_number() OVER (
+                        PARTITION BY p.event_id
+                        ORDER BY abs(floor(epoch(v.ts)) - floor(epoch(p.ts)))
+                                   NULLS LAST,
+                                 v.ts NULLS LAST, v.event_id NULLS LAST
+                      ) AS rn
+               FROM p LEFT JOIN v
+                 ON p.user_id = v.user_id
+                AND v.ts >= p.ts - INTERVAL 1 HOUR
+                AND v.ts <= p.ts + INTERVAL 1 HOUR)
+    SELECT purchase_id, user_id,
+           CAST(coalesce(gap, -1) AS BIGINT) AS gap_sec,
+           CAST(coalesce(v_id, -1) AS BIGINT) AS nearest_view_id
+    FROM j WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M158 — NEAREST-event as-of join, completing the as-of family
+    (C9 backward, M131 forward): for each purchase, the view by the
+    same user closest in time within ±1 hour, either direction; ties
+    on the integer-second gap break to the earlier view then event_id.
+    Unmatched purchases survive with -1 sentinels (C9's convention).
+
+    Scale: the equi key (user) carries the join; the ±1 h bound is the
+    state-expiry contract (same reasoning as K8's interval join) and
+    keeps the probe range-prunable — an unbounded nearest-neighbor
+    join cannot expire anything.  The per-purchase rank runs over only
+    that purchase's in-window candidates."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    gap = F.abs(
+        F.floor(F.unix_timestamp("v_ts")) - F.floor(F.unix_timestamp("p_ts"))
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        gap.asc_nulls_last(),
+        F.col("v_ts").asc_nulls_last(),
+        F.col("v_id").asc_nulls_last(),
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.coalesce(gap, F.lit(-1)).cast("bigint").alias("gap_sec"),
+            F.coalesce(F.col("v_id"), F.lit(-1)).cast("bigint").alias("nearest_view_id"),
+        )
+    )

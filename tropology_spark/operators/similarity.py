@@ -1020,3 +1020,63 @@ def sim_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d2_micro", "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# M160 — batched multi-query top-k (the serving-path retrieval shape)
+# ---------------------------------------------------------------------------
+
+_BATCH_Q = 10
+
+
+@register(
+    "sim_batch_topk",
+    oracle=_EX_CTE
+    + f"""
+    , q AS (SELECT vec_id AS qid, pos, val FROM ex WHERE vec_id < {_BATCH_Q}),
+    d AS (SELECT q.qid, e.vec_id, sum(e.val * q.val) AS dp
+          FROM ex e JOIN q ON e.pos = q.pos
+          WHERE e.vec_id >= {_BATCH_Q}
+          GROUP BY q.qid, e.vec_id),
+    cos AS (
+      SELECT d.qid, d.vec_id,
+             round(d.dp / (ne.nv * nq.nv), 6) AS cosine
+      FROM d
+      JOIN nrm ne ON d.vec_id = ne.vec_id
+      JOIN nrm nq ON d.qid = nq.vec_id
+    )
+    SELECT qid, vec_id, cosine, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cosine DESC, vec_id) AS rn
+          FROM cos) t
+    WHERE rn <= 3
+    """,
+)
+def sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M160 — BATCHED top-k retrieval: {_BATCH_Q} query vectors scored
+    against the corpus in ONE pass, top-3 each — the serving-path
+    shape (queries arrive in batches; re-scanning the corpus per query
+    multiplies cost by batch size).  Same 6-dp-rounded cosine + unique
+    tie-break discipline as J8.  Scale: the query batch broadcasts
+    (batch × dim doubles — tiny); the corpus scans once with a
+    {_BATCH_Q}× in-partition fan-out, and the per-query rank
+    partitions by qid — corpus never re-shuffles.  At 100 TB the same
+    plan runs after an IVF/LSH candidate pre-filter per query."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("emb")
+    ).withColumn("nv", norm(F.col("emb")))
+    q = e.filter(F.col("vec_id") < _BATCH_Q).select(
+        F.col("vec_id").alias("qid"),
+        F.col("emb").alias("qemb"),
+        F.col("nv").alias("qn"),
+    )
+    cos = F.round(dot(F.col("emb"), F.col("qemb")) / (F.col("nv") * F.col("qn")), 6)
+    scored = (
+        e.filter(F.col("vec_id") >= _BATCH_Q)
+        .crossJoin(F.broadcast(q))
+        .select("qid", "vec_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rn") <= 3
+    )
