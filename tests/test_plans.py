@@ -292,3 +292,41 @@ def test_twohop_capped_anti_joins_hot_dsts_before_wedge(spark):
     plan = plan_of(result)
     assert "LeftAnti" in plan  # hot dsts excluded before the pair join
     assert "BroadcastHashJoin" in plan  # small hot side broadcast locally
+
+
+def test_batch_topk_broadcasts_query_batch(spark):
+    """M160 — the query batch must broadcast (corpus scans once, never
+    re-shuffles for the batch fan-out)."""
+    plan = plan_of(QUERIES["sim_batch_topk"](spark, SF_UNIT))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_maxsim_broadcasts_chunk_table(spark):
+    """M143 — the 4-row query-chunk table must broadcast against the
+    doc-chunk stream."""
+    plan = plan_of(QUERIES["sim_maxsim_topk"](spark, SF_UNIT))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_related_tropes_wedge_materialized_once(spark):
+    """M149 — after the store-half/mirror-lazy fix the final plan reads
+    the checkpointed pair table from both union branches instead of
+    re-deriving orders⋈lineitem per branch (54 exchanges before, 2
+    after; allow headroom for AQE variation)."""
+    from tropology_spark.sources.tables import clear_session_caches
+
+    clear_session_caches()
+    try:
+        plan = plan_of(QUERIES["graph_related_tropes"](spark, SF_UNIT))
+        assert plan.count("Exchange") <= 6, plan.count("Exchange")
+        assert "Scan ExistingRDD" in plan  # the checkpointed half table
+    finally:
+        clear_session_caches()
+
+
+def test_stickiness_single_events_reduction(spark):
+    """M140 — both sliding DISTINCT widths must come from ONE distinct
+    (day, user) reduction of the events scan (the day spine broadcasts
+    onto it), not two scans."""
+    plan = plan_of(QUERIES["analytics_stickiness_terms"](spark, SF_UNIT), "simple")
+    assert plan.count("Scan parquet") <= 2  # events + (day-spine derivation)
