@@ -958,3 +958,64 @@ def test_checkpoint_dir_swap(spark, tmp_path, monkeypatch):
     # the reliable path really wrote checkpoint data
     found = [f for root, _d, fs in os.walk(ckdir) for f in fs]
     assert found, "no RDD checkpoint files written under TROPOLOGY_CHECKPOINT_DIR"
+
+
+def test_kmv_intersect_tracks_exact_overlap(spark):
+    """M138 — for every event-type pair, the KMV estimate must be
+    EXACT when the union has fewer than k distinct hashes and within
+    the ~5/√k relative band otherwise (the D4 bound, pair form),
+    against an independent Python set computation."""
+    import math
+
+    from tropology_spark.operators.aggregates import _KMVX_K
+    from tropology_spark.sources.tables import load
+
+    rows = load(spark, SF_UNIT, "events").select("event_type", "user_id").collect()
+    users: dict[str, set] = {}
+    for r in rows:
+        users.setdefault(r["event_type"], set()).add(r["user_id"])
+    got = {
+        (r["type_a"], r["type_b"]): r["approx_common_users"]
+        for r in QUERIES["agg_kmv_intersect"](spark, SF_UNIT).collect()
+    }
+    assert got, "fixture should have >= 2 event types"
+    for (a, b), est in got.items():
+        true = len(users[a] & users[b])
+        union = len(users[a] | users[b])
+        if union < _KMVX_K:
+            assert est == true, (a, b, est, true)
+        elif true > 0:
+            assert abs(est - true) / true <= 5 / math.sqrt(_KMVX_K) + 0.5, (
+                a, b, est, true,
+            )
+
+
+def test_maxsim_matches_numpy(spark):
+    """M143 — sim_maxsim_topk equals an independent NumPy
+    implementation of chunked MaxSim (same µ-int rounding) on the same
+    vectors, including the rank order."""
+    import numpy as np
+
+    from tropology_spark.operators.similarity import (
+        _MS_CHUNKS, _MS_CW, QUERY_VEC_ID,
+    )
+    from tropology_spark.sources.tables import load
+
+    rows = load(spark, SF_UNIT, "embeddings").select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    q = vecs[QUERY_VEC_ID].reshape(_MS_CHUNKS, _MS_CW)
+    qn = np.linalg.norm(q, axis=1)
+    scores = {}
+    for vid, v in vecs.items():
+        if vid == QUERY_VEC_ID:
+            continue
+        d = v.reshape(_MS_CHUNKS, _MS_CW)
+        dn = np.linalg.norm(d, axis=1)
+        cm = np.round((q @ d.T) / np.outer(qn, dn) * 1e6).astype(np.int64)
+        scores[vid] = int(cm.max(axis=1).sum())
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["vec_id"], r["maxsim_micro"])
+        for r in QUERIES["sim_maxsim_topk"](spark, SF_UNIT).collect()
+    ]
+    assert got == want
