@@ -812,6 +812,10 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "join_asof_nearest",
         "fn_hash_sha2",
         "sim_batch_topk",
+        "agg_kmv_audit",
+        "pipeline_length_profile",
+        "ts_session_revenue",
+        "text_token_rank_score",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -89,6 +89,10 @@ prioritize([
     "join_asof_nearest",
     "fn_hash_sha2",
     "sim_batch_topk",
+    "agg_kmv_audit",
+    "pipeline_length_profile",
+    "ts_session_revenue",
+    "text_token_rank_score",
 ])
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

@@ -774,3 +774,74 @@ def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("approx_common_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M161 — exact-vs-KMV audit (the sketch's own trust table)
+# ---------------------------------------------------------------------------
+
+# The REAL D4 constant, not a copy: the audit's oracle must recompute
+# the exact estimator D4 ships (the dedup_lsh_recall single-source
+# rule).  Mid-module import is safe — relational.py does not import
+# this module.
+from tropology_spark.operators.relational import _KMV_K  # noqa: E402
+
+
+@register(
+    "agg_kmv_audit",
+    oracle=f"""
+    WITH ex AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY event_type
+    ),
+    h AS (SELECT DISTINCT event_type,
+                 ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+          FROM events),
+    r AS (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM h),
+    p AS (SELECT event_type, count(*) AS n_h,
+                 max(CASE WHEN rn = {_KMV_K} THEN h END) AS mk
+          FROM r GROUP BY event_type),
+    est AS (
+      SELECT event_type,
+             CAST(CASE WHEN n_h >= {_KMV_K}
+                       THEN ({_KMV_K - 1} * 4294967296) // (mk + 1)
+                       ELSE n_h END AS BIGINT) AS approx_users
+      FROM p
+    )
+    SELECT ex.event_type, ex.exact_users, est.approx_users,
+           CAST((1000000 * abs(est.approx_users - ex.exact_users))
+                // ex.exact_users AS BIGINT) AS err_ppm
+    FROM ex JOIN est ON ex.event_type = est.event_type
+    """,
+)
+def agg_kmv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M161 — the KMV sketch's own trust table: exact distinct count
+    (D3's plan) and the D4 KMV estimate side-by-side per group, with
+    the relative error as an integer ppm.  The M112/M126 audit
+    discipline applied to the cardinality sketch — at 100 TB the exact
+    side runs on a sampled slice while the sketch runs everywhere, and
+    this query is the agreement check that justifies trusting the
+    sketch's numbers in dashboards.  Composes the two REGISTERED
+    queries so audit and production cannot drift."""
+    from tropology_spark.registry import QUERIES
+
+    ex = (
+        QUERIES["agg_count_distinct"](spark, sf_dir)
+        .select("event_type", F.col("n_users").cast("bigint").alias("exact_users"))
+    )
+    est = QUERIES["agg_approx_distinct"](spark, sf_dir)
+    return (
+        ex.join(est, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "approx_users",
+            F.expr(
+                "(1000000 * abs(approx_users - exact_users)) div exact_users"
+            )
+            .cast("bigint")
+            .alias("err_ppm"),
+        )
+    )

@@ -2412,3 +2412,40 @@ def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
         .select("split_a", "split_b", "n_pairs", "is_leak")
     )
+
+
+# ---------------------------------------------------------------------------
+# M162 — document-length profile per language slice
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_length_profile",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           round(median(n_chars), 4) AS p50_chars,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def pipeline_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M162 — per-language document-length profile (count, min,
+    interpolated p50/p90 per the proven M11 convention, max): the
+    first slide of any curation review, and the input that sets M44's
+    length gates per language instead of globally (CJK languages pack
+    ~3× the information per character — one global gate is wrong
+    somewhere).  Scale: one map-side-combinable agg per language;
+    percentiles of integer lengths via the built-in exact percentile,
+    which at 100 TB becomes approx_percentile with a declared error —
+    this exact form is that path's oracle reference."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.round(F.median("n_chars"), 4).alias("p50_chars"),
+        F.round(F.percentile("n_chars", 0.9), 4).alias("p90_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )

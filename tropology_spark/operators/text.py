@@ -777,3 +777,60 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_flag(f_dup).alias("flag_dup"),
         as_flag(f_nwords & f_meanlen & f_alpha & f_dup).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M164 — token-rank commonness score (unigram-LM proxy, exact integers)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_rank_score",
+    oracle="""
+    WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents),
+    vocab AS (SELECT token, count(*) AS freq FROM tk GROUP BY token),
+    rk AS (SELECT token,
+                  row_number() OVER (ORDER BY freq DESC, token) AS rank
+           FROM vocab),
+    per AS (SELECT tk.doc_id, count(*) AS n_tokens, sum(rk.rank) AS sum_rank
+            FROM tk JOIN rk USING (token) GROUP BY tk.doc_id)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum_rank AS BIGINT) AS sum_rank,
+           CAST((100 * sum_rank) // n_tokens AS BIGINT) AS mean_rank_x100
+    FROM per
+    """,
+)
+def text_token_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M164 — per-document mean corpus-frequency RANK of its tokens
+    (rank 1 = most common; unique token tie-break), an exact-integer
+    proxy for unigram-LM surprisal: documents full of rare tokens
+    score high and are candidates for the M44/M103 quality gates,
+    without needing log-probabilities (whose floats would break the
+    hash).  Same family as M67's rare-token rate but graded, not
+    thresholded.  Scale: the vocabulary is tiny next to the corpus —
+    its global rank is one sort of O(vocab) rows, then a broadcastable
+    (token, rank) join back onto the token stream; the per-doc agg is
+    map-side combinable."""
+    d = load(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    vocab = tk.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    rk = vocab.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("token"))),
+    ).select("token", "rank")
+    per = (
+        tk.join(F.broadcast(rk), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("rank").cast("bigint").alias("sum_rank"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "sum_rank",
+        F.expr("(100 * sum_rank) div n_tokens").cast("bigint").alias("mean_rank_x100"),
+    )

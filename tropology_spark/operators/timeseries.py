@@ -1049,3 +1049,81 @@ def ts_peak_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_n").cast("bigint").alias("next_n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M163 — per-session revenue rollup (M57's sessions + micros money)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_session_revenue",
+    oracle="""
+    WITH secs AS (
+      SELECT user_id, event_id, event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec, ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN sec - lag(sec) OVER w IS NULL
+                       OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM secs
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(sec) - min(sec) AS BIGINT) AS duration_sec,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 1000000.0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS revenue_micros
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def ts_session_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M163 — revenue per SESSION: M57's 30-minute-gap sessionization
+    (identical lag → flag → running-sum pipeline, integer seconds)
+    rolled up to per-session event count, duration, and µs-exact
+    purchase revenue.  Session-level monetization is the unit a
+    product review prices ("what is a session worth"), and the
+    composition pins that the sessionizer and the money discipline
+    work together.  Scale: the M57 plan (one user-partitioned window
+    pass) plus the same final groupBy — no new shuffle keys."""
+    e = load(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = e.select(
+        "user_id", "event_id", "event_type", "value", sec.alias("sec"), "ts"
+    ).withColumn(
+        "new_s",
+        F.when(
+            (F.col("sec") - F.lag("sec").over(w_lag)).isNull()
+            | ((F.col("sec") - F.lag("sec").over(w_lag)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_idx", F.sum("new_s").over(w_run).cast("bigint")
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("sec") - F.min("sec")).cast("bigint").alias("duration_sec"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 1000000.0).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .cast("bigint")
+        .alias("revenue_micros"),
+    )
