@@ -889,6 +889,17 @@ def test_driver_window_composition(spark):
     assert not missing, f"never-sampled queries outside the window: {missing}"
     for q in window:
         assert q in ORACLES or q == "limit_unordered", q
+    # SURVEY §2.M totals line must stay in lockstep with the registry.
+    import re
+
+    m = re.search(
+        r"round 5 additions: \*\*(\d+) `queries\(\)`\nentries, (\d+) with full SQL oracles, (\d+) rows-only\*\*",
+        Path("SURVEY.md").read_text(),
+    )
+    assert m, "SURVEY.md totals line not found / format drifted"
+    assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (
+        len(QUERIES), len(ORACLES), len(QUERIES) - len(ORACLES),
+    ), "SURVEY.md totals out of sync with the registry"
 
 
 def test_passjoin_blocking_prunes_skewed_brand(spark):
