@@ -586,8 +586,19 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured at oracle scale per corpus snapshot."""
     from tropology_spark import QUERIES
 
-    truth = QUERIES["dedup_jaccard_pairs"](spark, sf_dir).select("doc_a", "doc_b")
-    cand = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
+    # Checkpoint both sides: each is referenced twice (its own count +
+    # the intersect), and Spark re-runs the full pair pipeline per
+    # reference otherwise (25 exchanges measured, 7 after).
+    truth = (
+        QUERIES["dedup_jaccard_pairs"](spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    cand = (
+        QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     hit = truth.intersect(cand)
     # Fully declarative (the M112 shape): three single-row aggregates
     # crossJoined — broadcast-of-one-row scalar attaches, no

@@ -707,8 +707,13 @@ def graph_modularity_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import DataFrame as _DF
 
     from tropology_spark.operators.graph import BROADCAST_NODE_LIMIT
+    from tropology_spark.sources.tables import edges_materialized
 
-    e = edges(spark, sf_dir).select(
+    # Materialized base: this body references the edge table from four
+    # plan branches (nodes / degrees / internal join / m_edges) — over
+    # the raw derivation each branch re-runs orders⋈lineitem (30
+    # exchanges measured, 14 after).
+    e = edges_materialized(spark, sf_dir).select(
         F.concat(F.lit("c:"), F.col("src").cast("string")).alias("u"),
         F.concat(F.lit("p:"), F.col("dst").cast("string")).alias("v"),
     )
@@ -831,8 +836,15 @@ def graph_label_prop3(spark: SparkSession, sf_dir: str) -> DataFrame:
     its quality with M129's modularity terms against the null model.
     Scale: each round is one edge join + one (node, lbl) count + one
     per-node top-1 window; labels are O(nodes); the projection is the
-    session-cached (and at 100 TB hub-capped) view."""
+    session-cached (and at 100 TB hub-capped) view.  Each round's
+    label vector is eagerly materialized (iter_materialize — the
+    pagerank/CC loop discipline): the round body references ``labels``
+    TWICE (neighbor join + own-label union), so an unmaterialized
+    unroll re-derives earlier rounds 2^k times (37 exchanges measured
+    at 3 rounds, 13 after)."""
     from pyspark.sql import Window
+
+    from tropology_spark.session import iter_materialize
 
     proj = copurchase_projection(spark, sf_dir)
     und = proj.unionByName(
@@ -848,7 +860,7 @@ def graph_label_prop3(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionAll(labels.select("node", "lbl"))
         )
         counts = cand.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
-        labels = (
+        labels = iter_materialize(
             counts.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", "lbl")

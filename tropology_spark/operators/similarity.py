@@ -737,9 +737,16 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both branches are the already-verified query pipelines; the audit
     adds one tiny join + count, so the oracle composes the two audited
-    oracles verbatim."""
-    exact = sim_topk_cosine(spark, sf_dir).select("vec_id")
-    approx = sim_ivf_topk(spark, sf_dir).select("vec_id")
+    oracles verbatim.  The two 10-row result sets are checkpointed
+    because each is referenced twice (count + hit join) and Spark
+    would re-run the full pipeline per reference (46 exchanges
+    measured, half after)."""
+    exact = (
+        sim_topk_cosine(spark, sf_dir).select("vec_id").localCheckpoint(eager=True)
+    )
+    approx = (
+        sim_ivf_topk(spark, sf_dir).select("vec_id").localCheckpoint(eager=True)
+    )
     n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
     n_hit = (
         exact.join(approx, "vec_id")
