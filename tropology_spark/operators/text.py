@@ -820,8 +820,16 @@ def text_token_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("token"))),
     ).select("token", "rank")
+    # Broadcast the rank table only under the corpus-count gate (the
+    # M45 vocab-OOV discipline) — vocabulary grows with the corpus and
+    # an unconditional hint is the wrong side at 100 TB.
+    from tropology_spark.operators.graph import BROADCAST_NODE_LIMIT
+    from tropology_spark.sources.tables import table_count
+
+    if table_count(spark, sf_dir, "documents") <= BROADCAST_NODE_LIMIT:
+        rk = F.broadcast(rk)
     per = (
-        tk.join(F.broadcast(rk), "token")
+        tk.join(rk, "token")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
