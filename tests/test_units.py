@@ -816,6 +816,9 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "pipeline_length_profile",
         "ts_session_revenue",
         "text_token_rank_score",
+        "ts_wow_delta",
+        "text_prefix_block_profile",
+        "graph_trope_lift",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

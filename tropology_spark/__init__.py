@@ -93,6 +93,9 @@ prioritize([
     "pipeline_length_profile",
     "ts_session_revenue",
     "text_token_rank_score",
+    "ts_wow_delta",
+    "text_prefix_block_profile",
+    "graph_trope_lift",
 ])
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

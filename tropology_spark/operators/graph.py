@@ -1148,6 +1148,46 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the opposite side of the bipartite graph).
 RELATED_SRC_CAP = 64
 
+#: Session-shared src-capped edge list + trope co-occurrence pairs
+#: (the M149/M167 wedge — same discipline as _CAPPED_CACHE).
+_RELATED_CACHE: dict[tuple[str, str], tuple] = {}
+SESSION_CACHES.append(_RELATED_CACHE)
+
+
+def related_pairs_materialized(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """``(e, pairs)``: the src-capped edge list and the ordered-half
+    trope co-occurrence counts ``(dst_a < dst_b, n_common)``, each
+    checkpointed once per (session, sf).  Shared by the related-tropes
+    ranking (M149) and the lift scoring (M167) so one session pays the
+    dst-side wedge join once."""
+    from tropology_spark.sources.tables import edges_materialized
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+
+    def build() -> tuple[DataFrame, DataFrame]:
+        e0 = edges_materialized(spark, sf_dir)
+        keep = (
+            e0.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") <= RELATED_SRC_CAP)
+            .select("src")
+        )
+        e = e0.join(keep, "src", "left_semi").localCheckpoint(eager=True)
+        a = e.select(F.col("src").alias("s"), F.col("dst").alias("dst_a"))
+        b = e.select(F.col("src").alias("s"), F.col("dst").alias("dst_b"))
+        pairs = (
+            a.join(b, "s")
+            .filter(F.col("dst_a") < F.col("dst_b"))
+            .groupBy("dst_a", "dst_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .localCheckpoint(eager=True)
+        )
+        return e, pairs
+
+    return cache_get_or_build(_RELATED_CACHE, key, build)
+
 
 @register(
     "graph_related_tropes",
@@ -1193,31 +1233,13 @@ def graph_related_tropes(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset of the full projection.  Post-wedge everything is keyed by
     trope: mirror via unionAll (no shuffle), top-3 per key window.
 
-    Plan: the base edge list comes from the SESSION-SHARED
-    materialized view and the half pair table is checkpointed before
-    the mirror (the _copair_build store-half/mirror-lazy pattern) —
-    without both, the wedge's two aliases and the union's two branches
-    each re-derive orders⋈lineitem (Spark does not reuse aliased
-    subplans; 54 exchanges measured vs 7 after)."""
-    from tropology_spark.sources.tables import edges_materialized
-
-    e0 = edges_materialized(spark, sf_dir)
-    keep = (
-        e0.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .filter(F.col("d") <= RELATED_SRC_CAP)
-        .select("src")
-    )
-    e = e0.join(keep, "src", "left_semi")
-    a = e.select(F.col("src").alias("s"), F.col("dst").alias("dst_a"))
-    b = e.select(F.col("src").alias("s"), F.col("dst").alias("dst_b"))
-    pairs = (
-        a.join(b, "s")
-        .filter(F.col("dst_a") < F.col("dst_b"))
-        .groupBy("dst_a", "dst_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .localCheckpoint(eager=True)
-    )
+    Plan: the src-capped wedge comes from the SESSION-SHARED
+    ``related_pairs_materialized`` view (checkpointed half table,
+    shared with M167's lift scoring) — without the materialization the
+    wedge's two aliases and the union's two branches each re-derive
+    orders⋈lineitem (Spark does not reuse aliased subplans; 54
+    exchanges measured vs 2 after)."""
+    _e, pairs = related_pairs_materialized(spark, sf_dir)
     und = pairs.select(
         F.col("dst_a").alias("trope"),
         F.col("dst_b").alias("related"),
@@ -1242,3 +1264,77 @@ def graph_related_tropes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M167 — co-occurrence lift (PMI-style surprise score, exact integers)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_trope_lift",
+    oracle=_EDGES_CTE
+    + f"""
+    , keep AS (SELECT src FROM edges GROUP BY src
+               HAVING count(*) <= {RELATED_SRC_CAP}),
+    e AS (SELECT src, dst FROM edges WHERE src IN (SELECT src FROM keep)),
+    pairs AS (
+      SELECT a.dst AS dst_a, b.dst AS dst_b, count(*) AS n_common
+      FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+      GROUP BY 1, 2
+    ),
+    deg AS (SELECT dst, count(*) AS d FROM e GROUP BY dst),
+    nw AS (SELECT count(DISTINCT src) AS n_works FROM e),
+    lift AS (
+      SELECT p.dst_a, p.dst_b, p.n_common, da.d AS deg_a, db.d AS deg_b,
+             (1000000 * p.n_common * (SELECT n_works FROM nw))
+               // (da.d * db.d) AS lift_ppm
+      FROM pairs p
+      JOIN deg da ON p.dst_a = da.dst
+      JOIN deg db ON p.dst_b = db.dst
+      WHERE p.n_common >= 3
+    )
+    SELECT CAST(dst_a AS BIGINT) AS trope_a,
+           CAST(dst_b AS BIGINT) AS trope_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(deg_a AS BIGINT) AS deg_a,
+           CAST(deg_b AS BIGINT) AS deg_b,
+           CAST(lift_ppm AS BIGINT) AS lift_ppm
+    FROM lift ORDER BY lift_ppm DESC, trope_a, trope_b LIMIT 20
+    """,
+)
+def graph_trope_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M167 — co-occurrence LIFT between tropes: observed/expected
+    co-occurrence P(a,b)/(P(a)P(b)) as the exact integer
+    (10⁶·n_common·n_works) // (deg_a·deg_b) — the PMI-family surprise
+    score that separates genuinely related pages from merely popular
+    ones (raw counts, M149's rank key, favor hubs; lift corrects by
+    both degrees).  Top-20 most surprising pairs with ≥3 shared works
+    (rare-pair lift is noise).  Shares the session-cached src-capped
+    wedge with M149 — the lift table costs two degree joins over the
+    already-materialized half pairs.  All integers; the single global
+    top-20 is a TakeOrdered, not a sort."""
+    e, pairs = related_pairs_materialized(spark, sf_dir)
+    deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    nw = e.agg(F.countDistinct("src").alias("n_works"))
+    da = deg.select(F.col("dst").alias("dst_a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("dst").alias("dst_b"), F.col("d").alias("deg_b"))
+    lift = (
+        pairs.filter(F.col("n_common") >= 3)
+        .join(da, "dst_a")
+        .join(db, "dst_b")
+        .crossJoin(F.broadcast(nw))
+        .select(
+            F.col("dst_a").cast("bigint").alias("trope_a"),
+            F.col("dst_b").cast("bigint").alias("trope_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.col("deg_a").cast("bigint").alias("deg_a"),
+            F.col("deg_b").cast("bigint").alias("deg_b"),
+            F.expr("(1000000 * n_common * n_works) div (deg_a * deg_b)")
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+    )
+    return lift.orderBy(
+        F.col("lift_ppm").desc(), F.col("trope_a"), F.col("trope_b")
+    ).limit(20)

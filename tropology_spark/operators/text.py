@@ -842,3 +842,49 @@ def text_token_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_rank",
         F.expr("(100 * sum_rank) div n_tokens").cast("bigint").alias("mean_rank_x100"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M166 — blocking-key cost profile (J2's own cost model as a query)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_prefix_block_profile",
+    oracle="""
+    WITH b AS (
+      SELECT substring(text, 1, 40) AS pfx,
+             count(*) AS sz,
+             count(DISTINCT md5(text)) AS n_distinct
+      FROM documents GROUP BY pfx
+    )
+    SELECT CAST(sz AS BIGINT) AS block_size,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS candidate_pairs,
+           CAST(sum(n_distinct) AS BIGINT) AS distinct_texts
+    FROM b GROUP BY sz
+    """,
+)
+def text_prefix_block_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M166 — the J2 blocking key's COST MODEL as a query: block-size
+    histogram of the 40-char-prefix blocks with the exact candidate
+    pair count Σ C(size, 2) each size class contributes.  This is the
+    table that says whether prefix blocking is viable at the next
+    scale-up BEFORE running the pair join — a single size-10⁵ block in
+    the profile means 5·10⁹ candidate pairs and a switch to LSH (the
+    M47 skew-profile discipline applied to the dedup family's own
+    key).  Scale: one map-side-combinable rollup on the prefix, then a
+    ~20-key histogram; no pair is ever generated."""
+    d = load(spark, sf_dir, "documents")
+    b = d.groupBy(F.substring(F.col("text"), 1, 40).alias("pfx")).agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct(F.md5(F.col("text"))).alias("n_distinct"),
+    )
+    return (
+        b.groupBy(F.col("sz").cast("bigint").alias("block_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(F.expr("sz * (sz - 1) div 2")).cast("bigint").alias("candidate_pairs"),
+            F.sum("n_distinct").cast("bigint").alias("distinct_texts"),
+        )
+    )

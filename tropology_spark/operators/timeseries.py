@@ -1127,3 +1127,58 @@ def ts_session_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("revenue_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M165 — week-over-week deltas (exact integers, no ratio)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_wow_delta",
+    oracle="""
+    WITH w AS (
+      SELECT event_type,
+             CAST((CAST(ts AS DATE) - DATE '2020-01-01') // 7 AS BIGINT) AS week,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT event_type, week, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+      FROM w
+    )
+    SELECT event_type,
+           CAST(week AS BIGINT) AS week,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(prev_n AS BIGINT) AS prev_events,
+           CAST(n - prev_n AS BIGINT) AS delta
+    FROM x WHERE prev_n IS NOT NULL
+    """,
+)
+def ts_wow_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M165 — week-over-week volume deltas per event type (M52's
+    integer-week arithmetic; first observed week dropped — no prior).
+    Deltas stay RAW integers; the pct-change ratio is deliberately NOT
+    emitted because it can be negative and integer division's
+    floor-vs-trunc disagreement on negatives (CLAUDE.md round-5 rule)
+    would need a shift for zero analytical gain — the consumer divides.
+    NOTE the gap semantics (M155's rule): `prev` is the previous
+    OBSERVED week.  Scale: one rollup + one lag inside each type's
+    partition."""
+    e = load(spark, sf_dir, "events")
+    week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("2020-01-01").cast("date")) / 7
+    ).cast("bigint")
+    w = e.groupBy(F.col("event_type"), week.alias("week")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    win = Window.partitionBy("event_type").orderBy("week")
+    x = w.withColumn("prev_n", F.lag("n").over(win))
+    return x.filter(F.col("prev_n").isNotNull()).select(
+        "event_type",
+        F.col("week").cast("bigint").alias("week"),
+        F.col("n").cast("bigint").alias("n_events"),
+        F.col("prev_n").cast("bigint").alias("prev_events"),
+        (F.col("n") - F.col("prev_n")).cast("bigint").alias("delta"),
+    )
