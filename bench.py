@@ -110,8 +110,8 @@ def main() -> None:
         "graph_triangles_capped", "graph_twohop_capped",
         "graph_link_prediction_capped", "dedup_embedding_cosine",
         "mm_dedup_exact", "mm_phash_hamming",
-        "graph_related_tropes", "graph_modularity_terms",
-        "graph_label_prop3", "dedup_lsh_recall",
+        "graph_related_tropes", "graph_trope_lift",
+        "graph_modularity_terms", "graph_label_prop3", "dedup_lsh_recall",
     ]
     ordered = [n for n in heavy if n in names] + [n for n in names if n not in heavy]
 

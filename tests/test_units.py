@@ -819,6 +819,7 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "ts_wow_delta",
         "text_prefix_block_profile",
         "graph_trope_lift",
+        "analytics_mau_kmv_audit",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

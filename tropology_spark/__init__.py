@@ -96,6 +96,7 @@ prioritize([
     "ts_wow_delta",
     "text_prefix_block_profile",
     "graph_trope_lift",
+    "analytics_mau_kmv_audit",
 ])
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

@@ -886,3 +886,139 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f_quartile").cast("bigint").alias("f_quartile"),
         F.col("m_quartile").cast("bigint").alias("m_quartile"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# M168 — MAU via mergeable per-day KMV sketches, with built-in audit
+# ---------------------------------------------------------------------------
+
+_MAU_K = 64
+
+
+@register(
+    "analytics_mau_kmv_audit",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT CAST(CAST(ts AS DATE) - DATE '{_EPOCH}' AS BIGINT) AS day,
+             user_id,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events
+    ),
+    sk AS (
+      SELECT day, h FROM (
+        SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+        FROM (SELECT DISTINCT day, h FROM du) t
+      ) r WHERE rn <= {_MAU_K}
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    winh AS (
+      SELECT d.day, s.h
+      FROM days d JOIN sk s ON s.day BETWEEN d.day - 29 AND d.day
+      GROUP BY d.day, s.h
+    ),
+    r2 AS (SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+           FROM winh),
+    p AS (SELECT day, count(*) AS n_h,
+                 max(CASE WHEN rn = {_MAU_K} THEN h END) AS mk
+          FROM r2 GROUP BY day),
+    est AS (
+      SELECT day,
+             CAST(CASE WHEN n_h >= {_MAU_K}
+                       THEN ({_MAU_K - 1} * 4294967296) // (mk + 1)
+                       ELSE n_h END AS BIGINT) AS mau_kmv
+      FROM p
+    ),
+    ex AS (
+      SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau_exact
+      FROM days d JOIN du u ON u.day BETWEEN d.day - 29 AND d.day
+      GROUP BY d.day
+    )
+    SELECT ex.day, ex.mau_exact, est.mau_kmv,
+           CAST((1000000 * abs(est.mau_kmv - ex.mau_exact)) // ex.mau_exact
+                AS BIGINT) AS err_ppm
+    FROM ex JOIN est ON ex.day = est.day
+    """,
+)
+def analytics_mau_kmv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M168 — M140's declared SCALE PATH as code: 30-day MAU from
+    MERGEABLE per-day KMV sketches (k smallest distinct md5-low-32
+    hashes per day; window MAU = KMV estimate over the union of the 30
+    day-sketches), with the exact sliding distinct joined alongside
+    and the relative error as integer ppm — the sketch ships with its
+    own trust table (the M161 discipline).
+
+    The merge is EXACT, not approximate-on-approximate: any hash among
+    the window's global k minima is necessarily within its own day's k
+    minima, so merging day-sketches reproduces the raw-window KMV
+    bit-for-bit — that provable property is why per-day sketches (k
+    integers each) can replace the 30× raw fan-out at 100 TB.  Scale:
+    the sketch side touches O(days·k) integers after one distinct
+    pass; only the audit's exact side re-joins raw (day, user) rows,
+    and at scale it runs on a sampled day subset."""
+    ev = load(spark, sf_dir, "events")
+    day = (
+        F.datediff(F.col("ts").cast("date"), F.lit(_EPOCH).cast("date"))
+        .cast("bigint")
+        .alias("day")
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    du = ev.select(day, "user_id", h).distinct()
+    dh = du.select("day", "h").distinct()
+    sk = (
+        dh.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("day").orderBy("h"))
+        )
+        .filter(F.col("rn") <= _MAU_K)
+        .select("day", "h")
+    )
+    days = du.select("day").distinct().withColumnRenamed("day", "d")
+    winh = (
+        F.broadcast(days)
+        .join(sk, (F.col("day") >= F.col("d") - 29) & (F.col("day") <= F.col("d")))
+        .select(F.col("d"), "h")
+        .distinct()
+    )
+    p = (
+        winh.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("d").orderBy("h"))
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_h"),
+            F.max(F.when(F.col("rn") == _MAU_K, F.col("h"))).alias("mk"),
+        )
+    )
+    est = p.select(
+        F.col("d"),
+        F.when(
+            F.col("n_h") >= _MAU_K,
+            F.expr(f"({_MAU_K - 1} * 4294967296) div (mk + 1)"),
+        )
+        .otherwise(F.col("n_h"))
+        .cast("bigint")
+        .alias("mau_kmv"),
+    )
+    ex = (
+        F.broadcast(days)
+        .join(
+            du.select("day", "user_id"),
+            (F.col("day") >= F.col("d") - 29) & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("mau_exact"))
+    )
+    return (
+        ex.join(est, "d")
+        .select(
+            F.col("d").alias("day"),
+            "mau_exact",
+            "mau_kmv",
+            F.expr("(1000000 * abs(mau_kmv - mau_exact)) div mau_exact")
+            .cast("bigint")
+            .alias("err_ppm"),
+        )
+    )
