@@ -330,3 +330,33 @@ def test_stickiness_single_events_reduction(spark):
     onto it), not two scans."""
     plan = plan_of(QUERIES["analytics_stickiness_terms"](spark, SF_UNIT), "simple")
     assert plan.count("Scan parquet") <= 2  # events + (day-spine derivation)
+
+
+def _partitionless_window_lines(df) -> list[str]:
+    """Physical-plan Window nodes with NO partition spec.  A partitioned
+    node prints three bracketed arg groups (`Window [exprs], [part],
+    [order]` — two `], [` separators); a global one prints two groups
+    (one separator) and is the single-task funnel we ban at scale."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [
+        ln.strip()
+        for ln in plan.splitlines()
+        if "Window [" in ln and ln.count("], [") < 2
+    ]
+
+
+def test_global_order_rewrites_have_no_partitionless_window(spark):
+    """Round-6 fix (VERDICT r5 item 1): the three corpus-proportional
+    global orders now ride plans/global_order.py's two-pass
+    range-partitioned prefix-sum — no `WindowExec: No Partition
+    Defined` node may appear anywhere in their physical plans.  (The
+    helper's internal offsets window partitions by lit(0) over a
+    config-bounded <= num_partitions x groups table, so it prints a
+    partition spec and passes this scan.)"""
+    for name in (
+        "pipeline_epoch_shuffle",
+        "pipeline_interleave_sources",
+        "analytics_rfm_segments",
+    ):
+        bad = _partitionless_window_lines(QUERIES[name](spark, SF_UNIT))
+        assert not bad, f"{name} has global windows: {bad}"

@@ -820,6 +820,9 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "text_prefix_block_profile",
         "graph_trope_lift",
         "analytics_mau_kmv_audit",
+        # round-6: the global-order rewrites (plans/global_order.py) —
+        # range-boundary placement must never flip a rank
+        "pipeline_interleave_sources",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

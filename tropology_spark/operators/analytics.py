@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tropology_spark.plans.global_order import global_row_number, ntile_expr
 from tropology_spark.registry import register
 from tropology_spark.sources.tables import load
 
@@ -842,10 +843,13 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts per (R,F,M) cell.  The classic growth-marketing cut, and a
     deliberate stress of three ntiles over different orderings of one
     frame.  Scale: one user-keyed agg (map-side combine), then three
-    global sorts of the O(users) summary — at 100 TB those become
-    range-partitioned sorts of a table thousands of times smaller
-    than the events stream; the reference timestamp is a broadcast
-    scalar, not a driver collect."""
+    RANGE-PARTITIONED rank passes (plans/global_order.py) with the
+    tile computed arithmetically from rank + group total
+    (ntile_expr) — at 100 TB users are billions and the old triple
+    ``ntile(4) OVER (ORDER BY ...)`` was three single-partition total
+    orders; now each pass is a balanced range shuffle plus a broadcast
+    offsets join.  The reference timestamp is a broadcast scalar, not
+    a driver collect."""
     ev = load(spark, sf_dir, "events")
     mx = ev.agg(F.max("ts").alias("t_ref"))
     u = (
@@ -869,18 +873,16 @@ def analytics_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary_micros"),
         )
     )
-    q = u.select(
-        "user_id",
-        F.ntile(4)
-        .over(Window.orderBy("recency_sec", "user_id"))
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("frequency").desc(), "user_id"))
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("monetary_micros").desc(), "user_id"))
-        .alias("m_quartile"),
-    )
+    q = u
+    for rank_col, tile, order in (
+        ("__r_rank", "r_quartile", ["recency_sec", "user_id"]),
+        ("__f_rank", "f_quartile", [F.col("frequency").desc(), "user_id"]),
+        ("__m_rank", "m_quartile", [F.col("monetary_micros").desc(), "user_id"]),
+    ):
+        q = global_row_number(q, order, out=rank_col, total_col="__n")
+        q = q.withColumn(
+            tile, ntile_expr(F.col(rank_col), F.col("__n"), 4)
+        ).drop(rank_col, "__n")
     return q.groupBy(
         F.col("r_quartile").cast("bigint").alias("r_quartile"),
         F.col("f_quartile").cast("bigint").alias("f_quartile"),

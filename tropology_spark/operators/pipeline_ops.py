@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
 from tropology_spark.functions.exact import sql_exact_sum, sql_ts_str
+from tropology_spark.plans.global_order import global_row_number
 from tropology_spark.registry import register
 from tropology_spark.sources.tables import load
 
@@ -1514,22 +1515,21 @@ def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     any training window, fully reproducible (M43's md5 discipline, no
     RNG state).
 
-    Scale: the per-source shuffle is one window on the source key; the
-    global position is a single total order — at fixture scale one
-    window, at 100 TB the two-pass range-partitioned prefix-sum
-    (per-partition counts broadcast as offsets, the M76 note) replaces
-    the single-partition sort."""
-    d = load(spark, sf_dir, "documents")
-    w_src = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    Scale: BOTH ranks go through the two-pass range-partitioned
+    prefix-sum (plans/global_order.py) — the per-source step because a
+    handful of giant sources would otherwise each funnel through one
+    window task, and the global position because it is a corpus-wide
+    total order.  Two range shuffles + two broadcast offset joins; no
+    single-partition WindowExec anywhere in the plan."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("__k")
     )
-    r = d.select(
-        "doc_id",
-        "source",
-        F.row_number().over(w_src).cast("bigint").alias("epoch_step"),
-    )
-    w_all = Window.orderBy("epoch_step", "source", "doc_id")
-    return r.withColumn("position", F.row_number().over(w_all).cast("bigint"))
+    r = global_row_number(
+        d, ["__k", "doc_id"], group_cols=["source"], out="epoch_step"
+    ).select("doc_id", "source", "epoch_step")
+    return global_row_number(
+        r, ["epoch_step", "source", "doc_id"], out="position"
+    ).select("doc_id", "source", "epoch_step", "position")
 
 
 # ---------------------------------------------------------------------------
@@ -2207,11 +2207,13 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree).  The order key is md5(epoch:doc_id) — pure arithmetic, no
     engine RNG — so any engine derives the identical permutation.
 
-    The declared query emits the dense per-epoch rank (a global sort
-    per epoch, fine at audit scale).  At 100 TB the rank itself is
-    never materialized: the writer range-partitions on the hash key
-    and emits shards in key order — readers stream shards
-    sequentially and see exactly this permutation."""
+    The rank is computed with the two-pass range-partitioned
+    prefix-sum (plans/global_order.py): epochs are range-partitioned
+    TOGETHER with the hash key, so a 3-epoch corpus still spreads over
+    every task — no ``Window.partitionBy(epoch)`` funnel (each epoch
+    partition would hold corpus/3 rows).  At 100 TB the same layout is
+    what the shard writer emits: readers stream range shards in key
+    order and see exactly this permutation."""
     d = load(spark, sf_dir, "documents").select("doc_id")
     epochs = spark.range(_N_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
     keyed = d.crossJoin(F.broadcast(epochs)).select(
@@ -2221,14 +2223,9 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(":", F.col("epoch").cast("string"), F.col("doc_id").cast("string"))
         ).alias("k"),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("epoch").orderBy("k", "doc_id")
-    return keyed.select(
-        "epoch",
-        "doc_id",
-        F.row_number().over(w).cast("bigint").alias("shuffle_rank"),
-    )
+    return global_row_number(
+        keyed, ["k", "doc_id"], group_cols=["epoch"], out="shuffle_rank"
+    ).select("epoch", "doc_id", "shuffle_rank")
 
 
 # ---------------------------------------------------------------------------
