@@ -869,31 +869,33 @@ def test_materialized_view_build_is_shared_across_threads(spark):
 
 def test_driver_window_composition(spark):
     """The driver hash-checks the FIRST 50 registry entries.  Pin the
-    round-5 window invariants so a module-import or registration-order
-    change can never silently evict a query: the 10 never-driver-sampled
-    M124-M133 queries LEAD the window (positions 0-9), every other
-    never-sampled query (round-5 additions) sits inside the first 50,
-    and each windowed query must either carry an oracle or be the
-    declared rows-only entry."""
+    round-6 window invariants (VERDICT r5 item 2) so a module-import or
+    registration-order change can never silently evict a query: round-6
+    NEW queries (never sampled) lead, the three global_order rewrites
+    follow (fresh driver evidence for the new plans), and EVERY
+    remaining window slot goes to the r01/r02-vintage refresh queue —
+    queries whose latest driver row predates the round-3 testdata
+    regeneration.  Each windowed query must either carry an oracle or
+    be the declared rows-only entry."""
     import json
     from pathlib import Path
 
     from tropology_spark import ORACLES, QUERIES
+    from tropology_spark import _R6_NEW, _R6_REWRITTEN
 
-    sampled: set = set()
+    latest: dict[str, int] = {}
     for f in sorted(Path(".").glob("CORRECTNESS_r0*.json")):
-        sampled |= set(json.loads(f.read_text()).keys())
+        rnd = int(f.stem[-1])
+        for k in json.loads(f.read_text()):
+            latest[k] = rnd
     window = list(QUERIES)[:50]
-    m124_133 = [
-        "stream_window_topk_1h", "text_dup_span_frac", "dedup_lsh_recall",
-        "pipeline_epoch_shuffle", "agg_cms_matrix", "graph_modularity_terms",
-        "graph_label_prop3", "join_asof_forward", "stream_dedup_counts",
-        "ts_sax_symbols",
-    ]
-    assert window[:10] == m124_133, window[:10]
-    never = [q for q in QUERIES if q not in sampled]
+    head = _R6_NEW + _R6_REWRITTEN
+    assert window[: len(head)] == head, window[: len(head)]
+    never = [q for q in QUERIES if q not in latest]
     missing = [q for q in never if q not in set(window)]
     assert not missing, f"never-sampled queries outside the window: {missing}"
+    for q in window[len(head):]:
+        assert latest.get(q, 0) <= 2, f"non-stale query {q} burns a window slot"
     for q in window:
         assert q in ORACLES or q == "limit_unordered", q
     # SURVEY §2.M totals line must stay in lockstep with the registry.

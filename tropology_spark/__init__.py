@@ -41,62 +41,124 @@ from tropology_spark.operators import windows  # noqa: F401
 from tropology_spark.operators import aggregates  # noqa: F401
 from tropology_spark.operators import relational  # noqa: F401
 
-# Round-5 driver window (the driver hash-checks the FIRST 50 entries
-# per round — r01 covered the relational/agg/window core, r02 the
-# dedup/text/sim/graph/fn families, r03 the streaming/udf/pipeline/mm
-# set, r04 all 44 then-unsampled queries plus the capped-graph/KMV
-# upgrades).  Only the 10 late-round-4 queries (M124-M133) have never
-# received a driver CORRECTNESS row — they lead; round-5 additions fill
-# the spare slots as they land.  Done = every registered query
-# driver-green at least once.
-prioritize([
-    # -- M124-M133: the 10 never-driver-sampled queries --
-    "stream_window_topk_1h",
-    "text_dup_span_frac",
-    "dedup_lsh_recall",
+# Round-6 driver window (the driver hash-checks the FIRST 50 entries
+# per round).  After round 5 every registered query is driver-green at
+# least once; the remaining evidence gap is FRESHNESS — 91 queries'
+# latest driver row is r01/r02, i.e. from BEFORE the round-3 testdata
+# regeneration (VERDICT r5 item 2).  Round-6 order: (1) round-6 NEW
+# queries (never sampled) lead, (2) the three queries rewritten onto
+# plans/global_order.py (fresh driver evidence for the new plans),
+# (3) the r01/r02-vintage refresh queue, events-readers first (their
+# old rows predate the events TIMESTAMP(NANOS)->MICROS change).
+# Whatever misses the 50-window stays ordered for round 7.
+
+#: Round-6 additions (M169+) — appended here as they are registered.
+_R6_NEW = [
+]
+
+_R6_REWRITTEN = [
     "pipeline_epoch_shuffle",
-    "agg_cms_matrix",
-    "graph_modularity_terms",
-    "graph_label_prop3",
-    "join_asof_forward",
-    "stream_dedup_counts",
-    "ts_sax_symbols",
-    # -- round-5 additions (M134+) — appended as they are registered --
-    "graph_butterflies_capped",
-    "graph_clustering_pairs_capped",
-    "stream_running_counts",
-    "stream_static_join_counts",
-    "agg_kmv_intersect",
-    "analytics_cohort_revenue",
-    "analytics_stickiness_terms",
-    "dedup_topk_similar",
-    "pipeline_token_fertility",
-    "sim_maxsim_topk",
-    "ts_corr_terms",
-    "sub_any_all",
-    "pipeline_dup_rate_by_source",
-    "mm_bytes_histogram",
-    "sim_cluster_cohesion",
-    "graph_related_tropes",
-    "analytics_time_to_convert",
-    "sim_topk_l2",
-    "pipeline_split_leakage",
-    "analytics_activity_histogram",
-    "topk_with_ties",
-    "ts_peak_hours",
-    "fn_date_intervals",
+    "pipeline_interleave_sources",
     "analytics_rfm_segments",
-    "join_asof_nearest",
-    "fn_hash_sha2",
-    "sim_batch_topk",
-    "agg_kmv_audit",
-    "pipeline_length_profile",
-    "ts_session_revenue",
-    "text_token_rank_score",
-    "ts_wow_delta",
-    "text_prefix_block_profile",
-    "graph_trope_lift",
-    "analytics_mau_kmv_audit",
-])
+]
+
+#: The 91-query r01/r02-vintage refresh queue (events-readers first).
+_R6_STALE = [
+    # events-readers (ts semantics changed in the round-3 regeneration)
+    "filter_ts_range",
+    "win_lag_gap",
+    "join_range_events",
+    "join_asof_lastevent",
+    "win_moving_avg",
+    "win_running_sum",
+    "win_rank",
+    "win_distribution",
+    "win_first_last",
+    "topk_per_group",
+    "json_extract_props",
+    "filter_in",
+    "select_compute",
+    "agg_conditional",
+    "agg_count_distinct",
+    "agg_degree",
+    "join_anti_frontier",
+    "join_full_outer",
+    "join_semi",
+    "join_self_twohop",
+    "join_cross_count",
+    "scan_pushdown_lookup",
+    "agg_having",
+    "fn_date",
+    "sort_multi_key",
+    "topk_global",
+    "sub_correlated_avg",
+    "sub_scalar_global",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect_common",
+    "set_except",
+    "flagship_revenue_by_region",
+    "scan_project",
+    "filter_boolean_logic",
+    "filter_like",
+    "filter_null_semantics",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_collect_neighbors",
+    "agg_pivot",
+    "agg_percentiles",
+    "agg_stats",
+    "join_inner",
+    "join_broadcast_star",
+    "join_left_outer",
+    # --- round-7 continuation below this line ---
+    "limit_unordered",
+    "source_range",
+    "fn_string_core",
+    "fn_explode_tokens",
+    "fn_regex",
+    "fn_math",
+    "fn_conditional",
+    "fn_array_ops",
+    "fn_hash_md5",
+    "fn_fuzzy_levenshtein",
+    "graph_build_edges",
+    "graph_degrees",
+    "graph_neighbors",
+    "graph_neighbors_in",
+    "graph_common_neighbors",
+    "graph_ego_edges",
+    "graph_twohop_count",
+    "graph_sample_nodes",
+    "graph_pagerank3",
+    "graph_kcore",
+    "graph_link_prediction",
+    "graph_network_payload",
+    "dedup_containment",
+    "sim_topk_cosine",
+    "sim_knn_join",
+    "sim_centroid_assign",
+    "sim_ivf_topk",
+    "sim_rp_lsh_topk",
+    "sim_pq_topk",
+    "text_wordcount",
+    "text_tfidf_top",
+    "text_bigrams",
+    "text_lang_stats",
+    "text_langid_nb",
+    "text_quality_score",
+    "text_token_stats",
+    "text_fingerprint",
+    "text_snippets",
+    "text_source_drift",
+    "text_rare_token_rate",
+    "text_readability",
+    "text_bpe_pairs",
+    "text_gopher_rules",
+]
+
+prioritize(_R6_NEW + _R6_REWRITTEN + _R6_STALE)
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]
