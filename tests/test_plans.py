@@ -360,3 +360,12 @@ def test_global_order_rewrites_have_no_partitionless_window(spark):
     ):
         bad = _partitionless_window_lines(QUERIES[name](spark, SF_UNIT))
         assert not bad, f"{name} has global windows: {bad}"
+
+
+def test_token_rank_score_broadcasts_vocab_rank_table(spark):
+    """M164 gate fix (VERDICT r5 item 4): the broadcast decision now
+    reads the VOCAB cardinality (the actual broadcast side), so at
+    fixture scale the (token, rank) table must broadcast-join onto the
+    token stream."""
+    plan = plan_of(QUERIES["text_token_rank_score"](spark, SF_UNIT))
+    assert "BroadcastHashJoin" in plan

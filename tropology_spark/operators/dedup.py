@@ -688,10 +688,10 @@ def dedup_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_a",
         "doc_b",
-        (
-            (F.lit(1000000) * F.col("n_common"))
-            / (F.col("na") + F.col("nb") - F.col("n_common"))
-        )
+        # Integer div, not float-division-then-cast: matches the
+        # oracle's `//` and the repo-wide no-float-carrier rule
+        # (operands are non-negative, so div == floor — ADVICE r5).
+        F.expr("(1000000 * n_common) div (na + nb - n_common)")
         .cast("bigint")
         .alias("jaccard_ppm"),
     ).localCheckpoint(eager=True)

@@ -391,7 +391,7 @@ def mm_phash_hamming(spark, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_items,
            CAST(min(n_bytes) AS BIGINT) AS min_bytes,
            CAST(max(n_bytes) AS BIGINT) AS max_bytes
-    FROM m GROUP BY 1, 2
+    FROM m WHERE n_bytes > 0 GROUP BY 1, 2
     """,
 )
 def mm_bytes_histogram(spark, sf_dir: str) -> DataFrame:
@@ -420,7 +420,10 @@ def mm_bytes_histogram(spark, sf_dir: str) -> DataFrame:
     m = docs.select(
         mime.alias("modality"),
         F.octet_length(F.encode(F.col("text"), "UTF-8")).alias("n_bytes"),
-    )
+        # Zero-byte assets have no log2 bucket — Spark log2(0)=NULL vs
+        # DuckDB -inf; exclude them identically in both engines
+        # (ADVICE r5; fixtures carry none, this is the guard).
+    ).filter(F.col("n_bytes") > 0)
     return (
         m.groupBy(
             "modality",

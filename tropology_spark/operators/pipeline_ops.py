@@ -2246,8 +2246,9 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
            CAST(sum(n_chars) AS BIGINT) AS n_chars,
-           CAST((1000000 * sum(n_tokens)) // sum(n_chars) AS BIGINT)
-             AS tokens_per_char_ppm
+           CAST(CASE WHEN sum(n_chars) = 0 THEN 0
+                     ELSE (1000000 * sum(n_tokens)) // sum(n_chars) END
+                AS BIGINT) AS tokens_per_char_ppm
     FROM d GROUP BY source, lang
     """,
 )
@@ -2278,8 +2279,13 @@ def pipeline_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("n_chars"),
         )
         .withColumn(
+            # All-empty-text slice → n_chars 0; emit 0 fertility
+            # identically in both engines instead of div-by-zero
+            # (DuckDB error vs Spark NULL — ADVICE r5 guard).
             "tokens_per_char_ppm",
-            F.expr("(1000000 * n_tokens) div n_chars").cast("bigint"),
+            F.when(F.col("n_chars") == 0, F.lit(0))
+            .otherwise(F.expr("(1000000 * n_tokens) div n_chars"))
+            .cast("bigint"),
         )
     )
 

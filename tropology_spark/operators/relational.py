@@ -1161,8 +1161,11 @@ def sub_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices, in cents-integers (no float comparison).  The oracle uses
     genuine `> ALL` / `> ANY`; the Spark side applies the standard
     decorrelation every planner performs — x > ALL(S) ⟺ x > max(S)
-    and x > ANY(S) ⟺ x > min(S) for non-empty S (the fixture brand is
-    non-empty) — as one broadcast scalar row.  Scale: the subquery
+    and x > ANY(S) ⟺ x > min(S) for non-empty S, with the empty-set
+    edge handled explicitly (max(∅) aggregates to NULL; SQL says
+    `> ALL (∅)` is TRUE and `> ANY (∅)` is FALSE, so a fixture
+    regeneration that empties Brand#13 cannot flip parity silently —
+    ADVICE r5) — as one broadcast scalar row.  Scale: the subquery
     collapses to two integers before touching the outer table, so the
     quantified comparison costs one map-side predicate per row."""
     p = load(spark, sf_dir, "part").select(
@@ -1179,11 +1182,13 @@ def sub_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_partkey",
             F.col("cents").alias("price_cents"),
-            F.when(F.col("cents") > F.col("ref_max"), 1)
+            F.when(F.col("ref_max").isNull(), 1)  # > ALL (empty) = TRUE
+            .when(F.col("cents") > F.col("ref_max"), 1)
             .otherwise(0)
             .cast("bigint")
             .alias("gt_all"),
-            F.when(F.col("cents") > F.col("ref_min"), 1)
+            F.when(F.col("ref_min").isNull(), 0)  # > ANY (empty) = FALSE
+            .when(F.col("cents") > F.col("ref_min"), 1)
             .otherwise(0)
             .cast("bigint")
             .alias("gt_any"),

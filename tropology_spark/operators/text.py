@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tropology_spark.registry import register
+from tropology_spark.session import iter_materialize
 from tropology_spark.sources.tables import load
 
 
@@ -815,18 +816,20 @@ def text_token_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combinable."""
     d = load(spark, sf_dir, "documents")
     tk = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
-    vocab = tk.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    # vocab feeds BOTH the gate count and the rank (DOUBLE-REFERENCE
+    # RULE) — materialize once; it is the small distinct-token frame.
+    vocab = iter_materialize(tk.groupBy("token").agg(F.count(F.lit(1)).alias("freq")))
     rk = vocab.withColumn(
         "rank",
         F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("token"))),
     ).select("token", "rank")
-    # Broadcast the rank table only under the corpus-count gate (the
-    # M45 vocab-OOV discipline) — vocabulary grows with the corpus and
-    # an unconditional hint is the wrong side at 100 TB.
+    # Broadcast the rank table only when the VOCABULARY is small — the
+    # broadcast side is (token, rank), so gating on the document count
+    # (a conservative proxy, vocab <= tokens) over-disabled the
+    # broadcast on long-document corpora (VERDICT r5 item 4).
     from tropology_spark.operators.graph import BROADCAST_NODE_LIMIT
-    from tropology_spark.sources.tables import table_count
 
-    if table_count(spark, sf_dir, "documents") <= BROADCAST_NODE_LIMIT:
+    if vocab.count() <= BROADCAST_NODE_LIMIT:
         rk = F.broadcast(rk)
     per = (
         tk.join(rk, "token")

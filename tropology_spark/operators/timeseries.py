@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from tropology_spark.functions.exact import sql_ts_str, ts_str
 from tropology_spark.registry import register
+from tropology_spark.session import iter_materialize
 from tropology_spark.sources.tables import load
 
 
@@ -951,12 +952,18 @@ def ts_corr_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on the tiny type dimension per hour — nothing touches raw
     events twice."""
     e = load(spark, sf_dir, "events")
-    c = e.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hr"), F.col("event_type")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # DOUBLE-REFERENCE RULE: c feeds three branches (hour spine, type
+    # dim, left join) and g feeds both self-join sides — checkpoint
+    # each so the events scan runs ONCE and the metadata-sized grid is
+    # not re-derived per branch.
+    c = iter_materialize(
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hr"), F.col("event_type")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
     h = c.select("hr").distinct()
     t = c.select("event_type").distinct()
-    g = (
+    g = iter_materialize(
         h.crossJoin(F.broadcast(t))
         .join(c, ["hr", "event_type"], "left")
         .select("hr", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
