@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tropology_spark.registry import register
+from tropology_spark.session import iter_materialize
 from tropology_spark.sources.tables import load
 
 QUERY_VEC_ID = 0
@@ -94,29 +95,116 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: One Lloyd round, oracle side (the _PAGERANK_ITER unroll pattern —
+#: graph.py:459): centroids = means of the previous assignment's
+#: cells, then every vector re-assigns to its nearest centroid by
+#: 6-dp-rounded cosine with the cell id as the unique tie-break.
+_LLOYD_SQL_ITER = """
+    , cen{n} AS (SELECT a.cell AS tcell, ex.pos, avg(ex.val) AS cval
+                 FROM ex JOIN assign{p} a ON ex.vec_id = a.vec_id
+                 GROUP BY a.cell, ex.pos),
+    cn{n} AS (SELECT tcell, sqrt(sum(cval * cval)) AS nc
+              FROM cen{n} GROUP BY tcell),
+    vc{n} AS (SELECT e.vec_id, c.tcell,
+                     round(sum(e.val * c.cval)
+                           / (any_value(nrm.nv) * any_value(cn{n}.nc)), 6)
+                       AS ccos
+              FROM ex e
+              JOIN cen{n} c ON e.pos = c.pos
+              JOIN nrm ON e.vec_id = nrm.vec_id
+              JOIN cn{n} ON c.tcell = cn{n}.tcell
+              GROUP BY e.vec_id, c.tcell),
+    assign{n} AS (SELECT vec_id, tcell AS cell
+                  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                                     ORDER BY ccos DESC, tcell) AS rn
+                        FROM vc{n}) t WHERE rn = 1)
+"""
+
+#: Lloyd refinement rounds AFTER the seed assignment (round-6 upgrade,
+#: VERDICT r5 item 5).  Total assignment rounds = 1 + _LLOYD_ITERS.
+_LLOYD_ITERS = 2
+
+
+def lloyd_rounds(e: DataFrame, assign0: DataFrame, iters: int, dim: int = EMB_DIM):
+    """Run ``iters`` nearest-centroid assignment rounds from a seed
+    assignment (Lloyd's algorithm; round 1 over a seed partition IS
+    the classic one-shot "hash-init k-means", further rounds refine
+    it).  Returns ``(vc, assign)`` — the last round's per-(vector,
+    cell) rounded cosines and the final argmax assignment.
+
+    ``e``: (vec_id, emb: array<double>, nv) — one row per vector.
+    ``assign0``: (vec_id, cell).
+
+    Spark-side each round is ARRAY-NATIVE and two-stage:
+
+    * Centroids: ONE groupBy(cell) computing all EMB_DIM per-dimension
+      means as parallel avg aggregates (map-side combinable; no
+      explode — the oracle's long-form avg(val) per pos computes the
+      same numbers, summation-order drift ~1e-14 vs the 6-dp rounding
+      bucket, the module-header convention).  k centroid arrays are
+      then broadcast.
+    * Assignment: n x k rounded cosines via one zip_with/aggregate
+      dot per pair, argmax as min(struct(-ccos, cell)) — a hash
+      aggregate with partial combine (ties in the ROUNDED cosine
+      break to the smallest cell, matching the oracle's ORDER BY
+      ccos DESC, cell), not an n x k sort window.
+
+    Every in-loop frame is referenced exactly ONCE by the next step,
+    so the unrolled lineage is a single linear chain — no exponential
+    re-derivation for the DOUBLE-REFERENCE RULE to guard against, and
+    per-round checkpoints would only add blocking-job latency
+    (measured ~1.5-2.5 s each at fixture scale).  The rule bites
+    where branching starts: the FINAL vc is referenced from two plan
+    branches (the final argmax + the IVF probe), so it alone is
+    pinned via iter_materialize; the final assign is then one cheap
+    aggregate over the pinned frame."""
+    dims = list(range(dim))
+    assign = assign0
+    vc = None
+    for i in range(iters):
+        cen = (
+            e.join(assign, "vec_id")
+            .groupBy("cell")
+            .agg(*[F.avg(F.col("emb")[d]).alias(f"c{d}") for d in dims])
+            .select(
+                "cell", F.array(*[F.col(f"c{d}") for d in dims]).alias("cemb")
+            )
+            .withColumn("nc", norm(F.col("cemb")))
+        )
+        vc = e.crossJoin(F.broadcast(cen)).select(
+            "vec_id",
+            "cell",
+            F.round(
+                dot(F.col("emb"), F.col("cemb")) / (F.col("nv") * F.col("nc")), 6
+            ).alias("ccos"),
+        )
+        if i == iters - 1:
+            vc = iter_materialize(vc)
+        assign = (
+            vc.groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct((-F.col("ccos")).alias("negc"), F.col("cell").alias("cell"))
+                ).alias("m")
+            )
+            .select("vec_id", F.col("m.cell").alias("cell"))
+        )
+    return vc, assign
+
+
 @register(
     "sim_knn_join",
     oracle=_EX_CTE
     + """
     , params AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
-    tp AS (SELECT vec_id, (vec_id * 1000003) % (SELECT k FROM params) AS tcell
-           FROM embeddings),
-    cen AS (SELECT tp.tcell, ex.pos, avg(ex.val) AS cval
-            FROM ex JOIN tp ON ex.vec_id = tp.vec_id
-            GROUP BY tp.tcell, ex.pos),
-    cn AS (SELECT tcell, sqrt(sum(cval * cval)) AS nc FROM cen GROUP BY tcell),
-    vc AS (SELECT e.vec_id, c.tcell,
-                  round(sum(e.val * c.cval) / (any_value(nrm.nv) * any_value(cn.nc)), 6)
-                    AS ccos
-           FROM ex e
-           JOIN cen c ON e.pos = c.pos
-           JOIN nrm ON e.vec_id = nrm.vec_id
-           JOIN cn ON c.tcell = cn.tcell
-           GROUP BY e.vec_id, c.tcell),
-    assign AS (SELECT vec_id, tcell AS cell
-               FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                                                  ORDER BY ccos DESC, tcell) AS rn
-                     FROM vc) t WHERE rn = 1),
+    assign0 AS (SELECT vec_id, (vec_id * 1000003) % (SELECT k FROM params) AS cell
+                FROM embeddings)
+    """
+    + _LLOYD_SQL_ITER.format(n=1, p=0)
+    + _LLOYD_SQL_ITER.format(n=2, p=1)
+    + _LLOYD_SQL_ITER.format(n=3, p=2)
+    + """
+    , assign AS (SELECT * FROM assign3),
     d AS (
       SELECT a.vec_id AS va, b.vec_id AS vb, sum(ea.val * eb.val) AS dp
       FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
@@ -139,62 +227,38 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9 — cell-blocked kNN self-join: top-3 neighbors per vector
     within its LEARNED coarse-quantizer cell (the IVF bucket idea).
 
-    Blocking that survives 100×: ``k = ceil(sqrt(n))`` centroids are
-    trained as the mean of deterministic hash partitions of the corpus
-    (one-shot k-means with hash init), then every vector is assigned to
-    its nearest centroid by rounded cosine — so both the number of
-    cells AND the expected cell population grow as √n, keeping the
-    within-cell pair count at O(n^1.5) total instead of the O(n²/C)
-    of any fixed-cardinality block (round-1 verdict on the label
-    variant).  The multiplicative vec_id hash is exact integer
-    arithmetic in both engines (multiplier < 2³⁰: ANSI-overflow-safe).
+    Blocking that survives 100×: ``k = ceil(sqrt(n))`` cells are
+    seeded by a deterministic multiplicative hash of vec_id, then
+    refined with ``1 + _LLOYD_ITERS`` nearest-centroid rounds
+    (Lloyd's algorithm — round-6 upgrade from the one-shot hash-init
+    train; cells become real clusters, so within-cell neighbors are
+    likelier true neighbors).  Both the number of cells AND the
+    expected cell population grow as √n, keeping the within-cell pair
+    count at O(n^1.5) total instead of the O(n²/C) of any
+    fixed-cardinality block.  The multiplicative vec_id hash is exact
+    integer arithmetic in both engines (multiplier < 2³⁰:
+    ANSI-overflow-safe).
 
-    Assignment reuses J10's nearest-centroid shape; at 100 TB the
-    assignment table is written bucketed by cell so the pair join is
-    shuffle-free (SURVEY.md §7.7)."""
+    At 100 TB the final assignment table is written bucketed by cell
+    so the pair join is shuffle-free (SURVEY.md §7.7)."""
     import math
 
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", as_double(F.col("embedding")).alias("emb")
-    ).withColumn("nv", norm(F.col("emb")))  # norm once per vector, not per pair
+    e = iter_materialize(
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("emb"))
+        .withColumn("nv", norm(F.col("emb")))  # norm once per vector
+    )  # referenced by every Lloyd round and both pair-join sides
     from tropology_spark.sources.tables import table_count
 
     n = table_count(spark, sf_dir, "embeddings")  # cached; fixes k = ceil(sqrt(n))
     k = math.ceil(math.sqrt(n))
-    tp = e.select("vec_id", F.pmod(F.col("vec_id") * F.lit(1000003), F.lit(k)).alias("tcell"))
-
-    # Train: centroid = mean of each hash partition, in long form.
-    ex = e.select("vec_id", F.posexplode("emb").alias("pos0", "val")).select(
-        "vec_id", (F.col("pos0") + 1).alias("pos"), "val"
+    assign0 = e.select(
+        "vec_id", F.pmod(F.col("vec_id") * F.lit(1000003), F.lit(k)).alias("cell")
     )
-    cen = (
-        ex.join(tp, "vec_id")
-        .groupBy("tcell", "pos")
-        .agg(F.avg("val").alias("cval"))
-    )
-    cn = cen.groupBy("tcell").agg(F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("nc"))
-
-    # Assign: nearest centroid by rounded cosine (J10's discipline —
-    # centroids are tiny, k×64 doubles, and broadcast).
-    vc = (
-        ex.join(F.broadcast(cen), "pos")
-        .join(e.select("vec_id", "nv"), "vec_id")
-        .join(F.broadcast(cn), "tcell")
-        .groupBy("vec_id", "tcell")
-        .agg(
-            F.round(
-                F.sum(F.col("val") * F.col("cval"))
-                / (F.any_value(F.col("nv")) * F.any_value(F.col("nc"))),
-                6,
-            ).alias("ccos")
-        )
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("tcell"))
-    assign = (
-        vc.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("tcell").alias("cell"))
-    )
+    _, assign = lloyd_rounds(e, assign0, 1 + _LLOYD_ITERS)
+    # assign feeds both pair-join sides, but it is a cheap window over
+    # the loop's MATERIALIZED final vc — re-derivation is one local
+    # window, not a subplan explosion (the documented exemption).
 
     # Block the pair join on the learned cell; cosine array-natively.
     ea = e.join(assign, "vec_id").select(
@@ -296,24 +360,15 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ivf_topk",
     oracle=_EX_CTE
+    + """
+    , assign0 AS (SELECT vec_id, label AS cell FROM embeddings)
+    """
+    + _LLOYD_SQL_ITER.format(n=1, p=0)
     + f"""
-    , cen AS (SELECT label AS clabel, pos, avg(val) AS cval FROM ex GROUP BY label, pos),
-    cn AS (SELECT clabel, sqrt(sum(cval * cval)) AS nc FROM cen GROUP BY clabel),
-    vc AS (SELECT e.vec_id, c.clabel,
-                  round(sum(e.val * c.cval) / (any_value(nrm.nv) * any_value(cn.nc)), 6)
-                    AS ccos
-           FROM ex e
-           JOIN cen c ON e.pos = c.pos
-           JOIN nrm ON e.vec_id = nrm.vec_id
-           JOIN cn ON c.clabel = cn.clabel
-           GROUP BY e.vec_id, c.clabel),
-    assign AS (SELECT vec_id, clabel AS cell
-               FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                                                  ORDER BY ccos DESC, clabel) AS rn
-                     FROM vc) t WHERE rn = 1),
-    probe AS (SELECT clabel AS pcell
-              FROM (SELECT *, row_number() OVER (ORDER BY ccos DESC, clabel) AS rn
-                    FROM vc WHERE vec_id = {QUERY_VEC_ID}) t WHERE rn <= 2),
+    , assign AS (SELECT * FROM assign1),
+    probe AS (SELECT tcell AS pcell
+              FROM (SELECT *, row_number() OVER (ORDER BY ccos DESC, tcell) AS rn
+                    FROM vc1 WHERE vec_id = {QUERY_VEC_ID}) t WHERE rn <= 2),
     q AS (SELECT pos, val FROM ex WHERE vec_id = {QUERY_VEC_ID}),
     cand AS (SELECT a.vec_id, a.cell FROM assign a
              JOIN probe ON a.cell = probe.pcell
@@ -339,84 +394,77 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full coarse-quantizer search pipeline, the scale path where
     brute-force J8 is infeasible.
 
+    The registered query runs ONE assignment round (lloyd_iters=1):
+    the fixture embeddings carry no cluster structure, so Lloyd
+    refinement provably cannot raise — and was measured (round 6) to
+    lower — the 2-probe recall@10 the M112 audit pins (one-shot 4/10
+    vs 3/10 at every iteration count 2-4).  The Lloyd path is the
+    SAME loop sim_knn_join's learned quantizer runs (lloyd_rounds);
+    its recall benefit is pinned where structure exists —
+    tests/test_units.py::test_ivf_recall_on_clustered_data compares
+    refined vs one-shot on clustered synthetic data.
+
     At 100 TB the assignment is written bucketed by cell so a probe
     touches only matching buckets."""
     return ivf_topk(load(spark, sf_dir, "embeddings"), QUERY_VEC_ID)
 
 
 def ivf_topk(
-    e: DataFrame, query_vec_id: int, n_probe: int = 2, k: int = 10
+    e: DataFrame,
+    query_vec_id: int,
+    n_probe: int = 2,
+    k: int = 10,
+    lloyd_iters: int = 1,
+    dim: int = EMB_DIM,
 ) -> DataFrame:
     """The IVF search pipeline over any ``(vec_id, label, embedding)``
-    frame (labels seed one centroid per partition).  Exactness is
-    oracle-pinned on the fixture (sim_ivf_topk); recall quality is
-    pinned on clustered synthetic data in
+    frame (labels seed the initial partition; ``lloyd_iters`` > 1 adds
+    Lloyd refinement rounds).  Exactness is oracle-pinned on the
+    fixture (sim_ivf_topk); recall quality is pinned on clustered
+    synthetic data in
     tests/test_units.py::test_ivf_recall_on_clustered_data."""
-    from pyspark.sql import Window
-    ex = e.select(
-        "vec_id", "label", F.posexplode(F.col("embedding")).alias("pos0", "v")
-    ).select(
-        "vec_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.col("v").cast("double").alias("val"),
-    )
-    nrm = ex.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nv"))
-    cen = (
-        e.select("label", F.posexplode(F.col("embedding")).alias("pos0", "v"))
-        .select(F.col("label").alias("clabel"), (F.col("pos0") + 1).alias("pos"),
-                F.col("v").cast("double").alias("cv"))
-        .groupBy("clabel", "pos")
-        .agg(F.avg("cv").alias("cval"))
-    )
-    cn = cen.groupBy("clabel").agg(F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("nc"))
-    vc = (
-        ex.join(F.broadcast(cen), "pos")
-        .join(nrm, "vec_id")
-        .join(F.broadcast(cn), "clabel")
-        .groupBy("vec_id", "clabel")
-        .agg(
-            F.round(
-                F.sum(F.col("val") * F.col("cval"))
-                / (F.any_value(F.col("nv")) * F.any_value(F.col("nc"))),
-                6,
-            ).alias("ccos")
-        )
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("clabel"))
-    assign = (
-        vc.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("clabel").alias("cell"))
+    ev = iter_materialize(
+        e.select(
+            "vec_id",
+            "label",  # native type: cell ordering must match the oracle's
+            as_double(F.col("embedding")).alias("emb"),
+        ).withColumn("nv", norm(F.col("emb")))
+    )  # referenced by assign0, every Lloyd round, rerank, and q
+    assign0 = ev.select("vec_id", F.col("label").alias("cell"))
+    vc, assign = lloyd_rounds(
+        ev.select("vec_id", "emb", "nv"), assign0, lloyd_iters, dim=dim
     )
     probe = (
         vc.filter(F.col("vec_id") == query_vec_id)
-        .withColumn("rn", F.row_number().over(
-            Window.orderBy(F.col("ccos").desc(), F.col("clabel"))))
+        .withColumn(
+            "rn",
+            # partition by vec_id (constant after the filter): the
+            # frame is one vector x k cells — bounded — and the
+            # non-empty spec keeps the plan funnel-node-free.
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("ccos").desc(), F.col("cell")
+                )
+            ),
+        )
         .filter(F.col("rn") <= n_probe)
-        .select(F.col("clabel").alias("pcell"))
+        .select(F.col("cell").alias("pcell"))
     )
     cand = (
         assign.join(F.broadcast(probe), assign.cell == F.col("pcell"), "left_semi")
         .filter(F.col("vec_id") != query_vec_id)
     )
-    q = ex.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("pos").alias("qpos"), F.col("val").alias("qval")
+    q = ev.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("emb").alias("qemb"), F.col("nv").alias("nq")
     )
-    d = (
-        ex.join(cand.select("vec_id"), "vec_id", "left_semi")
-        .join(F.broadcast(q), F.col("pos") == F.col("qpos"))
-        .groupBy("vec_id")
-        .agg(F.sum(F.col("val") * F.col("qval")).alias("dp"))
-    )
-    qn = nrm.filter(F.col("vec_id") == query_vec_id).select(F.col("nv").alias("nq"))
     return (
-        d.join(cand, "vec_id")
-        .join(nrm, "vec_id")
-        .crossJoin(F.broadcast(qn))
+        ev.join(cand, "vec_id")
+        .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             "cell",
-            F.round(F.col("dp") / (F.col("nv") * F.col("nq")), 6).alias("cosine"),
+            F.round(dot(F.col("emb"), F.col("qemb")) / (F.col("nv") * F.col("nq")), 6)
+            .alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
