@@ -872,6 +872,8 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         # round-6: the global-order rewrites (plans/global_order.py) —
         # range-boundary placement must never flip a rank
         "pipeline_interleave_sources",
+        # round-6 additions (M169+)
+        "agg_collect_neighbors_capped",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -951,7 +953,7 @@ def test_driver_window_composition(spark):
     import re
 
     m = re.search(
-        r"round 5 additions: \*\*(\d+) `queries\(\)`\nentries, (\d+) with full SQL oracles, (\d+) rows-only\*\*",
+        r"round 6 additions: \*\*(\d+) `queries\(\)`\nentries, (\d+) with full SQL oracles, (\d+) rows-only\*\*",
         Path("SURVEY.md").read_text(),
     )
     assert m, "SURVEY.md totals line not found / format drifted"

@@ -54,6 +54,7 @@ from tropology_spark.operators import relational  # noqa: F401
 
 #: Round-6 additions (M169+) — appended here as they are registered.
 _R6_NEW = [
+    "agg_collect_neighbors_capped",
 ]
 
 _R6_REWRITTEN = [

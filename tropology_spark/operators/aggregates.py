@@ -9,7 +9,7 @@ reconstructed).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tropology_spark.functions.exact import exact_sum, sql_exact_sum
@@ -154,6 +154,77 @@ def agg_collect_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("neighbors"),
             F.count(F.lit(1)).alias("n_neighbors"),
         )
+    )
+
+
+#: M169 — neighbor-list cap.  SCALE.md names D8's collect_list as the
+#: one unbounded per-group aggregation state in the repo; the capped
+#: twin bounds it to this many neighbors per node.
+NEIGHBOR_CAP = 8
+
+
+@register(
+    "agg_collect_neighbors_capped",
+    oracle=f"""
+    WITH edges AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    ranked AS (SELECT src, dst,
+                      row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+               FROM edges),
+    tot AS (SELECT src, CAST(count(*) AS BIGINT) AS n_neighbors FROM edges GROUP BY src),
+    kept AS (SELECT src,
+                    string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst) AS neighbors,
+                    CAST(count(*) AS BIGINT) AS n_kept
+             FROM ranked WHERE rn <= {NEIGHBOR_CAP} GROUP BY src)
+    SELECT tot.src, kept.neighbors, kept.n_kept, tot.n_neighbors,
+           CAST(CASE WHEN tot.n_neighbors > {NEIGHBOR_CAP} THEN 1 ELSE 0 END
+                AS BIGINT) AS truncated
+    FROM tot JOIN kept ON tot.src = kept.src
+    """,
+)
+def agg_collect_neighbors_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M169 — D8's celebrity-safe twin (VERDICT r5 item 6): the
+    neighbor list keeps only the NEIGHBOR_CAP smallest dst ids per
+    node, with the TRUE degree and a truncation flag alongside — the
+    payload shape an API would actually serve for a celebrity node.
+
+    Scale: the cap is enforced BEFORE any list is assembled — the E7
+    window top-k form (sort-based window, bounded spill) filters to
+    <= NEIGHBOR_CAP rows per src, so no aggregation buffer ever holds
+    an unbounded list; D8's plain collect_list state grows with the
+    hottest node.  The true degree comes from a separate count agg
+    (map-side combinable) on the shared materialized edge view, and
+    the final join runs on two already-small per-src frames."""
+    from tropology_spark.sources.tables import edges_materialized
+
+    ed = edges_materialized(spark, sf_dir)  # session-shared; 2 references
+    ranked = ed.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("src").orderBy("dst")),
+    )
+    kept = (
+        ranked.filter(F.col("rn") <= NEIGHBOR_CAP)
+        .groupBy("src")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("dst")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("neighbors"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        )
+    )
+    tot = ed.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("n_neighbors"))
+    return tot.join(kept, "src").select(
+        "src",
+        "neighbors",
+        "n_kept",
+        "n_neighbors",
+        F.when(F.col("n_neighbors") > NEIGHBOR_CAP, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("truncated"),
     )
 
 
