@@ -874,6 +874,28 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "pipeline_interleave_sources",
         # round-6 additions (M169+)
         "agg_collect_neighbors_capped",
+        "analytics_dau_streaks",
+        "analytics_basket_pairs",
+        "ts_burst_hours",
+        "text_char_trigram_profile",
+        "pipeline_bloom_dedup_audit",
+        "agg_quantile_sketch_audit",
+        "fn_url_parse",
+        "pipeline_global_deciles",
+        "sim_lsh_recall",
+        "text_vocab_jaccard_sources",
+        "graph_ra_recommend",
+        "ts_gap_report",
+        "sim_pq_recall",
+        "text_rake_keywords",
+        "sub_not_in_null",
+        "mm_chunk_manifest",
+        "analytics_event_type_overlap",
+        "agg_mergeable_stats_audit",
+        "pipeline_split_ks_audit",
+        "dedup_embedding_clusters",
+        "graph_struct_equiv",
+        "ts_coverage_union",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

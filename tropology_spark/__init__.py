@@ -55,6 +55,28 @@ from tropology_spark.operators import relational  # noqa: F401
 #: Round-6 additions (M169+) — appended here as they are registered.
 _R6_NEW = [
     "agg_collect_neighbors_capped",
+    "analytics_dau_streaks",
+    "analytics_basket_pairs",
+    "ts_burst_hours",
+    "text_char_trigram_profile",
+    "pipeline_bloom_dedup_audit",
+    "agg_quantile_sketch_audit",
+    "fn_url_parse",
+    "pipeline_global_deciles",
+    "sim_lsh_recall",
+    "text_vocab_jaccard_sources",
+    "graph_ra_recommend",
+    "ts_gap_report",
+    "sim_pq_recall",
+    "text_rake_keywords",
+    "sub_not_in_null",
+    "mm_chunk_manifest",
+    "analytics_event_type_overlap",
+    "agg_mergeable_stats_audit",
+    "pipeline_split_ks_audit",
+    "dedup_embedding_clusters",
+    "graph_struct_equiv",
+    "ts_coverage_union",
 ]
 
 _R6_REWRITTEN = [

@@ -588,3 +588,62 @@ def fn_hash_sha2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("shard_1024"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M176 — URL parsing surface (crawler-core: host / path / query / fragment)
+# ---------------------------------------------------------------------------
+
+#: Deterministic URL synthesized per part — the fixture has no URL
+#: column, so both engines build the SAME string from part attributes,
+#: then parse it back.  Shape mirrors the reference's crawl targets
+#: (pmwiki paths + query + fragment).
+_URL_SQL = (
+    "'https://www.' || lower(replace(p_brand, '#', '')) || '.example.org/wiki/'"
+    " || replace(lower(p_type), ' ', '-') || '/' || CAST(p_partkey AS STRING)"
+    " || '?size=' || CAST(p_size AS STRING) || '&ref=index#sec' "
+    " || CAST(p_partkey % 10 AS STRING)"
+)
+
+
+@register(
+    "fn_url_parse",
+    oracle=f"""
+    WITH u AS (SELECT p_partkey, {_URL_SQL} AS url FROM part)
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey, url,
+           regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query,
+           regexp_extract(url, '#(.*)$', 1) AS fragment,
+           regexp_extract(url, '[?&]size=([^&#]*)', 1) AS size_param
+    FROM u
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M176 — the URL-decomposition surface a crawler engine needs
+    (the reference's whole data model is crawled pmwiki URLs): host,
+    path, query, fragment, and a single query parameter, extracted
+    with Spark's built-in ``parse_url`` — a JVM expression, not a
+    UDF.  The oracle decomposes the same strings with anchored
+    regexes, proving the two parsers agree on this URL shape.
+
+    The URL itself is synthesized deterministically from part
+    attributes (brand → host, type → path segments, partkey → page,
+    size → query param) with identical SQL in both engines — the
+    fixture ships no URL column; what is under test is the parser.
+
+    Scale: pure row-local string work — whole-stage codegen, no
+    shuffle at all (the plan is scan → project)."""
+    p = load(spark, sf_dir, "part")
+    u = p.select(
+        F.col("p_partkey").cast("bigint").alias("p_partkey"),
+        F.expr(_URL_SQL).alias("url"),
+    )
+    return u.select(
+        "p_partkey", "url",
+        F.expr("parse_url(url, 'HOST')").alias("host"),
+        F.expr("parse_url(url, 'PATH')").alias("path"),
+        F.expr("parse_url(url, 'QUERY')").alias("query"),
+        F.expr("parse_url(url, 'REF')").alias("fragment"),
+        F.expr("parse_url(url, 'QUERY', 'size')").alias("size_param"),
+    )

@@ -916,3 +916,244 @@ def agg_kmv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("err_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M175 — mergeable quantile-sketch audit (binned histogram vs exact rank)
+# ---------------------------------------------------------------------------
+
+_QSK_W = 16384  # bin width in cents (~$164); sketch size = price-range / W
+
+
+@register(
+    "agg_quantile_sketch_audit",
+    oracle=f"""
+    WITH c AS (
+      SELECT o_orderpriority AS prio,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    bins AS (
+      SELECT prio, cents // {_QSK_W} AS bin, CAST(count(*) AS BIGINT) AS cnt
+      FROM c GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT prio, bin, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY prio ORDER BY bin) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY prio) AS BIGINT) AS n
+      FROM bins
+    ),
+    est AS (
+      SELECT prio, CAST(max(n) AS BIGINT) AS n_orders,
+             CAST(count(*) AS BIGINT) AS n_bins,
+             CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN bin END) * {_QSK_W}
+                  + {_QSK_W} // 2 AS BIGINT) AS est_p50_cents,
+             CAST(min(CASE WHEN 10 * cum >= 9 * n THEN bin END) * {_QSK_W}
+                  + {_QSK_W} // 2 AS BIGINT) AS est_p90_cents
+      FROM cum GROUP BY prio
+    ),
+    rk AS (
+      SELECT prio, cents,
+             row_number() OVER (PARTITION BY prio ORDER BY cents) AS rn,
+             CAST(count(*) OVER (PARTITION BY prio) AS BIGINT) AS n
+      FROM c
+    ),
+    exact AS (
+      SELECT prio,
+             CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT)
+               AS exact_p50_cents,
+             CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS BIGINT)
+               AS exact_p90_cents
+      FROM rk GROUP BY prio
+    )
+    SELECT est.prio, est.n_orders, est.n_bins,
+           est.est_p50_cents, exact.exact_p50_cents,
+           CAST((1000000 * abs(est.est_p50_cents - exact.exact_p50_cents))
+                // exact.exact_p50_cents AS BIGINT) AS p50_err_ppm,
+           est.est_p90_cents, exact.exact_p90_cents,
+           CAST((1000000 * abs(est.est_p90_cents - exact.exact_p90_cents))
+                // exact.exact_p90_cents AS BIGINT) AS p90_err_ppm
+    FROM est JOIN exact ON est.prio = exact.prio
+    """,
+)
+def agg_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M175 — the quantile member of the sketch-audit family (M161
+    KMV-distinct, M128 CMS-counts): a fixed-width binned histogram
+    sketch of order totals — per (priority, 16384-cent bin) counts,
+    the mergeable state a rollup tier stores — estimates p50/p90 as
+    the midpoint of the first bin whose cumulative count crosses the
+    rank threshold, and is audited against the EXACT discrete
+    percentile (value at rank ⌈q·n⌉ under the unique cents order)
+    with integer-ppm error.  Max error is ±W/2 by construction — the
+    audit proves the configured bin width honors that bound.
+
+    Every intermediate is an exact integer: cents, bin = cents div W,
+    counts, ranks; thresholds compare 10·cum ≥ 9·n style
+    cross-multiplications, never fractions.
+
+    Scale: the sketch is O(groups × price-range/W) — config-bounded,
+    mergeable by addition, and built with one map-side-combinable
+    aggregate.  The exact side's per-group rank window exists ONLY to
+    audit the sketch at fixture scale; production keeps the sketch."""
+    o = load(spark, sf_dir, "orders")
+    c = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    bins = c.groupBy(
+        "prio", F.expr(f"cents div {_QSK_W}").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wc = Window.partitionBy("prio").orderBy("bin")
+    wt = Window.partitionBy("prio")
+    cum = bins.select(
+        "prio", "bin", "cnt",
+        F.sum("cnt").over(wc).cast("bigint").alias("cum"),
+        F.sum("cnt").over(wt).cast("bigint").alias("n"),
+    )
+    est = cum.groupBy("prio").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        (
+            F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("bin")))
+            * _QSK_W
+            + _QSK_W // 2
+        )
+        .cast("bigint")
+        .alias("est_p50_cents"),
+        (
+            F.min(F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("bin")))
+            * _QSK_W
+            + _QSK_W // 2
+        )
+        .cast("bigint")
+        .alias("est_p90_cents"),
+    )
+    wr = Window.partitionBy("prio").orderBy("cents")
+    rk = c.select(
+        "prio", "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("n"),
+    )
+    exact = rk.groupBy("prio").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("cents"))
+        )
+        .cast("bigint")
+        .alias("exact_p50_cents"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("cents"))
+        )
+        .cast("bigint")
+        .alias("exact_p90_cents"),
+    )
+    return est.join(exact, "prio").select(
+        "prio", "n_orders", "n_bins",
+        "est_p50_cents", "exact_p50_cents",
+        F.expr(
+            "(1000000 * abs(est_p50_cents - exact_p50_cents)) div exact_p50_cents"
+        )
+        .cast("bigint")
+        .alias("p50_err_ppm"),
+        "est_p90_cents", "exact_p90_cents",
+        F.expr(
+            "(1000000 * abs(est_p90_cents - exact_p90_cents)) div exact_p90_cents"
+        )
+        .cast("bigint")
+        .alias("p90_err_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M187 — mergeable-partials audit (rollup-tier associativity as a query)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_mergeable_stats_audit",
+    oracle="""
+    WITH part AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS sq,
+             CAST(min(n_chars) AS BIGINT) AS mn,
+             CAST(max(n_chars) AS BIGINT) AS mx
+      FROM documents GROUP BY source
+    ),
+    merged AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_partials,
+             CAST(sum(n) AS BIGINT) AS m_n, CAST(sum(s) AS BIGINT) AS m_s,
+             CAST(sum(sq) AS BIGINT) AS m_sq,
+             CAST(min(mn) AS BIGINT) AS m_mn, CAST(max(mx) AS BIGINT) AS m_mx
+      FROM part
+    ),
+    direct AS (
+      SELECT CAST(count(*) AS BIGINT) AS d_n,
+             CAST(sum(n_chars) AS BIGINT) AS d_s,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS d_sq,
+             CAST(min(n_chars) AS BIGINT) AS d_mn,
+             CAST(max(n_chars) AS BIGINT) AS d_mx
+      FROM documents
+    )
+    SELECT n_partials, d_n, m_n, d_s, m_s, d_sq, m_sq, d_mn, m_mn, d_mx, m_mx,
+           CAST(CASE WHEN d_n = m_n AND d_s = m_s AND d_sq = m_sq
+                     AND d_mn = m_mn AND d_mx = m_mx
+                THEN 1 ELSE 0 END AS BIGINT) AS all_equal
+    FROM merged CROSS JOIN direct
+    """,
+)
+def agg_mergeable_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M187 — mergeability made checkable: per-source PARTIAL stats
+    (count / sum / sum-of-squares / min / max over n_chars — every
+    one an exact integer, so merging is exact integer addition or
+    min/max) are merged into global stats and compared against the
+    direct single-pass aggregate; all_equal = 1 is the associativity
+    proof.  This is the contract every rollup tier, sketch (M161/
+    M128/M175) and two-phase aggregate (D11) silently relies on —
+    here it is a registered query a data platform can run per
+    snapshot, and the reason the repo's stats avoid float SUMs (which
+    would NOT merge bit-identically; functions/exact.py).
+
+    Scale: both branches are map-side-combinable scans; the partials
+    table is O(sources).  In production the partials are the stored
+    artifact and the direct branch runs only at audit time."""
+    d = load(spark, sf_dir, "documents")
+    part = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("sq"),
+        F.min("n_chars").cast("bigint").alias("mn"),
+        F.max("n_chars").cast("bigint").alias("mx"),
+    )
+    merged = part.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_partials"),
+        F.sum("n").cast("bigint").alias("m_n"),
+        F.sum("s").cast("bigint").alias("m_s"),
+        F.sum("sq").cast("bigint").alias("m_sq"),
+        F.min("mn").cast("bigint").alias("m_mn"),
+        F.max("mx").cast("bigint").alias("m_mx"),
+    )
+    direct = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("d_n"),
+        F.sum("n_chars").cast("bigint").alias("d_s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("d_sq"),
+        F.min("n_chars").cast("bigint").alias("d_mn"),
+        F.max("n_chars").cast("bigint").alias("d_mx"),
+    )
+    return merged.crossJoin(F.broadcast(direct)).select(
+        "n_partials", "d_n", "m_n", "d_s", "m_s", "d_sq", "m_sq",
+        "d_mn", "m_mn", "d_mx", "m_mx",
+        F.when(
+            (F.col("d_n") == F.col("m_n"))
+            & (F.col("d_s") == F.col("m_s"))
+            & (F.col("d_sq") == F.col("m_sq"))
+            & (F.col("d_mn") == F.col("m_mn"))
+            & (F.col("d_mx") == F.col("m_mx")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("all_equal"),
+    )

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from tropology_spark.plans.global_order import global_row_number, ntile_expr
 from tropology_spark.registry import register
+from tropology_spark.session import iter_materialize
 from tropology_spark.sources.tables import load
 
 _FUNNEL_STEPS = ("signup", "click", "purchase")
@@ -1022,5 +1023,255 @@ def analytics_mau_kmv_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * abs(mau_kmv - mau_exact)) div mau_exact")
             .cast("bigint")
             .alias("err_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M170 — daily activity streaks (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_dau_streaks",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '{_EPOCH}' AS BIGINT) AS day
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM d
+    ),
+    s AS (
+      SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+      FROM r GROUP BY user_id, grp
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(max(len) AS BIGINT) AS best_streak,
+             CAST(count(*) AS BIGINT) AS n_streaks,
+             CAST(sum(len) AS BIGINT) AS active_days
+      FROM s GROUP BY user_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, best_streak, n_streaks,
+           active_days
+    FROM u ORDER BY best_streak DESC, user_id LIMIT 20
+    """,
+)
+def analytics_dau_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M170 — longest consecutive-day activity streak per user, the
+    classic gaps-and-islands shape the registry lacked: a user's
+    distinct active days fall into islands wherever ``day -
+    row_number()`` (both monotone in day) is constant, so one
+    user-partitioned window + two integer aggregates yield best
+    streak, island count, and total active days.  Top-20 by (streak
+    DESC, user_id) — the unique-key rank discipline.
+
+    Determinism: day = integer days since the fixed epoch (the M52
+    idiom — no engine week/date-trunc conventions), every output an
+    exact BIGINT.  Scale: the events scan reduces to distinct (user,
+    day) pairs immediately (map-side combine); the island window and
+    both rollups all live inside the user_id partition — one shuffle
+    total — and the top-20 is Spark's TakeOrdered, never a global
+    single-partition window (the plans/global_order.py rule)."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit(_EPOCH).cast("date"))
+        .cast("bigint")
+        .alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = d.withColumn("grp", F.col("day") - F.row_number().over(w))
+    s = r.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    u = s.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("best_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.sum("len").cast("bigint").alias("active_days"),
+    )
+    return u.orderBy(F.desc("best_streak"), F.asc("user_id")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# M173 — market-basket part pairs (bounded within-order co-occurrence)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_basket_pairs",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM b),
+    supp AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS supp
+             FROM b GROUP BY l_partkey),
+    p AS (
+      SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_both,
+           sa.supp AS supp_a, sb.supp AS supp_b,
+           CAST((1000000 * n_both * n.n_orders) // (sa.supp * sb.supp)
+                AS BIGINT) AS lift_ppm
+    FROM p
+    JOIN supp sa ON sa.l_partkey = part_a
+    JOIN supp sb ON sb.l_partkey = part_b
+    CROSS JOIN n
+    WHERE n_both >= 3
+    ORDER BY n_both DESC, part_a, part_b LIMIT 20
+    """,
+)
+def analytics_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M173 — market-basket co-occurrence: part pairs bought together
+    in the same order, with support counts and an integer-ppm lift
+    score ((10⁶·n_both·n_orders) div (supp_a·supp_b) — all positive,
+    so DuckDB ``//`` and Spark ``div`` agree; the CLAUDE.md
+    integer-division rule).  Top-20 by (n_both DESC, part_a, part_b).
+
+    Scale — why this does NOT need the celebrity toolkit: the pair
+    explosion is bounded by ORDER size (≤13 distinct parts per order
+    in this fixture, ≤7 lineitems in TPC-H), not by part popularity,
+    so per-order pair generation is O(orders·C(13,2)) worst-case.
+    The plan exploits that: one shuffle groups baskets per order,
+    pairs are generated IN-PARTITION from the sorted bounded array
+    (no self-join re-shuffle of the (order, part) table), and the
+    part-keyed support table (O(parts)) broadcasts onto the pair
+    aggregate.  The oracle keeps the declarative self-join — clarity
+    over scale is the right trade for DuckDB at sf0.01."""
+    l = load(spark, sf_dir, "lineitem")
+    # ONE wide shuffle builds the baskets (collect_set dedups parts
+    # within the order — no separate distinct pass); every other frame
+    # derives from it, so the shared frames are materialized per the
+    # DOUBLE-REFERENCE RULE (CLAUDE.md): basket feeds pairs + support
+    # + the order count, supp feeds both broadcast enrichments.
+    basket = iter_materialize(
+        l.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("parts")
+        )
+    )
+    n = basket.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    supp = iter_materialize(
+        basket.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("supp"))
+    )
+    pairs = basket.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) -> "
+                "transform(slice(parts, i + 2, size(parts)), "
+                "y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    pc = pairs.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_both")
+    )
+    res = (
+        pc.filter(F.col("n_both") >= 3)
+        .join(
+            F.broadcast(supp.withColumnRenamed("supp", "supp_a")),
+            F.col("part_a") == F.col("l_partkey"),
+        )
+        .drop("l_partkey")
+        .join(
+            F.broadcast(supp.withColumnRenamed("supp", "supp_b")),
+            F.col("part_b") == F.col("l_partkey"),
+        )
+        .drop("l_partkey")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "n_both", "supp_a", "supp_b",
+            F.expr("(1000000 * n_both * n_orders) div (supp_a * supp_b)")
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+    )
+    return res.orderBy(F.desc("n_both"), F.asc("part_a"), F.asc("part_b")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# M186 — event-type audience overlap (bounded per-user type baskets)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_event_type_overlap",
+    oracle="""
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+           FROM tu GROUP BY event_type),
+    pair AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both,
+           sa.n_users AS users_a, sb.n_users AS users_b,
+           CAST((1000000 * n_both)
+                // (sa.n_users + sb.n_users - n_both) AS BIGINT) AS jaccard_ppm
+    FROM pair
+    JOIN sz sa ON sa.event_type = type_a
+    JOIN sz sb ON sb.event_type = type_b
+    """,
+)
+def analytics_event_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M186 — audience overlap between event types: per type pair, the
+    users active in both, with set sizes and integer-ppm Jaccard —
+    the feature-adoption overlap matrix a product dashboard renders.
+
+    Scale — the M173 bounded-basket plan, not the oracle's self-join:
+    a user's distinct type set is bounded by the TYPE VOCABULARY
+    (5 here, rarely more than dozens anywhere), so pairs are generated
+    in-partition from each user's sorted type array after ONE shuffle
+    on user_id; type-level audience sizes (O(types)) broadcast onto
+    the C(types,2)-row result.  Nothing in the plan is
+    O(users × users)."""
+    ev = load(spark, sf_dir, "events")
+    basket = iter_materialize(
+        ev.groupBy("user_id").agg(
+            F.sort_array(F.collect_set("event_type")).alias("types")
+        )
+    )
+    sz = basket.select(F.explode("types").alias("event_type")).groupBy(
+        "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    pairs = basket.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(types, (x, i) -> "
+                "transform(slice(types, i + 2, size(types)), "
+                "y -> struct(x AS type_a, y AS type_b))))"
+            )
+        ).alias("p")
+    ).select("p.type_a", "p.type_b")
+    pair = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_both")
+    )
+    return (
+        pair.join(
+            F.broadcast(sz.withColumnRenamed("n_users", "users_a")),
+            F.col("type_a") == F.col("event_type"),
+        )
+        .drop("event_type")
+        .join(
+            F.broadcast(sz.withColumnRenamed("n_users", "users_b")),
+            F.col("type_b") == F.col("event_type"),
+        )
+        .drop("event_type")
+        .select(
+            "type_a", "type_b", "n_both", "users_a", "users_b",
+            F.expr("(1000000 * n_both) div (users_a + users_b - n_both)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
         )
     )

@@ -714,3 +714,75 @@ def dedup_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return und.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
         F.col("rn") <= 3
     )
+
+
+# ---------------------------------------------------------------------------
+# M189 — semantic near-dup clusters (CC over the cosine pair graph)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_embedding_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (SELECT vec_a, vec_b FROM ({{cos}}) t),
+    bi AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+           UNION ALL SELECT vec_b, vec_a FROM pairs),
+    walk(node, lab) AS (
+        SELECT u, u FROM bi
+        UNION
+        SELECT bi.v, walk.lab FROM walk JOIN bi ON walk.node = bi.u
+    ),
+    comp AS (SELECT node, min(lab) AS cluster_id FROM walk GROUP BY node)
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(node) AS BIGINT) AS max_vec,
+           CAST(sum(node) AS BIGINT) AS id_checksum
+    FROM comp GROUP BY cluster_id
+    """.format(cos=ORACLES["dedup_embedding_cosine"]),
+)
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M189 — semantic dedup clusters: the M2 cosine near-dup PAIRS
+    closed into connected components, rolled up per cluster (id = min
+    member, size, max member, id checksum) — pairs alone under-count
+    duplication (A≈B, B≈C but A~C below threshold still form ONE
+    redundancy group); the cluster is what M24-style canonical
+    selection actually operates on.  Composes two registered pieces:
+    the M2 pair query (oracle composed verbatim — the _J2_ORACLE
+    rule) and the M8 Hash-to-Min CC loop (strict convergence).
+
+    Node ids ride through the string CC engine zero-padded to 20
+    digits so the propagation's lexicographic min IS the numeric min
+    the oracle computes (CAST back strips the padding).
+
+    Scale: the pair graph is the output of banded/blocked dedup —
+    orders of magnitude smaller than the corpus — and the CC loop is
+    the O(log d)-round machinery already proven on the full bipartite
+    graph; the rollup is one shuffle on cluster id.  Singleton
+    documents never enter (no pair, no row) — by design: the cluster
+    table is consumed as a worklist of redundancy groups."""
+    from tropology_spark import QUERIES
+    from tropology_spark.operators.graph import connected_components
+
+    pairs = (
+        QUERIES["dedup_embedding_cosine"](spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=True)
+    )
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")  # noqa: E731
+    bi = pairs.select(pad("vec_a").alias("u"), pad("vec_b").alias("v")).unionByName(
+        pairs.select(pad("vec_b").alias("u"), pad("vec_a").alias("v"))
+    )
+    labels = connected_components(bi, strict=True)
+    return (
+        labels.select(
+            F.col("comp").cast("bigint").alias("cluster_id"),
+            F.col("node").cast("bigint").alias("vec"),
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max("vec").cast("bigint").alias("max_vec"),
+            F.sum("vec").cast("bigint").alias("id_checksum"),
+        )
+    )

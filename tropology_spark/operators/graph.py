@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tropology_spark.registry import register
@@ -1338,3 +1338,167 @@ def graph_trope_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lift.orderBy(
         F.col("lift_ppm").desc(), F.col("trope_a"), F.col("trope_b")
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# M180 — resource-allocation recommendations (seed-bounded serving shape)
+# ---------------------------------------------------------------------------
+
+_RA_MAX_SRC = 50  # seed set: the serving-path "recommend for these users"
+
+
+@register(
+    "graph_ra_recommend",
+    oracle=_EDGES_CTE
+    + f"""
+    , deg AS (SELECT dst, CAST(count(*) AS BIGINT) AS d
+              FROM edges GROUP BY dst),
+    w AS (
+      SELECT a.src AS seed, b.src AS cand,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(1000000 // deg.d) AS BIGINT) AS ra_ppm
+      FROM edges a
+      JOIN edges b ON a.dst = b.dst AND a.src <> b.src
+      JOIN deg ON deg.dst = a.dst
+      WHERE a.src < {_RA_MAX_SRC}
+      GROUP BY 1, 2
+    )
+    SELECT seed, cand, n_common, ra_ppm, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY seed
+                                       ORDER BY ra_ppm DESC, cand) AS rk
+          FROM w) t
+    WHERE rk <= 3
+    """,
+)
+def graph_ra_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M180 — top-3 neighbor recommendations per seed customer under
+    the resource-allocation index (Zhou et al. 2009): score(a,b) =
+    Σ_{{shared part p}} 1/deg(p) — unlike M32's Jaccard, RA discounts
+    promiscuous shared parts individually, which is the metric of
+    choice when item popularity is heavy-tailed.  Each term is
+    1000000 div deg(p) (positive integers — engine-identical
+    truncation), summed exactly; rank ties break on candidate id.
+
+    This is deliberately the SERVING shape: a bounded seed set
+    (src < {_RA_MAX_SRC}), so the wedge is Σ over seed edges of
+    deg(dst) — proportional to the seed set, not to all C(n,2) pairs
+    (the M121 capped query owns the corpus-wide variant's scale
+    story; a production RA-for-everyone run would route through the
+    same hot/cold split, where a hot part's per-pair contribution is
+    ≤ 10⁶ div cap).  The seed filter pushes into the edge scan; the
+    O(parts) degree table broadcasts onto the wedge."""
+    from tropology_spark.sources.tables import edges_materialized
+
+    e = edges_materialized(spark, sf_dir)
+    deg = e.groupBy(F.col("dst").alias("deg_dst")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    a = e.filter(F.col("src") < _RA_MAX_SRC).alias("a")
+    b = e.alias("b")
+    w = (
+        a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") != F.col("b.src")))
+        .join(F.broadcast(deg), F.col("a.dst") == F.col("deg_dst"))
+        .groupBy(F.col("a.src").alias("seed"), F.col("b.src").alias("cand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum(F.expr("1000000 div d")).cast("bigint").alias("ra_ppm"),
+        )
+    )
+    rk = Window.partitionBy("seed").orderBy(F.desc("ra_ppm"), F.asc("cand"))
+    return (
+        w.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 3)
+        .select("seed", "cand", "n_common", "ra_ppm", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# M190 — structural equivalence classes (mergeable neighbor-set fingerprint)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_struct_equiv",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS src, p.p_brand AS dst
+      FROM orders o
+      JOIN lineitem l ON o_orderkey = l_orderkey
+      JOIN part p ON l_partkey = p_partkey
+    ),
+    h AS (
+      SELECT src, dst,
+             ('0x' || substring(md5(dst), 1, 8))::BIGINT AS hv
+      FROM edges
+    ),
+    fp AS (
+      SELECT src,
+             CAST(sum(hv) AS BIGINT) AS fp_sum,
+             CAST(count(*) AS BIGINT) AS deg,
+             min(dst) AS min_dst,
+             max(dst) AS max_dst
+      FROM h GROUP BY src
+    )
+    SELECT fp_sum, deg, min_dst, max_dst,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(src) AS BIGINT) AS min_src,
+           CAST(sum(src) AS BIGINT) AS src_checksum
+    FROM fp GROUP BY fp_sum, deg, min_dst, max_dst
+    HAVING count(*) >= 2
+    """,
+)
+def graph_struct_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M190 — structural-equivalence classes: customers whose
+    out-neighbor sets in the customer→brand projection are IDENTICAL
+    (same brand portfolio — interchangeable "roles", the
+    blockmodeling primitive; on the reference's trope graph these
+    are pages citing exactly the same works).  The brand projection
+    is the right granularity for this fixture: part-level sets are
+    all unique (0 classes), brand-level yields real role classes.
+
+    Two nodes are classed together when their neighbor-set
+    FINGERPRINTS agree: (Σ md5-low-32(dst), degree, min dst, max dst)
+    — an order-independent, MERGEABLE quadruple built by one
+    map-side-combinable aggregate, deliberately NOT the D8
+    sorted-collect_list string: no unbounded per-group list state
+    for a celebrity node (the M169 concern), and partial fingerprints
+    from two shards merge by addition/min/max.  Collision probability
+    between two distinct equal-degree sets with equal min/max is
+    ~2⁻³², and a false merge requires it — acceptable for the audit
+    shape, stated here.
+
+    Scale: two chained aggregates (src-keyed, then fingerprint-keyed)
+    — both combine map-side; nothing holds a list; the part→brand
+    broadcast is dimension-sized."""
+    from tropology_spark.sources.tables import load
+
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    e = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(F.col("o_custkey").alias("src"), F.col("p_brand").alias("dst"))
+        .distinct()
+    )
+    h = e.select(
+        "src", "dst",
+        F.conv(F.substring(F.md5(F.col("dst")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    )
+    fp = h.groupBy("src").agg(
+        F.sum("hv").cast("bigint").alias("fp_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("deg"),
+        F.min("dst").alias("min_dst"),
+        F.max("dst").alias("max_dst"),
+    )
+    return (
+        fp.groupBy("fp_sum", "deg", "min_dst", "max_dst")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("src").cast("bigint").alias("min_src"),
+            F.sum("src").cast("bigint").alias("src_checksum"),
+        )
+        .filter(F.col("n_nodes") >= 2)
+    )

@@ -435,3 +435,85 @@ def mm_bytes_histogram(spark, sf_dir: str) -> DataFrame:
             F.max("n_bytes").cast("bigint").alias("max_bytes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M185 — content-addressed chunk manifest (binary payload sharding)
+# ---------------------------------------------------------------------------
+
+_CHUNK_BYTES = 100
+
+
+@register(
+    "mm_chunk_manifest",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    ch AS (
+      SELECT media_id, n_bytes, CAST(i - 1 AS BIGINT) AS chunk_idx,
+             substr(hx, (i - 1) * {2 * _CHUNK_BYTES} + 1,
+                    {2 * _CHUNK_BYTES}) AS chunk_hex
+      FROM m, (SELECT unnest(generate_series(1, 64)) AS i)
+      WHERE (i - 1) * {_CHUNK_BYTES} < n_bytes
+    )
+    SELECT media_id, chunk_idx,
+           CAST(chunk_idx * {_CHUNK_BYTES} AS BIGINT) AS byte_offset,
+           CAST(length(chunk_hex) // 2 AS BIGINT) AS chunk_bytes,
+           md5(chunk_hex) AS chunk_md5,
+           CAST(CASE WHEN (chunk_idx + 1) * {_CHUNK_BYTES} >= n_bytes
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_last
+    FROM ch
+    """,
+)
+def mm_chunk_manifest(spark, sf_dir: str) -> DataFrame:
+    """M185 — content-addressed chunking of binary payloads: each
+    asset split into fixed 100-byte chunks with (offset, size,
+    digest, last-flag) — the manifest a 100 TB media store keeps so
+    multi-GB assets upload/dedup/repair per CHUNK instead of per
+    file (the chunk digest is the dedup key; M77 dedups whole
+    payloads).  The Spark side slices the BINARY column directly
+    (substring on BinaryType is byte-addressed) — multi-byte UTF-8
+    codepoints in the underlying fixture text split mid-character,
+    exactly as raw media bytes would; the digest canonicalizes each
+    chunk through its hex encoding because the oracle's md5 is
+    VARCHAR-only (DuckDB has no BLOB substring either, so it slices
+    the hex string at doubled offsets — byte-aligned, therefore
+    equivalent).
+
+    Scale: row-local generate+slice (one explode of ≤64 bounded
+    structs per asset, no shuffle at all); the manifest is
+    O(bytes / chunk_size) rows."""
+    from tropology_spark.sources.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    m = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    ).withColumn("n_bytes", F.octet_length("payload").cast("bigint"))
+    ch = m.select(
+        "media_id",
+        "n_bytes",
+        "payload",
+        F.explode(
+            F.expr(
+                f"sequence(0, CAST((n_bytes - 1) div {_CHUNK_BYTES} AS INT))"
+            )
+        ).alias("chunk_idx"),
+    )
+    chunk = F.expr(f"substring(payload, chunk_idx * {_CHUNK_BYTES} + 1, {_CHUNK_BYTES})")
+    return ch.select(
+        "media_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        (F.col("chunk_idx") * _CHUNK_BYTES).cast("bigint").alias("byte_offset"),
+        F.octet_length(chunk).cast("bigint").alias("chunk_bytes"),
+        F.md5(F.hex(chunk)).alias("chunk_md5"),
+        F.when(
+            (F.col("chunk_idx") + 1) * _CHUNK_BYTES >= F.col("n_bytes"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_last"),
+    )

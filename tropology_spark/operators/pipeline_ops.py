@@ -27,8 +27,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
 from tropology_spark.functions.exact import sql_exact_sum, sql_ts_str
-from tropology_spark.plans.global_order import global_row_number
+from tropology_spark.plans.global_order import global_row_number, ntile_expr
 from tropology_spark.registry import register
+from tropology_spark.session import iter_materialize
 from tropology_spark.sources.tables import load
 
 
@@ -2451,4 +2452,303 @@ def pipeline_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.median("n_chars"), 4).alias("p50_chars"),
         F.round(F.percentile("n_chars", 0.9), 4).alias("p90_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M174 — Bloom-filter dedup audit (false-positive rate vs exact truth)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096  # bits
+_BLOOM_K = 3  # hash functions (double hashing h1 + j*h2)
+
+
+@register(
+    "pipeline_bloom_dedup_audit",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             ('0x' || substring(md5(text), 1, 8))::BIGINT AS h1,
+             ('0x' || substring(md5(text), 9, 8))::BIGINT AS h2,
+             md5(text) AS th
+      FROM documents
+    ),
+    bits AS (
+      SELECT DISTINCT doc_id, (h1 + j * h2) % {_BLOOM_M} AS bit
+      FROM base, unnest([0, 1, 2]) AS t(j)
+    ),
+    setters AS (SELECT bit, CAST(count(*) AS BIGINT) AS n_set
+                FROM bits GROUP BY bit),
+    flags AS (
+      SELECT b.doc_id,
+             CASE WHEN min(s.n_set - 1) >= 1 THEN 1 ELSE 0 END AS bloom_hit
+      FROM bits b JOIN setters s ON b.bit = s.bit
+      GROUP BY b.doc_id
+    ),
+    dup AS (
+      SELECT th, CASE WHEN count(*) > 1 THEN 1 ELSE 0 END AS is_dup
+      FROM base GROUP BY th
+    )
+    SELECT base.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dup.is_dup) AS BIGINT) AS n_exact_dup,
+           CAST(sum(flags.bloom_hit) AS BIGINT) AS n_bloom_hit,
+           CAST(sum(CASE WHEN flags.bloom_hit = 1 AND dup.is_dup = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST((1000000 * sum(CASE WHEN flags.bloom_hit = 1
+                                    AND dup.is_dup = 0
+                                    THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS fp_ppm
+    FROM base
+    JOIN flags ON flags.doc_id = base.doc_id
+    JOIN dup ON dup.th = base.th
+    GROUP BY base.source
+    """,
+)
+def pipeline_bloom_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M174 — the approximate-membership audit for incremental dedup
+    (M41's scale path): a 4096-bit / 3-hash Bloom filter is what a
+    100 TB pipeline consults BEFORE the exact anti-join — this query
+    measures, per source, how many documents the filter would flag as
+    already-seen (all k bits set by OTHER documents) against the exact
+    duplicate truth, yielding the observed false-positive rate in
+    integer ppm.  A fixture-scale fp_ppm far above (1-e^(-kn/m))^k
+    says the filter is undersized before production finds out.
+
+    Portability: the k bit positions are double-hashed (h1 + j·h2
+    mod m) from the SAME md5-low-32 idiom every sketch in this repo
+    uses (dedup.py:161), so DuckDB reproduces the filter bit-for-bit.
+
+    Scale: the bit table is 3 rows/doc; the setter counts combine
+    map-side into a ≤4096-row table; the per-doc verdict joins doc-keyed
+    frames.  The filter ITSELF is the mergeable artifact — per-shard
+    bitmaps OR together — and this audit costs one extra pass over
+    hashes, never over text."""
+    d = load(spark, sf_dir, "documents")
+    # base feeds bits + dup + final rollup — DOUBLE-REFERENCE RULE.
+    base = iter_materialize(
+        d.select(
+            "doc_id",
+            "source",
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h1"),
+            F.conv(F.substring(F.md5("text"), 9, 8), 16, 10)
+            .cast("bigint")
+            .alias("h2"),
+            F.md5("text").alias("th"),
+        )
+    )
+    bits = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.col("h1") + F.lit(j) * F.col("h2"), F.lit(_BLOOM_M))
+                        for j in range(_BLOOM_K)
+                    ]
+                )
+            ).alias("bit"),
+        )
+        .distinct()
+    )
+    setters = bits.groupBy("bit").agg(F.count(F.lit(1)).cast("bigint").alias("n_set"))
+    flags = (
+        bits.join(F.broadcast(setters), "bit")
+        .groupBy("doc_id")
+        .agg(
+            F.when(F.min(F.col("n_set") - 1) >= 1, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("bloom_hit")
+        )
+    )
+    dup = base.groupBy("th").agg(
+        F.when(F.count(F.lit(1)) > 1, F.lit(1)).otherwise(F.lit(0)).alias("is_dup")
+    )
+    return (
+        base.join(flags, "doc_id")
+        .join(dup, "th")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_dup").cast("bigint").alias("n_exact_dup"),
+            F.sum("bloom_hit").cast("bigint").alias("n_bloom_hit"),
+            F.sum(
+                F.when((F.col("bloom_hit") == 1) & (F.col("is_dup") == 0), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_false_pos"),
+            F.expr(
+                "(1000000 * sum(CASE WHEN bloom_hit = 1 AND is_dup = 0 "
+                "THEN 1 ELSE 0 END)) div count(1)"
+            )
+            .cast("bigint")
+            .alias("fp_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M177 — global decile profile (the range-partitioned rank as a user op)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_global_deciles",
+    oracle="""
+    WITH r AS (
+      SELECT n_chars,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM r GROUP BY decile
+    """,
+)
+def pipeline_global_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M177 — corpus-wide length deciles: every document placed in its
+    exact global decile by (n_chars, doc_id), then per-decile count /
+    min / max / sum — the table that turns M44's ad-hoc length gates
+    into data-driven cutoffs.
+
+    This is plans/global_order.py AS A FIRST-CLASS OPERATOR (the r5
+    verdict asked for the helper; this makes it user-visible surface):
+    rank and tile come from the two-pass range-partitioned prefix-sum
+    — sample ranges, partition-local row_number, broadcast offsets,
+    exact integer ntile from (rank, total) — never the
+    single-partition ntile window the oracle uses.  Bit-equality of
+    the two is exactly what the oracle check proves, at every
+    shuffle.partitions setting (the invariance probe).
+
+    Scale: the only data-sized stages are one range shuffle and one
+    partition-local sort; the offsets table is config-bounded.  The
+    final rollup is 10 keys."""
+    d = load(spark, sf_dir, "documents")
+    r = global_row_number(
+        d.select("doc_id", "n_chars"),
+        ["n_chars", "doc_id"],
+        out="pos",
+        total_col="tot",
+    )
+    dec = r.withColumn("decile", ntile_expr(F.col("pos"), F.col("tot"), 10))
+    return dec.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M188 — Kolmogorov-Smirnov split audit (train vs test length drift)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_split_ks_audit",
+    oracle="""
+    WITH b AS (
+      SELECT n_chars,
+             ((strpos('0123456789abcdef',
+                      substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef',
+                       substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 10
+               AS bucket
+      FROM documents
+    ),
+    c AS (
+      SELECT n_chars,
+             CAST(sum(CASE WHEN bucket < 8 THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             CAST(sum(CASE WHEN bucket = 9 THEN 1 ELSE 0 END) AS BIGINT) AS ce
+      FROM b WHERE bucket < 8 OR bucket = 9
+      GROUP BY n_chars
+    ),
+    w AS (
+      SELECT n_chars,
+             CAST(sum(ct) OVER (ORDER BY n_chars) AS BIGINT) AS cum_t,
+             CAST(sum(ce) OVER (ORDER BY n_chars) AS BIGINT) AS cum_e,
+             CAST(sum(ct) OVER () AS BIGINT) AS n_t,
+             CAST(sum(ce) OVER () AS BIGINT) AS n_e
+      FROM c
+    ),
+    k AS (
+      SELECT n_chars, n_t, n_e,
+             abs(cum_t * n_e - cum_e * n_t) AS ks_num
+      FROM w
+    )
+    SELECT n_t AS n_train, n_e AS n_test,
+           CAST(ks_num AS BIGINT) AS ks_num,
+           CAST(n_chars AS BIGINT) AS ks_at_value,
+           CAST((1000000 * ks_num) // (n_t * n_e) AS BIGINT) AS ks_ppm
+    FROM k ORDER BY ks_num DESC, n_chars LIMIT 1
+    """,
+)
+def pipeline_split_ks_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M188 — two-sample Kolmogorov-Smirnov audit between M26's train
+    and test splits over document length: KS = max over the merged
+    support of |F_train(x) − F_test(x)|, computed exactly as the
+    cross-multiplied integer |cum_t·n_e − cum_e·n_t| (no fractions
+    until the single final ppm division; exact while n_t·n_e < 2^63 —
+    holds to ~3·10⁹ docs per side).  A hash split SHOULD show a tiny
+    KS; a large one means the split key correlates with length and
+    eval metrics will drift — the statistical companion to M152's
+    membership-leakage audit.
+
+    Scale: the corpus collapses to per-length counts (map-side
+    combine); the cumulative windows run over the MERGED SUPPORT —
+    O(distinct lengths), bounded by the length-gate ceiling (M44),
+    the documented bounded-cardinality window family (vocab ranks /
+    day spine), kept off the partition-less-WindowExec path via the
+    same non-foldable constant partition key global_order uses."""
+    d = load(spark, sf_dir, "documents")
+    # The M26 bucket expression verbatim (first md5 byte of doc_id mod
+    # 10) — the audit must bucket EXACTLY as the split it audits.
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.conv(F.substring(md5, 1, 2), 16, 10).cast("int") % 10
+    b = d.select("n_chars", bucket.alias("bucket"))
+    c = (
+        b.filter((F.col("bucket") < 8) | (F.col("bucket") == 9))
+        .groupBy("n_chars")
+        .agg(
+            F.sum(F.when(F.col("bucket") < 8, 1).otherwise(0))
+            .cast("bigint")
+            .alias("ct"),
+            F.sum(F.when(F.col("bucket") == 9, 1).otherwise(0))
+            .cast("bigint")
+            .alias("ce"),
+        )
+    )
+    const_part = F.pmod(F.col("n_chars"), F.lit(1))  # non-foldable constant
+    w_cum = Window.partitionBy(const_part).orderBy("n_chars")
+    w_all = Window.partitionBy(const_part)
+    w = c.select(
+        "n_chars",
+        F.sum("ct").over(w_cum).cast("bigint").alias("cum_t"),
+        F.sum("ce").over(w_cum).cast("bigint").alias("cum_e"),
+        F.sum("ct").over(w_all).cast("bigint").alias("n_t"),
+        F.sum("ce").over(w_all).cast("bigint").alias("n_e"),
+    )
+    k = w.select(
+        "n_chars", "n_t", "n_e",
+        F.abs(F.col("cum_t") * F.col("n_e") - F.col("cum_e") * F.col("n_t")).alias(
+            "ks_num"
+        ),
+    )
+    return (
+        k.orderBy(F.desc("ks_num"), F.asc("n_chars"))
+        .limit(1)
+        .select(
+            F.col("n_t").alias("n_train"),
+            F.col("n_e").alias("n_test"),
+            F.col("ks_num").cast("bigint").alias("ks_num"),
+            F.col("n_chars").cast("bigint").alias("ks_at_value"),
+            F.expr("(1000000 * ks_num) div (n_t * n_e)")
+            .cast("bigint")
+            .alias("ks_ppm"),
+        )
     )

@@ -1274,3 +1274,71 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("v_id"), F.lit(-1)).cast("bigint").alias("nearest_view_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M184 — NOT IN vs NOT EXISTS under NULLs (three-valued-logic trap)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sub_not_in_null",
+    oracle="""
+    WITH ref AS (
+      SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                  ELSE o_custkey END AS k
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT
+      CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_customers,
+      CAST((SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM ref WHERE ref.k = c.c_custkey))
+           AS BIGINT) AS n_not_exists,
+      CAST((SELECT count(*) FROM customer c
+            WHERE c.c_custkey NOT IN (SELECT k FROM ref WHERE k IS NOT NULL))
+           AS BIGINT) AS n_not_in_nullsafe,
+      CAST((SELECT count(*) FROM customer c
+            WHERE c.c_custkey NOT IN (SELECT k FROM ref))
+           AS BIGINT) AS n_not_in_raw
+    """,
+)
+def sub_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M184 — the classic three-valued-logic trap, demonstrated by the
+    ENGINE, not emulated: a reference set with injected NULLs makes
+    ``NOT IN`` evaluate to UNKNOWN for every probe row (any comparison
+    to NULL is UNKNOWN, so the conjunction never reaches TRUE) —
+    n_not_in_raw is 0 — while ``NOT EXISTS`` and the IS NOT NULL-
+    guarded ``NOT IN`` agree on the real anti-join count.  Both
+    engines run the same four subqueries through their own planners
+    (Spark via the SQL surface over registered views — M35's path),
+    so the audit proves the engines SHARE the standard's semantics,
+    the repo's null-discipline sibling of B6 (row-level null logic)
+    and M106 (EXISTS forms).
+
+    Scale: NOT IN with a nullable subquery plans as a null-aware
+    anti join (Spark: one extra null-check branch over the broadcast
+    set) — same shuffle budget as the NOT EXISTS anti join; the four
+    scalar counts fold into one row."""
+    from tropology_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        WITH ref AS (
+          SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                      ELSE o_custkey END AS k
+          FROM orders WHERE o_orderstatus = 'F'
+        )
+        SELECT
+          CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_customers,
+          CAST((SELECT count(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM ref WHERE ref.k = c.c_custkey))
+               AS BIGINT) AS n_not_exists,
+          CAST((SELECT count(*) FROM customer c
+                WHERE c.c_custkey NOT IN (SELECT k FROM ref WHERE k IS NOT NULL))
+               AS BIGINT) AS n_not_in_nullsafe,
+          CAST((SELECT count(*) FROM customer c
+                WHERE c.c_custkey NOT IN (SELECT k FROM ref))
+               AS BIGINT) AS n_not_in_raw
+        """
+    )

@@ -113,6 +113,7 @@ _LLOYD_SQL_ITER = """
               JOIN cen{n} c ON e.pos = c.pos
               JOIN nrm ON e.vec_id = nrm.vec_id
               JOIN cn{n} ON c.tcell = cn{n}.tcell
+              WHERE 1 = 1 {vf}
               GROUP BY e.vec_id, c.tcell),
     assign{n} AS (SELECT vec_id, tcell AS cell
                   FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -124,8 +125,23 @@ _LLOYD_SQL_ITER = """
 #: VERDICT r5 item 5).  Total assignment rounds = 1 + _LLOYD_ITERS.
 _LLOYD_ITERS = 2
 
+#: Quantizer TRAINING sample: Lloyd's refinement rounds score only
+#: vec_id % _LLOYD_TRAIN_MOD == 0 (the FAISS practice — the coarse
+#: quantizer is trained on a sample, the corpus is assigned ONCE).
+#: Round-6 perf fix: full-corpus refinement rounds re-timed
+#: sim_knn_join 3.4 s → 9.7 s at sf0.1; sample training keeps the
+#: Lloyd iterations while paying the n × k scoring pass once.
+_LLOYD_TRAIN_MOD = 5
 
-def lloyd_rounds(e: DataFrame, assign0: DataFrame, iters: int, dim: int = EMB_DIM):
+
+def lloyd_rounds(
+    e: DataFrame,
+    assign0: DataFrame,
+    iters: int,
+    dim: int = EMB_DIM,
+    train_mod: int | None = None,
+    pin: str = "vc",
+):
     """Run ``iters`` nearest-centroid assignment rounds from a seed
     assignment (Lloyd's algorithm; round 1 over a seed partition IS
     the classic one-shot "hash-init k-means", further rounds refine
@@ -157,7 +173,23 @@ def lloyd_rounds(e: DataFrame, assign0: DataFrame, iters: int, dim: int = EMB_DI
     where branching starts: the FINAL vc is referenced from two plan
     branches (the final argmax + the IVF probe), so it alone is
     pinned via iter_materialize; the final assign is then one cheap
-    aggregate over the pinned frame."""
+    aggregate over the pinned frame.
+
+    ``pin``: which final frame to materialize at the branch point —
+    ``"vc"`` (IVF: the probe branch consumes the full n × k cosine
+    table) or ``"assign"`` (kNN: only the n-row assignment is
+    consumed, by BOTH pair-join sides; pinning the 11M-row vc there
+    was measured as the entire 3.4 s → 9.7 s round-6 regression —
+    checkpointing a frame no branch reads is not the
+    DOUBLE-REFERENCE RULE, it is a 270 MB write for nothing).
+
+    ``train_mod``: when set, refinement rounds before the last score
+    ONLY vectors with vec_id % train_mod == 0 (the caller seeds
+    assign0 from the same sample) — the FAISS sample-training idiom:
+    the n × k scoring pass is paid once, on the final full
+    assignment, instead of every round.  Centroid steps need no
+    extra filter — joining against a sample-only assignment restricts
+    them automatically."""
     dims = list(range(dim))
     assign = assign0
     vc = None
@@ -171,14 +203,19 @@ def lloyd_rounds(e: DataFrame, assign0: DataFrame, iters: int, dim: int = EMB_DI
             )
             .withColumn("nc", norm(F.col("cemb")))
         )
-        vc = e.crossJoin(F.broadcast(cen)).select(
+        scored = (
+            e.filter(F.pmod(F.col("vec_id"), F.lit(train_mod)) == 0)
+            if train_mod is not None and i < iters - 1
+            else e
+        )
+        vc = scored.crossJoin(F.broadcast(cen)).select(
             "vec_id",
             "cell",
             F.round(
                 dot(F.col("emb"), F.col("cemb")) / (F.col("nv") * F.col("nc")), 6
             ).alias("ccos"),
         )
-        if i == iters - 1:
+        if i == iters - 1 and pin == "vc":
             vc = iter_materialize(vc)
         assign = (
             vc.groupBy("vec_id")
@@ -189,6 +226,13 @@ def lloyd_rounds(e: DataFrame, assign0: DataFrame, iters: int, dim: int = EMB_DI
             )
             .select("vec_id", F.col("m.cell").alias("cell"))
         )
+        if i == iters - 1 and pin == "assign":
+            # n-row pin serving the two pair-join references
+            # (DOUBLE-REFERENCE RULE applied to the frame actually
+            # branched on; per-round pins were measured SLOWER — each
+            # adds a blocking job and the in-loop frames are
+            # single-reference).
+            assign = iter_materialize(assign)
     return vc, assign
 
 
@@ -198,11 +242,11 @@ def lloyd_rounds(e: DataFrame, assign0: DataFrame, iters: int, dim: int = EMB_DI
     + """
     , params AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
     assign0 AS (SELECT vec_id, (vec_id * 1000003) % (SELECT k FROM params) AS cell
-                FROM embeddings)
-    """
-    + _LLOYD_SQL_ITER.format(n=1, p=0)
-    + _LLOYD_SQL_ITER.format(n=2, p=1)
-    + _LLOYD_SQL_ITER.format(n=3, p=2)
+                FROM embeddings WHERE vec_id % {m} = 0)
+    """.format(m=_LLOYD_TRAIN_MOD)
+    + _LLOYD_SQL_ITER.format(n=1, p=0, vf=f"AND e.vec_id % {_LLOYD_TRAIN_MOD} = 0")
+    + _LLOYD_SQL_ITER.format(n=2, p=1, vf=f"AND e.vec_id % {_LLOYD_TRAIN_MOD} = 0")
+    + _LLOYD_SQL_ITER.format(n=3, p=2, vf="")
     + """
     , assign AS (SELECT * FROM assign3),
     d AS (
@@ -252,13 +296,17 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = table_count(spark, sf_dir, "embeddings")  # cached; fixes k = ceil(sqrt(n))
     k = math.ceil(math.sqrt(n))
-    assign0 = e.select(
+    assign0 = e.filter(
+        F.pmod(F.col("vec_id"), F.lit(_LLOYD_TRAIN_MOD)) == 0
+    ).select(
         "vec_id", F.pmod(F.col("vec_id") * F.lit(1000003), F.lit(k)).alias("cell")
     )
-    _, assign = lloyd_rounds(e, assign0, 1 + _LLOYD_ITERS)
-    # assign feeds both pair-join sides, but it is a cheap window over
-    # the loop's MATERIALIZED final vc — re-derivation is one local
-    # window, not a subplan explosion (the documented exemption).
+    _, assign = lloyd_rounds(
+        e, assign0, 1 + _LLOYD_ITERS, train_mod=_LLOYD_TRAIN_MOD, pin="assign"
+    )
+    # assign feeds both pair-join sides — lloyd_rounds pins IT (n
+    # rows), not the n × k vc nobody here reads (DOUBLE-REFERENCE
+    # RULE applied to the frame actually branched on).
 
     # Block the pair join on the learned cell; cosine array-natively.
     ea = e.join(assign, "vec_id").select(
@@ -363,7 +411,7 @@ def sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     , assign0 AS (SELECT vec_id, label AS cell FROM embeddings)
     """
-    + _LLOYD_SQL_ITER.format(n=1, p=0)
+    + _LLOYD_SQL_ITER.format(n=1, p=0, vf="")
     + f"""
     , assign AS (SELECT * FROM assign1),
     probe AS (SELECT tcell AS pcell
@@ -1134,4 +1182,88 @@ def sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return scored.withColumn("rn", F.row_number().over(w).cast("bigint")).filter(
         F.col("rn") <= 3
+    )
+
+
+# ---------------------------------------------------------------------------
+# M178/M182 — recall audits for the OTHER two approximate indexes
+# ---------------------------------------------------------------------------
+
+_LSH_RECALL_ORACLE = f"""
+    WITH exact AS ({_ORACLES['sim_topk_cosine']}),
+         approx AS ({_ORACLES['sim_rp_lsh_topk']})
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST(count(*) AS BIGINT) AS n_hit,
+           round(CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM exact), 6) AS recall_at_10
+    FROM exact JOIN approx ON exact.vec_id = approx.vec_id
+"""
+
+
+@register("sim_lsh_recall", oracle=_LSH_RECALL_ORACLE)
+def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M178 — recall@10 of the multi-table hyperplane-LSH index
+    (sim_rp_lsh_topk) against brute force, completing the audit pair
+    M112 opened for IVF: every approximate index in the registry now
+    ships with its own measured recall (the dedup family's
+    J3→dedup_lsh_recall discipline applied to vector search).  The
+    oracle composes the two REGISTERED oracles (never copied strings
+    — the _J2_ORACLE rule), so index and audit cannot drift.
+
+    Both 10-row branches are checkpointed (double-reference rule:
+    count + hit join)."""
+    exact = (
+        sim_topk_cosine(spark, sf_dir).select("vec_id").localCheckpoint(eager=True)
+    )
+    approx = (
+        sim_rp_lsh_topk(spark, sf_dir).select("vec_id").localCheckpoint(eager=True)
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    n_hit = exact.join(approx, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return n_exact.crossJoin(n_hit).select(
+        "n_exact",
+        "n_hit",
+        F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 6).alias(
+            "recall_at_10"
+        ),
+    )
+
+
+_PQ_RECALL_ORACLE = f"""
+    WITH exact AS ({_ORACLES['sim_topk_l2']}),
+         approx AS ({_ORACLES['sim_pq_topk']})
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST(count(*) AS BIGINT) AS n_hit,
+           round(CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM exact), 6) AS recall_at_10
+    FROM exact JOIN approx ON exact.vec_id = approx.vec_id
+"""
+
+
+@register("sim_pq_recall", oracle=_PQ_RECALL_ORACLE)
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M182 — recall@10 of the product-quantization ADC search
+    (sim_pq_topk) against the EXACT squared-L2 top-10 (sim_topk_l2 —
+    the right ground truth: PQ approximates L2 distance, not cosine).
+    Same composed-oracle + checkpointed-branch shape as M112/M178;
+    with this, all three approximate indexes (IVF, LSH, PQ) carry a
+    registered recall audit."""
+    exact = (
+        sim_topk_l2(spark, sf_dir).select("vec_id").localCheckpoint(eager=True)
+    )
+    approx = (
+        sim_pq_topk(spark, sf_dir).select("vec_id").localCheckpoint(eager=True)
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    n_hit = exact.join(approx, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return n_exact.crossJoin(n_hit).select(
+        "n_exact",
+        "n_hit",
+        F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 6).alias(
+            "recall_at_10"
+        ),
     )

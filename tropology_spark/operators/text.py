@@ -891,3 +891,288 @@ def text_prefix_block_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_distinct").cast("bigint").alias("distinct_texts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M172 — character-trigram profile per language (langid training table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_char_trigram_profile",
+    oracle="""
+    WITH g AS (
+      SELECT lang, substr(tx, CAST(i AS INTEGER), 3) AS tri
+      FROM (
+        SELECT lang, lower(text) AS tx,
+               unnest(range(1, length(text) - 1)) AS i
+        FROM documents WHERE length(text) >= 3
+      )
+    ),
+    c AS (SELECT lang, tri, CAST(count(*) AS BIGINT) AS cnt
+          FROM g GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS total
+            FROM c GROUP BY 1),
+    r AS (
+      SELECT c.lang, c.tri, c.cnt, tot.total,
+             row_number() OVER (PARTITION BY c.lang
+                                ORDER BY c.cnt DESC, c.tri) AS rn
+      FROM c JOIN tot ON c.lang = tot.lang
+    )
+    SELECT lang, tri, cnt,
+           CAST((1000000 * cnt) // total AS BIGINT) AS rate_ppm
+    FROM r WHERE rn <= 10
+    """,
+)
+def text_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M172 — per-language character-trigram frequency profile: the
+    top-10 overlapping char trigrams of each language's lowercased
+    text with an integer-ppm rate — exactly the training table the
+    M3 n-gram language identifier consumes (M3 ships a FIXED profile;
+    this query is how that profile is (re)built from a labeled
+    corpus).  Rate = (10⁶·cnt) div total trigrams of the language —
+    positive integers, engine-identical division; rank tie-break on
+    the trigram string (the unique-key rank discipline).
+
+    Both engines enumerate positions 1..len-2 and take 3-char
+    substrings — character (not byte) semantics in both, so multi-byte
+    scripts profile identically.  Spark generates the trigram array
+    JVM-side (``transform(sequence(...))``, whole-stage codegen — no
+    Python in the loop) and explodes once.
+
+    Scale: the explode is inherently O(total chars) — the same cost
+    class as tokenization, one linear pass.  Trigram counts combine
+    map-side into an O(langs × |Σ|³)-bounded table; the per-lang
+    total and top-10 rank then operate on that small aggregate inside
+    the lang partition.  One wide shuffle on (lang, tri), nothing
+    corpus-proportional after it."""
+    d = load(spark, sf_dir, "documents")
+    g = (
+        d.filter(F.length("text") >= 3)
+        .select("lang", F.lower(F.col("text")).alias("tx"))
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(tx) - 2), "
+                    "i -> substring(tx, i, 3))"
+                )
+            ).alias("tri"),
+        )
+    )
+    c = g.groupBy("lang", "tri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = c.groupBy("lang").agg(F.sum("cnt").cast("bigint").alias("total"))
+    rk = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tri"))
+    return (
+        c.join(F.broadcast(tot), "lang")
+        .withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "lang", "tri", "cnt",
+            F.expr("(1000000 * cnt) div total").cast("bigint").alias("rate_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M179 — cross-source vocabulary overlap (Jaccard matrix)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_vocab_jaccard_sources",
+    oracle="""
+    WITH tk AS (
+      SELECT DISTINCT source, token
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+    ),
+    vs AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab
+           FROM tk GROUP BY source),
+    pair AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM tk a JOIN tk b
+        ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_common,
+           va.vocab AS vocab_a, vb.vocab AS vocab_b,
+           CAST((1000000 * n_common)
+                // (va.vocab + vb.vocab - n_common) AS BIGINT) AS jaccard_ppm
+    FROM pair
+    JOIN vs va ON va.source = source_a
+    JOIN vs vb ON vb.source = source_b
+    ORDER BY jaccard_ppm DESC, source_a, source_b LIMIT 20
+    """,
+)
+def text_vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M179 — pairwise vocabulary overlap between sources: Jaccard
+    (in integer ppm — counts are positive, the CLAUDE.md division
+    rule) over each source's distinct token set, top-20 closest
+    pairs.  The M94 drift audit asks "which tokens shifted"; this
+    asks the coarser curation question — which SOURCES are lexically
+    near-duplicates of each other and are candidates for mixture
+    re-weighting (M87) before one corpus double-counts a domain.
+
+    Scale: the corpus collapses to distinct (source, token)
+    immediately (map-side combine).  The pair join is token-keyed
+    over vocabulary-sized frames — O(vocab × sources-sharing-token)
+    with sources bounded (~tens), never O(corpus²); per-source vocab
+    sizes broadcast onto the C(sources,2)-row pair table.  A
+    stop-word-dominated token shared by ALL sources contributes
+    C(sources,2) rows — bounded by the source count, the same
+    bounded-explosion argument as M173's baskets."""
+    d = load(spark, sf_dir, "documents")
+    tk = (
+        d.select("source", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .distinct()
+    )
+    tk = iter_materialize(tk)  # feeds vocab sizes AND both join sides
+    vs = tk.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    a, b = tk.alias("a"), tk.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    res = (
+        pair.join(
+            F.broadcast(vs.withColumnRenamed("vocab", "vocab_a")),
+            F.col("source_a") == F.col("source"),
+        )
+        .drop("source")
+        .join(
+            F.broadcast(vs.withColumnRenamed("vocab", "vocab_b")),
+            F.col("source_b") == F.col("source"),
+        )
+        .drop("source")
+        .select(
+            "source_a", "source_b", "n_common", "vocab_a", "vocab_b",
+            F.expr("(1000000 * n_common) div (vocab_a + vocab_b - n_common)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )
+    return res.orderBy(
+        F.desc("jaccard_ppm"), F.asc("source_a"), F.asc("source_b")
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# M183 — RAKE-style keyword extraction (stopword-delimited phrases)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH w0 AS (
+      SELECT doc_id, i AS pos, l[i] AS token
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           (SELECT unnest(generate_series(1, 4096)) AS i)
+      WHERE i <= len(l)
+    ),
+    nw AS (
+      SELECT doc_id, pos, token,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM w0
+      WHERE token NOT IN {tuple(_STOPWORDS)} AND token <> ''
+    ),
+    plen AS (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS plen
+             FROM nw GROUP BY doc_id, grp),
+    ws AS (
+      SELECT nw.token,
+             CAST((1000000 * sum(p.plen)) // count(*) AS BIGINT) AS score_ppm
+      FROM nw JOIN plen p ON nw.doc_id = p.doc_id AND nw.grp = p.grp
+      GROUP BY nw.token
+    ),
+    phr AS (
+      SELECT nw.doc_id, nw.grp,
+             string_agg(nw.token, ' ' ORDER BY nw.pos) AS phrase,
+             CAST(sum(ws.score_ppm) AS BIGINT) AS score_ppm,
+             CAST(count(*) AS BIGINT) AS n_words
+      FROM nw JOIN ws ON nw.token = ws.token
+      GROUP BY nw.doc_id, nw.grp
+    ),
+    agg AS (
+      SELECT phrase,
+             CAST(max(n_words) AS BIGINT) AS n_words,
+             CAST(max(score_ppm) AS BIGINT) AS score_ppm,
+             CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM phr GROUP BY phrase
+    )
+    SELECT phrase, n_words, score_ppm, n_occurrences
+    FROM agg ORDER BY score_ppm DESC, phrase LIMIT 20
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M183 — RAKE keyword extraction (Rose et al. 2010): candidate
+    phrases are maximal stopword-free token runs (M170's
+    gaps-and-islands trick applied to token POSITIONS — island key =
+    pos − row_number over non-stop tokens); each word scores
+    degree/frequency where degree sums the lengths of every phrase
+    the word appears in; a phrase scores the sum of its word scores.
+    All arithmetic is exact integers — per-word score is ONE integer
+    division (10⁶·deg) div freq on positive counts, phrase scores are
+    sums of those — and the top-20 breaks ties on the phrase string.
+
+    Scale: positions come from one posexplode (O(tokens), the
+    tokenization cost class); islands, phrase lengths and phrase
+    reassembly all live inside the doc_id partition; the word-score
+    table is vocabulary-sized and broadcasts onto the phrase rows.
+    Phrase reassembly collects per-(doc, island) structs — bounded by
+    document length, the M173 bounded-collect argument."""
+    d = load(spark, sf_dir, "documents")
+    w0 = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    )
+    wn = Window.partitionBy("doc_id").orderBy("pos")
+    nw = iter_materialize(  # feeds plen, word scores AND phrase rows
+        w0.filter(~F.col("token").isin(*_STOPWORDS) & (F.col("token") != ""))
+        .withColumn("grp", F.col("pos") - F.row_number().over(wn))
+    )
+    plen = nw.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("plen")
+    )
+    ws = (
+        nw.join(plen, ["doc_id", "grp"])
+        .groupBy("token")
+        .agg(
+            F.expr("(1000000 * sum(plen)) div count(1)")
+            .cast("bigint")
+            .alias("score_ppm")
+        )
+    )
+    phr = (
+        nw.join(F.broadcast(ws), "token")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("score_ppm").cast("bigint").alias("score_ppm"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+    )
+    agg = phr.groupBy("phrase").agg(
+        F.max("n_words").cast("bigint").alias("n_words"),
+        F.max("score_ppm").cast("bigint").alias("score_ppm"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+    )
+    return agg.select("phrase", "n_words", "score_ppm", "n_occurrences").orderBy(
+        F.desc("score_ppm"), F.asc("phrase")
+    ).limit(20)

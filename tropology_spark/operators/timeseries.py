@@ -1189,3 +1189,242 @@ def ts_wow_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_n").cast("bigint").alias("prev_events"),
         (F.col("n") - F.col("prev_n")).cast("bigint").alias("delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M171 — burst detection (hourly volume vs trailing-24h baseline)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_burst_hours",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, hour, cnt,
+             CAST(sum(cnt) OVER tw AS BIGINT) AS trail_sum,
+             CAST(count(*) OVER tw AS BIGINT) AS trail_hours
+      FROM h
+      WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+                    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ),
+    r AS (
+      SELECT event_type, hour, cnt, trail_sum,
+             CAST((1000000 * cnt * 24) // trail_sum AS BIGINT) AS burst_ppm,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY (1000000 * cnt * 24) // trail_sum DESC, hour
+             ) AS rn
+      FROM w WHERE trail_hours = 24
+    )
+    SELECT event_type, hour, cnt, trail_sum, burst_ppm
+    FROM r WHERE rn <= 5
+    """,
+)
+def ts_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M171 — burst detection: for each event type, the 5 hours whose
+    volume most exceeds their OWN trailing-24h baseline, scored as
+    burst_ppm = (10⁶·cnt·24) div trailing_sum (ratio of the hour to
+    the trailing hourly mean, in ppm — all quantities positive
+    integers, so DuckDB ``//`` and Spark ``div`` agree).  Hours with
+    an incomplete trailing window (fewer than 24 observed hours, i.e.
+    the stream head or a data gap) are excluded rather than scored
+    against a partial baseline — the M155 gap-semantics rule.
+
+    The hour key is integer ``epoch_us div 3600·10⁶`` so the trailing
+    window is a RANGE frame over an integer axis — gaps inside the
+    frame shrink the observed-hour count and are detected exactly.
+
+    Scale: the events scan collapses to O(types × hours) immediately
+    (map-side combine); both the RANGE frame and the per-type top-5
+    rank live inside the event_type partition — one shuffle end to
+    end, partitions of ~hours rows."""
+    e = load(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rangeBetween(-24, -1)
+    )
+    w = h.select(
+        "event_type", "hour", "cnt",
+        F.sum("cnt").over(tw).cast("bigint").alias("trail_sum"),
+        F.count(F.lit(1)).over(tw).cast("bigint").alias("trail_hours"),
+    ).filter(F.col("trail_hours") == 24)
+    scored = w.withColumn(
+        "burst_ppm",
+        F.expr("(1000000 * cnt * 24) div trail_sum").cast("bigint"),
+    )
+    rk = Window.partitionBy("event_type").orderBy(
+        F.desc("burst_ppm"), F.asc("hour")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") <= 5)
+        .select("event_type", "hour", "cnt", "trail_sum", "burst_ppm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M181 — coverage-gap report (islands of MISSING hours per stream)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_gap_report",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, hour,
+             lag(hour) OVER (PARTITION BY event_type ORDER BY hour) AS prev
+      FROM h
+    )
+    SELECT event_type,
+           CAST(prev + 1 AS BIGINT) AS gap_start,
+           CAST(hour - 1 AS BIGINT) AS gap_end,
+           CAST(hour - prev - 1 AS BIGINT) AS gap_hours
+    FROM g WHERE prev IS NOT NULL AND hour - prev > 1
+    """,
+)
+def ts_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M181 — the complement of M40: where gapfill papers over missing
+    hours, this REPORTS them — per event type, every maximal run of
+    hours with zero events (start, end, length), the data-freshness /
+    ingest-outage table an ops dashboard renders.  M170's
+    gaps-and-islands trick inverted: a single lag() over the observed
+    hours finds the island BOUNDARIES, so the missing runs are never
+    materialized as rows (no dense spine, unlike M40) — a 3-year gap
+    is one row, not 26k spine rows.
+
+    Hour = integer epoch_us div 3600·10⁶ (the M171 axis).  Scale: the
+    events scan collapses to distinct (type, hour) immediately; the
+    lag lives inside the type partition — one shuffle, then
+    O(types × hours) rows."""
+    e = load(spark, sf_dir, "events")
+    h = e.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("hour"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("hour")
+    g = h.withColumn("prev", F.lag("hour").over(w))
+    return g.filter(
+        F.col("prev").isNotNull() & (F.col("hour") - F.col("prev") > 1)
+    ).select(
+        "event_type",
+        (F.col("prev") + 1).cast("bigint").alias("gap_start"),
+        (F.col("hour") - 1).cast("bigint").alias("gap_end"),
+        (F.col("hour") - F.col("prev") - 1).cast("bigint").alias("gap_hours"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M191 — interval union (merged activity coverage per user)
+# ---------------------------------------------------------------------------
+
+_COVER_US = 900 * 1_000_000  # each event covers [ts, ts + 15 min)
+
+
+@register(
+    "ts_coverage_union",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {_COVER_US} AS e
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             CAST(sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+      FROM m
+    ),
+    u AS (
+      SELECT user_id, island,
+             CAST(max(e) - min(s) AS BIGINT) AS len_us
+      FROM isl GROUP BY user_id, island
+    ),
+    cov AS (
+      SELECT user_id,
+             CAST(sum(len_us) AS BIGINT) AS covered_us,
+             CAST(count(*) AS BIGINT) AS n_islands
+      FROM u GROUP BY user_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, covered_us, n_islands
+    FROM cov ORDER BY covered_us DESC, user_id LIMIT 20
+    """,
+)
+def ts_coverage_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M191 — interval-union coverage: each event covers a 15-minute
+    window; overlapping windows merge, and each user reports total
+    covered µs and merged-interval count (top-20 by coverage) — the
+    classic interval-union problem (uptime from heartbeats, ad
+    exposure from impressions), an interval-algebra shape the
+    registry lacked.  Merging is the sweep-line trick: an interval
+    starts a new island iff its start exceeds the running max of all
+    PRIOR interval ends (cummax over the in-partition sweep order),
+    then island ids are a running sum of the start flags — the M57
+    session machinery generalized to OVERLAPPING spans.
+
+    All arithmetic is exact µs integers; ordering ties break on (s,
+    e) which is unique enough here because equal (user, s, e) rows
+    merge into the same island regardless of order — the flag and
+    cummax are order-insensitive within ties.  Scale: one shuffle on
+    user_id; cummax, island sum, and both rollups share the
+    partition."""
+    e = load(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + _COVER_US).alias("e"),
+    )
+    order = Window.partitionBy("user_id").orderBy("s", "e")
+    m = iv.withColumn(
+        "prev_max",
+        F.max("e").over(order.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    isl = m.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1
+            ).otherwise(0)
+        )
+        .over(order.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    u = isl.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).cast("bigint").alias("len_us")
+    )
+    cov = u.groupBy("user_id").agg(
+        F.sum("len_us").cast("bigint").alias("covered_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+    )
+    return (
+        cov.select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "covered_us",
+            "n_islands",
+        )
+        .orderBy(F.desc("covered_us"), F.asc("user_id"))
+        .limit(20)
+    )
