@@ -896,6 +896,9 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "dedup_embedding_clusters",
         "graph_struct_equiv",
         "ts_coverage_union",
+        "analytics_gini_spend",
+        "analytics_order_gap_histogram",
+        "analytics_session_paths",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -77,6 +77,9 @@ _R6_NEW = [
     "dedup_embedding_clusters",
     "graph_struct_equiv",
     "ts_coverage_union",
+    "analytics_gini_spend",
+    "analytics_order_gap_histogram",
+    "analytics_session_paths",
 ]
 
 _R6_REWRITTEN = [

@@ -1275,3 +1275,240 @@ def analytics_event_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M192 — Gini concentration of customer spend (exact integer Lorenz terms)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_gini_spend",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT spend_cents,
+             CAST(row_number() OVER (ORDER BY spend_cents, o_custkey)
+                  AS BIGINT) AS pos
+      FROM s
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(spend_cents) AS BIGINT) AS total_cents,
+             CAST(sum(pos * spend_cents) AS BIGINT) AS s1
+      FROM r
+    )
+    SELECT n_customers, total_cents,
+           CAST((1000000 * (2 * CAST(s1 AS HUGEINT)
+                            - (n_customers + 1) * CAST(total_cents AS HUGEINT)))
+                // (CAST(n_customers AS HUGEINT) * total_cents)
+                AS BIGINT) AS gini_ppm
+    FROM a
+    """,
+)
+def analytics_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M192 — Gini coefficient of customer lifetime spend, the
+    revenue-concentration number every marketplace health report
+    carries, computed from the exact integer Lorenz identity
+    G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) over spend ranked
+    ascending with the unique (spend, custkey) tie-break.  Spend is
+    cent-integer (the functions/exact.py discipline), every term an
+    exact BIGINT, and the numerator is non-negative for an ascending
+    rank — so DuckDB ``//`` and Spark ``div`` agree (the
+    sim_cluster_cohesion sign rule, satisfied by construction).
+
+    The global rank comes from plans/global_order.py's two-pass
+    range-partitioned prefix-sum — never a single-partition window
+    (the oracle keeps the one-window form; bit-equality of the two is
+    what the parity check proves).  Scale: one user-keyed rollup
+    (map-side combinable), one range shuffle for the rank, and the
+    final Σ i·x_i is a partial-aggregate reduction to a single row —
+    no stage holds more than a partition of (pos, spend) pairs."""
+    o = load(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("spend_cents")
+    )
+    r = global_row_number(s, ["spend_cents", "o_custkey"], out="pos")
+    a = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("spend_cents").cast("bigint").alias("total_cents"),
+        F.sum(F.col("pos") * F.col("spend_cents")).cast("bigint").alias("s1"),
+    )
+    # The single-row finale exceeds BIGINT (10⁶ · Σ i·x_i), so both
+    # engines compute it in wide integers: DECIMAL(38,0) here, HUGEINT
+    # in the oracle — `div` on decimals is exact integral division.
+    return a.select(
+        "n_customers",
+        "total_cents",
+        F.expr(
+            "(CAST(1000000 AS DECIMAL(38,0))"
+            " * (2 * CAST(s1 AS DECIMAL(38,0))"
+            "    - (n_customers + 1) * CAST(total_cents AS DECIMAL(38,0))))"
+            " div (CAST(n_customers AS DECIMAL(38,0)) * total_cents)"
+        )
+        .cast("bigint")
+        .alias("gini_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M193 — inter-order gap histogram (repeat-purchase cadence)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_order_gap_histogram",
+    oracle="""
+    WITH d AS (
+      SELECT o_custkey,
+             CAST(CAST(o_orderdate AS DATE) - DATE '2020-01-01' AS BIGINT)
+               AS day,
+             o_orderkey
+      FROM orders
+    ),
+    g AS (
+      SELECT day - lag(day) OVER (PARTITION BY o_custkey
+                                  ORDER BY day, o_orderkey) AS gap
+      FROM d
+    ),
+    b AS (
+      SELECT CASE WHEN gap <= 7 THEN '0-7'
+                  WHEN gap <= 30 THEN '08-30'
+                  WHEN gap <= 90 THEN '31-90'
+                  ELSE '91+' END AS bucket,
+             gap
+      FROM g WHERE gap IS NOT NULL
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap) AS BIGINT) AS min_days,
+           CAST(max(gap) AS BIGINT) AS max_days,
+           CAST(sum(gap) AS BIGINT) AS sum_days
+    FROM b GROUP BY bucket
+    """,
+)
+def analytics_order_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M193 — repeat-purchase cadence: the distribution of day gaps
+    between a customer's consecutive orders, bucketed into the weekly/
+    monthly/quarterly bands a lifecycle-marketing report uses.  Day =
+    integer days since the fixed epoch (the M170/M52 idiom — no engine
+    date-trunc conventions); consecutive = lag over the
+    unique (day, orderkey) order; buckets labelled so string sort
+    equals band order.
+
+    Scale: one customer-partitioned lag window (orders shuffle once on
+    custkey, partitions of per-customer order lists), then a 4-key
+    rollup with map-side combine.  No global window, no join."""
+    o = load(spark, sf_dir, "orders")
+    d = o.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit(_EPOCH).cast("date"))
+        .cast("bigint")
+        .alias("day"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    g = d.select((F.col("day") - F.lag("day").over(w)).alias("gap")).filter(
+        F.col("gap").isNotNull()
+    )
+    b = g.select(
+        F.when(F.col("gap") <= 7, "0-7")
+        .when(F.col("gap") <= 30, "08-30")
+        .when(F.col("gap") <= 90, "31-90")
+        .otherwise("91+")
+        .alias("bucket"),
+        "gap",
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.min("gap").cast("bigint").alias("min_days"),
+        F.max("gap").cast("bigint").alias("max_days"),
+        F.sum("gap").cast("bigint").alias("sum_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M194 — top in-session event-type paths (behavioral trigrams)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_session_paths",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(sum(new_s) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT) AS sess
+      FROM o
+    ),
+    t AS (
+      SELECT lag(event_type, 2) OVER w2 AS t1,
+             lag(event_type, 1) OVER w2 AS t2,
+             event_type AS t3
+      FROM s
+      WINDOW w2 AS (PARTITION BY user_id, sess ORDER BY ts, event_id)
+    )
+    SELECT t1 || '>' || t2 || '>' || t3 AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM t WHERE t1 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def analytics_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M194 — the top-20 three-step behavioral paths (event-type
+    trigrams) inside 30-minute-gap sessions — the "what do users
+    actually do in a sitting" table behind funnel design.  Sessions
+    are gap islands (the M57 rule: a session breaks when the gap
+    strictly exceeds 1800 s, exact µs integers); within-session order
+    is the unique (ts, event_id); paths shorter than 3 contribute
+    nothing (lag(2) NULL filter).
+
+    Scale: both windows and the running session counter live in the
+    user_id partition (one shuffle of events on user_id — the second
+    window's (user, sess) partition is a refinement of the first, so
+    Spark reuses the partitioning and only re-sorts); path counts
+    combine map-side and the top-20 is TakeOrdered, never a global
+    window."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(ts)")
+    prev_us = F.lag(us).over(w)
+    o = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(prev_us.isNull() | (us - prev_us > 1800000000), 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    s = o.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.sum("new_s").over(w).cast("bigint").alias("sess"),
+    )
+    w2 = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+    t = s.select(
+        F.lag("event_type", 2).over(w2).alias("t1"),
+        F.lag("event_type", 1).over(w2).alias("t2"),
+        F.col("event_type").alias("t3"),
+    )
+    return (
+        t.filter(F.col("t1").isNotNull())
+        .select(F.concat_ws(">", "t1", "t2", "t3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )
