@@ -899,6 +899,12 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "analytics_gini_spend",
         "analytics_order_gap_histogram",
         "analytics_session_paths",
+        "ts_rolling_median",
+        "ts_ship_latency_quantiles",
+        "join_band_bucketed",
+        "text_ngram_novelty",
+        "mm_magic_bytes",
+        "graph_pref_attachment",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

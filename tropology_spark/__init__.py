@@ -80,6 +80,12 @@ _R6_NEW = [
     "analytics_gini_spend",
     "analytics_order_gap_histogram",
     "analytics_session_paths",
+    "ts_rolling_median",
+    "ts_ship_latency_quantiles",
+    "join_band_bucketed",
+    "text_ngram_novelty",
+    "mm_magic_bytes",
+    "graph_pref_attachment",
 ]
 
 _R6_REWRITTEN = [

@@ -1502,3 +1502,88 @@ def graph_struct_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_nodes") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# M200 — preferential-attachment recommendations (degree-product scoring)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_pref_attachment",
+    oracle=_EDGES_CTE
+    + f"""
+    , cdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+               FROM edges GROUP BY src),
+    w AS (
+      SELECT DISTINCT a.src AS seed, b.src AS cand
+      FROM edges a
+      JOIN edges b ON a.dst = b.dst AND a.src <> b.src
+      WHERE a.src < {_RA_MAX_SRC}
+    ),
+    s AS (
+      SELECT w.seed, w.cand, da.d AS deg_seed, db.d AS deg_cand,
+             CAST(da.d * db.d AS BIGINT) AS pa_score
+      FROM w
+      JOIN cdeg da ON da.src = w.seed
+      JOIN cdeg db ON db.src = w.cand
+    )
+    SELECT seed, cand, deg_seed, deg_cand, pa_score,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY seed
+                                       ORDER BY pa_score DESC, cand) AS rk
+          FROM s) t
+    WHERE rk <= 3
+    """,
+)
+def graph_pref_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M200 — top-3 link predictions per seed under PREFERENTIAL
+    ATTACHMENT: score(a,b) = deg(a)·deg(b) — the baseline every link-
+    prediction benchmark runs next to Jaccard (M32) and resource
+    allocation (M180), and the one that needs NO overlap computation
+    at scoring time: only the two degree lookups.  Candidates still
+    come from the shared-neighbor wedge (the standard candidate
+    generator — scoring truly all n² pairs is never run), restricted
+    to the same bounded seed set as M180 (the serving shape).
+
+    Exactness: bipartite degrees are distinct-part counts, the score
+    an exact BIGINT product; ranks break ties on candidate id.
+
+    Scale: the wedge is Σ over seed edges of deg(dst) — proportional
+    to the seed set; the O(customers) degree table broadcasts onto
+    both ends of each candidate pair, so after the wedge's one shuffle
+    nothing data-sized moves.  A corpus-wide PA run would reuse the
+    M119/M121 hot/cold split for candidate generation."""
+    from tropology_spark.sources.tables import edges_materialized
+
+    e = edges_materialized(spark, sf_dir)
+    cdeg = e.groupBy(F.col("src").alias("d_src")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    a = e.filter(F.col("src") < _RA_MAX_SRC).alias("a")
+    b = e.alias("b")
+    w = (
+        a.join(b, (F.col("a.dst") == F.col("b.dst")) & (F.col("a.src") != F.col("b.src")))
+        .select(F.col("a.src").alias("seed"), F.col("b.src").alias("cand"))
+        .distinct()
+    )
+    s = (
+        w.join(F.broadcast(cdeg), F.col("seed") == F.col("d_src"))
+        .withColumnRenamed("d", "deg_seed")
+        .drop("d_src")
+        .join(F.broadcast(cdeg), F.col("cand") == F.col("d_src"))
+        .withColumnRenamed("d", "deg_cand")
+        .drop("d_src")
+        .withColumn(
+            "pa_score", (F.col("deg_seed") * F.col("deg_cand")).cast("bigint")
+        )
+    )
+    rk = Window.partitionBy("seed").orderBy(F.desc("pa_score"), F.asc("cand"))
+    return (
+        s.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "seed", "cand", "deg_seed", "deg_cand", "pa_score",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )

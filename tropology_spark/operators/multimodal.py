@@ -517,3 +517,78 @@ def mm_chunk_manifest(spark, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_last"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M199 — magic-bytes format audit (declared modality vs leading signature)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_magic_bytes",
+    oracle="""
+    WITH m AS (
+      SELECT (['image/png', 'audio/wav', 'video/mp4'])[
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+                    % 3 AS INT) + 1] AS modality,
+             substr(hex(encode(text)), 1, 4) AS sig,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    )
+    SELECT modality, sig,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+           CAST(max(n_bytes) AS BIGINT) AS max_bytes
+    FROM m WHERE n_bytes > 0
+    GROUP BY modality, sig
+    ORDER BY n_items DESC, modality, sig LIMIT 20
+    """,
+)
+def mm_magic_bytes(spark, sf_dir: str) -> DataFrame:
+    """M199 — the format-mismatch audit of a media lake: group assets
+    by (declared modality, leading 2-byte signature) — real pipelines
+    compare the container's magic bytes (``\\x89PNG``, ``RIFF``,
+    ``ftyp``) against the claimed MIME type to catch mislabeled or
+    truncated uploads before a decoder crashes on them.  Fixtures
+    carry text payloads (UTF-8 bytes of ``text``, the §7.5 stand-in)
+    and the M122 md5-bucket pseudo-modality, so the audit shape —
+    binary slice, hex canonicalization, modality×signature rollup —
+    is fully real while the signatures are letter bytes.
+
+    Binary parity crosses engines through hex (the M185 rule: DuckDB
+    cannot slice BLOBs) — Spark slices the first 2 BYTES of the
+    BinaryType payload and hex-encodes; the oracle slices the first 4
+    hex CHARS of the whole-payload hex string.  Identical uppercase
+    output both sides.
+
+    Scale: pure scan-side projection (payloads reduce to a 4-char
+    signature before any shuffle) and one bounded rollup — modality ×
+    distinct-signature keys, combine map-side; top-20 TakeOrdered."""
+    from tropology_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    mime = F.element_at(
+        F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+            .cast("int")
+            % 3
+        )
+        + 1,
+    )
+    m = docs.select(
+        mime.alias("modality"),
+        F.hex(F.substring(payload, 1, 2)).alias("sig"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+    ).filter(F.col("n_bytes") > 0)
+    return (
+        m.groupBy("modality", "sig")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.min("n_bytes").cast("bigint").alias("min_bytes"),
+            F.max("n_bytes").cast("bigint").alias("max_bytes"),
+        )
+        .orderBy(F.desc("n_items"), F.asc("modality"), F.asc("sig"))
+        .limit(20)
+    )

@@ -1342,3 +1342,98 @@ def sub_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS BIGINT) AS n_not_in_raw
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# M197 — band join via bucket blocking (click→purchase proximity)
+# ---------------------------------------------------------------------------
+
+_BAND_US = 900_000_000  # 15 minutes, exact µs
+
+
+@register(
+    "join_band_bucketed",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+      SELECT p.user_id, p.event_id, CAST(count(*) AS BIGINT) AS n_clicks
+      FROM p JOIN c
+        ON p.user_id = c.user_id
+       AND c.us <= p.us AND p.us - c.us <= {_BAND_US}
+      GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(sum(n_clicks) AS BIGINT) AS n_pairs,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM j GROUP BY user_id
+    ORDER BY n_pairs DESC, user_id LIMIT 20
+    """,
+)
+def join_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M197 — the BAND JOIN as an equi-join: purchases paired with the
+    same user's clicks in the preceding 15 minutes.  Declared with the
+    raw inequality, Catalyst can only plan a broadcast-nested-loop (a
+    theta join — quadratic per user); instead both sides are keyed by
+    the 900-second time BUCKET and the purchase side carries TWO keys
+    (its bucket and the previous one), so every in-band pair meets in
+    exactly one (user, bucket) hash cell — the click's bucket is
+    unique, so no pair double-counts and no post-join dedup is needed.
+    The exact band predicate then prunes the corner of the two-bucket
+    window that falls outside 900 s.
+
+    The oracle keeps the declarative inequality form — proving the
+    bucketed rewrite loses and invents nothing.
+
+    Scale: one hash shuffle of each side on (user, bucket); candidate
+    fan-out per purchase is the user's clicks in ≤ 2 buckets — bounded
+    by ACTIVITY RATE, not corpus size (the M78/M131 as-of family's
+    union-sort trick answers "latest before"; this one answers "all
+    within a band", which sorting cannot batch).  Rollups are
+    user-keyed with map-side combine; the top-20 is TakeOrdered."""
+    ev = load(spark, sf_dir, "events")
+    us = F.expr("unix_micros(ts)")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", us.alias("p_us")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        us.alias("c_us"),
+        F.expr(f"unix_micros(ts) div {_BAND_US}").alias("c_bucket"),
+    )
+    p2 = p.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"p_us div {_BAND_US}"),
+                F.expr(f"p_us div {_BAND_US} - 1"),
+            )
+        ),
+    )
+    j = (
+        p2.join(
+            c,
+            (p2.user_id == c.c_user) & (F.col("bucket") == F.col("c_bucket")),
+        )
+        .filter(
+            (F.col("c_us") <= F.col("p_us"))
+            & (F.col("p_us") - F.col("c_us") <= _BAND_US)
+        )
+        .groupBy("user_id", "event_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_clicks"))
+    )
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.sum("n_clicks").cast("bigint").alias("n_pairs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        )
+        .orderBy(F.desc("n_pairs"), F.asc("user_id"))
+        .limit(20)
+    )

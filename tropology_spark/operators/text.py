@@ -1176,3 +1176,106 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("phrase", "n_words", "score_ppm", "n_occurrences").orderBy(
         F.desc("score_ppm"), F.asc("phrase")
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# M198 — test-split n-gram novelty vs the train split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH b AS (
+      SELECT lang, text,
+             ((strpos('0123456789abcdef',
+                      substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef',
+                       substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 10
+               AS bucket
+      FROM documents
+    ),
+    g AS (
+      SELECT lang,
+             l[i] || ' ' || l[i + 1] AS bigram,
+             bucket < 8 AS in_train,
+             bucket = 9 AS in_test
+      FROM (SELECT lang, string_split(text, ' ') AS l, bucket
+            FROM b WHERE bucket < 8 OR bucket = 9),
+           (SELECT unnest(generate_series(1, 200)) AS i)
+      WHERE i <= len(l) - 1
+    ),
+    d AS (
+      SELECT lang, bigram,
+             max(CASE WHEN in_train THEN 1 ELSE 0 END) AS has_train,
+             max(CASE WHEN in_test THEN 1 ELSE 0 END) AS has_test
+      FROM g GROUP BY lang, bigram
+    )
+    SELECT lang,
+           CAST(sum(has_test) AS BIGINT) AS n_test_bigrams,
+           CAST(sum(CASE WHEN has_test = 1 AND has_train = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST((1000000 * sum(CASE WHEN has_test = 1 AND has_train = 0
+                                    THEN 1 ELSE 0 END))
+                // sum(has_test) AS BIGINT) AS novelty_ppm
+    FROM d GROUP BY lang
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M198 — per-language test-set bigram novelty: the fraction of
+    DISTINCT bigram types in the test split (M26's md5 buckets: <8
+    train, =9 test) that never occur in the train split — the
+    generalization-gap number an eval-contamination review reads next
+    to M25's contamination rate (which asks the opposite question:
+    what leaked IN; this asks what the model never saw).
+
+    One pass: each (lang, bigram) key aggregates two max-flags
+    (seen-in-train, seen-in-test) — no anti-join, no second scan; the
+    novelty set is ``has_test AND NOT has_train``.  The bigram
+    enumeration is the J6 zip idiom; the split is the exact M26 bucket
+    expression, so this audit composes with every other split-keyed
+    query.  Counts are distinct-type counts (exact integers) and the
+    ppm is one integer division of non-negatives.
+
+    Scale: explode → one shuffle on (lang, bigram) with map-side
+    combine to the flag pair; the per-lang rollup is a handful of
+    keys.  No stage is pair-quadratic."""
+    d = load(spark, sf_dir, "documents")
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.conv(F.substring(md5, 1, 2), 16, 10).cast("int") % 10
+    b = d.select(
+        "lang", "text", bucket.alias("bucket")
+    ).filter((F.col("bucket") < 8) | (F.col("bucket") == 9))
+    toked = b.select(
+        "lang",
+        (F.col("bucket") < 8).alias("in_train"),
+        (F.col("bucket") == 9).alias("in_test"),
+        F.split(F.col("text"), " ").alias("t"),
+    )
+    bigrams = F.zip_with(
+        F.slice(F.col("t"), 1, F.greatest(F.size(F.col("t")) - 1, F.lit(0))),
+        F.slice(F.col("t"), 2, F.greatest(F.size(F.col("t")) - 1, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    g = toked.select(
+        "lang", "in_train", "in_test", F.explode(bigrams).alias("bigram")
+    )
+    dd = g.groupBy("lang", "bigram").agg(
+        F.max(F.when(F.col("in_train"), 1).otherwise(0)).alias("has_train"),
+        F.max(F.when(F.col("in_test"), 1).otherwise(0)).alias("has_test"),
+    )
+    return dd.groupBy("lang").agg(
+        F.sum("has_test").cast("bigint").alias("n_test_bigrams"),
+        F.sum(
+            F.when((F.col("has_test") == 1) & (F.col("has_train") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_novel"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN has_test = 1 AND has_train = 0"
+            " THEN 1 ELSE 0 END)) div sum(has_test)"
+        )
+        .cast("bigint")
+        .alias("novelty_ppm"),
+    )

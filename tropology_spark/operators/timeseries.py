@@ -1428,3 +1428,148 @@ def ts_coverage_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("covered_us"), F.asc("user_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# M195 — rolling 24h exact median of hourly volume (robust baseline)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_rolling_median",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hour, cnt,
+           CAST(2 * median(cnt) OVER tw AS BIGINT) AS med2x,
+           CAST(count(*) OVER tw AS BIGINT) AS n_obs
+    FROM h
+    WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+                  RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M195 — trailing-24h exact MEDIAN of hourly event volume per
+    type: the robust baseline a monitoring pipeline prefers over the
+    trailing mean (M171's burst denominator) because one spike hour
+    cannot drag it.  The hour key is integer ``epoch_us div 3600·10⁶``
+    so the trailing window is a RANGE frame over an integer axis (the
+    M171 rule — calendar gaps shrink ``n_obs``, never misalign the
+    frame).
+
+    Cross-engine exactness: the median of BIGINT counts is either an
+    integer or an integer + ½ (both engines interpolate the midpoint
+    at even cardinality), so ``2·median`` is an exact integer — the
+    med2x carrier, the same doubling trick as M59's median family.
+
+    Scale: events collapse to O(types × hours) map-side; the RANGE
+    frame lives inside the event_type partition — one shuffle, and the
+    per-row frame holds ≤ 24 integers, so the exact in-frame
+    percentile is O(1) per row regardless of corpus size."""
+    e = load(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tw = (
+        Window.partitionBy("event_type").orderBy("hour").rangeBetween(-23, 0)
+    )
+    return h.select(
+        "event_type", "hour", "cnt",
+        (2 * F.expr("percentile(cnt, 0.5)").over(tw)).cast("bigint")
+        .alias("med2x"),
+        F.count(F.lit(1)).over(tw).cast("bigint").alias("n_obs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M196 — exact order→ship latency quantiles by counting (bounded domain)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_ship_latency_quantiles",
+    oracle="""
+    WITH g AS (
+      SELECT o.o_orderpriority,
+             CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+                  AS BIGINT) AS lat_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    c AS (
+      SELECT o_orderpriority, lat_days, CAST(count(*) AS BIGINT) AS cnt
+      FROM g GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT o_orderpriority, lat_days, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY lat_days) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY o_orderpriority)
+                  AS BIGINT) AS n
+      FROM c
+    )
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_items,
+           CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN lat_days END)
+                AS BIGINT) AS p50_days,
+           CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN lat_days END)
+                AS BIGINT) AS p90_days,
+           CAST(max(lat_days) AS BIGINT) AS max_days
+    FROM w GROUP BY o_orderpriority
+    """,
+)
+def ts_ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M196 — exact (discrete) p50/p90 of order→ship latency per
+    priority class, computed by COUNTING over the bounded integer
+    domain instead of sorting: latency in whole days is a value in a
+    ~130-wide range, so per-(priority, day) counts + a cumulative sum
+    over that bounded axis locate the exact rank-``ceil(p·n)`` value
+    — the scale-safe way to get exact quantiles when the domain is
+    bounded (sorting 100 TB of rows is not; counting 130 cells is).
+    Rank arithmetic is pure integers: p50 rank = (n+1) div 2 (lower
+    median), p90 rank = (9n+9) div 10 = ceil(0.9·n) — all positive,
+    so DuckDB ``//`` and Spark ``div`` agree.
+
+    Scale: the lineitem→orders join shuffles on the natural orderkey;
+    everything after collapses to O(priorities × days) rows — the
+    cumulative window's partitions are ≤ ~130 rows by DOMAIN, not by
+    data size, the same bounded-cardinality exemption as the vocab
+    ranks (CLAUDE.md round-6 rule)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    g = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("bigint")
+        .alias("lat_days"),
+    )
+    c = g.groupBy("o_orderpriority", "lat_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wc = Window.partitionBy("o_orderpriority").orderBy("lat_days")
+    wn = Window.partitionBy("o_orderpriority")
+    w = c.select(
+        "o_orderpriority", "lat_days", "cnt",
+        F.sum("cnt").over(wc).cast("bigint").alias("cum"),
+        F.sum("cnt").over(wn).cast("bigint").alias("n"),
+    )
+    return w.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_items"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("lat_days"))
+        )
+        .cast("bigint")
+        .alias("p50_days"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(9 * n + 9) div 10"), F.col("lat_days"))
+        )
+        .cast("bigint")
+        .alias("p90_days"),
+        F.max("lat_days").cast("bigint").alias("max_days"),
+    )
