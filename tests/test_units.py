@@ -905,6 +905,10 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "text_ngram_novelty",
         "mm_magic_bytes",
         "graph_pref_attachment",
+        "sim_range_search",
+        "text_boilerplate_blocks",
+        "ts_seasonal_naive_error",
+        "graph_triangle_support",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

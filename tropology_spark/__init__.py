@@ -86,6 +86,10 @@ _R6_NEW = [
     "text_ngram_novelty",
     "mm_magic_bytes",
     "graph_pref_attachment",
+    "sim_range_search",
+    "text_boilerplate_blocks",
+    "ts_seasonal_naive_error",
+    "graph_triangle_support",
 ]
 
 _R6_REWRITTEN = [

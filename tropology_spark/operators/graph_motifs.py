@@ -869,3 +869,84 @@ def graph_label_prop3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node"),
         F.col("lbl").cast("bigint").alias("community"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M204 — per-edge triangle support (the k-truss primitive)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_triangle_support",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    keep AS (SELECT dst FROM e0 GROUP BY dst HAVING count(*) <= {_HUB_CAP}),
+    e AS (SELECT src, dst FROM e0 WHERE dst IN (SELECT dst FROM keep)),
+    proj AS (
+      SELECT a.src AS u, b.src AS v
+      FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+      HAVING count(*) >= {_MIN_SHARED}
+    ),
+    tri AS (
+      SELECT e1.u, e1.v, e2.v AS w
+      FROM proj e1
+      JOIN proj e2 ON e2.u = e1.v
+      JOIN proj e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    sup AS (
+      SELECT u AS a, v AS b FROM tri
+      UNION ALL SELECT v, w FROM tri
+      UNION ALL SELECT u, w FROM tri
+    )
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(count(*) AS BIGINT) AS support
+    FROM sup GROUP BY a, b
+    ORDER BY support DESC, a, b LIMIT 20
+    """,
+)
+def graph_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M204 — EDGE support: how many triangles each projected edge
+    participates in — the primitive under k-truss decomposition (an
+    edge is in the k-truss iff its support ≥ k−2), which is the
+    standard community-core definition one notch stronger than k-core
+    (M91 counts neighbors; this counts reinforced neighbors).  Runs on
+    the hub-capped projection (the M120 sparsifier) so the wedge join
+    is bounded at C(cap, 2) per part.
+
+    Every closed wedge (u<v, v<w, u<w) contributes support to all
+    three of its edges, each already in canonical u<v orientation, so
+    the rollup needs no normalization.  Top-20 by (support, a, b).
+
+    Scale: the triangle table is referenced by THREE union branches —
+    checkpointed first (the DOUBLE-REFERENCE RULE; without it Spark
+    re-runs the 3-way wedge closure per branch).  The support rollup
+    is map-side combinable on (a, b); top-20 is TakeOrdered."""
+    from tropology_spark.session import iter_materialize
+
+    proj = copurchase_projection(spark, sf_dir, hub_cap=_HUB_CAP)
+    e1 = proj
+    e2 = proj.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = proj.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    tri = iter_materialize(
+        e1.join(e2, "v")
+        .join(e3, (F.col("u3") == F.col("u")) & (F.col("w3") == F.col("w")))
+        .select("u", "v", "w")
+    )
+    sup = (
+        tri.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionAll(tri.select(F.col("v").alias("a"), F.col("w").alias("b")))
+        .unionAll(tri.select(F.col("u").alias("a"), F.col("w").alias("b")))
+    )
+    return (
+        sup.groupBy(
+            F.col("a").cast("bigint").alias("a"),
+            F.col("b").cast("bigint").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .orderBy(F.desc("support"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )

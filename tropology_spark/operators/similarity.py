@@ -1267,3 +1267,62 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_10"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# M201 — cosine range search (threshold query, the top-k dual)
+# ---------------------------------------------------------------------------
+
+_RANGE_TAU = 0.1
+
+
+@register(
+    "sim_range_search",
+    oracle=_EX_CTE
+    + f"""
+    , q AS (SELECT pos, val FROM ex WHERE vec_id = {QUERY_VEC_ID}),
+    d AS (SELECT e.vec_id, sum(e.val * q.val) AS dp
+          FROM ex e JOIN q ON e.pos = q.pos
+          WHERE e.vec_id <> {QUERY_VEC_ID}
+          GROUP BY e.vec_id)
+    SELECT d.vec_id, round(d.dp / (n1.nv * n2.nv), 6) AS cosine
+    FROM d
+    JOIN nrm n1 ON d.vec_id = n1.vec_id
+    CROSS JOIN (SELECT nv FROM nrm WHERE vec_id = {QUERY_VEC_ID}) n2
+    WHERE round(d.dp / (n1.nv * n2.nv), 6) >= {_RANGE_TAU}
+    ORDER BY d.vec_id
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M201 — RANGE search: every vector with cosine ≥ τ to the query,
+    the dual of J8's top-k (retrieval wants "the 10 best"; dedup,
+    recall evaluation, and radius-based clustering want "everything
+    this similar").  Result size is data-dependent, so the contract is
+    the threshold, not a k — the missing member of the exact-search
+    family (J8 top-k cosine, M151 top-k L2, M160 batched top-k).
+
+    Exactness: same accepted-risk envelope as J8 — the filter compares
+    the 6-dp-rounded cosine (both engines round the same double), and
+    the output key is the unique vec_id, so row membership is the only
+    cross-engine surface; a flip needs a cosine within ~1e-7 of τ.
+
+    Scale: one broadcast of the query vector, one corpus scan, no
+    shuffle at all until the (absent) aggregation — the filter
+    replaces top-k's TakeOrdered.  The IVF/LSH indexes (M7/M90) serve
+    the same query approximately by probing only nearby cells."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("emb"),
+    ).withColumn("nv", norm(F.col("emb")))
+    q = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("emb").alias("qemb"), F.col("nv").alias("nq"))
+    )
+    cos = F.round(dot(F.col("emb"), F.col("qemb")) / (F.col("nv") * F.col("nq")), 6)
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= _RANGE_TAU)
+        .orderBy("vec_id")
+    )

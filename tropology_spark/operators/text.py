@@ -1279,3 +1279,92 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("novelty_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M202 — cross-document boilerplate blocks per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_boilerplate_blocks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS l FROM documents
+    ),
+    b AS (
+      SELECT doc_id, source,
+             array_to_string(l[(8 * (i - 1) + 1):(8 * i)], ' ') AS block
+      FROM t, (SELECT unnest(generate_series(1, 64)) AS i)
+      WHERE 8 * i <= len(l)
+    ),
+    g AS (
+      SELECT block, source,
+             CAST(count(*) AS BIGINT) AS n_inst,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM b GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT *, CAST(sum(n_docs) OVER (PARTITION BY block) AS BIGINT)
+                  AS g_docs
+      FROM g
+    )
+    SELECT source,
+           CAST(sum(n_inst) AS BIGINT) AS n_blocks,
+           CAST(sum(CASE WHEN g_docs >= 2 THEN n_inst ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+           CAST((1000000 * sum(CASE WHEN g_docs >= 2 THEN n_inst ELSE 0 END))
+                // sum(n_inst) AS BIGINT) AS boiler_ppm
+    FROM w GROUP BY source
+    """,
+)
+def text_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M202 — per-source boilerplate rate: the share of a source's
+    non-overlapping 8-token blocks that also appear in at least one
+    OTHER document — the cross-document twin of M125's within-document
+    dup-span (C4/RefinedWeb drop nav bars, license footers, and
+    templated headers exactly this way: a block repeated across
+    documents is boilerplate, not content).  A block counts as
+    boilerplate when its distinct-document count over the whole corpus
+    is ≥ 2; per-source instance counts then give the removable-token
+    ppm that feeds M87's mixture weights.
+
+    The global per-block document count comes from a window over the
+    (block, source) aggregate — partitions bounded by the source count
+    per block, no self-join, no second scan (sources partition
+    documents, so summing per-source distinct-doc counts IS the global
+    distinct count).
+
+    Scale: explode is 1/8 of token volume; one shuffle to (block,
+    source) with map-side combine, one narrow window, and a 20-key
+    rollup.  Hot blocks (the boilerplate itself) are exactly the skew
+    the (block, source) pre-aggregation absorbs."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("l")
+    )
+    blocks = F.expr(
+        "transform(sequence(1, size(l) div 8),"
+        " i -> array_join(slice(l, 8 * (i - 1) + 1, 8), ' '))"
+    )
+    b = t.select("doc_id", "source", F.explode(blocks).alias("block"))
+    g = b.groupBy("block", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_inst"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    w = g.withColumn(
+        "g_docs",
+        F.sum("n_docs").over(Window.partitionBy("block")).cast("bigint"),
+    )
+    return w.groupBy("source").agg(
+        F.sum("n_inst").cast("bigint").alias("n_blocks"),
+        F.sum(F.when(F.col("g_docs") >= 2, F.col("n_inst")).otherwise(0))
+        .cast("bigint")
+        .alias("n_boiler"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN g_docs >= 2 THEN n_inst ELSE 0 END))"
+            " div sum(n_inst)"
+        )
+        .cast("bigint")
+        .alias("boiler_ppm"),
+    )

@@ -1573,3 +1573,102 @@ def ts_ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_days"),
         F.max("lat_days").cast("bigint").alias("max_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M203 — seasonal-naive forecast error (MASE-style baseline audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_seasonal_naive_error",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT cur.event_type,
+             abs(cur.cnt - wk.cnt) AS e_seasonal,
+             abs(cur.cnt - pv.cnt) AS e_naive
+      FROM h cur
+      JOIN h wk ON wk.event_type = cur.event_type
+               AND wk.hour = cur.hour - 168
+      JOIN h pv ON pv.event_type = cur.event_type
+               AND pv.hour = cur.hour - 1
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(e_seasonal) AS BIGINT) AS sae_seasonal,
+           CAST(sum(e_naive) AS BIGINT) AS sae_naive,
+           CAST((1000000 * sum(e_seasonal)) // sum(e_naive) AS BIGINT)
+             AS mase_ppm
+    FROM j GROUP BY event_type
+    """,
+)
+def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M203 — the forecast-baseline audit: per event type, the
+    absolute error of the SEASONAL-naive forecast (this hour = the
+    same hour last week) against the error of the plain naive
+    forecast (this hour = the previous hour) — the MASE denominator
+    convention (Hyndman & Koehler 2006), as an integer ratio in ppm.
+    mase_ppm < 10⁶ means weekly seasonality is real and a model
+    should exploit it; the scoped hours are those with BOTH reference
+    observations (calendar gaps self-exclude via the equi-joins — the
+    M155/M171 incomplete-baseline rule).
+
+    Both references are EQUI-joins on (type, hour−k), not row-lags:
+    a row-based lag silently crosses gaps (the hour before a 3-day
+    outage is not "the previous hour"), while the integer-hour key
+    makes the offset exact.  The hourly rollup is referenced by all
+    three join branches, so it is checkpointed first (the
+    DOUBLE-REFERENCE RULE).
+
+    Scale: events collapse to O(types × hours) map-side; the two
+    self-equi-joins shuffle only that rollup; the final rollup is
+    5 keys."""
+    e = load(spark, sf_dir, "events")
+    h = iter_materialize(
+        e.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("hour"),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    cur = h.alias("cur")
+    wk = h.select(
+        F.col("event_type").alias("w_type"),
+        (F.col("hour") + 168).alias("w_hour"),
+        F.col("cnt").alias("w_cnt"),
+    )
+    pv = h.select(
+        F.col("event_type").alias("p_type"),
+        (F.col("hour") + 1).alias("p_hour"),
+        F.col("cnt").alias("p_cnt"),
+    )
+    j = (
+        cur.join(
+            wk,
+            (F.col("cur.event_type") == F.col("w_type"))
+            & (F.col("cur.hour") == F.col("w_hour")),
+        )
+        .join(
+            pv,
+            (F.col("cur.event_type") == F.col("p_type"))
+            & (F.col("cur.hour") == F.col("p_hour")),
+        )
+        .select(
+            F.col("cur.event_type").alias("event_type"),
+            F.abs(F.col("cur.cnt") - F.col("w_cnt")).alias("e_seasonal"),
+            F.abs(F.col("cur.cnt") - F.col("p_cnt")).alias("e_naive"),
+        )
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("e_seasonal").cast("bigint").alias("sae_seasonal"),
+        F.sum("e_naive").cast("bigint").alias("sae_naive"),
+        F.expr("(1000000 * sum(e_seasonal)) div sum(e_naive)")
+        .cast("bigint")
+        .alias("mase_ppm"),
+    )
