@@ -909,6 +909,10 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "text_boilerplate_blocks",
         "ts_seasonal_naive_error",
         "graph_triangle_support",
+        "pipeline_column_profile",
+        "ts_outlier_mad",
+        "analytics_cumulative_reach",
+        "text_hashed_features",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

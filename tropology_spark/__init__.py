@@ -90,6 +90,10 @@ _R6_NEW = [
     "text_boilerplate_blocks",
     "ts_seasonal_naive_error",
     "graph_triangle_support",
+    "pipeline_column_profile",
+    "ts_outlier_mad",
+    "analytics_cumulative_reach",
+    "text_hashed_features",
 ]
 
 _R6_REWRITTEN = [

@@ -1512,3 +1512,60 @@ def analytics_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# M207 — cumulative audience reach per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_cumulative_reach",
+    oracle=f"""
+    WITH f AS (
+      SELECT event_type, user_id,
+             CAST(min(epoch_us(ts) // 86400000000) AS BIGINT) AS first_day
+      FROM events GROUP BY 1, 2
+    ),
+    n AS (
+      SELECT event_type, first_day AS day,
+             CAST(count(*) AS BIGINT) AS n_new
+      FROM f GROUP BY 1, 2
+    )
+    SELECT event_type, day, n_new,
+           CAST(sum(n_new) OVER (PARTITION BY event_type ORDER BY day)
+                AS BIGINT) AS cum_reach
+    FROM n
+    """,
+)
+def analytics_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M207 — the cumulative-reach curve: per event type and day, how
+    many users have EVER used the feature by that day — the running
+    distinct-user count that naive SQL writes as a distinct-aggregate
+    window (unbounded state, re-counting every prefix).  The classic
+    first-touch decomposition makes it exact and cheap: a user joins
+    the curve exactly once, on their FIRST day, so cumulative distinct
+    = prefix-sum of first-day counts.
+
+    Day = integer ``epoch_us div 86400·10⁶``; counts and prefix sums
+    are exact BIGINTs.
+
+    Scale: the (type, user) min-day rollup combines map-side (events
+    never shuffle raw); daily new-user counts are O(types × days); the
+    prefix window partitions by type over the calendar axis — bounded
+    by TIME, not data (the CLAUDE.md bounded-cardinality exemption),
+    and at a billion users the curve table is still types × days."""
+    e = load(spark, sf_dir, "events")
+    f = e.groupBy("event_type", "user_id").agg(
+        F.min(F.expr("unix_micros(ts) div 86400000000"))
+        .cast("bigint")
+        .alias("first_day")
+    )
+    n = f.groupBy("event_type", F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return n.select(
+        "event_type", "day", "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("cum_reach"),
+    )

@@ -2752,3 +2752,99 @@ def pipeline_split_ks_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ks_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M205 — column profile (dataset-docs statistics per column)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_column_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_cents', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT),
+           CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR),
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR)
+    FROM orders
+    """,
+)
+def pipeline_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M205 — the per-column profile a dataset card / dbt-docs page
+    shows: row count, null count, distinct cardinality, and canonical
+    min/max for each profiled column of ``orders`` — the human-facing
+    sibling of M50's pass/fail checks (M50 answers "is it valid",
+    this answers "what does it look like").  Money profiles as exact
+    cents (the functions/exact.py rule); min/max canonicalize to
+    strings so one schema carries every column type.
+
+    One pass: a single aggregate row computes all 5×4 metrics (the
+    multi-distinct expand, M73's declared shape), then ``stack``
+    unpivots it to one row per column — the oracle's UNION-of-
+    aggregates form is the same function column-by-column.
+
+    Scale: one scan; count-distinct expand is the only multiplier
+    (×5) and combines map-side; the unpivot is 5 rows on the driver
+    side of the plan — nothing data-sized after the agg."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    a = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        *[
+            x
+            for col, expr_, alias in [
+                ("o_orderkey", F.col("o_orderkey"), "ok"),
+                ("o_custkey", F.col("o_custkey"), "ck"),
+                ("o_orderstatus", F.col("o_orderstatus"), "st"),
+                ("o_orderpriority", F.col("o_orderpriority"), "pr"),
+                ("o_totalprice_cents", cents, "tp"),
+            ]
+            for x in (
+                F.sum(F.when(expr_.isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"null_{alias}"),
+                F.countDistinct(expr_).cast("bigint").alias(f"dist_{alias}"),
+                F.min(expr_).cast("string").alias(f"min_{alias}"),
+                F.max(expr_).cast("string").alias(f"max_{alias}"),
+            )
+        ],
+    )
+    return a.selectExpr(
+        """stack(5,
+            'o_orderkey', null_ok, dist_ok, min_ok, max_ok,
+            'o_custkey', null_ck, dist_ck, min_ck, max_ck,
+            'o_orderstatus', null_st, dist_st, min_st, max_st,
+            'o_orderpriority', null_pr, dist_pr, min_pr, max_pr,
+            'o_totalprice_cents', null_tp, dist_tp, min_tp, max_tp
+        ) AS (column_name, n_null, n_distinct, min_v, max_v)""",
+        "n_rows",
+    ).select("column_name", "n_rows", "n_null", "n_distinct", "min_v", "max_v")

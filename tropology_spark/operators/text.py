@@ -1368,3 +1368,56 @@ def text_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("boiler_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M208 — hashing-trick feature vectors (vocabulary-free bag of words)
+# ---------------------------------------------------------------------------
+
+_HASH_DOCS = 20
+_HASH_BUCKETS = 256
+
+
+@register(
+    "text_hashed_features",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id < {_HASH_DOCS}
+    )
+    SELECT doc_id,
+           CAST(('0x' || substring(md5(token), 1, 8))::BIGINT
+                % {_HASH_BUCKETS} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM tok GROUP BY 1, 2
+    """,
+)
+def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M208 — the HASHING TRICK (Weinberger et al. 2009): sparse
+    bag-of-words features with NO vocabulary table — each token maps
+    to bucket md5-low-32 mod {_HASH_BUCKETS} and features are
+    per-(doc, bucket) term frequencies.  This is how a 100 TB corpus
+    gets featurized without the global vocab build (M45) that
+    dominates classic TF-IDF: the "vocab" is a pure hash function, so
+    featurization is embarrassingly parallel, streaming-safe, and new
+    tokens never change the schema.  Bounded serving shape (doc_id <
+    {_HASH_DOCS}) keeps the declared output audit-sized.
+
+    The bucket hash is the portable md5-low-32 idiom (M43/J3) —
+    identical in both engines, non-negative, so ``%`` agrees.
+
+    Scale: filter pushes to the scan; explode → one (doc, bucket)
+    rollup with map-side combine.  Collisions are the method's
+    documented trade (256 buckets here; production uses 2²⁰) — the
+    audit of collision load is one groupBy away."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < _HASH_DOCS)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
+        % _HASH_BUCKETS
+    )
+    return tok.groupBy(
+        "doc_id", bucket.cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("tf"))

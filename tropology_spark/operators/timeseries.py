@@ -1672,3 +1672,92 @@ def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mase_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M206 — MAD-based robust outlier hours (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_outlier_mad",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, CAST(2 * median(cnt) AS BIGINT) AS med2x
+      FROM h GROUP BY event_type
+    ),
+    d AS (
+      SELECT h.event_type, h.cnt,
+             abs(2 * h.cnt - m.med2x) AS dev2x
+      FROM h JOIN m ON h.event_type = m.event_type
+    ),
+    md AS (
+      SELECT event_type, CAST(2 * median(dev2x) AS BIGINT) AS mad4x
+      FROM d GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(max(m.med2x) AS BIGINT) AS med2x,
+           CAST(max(md.mad4x) AS BIGINT) AS mad4x,
+           CAST(sum(CASE WHEN 2 * d.dev2x > 3 * md.mad4x
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d
+    JOIN m ON d.event_type = m.event_type
+    JOIN md ON d.event_type = md.event_type
+    GROUP BY d.event_type
+    """,
+)
+def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M206 — robust outlier detection on hourly volume: an hour is an
+    outlier when its deviation from the per-type MEDIAN exceeds 3×
+    the MEDIAN ABSOLUTE DEVIATION — the robust-statistics standard
+    (Hampel) that, unlike M68's z-scores, no single spike can mask by
+    inflating its own threshold.
+
+    Everything stays integer by double-doubling: med2x = 2·median
+    (exact — midpoint interpolation of BIGINTs, the M195 carrier),
+    dev2x = |2·cnt − med2x| (integer), mad4x = 2·median(dev2x), and
+    the test |x−med| > 3·MAD becomes 2·dev2x > 3·mad4x — both sides
+    exact BIGINTs, no epsilon anywhere.
+
+    Scale: events collapse map-side to O(types × hours); the hourly
+    rollup is referenced by both median passes and the final join, so
+    it is checkpointed once (DOUBLE-REFERENCE RULE); the per-type
+    median tables are 5 rows and broadcast back.  Exact medians of
+    the ROLLUP (bounded rows per type) — never of raw events."""
+    e = load(spark, sf_dir, "events")
+    h = iter_materialize(
+        e.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("hour"),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    m = h.groupBy("event_type").agg(
+        (2 * F.expr("percentile(cnt, 0.5)")).cast("bigint").alias("med2x")
+    )
+    d = h.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "cnt",
+        "med2x",
+        F.abs(2 * F.col("cnt") - F.col("med2x")).alias("dev2x"),
+    )
+    md = d.groupBy(F.col("event_type").alias("md_type")).agg(
+        (2 * F.expr("percentile(dev2x, 0.5)")).cast("bigint").alias("mad4x")
+    )
+    j = d.join(F.broadcast(md), d.event_type == md.md_type)
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.max("med2x").cast("bigint").alias("med2x"),
+        F.max("mad4x").cast("bigint").alias("mad4x"),
+        F.sum(
+            F.when(2 * F.col("dev2x") > 3 * F.col("mad4x"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    )
