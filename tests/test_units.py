@@ -913,6 +913,9 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "ts_outlier_mad",
         "analytics_cumulative_reach",
         "text_hashed_features",
+        "mm_chunk_dedup_stats",
+        "analytics_spend_deciles",
+        "dedup_lsh_band_stats",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

@@ -94,6 +94,9 @@ _R6_NEW = [
     "ts_outlier_mad",
     "analytics_cumulative_reach",
     "text_hashed_features",
+    "mm_chunk_dedup_stats",
+    "analytics_spend_deciles",
+    "dedup_lsh_band_stats",
 ]
 
 _R6_REWRITTEN = [

@@ -1569,3 +1569,87 @@ def analytics_cumulative_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "day", "n_new",
         F.sum("n_new").over(w).cast("bigint").alias("cum_reach"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M210 — Lorenz deciles of customer spend (who carries the revenue)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_spend_deciles",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT spend_cents,
+             ntile(10) OVER (ORDER BY spend_cents, o_custkey) AS decile
+      FROM s
+    ),
+    d AS (
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(spend_cents) AS BIGINT) AS spend_cents
+      FROM r GROUP BY decile
+    ),
+    t AS (
+      SELECT *, CAST(sum(spend_cents) OVER () AS BIGINT) AS total,
+             CAST(sum(spend_cents) OVER (ORDER BY decile) AS BIGINT) AS cum
+      FROM d
+    )
+    SELECT decile, n_customers, spend_cents,
+           CAST((1000000 * spend_cents) // total AS BIGINT) AS share_ppm,
+           CAST((1000000 * cum) // total AS BIGINT) AS cum_share_ppm
+    FROM t
+    """,
+)
+def analytics_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M210 — the Lorenz table behind M192's single Gini number: spend
+    share and cumulative share per customer DECILE (ranked ascending
+    by cent-integer spend, unique (spend, custkey) tie-break) — the
+    "top 10% of customers carry X% of revenue" readout.  cum_share at
+    decile 10 is 10⁶ by construction; the gap between the diagonal
+    and cum_share IS the Lorenz area M192 integrates.
+
+    Deciles come from plans/global_order.py (two-pass range-
+    partitioned rank + exact integer ntile; the oracle keeps the
+    single-window ntile — bit-equality is the parity claim, the M177
+    pattern).  After the 10-row rollup, the total/cumulative windows
+    use the non-foldable constant partition key (the global_order.py
+    bounded-axis idiom) so no partition-less WindowExec appears.
+
+    Scale: one user rollup + one range shuffle; everything after the
+    decile assignment is 10 rows."""
+    o = load(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("spend_cents")
+    )
+    r = global_row_number(
+        s, ["spend_cents", "o_custkey"], out="pos", total_col="tot"
+    )
+    dec = r.withColumn("decile", ntile_expr(F.col("pos"), F.col("tot"), 10))
+    d = dec.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("spend_cents").cast("bigint").alias("spend_cents"),
+    )
+    k = F.pmod(F.col("decile"), F.lit(1))
+    wt = Window.partitionBy(k)
+    wc = Window.partitionBy(k).orderBy("decile")
+    t = d.select(
+        "decile", "n_customers", "spend_cents",
+        F.sum("spend_cents").over(wt).cast("bigint").alias("total"),
+        F.sum("spend_cents").over(wc).cast("bigint").alias("cum"),
+    )
+    return t.select(
+        "decile", "n_customers", "spend_cents",
+        F.expr("(1000000 * spend_cents) div total").cast("bigint")
+        .alias("share_ppm"),
+        F.expr("(1000000 * cum) div total").cast("bigint")
+        .alias("cum_share_ppm"),
+    )

@@ -178,11 +178,11 @@ _MH_PERMS = list(zip(_MH_AS, _MH_BS))
 _MH_BAND_ROWS = 4
 
 
-def _minhash_oracle_sql() -> str:
-    """DuckDB twin of dedup_minhash_lsh, generated from the SAME
-    permutation constants: distinct word-bigram shingles → 16 affine
-    min-hashes over md5-low-32 → 4 band buckets → distinct bucket-
-    sharing pairs."""
+def _minhash_bands_cte() -> str:
+    """The shared CTE prefix (shingles → 16 affine min-hashes →
+    ``bands(doc_id, band, bucket)``), generated from the permutation
+    constant table — appended with different final SELECTs by the
+    candidate-pair oracle (J3) and the index-health oracle (M211)."""
     mins = ",\n             ".join(
         f"min((h * {a} + {b}) % {_MH_PRIME}) AS mh{i}"
         for i, (a, b) in enumerate(_MH_PERMS)
@@ -213,30 +213,30 @@ def _minhash_oracle_sql() -> str:
     bands AS (
       {band_rows}
     )
+    """
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB twin of dedup_minhash_lsh, generated from the SAME
+    permutation constants: distinct word-bigram shingles → 16 affine
+    min-hashes over md5-low-32 → 4 band buckets → distinct bucket-
+    sharing pairs."""
+    return (
+        _minhash_bands_cte()
+        + """
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a
     JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
                 AND a.doc_id < b.doc_id
     """
+    )
 
 
-@register("dedup_minhash_lsh", oracle=_minhash_oracle_sql())
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 — MinHash-LSH near-dup candidates, the 100 TB-scale
-    replacement for J2's pair enumeration.
-
-    One narrow pass computes 16 min-hashes per doc (explode tokens →
-    groupBy min per permutation — map-side combinable), bands of 4 are
-    hashed to buckets, and candidate pairs are docs sharing any band
-    bucket.  Shingles are word 2-grams — unigrams carry no signal
-    against the fixtures' 31-word vocabulary.
-
-    Full SQL oracle (upgraded from rows-only): because the base hash
-    is md5-low-32 and the permutations are fixed integer constants,
-    the entire sketch is portable arithmetic — the DuckDB twin is
-    generated from the same constant table, so the driver hash-compares
-    the candidate set exactly.  Recall against J2's confirmed pairs is
-    additionally pinned by tests/test_units.py."""
+def minhash_bands_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the :func:`_minhash_bands_cte` prefix: one narrow
+    pass from documents to ``(doc_id, band, bucket)`` — shared by the
+    J3 candidate join and the M211 index-health audit so the signature
+    arithmetic exists exactly once."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     shingles = F.array_distinct(
@@ -259,7 +259,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     n_bands = len(_MH_PERMS) // _MH_BAND_ROWS
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -279,6 +279,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — MinHash-LSH near-dup candidates, the 100 TB-scale
+    replacement for J2's pair enumeration.
+
+    One narrow pass computes 16 min-hashes per doc (explode tokens →
+    groupBy min per permutation — map-side combinable), bands of 4 are
+    hashed to buckets, and candidate pairs are docs sharing any band
+    bucket.  Shingles are word 2-grams — unigrams carry no signal
+    against the fixtures' 31-word vocabulary.
+
+    Full SQL oracle (upgraded from rows-only): because the base hash
+    is md5-low-32 and the permutations are fixed integer constants,
+    the entire sketch is portable arithmetic — the DuckDB twin is
+    generated from the same constant table, so the driver hash-compares
+    the candidate set exactly.  Recall against J2's confirmed pairs is
+    additionally pinned by tests/test_units.py."""
+    bands = minhash_bands_frame(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -785,4 +805,57 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("vec").cast("bigint").alias("max_vec"),
             F.sum("vec").cast("bigint").alias("id_checksum"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M211 — LSH index health (band/bucket load audit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_lsh_band_stats",
+    oracle=_minhash_bands_cte()
+    + """
+    , sz AS (
+      SELECT band, bucket, CAST(count(*) AS BIGINT) AS sz
+      FROM bands GROUP BY 1, 2
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(max(sz) AS BIGINT) AS max_bucket,
+           CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
+    FROM sz GROUP BY band
+    """,
+)
+def dedup_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M211 — the LSH INDEX-HEALTH audit: per band, how many buckets
+    exist, how loaded the worst bucket is, and how many candidate
+    pairs the band generates (Σ C(sz,2)) — the numbers that size J3's
+    dedup run BEFORE it executes.  cand_pairs is exactly the band's
+    join output volume, so a band whose max_bucket explodes (a
+    degenerate bucket: empty docs, template shingles) is visible here
+    as cost, not as an OOM mid-join; production LSH caps or splits
+    such buckets first.  Completes the index-audit set: recall
+    (M126 / M178 / M182) measures quality, this measures cost.
+
+    Both sides derive from the SAME signature construction —
+    :func:`minhash_bands_frame` / :func:`_minhash_bands_cte`, the
+    code J3 itself runs — so the audit can never drift from the index
+    (the _J2_ORACLE discipline applied to shared helpers).
+
+    Scale: the (band, bucket) rollup combines map-side; the per-band
+    rollup is 4 keys.  Nothing here touches the pair join itself —
+    the point is that this audit is O(docs·bands), run before
+    committing to the O(Σ C(sz,2)) join."""
+    bands = minhash_bands_frame(spark, sf_dir)
+    sz = bands.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return sz.groupBy(F.col("band").cast("bigint").alias("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("sz").cast("bigint").alias("n_docs"),
+        F.max("sz").cast("bigint").alias("max_bucket"),
+        F.sum(F.expr("sz * (sz - 1) div 2")).cast("bigint").alias("cand_pairs"),
     )

@@ -592,3 +592,61 @@ def mm_magic_bytes(spark, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_items"), F.asc("modality"), F.asc("sig"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# M209 — chunk-store dedup stats (composed from the M185 manifest)
+# ---------------------------------------------------------------------------
+
+
+def _chunk_dedup_oracle() -> str:
+    from tropology_spark.registry import ORACLES
+
+    return f"""
+    WITH man AS ({ORACLES['mm_chunk_manifest']}),
+    r AS (
+      SELECT chunk_md5, CAST(count(*) AS BIGINT) AS refs
+      FROM man GROUP BY 1
+    )
+    SELECT CAST(sum(refs) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(refs) - count(*) AS BIGINT) AS n_dup,
+           CAST((1000000 * (sum(refs) - count(*))) // sum(refs) AS BIGINT)
+             AS dedup_ppm,
+           CAST(max(refs) AS BIGINT) AS max_refcount
+    FROM r
+    """
+
+
+@register("mm_chunk_dedup_stats", oracle=_chunk_dedup_oracle())
+def mm_chunk_dedup_stats(spark, sf_dir: str) -> DataFrame:
+    """M209 — what content-addressing SAVES: reference counts over the
+    M185 chunk manifest — total chunk instances, unique digests, the
+    duplicate count a chunk store never uploads twice, the saving in
+    ppm, and the hottest chunk's refcount (the cache-tier candidate).
+    This is the capacity-planning number behind every CAS media store
+    (upload bytes = unique chunks only).
+
+    Composed, not copied: the oracle wraps ``ORACLES['mm_chunk_
+    manifest']`` verbatim and the Spark side calls the REGISTERED
+    M185 query — the _J2_ORACLE discipline, so the manifest semantics
+    exist in exactly one place.
+
+    Scale: one map-side-combinable rollup on the 16-byte digest (the
+    dedup shuffle is hash-of-hash — scale-free), then a single-row
+    reduction of the refcount table."""
+    from tropology_spark.registry import QUERIES
+
+    man = QUERIES["mm_chunk_manifest"](spark, sf_dir)
+    r = man.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).cast("bigint").alias("refs")
+    )
+    return r.agg(
+        F.sum("refs").cast("bigint").alias("n_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        (F.sum("refs") - F.count(F.lit(1))).cast("bigint").alias("n_dup"),
+        F.expr("(1000000 * (sum(refs) - count(1))) div sum(refs)")
+        .cast("bigint")
+        .alias("dedup_ppm"),
+        F.max("refs").cast("bigint").alias("max_refcount"),
+    )
