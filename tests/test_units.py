@@ -916,6 +916,7 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "mm_chunk_dedup_stats",
         "analytics_spend_deciles",
         "dedup_lsh_band_stats",
+        "pipeline_split_contamination",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

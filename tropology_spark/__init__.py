@@ -97,7 +97,12 @@ _R6_NEW = [
     "mm_chunk_dedup_stats",
     "analytics_spend_deciles",
     "dedup_lsh_band_stats",
+    "pipeline_split_contamination",
 ]
+# _R6_NEW (47) + _R6_REWRITTEN (3) now fill the driver's 50-entry
+# window exactly — round 6 adds NO further queries (a 51st would push
+# a never-sampled query out of the window; the window test enforces
+# this).  The r01/r02-vintage refresh queue rolls to round 7.
 
 _R6_REWRITTEN = [
     "pipeline_epoch_shuffle",

@@ -2848,3 +2848,109 @@ def pipeline_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AS (column_name, n_null, n_distinct, min_v, max_v)""",
         "n_rows",
     ).select("column_name", "n_rows", "n_null", "n_distinct", "min_v", "max_v")
+
+
+# ---------------------------------------------------------------------------
+# M212 — near-dup contamination across the train/test split
+# ---------------------------------------------------------------------------
+
+
+def _split_contamination_oracle() -> str:
+    from tropology_spark.registry import ORACLES
+
+    return f"""
+    WITH pairs AS ({ORACLES['dedup_minhash_lsh']}),
+    bk AS (
+      SELECT doc_id,
+             ((strpos('0123456789abcdef',
+                      substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef',
+                       substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 10
+               AS bucket
+      FROM documents
+    ),
+    lab AS (
+      SELECT p.doc_a, p.doc_b,
+             CASE WHEN ba.bucket < 8 THEN 'train'
+                  WHEN ba.bucket = 9 THEN 'test' ELSE 'val' END AS split_a,
+             CASE WHEN bb.bucket < 8 THEN 'train'
+                  WHEN bb.bucket = 9 THEN 'test' ELSE 'val' END AS split_b
+      FROM pairs p
+      JOIN bk ba ON ba.doc_id = p.doc_a
+      JOIN bk bb ON bb.doc_id = p.doc_b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN (split_a = 'train' AND split_b = 'test')
+                           OR (split_a = 'test' AND split_b = 'train')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cross,
+           CAST(sum(CASE WHEN split_a = 'test' AND split_b = 'test'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_test,
+           CAST((1000000 * sum(CASE WHEN (split_a = 'train' AND split_b = 'test')
+                                      OR (split_a = 'test' AND split_b = 'train')
+                                    THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+             AS cross_ppm
+    FROM lab
+    """
+
+
+@register("pipeline_split_contamination", oracle=_split_contamination_oracle())
+def pipeline_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M212 — NEAR-DUP contamination across the train/test boundary:
+    of the MinHash-LSH candidate pairs (J3 — edits anywhere in the
+    document, unlike M25's exact n-gram containment or M152's exact
+    full-text leakage), how many straddle M26's train/test buckets —
+    the pair a benchmark decontamination pass must break before a test
+    score means anything.  Reported with the within-test pair count
+    (test-internal redundancy deflates variance) and the cross rate in
+    ppm of all candidate pairs.
+
+    Composed, not copied (the _J2_ORACLE discipline): the oracle wraps
+    ``ORACLES['dedup_minhash_lsh']`` verbatim and the Spark side runs
+    the REGISTERED J3 query, then joins the M26 bucket expression onto
+    both pair ends.
+
+    Scale: the pair table is O(docs·bands) by J3's banding; the split
+    label is a pure hash of doc_id (no lookup table), so the two
+    labeling joins are hash joins on doc ids of an already-small pair
+    set — at 100 TB this audit costs the index, not the corpus."""
+    from tropology_spark.registry import QUERIES
+
+    pairs = QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.conv(F.substring(md5, 1, 2), 16, 10).cast("int") % 10
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 9, "test").otherwise("val")
+    )
+    bk = d.select("doc_id", split.alias("split"))
+    lab = (
+        pairs.join(
+            bk.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),
+            "doc_a",
+        )
+        .join(
+            bk.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")),
+            "doc_b",
+        )
+    )
+    cross = (
+        (F.col("split_a") == "train") & (F.col("split_b") == "test")
+    ) | ((F.col("split_a") == "test") & (F.col("split_b") == "train"))
+    return lab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(cross, 1).otherwise(0)).cast("bigint").alias("n_cross"),
+        F.sum(
+            F.when(
+                (F.col("split_a") == "test") & (F.col("split_b") == "test"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_within_test"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN (split_a = 'train' AND split_b = 'test')"
+            " OR (split_a = 'test' AND split_b = 'train') THEN 1 ELSE 0 END))"
+            " div count(1)"
+        )
+        .cast("bigint")
+        .alias("cross_ppm"),
+    )
