@@ -2885,10 +2885,13 @@ def _split_contamination_oracle() -> str:
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_cross,
            CAST(sum(CASE WHEN split_a = 'test' AND split_b = 'test'
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_within_test,
-           CAST((1000000 * sum(CASE WHEN (split_a = 'train' AND split_b = 'test')
-                                      OR (split_a = 'test' AND split_b = 'train')
-                                    THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
-             AS cross_ppm
+           CAST(CASE WHEN count(*) = 0 THEN NULL
+                     ELSE (1000000 * sum(CASE WHEN (split_a = 'train'
+                                                    AND split_b = 'test')
+                                           OR (split_a = 'test'
+                                               AND split_b = 'train')
+                                         THEN 1 ELSE 0 END)) // count(*)
+                END AS BIGINT) AS cross_ppm
     FROM lab
     """
 
@@ -2946,10 +2949,13 @@ def pipeline_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_within_test"),
+        # An empty candidate set (tiny fixtures) leaves the rate
+        # undefined — NULL both engines, never ANSI divide-by-zero.
         F.expr(
-            "(1000000 * sum(CASE WHEN (split_a = 'train' AND split_b = 'test')"
+            "CASE WHEN count(1) = 0 THEN NULL"
+            " ELSE (1000000 * sum(CASE WHEN (split_a = 'train' AND split_b = 'test')"
             " OR (split_a = 'test' AND split_b = 'train') THEN 1 ELSE 0 END))"
-            " div count(1)"
+            " div count(1) END"
         )
         .cast("bigint")
         .alias("cross_ppm"),

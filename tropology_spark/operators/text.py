@@ -1215,9 +1215,12 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(has_test) AS BIGINT) AS n_test_bigrams,
            CAST(sum(CASE WHEN has_test = 1 AND has_train = 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-           CAST((1000000 * sum(CASE WHEN has_test = 1 AND has_train = 0
-                                    THEN 1 ELSE 0 END))
-                // sum(has_test) AS BIGINT) AS novelty_ppm
+           CAST(CASE WHEN sum(has_test) = 0 THEN NULL
+                     ELSE (1000000 * sum(CASE WHEN has_test = 1
+                                              AND has_train = 0
+                                              THEN 1 ELSE 0 END))
+                          // sum(has_test)
+                END AS BIGINT) AS novelty_ppm
     FROM d GROUP BY lang
     """,
 )
@@ -1272,9 +1275,13 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_novel"),
+        # A language with no test-split docs (tiny fixtures) has an
+        # undefined novelty — NULL in both engines, never a
+        # divide-by-zero under ANSI.
         F.expr(
-            "(1000000 * sum(CASE WHEN has_test = 1 AND has_train = 0"
-            " THEN 1 ELSE 0 END)) div sum(has_test)"
+            "CASE WHEN sum(has_test) = 0 THEN NULL"
+            " ELSE (1000000 * sum(CASE WHEN has_test = 1 AND has_train = 0"
+            " THEN 1 ELSE 0 END)) div sum(has_test) END"
         )
         .cast("bigint")
         .alias("novelty_ppm"),

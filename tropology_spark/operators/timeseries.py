@@ -1603,8 +1603,9 @@ def ts_ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_hours,
            CAST(sum(e_seasonal) AS BIGINT) AS sae_seasonal,
            CAST(sum(e_naive) AS BIGINT) AS sae_naive,
-           CAST((1000000 * sum(e_seasonal)) // sum(e_naive) AS BIGINT)
-             AS mase_ppm
+           CAST(CASE WHEN sum(e_naive) = 0 THEN NULL
+                     ELSE (1000000 * sum(e_seasonal)) // sum(e_naive)
+                END AS BIGINT) AS mase_ppm
     FROM j GROUP BY event_type
     """,
 )
@@ -1668,7 +1669,13 @@ def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_hours"),
         F.sum("e_seasonal").cast("bigint").alias("sae_seasonal"),
         F.sum("e_naive").cast("bigint").alias("sae_naive"),
-        F.expr("(1000000 * sum(e_seasonal)) div sum(e_naive)")
+        # A constant series (tiny fixtures) has sae_naive = 0 — the
+        # ratio is undefined there, NULL in both engines (never a
+        # divide-by-zero under ANSI).
+        F.expr(
+            "CASE WHEN sum(e_naive) = 0 THEN NULL"
+            " ELSE (1000000 * sum(e_seasonal)) div sum(e_naive) END"
+        )
         .cast("bigint")
         .alias("mase_ppm"),
     )
