@@ -56,6 +56,9 @@ def main() -> None:
         for name in [
             "graph_connected_components", "graph_pagerank3",
             "graph_link_prediction", "sim_knn_join", "dedup_ngram_jaccard",
+            # round-6: the heaviest new query (Hash-to-Min over the M2
+            # cosine pair graph) gets a clean fresh-session number too
+            "dedup_embedding_clusters",
         ]:
             if name not in QUERIES:
                 continue

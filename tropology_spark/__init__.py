@@ -51,6 +51,10 @@ from tropology_spark.operators import relational  # noqa: F401
 # (3) the r01/r02-vintage refresh queue, events-readers first (their
 # old rows predate the events TIMESTAMP(NANOS)->MICROS change).
 # Whatever misses the 50-window stays ordered for round 7.
+# FINAL round-6 state: the 47 new queries + 3 rewrites consumed the
+# entire window, so the whole stale queue rolls to round 7 — every
+# stale query IS covered on current data by tests/test_oracle_parity
+# and the per-round bench; new-query first-evidence takes priority.
 
 #: Round-6 additions (M169+) — appended here as they are registered.
 _R6_NEW = [
