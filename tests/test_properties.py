@@ -338,3 +338,112 @@ def test_kmv_estimate_within_error_bound(spark, n_users, seed):
         assert est == true
     else:
         assert abs(est - true) / true <= 5 / math.sqrt(_KMV_K)
+
+
+@settings(**SMALL)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),   # group
+            st.integers(min_value=-50, max_value=50),  # order key (ties likely)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    nparts=st.integers(min_value=1, max_value=7),
+)
+def test_global_row_number_equals_single_window(spark, rows, nparts):
+    """plans/global_order.py contract: the two-pass range-partitioned
+    rank is BIT-IDENTICAL to the single-partition window row_number for
+    any data, any group structure, and any partition count — provided
+    the order carries a unique tie-break (here the synthetic id)."""
+    from pyspark.sql import Window
+
+    from tropology_spark.plans.global_order import global_row_number
+
+    df = spark.createDataFrame(
+        [(g, k, i) for i, (g, k) in enumerate(rows)], "g int, k int, id int"
+    )
+    got = {
+        (r["g"], r["id"]): r["pos"]
+        for r in global_row_number(
+            df, ["k", "id"], group_cols=["g"], out="pos", num_partitions=nparts
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("k", "id")
+    want = {
+        (r["g"], r["id"]): r["pos"]
+        for r in df.withColumn("pos", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+@settings(**SMALL)
+@given(
+    probes=st.lists(st.integers(min_value=0, max_value=5000), min_size=0, max_size=25),
+    cands=st.lists(st.integers(min_value=0, max_value=5000), min_size=0, max_size=25),
+)
+def test_band_bucket_join_equals_theta_join(spark, probes, cands):
+    """The M197 band-join rewrite property on arbitrary data: keying
+    both sides by the W-bucket and exploding the probe side to
+    (b, b-1) yields EXACTLY the pairs of the declarative theta join
+    c <= p AND p - c <= W — each matched pair exactly once (the
+    candidate's bucket is unique), none missed (an in-band candidate's
+    bucket can only be b or b-1), including the W and 0 boundaries."""
+    W_BAND = 900
+    p = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(probes)] or [(None, None)], "pid int, p int"
+    ).filter(F.col("pid").isNotNull())
+    c = spark.createDataFrame(
+        [(j, t) for j, t in enumerate(cands)] or [(None, None)], "cid int, c int"
+    ).filter(F.col("cid").isNotNull())
+    want = {
+        (i, j)
+        for i, pt in enumerate(probes)
+        for j, ct in enumerate(cands)
+        if ct <= pt and pt - ct <= W_BAND
+    }
+    p2 = p.withColumn(
+        "b",
+        F.explode(
+            F.array(
+                F.expr(f"p div {W_BAND}"), F.expr(f"p div {W_BAND} - 1")
+            )
+        ),
+    )
+    c2 = c.withColumn("cb", F.expr(f"c div {W_BAND}"))
+    got = {
+        (r["pid"], r["cid"])
+        for r in p2.join(c2, F.col("b") == F.col("cb"))
+        .filter((F.col("c") <= F.col("p")) & (F.col("p") - F.col("c") <= W_BAND))
+        .collect()
+    }
+    assert got == want
+    # exactly-once: the inner join can never duplicate a pair
+    dup = (
+        p2.join(c2, F.col("b") == F.col("cb"))
+        .filter((F.col("c") <= F.col("p")) & (F.col("p") - F.col("c") <= W_BAND))
+        .groupBy("pid", "cid")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+
+
+@settings(**SMALL)
+@given(
+    vals=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=40)
+)
+def test_med2x_carrier_is_exact_integer(spark, vals):
+    """The M195/M206 med2x carrier: 2 x percentile(x, 0.5) over BIGINTs
+    is always an exact integer (value or midpoint of two values) and
+    equals the doubled statistics.median — the property that makes the
+    rolling/grouped medians hash-comparable across engines."""
+    import statistics
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = df.agg((2 * F.expr("percentile(v, 0.5)")).alias("m2")).collect()[0]["m2"]
+    want = 2 * statistics.median(vals)
+    assert got == want
+    assert float(got).is_integer()
