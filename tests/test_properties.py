@@ -447,3 +447,57 @@ def test_med2x_carrier_is_exact_integer(spark, vals):
     want = 2 * statistics.median(vals)
     assert got == want
     assert float(got).is_integer()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    spends=st.lists(st.integers(min_value=0, max_value=10**7), min_size=2, max_size=80)
+)
+def test_gini_rank_identity_matches_pairwise_definition(spends):
+    """M192's Lorenz rank identity vs the canonical mean-absolute-
+    difference definition of Gini — pure math, no engines: parity can
+    only prove Spark == DuckDB, not that both compute Gini.  With
+    x sorted ascending and 1-based ranks i:
+    (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)  ==  Σ_ij |x_i − x_j| / (2n·Σx)."""
+    from fractions import Fraction
+
+    if sum(spends) == 0:
+        return
+    xs = sorted(spends)
+    n = len(xs)
+    s = sum(xs)
+    rank_form = Fraction(2 * sum((i + 1) * x for i, x in enumerate(xs)) - (n + 1) * s,
+                         n * s)
+    pair_form = Fraction(sum(abs(a - b) for a in xs for b in xs), 2 * n * s)
+    assert rank_form == pair_form
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=130), min_size=1, max_size=200)
+)
+def test_counting_quantile_ranks_match_sorted_indexing(vals):
+    """M196's counting-quantile construction vs direct sorted-list
+    indexing: the smallest value whose cumulative count reaches rank
+    (n+1) div 2 is the lower median, and rank ceil(0.9·n) = (9n+9)
+    div 10 is the discrete p90 — for any multiset over the bounded
+    domain."""
+    from collections import Counter
+
+    n = len(vals)
+    xs = sorted(vals)
+    cnt = Counter(vals)
+
+    def by_counting(rank: int) -> int:
+        cum = 0
+        for v in sorted(cnt):
+            cum += cnt[v]
+            if cum >= rank:
+                return v
+        raise AssertionError("rank beyond total")
+
+    r50 = (n + 1) // 2
+    r90 = (9 * n + 9) // 10
+    assert by_counting(r50) == xs[r50 - 1]
+    assert by_counting(r90) == xs[r90 - 1]
+    assert r90 == -((-9 * n) // 10)  # (9n+9) div 10 IS ceil(0.9 n)
