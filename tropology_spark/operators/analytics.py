@@ -509,7 +509,11 @@ def analytics_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_returning"),
         )
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w = (
+        Window.partitionBy(F.pmod(F.col("day"), F.lit(1)))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return per.select(
         "day",
         "n_active",

@@ -733,7 +733,9 @@ def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    wv = Window.orderBy(F.col("n").desc(), F.col("token"))
+    wv = Window.partitionBy(F.pmod(F.col("n"), F.lit(1))).orderBy(
+        F.col("n").desc(), F.col("token")
+    )
     vocab = (
         freq.withColumn("rn", F.row_number().over(wv))
         .filter(F.col("rn") <= _VOCAB_K)
@@ -1389,7 +1391,9 @@ def pipeline_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_hash = F.md5(
         F.concat(F.col("src").cast("string"), F.lit("_"), F.col("dst").cast("string"))
     )
-    w = Window.orderBy(pair_hash, "src", "dst")
+    w = Window.partitionBy(F.pmod(F.col("src"), F.lit(1))).orderBy(
+        pair_hash, "src", "dst"
+    )
     return (
         neg.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= _NEG_K)

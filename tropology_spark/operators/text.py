@@ -821,7 +821,11 @@ def text_token_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = iter_materialize(tk.groupBy("token").agg(F.count(F.lit(1)).alias("freq")))
     rk = vocab.withColumn(
         "rank",
-        F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("token"))),
+        F.row_number().over(
+            Window.partitionBy(F.pmod(F.col("freq"), F.lit(1))).orderBy(
+                F.col("freq").desc(), F.col("token")
+            )
+        ),
     ).select("token", "rank")
     # Broadcast the rank table only when the VOCABULARY is small — the
     # broadcast side is (token, rank), so gating on the document count

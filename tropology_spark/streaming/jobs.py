@@ -495,7 +495,11 @@ def stream_latedrop_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition), so the single-ordering window here is the fixture
     framing, not the cluster plan."""
     e = load(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    w = (
+        Window.partitionBy(F.pmod(F.col("event_id"), F.lit(1)))
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     wm = e.select(
         "event_id",
         "ts",
