@@ -413,3 +413,59 @@ def test_window_topk_counts_equal_batch(spark, events_dir):
     )
     assert_same_rows(ranked_stream, twin,
                      ["window_start", "event_type", "n_events", "rk"])
+
+
+def test_checkpoint_recovery_resumes_without_reprocessing(spark, tmp_path):
+    """K-family recovery semantics: a stateful streaming aggregation
+    stopped after batch 1 and RESTARTED from its checkpointLocation
+    must (a) resume with its state intact — the final upserted counts
+    equal the batch twin over ALL data — and (b) read only the files
+    that arrived while it was down (the checkpoint's source log), not
+    reprocess phase 1.  This is the exactly-once restart contract a
+    production ingest relies on; the idempotent keyed upsert in
+    foreachBatch is the matching sink discipline."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load(spark, SF_UNIT, "events").select("event_id", "event_type")
+    n_total = ev.count()
+    ev1 = ev.filter(F.col("event_id") % 2 == 0)
+    ev2 = ev.filter(F.col("event_id") % 2 == 1)
+    n2 = ev2.count()
+    ev1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    store: dict[str, int] = {}
+
+    def upsert(batch_df, _epoch):
+        for r in batch_df.collect():
+            store[r["event_type"]] = r["n"]  # keyed upsert: idempotent
+
+    def start():
+        sdf = (
+            spark.readStream.schema(ev.schema)
+            .parquet(src)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            sdf.writeStream.foreachBatch(upsert)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+        return q
+
+    start()  # phase 1: only the even half exists
+    phase1 = dict(store)
+    assert sum(phase1.values()) == n_total - n2
+
+    ev2.coalesce(1).write.mode("append").parquet(src)
+    q2 = start()  # phase 2: restart from the SAME checkpoint
+    # (a) state survived the restart: totals equal the batch twin
+    want = {r["event_type"]: r["n"] for r in
+            ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert store == want
+    # (b) the restarted run read ONLY the new files (source log replay)
+    read_rows = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert read_rows == n2, f"restart reprocessed old data: {read_rows} != {n2}"
