@@ -970,46 +970,80 @@ def test_materialized_view_build_is_shared_across_threads(spark):
 
 def test_driver_window_composition(spark):
     """The driver hash-checks the FIRST 50 registry entries.  Pin the
-    round-6 window invariants (VERDICT r5 item 2) so a module-import or
-    registration-order change can never silently evict a query: round-6
-    NEW queries (never sampled) lead, the three global_order rewrites
-    follow (fresh driver evidence for the new plans), and EVERY
-    remaining window slot goes to the r01/r02-vintage refresh queue —
-    queries whose latest driver row predates the round-3 testdata
-    regeneration.  Each windowed query must either carry an oracle or
-    be the declared rows-only entry."""
+    round-7 window invariants (VERDICT r6 items 1-2) so a module-import
+    or registration-order change can never silently evict a query:
+    round-7 NEW queries (never sampled) lead, the semantic rewrites
+    follow (fresh driver evidence for the new results), and EVERY
+    remaining window slot goes to the refresh queue — queries whose
+    latest driver row either predates the round-3 testdata regeneration
+    (r01/r02 vintage) or IS from the most recent driver round (a fresh
+    row from the current round is the queue working, not a wasted slot
+    — the r6 verdict's fix for the self-invalidating assertion).  Each
+    windowed query must either carry an oracle or be the declared
+    rows-only entry."""
     import json
     from pathlib import Path
 
     from tropology_spark import ORACLES, QUERIES
-    from tropology_spark import _R6_NEW, _R6_REWRITTEN
+    from tropology_spark import _R7_NEW, _R7_REWRITTEN
 
     latest: dict[str, int] = {}
-    for f in sorted(Path(".").glob("CORRECTNESS_r0*.json")):
-        rnd = int(f.stem[-1])
+    for f in Path(".").glob("CORRECTNESS_r*.json"):
+        rnd = int(f.stem.split("_r")[-1])
         for k in json.loads(f.read_text()):
-            latest[k] = rnd
+            latest[k] = max(latest.get(k, 0), rnd)
+    max_round = max(latest.values(), default=0)
     window = list(QUERIES)[:50]
-    head = _R6_NEW + _R6_REWRITTEN
+    head = _R7_NEW + _R7_REWRITTEN
     assert window[: len(head)] == head, window[: len(head)]
     never = [q for q in QUERIES if q not in latest]
     missing = [q for q in never if q not in set(window)]
     assert not missing, f"never-sampled queries outside the window: {missing}"
     for q in window[len(head):]:
-        assert latest.get(q, 0) <= 2, f"non-stale query {q} burns a window slot"
+        assert latest.get(q, 0) <= 2 or latest[q] == max_round, (
+            f"non-stale query {q} burns a window slot"
+        )
     for q in window:
         assert q in ORACLES or q == "limit_unordered", q
     # SURVEY §2.M totals line must stay in lockstep with the registry.
     import re
 
     m = re.search(
-        r"round 6 additions: \*\*(\d+) `queries\(\)`\nentries, (\d+) with full SQL oracles, (\d+) rows-only\*\*",
+        r"round \d+ additions: \*\*(\d+) `queries\(\)`\nentries, (\d+) with full SQL oracles, (\d+) rows-only\*\*",
         Path("SURVEY.md").read_text(),
     )
     assert m, "SURVEY.md totals line not found / format drifted"
     assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (
         len(QUERIES), len(ORACLES), len(QUERIES) - len(ORACLES),
     ), "SURVEY.md totals out of sync with the registry"
+
+
+def test_boilerplate_block_guard_short_docs(spark):
+    """ADVICE r6 (medium): for a document with < 8 tokens Spark's
+    sequence(1, size div 8) is sequence(1, 0) = the DESCENDING [1, 0],
+    which used to emit a partial block plus an empty-string block while
+    the oracle emits nothing.  Pin the guarded expression: short docs
+    yield zero blocks; 8..15 tokens yield exactly one."""
+    rows = [
+        ("five tokens only right here",),          # 5 → 0 blocks
+        ("a b c d e f g h",),                      # 8 → 1 block
+        ("a b c d e f g h i j k l m n o",),        # 15 → 1 block
+        ("a b c d e f g h i j k l m n o p",),      # 16 → 2 blocks
+    ]
+    df = spark.createDataFrame(rows, "text string").selectExpr(
+        "split(text, ' ') AS l"
+    )
+    guarded = (
+        "CASE WHEN size(l) >= 8 THEN"
+        " transform(sequence(1, size(l) div 8),"
+        " i -> array_join(slice(l, 8 * (i - 1) + 1, 8), ' '))"
+        " ELSE array() END"
+    )
+    counts = [
+        r[0]
+        for r in df.selectExpr(f"size({guarded}) AS n").collect()
+    ]
+    assert counts == [0, 1, 1, 2], counts
 
 
 def test_passjoin_blocking_prunes_skewed_brand(spark):

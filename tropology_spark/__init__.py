@@ -41,20 +41,19 @@ from tropology_spark.operators import windows  # noqa: F401
 from tropology_spark.operators import aggregates  # noqa: F401
 from tropology_spark.operators import relational  # noqa: F401
 
-# Round-6 driver window (the driver hash-checks the FIRST 50 entries
-# per round).  After round 5 every registered query is driver-green at
-# least once; the remaining evidence gap is FRESHNESS — 91 queries'
-# latest driver row is r01/r02, i.e. from BEFORE the round-3 testdata
-# regeneration (VERDICT r5 item 2).  Round-6 order: (1) round-6 NEW
-# queries (never sampled) lead, (2) the three queries rewritten onto
-# plans/global_order.py (fresh driver evidence for the new plans),
-# (3) the r01/r02-vintage refresh queue, events-readers first (their
-# old rows predate the events TIMESTAMP(NANOS)->MICROS change).
-# Whatever misses the 50-window stays ordered for round 7.
-# FINAL round-6 state: the 47 new queries + 3 rewrites consumed the
-# entire window, so the whole stale queue rolls to round 7 — every
-# stale query IS covered on current data by tests/test_oracle_parity
-# and the per-round bench; new-query first-evidence takes priority.
+# Round-7 driver window (the driver hash-checks the FIRST 50 entries
+# per round).  Every registered query is driver-green at least once;
+# the remaining evidence gap is FRESHNESS — 88 queries' latest driver
+# row is r01/r02, i.e. from BEFORE the round-3 testdata regeneration.
+# Round-7 order: (1) round-7 NEW queries (never sampled) lead,
+# (2) queries whose semantics were REWRITTEN this round (fresh driver
+# evidence for the new results), (3) the r01/r02-vintage refresh
+# queue.  Round 6 spent its whole window on new-operator first
+# evidence; round 7 biases the other way (VERDICT r6 item 2): only a
+# handful of new operators, the rest of the window drains the stale
+# queue.  _R7_NEW (4) + _R7_REWRITTEN (2) = 6 head slots; the
+# remaining 44 window slots cover _R7_STALE[0:44], leaving 44 for
+# round 8.
 
 #: Round-6 additions (M169+) — appended here as they are registered.
 _R6_NEW = [
@@ -103,10 +102,10 @@ _R6_NEW = [
     "dedup_lsh_band_stats",
     "pipeline_split_contamination",
 ]
-# _R6_NEW (47) + _R6_REWRITTEN (3) now fill the driver's 50-entry
-# window exactly — round 6 adds NO further queries (a 51st would push
-# a never-sampled query out of the window; the window test enforces
-# this).  The r01/r02-vintage refresh queue rolls to round 7.
+# _R6_NEW (44) + _R6_REWRITTEN (3) = the 47-entry round-6 head; the
+# driver filled the remaining 3 window slots from the stale queue
+# (filter_ts_range, win_lag_gap, join_range_events — all came back
+# GREEN in CORRECTNESS_r06.json, so they leave the queue below).
 
 _R6_REWRITTEN = [
     "pipeline_epoch_shuffle",
@@ -114,12 +113,25 @@ _R6_REWRITTEN = [
     "analytics_rfm_segments",
 ]
 
-#: The 91-query r01/r02-vintage refresh queue (events-readers first).
-_R6_STALE = [
-    # events-readers (ts semantics changed in the round-3 regeneration)
-    "filter_ts_range",
-    "win_lag_gap",
-    "join_range_events",
+#: Round-7 additions (M213+) — appended here as they are registered.
+_R7_NEW = [
+    "graph_ktruss",
+    "agg_kmv_diff",
+    "pipeline_pit_leakage_audit",
+    "pipeline_stratified_reservoir",
+]
+
+#: Round-7 semantic rewrites needing fresh driver evidence: the two
+#: embedding-dedup queries re-blocked from the stored label onto the
+#: learned quantizer cell (VERDICT r6 item 3).
+_R7_REWRITTEN = [
+    "dedup_embedding_cosine",
+    "dedup_embedding_clusters",
+]
+
+#: The 88-query r01/r02-vintage refresh queue (events-readers first;
+#: the three refreshed in r06 have been removed from the head).
+_R7_STALE = [
     "join_asof_lastevent",
     "win_moving_avg",
     "win_running_sum",
@@ -164,8 +176,8 @@ _R6_STALE = [
     "agg_stats",
     "join_inner",
     "join_broadcast_star",
+    # --- round-8 continuation below this line (44 head slots above) ---
     "join_left_outer",
-    # --- round-7 continuation below this line ---
     "limit_unordered",
     "source_range",
     "fn_string_core",
@@ -211,6 +223,6 @@ _R6_STALE = [
     "text_gopher_rules",
 ]
 
-prioritize(_R6_NEW + _R6_REWRITTEN + _R6_STALE)
+prioritize(_R7_NEW + _R7_REWRITTEN + _R7_STALE)
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

@@ -1206,7 +1206,7 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
              bucket = 9 AS in_test
       FROM (SELECT lang, string_split(text, ' ') AS l, bucket
             FROM b WHERE bucket < 8 OR bucket = 9),
-           (SELECT unnest(generate_series(1, 200)) AS i)
+           (SELECT unnest(generate_series(1, 4096)) AS i)
       WHERE i <= len(l) - 1
     ),
     d AS (
@@ -1354,9 +1354,16 @@ def text_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         "doc_id", "source", F.split(F.col("text"), " ").alias("l")
     )
+    # Guard the enumeration: for docs with < 8 tokens Spark's
+    # sequence(1, 0) is the DESCENDING [1, 0] (default step -1), which
+    # would emit a partial block plus an empty one while the oracle's
+    # `WHERE 8*i <= len(l)` emits nothing (ADVICE r6).  explode drops
+    # the empty array, so short docs contribute no rows on either side.
     blocks = F.expr(
-        "transform(sequence(1, size(l) div 8),"
+        "CASE WHEN size(l) >= 8 THEN"
+        " transform(sequence(1, size(l) div 8),"
         " i -> array_join(slice(l, 8 * (i - 1) + 1, 8), ' '))"
+        " ELSE array() END"
     )
     b = t.select("doc_id", "source", F.explode(blocks).alias("block"))
     g = b.groupBy("block", "source").agg(
