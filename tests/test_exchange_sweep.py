@@ -77,7 +77,8 @@ def test_exchange_counts_within_recorded_ceilings(spark):
 #: freezes it so a NEW data-sized nested-loop join fails CI instead of
 #: waiting for a bench read.
 BNLJ_ALLOWED = {
-    "agg_heavy_hitters", "agg_kmv_intersect", "agg_mergeable_stats_audit",
+    "agg_heavy_hitters", "agg_kmv_diff", "agg_kmv_intersect",
+    "agg_mergeable_stats_audit",
     "analytics_basket_pairs", "analytics_mau_kmv_audit",
     "analytics_rolling_wau", "analytics_stickiness_terms",
     "dedup_lsh_recall", "graph_modularity_terms", "graph_trope_lift",

@@ -924,6 +924,11 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "pipeline_negative_sample",
         "analytics_new_vs_returning",
         "stream_latedrop_1h",
+        # round-7 additions (M213+)
+        "graph_ktruss",
+        "agg_kmv_diff",
+        "pipeline_pit_leakage_audit",
+        "pipeline_stratified_reservoir",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

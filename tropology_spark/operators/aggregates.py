@@ -848,6 +848,153 @@ def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# M214 — KMV sketch set-difference (completes the sketch algebra)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_kmv_diff",
+    oracle=f"""
+    WITH h AS (SELECT DISTINCT o_orderpriority,
+                  ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h
+               FROM orders),
+    t AS (SELECT DISTINCT o_orderpriority FROM orders),
+    pr AS (SELECT a.o_orderpriority AS pri_a, b.o_orderpriority AS pri_b
+           FROM t a JOIN t b ON a.o_orderpriority < b.o_orderpriority),
+    m AS (
+      SELECT pr.pri_a, pr.pri_b, h.h,
+             max(CASE WHEN h.o_orderpriority = pr.pri_a THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN h.o_orderpriority = pr.pri_b THEN 1 ELSE 0 END) AS in_b
+      FROM pr JOIN h ON h.o_orderpriority IN (pr.pri_a, pr.pri_b)
+      GROUP BY pr.pri_a, pr.pri_b, h.h
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY pri_a, pri_b ORDER BY h) AS rn
+          FROM m),
+    s AS (SELECT pri_a, pri_b, count(*) AS n_u,
+                 max(CASE WHEN rn = {_KMVX_K} THEN h END) AS mk,
+                 sum(CASE WHEN rn <= {_KMVX_K} AND in_a = 1 AND in_b = 0
+                          THEN 1 ELSE 0 END) AS n_oa_k,
+                 sum(CASE WHEN rn <= {_KMVX_K} AND in_a = 0 AND in_b = 1
+                          THEN 1 ELSE 0 END) AS n_ob_k,
+                 sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+                   AS n_oa_all,
+                 sum(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END)
+                   AS n_ob_all
+          FROM r GROUP BY pri_a, pri_b)
+    SELECT pri_a, pri_b,
+           CAST(CASE WHEN n_u >= {_KMVX_K}
+                     THEN (n_oa_k * (({_KMVX_K - 1} * 4294967296) // (mk + 1)))
+                          // {_KMVX_K}
+                     ELSE n_oa_all END AS BIGINT) AS approx_only_a,
+           CAST(CASE WHEN n_u >= {_KMVX_K}
+                     THEN (n_ob_k * (({_KMVX_K - 1} * 4294967296) // (mk + 1)))
+                          // {_KMVX_K}
+                     ELSE n_ob_all END AS BIGINT) AS approx_only_b,
+           CAST(n_oa_all AS BIGINT) AS exact_only_a,
+           CAST(n_ob_all AS BIGINT) AS exact_only_b
+    FROM s
+    """,
+)
+def agg_kmv_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M214 — approximate audience DIFFERENCE |custs(A) \\ custs(B)|
+    (and the mirror) for every order-priority pair, completing the KMV
+    sketch algebra next to union (D4), intersection (M138), and the
+    merge audit (M168): over the union's k smallest distinct
+    md5-low-32 hashes, the fraction present in A but not B scales the
+    KMV union estimate — audience-minus-audience is the curation ask
+    ("how many users would this source add over that one").  Exact
+    EXCEPT counts ride along as the audit columns (the M161
+    trust-table discipline: the estimate is only shippable next to its
+    error), and are the exact fallback below k.  Every intermediate is
+    an exact integer; estimates are integer divisions only.  The base
+    sets are priority-keyed customer cohorts, NOT the events user
+    sets M138 uses — every fixture user emits every event type, so
+    event-type differences are empty by construction; priority
+    cohorts genuinely differ (~180 exclusive customers per pair at
+    sf0.01), exercising the estimator.
+
+    Scale: identical to M138 — per-set sketches are k integers built
+    in one distinct shuffle; the O(T²) pair stage merges sketches,
+    never raw data.  The exact audit columns are the one piece that
+    re-reads per-hash membership; at 100 TB they'd be sampled or
+    dropped while the sketch path stays as is."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "orders")
+    hcol = (
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    h = e.select("o_orderpriority", hcol).distinct()
+    t = e.select("o_orderpriority").distinct()
+    pr = (
+        t.alias("a")
+        .join(t.alias("b"), F.col("a.o_orderpriority") < F.col("b.o_orderpriority"))
+        .select(
+            F.col("a.o_orderpriority").alias("pri_a"),
+            F.col("b.o_orderpriority").alias("pri_b"),
+        )
+    )
+    m = (
+        F.broadcast(pr)
+        .join(
+            h,
+            (F.col("o_orderpriority") == F.col("pri_a"))
+            | (F.col("o_orderpriority") == F.col("pri_b")),
+        )
+        .groupBy("pri_a", "pri_b", "h")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == F.col("pri_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("o_orderpriority") == F.col("pri_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    r = m.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("pri_a", "pri_b").orderBy("h"))
+    )
+    only_a = (F.col("in_a") == 1) & (F.col("in_b") == 0)
+    only_b = (F.col("in_a") == 0) & (F.col("in_b") == 1)
+    s = r.groupBy("pri_a", "pri_b").agg(
+        F.count(F.lit(1)).alias("n_u"),
+        F.max(F.when(F.col("rn") == _KMVX_K, F.col("h"))).alias("mk"),
+        F.sum(F.when((F.col("rn") <= _KMVX_K) & only_a, 1).otherwise(0)).alias(
+            "n_oa_k"
+        ),
+        F.sum(F.when((F.col("rn") <= _KMVX_K) & only_b, 1).otherwise(0)).alias(
+            "n_ob_k"
+        ),
+        F.sum(F.when(only_a, 1).otherwise(0)).alias("n_oa_all"),
+        F.sum(F.when(only_b, 1).otherwise(0)).alias("n_ob_all"),
+    )
+
+    def est(nk: str, nall: str) -> F.Column:
+        return (
+            F.when(
+                F.col("n_u") >= _KMVX_K,
+                F.expr(
+                    f"({nk} * (({_KMVX_K - 1} * 4294967296) div (mk + 1)))"
+                    f" div {_KMVX_K}"
+                ),
+            )
+            .otherwise(F.col(nall))
+            .cast("bigint")
+        )
+
+    return s.select(
+        "pri_a",
+        "pri_b",
+        est("n_oa_k", "n_oa_all").alias("approx_only_a"),
+        est("n_ob_k", "n_ob_all").alias("approx_only_b"),
+        F.col("n_oa_all").cast("bigint").alias("exact_only_a"),
+        F.col("n_ob_all").cast("bigint").alias("exact_only_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # M161 — exact-vs-KMV audit (the sketch's own trust table)
 # ---------------------------------------------------------------------------
 

@@ -876,26 +876,35 @@ def graph_label_prop3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "graph_triangle_support",
-    oracle=f"""
+#: The hub-capped projection as a shared oracle prefix (named proj0 so
+#: the k-truss peel can chain proj1, proj2, ...): the single SQL home
+#: of the M120/M204/M213 projection arithmetic — the composed-audit
+#: discipline (CLAUDE.md) applied to the motif family.
+_CAPPED_PROJ_CTE = f"""
     WITH e0 AS (
       SELECT DISTINCT o_custkey AS src, l_partkey AS dst
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     ),
     keep AS (SELECT dst FROM e0 GROUP BY dst HAVING count(*) <= {_HUB_CAP}),
     e AS (SELECT src, dst FROM e0 WHERE dst IN (SELECT dst FROM keep)),
-    proj AS (
+    proj0 AS (
       SELECT a.src AS u, b.src AS v
       FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
       GROUP BY 1, 2
       HAVING count(*) >= {_MIN_SHARED}
-    ),
-    tri AS (
+    )
+"""
+
+
+@register(
+    "graph_triangle_support",
+    oracle=_CAPPED_PROJ_CTE
+    + """
+    , tri AS (
       SELECT e1.u, e1.v, e2.v AS w
-      FROM proj e1
-      JOIN proj e2 ON e2.u = e1.v
-      JOIN proj e3 ON e3.u = e1.u AND e3.v = e2.v
+      FROM proj0 e1
+      JOIN proj0 e2 ON e2.u = e1.v
+      JOIN proj0 e3 ON e3.u = e1.u AND e3.v = e2.v
     ),
     sup AS (
       SELECT u AS a, v AS b FROM tri
@@ -950,3 +959,108 @@ def graph_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), F.asc("a"), F.asc("b"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# M213 — k-truss decomposition (peel M204's supports to the truss)
+# ---------------------------------------------------------------------------
+
+#: Truss parameter: an edge survives when its support (triangle count
+#: in the SURVIVING subgraph) is >= _TRUSS_K - 2.  7 peels genuinely
+#: at every fixture scale (sf0.001's dense projection has min support
+#: 4; sf0.01's sparse one has a mode at 1).
+_TRUSS_K = 7
+
+#: Unrolled peel rounds — the fixed-round SQL-checkable variant, the
+#: M91 k-core precedent (the fixpoint variant would be rows-only).
+_TRUSS_ROUNDS = 2
+
+#: One peel round, oracle side: close wedges on the surviving edge
+#: set, roll supports up per edge, keep edges meeting the threshold.
+_TRUSS_SQL_ROUND = """
+    , tri{n} AS (
+      SELECT e1.u, e1.v, e2.v AS w
+      FROM proj{p} e1
+      JOIN proj{p} e2 ON e2.u = e1.v
+      JOIN proj{p} e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    sup{n} AS (
+      SELECT a, b, count(*) AS support FROM (
+        SELECT u AS a, v AS b FROM tri{n}
+        UNION ALL SELECT v, w FROM tri{n}
+        UNION ALL SELECT u, w FROM tri{n}) t{n}
+      GROUP BY a, b
+    ),
+    proj{n} AS (SELECT a AS u, b AS v FROM sup{n}
+                WHERE support >= {thr})
+"""
+
+
+@register(
+    "graph_ktruss",
+    oracle=_CAPPED_PROJ_CTE
+    + "".join(
+        _TRUSS_SQL_ROUND.format(n=i + 1, p=i, thr=_TRUSS_K - 2)
+        for i in range(_TRUSS_ROUNDS)
+    )
+    + f"""
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(support AS BIGINT) AS support
+    FROM sup{_TRUSS_ROUNDS} WHERE support >= {_TRUSS_K - 2}
+    """,
+)
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M213 — k-truss decomposition at k={k}, {r} unrolled peel rounds
+    on the hub-capped projection: repeatedly drop edges supported by
+    fewer than k-2 triangles IN THE SURVIVING SUBGRAPH, then report
+    each survivor with its final-round support.  One notch stronger
+    than M91's k-core (which counts neighbors; this counts reinforced
+    neighbors) and exactly the decomposition M204's per-edge supports
+    are the primitive for — round 1's support table IS M204's
+    (un-truncated), later rounds recompute it on the peeled edge set.
+    The fixed round count keeps it SQL-oracle-checkable, the M91
+    precedent; the fixpoint variant is the CC loop shape.
+
+    Scale: each round is the M204 wedge closure on a SHRINKING edge
+    set — the first round dominates and is bounded by the hub cap
+    (per-part cost <= C({cap}, 2)); the support rollup is map-side
+    combinable on (a, b).  Each round's surviving edge set feeds THREE
+    wedge-join branches, and the triangle table feeds three rollup
+    branches — both are checkpointed (the DOUBLE-REFERENCE RULE;
+    without it round i re-derives round i-1's entire chain 3^i
+    times)."""
+    from tropology_spark.session import iter_materialize
+
+    thr = _TRUSS_K - 2
+    cur = copurchase_projection(spark, sf_dir, hub_cap=_HUB_CAP)
+    keep = None
+    for i in range(_TRUSS_ROUNDS):
+        e2 = cur.select(F.col("u").alias("v"), F.col("v").alias("w"))
+        e3 = cur.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+        tri = iter_materialize(
+            cur.join(e2, "v")
+            .join(e3, (F.col("u3") == F.col("u")) & (F.col("w3") == F.col("w")))
+            .select("u", "v", "w")
+        )
+        sup = (
+            tri.select(F.col("u").alias("a"), F.col("v").alias("b"))
+            .unionAll(tri.select(F.col("v").alias("a"), F.col("w").alias("b")))
+            .unionAll(tri.select(F.col("u").alias("a"), F.col("w").alias("b")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+        keep = sup.filter(F.col("support") >= thr)
+        if i < _TRUSS_ROUNDS - 1:
+            cur = iter_materialize(
+                keep.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            )
+    return keep.select(
+        F.col("a").cast("bigint").alias("a"),
+        F.col("b").cast("bigint").alias("b"),
+        F.col("support").cast("bigint").alias("support"),
+    )
+
+
+graph_ktruss.__doc__ = graph_ktruss.__doc__.format(
+    k=_TRUSS_K, r=_TRUSS_ROUNDS, cap=_HUB_CAP
+)

@@ -2964,3 +2964,178 @@ def pipeline_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cross_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M215 — point-in-time leakage audit (M78's join vs the naive current-row join)
+# ---------------------------------------------------------------------------
+
+
+def _pit_leakage_oracle() -> str:
+    from tropology_spark.registry import ORACLES
+
+    return f"""
+    WITH pit AS (SELECT event_id AS p_event, CAST(version AS BIGINT)
+                   AS pit_version
+                 FROM ({ORACLES['join_point_in_time']}) tp),
+    scd AS (SELECT user_id AS c_user, CAST(version AS BIGINT)
+              AS current_version
+            FROM ({ORACLES['pipeline_scd2']}) ts WHERE is_current = 1),
+    c AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click')
+    SELECT substring({sql_ts_str('c.ts')}, 1, 10) AS click_date,
+           CAST(count(*) AS BIGINT) AS n_clicks,
+           CAST(sum(CASE WHEN pit_version IS NULL
+                          AND current_version IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_phantom,
+           CAST(sum(CASE WHEN pit_version IS NOT NULL
+                          AND current_version <> pit_version
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+           CAST((1000000 * sum(CASE WHEN (pit_version IS NULL
+                                          AND current_version IS NOT NULL)
+                                      OR (pit_version IS NOT NULL
+                                          AND current_version <> pit_version)
+                                    THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS leak_ppm
+    FROM c
+    LEFT JOIN pit ON c.event_id = pit.p_event
+    LEFT JOIN scd ON c.user_id = scd.c_user
+    GROUP BY click_date
+    """
+
+
+@register("pipeline_pit_leakage_audit", oracle=_pit_leakage_oracle())
+def pipeline_pit_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M215 — feature-store leakage audit: per click date, how many
+    clicks a NAIVE current-row feature join (dimension row with
+    is_current = 1, M62's open interval) would enrich DIFFERENTLY from
+    the point-in-time-correct join (M78) — the M152/M212 composed-
+    audit discipline applied to features instead of text.  Two leakage
+    classes: ``n_stale`` (an as-at version exists but the current row
+    is a LATER version — training would read the future) and
+    ``n_phantom`` (the click predates the user's first purchase, so no
+    feature existed at all, yet the naive join fabricates one);
+    ``leak_ppm`` is their combined rate.  Clicks of users with no
+    purchase history join to neither side and are clean by definition.
+
+    Composed, not copied: the oracle wraps
+    ``ORACLES['join_point_in_time']`` and ``ORACLES['pipeline_scd2']``
+    verbatim; the Spark side runs the two REGISTERED queries and joins
+    their outputs — the audit can never drift from the operators it
+    audits.
+
+    Scale: both inputs shuffle once on their join keys (event_id /
+    user_id); the current-version side is one row per user (the SCD2
+    open interval), so the second join is a broadcast at any realistic
+    dimension size; the rollup is a handful of date keys, map-side
+    combinable."""
+    from tropology_spark.functions.exact import ts_str
+    from tropology_spark.registry import QUERIES
+
+    pit = QUERIES["join_point_in_time"](spark, sf_dir).select(
+        F.col("event_id").alias("p_event"),
+        F.col("version").cast("bigint").alias("pit_version"),
+    )
+    cur = (
+        QUERIES["pipeline_scd2"](spark, sf_dir)
+        .filter(F.col("is_current") == 1)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("version").cast("bigint").alias("current_version"),
+        )
+    )
+    c = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    ).select("event_id", "user_id", "ts")
+    j = c.join(pit, F.col("event_id") == F.col("p_event"), "left").join(
+        cur, F.col("user_id") == F.col("c_user"), "left"
+    )
+    phantom = F.col("pit_version").isNull() & F.col("current_version").isNotNull()
+    stale = F.col("pit_version").isNotNull() & (
+        F.col("current_version") != F.col("pit_version")
+    )
+    return j.groupBy(
+        F.substring(ts_str(F.col("ts")), 1, 10).alias("click_date")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
+        F.sum(F.when(phantom, 1).otherwise(0)).cast("bigint").alias("n_phantom"),
+        F.sum(F.when(stale, 1).otherwise(0)).cast("bigint").alias("n_stale"),
+        F.expr(
+            "(1000000 * sum(CASE WHEN (pit_version IS NULL"
+            " AND current_version IS NOT NULL)"
+            " OR (pit_version IS NOT NULL"
+            " AND current_version <> pit_version)"
+            " THEN 1 ELSE 0 END)) div count(1)"
+        )
+        .cast("bigint")
+        .alias("leak_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M216 — per-stratum weighted reservoir sample (A-ES per group)
+# ---------------------------------------------------------------------------
+
+_STRAT_RESERVOIR_K = 10
+
+
+@register(
+    "pipeline_stratified_reservoir",
+    oracle=f"""
+    WITH pri AS (
+      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+      FROM documents WHERE n_chars > 0
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY CAST(u AS DOUBLE) / weight, doc_id)
+                  AS rn
+      FROM pri
+    )
+    SELECT source, doc_id, weight, u, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= {_STRAT_RESERVOIR_K}
+    """,
+)
+def pipeline_stratified_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M216 — weighted reservoir sampling PER STRATUM: the {k}
+    lowest-priority documents per source under the A-ES deterministic
+    priority u/weight (M63's scheme, partitioned by source) — the
+    mixture-sampling primitive: drawing each source's quota
+    independently IS stratified mixture sampling with per-source
+    reservoirs, the streaming-fill shape (each stratum's reservoir
+    fills independently; a merge of two runs keeps the k smallest
+    priorities — the sketch-mergeability property that makes it a
+    per-stream operator).
+
+    Determinism: u (md5 low-32) and weight are exact integers; u/weight
+    is ONE IEEE division, bit-identical in both engines, ranked with
+    the unique doc_id tie-break (the CLAUDE.md rank rule).
+
+    Scale: one shuffle on source; within a stratum the window is a
+    per-partition top-k (rank-filter pushes the sort down to a bounded
+    heap per group).  Skewed strata cost their row count, not a global
+    sort — and the A-ES form means a 100 TB run would pre-reduce each
+    partition to its local k before the shuffle."""
+    d = load(spark, sf_dir, "documents")
+    pri = d.filter(F.col("n_chars") > 0).select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("u"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        (F.col("u").cast("double") / F.col("weight")).asc(), F.col("doc_id")
+    )
+    return (
+        pri.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= _STRAT_RESERVOIR_K)
+        .select("source", "doc_id", "weight", "u", "rn")
+    )
+
+
+pipeline_stratified_reservoir.__doc__ = pipeline_stratified_reservoir.__doc__.format(
+    k=_STRAT_RESERVOIR_K
+)
