@@ -435,51 +435,71 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_embedding_cosine",
-    oracle="""
-    WITH ex AS (
-      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
-      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s
-    ),
-    nrm AS (SELECT vec_id, sqrt(sum(val * val)) AS nv FROM ex GROUP BY vec_id),
-    d AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.val * b.val) AS dp
-      FROM ex a JOIN ex b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+def _embedding_cosine_oracle() -> str:
+    # Deferred import keeps the module header light; similarity.py
+    # does not import dedup, so this is cycle-free at registration.
+    from tropology_spark.operators.similarity import KNN_ASSIGN_CTE
+
+    return (
+        KNN_ASSIGN_CTE
+        + f"""
+    , d AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(ea.val * eb.val) AS dp
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN ex ea ON ea.vec_id = a.vec_id
+      JOIN ex eb ON eb.vec_id = b.vec_id AND ea.pos = eb.pos
       GROUP BY a.vec_id, b.vec_id
     )
     SELECT vec_a, vec_b, round(d.dp / (na.nv * nb.nv), 6) AS cosine
     FROM d JOIN nrm na ON vec_a = na.vec_id JOIN nrm nb ON vec_b = nb.vec_id
-    WHERE round(d.dp / (na.nv * nb.nv), 6) >= 0.4
-    """,
-)
+    WHERE round(d.dp / (na.nv * nb.nv), 6) >= {_EMB_COS_MIN}
+    """
+    )
+
+
+#: M2 near-dup threshold: the fixtures' embeddings are near-orthogonal
+#: random vectors (within-cell max cosine ~0.47), so the threshold
+#: sits where the fixture has genuine positives; with real near-dup
+#: embeddings the same query runs at ~0.95.
+_EMB_COS_MIN = 0.4
+
+
+@register("dedup_embedding_cosine", oracle=_embedding_cosine_oracle())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (label-blocked, cosine >= 0.4).
+    """Embedding-cosine near-dup pairs, blocked by the LEARNED coarse-
+    quantizer cell (cosine >= {t}) — round-7 rewrite (VERDICT r6 item
+    3): the old block was the STORED label, within-block all-pairs,
+    which grows quadratically per label at scale; the block is now the
+    ceil(sqrt(n))-cell quantizer J9 already trains (session-shared via
+    ``quantizer_assign_materialized``), so cell count AND expected
+    population both grow as sqrt(n), bounding the within-block pair
+    count at O(n^1.5) — and cells are REAL clusters (Lloyd-refined),
+    so near-dup recall inside a cell beats an arbitrary label block.
+    The oracle composes ``KNN_ASSIGN_CTE`` verbatim, the single SQL
+    home of the cell arithmetic (the _J2_ORACLE rule)."""
+    from tropology_spark.operators.similarity import (
+        dot,
+        quantizer_assign_materialized,
+    )
 
-    The fixtures' embeddings are near-orthogonal random vectors
-    (within-label max cosine ~0.47, verified), so the threshold is set
-    where the fixture has genuine positives; with real near-duplicate
-    embeddings the same query runs at ~0.95.  The label block is the
-    IVF-cell stand-in bounding the pair count at scale."""
-    from tropology_spark.operators.similarity import as_double, dot, norm
-
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
-    ).withColumn("nv", norm(F.col("emb")))
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), "label",
+    e, assign = quantizer_assign_materialized(spark, sf_dir)
+    ea = e.join(assign, "vec_id").select(
+        F.col("vec_id").alias("vec_a"), F.col("cell"),
         F.col("emb").alias("ea"), F.col("nv").alias("na"),
     )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
+    eb = e.join(assign, "vec_id").select(
+        F.col("vec_id").alias("vec_b"), F.col("cell").alias("cb"),
         F.col("emb").alias("eb"), F.col("nv").alias("nb"),
     )
     cos = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
     return (
-        a.join(b, (F.col("label") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        ea.join(eb, (F.col("cell") == F.col("cb")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.4)
+        .filter(F.col("cosine") >= _EMB_COS_MIN)
     )
+
+
+dedup_embedding_cosine.__doc__ = dedup_embedding_cosine.__doc__.format(t=_EMB_COS_MIN)
 
 
 # ---------------------------------------------------------------------------

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from tropology_spark.registry import register
 from tropology_spark.session import iter_materialize
-from tropology_spark.sources.tables import load
+from tropology_spark.sources.tables import SESSION_CACHES, load
 
 QUERY_VEC_ID = 0
 EMB_DIM = 64  # fixed (FIXTURES.md §2)
@@ -236,9 +236,14 @@ def lloyd_rounds(
     return vc, assign
 
 
-@register(
-    "sim_knn_join",
-    oracle=_EX_CTE
+#: The full learned-quantizer assignment chain as a shared oracle
+#: prefix (ends with ``assign(vec_id, cell)``): seed cells by the
+#: multiplicative vec_id hash on the training sample, refine with the
+#: unrolled Lloyd rounds, assign the full corpus once.  The single SQL
+#: home of the J9/M2/M189 cell arithmetic — the composed-audit
+#: discipline applied to the coarse quantizer.
+KNN_ASSIGN_CTE = (
+    _EX_CTE
     + """
     , params AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
     assign0 AS (SELECT vec_id, (vec_id * 1000003) % (SELECT k FROM params) AS cell
@@ -248,8 +253,64 @@ def lloyd_rounds(
     + _LLOYD_SQL_ITER.format(n=2, p=1, vf=f"AND e.vec_id % {_LLOYD_TRAIN_MOD} = 0")
     + _LLOYD_SQL_ITER.format(n=3, p=2, vf="")
     + """
-    , assign AS (SELECT * FROM assign3),
-    d AS (
+    , assign AS (SELECT * FROM assign3)
+    """
+)
+
+#: Session-shared quantizer view ``(e, assign)``: the normalized
+#: corpus (vec_id, emb, nv) and its learned-cell assignment, built
+#: once per (session, sf) — shared by J9's pair join and the M2/M189
+#: embedding-dedup blocking (cache_get_or_build: concurrent cold-
+#: cache callers share ONE Lloyd train).
+_QUANT_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+SESSION_CACHES.append(_QUANT_CACHE)
+
+
+def quantizer_assign_materialized(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """``(e, assign)`` — e: (vec_id, emb array<double>, nv), assign:
+    (vec_id, cell) from the seeded + Lloyd-refined coarse quantizer
+    (k = ceil(sqrt(n)) cells, sample-trained, full corpus assigned
+    once; the exact chain ``KNN_ASSIGN_CTE`` mirrors in SQL).  Both
+    frames are materialized: e feeds every Lloyd round and every
+    caller's pair-join sides, assign is branched on by each caller
+    (the DOUBLE-REFERENCE RULE applied at the cache boundary)."""
+    import math
+
+    from tropology_spark.sources.tables import table_count
+
+    def build() -> tuple[DataFrame, DataFrame]:
+        e = iter_materialize(
+            load(spark, sf_dir, "embeddings")
+            .select("vec_id", as_double(F.col("embedding")).alias("emb"))
+            .withColumn("nv", norm(F.col("emb")))
+        )
+        n = table_count(spark, sf_dir, "embeddings")
+        k = math.ceil(math.sqrt(n))
+        assign0 = e.filter(
+            F.pmod(F.col("vec_id"), F.lit(_LLOYD_TRAIN_MOD)) == 0
+        ).select(
+            "vec_id",
+            F.pmod(F.col("vec_id") * F.lit(1000003), F.lit(k)).alias("cell"),
+        )
+        _, assign = lloyd_rounds(
+            e, assign0, 1 + _LLOYD_ITERS, train_mod=_LLOYD_TRAIN_MOD, pin="assign"
+        )
+        return (e, assign)
+
+    from tropology_spark.sources.tables import cache_get_or_build
+
+    return cache_get_or_build(
+        _QUANT_CACHE, (spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
+@register(
+    "sim_knn_join",
+    oracle=KNN_ASSIGN_CTE
+    + """
+    , d AS (
       SELECT a.vec_id AS va, b.vec_id AS vb, sum(ea.val * eb.val) AS dp
       FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
       JOIN ex ea ON ea.vec_id = a.vec_id
@@ -285,28 +346,9 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the final assignment table is written bucketed by cell
     so the pair join is shuffle-free (SURVEY.md §7.7)."""
-    import math
-
-    e = iter_materialize(
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", as_double(F.col("embedding")).alias("emb"))
-        .withColumn("nv", norm(F.col("emb")))  # norm once per vector
-    )  # referenced by every Lloyd round and both pair-join sides
-    from tropology_spark.sources.tables import table_count
-
-    n = table_count(spark, sf_dir, "embeddings")  # cached; fixes k = ceil(sqrt(n))
-    k = math.ceil(math.sqrt(n))
-    assign0 = e.filter(
-        F.pmod(F.col("vec_id"), F.lit(_LLOYD_TRAIN_MOD)) == 0
-    ).select(
-        "vec_id", F.pmod(F.col("vec_id") * F.lit(1000003), F.lit(k)).alias("cell")
-    )
-    _, assign = lloyd_rounds(
-        e, assign0, 1 + _LLOYD_ITERS, train_mod=_LLOYD_TRAIN_MOD, pin="assign"
-    )
-    # assign feeds both pair-join sides — lloyd_rounds pins IT (n
-    # rows), not the n × k vc nobody here reads (DOUBLE-REFERENCE
-    # RULE applied to the frame actually branched on).
+    # Session-shared quantizer (also the M2/M189 blocking): e feeds
+    # both pair-join sides; assign is the pinned n-row branch point.
+    e, assign = quantizer_assign_materialized(spark, sf_dir)
 
     # Block the pair join on the learned cell; cosine array-natively.
     ea = e.join(assign, "vec_id").select(
