@@ -340,7 +340,7 @@ def _simhash_sql() -> str:
       SELECT DISTINCT doc_id, token FROM (
         SELECT doc_id, l[i] || ' ' || l[i + 1] AS token
         FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-             (SELECT unnest(generate_series(1, 200)) AS i)
+             (SELECT unnest(generate_series(1, 4096)) AS i)
         WHERE i <= len(l) - 1
       )
     ),

@@ -100,7 +100,7 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT l[i] || ' ' || l[i + 1] AS bigram
       FROM (SELECT string_split(text, ' ') AS l FROM documents),
-           (SELECT unnest(generate_series(1, 200)) AS i)
+           (SELECT unnest(generate_series(1, 4096)) AS i)
       WHERE i <= len(l) - 1
     )
     GROUP BY bigram
@@ -312,7 +312,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS (
       SELECT doc_id, l[i] || ' ' || l[i + 1] AS shingle
       FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-           (SELECT unnest(generate_series(1, 200)) AS i)
+           (SELECT unnest(generate_series(1, 4096)) AS i)
       WHERE i <= len(l) - 1
     )
     SELECT doc_id,
