@@ -1186,3 +1186,43 @@ def test_maxsim_matches_numpy(spark):
         for r in QUERIES["sim_maxsim_topk"](spark, SF_UNIT).collect()
     ]
     assert got == want
+
+
+def test_ktruss_matches_pure_python_peel(spark):
+    """M213 — graph_ktruss equals an independent pure-Python
+    implementation of the same fixed-round peel (triangle closure via
+    adjacency sets, support rollup, threshold filter) on the same
+    hub-capped projection.  Different algorithmic substrate, exact
+    row-level agreement."""
+    from collections import Counter, defaultdict
+
+    from tropology_spark.operators.graph_motifs import (
+        _TRUSS_K, _TRUSS_ROUNDS, _HUB_CAP, copurchase_projection,
+    )
+
+    thr = _TRUSS_K - 2
+    edges = {
+        (r["u"], r["v"])
+        for r in copurchase_projection(spark, SF_UNIT, hub_cap=_HUB_CAP).collect()
+    }
+    keep: dict[tuple[int, int], int] = {}
+    for _ in range(_TRUSS_ROUNDS):
+        adj = defaultdict(set)
+        for u, v in edges:
+            adj[u].add(v)
+        sup: Counter = Counter()
+        for u, v in edges:
+            for w in adj[v] & adj[u]:
+                sup[(u, v)] += 1
+                sup[(v, w)] += 1
+                sup[(u, w)] += 1
+        keep = {e: s for e, s in sup.items() if s >= thr}
+        edges = set(keep)
+    got = {
+        (r["a"], r["b"]): r["support"]
+        for r in QUERIES["graph_ktruss"](spark, SF_UNIT).collect()
+    }
+    assert got == keep, (
+        f"{len(got)} spark vs {len(keep)} python rows; "
+        f"sample diff: {sorted(set(got.items()) ^ set(keep.items()))[:5]}"
+    )
