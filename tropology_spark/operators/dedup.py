@@ -232,12 +232,15 @@ def _minhash_oracle_sql() -> str:
     )
 
 
-def minhash_bands_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_bands_frame(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Spark twin of the :func:`_minhash_bands_cte` prefix: one narrow
     pass from documents to ``(doc_id, band, bucket)`` — shared by the
     J3 candidate join and the M211 index-health audit so the signature
-    arithmetic exists exactly once."""
-    d = load(spark, sf_dir, "documents")
+    arithmetic exists exactly once.  ``docs`` substitutes a pre-built
+    ``(doc_id, text)`` frame for the table scan (scale probes)."""
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     shingles = F.array_distinct(
         F.zip_with(
