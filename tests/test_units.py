@@ -1226,3 +1226,79 @@ def test_ktruss_matches_pure_python_peel(spark):
         f"{len(got)} spark vs {len(keep)} python rows; "
         f"sample diff: {sorted(set(got.items()) ^ set(keep.items()))[:5]}"
     )
+
+
+def test_kmv_diff_matches_pure_python(spark):
+    """M214 — agg_kmv_diff equals an independent hashlib/set Python
+    implementation of the KMV difference estimator (both engines share
+    the generated SQL formula; this check is formula-independent)."""
+    import hashlib
+
+    import duckdb
+
+    from tropology_spark.operators.aggregates import _KMVX_K
+
+    rows = duckdb.sql(
+        f"SELECT DISTINCT o_orderpriority, o_custkey"
+        f" FROM read_parquet('{SF_UNIT}/orders.parquet')"
+    ).fetchall()
+    sets: dict[str, set[int]] = {}
+    for pri, ck in rows:
+        sets.setdefault(pri, set()).add(
+            int(hashlib.md5(str(ck).encode()).hexdigest()[:8], 16)
+        )
+    want = {}
+    pris = sorted(sets)
+    for i, pa in enumerate(pris):
+        for pb in pris[i + 1:]:
+            union = sorted(sets[pa] | sets[pb])
+            only_a = sets[pa] - sets[pb]
+            only_b = sets[pb] - sets[pa]
+            n_u = len(union)
+            if n_u >= _KMVX_K:
+                mk = union[_KMVX_K - 1]
+                scale = (_KMVX_K - 1) * 4294967296 // (mk + 1)
+                topk = set(union[:_KMVX_K])
+                ea = len(only_a & topk) * scale // _KMVX_K
+                eb = len(only_b & topk) * scale // _KMVX_K
+            else:
+                ea, eb = len(only_a), len(only_b)
+            want[(pa, pb)] = (ea, eb, len(only_a), len(only_b))
+    got = {
+        (r["pri_a"], r["pri_b"]): (
+            r["approx_only_a"], r["approx_only_b"],
+            r["exact_only_a"], r["exact_only_b"],
+        )
+        for r in QUERIES["agg_kmv_diff"](spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_stratified_reservoir_matches_pure_python(spark):
+    """M216 — the per-source A-ES reservoir equals an independent
+    hashlib Python ranking (priority = md5-low-32 / weight, doc_id
+    tie-break, k lowest per source)."""
+    import hashlib
+
+    import duckdb
+
+    from tropology_spark.operators.pipeline_ops import _STRAT_RESERVOIR_K
+
+    rows = duckdb.sql(
+        f"SELECT source, doc_id, n_chars"
+        f" FROM read_parquet('{SF_UNIT}/documents.parquet') WHERE n_chars > 0"
+    ).fetchall()
+    by_src: dict[str, list] = {}
+    for src, did, w in rows:
+        u = int(hashlib.md5(str(did).encode()).hexdigest()[:8], 16)
+        by_src.setdefault(src, []).append((u / w, did, w, u))
+    want = set()
+    for src, items in by_src.items():
+        items.sort()
+        for rn, (_, did, w, u) in enumerate(items[:_STRAT_RESERVOIR_K], 1):
+            want.add((src, did, w, u, rn))
+    got = {
+        (r["source"], r["doc_id"], r["weight"], r["u"], r["rn"])
+        for r in QUERIES["pipeline_stratified_reservoir"](spark, SF_UNIT).collect()
+    }
+    assert got == want
