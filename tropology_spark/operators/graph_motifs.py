@@ -70,9 +70,16 @@ def copurchase_projection(
 
 
 def _projection_build(
-    spark: SparkSession, sf_dir: str, hub_cap: int | None
+    spark: SparkSession,
+    sf_dir: str,
+    hub_cap: int | None,
+    e: DataFrame | None = None,
 ) -> DataFrame:
-    e = edges(spark, sf_dir)
+    """``e`` substitutes a pre-built ``(src, dst)`` edge frame for the
+    table-derived one (scale probes run the exact production shape on
+    replicated edges)."""
+    if e is None:
+        e = edges(spark, sf_dir)
     if hub_cap is not None:
         # Anti-join the HOT list (|E|/cap rows by construction — the
         # small side), not an inner join on the O(parts) cold list:
