@@ -456,7 +456,7 @@ _CHUNK_BYTES = 100
       SELECT media_id, n_bytes, CAST(i - 1 AS BIGINT) AS chunk_idx,
              substr(hx, (i - 1) * {2 * _CHUNK_BYTES} + 1,
                     {2 * _CHUNK_BYTES}) AS chunk_hex
-      FROM m, (SELECT unnest(generate_series(1, 64)) AS i)
+      FROM m, (SELECT unnest(generate_series(1, 256)) AS i)
       WHERE (i - 1) * {_CHUNK_BYTES} < n_bytes
     )
     SELECT media_id, chunk_idx,
@@ -483,7 +483,7 @@ def mm_chunk_manifest(spark, sf_dir: str) -> DataFrame:
     the hex string at doubled offsets — byte-aligned, therefore
     equivalent).
 
-    Scale: row-local generate+slice (one explode of ≤64 bounded
+    Scale: row-local generate+slice (one explode of payload-bounded
     structs per asset, no shuffle at all); the manifest is
     O(bytes / chunk_size) rows."""
     from tropology_spark.sources.tables import load

@@ -653,7 +653,7 @@ _BPE_TOP = 10
     ),
     pr AS (
       SELECT lang, substring(token, i, 2) AS pair
-      FROM tok, (SELECT unnest(generate_series(1, 64)) AS i) g
+      FROM tok, (SELECT unnest(generate_series(1, 256)) AS i) g
       WHERE i <= len(token) - 1
     ),
     c AS (
@@ -1306,7 +1306,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     b AS (
       SELECT doc_id, source,
              array_to_string(l[(8 * (i - 1) + 1):(8 * i)], ' ') AS block
-      FROM t, (SELECT unnest(generate_series(1, 64)) AS i)
+      FROM t, (SELECT unnest(generate_series(1, 512)) AS i)
       WHERE 8 * i <= len(l)
     ),
     g AS (
