@@ -1565,7 +1565,7 @@ _CHUNK_S = 12  # stride (W - S = 4 tokens of overlap between chunks)
            md5(array_to_string(
                  toks[1 + k * {_CHUNK_S} : least(1 + k * {_CHUNK_S} + {_CHUNK_W} - 1, n)],
                  ' ')) AS chunk_md5
-    FROM sized, (SELECT unnest(generate_series(0, 63)) AS k) s
+    FROM sized, (SELECT unnest(generate_series(0, 511)) AS k) s
     WHERE k < n_chunks
     """,
 )
