@@ -1302,3 +1302,36 @@ def test_stratified_reservoir_matches_pure_python(spark):
         for r in QUERIES["pipeline_stratified_reservoir"](spark, SF_UNIT).collect()
     }
     assert got == want
+
+
+def test_fixture_bounds_within_oracle_enumeration_caps():
+    """The relational-enumeration oracles cap their position series
+    (4096 token positions, 256 chars/token, 512 8-token blocks, 256
+    100-byte chunks, 512 W=16/S=12 chunks) while the Spark sides
+    enumerate unboundedly.  Pin the fixture comfortably inside every
+    cap at BOTH verification scales so a regenerated-testdata breach
+    fails HERE, by name, instead of as an unattributable hash
+    mismatch."""
+    import duckdb
+
+    from tests.conftest import SF_ORACLE
+
+    for sf in (SF_ORACLE, "/root/testdata/sf0.1"):
+        n_tok, max_word, n_bytes = duckdb.sql(
+            f"""
+            SELECT max(len(string_split(text, ' '))),
+                   max(list_max(list_transform(string_split(text, ' '),
+                                               t -> len(t)))),
+                   max(octet_length(encode(text)))
+            FROM read_parquet('{sf}/documents.parquet')
+            """
+        ).fetchone()
+        assert n_tok <= 4096, (sf, n_tok, "token-position caps (4096)")
+        assert n_tok // 8 <= 512, (sf, n_tok, "boilerplate block cap (512)")
+        assert 1 + max(0, n_tok - 16 + 11) // 12 <= 512, (
+            sf, n_tok, "chunk_documents cap (512)",
+        )
+        assert max_word <= 256, (sf, max_word, "bpe char-position cap (256)")
+        assert (n_bytes + 99) // 100 <= 256, (
+            sf, n_bytes, "mm 100-byte chunk cap (256)",
+        )
