@@ -337,6 +337,8 @@ def stream_stateful_scheduler_tws(events: DataFrame) -> DataFrame:
             )
 
         def close(self) -> None:
+            # StatefulProcessor requires close(); all state lives in
+            # the store handle, so there is nothing to release here.
             pass
 
     return (
