@@ -1038,14 +1038,10 @@ def test_boilerplate_block_guard_short_docs(spark):
         ("a b c d e f g h i j k l m n o",),        # 15 → 1 block
         ("a b c d e f g h i j k l m n o p",),      # 16 → 2 blocks
     ]
+    from tropology_spark.operators.text import _BLOCKS_EXPR as guarded
+
     df = spark.createDataFrame(rows, "text string").selectExpr(
         "split(text, ' ') AS l"
-    )
-    guarded = (
-        "CASE WHEN size(l) >= 8 THEN"
-        " transform(sequence(1, size(l) div 8),"
-        " i -> array_join(slice(l, 8 * (i - 1) + 1, 8), ' '))"
-        " ELSE array() END"
     )
     counts = [
         r[0]
@@ -1312,11 +1308,14 @@ def test_fixture_bounds_within_oracle_enumeration_caps():
     cap at BOTH verification scales so a regenerated-testdata breach
     fails HERE, by name, instead of as an unattributable hash
     mismatch."""
+    import os
+
     import duckdb
 
     from tests.conftest import SF_ORACLE
 
-    for sf in (SF_ORACLE, "/root/testdata/sf0.1"):
+    bench_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for sf in (SF_ORACLE, bench_sf):
         n_tok, max_word, n_bytes = duckdb.sql(
             f"""
             SELECT max(len(string_split(text, ' '))),

@@ -1297,6 +1297,20 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: Guarded block enumeration (single home, pinned by tests/
+#: test_units.py): for docs with < 8 tokens Spark's sequence(1, 0) is
+#: the DESCENDING [1, 0] (default step -1), which would emit a partial
+#: block plus an empty one while the oracle's `WHERE 8*i <= len(l)`
+#: emits nothing (ADVICE r6).  explode drops the empty array, so short
+#: docs contribute no rows on either side.
+_BLOCKS_EXPR = (
+    "CASE WHEN size(l) >= 8 THEN"
+    " transform(sequence(1, size(l) div 8),"
+    " i -> array_join(slice(l, 8 * (i - 1) + 1, 8), ' '))"
+    " ELSE array() END"
+)
+
+
 @register(
     "text_boilerplate_blocks",
     oracle="""
@@ -1354,18 +1368,9 @@ def text_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select(
         "doc_id", "source", F.split(F.col("text"), " ").alias("l")
     )
-    # Guard the enumeration: for docs with < 8 tokens Spark's
-    # sequence(1, 0) is the DESCENDING [1, 0] (default step -1), which
-    # would emit a partial block plus an empty one while the oracle's
-    # `WHERE 8*i <= len(l)` emits nothing (ADVICE r6).  explode drops
-    # the empty array, so short docs contribute no rows on either side.
-    blocks = F.expr(
-        "CASE WHEN size(l) >= 8 THEN"
-        " transform(sequence(1, size(l) div 8),"
-        " i -> array_join(slice(l, 8 * (i - 1) + 1, 8), ' '))"
-        " ELSE array() END"
+    b = t.select(
+        "doc_id", "source", F.explode(F.expr(_BLOCKS_EXPR)).alias("block")
     )
-    b = t.select("doc_id", "source", F.explode(blocks).alias("block"))
     g = b.groupBy("block", "source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_inst"),
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
