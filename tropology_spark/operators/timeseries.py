@@ -119,7 +119,9 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap, in µs
     FROM sess GROUP BY user_id, sess_seq
     """,
 )
-def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ts_sessionize(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
     """M57 — gap-based sessionization in batch: a new session starts
     when a user is silent for more than 30 minutes; each session
     reports its event count and exact µs duration.  The batch twin of
@@ -130,8 +132,10 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns→µs contract); ordering ties break on the unique event_id.
     Scale: one shuffle on user_id covers the lag, the running sum and
     the final per-session aggregate — the window partitioning is
-    reused across all three steps in a single stage."""
-    ev = load(spark, sf_dir, "events")
+    reused across all three steps in a single stage.  ``events``
+    substitutes a pre-built (user_id, event_id, ts) frame for the
+    table scan (scale probes)."""
+    ev = events if events is not None else load(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
     order = Window.partitionBy("user_id").orderBy("us", "event_id")
     t = ev.select("user_id", "event_id", us.alias("us")).withColumn(

@@ -50,9 +50,12 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
     def deco(fn: QueryFn) -> QueryFn:
         @functools.wraps(fn)
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        def wrapped(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
+            # **kw forwards optional frame-substitution parameters some
+            # queries expose for scale probes (e.g. ts_sessionize's
+            # ``events=``); the driver contract never passes any.
             configure(spark)
-            return fn(spark, sf_dir)
+            return fn(spark, sf_dir, **kw)
 
         if name in QUERIES:
             raise ValueError(f"duplicate query registration: {name}")
