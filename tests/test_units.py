@@ -1334,3 +1334,51 @@ def test_fixture_bounds_within_oracle_enumeration_caps():
         assert (n_bytes + 99) // 100 <= 256, (
             sf, n_bytes, "mm 100-byte chunk cap (256)",
         )
+
+
+def test_simhash_matches_pure_python(spark):
+    """M1 — dedup_simhash equals an independent hashlib Python
+    implementation of the Charikar bit-majority signature, the 16-bit
+    half blocking, and the Hamming confirmation (the generated SQL
+    formula is shared by both engines; this check is
+    formula-independent)."""
+    import hashlib
+
+    import duckdb
+
+    from tropology_spark.operators.dedup import _SH_BITS, _SH_HAMMING_MAX
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
+    ).fetchall()
+    sigs: dict[int, int] = {}
+    for did, text in rows:
+        toks = text.split(" ")
+        shingles = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+        if not shingles:
+            continue
+        votes = [0] * _SH_BITS
+        for sh in shingles:
+            nibs = hashlib.md5(sh.encode()).hexdigest()[:8]
+            for p in range(_SH_BITS):
+                bit = (int(nibs[p // 4], 16) >> (p % 4)) & 1
+                votes[p] += 2 * bit - 1
+        sigs[did] = sum(1 << p for p in range(_SH_BITS) if votes[p] > 0)
+    want = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sigs[a], sigs[b]
+            if (sa >> 16) != (sb >> 16) and (sa & 65535) != (sb & 65535):
+                continue
+            h = bin(sa ^ sb).count("1")
+            if h <= _SH_HAMMING_MAX:
+                want.add((a, b, h))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in QUERIES["dedup_simhash"](spark, SF_UNIT).collect()
+    }
+    assert got == want, (
+        f"{len(got)} spark vs {len(want)} python pairs; "
+        f"sample diff: {sorted(got ^ want)[:5]}"
+    )
