@@ -1382,3 +1382,50 @@ def test_simhash_matches_pure_python(spark):
         f"{len(got)} spark vs {len(want)} python pairs; "
         f"sample diff: {sorted(got ^ want)[:5]}"
     )
+
+
+def test_minhash_lsh_matches_pure_python(spark):
+    """J3 — dedup_minhash_lsh equals an independent hashlib Python
+    implementation of the affine min-hash signatures, banding, and
+    bucket-collision candidate set (the permutation arithmetic is a
+    generated formula shared by both engines; this check is
+    formula-independent)."""
+    import duckdb
+
+    from tropology_spark.operators.dedup import (
+        _MH_BAND_ROWS, _MH_PERMS, _MH_PRIME,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
+    ).fetchall()
+    n_bands = len(_MH_PERMS) // _MH_BAND_ROWS
+    buckets: dict[tuple[int, str], set[int]] = {}
+    for did, text in rows:
+        toks = text.split(" ")
+        shingles = {f"{x} {y}" for x, y in zip(toks, toks[1:])}
+        if not shingles:
+            continue
+        hs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in shingles
+        ]
+        sig = [min((h * a + b) % _MH_PRIME for h in hs) for a, b in _MH_PERMS]
+        for j in range(n_bands):
+            key = "_".join(
+                str(sig[j * _MH_BAND_ROWS + r]) for r in range(_MH_BAND_ROWS)
+            )
+            buckets.setdefault((j, key), set()).add(did)
+    want = set()
+    for mem in buckets.values():
+        ids = sorted(mem)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                want.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_minhash_lsh"](spark, SF_UNIT).collect()
+    }
+    assert got == want, (
+        f"{len(got)} spark vs {len(want)} python pairs; "
+        f"sample diff: {sorted(got ^ want)[:5]}"
+    )
