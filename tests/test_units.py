@@ -932,6 +932,13 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         # round-7 rewrite: M2 re-blocked onto the learned quantizer
         # cell (clusters, its composition, is pinned above)
         "dedup_embedding_cosine",
+        # round-8 additions (M217+)
+        "join_asof_tolerance",
+        "ts_sliding_distinct",
+        "dedup_survivorship_report",
+        "mm_stratified_sample",
+        "text_bpe_merge2",
+        "sim_ivf_cell_stats",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -978,22 +985,22 @@ def test_materialized_view_build_is_shared_across_threads(spark):
 
 def test_driver_window_composition(spark):
     """The driver hash-checks the FIRST 50 registry entries.  Pin the
-    round-7 window invariants (VERDICT r6 items 1-2) so a module-import
+    round-8 window invariants (VERDICT r7 item 1) so a module-import
     or registration-order change can never silently evict a query:
-    round-7 NEW queries (never sampled) lead, the semantic rewrites
-    follow (fresh driver evidence for the new results), and EVERY
-    remaining window slot goes to the refresh queue — queries whose
-    latest driver row either predates the round-3 testdata regeneration
+    round-8 NEW queries (never sampled) lead, and EVERY remaining
+    window slot goes to the refresh queue — queries whose latest
+    driver row either predates the round-3 testdata regeneration
     (r01/r02 vintage) or IS from the most recent driver round (a fresh
     row from the current round is the queue working, not a wasted slot
-    — the r6 verdict's fix for the self-invalidating assertion).  Each
-    windowed query must either carry an oracle or be the declared
-    rows-only entry."""
+    — the r6 verdict's fix for the self-invalidating assertion; the
+    max_round escape is deliberately loose past the head, which the
+    pinned head positions compensate for).  Each windowed query must
+    either carry an oracle or be the declared rows-only entry."""
     import json
     from pathlib import Path
 
     from tropology_spark import ORACLES, QUERIES
-    from tropology_spark import _R7_NEW, _R7_REWRITTEN
+    from tropology_spark import _R8_NEW
 
     latest: dict[str, int] = {}
     for f in Path(".").glob("CORRECTNESS_r*.json"):
@@ -1002,7 +1009,7 @@ def test_driver_window_composition(spark):
             latest[k] = max(latest.get(k, 0), rnd)
     max_round = max(latest.values(), default=0)
     window = list(QUERIES)[:50]
-    head = _R7_NEW + _R7_REWRITTEN
+    head = _R8_NEW
     assert window[: len(head)] == head, window[: len(head)]
     never = [q for q in QUERIES if q not in latest]
     missing = [q for q in never if q not in set(window)]
@@ -1429,3 +1436,145 @@ def test_minhash_lsh_matches_pure_python(spark):
         f"{len(got)} spark vs {len(want)} python pairs; "
         f"sample diff: {sorted(got ^ want)[:5]}"
     )
+
+
+def test_asof_tolerance_matches_pure_python(spark):
+    """M217 — the bucketed-equi-join rewrite equals a brute-force
+    Python as-of scan over the same events (formula-independent: no
+    SQL engine, no bucketing — if the (b, b−1) probe missed or
+    double-counted a candidate, this is where it fails)."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from tropology_spark.operators.relational import _ASOF_TOL_US
+
+    rows = duckdb.sql(
+        f"""SELECT event_id, user_id, event_type, epoch_us(ts)
+            FROM read_parquet('{SF_UNIT}/events.parquet')"""
+    ).fetchall()
+    views = defaultdict(list)
+    for eid, uid, et, us in rows:
+        if et == "view":
+            views[uid].append((us, eid))
+    want = {}
+    for eid, uid, et, us in rows:
+        if et != "purchase":
+            continue
+        best = max(
+            (
+                (vus, vid)
+                for vus, vid in views.get(uid, [])
+                if vus <= us and us - vus <= _ASOF_TOL_US
+            ),
+            default=None,
+        )
+        want[eid] = (best[1], us - best[0]) if best else (-1, -1)
+    got = {
+        r["purchase_id"]: (r["last_view_id"], r["staleness_us"])
+        for r in QUERIES["join_asof_tolerance"](spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_sliding_distinct_matches_pure_python(spark):
+    """M218 — the hour-offset-explode rewrite equals a direct Python
+    set-union over the trailing 3 hours at every observed (type,
+    hour)."""
+    from collections import defaultdict
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT event_type, user_id, epoch_us(ts) // 3600000000
+            FROM read_parquet('{SF_UNIT}/events.parquet')"""
+    ).fetchall()
+    users = defaultdict(set)
+    for et, uid, h in rows:
+        users[(et, int(h))].add(uid)
+    want = {
+        (et, h): len(
+            users.get((et, h), set())
+            | users.get((et, h - 1), set())
+            | users.get((et, h - 2), set())
+        )
+        for (et, h) in users
+    }
+    got = {
+        (r["event_type"], r["hour"]): r["n_users_3h"]
+        for r in QUERIES["ts_sliding_distinct"](spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_bpe_merge2_matches_pure_python(spark):
+    """M221 — both BPE rounds equal an independent Counter +
+    str.replace implementation (Python's replace is left-to-right
+    non-overlapping — the exact semantics the chr(1)-sentinel merge
+    relies on in both engines)."""
+    from collections import Counter
+
+    import duckdb
+
+    texts = [
+        t
+        for (t,) in duckdb.sql(
+            f"SELECT text FROM read_parquet('{SF_UNIT}/documents.parquet')"
+        ).fetchall()
+    ]
+    toks = [w for t in texts for w in t.split(" ")]
+
+    def counts(tokens):
+        c = Counter()
+        for w in tokens:
+            for i in range(len(w) - 1):
+                c[w[i : i + 2]] += 1
+        return c
+
+    def top(c, k=10):
+        ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(p, n, i + 1) for i, (p, n) in enumerate(ordered)]
+
+    c1 = counts(toks)
+    mpair = top(c1, 1)[0][0]
+    c2 = counts([w.replace(mpair, "\x01") for w in toks])
+    want = {
+        (1, p.replace("\x01", "*"), n, rn) for p, n, rn in top(c1)
+    } | {(2, p.replace("\x01", "*"), n, rn) for p, n, rn in top(c2)}
+    got = {
+        (r["merge_round"], r["pair"], r["n"], r["rn"])
+        for r in QUERIES["text_bpe_merge2"](spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_mm_stratified_sample_matches_pure_python(spark):
+    """M220 — the per-modality A-ES quota equals an independent
+    hashlib ranking (the M216 stratified-reservoir twin discipline
+    applied to the multimodal strata)."""
+    from collections import defaultdict
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
+    ).fetchall()
+    mods = ["image/png", "audio/wav", "video/mp4"]
+    strata = defaultdict(list)
+    for did, text in rows:
+        nb = len(text.encode())
+        if nb == 0:
+            continue
+        h = hashlib.md5(str(did).encode()).hexdigest()
+        strata[mods[int(h[:2], 16) % 3]].append(
+            (int(h[8:16], 16) / nb, did, nb, int(h[8:16], 16))
+        )
+    want = set()
+    for m, items in strata.items():
+        for rn, (_, did, nb, u) in enumerate(sorted(items)[:8], 1):
+            want.add((m, did, nb, u, rn))
+    got = {
+        (r["modality"], r["doc_id"], r["n_bytes"], r["u"], r["rn"])
+        for r in QUERIES["mm_stratified_sample"](spark, SF_UNIT).collect()
+    }
+    assert got == want

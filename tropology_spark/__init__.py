@@ -41,19 +41,14 @@ from tropology_spark.operators import windows  # noqa: F401
 from tropology_spark.operators import aggregates  # noqa: F401
 from tropology_spark.operators import relational  # noqa: F401
 
-# Round-7 driver window (the driver hash-checks the FIRST 50 entries
+# Round-8 driver window (the driver hash-checks the FIRST 50 entries
 # per round).  Every registered query is driver-green at least once;
-# the remaining evidence gap is FRESHNESS — 88 queries' latest driver
-# row is r01/r02, i.e. from BEFORE the round-3 testdata regeneration.
-# Round-7 order: (1) round-7 NEW queries (never sampled) lead,
-# (2) queries whose semantics were REWRITTEN this round (fresh driver
-# evidence for the new results), (3) the r01/r02-vintage refresh
-# queue.  Round 6 spent its whole window on new-operator first
-# evidence; round 7 biases the other way (VERDICT r6 item 2): only a
-# handful of new operators, the rest of the window drains the stale
-# queue.  _R7_NEW (4) + _R7_REWRITTEN (2) = 6 head slots; the
-# remaining 44 window slots cover _R7_STALE[0:44], leaving 44 for
-# round 8.
+# the remaining evidence gap is FRESHNESS — after round 7, exactly 44
+# queries' latest driver row is r01/r02 (from BEFORE the round-3
+# testdata regeneration).  Round-8 order (VERDICT r7 item 1): the 6
+# round-8 NEW queries (never sampled) lead, and the remaining 44
+# window slots take the ENTIRE residual stale queue — 6 + 44 = 50,
+# so this window DRAINS the freshness debt to zero.
 
 #: Round-6 additions (M169+) — appended here as they are registered.
 _R6_NEW = [
@@ -129,54 +124,21 @@ _R7_REWRITTEN = [
     "dedup_embedding_clusters",
 ]
 
-#: The 88-query r01/r02-vintage refresh queue (events-readers first;
-#: the three refreshed in r06 have been removed from the head).
-_R7_STALE = [
-    "join_asof_lastevent",
-    "win_moving_avg",
-    "win_running_sum",
-    "win_rank",
-    "win_distribution",
-    "win_first_last",
-    "topk_per_group",
-    "json_extract_props",
-    "filter_in",
-    "select_compute",
-    "agg_conditional",
-    "agg_count_distinct",
-    "agg_degree",
-    "join_anti_frontier",
-    "join_full_outer",
-    "join_semi",
-    "join_self_twohop",
-    "join_cross_count",
-    "scan_pushdown_lookup",
-    "agg_having",
-    "fn_date",
-    "sort_multi_key",
-    "topk_global",
-    "sub_correlated_avg",
-    "sub_scalar_global",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect_common",
-    "set_except",
-    "flagship_revenue_by_region",
-    "scan_project",
-    "filter_boolean_logic",
-    "filter_like",
-    "filter_null_semantics",
-    "agg_pricing_summary",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_collect_neighbors",
-    "agg_pivot",
-    "agg_percentiles",
-    "agg_stats",
-    "join_inner",
-    "join_broadcast_star",
-    # --- round-8 continuation below this line (44 head slots above) ---
+#: Round-8 additions (M217+) — appended here as they are registered.
+_R8_NEW = [
+    "join_asof_tolerance",
+    "ts_sliding_distinct",
+    "dedup_survivorship_report",
+    "mm_stratified_sample",
+    "text_bpe_merge2",
+    "sim_ivf_cell_stats",
+]
+
+#: The LAST 44 r01/r02-vintage queries (the back half of the round-7
+#: refresh queue; the front 44 all came back GREEN in
+#: CORRECTNESS_r07.json).  With _R8_NEW's 6 head slots this fills the
+#: 50-slot window exactly and empties the queue.
+_R8_STALE = [
     "join_left_outer",
     "limit_unordered",
     "source_range",
@@ -223,6 +185,6 @@ _R7_STALE = [
     "text_gopher_rules",
 ]
 
-prioritize(_R7_NEW + _R7_REWRITTEN + _R7_STALE)
+prioritize(_R8_NEW + _R8_STALE)
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

@@ -882,3 +882,88 @@ def dedup_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sz").cast("bigint").alias("max_bucket"),
         F.sum(F.expr("sz * (sz - 1) div 2")).cast("bigint").alias("cand_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M219 — cross-method dedup survivorship report (composed audit)
+# ---------------------------------------------------------------------------
+
+
+def _survivorship_oracle() -> str:
+    """Composed oracle: wraps the three registered dedup-method oracles
+    verbatim (the M209/M212 discipline) — each method's semantics exist
+    in exactly one place."""
+    return f"""
+    WITH exg AS ({ORACLES['dedup_exact']}),
+    mhg AS ({ORACLES['dedup_minhash_lsh']}),
+    shg AS ({ORACLES['dedup_simhash']}),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT 'exact' AS method, n_docs,
+           CAST((SELECT sum(n_copies) FROM exg)
+                - (SELECT count(*) FROM exg) AS BIGINT) AS n_removed,
+           CAST((SELECT count(*) FROM exg) AS BIGINT) AS n_survivors
+    FROM nd
+    UNION ALL
+    SELECT 'minhash_lsh' AS method, n_docs,
+           CAST((SELECT count(DISTINCT doc_b) FROM mhg) AS BIGINT) AS n_removed,
+           n_docs - CAST((SELECT count(DISTINCT doc_b) FROM mhg) AS BIGINT)
+             AS n_survivors
+    FROM nd
+    UNION ALL
+    SELECT 'simhash' AS method, n_docs,
+           CAST((SELECT count(DISTINCT doc_b) FROM shg) AS BIGINT) AS n_removed,
+           n_docs - CAST((SELECT count(DISTINCT doc_b) FROM shg) AS BIGINT)
+             AS n_survivors
+    FROM nd
+    """
+
+
+@register("dedup_survivorship_report", oracle=_survivorship_oracle())
+def dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M219 — the cross-method summary a curation user reads FIRST:
+    for each dedup method (exact J1, MinHash-LSH J3, SimHash M1), how
+    many documents its keep-smallest-id policy removes and how many
+    survive.  Removal rules are each method's own: exact removes the
+    non-representative members of every identical-hash group
+    (Σcopies − groups); the pair-based methods remove every document
+    that appears as the LARGER id of any candidate pair (doc_b —
+    keep-first survivorship on the candidate graph; transitive-cluster
+    canonicalization is M24's separate, more aggressive policy).
+
+    Composed, not copied: the oracle wraps ORACLES['dedup_exact'/'
+    dedup_minhash_lsh'/'dedup_simhash'] verbatim, and the Spark side
+    runs the three REGISTERED queries — method semantics live in one
+    place each.  Scale: each branch reduces its method's output to one
+    row before the 3-row union; the corpus count is computed once and
+    broadcast into every branch (the 1-row frame is checkpointed — it
+    is referenced from all three, DOUBLE-REFERENCE RULE)."""
+    from tropology_spark.registry import QUERIES
+    from tropology_spark.session import iter_materialize
+
+    nd = iter_materialize(
+        load(spark, sf_dir, "documents").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs")
+        )
+    )
+    ex = QUERIES["dedup_exact"](spark, sf_dir).agg(
+        (F.sum("n_copies") - F.count(F.lit(1))).cast("bigint").alias("n_removed"),
+        F.count(F.lit(1)).cast("bigint").alias("n_survivors"),
+    )
+    exact = nd.crossJoin(F.broadcast(ex)).select(
+        F.lit("exact").alias("method"), "n_docs", "n_removed", "n_survivors"
+    )
+
+    def pair_branch(name: str, label: str) -> DataFrame:
+        rem = QUERIES[name](spark, sf_dir).agg(
+            F.countDistinct("doc_b").cast("bigint").alias("n_removed")
+        )
+        return nd.crossJoin(F.broadcast(rem)).select(
+            F.lit(label).alias("method"),
+            "n_docs",
+            "n_removed",
+            (F.col("n_docs") - F.col("n_removed")).cast("bigint").alias("n_survivors"),
+        )
+
+    return exact.unionByName(
+        pair_branch("dedup_minhash_lsh", "minhash_lsh")
+    ).unionByName(pair_branch("dedup_simhash", "simhash"))

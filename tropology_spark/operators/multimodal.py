@@ -650,3 +650,88 @@ def mm_chunk_dedup_stats(spark, sf_dir: str) -> DataFrame:
         .alias("dedup_ppm"),
         F.max("refs").cast("bigint").alias("max_refcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M220 — per-modality weighted stratified sample (payloads never shuffle)
+# ---------------------------------------------------------------------------
+
+_MM_STRAT_K = 8
+
+
+@register(
+    "mm_stratified_sample",
+    oracle=f"""
+    WITH m AS (
+      SELECT (['image/png', 'audio/wav', 'video/mp4'])[
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+                    % 3 AS INT) + 1] AS modality,
+             doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT AS u
+      FROM documents
+      WHERE octet_length(encode(text)) > 0
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY modality
+                                   ORDER BY CAST(u AS DOUBLE) / n_bytes, doc_id)
+                  AS rn
+      FROM m
+    )
+    SELECT modality, doc_id, n_bytes, u, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= {_MM_STRAT_K}
+    """,
+)
+def mm_stratified_sample(spark, sf_dir: str) -> DataFrame:
+    """M220 — M46's stratified-sampling discipline on the multimodal
+    table: a {k}-item byte-weighted sample PER MODALITY (M216's
+    per-stratum A-ES machinery — priority u/weight with the M122
+    md5-bucket pseudo-modality as the stratum and payload SIZE as the
+    weight, so large assets are proportionally favored, the storage-
+    audit sampling a media lake runs per asset class).
+
+    Determinism: u is md5-derived (chars 9-16, disjoint from the
+    modality's leading byte) and the priority is ONE IEEE division
+    ranked with the unique doc_id tie-break (the M216 rule).
+
+    Scale — payloads never shuffle (the multimodal family invariant):
+    the payload column reduces scan-side to its LENGTH before the
+    window; what shuffles is (modality, doc_id, n_bytes, u) — four
+    scalars — and the per-stratum window is a bounded-heap top-k per
+    group.  The sampled ids then re-join payloads by doc_id at the
+    consumer (M185's content-addressed read path), so sampling cost
+    is independent of asset size."""
+    from tropology_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    modality = F.element_at(
+        F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+            .cast("int")
+            % 3
+        )
+        + 1,
+    )
+    m = docs.select(
+        modality.alias("modality"),
+        "doc_id",
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10)
+        .cast("bigint")
+        .alias("u"),
+    ).filter(F.col("n_bytes") > 0)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("modality").orderBy(
+        (F.col("u").cast("double") / F.col("n_bytes")).asc(), F.col("doc_id")
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= _MM_STRAT_K)
+        .select("modality", "doc_id", "n_bytes", "u", "rn")
+    )
+
+
+mm_stratified_sample.__doc__ = mm_stratified_sample.__doc__.format(k=_MM_STRAT_K)

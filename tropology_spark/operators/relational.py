@@ -1437,3 +1437,114 @@ def join_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pairs"), F.asc("user_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# M217 — as-of join with a max-staleness bound (feature-store read shape)
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_US = 1_800_000_000  # 30 minutes, exact µs
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT * FROM events WHERE event_type = 'view'),
+         j AS (SELECT p.event_id AS purchase_id, p.user_id,
+                      v.ts AS v_ts, v.event_id AS v_id,
+                      epoch_us(p.ts) - epoch_us(v.ts) AS stale_us,
+                      row_number() OVER (
+                        PARTITION BY p.event_id
+                        ORDER BY v.ts DESC NULLS LAST, v.event_id DESC NULLS LAST
+                      ) AS rn
+               FROM p LEFT JOIN v
+                 ON p.user_id = v.user_id AND v.ts <= p.ts
+                AND epoch_us(p.ts) - epoch_us(v.ts) <= {_ASOF_TOL_US})
+    SELECT purchase_id, user_id,
+           coalesce({sql_ts_str('v_ts')}, 'none') AS last_view_ts,
+           CAST(coalesce(v_id, -1) AS BIGINT) AS last_view_id,
+           CAST(coalesce(stale_us, -1) AS BIGINT) AS staleness_us
+    FROM j WHERE rn = 1
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M217 — as-of join with a MAX-STALENESS bound, completing the
+    as-of family (C9 backward-unbounded, M131 forward, M158 nearest):
+    for each purchase, the same user's most recent view no older than
+    30 minutes — the read shape feature-store lookups actually use
+    ("latest feature row, but never serve one staler than the SLA"),
+    and the natural companion to M215's leakage audit.  Purchases with
+    no fresh-enough view survive with the C9 sentinel convention
+    ('none', -1, -1).
+
+    The oracle declares the raw inequality; the Spark side applies the
+    M197 band-join rewrite — the staleness bound makes the as-of an
+    EQUI-join: views are keyed by their 1800-s bucket, each purchase
+    probes its own bucket and the previous one (any view within 30 min
+    lies in one of the two), the exact predicate prunes the corner,
+    and a per-purchase rank keeps the latest.  C9's unbounded form
+    cannot do this — it is the tolerance that bounds state.
+
+    Scale: one hash shuffle per side on (user, bucket); per-purchase
+    candidate fan-out is the user's views in ≤ 2 buckets — bounded by
+    activity RATE, not history length (this is also exactly the
+    streaming state-expiry contract: a 30-min watermark holds 2
+    buckets of view state per user).  The purchase frame feeds both
+    the probe and the final sentinel left-join — checkpointed once
+    (DOUBLE-REFERENCE RULE)."""
+    from pyspark.sql import Window
+
+    from tropology_spark.session import iter_materialize
+
+    e = load(spark, sf_dir, "events")
+    p = iter_materialize(
+        e.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.expr("unix_micros(ts)").alias("p_us"),
+        )
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+        F.expr(f"unix_micros(ts) div {_ASOF_TOL_US}").alias("v_bucket"),
+    )
+    p2 = p.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.expr(f"p_us div {_ASOF_TOL_US}"),
+                F.expr(f"p_us div {_ASOF_TOL_US} - 1"),
+            )
+        ),
+    )
+    cand = p2.join(
+        v,
+        (p2.user_id == v.v_user) & (F.col("bucket") == F.col("v_bucket")),
+    ).filter(
+        (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("p_us") - F.expr("unix_micros(v_ts)") <= _ASOF_TOL_US)
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("v_ts").desc(), F.col("v_id").desc()
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("purchase_id").alias("b_pid"),
+            "v_ts",
+            "v_id",
+            (F.col("p_us") - F.expr("unix_micros(v_ts)")).alias("stale_us"),
+        )
+    )
+    return p.join(best, p.purchase_id == F.col("b_pid"), "left").select(
+        "purchase_id",
+        "user_id",
+        F.coalesce(ts_str(F.col("v_ts")), F.lit("none")).alias("last_view_ts"),
+        F.coalesce(F.col("v_id"), F.lit(-1)).cast("bigint").alias("last_view_id"),
+        F.coalesce(F.col("stale_us"), F.lit(-1)).cast("bigint").alias("staleness_us"),
+    )

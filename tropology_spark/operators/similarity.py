@@ -1368,3 +1368,59 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= _RANGE_TAU)
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# M222 — IVF cell-balance stats (index-health audit of the learned quantizer)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_ivf_cell_stats",
+    oracle=KNN_ASSIGN_CTE
+    + """
+    , cs AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+             FROM assign GROUP BY cell),
+    t AS (SELECT cs.*, CAST(sum(n_vecs) OVER () AS BIGINT) AS total FROM cs)
+    SELECT CAST(cell AS BIGINT) AS cell, n_vecs,
+           CAST((1000000 * n_vecs) // total AS BIGINT) AS share_ppm,
+           CAST(row_number() OVER (ORDER BY n_vecs DESC, cell) AS BIGINT) AS rn
+    FROM t
+    """,
+)
+def sim_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M222 — posting-list balance of the learned coarse quantizer:
+    per cell, its vector count, corpus share in ppm, and size rank —
+    the M211 index-health discipline applied to the IVF/kNN family
+    (skewed cells are exactly what makes an IVF probe or the J9/M2/
+    M189 cell-blocked pair join slow; this is the meter an ANN
+    deployment watches before it reshards or re-trains).
+
+    Composed, not copied: the oracle extends ``KNN_ASSIGN_CTE``
+    verbatim (the single SQL home of the quantizer arithmetic) and
+    the Spark side reads the session-shared
+    ``quantizer_assign_materialized`` view — one Lloyd build serves
+    J9 + M2 + M189 + this audit.
+
+    Scale: the assignment collapses to O(k)=O(√n) cell counts in one
+    map-side-combinable rollup; the share/rank windows ride the
+    bounded cell axis on the pmod constant key (global_order.py
+    idiom — no partition-less WindowExec), and ppm is positive-
+    integer ``div`` (cross-engine exact)."""
+    _, assign = quantizer_assign_materialized(spark, sf_dir)
+    cs = assign.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    ck = F.pmod(F.col("cell"), F.lit(1))
+    tw = Window.partitionBy(ck)
+    rw = Window.partitionBy(ck).orderBy(F.desc("n_vecs"), F.asc("cell"))
+    return (
+        cs.withColumn("total", F.sum("n_vecs").over(tw).cast("bigint"))
+        .withColumn("rn", F.row_number().over(rw).cast("bigint"))
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            "n_vecs",
+            F.expr("(1000000 * n_vecs) div total").cast("bigint").alias("share_ppm"),
+            "rn",
+        )
+    )

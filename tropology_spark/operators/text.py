@@ -1444,3 +1444,123 @@ def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy(
         "doc_id", bucket.cast("bigint").alias("bucket")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+
+
+# ---------------------------------------------------------------------------
+# M221 — two-round iterative BPE merge (chr(1)-sentinel replace)
+# ---------------------------------------------------------------------------
+
+_BPE2_TOP = 10
+
+
+@register(
+    "text_bpe_merge2",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    p1 AS (
+      SELECT substring(token, i, 2) AS pair
+      FROM tok, (SELECT unnest(generate_series(1, 256)) AS i) g
+      WHERE i <= len(token) - 1
+    ),
+    c1 AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p1 GROUP BY 1),
+    t1 AS (SELECT pair FROM c1 ORDER BY n DESC, pair LIMIT 1),
+    m AS (
+      SELECT replace(token, (SELECT pair FROM t1), chr(1)) AS token FROM tok
+    ),
+    p2 AS (
+      SELECT substring(token, i, 2) AS pair
+      FROM m, (SELECT unnest(generate_series(1, 256)) AS i) g
+      WHERE i <= len(token) - 1
+    ),
+    c2 AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p2 GROUP BY 1),
+    r1 AS (SELECT 1 AS merge_round, pair, n,
+                  row_number() OVER (ORDER BY n DESC, pair) AS rn
+           FROM c1),
+    r2 AS (SELECT 2 AS merge_round, pair, n,
+                  row_number() OVER (ORDER BY n DESC, pair) AS rn
+           FROM c2)
+    SELECT CAST(merge_round AS BIGINT) AS merge_round,
+           replace(pair, chr(1), '*') AS pair, n, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2) u
+    WHERE rn <= {_BPE2_TOP}
+    """,
+)
+def text_bpe_merge2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M221 — BPE tokenizer training, rounds one AND two: count
+    adjacent character pairs (M102's table, corpus-global), MERGE the
+    winning pair everywhere, and re-count pairs over the merged
+    symbols — the top-{t} merge-candidate tables of both rounds.  The
+    merge itself is ``replace(token, top_pair, chr(1))``: string
+    replace is left-to-right non-overlapping in BOTH engines
+    (verified live: replace('aaaa','aa',chr(1)) → two sentinels),
+    which IS the BPE merge step, and the one-char sentinel keeps
+    round-2 symbols single characters so the same substring
+    enumeration re-counts pairs.  Round-2 pairs containing the merged
+    symbol surface with '*' in place of the sentinel (the fixture
+    alphabet is space + lowercase letters, so '*' is collision-free).
+
+    Determinism: the winner is the (count DESC, pair) total order —
+    a LIMIT 1 over exact integers; rank windows ride the bounded
+    (≤ alphabet²+2·alphabet) pair axis on the pmod constant key (the
+    global_order.py idiom — no partition-less WindowExec).
+
+    Scale: two linear explode+count passes (map-side combinable on a
+    bounded key), the winner broadcast into the merge projection; the
+    round-1 count table feeds both its rank and the winner —
+    checkpointed once (DOUBLE-REFERENCE RULE; the token frame is a
+    pure scan projection, so its two readers each re-scan rather than
+    checkpoint a corpus-sized frame).  A full vocab build iterates
+    this shape k times — each round is one scan + one bounded
+    shuffle, the production BPE-training recurrence."""
+    from tropology_spark.session import iter_materialize
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+
+    def pair_counts(frame: DataFrame) -> DataFrame:
+        return (
+            frame.filter(F.length("token") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(token) - 1),"
+                        " i -> substring(token, i, 2))"
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+
+    c1 = iter_materialize(pair_counts(tok))
+    t1 = (
+        c1.orderBy(F.desc("n"), F.asc("pair"))
+        .limit(1)
+        .select(F.col("pair").alias("mpair"))
+    )
+    merged = tok.crossJoin(F.broadcast(t1)).select(
+        F.expr("replace(token, mpair, char(1))").alias("token")
+    )
+    c2 = pair_counts(merged)
+    w = Window.partitionBy(F.pmod(F.col("n"), F.lit(1))).orderBy(
+        F.desc("n"), F.asc("pair")
+    )
+
+    def ranked(c: DataFrame, rnd: int) -> DataFrame:
+        return (
+            c.withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rn") <= _BPE2_TOP)
+            .select(
+                F.lit(rnd).cast("bigint").alias("merge_round"),
+                F.expr("replace(pair, char(1), '*')").alias("pair"),
+                "n",
+                "rn",
+            )
+        )
+
+    return ranked(c1, 1).unionByName(ranked(c2, 2))
+
+
+text_bpe_merge2.__doc__ = text_bpe_merge2.__doc__.format(t=_BPE2_TOP)

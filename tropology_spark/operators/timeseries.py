@@ -1772,3 +1772,80 @@ def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_outliers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M218 — sliding-window distinct users (3h window, 1h step)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_sliding_distinct",
+    oracle="""
+    WITH uh AS (
+      SELECT DISTINCT event_type, user_id,
+             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour
+      FROM events
+    ),
+    sl AS (
+      SELECT event_type, user_id, hour + o AS whour
+      FROM uh, (SELECT unnest([0, 1, 2]) AS o) os
+    ),
+    c AS (
+      SELECT event_type, whour,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_3h
+      FROM sl GROUP BY 1, 2
+    ),
+    obs AS (SELECT DISTINCT event_type, hour FROM uh)
+    SELECT c.event_type, CAST(obs.hour AS BIGINT) AS hour, c.n_users_3h
+    FROM c JOIN obs ON c.event_type = obs.event_type AND c.whour = obs.hour
+    """,
+)
+def ts_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M218 — per event type and observed hour, the DISTINCT users
+    active in the trailing 3-hour window [h-2, h] — the sliding-window
+    distinct primitive (K2's batch twin one level up: K2 slides a
+    COUNT, this slides a COUNT DISTINCT, which no window frame can
+    express because distinct state does not subtract).
+
+    The rewrite is the bounded hour-offset EXPLODE: each distinct
+    (type, user, hour) observation is replicated to the 3 window
+    end-hours it can serve (h, h+1, h+2), turning the sliding window
+    into a plain groupBy-distinct on the window key — the M197 move
+    (explode the bounded side, equi-join the rest).  Emitted rows are
+    restricted to OBSERVED (type, hour) pairs, so a window never
+    reports past the end of a stream or inside a gap (M155/M181 gap
+    semantics).
+
+    Scale: the events scan collapses to distinct (type, user, hour)
+    immediately (map-side partial distinct); the explode is a fixed
+    x3; the distinct count is one more hash shuffle on (type, whour).
+    No window function at all, so nothing single-partition — and the
+    same shape extends to any window/step ratio W/S by exploding
+    ceil(W/S) offsets.  The observation frame feeds both the slide
+    and the observed-hours semi side — checkpointed once
+    (DOUBLE-REFERENCE RULE)."""
+    e = load(spark, sf_dir, "events")
+    uh = iter_materialize(
+        e.select(
+            "event_type",
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("hour"),
+        ).distinct()
+    )
+    sl = uh.select(
+        "event_type",
+        "user_id",
+        "hour",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("o"),
+    ).select(
+        "event_type", "user_id", (F.col("hour") + F.col("o")).alias("whour")
+    )
+    c = sl.groupBy("event_type", "whour").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users_3h")
+    )
+    obs = uh.select(F.col("event_type").alias("o_type"), "hour").distinct()
+    return c.join(
+        obs,
+        (c.event_type == obs.o_type) & (c.whour == obs.hour),
+    ).select("event_type", F.col("hour").cast("bigint").alias("hour"), "n_users_3h")
