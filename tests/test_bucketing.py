@@ -70,3 +70,81 @@ def test_bucketed_aggregation_avoids_shuffle(spark, bucketed_edges):
     from tropology_spark.sources.tables import edges
 
     assert total == edges(spark, SF_UNIT).count()
+
+
+def test_quantizer_index_persist_reload(spark, tmp_path):
+    """VERDICT r7 item 2 — the ANN family's 'saved index at 100 TB'
+    claim, in code: train the coarse quantizer once, persist the
+    assignment bucketed by cell, reload it in a SECOND session, and
+    pin (a) reloaded assignments identical to the trained ones and
+    (b) the cell-blocked pair join over the reloaded artifact planning
+    with zero shuffle exchanges (the J9/M2/M189 join shape consuming
+    the on-disk partitioning)."""
+    from tropology_spark.operators.similarity import (
+        quantizer_assign_materialized,
+        quantizer_read_index,
+        quantizer_write_index,
+    )
+
+    _, assign = quantizer_assign_materialized(spark, SF_UNIT)
+    want = {(r["vec_id"], r["cell"]) for r in assign.collect()}
+    quantizer_write_index(
+        spark, SF_UNIT, "quant_idx_test", path=str(tmp_path / "quant_idx")
+    )
+    try:
+        # A fresh session (separate session state, shared catalog —
+        # the closest same-JVM stand-in for "another job reloads the
+        # artifact") must see the exact trained assignment.
+        s2 = spark.newSession()
+        re = quantizer_read_index(s2, "quant_idx_test")
+        got = {(r["vec_id"], r["cell"]) for r in re.collect()}
+        assert got == want
+
+        prev = s2.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a, b = re.alias("a"), re.alias("b")
+            pairs = a.join(
+                b,
+                (F.col("a.cell") == F.col("b.cell"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            ).select(F.col("a.vec_id"), F.col("b.vec_id").alias("vec_b"))
+            plan = plan_of(pairs)
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in plan, plan
+            assert pairs.count() > 0
+        finally:
+            s2.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS quant_idx_test")
+
+
+def test_quantizer_env_index_skips_retraining(spark, tmp_path, monkeypatch):
+    """TROPOLOGY_QUANT_INDEX_DIR — the cross-session artifact path:
+    a cold cache with the env var set must REUSE the written
+    assignment instead of re-running Lloyd (pinned by making the
+    trainer raise), and the reloaded assignment must equal the
+    trained one."""
+    import tropology_spark.operators.similarity as S
+    from tropology_spark.sources.tables import clear_session_caches
+
+    _, assign = S.quantizer_assign_materialized(spark, SF_UNIT)
+    want = {(r["vec_id"], r["cell"]) for r in assign.collect()}
+    monkeypatch.setenv("TROPOLOGY_QUANT_INDEX_DIR", str(tmp_path))
+    clear_session_caches()
+    try:
+        # First cold build with the env var: trains once, writes.
+        _, a1 = S.quantizer_assign_materialized(spark, SF_UNIT)
+        assert {(r["vec_id"], r["cell"]) for r in a1.collect()} == want
+
+        # Second cold build: must come from the artifact — no Lloyd.
+        clear_session_caches()
+
+        def boom(*a, **k):  # pragma: no cover - failure path
+            raise AssertionError("lloyd_rounds ran despite saved index")
+
+        monkeypatch.setattr(S, "lloyd_rounds", boom)
+        _, a2 = S.quantizer_assign_materialized(spark, SF_UNIT)
+        assert {(r["vec_id"], r["cell"]) for r in a2.collect()} == want
+    finally:
+        clear_session_caches()

@@ -1315,14 +1315,20 @@ def test_fixture_bounds_within_oracle_enumeration_caps():
     cap at BOTH verification scales so a regenerated-testdata breach
     fails HERE, by name, instead of as an unattributable hash
     mismatch."""
+    import glob
     import os
 
     import duckdb
 
     from tests.conftest import SF_ORACLE
 
-    bench_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    for sf in (SF_ORACLE, bench_sf):
+    # Every fixture scale that exists, not the env-dependent pair
+    # (ADVICE r7): an unset-but-different SPARK_GRAFT_SF_DIR could
+    # leave the bench fixture unchecked.
+    dirs = sorted(
+        d for d in glob.glob("/root/testdata/sf*") if os.path.isdir(d)
+    ) or [SF_ORACLE]
+    for sf in dirs:
         n_tok, max_word, n_bytes = duckdb.sql(
             f"""
             SELECT max(len(string_split(text, ' '))),

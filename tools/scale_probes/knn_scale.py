@@ -30,7 +30,7 @@ from tropology_spark.operators.similarity import (  # noqa: E402
 
 t0 = time.time()
 spark = get_spark("knn-scale")
-sf = "/root/testdata/sf0.1"
+sf = __import__("os").environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 base = load(spark, sf, "embeddings").select(
     "vec_id", as_double(F.col("embedding")).alias("emb")
 )

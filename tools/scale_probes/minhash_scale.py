@@ -15,12 +15,15 @@ mult = int(sys.argv[1])
 from pyspark.sql import functions as F  # noqa: E402
 
 from tropology_spark.session import get_spark, iter_materialize  # noqa: E402
-from tropology_spark.operators.dedup import minhash_bands_frame  # noqa: E402
+from tropology_spark.operators.dedup import (  # noqa: E402
+    minhash_bands_frame,
+    minhash_candidate_pairs,
+)
 from tropology_spark.sources.tables import load  # noqa: E402
 
 t0 = time.time()
 spark = get_spark("minhash-scale")
-sf = "/root/testdata/sf0.1"
+sf = __import__("os").environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 base = load(spark, sf, "documents").select("doc_id", "text")
 n0 = base.count()
 rep = base
@@ -34,18 +37,8 @@ t1 = time.time()
 bands = iter_materialize(minhash_bands_frame(spark, sf, docs=docs))
 n_bands = bands.count()
 t2 = time.time()
-a, b = bands.alias("a"), bands.alias("b")
-pairs = (
-    a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    )
-    .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    .distinct()
-    .count()
-)
+# The registered J3 candidate join, verbatim (ADVICE r7).
+pairs = minhash_candidate_pairs(bands).count()
 t3 = time.time()
 print(
     json.dumps(

@@ -20,7 +20,7 @@ from tropology_spark.sources.tables import edges_materialized  # noqa: E402
 
 t0 = time.time()
 spark = get_spark("proj-scale")
-sf = "/root/testdata/sf0.1"
+sf = __import__("os").environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 base = edges_materialized(spark, sf)
 coff, poff = 10_000_000, 10_000_000
 parts = [base]

@@ -19,7 +19,7 @@ from tropology_spark.sources.tables import load  # noqa: E402
 
 t0 = time.time()
 spark = get_spark("rank-scale")
-sf = "/root/testdata/sf0.1"
+sf = __import__("os").environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 base = load(spark, sf, "lineitem").select(
     (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("k"),
     F.col("l_extendedprice").alias("p"),

@@ -18,7 +18,7 @@ from tropology_spark.sources.tables import load  # noqa: E402
 
 t0 = time.time()
 spark = get_spark("sess-scale")
-sf = "/root/testdata/sf0.1"
+sf = __import__("os").environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 base = load(spark, sf, "events").select("user_id", "event_id", "ts")
 copies = spark.range(mult).select(F.col("id").alias("cp"))
 ev = iter_materialize(

@@ -284,6 +284,27 @@ def minhash_bands_frame(
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+def minhash_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """The J3 LSH candidate join over a ``(doc_id, band, bucket)``
+    frame: distinct ordered pairs of docs sharing any band bucket.
+    Single home of the band-bucket equi-join — shared by the
+    registered query below and tools/scale_probes/minhash_scale.py
+    (ADVICE r7: the probe must time the EXACT registered join path,
+    not a hand-rewrite)."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 @register("dedup_minhash_lsh", oracle=_minhash_oracle_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 — MinHash-LSH near-dup candidates, the 100 TB-scale
@@ -301,19 +322,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated from the same constant table, so the driver hash-compares
     the candidate set exactly.  Recall against J2's confirmed pairs is
     additionally pinned by tests/test_units.py."""
-    bands = minhash_bands_frame(spark, sf_dir)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return minhash_candidate_pairs(minhash_bands_frame(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------

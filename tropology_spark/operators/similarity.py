@@ -275,8 +275,21 @@ def quantizer_assign_materialized(
     once; the exact chain ``KNN_ASSIGN_CTE`` mirrors in SQL).  Both
     frames are materialized: e feeds every Lloyd round and every
     caller's pair-join sides, assign is branched on by each caller
-    (the DOUBLE-REFERENCE RULE applied at the cache boundary)."""
+    (the DOUBLE-REFERENCE RULE applied at the cache boundary).
+
+    Index persistence (VERDICT r7 item 2 — the 100 TB posture, where
+    the quantizer is a SAVED artifact, trained once and reloaded by
+    every consumer): when ``TROPOLOGY_QUANT_INDEX_DIR`` is set, the
+    assignment is read from ``<dir>/assign_<sf>`` if present and
+    written there after training otherwise — so the Lloyd build runs
+    at most once across sessions (the TROPOLOGY_CHECKPOINT_DIR
+    pattern).  The driver contract never sets the env var, so
+    registered-query behavior is unchanged by default.  For the
+    plan-level benefit (shuffle-free cell-blocked pair joins) persist
+    via :func:`quantizer_write_index` instead, which keeps the
+    bucketing metadata a plain parquet round-trip loses."""
     import math
+    import os
 
     from tropology_spark.sources.tables import table_count
 
@@ -286,6 +299,14 @@ def quantizer_assign_materialized(
             .select("vec_id", as_double(F.col("embedding")).alias("emb"))
             .withColumn("nv", norm(F.col("emb")))
         )
+        idx_dir = os.environ.get("TROPOLOGY_QUANT_INDEX_DIR")
+        idx_path = None
+        if idx_dir:
+            idx_path = os.path.join(
+                idx_dir, f"assign_{os.path.basename(os.path.normpath(sf_dir))}"
+            )
+            if os.path.isdir(idx_path):
+                return (e, spark.read.parquet(idx_path))
         n = table_count(spark, sf_dir, "embeddings")
         k = math.ceil(math.sqrt(n))
         assign0 = e.filter(
@@ -297,6 +318,9 @@ def quantizer_assign_materialized(
         _, assign = lloyd_rounds(
             e, assign0, 1 + _LLOYD_ITERS, train_mod=_LLOYD_TRAIN_MOD, pin="assign"
         )
+        if idx_path is not None:
+            assign.write.mode("overwrite").parquet(idx_path)
+            assign = spark.read.parquet(idx_path)
         return (e, assign)
 
     from tropology_spark.sources.tables import cache_get_or_build
@@ -304,6 +328,44 @@ def quantizer_assign_materialized(
     return cache_get_or_build(
         _QUANT_CACHE, (spark.sparkContext.applicationId, sf_dir), build
     )
+
+
+def quantizer_write_index(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    n_buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Persist the trained coarse-quantizer assignment as a BUCKETED
+    catalog table — cell-clustered on disk via the M23 bucketing
+    toolkit substrate, so a reloading session's cell-blocked pair
+    join (J9/M2/M189's shape) reads both sides pre-partitioned and
+    plans with ZERO shuffle exchanges (pinned by
+    tests/test_bucketing.py::test_quantizer_index_persist_reload).
+
+    ``bucketBy(cell)`` + ``sortBy(cell, vec_id)`` is exactly the
+    "assignment table written bucketed by cell" the 100 TB design
+    notes promise (sim_knn_join docstring, SURVEY §7.7): at scale the
+    quantizer trains once, this artifact ships to every consumer, and
+    per-cell work co-locates without an exchange."""
+    _, assign = quantizer_assign_materialized(spark, sf_dir)
+    w = (
+        assign.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "cell")
+        .sortBy("cell", "vec_id")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def quantizer_read_index(spark: SparkSession, table: str) -> DataFrame:
+    """Reload a :func:`quantizer_write_index` artifact.  The catalog
+    carries the bucket spec, so downstream cell-keyed joins and
+    aggregations consume the on-disk hash partitioning directly."""
+    return spark.table(table)
 
 
 @register(
