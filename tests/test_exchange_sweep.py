@@ -88,6 +88,10 @@ BNLJ_ALLOWED = {
     "sim_range_search", "sim_rp_lsh_topk", "sim_topk_cosine",
     "sim_topk_l2", "sub_any_all", "text_langid_nb", "text_source_drift",
     "text_tfidf_top", "ts_resample_gapfill",
+    # round-8 scalar attaches: M219 broadcasts the 1-row corpus count /
+    # per-method totals into the 3-row union; M221 broadcasts the 1-row
+    # winning pair into the merge projection.
+    "dedup_survivorship_report", "text_bpe_merge2",
 }
 
 #: The ONLY row-at-a-time Python evaluation sites: L1 (the declared
