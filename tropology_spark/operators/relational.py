@@ -1468,7 +1468,9 @@ _ASOF_TOL_US = 1_800_000_000  # 30 minutes, exact µs
     FROM j WHERE rn = 1
     """,
 )
-def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_asof_tolerance(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
     """M217 — as-of join with a MAX-STALENESS bound, completing the
     as-of family (C9 backward-unbounded, M131 forward, M158 nearest):
     for each purchase, the same user's most recent view no older than
@@ -1492,12 +1494,14 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming state-expiry contract: a 30-min watermark holds 2
     buckets of view state per user).  The purchase frame feeds both
     the probe and the final sentinel left-join — checkpointed once
-    (DOUBLE-REFERENCE RULE)."""
+    (DOUBLE-REFERENCE RULE).  ``events`` substitutes a pre-built
+    (event_id, user_id, event_type, ts) frame for the table scan
+    (scale probes — the ts_sessionize pattern)."""
     from pyspark.sql import Window
 
     from tropology_spark.session import iter_materialize
 
-    e = load(spark, sf_dir, "events")
+    e = events if events is not None else load(spark, sf_dir, "events")
     p = iter_materialize(
         e.filter(F.col("event_type") == "purchase").select(
             F.col("event_id").alias("purchase_id"),

@@ -1801,7 +1801,9 @@ def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c JOIN obs ON c.event_type = obs.event_type AND c.whour = obs.hour
     """,
 )
-def ts_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ts_sliding_distinct(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
     """M218 — per event type and observed hour, the DISTINCT users
     active in the trailing 3-hour window [h-2, h] — the sliding-window
     distinct primitive (K2's batch twin one level up: K2 slides a
@@ -1824,8 +1826,10 @@ def ts_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shape extends to any window/step ratio W/S by exploding
     ceil(W/S) offsets.  The observation frame feeds both the slide
     and the observed-hours semi side — checkpointed once
-    (DOUBLE-REFERENCE RULE)."""
-    e = load(spark, sf_dir, "events")
+    (DOUBLE-REFERENCE RULE).  ``events`` substitutes a pre-built
+    (event_type, user_id, ts) frame for the table scan (scale
+    probes)."""
+    e = events if events is not None else load(spark, sf_dir, "events")
     uh = iter_materialize(
         e.select(
             "event_type",
