@@ -469,3 +469,48 @@ def test_checkpoint_recovery_resumes_without_reprocessing(spark, tmp_path):
     # (b) the restarted run read ONLY the new files (source log replay)
     read_rows = sum(p["numInputRows"] for p in q2.recentProgress)
     assert read_rows == n2, f"restart reprocessed old data: {read_rows} != {n2}"
+
+
+def test_sliding_distinct_stream_matches_batch_and_registered(spark, events_dir):
+    """M218's streaming twin: the chained two-stage stateful query
+    (windowed per-user collapse → per-window user count) must equal
+    (a) the same builder run on the batch frame, restricted to the
+    watermark-closed windows append mode emits, and (b) the registered
+    ts_sliding_distinct rows under the label mapping trailing-hour
+    H ↔ window [H-2h, H+1h)."""
+    import datetime
+
+    from tropology_spark import QUERIES
+
+    ev = spark.read.parquet(events_dir)
+    batch = jobs.stream_sliding_distinct(ev)
+    stream = run_stream_to_memory(
+        spark,
+        jobs.stream_sliding_distinct(_stream_events(spark, events_dir)),
+        "t_sliding_distinct",
+        "append",
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - datetime.timedelta(minutes=10)
+    closed = batch.filter(F.expr(f"window.end <= timestamp'{wm}'"))
+    cols = ["event_type", "ws", "n_users_3h"]
+    a = closed.select("event_type", F.col("window.start").alias("ws"), "n_users_3h")
+    b = stream.select("event_type", F.col("window.start").alias("ws"), "n_users_3h")
+    assert_same_rows(a, b, cols)
+
+    # (b) registered-query mapping: every (type, H, n) row must appear
+    # as the window starting at H-2 hours with the same count.
+    win = {
+        (r["event_type"], r["ws"]): r["n_users_3h"]
+        for r in batch.select(
+            "event_type", F.col("window.start").alias("ws"), "n_users_3h"
+        ).collect()
+    }
+    reg = QUERIES["ts_sliding_distinct"](spark, SF_UNIT).collect()
+    assert len(reg) > 0
+    epoch = datetime.datetime(1970, 1, 1)
+    for r in reg:
+        ws = epoch + datetime.timedelta(hours=int(r["hour"]) - 2)
+        assert win.get((r["event_type"], ws)) == r["n_users_3h"], (
+            r["event_type"], r["hour"], ws,
+        )

@@ -652,3 +652,34 @@ def stream_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+def stream_sliding_distinct(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """K2+ — the STREAMING twin of M218 (`ts_sliding_distinct`):
+    sliding 3h/1h DISTINCT users per event type, as a CHAINED stateful
+    pipeline (two stateful operators in one query — supported since
+    Spark 3.5 for time-window chains): stage 1 collapses each
+    (type, window, user) to one row (the windowed per-user count —
+    distinct state cannot subtract, so the slide replicates each
+    observation into its 3 covering windows exactly like the batch
+    rewrite's hour-offset explode), stage 2 counts the surviving
+    users per (type, window).
+
+    State contract: stage 1 holds ≤ 3 live windows per (type, user)
+    and both stages expire with the watermark; append mode emits a
+    window once the watermark passes its end.  Equality with the
+    batch twin (same builder on a batch frame, restricted to
+    watermark-closed windows) and the label-hour mapping onto the
+    registered M218 query are pinned by tests/test_streaming.py."""
+    w1 = (
+        events.withWatermark("ts", delay)
+        .groupBy(
+            "event_type",
+            F.window("ts", "3 hours", "1 hour").alias("window"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return w1.groupBy("event_type", "window").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users_3h")
+    )
