@@ -501,3 +501,65 @@ def test_counting_quantile_ranks_match_sorted_indexing(vals):
     assert by_counting(r50) == xs[r50 - 1]
     assert by_counting(r90) == xs[r90 - 1]
     assert r90 == -((-9 * n) // 10)  # (9n+9) div 10 IS ceil(0.9 n)
+
+
+@settings(**SMALL)
+@given(
+    purchases=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),      # user
+            st.integers(min_value=0, max_value=5400),   # seconds
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    views=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),
+            st.integers(min_value=0, max_value=5400),
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+)
+def test_asof_tolerance_equals_bruteforce(spark, purchases, views):
+    """M217 property: the registered bucketed as-of (run on a synthetic
+    events frame via the events= substitution) equals the brute-force
+    definition — latest same-user view with p-v in [0, TOL], ties to
+    the larger event id, sentinel otherwise — for arbitrary timestamp
+    layouts including exact bucket boundaries (TOL=1800 s and the
+    generator range straddles 3 buckets)."""
+    from tropology_spark.operators.relational import (
+        _ASOF_TOL_US,
+        join_asof_tolerance,
+    )
+
+    rows = [
+        (i, u, "purchase", s) for i, (u, s) in enumerate(purchases)
+    ] + [
+        (1000 + j, u, "view", s) for j, (u, s) in enumerate(views)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, sec long"
+    ).select(
+        "event_id", "user_id", "event_type", F.expr("timestamp_seconds(sec)").alias("ts")
+    )
+    got = {
+        r["purchase_id"]: (r["last_view_id"], r["staleness_us"])
+        for r in join_asof_tolerance(spark, "unused", events=ev).collect()
+    }
+    tol_s = _ASOF_TOL_US // 1_000_000
+    want = {}
+    for i, (u, s) in enumerate(purchases):
+        best = max(
+            (
+                (vs, 1000 + j)
+                for j, (vu, vs) in enumerate(views)
+                if vu == u and vs <= s and s - vs <= tol_s
+            ),
+            default=None,
+        )
+        want[i] = (
+            (best[1], (s - best[0]) * 1_000_000) if best else (-1, -1)
+        )
+    assert got == want
