@@ -148,3 +148,51 @@ def test_quantizer_env_index_skips_retraining(spark, tmp_path, monkeypatch):
         assert {(r["vec_id"], r["cell"]) for r in a2.collect()} == want
     finally:
         clear_session_caches()
+
+
+def test_minhash_index_persist_reload(spark, tmp_path):
+    """The LSH sibling of the quantizer artifact: the band table
+    written bucketed on (band, bucket), reloaded in a second session,
+    must (a) reproduce the registered dedup_minhash_lsh candidate set
+    exactly through the shared minhash_candidate_pairs join, and (b)
+    plan that join's equi stage with zero shuffle exchanges."""
+    from tropology_spark import QUERIES
+    from tropology_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_read_index,
+        minhash_write_index,
+    )
+
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_minhash_lsh"](spark, SF_UNIT).collect()
+    }
+    minhash_write_index(
+        spark, SF_UNIT, "mh_idx_test", path=str(tmp_path / "mh_idx")
+    )
+    try:
+        s2 = spark.newSession()
+        re = minhash_read_index(s2, "mh_idx_test")
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_candidate_pairs(re).collect()
+        }
+        assert got == want
+
+        prev = s2.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a, b = re.alias("a"), re.alias("b")
+            joined = a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            ).select(F.col("a.doc_id"), F.col("b.doc_id").alias("doc_b"))
+            plan = plan_of(joined)
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in plan, plan
+        finally:
+            s2.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_idx_test")

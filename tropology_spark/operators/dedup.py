@@ -976,3 +976,36 @@ def dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(
         pair_branch("dedup_minhash_lsh", "minhash_lsh")
     ).unionByName(pair_branch("dedup_simhash", "simhash"))
+
+
+def minhash_write_index(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    n_buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Persist the J3 MinHash band table ``(doc_id, band, bucket)`` as
+    a catalog table bucketed on the JOIN key (band, bucket) — the LSH
+    sibling of similarity.quantizer_write_index: at 100 TB the
+    signature pass runs once per corpus version, the band table ships
+    as an artifact, and every candidate join (dedup runs, incremental
+    probes, the M211 health audit) reads both sides pre-partitioned —
+    zero shuffle on the fat side (pinned by tests/test_bucketing.py::
+    test_minhash_index_persist_reload)."""
+    bands = minhash_bands_frame(spark, sf_dir)
+    w = (
+        bands.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "band", "bucket")
+        .sortBy("band", "bucket")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def minhash_read_index(spark: SparkSession, table: str) -> DataFrame:
+    """Reload a :func:`minhash_write_index` artifact (bucket spec
+    carried by the catalog)."""
+    return spark.table(table)
