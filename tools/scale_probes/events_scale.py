@@ -30,13 +30,17 @@ spark = get_spark("events-scale")
 sf = __import__("os").environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 base = load(spark, sf, "events").select("event_id", "user_id", "event_type", "ts")
 copies = spark.range(mult).select(F.col("id").alias("cp"))
+# The base fixture is one parquet file; without a repartition the
+# replicated frame materializes as ONE multi-GiB block at 1000x.
 ev = iter_materialize(
-    base.crossJoin(F.broadcast(copies)).select(
+    base.crossJoin(F.broadcast(copies))
+    .select(
         (F.col("event_id") + F.col("cp") * 1_000_000_000).alias("event_id"),
         (F.col("user_id") + F.col("cp") * 1_000_000).alias("user_id"),
         "event_type",
         "ts",
     )
+    .repartition(64)
 )
 n = ev.count()
 t1 = time.time()
