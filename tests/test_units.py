@@ -1584,3 +1584,32 @@ def test_mm_stratified_sample_matches_pure_python(spark):
         for r in QUERIES["mm_stratified_sample"](spark, SF_UNIT).collect()
     }
     assert got == want
+
+
+def test_cli_index_writes_and_reloads(spark, capsys, tmp_path):
+    """M19+ — the index subcommand: train, persist bucketed, reload,
+    print — for both artifact kinds."""
+    import json as _json
+
+    from tropology_spark import cli
+
+    try:
+        rc = cli.main([
+            "index", "minhash", "cli_mh_idx",
+            "--sf-dir", SF_UNIT, "--path", str(tmp_path / "mh"), "--limit", "3",
+        ])
+        out = capsys.readouterr().out.strip().splitlines()
+        assert rc == 0 and len(out) == 3
+        row = _json.loads(out[0])
+        assert set(row) == {"doc_id", "band", "bucket"}
+
+        rc = cli.main([
+            "index", "quantizer", "cli_q_idx",
+            "--sf-dir", SF_UNIT, "--path", str(tmp_path / "q"), "--limit", "2",
+        ])
+        out = capsys.readouterr().out.strip().splitlines()
+        assert rc == 0 and len(out) == 2
+        assert set(_json.loads(out[0])) == {"vec_id", "cell"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cli_mh_idx")
+        spark.sql("DROP TABLE IF EXISTS cli_q_idx")

@@ -8,6 +8,7 @@ The usability surface a reference user gets on day one:
     python -m tropology_spark.cli oracle dedup_exact     # print the DuckDB twin
     python -m tropology_spark.cli explain graph_triangles --mode formatted
     python -m tropology_spark.cli sql "SELECT count(*) AS n FROM lineitem"
+    python -m tropology_spark.cli index quantizer ann_cells --path /data/idx  # train + persist bucketed
 
 Output is JSON lines (one object per row) so results pipe into jq or
 back into another job.
@@ -51,6 +52,18 @@ def main(argv: list[str] | None = None) -> int:
     sql.add_argument("query", help="SQL text; fixture tables are registered as views")
     sql.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     sql.add_argument("--limit", type=int, default=20, help="max rows printed (0 = all)")
+
+    idx = sub.add_parser(
+        "index",
+        help="train + persist a bucketed index artifact, then print the"
+        " reloaded head (round-trip proof)",
+    )
+    idx.add_argument("kind", choices=["quantizer", "minhash"])
+    idx.add_argument("table", help="catalog table name for the artifact")
+    idx.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    idx.add_argument("--path", default=None, help="explicit table location")
+    idx.add_argument("--buckets", type=int, default=16)
+    idx.add_argument("--limit", type=int, default=5, help="reloaded rows printed")
 
     args = parser.parse_args(argv)
 
@@ -96,6 +109,41 @@ def main(argv: list[str] | None = None) -> int:
         df = spark.sql(args.query)
         rows = df.collect() if args.limit == 0 else df.limit(args.limit).collect()
         for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+        if owns_session:
+            spark.stop()
+        return 0
+
+    if args.cmd == "index":
+        from pyspark.sql import SparkSession
+
+        from tropology_spark.session import get_spark
+
+        owns_session = SparkSession.getActiveSession() is None
+        spark = get_spark("tropology-cli")
+        if args.kind == "quantizer":
+            from tropology_spark.operators.similarity import (
+                quantizer_read_index,
+                quantizer_write_index,
+            )
+
+            quantizer_write_index(
+                spark, args.sf_dir, args.table,
+                n_buckets=args.buckets, path=args.path,
+            )
+            re = quantizer_read_index(spark, args.table)
+        else:
+            from tropology_spark.operators.dedup import (
+                minhash_read_index,
+                minhash_write_index,
+            )
+
+            minhash_write_index(
+                spark, args.sf_dir, args.table,
+                n_buckets=args.buckets, path=args.path,
+            )
+            re = minhash_read_index(spark, args.table)
+        for r in re.limit(args.limit).collect():
             print(json.dumps(r.asDict(), default=str))
         if owns_session:
             spark.stop()
