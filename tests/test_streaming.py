@@ -514,3 +514,32 @@ def test_sliding_distinct_stream_matches_batch_and_registered(spark, events_dir)
         assert win.get((r["event_type"], ws)) == r["n_users_3h"], (
             r["event_type"], r["hour"], ws,
         )
+
+
+def test_asof_tolerance_stream_matches_registered(spark, events_dir):
+    """M217's streaming twin: the outer-interval-join → windowed
+    max_by chain must reproduce the registered join_asof_tolerance
+    rows (including sentinels, produced by watermark passage instead
+    of a left join) for every purchase whose 1-hour window the final
+    watermark closed — and must cover a non-trivial share of them."""
+    from tropology_spark import QUERIES
+
+    stream = run_stream_to_memory(
+        spark,
+        jobs.stream_asof_tolerance(_stream_events(spark, events_dir)),
+        "t_asof_tol",
+        "append",
+    )
+    got = {
+        r["purchase_id"]: (
+            r["last_view_id"] if r["last_view_id"] is not None else -1,
+        )
+        for r in stream.collect()
+    }
+    want = {
+        r["purchase_id"]: (r["last_view_id"],)
+        for r in QUERIES["join_asof_tolerance"](spark, SF_UNIT).collect()
+    }
+    assert len(got) > 0.5 * len(want)  # only tail windows may be withheld
+    for pid, v in got.items():
+        assert want[pid] == v, (pid, v, want[pid])

@@ -683,3 +683,52 @@ def stream_sliding_distinct(events: DataFrame, delay: str = "10 minutes") -> Dat
     return w1.groupBy("event_type", "window").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users_3h")
     )
+
+
+def stream_asof_tolerance(events: DataFrame, delay: str = "30 minutes") -> DataFrame:
+    """K8+ — the STREAMING twin of M217 (`join_asof_tolerance`): for
+    each purchase, the same user's latest view no staler than 30
+    minutes, as a stream-stream LEFT OUTER interval join (both sides
+    watermarked; the outer side emits its null-padded row once the
+    watermark proves no match can still arrive — the sentinel
+    semantics of the batch op, produced by time instead of by a
+    left join) CHAINED into a time-windowed max_by aggregation that
+    picks the latest candidate per purchase (struct(v_ts, v_id) max —
+    the batch op's exact tie-break).
+
+    State contract: view state expires at watermark + 30 min (the
+    interval bound — C9's unbounded as-of could never expire it),
+    purchase groups close with their 1-hour window.  Equality with
+    the registered M217 rows on watermark-closed windows is pinned by
+    tests/test_streaming.py."""
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .withWatermark("ts", delay)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("v_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", delay)
+        .select(F.col("event_id").alias("purchase_id"), "user_id", "ts")
+    )
+    j = p.join(
+        v,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts") <= F.col("ts"))
+        & (F.col("v_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+    return (
+        j.groupBy(F.window("ts", "1 hour").alias("w"), "purchase_id", "user_id")
+        .agg(F.max(F.struct(F.col("v_ts"), F.col("v_id"))).alias("best"))
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("best.v_ts").alias("last_view_ts"),
+            F.col("best.v_id").alias("last_view_id"),
+        )
+    )
