@@ -563,3 +563,53 @@ def test_asof_tolerance_equals_bruteforce(spark, purchases, views):
             (best[1], (s - best[0]) * 1_000_000) if best else (-1, -1)
         )
     assert got == want
+
+
+@settings(**SMALL)
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),    # event type index
+            st.integers(min_value=0, max_value=4),    # user
+            st.integers(min_value=0, max_value=12),   # hour (gappy)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_sliding_distinct_equals_setunion(spark, obs):
+    """M218 property: the hour-offset-explode rewrite (run through the
+    registered query via the events= substitution) equals the direct
+    trailing-3h set union at every observed (type, hour) — for
+    arbitrary gappy hour layouts (gaps must shrink the window's
+    content, never pull in rows across them; unobserved hours must
+    emit nothing)."""
+    from tropology_spark.operators.timeseries import ts_sliding_distinct
+
+    types = ["click", "view"]
+    rows = [
+        (i, u, types[t], h * 3600)
+        for i, (t, u, h) in enumerate(obs)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, sec long"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.expr("timestamp_seconds(sec)").alias("ts"),
+    )
+    got = {
+        (r["event_type"], r["hour"]): r["n_users_3h"]
+        for r in ts_sliding_distinct(spark, "unused", events=ev).collect()
+    }
+    users: dict = {}
+    for t, u, h in obs:
+        users.setdefault((types[t], h), set()).add(u)
+    want = {
+        (ty, h): len(
+            users.get((ty, h), set())
+            | users.get((ty, h - 1), set())
+            | users.get((ty, h - 2), set())
+        )
+        for (ty, h) in users
+    }
+    assert got == want
