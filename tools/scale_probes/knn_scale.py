@@ -3,8 +3,13 @@ replicated scale (VERDICT r6 item 4: demonstrate that the iters=3
 overhead vs iters=1 is fixed cold-JIT/job-scheduling cost, not
 data-proportional work).
 
-Usage: python /tmp/knn_scale.py <mult> <iters>
-Prints one JSON line {mult, iters, n, k, lloyd_sec, total_sec}.
+Usage: python knn_scale.py <mult> <iters> [artifact]
+Prints one JSON line {mult, iters, n, k, lloyd_sec, total_sec}.  With
+the optional ``artifact`` arg, also writes the trained assignment as a
+parquet artifact and times an independent reload — the
+TROPOLOGY_QUANT_INDEX_DIR posture: train cost grows with n while
+reload cost stays scan-bound, so the saved-index benefit WIDENS with
+scale (adds write_sec / reload_sec to the JSON).
 """
 import json
 import math
@@ -53,16 +58,24 @@ t1 = time.time()
 _, assign = lloyd_rounds(e, assign0, iters, train_mod=_LLOYD_TRAIN_MOD, pin="assign")
 assign.count()
 t2 = time.time()
-print(
-    json.dumps(
-        {
-            "mult": mult,
-            "iters": iters,
-            "n": n,
-            "k": k,
-            "lloyd_sec": round(t2 - t1, 2),
-            "total_sec": round(t2 - t0, 2),
-        }
-    )
-)
+out = {
+    "mult": mult,
+    "iters": iters,
+    "n": n,
+    "k": k,
+    "lloyd_sec": round(t2 - t1, 2),
+    "total_sec": round(t2 - t0, 2),
+}
+if len(sys.argv) > 3 and sys.argv[3] == "artifact":
+    import tempfile
+
+    p = tempfile.mkdtemp() + "/assign"
+    t3 = time.time()
+    assign.write.mode("overwrite").parquet(p)
+    t4 = time.time()
+    assert spark.read.parquet(p).count() == n
+    t5 = time.time()
+    out["write_sec"] = round(t4 - t3, 2)
+    out["reload_sec"] = round(t5 - t4, 2)
+print(json.dumps(out))
 spark.stop()
