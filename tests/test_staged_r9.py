@@ -1,0 +1,139 @@
+"""Driver-replica parity for the STAGED round-9 operators
+(tropology_spark/operators/staged_r9.py) — the full compare the
+registry queries get, run over the staged (fn, oracle) pairs at both
+verification scales, plus independent Python twins for the
+formula-risk ops.  Activation in round 9 is then a mechanical
+move-and-register.
+
+The staged module must never be imported by package __init__ (registry
+order is externally significant); importing it here is safe because it
+registers nothing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE, SF_UNIT, make_duckdb
+from tropology_spark.operators.staged_r9 import STAGED
+
+
+def test_staged_module_registers_nothing():
+    from tropology_spark import QUERIES
+
+    assert not (set(STAGED) & set(QUERIES))
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_parity_both_scales(spark, name):
+    from tests.parity import compare
+
+    fn, oracle = STAGED[name]
+    for sf in (SF_UNIT, SF_ORACLE):
+        con = make_duckdb(sf)
+        try:
+            compare(name, spark, con, fn, oracle, sf)
+        finally:
+            con.close()
+
+
+def test_staged_skyline_matches_bruteforce(spark):
+    """Formula-independent check: the linear-sweep skyline equals the
+    O(n²) Python dominance scan."""
+    import duckdb
+
+    fn, _ = STAGED["join_skyline_pareto"]
+    rows = duckdb.sql(
+        f"""SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT),
+                   CAST(p_size AS BIGINT)
+            FROM read_parquet('{SF_UNIT}/part.parquet')"""
+    ).fetchall()
+    want = set()
+    for k, c, s in rows:
+        dominated = any(
+            dc <= c and ds >= s and (dc < c or ds > s) for _, dc, ds in rows
+        )
+        if not dominated:
+            want.add((k, c, s))
+    got = {
+        (r["p_partkey"], r["cents"], r["size"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_staged_bpe_vocab4_matches_pure_python(spark):
+    """Formula-independent check: four Counter/str.replace merge
+    rounds (the M221 twin, iterated)."""
+    from collections import Counter
+
+    import duckdb
+
+    fn, _ = STAGED["text_bpe_vocab4"]
+    texts = [
+        t
+        for (t,) in duckdb.sql(
+            f"SELECT text FROM read_parquet('{SF_UNIT}/documents.parquet')"
+        ).fetchall()
+    ]
+    toks = [w for t in texts for w in t.split(" ")]
+
+    def counts(tokens):
+        c = Counter()
+        for w in tokens:
+            for i in range(len(w) - 1):
+                c[w[i : i + 2]] += 1
+        return c
+
+    def top(c, k=10):
+        ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(p, n, i + 1) for i, (p, n) in enumerate(ordered)]
+
+    def disp(p):
+        for r in range(1, 5):
+            p = p.replace(chr(r), str(r))
+        return p
+
+    want = set()
+    cur = toks
+    for r in range(1, 5):
+        c = counts(cur)
+        want |= {(r, disp(p), n, rn) for p, n, rn in top(c)}
+        mpair = top(c, 1)[0][0]
+        cur = [w.replace(mpair, chr(r)) for w in cur]
+    got = {
+        (r["merge_round"], r["pair"], r["n"], r["rn"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_staged_survival_curve_matches_pure_python(spark):
+    """Formula-independent check: survival at k == #customers with
+    lifetime >= k, per cohort."""
+    from collections import defaultdict
+
+    import duckdb
+
+    fn, _ = STAGED["analytics_survival_curve"]
+    rows = duckdb.sql(
+        f"""SELECT o_custkey,
+                   CAST(min(datediff('day', DATE '1970-01-01',
+                                     CAST(o_orderdate AS DATE))) // 7 AS BIGINT),
+                   CAST(max(datediff('day', DATE '1970-01-01',
+                                     CAST(o_orderdate AS DATE))) // 7 AS BIGINT)
+            FROM read_parquet('{SF_UNIT}/orders.parquet') GROUP BY 1"""
+    ).fetchall()
+    lifetimes = defaultdict(list)
+    for _, fw, lw in rows:
+        lifetimes[fw].append(lw - fw)
+    want = {}
+    for cohort, offs in lifetimes.items():
+        for k in set(offs):
+            want[(cohort, k)] = sum(1 for o in offs if o >= k)
+    got = {
+        (r["cohort_week"], r["k"]): r["n_surviving"]
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want

@@ -1,0 +1,412 @@
+"""STAGED round-9 operators — implemented and parity-tested, NOT yet
+registered.
+
+The driver hash-checks the first 50 registry entries per round, and the
+round-8 window is exactly budgeted (_R8_NEW + the final 44 stale
+refreshes — see ``tropology_spark/__init__.py``), so these cannot enter
+``QUERIES`` this round without evicting a queue slot the round-7
+verdict ordered spent on freshness.  They live here with the SAME
+(fn, oracle) contract the registry uses; round 9 activates each by
+moving it into its home module with ``@register`` + the five-fold
+lockstep (CLAUDE.md).  Until then tests/test_staged_r9.py runs the
+full driver-replica comparison over ``STAGED`` at both verification
+scales, so activation is a mechanical move, not a build.
+
+This module is intentionally NOT imported from ``tropology_spark/
+__init__.py`` — importing it must never perturb registry order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tropology_spark.sources.tables import load
+
+#: name -> (query_fn, oracle_sql); the registry contract, unregistered.
+STAGED: dict = {}
+
+
+def _stage(name: str, oracle: str):
+    def deco(fn):
+        STAGED[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# fn_tz_day_profile — timezone-aware local-hour profile (DST-correct)
+# ---------------------------------------------------------------------------
+
+_TZ = "America/New_York"
+
+
+@_stage(
+    "fn_tz_day_profile",
+    oracle=f"""
+    SELECT event_type,
+           strftime(timezone('{_TZ}', timezone('UTC', ts)), '%H') AS local_hour,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def fn_tz_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — the tz-correct hour-of-day activity profile
+    (event counts + distinct users per type and LOCAL hour), the form
+    every "when are users active" dashboard actually needs: civil
+    time, DST-correct, not UTC buckets.  Cross-engine rule (verified
+    live in round 8 across both 2024 DST edges and under a non-UTC
+    DuckDB session TZ): Spark ``convert_timezone('UTC', tz, ts)`` ==
+    DuckDB ``timezone(tz, timezone('UTC', ts))`` — the double-
+    timezone() oracle form pins the naive→UTC interpretation and
+    returns a naive local, independent of the session TimeZone (the
+    single TIMESTAMPTZ cast reads the session TZ; never use it).
+
+    Scale: pure scan-side projection to a 24-value key, one map-side-
+    combinable rollup with a distinct partial — no window, no join."""
+    e = load(spark, sf_dir, "events")
+    local_hour = F.date_format(
+        F.expr(f"convert_timezone('UTC', '{_TZ}', ts)"), "HH"
+    )
+    return e.groupBy("event_type", local_hour.alias("local_hour")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_vocab4 — four unrolled BPE merge rounds (M221 extended)
+# ---------------------------------------------------------------------------
+
+_BPE4_ROUNDS = 4
+_BPE4_TOP = 10
+
+
+def _bpe4_oracle() -> str:
+    """Chained M221 CTEs: counts -> top-1 -> chr(r)-sentinel merge,
+    four times; sentinels display as the digits '1'..'4' (absent from
+    the fixture alphabet of space + lowercase letters)."""
+    parts = [
+        """
+    WITH m0 AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    """
+    ]
+    for r in range(1, _BPE4_ROUNDS + 1):
+        parts.append(f"""
+    , p{r} AS (
+      SELECT substring(token, i, 2) AS pair
+      FROM m{r - 1}, (SELECT unnest(generate_series(1, 256)) AS i) g{r}
+      WHERE i <= len(token) - 1
+    ),
+    c{r} AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p{r} GROUP BY 1),
+    t{r} AS (SELECT pair FROM c{r} ORDER BY n DESC, pair LIMIT 1),
+    m{r} AS (SELECT replace(token, (SELECT pair FROM t{r}), chr({r})) AS token
+             FROM m{r - 1})
+    """)
+    disp = "pair"
+    for r in range(1, _BPE4_ROUNDS + 1):
+        disp = f"replace({disp}, chr({r}), '{r}')"
+    ranked = "\n      UNION ALL ".join(
+        f"SELECT {r} AS merge_round, pair, n,"
+        f" row_number() OVER (ORDER BY n DESC, pair) AS rn FROM c{r}"
+        for r in range(1, _BPE4_ROUNDS + 1)
+    )
+    parts.append(f"""
+    , ranked AS (
+      {ranked}
+    )
+    SELECT CAST(merge_round AS BIGINT) AS merge_round, {disp} AS pair, n,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_BPE4_TOP}
+    """)
+    return "".join(parts)
+
+
+@_stage("text_bpe_vocab4", oracle=_bpe4_oracle())
+def text_bpe_vocab4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — M221 extended to FOUR unrolled BPE merge rounds:
+    each round counts adjacent symbol pairs, merges the (count DESC,
+    pair) winner everywhere via the chr(r) sentinel (the round-8
+    verified left-to-right non-overlapping ``replace``), and re-counts
+    — the first four rows of a BPE vocabulary build, with each round's
+    top-{t} candidate table emitted.  Sentinels surface as digits
+    '1'..'4' (collision-free against the letters-only fixture
+    alphabet; injective, unlike a shared '*').
+
+    Scale: per round one linear explode+count on a bounded key and a
+    1-row broadcast winner — the production BPE recurrence is k
+    iterations of exactly this; each count table feeds its rank AND
+    the winner, so each is checkpointed (DOUBLE-REFERENCE RULE),
+    while the token frames chain linearly (single reference each)."""
+    from tropology_spark.session import iter_materialize
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+
+    def pair_counts(frame: DataFrame) -> DataFrame:
+        return (
+            frame.filter(F.length("token") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(token) - 1),"
+                        " i -> substring(token, i, 2))"
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+
+    w = Window.partitionBy(F.pmod(F.col("n"), F.lit(1))).orderBy(
+        F.desc("n"), F.asc("pair")
+    )
+    disp_sql = "pair"
+    for r in range(1, _BPE4_ROUNDS + 1):
+        disp_sql = f"replace({disp_sql}, char({r}), '{r}')"
+
+    cur = toks
+    ranked_parts: list[DataFrame] = []
+    for r in range(1, _BPE4_ROUNDS + 1):
+        c = iter_materialize(pair_counts(cur))
+        ranked_parts.append(
+            c.withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rn") <= _BPE4_TOP)
+            .select(
+                F.lit(r).cast("bigint").alias("merge_round"),
+                F.expr(disp_sql).alias("pair"),
+                "n",
+                "rn",
+            )
+        )
+        top = (
+            c.orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .select(F.col("pair").alias("mpair"))
+        )
+        cur = cur.crossJoin(F.broadcast(top)).select(
+            F.expr(f"replace(token, mpair, char({r}))").alias("token")
+        )
+    out = ranked_parts[0]
+    for p in ranked_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+text_bpe_vocab4.__doc__ = text_bpe_vocab4.__doc__.format(t=_BPE4_TOP)
+
+
+# ---------------------------------------------------------------------------
+# join_skyline_pareto — 2-D skyline (cheapest-for-the-size frontier)
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "join_skyline_pareto",
+    oracle="""
+    WITH pc AS (
+      SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    )
+    SELECT p_partkey, cents, size
+    FROM pc x
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pc d
+      WHERE d.cents <= x.cents AND d.size >= x.size
+        AND (d.cents < x.cents OR d.size > x.size)
+    )
+    """,
+)
+def join_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — the 2-D SKYLINE (Pareto frontier): parts not
+    dominated on (price ↓, size ↑) — "no other part is both cheaper
+    and at least as large" — the classic multi-criteria shortlist
+    operator.  The oracle keeps the declarative NOT EXISTS dominance
+    (quadratic, oracle-scale only); the Spark side is the linear
+    sweep: collapse to the per-price max size (one hash aggregate),
+    take the running max over strictly cheaper prices on the price
+    axis, and a row survives iff it beats every cheaper price's best
+    size AND is its own price's best.  Equal (cents, size) twins are
+    all kept (neither dominates — the strictness clause).
+
+    Scale: the quadratic dominance check becomes one map-side-
+    combinable rollup to the DISTINCT-PRICE axis + one bounded-axis
+    running max on the pmod constant key (the price grid is a bounded
+    DOMAIN — the M196 counting-quantile argument) + one broadcast-
+    sized join back.  No self-join at any size."""
+    from tropology_spark.session import iter_materialize
+
+    pc = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    g = iter_materialize(
+        pc.groupBy("cents").agg(F.max("size").alias("gmax"))
+    )
+    rw = (
+        Window.partitionBy(F.pmod(F.col("cents"), F.lit(1)))
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # rows preceding in cents order = strictly cheaper prices (g has
+    # one row per cents, so ROWS and RANGE agree).
+    frontier = g.select(
+        "cents",
+        "gmax",
+        F.max("gmax").over(rw).alias("cheaper_best"),
+    )
+    return (
+        pc.join(F.broadcast(frontier), "cents")
+        .filter(
+            (F.col("cheaper_best").isNull() | (F.col("cheaper_best") < F.col("size")))
+            & (F.col("size") == F.col("gmax"))
+        )
+        .select("p_partkey", "cents", "size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytics_survival_curve — cohort retention survival table
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "analytics_survival_curve",
+    oracle="""
+    WITH span AS (
+      SELECT o_custkey,
+             CAST(min(datediff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE))) // 7 AS BIGINT)
+               AS first_w,
+             CAST(max(datediff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE))) // 7 AS BIGINT)
+               AS last_w
+      FROM orders GROUP BY o_custkey
+    ),
+    h AS (
+      SELECT first_w AS cohort_week, last_w - first_w AS offset_w,
+             CAST(count(*) AS BIGINT) AS n
+      FROM span GROUP BY 1, 2
+    )
+    SELECT cohort_week, CAST(offset_w AS BIGINT) AS k,
+           CAST(sum(n) OVER (PARTITION BY cohort_week ORDER BY offset_w
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                AS BIGINT) AS n_surviving
+    FROM h
+    """,
+)
+def analytics_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — the cohort SURVIVAL table: for each first-order
+    week cohort and observed lifetime offset k (weeks), how many
+    customers' activity span lasted AT LEAST k weeks (last order ≥
+    first + k) — M52 retention's cumulative complement, the curve a
+    churn analysis plots.  Survival at k is the reverse cumulative of
+    the lifetime histogram, so the corpus collapses to per-customer
+    (first, last) in one aggregate and the curve is a window over the
+    bounded (cohort, offset) grid — emitted at OBSERVED offsets (the
+    M155 gap rule: no dense spine).
+
+    Scale: one shuffle to (customer) for the span, one rollup to the
+    (cohort, offset) grid, one partitioned window over ≤ observed-
+    offset rows per cohort.  All integers (epoch-day div 7 week
+    buckets — the M193 date idiom; o_orderdate is TIMESTAMP_NTZ, so
+    unix_micros would not even resolve)."""
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    span = o.select("o_custkey", day.alias("d")).groupBy("o_custkey").agg(
+        F.expr("min(d) div 7").cast("bigint").alias("first_w"),
+        F.expr("max(d) div 7").cast("bigint").alias("last_w"),
+    )
+    h = span.groupBy(
+        F.col("first_w").alias("cohort_week"),
+        (F.col("last_w") - F.col("first_w")).alias("offset_w"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("offset_w")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return h.select(
+        "cohort_week",
+        F.col("offset_w").cast("bigint").alias("k"),
+        F.sum("n").over(w).cast("bigint").alias("n_surviving"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_double_smooth — Brown's double exponential smoothing (dyadic taps)
+# ---------------------------------------------------------------------------
+
+_DS_TAPS = 4  # alpha = 1/2 truncated to 4 lags per pass; scale 16 per pass
+
+
+def _ds_oracle() -> str:
+    lag1 = " + ".join(
+        f"coalesce(lag(cents, {j}) OVER w, 0) * {1 << (_DS_TAPS - 1 - j)}"
+        for j in range(_DS_TAPS)
+    )
+    lag2 = " + ".join(
+        f"coalesce(lag(s1, {j}) OVER w2, 0) * {1 << (_DS_TAPS - 1 - j)}"
+        for j in range(_DS_TAPS)
+    )
+    return f"""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    s1t AS (
+      SELECT user_id, event_id, ts, CAST({lag1} AS BIGINT) AS s1
+      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, s1 AS s1_x16,
+           CAST({lag2} AS BIGINT) AS s2_x256,
+           CAST(16 * s1 - ({lag2}) AS BIGINT) AS trend_x256
+    FROM s1t WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@_stage("ts_double_smooth", oracle=_ds_oracle())
+def ts_double_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — Brown's DOUBLE exponential smoothing with the
+    M58 dyadic-taps trick applied twice: the second pass smooths the
+    first pass's output, and the Brown trend term 2·S' − S'' falls out
+    as the exact integer 16·s1 − s2 (scales x16 and x256) — the
+    forecasting primitive (level + trend) as portable integer
+    arithmetic, where a float recurrence could never cross the engine
+    hash gate (functions/exact.py).
+
+    Scale: both passes share ONE (user) partitioning — Spark plans
+    the two window stages with a single shuffle; taps are fixed, so
+    per-row cost is O(taps)."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s1 = F.lit(0)
+    for j in range(_DS_TAPS):
+        s1 = s1 + F.coalesce(F.lag("cents", j).over(w), F.lit(0)) * (
+            1 << (_DS_TAPS - 1 - j)
+        )
+    t1 = c.select("user_id", "event_id", "ts", s1.cast("bigint").alias("s1"))
+    s2 = F.lit(0)
+    for j in range(_DS_TAPS):
+        s2 = s2 + F.coalesce(F.lag("s1", j).over(w), F.lit(0)) * (
+            1 << (_DS_TAPS - 1 - j)
+        )
+    return t1.select(
+        "user_id",
+        F.col("event_id"),
+        F.col("s1").alias("s1_x16"),
+        s2.cast("bigint").alias("s2_x256"),
+        (16 * F.col("s1") - s2).cast("bigint").alias("trend_x256"),
+    )
