@@ -137,3 +137,76 @@ def test_staged_survival_curve_matches_pure_python(spark):
         for r in fn(spark, SF_UNIT).collect()
     }
     assert got == want
+
+
+def test_staged_winback_matches_pure_python(spark):
+    """Formula-independent check: winbacks = gaps >= 8 in the sorted
+    per-user active-day list."""
+    from collections import defaultdict
+
+    import duckdb
+
+    fn, _ = STAGED["analytics_winback_counts"]
+    rows = duckdb.sql(
+        f"""SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+            FROM read_parquet('{SF_UNIT}/events.parquet')"""
+    ).fetchall()
+    days = defaultdict(list)
+    for u, d in rows:
+        days[u].append(d)
+    stats = []
+    for u, ds in days.items():
+        ds.sort()
+        gaps = [b - a for a, b in zip(ds, ds[1:])]
+        nw = sum(1 for g in gaps if g >= 8)
+        if nw > 0:
+            stats.append((u, nw, max(gaps), len(ds)))
+    stats.sort(key=lambda t: (-t[1], t[0]))
+    want = {
+        (u, nw, mg, na) for u, nw, mg, na in stats[:20]
+    }
+    got = {
+        (r["user_id"], r["n_winbacks"], r["max_gap_days"], r["n_active_days"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_staged_xcorr_matches_pure_python(spark):
+    """Formula-independent check: lagged co-moment terms from plain
+    dict arithmetic over the observed-hour spine."""
+    from collections import Counter
+
+    import duckdb
+
+    fn, _ = STAGED["ts_xcorr_lagged_terms"]
+    rows = duckdb.sql(
+        f"""SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+            FROM read_parquet('{SF_UNIT}/events.parquet')"""
+    ).fetchall()
+    spine = {h for _, h in rows}
+    cx = Counter(h for t, h in rows if t == "click")
+    cy = Counter(h for t, h in rows if t == "purchase")
+    want = {}
+    for lag in range(4):
+        pts = [
+            (cx.get(h - lag, 0), cy.get(h, 0))
+            for h in spine
+            if (h - lag) in spine
+        ]
+        want[lag] = (
+            len(pts),
+            sum(x for x, _ in pts),
+            sum(y for _, y in pts),
+            sum(x * y for x, y in pts),
+            sum(x * x for x, _ in pts),
+            sum(y * y for _, y in pts),
+        )
+    got = {
+        r["lag"]: (
+            r["n_hours"], r["sum_x"], r["sum_y"],
+            r["sum_xy"], r["sum_x2"], r["sum_y2"],
+        )
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want

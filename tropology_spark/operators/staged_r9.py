@@ -410,3 +410,337 @@ def ts_double_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2.cast("bigint").alias("s2_x256"),
         (16 * F.col("s1") - s2).cast("bigint").alias("trend_x256"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_closure_rate_capped — global clustering coefficient terms
+# ---------------------------------------------------------------------------
+
+
+def _closure_oracle() -> str:
+    from tropology_spark.operators.graph_motifs import _CAPPED_PROJ_CTE
+
+    return (
+        _CAPPED_PROJ_CTE
+        + """
+    , und AS (SELECT u, v FROM proj0 UNION ALL SELECT v, u FROM proj0),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
+    wed AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+    tri AS (
+      SELECT e1.u, e1.v, e2.v AS w
+      FROM proj0 e1
+      JOIN proj0 e2 ON e2.u = e1.v
+      JOIN proj0 e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri)
+    SELECT n_triangles, n_wedges,
+           CAST(CASE WHEN n_wedges = 0 THEN NULL
+                     ELSE (1000000 * 3 * n_triangles) // n_wedges END
+                AS BIGINT) AS closure_ppm
+    FROM t CROSS JOIN wed
+    """
+    )
+
+
+@_stage("graph_closure_rate_capped", oracle=_closure_oracle())
+def graph_closure_rate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — the GLOBAL clustering coefficient of the
+    hub-capped co-purchase projection: 3·triangles / wedges in ppm,
+    with the raw terms alongside (the single number the per-node M70/
+    M135 tables roll up to; transitivity, the graph-cohesion KPI).
+    Composed, not copied: the oracle extends ``_CAPPED_PROJ_CTE``
+    (the single SQL home of the M120/M204/M213 projection arithmetic)
+    and the Spark side reads the session-shared
+    ``copurchase_projection`` view.
+
+    Scale: the projection is the dominant cost and is already hub-
+    capped + session-materialized; wedges are one degree rollup
+    (Σ C(d,2) — integers), triangles one oriented 3-branch join over
+    the materialized edge list; the finale is a 1-row cross of two
+    scalars (guarded NULL on a wedge-free graph — the ADVICE r6
+    degenerate-denominator rule)."""
+    from tropology_spark.operators.graph_motifs import _HUB_CAP, copurchase_projection
+
+    proj = copurchase_projection(spark, sf_dir, hub_cap=_HUB_CAP)
+    und = proj.select("u", "v").unionAll(
+        proj.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    wed = deg.agg(
+        F.expr("sum(d * (d - 1) div 2)").cast("bigint").alias("n_wedges")
+    )
+    e1 = proj
+    e2 = proj.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = proj.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    tri = (
+        e1.join(e2, "v")
+        .join(e3, (F.col("u3") == F.col("u")) & (F.col("w3") == F.col("w")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return tri.crossJoin(F.broadcast(wed)).select(
+        "n_triangles",
+        "n_wedges",
+        F.expr(
+            "CASE WHEN n_wedges = 0 THEN NULL"
+            " ELSE (1000000 * 3 * n_triangles) div n_wedges END"
+        )
+        .cast("bigint")
+        .alias("closure_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_rrf_fusion — reciprocal-rank fusion of the cosine and L2 top-k
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+
+
+def _rrf_oracle() -> str:
+    from tropology_spark.registry import ORACLES
+
+    return f"""
+    WITH cg AS ({ORACLES['sim_topk_cosine']}),
+    lg AS ({ORACLES['sim_topk_l2']}),
+    cr AS (SELECT vec_id,
+                  row_number() OVER (ORDER BY cosine DESC, vec_id) AS rk
+           FROM cg),
+    lr AS (SELECT vec_id,
+                  row_number() OVER (ORDER BY d2_micro, vec_id) AS rk
+           FROM lg),
+    u AS (SELECT * FROM cr UNION ALL SELECT * FROM lr),
+    s AS (SELECT vec_id,
+                 CAST(sum(1000000000 // ({_RRF_K} + rk)) AS BIGINT) AS rrf_nano,
+                 CAST(count(*) AS BIGINT) AS n_lists
+          FROM u GROUP BY vec_id)
+    SELECT vec_id, rrf_nano, n_lists,
+           CAST(row_number() OVER (ORDER BY rrf_nano DESC, vec_id) AS BIGINT)
+             AS rn
+    FROM s
+    """
+
+
+@_stage("sim_rrf_fusion", oracle=_rrf_oracle())
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — RECIPROCAL-RANK FUSION of the two exact
+    retrieval lists (J8 cosine, M151 squared-L2) for the query
+    vector: score = Σ 1/(60+rank) over the lists a vector appears in
+    — the standard zero-tuning hybrid-retrieval combiner.  Each term
+    is the exact integer ``10⁹ div (60+rank)`` (positive — DuckDB
+    ``//`` and Spark ``div`` agree), so the fused score crosses the
+    engine hash gate bit-for-bit where the textbook float sum could
+    not.  Composed, not copied: both input lists come from the
+    REGISTERED queries / ORACLES verbatim.
+
+    Scale: the inputs are top-k lists (k rows each) — everything
+    after retrieval is broadcast-sized; rank windows ride the pmod
+    constant key over ≤ k rows."""
+    from tropology_spark.registry import QUERIES
+
+    c = QUERIES["sim_topk_cosine"](spark, sf_dir)
+    l2 = QUERIES["sim_topk_l2"](spark, sf_dir)
+    ck = F.pmod(F.col("vec_id"), F.lit(1))
+    cr = c.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy(ck).orderBy(F.desc("cosine"), F.asc("vec_id"))
+        ),
+    ).select("vec_id", "rk")
+    lr = l2.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy(ck).orderBy(F.asc("d2_micro"), F.asc("vec_id"))
+        ),
+    ).select("vec_id", "rk")
+    s = (
+        cr.unionByName(lr)
+        .groupBy("vec_id")
+        .agg(
+            F.expr(f"sum(1000000000 div ({_RRF_K} + rk))")
+            .cast("bigint")
+            .alias("rrf_nano"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        )
+    )
+    return s.withColumn(
+        "rn",
+        F.row_number()
+        .over(
+            Window.partitionBy(ck).orderBy(F.desc("rrf_nano"), F.asc("vec_id"))
+        )
+        .cast("bigint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytics_winback_counts — reactivation after dormancy
+# ---------------------------------------------------------------------------
+
+_WINBACK_GAP_DAYS = 8  # a return after >= 7 full dormant days
+
+
+@_stage(
+    "analytics_winback_counts",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, day,
+             day - lag(day) OVER (PARTITION BY user_id ORDER BY day) AS gap
+      FROM d
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN gap >= {_WINBACK_GAP_DAYS} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_winbacks,
+             CAST(max(gap) AS BIGINT) AS max_gap_days,
+             CAST(count(*) AS BIGINT) AS n_active_days
+      FROM g GROUP BY user_id
+    )
+    SELECT user_id, n_winbacks, max_gap_days, n_active_days
+    FROM u WHERE n_winbacks > 0
+    ORDER BY n_winbacks DESC, user_id LIMIT 20
+    """,
+)
+def analytics_winback_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — WINBACK detection: per user, how many times they
+    returned after ≥ 7 full dormant days (active-day gap ≥ {g}), with
+    their longest dormancy and active-day count — the re-engagement
+    complement of M170's streaks (streaks measure persistence,
+    winbacks measure recovery; both read the same per-user day lag).
+    Top-20 returners by (n_winbacks DESC, user_id).
+
+    Scale: the events scan collapses to distinct (user, day)
+    immediately; one user-partitioned lag + rollup — a single
+    shuffle; TakeOrdered finale."""
+    e = load(spark, sf_dir, "events")
+    d = e.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn("gap", F.col("day") - F.lag("day").over(w))
+    u = g.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("gap") >= _WINBACK_GAP_DAYS, 1).otherwise(0)
+        ).cast("bigint").alias("n_winbacks"),
+        F.max("gap").cast("bigint").alias("max_gap_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_active_days"),
+    )
+    return (
+        u.filter(F.col("n_winbacks") > 0)
+        .orderBy(F.desc("n_winbacks"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+analytics_winback_counts.__doc__ = analytics_winback_counts.__doc__.format(
+    g=_WINBACK_GAP_DAYS
+)
+
+
+# ---------------------------------------------------------------------------
+# ts_xcorr_lagged_terms — lagged cross-correlation terms (click→purchase)
+# ---------------------------------------------------------------------------
+
+_XCORR_MAX_LAG = 3
+
+
+@_stage(
+    "ts_xcorr_lagged_terms",
+    oracle=f"""
+    WITH hrs AS (
+      SELECT DISTINCT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h
+      FROM events
+    ),
+    c AS (
+      SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+      SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    gx AS (SELECT hrs.h, coalesce(c.n, 0) AS x FROM hrs LEFT JOIN c USING (h)),
+    gy AS (SELECT hrs.h, coalesce(p.n, 0) AS y FROM hrs LEFT JOIN p USING (h)),
+    l AS (SELECT unnest(generate_series(0, {_XCORR_MAX_LAG})) AS lag),
+    j AS (
+      SELECT l.lag, gx.x, gy.y
+      FROM l JOIN gy ON TRUE
+      JOIN gx ON gx.h = gy.h - l.lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(x * y) AS BIGINT) AS sum_xy,
+           CAST(sum(x * x) AS BIGINT) AS sum_x2,
+           CAST(sum(y * y) AS BIGINT) AS sum_y2
+    FROM j GROUP BY lag
+    """,
+)
+def ts_xcorr_lagged_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — LAGGED cross-correlation terms between the
+    click and purchase hourly series: for each lead k = 0..{k}, the
+    exact integer Pearson terms of (clicks at h−k, purchases at h) —
+    M144's co-moment discipline extended along the lag axis, the
+    "do clicks lead purchases, and by how many hours" probe.  Lag
+    references are EQUI-joins on the integer hour key against the
+    zero-filled observed-hour spine (never row-lags — the M203 gap
+    rule; spine hours with no clicks/purchases are load-bearing
+    zeros), restricted to hours where BOTH lagged positions lie on
+    the spine.
+
+    Scale: the scan collapses to two O(hours) series; the lag axis is
+    a fixed ×{k1} explode on the probe side joined by hour (the M197
+    move); terms combine map-side per lag.  The spine and both
+    series derive from one events pass each and are referenced once
+    per join side — the spine frame is checkpointed (three
+    references: gx, gy, and its own distinct build)."""
+    from tropology_spark.session import iter_materialize
+
+    e = load(spark, sf_dir, "events")
+    hour = F.expr("unix_micros(ts) div 3600000000").cast("bigint")
+    hrs = iter_materialize(e.select(hour.alias("h")).distinct())
+
+    def series(ev_type: str, col: str) -> DataFrame:
+        s = (
+            e.filter(F.col("event_type") == ev_type)
+            .groupBy(hour.alias("h"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        return hrs.join(s, "h", "left").select(
+            "h", F.coalesce(F.col("n"), F.lit(0)).alias(col)
+        )
+
+    gx = series("click", "x")
+    gy = series("purchase", "y")
+    lagged = gy.select(
+        "h",
+        "y",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(_XCORR_MAX_LAG + 1)])
+        ).alias("lag"),
+    ).select("lag", "y", (F.col("h") - F.col("lag")).alias("xh"))
+    j = lagged.join(gx, lagged.xh == gx.h)
+    return j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_x2"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sum_y2"),
+    ).select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n_hours", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2",
+    )
+
+
+ts_xcorr_lagged_terms.__doc__ = ts_xcorr_lagged_terms.__doc__.format(
+    k=_XCORR_MAX_LAG, k1=_XCORR_MAX_LAG + 1
+)
