@@ -210,3 +210,35 @@ def test_staged_xcorr_matches_pure_python(spark):
         for r in fn(spark, SF_UNIT).collect()
     }
     assert got == want
+
+
+def test_staged_sweep_matches_pure_python(spark):
+    """Formula-independent check: the sweep's open_after equals a
+    brute-force interval count at every change day."""
+    import duckdb
+
+    fn, _ = STAGED["ts_open_orders_sweep"]
+    ivs = duckdb.sql(
+        f"""SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)),
+                   datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+            FROM read_parquet('{SF_UNIT}/orders.parquet') o
+            JOIN read_parquet('{SF_UNIT}/lineitem.parquet') l
+              ON o.o_orderkey = l.l_orderkey"""
+    ).fetchall()
+    days = sorted({d for iv in ivs for d in iv})
+    got = {
+        r["day"]: (r["n_opened"], r["n_shipped"], r["open_after"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert set(got) == set(days)
+    for day in days:
+        n_open = sum(1 for od, _ in ivs if od == day)
+        n_ship = sum(1 for _, sd in ivs if sd == day)
+        # open through the ship day; -1 effective the following day
+        active = sum(1 for od, sd in ivs if od <= day < sd + 1) - n_ship
+        # open_after counts lines opened by `day` minus lines whose
+        # ship day is <= day  (post-change value)
+        open_after = sum(1 for od, _ in ivs if od <= day) - sum(
+            1 for _, sd in ivs if sd <= day
+        )
+        assert got[day] == (n_open, n_ship, open_after), day

@@ -744,3 +744,151 @@ def ts_xcorr_lagged_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 ts_xcorr_lagged_terms.__doc__ = ts_xcorr_lagged_terms.__doc__.format(
     k=_XCORR_MAX_LAG, k1=_XCORR_MAX_LAG + 1
 )
+
+
+# ---------------------------------------------------------------------------
+# mm_tiering_plan — chunk-store tier assignment from reference counts
+# ---------------------------------------------------------------------------
+
+
+def _tiering_oracle() -> str:
+    from tropology_spark.registry import ORACLES
+
+    return f"""
+    WITH man AS ({ORACLES['mm_chunk_manifest']}),
+    r AS (
+      SELECT chunk_md5,
+             CAST(count(*) AS BIGINT) AS refs,
+             CAST(max(chunk_bytes) AS BIGINT) AS chunk_bytes
+      FROM man GROUP BY 1
+    )
+    SELECT chunk_md5, refs, chunk_bytes,
+           CASE WHEN refs >= 3 THEN 'hot'
+                WHEN refs = 2 THEN 'warm'
+                ELSE 'cold' END AS tier,
+           CAST((refs - 1) * chunk_bytes AS BIGINT) AS saved_bytes
+    FROM r
+    """
+
+
+@_stage("mm_tiering_plan", oracle=_tiering_oracle())
+def mm_tiering_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — the STORAGE-TIERING plan of the content-
+    addressed chunk store: per unique chunk digest, its reference
+    count, size, tier assignment (hot ≥ 3 refs / warm = 2 / cold
+    unique — the cache-placement decision M209's max_refcount summary
+    hints at, materialized per chunk), and the bytes content-
+    addressing saves on it.  Identical content implies identical
+    size, so max(chunk_bytes) per digest is exact.
+
+    Composed, not copied: the oracle wraps ORACLES['mm_chunk_
+    manifest'] verbatim and the Spark side runs the REGISTERED M185
+    query.  Scale: one map-side-combinable rollup on the 16-byte
+    digest; payloads reduced to digests long before this runs (the
+    multimodal family invariant)."""
+    from tropology_spark.registry import QUERIES
+
+    man = QUERIES["mm_chunk_manifest"](spark, sf_dir)
+    r = man.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).cast("bigint").alias("refs"),
+        F.max("chunk_bytes").cast("bigint").alias("chunk_bytes"),
+    )
+    return r.select(
+        "chunk_md5",
+        "refs",
+        "chunk_bytes",
+        F.when(F.col("refs") >= 3, "hot")
+        .when(F.col("refs") == 2, "warm")
+        .otherwise("cold")
+        .alias("tier"),
+        ((F.col("refs") - 1) * F.col("chunk_bytes"))
+        .cast("bigint")
+        .alias("saved_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_open_orders_sweep — interval concurrency via the sweep line
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "ts_open_orders_sweep",
+    oracle="""
+    WITH iv AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS od,
+             datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               AS sd
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    d AS (
+      SELECT od AS day, CAST(count(*) AS BIGINT) AS n_opened,
+             CAST(0 AS BIGINT) AS n_shipped
+      FROM iv GROUP BY od
+      UNION ALL
+      SELECT sd AS day, CAST(0 AS BIGINT), CAST(count(*) AS BIGINT)
+      FROM iv GROUP BY sd
+    ),
+    g AS (
+      SELECT CAST(day AS BIGINT) AS day,
+             CAST(sum(n_opened) AS BIGINT) AS n_opened,
+             CAST(sum(n_shipped) AS BIGINT) AS n_shipped
+      FROM d GROUP BY day
+    )
+    SELECT day, n_opened, n_shipped,
+           CAST(sum(n_opened - n_shipped) OVER (ORDER BY day) AS BIGINT)
+             AS open_after
+    FROM g
+    """,
+)
+def ts_open_orders_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — INTERVAL CONCURRENCY by sweep line: each order
+    line is an interval [order day, ship day]; +1/−1 deltas at the
+    endpoints and one cumulative sum give the open-order-line backlog
+    after every CHANGE day — the classic answer to "how many
+    intervals are active at time t" that needs neither an interval
+    self-join (quadratic) nor a dense day spine (M181's no-spine
+    rule: between change days the backlog is constant, so change
+    points are the complete answer).  A line counts as open through
+    its ship day (−1 takes effect the day after, because open_after
+    is the post-change value of that day).
+
+    Scale: one equi-join (order→line), collapse to O(distinct days)
+    delta rows with map-side combine, and one prefix sum over the
+    bounded DAY DOMAIN on the pmod constant key (the M196
+    bounded-domain argument).  The sweep is how 100 TB of intervals
+    becomes thousands of delta rows before any window runs."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    epoch = F.lit("1970-01-01").cast("date")
+    iv = o.join(l, o.o_orderkey == l.l_orderkey).select(
+        F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("od"),
+        F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("sd"),
+    )
+    opened = iv.groupBy(F.col("od").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_opened"),
+        F.lit(0).cast("bigint").alias("n_shipped"),
+    )
+    shipped = iv.groupBy(F.col("sd").alias("day")).agg(
+        F.lit(0).cast("bigint").alias("n_opened"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shipped"),
+    )
+    g = (
+        opened.unionByName(shipped)
+        .groupBy("day")
+        .agg(
+            F.sum("n_opened").cast("bigint").alias("n_opened"),
+            F.sum("n_shipped").cast("bigint").alias("n_shipped"),
+        )
+    )
+    w = Window.partitionBy(F.pmod(F.col("day"), F.lit(1))).orderBy("day")
+    return g.select(
+        F.col("day").cast("bigint").alias("day"),
+        "n_opened",
+        "n_shipped",
+        F.sum(F.col("n_opened") - F.col("n_shipped"))
+        .over(w)
+        .cast("bigint")
+        .alias("open_after"),
+    )
