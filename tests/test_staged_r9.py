@@ -242,3 +242,27 @@ def test_staged_sweep_matches_pure_python(spark):
             1 for _, sd in ivs if sd <= day
         )
         assert got[day] == (n_open, n_ship, open_after), day
+
+
+def test_staged_partitioning_invariance(spark):
+    """The activation-time lockstep requires partitioning invariance;
+    pin it NOW for every staged op (three shuffle-partition settings
+    must produce identical value sets — the registry probe's
+    discipline applied pre-registration)."""
+    from tests.parity import canon_rows, spark_result
+    from tropology_spark.sources.tables import clear_session_caches
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {n: set() for n in STAGED}
+        for parts in ("5", "13", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            clear_session_caches()
+            for n, (fn, _) in STAGED.items():
+                cols, rows = spark_result(fn(spark, SF_UNIT))
+                results[n].add(tuple(canon_rows(cols, rows)))
+        for n, seen in results.items():
+            assert len(seen) == 1, f"staged {n} varies with shuffle partitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+        clear_session_caches()
