@@ -284,6 +284,26 @@ def minhash_bands_frame(
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+#: Session-shared J3 band table per (session, sf): FOUR registered
+#: queries read this shape (J3 candidates, M211 band stats, and the
+#: M212/M219 composed audits that run J3) — one signature pass serves
+#: them all (the edges_materialized discipline; worth ~4-5 s in-suite
+#: at sf0.1).
+_BANDS_CACHE: dict[tuple[str, str], DataFrame] = {}
+SESSION_CACHES.append(_BANDS_CACHE)
+
+
+def minhash_bands_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, band, bucket)`` eagerly materialized per (session,
+    sf).  Callers that substitute their own docs frame (scale probes)
+    keep using :func:`minhash_bands_frame` directly."""
+    return cache_get_or_build(
+        _BANDS_CACHE,
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: minhash_bands_frame(spark, sf_dir).localCheckpoint(eager=True),
+    )
+
+
 def minhash_candidate_pairs(bands: DataFrame) -> DataFrame:
     """The J3 LSH candidate join over a ``(doc_id, band, bucket)``
     frame: distinct ordered pairs of docs sharing any band bucket.
@@ -322,7 +342,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated from the same constant table, so the driver hash-compares
     the candidate set exactly.  Recall against J2's confirmed pairs is
     additionally pinned by tests/test_units.py."""
-    return minhash_candidate_pairs(minhash_bands_frame(spark, sf_dir))
+    return minhash_candidate_pairs(minhash_bands_materialized(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -881,7 +901,7 @@ def dedup_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup is 4 keys.  Nothing here touches the pair join itself —
     the point is that this audit is O(docs·bands), run before
     committing to the O(Σ C(sz,2)) join."""
-    bands = minhash_bands_frame(spark, sf_dir)
+    bands = minhash_bands_materialized(spark, sf_dir)
     sz = bands.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("sz")
     )
@@ -993,7 +1013,7 @@ def minhash_write_index(
     probes, the M211 health audit) reads both sides pre-partitioned —
     zero shuffle on the fat side (pinned by tests/test_bucketing.py::
     test_minhash_index_persist_reload)."""
-    bands = minhash_bands_frame(spark, sf_dir)
+    bands = minhash_bands_materialized(spark, sf_dir)
     w = (
         bands.write.mode("overwrite")
         .format("parquet")
