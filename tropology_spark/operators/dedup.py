@@ -394,6 +394,23 @@ def _simhash_sql() -> str:
     """
 
 
+#: Session-shared SimHash signature table per (session, sf): the M1
+#: pair query and the M219 survivorship composition both read it —
+#: one Charikar vote pass serves both (the bands-cache discipline).
+_SIMHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+SESSION_CACHES.append(_SIMHASH_CACHE)
+
+
+def simhash_keyed_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, simhash, hi, lo)`` eagerly materialized per
+    (session, sf)."""
+    return cache_get_or_build(
+        _SIMHASH_CACHE,
+        (spark.sparkContext.applicationId, sf_dir),
+        lambda: _simhash_keyed_frame(spark, sf_dir).localCheckpoint(eager=True),
+    )
+
+
 @register("dedup_simhash", oracle=_simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 32-bit token-majority signature (bits
@@ -408,6 +425,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical signatures among unrelated docs, measured).  At 100 TB
     the half-key blocking bounds the join exactly like MinHash
     banding."""
+    keyed = simhash_keyed_materialized(spark, sf_dir)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    lt = F.col("a.doc_id") < F.col("b.doc_id")
+    pair_cols = [
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("sa"),
+        F.col("b.simhash").alias("sb"),
+    ]
+    cand = (
+        a.join(b, (F.col("a.hi") == F.col("b.hi")) & lt).select(*pair_cols)
+        .unionByName(a.join(b, (F.col("a.lo") == F.col("b.lo")) & lt).select(*pair_cols))
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sa ^ sb)")
+    return (
+        cand.filter(hamming <= _SH_HAMMING_MAX)
+        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
+    )
+
+
+def _simhash_keyed_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Charikar signature pass: distinct word-2-gram shingles →
+    per-bit ±1 votes → 32-bit majority signature with its two 16-bit
+    LSH half keys."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     toked = d.select("doc_id", toks.alias("t"))
@@ -438,7 +480,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.when(F.col(f"w{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0)))
         for p in range(_SH_BITS)
     )
-    keyed = weights.select(
+    return weights.select(
         "doc_id",
         simhash.cast("bigint").alias("simhash"),
     ).select(
@@ -446,24 +488,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "simhash",
         F.shiftright(F.col("simhash"), 16).alias("hi"),
         F.col("simhash").bitwiseAND(F.lit(65535)).alias("lo"),
-    )
-    a, b = keyed.alias("a"), keyed.alias("b")
-    lt = F.col("a.doc_id") < F.col("b.doc_id")
-    pair_cols = [
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.simhash").alias("sa"),
-        F.col("b.simhash").alias("sb"),
-    ]
-    cand = (
-        a.join(b, (F.col("a.hi") == F.col("b.hi")) & lt).select(*pair_cols)
-        .unionByName(a.join(b, (F.col("a.lo") == F.col("b.lo")) & lt).select(*pair_cols))
-        .distinct()
-    )
-    hamming = F.expr("bit_count(sa ^ sb)")
-    return (
-        cand.filter(hamming <= _SH_HAMMING_MAX)
-        .select("doc_a", "doc_b", hamming.cast("bigint").alias("hamming"))
     )
 
 
