@@ -1613,3 +1613,34 @@ def test_cli_index_writes_and_reloads(spark, capsys, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS cli_mh_idx")
         spark.sql("DROP TABLE IF EXISTS cli_q_idx")
+
+
+def test_xml_roundtrip_and_corrupt_capture(spark, tmp_path):
+    """A-family: the Spark 4 native XML source/sink — explicit-schema
+    round-trip of a fixture slice, plus PERMISSIVE corrupt-row capture
+    on a malformed document (the CSV/JSONL quarantine discipline on
+    the third interchange format)."""
+    from tropology_spark.sources import formats as FF
+    from tropology_spark.sources.tables import load
+
+    base = load(spark, SF_UNIT, "region")
+    p = str(tmp_path / "region_xml")
+    FF.write_xml(base, p, root_tag="regions", row_tag="region")
+    back = FF.read_xml(spark, p, base, row_tag="region")
+    clean, corrupt = FF.quarantine_split(back)
+    assert corrupt.count() == 0
+    want = {tuple(r) for r in base.collect()}
+    got = {tuple(r) for r in clean.select(*base.columns).collect()}
+    assert got == want
+
+    bad = tmp_path / "bad" / "part.xml"
+    bad.parent.mkdir()
+    bad.write_text(
+        "<regions><region><r_regionkey>1</r_regionkey>"
+        "<r_name>ok</r_name><r_comment>c</r_comment></region>"
+        "<region><r_regionkey>not_a_number</r_regionkey>"
+        "<r_name>broken</r_name><r_comment>c</r_comment></region></regions>"
+    )
+    parsed = FF.read_xml(spark, str(bad.parent), base, row_tag="region")
+    clean2, corrupt2 = FF.quarantine_split(parsed)
+    assert clean2.count() == 1 and corrupt2.count() == 1

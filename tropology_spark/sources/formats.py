@@ -109,3 +109,38 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     formats carry their types — the no-inference rule above is about
     text formats, which do not)."""
     return spark.read.orc(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: Union[StructType, DataFrame],
+    row_tag: str = "row",
+) -> DataFrame:
+    """XML source (Spark 4 native StaxXML reader — no external
+    package).  Explicit schema per the §1.2 no-inference rule; rows
+    that fail to parse land in ``_corrupt_record`` like the CSV/JSONL
+    readers.  XML is the third interchange format a crawler meets
+    (sitemaps, RSS/Atom feeds, API exports) — the A5 HTML path covers
+    markup-as-content, this covers markup-as-records."""
+    return (
+        spark.read.format("xml")
+        .schema(_with_corrupt(_schema_of(schema)))
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .load(path)
+    )
+
+
+def write_xml(
+    df: DataFrame, path: str, root_tag: str = "rows", row_tag: str = "row"
+) -> None:
+    """XML sink (element per row under ``root_tag``)."""
+    (
+        df.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", root_tag)
+        .option("rowTag", row_tag)
+        .save(path)
+    )
