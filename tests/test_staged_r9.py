@@ -266,3 +266,40 @@ def test_staged_partitioning_invariance(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
         clear_session_caches()
+
+
+def test_staged_dataset_diff_matches_pure_python(spark):
+    """Formula-independent check: the diff classification from plain
+    dict arithmetic over the derived versions."""
+    from collections import Counter
+
+    import duckdb
+
+    fn, _ = STAGED["pipeline_dataset_diff"]
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
+    ).fetchall()
+    va = {i: t for i, t in rows if i % 17 != 3}
+    vb = {
+        i: (t + " zchanged" if i % 19 == 0 else t)
+        for i, t in rows
+        if i % 13 != 5
+    }
+    n = Counter()
+    chars = Counter()
+    for i in set(va) | set(vb):
+        if i not in va:
+            st = "added"
+        elif i not in vb:
+            st = "removed"
+        elif va[i] != vb[i]:
+            st = "changed"
+        else:
+            st = "unchanged"
+        n[st] += 1
+        chars[st] += len(vb.get(i, va.get(i)))
+    got = {
+        r["status"]: (r["n_docs"], r["n_chars"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == {st: (n[st], chars[st]) for st in n}
