@@ -303,3 +303,46 @@ def test_staged_dataset_diff_matches_pure_python(spark):
         for r in fn(spark, SF_UNIT).collect()
     }
     assert got == {st: (n[st], chars[st]) for st in n}
+
+
+def test_staged_session_overlap_matches_pure_python(spark):
+    """Formula-independent check: the bucketed interval-overlap join
+    equals a brute-force pairwise intersect over Python-built spans
+    (sessionization recomputed from scratch with plain lists)."""
+    from collections import defaultdict
+
+    import duckdb
+
+    fn, _ = STAGED["join_session_overlap"]
+    rows = duckdb.sql(
+        f"""SELECT user_id, event_id, epoch_us(ts)
+            FROM read_parquet('{SF_UNIT}/events.parquet')"""
+    ).fetchall()
+    by_user = defaultdict(list)
+    for u, e, us in rows:
+        by_user[u].append((us, e))
+    spans = []
+    for u, evs in by_user.items():
+        evs.sort()
+        start = prev = evs[0][0]
+        for us, _ in evs[1:]:
+            if us - prev > 30 * 60 * 1_000_000:
+                spans.append((u, start, prev))
+                start = us
+            prev = us
+        spans.append((u, start, prev))
+    counts = defaultdict(int)
+    for i, (ua, sa, ea) in enumerate(spans):
+        for ub, sb, eb in spans[i + 1:]:
+            if ua == ub:
+                continue
+            if sa <= eb and sb <= ea:
+                x, y = min(ua, ub), max(ua, ub)
+                counts[(x, y)] += 1
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want = {(a, b, n) for (a, b), n in ordered}
+    got = {
+        (r["user_a"], r["user_b"], r["n_overlaps"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want

@@ -89,10 +89,11 @@ def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap, in µs
 
-
-@register(
-    "ts_sessionize",
-    oracle=f"""
+#: Shared oracle CTE chain ending in ``spans(user_id, sess_seq,
+#: start_us, end_us, n_events)`` — the single SQL home of the M57
+#: session arithmetic, composed by the M57 oracle and the staged
+#: session-overlap join (the _minhash_bands_cte discipline).
+SESS_SPANS_SQL = f"""
     WITH t AS (
       SELECT user_id, event_id, epoch_us(ts) AS us,
              lag(epoch_us(ts)) OVER (PARTITION BY user_id
@@ -112,11 +113,24 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap, in µs
                                  ORDER BY us, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sess_seq
       FROM flagged
+    ),
+    spans AS (
+      SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq,
+             CAST(min(us) AS BIGINT) AS start_us,
+             CAST(max(us) AS BIGINT) AS end_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, sess_seq
     )
-    SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(max(us) - min(us) AS BIGINT) AS duration_us
-    FROM sess GROUP BY user_id, sess_seq
+"""
+
+
+@register(
+    "ts_sessionize",
+    oracle=SESS_SPANS_SQL
+    + """
+    SELECT user_id, sess_seq, n_events,
+           CAST(end_us - start_us AS BIGINT) AS duration_us
+    FROM spans
     """,
 )
 def ts_sessionize(
@@ -135,6 +149,22 @@ def ts_sessionize(
     reused across all three steps in a single stage.  ``events``
     substitutes a pre-built (user_id, event_id, ts) frame for the
     table scan (scale probes)."""
+    spans = session_spans(spark, sf_dir, events=events)
+    return spans.select(
+        "user_id",
+        "sess_seq",
+        "n_events",
+        (F.col("end_us") - F.col("start_us")).cast("bigint").alias("duration_us"),
+    )
+
+
+def session_spans(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """The M57 session arithmetic's single Spark home: per-session
+    ``(user_id, sess_seq, start_us, end_us, n_events)`` — composed by
+    the registered M57 query (duration = end − start) and the staged
+    session-overlap join.  ``SESS_SPANS_SQL`` is its oracle twin."""
     ev = events if events is not None else load(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
     order = Window.partitionBy("user_id").orderBy("us", "event_id")
@@ -153,9 +183,12 @@ def ts_sessionize(
         "sess_seq",
         F.sum("new_sess").over(order.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    return sess.groupBy("user_id", F.col("sess_seq").cast("bigint").alias("sess_seq")).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        (F.max("us") - F.min("us")).cast("bigint").alias("duration_us"),
+    return sess.groupBy(
+        "user_id", F.col("sess_seq").cast("bigint").alias("sess_seq")
+    ).agg(
+        F.min("us").cast("bigint").alias("start_us"),
+        F.max("us").cast("bigint").alias("end_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
 
 
