@@ -967,6 +967,10 @@ def test_materialized_view_build_is_shared_across_threads(spark):
     bi-directional view."""
     from concurrent.futures import ThreadPoolExecutor
 
+    from tropology_spark.operators.dedup import (
+        minhash_bands_materialized,
+        simhash_keyed_materialized,
+    )
     from tropology_spark.operators.graph import bi_materialized
     from tropology_spark.sources.tables import clear_session_caches, edges_materialized
 
@@ -977,8 +981,16 @@ def test_materialized_view_build_is_shared_across_threads(spark):
                 pool.map(lambda _: edges_materialized(spark, SF_UNIT), range(6))
             )
             bis = list(pool.map(lambda _: bi_materialized(spark, SF_UNIT), range(6)))
+            bands = list(
+                pool.map(lambda _: minhash_bands_materialized(spark, SF_UNIT), range(6))
+            )
+            keys = list(
+                pool.map(lambda _: simhash_keyed_materialized(spark, SF_UNIT), range(6))
+            )
         assert all(h is handles[0] for h in handles)
         assert all(b is bis[0] for b in bis)
+        assert all(b is bands[0] for b in bands)
+        assert all(k is keys[0] for k in keys)
     finally:
         clear_session_caches()
 
