@@ -140,8 +140,8 @@ def test_staged_survival_curve_matches_pure_python(spark):
 
 
 def test_staged_winback_matches_pure_python(spark):
-    """Formula-independent check: winbacks = gaps >= 8 in the sorted
-    per-user active-day list."""
+    """Formula-independent check: winbacks = gaps >= threshold in the
+    sorted per-user active-day list."""
     from collections import defaultdict
 
     import duckdb
@@ -158,7 +158,9 @@ def test_staged_winback_matches_pure_python(spark):
     for u, ds in days.items():
         ds.sort()
         gaps = [b - a for a, b in zip(ds, ds[1:])]
-        nw = sum(1 for g in gaps if g >= 8)
+        from tropology_spark.operators.staged_r9 import _WINBACK_GAP_DAYS
+
+        nw = sum(1 for g in gaps if g >= _WINBACK_GAP_DAYS)
         if nw > 0:
             stats.append((u, nw, max(gaps), len(ds)))
     stats.sort(key=lambda t: (-t[1], t[0]))

@@ -576,7 +576,10 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # analytics_winback_counts — reactivation after dormancy
 # ---------------------------------------------------------------------------
 
-_WINBACK_GAP_DAYS = 8  # a return after >= 7 full dormant days
+_WINBACK_GAP_DAYS = 3  # a return after >= 2 full dormant days
+# (fixture activity is dense: max observed gap is 3/4/6 days at
+# sf0.001/0.01/0.1 — a 7-day threshold would be trivially empty at
+# every scale, which is no evidence at all)
 
 
 @_stage(
@@ -607,7 +610,7 @@ _WINBACK_GAP_DAYS = 8  # a return after >= 7 full dormant days
 )
 def analytics_winback_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Staged M-row — WINBACK detection: per user, how many times they
-    returned after ≥ 7 full dormant days (active-day gap ≥ {g}), with
+    returned after ≥ 2 full dormant days (active-day gap ≥ {g}), with
     their longest dormancy and active-day count — the re-engagement
     complement of M170's streaks (streaks measure persistence,
     winbacks measure recovery; both read the same per-user day lag).
