@@ -1656,3 +1656,31 @@ def test_xml_roundtrip_and_corrupt_capture(spark, tmp_path):
     parsed = FF.read_xml(spark, str(bad.parent), base, row_tag="region")
     clean2, corrupt2 = FF.quarantine_split(parsed)
     assert clean2.count() == 1 and corrupt2.count() == 1
+
+
+def test_no_new_trivially_empty_queries(spark):
+    """Empty-vs-empty hash matches verify nothing (the round-8 audit
+    found three registered queries in that state — queued as
+    _R9_RETUNED).  Freeze the set: a NEW query whose fixture result is
+    empty at sf0.001 must either get a threshold the fixture actually
+    exercises (the winback precedent: gap 8 → 3) or justify itself
+    onto this allowlist."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    # join_anti_frontier: every part is ordered at every scale;
+    # mm_dedup_exact: no exact text dups below sf0.1;
+    # ts_burst_hours: sf0.001's series is shorter than the 24h
+    # trailing baseline (a scale artifact, non-empty from sf0.01 up).
+    EMPTY_ALLOWED = {"join_anti_frontier", "mm_dedup_exact", "ts_burst_hours"}
+    empty: list[str] = []
+
+    def check(n: str) -> None:
+        if QUERIES[n](spark, SF_UNIT).count() == 0:
+            empty.append(n)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(check, list(QUERIES)))
+    unexpected = sorted(set(empty) - EMPTY_ALLOWED)
+    gone = sorted(EMPTY_ALLOWED - set(empty))
+    assert not unexpected, f"new trivially-empty queries: {unexpected}"
+    assert not gone, f"allowlisted queries now non-empty (retune landed?): {gone}"
