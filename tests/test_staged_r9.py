@@ -348,3 +348,40 @@ def test_staged_session_overlap_matches_pure_python(spark):
         for r in fn(spark, SF_UNIT).collect()
     }
     assert got == want
+
+
+def test_staged_window_funnel_matches_pure_python(spark):
+    """Formula-independent check: windowed first-touch chain from
+    plain dict arithmetic."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from tropology_spark.operators.analytics import _FUNNEL_STEPS
+    from tropology_spark.operators.staged_r9 import _WF_WINDOW_US
+
+    fn, _ = STAGED["analytics_window_funnel"]
+    rows = duckdb.sql(
+        f"""SELECT user_id, event_type, epoch_us(ts)
+            FROM read_parquet('{SF_UNIT}/events.parquet')"""
+    ).fetchall()
+    by_user = defaultdict(lambda: defaultdict(list))
+    for u, t, us in rows:
+        by_user[u][t].append(us)
+    a, b, c = _FUNNEL_STEPS
+    n1 = n2 = n3 = 0
+    for u, evs in by_user.items():
+        if not evs.get(a):
+            continue
+        n1 += 1
+        t1 = min(evs[a])
+        lim = t1 + _WF_WINDOW_US
+        b2 = [x for x in evs.get(b, []) if t1 < x <= lim]
+        if not b2:
+            continue
+        n2 += 1
+        t2 = min(b2)
+        if any(t2 < x <= lim for x in evs.get(c, [])):
+            n3 += 1
+    got = {r["step"]: r["n_users"] for r in fn(spark, SF_UNIT).collect()}
+    assert got == {1: n1, 2: n2, 3: n3}

@@ -1070,3 +1070,93 @@ def join_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_overlaps"), F.asc("user_a"), F.asc("user_b"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# analytics_window_funnel — conversion window bound on the ordered funnel
+# ---------------------------------------------------------------------------
+
+_WF_WINDOW_US = 24 * 3600 * 1_000_000  # 24 h conversion window, exact µs
+
+
+def _window_funnel_oracle() -> str:
+    from tropology_spark.operators.analytics import _FUNNEL_STEPS
+
+    a, b, c = _FUNNEL_STEPS
+    return f"""
+    WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+                WHERE event_type = '{a}' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+           JOIN s1 ON s1.user_id = e.user_id
+            AND epoch_us(e.ts) > s1.t1
+            AND epoch_us(e.ts) <= s1.t1 + {_WF_WINDOW_US}
+           WHERE e.event_type = '{b}' GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
+           JOIN s2 ON s2.user_id = e.user_id AND epoch_us(e.ts) > s2.t2
+           JOIN s1 ON s1.user_id = e.user_id
+            AND epoch_us(e.ts) <= s1.t1 + {_WF_WINDOW_US}
+           WHERE e.event_type = '{c}' GROUP BY e.user_id)
+    SELECT CAST(1 AS BIGINT) AS step, '{a}' AS event_type,
+           CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, '{b}', CAST((SELECT count(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 3, '{c}', CAST((SELECT count(*) FROM s3) AS BIGINT)
+    """
+
+
+@_stage("analytics_window_funnel", oracle=_window_funnel_oracle())
+def analytics_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — the WINDOWED funnel (ClickHouse's windowFunnel
+    semantics): M51's ordered first-touch chain with a CONVERSION
+    WINDOW — every later step must land within 24 h of the user's
+    first step-1 event, the form campaign attribution actually uses
+    (an unbounded funnel credits conversions months later).  Same
+    first-touch/strictly-after rules as M51, same three-row output
+    shape, so the two funnels diff directly into "conversions lost to
+    the window".
+
+    Scale: identical plan family to M51 — per-step per-user
+    conditional mins joined on the user key; the window bound rides
+    the existing join predicates, adding no shuffle.  All arithmetic
+    on exact µs integers."""
+    from tropology_spark.operators.analytics import _FUNNEL_STEPS
+
+    a, b, c = _FUNNEL_STEPS
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == a)
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == b)
+        .join(s1, "user_id")
+        .filter(
+            (F.col("us") > F.col("t1"))
+            & (F.col("us") <= F.col("t1") + _WF_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == c)
+        .join(s2, "user_id")
+        .filter(
+            (F.col("us") > F.col("t2"))
+            & (F.col("us") <= F.col("t1") + _WF_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+
+    def row(step: int, et: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(step).cast("bigint").alias("step"),
+            F.lit(et).alias("event_type"),
+            "n_users",
+        )
+
+    return row(1, a, s1).unionByName(row(2, b, s2)).unionByName(row(3, c, s3))
