@@ -704,7 +704,10 @@ def ts_xcorr_lagged_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     move); terms combine map-side per lag.  The spine and both
     series derive from one events pass each and are referenced once
     per join side — the spine frame is checkpointed (three
-    references: gx, gy, and its own distinct build)."""
+    references: gx, gy, and its own distinct build).  At extreme
+    scale the Σx² terms approach BIGINT range (hourly counts ~1e9
+    square to 1e18); the activation-time escalation is the Gini
+    DECIMAL(38,0)/HUGEINT wide-integer finale rule (CLAUDE.md)."""
     from tropology_spark.session import iter_materialize
 
     e = load(spark, sf_dir, "events")
@@ -1007,7 +1010,9 @@ def _session_overlap_oracle() -> str:
 
 
 @_stage("join_session_overlap", oracle=_session_overlap_oracle())
-def join_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_session_overlap(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
     """Staged M-row — the INTERVAL-OVERLAP JOIN, completing the
     temporal-join family (as-of C9/M131/M158/M217 answer "latest
     before", band M197 "all within a distance", this answers "which
@@ -1034,7 +1039,7 @@ def join_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tropology_spark.operators.timeseries import session_spans
     from tropology_spark.session import iter_materialize
 
-    spans = iter_materialize(session_spans(spark, sf_dir))
+    spans = iter_materialize(session_spans(spark, sf_dir, events=events))
     b = spans.select(
         "user_id",
         "sess_seq",
