@@ -1165,3 +1165,60 @@ def analytics_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return row(1, a, s1).unionByName(row(2, b, s2)).unionByName(row(3, c, s3))
+
+
+# ---------------------------------------------------------------------------
+# text_lang_confusion — language-ID confusion matrix (model eval)
+# ---------------------------------------------------------------------------
+
+
+def _lang_confusion_oracle() -> str:
+    from tropology_spark.registry import ORACLES
+
+    return f"""
+    WITH pred AS ({ORACLES['text_langid_nb']}),
+    c AS (
+      SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    )
+    SELECT true_lang, pred_lang, n,
+           CAST(sum(n) OVER (PARTITION BY true_lang) AS BIGINT) AS n_true,
+           CAST((1000000 * n) //
+                sum(n) OVER (PARTITION BY true_lang) AS BIGINT) AS share_ppm
+    FROM c
+    """
+
+
+@_stage("text_lang_confusion", oracle=_lang_confusion_oracle())
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — the CONFUSION MATRIX of the M3 language
+    identifier against the stored labels: (true, predicted) counts
+    with the per-true-language total and row share in ppm — the
+    model-evaluation table every classifier in the pipeline needs
+    (diagonal = per-language recall; off-diagonal = which languages
+    the n-gram model confuses).  The repo's recall-audit discipline
+    (sim_ann_recall et al.) applied to the TEXT family's model.
+
+    Composed, not copied: the oracle wraps ORACLES['text_langid_nb']
+    verbatim and the Spark side runs the registered M3 query.
+
+    Scale: the expensive part is the classifier itself (already
+    bounded — M3's n×L score join); the matrix is an L² rollup with
+    map-side combine and an L-partitioned window.  ppm is positive-
+    integer div (cross-engine exact)."""
+    from tropology_spark.registry import QUERIES
+
+    pred = QUERIES["text_langid_nb"](spark, sf_dir)
+    c = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("true_lang")
+    return c.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.sum("n").over(w).cast("bigint").alias("n_true"),
+        F.expr("(1000000 * n) div (sum(n) OVER (PARTITION BY true_lang))")
+        .cast("bigint")
+        .alias("share_ppm"),
+    )
