@@ -1222,3 +1222,72 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_recall_at_k_curve — recall@{1,3,5,10} of the IVF search
+# ---------------------------------------------------------------------------
+
+_RECALL_KS = (1, 3, 5, 10)
+
+
+def _recall_curve_oracle() -> str:
+    from tropology_spark.registry import ORACLES
+
+    ks = ", ".join(str(k) for k in _RECALL_KS)
+    return f"""
+    WITH exact AS ({ORACLES['sim_topk_cosine']}),
+    approx AS ({ORACLES['sim_ivf_topk']}),
+    er AS (SELECT vec_id,
+                  row_number() OVER (ORDER BY cosine DESC, vec_id) AS rk
+           FROM exact),
+    ar AS (SELECT vec_id,
+                  row_number() OVER (ORDER BY cosine DESC, vec_id) AS rk
+           FROM approx),
+    ks AS (SELECT unnest([{ks}]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(count(ar.vec_id) AS BIGINT) AS n_hits,
+           CAST((1000000 * count(ar.vec_id)) // ks.k AS BIGINT) AS recall_ppm
+    FROM ks
+    LEFT JOIN er ON er.rk <= ks.k
+    LEFT JOIN ar ON ar.vec_id = er.vec_id AND ar.rk <= ks.k
+    GROUP BY ks.k
+    """
+
+
+@_stage("sim_recall_at_k_curve", oracle=_recall_curve_oracle())
+def sim_recall_at_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — the recall CURVE of the IVF search against the
+    brute-force ground truth: recall@k for k in {1,3,5,10} — M112's
+    single-number audit widened to the curve an index-tuning session
+    actually reads (recall@1 tells you about the top hit, recall@10
+    about the candidate pool; probes/cells are tuned to the k the
+    product serves).  Hit = ground-truth rank ≤ k AND found by the
+    index within its own top k.
+
+    Composed, not copied: both lists are the REGISTERED queries /
+    ORACLES verbatim; ranks derive from each list's own (cosine DESC,
+    vec_id) order.  Scale: the retrievals dominate (already audited);
+    the curve is arithmetic over two ≤10-row lists — every join here
+    is broadcast-trivial, windows ride the pmod key."""
+    from tropology_spark.registry import QUERIES
+
+    exact = QUERIES["sim_topk_cosine"](spark, sf_dir)
+    approx = QUERIES["sim_ivf_topk"](spark, sf_dir)
+    ck = F.pmod(F.col("vec_id"), F.lit(1))
+    rw = Window.partitionBy(ck).orderBy(F.desc("cosine"), F.asc("vec_id"))
+    er = exact.select("vec_id", F.row_number().over(rw).alias("rk"))
+    ar = approx.select(
+        F.col("vec_id").alias("a_id"), F.row_number().over(rw).alias("a_rk")
+    )
+    ks = spark.createDataFrame([(k,) for k in _RECALL_KS], "k long")
+    pairs = er.crossJoin(F.broadcast(ks)).filter(F.col("rk") <= F.col("k"))
+    hits = pairs.join(
+        F.broadcast(ar),
+        (F.col("a_id") == F.col("vec_id")) & (F.col("a_rk") <= F.col("k")),
+        "left",
+    )
+    return hits.groupBy("k").agg(
+        F.count(F.col("a_id")).cast("bigint").alias("n_hits"),
+        F.expr("(1000000 * count(a_id)) div k").cast("bigint").alias("recall_ppm"),
+    ).select(F.col("k").cast("bigint").alias("k"), "n_hits", "recall_ppm")
