@@ -1386,3 +1386,95 @@ def retune_mm_dedup_exact(spark, sf_dir: str) -> DataFrame:
         "keep_id",
         F.when(F.col("n_copies") > 1, 1).otherwise(0).cast("bigint").alias("is_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# analytics_value_band_migration — spend-band transition matrix
+# ---------------------------------------------------------------------------
+
+_BAND_SPLIT_DATE = "1998-01-01"  # era boundary (order span is 1995..2001)
+
+
+@_stage(
+    "analytics_value_band_migration",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderdate < TIMESTAMP '{_BAND_SPLIT_DATE}'
+                  THEN 0 ELSE 1 END AS era,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    banded AS (
+      SELECT o_custkey, era,
+             CASE WHEN cents >= 100000000 THEN 'high'
+                  WHEN cents >= 30000000 THEN 'mid'
+                  ELSE 'low' END AS band
+      FROM spend
+    ),
+    m AS (
+      SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+             coalesce(a.band, 'none') AS band_h1,
+             coalesce(b.band, 'none') AS band_h2
+      FROM (SELECT * FROM banded WHERE era = 0) a
+      FULL OUTER JOIN (SELECT * FROM banded WHERE era = 1) b
+        ON a.o_custkey = b.o_custkey
+    )
+    SELECT band_h1, band_h2, CAST(count(*) AS BIGINT) AS n_customers
+    FROM m GROUP BY 1, 2
+    """,
+)
+def analytics_value_band_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — customer SPEND-BAND MIGRATION between the two
+    halves of the order history (split at {d}): each customer's total
+    spend per era is banded low/mid/high on exact cents thresholds,
+    and the (band_h1, band_h2) transition matrix counts who moved
+    where — 'none' rows are the acquisition/churn margins (the full
+    outer join IS the churn detector).  The economics twin of M96's
+    event-type Markov matrix and the temporal complement of M157's
+    static RFM segments.
+
+    Determinism: cents-integer sums (the exact.py money rule), string
+    bands from integer thresholds, full outer join on the customer
+    key.  Scale: one shuffle to (customer, era) — two rows per
+    customer — then a ≤16-cell rollup with map-side combine; at
+    100 TB the banding thresholds would come from the M210 decile
+    table instead of constants."""
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy(
+        "o_custkey",
+        F.when(
+            F.col("o_orderdate") < F.lit(_BAND_SPLIT_DATE).cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("era"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    band = (
+        F.when(F.col("cents") >= 100000000, "high")
+        .when(F.col("cents") >= 30000000, "mid")
+        .otherwise("low")
+    )
+    banded = spend.select("o_custkey", "era", band.alias("band"))
+    a = banded.filter(F.col("era") == 0).select(
+        F.col("o_custkey").alias("c_a"), F.col("band").alias("band_h1")
+    )
+    b = banded.filter(F.col("era") == 1).select(
+        F.col("o_custkey").alias("c_b"), F.col("band").alias("band_h2")
+    )
+    m = a.join(b, a.c_a == b.c_b, "full_outer").select(
+        F.coalesce(F.col("band_h1"), F.lit("none")).alias("band_h1"),
+        F.coalesce(F.col("band_h2"), F.lit("none")).alias("band_h2"),
+    )
+    return m.groupBy("band_h1", "band_h2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+
+
+analytics_value_band_migration.__doc__ = (
+    analytics_value_band_migration.__doc__.format(d=_BAND_SPLIT_DATE)
+)
