@@ -1684,3 +1684,103 @@ def test_no_new_trivially_empty_queries(spark):
     gone = sorted(EMPTY_ALLOWED - set(empty))
     assert not unexpected, f"new trivially-empty queries: {unexpected}"
     assert not gone, f"allowlisted queries now non-empty (retune landed?): {gone}"
+
+
+def test_hashed_features_matches_pure_python(spark):
+    """M208 — the hashing-trick features equal an independent hashlib
+    implementation (bucket = md5-low-32 mod 256 per token, per-doc
+    term frequencies)."""
+    from collections import Counter
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')
+            WHERE doc_id < 20"""
+    ).fetchall()
+    want = Counter()
+    for did, text in rows:
+        for tok in text.split(" "):
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 256
+            want[(did, b)] += 1
+    got = {
+        (r["doc_id"], r["bucket"]): r["tf"]
+        for r in QUERIES["text_hashed_features"](spark, SF_UNIT).collect()
+    }
+    assert got == dict(want)
+
+
+def test_coverage_union_matches_pure_python(spark):
+    """M191 — the sweep-line interval union equals a direct Python
+    merge of each user's [t, t+15min) windows."""
+    from collections import defaultdict
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT user_id, epoch_us(ts)
+            FROM read_parquet('{SF_UNIT}/events.parquet')"""
+    ).fetchall()
+    cover = 900 * 1_000_000
+    by_user = defaultdict(list)
+    for u, t in rows:
+        by_user[u].append(t)
+    stats = []
+    for u, ts in by_user.items():
+        ts.sort()
+        islands = []
+        for t in ts:
+            if islands and t <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], t + cover)
+            else:
+                islands.append([t, t + cover])
+        stats.append((u, sum(e - s for s, e in islands), len(islands)))
+    stats.sort(key=lambda x: (-x[1], x[0]))
+    want = set(stats[:20])
+    got = {
+        (r["user_id"], r["covered_us"], r["n_islands"])
+        for r in QUERIES["ts_coverage_union"](spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_pref_attachment_matches_pure_python(spark):
+    """M200 — preferential-attachment recommendations equal a direct
+    Python wedge + degree-product computation."""
+    from collections import defaultdict
+
+    import duckdb
+
+    edges = set(
+        duckdb.sql(
+            f"""SELECT DISTINCT o_custkey, l_partkey
+                FROM read_parquet('{SF_UNIT}/orders.parquet') o
+                JOIN read_parquet('{SF_UNIT}/lineitem.parquet') l
+                  ON o.o_orderkey = l.l_orderkey"""
+        ).fetchall()
+    )
+    deg = defaultdict(int)
+    by_dst = defaultdict(set)
+    for s, d in edges:
+        deg[s] += 1
+        by_dst[d].add(s)
+    cands = defaultdict(set)
+    for members in by_dst.values():
+        for a in members:
+            if a >= 50:
+                continue
+            for b in members:
+                if b != a:
+                    cands[a].add(b)
+    want = set()
+    for seed, cs in cands.items():
+        scored = sorted(
+            ((deg[seed] * deg[c], c) for c in cs), key=lambda t: (-t[0], t[1])
+        )
+        for rk, (score, c) in enumerate(scored[:3], 1):
+            want.add((seed, c, deg[seed], deg[c], score, rk))
+    got = {
+        (r["seed"], r["cand"], r["deg_seed"], r["deg_cand"], r["pa_score"], r["rk"])
+        for r in QUERIES["graph_pref_attachment"](spark, SF_UNIT).collect()
+    }
+    assert got == want
