@@ -1784,3 +1784,120 @@ def test_pref_attachment_matches_pure_python(spark):
         for r in QUERIES["graph_pref_attachment"](spark, SF_UNIT).collect()
     }
     assert got == want
+
+
+def test_struct_equiv_matches_pure_python(spark):
+    """M190 — structural-equivalence classes equal a direct Python
+    fingerprint (md5-low-32 sums of brand neighborhoods) grouping."""
+    from collections import defaultdict
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT DISTINCT o_custkey, p.p_brand
+            FROM read_parquet('{SF_UNIT}/orders.parquet') o
+            JOIN read_parquet('{SF_UNIT}/lineitem.parquet') l
+              ON o_orderkey = l_orderkey
+            JOIN read_parquet('{SF_UNIT}/part.parquet') p
+              ON l_partkey = p_partkey"""
+    ).fetchall()
+    nb = defaultdict(set)
+    for c, b in rows:
+        nb[c].add(b)
+    classes = defaultdict(list)
+    for c, brands in nb.items():
+        fp = (
+            sum(int(hashlib.md5(b.encode()).hexdigest()[:8], 16) for b in brands),
+            len(brands),
+            min(brands),
+            max(brands),
+        )
+        classes[fp].append(c)
+    want = {
+        (fp[0], fp[1], fp[2], fp[3], len(cs), min(cs), sum(cs))
+        for fp, cs in classes.items()
+        if len(cs) >= 2
+    }
+    got = {
+        (
+            r["fp_sum"], r["deg"], r["min_dst"], r["max_dst"],
+            r["n_nodes"], r["min_src"], r["src_checksum"],
+        )
+        for r in QUERIES["graph_struct_equiv"](spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_event_type_overlap_matches_pure_python(spark):
+    """M186 — audience overlap equals direct Python set intersections
+    with the integer-ppm Jaccard."""
+    from collections import defaultdict
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT DISTINCT event_type, user_id
+            FROM read_parquet('{SF_UNIT}/events.parquet')"""
+    ).fetchall()
+    users = defaultdict(set)
+    for t, u in rows:
+        users[t].add(u)
+    types = sorted(users)
+    want = set()
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            both = len(users[a] & users[b])
+            if both == 0:
+                continue
+            union = len(users[a]) + len(users[b]) - both
+            want.add(
+                (a, b, both, len(users[a]), len(users[b]),
+                 (1000000 * both) // union)
+            )
+    got = {
+        (
+            r["type_a"], r["type_b"], r["n_both"],
+            r["users_a"], r["users_b"], r["jaccard_ppm"],
+        )
+        for r in QUERIES["analytics_event_type_overlap"](spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_vocab_jaccard_sources_matches_pure_python(spark):
+    """M179 — per-source vocabulary Jaccard equals direct Python token
+    sets (top-20 by the same total order)."""
+    from collections import defaultdict
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT source, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
+    ).fetchall()
+    vocab = defaultdict(set)
+    for src, text in rows:
+        vocab[src] |= set(text.split(" "))
+    srcs = sorted(vocab)
+    scored = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            common = len(vocab[a] & vocab[b])
+            if common == 0:
+                continue
+            union = len(vocab[a]) + len(vocab[b]) - common
+            scored.append(
+                ((1000000 * common) // union, a, b, common,
+                 len(vocab[a]), len(vocab[b]))
+            )
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = {
+        (a, b, c, va, vb, j) for j, a, b, c, va, vb in scored[:20]
+    }
+    got = {
+        (
+            r["source_a"], r["source_b"], r["n_common"],
+            r["vocab_a"], r["vocab_b"], r["jaccard_ppm"],
+        )
+        for r in QUERIES["text_vocab_jaccard_sources"](spark, SF_UNIT).collect()
+    }
+    assert got == want
