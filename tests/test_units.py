@@ -1901,3 +1901,70 @@ def test_vocab_jaccard_sources_matches_pure_python(spark):
         for r in QUERIES["text_vocab_jaccard_sources"](spark, SF_UNIT).collect()
     }
     assert got == want
+
+
+def test_chunk_manifest_matches_pure_python(spark):
+    """M185 — the content-addressed chunk manifest equals a direct
+    Python slicing of the UTF-8 payload (digest = md5 of the chunk's
+    UPPERCASE hex — the cross-engine binary canonicalization rule,
+    checked here independently of both engines)."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
+    ).fetchall()
+    want = set()
+    for did, text in rows:
+        payload = text.encode()
+        n = len(payload)
+        for idx in range((n + 99) // 100):
+            chunk = payload[idx * 100 : idx * 100 + 100]
+            digest = hashlib.md5(chunk.hex().upper().encode()).hexdigest()
+            want.add(
+                (
+                    did, idx, idx * 100, len(chunk), digest,
+                    1 if (idx + 1) * 100 >= n else 0,
+                )
+            )
+    got = {
+        (
+            r["media_id"], r["chunk_idx"], r["byte_offset"],
+            r["chunk_bytes"], r["chunk_md5"], r["is_last"],
+        )
+        for r in QUERIES["mm_chunk_manifest"](spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_ngram_novelty_matches_pure_python(spark):
+    """M198 — test-split bigram novelty equals direct Python set
+    difference over the md5-bucket train/test assignment."""
+    from collections import defaultdict
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, lang, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
+    ).fetchall()
+    train = defaultdict(set)
+    test = defaultdict(set)
+    for did, lang, text in rows:
+        h = hashlib.md5(str(did).encode()).hexdigest()
+        bucket = (int(h[0], 16) * 16 + int(h[1], 16)) % 10
+        toks = text.split(" ")
+        grams = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+        if bucket < 8:
+            train[lang] |= grams
+        elif bucket == 9:
+            test[lang] |= grams
+    want = {}
+    for lang in set(train) | set(test):
+        nt = len(test.get(lang, set()))
+        novel = len(test.get(lang, set()) - train.get(lang, set()))
+        ppm = None if nt == 0 else (1000000 * novel) // nt
+        want[lang] = (nt, novel, ppm)
+    got = {
+        r["lang"]: (r["n_test_bigrams"], r["n_novel"], r["novelty_ppm"])
+        for r in QUERIES["text_ngram_novelty"](spark, SF_UNIT).collect()
+    }
+    assert got == want
