@@ -1968,3 +1968,75 @@ def test_ngram_novelty_matches_pure_python(spark):
         for r in QUERIES["text_ngram_novelty"](spark, SF_UNIT).collect()
     }
     assert got == want
+
+
+def test_sax_symbols_matches_pure_python(spark):
+    """M133 — the SAX words equal a direct Python ntile(4)
+    (front-loaded remainder over the exact (value, event_id) order)
+    + per-day concatenation in time order."""
+    from collections import defaultdict
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT user_id, event_id, ts, value,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d')
+            FROM read_parquet('{SF_UNIT}/events.parquet')"""
+    ).fetchall()
+    by_user = defaultdict(list)
+    for u, e, ts, v, day in rows:
+        by_user[u].append((e, ts, v, day))
+    want = {}
+    for u, evs in by_user.items():
+        ordered = sorted(evs, key=lambda t: (t[2], t[0]))
+        n = len(ordered)
+        base, rem = divmod(n, 4)
+        band_of = {}
+        i = 0
+        for tile in range(1, 5):
+            size = base + (1 if tile <= rem else 0)
+            for e, _, _, _ in ordered[i : i + size]:
+                band_of[e] = tile
+            i += size
+        by_day = defaultdict(list)
+        for e, ts, v, day in evs:
+            by_day[day].append((ts, e))
+        for day, items in by_day.items():
+            items.sort()
+            word = "".join(str(band_of[e]) for _, e in items)
+            want[(u, day)] = (word, len(items))
+    got = {
+        (r["user_id"], r["day"]): (r["symbols"], r["n_events"])
+        for r in QUERIES["ts_sax_symbols"](spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_phash_hamming_matches_pure_python(spark):
+    """M99 — the banded pseudo-pHash near-dup pairs equal a direct
+    Python sha256 + band-block + popcount computation."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
+    ).fetchall()
+    ph = {}
+    for did, text in rows:
+        h = hashlib.sha256(text.encode()).hexdigest()
+        ph[did] = (int(h[:4], 16), h[0:2], h[2:4])
+    ids = sorted(ph)
+    want = set()
+    for i, a in enumerate(ids):
+        pa, a1, a2 = ph[a]
+        for b in ids[i + 1:]:
+            pb, b1, b2 = ph[b]
+            if a1 != b1 and a2 != b2:
+                continue
+            d = bin(pa ^ pb).count("1")
+            if d <= 3:
+                want.add((a, b, pa, pb, d))
+    got = {
+        (r["id_a"], r["id_b"], r["ph_a"], r["ph_b"], r["hamming"])
+        for r in QUERIES["mm_phash_hamming"](spark, SF_UNIT).collect()
+    }
+    assert got == want
