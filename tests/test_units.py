@@ -2040,3 +2040,68 @@ def test_phash_hamming_matches_pure_python(spark):
         for r in QUERIES["mm_phash_hamming"](spark, SF_UNIT).collect()
     }
     assert got == want
+
+
+def test_cms_matrix_matches_pure_python(spark):
+    """M128 — the Count-Min counter matrix equals an independent
+    hashlib recomputation of the affine row hashes (shared-formula
+    check for the sketch family's base arithmetic)."""
+    from collections import Counter
+
+    import duckdb
+
+    from tropology_spark.operators.aggregates import (
+        _CMS_PRIME,
+        _CMS_ROWS,
+        _CMS_W,
+    )
+
+    users = duckdb.sql(
+        f"SELECT user_id FROM read_parquet('{SF_UNIT}/events.parquet')"
+    ).fetchall()
+    want = Counter()
+    for (u,) in users:
+        hv = int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16)
+        for i, (a, b) in enumerate(_CMS_ROWS):
+            want[(i, ((hv * a + b) % _CMS_PRIME) % _CMS_W)] += 1
+    got = {
+        (r["row_id"], r["col_id"]): r["cnt"]
+        for r in QUERIES["agg_cms_matrix"](spark, SF_UNIT).collect()
+    }
+    assert got == dict(want)
+
+
+def test_session_paths_matches_pure_python(spark):
+    """M194 — the top-20 session trigram paths equal a from-scratch
+    Python sessionize + trigram count."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT user_id, event_type, epoch_us(ts), event_id
+            FROM read_parquet('{SF_UNIT}/events.parquet')"""
+    ).fetchall()
+    by_user = defaultdict(list)
+    for u, t, us, e in rows:
+        by_user[u].append((us, e, t))
+    paths = Counter()
+    for u, evs in by_user.items():
+        evs.sort()
+        sessions = []
+        prev = None
+        for us, e, t in evs:
+            if prev is None or us - prev > 1800000000:
+                sessions.append([])
+            sessions[-1].append(t)
+            prev = us
+        for s in sessions:
+            for i in range(len(s) - 2):
+                paths[f"{s[i]}>{s[i + 1]}>{s[i + 2]}"] += 1
+    ordered = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want = set(ordered)
+    got = {
+        (r["path"], r["n"])
+        for r in QUERIES["analytics_session_paths"](spark, SF_UNIT).collect()
+    }
+    assert got == want
