@@ -2105,3 +2105,50 @@ def test_session_paths_matches_pure_python(spark):
         for r in QUERIES["analytics_session_paths"](spark, SF_UNIT).collect()
     }
     assert got == want
+
+
+def test_rake_keywords_matches_pure_python(spark):
+    """M183 — RAKE phrase scores equal a from-scratch Python
+    implementation: stopword-delimited runs, word score = 10^6 *
+    (sum of containing-phrase lengths) div freq, phrase score = sum
+    of word scores."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from tropology_spark.operators.text import _STOPWORDS
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
+    ).fetchall()
+    stop = set(_STOPWORDS)
+    phrases = []
+    for _, text in rows:
+        run = []
+        for tok in text.split(" ") + [None]:
+            if tok is None or tok in stop or tok == "":
+                if run:
+                    phrases.append(run)
+                run = []
+            else:
+                run.append(tok)
+    freq = defaultdict(int)
+    degsum = defaultdict(int)
+    for run in phrases:
+        for tok in run:
+            freq[tok] += 1
+            degsum[tok] += len(run)
+    wscore = {t: (1000000 * degsum[t]) // freq[t] for t in freq}
+    agg = defaultdict(lambda: [0, 0, 0])  # phrase -> [n_words, score, occ]
+    for run in phrases:
+        p = " ".join(run)
+        agg[p][0] = max(agg[p][0], len(run))
+        agg[p][1] = max(agg[p][1], sum(wscore[t] for t in run))
+        agg[p][2] += 1
+    ordered = sorted(agg.items(), key=lambda kv: (-kv[1][1], kv[0]))[:20]
+    want = {(p, v[0], v[1], v[2]) for p, v in ordered}
+    got = {
+        (r["phrase"], r["n_words"], r["score_ppm"], r["n_occurrences"])
+        for r in QUERIES["text_rake_keywords"](spark, SF_UNIT).collect()
+    }
+    assert got == want
