@@ -1660,18 +1660,18 @@ def test_xml_roundtrip_and_corrupt_capture(spark, tmp_path):
 
 def test_no_new_trivially_empty_queries(spark):
     """Empty-vs-empty hash matches verify nothing (the round-8 audit
-    found three registered queries in that state — queued as
-    _R9_RETUNED).  Freeze the set: a NEW query whose fixture result is
-    empty at sf0.001 must either get a threshold the fixture actually
-    exercises (the winback precedent: gap 8 → 3) or justify itself
-    onto this allowlist."""
+    found three registered queries in that state — retuned in round 9:
+    join_anti_frontier's bulk-order frontier, sub_scalar_global's 1.8x
+    threshold and mm_dedup_exact's is_dup flag all verify non-trivially
+    at every scale now).  Freeze the set: a NEW query whose fixture
+    result is empty at sf0.001 must either get a threshold the fixture
+    actually exercises (the winback precedent: gap 8 → 3) or justify
+    itself onto this allowlist."""
     from concurrent.futures import ThreadPoolExecutor
 
-    # join_anti_frontier: every part is ordered at every scale;
-    # mm_dedup_exact: no exact text dups below sf0.1;
     # ts_burst_hours: sf0.001's series is shorter than the 24h
     # trailing baseline (a scale artifact, non-empty from sf0.01 up).
-    EMPTY_ALLOWED = {"join_anti_frontier", "mm_dedup_exact", "ts_burst_hours"}
+    EMPTY_ALLOWED = {"ts_burst_hours"}
     empty: list[str] = []
 
     def check(n: str) -> None:

@@ -178,10 +178,10 @@ def mm_features(spark, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT sha256(text) AS sha256,
            CAST(count(*) AS BIGINT) AS n_copies,
-           CAST(min(doc_id) AS BIGINT) AS keep_id
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(CASE WHEN count(*) > 1 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
     FROM documents
     GROUP BY sha256(text)
-    HAVING count(*) > 1
     """,
 )
 def mm_dedup_exact(spark, sf_dir: str) -> DataFrame:
@@ -189,7 +189,12 @@ def mm_dedup_exact(spark, sf_dir: str) -> DataFrame:
     through the real Arrow mapInPandas stage (the same digest a crawler
     stores beside each asset), group by digest, keep the smallest id —
     J1's dedup policy applied to the multimodal column instead of
-    text.  Only duplicated payloads are reported (the drop list).
+    text.  Retuned in round 9: the fixture has NO exact payload
+    duplicates below sf0.1, so the original HAVING>1 drop list verified
+    empty-vs-empty at the gate scale; EVERY digest group is emitted
+    with an is_dup flag instead, so the Arrow digest arithmetic
+    verifies non-trivially at every scale (the drop list is the
+    is_dup=1 slice, still populated at sf0.1's 8 dup groups).
 
     The oracle recomputes the digests from the source text the payloads
     were encoded from, so a payload corrupted anywhere in the Arrow
@@ -206,10 +211,18 @@ def mm_dedup_exact(spark, sf_dir: str) -> DataFrame:
     return (
         feats.groupBy("sha256")
         .agg(
-            F.count(F.lit(1)).alias("n_copies"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
             F.min("media_id").cast("bigint").alias("keep_id"),
         )
-        .filter(F.col("n_copies") > 1)
+        .select(
+            "sha256",
+            "n_copies",
+            "keep_id",
+            F.when(F.col("n_copies") > 1, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_dup"),
+        )
     )
 
 

@@ -401,14 +401,20 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti_frontier",
     oracle="""
     SELECT p_partkey, p_name FROM part
-    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey AND l_quantity >= 40)
     """,
 )
 def join_anti_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6 — left anti join: the crawl-frontier discovery shape (link
-    targets not yet crawled; SURVEY.md §3.3)."""
+    targets not yet crawled; SURVEY.md §3.3), retuned in round 9 to a
+    build side the fixture actually leaves sparse: every part has SOME
+    lineitem at every scale, so the original "never ordered" frontier
+    was empty-vs-empty (no evidence); "never ordered in BULK
+    (l_quantity >= 40)" is non-empty 1/2/33 rows at the three scales.
+    Same left-anti plan shape; the filter rides the build-side scan."""
     part = load(spark, sf_dir, "part")
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
     return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select(
         "p_partkey", "p_name"
     )
@@ -925,12 +931,16 @@ def sub_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 2.0 * (SELECT avg(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
     """,
 )
 def sub_scalar_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uncorrelated scalar subquery: orders above twice the global
-    average price (the subquery executes once and broadcasts)."""
+    """Uncorrelated scalar subquery: orders well above the global
+    average price (the subquery executes once and broadcasts).
+    Retuned in round 9: the fixture's max/avg(o_totalprice) is exactly
+    2.0, so the original 2.0x threshold sat ON the distribution edge
+    (2/0/0 rows across scales — no evidence); 1.8x exercises the same
+    plan with 147/1449/14883 qualifying rows."""
     from tropology_spark.sources.tables import register_views
 
     register_views(spark, sf_dir, ("orders",))
@@ -938,7 +948,7 @@ def sub_scalar_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, o_totalprice
         FROM orders
-        WHERE o_totalprice > 2.0 * (SELECT avg(o_totalprice) FROM orders)
+        WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
         """
     )
 

@@ -1294,101 +1294,6 @@ def sim_recall_at_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# _R9_RETUNED replacements (CLAUDE.md round-9 plan): in-place rewrites
-# of the three trivially-empty registered queries, staged under
-# retune_* names so the replacement bodies are parity-proven BEFORE
-# they overwrite the registered ones (which needs window slots for
-# fresh driver evidence).  At activation each body replaces its
-# registered twin verbatim and the retune_* entry is deleted.
-# ---------------------------------------------------------------------------
-
-
-@_stage(
-    "retune_join_anti_frontier",
-    oracle="""
-    SELECT p_partkey, p_name FROM part
-    WHERE NOT EXISTS (SELECT 1 FROM lineitem
-                      WHERE l_partkey = p_partkey AND l_quantity >= 40)
-    """,
-)
-def retune_join_anti_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C6 retune — the crawl-frontier anti-join with a build side the
-    fixture actually leaves sparse: parts never ordered in BULK
-    (every part has SOME lineitem at every scale, so the original
-    frontier was empty-vs-empty — no evidence; 'no bulk order yet'
-    is non-empty 1/2/33 rows at the three scales).  Same left-anti
-    plan shape; the filter rides the build-side scan."""
-    part = load(spark, sf_dir, "part")
-    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
-    return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select(
-        "p_partkey", "p_name"
-    )
-
-
-@_stage(
-    "retune_sub_scalar_global",
-    oracle="""
-    SELECT o_orderkey, o_totalprice
-    FROM orders
-    WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
-    """,
-)
-def retune_sub_scalar_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retune of the uncorrelated scalar subquery: the fixture's
-    max/avg(o_totalprice) is exactly 2.0, so the original 2.0x
-    threshold sat ON the distribution edge (2/0/0 rows across
-    scales); 1.8x exercises the same plan with 147/1449/14883
-    qualifying rows."""
-    from tropology_spark.sources.tables import register_views
-
-    register_views(spark, sf_dir, ("orders",))
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_totalprice
-        FROM orders
-        WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
-        """
-    )
-
-
-@_stage(
-    "retune_mm_dedup_exact",
-    oracle="""
-    SELECT sha256(text) AS sha256,
-           CAST(count(*) AS BIGINT) AS n_copies,
-           CAST(min(doc_id) AS BIGINT) AS keep_id,
-           CAST(CASE WHEN count(*) > 1 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
-    FROM documents
-    GROUP BY sha256(text)
-    """,
-)
-def retune_mm_dedup_exact(spark, sf_dir: str) -> DataFrame:
-    """M77 retune — the fixture has NO exact payload duplicates below
-    sf0.1, so the HAVING>1 drop list verified empty-vs-empty at the
-    gate scale; emit EVERY digest group with an is_dup flag instead —
-    the Arrow mapInPandas digest arithmetic now verifies non-trivially
-    everywhere (and the drop list is the is_dup=1 slice, still
-    populated at sf0.1's 8 dup groups)."""
-    from tropology_spark.operators.multimodal import attach_media, extract_features
-    from tropology_spark.sources.tables import load as _load
-
-    docs = _load(spark, sf_dir, "documents").withColumn(
-        "payload", F.encode(F.col("text"), "UTF-8")
-    )
-    media = attach_media(docs, "payload", "text/plain", id_col="doc_id")
-    feats = extract_features(media)
-    return feats.groupBy("sha256").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
-        F.min("media_id").cast("bigint").alias("keep_id"),
-    ).select(
-        "sha256",
-        "n_copies",
-        "keep_id",
-        F.when(F.col("n_copies") > 1, 1).otherwise(0).cast("bigint").alias("is_dup"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # analytics_value_band_migration — spend-band transition matrix
 # ---------------------------------------------------------------------------
 
