@@ -150,6 +150,84 @@ def test_quantizer_env_index_skips_retraining(spark, tmp_path, monkeypatch):
         clear_session_caches()
 
 
+def test_quantizer_partial_index_triggers_retrain(spark, tmp_path, monkeypatch):
+    """ADVICE r8: a crashed/concurrent writer leaves a parquet dir
+    WITHOUT the _SUCCESS marker; the reload gate must treat it as
+    absent (retrain + overwrite), never load the partial assignment."""
+    import os
+
+    import tropology_spark.operators.similarity as S
+    from tropology_spark.sources.tables import clear_session_caches
+
+    _, assign = S.quantizer_assign_materialized(spark, SF_UNIT)
+    want = {(r["vec_id"], r["cell"]) for r in assign.collect()}
+    idx_path = tmp_path / f"assign_{os.path.basename(SF_UNIT)}"
+    idx_path.mkdir()
+    # a plausible-but-partial artifact: one stray parquet-ish file,
+    # no _SUCCESS marker
+    (idx_path / "part-00000.parquet").write_bytes(b"PAR1garbagePAR1")
+    monkeypatch.setenv("TROPOLOGY_QUANT_INDEX_DIR", str(tmp_path))
+    clear_session_caches()
+    try:
+        calls = {"n": 0}
+        real = S.lloyd_rounds
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(S, "lloyd_rounds", counting)
+        _, a1 = S.quantizer_assign_materialized(spark, SF_UNIT)
+        assert calls["n"] == 1, "partial index dir must trigger a retrain"
+        assert {(r["vec_id"], r["cell"]) for r in a1.collect()} == want
+        assert (idx_path / "_SUCCESS").exists(), "retrain must rewrite the artifact"
+    finally:
+        clear_session_caches()
+
+
+def test_ivf_index_persist_reload(spark, tmp_path, monkeypatch):
+    """VERDICT r8 item 6 — the THIRD saved-index artifact, following
+    the quantizer/minhash precedent: persist the IVF inverted file
+    (vectors bucketed by cell) + its k-row centroid table, reload in a
+    fresh session, and pin (a) the from-index search returning the
+    registered sim_ivf_topk rows exactly, (b) NO training on the read
+    path (lloyd_rounds raises), and (c) the probe scan BUCKET-PRUNED
+    to the probed cells (SelectedBucketsCount: 2 of 16 — 'a probe
+    touches only matching buckets', the sim_ivf_topk docstring's
+    100 TB claim, now demonstrated)."""
+    import tropology_spark.operators.similarity as S
+    from tropology_spark import QUERIES
+
+    want = [
+        (r["vec_id"], r["cell"], r["cosine"], )
+        for r in QUERIES["sim_ivf_topk"](spark, SF_UNIT).collect()
+    ]
+    S.ivf_write_index(spark, SF_UNIT, "ivf_idx_test", path=str(tmp_path / "ivf"))
+    try:
+        s2 = spark.newSession()
+        # Bucket PRUNING rides the bucketed scan; Spark's auto-bucketed-
+        # scan rule turns the bucketed read off when no operator needs
+        # the partitioning (its criterion is shuffle avoidance, not
+        # I/O), which would silently read all 16 buckets.  The index
+        # consumer posture pins it on (documented in
+        # ivf_topk_from_index).
+        s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+
+        def boom(*a, **k):  # pragma: no cover - failure path
+            raise AssertionError("lloyd_rounds ran on the index read path")
+
+        monkeypatch.setattr(S, "lloyd_rounds", boom)
+        got_df = S.ivf_topk_from_index(s2, "ivf_idx_test", S.QUERY_VEC_ID)
+        got = [(r["vec_id"], r["cell"], r["cosine"]) for r in got_df.collect()]
+        assert got == want
+
+        plan = plan_of(got_df)
+        assert "SelectedBucketsCount: 2 out of 16" in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
+        spark.sql("DROP TABLE IF EXISTS ivf_idx_test_centroids")
+
+
 def test_minhash_index_persist_reload(spark, tmp_path):
     """The LSH sibling of the quantizer artifact: the band table
     written bucketed on (band, bucket), reloaded in a second session,

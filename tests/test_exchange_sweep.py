@@ -92,6 +92,16 @@ BNLJ_ALLOWED = {
     # per-method totals into the 3-row union; M221 broadcasts the 1-row
     # winning pair into the merge projection.
     "dedup_survivorship_report", "text_bpe_merge2",
+    # round-9 scalar attaches (pre-activation plan sweep): M227 extends
+    # M221's per-round 1-row winner broadcast to four rounds; M231
+    # crosses the two 1-row scalar terms (triangles x wedges); M232's
+    # fused rank rides the sim_topk_* scalar-attach inputs; M241
+    # broadcasts the 4-row k table + the <=10-row approx list.
+    "text_bpe_vocab4", "graph_closure_rate_capped", "sim_rrf_fusion",
+    "sim_recall_at_k_curve",
+    # M240 composes the registered text_langid_nb (already allowlisted)
+    # and inherits its model-table scalar attach.
+    "text_lang_confusion",
 }
 
 #: The ONLY row-at-a-time Python evaluation sites: L1 (the declared

@@ -1,49 +1,26 @@
-"""Driver-replica parity for the STAGED round-9 operators
-(tropology_spark/operators/staged_r9.py) — the full compare the
-registry queries get, run over the staged (fn, oracle) pairs at both
-verification scales, plus independent Python twins for the
-formula-risk ops.  Activation in round 9 is then a mechanical
-move-and-register.
+"""Independent pure-Python twins for the round-9 activations
+(M226-M242) — the NEW-OP CROSS-CHECK DISCIPLINE (CLAUDE.md round 7):
+Spark-vs-DuckDB parity cannot catch a shared-formula error, so every
+formula-bearing new operator is re-derived here with hashlib / sets /
+Counter / plain loops and compared against the REGISTERED query.
 
-The staged module must never be imported by package __init__ (registry
-order is externally significant); importing it here is safe because it
-registers nothing.
+(These ops were staged in round 8 as operators/staged_r9.py and
+activated in round 9; oracle parity + partitioning invariance now run
+through the registry-wide suites — tests/test_oracle_parity.py and
+test_units.py's invariance probe — so this file keeps only the twins.)
 """
 
 from __future__ import annotations
 
-import pytest
-from pyspark.sql import functions as F
-
-from tests.conftest import SF_ORACLE, SF_UNIT, make_duckdb
-from tropology_spark.operators.staged_r9 import STAGED
+from tests.conftest import SF_UNIT
+from tropology_spark import QUERIES
 
 
-def test_staged_module_registers_nothing():
-    from tropology_spark import QUERIES
-
-    assert not (set(STAGED) & set(QUERIES))
-
-
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_parity_both_scales(spark, name):
-    from tests.parity import compare
-
-    fn, oracle = STAGED[name]
-    for sf in (SF_UNIT, SF_ORACLE):
-        con = make_duckdb(sf)
-        try:
-            compare(name, spark, con, fn, oracle, sf)
-        finally:
-            con.close()
-
-
-def test_staged_skyline_matches_bruteforce(spark):
-    """Formula-independent check: the linear-sweep skyline equals the
-    O(n²) Python dominance scan."""
+def test_skyline_matches_bruteforce(spark):
+    """M228 — the linear-sweep skyline equals the O(n²) Python
+    dominance scan."""
     import duckdb
 
-    fn, _ = STAGED["join_skyline_pareto"]
     rows = duckdb.sql(
         f"""SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT),
                    CAST(p_size AS BIGINT)
@@ -58,19 +35,18 @@ def test_staged_skyline_matches_bruteforce(spark):
             want.add((k, c, s))
     got = {
         (r["p_partkey"], r["cents"], r["size"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["join_skyline_pareto"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_bpe_vocab4_matches_pure_python(spark):
-    """Formula-independent check: four Counter/str.replace merge
-    rounds (the M221 twin, iterated)."""
+def test_bpe_vocab4_matches_pure_python(spark):
+    """M227 — four Counter/str.replace merge rounds (the M221 twin,
+    iterated)."""
     from collections import Counter
 
     import duckdb
 
-    fn, _ = STAGED["text_bpe_vocab4"]
     texts = [
         t
         for (t,) in duckdb.sql(
@@ -104,19 +80,18 @@ def test_staged_bpe_vocab4_matches_pure_python(spark):
         cur = [w.replace(mpair, chr(r)) for w in cur]
     got = {
         (r["merge_round"], r["pair"], r["n"], r["rn"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["text_bpe_vocab4"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_survival_curve_matches_pure_python(spark):
-    """Formula-independent check: survival at k == #customers with
-    lifetime >= k, per cohort."""
+def test_survival_curve_matches_pure_python(spark):
+    """M229 — survival at k == #customers with lifetime >= k, per
+    cohort."""
     from collections import defaultdict
 
     import duckdb
 
-    fn, _ = STAGED["analytics_survival_curve"]
     rows = duckdb.sql(
         f"""SELECT o_custkey,
                    CAST(min(datediff('day', DATE '1970-01-01',
@@ -134,19 +109,20 @@ def test_staged_survival_curve_matches_pure_python(spark):
             want[(cohort, k)] = sum(1 for o in offs if o >= k)
     got = {
         (r["cohort_week"], r["k"]): r["n_surviving"]
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["analytics_survival_curve"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_winback_matches_pure_python(spark):
-    """Formula-independent check: winbacks = gaps >= threshold in the
-    sorted per-user active-day list."""
+def test_winback_matches_pure_python(spark):
+    """M233 — winbacks = gaps >= threshold in the sorted per-user
+    active-day list."""
     from collections import defaultdict
 
     import duckdb
 
-    fn, _ = STAGED["analytics_winback_counts"]
+    from tropology_spark.operators.analytics import _WINBACK_GAP_DAYS
+
     rows = duckdb.sql(
         f"""SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT)
             FROM read_parquet('{SF_UNIT}/events.parquet')"""
@@ -158,30 +134,25 @@ def test_staged_winback_matches_pure_python(spark):
     for u, ds in days.items():
         ds.sort()
         gaps = [b - a for a, b in zip(ds, ds[1:])]
-        from tropology_spark.operators.staged_r9 import _WINBACK_GAP_DAYS
-
         nw = sum(1 for g in gaps if g >= _WINBACK_GAP_DAYS)
         if nw > 0:
             stats.append((u, nw, max(gaps), len(ds)))
     stats.sort(key=lambda t: (-t[1], t[0]))
-    want = {
-        (u, nw, mg, na) for u, nw, mg, na in stats[:20]
-    }
+    want = {(u, nw, mg, na) for u, nw, mg, na in stats[:20]}
     got = {
         (r["user_id"], r["n_winbacks"], r["max_gap_days"], r["n_active_days"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["analytics_winback_counts"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_xcorr_matches_pure_python(spark):
-    """Formula-independent check: lagged co-moment terms from plain
-    dict arithmetic over the observed-hour spine."""
+def test_xcorr_matches_pure_python(spark):
+    """M234 — lagged co-moment terms from plain dict arithmetic over
+    the observed-hour spine."""
     from collections import Counter
 
     import duckdb
 
-    fn, _ = STAGED["ts_xcorr_lagged_terms"]
     rows = duckdb.sql(
         f"""SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT)
             FROM read_parquet('{SF_UNIT}/events.parquet')"""
@@ -209,17 +180,16 @@ def test_staged_xcorr_matches_pure_python(spark):
             r["n_hours"], r["sum_x"], r["sum_y"],
             r["sum_xy"], r["sum_x2"], r["sum_y2"],
         )
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["ts_xcorr_lagged_terms"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_sweep_matches_pure_python(spark):
-    """Formula-independent check: the sweep's open_after equals a
-    brute-force interval count at every change day."""
+def test_open_orders_sweep_matches_pure_python(spark):
+    """M236 — the sweep's open_after equals a brute-force interval
+    count at every change day."""
     import duckdb
 
-    fn, _ = STAGED["ts_open_orders_sweep"]
     ivs = duckdb.sql(
         f"""SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)),
                    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
@@ -230,14 +200,12 @@ def test_staged_sweep_matches_pure_python(spark):
     days = sorted({d for iv in ivs for d in iv})
     got = {
         r["day"]: (r["n_opened"], r["n_shipped"], r["open_after"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["ts_open_orders_sweep"](spark, SF_UNIT).collect()
     }
     assert set(got) == set(days)
     for day in days:
         n_open = sum(1 for od, _ in ivs if od == day)
         n_ship = sum(1 for _, sd in ivs if sd == day)
-        # open through the ship day; -1 effective the following day
-        active = sum(1 for od, sd in ivs if od <= day < sd + 1) - n_ship
         # open_after counts lines opened by `day` minus lines whose
         # ship day is <= day  (post-change value)
         open_after = sum(1 for od, _ in ivs if od <= day) - sum(
@@ -246,38 +214,13 @@ def test_staged_sweep_matches_pure_python(spark):
         assert got[day] == (n_open, n_ship, open_after), day
 
 
-def test_staged_partitioning_invariance(spark):
-    """The activation-time lockstep requires partitioning invariance;
-    pin it NOW for every staged op (three shuffle-partition settings
-    must produce identical value sets — the registry probe's
-    discipline applied pre-registration)."""
-    from tests.parity import canon_rows, spark_result
-    from tropology_spark.sources.tables import clear_session_caches
-
-    orig = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        results = {n: set() for n in STAGED}
-        for parts in ("5", "13", "32"):
-            spark.conf.set("spark.sql.shuffle.partitions", parts)
-            clear_session_caches()
-            for n, (fn, _) in STAGED.items():
-                cols, rows = spark_result(fn(spark, SF_UNIT))
-                results[n].add(tuple(canon_rows(cols, rows)))
-        for n, seen in results.items():
-            assert len(seen) == 1, f"staged {n} varies with shuffle partitioning"
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig)
-        clear_session_caches()
-
-
-def test_staged_dataset_diff_matches_pure_python(spark):
-    """Formula-independent check: the diff classification from plain
-    dict arithmetic over the derived versions."""
+def test_dataset_diff_matches_pure_python(spark):
+    """M237 — the diff classification from plain dict arithmetic over
+    the derived versions."""
     from collections import Counter
 
     import duckdb
 
-    fn, _ = STAGED["pipeline_dataset_diff"]
     rows = duckdb.sql(
         f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
     ).fetchall()
@@ -302,20 +245,19 @@ def test_staged_dataset_diff_matches_pure_python(spark):
         chars[st] += len(vb.get(i, va.get(i)))
     got = {
         r["status"]: (r["n_docs"], r["n_chars"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["pipeline_dataset_diff"](spark, SF_UNIT).collect()
     }
     assert got == {st: (n[st], chars[st]) for st in n}
 
 
-def test_staged_session_overlap_matches_pure_python(spark):
-    """Formula-independent check: the bucketed interval-overlap join
-    equals a brute-force pairwise intersect over Python-built spans
-    (sessionization recomputed from scratch with plain lists)."""
+def test_session_overlap_matches_pure_python(spark):
+    """M238 — the bucketed interval-overlap join equals a brute-force
+    pairwise intersect over Python-built spans (sessionization
+    recomputed from scratch with plain lists)."""
     from collections import defaultdict
 
     import duckdb
 
-    fn, _ = STAGED["join_session_overlap"]
     rows = duckdb.sql(
         f"""SELECT user_id, event_id, epoch_us(ts)
             FROM read_parquet('{SF_UNIT}/events.parquet')"""
@@ -345,22 +287,19 @@ def test_staged_session_overlap_matches_pure_python(spark):
     want = {(a, b, n) for (a, b), n in ordered}
     got = {
         (r["user_a"], r["user_b"], r["n_overlaps"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["join_session_overlap"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_window_funnel_matches_pure_python(spark):
-    """Formula-independent check: windowed first-touch chain from
-    plain dict arithmetic."""
+def test_window_funnel_matches_pure_python(spark):
+    """M239 — windowed first-touch chain from plain dict arithmetic."""
     from collections import defaultdict
 
     import duckdb
 
-    from tropology_spark.operators.analytics import _FUNNEL_STEPS
-    from tropology_spark.operators.staged_r9 import _WF_WINDOW_US
+    from tropology_spark.operators.analytics import _FUNNEL_STEPS, _WF_WINDOW_US
 
-    fn, _ = STAGED["analytics_window_funnel"]
     rows = duckdb.sql(
         f"""SELECT user_id, event_type, epoch_us(ts)
             FROM read_parquet('{SF_UNIT}/events.parquet')"""
@@ -383,5 +322,8 @@ def test_staged_window_funnel_matches_pure_python(spark):
         t2 = min(b2)
         if any(t2 < x <= lim for x in evs.get(c, [])):
             n3 += 1
-    got = {r["step"]: r["n_users"] for r in fn(spark, SF_UNIT).collect()}
+    got = {
+        r["step"]: r["n_users"]
+        for r in QUERIES["analytics_window_funnel"](spark, SF_UNIT).collect()
+    }
     assert got == {1: n1, 2: n2, 3: n3}

@@ -41,14 +41,14 @@ from tropology_spark.operators import windows  # noqa: F401
 from tropology_spark.operators import aggregates  # noqa: F401
 from tropology_spark.operators import relational  # noqa: F401
 
-# Round-8 driver window (the driver hash-checks the FIRST 50 entries
-# per round).  Every registered query is driver-green at least once;
-# the remaining evidence gap is FRESHNESS — after round 7, exactly 44
-# queries' latest driver row is r01/r02 (from BEFORE the round-3
-# testdata regeneration).  Round-8 order (VERDICT r7 item 1): the 6
-# round-8 NEW queries (never sampled) lead, and the remaining 44
-# window slots take the ENTIRE residual stale queue — 6 + 44 = 50,
-# so this window DRAINS the freshness debt to zero.
+# Round-9 driver window (the driver hash-checks the FIRST 50 entries
+# per round).  Round 8 drained the pre-regeneration freshness debt to
+# zero, so round 9 spends the window on NEW surface again (the r6
+# posture): the 17 activated staged operators (M226-M242, never
+# sampled) plus the 3 retuned bodies (semantic changes needing fresh
+# evidence) lead; the remaining 30 slots rotate the OLDEST
+# post-regeneration evidence (r03-vintage — streaming twins, UDF
+# family, mm_features, CC) — 20 + 30 = 50.
 
 #: Round-6 additions (M169+) — appended here as they are registered.
 _R6_NEW = [
@@ -185,6 +185,72 @@ _R8_STALE = [
     "text_gopher_rules",
 ]
 
-prioritize(_R8_NEW + _R8_STALE)
+#: Round-9 additions (M226-M242) — the activated round-8-staged ops.
+_R9_NEW = [
+    "fn_tz_day_profile",
+    "text_bpe_vocab4",
+    "join_skyline_pareto",
+    "analytics_survival_curve",
+    "ts_double_smooth",
+    "graph_closure_rate_capped",
+    "sim_rrf_fusion",
+    "analytics_winback_counts",
+    "ts_xcorr_lagged_terms",
+    "mm_tiering_plan",
+    "ts_open_orders_sweep",
+    "pipeline_dataset_diff",
+    "join_session_overlap",
+    "analytics_window_funnel",
+    "text_lang_confusion",
+    "sim_recall_at_k_curve",
+    "analytics_value_band_migration",
+]
+
+#: Round-9 semantic retunes of the three trivially-empty queries (the
+#: round-8 empty-result audit): same names, non-vacuous results now —
+#: they need fresh driver evidence like any rewrite.
+_R9_RETUNED = [
+    "join_anti_frontier",
+    "sub_scalar_global",
+    "mm_dedup_exact",
+]
+
+#: The 30 OLDEST post-regeneration evidence rows (latest driver row is
+#: r03), in registry order; 19 r03-vintage queries remain for round 10
+#: (mm_dedup_exact's r03 row refreshes via _R9_RETUNED above).
+_R9_STALE = [
+    "sim_ann_recall",
+    "text_pii_redact",
+    "graph_connected_components",
+    "graph_component_sizes",
+    "graph_degree_histogram",
+    "fn_bitwise",
+    "fn_higher_order",
+    "fn_try_arithmetic",
+    "mm_features",
+    "mm_phash_hamming",
+    "stream_tumbling_1h",
+    "stream_sliding_1h_30m",
+    "stream_sessionize_30m",
+    "stream_interval_join",
+    "stream_latedrop_1h",
+    "udf_scalar_code_norm",
+    "udf_pandas_vectorized",
+    "udf_grouped_normalize",
+    "udf_udtf_tokenize",
+    "dedup_cluster_canonical",
+    "text_contamination",
+    "pipeline_split_assign",
+    "dedup_ngram_jaccard",
+    "text_repetition",
+    "pipeline_pack_sequences",
+    "text_token_histogram",
+    "dedup_incremental",
+    "text_inverted_index",
+    "pipeline_shard_layout",
+    "text_length_gate",
+]
+
+prioritize(_R9_NEW + _R9_RETUNED + _R9_STALE)
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

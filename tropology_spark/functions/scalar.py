@@ -647,3 +647,45 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("parse_url(url, 'REF')").alias("fragment"),
         F.expr("parse_url(url, 'QUERY', 'size')").alias("size_param"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M226 fn_tz_day_profile — timezone-aware local-hour profile (DST-correct)
+# ---------------------------------------------------------------------------
+
+_TZ = "America/New_York"
+
+
+@register(
+    "fn_tz_day_profile",
+    oracle=f"""
+    SELECT event_type,
+           strftime(timezone('{_TZ}', timezone('UTC', ts)), '%H') AS local_hour,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def fn_tz_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M226 — the tz-correct hour-of-day activity profile
+    (event counts + distinct users per type and LOCAL hour), the form
+    every "when are users active" dashboard actually needs: civil
+    time, DST-correct, not UTC buckets.  Cross-engine rule (verified
+    live in round 8 across both 2024 DST edges and under a non-UTC
+    DuckDB session TZ): Spark ``convert_timezone('UTC', tz, ts)`` ==
+    DuckDB ``timezone(tz, timezone('UTC', ts))`` — the double-
+    timezone() oracle form pins the naive→UTC interpretation and
+    returns a naive local, independent of the session TimeZone (the
+    single TIMESTAMPTZ cast reads the session TZ; never use it).
+
+    Scale: pure scan-side projection to a 24-value key, one map-side-
+    combinable rollup with a distinct partial — no window, no join."""
+    e = load(spark, sf_dir, "events")
+    local_hour = F.date_format(
+        F.expr(f"convert_timezone('UTC', '{_TZ}', ts)"), "HH"
+    )
+    return e.groupBy("event_type", local_hour.alias("local_hour")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

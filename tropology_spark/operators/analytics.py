@@ -1657,3 +1657,313 @@ def analytics_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * cum) div total").cast("bigint")
         .alias("cum_share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M229 analytics_survival_curve — cohort retention survival table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_survival_curve",
+    oracle="""
+    WITH span AS (
+      SELECT o_custkey,
+             CAST(min(datediff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE))) // 7 AS BIGINT)
+               AS first_w,
+             CAST(max(datediff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE))) // 7 AS BIGINT)
+               AS last_w
+      FROM orders GROUP BY o_custkey
+    ),
+    h AS (
+      SELECT first_w AS cohort_week, last_w - first_w AS offset_w,
+             CAST(count(*) AS BIGINT) AS n
+      FROM span GROUP BY 1, 2
+    )
+    SELECT cohort_week, CAST(offset_w AS BIGINT) AS k,
+           CAST(sum(n) OVER (PARTITION BY cohort_week ORDER BY offset_w
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                AS BIGINT) AS n_surviving
+    FROM h
+    """,
+)
+def analytics_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M229 — the cohort SURVIVAL table: for each first-order
+    week cohort and observed lifetime offset k (weeks), how many
+    customers' activity span lasted AT LEAST k weeks (last order ≥
+    first + k) — M52 retention's cumulative complement, the curve a
+    churn analysis plots.  Survival at k is the reverse cumulative of
+    the lifetime histogram, so the corpus collapses to per-customer
+    (first, last) in one aggregate and the curve is a window over the
+    bounded (cohort, offset) grid — emitted at OBSERVED offsets (the
+    M155 gap rule: no dense spine).
+
+    Scale: one shuffle to (customer) for the span, one rollup to the
+    (cohort, offset) grid, one partitioned window over ≤ observed-
+    offset rows per cohort.  All integers (epoch-day div 7 week
+    buckets — the M193 date idiom; o_orderdate is TIMESTAMP_NTZ, so
+    unix_micros would not even resolve)."""
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    span = o.select("o_custkey", day.alias("d")).groupBy("o_custkey").agg(
+        F.expr("min(d) div 7").cast("bigint").alias("first_w"),
+        F.expr("max(d) div 7").cast("bigint").alias("last_w"),
+    )
+    h = span.groupBy(
+        F.col("first_w").alias("cohort_week"),
+        (F.col("last_w") - F.col("first_w")).alias("offset_w"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("offset_w")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return h.select(
+        "cohort_week",
+        F.col("offset_w").cast("bigint").alias("k"),
+        F.sum("n").over(w).cast("bigint").alias("n_surviving"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M233 analytics_winback_counts — reactivation after dormancy
+# ---------------------------------------------------------------------------
+
+_WINBACK_GAP_DAYS = 3  # a return after >= 2 full dormant days
+# (fixture activity is dense: max observed gap is 3/4/6 days at
+# sf0.001/0.01/0.1 — a 7-day threshold would be trivially empty at
+# every scale, which is no evidence at all)
+
+
+@register(
+    "analytics_winback_counts",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, day,
+             day - lag(day) OVER (PARTITION BY user_id ORDER BY day) AS gap
+      FROM d
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN gap >= {_WINBACK_GAP_DAYS} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_winbacks,
+             CAST(max(gap) AS BIGINT) AS max_gap_days,
+             CAST(count(*) AS BIGINT) AS n_active_days
+      FROM g GROUP BY user_id
+    )
+    SELECT user_id, n_winbacks, max_gap_days, n_active_days
+    FROM u WHERE n_winbacks > 0
+    ORDER BY n_winbacks DESC, user_id LIMIT 20
+    """,
+)
+def analytics_winback_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M233 — WINBACK detection: per user, how many times they
+    returned after ≥ 2 full dormant days (active-day gap ≥ 3), with
+    their longest dormancy and active-day count — the re-engagement
+    complement of M170's streaks (streaks measure persistence,
+    winbacks measure recovery; both read the same per-user day lag).
+    Top-20 returners by (n_winbacks DESC, user_id).
+
+    Scale: the events scan collapses to distinct (user, day)
+    immediately; one user-partitioned lag + rollup — a single
+    shuffle; TakeOrdered finale."""
+    e = load(spark, sf_dir, "events")
+    d = e.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.withColumn("gap", F.col("day") - F.lag("day").over(w))
+    u = g.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("gap") >= _WINBACK_GAP_DAYS, 1).otherwise(0)
+        ).cast("bigint").alias("n_winbacks"),
+        F.max("gap").cast("bigint").alias("max_gap_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_active_days"),
+    )
+    return (
+        u.filter(F.col("n_winbacks") > 0)
+        .orderBy(F.desc("n_winbacks"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# M239 analytics_window_funnel — conversion window bound on the funnel
+# ---------------------------------------------------------------------------
+
+_WF_WINDOW_US = 24 * 3600 * 1_000_000  # 24 h conversion window, exact µs
+
+
+def _window_funnel_oracle() -> str:
+    a, b, c = _FUNNEL_STEPS
+    return f"""
+    WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+                WHERE event_type = '{a}' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+           JOIN s1 ON s1.user_id = e.user_id
+            AND epoch_us(e.ts) > s1.t1
+            AND epoch_us(e.ts) <= s1.t1 + {_WF_WINDOW_US}
+           WHERE e.event_type = '{b}' GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
+           JOIN s2 ON s2.user_id = e.user_id AND epoch_us(e.ts) > s2.t2
+           JOIN s1 ON s1.user_id = e.user_id
+            AND epoch_us(e.ts) <= s1.t1 + {_WF_WINDOW_US}
+           WHERE e.event_type = '{c}' GROUP BY e.user_id)
+    SELECT CAST(1 AS BIGINT) AS step, '{a}' AS event_type,
+           CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, '{b}', CAST((SELECT count(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 3, '{c}', CAST((SELECT count(*) FROM s3) AS BIGINT)
+    """
+
+
+@register("analytics_window_funnel", oracle=_window_funnel_oracle())
+def analytics_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M239 — the WINDOWED funnel (ClickHouse's windowFunnel
+    semantics): M51's ordered first-touch chain with a CONVERSION
+    WINDOW — every later step must land within 24 h of the user's
+    first step-1 event, the form campaign attribution actually uses
+    (an unbounded funnel credits conversions months later).  Same
+    first-touch/strictly-after rules as M51, same three-row output
+    shape, so the two funnels diff directly into "conversions lost to
+    the window" (the window genuinely bites on the fixture:
+    150/65/15 vs M51's 150/150/150 at sf0.01).
+
+    Scale: identical plan family to M51 — per-step per-user
+    conditional mins joined on the user key; the window bound rides
+    the existing join predicates, adding no shuffle.  All arithmetic
+    on exact µs integers."""
+    a, b, c = _FUNNEL_STEPS
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == a)
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == b)
+        .join(s1, "user_id")
+        .filter(
+            (F.col("us") > F.col("t1"))
+            & (F.col("us") <= F.col("t1") + _WF_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == c)
+        .join(s2, "user_id")
+        .filter(
+            (F.col("us") > F.col("t2"))
+            & (F.col("us") <= F.col("t1") + _WF_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+
+    def row(step: int, et: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(step).cast("bigint").alias("step"),
+            F.lit(et).alias("event_type"),
+            "n_users",
+        )
+
+    return row(1, a, s1).unionByName(row(2, b, s2)).unionByName(row(3, c, s3))
+
+
+# ---------------------------------------------------------------------------
+# M242 analytics_value_band_migration — spend-band transition matrix
+# ---------------------------------------------------------------------------
+
+_BAND_SPLIT_DATE = "1998-01-01"  # era boundary (order span is 1995..2001)
+
+
+@register(
+    "analytics_value_band_migration",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderdate < TIMESTAMP '{_BAND_SPLIT_DATE}'
+                  THEN 0 ELSE 1 END AS era,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    banded AS (
+      SELECT o_custkey, era,
+             CASE WHEN cents >= 100000000 THEN 'high'
+                  WHEN cents >= 30000000 THEN 'mid'
+                  ELSE 'low' END AS band
+      FROM spend
+    ),
+    m AS (
+      SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+             coalesce(a.band, 'none') AS band_h1,
+             coalesce(b.band, 'none') AS band_h2
+      FROM (SELECT * FROM banded WHERE era = 0) a
+      FULL OUTER JOIN (SELECT * FROM banded WHERE era = 1) b
+        ON a.o_custkey = b.o_custkey
+    )
+    SELECT band_h1, band_h2, CAST(count(*) AS BIGINT) AS n_customers
+    FROM m GROUP BY 1, 2
+    """,
+)
+def analytics_value_band_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M242 — customer SPEND-BAND MIGRATION between the two
+    halves of the order history (split at 1998-01-01): each customer's
+    total spend per era is banded low/mid/high on exact cents
+    thresholds, and the (band_h1, band_h2) transition matrix counts
+    who moved where — 'none' rows are the acquisition/churn margins
+    (the full outer join IS the churn detector).  The economics twin
+    of M96's event-type Markov matrix and the temporal complement of
+    M157's static RFM segments.
+
+    Determinism: cents-integer sums (the exact.py money rule), string
+    bands from integer thresholds, full outer join on the customer
+    key.  Scale: one shuffle to (customer, era) — two rows per
+    customer — then a ≤16-cell rollup with map-side combine; at
+    100 TB the banding thresholds would come from the M210 decile
+    table instead of constants."""
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy(
+        "o_custkey",
+        F.when(
+            F.col("o_orderdate") < F.lit(_BAND_SPLIT_DATE).cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("era"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    band = (
+        F.when(F.col("cents") >= 100000000, "high")
+        .when(F.col("cents") >= 30000000, "mid")
+        .otherwise("low")
+    )
+    banded = spend.select("o_custkey", "era", band.alias("band"))
+    a = banded.filter(F.col("era") == 0).select(
+        F.col("o_custkey").alias("c_a"), F.col("band").alias("band_h1")
+    )
+    b = banded.filter(F.col("era") == 1).select(
+        F.col("o_custkey").alias("c_b"), F.col("band").alias("band_h2")
+    )
+    m = a.join(b, a.c_a == b.c_b, "full_outer").select(
+        F.coalesce(F.col("band_h1"), F.lit("none")).alias("band_h1"),
+        F.coalesce(F.col("band_h2"), F.lit("none")).alias("band_h2"),
+    )
+    return m.groupBy("band_h1", "band_h2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )

@@ -1071,3 +1071,76 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_ktruss.__doc__ = graph_ktruss.__doc__.format(
     k=_TRUSS_K, r=_TRUSS_ROUNDS, cap=_HUB_CAP
 )
+
+
+# ---------------------------------------------------------------------------
+# M231 graph_closure_rate_capped — global clustering coefficient terms
+# ---------------------------------------------------------------------------
+
+
+def _closure_oracle() -> str:
+    return (
+        _CAPPED_PROJ_CTE
+        + """
+    , und AS (SELECT u, v FROM proj0 UNION ALL SELECT v, u FROM proj0),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
+    wed AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+    tri AS (
+      SELECT e1.u, e1.v, e2.v AS w
+      FROM proj0 e1
+      JOIN proj0 e2 ON e2.u = e1.v
+      JOIN proj0 e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri)
+    SELECT n_triangles, n_wedges,
+           CAST(CASE WHEN n_wedges = 0 THEN NULL
+                     ELSE (1000000 * 3 * n_triangles) // n_wedges END
+                AS BIGINT) AS closure_ppm
+    FROM t CROSS JOIN wed
+    """
+    )
+
+
+@register("graph_closure_rate_capped", oracle=_closure_oracle())
+def graph_closure_rate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M231 — the GLOBAL clustering coefficient of the
+    hub-capped co-purchase projection: 3·triangles / wedges in ppm,
+    with the raw terms alongside (the single number the per-node M70/
+    M135 tables roll up to; transitivity, the graph-cohesion KPI).
+    Composed, not copied: the oracle extends ``_CAPPED_PROJ_CTE``
+    (the single SQL home of the M120/M204/M213 projection arithmetic)
+    and the Spark side reads the session-shared
+    ``copurchase_projection`` view.
+
+    Scale: the projection is the dominant cost and is already hub-
+    capped + session-materialized; wedges are one degree rollup
+    (Σ C(d,2) — integers), triangles one oriented 3-branch join over
+    the materialized edge list; the finale is a 1-row cross of two
+    scalars (guarded NULL on a wedge-free graph — the ADVICE r6
+    degenerate-denominator rule)."""
+    proj = copurchase_projection(spark, sf_dir, hub_cap=_HUB_CAP)
+    und = proj.select("u", "v").unionAll(
+        proj.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    wed = deg.agg(
+        F.expr("sum(d * (d - 1) div 2)").cast("bigint").alias("n_wedges")
+    )
+    e1 = proj
+    e2 = proj.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = proj.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    tri = (
+        e1.join(e2, "v")
+        .join(e3, (F.col("u3") == F.col("u")) & (F.col("w3") == F.col("w")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return tri.crossJoin(F.broadcast(wed)).select(
+        "n_triangles",
+        "n_wedges",
+        F.expr(
+            "CASE WHEN n_wedges = 0 THEN NULL"
+            " ELSE (1000000 * 3 * n_triangles) div n_wedges END"
+        )
+        .cast("bigint")
+        .alias("closure_ppm"),
+    )

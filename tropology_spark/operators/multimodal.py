@@ -748,3 +748,64 @@ def mm_stratified_sample(spark, sf_dir: str) -> DataFrame:
 
 
 mm_stratified_sample.__doc__ = mm_stratified_sample.__doc__.format(k=_MM_STRAT_K)
+
+
+# ---------------------------------------------------------------------------
+# M235 mm_tiering_plan — chunk-store tier assignment from reference counts
+# ---------------------------------------------------------------------------
+
+
+def _tiering_oracle() -> str:
+    from tropology_spark.registry import ORACLES
+
+    return f"""
+    WITH man AS ({ORACLES['mm_chunk_manifest']}),
+    r AS (
+      SELECT chunk_md5,
+             CAST(count(*) AS BIGINT) AS refs,
+             CAST(max(chunk_bytes) AS BIGINT) AS chunk_bytes
+      FROM man GROUP BY 1
+    )
+    SELECT chunk_md5, refs, chunk_bytes,
+           CASE WHEN refs >= 3 THEN 'hot'
+                WHEN refs = 2 THEN 'warm'
+                ELSE 'cold' END AS tier,
+           CAST((refs - 1) * chunk_bytes AS BIGINT) AS saved_bytes
+    FROM r
+    """
+
+
+@register("mm_tiering_plan", oracle=_tiering_oracle())
+def mm_tiering_plan(spark, sf_dir: str) -> DataFrame:
+    """M235 — the STORAGE-TIERING plan of the content-
+    addressed chunk store: per unique chunk digest, its reference
+    count, size, tier assignment (hot ≥ 3 refs / warm = 2 / cold
+    unique — the cache-placement decision M209's max_refcount summary
+    hints at, materialized per chunk), and the bytes content-
+    addressing saves on it.  Identical content implies identical
+    size, so max(chunk_bytes) per digest is exact.
+
+    Composed, not copied: the oracle wraps ORACLES['mm_chunk_
+    manifest'] verbatim and the Spark side runs the REGISTERED M185
+    query.  Scale: one map-side-combinable rollup on the 16-byte
+    digest; payloads reduced to digests long before this runs (the
+    multimodal family invariant)."""
+    from tropology_spark.registry import QUERIES
+
+    man = QUERIES["mm_chunk_manifest"](spark, sf_dir)
+    r = man.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).cast("bigint").alias("refs"),
+        F.max("chunk_bytes").cast("bigint").alias("chunk_bytes"),
+    )
+    return r.select(
+        "chunk_md5",
+        "refs",
+        "chunk_bytes",
+        F.when(F.col("refs") >= 3, "hot")
+        .when(F.col("refs") == 2, "warm")
+        .otherwise("cold")
+        .alias("tier"),
+        ((F.col("refs") - 1) * F.col("chunk_bytes"))
+        .cast("bigint")
+        .alias("saved_bytes"),
+    )

@@ -1386,7 +1386,10 @@ def pipeline_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.md5(F.col("dst").cast("string")), F.col("dst"))
         .limit(_NEG_NODES)
     )
-    cand = F.broadcast(s.crossJoin(d))
+    # hint the cross's build side only: a broadcast hint on the LEFT of
+    # a left-anti is unsupported (build-left) — Spark ignored it with a
+    # HintErrorLogger warning in every bench tail (VERDICT r8 cosmetic).
+    cand = s.crossJoin(F.broadcast(d))
     neg = cand.join(e, ["src", "dst"], "left_anti")
     pair_hash = F.md5(
         F.concat(F.col("src").cast("string"), F.lit("_"), F.col("dst").cast("string"))
@@ -3139,3 +3142,79 @@ def pipeline_stratified_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame
 pipeline_stratified_reservoir.__doc__ = pipeline_stratified_reservoir.__doc__.format(
     k=_STRAT_RESERVOIR_K
 )
+
+
+# ---------------------------------------------------------------------------
+# M237 pipeline_dataset_diff — corpus version diff (added/removed/changed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_dataset_diff",
+    oracle="""
+    WITH va AS (
+      SELECT doc_id, md5(text) AS h, len(text) AS n_chars
+      FROM documents WHERE doc_id % 17 <> 3
+    ),
+    vb AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 19 = 0 THEN text || ' zchanged'
+                      ELSE text END) AS h,
+             len(CASE WHEN doc_id % 19 = 0 THEN text || ' zchanged'
+                      ELSE text END) AS n_chars
+      FROM documents WHERE doc_id % 13 <> 5
+    ),
+    j AS (
+      SELECT coalesce(va.doc_id, vb.doc_id) AS doc_id,
+             CASE WHEN va.doc_id IS NULL THEN 'added'
+                  WHEN vb.doc_id IS NULL THEN 'removed'
+                  WHEN va.h <> vb.h THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             coalesce(vb.n_chars, va.n_chars) AS n_chars
+      FROM va FULL OUTER JOIN vb ON va.doc_id = vb.doc_id
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM j GROUP BY status
+    """,
+)
+def pipeline_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M237 — the DATASET-VERSION DIFF every corpus release
+    pipeline publishes: added / removed / changed / unchanged document
+    counts (+ character volume) between two versions, classified by a
+    full outer join on doc_id with content-hash comparison — the
+    data-versioning read-side of M49's CDC apply.  Versions are
+    derived deterministically from the fixture (A drops doc_id%17=3,
+    B drops %13=5 and edits %19=0) so both engines diff the same pair;
+    a production caller passes two real snapshots.
+
+    Scale: content reduces to md5 scan-side (the J1 move), so the
+    full outer join shuffles 16-byte hashes + ids, never text; the
+    classification is a projection and the rollup is 4 keys with
+    map-side combine."""
+    d = load(spark, sf_dir, "documents")
+    va = d.filter(F.col("doc_id") % 17 != 3).select(
+        "doc_id",
+        F.md5(F.col("text")).alias("h_a"),
+        F.length("text").cast("bigint").alias("chars_a"),
+    )
+    btext = F.when(
+        F.col("doc_id") % 19 == 0, F.concat(F.col("text"), F.lit(" zchanged"))
+    ).otherwise(F.col("text"))
+    vb = d.filter(F.col("doc_id") % 13 != 5).select(
+        F.col("doc_id").alias("b_id"),
+        F.md5(btext).alias("h_b"),
+        F.length(btext).cast("bigint").alias("chars_b"),
+    )
+    j = va.join(vb, va.doc_id == vb.b_id, "full_outer").select(
+        F.when(F.col("doc_id").isNull(), "added")
+        .when(F.col("b_id").isNull(), "removed")
+        .when(F.col("h_a") != F.col("h_b"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce(F.col("chars_b"), F.col("chars_a")).alias("n_chars"),
+    )
+    return j.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )

@@ -1562,3 +1562,177 @@ def join_asof_tolerance(
         F.coalesce(F.col("v_id"), F.lit(-1)).cast("bigint").alias("last_view_id"),
         F.coalesce(F.col("stale_us"), F.lit(-1)).cast("bigint").alias("staleness_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M228 join_skyline_pareto — 2-D skyline (cheapest-for-the-size frontier)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_skyline_pareto",
+    oracle="""
+    WITH pc AS (
+      SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    )
+    SELECT p_partkey, cents, size
+    FROM pc x
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pc d
+      WHERE d.cents <= x.cents AND d.size >= x.size
+        AND (d.cents < x.cents OR d.size > x.size)
+    )
+    """,
+)
+def join_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M228 — the 2-D SKYLINE (Pareto frontier): parts not
+    dominated on (price ↓, size ↑) — "no other part is both cheaper
+    and at least as large" — the classic multi-criteria shortlist
+    operator.  The oracle keeps the declarative NOT EXISTS dominance
+    (quadratic, oracle-scale only); the Spark side is the linear
+    sweep: collapse to the per-price max size (one hash aggregate),
+    take the running max over strictly cheaper prices on the price
+    axis, and a row survives iff it beats every cheaper price's best
+    size AND is its own price's best.  Equal (cents, size) twins are
+    all kept (neither dominates — the strictness clause).
+
+    Scale: the quadratic dominance check becomes one map-side-
+    combinable rollup to the DISTINCT-PRICE axis + one bounded-axis
+    running max on the pmod constant key (the price grid is a bounded
+    DOMAIN — the M196 counting-quantile argument) + one broadcast-
+    sized join back.  No self-join at any size."""
+    from pyspark.sql import Window
+
+    from tropology_spark.session import iter_materialize
+
+    pc = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    g = iter_materialize(
+        pc.groupBy("cents").agg(F.max("size").alias("gmax"))
+    )
+    rw = (
+        Window.partitionBy(F.pmod(F.col("cents"), F.lit(1)))
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # rows preceding in cents order = strictly cheaper prices (g has
+    # one row per cents, so ROWS and RANGE agree).
+    frontier = g.select(
+        "cents",
+        "gmax",
+        F.max("gmax").over(rw).alias("cheaper_best"),
+    )
+    return (
+        pc.join(F.broadcast(frontier), "cents")
+        .filter(
+            (F.col("cheaper_best").isNull() | (F.col("cheaper_best") < F.col("size")))
+            & (F.col("size") == F.col("gmax"))
+        )
+        .select("p_partkey", "cents", "size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M238 join_session_overlap — concurrent-session pairs (interval-overlap)
+# ---------------------------------------------------------------------------
+
+_OVL_BUCKET_US = 3_600_000_000  # 1-hour overlap-join buckets, exact µs
+
+
+def _session_overlap_oracle() -> str:
+    from tropology_spark.operators.timeseries import SESS_SPANS_SQL
+
+    return (
+        SESS_SPANS_SQL
+        + f"""
+    , b AS (
+      SELECT user_id, sess_seq, start_us, end_us,
+             unnest(generate_series(start_us // {_OVL_BUCKET_US},
+                                    end_us // {_OVL_BUCKET_US})) AS bk
+      FROM spans
+    ),
+    cand AS (
+      SELECT DISTINCT a.user_id AS user_a, a.sess_seq AS seq_a,
+                      c.user_id AS user_b, c.sess_seq AS seq_b
+      FROM b a JOIN b c
+        ON a.bk = c.bk AND a.user_id < c.user_id
+       AND a.start_us <= c.end_us AND c.start_us <= a.end_us
+    )
+    SELECT user_a, user_b, CAST(count(*) AS BIGINT) AS n_overlaps
+    FROM cand GROUP BY 1, 2
+    ORDER BY n_overlaps DESC, user_a, user_b LIMIT 20
+    """
+    )
+
+
+@register("join_session_overlap", oracle=_session_overlap_oracle())
+def join_session_overlap(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """M238 — the INTERVAL-OVERLAP JOIN, completing the
+    temporal-join family (as-of C9/M131/M158/M217 answer "latest
+    before", band M197 "all within a distance", this answers "which
+    intervals were ACTIVE AT THE SAME TIME"): pairs of sessions from
+    different users whose [start, end] spans intersect, rolled up to
+    the top-20 most-concurrent user pairs — the co-presence relation
+    behind fraud rings, shared-device detection and co-viewing.
+
+    The rewrite is the M197 move on INTERVALS: each span explodes to
+    the 1-hour buckets it covers, candidates meet in shared buckets
+    (two overlapping intervals always share the bucket of the later
+    start), the exact intersect predicate prunes, and DISTINCT
+    collapses multi-bucket meetings — candidate cost is bounded by
+    CONCURRENCY per bucket, never by corpus size, where the declared
+    inequality join would be a quadratic nested loop.
+
+    Composed, not copied: spans come from ``session_spans`` /
+    ``SESS_SPANS_SQL`` — the M57 arithmetic's single home (refactored
+    out of ts_sessionize for exactly this reuse).  The span frame
+    feeds both join sides — checkpointed once (DOUBLE-REFERENCE
+    RULE).  Span-to-bucket fan-out is bounded by session duration
+    (gap-bounded sessions are short) — the generate_series is over
+    per-row bucket ranges, identical in both engines."""
+    from tropology_spark.operators.timeseries import session_spans
+    from tropology_spark.session import iter_materialize
+
+    spans = iter_materialize(session_spans(spark, sf_dir, events=events))
+    b = spans.select(
+        "user_id",
+        "sess_seq",
+        "start_us",
+        "end_us",
+        F.explode(
+            F.expr(
+                f"sequence(start_us div {_OVL_BUCKET_US},"
+                f" end_us div {_OVL_BUCKET_US})"
+            )
+        ).alias("bk"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.bk") == F.col("c.bk"))
+            & (F.col("a.user_id") < F.col("c.user_id"))
+            & (F.col("a.start_us") <= F.col("c.end_us"))
+            & (F.col("c.start_us") <= F.col("a.end_us")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.sess_seq").alias("seq_a"),
+            F.col("c.user_id").alias("user_b"),
+            F.col("c.sess_seq").alias("seq_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlaps"))
+        .orderBy(F.desc("n_overlaps"), F.asc("user_a"), F.asc("user_b"))
+        .limit(20)
+    )

@@ -141,6 +141,7 @@ def lloyd_rounds(
     dim: int = EMB_DIM,
     train_mod: int | None = None,
     pin: str = "vc",
+    return_cen: bool = False,
 ):
     """Run ``iters`` nearest-centroid assignment rounds from a seed
     assignment (Lloyd's algorithm; round 1 over a seed partition IS
@@ -233,6 +234,13 @@ def lloyd_rounds(
             # adds a blocking job and the in-loop frames are
             # single-reference).
             assign = iter_materialize(assign)
+        if i == iters - 1:
+            cen_last = cen
+    if return_cen:
+        # the LAST round's centroid table (cell, cemb, nc) — the k-row
+        # artifact an IVF index persists: probes for ANY future query
+        # score against exactly these centroids (ivf_write_index).
+        return vc, assign, cen_last
     return vc, assign
 
 
@@ -305,7 +313,11 @@ def quantizer_assign_materialized(
             idx_path = os.path.join(
                 idx_dir, f"assign_{os.path.basename(os.path.normpath(sf_dir))}"
             )
-            if os.path.isdir(idx_path):
+            # ADVICE r8: gate on the parquet _SUCCESS marker, not bare
+            # directory existence — a crashed/concurrent writer leaves
+            # a partial directory that must trigger a retrain, never a
+            # silent load of a half-written assignment.
+            if os.path.exists(os.path.join(idx_path, "_SUCCESS")):
                 return (e, spark.read.parquet(idx_path))
         n = table_count(spark, sf_dir, "embeddings")
         k = math.ceil(math.sqrt(n))
@@ -366,6 +378,116 @@ def quantizer_read_index(spark: SparkSession, table: str) -> DataFrame:
     carries the bucket spec, so downstream cell-keyed joins and
     aggregations consume the on-disk hash partitioning directly."""
     return spark.table(table)
+
+
+def ivf_write_index(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    n_buckets: int = 16,
+    lloyd_iters: int = 1,
+    path: str | None = None,
+) -> None:
+    """Persist the IVF index the sim_ivf_topk docstring promises ("at
+    100 TB the assignment is written bucketed by cell so a probe
+    touches only matching buckets") — the round-9 third saved-index
+    artifact, following the quantizer/minhash precedent:
+
+    * ``<table>``: the INVERTED FILE — (vec_id, cell, emb, nv) with the
+      full vectors, ``bucketBy(cell)`` + ``sortBy(cell, vec_id)``, so
+      cell-equality predicates bucket-PRUNE the scan (a 2-probe search
+      reads 2 of ``n_buckets`` buckets, not the corpus).
+    * ``<table>_centroids``: the k-row centroid table (cell, cemb, nc)
+      of the LAST training round — exactly the centroids the search's
+      probe scores against, so reload reproduces the registered
+      ranking bit-for-bit.
+
+    The build is the registered sim_ivf_topk's own: label-seeded
+    assignment refined by ``lloyd_rounds`` with the same iteration
+    count."""
+    ev = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", as_double(F.col("embedding")).alias("emb"))
+        .withColumn("nv", norm(F.col("emb")))
+    )
+    assign0 = ev.select("vec_id", F.col("label").alias("cell"))
+    _, assign, cen = lloyd_rounds(
+        ev.select("vec_id", "emb", "nv"), assign0, lloyd_iters, return_cen=True
+    )
+    inv = ev.join(assign, "vec_id").select("vec_id", "cell", "emb", "nv")
+    w = (
+        inv.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "cell")
+        .sortBy("cell", "vec_id")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+    cw = cen.write.mode("overwrite").format("parquet")
+    if path is not None:
+        cw = cw.option("path", path + "_centroids")
+    cw.saveAsTable(table + "_centroids")
+
+
+def ivf_topk_from_index(
+    spark: SparkSession,
+    table: str,
+    query_vec_id: int,
+    n_probe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """IVF search against a :func:`ivf_write_index` artifact — NO
+    training, NO corpus scan: the query vector and its candidates come
+    from the inverted file itself.
+
+    The probe is the real IVF read path: score the query against the
+    k-row broadcast centroid table, take the ``n_probe`` best cells,
+    and push them into the scan as a LITERAL ``cell IN (...)``
+    predicate — literal equality on the bucket column is what enables
+    bucket pruning (``SelectedBucketsCount: n_probe out of
+    n_buckets`` in the scan node; a join/semi-join would read every
+    bucket).  The 2-row probe collect is the standard IVF driver step
+    (the probe list is index metadata, not data).
+
+    Consumer posture: set ``spark.sql.sources.bucketing.
+    autoBucketedScan.enabled=false`` in the reading session — Spark's
+    auto-bucketed-scan rule otherwise drops the bucketed read (its
+    criterion is shuffle avoidance, not I/O) and with it the pruning.
+    Ranking is pinned equal to the registered sim_ivf_topk in
+    tests/test_bucketing.py::test_ivf_index_persist_reload."""
+    inv = spark.table(table)
+    cen = spark.table(table + "_centroids")
+    q = inv.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("emb").alias("qemb"), F.col("nv").alias("nq")
+    )
+    probe_rows = (
+        q.crossJoin(F.broadcast(cen))
+        .select(
+            "cell",
+            F.round(
+                dot(F.col("qemb"), F.col("cemb")) / (F.col("nq") * F.col("nc")), 6
+            ).alias("ccos"),
+        )
+        .orderBy(F.col("ccos").desc(), F.col("cell"))
+        .limit(n_probe)
+        .collect()
+    )
+    probe_cells = [r["cell"] for r in probe_rows]
+    cand = inv.filter(
+        F.col("cell").isin(probe_cells) & (F.col("vec_id") != query_vec_id)
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(dot(F.col("emb"), F.col("qemb")) / (F.col("nv") * F.col("nq")), 6)
+            .alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
 
 
 @register(
@@ -1486,3 +1608,155 @@ def sim_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M232 sim_rrf_fusion — reciprocal-rank fusion of the cosine and L2 top-k
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+
+
+def _rrf_oracle() -> str:
+    from tropology_spark.registry import ORACLES
+
+    return f"""
+    WITH cg AS ({ORACLES['sim_topk_cosine']}),
+    lg AS ({ORACLES['sim_topk_l2']}),
+    cr AS (SELECT vec_id,
+                  row_number() OVER (ORDER BY cosine DESC, vec_id) AS rk
+           FROM cg),
+    lr AS (SELECT vec_id,
+                  row_number() OVER (ORDER BY d2_micro, vec_id) AS rk
+           FROM lg),
+    u AS (SELECT * FROM cr UNION ALL SELECT * FROM lr),
+    s AS (SELECT vec_id,
+                 CAST(sum(1000000000 // ({_RRF_K} + rk)) AS BIGINT) AS rrf_nano,
+                 CAST(count(*) AS BIGINT) AS n_lists
+          FROM u GROUP BY vec_id)
+    SELECT vec_id, rrf_nano, n_lists,
+           CAST(row_number() OVER (ORDER BY rrf_nano DESC, vec_id) AS BIGINT)
+             AS rn
+    FROM s
+    """
+
+
+@register("sim_rrf_fusion", oracle=_rrf_oracle())
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M232 — RECIPROCAL-RANK FUSION of the two exact
+    retrieval lists (J8 cosine, M151 squared-L2) for the query
+    vector: score = Σ 1/(60+rank) over the lists a vector appears in
+    — the standard zero-tuning hybrid-retrieval combiner.  Each term
+    is the exact integer ``10⁹ div (60+rank)`` (positive — DuckDB
+    ``//`` and Spark ``div`` agree), so the fused score crosses the
+    engine hash gate bit-for-bit where the textbook float sum could
+    not.  Composed, not copied: both input lists come from the
+    REGISTERED queries / ORACLES verbatim.
+
+    Scale: the inputs are top-k lists (k rows each) — everything
+    after retrieval is broadcast-sized; rank windows ride the pmod
+    constant key over ≤ k rows."""
+    from tropology_spark.registry import QUERIES
+
+    c = QUERIES["sim_topk_cosine"](spark, sf_dir)
+    l2 = QUERIES["sim_topk_l2"](spark, sf_dir)
+    ck = F.pmod(F.col("vec_id"), F.lit(1))
+    cr = c.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy(ck).orderBy(F.desc("cosine"), F.asc("vec_id"))
+        ),
+    ).select("vec_id", "rk")
+    lr = l2.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy(ck).orderBy(F.asc("d2_micro"), F.asc("vec_id"))
+        ),
+    ).select("vec_id", "rk")
+    s = (
+        cr.unionByName(lr)
+        .groupBy("vec_id")
+        .agg(
+            F.expr(f"sum(1000000000 div ({_RRF_K} + rk))")
+            .cast("bigint")
+            .alias("rrf_nano"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+        )
+    )
+    return s.withColumn(
+        "rn",
+        F.row_number()
+        .over(
+            Window.partitionBy(ck).orderBy(F.desc("rrf_nano"), F.asc("vec_id"))
+        )
+        .cast("bigint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M241 sim_recall_at_k_curve — recall@{1,3,5,10} of the IVF search
+# ---------------------------------------------------------------------------
+
+_RECALL_KS = (1, 3, 5, 10)
+
+
+def _recall_curve_oracle() -> str:
+    from tropology_spark.registry import ORACLES
+
+    ks = ", ".join(str(k) for k in _RECALL_KS)
+    return f"""
+    WITH exact AS ({ORACLES['sim_topk_cosine']}),
+    approx AS ({ORACLES['sim_ivf_topk']}),
+    er AS (SELECT vec_id,
+                  row_number() OVER (ORDER BY cosine DESC, vec_id) AS rk
+           FROM exact),
+    ar AS (SELECT vec_id,
+                  row_number() OVER (ORDER BY cosine DESC, vec_id) AS rk
+           FROM approx),
+    ks AS (SELECT unnest([{ks}]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(count(ar.vec_id) AS BIGINT) AS n_hits,
+           CAST((1000000 * count(ar.vec_id)) // ks.k AS BIGINT) AS recall_ppm
+    FROM ks
+    LEFT JOIN er ON er.rk <= ks.k
+    LEFT JOIN ar ON ar.vec_id = er.vec_id AND ar.rk <= ks.k
+    GROUP BY ks.k
+    """
+
+
+@register("sim_recall_at_k_curve", oracle=_recall_curve_oracle())
+def sim_recall_at_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M241 — the recall CURVE of the IVF search against the
+    brute-force ground truth: recall@k for k in {1,3,5,10} — M112's
+    single-number audit widened to the curve an index-tuning session
+    actually reads (recall@1 tells you about the top hit, recall@10
+    about the candidate pool; probes/cells are tuned to the k the
+    product serves).  Hit = ground-truth rank ≤ k AND found by the
+    index within its own top k.
+
+    Composed, not copied: both lists are the REGISTERED queries /
+    ORACLES verbatim; ranks derive from each list's own (cosine DESC,
+    vec_id) order.  Scale: the retrievals dominate (already audited);
+    the curve is arithmetic over two ≤10-row lists — every join here
+    is broadcast-trivial, windows ride the pmod key."""
+    from tropology_spark.registry import QUERIES
+
+    exact = QUERIES["sim_topk_cosine"](spark, sf_dir)
+    approx = QUERIES["sim_ivf_topk"](spark, sf_dir)
+    ck = F.pmod(F.col("vec_id"), F.lit(1))
+    rw = Window.partitionBy(ck).orderBy(F.desc("cosine"), F.asc("vec_id"))
+    er = exact.select("vec_id", F.row_number().over(rw).alias("rk"))
+    ar = approx.select(
+        F.col("vec_id").alias("a_id"), F.row_number().over(rw).alias("a_rk")
+    )
+    ks = spark.createDataFrame([(k,) for k in _RECALL_KS], "k long")
+    pairs = er.crossJoin(F.broadcast(ks)).filter(F.col("rk") <= F.col("k"))
+    hits = pairs.join(
+        F.broadcast(ar),
+        (F.col("a_id") == F.col("vec_id")) & (F.col("a_rk") <= F.col("k")),
+        "left",
+    )
+    return hits.groupBy("k").agg(
+        F.count(F.col("a_id")).cast("bigint").alias("n_hits"),
+        F.expr("(1000000 * count(a_id)) div k").cast("bigint").alias("recall_ppm"),
+    ).select(F.col("k").cast("bigint").alias("k"), "n_hits", "recall_ppm")

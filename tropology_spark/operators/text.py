@@ -1564,3 +1564,180 @@ def text_bpe_merge2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_bpe_merge2.__doc__ = text_bpe_merge2.__doc__.format(t=_BPE2_TOP)
+
+
+# ---------------------------------------------------------------------------
+# M227 text_bpe_vocab4 — four unrolled BPE merge rounds (M221 extended)
+# ---------------------------------------------------------------------------
+
+_BPE4_ROUNDS = 4
+_BPE4_TOP = 10
+
+
+def _bpe4_oracle() -> str:
+    """Chained M221 CTEs: counts -> top-1 -> chr(r)-sentinel merge,
+    four times; sentinels display as the digits '1'..'4' (absent from
+    the fixture alphabet of space + lowercase letters)."""
+    parts = [
+        """
+    WITH m0 AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    """
+    ]
+    for r in range(1, _BPE4_ROUNDS + 1):
+        parts.append(f"""
+    , p{r} AS (
+      SELECT substring(token, i, 2) AS pair
+      FROM m{r - 1}, (SELECT unnest(generate_series(1, 256)) AS i) g{r}
+      WHERE i <= len(token) - 1
+    ),
+    c{r} AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p{r} GROUP BY 1),
+    t{r} AS (SELECT pair FROM c{r} ORDER BY n DESC, pair LIMIT 1),
+    m{r} AS (SELECT replace(token, (SELECT pair FROM t{r}), chr({r})) AS token
+             FROM m{r - 1})
+    """)
+    disp = "pair"
+    for r in range(1, _BPE4_ROUNDS + 1):
+        disp = f"replace({disp}, chr({r}), '{r}')"
+    ranked = "\n      UNION ALL ".join(
+        f"SELECT {r} AS merge_round, pair, n,"
+        f" row_number() OVER (ORDER BY n DESC, pair) AS rn FROM c{r}"
+        for r in range(1, _BPE4_ROUNDS + 1)
+    )
+    parts.append(f"""
+    , ranked AS (
+      {ranked}
+    )
+    SELECT CAST(merge_round AS BIGINT) AS merge_round, {disp} AS pair, n,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_BPE4_TOP}
+    """)
+    return "".join(parts)
+
+
+@register("text_bpe_vocab4", oracle=_bpe4_oracle())
+def text_bpe_vocab4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M227 — M221 extended to FOUR unrolled BPE merge rounds:
+    each round counts adjacent symbol pairs, merges the (count DESC,
+    pair) winner everywhere via the chr(r) sentinel (the round-8
+    verified left-to-right non-overlapping ``replace``), and re-counts
+    — the first four rows of a BPE vocabulary build, with each round's
+    top-{t} candidate table emitted.  Sentinels surface as digits
+    '1'..'4' (collision-free against the letters-only fixture
+    alphabet; injective, unlike a shared '*').
+
+    Scale: per round one linear explode+count on a bounded key and a
+    1-row broadcast winner — the production BPE recurrence is k
+    iterations of exactly this; each count table feeds its rank AND
+    the winner, so each is checkpointed (DOUBLE-REFERENCE RULE),
+    while the token frames chain linearly (single reference each)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+
+    def pair_counts(frame: DataFrame) -> DataFrame:
+        return (
+            frame.filter(F.length("token") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(token) - 1),"
+                        " i -> substring(token, i, 2))"
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+
+    w = Window.partitionBy(F.pmod(F.col("n"), F.lit(1))).orderBy(
+        F.desc("n"), F.asc("pair")
+    )
+    disp_sql = "pair"
+    for r in range(1, _BPE4_ROUNDS + 1):
+        disp_sql = f"replace({disp_sql}, char({r}), '{r}')"
+
+    cur = toks
+    ranked_parts: list[DataFrame] = []
+    for r in range(1, _BPE4_ROUNDS + 1):
+        c = iter_materialize(pair_counts(cur))
+        ranked_parts.append(
+            c.withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rn") <= _BPE4_TOP)
+            .select(
+                F.lit(r).cast("bigint").alias("merge_round"),
+                F.expr(disp_sql).alias("pair"),
+                "n",
+                "rn",
+            )
+        )
+        top = (
+            c.orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .select(F.col("pair").alias("mpair"))
+        )
+        cur = cur.crossJoin(F.broadcast(top)).select(
+            F.expr(f"replace(token, mpair, char({r}))").alias("token")
+        )
+    out = ranked_parts[0]
+    for p in ranked_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+text_bpe_vocab4.__doc__ = text_bpe_vocab4.__doc__.format(t=_BPE4_TOP)
+
+
+# ---------------------------------------------------------------------------
+# M240 text_lang_confusion — language-ID confusion matrix (model eval)
+# ---------------------------------------------------------------------------
+
+
+def _lang_confusion_oracle() -> str:
+    from tropology_spark.registry import ORACLES
+
+    return f"""
+    WITH pred AS ({ORACLES['text_langid_nb']}),
+    c AS (
+      SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    )
+    SELECT true_lang, pred_lang, n,
+           CAST(sum(n) OVER (PARTITION BY true_lang) AS BIGINT) AS n_true,
+           CAST((1000000 * n) //
+                sum(n) OVER (PARTITION BY true_lang) AS BIGINT) AS share_ppm
+    FROM c
+    """
+
+
+@register("text_lang_confusion", oracle=_lang_confusion_oracle())
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M240 — the CONFUSION MATRIX of the M3 language
+    identifier against the stored labels: (true, predicted) counts
+    with the per-true-language total and row share in ppm — the
+    model-evaluation table every classifier in the pipeline needs
+    (diagonal = per-language recall; off-diagonal = which languages
+    the n-gram model confuses).  The repo's recall-audit discipline
+    (sim_ann_recall et al.) applied to the TEXT family's model.
+
+    Composed, not copied: the oracle wraps ORACLES['text_langid_nb']
+    verbatim and the Spark side runs the registered M3 query.
+
+    Scale: the expensive part is the classifier itself (already
+    bounded — M3's n×L score join); the matrix is an L² rollup with
+    map-side combine and an L-partitioned window.  ppm is positive-
+    integer div (cross-engine exact)."""
+    from tropology_spark.registry import QUERIES
+
+    pred = QUERIES["text_langid_nb"](spark, sf_dir)
+    c = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("true_lang")
+    return c.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.sum("n").over(w).cast("bigint").alias("n_true"),
+        F.expr("(1000000 * n) div (sum(n) OVER (PARTITION BY true_lang))")
+        .cast("bigint")
+        .alias("share_ppm"),
+    )

@@ -1886,3 +1886,264 @@ def ts_sliding_distinct(
         obs,
         (c.event_type == obs.o_type) & (c.whour == obs.hour),
     ).select("event_type", F.col("hour").cast("bigint").alias("hour"), "n_users_3h")
+
+
+# ---------------------------------------------------------------------------
+# M230 ts_double_smooth — Brown's double exponential smoothing (dyadic taps)
+# ---------------------------------------------------------------------------
+
+_DS_TAPS = 4  # alpha = 1/2 truncated to 4 lags per pass; scale 16 per pass
+
+
+def _ds_oracle() -> str:
+    lag1 = " + ".join(
+        f"coalesce(lag(cents, {j}) OVER w, 0) * {1 << (_DS_TAPS - 1 - j)}"
+        for j in range(_DS_TAPS)
+    )
+    lag2 = " + ".join(
+        f"coalesce(lag(s1, {j}) OVER w2, 0) * {1 << (_DS_TAPS - 1 - j)}"
+        for j in range(_DS_TAPS)
+    )
+    return f"""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    s1t AS (
+      SELECT user_id, event_id, ts, CAST({lag1} AS BIGINT) AS s1
+      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, s1 AS s1_x16,
+           CAST({lag2} AS BIGINT) AS s2_x256,
+           CAST(16 * s1 - ({lag2}) AS BIGINT) AS trend_x256
+    FROM s1t WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@register("ts_double_smooth", oracle=_ds_oracle())
+def ts_double_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M230 — Brown's DOUBLE exponential smoothing with the
+    M58 dyadic-taps trick applied twice: the second pass smooths the
+    first pass's output, and the Brown trend term 2·S' − S'' falls out
+    as the exact integer 16·s1 − s2 (scales x16 and x256) — the
+    forecasting primitive (level + trend) as portable integer
+    arithmetic, where a float recurrence could never cross the engine
+    hash gate (functions/exact.py).
+
+    Scale: both passes share ONE (user) partitioning — Spark plans
+    the two window stages with a single shuffle; taps are fixed, so
+    per-row cost is O(taps)."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s1 = F.lit(0)
+    for j in range(_DS_TAPS):
+        s1 = s1 + F.coalesce(F.lag("cents", j).over(w), F.lit(0)) * (
+            1 << (_DS_TAPS - 1 - j)
+        )
+    t1 = c.select("user_id", "event_id", "ts", s1.cast("bigint").alias("s1"))
+    s2 = F.lit(0)
+    for j in range(_DS_TAPS):
+        s2 = s2 + F.coalesce(F.lag("s1", j).over(w), F.lit(0)) * (
+            1 << (_DS_TAPS - 1 - j)
+        )
+    return t1.select(
+        "user_id",
+        F.col("event_id"),
+        F.col("s1").alias("s1_x16"),
+        s2.cast("bigint").alias("s2_x256"),
+        (16 * F.col("s1") - s2).cast("bigint").alias("trend_x256"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M234 ts_xcorr_lagged_terms — lagged cross-correlation terms
+# ---------------------------------------------------------------------------
+
+_XCORR_MAX_LAG = 3
+
+
+@register(
+    "ts_xcorr_lagged_terms",
+    oracle=f"""
+    WITH hrs AS (
+      SELECT DISTINCT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h
+      FROM events
+    ),
+    c AS (
+      SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+      SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    gx AS (SELECT hrs.h, coalesce(c.n, 0) AS x FROM hrs LEFT JOIN c USING (h)),
+    gy AS (SELECT hrs.h, coalesce(p.n, 0) AS y FROM hrs LEFT JOIN p USING (h)),
+    l AS (SELECT unnest(generate_series(0, {_XCORR_MAX_LAG})) AS lag),
+    j AS (
+      SELECT l.lag, gx.x, gy.y
+      FROM l JOIN gy ON TRUE
+      JOIN gx ON gx.h = gy.h - l.lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(x * y) AS BIGINT) AS sum_xy,
+           CAST(sum(x * x) AS BIGINT) AS sum_x2,
+           CAST(sum(y * y) AS BIGINT) AS sum_y2
+    FROM j GROUP BY lag
+    """,
+)
+def ts_xcorr_lagged_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M234 — LAGGED cross-correlation terms between the
+    click and purchase hourly series: for each lead k = 0..3, the
+    exact integer Pearson terms of (clicks at h−k, purchases at h) —
+    M144's co-moment discipline extended along the lag axis, the
+    "do clicks lead purchases, and by how many hours" probe.  Lag
+    references are EQUI-joins on the integer hour key against the
+    zero-filled observed-hour spine (never row-lags — the M203 gap
+    rule; spine hours with no clicks/purchases are load-bearing
+    zeros), restricted to hours where BOTH lagged positions lie on
+    the spine.
+
+    Scale: the scan collapses to two O(hours) series; the lag axis is
+    a fixed ×4 explode on the probe side joined by hour (the M197
+    move); terms combine map-side per lag.  The spine and both
+    series derive from one events pass each and are referenced once
+    per join side — the spine frame is checkpointed (three
+    references: gx, gy, and its own distinct build).  At extreme
+    scale the Σx² terms approach BIGINT range (hourly counts ~1e9
+    square to 1e18); the escalation is the Gini DECIMAL(38,0)/HUGEINT
+    wide-integer finale rule (CLAUDE.md)."""
+    e = load(spark, sf_dir, "events")
+    hour = F.expr("unix_micros(ts) div 3600000000").cast("bigint")
+    hrs = iter_materialize(e.select(hour.alias("h")).distinct())
+
+    def series(ev_type: str, col: str) -> DataFrame:
+        s = (
+            e.filter(F.col("event_type") == ev_type)
+            .groupBy(hour.alias("h"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        return hrs.join(s, "h", "left").select(
+            "h", F.coalesce(F.col("n"), F.lit(0)).alias(col)
+        )
+
+    gx = series("click", "x")
+    gy = series("purchase", "y")
+    lagged = gy.select(
+        "h",
+        "y",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(_XCORR_MAX_LAG + 1)])
+        ).alias("lag"),
+    ).select("lag", "y", (F.col("h") - F.col("lag")).alias("xh"))
+    j = lagged.join(gx, lagged.xh == gx.h)
+    return j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_x2"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sum_y2"),
+    ).select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n_hours", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2",
+    )
+
+
+# ---------------------------------------------------------------------------
+# M236 ts_open_orders_sweep — interval concurrency via the sweep line
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_open_orders_sweep",
+    oracle="""
+    WITH iv AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS od,
+             datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               AS sd
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    d AS (
+      SELECT od AS day, CAST(count(*) AS BIGINT) AS n_opened,
+             CAST(0 AS BIGINT) AS n_shipped
+      FROM iv GROUP BY od
+      UNION ALL
+      SELECT sd AS day, CAST(0 AS BIGINT), CAST(count(*) AS BIGINT)
+      FROM iv GROUP BY sd
+    ),
+    g AS (
+      SELECT CAST(day AS BIGINT) AS day,
+             CAST(sum(n_opened) AS BIGINT) AS n_opened,
+             CAST(sum(n_shipped) AS BIGINT) AS n_shipped
+      FROM d GROUP BY day
+    )
+    SELECT day, n_opened, n_shipped,
+           CAST(sum(n_opened - n_shipped) OVER (ORDER BY day) AS BIGINT)
+             AS open_after
+    FROM g
+    """,
+)
+def ts_open_orders_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M236 — INTERVAL CONCURRENCY by sweep line: each order
+    line is an interval [order day, ship day]; +1/−1 deltas at the
+    endpoints and one cumulative sum give the open-order-line backlog
+    after every CHANGE day — the classic answer to "how many
+    intervals are active at time t" that needs neither an interval
+    self-join (quadratic) nor a dense day spine (M181's no-spine
+    rule: between change days the backlog is constant, so change
+    points are the complete answer).  A line counts as open through
+    its ship day (−1 takes effect the day after, because open_after
+    is the post-change value of that day).
+
+    Scale: one equi-join (order→line), collapse to O(distinct days)
+    delta rows with map-side combine, and one prefix sum over the
+    bounded DAY DOMAIN on the pmod constant key (the M196
+    bounded-domain argument).  The sweep is how 100 TB of intervals
+    becomes thousands of delta rows before any window runs."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    epoch = F.lit("1970-01-01").cast("date")
+    iv = o.join(l, o.o_orderkey == l.l_orderkey).select(
+        F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("od"),
+        F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("sd"),
+    )
+    opened = iv.groupBy(F.col("od").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_opened"),
+        F.lit(0).cast("bigint").alias("n_shipped"),
+    )
+    shipped = iv.groupBy(F.col("sd").alias("day")).agg(
+        F.lit(0).cast("bigint").alias("n_opened"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shipped"),
+    )
+    g = (
+        opened.unionByName(shipped)
+        .groupBy("day")
+        .agg(
+            F.sum("n_opened").cast("bigint").alias("n_opened"),
+            F.sum("n_shipped").cast("bigint").alias("n_shipped"),
+        )
+    )
+    w = Window.partitionBy(F.pmod(F.col("day"), F.lit(1))).orderBy("day")
+    return g.select(
+        F.col("day").cast("bigint").alias("day"),
+        "n_opened",
+        "n_shipped",
+        F.sum(F.col("n_opened") - F.col("n_shipped"))
+        .over(w)
+        .cast("bigint")
+        .alias("open_after"),
+    )
