@@ -3148,22 +3148,62 @@ pipeline_stratified_reservoir.__doc__ = pipeline_stratified_reservoir.__doc__.fo
 # M237 pipeline_dataset_diff — corpus version diff (added/removed/changed)
 # ---------------------------------------------------------------------------
 
+#: Deterministic derivation of the two fixture "corpus versions" the
+#: diff/drift audits compare (single home — M237 and the staged
+#: per-source drift both read these): version A drops doc_id % 17 == 3,
+#: version B drops % 13 == 5 and appends an edit marker to % 19 == 0.
+DIFF_DROP_A = (17, 3)
+DIFF_DROP_B = (13, 5)
+DIFF_EDIT_MOD = 19
+DIFF_EDIT_SUFFIX = " zchanged"
+
+#: The two version CTEs (va / vb) as a shared oracle prefix.
+DIFF_VERSIONS_SQL = f"""
+    WITH va AS (
+      SELECT doc_id, source, md5(text) AS h, len(text) AS n_chars
+      FROM documents WHERE doc_id % {DIFF_DROP_A[0]} <> {DIFF_DROP_A[1]}
+    ),
+    vb AS (
+      SELECT doc_id, source,
+             md5(CASE WHEN doc_id % {DIFF_EDIT_MOD} = 0
+                      THEN text || '{DIFF_EDIT_SUFFIX}'
+                      ELSE text END) AS h,
+             len(CASE WHEN doc_id % {DIFF_EDIT_MOD} = 0
+                      THEN text || '{DIFF_EDIT_SUFFIX}'
+                      ELSE text END) AS n_chars
+      FROM documents WHERE doc_id % {DIFF_DROP_B[0]} <> {DIFF_DROP_B[1]}
+    )
+"""
+
+
+def diff_versions(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of DIFF_VERSIONS_SQL: the (va, vb) version frames —
+    (doc_id, source, h, n_chars) each."""
+    d = load(spark, sf_dir, "documents")
+    va = d.filter(F.col("doc_id") % DIFF_DROP_A[0] != DIFF_DROP_A[1]).select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("h"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    btext = F.when(
+        F.col("doc_id") % DIFF_EDIT_MOD == 0,
+        F.concat(F.col("text"), F.lit(DIFF_EDIT_SUFFIX)),
+    ).otherwise(F.col("text"))
+    vb = d.filter(F.col("doc_id") % DIFF_DROP_B[0] != DIFF_DROP_B[1]).select(
+        "doc_id",
+        "source",
+        F.md5(btext).alias("h"),
+        F.length(btext).cast("bigint").alias("n_chars"),
+    )
+    return va, vb
+
 
 @register(
     "pipeline_dataset_diff",
-    oracle="""
-    WITH va AS (
-      SELECT doc_id, md5(text) AS h, len(text) AS n_chars
-      FROM documents WHERE doc_id % 17 <> 3
-    ),
-    vb AS (
-      SELECT doc_id,
-             md5(CASE WHEN doc_id % 19 = 0 THEN text || ' zchanged'
-                      ELSE text END) AS h,
-             len(CASE WHEN doc_id % 19 = 0 THEN text || ' zchanged'
-                      ELSE text END) AS n_chars
-      FROM documents WHERE doc_id % 13 <> 5
-    ),
+    oracle=DIFF_VERSIONS_SQL
+    + """
+    ,
     j AS (
       SELECT coalesce(va.doc_id, vb.doc_id) AS doc_id,
              CASE WHEN va.doc_id IS NULL THEN 'added'
@@ -3191,20 +3231,19 @@ def pipeline_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: content reduces to md5 scan-side (the J1 move), so the
     full outer join shuffles 16-byte hashes + ids, never text; the
     classification is a projection and the rollup is 4 keys with
-    map-side combine."""
-    d = load(spark, sf_dir, "documents")
-    va = d.filter(F.col("doc_id") % 17 != 3).select(
+    map-side combine.  The version derivation lives in the shared
+    DIFF_VERSIONS_SQL / diff_versions pair (single home — the
+    per-source drift audit composes the same versions)."""
+    va0, vb0 = diff_versions(spark, sf_dir)
+    va = va0.select(
         "doc_id",
-        F.md5(F.col("text")).alias("h_a"),
-        F.length("text").cast("bigint").alias("chars_a"),
+        F.col("h").alias("h_a"),
+        F.col("n_chars").alias("chars_a"),
     )
-    btext = F.when(
-        F.col("doc_id") % 19 == 0, F.concat(F.col("text"), F.lit(" zchanged"))
-    ).otherwise(F.col("text"))
-    vb = d.filter(F.col("doc_id") % 13 != 5).select(
+    vb = vb0.select(
         F.col("doc_id").alias("b_id"),
-        F.md5(btext).alias("h_b"),
-        F.length(btext).cast("bigint").alias("chars_b"),
+        F.col("h").alias("h_b"),
+        F.col("n_chars").alias("chars_b"),
     )
     j = va.join(vb, va.doc_id == vb.b_id, "full_outer").select(
         F.when(F.col("doc_id").isNull(), "added")
