@@ -66,7 +66,9 @@ _R2D_W_SIZE = 2    # |Δsize|  <= 2
     GROUP BY pc.k
     """,
 )
-def join_range_2d_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_range_2d_parts(
+    spark: SparkSession, sf_dir: str, parts: DataFrame | None = None
+) -> DataFrame:
     """Staged M-row — the 2-D BAND JOIN: for every part, how many other
     parts sit within (|Δprice| ≤ 50 cents AND |Δsize| ≤ 2) and the
     smallest such partner key — the product-substitutability
@@ -84,8 +86,13 @@ def join_range_2d_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupancy, never corpus²; the declared inequality join stays
     oracle-only.  Every part is emitted (n_neighbors = 0 with NULL
     partner kept by the left join) so the result verifies at every
-    scale."""
-    pc = load(spark, sf_dir, "part").select(
+    scale.
+
+    ``parts=`` substitutes the part frame — (p_partkey, p_retailprice,
+    p_size) — for the weak-scaling probe (tools/scale_probes/
+    range2d_scale.py); the driver contract never passes it."""
+    src = parts if parts is not None else load(spark, sf_dir, "part")
+    pc = src.select(
         F.col("p_partkey").alias("k"),
         F.round(F.col("p_retailprice") * 100).cast("bigint").alias("c"),
         F.col("p_size").cast("bigint").alias("s"),
