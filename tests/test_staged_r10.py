@@ -327,3 +327,81 @@ def test_staged_batch_ivf_consistent_with_scalar_path(spark):
             for i, r in enumerate(ivf_topk(e, q, k=_BATCH_K).collect())
         ]
         assert sorted(got[q]) == scalar, q
+
+
+def test_staged_sample_neighbors_matches_pure_python(spark):
+    """graph_sample_neighbors2 — the md5-ranked 2-hop sample recomputed
+    with hashlib and sorted lists."""
+    from collections import defaultdict
+    import hashlib
+
+    import duckdb
+
+    fn, _ = STAGED["graph_sample_neighbors2"]
+    rows = duckdb.sql(
+        f"""SELECT DISTINCT o_custkey, l_partkey
+            FROM read_parquet('{SF_UNIT}/orders.parquet') o
+            JOIN read_parquet('{SF_UNIT}/lineitem.parquet') l
+              ON o.o_orderkey = l.l_orderkey"""
+    ).fetchall()
+    out_n = defaultdict(list)  # src -> [dst]
+    in_n = defaultdict(list)   # dst -> [src]
+    for s, d in rows:
+        out_n[s].append(d)
+        in_n[d].append(s)
+
+    def h(a, b):
+        return hashlib.md5(f"{a}_{b}".encode()).hexdigest()
+
+    want = set()
+    for seed, dsts in out_n.items():
+        hop1 = sorted(dsts, key=lambda d: (h(seed, d), d))[:3]
+        for rk, node in enumerate(hop1, 1):
+            want.add((seed, 1, None, node, rk))
+        for via in hop1:
+            back = [s for s in in_n[via] if s != seed]
+            hop2 = sorted(back, key=lambda s: (h(via, s), s))[:3]
+            for rk, node in enumerate(hop2, 1):
+                want.add((seed, 2, via, node, rk))
+    got = {
+        (r["seed"], r["hop"], r["via"], r["node"], r["rk"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_staged_matryoshka_matches_numpy(spark):
+    """sim_matryoshka_recall — prefix-cosine recall recomputed with
+    NumPy (the maxsim-vs-NumPy precedent)."""
+    import duckdb
+    import numpy as np
+
+    fn, _ = STAGED["sim_matryoshka_recall"]
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF_UNIT}/embeddings.parquet')"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    qi = int(np.where(ids == 0)[0][0])
+
+    def topk(prefix, k=10):
+        mp = m[:, :prefix]
+        q = mp[qi]
+        cos = (mp @ q) / (np.linalg.norm(mp, axis=1) * np.linalg.norm(q))
+        cos = np.round(cos, 6)
+        order = sorted(
+            (int(i) for i in range(len(ids)) if i != qi),
+            key=lambda i: (-cos[i], ids[i]),
+        )
+        return [int(ids[i]) for i in order[:k]]
+
+    truth = set(topk(64))
+    want = {}
+    for p in (8, 16, 32):
+        hits = len(truth & set(topk(p)))
+        want[p] = (hits, (1_000_000 * hits) // 10)
+    got = {
+        r["prefix_dim"]: (r["n_hits"], r["recall_ppm"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want

@@ -823,3 +823,237 @@ def analytics_chisq_priority_era(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chi_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_sample_neighbors2 — deterministic 2-hop neighbor sampling (GNN prep)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_FANOUT = 3
+
+
+@_stage(
+    "graph_sample_neighbors2",
+    oracle=f"""
+    WITH edges AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    h1 AS (
+      SELECT src AS seed, dst AS node,
+             CAST(row_number() OVER (
+               PARTITION BY src
+               ORDER BY md5(CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)),
+                        dst) AS BIGINT) AS rk
+      FROM edges QUALIFY rk <= {_SAMPLE_FANOUT}
+    ),
+    h2 AS (
+      -- the rank alias must NOT be named rk: with h1 in scope QUALIFY
+      -- would resolve a bare rk to h1.rk (always <= fanout, a no-op
+      -- filter) instead of the new alias
+      SELECT h1.seed, h1.node AS via, e.src AS node,
+             CAST(row_number() OVER (
+               PARTITION BY h1.seed, h1.node
+               ORDER BY md5(CAST(h1.node AS VARCHAR) || '_'
+                            || CAST(e.src AS VARCHAR)), e.src)
+               AS BIGINT) AS rk2
+      FROM h1 JOIN edges e ON e.dst = h1.node AND e.src <> h1.seed
+      QUALIFY rk2 <= {_SAMPLE_FANOUT}
+    )
+    SELECT seed, CAST(1 AS BIGINT) AS hop, CAST(NULL AS BIGINT) AS via,
+           node, rk
+    FROM h1
+    UNION ALL
+    SELECT seed, CAST(2 AS BIGINT), via, node, rk2 FROM h2
+    """,
+)
+def graph_sample_neighbors2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — deterministic 2-HOP NEIGHBOR SAMPLING, the
+    GraphSAGE/GNN minibatch-preparation primitive: per seed work-node,
+    at most {f} hop-1 tropes ranked by the md5 edge hash, and per
+    sampled trope at most {f} hop-2 works (excluding the seed) —
+    bounded {f} + {f}² rows per seed, reproducible on any engine, any
+    partitioning, any day (the I7/M43 md5-rank discipline; a `rand()`
+    sample would never cross the hash gate, and more importantly
+    would never re-materialize the same training neighborhoods).
+
+    Scale: hop-1 is one per-src window over the edge list; hop-2 is
+    one shuffle on the trope key + a per-(seed, trope) window whose
+    partitions are bounded by trope degree — a celebrity trope at
+    100 TB takes the capped-projection split (the M119/M120 pattern)
+    before the rank; the output is bounded by seeds × ({f} + {f}²),
+    never by edge count."""
+    from tropology_spark.sources.tables import edges_materialized
+
+    e = edges_materialized(spark, sf_dir)
+    w1 = Window.partitionBy("src").orderBy(
+        F.md5(F.concat_ws("_", F.col("src"), F.col("dst"))), F.col("dst")
+    )
+    h1 = (
+        e.withColumn("rk", F.row_number().over(w1).cast("bigint"))
+        .filter(F.col("rk") <= _SAMPLE_FANOUT)
+        .select(F.col("src").alias("seed"), F.col("dst").alias("node"), "rk")
+    )
+    e2 = e.select(F.col("src").alias("node2"), F.col("dst").alias("via_d"))
+    w2 = Window.partitionBy("seed", "node").orderBy(
+        F.md5(F.concat_ws("_", F.col("node"), F.col("node2"))), F.col("node2")
+    )
+    h2 = (
+        h1.join(e2, h1.node == e2.via_d)
+        .filter(F.col("node2") != F.col("seed"))
+        .withColumn("rk2", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rk2") <= _SAMPLE_FANOUT)
+        .select(
+            "seed",
+            F.lit(2).cast("bigint").alias("hop"),
+            F.col("node").alias("via"),
+            F.col("node2").alias("node"),
+            F.col("rk2").alias("rk"),
+        )
+    )
+    out1 = h1.select(
+        "seed",
+        F.lit(1).cast("bigint").alias("hop"),
+        F.lit(None).cast("bigint").alias("via"),
+        "node",
+        "rk",
+    )
+    return out1.unionByName(h2)
+
+
+graph_sample_neighbors2.__doc__ = graph_sample_neighbors2.__doc__.format(
+    f=_SAMPLE_FANOUT
+)
+
+
+# ---------------------------------------------------------------------------
+# sim_matryoshka_recall — prefix-dimension recall curve (MRL evaluation)
+# ---------------------------------------------------------------------------
+
+_MRL_PREFIXES = (8, 16, 32)
+_MRL_K = 10
+
+
+def _matryoshka_oracle() -> str:
+    from tropology_spark.operators.similarity import _EX_CTE, QUERY_VEC_ID
+    from tropology_spark.registry import ORACLES
+
+    ps = ", ".join(str(p) for p in _MRL_PREFIXES)
+    return (
+        _EX_CTE
+        + f"""
+    , truth AS (
+      SELECT vec_id FROM ({ORACLES['sim_topk_cosine']}) t
+    ),
+    ps AS (SELECT unnest([{ps}]) AS p),
+    np AS (
+      SELECT ps.p, ex.vec_id, sqrt(sum(val * val)) AS nv
+      FROM ex JOIN ps ON ex.pos <= ps.p
+      GROUP BY ps.p, ex.vec_id
+    ),
+    q AS (SELECT pos, val FROM ex WHERE vec_id = {QUERY_VEC_ID}),
+    d AS (
+      SELECT ps.p, e.vec_id, sum(e.val * q.val) AS dp
+      FROM ex e JOIN q ON e.pos = q.pos
+      JOIN ps ON e.pos <= ps.p
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+      GROUP BY ps.p, e.vec_id
+    ),
+    scored AS (
+      SELECT d.p, d.vec_id,
+             round(d.dp / (n1.nv * n2.nv), 6) AS cosine
+      FROM d
+      JOIN np n1 ON d.p = n1.p AND d.vec_id = n1.vec_id
+      JOIN np n2 ON d.p = n2.p AND n2.vec_id = {QUERY_VEC_ID}
+    ),
+    ranked AS (
+      SELECT p, vec_id,
+             row_number() OVER (PARTITION BY p
+                                ORDER BY cosine DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT CAST(r.p AS BIGINT) AS prefix_dim,
+           CAST(count(truth.vec_id) AS BIGINT) AS n_hits,
+           CAST((1000000 * count(truth.vec_id)) // {_MRL_K} AS BIGINT)
+             AS recall_ppm
+    FROM ranked r LEFT JOIN truth ON r.vec_id = truth.vec_id
+    WHERE r.rn <= {_MRL_K}
+    GROUP BY r.p
+    """
+    )
+
+
+@_stage("sim_matryoshka_recall", oracle=_matryoshka_oracle())
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — MATRYOSHKA (prefix-dimension) recall curve: how
+    much of the full-64-dim top-{k} survives when retrieval uses only
+    the first {ps} dimensions — the evaluation that decides how far an
+    MRL-trained embedding can be truncated for cheap first-stage
+    retrieval (storage and bandwidth scale linearly with the kept
+    prefix; recall@k is the price).  Truth is the REGISTERED J8
+    brute-force list (composed, not copied); each prefix re-scores
+    with prefix dot products and PREFIX norms (a truncated vector must
+    be re-normalized, not just re-dotted).
+
+    Scale: one corpus pass per prefix (the ×|prefixes| explode rides
+    the bounded ps table); prefix dot/norm are array-slice aggregates
+    (JVM-side, no UDF); ranks per prefix on the pmod constant key
+    over the bounded candidate set."""
+    from tropology_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        as_double,
+        dot,
+        norm,
+    )
+    from tropology_spark.registry import QUERIES
+    from tropology_spark.session import iter_materialize
+
+    truth = QUERIES["sim_topk_cosine"](spark, sf_dir).select(
+        F.col("vec_id").alias("t_id")
+    )
+    e = load(spark, sf_dir, "embeddings")
+    ps = spark.createDataFrame([(p,) for p in _MRL_PREFIXES], "p int")
+    ev = iter_materialize(
+        e.select("vec_id", as_double(F.col("embedding")).alias("emb"))
+        .crossJoin(F.broadcast(ps))
+        .select(
+            "vec_id",
+            "p",
+            F.expr("slice(emb, 1, p)").alias("pemb"),
+        )
+        .withColumn("nv", norm(F.col("pemb")))
+    )  # referenced by the query row AND the candidate side
+    q = ev.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("p").alias("qp"), F.col("pemb").alias("qemb"), F.col("nv").alias("nq")
+    )
+    scored = (
+        ev.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q), F.col("p") == F.col("qp"))
+        .select(
+            "p",
+            "vec_id",
+            F.round(
+                dot(F.col("pemb"), F.col("qemb")) / (F.col("nv") * F.col("nq")), 6
+            ).alias("cosine"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("p").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        ),
+    ).filter(F.col("rn") <= _MRL_K)
+    return (
+        ranked.join(F.broadcast(truth), ranked.vec_id == F.col("t_id"), "left")
+        .groupBy("p")
+        .agg(
+            F.count(F.col("t_id")).cast("bigint").alias("n_hits"),
+            F.expr(f"(1000000 * count(t_id)) div {_MRL_K}")
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+        .select(F.col("p").cast("bigint").alias("prefix_dim"), "n_hits", "recall_ppm")
+    )
+
+
+sim_matryoshka_recall.__doc__ = sim_matryoshka_recall.__doc__.format(
+    k=_MRL_K, ps="/".join(str(p) for p in _MRL_PREFIXES)
+)
