@@ -940,7 +940,16 @@ def sub_scalar_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     Retuned in round 9: the fixture's max/avg(o_totalprice) is exactly
     2.0, so the original 2.0x threshold sat ON the distribution edge
     (2/0/0 rows across scales — no evidence); 1.8x exercises the same
-    plan with 147/1449/14883 qualifying rows."""
+    plan with 147/1449/14883 qualifying rows.
+
+    ACCEPTED RISK (ADVICE r9, the agg_stats class): the threshold
+    compares computed doubles (1.8 * avg of doubles), so a row landing
+    within ~1 ulp of the boundary could hash-flip between engines.
+    o_totalprice values sit far from the boundary at every fixture
+    scale today; flip probability ~1e-9/run, documented rather than
+    re-carried because the subquery-broadcast plan IS the declared
+    operator (an integer cross-multiplication would demote the scalar
+    subquery to a precomputed literal)."""
     from tropology_spark.sources.tables import register_views
 
     register_views(spark, sf_dir, ("orders",))

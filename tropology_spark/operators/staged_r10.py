@@ -384,8 +384,8 @@ _PMI_TOP = 50
     )),
     scored AS (
       SELECT b.x, b.y, b.n_xy, ux.n AS n_x, uy.n AS n_y,
-             CAST((1000000 * b.n_xy * tot.n_tokens)
-                  // (ux.n * uy.n) AS BIGINT) AS lift_ppm
+             CAST((1000000 * CAST(b.n_xy AS HUGEINT) * tot.n_tokens)
+                  // (CAST(ux.n AS HUGEINT) * uy.n) AS BIGINT) AS lift_ppm
       FROM big b JOIN uni ux ON b.x = ux.token
                  JOIN uni uy ON b.y = uy.token
                  CROSS JOIN tot
@@ -405,7 +405,11 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone in the lift, so ranking by the integer lift IS ranking by
     PMI with no float carrier), top-{t} by (lift DESC, pair) — the
     phrase detector feeding tokenizer vocabularies and stop-phrase
-    lists.  J6's bigram extraction idiom (zip-with, oracle enumerates
+    lists.  The product 10⁶·n_xy·N is computed in DECIMAL(38,0) /
+    HUGEINT (the M192 wide-integer finale rule, per ADVICE r9: at
+    ~3e6+ tokens a frequent bigram overflows BIGINT — DuckDB raises
+    while non-ANSI Spark wraps silently); the BIGINT quotient is safe
+    (lift ≤ 10⁶·N).  J6's bigram extraction idiom (zip-with, oracle enumerates
     positions at the 4096 cap) + J4's unigram counts; the corpus total
     is a 1-row broadcast.
 
@@ -442,7 +446,10 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select(
             "x", "y", "n_xy", "n_x", "n_y",
-            F.expr("(1000000 * n_xy * n_tokens) div (n_x * n_y)")
+            F.expr(
+                "(CAST(1000000 AS DECIMAL(38,0)) * n_xy * n_tokens)"
+                " div (CAST(n_x AS DECIMAL(38,0)) * n_y)"
+            )
             .cast("bigint")
             .alias("lift_ppm"),
         )

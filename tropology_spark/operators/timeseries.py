@@ -1925,8 +1925,10 @@ def _ds_oracle() -> str:
 def ts_double_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M230 — Brown's DOUBLE exponential smoothing with the
     M58 dyadic-taps trick applied twice: the second pass smooths the
-    first pass's output, and the Brown trend term 2·S' − S'' falls out
-    as the exact integer 16·s1 − s2 (scales x16 and x256) — the
+    first pass's output, and the Brown TREND term b_t = S' − S''
+    (alpha = 1/2) falls out as the exact integer 16·s1 − s2 =
+    256·(S' − S'') (scales x16 and x256; the LEVEL a_t = 2·S' − S''
+    is the other Brown term, recoverable as 32·s1 − s2) — the
     forecasting primitive (level + trend) as portable integer
     arithmetic, where a float recurrence could never cross the engine
     hash gate (functions/exact.py).
