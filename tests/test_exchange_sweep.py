@@ -102,6 +102,13 @@ BNLJ_ALLOWED = {
     # M240 composes the registered text_langid_nb (already allowlisted)
     # and inherits its model-table scalar attach.
     "text_lang_confusion",
+    # round-10 scalar attaches (pre-activation plan sweep): M246
+    # broadcasts the 1-row corpus token total; M249 crosses the 3-row
+    # threshold table into the degree-joined edge pass; M250 broadcasts
+    # the 1-row grand total into the cell table; M252 rides the J8
+    # truth composition's query-vector scalar attach.
+    "text_pmi_collocations", "graph_rich_club_terms",
+    "analytics_chisq_priority_era", "sim_matryoshka_recall",
 }
 
 #: The ONLY row-at-a-time Python evaluation sites: L1 (the declared

@@ -1,71 +1,27 @@
-"""Driver-replica parity for the STAGED round-10 operators
-(tropology_spark/operators/staged_r10.py) — the full compare the
-registry queries get, run over the staged (fn, oracle) pairs at both
-verification scales, plus independent Python twins for the
-formula-risk ops and the partitioning-invariance probe.  Activation in
-round 10 is then a mechanical move-and-register.
+"""Independent pure-Python twins for the round-10 activations
+(M243-M252) — the NEW-OP CROSS-CHECK DISCIPLINE (CLAUDE.md round 7):
+Spark-vs-DuckDB parity cannot catch a shared-formula error, so every
+formula-bearing new operator is re-derived here with hashlib / sets /
+Counter / NumPy / plain loops and compared against the REGISTERED
+query.
 
-The staged module must never be imported by package __init__ (registry
-order is externally significant); importing it here is safe because it
-registers nothing.
+(These ops were staged in round 9 as operators/staged_r10.py and
+activated in round 10; oracle parity + partitioning invariance now run
+through the registry-wide suites — tests/test_oracle_parity.py and
+test_units.py's invariance probe — so this file keeps only the twins
+plus the batch-vs-scalar IVF consistency pin.)
 """
 
 from __future__ import annotations
 
-import pytest
-
-from tests.conftest import SF_ORACLE, SF_UNIT, make_duckdb
-from tropology_spark.operators.staged_r10 import STAGED
+from tests.conftest import SF_UNIT
+from tropology_spark import QUERIES
 
 
-def test_staged_module_registers_nothing():
-    from tropology_spark import QUERIES
-
-    assert not (set(STAGED) & set(QUERIES))
-
-
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_parity_both_scales(spark, name):
-    from tests.parity import compare
-
-    fn, oracle = STAGED[name]
-    for sf in (SF_UNIT, SF_ORACLE):
-        con = make_duckdb(sf)
-        try:
-            compare(name, spark, con, fn, oracle, sf)
-        finally:
-            con.close()
-
-
-def test_staged_partitioning_invariance(spark):
-    """The activation-time lockstep requires partitioning invariance;
-    pin it NOW for every staged op (three shuffle-partition settings
-    must produce identical value sets)."""
-    from tests.parity import canon_rows, spark_result
-    from tropology_spark.sources.tables import clear_session_caches
-
-    orig = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        results = {n: set() for n in STAGED}
-        for parts in ("5", "13", "32"):
-            spark.conf.set("spark.sql.shuffle.partitions", parts)
-            clear_session_caches()
-            for n, (fn, _) in STAGED.items():
-                cols, rows = spark_result(fn(spark, SF_UNIT))
-                results[n].add(tuple(canon_rows(cols, rows)))
-        for n, seen in results.items():
-            assert len(seen) == 1, f"staged {n} varies with shuffle partitioning"
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig)
-        clear_session_caches()
-
-
-def test_staged_range_2d_matches_bruteforce(spark):
-    """join_range_2d_parts — the 3x3 grid join equals the O(n²)
-    Python scan."""
+def test_range_2d_matches_bruteforce(spark):
+    """M243 — the 3x3 grid join equals the O(n²) Python scan."""
     import duckdb
 
-    fn, _ = STAGED["join_range_2d_parts"]
     rows = duckdb.sql(
         f"""SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT),
                    CAST(p_size AS BIGINT)
@@ -81,19 +37,18 @@ def test_staged_range_2d_matches_bruteforce(spark):
         want[k] = (len(nbrs), min(nbrs) if nbrs else None)
     got = {
         r["p_partkey"]: (r["n_neighbors"], r["min_partner"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["join_range_2d_parts"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_haar_matches_pure_python(spark):
-    """ts_haar_volatility — the hierarchical aggregation equals a
-    direct per-day Haar transform on plain lists."""
-    from collections import Counter, defaultdict
+def test_haar_matches_pure_python(spark):
+    """M248 — the hierarchical aggregation equals a direct per-day
+    Haar transform on plain lists."""
+    from collections import Counter
 
     import duckdb
 
-    fn, _ = STAGED["ts_haar_volatility"]
     rows = duckdb.sql(
         f"""SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT),
                    CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT)
@@ -110,20 +65,19 @@ def test_staged_haar_matches_pure_python(spark):
         want[day] = (sum(x), sum(abs(v) for v in d1), sum(abs(v) for v in d2))
     got = {
         r["day"]: (r["total"], r["sad1"], r["sad2"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["ts_haar_volatility"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_pmi_matches_pure_python(spark):
-    """text_pmi_collocations — integer lift ranking from Counter
-    arithmetic (Python ints are arbitrary-precision, so this also
-    cross-checks the div carriers)."""
+def test_pmi_matches_pure_python(spark):
+    """M246 — integer lift ranking from Counter arithmetic (Python
+    ints are arbitrary-precision, so this also cross-checks the
+    DECIMAL(38,0)/HUGEINT carriers)."""
     from collections import Counter
 
     import duckdb
 
-    fn, _ = STAGED["text_pmi_collocations"]
     texts = [
         t
         for (t,) in duckdb.sql(
@@ -155,21 +109,19 @@ def test_staged_pmi_matches_pure_python(spark):
     }
     got = {
         (r["x"], r["y"], r["n_xy"], r["n_x"], r["n_y"], r["lift_ppm"], r["rn"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["text_pmi_collocations"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_compaction_matches_pure_python(spark):
-    """pipeline_compaction_plan — shard derivation (md5 hex, the M43
-    rule) + first-fit binning recomputed with hashlib and a running
-    total."""
+def test_compaction_matches_pure_python(spark):
+    """M245 — shard derivation (md5 hex, the M43 rule) + first-fit
+    binning recomputed with hashlib and a running total."""
     import hashlib
     from collections import defaultdict
 
     import duckdb
 
-    fn, _ = STAGED["pipeline_compaction_plan"]
     rows = duckdb.sql(
         f"SELECT doc_id, n_chars FROM read_parquet('{SF_UNIT}/documents.parquet')"
     ).fetchall()
@@ -189,7 +141,7 @@ def test_staged_compaction_matches_pure_python(spark):
         prefix += b
     got = {
         r["bin"]: (r["n_shards"], r["n_docs"], r["bytes"], r["fill_ppm"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["pipeline_compaction_plan"](spark, SF_UNIT).collect()
     }
     assert got == {
         b: (ns, nd, by, (1_000_000 * by) // 32768)
@@ -197,15 +149,14 @@ def test_staged_compaction_matches_pure_python(spark):
     }
 
 
-def test_staged_chisq_matches_pure_python(spark):
-    """analytics_chisq_priority_era — contingency terms with Python's
-    arbitrary-precision ints (independent check of the HUGEINT /
-    DECIMAL(38,0) wide-integer path)."""
+def test_chisq_matches_pure_python(spark):
+    """M250 — contingency terms with Python's arbitrary-precision ints
+    (independent check of the HUGEINT / DECIMAL(38,0) wide-integer
+    path)."""
     from collections import Counter
 
     import duckdb
 
-    fn, _ = STAGED["analytics_chisq_priority_era"]
     rows = duckdb.sql(
         f"""SELECT o_orderpriority,
                    CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
@@ -228,19 +179,18 @@ def test_staged_chisq_matches_pure_python(spark):
         (r["priority"], r["era"]): (
             r["n"], r["row_total"], r["col_total"], r["dev_num"], r["chi_ppm"]
         )
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["analytics_chisq_priority_era"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_profile_drift_matches_pure_python(spark):
-    """pipeline_profile_drift — per-source version deltas from dict
-    arithmetic over the derived versions."""
+def test_profile_drift_matches_pure_python(spark):
+    """M247 — per-source version deltas from dict arithmetic over the
+    derived versions."""
     from collections import Counter
 
     import duckdb
 
-    fn, _ = STAGED["pipeline_profile_drift"]
     rows = duckdb.sql(
         f"""SELECT doc_id, source, len(text)
             FROM read_parquet('{SF_UNIT}/documents.parquet')"""
@@ -263,15 +213,15 @@ def test_staged_profile_drift_matches_pure_python(spark):
             r["n_a"], r["n_b"], r["chars_a"], r["chars_b"],
             r["delta_docs"], r["delta_chars"],
         )
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["pipeline_profile_drift"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_rich_club_matches_projection_scan(spark):
-    """graph_rich_club_terms — the threshold terms recomputed with
-    plain sets/dicts over the SAME projection frame (independent of
-    the SQL join/rollup formula)."""
+def test_rich_club_matches_projection_scan(spark):
+    """M249 — the threshold terms recomputed with plain sets/dicts
+    over the SAME projection frame (independent of the SQL
+    join/rollup formula)."""
     from collections import defaultdict
 
     from tropology_spark.operators.graph_motifs import (
@@ -279,7 +229,6 @@ def test_staged_rich_club_matches_projection_scan(spark):
         copurchase_projection,
     )
 
-    fn, _ = STAGED["graph_rich_club_terms"]
     proj = [
         (r["u"], r["v"])
         for r in copurchase_projection(spark, SF_UNIT, hub_cap=_HUB_CAP).collect()
@@ -297,28 +246,25 @@ def test_staged_rich_club_matches_projection_scan(spark):
         want[k] = (nk, ek, dens)
     got = {
         r["k"]: (r["n_k"], r["e_k"], r["density_ppm"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["graph_rich_club_terms"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_batch_ivf_consistent_with_scalar_path(spark):
-    """sim_ivf_batch_topk — each query's batch rows equal the scalar
-    ivf_topk pipeline run for that query alone (the batch join must
-    not leak candidates across queries; the scalar path is itself
+def test_batch_ivf_consistent_with_scalar_path(spark):
+    """M244 — each query's batch rows equal the scalar ivf_topk
+    pipeline run for that query alone (the batch join must not leak
+    candidates across queries; the scalar path is itself
     oracle-audited as sim_ivf_topk)."""
-    from pyspark.sql import functions as F
-
-    from tropology_spark.operators.similarity import ivf_topk
-    from tropology_spark.operators.staged_r10 import (
+    from tropology_spark.operators.similarity import (
         _BATCH_K,
         _BATCH_QUERY_IDS,
+        ivf_topk,
     )
     from tropology_spark.sources.tables import load
 
-    fn, _ = STAGED["sim_ivf_batch_topk"]
     got = {}
-    for r in fn(spark, SF_UNIT).collect():
+    for r in QUERIES["sim_ivf_batch_topk"](spark, SF_UNIT).collect():
         got.setdefault(r["q"], []).append((r["rn"], r["vec_id"], r["cosine"]))
     e = load(spark, SF_UNIT, "embeddings")
     for q in _BATCH_QUERY_IDS:
@@ -329,15 +275,14 @@ def test_staged_batch_ivf_consistent_with_scalar_path(spark):
         assert sorted(got[q]) == scalar, q
 
 
-def test_staged_sample_neighbors_matches_pure_python(spark):
-    """graph_sample_neighbors2 — the md5-ranked 2-hop sample recomputed
-    with hashlib and sorted lists."""
-    from collections import defaultdict
+def test_sample_neighbors_matches_pure_python(spark):
+    """M251 — the md5-ranked 2-hop sample recomputed with hashlib and
+    sorted lists."""
     import hashlib
+    from collections import defaultdict
 
     import duckdb
 
-    fn, _ = STAGED["graph_sample_neighbors2"]
     rows = duckdb.sql(
         f"""SELECT DISTINCT o_custkey, l_partkey
             FROM read_parquet('{SF_UNIT}/orders.parquet') o
@@ -365,18 +310,17 @@ def test_staged_sample_neighbors_matches_pure_python(spark):
                 want.add((seed, 2, via, node, rk))
     got = {
         (r["seed"], r["hop"], r["via"], r["node"], r["rk"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["graph_sample_neighbors2"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_matryoshka_matches_numpy(spark):
-    """sim_matryoshka_recall — prefix-cosine recall recomputed with
-    NumPy (the maxsim-vs-NumPy precedent)."""
+def test_matryoshka_matches_numpy(spark):
+    """M252 — prefix-cosine recall recomputed with NumPy (the
+    maxsim-vs-NumPy precedent)."""
     import duckdb
     import numpy as np
 
-    fn, _ = STAGED["sim_matryoshka_recall"]
     rows = duckdb.sql(
         f"SELECT vec_id, embedding FROM read_parquet('{SF_UNIT}/embeddings.parquet')"
     ).fetchall()
@@ -402,6 +346,6 @@ def test_staged_matryoshka_matches_numpy(spark):
         want[p] = (hits, (1_000_000 * hits) // 10)
     got = {
         r["prefix_dim"]: (r["n_hits"], r["recall_ppm"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["sim_matryoshka_recall"](spark, SF_UNIT).collect()
     }
     assert got == want

@@ -960,6 +960,17 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "join_anti_frontier",
         "sub_scalar_global",
         "mm_dedup_exact",
+        # round-10 activations (M243-M252)
+        "join_range_2d_parts",
+        "sim_ivf_batch_topk",
+        "pipeline_compaction_plan",
+        "text_pmi_collocations",
+        "pipeline_profile_drift",
+        "ts_haar_volatility",
+        "graph_rich_club_terms",
+        "analytics_chisq_priority_era",
+        "graph_sample_neighbors2",
+        "sim_matryoshka_recall",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -1018,9 +1029,9 @@ def test_materialized_view_build_is_shared_across_threads(spark):
 
 def test_driver_window_composition(spark):
     """The driver hash-checks the FIRST 50 registry entries.  Pin the
-    round-9 window invariants so a module-import or registration-order
-    change can never silently evict a query: the 17 activated M226-M242
-    queries (never sampled) plus the 3 retuned bodies lead, and EVERY
+    round-10 window invariants so a module-import or registration-order
+    change can never silently evict a query: the 10 activated M243-M252
+    queries (never sampled) lead, and EVERY
     remaining window slot goes to the rotation queue — queries whose
     latest driver row is the OLDEST post-regeneration vintage (<= r04;
     the pre-regeneration debt is zero since round 8, so the bound
@@ -1037,7 +1048,7 @@ def test_driver_window_composition(spark):
     from pathlib import Path
 
     from tropology_spark import ORACLES, QUERIES
-    from tropology_spark import _R9_NEW, _R9_RETUNED
+    from tropology_spark import _R10_NEW
 
     latest: dict[str, int] = {}
     for f in Path(".").glob("CORRECTNESS_r*.json"):
@@ -1046,7 +1057,7 @@ def test_driver_window_composition(spark):
             latest[k] = max(latest.get(k, 0), rnd)
     max_round = max(latest.values(), default=0)
     window = list(QUERIES)[:50]
-    head = _R9_NEW + _R9_RETUNED
+    head = _R10_NEW
     assert window[: len(head)] == head, window[: len(head)]
     never = [q for q in QUERIES if q not in latest]
     missing = [q for q in never if q not in set(window)]

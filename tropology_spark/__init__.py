@@ -41,14 +41,13 @@ from tropology_spark.operators import windows  # noqa: F401
 from tropology_spark.operators import aggregates  # noqa: F401
 from tropology_spark.operators import relational  # noqa: F401
 
-# Round-9 driver window (the driver hash-checks the FIRST 50 entries
-# per round).  Round 8 drained the pre-regeneration freshness debt to
-# zero, so round 9 spends the window on NEW surface again (the r6
-# posture): the 17 activated staged operators (M226-M242, never
-# sampled) plus the 3 retuned bodies (semantic changes needing fresh
-# evidence) lead; the remaining 30 slots rotate the OLDEST
-# post-regeneration evidence (r03-vintage — streaming twins, UDF
-# family, mm_features, CC) — 20 + 30 = 50.
+# Round-10 driver window (the driver hash-checks the FIRST 50 entries
+# per round): the 10 activated round-10 staged operators (M243-M252,
+# never sampled) lead; the remaining 40 slots rotate the OLDEST
+# evidence — the 19 r03-vintage rows left over from round 9 plus the
+# 21 oldest r04-vintage rows in registry order — 10 + 19 + 21 = 50
+# (CLAUDE.md round-10 plan; distribution verified against all nine
+# CORRECTNESS files).
 
 #: Round-6 additions (M169+) — appended here as they are registered.
 _R6_NEW = [
@@ -251,6 +250,71 @@ _R9_STALE = [
     "text_length_gate",
 ]
 
-prioritize(_R9_NEW + _R9_RETUNED + _R9_STALE)
+#: Round-10 additions (M243-M252) — the activated round-9-staged ops.
+_R10_NEW = [
+    "join_range_2d_parts",
+    "sim_ivf_batch_topk",
+    "pipeline_compaction_plan",
+    "text_pmi_collocations",
+    "pipeline_profile_drift",
+    "ts_haar_volatility",
+    "graph_rich_club_terms",
+    "analytics_chisq_priority_era",
+    "graph_sample_neighbors2",
+    "sim_matryoshka_recall",
+]
+
+#: The 19 r03-vintage rows left over from the round-9 rotation (their
+#: latest driver CORRECTNESS row is r03), in registry order.
+_R10_STALE_R03 = [
+    "text_vocab_oov",
+    "pipeline_stratified_sample",
+    "pipeline_skew_profile",
+    "pipeline_zorder_layout",
+    "pipeline_cdc_apply",
+    "pipeline_dq_report",
+    "pipeline_scd2",
+    "pipeline_weighted_sample",
+    "pipeline_minmax_scale",
+    "join_point_in_time",
+    "pipeline_negative_sample",
+    "dedup_keep_best",
+    "pipeline_token_budget",
+    "pipeline_kanon_audit",
+    "pipeline_filter_funnel",
+    "graph_closeness3",
+    "ts_drawdown",
+    "ts_winsorize",
+    "analytics_ab_lift",
+]
+
+#: The 21 OLDEST r04-vintage rows in registry order; 28 r04-vintage
+#: queries remain for the round-11 rotation (the r04 rows not listed
+#: here, starting ts_ewma / ts_anomaly_topk / ts_pattern_triples ...).
+_R10_STALE_R04 = [
+    "sim_norm_histogram",
+    "graph_twohop_capped",
+    "graph_link_prediction_capped",
+    "mm_modality_stats",
+    "pipeline_dataset_card",
+    "pipeline_chunk_documents",
+    "pipeline_mixture_weights",
+    "join_salted_hotkey",
+    "pipeline_label_balance",
+    "graph_bfs3",
+    "graph_random_walk3",
+    "graph_sssp3",
+    "graph_triangles",
+    "graph_triangles_capped",
+    "graph_butterflies",
+    "graph_clustering_pairs",
+    "graph_assortativity_terms",
+    "graph_hits_paths",
+    "mm_frame_sample",
+    "ts_resample_gapfill",
+    "ts_sessionize",
+]
+
+prioritize(_R10_NEW + _R10_STALE_R03 + _R10_STALE_R04)
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

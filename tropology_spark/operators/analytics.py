@@ -1967,3 +1967,89 @@ def analytics_value_band_migration(spark: SparkSession, sf_dir: str) -> DataFram
     return m.groupBy("band_h1", "band_h2").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers")
     )
+
+
+# ---------------------------------------------------------------------------
+# M250 analytics_chisq_priority_era — chi-square independence terms
+# ---------------------------------------------------------------------------
+
+_CHISQ_SPLIT_DATE = "1998-01-01"  # reuse the M242 era boundary
+
+
+@register(
+    "analytics_chisq_priority_era",
+    oracle=f"""
+    WITH c AS (
+      SELECT o_orderpriority AS priority,
+             CASE WHEN o_orderdate < TIMESTAMP '{_CHISQ_SPLIT_DATE}'
+                  THEN 0 ELSE 1 END AS era,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT priority, CAST(sum(n) AS BIGINT) AS row_total
+           FROM c GROUP BY 1),
+    ct AS (SELECT era, CAST(sum(n) AS BIGINT) AS col_total FROM c GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
+    SELECT c.priority, CAST(c.era AS BIGINT) AS era, c.n, row_total, col_total,
+           CAST(c.n * n_total - row_total * col_total AS BIGINT) AS dev_num,
+           CAST((1000000
+                 * CAST(c.n * n_total - row_total * col_total AS HUGEINT)
+                 * CAST(c.n * n_total - row_total * col_total AS HUGEINT))
+                // (CAST(row_total AS HUGEINT) * col_total * n_total)
+                AS BIGINT) AS chi_ppm
+    FROM c JOIN rt ON c.priority = rt.priority
+           JOIN ct ON c.era = ct.era
+           CROSS JOIN tot
+    """,
+)
+def analytics_chisq_priority_era(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M250 — CHI-SQUARE INDEPENDENCE terms for the (order
+    priority × era) contingency table: per cell the observed count,
+    margins, the exact deviation numerator O·N − RT·CT, and the
+    scaled cell contribution 10⁶·dev²/(RT·CT·N) — the independence
+    test every mix-shift dashboard runs ("did the priority mix change
+    between the eras"), with every carrier an exact integer.  dev² is
+    computed in HUGEINT / DECIMAL(38,0) (the M192 wide-integer finale
+    rule: at 100 TB O·N ~ 1e9·1e12 squares far past BIGINT); the
+    quotient is non-negative over a non-negative denominator, so
+    floor and trunc agree.
+
+    Scale: the corpus collapses to the ≤ |priorities|×2 cell table in
+    one map-side-combinable pass; margins and the total are rollups
+    of the CELL table (never re-scans); everything after is
+    broadcast-sized arithmetic."""
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.when(
+            F.col("o_orderdate") < F.lit(_CHISQ_SPLIT_DATE).cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("era"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    c = iter_materialize(c)  # referenced by rt, ct, tot and the finale
+    rt = c.groupBy("priority").agg(F.sum("n").cast("bigint").alias("row_total"))
+    ct = c.groupBy("era").agg(F.sum("n").cast("bigint").alias("col_total"))
+    tot = c.agg(F.sum("n").cast("bigint").alias("n_total"))
+    dev = "(n * n_total - row_total * col_total)"
+    return (
+        c.join(F.broadcast(rt), "priority")
+        .join(F.broadcast(ct), "era")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "priority",
+            F.col("era").cast("bigint").alias("era"),
+            "n",
+            "row_total",
+            "col_total",
+            F.expr(dev).cast("bigint").alias("dev_num"),
+            F.expr(
+                f"(CAST(1000000 AS DECIMAL(38,0))"
+                f" * CAST({dev} AS DECIMAL(38,0))"
+                f" * CAST({dev} AS DECIMAL(38,0)))"
+                f" div (CAST(row_total AS DECIMAL(38,0)) * col_total * n_total)"
+            )
+            .cast("bigint")
+            .alias("chi_ppm"),
+        )
+    )

@@ -1587,3 +1587,102 @@ def graph_pref_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("bigint").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M251 graph_sample_neighbors2 — deterministic 2-hop neighbor sampling
+# ---------------------------------------------------------------------------
+
+_SAMPLE_FANOUT = 3
+
+
+@register(
+    "graph_sample_neighbors2",
+    oracle=f"""
+    WITH edges AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    h1 AS (
+      SELECT src AS seed, dst AS node,
+             CAST(row_number() OVER (
+               PARTITION BY src
+               ORDER BY md5(CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)),
+                        dst) AS BIGINT) AS rk
+      FROM edges QUALIFY rk <= {_SAMPLE_FANOUT}
+    ),
+    h2 AS (
+      -- the rank alias must NOT be named rk: with h1 in scope QUALIFY
+      -- would resolve a bare rk to h1.rk (always <= fanout, a no-op
+      -- filter) instead of the new alias
+      SELECT h1.seed, h1.node AS via, e.src AS node,
+             CAST(row_number() OVER (
+               PARTITION BY h1.seed, h1.node
+               ORDER BY md5(CAST(h1.node AS VARCHAR) || '_'
+                            || CAST(e.src AS VARCHAR)), e.src)
+               AS BIGINT) AS rk2
+      FROM h1 JOIN edges e ON e.dst = h1.node AND e.src <> h1.seed
+      QUALIFY rk2 <= {_SAMPLE_FANOUT}
+    )
+    SELECT seed, CAST(1 AS BIGINT) AS hop, CAST(NULL AS BIGINT) AS via,
+           node, rk
+    FROM h1
+    UNION ALL
+    SELECT seed, CAST(2 AS BIGINT), via, node, rk2 FROM h2
+    """,
+)
+def graph_sample_neighbors2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M251 — deterministic 2-HOP NEIGHBOR SAMPLING, the
+    GraphSAGE/GNN minibatch-preparation primitive: per seed work-node,
+    at most {f} hop-1 tropes ranked by the md5 edge hash, and per
+    sampled trope at most {f} hop-2 works (excluding the seed) —
+    bounded {f} + {f}² rows per seed, reproducible on any engine, any
+    partitioning, any day (the I7/M43 md5-rank discipline; a `rand()`
+    sample would never cross the hash gate, and more importantly
+    would never re-materialize the same training neighborhoods).
+
+    Scale: hop-1 is one per-src window over the edge list; hop-2 is
+    one shuffle on the trope key + a per-(seed, trope) window whose
+    partitions are bounded by trope degree — a celebrity trope at
+    100 TB takes the capped-projection split (the M119/M120 pattern)
+    before the rank; the output is bounded by seeds × ({f} + {f}²),
+    never by edge count."""
+    from tropology_spark.sources.tables import edges_materialized
+
+    e = edges_materialized(spark, sf_dir)
+    w1 = Window.partitionBy("src").orderBy(
+        F.md5(F.concat_ws("_", F.col("src"), F.col("dst"))), F.col("dst")
+    )
+    h1 = (
+        e.withColumn("rk", F.row_number().over(w1).cast("bigint"))
+        .filter(F.col("rk") <= _SAMPLE_FANOUT)
+        .select(F.col("src").alias("seed"), F.col("dst").alias("node"), "rk")
+    )
+    e2 = e.select(F.col("src").alias("node2"), F.col("dst").alias("via_d"))
+    w2 = Window.partitionBy("seed", "node").orderBy(
+        F.md5(F.concat_ws("_", F.col("node"), F.col("node2"))), F.col("node2")
+    )
+    h2 = (
+        h1.join(e2, h1.node == e2.via_d)
+        .filter(F.col("node2") != F.col("seed"))
+        .withColumn("rk2", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rk2") <= _SAMPLE_FANOUT)
+        .select(
+            "seed",
+            F.lit(2).cast("bigint").alias("hop"),
+            F.col("node").alias("via"),
+            F.col("node2").alias("node"),
+            F.col("rk2").alias("rk"),
+        )
+    )
+    out1 = h1.select(
+        "seed",
+        F.lit(1).cast("bigint").alias("hop"),
+        F.lit(None).cast("bigint").alias("via"),
+        "node",
+        "rk",
+    )
+    return out1.unionByName(h2)
+
+
+graph_sample_neighbors2.__doc__ = graph_sample_neighbors2.__doc__.format(
+    f=_SAMPLE_FANOUT
+)

@@ -1144,3 +1144,98 @@ def graph_closure_rate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("closure_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M249 graph_rich_club_terms — rich-club density at degree thresholds
+# ---------------------------------------------------------------------------
+
+_RICH_KS = (4, 8, 16)
+
+
+def _rich_club_oracle() -> str:
+    ks = ", ".join(str(k) for k in _RICH_KS)
+    return (
+        _CAPPED_PROJ_CTE
+        + f"""
+    , und AS (SELECT u, v FROM proj0 UNION ALL SELECT v, u FROM proj0),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
+    ks AS (SELECT unnest([{ks}]) AS k),
+    nk AS (
+      SELECT ks.k, CAST(count(deg.node) AS BIGINT) AS n_k
+      FROM ks LEFT JOIN deg ON deg.d > ks.k GROUP BY ks.k
+    ),
+    ek AS (
+      SELECT ks.k, CAST(count(*) AS BIGINT) AS e_k
+      FROM proj0 e
+      JOIN deg da ON e.u = da.node
+      JOIN deg db ON e.v = db.node
+      JOIN ks ON da.d > ks.k AND db.d > ks.k
+      GROUP BY ks.k
+    )
+    SELECT CAST(nk.k AS BIGINT) AS k, n_k,
+           CAST(coalesce(e_k, 0) AS BIGINT) AS e_k,
+           CAST(CASE WHEN n_k >= 2
+                     THEN (2000000 * coalesce(e_k, 0)) // (n_k * (n_k - 1))
+                END AS BIGINT) AS density_ppm
+    FROM nk LEFT JOIN ek ON nk.k = ek.k
+    """
+    )
+
+
+@register("graph_rich_club_terms", oracle=_rich_club_oracle())
+def graph_rich_club_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M249 — the RICH-CLUB coefficient terms of the
+    hub-capped co-purchase projection: for degree thresholds k ∈
+    {4, 8, 16}, the count of nodes with degree > k, the edges BOTH of
+    whose endpoints qualify, and the induced density in ppm
+    (2·E_k / (N_k·(N_k−1))) — "do the hubs preferentially wire to
+    each other", the club structure M79's assortativity terms
+    summarize in one number.  All three threshold rows are always
+    emitted (LEFT joins; NULL density when the club has < 2 members —
+    the degenerate-denominator rule).
+
+    Composed, not copied: the oracle extends _CAPPED_PROJ_CTE (the
+    M120/M204/M213/M231 single home) and the Spark side reads the
+    session-shared copurchase_projection.  Scale: one degree rollup,
+    a ×|ks| bounded threshold join, one edge pass — the degree table
+    is broadcast-sized after the rollup and double-referenced, so it
+    is checkpointed."""
+    from tropology_spark.session import iter_materialize
+
+    proj = copurchase_projection(spark, sf_dir, hub_cap=_HUB_CAP)
+    und = proj.select("u", "v").unionAll(
+        proj.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = iter_materialize(
+        und.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("d")
+        )
+    )  # referenced by nk and twice by ek
+    ks = spark.createDataFrame([(k,) for k in _RICH_KS], "k long")
+    nk = (
+        ks.join(F.broadcast(deg), deg.d > ks.k, "left")
+        .groupBy("k")
+        .agg(F.count(F.col("node")).cast("bigint").alias("n_k"))
+    )
+    da = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ek = (
+        proj.join(F.broadcast(da), "u")
+        .join(F.broadcast(db), "v")
+        .crossJoin(F.broadcast(ks.select(F.col("k").alias("ek_k"))))
+        .filter((F.col("du") > F.col("ek_k")) & (F.col("dv") > F.col("ek_k")))
+        .groupBy(F.col("ek_k").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_k"))
+    )
+    return nk.join(ek, "k", "left").select(
+        F.col("k").cast("bigint").alias("k"),
+        "n_k",
+        F.coalesce(F.col("e_k"), F.lit(0)).cast("bigint").alias("e_k"),
+        F.expr(
+            "CASE WHEN n_k >= 2"
+            " THEN (2000000 * coalesce(e_k, 0)) div (n_k * (n_k - 1)) END"
+        )
+        .cast("bigint")
+        .alias("density_ppm"),
+    )

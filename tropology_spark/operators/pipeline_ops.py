@@ -2132,7 +2132,9 @@ _DUPSPAN_PCT10 = 1
     FROM pd
     """,
 )
-def text_dup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_dup_span_frac(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """M125 — duplicated-span fraction: the RefinedWeb/C4-style
     CROSS-document boilerplate signal (distinct from M28's intra-doc
     repetition and M25's benchmark contamination).  A trigram seen in
@@ -2144,8 +2146,12 @@ def text_dup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shingle explode (distinct per doc) feeding two
     map-side-combinable aggs; the boilerplate set is vocabulary-sized
     → gated-broadcast membership join back onto the shingle stream
-    (the M45 vocab-OOV shape).  Nothing touches O(pairs)."""
-    d = load(spark, sf_dir, "documents")
+    (the M45 vocab-OOV shape).  Nothing touches O(pairs).
+
+    ``docs=`` substitutes the document frame — (doc_id, text) — for
+    the weak-scaling probe (tools/scale_probes/textdup_scale.py); the
+    driver contract never passes it."""
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
     g = d.select(
         "doc_id",
         F.explode(
@@ -2163,7 +2169,12 @@ def text_dup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tropology_spark.operators.graph import BROADCAST_NODE_LIMIT
     from tropology_spark.sources.tables import table_count
 
-    if table_count(spark, sf_dir, "documents") <= BROADCAST_NODE_LIMIT:
+    n_docs = (
+        docs.count()
+        if docs is not None
+        else table_count(spark, sf_dir, "documents")
+    )
+    if n_docs <= BROADCAST_NODE_LIMIT:
         bo = F.broadcast(bo)
     pd_ = (
         g.join(bo, "gram", "left")
@@ -3256,4 +3267,168 @@ def pipeline_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("status").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M245 pipeline_compaction_plan — small-files compaction by cumulative binning
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 32768  # target output-file payload, chars
+
+
+def _compaction_oracle() -> str:
+    from tropology_spark.registry import ORACLES
+
+    return f"""
+    WITH layout AS ({ORACLES['pipeline_shard_layout']}),
+    files AS (
+      SELECT l.shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(d.n_chars) AS BIGINT) AS bytes
+      FROM layout l JOIN documents d ON l.doc_id = d.doc_id
+      GROUP BY l.shard
+    ),
+    binned AS (
+      SELECT shard, n_docs, bytes,
+             CAST(coalesce(sum(bytes) OVER (ORDER BY shard
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0)
+                  // {_COMPACT_TARGET} AS BIGINT) AS bin
+      FROM files
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_shards,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(bytes) AS BIGINT) AS bytes,
+           CAST((1000000 * sum(bytes)) // {_COMPACT_TARGET} AS BIGINT)
+             AS fill_ppm
+    FROM binned GROUP BY bin
+    """
+
+
+@register("pipeline_compaction_plan", oracle=_compaction_oracle())
+def pipeline_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M245 — the COMPACTION PLAN every lakehouse maintenance
+    job computes: pack the M43 shard "files" into target-size output
+    bins by the deterministic first-fit rule bin = (exclusive prefix
+    sum of bytes, in shard order) div TARGET — a shard starts a new
+    bin exactly when the running total crosses the target, so bins are
+    contiguous shard ranges (merge-friendly: each output file reads
+    consecutive inputs).  Per bin: shard count, docs, bytes, fill
+    ratio in ppm (>1e6 = the bin that absorbed an oversized shard).
+
+    Composed, not copied: the oracle wraps ORACLES['pipeline_shard_
+    layout'] verbatim and the Spark side runs the registered M43
+    query.  Scale: the corpus collapses to O(shards) file rows before
+    the plan; the prefix sum rides the pmod constant key over the
+    bounded shard axis (M196's bounded-domain argument — shard count
+    is a config constant, not a data size)."""
+    from tropology_spark.registry import QUERIES
+
+    layout = QUERIES["pipeline_shard_layout"](spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    files = (
+        layout.join(d, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("bytes"),
+        )
+    )
+    w = (
+        Window.partitionBy(F.pmod(F.col("shard"), F.lit(1)))
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = files.select(
+        "shard",
+        "n_docs",
+        "bytes",
+        F.coalesce(F.sum("bytes").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("prefix"),
+    ).select(
+        "shard",
+        "n_docs",
+        "bytes",
+        F.expr(f"prefix div {_COMPACT_TARGET}").cast("bigint").alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("bytes").cast("bigint").alias("bytes"),
+        F.expr(f"(1000000 * sum(bytes)) div {_COMPACT_TARGET}")
+        .cast("bigint")
+        .alias("fill_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M247 pipeline_profile_drift — per-source drift between corpus versions
+# ---------------------------------------------------------------------------
+
+
+def _profile_drift_oracle() -> str:
+    return (
+        DIFF_VERSIONS_SQL
+        + """
+    , sa AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_a,
+             CAST(sum(n_chars) AS BIGINT) AS chars_a
+      FROM va GROUP BY source
+    ),
+    sb AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_b,
+             CAST(sum(n_chars) AS BIGINT) AS chars_b
+      FROM vb GROUP BY source
+    )
+    SELECT coalesce(sa.source, sb.source) AS source,
+           CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+           CAST(coalesce(n_b, 0) AS BIGINT) AS n_b,
+           CAST(coalesce(chars_a, 0) AS BIGINT) AS chars_a,
+           CAST(coalesce(chars_b, 0) AS BIGINT) AS chars_b,
+           CAST(coalesce(n_b, 0) - coalesce(n_a, 0) AS BIGINT) AS delta_docs,
+           CAST(coalesce(chars_b, 0) - coalesce(chars_a, 0) AS BIGINT)
+             AS delta_chars
+    FROM sa FULL OUTER JOIN sb ON sa.source = sb.source
+    """
+    )
+
+
+@register("pipeline_profile_drift", oracle=_profile_drift_oracle())
+def pipeline_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M247 — the PER-SOURCE DRIFT report between two corpus
+    versions: document and character deltas per source, margins kept
+    by the full outer join (a source present in only one version IS
+    the headline finding) — the release-note companion of M237's
+    global diff and the version-axis sibling of M94's temporal source
+    drift.  Composed, not copied: both engines derive the versions
+    from the shared DIFF_VERSIONS_SQL / diff_versions pair (the M237
+    single home).
+
+    Scale: each version collapses to O(sources) rows before the
+    join; deltas are exact integer differences (n_chars is a stored
+    BIGINT)."""
+    va, vb = diff_versions(spark, sf_dir)
+    sa = va.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a"),
+        F.sum("n_chars").cast("bigint").alias("chars_a"),
+    )
+    sb = vb.groupBy(F.col("source").alias("source_b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("n_chars").cast("bigint").alias("chars_b"),
+    )
+    j = sa.join(sb, sa.source == sb.source_b, "full_outer")
+    z = F.lit(0).cast("bigint")
+    return j.select(
+        F.coalesce(F.col("source"), F.col("source_b")).alias("source"),
+        F.coalesce(F.col("n_a"), z).alias("n_a"),
+        F.coalesce(F.col("n_b"), z).alias("n_b"),
+        F.coalesce(F.col("chars_a"), z).alias("chars_a"),
+        F.coalesce(F.col("chars_b"), z).alias("chars_b"),
+        (F.coalesce(F.col("n_b"), z) - F.coalesce(F.col("n_a"), z))
+        .cast("bigint")
+        .alias("delta_docs"),
+        (F.coalesce(F.col("chars_b"), z) - F.coalesce(F.col("chars_a"), z))
+        .cast("bigint")
+        .alias("delta_chars"),
     )

@@ -1745,3 +1745,98 @@ def join_session_overlap(
         .orderBy(F.desc("n_overlaps"), F.asc("user_a"), F.asc("user_b"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# M243 join_range_2d_parts — 2-D band join via grid buckets (M197 in 2-D)
+# ---------------------------------------------------------------------------
+
+_R2D_W_CENTS = 50  # |Δprice| <= 50 cents
+_R2D_W_SIZE = 2    # |Δsize|  <= 2
+
+
+@register(
+    "join_range_2d_parts",
+    oracle=f"""
+    WITH pc AS (
+      SELECT p_partkey AS k, CAST(round(p_retailprice * 100) AS BIGINT) AS c,
+             CAST(p_size AS BIGINT) AS s
+      FROM part
+    ),
+    pairs AS (
+      SELECT a.k AS ka, b.k AS kb
+      FROM pc a JOIN pc b
+        ON a.k <> b.k
+       AND abs(a.c - b.c) <= {_R2D_W_CENTS}
+       AND abs(a.s - b.s) <= {_R2D_W_SIZE}
+    )
+    SELECT pc.k AS p_partkey,
+           CAST(count(pairs.kb) AS BIGINT) AS n_neighbors,
+           CAST(min(pairs.kb) AS BIGINT) AS min_partner
+    FROM pc LEFT JOIN pairs ON pc.k = pairs.ka
+    GROUP BY pc.k
+    """,
+)
+def join_range_2d_parts(
+    spark: SparkSession, sf_dir: str, parts: DataFrame | None = None
+) -> DataFrame:
+    """M243 — the 2-D BAND JOIN: for every part, how many other
+    parts sit within (|Δprice| ≤ 50 cents AND |Δsize| ≤ 2) and the
+    smallest such partner key — the product-substitutability
+    neighborhood, and the M197 bucket idiom lifted to TWO dimensions
+    (completing the range-join family: 1-D band M197, intervals M238,
+    2-D grids here — the shape every spatial/embedding-block join
+    reduces to).
+
+    The rewrite: grid cell = (cents div W_c, size div W_s); a
+    qualifying pair's cells differ by ≤ 1 on each axis, so the probe
+    side explodes to its 3×3 neighbor cells (9 DISTINCT cell keys per
+    row — each matching pair meets on exactly ONE of them, the build
+    row's own cell, so no dedup is needed) and the exact predicate
+    prunes after the equi-join.  Candidate cost is bounded by grid
+    occupancy, never corpus²; the declared inequality join stays
+    oracle-only.  Every part is emitted (n_neighbors = 0 with NULL
+    partner kept by the left join) so the result verifies at every
+    scale.
+
+    ``parts=`` substitutes the part frame — (p_partkey, p_retailprice,
+    p_size) — for the weak-scaling probe (tools/scale_probes/
+    range2d_scale.py); the driver contract never passes it."""
+    src = parts if parts is not None else load(spark, sf_dir, "part")
+    pc = src.select(
+        F.col("p_partkey").alias("k"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("c"),
+        F.col("p_size").cast("bigint").alias("s"),
+    )
+    build = pc.select(
+        F.col("k").alias("kb"),
+        F.col("c").alias("cb"),
+        F.col("s").alias("sb"),
+        F.expr(f"c div {_R2D_W_CENTS}").alias("gx"),
+        F.expr(f"s div {_R2D_W_SIZE}").alias("gy"),
+    )
+    probe = pc.select(
+        "k", "c", "s",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-1, 1), dx ->"
+                f" transform(sequence(-1, 1), dy ->"
+                f" struct(c div {_R2D_W_CENTS} + dx AS gx,"
+                f"        s div {_R2D_W_SIZE} + dy AS gy))))"
+            )
+        ).alias("g"),
+    ).select("k", "c", "s", F.col("g.gx").alias("gx"), F.col("g.gy").alias("gy"))
+    cand = probe.join(build, ["gx", "gy"]).filter(
+        (F.col("k") != F.col("kb"))
+        & (F.abs(F.col("c") - F.col("cb")) <= _R2D_W_CENTS)
+        & (F.abs(F.col("s") - F.col("sb")) <= _R2D_W_SIZE)
+    )
+    agg = cand.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+        F.min("kb").cast("bigint").alias("min_partner"),
+    )
+    return pc.select("k").join(agg, "k", "left").select(
+        F.col("k").alias("p_partkey"),
+        F.coalesce(F.col("n_neighbors"), F.lit(0)).cast("bigint").alias("n_neighbors"),
+        F.col("min_partner"),
+    )

@@ -1741,3 +1741,115 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("share_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M246 text_pmi_collocations — integer-carrier PMI collocation ranking
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_N = 3
+_PMI_TOP = 50
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT l[i] AS x, l[i + 1] AS y
+      FROM (SELECT string_split(text, ' ') AS l FROM documents),
+           (SELECT unnest(generate_series(1, 4096)) AS i)
+      WHERE i <= len(l) - 1
+    ),
+    big AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy FROM toks GROUP BY x, y),
+    uni AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      ) GROUP BY token
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    )),
+    scored AS (
+      SELECT b.x, b.y, b.n_xy, ux.n AS n_x, uy.n AS n_y,
+             CAST((1000000 * CAST(b.n_xy AS HUGEINT) * tot.n_tokens)
+                  // (CAST(ux.n AS HUGEINT) * uy.n) AS BIGINT) AS lift_ppm
+      FROM big b JOIN uni ux ON b.x = ux.token
+                 JOIN uni uy ON b.y = uy.token
+                 CROSS JOIN tot
+      WHERE b.n_xy >= {_PMI_MIN_N}
+    )
+    SELECT x, y, n_xy, n_x, n_y, lift_ppm,
+           CAST(row_number() OVER (ORDER BY lift_ppm DESC, x, y) AS BIGINT)
+             AS rn
+    FROM scored
+    QUALIFY rn <= {_PMI_TOP}
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M246 — COLLOCATION mining by pointwise mutual
+    information: adjacent word pairs seen ≥ {m} times, scored by the
+    exact-integer PMI lift  n_xy·N / (n_x·n_y)  in ppm (PMI's log is
+    monotone in the lift, so ranking by the integer lift IS ranking by
+    PMI with no float carrier), top-{t} by (lift DESC, pair) — the
+    phrase detector feeding tokenizer vocabularies and stop-phrase
+    lists.  The product 10⁶·n_xy·N is computed in DECIMAL(38,0) /
+    HUGEINT (the M192 wide-integer finale rule, per ADVICE r9: at
+    ~3e6+ tokens a frequent bigram overflows BIGINT — DuckDB raises
+    while non-ANSI Spark wraps silently); the BIGINT quotient is safe
+    (lift ≤ 10⁶·N).  J6's bigram extraction idiom (zip-with, oracle
+    enumerates positions at the 4096 cap) + J4's unigram counts; the
+    corpus total is a 1-row broadcast.
+
+    Scale: two token passes collapse to count tables; the scoring
+    join keys bigrams to their two unigram rows (shuffle on tokens —
+    Zipf-skewed, but the ≥{m} filter prunes the long tail before the
+    join); the final rank is a TakeOrdered over the filtered
+    survivors."""
+    d = load(spark, sf_dir, "documents")
+    toked = d.select(F.split(F.col("text"), " ").alias("l"))
+    pairs = F.zip_with(
+        F.slice(F.col("l"), 1, F.greatest(F.size(F.col("l")) - 1, F.lit(0))),
+        F.slice(F.col("l"), 2, F.greatest(F.size(F.col("l")) - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+    )
+    big = (
+        toked.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+        .filter(F.col("n_xy") >= _PMI_MIN_N)
+    )
+    uni = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    scored = (
+        big.join(uni.select(F.col("token").alias("x"), F.col("n").alias("n_x")), "x")
+        .join(uni.select(F.col("token").alias("y"), F.col("n").alias("n_y")), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x", "y", "n_xy", "n_x", "n_y",
+            F.expr(
+                "(CAST(1000000 AS DECIMAL(38,0)) * n_xy * n_tokens)"
+                " div (CAST(n_x AS DECIMAL(38,0)) * n_y)"
+            )
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+    )
+    w = Window.partitionBy(F.pmod(F.col("n_xy"), F.lit(1))).orderBy(
+        F.desc("lift_ppm"), F.asc("x"), F.asc("y")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= _PMI_TOP)
+    )
+
+
+text_pmi_collocations.__doc__ = text_pmi_collocations.__doc__.format(
+    m=_PMI_MIN_N, t=_PMI_TOP
+)

@@ -2149,3 +2149,103 @@ def ts_open_orders_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("open_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M248 ts_haar_volatility — 2-level Haar multi-resolution volatility
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_haar_volatility",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events
+    ),
+    grid AS (
+      SELECT day, h FROM days,
+           (SELECT unnest(generate_series(0, 23)) AS h)
+    ),
+    cnt AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (
+      SELECT grid.day, grid.h, coalesce(cnt.n, 0) AS x
+      FROM grid LEFT JOIN cnt ON grid.day = cnt.day AND grid.h = cnt.h
+    ),
+    l1 AS (
+      SELECT day, h // 2 AS j,
+             CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN h % 2 = 0 THEN x ELSE -x END) AS BIGINT) AS d1
+      FROM x GROUP BY day, h // 2
+    ),
+    l2 AS (
+      SELECT day, j // 2 AS j2,
+             CAST(sum(CASE WHEN j % 2 = 0 THEN s1 ELSE -s1 END) AS BIGINT) AS d2
+      FROM l1 GROUP BY day, j // 2
+    ),
+    tot AS (SELECT day, CAST(sum(x) AS BIGINT) AS total FROM x GROUP BY day),
+    a1 AS (SELECT day, CAST(sum(abs(d1)) AS BIGINT) AS sad1 FROM l1 GROUP BY day),
+    a2 AS (SELECT day, CAST(sum(abs(d2)) AS BIGINT) AS sad2 FROM l2 GROUP BY day)
+    SELECT tot.day, total, sad1, sad2
+    FROM tot JOIN a1 ON tot.day = a1.day JOIN a2 ON tot.day = a2.day
+    """,
+)
+def ts_haar_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M248 — 2-level HAAR wavelet volatility of the daily
+    activity curve: each observed day's 24 zero-filled hourly counts
+    decompose into 12 level-1 and 6 level-2 detail coefficients
+    (pairwise differences at 2 h and 4 h scales); the per-day sums of
+    |d1| and |d2| separate fast churn (hour-to-hour spikes) from slow
+    shape (morning/evening ramps) — multi-resolution analysis as pure
+    integer arithmetic, where an FFT never crosses the engine hash
+    gate.  Zero-filled on the bounded 24-hour domain per OBSERVED day
+    (missing hours are load-bearing zeros; absent days are not
+    invented — the M203/M181 gap rules).
+
+    Scale: the transform is hierarchical aggregation — groupBy(day,
+    h div 2) then (day, j div 2) then (day), every stage map-side
+    combinable on the same day-keyed partitioning; no window, no
+    join wider than the ×24 bounded grid explode."""
+    e = load(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000").cast("bigint")
+    hour = F.expr("unix_micros(ts) div 3600000000 % 24").cast("bigint")
+    cnt = e.groupBy(day.alias("day"), hour.alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    days = e.select(day.alias("day")).distinct()
+    grid = days.select(
+        "day", F.explode(F.expr("sequence(0L, 23L)")).alias("h")
+    )
+    x = iter_materialize(
+        grid.join(cnt, ["day", "h"], "left").select(
+            "day", "h", F.coalesce(F.col("n"), F.lit(0)).alias("x")
+        )
+    )  # three references below: l1, the per-day total, and via l1 -> l2
+    l1 = x.groupBy("day", F.expr("h div 2").alias("j")).agg(
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(
+            F.when(F.col("h") % 2 == 0, F.col("x")).otherwise(-F.col("x"))
+        ).cast("bigint").alias("d1"),
+    )
+    l1 = iter_materialize(l1)  # feeds l2 AND the sad1 rollup
+    l2 = l1.groupBy("day", F.expr("j div 2").alias("j2")).agg(
+        F.sum(
+            F.when(F.col("j") % 2 == 0, F.col("s1")).otherwise(-F.col("s1"))
+        ).cast("bigint").alias("d2"),
+    )
+    sad1 = l1.groupBy("day").agg(
+        F.sum(F.abs(F.col("d1"))).cast("bigint").alias("sad1")
+    )
+    sad2 = l2.groupBy("day").agg(
+        F.sum(F.abs(F.col("d2"))).cast("bigint").alias("sad2")
+    )
+    total = x.groupBy("day").agg(F.sum("x").cast("bigint").alias("total"))
+    return (
+        total.join(sad1, "day").join(sad2, "day")
+        .select("day", "total", "sad1", "sad2")
+    )
