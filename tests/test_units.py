@@ -1636,7 +1636,8 @@ def test_mm_stratified_sample_matches_pure_python(spark):
 
 def test_cli_index_writes_and_reloads(spark, capsys, tmp_path):
     """M19+ — the index subcommand: train, persist bucketed, reload,
-    print — for both artifact kinds."""
+    print — for all four artifact kinds (quantizer, minhash, IVF,
+    PQ)."""
     import json as _json
 
     from tropology_spark import cli
@@ -1658,9 +1659,29 @@ def test_cli_index_writes_and_reloads(spark, capsys, tmp_path):
         out = capsys.readouterr().out.strip().splitlines()
         assert rc == 0 and len(out) == 2
         assert set(_json.loads(out[0])) == {"vec_id", "cell"}
+
+        rc = cli.main([
+            "index", "ivf", "cli_ivf_idx",
+            "--sf-dir", SF_UNIT, "--path", str(tmp_path / "ivf"), "--limit", "2",
+        ])
+        out = capsys.readouterr().out.strip().splitlines()
+        assert rc == 0 and len(out) == 2
+        assert set(_json.loads(out[0])) == {"vec_id", "cell", "emb", "nv"}
+
+        rc = cli.main([
+            "index", "pq", "cli_pq_idx",
+            "--sf-dir", SF_UNIT, "--path", str(tmp_path / "pq"), "--limit", "2",
+        ])
+        out = capsys.readouterr().out.strip().splitlines()
+        assert rc == 0 and len(out) == 2
+        assert set(_json.loads(out[0])) == {"vec_id", "s", "code"}
     finally:
         spark.sql("DROP TABLE IF EXISTS cli_mh_idx")
         spark.sql("DROP TABLE IF EXISTS cli_q_idx")
+        spark.sql("DROP TABLE IF EXISTS cli_ivf_idx")
+        spark.sql("DROP TABLE IF EXISTS cli_ivf_idx_centroids")
+        spark.sql("DROP TABLE IF EXISTS cli_pq_idx")
+        spark.sql("DROP TABLE IF EXISTS cli_pq_idx_codebook")
 
 
 def test_xml_roundtrip_and_corrupt_capture(spark, tmp_path):
