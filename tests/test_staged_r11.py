@@ -1,0 +1,422 @@
+"""Driver-replica parity for the STAGED round-11 operators
+(tropology_spark/operators/staged_r11.py) — the full compare the
+registry queries get, run over the staged (fn, oracle) pairs at both
+verification scales, plus independent Python twins for the
+formula-risk ops and the partitioning-invariance probe.  Activation in
+round 11 is then a mechanical move-and-register.
+
+The staged module must never be imported by package __init__ (registry
+order is externally significant); importing it here is safe because it
+registers nothing.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE, SF_UNIT, make_duckdb
+from tropology_spark.operators.staged_r11 import STAGED
+
+
+def test_staged_module_registers_nothing():
+    from tropology_spark import QUERIES
+
+    assert not (set(STAGED) & set(QUERIES))
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_parity_both_scales(spark, name):
+    from tests.parity import compare
+
+    fn, oracle = STAGED[name]
+    for sf in (SF_UNIT, SF_ORACLE):
+        con = make_duckdb(sf)
+        try:
+            compare(name, spark, con, fn, oracle, sf)
+        finally:
+            con.close()
+
+
+def test_staged_partitioning_invariance(spark):
+    """The activation-time lockstep requires partitioning invariance;
+    pin it NOW for every staged op (three shuffle-partition settings
+    must produce identical value sets)."""
+    from tests.parity import canon_rows, spark_result
+    from tropology_spark.sources.tables import clear_session_caches
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {n: set() for n in STAGED}
+        for parts in ("5", "13", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            clear_session_caches()
+            for n, (fn, _) in STAGED.items():
+                cols, rows = spark_result(fn(spark, SF_UNIT))
+                results[n].add(tuple(canon_rows(cols, rows)))
+        for n, seen in results.items():
+            assert len(seen) == 1, f"staged {n} varies with shuffle partitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+        clear_session_caches()
+
+
+def test_staged_no_new_plan_antipatterns(spark):
+    """Pre-activation plan sweep: no CartesianProduct, no row-Python
+    UDF anywhere in the staged plans; BroadcastNestedLoopJoin only at
+    the two noted scalar attaches (sim_bq_hamming_topk's 1-row query
+    broadcast, dedup_threshold_curve's 3-row threshold cross) — the
+    names to add to BNLJ_ALLOWED at activation."""
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    bnlj_expected = {"sim_bq_hamming_topk", "dedup_threshold_curve"}
+    bad = {}
+    for name, (fn, _) in STAGED.items():
+        s = fn(spark, SF_UNIT)._jdf.queryExecution().explainString(mode)
+        if "CartesianProduct" in s:
+            bad[name] = "CartesianProduct"
+        if "BatchEvalPython" in s:
+            bad[name] = "row-Python UDF"
+        if "BroadcastNestedLoopJoin" in s and name not in bnlj_expected:
+            bad[name] = "unexpected BNLJ"
+    assert not bad, bad
+
+
+def test_staged_quota_matches_pure_python(spark):
+    """pipeline_quota_sample — largest-remainder allocation recomputed
+    with Counter arithmetic; also pins the Hare guarantee Σ quota = N."""
+    from collections import Counter
+
+    import duckdb
+
+    fn, _ = STAGED["pipeline_quota_sample"]
+    rows = duckdb.sql(
+        f"SELECT source FROM read_parquet('{SF_UNIT}/documents.parquet')"
+    ).fetchall()
+    n_s = Counter(s for (s,) in rows)
+    total = sum(n_s.values())
+    base = {s: (1000 * n) // total for s, n in n_s.items()}
+    rem = {s: (1000 * n) % total for s, n in n_s.items()}
+    seats = 1000 - sum(base.values())
+    ranked = sorted(n_s, key=lambda s: (-rem[s], s))
+    extra = {s: 1 if i < seats else 0 for i, s in enumerate(ranked)}
+    want = {
+        s: (n_s[s], base[s], rem[s], extra[s], base[s] + extra[s]) for s in n_s
+    }
+    got = {
+        r["source"]: (r["n_docs"], r["base_quota"], r["rem"], r["extra"], r["quota"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+    assert sum(q for *_, q in got.values()) == 1000
+
+
+def test_staged_ols_matches_pure_python(spark):
+    """analytics_ols_terms — co-moment terms with arbitrary-precision
+    Python ints (independent check of the DECIMAL/HUGEINT carriers)."""
+    from collections import defaultdict
+
+    import duckdb
+
+    fn, _ = STAGED["analytics_ols_terms"]
+    rows = duckdb.sql(
+        f"""SELECT p.p_brand, CAST(l.l_quantity AS BIGINT),
+                   CAST(round(l.l_extendedprice * 100) AS BIGINT)
+            FROM read_parquet('{SF_UNIT}/lineitem.parquet') l
+            JOIN read_parquet('{SF_UNIT}/part.parquet') p
+              ON l.l_partkey = p.p_partkey"""
+    ).fetchall()
+    acc = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for b, x, y in rows:
+        a = acc[b]
+        a[0] += 1
+        a[1] += x
+        a[2] += y
+        a[3] += x * y
+        a[4] += x * x
+    want = {
+        b: (n, sx, sy, sxy, sxx, n * sxy - sx * sy, n * sxx - sx * sx)
+        for b, (n, sx, sy, sxy, sxx) in acc.items()
+    }
+    got = {
+        r["brand"]: (
+            r["n"], r["sx"], r["sy"], r["sxy"], r["sxx"],
+            r["slope_num"], r["slope_den"],
+        )
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_staged_bq_matches_numpy(spark):
+    """sim_bq_hamming_topk — sign-bit packing, Hamming candidates and
+    cosine rerank recomputed with NumPy/plain ints."""
+    import duckdb
+    import numpy as np
+
+    fn, _ = STAGED["sim_bq_hamming_topk"]
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF_UNIT}/embeddings.parquet')"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    sig = {}
+    for j, vid in enumerate(ids):
+        h0 = sum(1 << i for i in range(32) if m[j, i] >= 0)
+        h1 = sum(1 << i for i in range(32) if m[j, 32 + i] >= 0)
+        sig[vid] = (h0, h1)
+    qi = ids.index(0)
+    q0, q1 = sig[0]
+    hd = {
+        vid: bin((h0 ^ q0)).count("1") + bin((h1 ^ q1)).count("1")
+        for vid, (h0, h1) in sig.items()
+        if vid != 0
+    }
+    cand = sorted(hd, key=lambda v: (hd[v], v))[:50]
+    q = m[qi]
+    want = []
+    for vid in cand:
+        j = ids.index(vid)
+        cos = round(
+            float(m[j] @ q / (np.linalg.norm(m[j]) * np.linalg.norm(q))), 6
+        )
+        want.append((vid, hd[vid], cos))
+    want = sorted(want, key=lambda t: (-t[2], t[0]))[:10]
+    got = [
+        (r["vec_id"], r["hamming"], r["cosine"])
+        for r in fn(spark, SF_UNIT).collect()
+    ]
+    assert sorted(got, key=lambda t: (-t[2], t[0])) == want
+
+
+def test_staged_cv_folds_matches_pure_python(spark):
+    """pipeline_rolling_cv_folds — expanding-window counts from a day
+    Counter; also pins the expanding-window property."""
+    from collections import Counter
+
+    import duckdb
+
+    fn, _ = STAGED["pipeline_rolling_cv_folds"]
+    days = [
+        d
+        for (d,) in duckdb.sql(
+            f"""SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                FROM read_parquet('{SF_UNIT}/events.parquet')"""
+        ).fetchall()
+    ]
+    cnt = Counter(days)
+    d0 = min(cnt)
+    want = {}
+    for f in (1, 2, 3):
+        cut = d0 + 7 * f
+        n_train = sum(n for d, n in cnt.items() if d < cut)
+        n_val = sum(n for d, n in cnt.items() if cut <= d < cut + 7)
+        want[f] = (cut - 1, n_train, n_val)
+    got = {
+        r["fold"]: (r["train_end_day"], r["n_train"], r["n_val"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+    assert got[1][1] + got[1][2] <= got[2][1]  # expanding window
+    assert got[2][1] + got[2][2] <= got[3][1]
+
+
+def test_staged_wmedian_matches_pure_python(spark):
+    """agg_weighted_median — lower weighted median from a sorted
+    cumulative scan."""
+    from collections import defaultdict
+
+    import duckdb
+
+    fn, _ = STAGED["agg_weighted_median"]
+    rows = duckdb.sql(
+        f"""SELECT o.o_orderpriority, CAST(round(o.o_totalprice * 100) AS BIGINT),
+                   CAST(count(*) AS BIGINT)
+            FROM read_parquet('{SF_UNIT}/orders.parquet') o
+            JOIN read_parquet('{SF_UNIT}/lineitem.parquet') l
+              ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2, o.o_orderkey"""
+    ).fetchall()
+    by_p = defaultdict(lambda: defaultdict(int))
+    for p, cents, w in rows:
+        by_p[p][cents] += w
+    want = {}
+    for p, vals in by_p.items():
+        wt = sum(vals.values())
+        cum = 0
+        for cents in sorted(vals):
+            cum += vals[cents]
+            if 2 * cum >= wt:
+                want[p] = (wt, cents)
+                break
+    got = {
+        r["priority"]: (r["w_total"], r["wmedian_cents"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_staged_winnowing_matches_pure_python(spark):
+    """text_winnowing_fingerprints — window-min selection recomputed
+    with hashlib and plain list scans."""
+    import hashlib
+
+    import duckdb
+
+    fn, _ = STAGED["text_winnowing_fingerprints"]
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
+    ).fetchall()
+    want = {}
+    for did, t in texts:
+        toks = t.split(" ")
+        grams = [
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        ]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+        ]
+        n = len(hs)
+        if n < 4:
+            continue
+        sel = {min(hs[j : j + 4]) for j in range(n - 3)}
+        want[did] = (n, len(sel), (1_000_000 * len(sel)) // n)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_selected"], r["density_ppm"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_staged_cdc_matches_pure_python(spark):
+    """mm_cdc_chunking — rolling-hash boundaries recomputed with
+    hashlib over the hex encoding."""
+    import hashlib
+
+    import duckdb
+
+    fn, _ = STAGED["mm_cdc_chunking"]
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
+    ).fetchall()
+    want = {}
+    for did, t in texts:
+        raw = t.encode("utf-8")
+        hs = raw.hex().upper()
+        nb = len(raw)
+        n_windows = max(min(nb - 7, 4096), 0)
+        n_bound = 0
+        for p in range(1, n_windows + 1):
+            win = hs[2 * p - 2 : 2 * p - 2 + 16]
+            h = int(hashlib.md5(win.encode()).hexdigest()[:4], 16)
+            if h % 64 == 0:
+                n_bound += 1
+        chunks = n_bound + 1
+        want[did] = (nb, n_windows, n_bound, chunks, (100 * nb) // chunks)
+    got = {
+        r["doc_id"]: (
+            r["n_bytes"], r["n_windows"], r["n_bound"], r["n_chunks"],
+            r["avg_chunk_x100"],
+        )
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_staged_cluster3_matches_pure_python(spark):
+    """dedup_cluster3 — 3-round min-label propagation recomputed with
+    dicts over the SAME registered candidate pair set; also pins
+    consistency with dedup_minhash_lsh (every pair ends in one
+    cluster)."""
+    from collections import defaultdict
+
+    from tropology_spark import QUERIES
+
+    fn, _ = STAGED["dedup_cluster3"]
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_minhash_lsh"](spark, SF_UNIT).collect()
+    ]
+    docs = {
+        r["doc_id"]
+        for r in fn(spark, SF_UNIT).select("doc_id").collect()
+    }
+    nbr = defaultdict(set)
+    for a, b in pairs:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    lbl = {d: d for d in docs}
+    for _ in range(3):
+        lbl = {
+            d: min([lbl[d]] + [lbl[n] for n in nbr[d]]) for d in docs
+        }
+    got = {
+        r["doc_id"]: r["label3"] for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == lbl
+    for a, b in pairs:
+        assert got[a] == got[b], (a, b)  # candidate pairs co-cluster
+
+
+def test_staged_path_counts_matches_pure_python(spark):
+    """graph_path_counts3 — the A^h mat-vec recomputed with dict
+    arithmetic (exact integer path counts)."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    fn, _ = STAGED["graph_path_counts3"]
+    edges = duckdb.sql(
+        f"""SELECT DISTINCT o_custkey, l_partkey
+            FROM read_parquet('{SF_UNIT}/orders.parquet') o
+            JOIN read_parquet('{SF_UNIT}/lineitem.parquet') l
+              ON o.o_orderkey = l.l_orderkey"""
+    ).fetchall()
+    out_n = defaultdict(list)
+    in_n = defaultdict(list)
+    deg = Counter()
+    for s, d in edges:
+        out_n[s].append(d)
+        in_n[d].append(s)
+        deg[s] += 1
+    seeds = sorted(deg, key=lambda s: (-deg[s], s))[:3]
+    p1 = Counter()
+    for s in seeds:
+        for d in out_n[s]:
+            p1[d] += 1
+    p2 = Counter()
+    for node, n in p1.items():
+        for c in in_n[node]:
+            p2[c] += n
+    p3 = Counter()
+    for node, n in p2.items():
+        for d in out_n[node]:
+            p3[d] += n
+    want = (
+        {(1, k): v for k, v in p1.items()}
+        | {(2, k): v for k, v in p2.items()}
+        | {(3, k): v for k, v in p3.items()}
+    )
+    got = {
+        (r["hop"], r["node"]): r["n_paths"]
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_staged_threshold_curve_consistent_with_registered_pairs(spark):
+    """dedup_threshold_curve — composed audit: the lowest threshold
+    (0.4 = the registered M2 cutoff) must count EXACTLY the registered
+    dedup_embedding_cosine pair set, and the curve must be
+    monotonically non-increasing in the threshold."""
+    from tropology_spark import QUERIES
+
+    fn, _ = STAGED["dedup_threshold_curve"]
+    n_pairs = QUERIES["dedup_embedding_cosine"](spark, SF_UNIT).count()
+    got = {
+        r["t_ppm"]: (r["n_pairs"], r["n_docs"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got[400000][0] == n_pairs
+    assert got[400000][0] >= got[600000][0] >= got[800000][0]
+    assert got[400000][1] >= got[600000][1] >= got[800000][1]

@@ -1,0 +1,979 @@
+"""STAGED round-11 operators — implemented and parity-tested, NOT yet
+registered (the round-8/round-9 staging pattern, third application).
+
+The round-10 driver window is exactly budgeted (_R10_NEW +
+_R10_STALE_R03 + _R10_STALE_R04 — see ``tropology_spark/
+__init__.py``), and the window test requires every never-sampled query
+to sit INSIDE the first 50, so new registrations are blocked until
+round 11 re-budgets the window.  These ops live here with the SAME
+(fn, oracle) contract the registry uses; round 11 activates each by
+moving it into its home module with ``@register`` + the five-fold
+lockstep (CLAUDE.md).  Until then tests/test_staged_r11.py runs the
+full driver-replica comparison over ``STAGED`` at both verification
+scales, plus Python twins for the formula-bearing ops and a
+partitioning-invariance probe.
+
+This module is intentionally NOT imported from ``tropology_spark/
+__init__.py`` — importing it must never perturb registry order (guard
+test pins that it registers nothing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tropology_spark.sources.tables import load
+
+#: name -> (query_fn, oracle_sql); the registry contract, unregistered.
+STAGED: dict = {}
+
+
+def _stage(name: str, oracle: str):
+    def deco(fn):
+        STAGED[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# pipeline_quota_sample — largest-remainder (Hare) quota allocation
+# ---------------------------------------------------------------------------
+
+_QUOTA_BUDGET = 1000
+
+
+@_stage(
+    "pipeline_quota_sample",
+    oracle=f"""
+    WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM s),
+    q AS (SELECT source, n_docs,
+                 CAST(({_QUOTA_BUDGET} * n_docs) // total AS BIGINT) AS base_quota,
+                 CAST(({_QUOTA_BUDGET} * n_docs) % total AS BIGINT) AS rem
+          FROM s CROSS JOIN t),
+    k AS (SELECT CAST({_QUOTA_BUDGET} - sum(base_quota) AS BIGINT) AS seats
+          FROM q),
+    r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q)
+    SELECT source, n_docs, base_quota, rem,
+           CAST(CASE WHEN rk <= seats THEN 1 ELSE 0 END AS BIGINT) AS extra,
+           CAST(base_quota + CASE WHEN rk <= seats THEN 1 ELSE 0 END AS BIGINT)
+             AS quota
+    FROM r CROSS JOIN k
+    """,
+)
+def pipeline_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — LARGEST-REMAINDER (Hare) quota allocation: split
+    a fixed sample budget of {n} documents across sources proportional
+    to their counts — base = floor(N·n_s/T) per source, then the
+    leftover seats go to the largest fractional remainders (tie-break
+    by source name) — the apportionment rule every fixed-budget
+    eval-set / human-annotation draw uses, with the classic guarantee
+    Σ quota = N exactly (floor-only allocation under-fills; naive
+    rounding over- or under-fills).  All integer arithmetic: remainders
+    compare as exact integers because every source shares the
+    denominator T.
+
+    Scale: the corpus collapses to O(sources) rows in one map-side-
+    combinable pass; the total, the remainder rank, and the leftover
+    seat count all ride pmod-constant-key windows over the bounded
+    source axis — no scalar-attach join, no second corpus scan."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    w = Window.partitionBy(F.pmod(F.length("source"), F.lit(1)))
+    q = s.select(
+        "source",
+        "n_docs",
+        F.sum("n_docs").over(w).cast("bigint").alias("total"),
+    ).select(
+        "source",
+        "n_docs",
+        F.expr(f"({_QUOTA_BUDGET} * n_docs) div total")
+        .cast("bigint")
+        .alias("base_quota"),
+        (F.lit(_QUOTA_BUDGET) * F.col("n_docs") % F.col("total"))
+        .cast("bigint")
+        .alias("rem"),
+    )
+    wr = w.orderBy(F.desc("rem"), F.asc("source"))
+    r = q.select(
+        "source",
+        "n_docs",
+        "base_quota",
+        "rem",
+        F.row_number().over(wr).alias("rk"),
+        (F.lit(_QUOTA_BUDGET) - F.sum("base_quota").over(w))
+        .cast("bigint")
+        .alias("seats"),
+    )
+    extra = F.when(F.col("rk") <= F.col("seats"), 1).otherwise(0)
+    return r.select(
+        "source",
+        "n_docs",
+        "base_quota",
+        "rem",
+        extra.cast("bigint").alias("extra"),
+        (F.col("base_quota") + extra).cast("bigint").alias("quota"),
+    )
+
+
+pipeline_quota_sample.__doc__ = pipeline_quota_sample.__doc__.format(
+    n=_QUOTA_BUDGET
+)
+
+
+# ---------------------------------------------------------------------------
+# analytics_ols_terms — exact OLS slope terms (price elasticity shape)
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "analytics_ols_terms",
+    oracle="""
+    WITH xy AS (
+      SELECT p.p_brand AS brand,
+             CAST(l.l_quantity AS BIGINT) AS x,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    m AS (
+      SELECT brand,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM xy GROUP BY brand
+    )
+    SELECT brand, n, sx, sy, sxy, sxx,
+           CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                AS BIGINT) AS slope_num,
+           CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                AS BIGINT) AS slope_den
+    FROM m
+    """,
+)
+def analytics_ols_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — exact OLS REGRESSION-SLOPE terms per brand for
+    (quantity, line price): n, Σx, Σy, Σxy, Σx² plus the slope's
+    numerator n·Σxy − Σx·Σy and denominator n·Σx² − (Σx)² — the
+    price-elasticity regression every pricing dashboard fits, emitted
+    as the exact integer co-moment terms (the M144/M234 "terms"
+    discipline: the float division happens client-side; the hash gate
+    carries only integers).  The num/den products are computed in
+    DECIMAL(38,0)/HUGEINT (M192 wide-integer rule — at 100 TB
+    n·Σxy ~ 1e9·1e15 is far past BIGINT) with the final cast to BIGINT
+    safe at every fixture scale (≤ ~3e17 at sf0.1).
+
+    Scale: one lineitem pass with a broadcast part join collapses to
+    O(brands) rows; everything after is per-row arithmetic.  No
+    window, no second scan — slope sign analysis avoids the
+    negative-numerator integer-division trap entirely by never
+    dividing."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    m = (
+        li.join(F.broadcast(p), "l_partkey")
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        )
+    )
+    return m.select(
+        "brand", "n", "sx", "sy", "sxy", "sxx",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+        )
+        .cast("bigint")
+        .alias("slope_num"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+        )
+        .cast("bigint")
+        .alias("slope_den"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_rolling_cv_folds — rolling-origin time-series CV audit
+# ---------------------------------------------------------------------------
+
+_CV_FOLDS = 3
+_CV_STEP_DAYS = 7
+
+
+@_stage(
+    "pipeline_rolling_cv_folds",
+    oracle=f"""
+    WITH dc AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    d0 AS (SELECT CAST(min(day) AS BIGINT) AS d0 FROM dc),
+    f AS (SELECT unnest(generate_series(1, {_CV_FOLDS})) AS fold)
+    SELECT CAST(f.fold AS BIGINT) AS fold,
+           CAST(d0.d0 + {_CV_STEP_DAYS} * f.fold - 1 AS BIGINT) AS train_end_day,
+           CAST(coalesce(sum(CASE WHEN dc.day < d0.d0 + {_CV_STEP_DAYS} * f.fold
+                                  THEN dc.n END), 0) AS BIGINT) AS n_train,
+           CAST(coalesce(sum(CASE WHEN dc.day >= d0.d0 + {_CV_STEP_DAYS} * f.fold
+                                   AND dc.day < d0.d0 + {_CV_STEP_DAYS} * (f.fold + 1)
+                                  THEN dc.n END), 0) AS BIGINT) AS n_val
+    FROM f CROSS JOIN d0 CROSS JOIN dc
+    GROUP BY f.fold, d0.d0
+    """,
+)
+def pipeline_rolling_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — ROLLING-ORIGIN cross-validation folds over the
+    event stream: for fold f ∈ 1..{k}, train = everything before
+    origin + {s}·f days, validation = the next {s}-day window — the
+    only CV scheme that respects time's arrow (random K-fold leaks the
+    future into training; the M215 PIT-leakage audit's prevention
+    counterpart).  Per fold: the training cutoff day and exact
+    train/validation event counts; by construction train(f) ⊇
+    train(f−1) + val(f−1) — the expanding-window property a
+    forecasting eval harness asserts before trusting fold metrics.
+
+    Scale: events collapse to the bounded O(days) count table first;
+    the ×{k} fold explode rides that table, never the event stream;
+    the origin day is a pmod-constant-key window min over the same
+    bounded axis — one corpus pass total."""
+    e = load(spark, sf_dir, "events")
+    dc = e.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy(F.pmod(F.col("day"), F.lit(1)))
+    folds = F.explode(
+        F.expr(f"sequence(1L, {_CV_FOLDS}L)")
+    ).alias("fold")
+    x = dc.select(
+        "day", "n", F.min("day").over(w).cast("bigint").alias("d0")
+    ).select("day", "n", "d0", folds)
+    cut = F.col("d0") + _CV_STEP_DAYS * F.col("fold")
+    return (
+        x.groupBy("fold", "d0")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("day") < cut, F.col("n"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_train"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("day") >= cut)
+                        & (F.col("day") < cut + _CV_STEP_DAYS),
+                        F.col("n"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_val"),
+        )
+        .select(
+            F.col("fold").cast("bigint").alias("fold"),
+            (F.col("d0") + _CV_STEP_DAYS * F.col("fold") - 1)
+            .cast("bigint")
+            .alias("train_end_day"),
+            "n_train",
+            "n_val",
+        )
+    )
+
+
+pipeline_rolling_cv_folds.__doc__ = pipeline_rolling_cv_folds.__doc__.format(
+    k=_CV_FOLDS, s=_CV_STEP_DAYS
+)
+
+
+# ---------------------------------------------------------------------------
+# sim_bq_hamming_topk — binary-quantization retrieval (sign bits + Hamming)
+# ---------------------------------------------------------------------------
+
+_BQ_CAND = 50
+_BQ_K = 10
+
+
+def _bq_oracle() -> str:
+    from tropology_spark.operators.similarity import _EX_CTE, QUERY_VEC_ID
+
+    return (
+        _EX_CTE
+        + f"""
+    , sig AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN pos <= 32 AND val >= 0
+                           THEN (CAST(1 AS BIGINT) << CAST(pos - 1 AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS h0,
+             CAST(sum(CASE WHEN pos > 32 AND val >= 0
+                           THEN (CAST(1 AS BIGINT) << CAST(pos - 33 AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS h1
+      FROM ex GROUP BY vec_id
+    ),
+    q AS (SELECT h0 AS q0, h1 AS q1 FROM sig WHERE vec_id = {QUERY_VEC_ID}),
+    hd AS (
+      SELECT s.vec_id,
+             CAST(bit_count(xor(s.h0, q.q0))
+                  + bit_count(xor(s.h1, q.q1)) AS BIGINT) AS hamming
+      FROM sig s CROSS JOIN q
+      WHERE s.vec_id <> {QUERY_VEC_ID}
+    ),
+    cand AS (SELECT vec_id, hamming FROM (
+               SELECT *, row_number() OVER (ORDER BY hamming, vec_id) AS rb1
+               FROM hd) t WHERE rb1 <= {_BQ_CAND}),
+    qv AS (SELECT pos, val FROM ex WHERE vec_id = {QUERY_VEC_ID}),
+    d AS (SELECT e.vec_id, sum(e.val * qv.val) AS dp
+          FROM ex e JOIN qv ON e.pos = qv.pos
+          JOIN cand c ON c.vec_id = e.vec_id
+          GROUP BY e.vec_id)
+    SELECT d.vec_id, cand.hamming,
+           round(d.dp / (n1.nv * n2.nv), 6) AS cosine
+    FROM d JOIN cand ON d.vec_id = cand.vec_id
+    JOIN nrm n1 ON d.vec_id = n1.vec_id
+    JOIN nrm n2 ON n2.vec_id = {QUERY_VEC_ID}
+    ORDER BY cosine DESC, d.vec_id
+    LIMIT {_BQ_K}
+    """
+    )
+
+
+@_stage("sim_bq_hamming_topk", oracle=_bq_oracle())
+def sim_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — BINARY-QUANTIZATION retrieval: each 64-dim
+    vector collapses to its SIGN BITS packed into two BIGINTs (64
+    bits/vector — the 64x compression every vector store's BQ tier
+    ships), candidates come from Hamming distance (two XOR+popcount
+    ops — the cheapest distance computable), and the top {c} rerank
+    exactly by cosine, top {k} emitted — the third member of the
+    compressed-retrieval family (IVF cells M7, PQ codes M104, sign
+    bits here), and the only one whose scan distance is branch-free
+    integer ops.
+
+    Integer-exact end-to-end until the declared cosine rerank; the
+    Hamming scan carries only BIGINTs.  Scale: the signature table is
+    16 bytes/vector; the scan is corpus-linear with a 2-word working
+    set per row (at 100 TB: written bucketed, read columnar, SIMD
+    popcount in the JVM); the rerank touches {c} raw vectors by key —
+    point lookups, never a scan."""
+    from tropology_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        as_double,
+        dot,
+        norm,
+    )
+    from tropology_spark.session import iter_materialize
+
+    e = load(spark, sf_dir, "embeddings")
+    pack = (
+        "aggregate(zip_with(slice(embedding, {o}, 32), sequence(0, 31),"
+        " (v, i) -> IF(v >= 0, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"
+    )
+    sig = iter_materialize(
+        e.select(
+            "vec_id",
+            F.expr(pack.format(o=1)).cast("bigint").alias("h0"),
+            F.expr(pack.format(o=33)).cast("bigint").alias("h1"),
+            as_double(F.col("embedding")).alias("emb"),
+        ).withColumn("nv", norm(F.col("emb")))
+    )  # referenced by the query row AND the corpus scan
+    q = sig.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("h0").alias("q0"),
+        F.col("h1").alias("q1"),
+        F.col("emb").alias("qemb"),
+        F.col("nv").alias("nq"),
+    )
+    cand = (
+        sig.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.expr("CAST(bit_count(h0 ^ q0) + bit_count(h1 ^ q1) AS BIGINT)")
+            .alias("hamming"),
+            F.round(
+                dot(F.col("emb"), F.col("qemb")) / (F.col("nv") * F.col("nq")), 6
+            ).alias("cosine"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(_BQ_CAND)
+    )
+    return cand.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(_BQ_K).select(
+        "vec_id", "hamming", "cosine"
+    )
+
+
+sim_bq_hamming_topk.__doc__ = sim_bq_hamming_topk.__doc__.format(
+    c=_BQ_CAND, k=_BQ_K
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup_threshold_curve — near-dup pair counts across cosine thresholds
+# ---------------------------------------------------------------------------
+
+_CURVE_T_PPM = (400000, 600000, 800000)
+
+
+def _threshold_curve_oracle() -> str:
+    from tropology_spark.registry import ORACLES
+
+    ts = ", ".join(str(t) for t in _CURVE_T_PPM)
+    return f"""
+    WITH pairs AS ({ORACLES['dedup_embedding_cosine']}),
+    ts AS (SELECT unnest([{ts}]) AS t_ppm),
+    pe AS (SELECT ts.t_ppm, p.vec_a, p.vec_b
+           FROM pairs p JOIN ts ON round(p.cosine * 1000000) >= ts.t_ppm),
+    np AS (SELECT t_ppm, CAST(count(*) AS BIGINT) AS n_pairs
+           FROM pe GROUP BY t_ppm),
+    du AS (SELECT t_ppm, vec_a AS d FROM pe
+           UNION SELECT t_ppm, vec_b FROM pe),
+    nd AS (SELECT t_ppm, CAST(count(*) AS BIGINT) AS n_docs
+           FROM du GROUP BY t_ppm)
+    SELECT CAST(ts.t_ppm AS BIGINT) AS t_ppm,
+           CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+    FROM ts LEFT JOIN np ON ts.t_ppm = np.t_ppm
+            LEFT JOIN nd ON ts.t_ppm = nd.t_ppm
+    """
+
+
+@_stage("dedup_threshold_curve", oracle=_threshold_curve_oracle())
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — the NEAR-DUP THRESHOLD CURVE: pair and
+    affected-document counts at cosine ≥ 0.4/0.6/0.8 over the
+    quantizer-cell-blocked pair set — the tuning audit every dedup
+    rollout runs before picking its cutoff (too low deletes distinct
+    content; too high ships duplicates; this table IS that tradeoff).
+    Thresholds compare as exact integers (round(cosine·10⁶) vs ppm).
+    All three threshold rows are always emitted (LEFT joins from the
+    threshold axis).
+
+    Composed, not copied: the oracle wraps ORACLES
+    ['dedup_embedding_cosine'] verbatim and the Spark side runs the
+    registered M2 query (the _J2_ORACLE rule); the pair set reuses the
+    session-shared quantizer blocking, so the curve costs one pair
+    pass + bounded rollups."""
+    from tropology_spark.registry import QUERIES
+    from tropology_spark.session import iter_materialize
+
+    pairs = QUERIES["dedup_embedding_cosine"](spark, sf_dir)
+    ts = spark.createDataFrame([(t,) for t in _CURVE_T_PPM], "t_ppm long")
+    pe = iter_materialize(
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            F.round(F.col("cosine") * 1000000).cast("bigint").alias("c_ppm"),
+        )
+        .crossJoin(F.broadcast(ts))
+        .filter(F.col("c_ppm") >= F.col("t_ppm"))
+        .select("t_ppm", "vec_a", "vec_b")
+    )  # referenced by the pair rollup AND the doc-union rollup
+    np_ = pe.groupBy("t_ppm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    du = (
+        pe.select("t_ppm", F.col("vec_a").alias("d"))
+        .union(pe.select("t_ppm", F.col("vec_b").alias("d")))
+        .distinct()
+    )
+    nd = du.groupBy("t_ppm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return (
+        ts.join(np_, "t_ppm", "left")
+        .join(nd, "t_ppm", "left")
+        .select(
+            F.col("t_ppm").cast("bigint").alias("t_ppm"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_weighted_median — exact lower weighted median (integer compare only)
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "agg_weighted_median",
+    oracle="""
+    WITH ow AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS w
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2, o.o_orderkey
+    ),
+    v AS (SELECT priority, cents, CAST(sum(w) AS BIGINT) AS w
+          FROM ow GROUP BY 1, 2),
+    c AS (SELECT priority, cents, w,
+                 CAST(sum(w) OVER (PARTITION BY priority ORDER BY cents)
+                      AS BIGINT) AS cw,
+                 CAST(sum(w) OVER (PARTITION BY priority) AS BIGINT) AS wt
+          FROM v)
+    SELECT priority, w_total, wmedian_cents FROM (
+      SELECT priority, wt AS w_total, cents AS wmedian_cents,
+             row_number() OVER (PARTITION BY priority ORDER BY cents) AS rm1
+      FROM c WHERE 2 * cw >= wt) t
+    WHERE rm1 = 1
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — exact LOWER WEIGHTED MEDIAN of order price per
+    priority, weighted by the order's line-item count: the smallest
+    cents value whose cumulative weight reaches half the total
+    (2·cumw ≥ W — integer compare only, no halving, no midpoint, so
+    the result is always an OBSERVED value and crosses the engine
+    hash gate with zero float carriers; the med2x doubling trick is
+    unnecessary because the lower-median definition never averages).
+    The weighted complement of M59's unweighted median — "the price
+    of the median SHIPPED LINE, not the median order".
+
+    Scale: orders collapse to the per-(priority, cents) weight table
+    (two map-side-combinable rollups); the cumulative runs per
+    priority — a real partition key, no constant-key window; the
+    winner is one rank filter."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    ow = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("priority", "cents", "o_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    v = ow.groupBy("priority", "cents").agg(
+        F.sum("w").cast("bigint").alias("w")
+    )
+    wp = Window.partitionBy("priority")
+    c = v.select(
+        "priority",
+        "cents",
+        "w",
+        F.sum("w")
+        .over(wp.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cw"),
+        F.sum("w").over(wp).cast("bigint").alias("wt"),
+    )
+    r = (
+        c.filter(2 * F.col("cw") >= F.col("wt"))
+        .withColumn("rm1", F.row_number().over(wp.orderBy("cents")))
+        .filter(F.col("rm1") == 1)
+    )
+    return r.select(
+        "priority",
+        F.col("wt").alias("w_total"),
+        F.col("cents").alias("wmedian_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_winnowing_fingerprints — MOSS winnowing selection density
+# ---------------------------------------------------------------------------
+
+_WIN_W = 4  # window of consecutive k-gram hashes
+
+
+@_stage(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, i,
+             ('0x' || substring(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]),
+                                1, 8))::BIGINT AS h,
+             len(l) - 2 AS n_grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           (SELECT unnest(generate_series(1, 4096)) AS i)
+      WHERE i <= len(l) - 2
+    ),
+    wm AS (
+      SELECT doc_id, n_grams, i,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_WIN_W - 1} FOLLOWING) AS mh
+      FROM g
+    ),
+    sel AS (SELECT DISTINCT doc_id, n_grams, mh
+            FROM wm WHERE i + {_WIN_W - 1} <= n_grams)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           CAST((1000000 * count(*)) // n_grams AS BIGINT) AS density_ppm
+    FROM sel GROUP BY doc_id, n_grams
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — WINNOWING fingerprint selection (the MOSS
+    algorithm): per document, the distinct trigram hashes that are the
+    minimum of some {w}-wide sliding window over the hash sequence —
+    the local-sampling guarantee that any shared run of ≥ k+w−1 tokens
+    between two documents shares at least one SELECTED fingerprint, at
+    ~2/(w+1) storage of the full shingle set.  M6's rolling-hash
+    fingerprint samples globally (mod-p); winnowing samples LOCALLY,
+    which is what makes it the plagiarism/overlap detector of record.
+    Emitted per doc: gram count, selected count, selection density ppm
+    (docs shorter than k+w−1 tokens have no full window and are
+    absent — both engines agree by construction).
+
+    Scale: one shingle explode; the window min runs per-document
+    (real partition key) over a frame of {w} rows; the DISTINCT
+    collapse and rollup are map-side combinable.  The window-min
+    MUST be computed before the full-window filter (filtering first
+    would remove the tail rows from the frame — the staging lesson
+    pinned in the oracle's subquery order)."""
+    from tropology_spark.operators.pipeline_ops import word_ngrams
+
+    d = load(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.posexplode(word_ngrams(F.split(F.col("text"), " "), 3)).alias(
+            "pos0", "gram"
+        ),
+        (F.size(F.split(F.col("text"), " ")) - 2).alias("n_grams"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        (F.col("pos0") + 1).alias("i"),
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(0, _WIN_W - 1)
+    )
+    wm = g.select(
+        "doc_id", "n_grams", "i", F.min("h").over(w).alias("mh")
+    )
+    sel = (
+        wm.filter(F.col("i") + (_WIN_W - 1) <= F.col("n_grams"))
+        .select("doc_id", "n_grams", "mh")
+        .distinct()
+    )
+    return sel.groupBy("doc_id", "n_grams").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+        F.expr("(1000000 * count(1)) div n_grams")
+        .cast("bigint")
+        .alias("density_ppm"),
+    ).select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        "n_selected",
+        "density_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm_cdc_chunking — content-defined chunk boundaries (rolling-hash CDC)
+# ---------------------------------------------------------------------------
+
+_CDC_WIN_BYTES = 8
+_CDC_MOD = 64
+
+
+@_stage(
+    "mm_cdc_chunking",
+    oracle=f"""
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS hs,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    b AS (
+      SELECT hx.doc_id,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(CASE WHEN
+                    ('0x' || substring(md5(substring(hs, 2 * p - 1,
+                                                     {2 * _CDC_WIN_BYTES})),
+                                       1, 4))::BIGINT % {_CDC_MOD} = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_bound
+      FROM hx, (SELECT unnest(generate_series(1, 4096)) AS p)
+      WHERE p <= n_bytes - {_CDC_WIN_BYTES - 1}
+      GROUP BY hx.doc_id
+    )
+    SELECT hx.doc_id, n_bytes,
+           CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(n_bound, 0) AS BIGINT) AS n_bound,
+           CAST(coalesce(n_bound, 0) + 1 AS BIGINT) AS n_chunks,
+           CAST((100 * n_bytes) // (coalesce(n_bound, 0) + 1) AS BIGINT)
+             AS avg_chunk_x100
+    FROM hx LEFT JOIN b ON hx.doc_id = b.doc_id
+    """,
+)
+def mm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — CONTENT-DEFINED CHUNKING boundaries: a chunk
+    boundary wherever the rolling {w}-byte window's hash ≡ 0 mod {m}
+    (expected chunk ≈ {m} bytes) — the Rabin/FastCDC splitting rule
+    every dedup store (restic/borg/LBFS lineage) uses instead of
+    M185's fixed grid, because insertions shift fixed-grid chunk
+    contents globally but re-align content-defined boundaries within
+    one window.  Per asset: window count, boundary count, chunk count
+    and average chunk size ×100 (exact integer div).  The window hash
+    follows the established discipline: md5 of the HEX encoding at
+    doubled offsets (byte-aligned; DuckDB md5 is VARCHAR-only —
+    mm_chunk_manifest's rule), low-16-bits mod {m}.  Assets shorter
+    than {w} bytes have zero windows and one chunk (LEFT JOIN keeps
+    them; the byte axis is enumerated at the 4096 cap).
+
+    Scale: the boundary test is per-position map-only work over the
+    payload scan — no shuffle until the per-asset rollup, which is
+    map-side combinable; payloads never shuffle (only (doc_id,
+    position-window) projections do)."""
+    d = load(spark, sf_dir, "documents")
+    hx = d.select(
+        "doc_id",
+        F.hex(F.encode(F.col("text"), "UTF-8")).alias("hs"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8"))
+        .cast("bigint")
+        .alias("n_bytes"),
+    )
+    pos = hx.select(
+        "doc_id",
+        "hs",
+        F.explode(
+            F.when(
+                F.col("n_bytes") >= _CDC_WIN_BYTES,
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.col("n_bytes") - (_CDC_WIN_BYTES - 1), F.lit(4096)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("p"),
+    )
+    bound = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.expr(
+                        f"substring(hs, CAST(2 * p - 1 AS INT),"
+                        f" {2 * _CDC_WIN_BYTES})"
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CDC_MOD
+        == 0,
+        1,
+    ).otherwise(0)
+    b = pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum(bound).cast("bigint").alias("n_bound"),
+    )
+    return (
+        hx.select("doc_id", "n_bytes")
+        .join(b, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bytes",
+            F.coalesce(F.col("n_windows"), F.lit(0))
+            .cast("bigint")
+            .alias("n_windows"),
+            F.coalesce(F.col("n_bound"), F.lit(0))
+            .cast("bigint")
+            .alias("n_bound"),
+            (F.coalesce(F.col("n_bound"), F.lit(0)) + 1)
+            .cast("bigint")
+            .alias("n_chunks"),
+            F.expr(
+                "(100 * n_bytes) div (coalesce(n_bound, 0) + 1)"
+            )
+            .cast("bigint")
+            .alias("avg_chunk_x100"),
+        )
+    )
+
+
+mm_cdc_chunking.__doc__ = mm_cdc_chunking.__doc__.format(
+    w=_CDC_WIN_BYTES, m=_CDC_MOD
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup_cluster3 — 3-round min-label clusters over the LSH candidate graph
+# ---------------------------------------------------------------------------
+
+
+def _cluster3_oracle() -> str:
+    from tropology_spark.operators.dedup import _minhash_bands_cte
+
+    step = """
+    l{n} AS (
+      SELECT l{p}.doc_id,
+             least(l{p}.lbl, coalesce(min(nb.lbl), l{p}.lbl)) AS lbl
+      FROM l{p} LEFT JOIN und ON und.u = l{p}.doc_id
+                LEFT JOIN l{p} nb ON nb.doc_id = und.v
+      GROUP BY l{p}.doc_id, l{p}.lbl
+    )"""
+    return (
+        _minhash_bands_cte()
+        + """
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id
+    ),
+    und AS (SELECT doc_a AS u, doc_b AS v FROM cand
+            UNION ALL SELECT doc_b, doc_a FROM cand),
+    l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),"""
+        + ",".join(step.format(n=n, p=n - 1) for n in (1, 2, 3))
+        + """
+    SELECT doc_id, CAST(lbl AS BIGINT) AS label3 FROM l3
+    """
+    )
+
+
+@_stage("dedup_cluster3", oracle=_cluster3_oracle())
+def dedup_cluster3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — near-dup CLUSTER ASSIGNMENT by 3-round min-label
+    propagation over the J3 MinHash-LSH candidate graph: every doc
+    starts as its own label; each round takes the min over itself and
+    its LSH neighbors — after 3 rounds every doc in a candidate
+    component of diameter ≤ 3 carries the component's minimum doc_id,
+    the cluster representative a dedup DROP stage keys on (J3 emits
+    PAIRS; production needs the transitive grouping — pairs (a,b),
+    (b,c) must drop against ONE keeper, not two).  The bounded-round
+    unroll is the M130/I8 discipline: exact in both engines, no
+    iterate-to-fixpoint in the oracle, and diameter > 3 components
+    (rare for near-dup graphs, which are dense cliques by
+    construction) converge in the registered CC operator (M8) —
+    documented stepping-stone semantics.
+
+    Composed, not copied: the oracle extends _minhash_bands_cte (the
+    J3/M211 single home) and the Spark side reads the session-shared
+    minhash_bands_materialized through minhash_candidate_pairs.
+    Scale: each round is one shuffle on the doc key; the label vector
+    is checkpointed per round (the DOUBLE-REFERENCE rule: round k
+    feeds round k+1 as both the self and the neighbor side)."""
+    from tropology_spark.operators.dedup import (
+        minhash_bands_materialized,
+        minhash_candidate_pairs,
+    )
+    from tropology_spark.session import iter_materialize
+
+    pairs = minhash_candidate_pairs(minhash_bands_materialized(spark, sf_dir))
+    und = iter_materialize(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+    )  # referenced by all three rounds
+    lab = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("doc_id").alias("lbl")
+    )
+    for _ in range(3):
+        nb = lab.select(F.col("doc_id").alias("v"), F.col("lbl").alias("nlbl"))
+        lab = iter_materialize(
+            lab.join(und, lab.doc_id == und.u, "left")
+            .join(nb, "v", "left")
+            .groupBy("doc_id", "lbl")
+            .agg(F.min("nlbl").alias("mnl"))
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("mnl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+    return lab.select("doc_id", F.col("lbl").cast("bigint").alias("label3"))
+
+
+# ---------------------------------------------------------------------------
+# graph_path_counts3 — exact path counts from a seed set (PPR numerator)
+# ---------------------------------------------------------------------------
+
+_PATH_SEEDS = 3
+
+
+@_stage(
+    "graph_path_counts3",
+    oracle=f"""
+    WITH edges AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    seeds AS (SELECT src FROM (
+                SELECT src, row_number() OVER (ORDER BY d DESC, src) AS rs1
+                FROM deg) t
+              WHERE rs1 <= {_PATH_SEEDS}),
+    p1 AS (SELECT e.dst AS node, CAST(count(*) AS BIGINT) AS n_paths
+           FROM edges e JOIN seeds s ON e.src = s.src GROUP BY e.dst),
+    p2 AS (SELECT e2.src AS node, CAST(sum(p1.n_paths) AS BIGINT) AS n_paths
+           FROM p1 JOIN edges e2 ON e2.dst = p1.node GROUP BY e2.src),
+    p3 AS (SELECT e3.dst AS node, CAST(sum(p2.n_paths) AS BIGINT) AS n_paths
+           FROM p2 JOIN edges e3 ON e3.src = p2.node GROUP BY e3.dst)
+    SELECT CAST(1 AS BIGINT) AS hop, node, n_paths FROM p1
+    UNION ALL SELECT CAST(2 AS BIGINT), node, n_paths FROM p2
+    UNION ALL SELECT CAST(3 AS BIGINT), node, n_paths FROM p3
+    """,
+)
+def graph_path_counts3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — exact PATH COUNTS from a deterministic seed set
+    (the {s} highest-out-degree works, degree-desc/key-asc tie-break):
+    per node, the number of distinct length-1/2/3 paths from any seed,
+    alternating work→trope→work→trope on the bipartite edge list —
+    the exact-integer numerator of personalized PageRank (PPR mass at
+    hop h = path counts weighted by damping^h / degree products; the
+    COUNTS cross the engine hash gate where the float masses never
+    would — I8's accepted-risk carrier avoided entirely).  Paths may
+    revisit nodes (pure path semantics, the standard A^h definition).
+
+    Scale: each hop is one equi-join against the shared edge view +
+    one map-side-combinable rollup — the A^h·x sparse mat-vec shape;
+    per-hop frontiers are checkpointed (each feeds the next hop AND
+    the output union).  Counts are BIGINT-exact: ≤ seeds·maxdeg³ ~
+    1e12 at 100 TB, far inside the carrier."""
+    from tropology_spark.sources.tables import edges_materialized
+    from tropology_spark.session import iter_materialize
+
+    e = edges_materialized(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    seeds = (
+        deg.orderBy(F.desc("d"), F.asc("src"))
+        .limit(_PATH_SEEDS)
+        .select("src")
+    )
+    p1 = iter_materialize(
+        e.join(F.broadcast(seeds), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+    )
+    e2 = e.select(F.col("src").alias("node2"), F.col("dst").alias("node"))
+    p2 = iter_materialize(
+        p1.join(e2, "node")
+        .groupBy(F.col("node2").alias("node"))
+        .agg(F.sum("n_paths").cast("bigint").alias("n_paths"))
+    )
+    e3 = e.select(F.col("src").alias("node"), F.col("dst").alias("node3"))
+    p3 = (
+        p2.join(e3, "node")
+        .groupBy(F.col("node3").alias("node"))
+        .agg(F.sum("n_paths").cast("bigint").alias("n_paths"))
+    )
+    hop = lambda n, df: df.select(  # noqa: E731
+        F.lit(n).cast("bigint").alias("hop"), "node", "n_paths"
+    )
+    return hop(1, p1).unionByName(hop(2, p2)).unionByName(hop(3, p3))
+
+
+graph_path_counts3.__doc__ = graph_path_counts3.__doc__.format(s=_PATH_SEEDS)
