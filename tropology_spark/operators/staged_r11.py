@@ -351,7 +351,9 @@ def _bq_oracle() -> str:
 
 
 @_stage("sim_bq_hamming_topk", oracle=_bq_oracle())
-def sim_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_bq_hamming_topk(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
     """Staged M-row — BINARY-QUANTIZATION retrieval: each 64-dim
     vector collapses to its SIGN BITS packed into two BIGINTs (64
     bits/vector — the 64x compression every vector store's BQ tier
@@ -367,7 +369,11 @@ def sim_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 bytes/vector; the scan is corpus-linear with a 2-word working
     set per row (at 100 TB: written bucketed, read columnar, SIMD
     popcount in the JVM); the rerank touches {c} raw vectors by key —
-    point lookups, never a scan."""
+    point lookups, never a scan.
+
+    ``e=`` substitutes the embeddings frame — (vec_id, embedding) —
+    for the weak-scaling probe (tools/scale_probes/bq_scale.py); the
+    driver contract never passes it."""
     from tropology_spark.operators.similarity import (
         QUERY_VEC_ID,
         as_double,
@@ -376,7 +382,7 @@ def sim_bq_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from tropology_spark.session import iter_materialize
 
-    e = load(spark, sf_dir, "embeddings")
+    e = e if e is not None else load(spark, sf_dir, "embeddings")
     pack = (
         "aggregate(zip_with(slice(embedding, {o}, 32), sequence(0, 31),"
         " (v, i) -> IF(v >= 0, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"
