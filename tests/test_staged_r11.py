@@ -420,3 +420,75 @@ def test_staged_threshold_curve_consistent_with_registered_pairs(spark):
     assert got[400000][0] == n_pairs
     assert got[400000][0] >= got[600000][0] >= got[800000][0]
     assert got[400000][1] >= got[600000][1] >= got[800000][1]
+
+
+# ---------------------------------------------------------------------------
+# Property tests over the EXACT staged code paths (frame injection)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_SMALL = dict(max_examples=8, deadline=None)
+
+
+@settings(**_SMALL)
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=500), min_size=1, max_size=12
+    )
+)
+def test_quota_sample_hare_invariants(spark, counts):
+    """pipeline_quota_sample on injected corpora: Σ quota = N exactly,
+    every source gets base or base+1 (the Hare quota property — never
+    off by more than one seat from its exact share), and the
+    allocation matches the pure-Python largest-remainder rule."""
+    fn, _ = STAGED["pipeline_quota_sample"]
+    rows = [(f"s{i:02d}",) for i, n in enumerate(counts) for _ in range(n)]
+    docs = spark.createDataFrame(rows, "source string")
+    got = {
+        r["source"]: (r["n_docs"], r["base_quota"], r["extra"], r["quota"])
+        for r in fn(spark, "unused", docs=docs).collect()
+    }
+    total = sum(counts)
+    base = {f"s{i:02d}": (1000 * n) // total for i, n in enumerate(counts)}
+    rem = {f"s{i:02d}": (1000 * n) % total for i, n in enumerate(counts)}
+    seats = 1000 - sum(base.values())
+    ranked = sorted(base, key=lambda s: (-rem[s], s))
+    want = {
+        s: (
+            counts[int(s[1:])],
+            base[s],
+            1 if i < seats else 0,
+            base[s] + (1 if i < seats else 0),
+        )
+        for i, s in enumerate(ranked)
+    }
+    assert got == want
+    assert sum(q for *_, q in got.values()) == 1000
+    for s, (_, b, e, q) in got.items():
+        assert q in (b, b + 1)
+
+
+@settings(**_SMALL)
+@given(
+    prefix_a=st.lists(st.sampled_from("abcde"), min_size=0, max_size=8),
+    prefix_b=st.lists(st.sampled_from("fghij"), min_size=0, max_size=8),
+    shared=st.lists(st.sampled_from("klmno"), min_size=6, max_size=10),
+)
+def test_winnowing_containment_guarantee(spark, prefix_a, prefix_b, shared):
+    """The winnowing GUARANTEE on the exact staged selection path: two
+    documents sharing a run of ≥ k+w−1 = 6 tokens contain at least one
+    identical full window of gram hashes, whose minimum BOTH documents
+    select — their fingerprint sets must intersect.  (Disjoint prefix
+    alphabets keep the shared run the only overlap.)"""
+    from tropology_spark.operators.staged_r11 import winnowing_selected
+
+    doc_a = " ".join([*prefix_a, *shared])
+    doc_b = " ".join([*prefix_b, *shared])
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id long, text string"
+    )
+    sel = winnowing_selected(spark, "unused", docs=docs).collect()
+    a = {r["mh"] for r in sel if r["doc_id"] == 1}
+    b = {r["mh"] for r in sel if r["doc_id"] == 2}
+    assert a & b, (doc_a, doc_b)

@@ -64,7 +64,9 @@ _QUOTA_BUDGET = 1000
     FROM r CROSS JOIN k
     """,
 )
-def pipeline_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_quota_sample(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Staged M-row — LARGEST-REMAINDER (Hare) quota allocation: split
     a fixed sample budget of {n} documents across sources proportional
     to their counts — base = floor(N·n_s/T) per source, then the
@@ -79,8 +81,12 @@ def pipeline_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the corpus collapses to O(sources) rows in one map-side-
     combinable pass; the total, the remainder rank, and the leftover
     seat count all ride pmod-constant-key windows over the bounded
-    source axis — no scalar-attach join, no second corpus scan."""
-    d = load(spark, sf_dir, "documents")
+    source axis — no scalar-attach join, no second corpus scan.
+
+    ``docs=`` substitutes the document frame — (source,) suffices —
+    for the Hare-invariant property test; the driver contract never
+    passes it."""
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
     s = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     w = Window.partitionBy(F.pmod(F.length("source"), F.lit(1)))
     q = s.select(
@@ -596,6 +602,45 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WIN_W = 4  # window of consecutive k-gram hashes
 
 
+def winnowing_selected(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """The winnowing SELECTION frame ``(doc_id, n_grams, mh)`` —
+    distinct trigram hashes that are the minimum of some full
+    {w}-window — the single home of the window-min arithmetic, shared
+    by the staged rollup and the containment-guarantee property test
+    (``docs=`` substitutes a (doc_id, text) frame).  The window min is
+    computed over ALL gram rows BEFORE the full-window filter — the
+    subquery-order rule the oracle pins."""
+    from tropology_spark.operators.pipeline_ops import word_ngrams
+
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.posexplode(word_ngrams(F.split(F.col("text"), " "), 3)).alias(
+            "pos0", "gram"
+        ),
+        (F.size(F.split(F.col("text"), " ")) - 2).alias("n_grams"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        (F.col("pos0") + 1).alias("i"),
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, _WIN_W - 1)
+    wm = g.select("doc_id", "n_grams", "i", F.min("h").over(w).alias("mh"))
+    return (
+        wm.filter(F.col("i") + (_WIN_W - 1) <= F.col("n_grams"))
+        .select("doc_id", "n_grams", "mh")
+        .distinct()
+    )
+
+
+winnowing_selected.__doc__ = winnowing_selected.__doc__.format(w=_WIN_W)
+
+
 @_stage(
     "text_winnowing_fingerprints",
     oracle=f"""
@@ -642,36 +687,7 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     MUST be computed before the full-window filter (filtering first
     would remove the tail rows from the frame — the staging lesson
     pinned in the oracle's subquery order)."""
-    from tropology_spark.operators.pipeline_ops import word_ngrams
-
-    d = load(spark, sf_dir, "documents")
-    g = d.select(
-        "doc_id",
-        F.posexplode(word_ngrams(F.split(F.col("text"), " "), 3)).alias(
-            "pos0", "gram"
-        ),
-        (F.size(F.split(F.col("text"), " ")) - 2).alias("n_grams"),
-    ).select(
-        "doc_id",
-        "n_grams",
-        (F.col("pos0") + 1).alias("i"),
-        F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
-        .cast("bigint")
-        .alias("h"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(0, _WIN_W - 1)
-    )
-    wm = g.select(
-        "doc_id", "n_grams", "i", F.min("h").over(w).alias("mh")
-    )
-    sel = (
-        wm.filter(F.col("i") + (_WIN_W - 1) <= F.col("n_grams"))
-        .select("doc_id", "n_grams", "mh")
-        .distinct()
-    )
+    sel = winnowing_selected(spark, sf_dir)
     return sel.groupBy("doc_id", "n_grams").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_selected"),
         F.expr("(1000000 * count(1)) div n_grams")
