@@ -492,3 +492,31 @@ def test_winnowing_containment_guarantee(spark, prefix_a, prefix_b, shared):
     a = {r["mh"] for r in sel if r["doc_id"] == 1}
     b = {r["mh"] for r in sel if r["doc_id"] == 2}
     assert a & b, (doc_a, doc_b)
+
+
+@settings(**_SMALL)
+@given(
+    body=st.text(alphabet="abcdefgh ", min_size=20, max_size=120),
+    prefix=st.text(alphabet="pqrstuvw", min_size=9, max_size=20),
+)
+def test_cdc_boundaries_shift_resistant(spark, body, prefix):
+    """The defining CDC property, on the exact staged window-hash
+    path: prefixing an asset shifts every boundary UNIFORMLY — the
+    boundary set over the shared suffix is preserved (every window
+    fully inside the original content hashes identically at its
+    shifted position) — where M185's fixed grid would recut every
+    chunk.  Windows overlapping the splice point (< {w} bytes into
+    the body) are the only ones allowed to differ."""
+    from tropology_spark.operators.staged_r11 import (
+        _CDC_WIN_BYTES,
+        cdc_boundary_positions,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, body), (2, prefix + body)], "doc_id long, text string"
+    )
+    rows = cdc_boundary_positions(spark, "unused", docs=docs).collect()
+    b1 = {r["p"] for r in rows if r["doc_id"] == 1 and r["bound"] == 1}
+    b2 = {r["p"] for r in rows if r["doc_id"] == 2 and r["bound"] == 1}
+    shift = len(prefix.encode("utf-8"))
+    assert {p - shift for p in b2 if p > shift} == b1, (body, prefix)

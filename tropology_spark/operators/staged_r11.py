@@ -709,6 +709,62 @@ _CDC_WIN_BYTES = 8
 _CDC_MOD = 64
 
 
+def cdc_boundary_positions(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """The CDC boundary-position frame ``(doc_id, n_bytes, p, bound)``
+    — one row per rolling-window start byte, bound = 1 where the
+    window hash declares a chunk boundary — the single home of the
+    window-hash arithmetic, shared by the staged rollup and the
+    shift-resistance property test (``docs=`` substitutes a (doc_id,
+    text) frame)."""
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    hx = d.select(
+        "doc_id",
+        F.hex(F.encode(F.col("text"), "UTF-8")).alias("hs"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8"))
+        .cast("bigint")
+        .alias("n_bytes"),
+    )
+    pos = hx.select(
+        "doc_id",
+        "n_bytes",
+        "hs",
+        F.explode(
+            F.when(
+                F.col("n_bytes") >= _CDC_WIN_BYTES,
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.col("n_bytes") - (_CDC_WIN_BYTES - 1), F.lit(4096)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("p"),
+    )
+    bound = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.expr(
+                        f"substring(hs, CAST(2 * p - 1 AS INT),"
+                        f" {2 * _CDC_WIN_BYTES})"
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CDC_MOD
+        == 0,
+        1,
+    ).otherwise(0)
+    return pos.select("doc_id", "n_bytes", "p", bound.alias("bound"))
+
+
+
 @_stage(
     "mm_cdc_chunking",
     oracle=f"""
@@ -758,54 +814,22 @@ def mm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combinable; payloads never shuffle (only (doc_id,
     position-window) projections do)."""
     d = load(spark, sf_dir, "documents")
-    hx = d.select(
+    sizes = d.select(
         "doc_id",
-        F.hex(F.encode(F.col("text"), "UTF-8")).alias("hs"),
         F.octet_length(F.encode(F.col("text"), "UTF-8"))
         .cast("bigint")
         .alias("n_bytes"),
     )
-    pos = hx.select(
-        "doc_id",
-        "hs",
-        F.explode(
-            F.when(
-                F.col("n_bytes") >= _CDC_WIN_BYTES,
-                F.sequence(
-                    F.lit(1),
-                    F.least(
-                        F.col("n_bytes") - (_CDC_WIN_BYTES - 1), F.lit(4096)
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<bigint>"))
-        ).alias("p"),
-    )
-    bound = F.when(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.expr(
-                        f"substring(hs, CAST(2 * p - 1 AS INT),"
-                        f" {2 * _CDC_WIN_BYTES})"
-                    )
-                ),
-                1,
-                4,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % _CDC_MOD
-        == 0,
-        1,
-    ).otherwise(0)
-    b = pos.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
-        F.sum(bound).cast("bigint").alias("n_bound"),
+    b = (
+        cdc_boundary_positions(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum("bound").cast("bigint").alias("n_bound"),
+        )
     )
     return (
-        hx.select("doc_id", "n_bytes")
-        .join(b, "doc_id", "left")
+        sizes.join(b, "doc_id", "left")
         .select(
             "doc_id",
             "n_bytes",
