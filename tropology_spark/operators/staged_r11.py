@@ -892,7 +892,9 @@ def _cluster3_oracle() -> str:
 
 
 @_stage("dedup_cluster3", oracle=_cluster3_oracle())
-def dedup_cluster3(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_cluster3(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Staged M-row — near-dup CLUSTER ASSIGNMENT by 3-round min-label
     propagation over the J3 MinHash-LSH candidate graph: every doc
     starts as its own label; each round takes the min over itself and
@@ -912,22 +914,32 @@ def dedup_cluster3(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_bands_materialized through minhash_candidate_pairs.
     Scale: each round is one shuffle on the doc key; the label vector
     is checkpointed per round (the DOUBLE-REFERENCE rule: round k
-    feeds round k+1 as both the self and the neighbor side)."""
+    feeds round k+1 as both the self and the neighbor side).
+
+    ``docs=`` substitutes the document frame — (doc_id, text) — for
+    the weak-scaling probe (tools/scale_probes/cluster3_scale.py, via
+    minhash_bands_frame); the driver contract never passes it."""
     from tropology_spark.operators.dedup import (
+        minhash_bands_frame,
         minhash_bands_materialized,
         minhash_candidate_pairs,
     )
     from tropology_spark.session import iter_materialize
 
-    pairs = minhash_candidate_pairs(minhash_bands_materialized(spark, sf_dir))
+    bands = (
+        minhash_bands_frame(spark, sf_dir, docs=docs)
+        if docs is not None
+        else minhash_bands_materialized(spark, sf_dir)
+    )
+    pairs = minhash_candidate_pairs(bands)
     und = iter_materialize(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
             pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
         )
     )  # referenced by all three rounds
-    lab = load(spark, sf_dir, "documents").select(
-        "doc_id", F.col("doc_id").alias("lbl")
-    )
+    lab = (
+        docs if docs is not None else load(spark, sf_dir, "documents")
+    ).select("doc_id", F.col("doc_id").alias("lbl"))
     for _ in range(3):
         nb = lab.select(F.col("doc_id").alias("v"), F.col("lbl").alias("nlbl"))
         lab = iter_materialize(
