@@ -63,13 +63,16 @@ def test_staged_partitioning_invariance(spark):
 def test_staged_no_new_plan_antipatterns(spark):
     """Pre-activation plan sweep: no CartesianProduct, no row-Python
     UDF anywhere in the staged plans; BroadcastNestedLoopJoin only at
-    the two noted scalar attaches (sim_bq_hamming_topk's 1-row query
-    broadcast, dedup_threshold_curve's 3-row threshold cross) — the
+    the three noted scalar attaches (sim_bq_hamming_topk's 1-row query
+    broadcast, dedup_threshold_curve's 3-row threshold cross,
+    sim_ivf_probe_curve's inherited ivf_topk query attach) — the
     names to add to BNLJ_ALLOWED at activation."""
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "simple"
     )
-    bnlj_expected = {"sim_bq_hamming_topk", "dedup_threshold_curve"}
+    bnlj_expected = {
+        "sim_bq_hamming_topk", "dedup_threshold_curve", "sim_ivf_probe_curve",
+    }
     bad = {}
     for name, (fn, _) in STAGED.items():
         s = fn(spark, SF_UNIT)._jdf.queryExecution().explainString(mode)
@@ -520,3 +523,27 @@ def test_cdc_boundaries_shift_resistant(spark, body, prefix):
     b2 = {r["p"] for r in rows if r["doc_id"] == 2 and r["bound"] == 1}
     shift = len(prefix.encode("utf-8"))
     assert {p - shift for p in b2 if p > shift} == b1, (body, prefix)
+
+
+def test_staged_probe_curve_consistent_with_registered_ivf(spark):
+    """sim_ivf_probe_curve — composed audit: the n_probe=2 point must
+    count EXACTLY the registered sim_ivf_topk list's overlap with the
+    registered brute-force truth, and recall must be monotonically
+    non-decreasing in n_probe (more cells scanned can only add
+    candidates)."""
+    from tropology_spark import QUERIES
+
+    fn, _ = STAGED["sim_ivf_probe_curve"]
+    truth = {
+        r["vec_id"]
+        for r in QUERIES["sim_topk_cosine"](spark, SF_UNIT).collect()
+    }
+    approx2 = {
+        r["vec_id"] for r in QUERIES["sim_ivf_topk"](spark, SF_UNIT).collect()
+    }
+    got = {
+        r["n_probe"]: (r["n_hits"], r["recall_ppm"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got[2][0] == len(truth & approx2)
+    assert got[1][0] <= got[2][0] <= got[4][0]

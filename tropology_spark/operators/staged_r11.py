@@ -1035,3 +1035,113 @@ def graph_path_counts3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 graph_path_counts3.__doc__ = graph_path_counts3.__doc__.format(s=_PATH_SEEDS)
+
+
+# ---------------------------------------------------------------------------
+# sim_ivf_probe_curve — recall vs n_probe (the other IVF tuning axis)
+# ---------------------------------------------------------------------------
+
+_PROBE_NPS = (1, 2, 4)
+_PROBE_K = 10
+
+
+def _probe_curve_oracle() -> str:
+    from tropology_spark.operators.similarity import (
+        _EX_CTE,
+        _LLOYD_SQL_ITER,
+        QUERY_VEC_ID,
+    )
+    from tropology_spark.registry import ORACLES
+
+    nps = ", ".join(str(n) for n in _PROBE_NPS)
+    return (
+        _EX_CTE
+        + """
+    , assign0 AS (SELECT vec_id, label AS cell FROM embeddings)
+    """
+        + _LLOYD_SQL_ITER.format(n=1, p=0, vf="")
+        + f"""
+    , assign AS (SELECT * FROM assign1),
+    pr AS (SELECT tcell, row_number() OVER (ORDER BY ccos DESC, tcell) AS rnp
+           FROM vc1 WHERE vec_id = {QUERY_VEC_ID}),
+    nps AS (SELECT unnest([{nps}]) AS np),
+    cand AS (SELECT nps.np, a.vec_id FROM assign a
+             JOIN pr ON a.cell = pr.tcell
+             JOIN nps ON pr.rnp <= nps.np
+             WHERE a.vec_id <> {QUERY_VEC_ID}),
+    q AS (SELECT pos, val FROM ex WHERE vec_id = {QUERY_VEC_ID}),
+    d AS (SELECT c.np, e.vec_id, sum(e.val * q.val) AS dp
+          FROM ex e JOIN q ON e.pos = q.pos
+          JOIN cand c ON e.vec_id = c.vec_id
+          GROUP BY c.np, e.vec_id),
+    cos AS (SELECT d.np, d.vec_id, round(d.dp / (n1.nv * n2.nv), 6) AS cosine
+            FROM d JOIN nrm n1 ON d.vec_id = n1.vec_id
+            CROSS JOIN (SELECT nv FROM nrm
+                        WHERE vec_id = {QUERY_VEC_ID}) n2),
+    appr AS (SELECT np, vec_id FROM (
+               SELECT *, row_number() OVER (PARTITION BY np
+                                            ORDER BY cosine DESC, vec_id) AS ra1
+               FROM cos) t WHERE ra1 <= {_PROBE_K}),
+    truth AS (SELECT vec_id FROM ({ORACLES['sim_topk_cosine']}) t)
+    SELECT CAST(nps.np AS BIGINT) AS n_probe,
+           CAST(count(truth.vec_id) AS BIGINT) AS n_hits,
+           CAST((1000000 * count(truth.vec_id)) // {_PROBE_K} AS BIGINT)
+             AS recall_ppm
+    FROM nps LEFT JOIN appr ON appr.np = nps.np
+             LEFT JOIN truth ON appr.vec_id = truth.vec_id
+    GROUP BY nps.np
+    """
+    )
+
+
+@_stage("sim_ivf_probe_curve", oracle=_probe_curve_oracle())
+def sim_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — the IVF recall-vs-N_PROBE curve: recall@{k} of
+    the one-round IVF search probing 1/2/4 cells, against the J8
+    brute-force truth — M241 tunes the k axis, this tunes the OTHER
+    knob an IVF deployment has (probes = the scan-fraction dial:
+    n_probe/cells of the corpus read per query; the curve says what
+    recall each setting buys).  Hit = index top-{k} ∩ truth top-{k}.
+
+    Composed, not copied: the oracle re-derives the inverted file
+    through the SAME _LLOYD_SQL_ITER prefix the registered sim_ivf_
+    topk oracle uses and wraps ORACLES['sim_topk_cosine'] for truth;
+    the Spark side runs the registered ivf_topk helper per probe
+    setting (the M241 single-home rule).  Scale: ×|probes| retrievals
+    (each already audited); the curve arithmetic is broadcast-trivial;
+    every threshold row always emitted (LEFT joins)."""
+    from tropology_spark.operators.similarity import QUERY_VEC_ID, ivf_topk
+    from tropology_spark.registry import QUERIES
+    from tropology_spark.session import iter_materialize
+
+    truth = iter_materialize(
+        QUERIES["sim_topk_cosine"](spark, sf_dir).select(
+            F.col("vec_id").alias("t_id")
+        )
+    )  # referenced once per probe branch
+    e = load(spark, sf_dir, "embeddings")
+    branches = [
+        ivf_topk(e, QUERY_VEC_ID, n_probe=np, k=_PROBE_K).select(
+            F.lit(np).cast("bigint").alias("n_probe"), "vec_id"
+        )
+        for np in _PROBE_NPS
+    ]
+    appr = branches[0]
+    for b in branches[1:]:
+        appr = appr.unionByName(b)
+    nps = spark.createDataFrame([(n,) for n in _PROBE_NPS], "n_probe long")
+    hits = (
+        appr.join(F.broadcast(truth), appr.vec_id == F.col("t_id"), "left")
+        .groupBy("n_probe")
+        .agg(F.count(F.col("t_id")).cast("bigint").alias("n_hits"))
+    )
+    return nps.join(hits, "n_probe", "left").select(
+        F.col("n_probe").cast("bigint").alias("n_probe"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.expr(f"(1000000 * coalesce(n_hits, 0)) div {_PROBE_K}")
+        .cast("bigint")
+        .alias("recall_ppm"),
+    )
+
+
+sim_ivf_probe_curve.__doc__ = sim_ivf_probe_curve.__doc__.format(k=_PROBE_K)
