@@ -41,8 +41,13 @@ def _code_norm(category: str, name: str) -> str:
 @register("udf_scalar_code_norm", oracle=_CODE_ORACLE)
 def udf_scalar_code_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1 — row-at-a-time Python UDF; the oracle's pure-SQL twin proves
-    the UDF computes the declared function."""
-    code_udf = F.udf(_code_norm, StringType())
+    the UDF computes the declared function.  ``useArrow=False`` makes
+    the declared row-at-a-time eval type EXPLICIT — Spark 4's udf()
+    otherwise tries to infer an Arrow eval type from the plain-Python
+    type hints and emits the bench-tail "Cannot infer the eval type"
+    UserWarning (the VERDICT r9 cosmetic item, now silenced at its
+    source; the vectorized twin L2 is the production path)."""
+    code_udf = F.udf(_code_norm, StringType(), useArrow=False)
     c = load(spark, sf_dir, "customer")
     return c.select(
         "c_custkey", code_udf(F.col("c_mktsegment"), F.col("c_name")).alias("code")
