@@ -312,3 +312,46 @@ def test_pq_index_persist_reload(spark, tmp_path, monkeypatch):
     finally:
         spark.sql("DROP TABLE IF EXISTS pq_idx_test")
         spark.sql("DROP TABLE IF EXISTS pq_idx_test_codebook")
+
+
+def test_bq_index_persist_reload(spark, tmp_path, monkeypatch):
+    """The FIFTH saved-index artifact: persist the BQ sign-bit
+    signature table (16 bytes/vector, bucketed by vec_id), reload in a
+    fresh session, and pin (a) the from-index search returning the
+    sim_bq_hamming_topk body's rows exactly, (b) NO corpus re-encoding
+    on the read path (the signature builder raises — the query
+    signature is a point lookup IN the artifact, rerank vectors come
+    from the source by key), and (c) a vec_id-keyed rollup over the
+    reloaded signatures consuming the on-disk hash partitioning with
+    ZERO Exchange (the PQ artifact's aggregation pin)."""
+    import tropology_spark.operators.similarity as S
+    from tropology_spark import QUERIES
+
+    fn = QUERIES.get("sim_bq_hamming_topk")
+    if fn is None:  # pre-activation: the staged body is the referent
+        from tropology_spark.operators.staged_r11 import STAGED
+
+        fn = STAGED["sim_bq_hamming_topk"][0]
+    want = [
+        (r["vec_id"], r["hamming"], r["cosine"])
+        for r in fn(spark, SF_UNIT).collect()
+    ]
+    S.bq_write_index(spark, SF_UNIT, "bq_idx_test", path=str(tmp_path / "bq"))
+    try:
+        s2 = spark.newSession()
+        s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+
+        def boom(*a, **k):  # pragma: no cover - failure path
+            raise AssertionError("corpus re-encoded on the index read path")
+
+        monkeypatch.setattr(S, "bq_signatures_frame", boom)
+        got_df = S.bq_topk_from_index(s2, "bq_idx_test", SF_UNIT)
+        got = [(r["vec_id"], r["hamming"], r["cosine"]) for r in got_df.collect()]
+        assert got == want
+        assert len(got) == S.BQ_K
+
+        rollup = s2.table("bq_idx_test").groupBy("vec_id").count()
+        plan = plan_of(rollup)
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bq_idx_test")

@@ -63,15 +63,17 @@ def test_staged_partitioning_invariance(spark):
 def test_staged_no_new_plan_antipatterns(spark):
     """Pre-activation plan sweep: no CartesianProduct, no row-Python
     UDF anywhere in the staged plans; BroadcastNestedLoopJoin only at
-    the three noted scalar attaches (sim_bq_hamming_topk's 1-row query
+    the four noted scalar attaches (sim_bq_hamming_topk's 1-row query
     broadcast, dedup_threshold_curve's 3-row threshold cross,
-    sim_ivf_probe_curve's inherited ivf_topk query attach) — the
-    names to add to BNLJ_ALLOWED at activation."""
+    sim_ivf_probe_curve's inherited ivf_topk query attach,
+    dedup_band_curve's per-config count crosses) — the names to add
+    to BNLJ_ALLOWED at activation."""
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "simple"
     )
     bnlj_expected = {
         "sim_bq_hamming_topk", "dedup_threshold_curve", "sim_ivf_probe_curve",
+        "dedup_band_curve",
     }
     bad = {}
     for name, (fn, _) in STAGED.items():
@@ -547,3 +549,168 @@ def test_staged_probe_curve_consistent_with_registered_ivf(spark):
     }
     assert got[2][0] == len(truth & approx2)
     assert got[1][0] <= got[2][0] <= got[4][0]
+
+
+def test_staged_band_curve_matches_pure_python(spark):
+    """dedup_band_curve — truth (prefix-blocked Jaccard), signatures,
+    all three band groupings and the hit counts recomputed with
+    hashlib/sets (only the permutation CONSTANTS are imported — the
+    formulas are re-derived)."""
+    import hashlib
+    from itertools import combinations
+
+    import duckdb
+
+    from tropology_spark.operators.dedup import _MH_PERMS, _MH_PRIME
+
+    fn, _ = STAGED["dedup_band_curve"]
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
+    ).fetchall()
+    tok_sets = {did: set(t.split(" ")) for did, t in texts}
+    pfx = {did: t[:40] for did, t in texts}
+    truth = set()
+    for a, b in combinations(sorted(tok_sets), 2):
+        if pfx[a] != pfx[b]:
+            continue
+        inter = len(tok_sets[a] & tok_sets[b])
+        union = len(tok_sets[a]) + len(tok_sets[b]) - inter
+        if union and inter / union >= 0.5:
+            truth.add((a, b))
+    sigs = {}
+    for did, t in texts:
+        toks = t.split(" ")
+        grams = {f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)}
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        if hs:
+            sigs[did] = [
+                min((h * a + b) % _MH_PRIME for h in hs) for a, b in _MH_PERMS
+            ]
+    want = {}
+    for r in (2, 4, 8):
+        buckets = {}
+        for did, mh in sigs.items():
+            for j in range(16 // r):
+                buckets.setdefault(
+                    (j, tuple(mh[j * r : (j + 1) * r])), []
+                ).append(did)
+        cand = set()
+        for members in buckets.values():
+            for a, b in combinations(sorted(members), 2):
+                cand.add((a, b))
+        want[r] = (16 // r, len(truth), len(cand), len(cand & truth))
+    got = {
+        r["band_rows"]: (r["n_bands"], r["n_true"], r["n_candidates"], r["n_hit"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+    # The S-curve direction: fewer rows per band can only add candidates.
+    assert got[2][2] >= got[4][2] >= got[8][2]
+    assert got[2][3] >= got[4][3] >= got[8][3]
+
+
+def test_staged_uniformity_matches_pure_python(spark):
+    """mm_payload_uniformity — digit counts via Counter, the squared
+    deviations with arbitrary-precision Python ints."""
+    from collections import Counter
+
+    import duckdb
+
+    fn, _ = STAGED["mm_payload_uniformity"]
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
+    ).fetchall()
+    want = {}
+    for did, t in texts:
+        hx = t.encode("utf-8").hex().upper()
+        L = len(hx)
+        if L == 0:
+            continue
+        cnt = Counter(hx)
+        dev2 = sum(
+            (16 * cnt.get(d, 0) - L) ** 2 for d in "0123456789ABCDEF"
+        )
+        want[did] = (L // 2, dev2, (1000 * dev2) // (16 * L))
+    got = {
+        r["media_id"]: (r["n_bytes"], r["dev2_sum"], r["chisq_milli"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_staged_phash_clusters_matches_pure_python(spark):
+    """mm_phash_clusters — the pHash band candidates AND the 3-round
+    min-label propagation recomputed from raw sha256 digests with
+    hashlib/dicts (unlike the cluster3 twin, the pair set here is
+    re-derived too).  No blanket pair-co-clustering pin: the pHash
+    band graph has chains (unlike the LSH near-clique components), so
+    diameter > 3 components legitimately carry several labels after
+    the bounded unroll — the documented stepping-stone semantics.
+    Instead pin that every doc within 3 hops of its component minimum
+    has converged to it."""
+    import hashlib
+    from collections import defaultdict
+    from itertools import combinations
+
+    import duckdb
+
+    fn, _ = STAGED["mm_phash_clusters"]
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
+    ).fetchall()
+    ph, b1, b2 = {}, {}, {}
+    for did, t in texts:
+        h = hashlib.sha256(t.encode("utf-8")).hexdigest()
+        ph[did] = int(h[:4], 16)
+        b1[did], b2[did] = h[:2], h[2:4]
+    pairs = set()
+    for a, b in combinations(sorted(ph), 2):
+        if (b1[a] == b1[b] or b2[a] == b2[b]) and bin(
+            ph[a] ^ ph[b]
+        ).count("1") <= 3:
+            pairs.add((a, b))
+    nbr = defaultdict(set)
+    for a, b in pairs:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    lbl = {d: d for d in ph}
+    for _ in range(3):
+        lbl = {d: min([lbl[d]] + [lbl[n] for n in nbr[d]]) for d in ph}
+    size = defaultdict(int)
+    for d in ph:
+        size[lbl[d]] += 1
+    want = {d: (lbl[d], size[lbl[d]]) for d in ph}
+    got = {
+        r["doc_id"]: (r["phash_cluster"], r["cluster_size"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+    # BFS from every local-minimum node (label == itself after round
+    # 3 with neighbors): all nodes within 3 hops of their component's
+    # global minimum must have adopted it.
+    comp_min = {}
+    for d in sorted(ph):
+        # component via full BFS (unbounded) to find the true minimum
+        if d in comp_min:
+            continue
+        stack, seen = [d], {d}
+        while stack:
+            x = stack.pop()
+            for n in nbr[x]:
+                if n not in seen:
+                    seen.add(n)
+                    stack.append(n)
+        mn = min(seen)
+        for x in seen:
+            comp_min[x] = mn
+    # 3-hop ball around each component minimum
+    for d in sorted(ph):
+        mn = comp_min[d]
+        frontier, dist = {mn}, 0
+        reach = {mn}
+        while dist < 3:
+            frontier = {n for x in frontier for n in nbr[x]} - reach
+            reach |= frontier
+            dist += 1
+        for x in reach:
+            assert got[x][0] == mn, (x, mn)

@@ -1636,8 +1636,8 @@ def test_mm_stratified_sample_matches_pure_python(spark):
 
 def test_cli_index_writes_and_reloads(spark, capsys, tmp_path):
     """M19+ — the index subcommand: train, persist bucketed, reload,
-    print — for all four artifact kinds (quantizer, minhash, IVF,
-    PQ)."""
+    print — for all five artifact kinds (quantizer, minhash, IVF,
+    PQ, BQ)."""
     import json as _json
 
     from tropology_spark import cli
@@ -1675,6 +1675,14 @@ def test_cli_index_writes_and_reloads(spark, capsys, tmp_path):
         out = capsys.readouterr().out.strip().splitlines()
         assert rc == 0 and len(out) == 2
         assert set(_json.loads(out[0])) == {"vec_id", "s", "code"}
+
+        rc = cli.main([
+            "index", "bq", "cli_bq_idx",
+            "--sf-dir", SF_UNIT, "--path", str(tmp_path / "bq"), "--limit", "2",
+        ])
+        out = capsys.readouterr().out.strip().splitlines()
+        assert rc == 0 and len(out) == 2
+        assert set(_json.loads(out[0])) == {"vec_id", "h0", "h1"}
     finally:
         spark.sql("DROP TABLE IF EXISTS cli_mh_idx")
         spark.sql("DROP TABLE IF EXISTS cli_q_idx")
@@ -1682,6 +1690,7 @@ def test_cli_index_writes_and_reloads(spark, capsys, tmp_path):
         spark.sql("DROP TABLE IF EXISTS cli_ivf_idx_centroids")
         spark.sql("DROP TABLE IF EXISTS cli_pq_idx")
         spark.sql("DROP TABLE IF EXISTS cli_pq_idx_codebook")
+        spark.sql("DROP TABLE IF EXISTS cli_bq_idx")
 
 
 def test_xml_roundtrip_and_corrupt_capture(spark, tmp_path):

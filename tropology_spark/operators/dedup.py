@@ -178,27 +178,17 @@ _MH_PERMS = list(zip(_MH_AS, _MH_BS))
 _MH_BAND_ROWS = 4
 
 
-def _minhash_bands_cte() -> str:
-    """The shared CTE prefix (shingles → 16 affine min-hashes →
-    ``bands(doc_id, band, bucket)``), generated from the permutation
-    constant table — appended with different final SELECTs by the
-    candidate-pair oracle (J3) and the index-health oracle (M211)."""
+def _minhash_sig_cte(prefix: str = "WITH") -> str:
+    """The signature-arithmetic SQL single home: shingles → md5-low-32
+    hashes → ``sig(doc_id, mh0..mh15)``.  ``prefix`` lets a composing
+    oracle that already opened its own WITH chain splice this in with
+    a leading comma."""
     mins = ",\n             ".join(
         f"min((h * {a} + {b}) % {_MH_PRIME}) AS mh{i}"
         for i, (a, b) in enumerate(_MH_PERMS)
     )
-    n_bands = len(_MH_PERMS) // _MH_BAND_ROWS
-    band_rows = "\n      UNION ALL ".join(
-        "SELECT doc_id, {j} AS band, concat_ws('_', {cols}) AS bucket FROM sig".format(
-            j=j,
-            cols=", ".join(
-                f"mh{j * _MH_BAND_ROWS + r}" for r in range(_MH_BAND_ROWS)
-            ),
-        )
-        for j in range(n_bands)
-    )
     return f"""
-    WITH sh AS (
+    {prefix} sh AS (
       SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] AS token
       FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
            (SELECT unnest(generate_series(1, 4096)) AS i)
@@ -209,11 +199,36 @@ def _minhash_bands_cte() -> str:
            FROM sh),
     sig AS (SELECT doc_id,
              {mins}
-            FROM hv GROUP BY doc_id),
-    bands AS (
-      {band_rows}
+            FROM hv GROUP BY doc_id)"""
+
+
+def _band_rows_cte(band_rows: int = _MH_BAND_ROWS, name: str = "bands") -> str:
+    """A ``{name}(doc_id, band, bucket)`` CTE over ``sig``, grouping
+    the 16 signatures into bands of ``band_rows`` — parameterized so
+    the staged band-tuning curve can evaluate (b, r) configurations
+    other than the registered 4×4 from the SAME signature pass."""
+    n_bands = len(_MH_PERMS) // band_rows
+    body = "\n      UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, concat_ws('_', {cols}) AS bucket FROM sig".format(
+            j=j,
+            cols=", ".join(
+                f"mh{j * band_rows + r}" for r in range(band_rows)
+            ),
+        )
+        for j in range(n_bands)
     )
-    """
+    return f""",
+    {name} AS (
+      {body}
+    )"""
+
+
+def _minhash_bands_cte() -> str:
+    """The shared CTE prefix (shingles → 16 affine min-hashes →
+    ``bands(doc_id, band, bucket)``), generated from the permutation
+    constant table — appended with different final SELECTs by the
+    candidate-pair oracle (J3) and the index-health oracle (M211)."""
+    return _minhash_sig_cte() + _band_rows_cte() + "\n    "
 
 
 def _minhash_oracle_sql() -> str:
@@ -232,13 +247,12 @@ def _minhash_oracle_sql() -> str:
     )
 
 
-def minhash_bands_frame(
+def minhash_sigs_frame(
     spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
 ) -> DataFrame:
-    """Spark twin of the :func:`_minhash_bands_cte` prefix: one narrow
-    pass from documents to ``(doc_id, band, bucket)`` — shared by the
-    J3 candidate join and the M211 index-health audit so the signature
-    arithmetic exists exactly once.  ``docs`` substitutes a pre-built
+    """Spark twin of the :func:`_minhash_sig_cte` prefix: one narrow
+    pass from documents to ``sig(doc_id, mh0..mh15)`` — the signature
+    arithmetic's single Spark home.  ``docs`` substitutes a pre-built
     ``(doc_id, text)`` frame for the table scan (scale probes)."""
     d = docs if docs is not None else load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
@@ -255,13 +269,22 @@ def minhash_bands_frame(
         .cast("bigint")
         .alias("h"),
     )
-    sigs = tok.groupBy("doc_id").agg(
+    return tok.groupBy("doc_id").agg(
         *[
             F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)).alias(f"mh{i}")
             for i, (a, b) in enumerate(_MH_PERMS)
         ]
     )
-    n_bands = len(_MH_PERMS) // _MH_BAND_ROWS
+
+
+def bands_from_sigs(
+    sigs: DataFrame, band_rows: int = _MH_BAND_ROWS
+) -> DataFrame:
+    """``(doc_id, band, bucket)`` from a signature frame, grouping the
+    16 min-hashes into bands of ``band_rows`` — the Spark twin of
+    :func:`_band_rows_cte`, parameterized for the band-tuning curve
+    (the registered J3 path always uses the default 4)."""
+    n_bands = len(_MH_PERMS) // band_rows
     return sigs.select(
         "doc_id",
         F.explode(
@@ -272,8 +295,8 @@ def minhash_bands_frame(
                         F.concat_ws(
                             "_",
                             *[
-                                F.col(f"mh{j * _MH_BAND_ROWS + r}")
-                                for r in range(_MH_BAND_ROWS)
+                                F.col(f"mh{j * band_rows + r}")
+                                for r in range(band_rows)
                             ],
                         ).alias("bucket"),
                     )
@@ -282,6 +305,17 @@ def minhash_bands_frame(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_bands_frame(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Spark twin of the :func:`_minhash_bands_cte` prefix: one narrow
+    pass from documents to ``(doc_id, band, bucket)`` — shared by the
+    J3 candidate join and the M211 index-health audit so the signature
+    arithmetic exists exactly once.  ``docs`` substitutes a pre-built
+    ``(doc_id, text)`` frame for the table scan (scale probes)."""
+    return bands_from_sigs(minhash_sigs_frame(spark, sf_dir, docs=docs))
 
 
 #: Session-shared J3 band table per (session, sf): FOUR registered

@@ -1155,6 +1155,142 @@ def pq_topk_from_index(
 
 
 # ---------------------------------------------------------------------------
+# BQ (sign-bit binary quantization) — shared arithmetic + saved index
+# ---------------------------------------------------------------------------
+
+BQ_CAND = 50
+BQ_K = 10
+
+#: Sign-bit pack of one 32-dim slice into a BIGINT: bit i set iff the
+#: component is >= 0.  Two applications (offsets 1 and 33) collapse a
+#: 64-dim vector to 16 bytes — the 64x compression of every vector
+#: store's BQ tier.  Single home of the pack arithmetic: the staged/
+#: registered sim_bq_hamming_topk body, the probe script, and the
+#: index writer all call :func:`bq_signatures_frame`.
+_BQ_PACK = (
+    "aggregate(zip_with(slice(embedding, {o}, 32), sequence(0, 31),"
+    " (v, i) -> IF(v >= 0, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"
+)
+
+
+def bq_signatures_frame(e: DataFrame, with_vectors: bool = False) -> DataFrame:
+    """Sign-bit signatures (vec_id, h0, h1) of an embeddings frame.
+
+    ``with_vectors=True`` additionally carries the double-cast raw
+    vector and its norm (emb, nv) — the in-suite search shape, where
+    one materialized pass serves both the Hamming scan and the exact
+    rerank.  The compact ``False`` shape is what the saved index
+    persists: 16 bytes/vector, rerank vectors stay in the source."""
+    cols = [
+        F.col("vec_id"),
+        F.expr(_BQ_PACK.format(o=1)).cast("bigint").alias("h0"),
+        F.expr(_BQ_PACK.format(o=33)).cast("bigint").alias("h1"),
+    ]
+    if not with_vectors:
+        return e.select(*cols)
+    return e.select(
+        *cols, as_double(F.col("embedding")).alias("emb")
+    ).withColumn("nv", norm(F.col("emb")))
+
+
+def bq_write_index(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    n_buckets: int = 8,
+    path: str | None = None,
+) -> None:
+    """Persist the BQ signature table — the FIFTH saved-index artifact,
+    following the quantizer/minhash/IVF/PQ precedent:
+
+    * ``<table>``: (vec_id, h0, h1) — the sign-bit signatures ONLY,
+      16 bytes/vector.  Unlike the in-suite search frame the artifact
+      deliberately does NOT carry raw vectors: the Hamming scan is the
+      whole point of BQ (branch-free xor+popcount over two BIGINT
+      columns), and the exact rerank touches only ``BQ_CAND`` raw
+      vectors fetched from the source by key.  ``bucketBy(vec_id)`` +
+      ``sortBy(vec_id)`` so any vec_id-keyed consumer join (rerank
+      fetch, metadata attach, cross-index intersection with the PQ
+      codes artifact — also vec_id-bucketed) consumes the on-disk
+      hash partitioning without an exchange.
+
+    The corpus-wide encode pass runs ONCE here; the read path
+    (:func:`bq_topk_from_index`) never packs a corpus signature."""
+    sig = bq_signatures_frame(load(spark, sf_dir, "embeddings"))
+    w = (
+        sig.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "vec_id")
+        .sortBy("vec_id")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def bq_topk_from_index(
+    spark: SparkSession,
+    table: str,
+    sf_dir: str,
+    query_vec_id: int = QUERY_VEC_ID,
+    n_cand: int = BQ_CAND,
+    k: int = BQ_K,
+) -> DataFrame:
+    """BQ search against a :func:`bq_write_index` artifact — NO corpus
+    re-encoding: the query signature is a point lookup IN the saved
+    table, the Hamming scan reads the two signature words only, and
+    the exact cosine rerank fetches the ``n_cand`` winners' raw
+    vectors from the source by key (broadcast-joined: the corpus side
+    never shuffles).  Ranking is pinned equal to the
+    sim_bq_hamming_topk body in tests/test_bucketing.py::
+    test_bq_index_persist_reload, which also monkeypatch-raises
+    :func:`bq_signatures_frame` to prove the read path trains
+    nothing.
+
+    Consumer posture: like the IVF/PQ artifacts, set
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false`` in
+    the reading session so vec_id-keyed plans keep the bucketed
+    scan."""
+    sig = spark.table(table)
+    q_sig = sig.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("h0").alias("q0"), F.col("h1").alias("q1")
+    )
+    cand = (
+        sig.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q_sig))
+        .select(
+            "vec_id",
+            F.expr("CAST(bit_count(h0 ^ q0) + bit_count(h1 ^ q1) AS BIGINT)")
+            .alias("hamming"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(n_cand)
+    )
+    ev = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double(F.col("embedding")).alias("emb"))
+        .withColumn("nv", norm(F.col("emb")))
+    )
+    qv = ev.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("emb").alias("qemb"), F.col("nv").alias("nq")
+    )
+    rer = (
+        ev.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "hamming",
+            F.round(
+                dot(F.col("emb"), F.col("qemb")) / (F.col("nv") * F.col("nq")), 6
+            ).alias("cosine"),
+        )
+    )
+    return rer.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k).select(
+        "vec_id", "hamming", "cosine"
+    )
+
+
+# ---------------------------------------------------------------------------
 # M112 — ANN recall audit (approx vs exact ground truth)
 # ---------------------------------------------------------------------------
 

@@ -309,8 +309,11 @@ pipeline_rolling_cv_folds.__doc__ = pipeline_rolling_cv_folds.__doc__.format(
 # sim_bq_hamming_topk — binary-quantization retrieval (sign bits + Hamming)
 # ---------------------------------------------------------------------------
 
-_BQ_CAND = 50
-_BQ_K = 10
+# Single home of the BQ constants + pack arithmetic is similarity.py
+# (bq_signatures_frame / BQ_CAND / BQ_K) — shared with the saved-index
+# pair bq_write_index / bq_topk_from_index and the weak-scaling probe.
+from tropology_spark.operators.similarity import BQ_CAND as _BQ_CAND
+from tropology_spark.operators.similarity import BQ_K as _BQ_K
 
 
 def _bq_oracle() -> str:
@@ -382,24 +385,14 @@ def sim_bq_hamming_topk(
     driver contract never passes it."""
     from tropology_spark.operators.similarity import (
         QUERY_VEC_ID,
-        as_double,
+        bq_signatures_frame,
         dot,
-        norm,
     )
     from tropology_spark.session import iter_materialize
 
     e = e if e is not None else load(spark, sf_dir, "embeddings")
-    pack = (
-        "aggregate(zip_with(slice(embedding, {o}, 32), sequence(0, 31),"
-        " (v, i) -> IF(v >= 0, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"
-    )
     sig = iter_materialize(
-        e.select(
-            "vec_id",
-            F.expr(pack.format(o=1)).cast("bigint").alias("h0"),
-            F.expr(pack.format(o=33)).cast("bigint").alias("h1"),
-            as_double(F.col("embedding")).alias("emb"),
-        ).withColumn("nv", norm(F.col("emb")))
+        bq_signatures_frame(e, with_vectors=True)
     )  # referenced by the query row AND the corpus scan
     q = sig.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("h0").alias("q0"),
@@ -861,10 +854,12 @@ mm_cdc_chunking.__doc__ = mm_cdc_chunking.__doc__.format(
 # ---------------------------------------------------------------------------
 
 
-def _cluster3_oracle() -> str:
-    from tropology_spark.operators.dedup import _minhash_bands_cte
-
-    step = """
+#: One synchronous min-label round as SQL — the single home of the
+#: propagation step, shared by the dedup_cluster3 oracle (over the J3
+#: LSH graph) and the mm_phash_clusters oracle (over the M99 pHash
+#: graph).  Expects CTEs ``und(u, v)`` (both edge directions) and
+#: ``l{p}(doc_id, lbl)`` in scope.
+_MINLABEL_STEP_SQL = """
     l{n} AS (
       SELECT l{p}.doc_id,
              least(l{p}.lbl, coalesce(min(nb.lbl), l{p}.lbl)) AS lbl
@@ -872,6 +867,45 @@ def _cluster3_oracle() -> str:
                 LEFT JOIN l{p} nb ON nb.doc_id = und.v
       GROUP BY l{p}.doc_id, l{p}.lbl
     )"""
+
+
+def _minlabel_steps_sql(rounds: int = 3) -> str:
+    return ",".join(
+        _MINLABEL_STEP_SQL.format(n=n, p=n - 1) for n in range(1, rounds + 1)
+    )
+
+
+def minlabel_rounds(lab: DataFrame, und: DataFrame, rounds: int = 3) -> DataFrame:
+    """``rounds`` synchronous min-label propagation steps over an
+    undirected edge list ``und(u, v)`` starting from ``lab(doc_id,
+    lbl)`` — the Spark twin of :func:`_minlabel_steps_sql` and the
+    single home of the propagation arithmetic (dedup_cluster3 and
+    mm_phash_clusters differ only in the candidate graph).  Each
+    round's label vector is checkpointed (the DOUBLE-REFERENCE rule:
+    round k feeds round k+1 as both the self and the neighbor
+    side)."""
+    from tropology_spark.session import iter_materialize
+
+    for _ in range(rounds):
+        nb = lab.select(F.col("doc_id").alias("v"), F.col("lbl").alias("nlbl"))
+        lab = iter_materialize(
+            lab.join(und, lab.doc_id == und.u, "left")
+            .join(nb, "v", "left")
+            .groupBy("doc_id", "lbl")
+            .agg(F.min("nlbl").alias("mnl"))
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("mnl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+    return lab
+
+
+def _cluster3_oracle() -> str:
+    from tropology_spark.operators.dedup import _minhash_bands_cte
+
     return (
         _minhash_bands_cte()
         + """
@@ -884,7 +918,7 @@ def _cluster3_oracle() -> str:
     und AS (SELECT doc_a AS u, doc_b AS v FROM cand
             UNION ALL SELECT doc_b, doc_a FROM cand),
     l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),"""
-        + ",".join(step.format(n=n, p=n - 1) for n in (1, 2, 3))
+        + _minlabel_steps_sql(3)
         + """
     SELECT doc_id, CAST(lbl AS BIGINT) AS label3 FROM l3
     """
@@ -940,20 +974,7 @@ def dedup_cluster3(
     lab = (
         docs if docs is not None else load(spark, sf_dir, "documents")
     ).select("doc_id", F.col("doc_id").alias("lbl"))
-    for _ in range(3):
-        nb = lab.select(F.col("doc_id").alias("v"), F.col("lbl").alias("nlbl"))
-        lab = iter_materialize(
-            lab.join(und, lab.doc_id == und.u, "left")
-            .join(nb, "v", "left")
-            .groupBy("doc_id", "lbl")
-            .agg(F.min("nlbl").alias("mnl"))
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("mnl"), F.col("lbl"))
-                ).alias("lbl"),
-            )
-        )
+    lab = minlabel_rounds(lab, und, 3)
     return lab.select("doc_id", F.col("lbl").cast("bigint").alias("label3"))
 
 
@@ -1145,3 +1166,272 @@ def sim_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sim_ivf_probe_curve.__doc__ = sim_ivf_probe_curve.__doc__.format(k=_PROBE_K)
+
+
+# ---------------------------------------------------------------------------
+# dedup_band_curve — LSH (bands x rows) tuning curve from ONE signature pass
+# ---------------------------------------------------------------------------
+
+_BAND_CURVE_RS = (2, 4, 8)
+
+
+def _band_curve_oracle() -> str:
+    from tropology_spark.operators.dedup import _band_rows_cte, _minhash_sig_cte
+    from tropology_spark.registry import ORACLES
+
+    parts = [
+        "WITH truth AS (SELECT doc_a, doc_b FROM ({j2}) t)".format(
+            j2=ORACLES["dedup_jaccard_pairs"]
+        ),
+        _minhash_sig_cte(prefix=","),
+    ]
+    rows = []
+    for r in _BAND_CURVE_RS:
+        parts.append(_band_rows_cte(r, f"bands{r}"))
+        parts.append(
+            f""",
+    cand{r} AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands{r} a JOIN bands{r} b
+                 ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id),
+    hit{r} AS (SELECT doc_a, doc_b FROM truth
+               INTERSECT SELECT doc_a, doc_b FROM cand{r})"""
+        )
+        rows.append(
+            f"""SELECT CAST({r} AS BIGINT) AS band_rows,
+           CAST({16 // r} AS BIGINT) AS n_bands,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM cand{r}) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM hit{r}) AS BIGINT) AS n_hit,
+           round(CAST((SELECT count(*) FROM hit{r}) AS DOUBLE)
+                 / greatest((SELECT count(*) FROM truth), 1), 6) AS recall,
+           round(CAST((SELECT count(*) FROM hit{r}) AS DOUBLE)
+                 / greatest((SELECT count(*) FROM cand{r}), 1), 6) AS precision"""
+        )
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(rows)
+
+
+@_stage("dedup_band_curve", oracle=_band_curve_oracle())
+def dedup_band_curve(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Staged M-row — the LSH BAND-CONFIGURATION tuning curve: from
+    the SAME 16 min-hash signatures, evaluate the three (bands x rows)
+    groupings 8x2 / 4x4 / 2x8 against the exact prefix-blocked Jaccard
+    truth (J2, threshold 0.5) and report candidate volume, hits,
+    recall and precision per configuration — the (b, r) axis of the
+    S-curve P(candidate) = 1 - (1 - J^r)^b that M126 fixes at the
+    registered 4x4 and the n_probe axis of M-ivf_probe_curve covers
+    for IVF.  Fewer rows per band (r=2) recalls aggressively at the
+    cost of candidate volume; r=8 is near-exact-match only.  The
+    tuning table IS how an operator picks a config before committing
+    a 100 TB LSH pass.
+
+    Composed, not copied: the truth branch runs the registered J2
+    pipeline; the signature pass is minhash_sigs_frame (the J3/M211
+    single home, computed ONCE and checkpointed — only the cheap band
+    regrouping runs per config); the candidate join is
+    minhash_candidate_pairs, the exact registered path.  Counts are
+    exact BIGINTs; the two ratios divide identical integers in both
+    engines and are rounded once (the M126 discipline).  Scale: the
+    signature pass dominates and is shared; each config adds one
+    band-bucket equi-join, never an all-pairs product.
+
+    ``docs=`` substitutes the document frame for weak-scaling probes;
+    the driver contract never passes it."""
+    from tropology_spark import QUERIES
+    from tropology_spark.operators.dedup import (
+        bands_from_sigs,
+        jaccard_pairs,
+        minhash_candidate_pairs,
+        minhash_sigs_frame,
+    )
+    from tropology_spark.session import iter_materialize
+
+    truth = iter_materialize(
+        (
+            jaccard_pairs(docs, block_width=40)
+            if docs is not None
+            else QUERIES["dedup_jaccard_pairs"](spark, sf_dir)
+        ).select("doc_a", "doc_b")
+    )
+    sigs = iter_materialize(minhash_sigs_frame(spark, sf_dir, docs=docs))
+    out = None
+    for r in _BAND_CURVE_RS:
+        cand = iter_materialize(
+            minhash_candidate_pairs(bands_from_sigs(sigs, band_rows=r))
+        )
+        hit = truth.intersect(cand)
+        n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+        n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        n_hit = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+        row = (
+            n_true.crossJoin(n_cand)
+            .crossJoin(n_hit)
+            .select(
+                F.lit(r).cast("bigint").alias("band_rows"),
+                F.lit(16 // r).cast("bigint").alias("n_bands"),
+                "n_true",
+                "n_candidates",
+                "n_hit",
+                F.round(
+                    F.col("n_hit").cast("double")
+                    / F.greatest(F.col("n_true"), F.lit(1)),
+                    6,
+                ).alias("recall"),
+                F.round(
+                    F.col("n_hit").cast("double")
+                    / F.greatest(F.col("n_candidates"), F.lit(1)),
+                    6,
+                ).alias("precision"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("band_rows")
+
+
+# ---------------------------------------------------------------------------
+# mm_payload_uniformity — chi-square-vs-uniform byte profile per payload
+# ---------------------------------------------------------------------------
+
+_HEX_DIGITS = "0123456789ABCDEF"
+
+
+def _uniformity_terms_sql() -> str:
+    """Σ over the 16 hex digits of (16·count − L)² where L =
+    length(hx) — counts come from length-difference after replace(),
+    so absent digits contribute L² with no enumeration at all."""
+    # The deviation is lifted to BIGINT BEFORE squaring: length() is
+    # 32-bit in Spark and the 16-term sum of squares exceeds INT range
+    # from ~2 KB payloads (ANSI Spark raises where DuckDB widens).
+    dev = (
+        "(16 * CAST(length(hx) - length(replace(hx, '{d}', '')) AS BIGINT)"
+        " - length(hx))"
+    )
+    return " + ".join(f"{dev.format(d=d)} * {dev.format(d=d)}" for d in _HEX_DIGITS)
+
+
+@_stage(
+    "mm_payload_uniformity",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             hex(encode(text)) AS hx
+      FROM documents
+      WHERE octet_length(encode(text)) > 0
+    )
+    SELECT media_id, n_bytes,
+           CAST({_uniformity_terms_sql()} AS BIGINT) AS dev2_sum,
+           CAST(1000 * ({_uniformity_terms_sql()}) AS BIGINT)
+             // (16 * length(hx)) AS chisq_milli
+    FROM m
+    """,
+)
+def mm_payload_uniformity(spark, sf_dir: str) -> DataFrame:
+    """Staged M-row — BYTE-UNIFORMITY profile per payload: the exact
+    chi-square-vs-uniform statistic over the 16 hex digits of the
+    payload's hex encoding, the standard compressed/encrypted-asset
+    detector (already-compressed payloads score near the df=15
+    expectation ~15 000 milli; text/structured assets score orders of
+    magnitude higher) — the triage a media pipeline runs BEFORE
+    spending codec or compression work, on the same hex substrate as
+    M185/M199.
+
+    Integer-exact with no enumeration: each digit count is
+    length(hx) − length(replace(hx, d, '')) — 16 scalar expressions
+    per row, identical in both engines — and absent digits fall out
+    of the algebra ((16·0 − L)² = L²) instead of needing a
+    domain-completion join.  dev2_sum = Σ(16·c_d − L)² = 16L·χ²;
+    chisq_milli = 1000·dev2_sum div (16L) is the exact milli-χ²
+    (non-negative numerator: DuckDB // and Spark div agree).  BIGINT
+    bound: dev2_sum ≤ 240·L², so the 1000× carrier is exact for
+    payloads up to ~3 MB — beyond that, switch the carrier to
+    DECIMAL(38,0)/HUGEINT per the wide-integer finale rule.
+    Scale: a pure scan-side projection — no shuffle, no explode, no
+    payload movement."""
+    from tropology_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    m = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8"))
+        .cast("bigint")
+        .alias("n_bytes"),
+        F.hex(F.encode(F.col("text"), "UTF-8")).alias("hx"),
+    ).filter(F.col("n_bytes") > 0)
+    terms = _uniformity_terms_sql()
+    return m.select(
+        "media_id",
+        "n_bytes",
+        F.expr(f"CAST({terms} AS BIGINT)").alias("dev2_sum"),
+        F.expr(f"CAST(1000 * ({terms}) AS BIGINT) div (16 * length(hx))")
+        .cast("bigint")
+        .alias("chisq_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm_phash_clusters — visual near-dup clusters over the M99 pHash graph
+# ---------------------------------------------------------------------------
+
+
+def _phash_clusters_oracle() -> str:
+    from tropology_spark.registry import ORACLES
+
+    return (
+        """
+    WITH cand AS (SELECT id_a AS doc_a, id_b AS doc_b FROM ({ph}) p),
+    und AS (SELECT doc_a AS u, doc_b AS v FROM cand
+            UNION ALL SELECT doc_b, doc_a FROM cand),
+    l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),""".format(
+            ph=ORACLES["mm_phash_hamming"]
+        )
+        + _minlabel_steps_sql(3)
+        + """
+    , siz AS (SELECT lbl, count(*) AS n FROM l3 GROUP BY lbl)
+    SELECT l3.doc_id, CAST(l3.lbl AS BIGINT) AS phash_cluster,
+           CAST(siz.n AS BIGINT) AS cluster_size
+    FROM l3 JOIN siz ON l3.lbl = siz.lbl
+    """
+    )
+
+
+@_stage("mm_phash_clusters", oracle=_phash_clusters_oracle())
+def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — VISUAL near-dup cluster assignment: 3-round
+    min-label propagation over the M99 perceptual-hash Hamming graph
+    (banded LSH candidates at distance ≤ 3), emitting every asset's
+    cluster representative AND its cluster size — M99 emits PAIRS;
+    a media dedup DROP stage needs the transitive grouping plus the
+    size (keep 1 per cluster ⇒ drop budget = Σ(size − 1)), exactly
+    the dedup_cluster3 argument applied to the multimodal corpus.
+
+    Composed, not copied: the candidate graph is the registered
+    mm_phash_hamming pipeline (oracle composed verbatim); the
+    propagation is minlabel_rounds / _minlabel_steps_sql — the SAME
+    single-home arithmetic dedup_cluster3 uses, differing only in the
+    input graph.  Scale: the pair graph is banded (never all-pairs);
+    each round is one shuffle on the asset key; the label vector is
+    checkpointed per round (DOUBLE-REFERENCE rule), and the size
+    rollup is one map-side-combinable groupBy."""
+    from tropology_spark import QUERIES
+    from tropology_spark.session import iter_materialize
+    from tropology_spark.sources.tables import load
+
+    pairs = QUERIES["mm_phash_hamming"](spark, sf_dir).select("id_a", "id_b")
+    und = iter_materialize(
+        pairs.select(
+            F.col("id_a").alias("u"), F.col("id_b").alias("v")
+        ).unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    )  # referenced by all three rounds
+    lab = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("doc_id").alias("lbl")
+    )
+    lab = minlabel_rounds(lab, und, 3)
+    siz = lab.groupBy("lbl").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return lab.join(siz, "lbl").select(
+        "doc_id",
+        F.col("lbl").cast("bigint").alias("phash_cluster"),
+        F.col("n").alias("cluster_size"),
+    )
