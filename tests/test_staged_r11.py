@@ -714,3 +714,42 @@ def test_staged_phash_clusters_matches_pure_python(spark):
             dist += 1
         for x in reach:
             assert got[x][0] == mn, (x, mn)
+
+
+@settings(**_SMALL)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=3, max_size=40),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_band_curve_config_containment(spark, texts):
+    """The structural guarantee behind the (b, r) curve, on the exact
+    staged banding path: a pair sharing an 8-row band shares both its
+    4-row halves, and a pair sharing a 4-row band shares both its
+    2-row halves — so the candidate SETS must nest
+    cand(r=8) ⊆ cand(r=4) ⊆ cand(r=2) on any corpus (the count
+    monotonicity the twin checks is a corollary)."""
+    from tropology_spark.operators.dedup import (
+        bands_from_sigs,
+        minhash_candidate_pairs,
+        minhash_sigs_frame,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sigs = minhash_sigs_frame(spark, "unused", docs=docs).localCheckpoint(
+        eager=True
+    )
+    cand = {
+        r: {
+            (x["doc_a"], x["doc_b"])
+            for x in minhash_candidate_pairs(
+                bands_from_sigs(sigs, band_rows=r)
+            ).collect()
+        }
+        for r in (2, 4, 8)
+    }
+    assert cand[8] <= cand[4] <= cand[2], cand
