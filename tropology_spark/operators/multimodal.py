@@ -332,7 +332,12 @@ def mm_phash_hamming(spark, sf_dir: str) -> DataFrame:
     the part that must scale — is fully exercised and oracle-checked.
 
     Scale: two band-equi-joins (shuffle on an 8-bit key + doc ordering
-    keeps pairs unique), no all-pairs product; popcount is JVM-side."""
+    keeps pairs unique), no all-pairs product; popcount is JVM-side.
+    The FIXED 8-bit band is right for the declared 16-bit hash; with a
+    real 64-bit pHash at corpus scale the band width grows with
+    log2(n) (e.g. 16-bit bands at 10⁸ assets) so per-bucket population
+    — and with it the ~n²/2^bits candidate quadratic — stays bounded;
+    the banding SHAPE here is what survives that widening unchanged."""
     from tropology_spark.sources.tables import load
 
     docs = load(spark, sf_dir, "documents").withColumn(

@@ -1411,10 +1411,15 @@ def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm_phash_hamming pipeline (oracle composed verbatim); the
     propagation is minlabel_rounds / _minlabel_steps_sql — the SAME
     single-home arithmetic dedup_cluster3 uses, differing only in the
-    input graph.  Scale: the pair graph is banded (never all-pairs);
+    input graph.  Scale: the pair graph is banded (never all-pairs;
+    band width grows with log2(n) at corpus scale — the M99 note);
     each round is one shuffle on the asset key; the label vector is
     checkpointed per round (DOUBLE-REFERENCE rule), and the size
-    rollup is one map-side-combinable groupBy."""
+    rollup is one map-side-combinable groupBy.  Unlike the LSH
+    near-clique components, pHash band chains can exceed diameter 3 —
+    partial labels after the bounded unroll are the documented
+    stepping-stone semantics (full convergence = the registered M8
+    operator), and the twin pins exact 3-hop-ball convergence."""
     from tropology_spark import QUERIES
     from tropology_spark.session import iter_materialize
     from tropology_spark.sources.tables import load
