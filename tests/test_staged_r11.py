@@ -753,3 +753,80 @@ def test_band_curve_config_containment(spark, texts):
         for r in (2, 4, 8)
     }
     assert cand[8] <= cand[4] <= cand[2], cand
+
+
+def test_staged_hll_matches_pure_python(spark):
+    """agg_hll_audit — the full HLL pipeline (bucket split, rho via
+    bit_length, register max-merge, dyadic harmonic-sum carrier,
+    integral alpha*m^2/S estimate, ppm ratio) recomputed from raw
+    parquet with hashlib + Python ints (arbitrary precision — an
+    independent check on every BIGINT carrier)."""
+    import hashlib
+    from collections import defaultdict
+
+    import duckdb
+
+    from tropology_spark.operators.staged_r11 import _HLL_M, _HLL_NUM
+
+    fn, _ = STAGED["agg_hll_audit"]
+    rows = duckdb.sql(
+        "SELECT o_orderpriority, o_custkey "
+        f"FROM read_parquet('{SF_UNIT}/orders.parquet')"
+    ).fetchall()
+    regs: dict = defaultdict(lambda: defaultdict(int))
+    exact: dict = defaultdict(set)
+    for pri, ck in rows:
+        h = hashlib.md5(str(ck).encode()).hexdigest()
+        bucket = int(h[0], 16)
+        w = int(h[1:9], 16)
+        rho = 33 if w == 0 else 33 - w.bit_length()
+        regs[pri][bucket] = max(regs[pri][bucket], rho)
+        exact[pri].add(ck)
+    want = {}
+    for pri in exact:
+        s = sum(1 << (33 - regs[pri][b]) for b in range(_HLL_M))
+        v = sum(1 for b in range(_HLL_M) if regs[pri][b] == 0)
+        est = _HLL_NUM // (1000 * s)
+        n = len(exact[pri])
+        want[pri] = (n, v, s, est, (1000000 * est) // n)
+    got = {
+        r["o_orderpriority"]: (
+            r["n_exact"], r["v_empty"], r["s_carrier"],
+            r["hll_est"], r["ratio_ppm"],
+        )
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+    # sanity on the estimator itself: every group within 3x of exact
+    # (m=16 gives ~26% standard error; 3x is a loose structural bound
+    # that catches formula errors, not noise)
+    for pri, (n, _v, _s, est, _r) in got.items():
+        assert n // 3 <= est <= 3 * n, (pri, n, est)
+
+
+def test_staged_simpson_matches_pure_python(spark):
+    """text_simpson_concentration — Counter twin over the raw text:
+    token counts, the unbiased collision numerator, and the ppm
+    division recomputed with Python ints."""
+    from collections import Counter
+
+    import duckdb
+
+    fn, _ = STAGED["text_simpson_concentration"]
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
+    ).fetchall()
+    want = {}
+    for did, t in texts:
+        c = Counter(tok for tok in t.split(" ") if tok != "")
+        n = sum(c.values())
+        if n == 0:
+            continue
+        s2 = sum(v * (v - 1) for v in c.values())
+        ppm = (1000000 * s2) // (n * (n - 1)) if n >= 2 else 0
+        want[did] = (n, len(c), s2, ppm)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["s2"], r["simpson_ppm"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want

@@ -1440,3 +1440,301 @@ def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").cast("bigint").alias("phash_cluster"),
         F.col("n").alias("cluster_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_hll_audit — HyperLogLog register audit with an exact dyadic estimate
+# ---------------------------------------------------------------------------
+
+#: HLL geometry: b = 4 bucket bits (one md5 hex digit) -> m = 16
+#: registers; rho is measured over the NEXT 32 hash bits (8 hex
+#: chars), so rho in [1, 33] and an empty register carries 0.
+_HLL_M = 16
+#: alpha_16 = 0.673 carried as a /1000 fixed point, and the whole raw
+#: estimate kept integral: E = alpha*m^2 / sum(2^-rho_j).  With
+#: S = sum_j 2^(33 - M_j) (an integer, since M_j <= 33) the estimate
+#: is exactly (673 * m^2 * 2^33) div (1000 * S) — a dyadic-rational
+#: carrier, no float anywhere (the KMV-estimate discipline applied to
+#: HLL's harmonic mean).
+_HLL_NUM = 673 * _HLL_M * _HLL_M * (1 << 33)
+
+
+@_stage(
+    "agg_hll_audit",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderpriority,
+             ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 1))::BIGINT
+               AS bucket,
+             ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 2, 8))::BIGINT
+               AS w
+      FROM orders),
+    regs AS (
+      SELECT o_orderpriority, bucket,
+             max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS m
+      FROM h GROUP BY o_orderpriority, bucket),
+    spine AS (
+      SELECT g.o_orderpriority, s.b AS bucket
+      FROM (SELECT DISTINCT o_orderpriority FROM orders) g,
+           (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS b) s),
+    full_regs AS (
+      SELECT spine.o_orderpriority, spine.bucket, coalesce(regs.m, 0) AS m0
+      FROM spine LEFT JOIN regs
+        ON spine.o_orderpriority = regs.o_orderpriority
+       AND spine.bucket = regs.bucket),
+    agg AS (
+      SELECT o_orderpriority,
+             CAST(sum(1::BIGINT << (33 - m0)) AS BIGINT) AS s_carrier,
+             CAST(sum(CASE WHEN m0 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty
+      FROM full_regs GROUP BY o_orderpriority),
+    ex AS (SELECT o_orderpriority,
+                  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+           FROM orders GROUP BY o_orderpriority),
+    est AS (
+      SELECT agg.o_orderpriority, ex.n_exact, agg.v_empty, agg.s_carrier,
+             CAST({_HLL_NUM} // (1000 * agg.s_carrier) AS BIGINT) AS hll_est
+      FROM agg JOIN ex ON agg.o_orderpriority = ex.o_orderpriority)
+    SELECT o_orderpriority, n_exact, v_empty, s_carrier, hll_est,
+           CAST((1000000 * hll_est) // n_exact AS BIGINT) AS ratio_ppm
+    FROM est
+    """,
+)
+def agg_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — HyperLogLog distinct-count audit, the one
+    canonical mergeable sketch the family (KMV M138/M161/M214, bitmap
+    M97, CMS M128, quantile M175) did not yet cover: per order
+    priority, the m=16 max-rho register vector summarized to its
+    dyadic harmonic-sum carrier, the raw HLL estimate, and the
+    estimate/exact ratio in ppm.
+
+    All integer arithmetic end to end: bucket = first md5 hex digit,
+    rho = 33 - bit_length of the next 32 hash bits (length(bin(w)) —
+    both engines agree exactly), registers max-merge, and the
+    harmonic mean is carried as S = sum 2^(33-M_j) so the alpha*m^2/S
+    estimate is one integral division (no float, no engine libm — the
+    cross-engine float rule).  Empty registers enter as M_j = 0 via a
+    16-slot spine (explode of a bounded literal sequence, no join
+    blowup), exactly the standard-HLL convention, and v_empty is
+    emitted so a consumer can see when the linear-counting regime
+    (many empty registers) applies.
+
+    Scale: register max-merge is map-side combinable (the entire point
+    of HLL at 100 TB — per-partition partials are 16 bytes and merge
+    associatively, vs D3's expand-mode raw-key reshuffle); one shuffle
+    on (group, bucket), one on group; the exact side exists only
+    because this is an AUDIT."""
+    o = load(spark, sf_dir, "orders")
+    md = F.md5(F.col("o_custkey").cast("string"))
+    h = o.select(
+        "o_orderpriority",
+        F.conv(F.substring(md, 1, 1), 16, 10).cast("bigint").alias("bucket"),
+        F.conv(F.substring(md, 2, 8), 16, 10).cast("bigint").alias("w"),
+        "o_custkey",
+    )
+    regs = h.groupBy("o_orderpriority", "bucket").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(33)).otherwise(
+                F.lit(33) - F.length(F.bin("w"))
+            )
+        ).alias("m")
+    )
+    spine = (
+        o.select("o_orderpriority")
+        .distinct()
+        .select(
+            "o_orderpriority",
+            F.expr(f"explode(sequence(0L, {_HLL_M - 1}L))").alias("bucket"),
+        )
+    )
+    full = spine.join(regs, ["o_orderpriority", "bucket"], "left").withColumn(
+        "m0", F.coalesce(F.col("m"), F.lit(0))
+    )
+    agg = full.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("shiftleft(1L, CAST(33 - m0 AS INT))"))
+        .cast("bigint")
+        .alias("s_carrier"),
+        F.sum(F.when(F.col("m0") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_empty"),
+    )
+    ex = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_exact")
+    )
+    return (
+        agg.join(ex, "o_orderpriority")
+        .withColumn(
+            "hll_est",
+            F.expr(f"CAST({_HLL_NUM} div (1000 * s_carrier) AS BIGINT)"),
+        )
+        .withColumn(
+            "ratio_ppm",
+            F.expr("CAST((1000000 * hll_est) div n_exact AS BIGINT)"),
+        )
+        .select(
+            "o_orderpriority", "n_exact", "v_empty", "s_carrier",
+            "hll_est", "ratio_ppm",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_simpson_concentration — exact-integer lexical concentration
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "text_simpson_concentration",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    c AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+          FROM tok WHERE token <> '' GROUP BY doc_id, token),
+    per AS (SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(c * (c - 1)) AS BIGINT) AS s2
+            FROM c GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct, s2,
+           CAST(CASE WHEN n_tokens >= 2
+                     THEN (1000000 * s2) // (n_tokens * (n_tokens - 1))
+                     ELSE 0 END AS BIGINT) AS simpson_ppm
+    FROM per
+    """,
+)
+def text_simpson_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — per-document Simpson concentration (unbiased
+    token collision probability sum c_i(c_i-1) / N(N-1), in ppm): the
+    exact-integer lexical-diversity quality signal.  Complements M5
+    (plain token counts) and M28 (bigram repetition): Simpson reacts
+    to a skewed unigram DISTRIBUTION (one token dominating) that both
+    of those miss — the classic low-quality signature of keyword-spam
+    and template pages — and 1/Simpson is the effective vocabulary
+    size filter pipelines threshold on.
+
+    The unbiased (sampling-without-replacement) form keeps the whole
+    statistic in BIGINT: numerator and denominator are integer
+    products, one ppm-scaled integral division at the end (DuckDB //
+    and Spark div agree — both operands non-negative).  The s2 carrier
+    is emitted so downstream can re-derive any rescaling exactly.
+
+    Scale: tokenize -> per-(doc,token) count (map-side combinable) ->
+    per-doc rollup; two shuffles on doc-keyed rows, no joins, no
+    windows — embarrassingly parallel over documents."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    c = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    per = c.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("s2"),
+    )
+    return per.select(
+        "doc_id", "n_tokens", "n_distinct", "s2",
+        F.expr(
+            "CAST(CASE WHEN n_tokens >= 2 THEN (1000000 * s2)"
+            " div (n_tokens * (n_tokens - 1)) ELSE 0 END AS BIGINT)"
+        ).alias("simpson_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_method_overlap — cross-method dedup Venn profile (composed)
+# ---------------------------------------------------------------------------
+
+
+def _method_overlap_oracle() -> str:
+    from tropology_spark.registry import ORACLES
+
+    return """
+    WITH ex AS ({ex}),
+    mh AS ({mh}),
+    sh AS ({sh}),
+    ng AS ({ng}),
+    flags AS (
+      SELECT 'exact' AS method, d.doc_id
+      FROM documents d JOIN ex
+        ON md5(d.text) = ex.text_hash AND d.doc_id > ex.keep_doc_id
+      UNION ALL SELECT 'minhash', doc_b FROM mh
+      UNION ALL SELECT 'simhash', doc_b FROM sh
+      UNION ALL SELECT 'ngram', doc_b FROM ng
+    ),
+    bm AS (
+      SELECT doc_id,
+             max(CASE WHEN method = 'exact' THEN 1 ELSE 0 END) AS f_exact,
+             max(CASE WHEN method = 'minhash' THEN 1 ELSE 0 END) AS f_minhash,
+             max(CASE WHEN method = 'simhash' THEN 1 ELSE 0 END) AS f_simhash,
+             max(CASE WHEN method = 'ngram' THEN 1 ELSE 0 END) AS f_ngram
+      FROM flags GROUP BY doc_id)
+    SELECT CAST(f_exact AS BIGINT) AS f_exact,
+           CAST(f_minhash AS BIGINT) AS f_minhash,
+           CAST(f_simhash AS BIGINT) AS f_simhash,
+           CAST(f_ngram AS BIGINT) AS f_ngram,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM bm GROUP BY f_exact, f_minhash, f_simhash, f_ngram
+    """.format(
+        ex=ORACLES["dedup_exact"],
+        mh=ORACLES["dedup_minhash_lsh"],
+        sh=ORACLES["dedup_simhash"],
+        ng=ORACLES["dedup_ngram_jaccard"],
+    )
+
+
+@_stage("dedup_method_overlap", oracle=_method_overlap_oracle())
+def dedup_method_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — which dedup families flag which documents: the
+    per-doc drop-side flag under each of the four text methods (exact
+    md5, MinHash-LSH candidates, SimHash Hamming<=6, trigram Jaccard
+    >=0.4) rolled up to the full Venn combination profile (flag
+    bitmap -> doc count + min doc id anchor).  The audit a curation
+    team runs before ordering a cascade: a method whose flags are a
+    subset of a cheaper method's is redundant; the exclusive cells
+    are each stage's marginal contribution.
+
+    Composed, not copied: all four flag sets come from the REGISTERED
+    pipelines — QUERIES on the Spark side (sharing the session's
+    minhash-band and simhash signature caches), ORACLES verbatim on
+    the DuckDB side (the dedup_lsh_recall rule).  Drop-side
+    convention: a doc is flagged if it is the LARGER id of a candidate
+    pair (keep-smallest), and for exact groups every non-representative
+    copy.
+
+    Scale: every underlying method is banded/blocked (never
+    all-pairs); the overlay adds one union + two doc-keyed
+    map-side-combinable groupBys — the profile itself is O(2^4)
+    rows."""
+    from tropology_spark import QUERIES
+
+    docs = load(spark, sf_dir, "documents")
+    ex = QUERIES["dedup_exact"](spark, sf_dir)
+    exact_flagged = docs.join(
+        ex,
+        (F.md5(F.col("text")) == F.col("text_hash"))
+        & (F.col("doc_id") > F.col("keep_doc_id")),
+    ).select(F.lit("exact").alias("method"), "doc_id")
+    flagged = exact_flagged
+    for method, qname in (
+        ("minhash", "dedup_minhash_lsh"),
+        ("simhash", "dedup_simhash"),
+        ("ngram", "dedup_ngram_jaccard"),
+    ):
+        flagged = flagged.unionAll(
+            QUERIES[qname](spark, sf_dir).select(
+                F.lit(method).alias("method"), F.col("doc_b").alias("doc_id")
+            )
+        )
+    bm = flagged.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("method") == m, 1).otherwise(0)).alias(f"f_{m}")
+            for m in ("exact", "minhash", "simhash", "ngram")
+        ]
+    )
+    return bm.groupBy(
+        *[F.col(f"f_{m}").cast("bigint").alias(f"f_{m}")
+          for m in ("exact", "minhash", "simhash", "ngram")]
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+    )
