@@ -1,0 +1,289 @@
+"""Driver-replica parity for the STAGED round-12 operators
+(tropology_spark/operators/staged_r12.py) — the full compare the
+registry queries get, run over the staged (fn, oracle) pairs at both
+verification scales, plus independent Python twins for the
+formula-bearing ops and the partitioning-invariance probe.  Activation
+in round 12 is then a mechanical move-and-register.
+
+The staged module must never be imported by package __init__ (registry
+order is externally significant); importing it here is safe because it
+registers nothing.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE, SF_UNIT, make_duckdb
+from tropology_spark.operators.staged_r12 import STAGED
+
+
+def test_staged_r12_module_registers_nothing():
+    from tropology_spark import QUERIES
+
+    assert not (set(STAGED) & set(QUERIES))
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_r12_parity_both_scales(spark, name):
+    from tests.parity import compare
+
+    fn, oracle = STAGED[name]
+    for sf in (SF_UNIT, SF_ORACLE):
+        con = make_duckdb(sf)
+        try:
+            compare(name, spark, con, fn, oracle, sf)
+        finally:
+            con.close()
+
+
+def test_staged_r12_partitioning_invariance(spark):
+    """The activation-time lockstep requires partitioning invariance;
+    pin it NOW for every staged op (three shuffle-partition settings
+    must produce identical value sets)."""
+    from tests.parity import canon_rows, spark_result
+    from tropology_spark.sources.tables import clear_session_caches
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {n: set() for n in STAGED}
+        for parts in ("5", "13", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            clear_session_caches()
+            for n, (fn, _) in STAGED.items():
+                cols, rows = spark_result(fn(spark, SF_UNIT))
+                results[n].add(tuple(canon_rows(cols, rows)))
+        for n, seen in results.items():
+            assert len(seen) == 1, f"staged {n} varies with shuffle partitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+        clear_session_caches()
+
+
+def test_staged_r12_no_new_plan_antipatterns(spark):
+    """Pre-activation plan sweep: no CartesianProduct, no row-Python
+    UDF anywhere in the staged plans; BroadcastNestedLoopJoin only at
+    the four noted scalar attaches (agg_ams_f2's 1-row exact-F2
+    cross, text_bm25_terms' 1-row corpus-totals cross,
+    sim_graph_greedy_search's 1-row query/walker crosses,
+    sim_sq8_recall's inherited sim_topk_cosine query attach) — the
+    names to add to BNLJ_ALLOWED at activation."""
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    bnlj_expected = {
+        "agg_ams_f2",
+        "text_bm25_terms",
+        "sim_graph_greedy_search",
+        "sim_sq8_recall",
+    }
+    bad = {}
+    for name, (fn, _) in STAGED.items():
+        s = fn(spark, SF_UNIT)._jdf.queryExecution().explainString(mode)
+        if "CartesianProduct" in s:
+            bad[name] = "CartesianProduct"
+        if "BatchEvalPython" in s:
+            bad[name] = "row-Python UDF"
+        if "BroadcastNestedLoopJoin" in s and name not in bnlj_expected:
+            bad[name] = "unexpected BNLJ"
+    assert not bad, bad
+
+
+# ---------------------------------------------------------------------------
+# Python twins (NEW-OP CROSS-CHECK DISCIPLINE) — hashlib / Counter /
+# NumPy recomputations with arbitrary-precision ints; no SQL engine.
+# ---------------------------------------------------------------------------
+
+
+def _load_vm():
+    """Embeddings as int64 micro-unit vectors keyed by vec_id."""
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{SF_UNIT}/embeddings.parquet')"
+    ).fetchall()
+    ids = [int(r[0]) for r in rows]
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    vm = np.round(m * 1_000_000).astype(np.int64)
+    return ids, vm
+
+
+def test_staged_sq8_matches_pure_python(spark):
+    """sim_sq8_recall — codes, reconstruction, and ADC top-10
+    recomputed with NumPy int64 arithmetic (floor division on
+    non-negative numerators == both engines' div)."""
+    import numpy as np
+
+    ids, vm = _load_vm()
+    idx = {v: i for i, v in enumerate(ids)}
+    mn = vm.min(axis=0)
+    mx = vm.max(axis=0)
+    span = mx - mn
+    assert (span > 0).all()  # fixture guarantee the CASE guard covers
+    qi = idx[0]
+    corpus = [v for v in ids if v != 0]
+    code = ((vm - mn) * 255) // span
+    recon = mn + (code * span) // 255
+    scores = {v: int(np.dot(vm[qi], recon[idx[v]])) for v in corpus}
+    order = sorted(corpus, key=lambda v: (-scores[v], v))[:10]
+    want = {(rk, v, scores[v]) for rk, v in enumerate(order, 1)}
+
+    fn, _ = STAGED["sim_sq8_recall"]
+    got_rows = fn(spark, SF_UNIT).collect()
+    got = {(r["rk"], r["vec_id"], r["adc_score"]) for r in got_rows}
+    assert got == want
+    # hit flags sum to |SQ8 top10 ∩ exact top10| — bounded sanity
+    assert 0 <= sum(r["hit"] for r in got_rows) <= 10
+
+
+def test_staged_ams_f2_matches_pure_python(spark):
+    """agg_ams_f2 — counters, estimates, exact F2, and the wide ppm
+    carrier recomputed with hashlib + Counter + Python ints."""
+    import hashlib
+    from collections import Counter
+
+    import duckdb
+
+    from tropology_spark.operators.staged_r12 import _AMS_PAIRS, _AMS_PRIME
+
+    pks = [
+        int(r[0])
+        for r in duckdb.sql(
+            f"SELECT l_partkey FROM read_parquet('{SF_UNIT}/lineitem.parquet')"
+        ).fetchall()
+    ]
+    f2 = sum(c * c for c in Counter(pks).values())
+    want = set()
+    for j, (a, b) in enumerate(_AMS_PAIRS):
+        c = 0
+        for pk in pks:
+            h = int(hashlib.md5(str(pk).encode()).hexdigest()[:8], 16)
+            c += 1 if ((h * a + b) % _AMS_PRIME) % 2 == 0 else -1
+        want.add((j, c, c * c, f2, (c * c * 1_000_000) // f2))
+
+    fn, _ = STAGED["agg_ams_f2"]
+    got = {
+        (r["sketch_id"], r["counter"], r["est"], r["f2_exact"], r["ratio_ppm"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_staged_bm25_matches_pure_python(spark):
+    """text_bm25_terms — the integer rational milli carrier recomputed
+    with Counter arithmetic over the exact split(' ') tokenization."""
+    from collections import Counter
+
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
+    ).fetchall()
+    tf: Counter = Counter()
+    dl: Counter = Counter()
+    dfc: Counter = Counter()
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        dl[doc_id] = len(toks)
+        for t in toks:
+            tf[(doc_id, t)] += 1
+        for t in set(toks):
+            dfc[t] += 1
+    d_total = sum(dl.values())
+    n_docs = len(docs)
+    terms = sorted(dfc, key=lambda t: (-dfc[t], t))[:5]
+    want = set()
+    for t in terms:
+        scored = []
+        for (doc_id, tok), f in tf.items():
+            if tok != t:
+                continue
+            milli = (22000 * f * d_total) // (
+                10 * f * d_total + 3 * d_total + 9 * dl[doc_id] * n_docs
+            )
+            scored.append((doc_id, f, dl[doc_id], milli))
+        scored.sort(key=lambda r: (-r[3], r[0]))
+        for rk, (doc_id, f, length, milli) in enumerate(scored[:10], 1):
+            want.add((t, doc_id, f, length, dfc[t], n_docs, milli, rk))
+
+    fn, _ = STAGED["text_bm25_terms"]
+    got = {
+        (
+            r["token"], r["doc_id"], r["tf"], r["dl"], r["df"],
+            r["n_docs"], r["milli_tf_comp"], r["rk"],
+        )
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_staged_greedy_search_matches_pure_python(spark):
+    """sim_graph_greedy_search — the walk recomputed over the FULLY
+    materialized kNN graph with NumPy int64 dots (the oracle's
+    formulation), independently checking the Spark side's on-demand
+    edge expansion."""
+    import numpy as np
+
+    from tropology_spark.operators.staged_r12 import (
+        _GG_ENTRY,
+        _GG_K,
+        _GG_STEPS,
+    )
+
+    ids, vm = _load_vm()
+    idx = {v: i for i, v in enumerate(ids)}
+    corpus = [v for v in ids if v != 0]
+    dq = {v: int(np.dot(vm[idx[v]], vm[idx[0]])) for v in corpus}
+    edges = {}
+    for a in corpus:
+        ws = [(int(np.dot(vm[idx[a]], vm[idx[b]])), b) for b in corpus if b != a]
+        ws.sort(key=lambda t: (-t[0], t[1]))
+        edges[a] = [b for _, b in ws[:_GG_K]]
+    cur = _GG_ENTRY
+    want = {(0, cur, dq[cur])}
+    for step in range(1, _GG_STEPS + 1):
+        cur = min([cur] + edges[cur], key=lambda v: (-dq[v], v))
+        want.add((step, cur, dq[cur]))
+
+    fn, _ = STAGED["sim_graph_greedy_search"]
+    got = {
+        (r["step"], r["vec_id"], r["dq"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_staged_motif_counts_matches_pure_python(spark):
+    """ts_motif_counts — the sliding-window count recomputed with
+    Counter over the ORACLE's sax words (the counting formula is the
+    op's own contribution; the words are the already-registered
+    ts_sax_symbols output)."""
+    from collections import Counter, defaultdict
+
+    from tropology_spark.registry import ORACLES
+
+    con = make_duckdb(SF_UNIT)
+    try:
+        words = con.execute(
+            f"SELECT user_id, symbols FROM ({ORACLES['ts_sax_symbols']}) s"
+        ).fetchall()
+    finally:
+        con.close()
+    occ: Counter = Counter()
+    users = defaultdict(set)
+    for user_id, w in words:
+        for i in range(len(w) - 3):
+            motif = w[i : i + 4]
+            occ[motif] += 1
+            users[motif].add(user_id)
+    top = sorted(occ, key=lambda m: (-occ[m], m))[:20]
+    want = {(m, occ[m], len(users[m])) for m in top}
+
+    fn, _ = STAGED["ts_motif_counts"]
+    got = {
+        (r["motif"], r["n_occ"], r["n_users"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want

@@ -1,0 +1,644 @@
+"""STAGED round-12 operators — implemented and parity-tested, NOT yet
+registered (the round-8/9/10 staging pattern, fourth application).
+
+The round-11 window is already fully budgeted (17 staged_r11
+activations + the r04/r05 stale queue — CLAUDE.md "Round-11 window"),
+so these five bodies target ROUND 12.  Same (fn, oracle) contract as
+the registry; activation is the mechanical move + five-fold lockstep.
+tests/test_staged_r12.py runs the driver-replica compare at both
+verification scales, Python twins for the four formula-bearing ops,
+the partitioning-invariance probe, and the plan sweep.
+
+This module is intentionally NOT imported from ``tropology_spark/
+__init__.py`` — importing it must never perturb registry order (guard
+test pins that it registers nothing).
+
+New capability coverage (SURVEY §2.M candidates at activation):
+- sim_sq8_recall — int8 scalar quantization (SQ8) retrieval + recall
+  audit: the missing quantization flavor after BQ / PQ / IVF /
+  matryoshka / RP-LSH.
+- agg_ams_f2 — AMS "tug-of-war" second-frequency-moment sketch audit
+  (map-side-combinable counters, the KMV/HLL discipline applied to F2).
+- text_bm25_terms — BM25 tf-component scoring with exact integer
+  rational carriers (the *_terms discipline; idf left as (N, df)
+  integer terms because ln is transcendental).
+- sim_graph_greedy_search — greedy routing over a kNN graph (the
+  HNSW layer-0 search story) with integer micro-dot scores.
+- ts_motif_counts — SAX motif mining composed on the registered
+  ts_sax_symbols words (sliding 4-grams, corpus top-20).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tropology_spark.registry import ORACLES
+from tropology_spark.operators.similarity import (
+    EMB_DIM,
+    QUERY_VEC_ID,
+    _pq_exm,
+    sim_topk_cosine,
+)
+from tropology_spark.operators.timeseries import ts_sax_symbols
+from tropology_spark.sources.tables import load
+
+#: name -> (query_fn, oracle_sql); the registry contract, unregistered.
+STAGED: dict = {}
+
+
+def _stage(name: str, oracle: str):
+    def deco(fn):
+        STAGED[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# sim_sq8_recall — int8 scalar quantization retrieval + recall audit
+# ---------------------------------------------------------------------------
+
+#: Micro-unit long form of the embeddings (the M104 vm carrier),
+#: shared CTE head for the SQ8 oracle.
+_SQ8_EX_CTE = f"""
+    WITH ex AS (
+      SELECT vec_id, i AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vm
+      FROM embeddings, (SELECT unnest(generate_series(1, {EMB_DIM})) AS i) s
+    )
+"""
+
+_SQ8_ORACLE = (
+    _SQ8_EX_CTE
+    + f"""
+    , st AS (SELECT pos, min(vm) AS mn, max(vm) AS mx FROM ex GROUP BY pos),
+    cd AS (
+      SELECT e.vec_id, e.pos, st.mn, st.mx,
+             CASE WHEN st.mx = st.mn THEN CAST(0 AS BIGINT)
+                  ELSE ((e.vm - st.mn) * 255) // (st.mx - st.mn) END AS code
+      FROM ex e JOIN st ON e.pos = st.pos
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+    ),
+    rc AS (SELECT vec_id, pos,
+                  mn + (code * (mx - mn)) // 255 AS recon FROM cd),
+    q AS (SELECT pos, vm AS qvm FROM ex WHERE vec_id = {QUERY_VEC_ID}),
+    sc AS (SELECT r.vec_id, CAST(sum(q.qvm * r.recon) AS BIGINT) AS adc_score
+           FROM rc r JOIN q ON r.pos = q.pos GROUP BY r.vec_id),
+    tp AS (SELECT vec_id, adc_score,
+                  row_number() OVER (ORDER BY adc_score DESC, vec_id) AS rk_sq
+           FROM sc),
+    exact AS ({{exact}})
+    SELECT CAST(tp.rk_sq AS BIGINT) AS rk, tp.vec_id, tp.adc_score,
+           CAST(CASE WHEN e2.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS hit
+    FROM tp LEFT JOIN (SELECT vec_id FROM exact) e2 ON tp.vec_id = e2.vec_id
+    WHERE tp.rk_sq <= 10
+    """
+).format(exact=ORACLES["sim_topk_cosine"])
+
+
+@_stage("sim_sq8_recall", oracle=_SQ8_ORACLE)
+def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantization retrieval + recall audit — the standard
+    int8 codec (per-dimension min/max grid, 256 levels) evaluated
+    against the brute-force cosine truth.  Completes the quantization
+    family: BQ (1 bit/dim), PQ (subspace codebooks), IVF (coarse
+    cells), matryoshka (prefix dims) — SQ8 is the 8-bit/dim point on
+    the same accuracy/footprint curve.
+
+    Everything is integer-exact cross-engine: values enter as the
+    M104 micro-unit carrier vm = round(val·10⁶); the code
+    ((vm−mn)·255) div (mx−mn) and the reconstruction
+    mn + (code·(mx−mn)) div 255 use non-negative numerators only, so
+    Spark ``div`` (truncating) and DuckDB ``//`` (flooring) agree; the
+    ADC score Σ qvm·recon is a BIGINT (≤ 64·(6·10⁵)² ≈ 2.3·10¹³).
+    Ranking is (adc_score DESC, vec_id) — fully deterministic.  The
+    hit flag joins the registered sim_topk_cosine truth (oracle
+    composes that oracle verbatim, the sim_ann_recall rule).
+
+    Scale: the per-dim min/max is one map-side-combinable agg over a
+    narrow projection; codes are a scan-local transform (at 100 TB the
+    encoded corpus is a saved artifact like the PQ/BQ indexes — 64
+    bytes/vector); the query-side scan is one broadcast join + a
+    map-combinable sum.  The exploded ex frame feeds three branches
+    (stats, codes, query) → checkpointed per the double-reference
+    rule."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ex = _pq_exm(e).localCheckpoint(eager=True)
+    st = ex.groupBy("pos").agg(
+        F.min("vm").alias("mn"), F.max("vm").alias("mx")
+    )
+    cd = (
+        ex.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(st), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            "mn",
+            "mx",
+            F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint"))
+            .otherwise(F.expr("((vm - mn) * 255) div (mx - mn)"))
+            .alias("code"),
+        )
+    )
+    rc = cd.select(
+        "vec_id", "pos", F.expr("mn + (code * (mx - mn)) div 255").alias("recon")
+    )
+    q = ex.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "pos", F.col("vm").alias("qvm")
+    )
+    sc = (
+        rc.join(F.broadcast(q), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("qvm") * F.col("recon")).cast("bigint").alias("adc_score"))
+    )
+    top = sc.orderBy(F.desc("adc_score"), F.asc("vec_id")).limit(10)
+    # rank over the 10 survivors only — non-foldable constant partition
+    # key so no partition-less WindowExec appears (global_order idiom).
+    w = Window.partitionBy(F.pmod(F.col("vec_id"), F.lit(1))).orderBy(
+        F.desc("adc_score"), F.asc("vec_id")
+    )
+    exact = (
+        sim_topk_cosine(spark, sf_dir)
+        .select("vec_id")
+        .withColumn("h1", F.lit(1).cast("bigint"))
+    )
+    return (
+        top.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .join(F.broadcast(exact), "vec_id", "left")
+        .select(
+            "rk",
+            "vec_id",
+            "adc_score",
+            F.coalesce(F.col("h1"), F.lit(0)).cast("bigint").alias("hit"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_ams_f2 — AMS tug-of-war F2 sketch audit
+# ---------------------------------------------------------------------------
+
+#: AMS sign-hash family: ±1 from the parity of (a·h + b) mod p over
+#: the md5-low-32 base hash (the dedup.py portability rationale —
+#: both engines parse the same 8 hex chars).  Multipliers < 2^30 so
+#: a·h < 2^62 never overflows int64 under ANSI Spark.
+_AMS_PRIME = 4294967311  # smallest prime > 2^32
+_AMS_PAIRS = [
+    (664525013, 1073741789),
+    (931386389, 1073741597),
+    (822752279, 1073741399),
+    (668265263, 1073741201),
+    (374761393, 1073741003),
+    (536870923, 1073740805),
+    (715827883, 1073740607),
+    (611603851, 1073740409),
+]
+
+_AMS_SIGN_SQL = [
+    f"CASE WHEN ((h * {a} + {b}) % {_AMS_PRIME}) % 2 = 0 "
+    "THEN 1 ELSE -1 END"
+    for a, b in _AMS_PAIRS
+]
+
+_AMS_ORACLE = f"""
+    WITH h AS (
+      SELECT ('0x' || substring(md5(CAST(l_partkey AS STRING)), 1, 8))::BIGINT
+               AS h
+      FROM lineitem
+    ),
+    s AS (SELECT
+      {", ".join(f"CAST(sum({sql}) AS BIGINT) AS c{j}" for j, sql in enumerate(_AMS_SIGN_SQL))}
+      FROM h),
+    u AS ({" UNION ALL ".join(f"SELECT CAST({j} AS BIGINT) AS sketch_id, c{j} AS counter FROM s" for j in range(8))}),
+    f2 AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact
+           FROM (SELECT CAST(count(*) AS BIGINT) AS c
+                 FROM lineitem GROUP BY l_partkey))
+    SELECT sketch_id, counter,
+           CAST(counter * counter AS BIGINT) AS est,
+           f2_exact,
+           CAST((CAST(counter * counter AS HUGEINT) * 1000000) // f2_exact
+                AS BIGINT) AS ratio_ppm
+    FROM u CROSS JOIN f2
+"""
+
+
+@_stage("agg_ams_f2", oracle=_AMS_ORACLE)
+def agg_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS ("tug-of-war") second-frequency-moment sketch audit over the
+    lineitem part-key stream: eight ±1-sign counters (sign = parity of
+    a universal hash over the md5-low-32 of the key), each counter's
+    square an unbiased F2 estimate, reported against the exact
+    F2 = Σ_v c_v² with the estimate/truth ratio in ppm.  The KMV/HLL
+    audit discipline applied to the classic AMS sketch (Alon-Matias-
+    Szegedy 1996): the registered query IS the quality gate a
+    production F2 sketch ships with.
+
+    Integer-exact cross engines: signs/counters/squares are BIGINTs
+    (|counter| ≤ n_rows, est ≤ n²  — 3.6·10¹¹ at sf0.1); the ppm ratio
+    is computed in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) per the
+    wide-integer finale rule because est·10⁶ exceeds BIGINT once
+    n_rows passes ~3·10⁶ on a regenerated fixture.  Numerator and
+    denominator are both non-negative so div//floor agree.
+
+    Scale: the sketch is ONE map-side-combinable aggregate over a
+    single-column projection — each partition emits 8 partial sums,
+    the classic mergeable-sketch shape; the exact branch (a groupBy on
+    the key) exists only because this is the audit.  The 1-row exact
+    attach is a deliberate scalar crossJoin (BNLJ-allowlisted at
+    activation)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    counters = li.agg(
+        *[
+            F.sum(F.expr(sql)).cast("bigint").alias(f"c{j}")
+            for j, sql in enumerate(_AMS_SIGN_SQL)
+        ]
+    )
+    stack_args = ", ".join(f"{j}L, c{j}" for j in range(8))
+    u = counters.select(
+        F.expr(f"stack(8, {stack_args}) AS (sketch_id, counter)")
+    )
+    f2 = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact"))
+    )
+    return u.crossJoin(F.broadcast(f2)).select(
+        F.col("sketch_id").cast("bigint").alias("sketch_id"),
+        "counter",
+        (F.col("counter") * F.col("counter")).cast("bigint").alias("est"),
+        "f2_exact",
+        F.expr(
+            "CAST((CAST(counter AS DECIMAL(38,0)) * counter * 1000000)"
+            " div f2_exact AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_bm25_terms — BM25 tf-component scoring, integer rational carriers
+# ---------------------------------------------------------------------------
+
+# BM25 with k1 = 1.2, b = 0.75: tf_comp = tf·(k1+1) / (tf + k1·(1−b)
+# + k1·b·dl/avgdl).  Multiplying numerator and denominator by 10·D
+# (D = Σdl, avgdl = D/N) clears every fraction:
+#   milli = 22000·tf·D  //  (10·tf·D + 3·D + 9·dl·N)
+# All terms non-negative BIGINTs (22000·tf·D stays < 2^63 up to
+# tf·D ≈ 4·10¹⁴ — a ~10¹²-token corpus; docstring bound).
+_BM25_ORACLE = """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, token),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM tok GROUP BY doc_id),
+    df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM tok GROUP BY token),
+    g AS (SELECT CAST(sum(dl) AS BIGINT) AS d_total,
+                 CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+    terms AS (SELECT token, df FROM (
+        SELECT token, df,
+               row_number() OVER (ORDER BY df DESC, token) AS rk_t
+        FROM df) t WHERE rk_t <= 5),
+    sc AS (SELECT t.token, f.doc_id, f.tf, l.dl, t.df,
+                  CAST((22000 * f.tf * g.d_total)
+                       // (10 * f.tf * g.d_total + 3 * g.d_total
+                           + 9 * l.dl * g.n_docs) AS BIGINT) AS milli_tf_comp,
+                  g.n_docs
+           FROM terms t
+           JOIN tf f ON f.token = t.token
+           JOIN dl l ON l.doc_id = f.doc_id
+           CROSS JOIN g)
+    SELECT token, doc_id, tf, dl, df, n_docs, milli_tf_comp,
+           CAST(rk_d AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY token
+                                       ORDER BY milli_tf_comp DESC, doc_id)
+                      AS rk_d
+          FROM sc) r
+    WHERE rk_d <= 10
+"""
+
+
+@_stage("text_bm25_terms", oracle=_BM25_ORACLE)
+def text_bm25_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring for the five highest-df corpus terms:
+    per (term, doc) the exact tf-saturation component
+    tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) at the standard k1=1.2,
+    b=0.75, carried as the integer rational
+    milli = 22000·tf·D div (10·tf·D + 3·D + 9·dl·N) — multiplying
+    through by 10·D clears every fraction, all terms are non-negative
+    BIGINTs, and div//floor agree.  The idf factor is transcendental
+    (ln), so per the *_terms discipline its exact integer inputs
+    (n_docs, df) ride along as columns; top-10 docs per term by
+    (milli DESC, doc_id).  Safe to ~10¹² corpus tokens
+    (22000·tf·D < 2⁶³); beyond that the wide-integer rule applies.
+
+    Scale: tf/dl/df are three map-side-combinable aggs over one
+    tokenize pass; the corpus totals are a 1-row scalar attach
+    (deliberate crossJoin, BNLJ-allowlisted at activation); the
+    per-term ranking window is partitioned by token — no global
+    window.  At 100 TB the df/dl tables ARE the inverted-index
+    statistics a retrieval system persists."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    df = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    g = dl.agg(
+        F.sum("dl").cast("bigint").alias("d_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    terms = df.orderBy(F.desc("df"), F.asc("token")).limit(5)
+    sc = (
+        tf.join(F.broadcast(terms), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "token",
+            "doc_id",
+            "tf",
+            "dl",
+            "df",
+            "n_docs",
+            F.expr(
+                "CAST((22000 * tf * d_total) div (10 * tf * d_total"
+                " + 3 * d_total + 9 * dl * n_docs) AS BIGINT)"
+            ).alias("milli_tf_comp"),
+        )
+    )
+    w = Window.partitionBy("token").orderBy(
+        F.desc("milli_tf_comp"), F.asc("doc_id")
+    )
+    return (
+        sc.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "token", "doc_id", "tf", "dl", "df", "n_docs", "milli_tf_comp", "rk"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_graph_greedy_search — greedy routing over a kNN graph (HNSW layer 0)
+# ---------------------------------------------------------------------------
+
+_GG_K = 4  # out-degree of the kNN graph
+_GG_STEPS = 3  # unrolled greedy hops
+_GG_ENTRY = 1  # fixed entry point (HNSW's fixed entry node)
+
+#: One greedy step, oracle side: the walker stands at cur{p}; the
+#: next position is the best of {cur} ∪ outgoing neighbors by
+#: (query-dot DESC, vec_id ASC) — moves only when a neighbor improves,
+#: ties resolved to the smaller id, fully deterministic.
+_GG_STEP_SQL = """
+    , cur{n} AS MATERIALIZED (
+      SELECT vec_id, dq FROM (
+        SELECT u.vec_id, u.dq,
+               row_number() OVER (ORDER BY u.dq DESC, u.vec_id) AS rk_s{n}
+        FROM (SELECT vec_id, dq FROM cur{p}
+              UNION ALL
+              SELECT d.vec_id, d.dq
+              FROM edges e JOIN cur{p} c ON e.a = c.vec_id
+              JOIN dqs d ON d.vec_id = e.b) u) w
+      WHERE rk_s{n} = 1)
+"""
+
+
+def _gg_oracle() -> str:
+    steps = "".join(
+        _GG_STEP_SQL.format(n=i, p=i - 1) for i in range(1, _GG_STEPS + 1)
+    )
+    walk = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, vec_id, dq FROM cur{i}"
+        for i in range(_GG_STEPS + 1)
+    )
+    return (
+        _SQ8_EX_CTE
+        + f"""
+    , pw AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             CAST(sum(a.vm * b.vm) AS BIGINT) AS w
+      FROM ex a JOIN ex b ON a.pos = b.pos
+      WHERE a.vec_id <> b.vec_id
+        AND a.vec_id <> {QUERY_VEC_ID} AND b.vec_id <> {QUERY_VEC_ID}
+      GROUP BY a.vec_id, b.vec_id),
+    edges AS MATERIALIZED (SELECT a, b FROM (
+        SELECT a, b, row_number() OVER (PARTITION BY a
+                                        ORDER BY w DESC, b) AS rk_e
+        FROM pw) e WHERE rk_e <= {_GG_K}),
+    q AS (SELECT pos, vm AS qvm FROM ex WHERE vec_id = {QUERY_VEC_ID}),
+    dqs AS MATERIALIZED (SELECT e.vec_id, CAST(sum(e.vm * q.qvm) AS BIGINT) AS dq
+            FROM ex e JOIN q ON e.pos = q.pos
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+            GROUP BY e.vec_id),
+    cur0 AS (SELECT vec_id, dq FROM dqs WHERE vec_id = {_GG_ENTRY})
+    {steps}
+    , walk AS ({walk}),
+    exact AS ({{exact}})
+    SELECT w.step, w.vec_id, w.dq,
+           CAST(CASE WHEN e2.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS in_exact_top10
+    FROM walk w
+    LEFT JOIN (SELECT vec_id FROM exact) e2 ON w.vec_id = e2.vec_id
+    """
+    ).format(exact=ORACLES["sim_topk_cosine"])
+
+
+@_stage("sim_graph_greedy_search", oracle=_gg_oracle())
+def sim_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy routing over a kNN graph — the HNSW layer-0 search
+    story: build the out-degree-{k} exact kNN graph (integer micro-dot
+    weights, (w DESC, b) tie-break), start at the fixed entry node,
+    and take {s} unrolled greedy hops, each moving to the best of
+    {{current}} ∪ out-neighbors by (query-dot DESC, vec_id ASC) — the
+    walker stays put when no neighbor improves, so the walk is a
+    monotone deterministic descent.  Emits the 4-row walk with each
+    position's integer query-dot and whether it already sits in the
+    registered exact top-10 (oracle composes sim_topk_cosine
+    verbatim).
+
+    All scores are BIGINT micro-dots (Σ vm_a·vm_b ≤ 64·(6·10⁵)² ≈
+    2.3·10¹³) — no floats anywhere in the ranking.  Scale: the walk
+    only ever inspects out-edges of VISITED nodes, so the Spark side
+    expands each hop's top-{k} neighbor list ON DEMAND (one broadcast
+    1-row walker × corpus scan per hop, whole-stage-codegen zip_with
+    dots — {s}·n dot products total, never the n² graph build), while
+    the oracle states the same walk over the fully materialized kNN
+    graph — a deliberate cross-FORMULATION check that the on-demand
+    expansion equals the precomputed-graph walk.  At 100 TB the graph
+    IS a saved artifact (like the IVF/PQ/BQ indexes) built once via
+    LSH-blocked candidate generation, and each hop is k row lookups.
+    The vm-array frame feeds the query row, the per-hop scans, and the
+    dq pass → checkpointed per the double-reference rule."""
+    vmarr = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000).cast("bigint"),
+    )
+    ev = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", vmarr.alias("vm"))
+        .localCheckpoint(eager=True)
+    )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    corpus = ev.filter(F.col("vec_id") != QUERY_VEC_ID)
+    q = ev.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("vm").alias("qvm")
+    )
+    dqs = (
+        corpus.crossJoin(F.broadcast(q))
+        .select("vec_id", "vm", idot(F.col("vm"), F.col("qvm")).alias("dq"))
+        .localCheckpoint(eager=True)  # referenced once per hop + entry
+    )
+    cur = (
+        dqs.filter(F.col("vec_id") == _GG_ENTRY)
+        .localCheckpoint(eager=True)
+    )
+    walk = [cur.select(F.lit(0).cast("bigint").alias("step"), "vec_id", "dq")]
+    wstep = Window.partitionBy(F.pmod(F.col("vec_id"), F.lit(1))).orderBy(
+        F.desc("dq"), F.asc("vec_id")
+    )
+    for i in range(1, _GG_STEPS + 1):
+        # On-demand out-edges of the walker: top-k corpus neighbors of
+        # cur by (micro-dot DESC, vec_id) — identical to the oracle's
+        # precomputed edges because the graph ranking is per-source.
+        nb = (
+            dqs.crossJoin(
+                F.broadcast(
+                    cur.select(
+                        F.col("vec_id").alias("cid"), F.col("vm").alias("cvm")
+                    )
+                )
+            )
+            .filter(F.col("vec_id") != F.col("cid"))
+            .select(
+                "vec_id", "vm", "dq", idot(F.col("vm"), F.col("cvm")).alias("w")
+            )
+        )
+        cand = (
+            nb.orderBy(F.desc("w"), F.asc("vec_id"))
+            .limit(_GG_K)
+            .select("vec_id", "vm", "dq")
+        )
+        cur = (
+            cur.select("vec_id", "vm", "dq")
+            .unionAll(cand)
+            .withColumn("rk_s", F.row_number().over(wstep))
+            .filter(F.col("rk_s") == 1)
+            .select("vec_id", "vm", "dq")
+            .localCheckpoint(eager=True)
+        )
+        walk.append(
+            cur.select(F.lit(i).cast("bigint").alias("step"), "vec_id", "dq")
+        )
+    walk_df = walk[0]
+    for wdf in walk[1:]:
+        walk_df = walk_df.unionAll(wdf)
+    exact = (
+        sim_topk_cosine(spark, sf_dir)
+        .select("vec_id")
+        .withColumn("h1", F.lit(1).cast("bigint"))
+    )
+    return walk_df.join(F.broadcast(exact), "vec_id", "left").select(
+        "step",
+        "vec_id",
+        "dq",
+        F.coalesce(F.col("h1"), F.lit(0)).cast("bigint").alias("in_exact_top10"),
+    )
+
+
+sim_graph_greedy_search.__doc__ = sim_graph_greedy_search.__doc__.format(
+    k=_GG_K, s=_GG_STEPS
+)
+
+
+# ---------------------------------------------------------------------------
+# ts_motif_counts — SAX motif mining on the registered symbol words
+# ---------------------------------------------------------------------------
+
+_MOTIF_W = 4  # motif width (symbols)
+_MOTIF_TOP = 20
+
+_MOTIF_ORACLE = f"""
+    WITH sax AS ({ORACLES["ts_sax_symbols"]}),
+    p AS (
+      SELECT user_id, substring(symbols, i, {_MOTIF_W}) AS motif
+      FROM sax, (SELECT unnest(generate_series(1, 4096)) AS i) s
+      WHERE i <= len(symbols) - {_MOTIF_W - 1}
+    )
+    SELECT motif, CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM p GROUP BY motif
+    ORDER BY n_occ DESC, motif
+    LIMIT {_MOTIF_TOP}
+"""
+
+
+@_stage("ts_motif_counts", oracle=_MOTIF_ORACLE)
+def ts_motif_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX motif mining composed on the registered ts_sax_symbols
+    words: every sliding width-{w} symbol window of every (user, day)
+    word, counted corpus-wide, top-{t} motifs by (occurrences DESC,
+    motif) — the classic symbolic motif-discovery step that runs on
+    SAX output (Lin et al. 2003).  Spark side calls the registered
+    query function; the oracle composes its oracle verbatim (the
+    dedup_lsh_recall composition rule).
+
+    Position enumeration is capped at 4096 on BOTH sides (the Spark
+    sequence end is least(len−{wm1}, 4096)) — the relational-
+    enumeration cap discipline; a day-word is one symbol per event, so
+    the cap binds only past 4099 events/user/day.  The sequence is
+    guarded against the descending-sequence trap (len < {w} → empty
+    array).  Scale: word lengths are bounded by events/user/day, so
+    the explode is linear in events; the motif agg is map-side
+    combinable on a ≤4^{w}-value key domain."""
+    sax = ts_sax_symbols(spark, sf_dir)
+    pos = sax.select(
+        "user_id",
+        F.explode(
+            F.when(
+                F.length("symbols") >= _MOTIF_W,
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.length("symbols") - (_MOTIF_W - 1), F.lit(4096)
+                    ),
+                ),
+            )  # len < width → NULL array → explode yields no rows
+        ).alias("i"),
+        "symbols",
+    ).select(
+        "user_id",
+        F.expr(f"substring(symbols, i, {_MOTIF_W})").alias("motif"),
+    )
+    return (
+        pos.groupBy("motif")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occ"), F.asc("motif"))
+        .limit(_MOTIF_TOP)
+    )
+
+
+ts_motif_counts.__doc__ = ts_motif_counts.__doc__.format(
+    w=_MOTIF_W, t=_MOTIF_TOP, wm1=_MOTIF_W - 1
+)
