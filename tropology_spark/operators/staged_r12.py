@@ -98,7 +98,9 @@ _SQ8_ORACLE = (
 
 
 @_stage("sim_sq8_recall", oracle=_SQ8_ORACLE)
-def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_sq8_recall(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
     """SQ8 scalar-quantization retrieval + recall audit — the standard
     int8 codec (per-dimension min/max grid, 256 levels) evaluated
     against the brute-force cosine truth.  Completes the quantization
@@ -122,8 +124,11 @@ def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes/vector); the query-side scan is one broadcast join + a
     map-combinable sum.  The exploded ex frame feeds three branches
     (stats, codes, query) → checkpointed per the double-reference
-    rule."""
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rule.  ``e=`` overrides the embeddings frame (weak-scaling probe
+    kwarg — tools/scale_probes/sq8_scale.py; the driver contract
+    never passes it)."""
+    if e is None:
+        e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     ex = _pq_exm(e).localCheckpoint(eager=True)
     st = ex.groupBy("pos").agg(
         F.min("vm").alias("mn"), F.max("vm").alias("mx")
@@ -224,7 +229,9 @@ _AMS_ORACLE = f"""
 
 
 @_stage("agg_ams_f2", oracle=_AMS_ORACLE)
-def agg_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_ams_f2(
+    spark: SparkSession, sf_dir: str, li: DataFrame | None = None
+) -> DataFrame:
     """AMS ("tug-of-war") second-frequency-moment sketch audit over the
     lineitem part-key stream: eight ±1-sign counters (sign = parity of
     a universal hash over the md5-low-32 of the key), each counter's
@@ -246,13 +253,18 @@ def agg_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic mergeable-sketch shape; the exact branch (a groupBy on
     the key) exists only because this is the audit.  The 1-row exact
     attach is a deliberate scalar crossJoin (BNLJ-allowlisted at
-    activation)."""
-    li = load(spark, sf_dir, "lineitem").select(
+    activation).  ``li=`` overrides the lineitem frame (weak-scaling
+    probe kwarg — tools/scale_probes/ams_scale.py; the driver contract
+    never passes it)."""
+    if li is None:
+        li = load(spark, sf_dir, "lineitem")
+    li_keys = li.select("l_partkey")
+    hashed = li_keys.select(
         F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 8), 16, 10)
         .cast("bigint")
         .alias("h")
     )
-    counters = li.agg(
+    counters = hashed.agg(
         *[
             F.sum(F.expr(sql)).cast("bigint").alias(f"c{j}")
             for j, sql in enumerate(_AMS_SIGN_SQL)
@@ -263,8 +275,7 @@ def agg_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"stack(8, {stack_args}) AS (sketch_id, counter)")
     )
     f2 = (
-        load(spark, sf_dir, "lineitem")
-        .groupBy("l_partkey")
+        li_keys.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact"))
     )
