@@ -287,3 +287,34 @@ def test_staged_motif_counts_matches_pure_python(spark):
         for r in fn(spark, SF_UNIT).collect()
     }
     assert got == want
+
+
+def test_staged_ivfpq_consistent_with_pq(spark):
+    """sim_ivfpq_topk — cross-path consistency pin (the
+    batch-vs-scalar IVF precedent): the composite shares the PQ
+    codebook and the exact-L2 rerank with the registered sim_pq_topk,
+    so for every vec_id both emit, adc_d2 and dist2 must be IDENTICAL
+    (restricting the ADC scan to the probed cells may drop candidates
+    but can never change a survivor's distances)."""
+    from tropology_spark import QUERIES
+
+    fn, _ = STAGED["sim_ivfpq_topk"]
+    ivfpq = {
+        r["vec_id"]: (r["adc_d2"], r["dist2"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    pq = {
+        r["vec_id"]: (r["adc_d2"], r["dist2"])
+        for r in QUERIES["sim_pq_topk"](spark, SF_UNIT).collect()
+    }
+    shared = set(ivfpq) & set(pq)
+    assert shared, "expected overlap between IVF+PQ and PQ top-10"
+    for v in shared:
+        assert ivfpq[v] == pq[v], (v, ivfpq[v], pq[v])
+    # and the composite's candidates all sit in the probed cells of
+    # the registered IVF search (same coarse stage, same probe list)
+    ivf_cells = {
+        r["cell"] for r in QUERIES["sim_ivf_topk"](spark, SF_UNIT).collect()
+    }
+    got_cells = {r["cell"] for r in fn(spark, SF_UNIT).collect()}
+    assert got_cells <= ivf_cells or len(ivf_cells) < 2

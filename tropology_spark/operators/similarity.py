@@ -683,20 +683,20 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load(spark, sf_dir, "embeddings"), QUERY_VEC_ID)
 
 
-def ivf_topk(
+def ivf_candidates(
     e: DataFrame,
     query_vec_id: int,
     n_probe: int = 2,
-    k: int = 10,
     lloyd_iters: int = 1,
     dim: int = EMB_DIM,
-) -> DataFrame:
-    """The IVF search pipeline over any ``(vec_id, label, embedding)``
-    frame (labels seed the initial partition; ``lloyd_iters`` > 1 adds
-    Lloyd refinement rounds).  Exactness is oracle-pinned on the
-    fixture (sim_ivf_topk); recall quality is pinned on clustered
-    synthetic data in
-    tests/test_units.py::test_ivf_recall_on_clustered_data."""
+) -> tuple[DataFrame, DataFrame]:
+    """The COARSE stage of the IVF search — train/assign cells, probe
+    the query's ``n_probe`` nearest, return ``(ev, cand)`` where
+    ``ev`` is the materialized (vec_id, label, emb, nv) frame and
+    ``cand`` the (vec_id, cell) candidate list inside the probed
+    cells.  Single home of the cell-probe arithmetic: ``ivf_topk``
+    (exact fine stage) and the staged IVF+PQ composite (ADC fine
+    stage) both consume it."""
     ev = iter_materialize(
         e.select(
             "vec_id",
@@ -728,6 +728,24 @@ def ivf_topk(
         assign.join(F.broadcast(probe), assign.cell == F.col("pcell"), "left_semi")
         .filter(F.col("vec_id") != query_vec_id)
     )
+    return ev, cand
+
+
+def ivf_topk(
+    e: DataFrame,
+    query_vec_id: int,
+    n_probe: int = 2,
+    k: int = 10,
+    lloyd_iters: int = 1,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """The IVF search pipeline over any ``(vec_id, label, embedding)``
+    frame (labels seed the initial partition; ``lloyd_iters`` > 1 adds
+    Lloyd refinement rounds).  Exactness is oracle-pinned on the
+    fixture (sim_ivf_topk); recall quality is pinned on clustered
+    synthetic data in
+    tests/test_units.py::test_ivf_recall_on_clustered_data."""
+    ev, cand = ivf_candidates(e, query_vec_id, n_probe, lloyd_iters, dim)
     q = ev.filter(F.col("vec_id") == query_vec_id).select(
         F.col("emb").alias("qemb"), F.col("nv").alias("nq")
     )

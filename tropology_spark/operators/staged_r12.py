@@ -3,11 +3,12 @@ registered (the round-8/9/10 staging pattern, fourth application).
 
 The round-11 window is already fully budgeted (17 staged_r11
 activations + the r04/r05 stale queue — CLAUDE.md "Round-11 window"),
-so these five bodies target ROUND 12.  Same (fn, oracle) contract as
+so these six bodies target ROUND 12.  Same (fn, oracle) contract as
 the registry; activation is the mechanical move + five-fold lockstep.
 tests/test_staged_r12.py runs the driver-replica compare at both
-verification scales, Python twins for the four formula-bearing ops,
-the partitioning-invariance probe, and the plan sweep.
+verification scales, Python twins for the formula-bearing ops (plus
+the PQ-consistency pin for the composite), the
+partitioning-invariance probe, and the plan sweep.
 
 This module is intentionally NOT imported from ``tropology_spark/
 __init__.py`` — importing it must never perturb registry order (guard
@@ -26,6 +27,9 @@ New capability coverage (SURVEY §2.M candidates at activation):
   HNSW layer-0 search story) with integer micro-dot scores.
 - ts_motif_counts — SAX motif mining composed on the registered
   ts_sax_symbols words (sliding 4-grams, corpus top-20).
+- sim_ivfpq_topk — the IVF+PQ composite index (coarse cell probe +
+  PQ ADC over the probed cells only), composed from ivf_candidates +
+  the _pq_* single homes.
 """
 
 from __future__ import annotations
@@ -653,3 +657,156 @@ def ts_motif_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 ts_motif_counts.__doc__ = ts_motif_counts.__doc__.format(
     w=_MOTIF_W, t=_MOTIF_TOP, wm1=_MOTIF_W - 1
 )
+
+
+# ---------------------------------------------------------------------------
+# sim_ivfpq_topk — the IVF+PQ composite index (coarse cells + ADC codes)
+# ---------------------------------------------------------------------------
+
+from tropology_spark.operators.similarity import (  # noqa: E402
+    _EX_CTE as _SIM_EX_CTE,
+    _LLOYD_SQL_ITER,
+    _PQ_CAND,
+    _PQ_K,
+    _pq_cb,
+    _pq_enc0,
+    _pq_sub,
+    ivf_candidates,
+)
+
+_IVFPQ_ORACLE = (
+    _SIM_EX_CTE
+    + """
+    , assign0 AS (SELECT vec_id, label AS cell FROM embeddings)
+    """
+    + _LLOYD_SQL_ITER.format(n=1, p=0, vf="")
+    + f"""
+    , assign AS (SELECT * FROM assign1),
+    probe AS (SELECT tcell AS pcell
+              FROM (SELECT *, row_number() OVER (ORDER BY ccos DESC, tcell)
+                              AS rn_p
+                    FROM vc1 WHERE vec_id = {QUERY_VEC_ID}) t
+              WHERE rn_p <= 2),
+    cand0 AS MATERIALIZED (
+      SELECT a.vec_id, a.cell FROM assign a
+      JOIN probe ON a.cell = probe.pcell
+      WHERE a.vec_id <> {QUERY_VEC_ID}),
+    exm AS (SELECT vec_id, pos, CAST(round(val * 1000000) AS BIGINT) AS vm
+            FROM ex),
+    sub AS (SELECT vec_id, pos, vm,
+                   CASE WHEN pos <= {EMB_DIM // 2} THEN 0 ELSE 1 END AS s
+            FROM exm),
+    cb AS (SELECT vec_id AS code, s, pos, vm AS cm FROM sub
+           WHERE vec_id BETWEEN 1 AND {_PQ_K}),
+    encc AS (SELECT v.vec_id, v.s, c.code,
+                    CAST(sum((v.vm - c.cm) * (v.vm - c.cm)) AS BIGINT) AS d2
+             FROM sub v
+             JOIN cand0 ON v.vec_id = cand0.vec_id
+             JOIN cb c ON c.s = v.s AND c.pos = v.pos
+             GROUP BY v.vec_id, v.s, c.code),
+    enc AS (SELECT vec_id, s, code FROM (
+              SELECT vec_id, s, code,
+                     row_number() OVER (PARTITION BY vec_id, s
+                                        ORDER BY d2, code) AS rn_e
+              FROM encc) t WHERE rn_e = 1),
+    qd AS (SELECT v.s, c.code,
+                  CAST(sum((v.vm - c.cm) * (v.vm - c.cm)) AS BIGINT) AS qd2
+           FROM sub v JOIN cb c ON c.s = v.s AND c.pos = v.pos
+           WHERE v.vec_id = {QUERY_VEC_ID}
+           GROUP BY v.s, c.code),
+    adc AS (SELECT e.vec_id, CAST(sum(q.qd2) AS BIGINT) AS adc_d2
+            FROM enc e JOIN qd q ON q.s = e.s AND q.code = e.code
+            GROUP BY e.vec_id),
+    candk AS MATERIALIZED (
+      SELECT vec_id, adc_d2 FROM (
+        SELECT vec_id, adc_d2,
+               row_number() OVER (ORDER BY adc_d2, vec_id) AS rn_c
+        FROM adc) t WHERE rn_c <= {_PQ_CAND}),
+    rer AS (SELECT v.vec_id,
+                   CAST(sum((v.vm - q.vm) * (v.vm - q.vm)) AS BIGINT) AS dist2
+            FROM exm v
+            JOIN exm q ON q.vec_id = {QUERY_VEC_ID} AND q.pos = v.pos
+            JOIN candk ON candk.vec_id = v.vec_id
+            GROUP BY v.vec_id)
+    SELECT r.vec_id, c0.cell, ck.adc_d2, r.dist2
+    FROM rer r
+    JOIN candk ck ON r.vec_id = ck.vec_id
+    JOIN cand0 c0 ON r.vec_id = c0.vec_id
+    ORDER BY r.dist2, r.vec_id
+    LIMIT 10
+    """
+)
+
+
+@_stage("sim_ivfpq_topk", oracle=_IVFPQ_ORACLE)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF+PQ composite — the standard two-stage vector index
+    (coarse inverted-file cells prune the corpus, PQ asymmetric
+    distance scans only the probed cells' CODES, exact rerank touches
+    only the ADC top-{c}): sim_ivf_topk's coarse stage feeding
+    sim_pq_topk's fine stage, each reused from its single home
+    (:func:`ivf_candidates` — extracted from ivf_topk with identical
+    semantics — and the ``_pq_*`` helpers).  Oracle composes the same
+    two registered oracle fragments (the Lloyd iter SQL + the PQ
+    CTEs), restricted to the candidate cells.
+
+    All fine-stage arithmetic is integer-exact (micro-unit BIGINT
+    squared distances, (d2, code)/(adc, vec_id) unique tie-breaks);
+    the coarse stage carries the registered 6-dp-rounded cell cosines.
+    cand0 and candk are referenced from two plan branches each →
+    Spark localCheckpoints, oracle MATERIALIZED (the DuckDB
+    materialized rule).
+
+    Scale: this IS the 100 TB retrieval posture — the inverted file
+    prunes to n_probe/k of the corpus, the ADC scan reads 2 small ints
+    per surviving vector (codes only, never raw vectors), the codebook
+    is a {k2}×d broadcast, and the rerank touches {c} rows.  Both
+    stages' artifacts are already persistable (ivf_write_index /
+    pq_write_index)."""
+    e = load(spark, sf_dir, "embeddings")
+    ev, cand = ivf_candidates(e, QUERY_VEC_ID)
+    cand = cand.localCheckpoint(eager=True)  # 2 refs: encode filter + cell attach
+    exm = _pq_exm(e)
+    sub = _pq_sub(exm)
+    cb = _pq_cb(sub)
+    subc = sub.join(cand.select("vec_id"), "vec_id", "left_semi")
+    encc = _pq_enc0(subc, cb)
+    w_enc = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
+    enc = (
+        encc.withColumn("rn_e", F.row_number().over(w_enc))
+        .filter(F.col("rn_e") == 1)
+        .select("vec_id", "s", "code")
+    )
+    qd = _pq_enc0(sub.filter(F.col("vec_id") == QUERY_VEC_ID), cb).select(
+        "s", "code", F.col("d2").alias("qd2")
+    )
+    adc = (
+        enc.join(F.broadcast(qd), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd2").cast("bigint").alias("adc_d2"))
+    )
+    candk = (
+        adc.orderBy("adc_d2", "vec_id")
+        .limit(_PQ_CAND)
+        .localCheckpoint(eager=True)  # 2 refs: rerank filter + adc attach
+    )
+    qm = exm.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("pos").alias("qpos"), F.col("vm").alias("qm")
+    )
+    rdiff = F.col("vm") - F.col("qm")
+    rer = (
+        exm.join(candk.select("vec_id"), "vec_id", "left_semi")
+        .join(F.broadcast(qm), F.col("pos") == F.col("qpos"))
+        .groupBy("vec_id")
+        .agg(F.sum(rdiff * rdiff).cast("bigint").alias("dist2"))
+    )
+    return (
+        rer.join(candk, "vec_id")
+        .join(cand, "vec_id")
+        .select("vec_id", "cell", "adc_d2", "dist2")
+        .orderBy("dist2", "vec_id")
+        .limit(10)
+    )
+
+
+sim_ivfpq_topk.__doc__ = sim_ivfpq_topk.__doc__.format(c=_PQ_CAND, k2=_PQ_K)
