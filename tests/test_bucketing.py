@@ -355,3 +355,50 @@ def test_bq_index_persist_reload(spark, tmp_path, monkeypatch):
         assert "Exchange" not in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS bq_idx_test")
+
+
+def test_ivfpq_index_persist_reload(spark, tmp_path, monkeypatch):
+    """The SIXTH saved-index artifact — the IVF+PQ composite (PQ codes
+    bucketed by coarse cell): persist, reload in a fresh session, and
+    pin (a) the from-index search returning the staged sim_ivfpq_topk
+    rows exactly, (b) NO training on the read path (both the Lloyd
+    trainer and the codebook constructor raise — centroids and
+    codebook can only come from the artifact), and (c) the probed code
+    scan BUCKET-PRUNED to the probed cells (SelectedBucketsCount: 2 of
+    16 — IVF's I/O pruning now composing with PQ's 2-ints-per-vector
+    payload in one artifact)."""
+    import tropology_spark.operators.similarity as S
+    from tropology_spark.operators.staged_r12 import STAGED
+
+    fn, _ = STAGED["sim_ivfpq_topk"]
+    want = [
+        (r["vec_id"], r["cell"], r["adc_d2"], r["dist2"])
+        for r in fn(spark, SF_UNIT).collect()
+    ]
+    S.ivfpq_write_index(
+        spark, SF_UNIT, "ivfpq_idx_test", path=str(tmp_path / "ivfpq")
+    )
+    try:
+        s2 = spark.newSession()
+        s2.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+
+        def boom(*a, **k):  # pragma: no cover - failure path
+            raise AssertionError("training ran on the index read path")
+
+        monkeypatch.setattr(S, "lloyd_rounds", boom)
+        monkeypatch.setattr(S, "_pq_cb", boom)
+        got_df = S.ivfpq_topk_from_index(s2, "ivfpq_idx_test", SF_UNIT)
+        got = [
+            (r["vec_id"], r["cell"], r["adc_d2"], r["dist2"])
+            for r in got_df.collect()
+        ]
+        assert got == want
+
+        plan = plan_of(got_df)
+        assert "SelectedBucketsCount: 2 out of 16" in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivfpq_idx_test")
+        spark.sql("DROP TABLE IF EXISTS ivfpq_idx_test_centroids")
+        spark.sql("DROP TABLE IF EXISTS ivfpq_idx_test_codebook")

@@ -1636,8 +1636,8 @@ def test_mm_stratified_sample_matches_pure_python(spark):
 
 def test_cli_index_writes_and_reloads(spark, capsys, tmp_path):
     """M19+ — the index subcommand: train, persist bucketed, reload,
-    print — for all five artifact kinds (quantizer, minhash, IVF,
-    PQ, BQ)."""
+    print — for all six artifact kinds (quantizer, minhash, IVF,
+    PQ, BQ, IVF+PQ)."""
     import json as _json
 
     from tropology_spark import cli
@@ -1683,6 +1683,15 @@ def test_cli_index_writes_and_reloads(spark, capsys, tmp_path):
         out = capsys.readouterr().out.strip().splitlines()
         assert rc == 0 and len(out) == 2
         assert set(_json.loads(out[0])) == {"vec_id", "h0", "h1"}
+
+        rc = cli.main([
+            "index", "ivfpq", "cli_ivfpq_idx",
+            "--sf-dir", SF_UNIT, "--path", str(tmp_path / "ivfpq"),
+            "--limit", "2",
+        ])
+        out = capsys.readouterr().out.strip().splitlines()
+        assert rc == 0 and len(out) == 2
+        assert set(_json.loads(out[0])) == {"vec_id", "cell", "s", "code"}
     finally:
         spark.sql("DROP TABLE IF EXISTS cli_mh_idx")
         spark.sql("DROP TABLE IF EXISTS cli_q_idx")
@@ -1691,6 +1700,9 @@ def test_cli_index_writes_and_reloads(spark, capsys, tmp_path):
         spark.sql("DROP TABLE IF EXISTS cli_pq_idx")
         spark.sql("DROP TABLE IF EXISTS cli_pq_idx_codebook")
         spark.sql("DROP TABLE IF EXISTS cli_bq_idx")
+        spark.sql("DROP TABLE IF EXISTS cli_ivfpq_idx")
+        spark.sql("DROP TABLE IF EXISTS cli_ivfpq_idx_centroids")
+        spark.sql("DROP TABLE IF EXISTS cli_ivfpq_idx_codebook")
 
 
 def test_xml_roundtrip_and_corrupt_capture(spark, tmp_path):

@@ -58,7 +58,9 @@ def main(argv: list[str] | None = None) -> int:
         help="train + persist a bucketed index artifact, then print the"
         " reloaded head (round-trip proof)",
     )
-    idx.add_argument("kind", choices=["quantizer", "minhash", "ivf", "pq", "bq"])
+    idx.add_argument(
+        "kind", choices=["quantizer", "minhash", "ivf", "pq", "bq", "ivfpq"]
+    )
     idx.add_argument("table", help="catalog table name for the artifact")
     idx.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     idx.add_argument("--path", default=None, help="explicit table location")
@@ -152,6 +154,14 @@ def main(argv: list[str] | None = None) -> int:
             from tropology_spark.operators.similarity import bq_write_index
 
             bq_write_index(
+                spark, args.sf_dir, args.table,
+                n_buckets=args.buckets, path=args.path,
+            )
+            re = spark.table(args.table)
+        elif args.kind == "ivfpq":
+            from tropology_spark.operators.similarity import ivfpq_write_index
+
+            ivfpq_write_index(
                 spark, args.sf_dir, args.table,
                 n_buckets=args.buckets, path=args.path,
             )

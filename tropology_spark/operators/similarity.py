@@ -1309,6 +1309,150 @@ def bq_topk_from_index(
 
 
 # ---------------------------------------------------------------------------
+# IVF+PQ composite — the SIXTH saved-index artifact
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_write_index(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    n_buckets: int = 16,
+    lloyd_iters: int = 1,
+    path: str | None = None,
+) -> None:
+    """Persist the IVF+PQ composite index (the staged sim_ivfpq_topk's
+    at-scale posture, and the classic on-disk layout of production
+    vector indexes: coarse cells prune I/O, PQ codes shrink what's
+    read) — the SIXTH saved-index artifact, following the quantizer/
+    minhash/IVF/PQ/BQ precedent:
+
+    * ``<table>``: the composite inverted file — (vec_id, cell, s,
+      code): every vector's PQ codes keyed by its coarse cell,
+      ``bucketBy(cell)`` + ``sortBy(cell, vec_id, s)``.  A probe reads
+      ``n_probe`` of ``n_buckets`` buckets (bucket pruning) and those
+      buckets hold 2 small ints per vector (the 64× PQ compression) —
+      both prunings compose in ONE artifact.
+    * ``<table>_centroids``: the k-row (cell, cemb, nc) table of the
+      LAST coarse-training round — what the probe scores against.
+    * ``<table>_codebook``: the PQ k×d codebook (code, s, pos, cm).
+
+    Both training passes (Lloyd assignment + argmin encoding) run ONCE
+    here; the read path (:func:`ivfpq_topk_from_index`) trains
+    nothing and never reads a raw corpus vector except the ``n_cand``
+    rerank rows."""
+    e = load(spark, sf_dir, "embeddings")
+    ev = e.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    ).withColumn("nv", norm(F.col("emb")))
+    assign0 = ev.select("vec_id", F.col("label").alias("cell"))
+    _, assign, cen = lloyd_rounds(
+        ev.select("vec_id", "emb", "nv"), assign0, lloyd_iters, return_cen=True
+    )
+    sub = _pq_sub(_pq_exm(e))
+    cb = _pq_cb(sub)
+    enc0 = _pq_enc0(sub, cb)
+    w_enc = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
+    enc = (
+        enc0.withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code")
+    )
+    inv = enc.join(assign, "vec_id").select("vec_id", "cell", "s", "code")
+    w = (
+        inv.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "cell")
+        .sortBy("cell", "vec_id", "s")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+    cw = cen.write.mode("overwrite").format("parquet")
+    if path is not None:
+        cw = cw.option("path", path + "_centroids")
+    cw.saveAsTable(table + "_centroids")
+    bw = cb.write.mode("overwrite").format("parquet")
+    if path is not None:
+        bw = bw.option("path", path + "_codebook")
+    bw.saveAsTable(table + "_codebook")
+
+
+def ivfpq_topk_from_index(
+    spark: SparkSession,
+    table: str,
+    sf_dir: str,
+    query_vec_id: int = QUERY_VEC_ID,
+    n_probe: int = 2,
+    n_cand: int = _PQ_CAND,
+    k: int = 10,
+) -> DataFrame:
+    """IVF+PQ search against an :func:`ivfpq_write_index` artifact —
+    NO coarse training, NO codebook rebuild, NO corpus re-encoding:
+    the probe scores the query against the broadcast saved centroids
+    and pushes the winning cells into the code scan as a LITERAL
+    ``cell IN (...)`` predicate (bucket pruning: ``SelectedBucketsCount:
+    n_probe out of n_buckets``), the ADC sum reads 2 ints per
+    surviving vector, and only the ``n_cand`` rerank rows touch raw
+    vectors (point lookups in the source).  Ranking is pinned equal to
+    the staged sim_ivfpq_topk in tests/test_bucketing.py::
+    test_ivfpq_index_persist_reload.
+
+    Consumer posture: like the IVF/PQ artifacts, set
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false`` in
+    the reading session or Spark drops the bucketed scan and with it
+    the pruning."""
+    inv = spark.table(table)
+    cen = spark.table(table + "_centroids")
+    cb = spark.table(table + "_codebook")
+    e = load(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == query_vec_id).select(
+        as_double(F.col("embedding")).alias("qemb")
+    ).withColumn("nq", norm(F.col("qemb")))
+    probe_rows = (
+        qv.crossJoin(F.broadcast(cen))
+        .select(
+            "cell",
+            F.round(
+                dot(F.col("qemb"), F.col("cemb")) / (F.col("nq") * F.col("nc")), 6
+            ).alias("ccos"),
+        )
+        .orderBy(F.col("ccos").desc(), F.col("cell"))
+        .limit(n_probe)
+        .collect()
+    )
+    probe_cells = [r["cell"] for r in probe_rows]
+    cand_codes = inv.filter(
+        F.col("cell").isin(probe_cells) & (F.col("vec_id") != query_vec_id)
+    )
+    qexm = _pq_exm(e.filter(F.col("vec_id") == query_vec_id))
+    qd = _pq_enc0(_pq_sub(qexm), cb).select(
+        "s", "code", F.col("d2").alias("qd2")
+    )
+    adc = (
+        cand_codes.join(F.broadcast(qd), ["s", "code"])
+        .groupBy("vec_id", "cell")
+        .agg(F.sum("qd2").cast("bigint").alias("adc_d2"))
+    )
+    candk = adc.orderBy("adc_d2", "vec_id").limit(n_cand)
+    qm = qexm.select(F.col("pos").alias("qpos"), F.col("vm").alias("qm"))
+    rdiff = F.col("vm") - F.col("qm")
+    rer = (
+        _pq_exm(e)
+        .join(candk.select("vec_id"), "vec_id", "left_semi")
+        .join(F.broadcast(qm), F.col("pos") == F.col("qpos"))
+        .groupBy("vec_id")
+        .agg(F.sum(rdiff * rdiff).cast("bigint").alias("dist2"))
+    )
+    return (
+        rer.join(candk, "vec_id")
+        .select("vec_id", "cell", "adc_d2", "dist2")
+        .orderBy("dist2", "vec_id")
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
 # M112 — ANN recall audit (approx vs exact ground truth)
 # ---------------------------------------------------------------------------
 
