@@ -63,10 +63,11 @@ def test_staged_r12_partitioning_invariance(spark):
 def test_staged_r12_no_new_plan_antipatterns(spark):
     """Pre-activation plan sweep: no CartesianProduct, no row-Python
     UDF anywhere in the staged plans; BroadcastNestedLoopJoin only at
-    the four noted scalar attaches (agg_ams_f2's 1-row exact-F2
+    the five noted scalar attaches (agg_ams_f2's 1-row exact-F2
     cross, text_bm25_terms' 1-row corpus-totals cross,
     sim_graph_greedy_search's 1-row query/walker crosses,
-    sim_sq8_recall's inherited sim_topk_cosine query attach) — the
+    sim_sq8_recall's inherited sim_topk_cosine query attach,
+    analytics_poisson_bootstrap's 1-row full-sample cross) — the
     names to add to BNLJ_ALLOWED at activation."""
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "simple"
@@ -76,6 +77,7 @@ def test_staged_r12_no_new_plan_antipatterns(spark):
         "text_bm25_terms",
         "sim_graph_greedy_search",
         "sim_sq8_recall",
+        "analytics_poisson_bootstrap",
     }
     bad = {}
     for name, (fn, _) in STAGED.items():
@@ -318,3 +320,49 @@ def test_staged_ivfpq_consistent_with_pq(spark):
     }
     got_cells = {r["cell"] for r in fn(spark, SF_UNIT).collect()}
     assert got_cells <= ivf_cells or len(ivf_cells) < 2
+
+
+def test_staged_poisson_bootstrap_matches_pure_python(spark):
+    """analytics_poisson_bootstrap — weights, per-resample sums, and
+    the milli-mean carriers recomputed with hashlib + Python ints."""
+    import hashlib
+
+    import duckdb
+
+    from tropology_spark.operators.staged_r12 import _BOOT_B
+
+    rows = duckdb.sql(
+        f"SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)"
+        f" FROM read_parquet('{SF_UNIT}/orders.parquet')"
+    ).fetchall()
+    n_full = len(rows)
+    cents_full = sum(c for _, c in rows)
+    table = [0, 0, 0, 1, 1, 1, 2, 3]
+    want = set()
+    for b in range(_BOOT_B):
+        n_eff = 0
+        s = 0
+        for k, c in rows:
+            h = int(hashlib.md5(f"{b}-{k}".encode()).hexdigest()[:8], 16)
+            m = table[h % 8]
+            n_eff += m
+            s += m * c
+        want.add(
+            (
+                b,
+                n_eff,
+                s,
+                (1000 * s) // n_eff,
+                (1000 * cents_full) // n_full,
+            )
+        )
+
+    fn, _ = STAGED["analytics_poisson_bootstrap"]
+    got = {
+        (
+            r["resample"], r["n_eff"], r["sum_cents"],
+            r["milli_mean"], r["milli_mean_full"],
+        )
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want

@@ -3,7 +3,7 @@ registered (the round-8/9/10 staging pattern, fourth application).
 
 The round-11 window is already fully budgeted (17 staged_r11
 activations + the r04/r05 stale queue — CLAUDE.md "Round-11 window"),
-so these six bodies target ROUND 12.  Same (fn, oracle) contract as
+so these seven bodies target ROUND 12.  Same (fn, oracle) contract as
 the registry; activation is the mechanical move + five-fold lockstep.
 tests/test_staged_r12.py runs the driver-replica compare at both
 verification scales, Python twins for the formula-bearing ops (plus
@@ -30,6 +30,9 @@ New capability coverage (SURVEY §2.M candidates at activation):
 - sim_ivfpq_topk — the IVF+PQ composite index (coarse cell probe +
   PQ ADC over the probed cells only), composed from ivf_candidates +
   the _pq_* single homes.
+- analytics_poisson_bootstrap — the deterministic single-pass Poisson
+  bootstrap (md5 multiplicities through an exact-unit-mean dyadic
+  weight table; one scan serves all B resamples).
 """
 
 from __future__ import annotations
@@ -810,3 +813,119 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sim_ivfpq_topk.__doc__ = sim_ivfpq_topk.__doc__.format(c=_PQ_CAND, k2=_PQ_K)
+
+
+# ---------------------------------------------------------------------------
+# analytics_poisson_bootstrap — deterministic single-pass bootstrap
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 8  # resamples
+
+#: Dyadic Poisson(1) weight table over h % 8: P(0)=P(1)=3/8,
+#: P(2)=P(3)=1/8 — EXACT unit mean (0·3+1·3+2+3 = 8), the truncated
+#: dyadic approximation of Poisson(1) (true p₀=p₁≈.368, p₂≈.184,
+#: p₃≈.061).  A dyadic table keeps the weight a pure integer CASE on
+#: the hash residue — no float thresholds anywhere.
+_BOOT_W_SQL = (
+    "CASE WHEN {h} % 8 <= 2 THEN 0 WHEN {h} % 8 <= 5 THEN 1"
+    " WHEN {h} % 8 = 6 THEN 2 ELSE 3 END"
+)
+
+_BOOT_ORACLE = f"""
+    WITH o AS (SELECT o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    r AS (
+      SELECT b.b, o.o_orderkey, o.cents,
+             ('0x' || substring(md5(CAST(b.b AS STRING) || '-'
+                                    || CAST(o.o_orderkey AS STRING)), 1, 8))
+               ::BIGINT AS h
+      FROM o CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b)
+                          b),
+    w AS (SELECT b, cents, {_BOOT_W_SQL.format(h="h")} AS m FROM r),
+    agg AS (SELECT CAST(b AS BIGINT) AS resample,
+                   CAST(sum(m) AS BIGINT) AS n_eff,
+                   CAST(sum(m * cents) AS BIGINT) AS sum_cents
+            FROM w GROUP BY b),
+    full_s AS (SELECT CAST(count(*) AS BIGINT) AS n_full,
+                      CAST(sum(cents) AS BIGINT) AS cents_full
+               FROM o)
+    SELECT resample, n_eff, sum_cents,
+           CAST((1000 * sum_cents) // n_eff AS BIGINT) AS milli_mean,
+           CAST((1000 * cents_full) // n_full AS BIGINT) AS milli_mean_full
+    FROM agg CROSS JOIN full_s
+"""
+
+
+@_stage("analytics_poisson_bootstrap", oracle=_BOOT_ORACLE)
+def analytics_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic single-pass Poisson bootstrap of the mean order
+    value — the bootstrap that actually runs at 100 TB (Chamandy et
+    al.'s Poisson bootstrap: every row draws an independent
+    ~Poisson(1) multiplicity per resample, so ONE scan serves all B
+    resamples and each partition emits B partial sums; no resample
+    materialization, no sampling pass per replicate).  Randomness is
+    the md5-low-32 of (resample, orderkey) — deterministic,
+    partition-invariant, reproducible cross-engine — mapped through an
+    exact-unit-mean dyadic weight table (P(0)=P(1)=3/8, P(2)=P(3)=1/8
+    on the hash residue; no float thresholds).  Emits per resample the
+    effective count, the weighted cents sum, and the milli-cent mean,
+    with the full-sample milli-mean attached for the spread-vs-truth
+    read — the min/max across the 8 resamples IS the CI estimate a
+    downstream consumer derives.
+
+    All-integer: cents carriers, non-negative integer division both
+    sides (1000·sum_cents ≤ 3·10³·n·maxcents — BIGINT-safe to ~10⁸
+    orders on this price range; the wide-integer rule applies past
+    that).  The 1-row full-sample attach is a deliberate scalar
+    crossJoin (BNLJ-allowlisted at activation)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    r = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0).cast("bigint"),
+                             F.lit(_BOOT_B - 1).cast("bigint"))).alias("b"),
+    ).select(
+        "b",
+        "cents",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("b").cast("string"),
+                        F.lit("-"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = r.select("b", "cents", F.expr(_BOOT_W_SQL.format(h="h")).alias("m"))
+    agg = w.groupBy("b").agg(
+        F.sum("m").cast("bigint").alias("n_eff"),
+        F.sum(F.col("m") * F.col("cents")).cast("bigint").alias("sum_cents"),
+    )
+    full_s = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_full"),
+        F.sum("cents").cast("bigint").alias("cents_full"),
+    )
+    return agg.crossJoin(F.broadcast(full_s)).select(
+        F.col("b").cast("bigint").alias("resample"),
+        "n_eff",
+        "sum_cents",
+        F.expr("CAST((1000 * sum_cents) div n_eff AS BIGINT)").alias(
+            "milli_mean"
+        ),
+        F.expr("CAST((1000 * cents_full) div n_full AS BIGINT)").alias(
+            "milli_mean_full"
+        ),
+    )
