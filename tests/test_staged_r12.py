@@ -366,3 +366,150 @@ def test_staged_poisson_bootstrap_matches_pure_python(spark):
         for r in fn(spark, SF_UNIT).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis property suites on the EXACT staged paths (the round-11
+# precedent) — frame-injection kwargs for the Spark-backed ones, pure
+# integer algebra for the shared-formula ones.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_SMALL = dict(max_examples=5, deadline=None)
+
+
+@settings(**_SMALL)
+@given(
+    mat=st.lists(
+        st.lists(st.integers(min_value=-400, max_value=400),
+                 min_size=4, max_size=4),
+        min_size=3,
+        max_size=9,
+    )
+)
+def test_sq8_property_matches_int_recompute(spark, mat):
+    """sim_sq8_recall on injected corpora (e= kwarg): the staged path's
+    codes/reconstruction/ADC ranking must equal the pure-int recompute
+    for ARBITRARY vectors, and every reconstruction must sit within
+    the SQ8 grid-error bound span div 255 + 1 of its input.  (Values
+    are thousandths — exactly representable, so the vm rounding is
+    exact; the hit column joins the fixture truth and is ignored
+    here.)"""
+    from tests.conftest import SF_UNIT
+
+    rows = [(i, [v / 1000.0 for v in vec]) for i, vec in enumerate(mat)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fn, _ = STAGED["sim_sq8_recall"]
+    got = {
+        (r["rk"], r["vec_id"], r["adc_score"])
+        for r in fn(spark, SF_UNIT, e=emb).collect()
+    }
+
+    vm = [[v * 1000 for v in vec] for vec in mat]  # micro-units of x/1000
+    d = len(vm[0])
+    mn = [min(r[p] for r in vm) for p in range(d)]
+    mx = [max(r[p] for r in vm) for p in range(d)]
+    recon = {}
+    for i, r in enumerate(vm):
+        if i == 0:
+            continue
+        rec = []
+        for p in range(d):
+            span = mx[p] - mn[p]
+            code = 0 if span == 0 else ((r[p] - mn[p]) * 255) // span
+            rp = mn[p] + (code * span) // 255
+            rec.append(rp)
+            assert 0 <= (r[p] - rp) <= span // 255 + 1  # grid-error bound
+        recon[i] = rec
+    scores = {
+        i: sum(q * x for q, x in zip(vm[0], rec)) for i, rec in recon.items()
+    }
+    order = sorted(scores, key=lambda i: (-scores[i], i))[:10]
+    want = {(rk, i, scores[i]) for rk, i in enumerate(order, 1)}
+    assert got == want
+
+
+@settings(**_SMALL)
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=1, max_size=40
+    )
+)
+def test_ams_property_doubling_algebra(spark, keys):
+    """agg_ams_f2 on injected key streams (li= kwarg): overlaying the
+    stream with itself must EXACTLY double every counter, quadruple
+    every estimate and the exact F2, and leave every ppm ratio
+    bit-identical — the mergeable-sketch algebra the weak-scaling
+    probe spot-checked, pinned as a law on arbitrary inputs."""
+    li1 = spark.createDataFrame([(k,) for k in keys], "l_partkey long")
+    li2 = li1.unionAll(li1)
+    fn, _ = STAGED["agg_ams_f2"]
+    r1 = {r["sketch_id"]: r for r in fn(spark, "unused", li=li1).collect()}
+    r2 = {r["sketch_id"]: r for r in fn(spark, "unused", li=li2).collect()}
+    assert set(r1) == set(r2) == set(range(8))
+    for j in range(8):
+        assert r2[j]["counter"] == 2 * r1[j]["counter"]
+        assert r2[j]["est"] == 4 * r1[j]["est"]
+        assert r2[j]["f2_exact"] == 4 * r1[j]["f2_exact"]
+        assert r2[j]["ratio_ppm"] == r1[j]["ratio_ppm"]
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    tf=st.integers(min_value=1, max_value=4096),
+    dl=st.integers(min_value=1, max_value=4096),
+    d_total=st.integers(min_value=1, max_value=10**7),
+    n_docs=st.integers(min_value=1, max_value=10**4),
+)
+def test_bm25_property_saturation(tf, dl, d_total, n_docs):
+    """text_bm25_terms' integer rational: the tf component must be
+    strictly bounded by k1+1 (milli < 2200) and monotone non-
+    decreasing in tf for fixed (dl, D, N) — the BM25 saturation
+    semantics, pinned on the exact formula both engines evaluate."""
+    def milli(t):
+        return (22000 * t * d_total) // (
+            10 * t * d_total + 3 * d_total + 9 * dl * n_docs
+        )
+
+    assert 0 <= milli(tf) < 2200
+    assert milli(tf + 1) >= milli(tf)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    mat=st.lists(
+        st.lists(st.integers(min_value=-100, max_value=100),
+                 min_size=3, max_size=3),
+        min_size=3,
+        max_size=10,
+    )
+)
+def test_greedy_walk_property_monotone_absorbing(mat):
+    """sim_graph_greedy_search's walk semantics on arbitrary integer
+    vectors (the twin's full-graph formulation): the query-dot
+    sequence is non-decreasing, and once the walker repeats a position
+    it stays there forever (greedy fixed points are absorbing)."""
+    n = len(mat)
+    ids = list(range(1, n))  # vec 0 is the query
+    dq = {i: sum(a * b for a, b in zip(mat[i], mat[0])) for i in ids}
+    if 1 not in dq:
+        return
+    edges = {}
+    for a in ids:
+        ws = sorted(
+            ((sum(x * y for x, y in zip(mat[a], mat[b])), b)
+             for b in ids if b != a),
+            key=lambda t: (-t[0], t[1]),
+        )
+        edges[a] = [b for _, b in ws[:4]]
+    cur, seq = 1, [1]
+    for _ in range(6):
+        cur = min([cur] + edges[cur], key=lambda v: (-dq[v], v))
+        seq.append(cur)
+    for x, y in zip(seq, seq[1:]):
+        assert dq[y] >= dq[x]  # monotone ascent
+    for i in range(len(seq) - 1):
+        if seq[i] == seq[i + 1]:
+            assert all(s == seq[i] for s in seq[i + 1:])  # absorbing
+            break
