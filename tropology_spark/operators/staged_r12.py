@@ -474,7 +474,9 @@ def _gg_oracle() -> str:
 
 
 @_stage("sim_graph_greedy_search", oracle=_gg_oracle())
-def sim_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_graph_greedy_search(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
     """Greedy routing over a kNN graph — the HNSW layer-0 search
     story: build the out-degree-{k} exact kNN graph (integer micro-dot
     weights, (w DESC, b) tie-break), start at the fixed entry node,
@@ -498,14 +500,18 @@ def sim_graph_greedy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     IS a saved artifact (like the IVF/PQ/BQ indexes) built once via
     LSH-blocked candidate generation, and each hop is k row lookups.
     The vm-array frame feeds the query row, the per-hop scans, and the
-    dq pass → checkpointed per the double-reference rule."""
+    dq pass → checkpointed per the double-reference rule.  ``e=``
+    overrides the embeddings frame (weak-scaling probe kwarg —
+    tools/scale_probes/gg_scale.py; the driver contract never passes
+    it)."""
+    if e is None:
+        e = load(spark, sf_dir, "embeddings")
     vmarr = F.transform(
         F.col("embedding"),
         lambda x: F.round(x.cast("double") * 1000000).cast("bigint"),
     )
     ev = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", vmarr.alias("vm"))
+        e.select("vec_id", vmarr.alias("vm"))
         .localCheckpoint(eager=True)
     )
 
