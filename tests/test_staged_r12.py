@@ -513,3 +513,47 @@ def test_greedy_walk_property_monotone_absorbing(mat):
         if seq[i] == seq[i + 1]:
             assert all(s == seq[i] for s in seq[i + 1:])  # absorbing
             break
+
+
+def test_staged_curriculum_matches_pure_python(spark):
+    """pipeline_curriculum_stages — the ppm quality score, the SQL
+    ntile (front-loaded remainder) cut, and the stage manifest
+    recomputed with Counter arithmetic."""
+    import duckdb
+
+    from tropology_spark.operators.staged_r12 import _CURR_STAGES
+    from tropology_spark.operators.text import _STOPWORDS
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
+    ).fetchall()
+    q = []
+    for doc_id, text in docs:
+        toks = text.split(" ")
+        n_tok = len(toks)
+        n_stop = sum(1 for t in toks if t in _STOPWORDS)
+        q.append(
+            (doc_id, n_tok, (500000 * n_stop) // n_tok + 5000 * min(n_tok, 100))
+        )
+    q.sort(key=lambda r: (-r[2], r[0]))
+    n = len(q)
+    base, rem = divmod(n, _CURR_STAGES)
+    want = {}
+    pos = 0
+    for stage in range(1, _CURR_STAGES + 1):
+        size = base + (1 if stage <= rem else 0)
+        chunk = q[pos : pos + size]
+        pos += size
+        want[stage] = (
+            len(chunk),
+            sum(r[1] for r in chunk),
+            min(r[2] for r in chunk),
+            max(r[2] for r in chunk),
+        )
+
+    fn, _ = STAGED["pipeline_curriculum_stages"]
+    got = {
+        r["stage"]: (r["n_docs"], r["sum_tokens"], r["min_q_ppm"], r["max_q_ppm"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
