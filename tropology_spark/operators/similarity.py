@@ -1320,6 +1320,7 @@ def ivfpq_write_index(
     n_buckets: int = 16,
     lloyd_iters: int = 1,
     path: str | None = None,
+    e: DataFrame | None = None,
 ) -> None:
     """Persist the IVF+PQ composite index (the staged sim_ivfpq_topk's
     at-scale posture, and the classic on-disk layout of production
@@ -1340,8 +1341,11 @@ def ivfpq_write_index(
     Both training passes (Lloyd assignment + argmin encoding) run ONCE
     here; the read path (:func:`ivfpq_topk_from_index`) trains
     nothing and never reads a raw corpus vector except the ``n_cand``
-    rerank rows."""
-    e = load(spark, sf_dir, "embeddings")
+    rerank rows.  ``e=`` overrides the embeddings frame — needs
+    (vec_id, label, embedding); weak-scaling probe kwarg
+    (tools/scale_probes/ivfpq_scale.py)."""
+    if e is None:
+        e = load(spark, sf_dir, "embeddings")
     ev = e.select(
         "vec_id", "label", as_double(F.col("embedding")).alias("emb")
     ).withColumn("nv", norm(F.col("emb")))
@@ -1386,6 +1390,7 @@ def ivfpq_topk_from_index(
     n_probe: int = 2,
     n_cand: int = _PQ_CAND,
     k: int = 10,
+    e: DataFrame | None = None,
 ) -> DataFrame:
     """IVF+PQ search against an :func:`ivfpq_write_index` artifact —
     NO coarse training, NO codebook rebuild, NO corpus re-encoding:
@@ -1401,11 +1406,13 @@ def ivfpq_topk_from_index(
     Consumer posture: like the IVF/PQ artifacts, set
     ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false`` in
     the reading session or Spark drops the bucketed scan and with it
-    the pruning."""
+    the pruning.  ``e=`` overrides the query/rerank vector source
+    (probe kwarg — must be the corpus the index was built on)."""
     inv = spark.table(table)
     cen = spark.table(table + "_centroids")
     cb = spark.table(table + "_codebook")
-    e = load(spark, sf_dir, "embeddings")
+    if e is None:
+        e = load(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == query_vec_id).select(
         as_double(F.col("embedding")).alias("qemb")
     ).withColumn("nq", norm(F.col("qemb")))
