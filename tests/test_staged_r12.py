@@ -78,6 +78,8 @@ def test_staged_r12_no_new_plan_antipatterns(spark):
         "sim_graph_greedy_search",
         "sim_sq8_recall",
         "analytics_poisson_bootstrap",
+        "sim_filtered_topk",  # 1-row query broadcast (the J8 shape)
+        "analytics_cuped_terms",  # 1-row boundary attach
     }
     bad = {}
     for name, (fn, _) in STAGED.items():
@@ -554,6 +556,98 @@ def test_staged_curriculum_matches_pure_python(spark):
     fn, _ = STAGED["pipeline_curriculum_stages"]
     got = {
         r["stage"]: (r["n_docs"], r["sum_tokens"], r["min_q_ppm"], r["max_q_ppm"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_staged_filtered_topk_matches_pure_python(spark):
+    """sim_filtered_topk — per-label cosine ranking recomputed with
+    NumPy (the matryoshka twin's rounding discipline)."""
+    from collections import defaultdict
+
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, label, embedding FROM "
+        f"read_parquet('{SF_UNIT}/embeddings.parquet')"
+    ).fetchall()
+    ids = [int(r[0]) for r in rows]
+    labels = {int(r[0]): int(r[1]) for r in rows}
+    m = np.array([r[2] for r in rows], dtype=np.float64)
+    idx = {v: i for i, v in enumerate(ids)}
+    q = m[idx[0]]
+    nq = np.linalg.norm(q)
+    cos = {
+        v: round(float(np.dot(m[idx[v]], q) / (np.linalg.norm(m[idx[v]]) * nq)), 6)
+        for v in ids
+        if v != 0
+    }
+    by_label = defaultdict(list)
+    for v, c in cos.items():
+        by_label[labels[v]].append((c, v))
+    want = set()
+    for lab, entries in by_label.items():
+        entries.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (c, v) in enumerate(entries[:3], 1):
+            want.add((lab, rk, v, c))
+
+    fn, _ = STAGED["sim_filtered_topk"]
+    got = {
+        (r["label"], r["rk"], r["vec_id"], r["cosine"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_staged_cuped_matches_pure_python(spark):
+    """analytics_cuped_terms — boundary, per-user pre/post cents, and
+    the co-moment terms recomputed with hashlib + Counter ints."""
+    import hashlib
+    from collections import defaultdict
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT user_id,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE)),
+                   CAST(round(value * 100) AS BIGINT)
+            FROM read_parquet('{SF_UNIT}/events.parquet')"""
+    ).fetchall()
+    days = [d for _, d, _ in rows]
+    bd = (min(days) + max(days)) // 2
+    xs = defaultdict(int)
+    ys = defaultdict(int)
+    for uid, d, cents in rows:
+        if d <= bd:
+            xs[uid] += cents
+        else:
+            ys[uid] += cents
+    want = {}
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    for uid in set(xs) | set(ys):
+        v = (
+            "A"
+            if hashlib.md5(str(uid).encode()).hexdigest()[0] < "8"
+            else "B"
+        )
+        x, y = xs[uid], ys[uid]
+        a = agg[v]
+        a[0] += 1
+        a[1] += x
+        a[2] += y
+        a[3] += x * y
+        a[4] += x * x
+        a[5] += y * y
+    want = {(v, *vals) for v, vals in ((v, tuple(a)) for v, a in agg.items())}
+
+    fn, _ = STAGED["analytics_cuped_terms"]
+    got = {
+        (
+            r["variant"], r["n_users"], r["sum_x"], r["sum_y"],
+            r["sum_xy"], r["sum_x2"], r["sum_y2"],
+        )
         for r in fn(spark, SF_UNIT).collect()
     }
     assert got == want

@@ -3,7 +3,7 @@ registered (the round-8/9/10 staging pattern, fourth application).
 
 The round-11 window is already fully budgeted (17 staged_r11
 activations + the r04/r05 stale queue — CLAUDE.md "Round-11 window"),
-so these eight bodies target ROUND 12.  Same (fn, oracle) contract as
+so these ten bodies target ROUND 12.  Same (fn, oracle) contract as
 the registry; activation is the mechanical move + five-fold lockstep.
 tests/test_staged_r12.py runs the driver-replica compare at both
 verification scales, Python twins for the formula-bearing ops (plus
@@ -36,6 +36,11 @@ New capability coverage (SURVEY §2.M candidates at activation):
 - pipeline_curriculum_stages — quality-ordered curriculum buckets via
   the scale-safe two-pass global rank (plans/global_order.py) and an
   exact ppm quality carrier.
+- sim_filtered_topk — metadata-filtered vector search (per-label
+  top-k in one corpus pass): the filtered-ANN production feature.
+- analytics_cuped_terms — CUPED variance-reduction co-moment terms
+  (data-derived pre/post boundary, the *_terms discipline on the
+  experimentation pipeline).
 """
 
 from __future__ import annotations
@@ -1043,3 +1048,171 @@ def pipeline_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 pipeline_curriculum_stages.__doc__ = pipeline_curriculum_stages.__doc__.format(
     n=_CURR_STAGES
 )
+
+
+# ---------------------------------------------------------------------------
+# sim_filtered_topk — metadata-filtered vector search (per-label top-k)
+# ---------------------------------------------------------------------------
+
+_FILT_K = 3
+
+_FILT_ORACLE = f"""
+    WITH ex AS (
+      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, (SELECT unnest(generate_series(1, {EMB_DIM})) AS i) s
+    ),
+    nrm AS (SELECT vec_id, sqrt(sum(val * val)) AS nv FROM ex GROUP BY vec_id),
+    q AS (SELECT pos, val FROM ex WHERE vec_id = {QUERY_VEC_ID}),
+    d AS (SELECT e.vec_id, any_value(e.label) AS label, sum(e.val * q.val) AS dp
+          FROM ex e JOIN q ON e.pos = q.pos
+          WHERE e.vec_id <> {QUERY_VEC_ID}
+          GROUP BY e.vec_id),
+    cos AS (SELECT d.vec_id, d.label,
+                   round(d.dp / (n1.nv * n2.nv), 6) AS cosine
+            FROM d
+            JOIN nrm n1 ON d.vec_id = n1.vec_id
+            CROSS JOIN (SELECT nv FROM nrm WHERE vec_id = {QUERY_VEC_ID}) n2)
+    SELECT label, CAST(rk_f AS BIGINT) AS rk, vec_id, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY label
+                                       ORDER BY cosine DESC, vec_id) AS rk_f
+          FROM cos) t
+    WHERE rk_f <= {_FILT_K}
+"""
+
+
+@_stage("sim_filtered_topk", oracle=_FILT_ORACLE)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search — top-{k} by cosine within
+    every label group for the fixture query vector: the production
+    feature every vector store ships (filtered/faceted ANN — "nearest
+    documents WHERE source = X") that none of the existing sim ops
+    exercises.  One corpus pass computes all per-label answers
+    simultaneously (the batch form of a filtered query; a single
+    filter is the label = X slice of this result).
+
+    Cross-engine float discipline matches the sim family: cosines
+    rounded to 6 dp, (cosine DESC, vec_id) unique tie-break, per-label
+    window — never a global one.  Scale: at 100 TB filtered search is
+    the argument FOR metadata-partitioned vector layouts — with the
+    corpus bucketed/partitioned by the filter column (exactly the
+    IVF+PQ artifact's bucketBy(cell) discipline applied to a metadata
+    key) each filtered query scans only its slice; the registered
+    one-pass batch shape is the offline-eval form."""
+    from tropology_spark.operators.similarity import as_double, dot, norm
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    ).withColumn("nv", norm(F.col("emb")))
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("qemb"), F.col("nv").alias("nq")
+    )
+    cos = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                dot(F.col("emb"), F.col("qemb")) / (F.col("nv") * F.col("nq")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cos.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _FILT_K)
+        .select("label", "rk", "vec_id", "cosine")
+    )
+
+
+sim_filtered_topk.__doc__ = sim_filtered_topk.__doc__.format(k=_FILT_K)
+
+
+# ---------------------------------------------------------------------------
+# analytics_cuped_terms — CUPED variance-reduction co-moment terms
+# ---------------------------------------------------------------------------
+
+_CUPED_ORACLE = """
+    WITH e AS (
+      SELECT user_id,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    b AS (SELECT (min(d) + max(d)) // 2 AS bd FROM e),
+    u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN d <= bd THEN cents ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN d > bd THEN cents ELSE 0 END) AS BIGINT) AS y
+      FROM e CROSS JOIN b GROUP BY user_id
+    ),
+    v AS (
+      SELECT user_id, x, y,
+             CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM u
+    )
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(x * y) AS BIGINT) AS sum_xy,
+           CAST(sum(x * x) AS BIGINT) AS sum_x2,
+           CAST(sum(y * y) AS BIGINT) AS sum_y2
+    FROM v GROUP BY variant
+"""
+
+
+@_stage("analytics_cuped_terms", oracle=_CUPED_ORACLE)
+def analytics_cuped_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduction TERMS for the hash-split experiment
+    (Deng et al. 2013 — the standard pre-period covariate adjustment
+    every experimentation platform runs): per user, x = pre-period
+    spend cents and y = experiment-period spend cents (the boundary is
+    the DATA-DERIVED midpoint (min_day + max_day) div 2 on the epoch-
+    day axis — regeneration-robust, non-negative division, never a
+    wall-clock literal); per variant the exact integer co-moments
+    (n, Σx, Σy, Σxy, Σx², Σy²) from which a consumer computes
+    θ = cov(x,y)/var(x) and the CUPED-adjusted lift.  The *_terms
+    discipline: the final ratios are floats, so the engine emits their
+    exact integer inputs (ts_corr_terms' rule applied to the
+    experimentation pipeline).  Variant assignment reuses
+    analytics_ab_lift's md5 first-hex split verbatim.
+
+    Scale: one events pass + a 1-row boundary attach (deliberate
+    scalar crossJoin, BNLJ-allowlisted at activation) + a user-level
+    agg + a 2-group rollup — every aggregate map-side combinable."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    b = e.agg(F.expr("(min(d) + max(d)) div 2").alias("bd"))
+    u = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("d") <= F.col("bd"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("d") > F.col("bd"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    v = u.withColumn(
+        "variant",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "A"
+        ).otherwise("B"),
+    )
+    return v.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_x2"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sum_y2"),
+    )
