@@ -651,3 +651,96 @@ def test_staged_cuped_matches_pure_python(spark):
         for r in fn(spark, SF_UNIT).collect()
     }
     assert got == want
+
+
+def test_staged_mannwhitney_matches_pure_python(spark):
+    """analytics_mannwhitney_terms — doubled midranks, rank sums, and
+    the doubled U recomputed with hashlib + Counter ints; also pins
+    the identity u2_A + u2_B = 2·n_A·n_B."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT user_id, CAST(round(value * 100) AS BIGINT)
+            FROM read_parquet('{SF_UNIT}/events.parquet')"""
+    ).fetchall()
+    spend = defaultdict(int)
+    for uid, cents in rows:
+        spend[uid] += cents
+    per_value = Counter()
+    a_at = Counter()
+    for uid, s in spend.items():
+        per_value[s] += 1
+        if hashlib.md5(str(uid).encode()).hexdigest()[0] < "8":
+            a_at[s] += 1
+    cum = 0
+    r2 = {"A": 0, "B": 0}
+    n = {"A": 0, "B": 0}
+    for s in sorted(per_value):
+        cnt = per_value[s]
+        lo, hi = cum + 1, cum + cnt
+        cum += cnt
+        twomr = lo + hi
+        ca = a_at[s]
+        r2["A"] += ca * twomr
+        r2["B"] += (cnt - ca) * twomr
+        n["A"] += ca
+        n["B"] += cnt - ca
+    want = {
+        (v, n[v], r2[v], r2[v] - n[v] * (n[v] + 1)) for v in ("A", "B")
+    }
+
+    fn, _ = STAGED["analytics_mannwhitney_terms"]
+    got_rows = fn(spark, SF_UNIT).collect()
+    got = {
+        (r["variant"], r["n_users"], r["rank2_sum"], r["u2"])
+        for r in got_rows
+    }
+    assert got == want
+    u2 = {r["variant"]: r["u2"] for r in got_rows}
+    nn = {r["variant"]: r["n_users"] for r in got_rows}
+    assert u2["A"] + u2["B"] == 2 * nn["A"] * nn["B"]  # the MW identity
+
+
+def test_staged_theilsen_matches_pure_python(spark):
+    """ts_theilsen_micro — shifted floor-div micro-slopes and the
+    lower counting median recomputed with Python ints (floor division
+    directly — the shift identity must make the engines equal it)."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""SELECT event_type,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 24
+                     + hour(ts) AS h
+            FROM read_parquet('{SF_UNIT}/events.parquet')"""
+    ).fetchall()
+    counts = Counter(rows)
+    series = defaultdict(dict)
+    for (et, h), nv in counts.items():
+        series[et][h] = nv
+    want = set()
+    for et, hs in series.items():
+        keys = sorted(hs)
+        slopes = [
+            ((hs[h2] - hs[h1]) * 1_000_000) // (h2 - h1)
+            for i, h1 in enumerate(keys)
+            for h2 in keys[i + 1 :]
+        ]
+        slopes.sort()
+        np_ = len(slopes)
+        med = slopes[(np_ + 1) // 2 - 1]
+        want.add((et, np_, med, min(slopes), max(slopes)))
+
+    fn, _ = STAGED["ts_theilsen_micro"]
+    got = {
+        (
+            r["event_type"], r["n_pairs"], r["slope_micro"],
+            r["min_smicro"], r["max_smicro"],
+        )
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want

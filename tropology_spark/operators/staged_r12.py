@@ -3,7 +3,7 @@ registered (the round-8/9/10 staging pattern, fourth application).
 
 The round-11 window is already fully budgeted (17 staged_r11
 activations + the r04/r05 stale queue — CLAUDE.md "Round-11 window"),
-so these ten bodies target ROUND 12.  Same (fn, oracle) contract as
+so these twelve bodies target ROUND 12.  Same (fn, oracle) contract as
 the registry; activation is the mechanical move + five-fold lockstep.
 tests/test_staged_r12.py runs the driver-replica compare at both
 verification scales, Python twins for the formula-bearing ops (plus
@@ -41,6 +41,10 @@ New capability coverage (SURVEY §2.M candidates at activation):
 - analytics_cuped_terms — CUPED variance-reduction co-moment terms
   (data-derived pre/post boundary, the *_terms discipline on the
   experimentation pipeline).
+- analytics_mannwhitney_terms — Mann-Whitney U via integer DOUBLED
+  midranks (2·midrank = lo + hi is always integral; u2 ≡ 2U).
+- ts_theilsen_micro — Theil-Sen robust slope: shifted floor-div
+  micro-slopes + per-type lower counting median.
 """
 
 from __future__ import annotations
@@ -1215,4 +1219,222 @@ def analytics_cuped_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sum_xy"),
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_x2"),
         F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sum_y2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytics_mannwhitney_terms — Mann-Whitney U via integer doubled midranks
+# ---------------------------------------------------------------------------
+
+_MW_ORACLE = """
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT s,
+             CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS is_a
+      FROM u
+    ),
+    c AS (SELECT s,
+                 CAST(sum(is_a) AS BIGINT) AS ca,
+                 CAST(sum(1 - is_a) AS BIGINT) AS cb,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM v GROUP BY s),
+    w AS (SELECT s, ca, cb, cnt,
+                 CAST(sum(cnt) OVER (ORDER BY s) AS BIGINT) AS cum
+          FROM c),
+    m AS (SELECT ca, cb, (cum - cnt + 1) + cum AS twomr FROM w),
+    agg AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                   CAST(sum(cb) AS BIGINT) AS n_b,
+                   CAST(sum(ca * twomr) AS BIGINT) AS r2_a,
+                   CAST(sum(cb * twomr) AS BIGINT) AS r2_b
+            FROM m)
+    SELECT 'A' AS variant, n_a AS n_users, r2_a AS rank2_sum,
+           CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2
+    FROM agg
+    UNION ALL
+    SELECT 'B', n_b, r2_b, CAST(r2_b - n_b * (n_b + 1) AS BIGINT)
+    FROM agg
+"""
+
+
+@_stage("analytics_mannwhitney_terms", oracle=_MW_ORACLE)
+def analytics_mannwhitney_terms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Whitney U terms for the hash-split experiment over per-user
+    spend — the NONPARAMETRIC lift test (rank-based, no normality
+    assumption; the robust companion to analytics_ab_lift's rates,
+    analytics_cuped_terms' co-moments, and the Poisson bootstrap's
+    resampling).  Everything is integer-exact: ties take the midrank,
+    and 2·midrank = lo + hi (first + last rank of the tie group) is
+    always integral, so the engine carries DOUBLED rank sums and the
+    doubled statistic u2 = Σ2mr − n(n+1) ≡ 2U — the consumer checks
+    u2_A + u2_B = 2·n_A·n_B (the twin pins this identity) and
+    normalizes by 2·n_A·n_B for the rank-biserial effect size.
+
+    The cumulative rank window runs over the DISTINCT spend values —
+    the bounded-cardinality single-axis window family (the merged-KS
+    support rule), kept off the partition-less-WindowExec path via the
+    non-foldable constant partition key.  All other stages are
+    map-side-combinable aggs."""
+    u = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("cents").cast("bigint").alias("s"))
+    )
+    v = u.select(
+        "s",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", 1
+        )
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    c = v.groupBy("s").agg(
+        F.sum("is_a").cast("bigint").alias("ca"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("bigint").alias("cb"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    const_part = F.pmod(F.col("s"), F.lit(1))  # non-foldable constant
+    w_cum = Window.partitionBy(const_part).orderBy("s")
+    w = c.select(
+        "ca",
+        "cb",
+        "cnt",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("cum"),
+    )
+    m = w.select(
+        "ca", "cb", ((F.col("cum") - F.col("cnt") + 1) + F.col("cum")).alias("twomr")
+    )
+    agg = m.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+        F.sum(F.col("ca") * F.col("twomr")).cast("bigint").alias("r2_a"),
+        F.sum(F.col("cb") * F.col("twomr")).cast("bigint").alias("r2_b"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(2, 'A', n_a, r2_a, CAST(r2_a - n_a * (n_a + 1) AS BIGINT),"
+            " 'B', n_b, r2_b, CAST(r2_b - n_b * (n_b + 1) AS BIGINT))"
+            " AS (variant, n_users, rank2_sum, u2)"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_theilsen_micro — Theil-Sen robust slope (shifted floor-div micro-slopes)
+# ---------------------------------------------------------------------------
+
+_TS_BIG = 10**12  # shift making every slope numerator non-negative
+
+_THEILSEN_ORACLE = f"""
+    WITH e AS (
+      SELECT event_type,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 24
+               + hour(ts) AS h
+      FROM events
+    ),
+    c AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY event_type, h),
+    p AS (
+      SELECT a.event_type,
+             ((b.n - a.n) * 1000000 + {_TS_BIG} * (b.h - a.h))
+               // (b.h - a.h) - {_TS_BIG} AS smicro
+      FROM c a JOIN c b
+        ON a.event_type = b.event_type AND a.h < b.h
+    ),
+    g AS (SELECT event_type, smicro, CAST(count(*) AS BIGINT) AS cnt
+          FROM p GROUP BY event_type, smicro),
+    w AS (SELECT event_type, smicro, cnt,
+                 CAST(sum(cnt) OVER (PARTITION BY event_type
+                                     ORDER BY smicro) AS BIGINT) AS cum,
+                 CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_pairs
+          FROM g)
+    SELECT event_type, n_pairs,
+           CAST(min(CASE WHEN cum >= (n_pairs + 1) // 2 THEN smicro END)
+                AS BIGINT) AS slope_micro,
+           CAST(min(smicro) AS BIGINT) AS min_smicro,
+           CAST(max(smicro) AS BIGINT) AS max_smicro
+    FROM w GROUP BY event_type, n_pairs
+"""
+
+
+@_stage("ts_theilsen_micro", oracle=_THEILSEN_ORACLE)
+def ts_theilsen_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type over the hourly count
+    series — the median of all pairwise slopes (up to 29% outlier
+    breakdown vs OLS's zero; the robust companion to the staged
+    analytics_ols_terms).  Slopes are carried as micro-slopes
+    floor(10⁶·Δn/Δh) made ENGINE-EXACT by the +shift identity
+    (dy·10⁶ + BIG·dx) div dx − BIG with BIG = 10¹² ≥ |dy|·10⁶ (the
+    sim_cluster_cohesion shift rule: the shifted numerator is
+    non-negative so truncation == flooring, and (a + k·dx) div dx =
+    a floor-div dx + k exactly); the per-type median is the lower
+    counting median over per-value counts (the bounded-domain
+    counting-quantile rule — never a corpus sort), safe while hourly
+    counts stay under 10⁶ (fixture max ~10²; document before lifting).
+
+    Scale: the hourly rollup is map-side combinable; the pair join is
+    per-type over the HOURLY series (bounded by the time span, not
+    the event count — 720 points/month → 259k pairs regardless of
+    corpus size), and the median windows partition by event_type."""
+    epoch = F.lit("1970-01-01").cast("date")
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.datediff(F.col("ts").cast("date"), epoch) * 24
+            + F.hour(F.col("ts"))
+        ).alias("h"),
+    )
+    c = e.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = c.select(
+        F.col("event_type").alias("et"),
+        F.col("h").alias("ha"),
+        F.col("n").alias("na"),
+    )
+    p = (
+        a.join(
+            c,
+            (F.col("et") == F.col("event_type")) & (F.col("ha") < F.col("h")),
+        )
+        .select(
+            "event_type",
+            F.expr(
+                f"((n - na) * 1000000 + {_TS_BIG}L * (h - ha))"
+                f" div (h - ha) - {_TS_BIG}L"
+            ).alias("smicro"),
+        )
+    )
+    g = p.groupBy("event_type", "smicro").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("smicro")
+    w_all = Window.partitionBy("event_type")
+    w = g.select(
+        "event_type",
+        "smicro",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("cnt").over(w_all).cast("bigint").alias("n_pairs"),
+    )
+    return w.groupBy("event_type", "n_pairs").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(n_pairs + 1) div 2"), F.col("smicro")
+            )
+        )
+        .cast("bigint")
+        .alias("slope_micro"),
+        F.min("smicro").cast("bigint").alias("min_smicro"),
+        F.max("smicro").cast("bigint").alias("max_smicro"),
     )
