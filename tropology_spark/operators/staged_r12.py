@@ -1369,7 +1369,9 @@ _THEILSEN_ORACLE = f"""
 
 
 @_stage("ts_theilsen_micro", oracle=_THEILSEN_ORACLE)
-def ts_theilsen_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ts_theilsen_micro(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
     """Theil-Sen robust trend per event type over the hourly count
     series — the median of all pairwise slopes (up to 29% outlier
     breakdown vs OLS's zero; the robust companion to the staged
@@ -1386,9 +1388,14 @@ def ts_theilsen_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the hourly rollup is map-side combinable; the pair join is
     per-type over the HOURLY series (bounded by the time span, not
     the event count — 720 points/month → 259k pairs regardless of
-    corpus size), and the median windows partition by event_type."""
+    corpus size), and the median windows partition by event_type.  ``events=`` overrides the events frame
+    (weak-scaling probe kwarg — tools/scale_probes/theilsen_scale.py
+    tests exactly the span-bounded claim; the driver contract never
+    passes it)."""
     epoch = F.lit("1970-01-01").cast("date")
-    e = load(spark, sf_dir, "events").select(
+    if events is None:
+        events = load(spark, sf_dir, "events")
+    e = events.select(
         "event_type",
         (
             F.datediff(F.col("ts").cast("date"), epoch) * 24
