@@ -744,3 +744,42 @@ def test_staged_theilsen_matches_pure_python(spark):
         for r in fn(spark, SF_UNIT).collect()
     }
     assert got == want
+
+
+def test_staged_mmr_matches_pure_python(spark):
+    """sim_mmr_diversify — the greedy MMR walk recomputed with NumPy
+    int64 dots (pool cut, pairwise penalties, argmax picks)."""
+    import numpy as np
+
+    from tropology_spark.operators.staged_r12 import _MMR_K, _MMR_POOL
+
+    ids, vm = _load_vm()
+    idx = {v: i for i, v in enumerate(ids)}
+    corpus = [v for v in ids if v != 0]
+    rel = {v: int(np.dot(vm[idx[v]], vm[idx[0]])) for v in corpus}
+    pool = sorted(corpus, key=lambda v: (-rel[v], v))[:_MMR_POOL]
+    pw = {
+        (a, b): int(np.dot(vm[idx[a]], vm[idx[b]]))
+        for a in pool
+        for b in pool
+        if a != b
+    }
+    first = min(pool, key=lambda v: (-rel[v], v))
+    picks = [(1, first, rel[first], 0, rel[first])]
+    picked = [first]
+    for i in range(2, _MMR_K + 1):
+        cands = [v for v in pool if v not in picked]
+        scored = [
+            (v, rel[v], max(pw[(v, s)] for s in picked)) for v in cands
+        ]
+        v, r, pen = min(scored, key=lambda t: (-(t[1] - t[2]), t[0]))
+        picks.append((i, v, r, pen, r - pen))
+        picked.append(v)
+    want = set(picks)
+
+    fn, _ = STAGED["sim_mmr_diversify"]
+    got = {
+        (r["pick_order"], r["vec_id"], r["rel"], r["pen"], r["score2"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want

@@ -3,7 +3,7 @@ registered (the round-8/9/10 staging pattern, fourth application).
 
 The round-11 window is already fully budgeted (17 staged_r11
 activations + the r04/r05 stale queue — CLAUDE.md "Round-11 window"),
-so these twelve bodies target ROUND 12.  Same (fn, oracle) contract as
+so these thirteen bodies target ROUND 12.  Same (fn, oracle) contract as
 the registry; activation is the mechanical move + five-fold lockstep.
 tests/test_staged_r12.py runs the driver-replica compare at both
 verification scales, Python twins for the formula-bearing ops (plus
@@ -45,6 +45,9 @@ New capability coverage (SURVEY §2.M candidates at activation):
   midranks (2·midrank = lo + hi is always integral; u2 ≡ 2U).
 - ts_theilsen_micro — Theil-Sen robust slope: shifted floor-div
   micro-slopes + per-type lower counting median.
+- sim_mmr_diversify — Maximal Marginal Relevance re-ranking (unrolled
+  greedy, λ=1/2 ⇒ pure integer score2 = rel − max pair dot; pool-
+  bounded pairwise stage).
 """
 
 from __future__ import annotations
@@ -1445,3 +1448,195 @@ def ts_theilsen_micro(
         F.min("smicro").cast("bigint").alias("min_smicro"),
         F.max("smicro").cast("bigint").alias("max_smicro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_mmr_diversify — Maximal Marginal Relevance re-ranking (unrolled greedy)
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 20  # relevance candidate pool
+_MMR_K = 5  # diversified picks
+
+#: One greedy MMR pick, oracle side: among unpicked pool members,
+#: maximize score2 = rel − max(pair-dot to any previous pick); the
+#: pick CTEs are MATERIALIZED (oracle-side double-reference rule).
+_MMR_STEP_SQL = """
+    , pen{n} AS (
+      SELECT p.vec_id, max(pd.w) AS pen
+      FROM pool p
+      JOIN pw_mmr pd ON pd.a = p.vec_id
+      WHERE pd.b IN (SELECT vec_id FROM picked{p})
+        AND p.vec_id NOT IN (SELECT vec_id FROM picked{p})
+      GROUP BY p.vec_id),
+    pick{n} AS MATERIALIZED (
+      SELECT vec_id, rel, pen, rel - pen AS score2 FROM (
+        SELECT p.vec_id, p.rel, pn.pen,
+               row_number() OVER (ORDER BY p.rel - pn.pen DESC, p.vec_id)
+                 AS rk_m{n}
+        FROM pool p JOIN pen{n} pn ON p.vec_id = pn.vec_id) t
+      WHERE rk_m{n} = 1),
+    picked{n} AS MATERIALIZED (
+      SELECT vec_id FROM picked{p}
+      UNION ALL SELECT vec_id FROM pick{n})
+"""
+
+
+def _mmr_oracle() -> str:
+    steps = "".join(
+        _MMR_STEP_SQL.format(n=i, p=i - 1) for i in range(2, _MMR_K + 1)
+    )
+    picks = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS pick_order, vec_id, rel,"
+        f" pen, score2 FROM pick{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return (
+        _SQ8_EX_CTE
+        + f"""
+    , q AS (SELECT pos, vm AS qvm FROM ex WHERE vec_id = {QUERY_VEC_ID}),
+    rel0 AS (SELECT e.vec_id, CAST(sum(e.vm * q.qvm) AS BIGINT) AS rel
+             FROM ex e JOIN q ON e.pos = q.pos
+             WHERE e.vec_id <> {QUERY_VEC_ID}
+             GROUP BY e.vec_id),
+    pool AS MATERIALIZED (
+      SELECT vec_id, rel FROM (
+        SELECT vec_id, rel,
+               row_number() OVER (ORDER BY rel DESC, vec_id) AS rk_p
+        FROM rel0) t WHERE rk_p <= {_MMR_POOL}),
+    pw_mmr AS MATERIALIZED (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             CAST(sum(ea.vm * eb.vm) AS BIGINT) AS w
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+      JOIN ex ea ON ea.vec_id = a.vec_id
+      JOIN ex eb ON eb.vec_id = b.vec_id AND ea.pos = eb.pos
+      GROUP BY a.vec_id, b.vec_id),
+    pick1 AS MATERIALIZED (
+      SELECT vec_id, rel, CAST(0 AS BIGINT) AS pen, rel AS score2 FROM (
+        SELECT vec_id, rel,
+               row_number() OVER (ORDER BY rel DESC, vec_id) AS rk_m1
+        FROM pool) t WHERE rk_m1 = 1),
+    picked1 AS MATERIALIZED (SELECT vec_id FROM pick1)
+    {steps}
+    SELECT * FROM ({picks}) all_picks
+    """
+    )
+
+
+@_stage("sim_mmr_diversify", oracle=_mmr_oracle())
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity stage every production retrieval system runs
+    after relevance ranking: greedily pick {k} results from the
+    relevance top-{pool}, each pick maximizing
+    λ·rel(q,d) − (1−λ)·max_sim(d, already-picked).  At λ = 1/2 the
+    doubled objective is the pure integer difference
+    score2 = rel − max_pair_dot — zero floats anywhere (micro-unit
+    BIGINT dots, (score DESC, vec_id) tie-breaks; pick 1 is pure
+    relevance with penalty 0).
+
+    The greedy loop is unrolled ({k} − 1 dependent steps); the
+    selected-set frame is re-referenced every step → Spark
+    localCheckpoints per round and the oracle marks pool/pair/pick
+    CTEs MATERIALIZED (the oracle-side double-reference rule).  Scale:
+    the pairwise stage is {pool}×{pool} over the POOL, never the
+    corpus — MMR cost is independent of corpus size once the
+    relevance pool is cut, which is why it composes after any of the
+    ANN tiers (BQ/PQ/IVF/SQ8)."""
+    vmarr = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000).cast("bigint"),
+    )
+    ev = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", vmarr.alias("vm"))
+        .localCheckpoint(eager=True)  # feeds q, rel, and the pool pairs
+    )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    q = ev.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("vm").alias("qvm")
+    )
+    rel = (
+        ev.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "vm", idot(F.col("vm"), F.col("qvm")).alias("rel"))
+    )
+    pool = (
+        rel.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+        .localCheckpoint(eager=True)  # feeds pair dots + every pick round
+    )
+    pw = (
+        pool.select("vec_id", "vm")
+        .crossJoin(
+            F.broadcast(
+                pool.select(
+                    F.col("vec_id").alias("b"), F.col("vm").alias("vmb")
+                )
+            )
+        )
+        .filter(F.col("vec_id") != F.col("b"))
+        .select(
+            F.col("vec_id").alias("a"), "b", idot(F.col("vm"), F.col("vmb")).alias("w")
+        )
+        .localCheckpoint(eager=True)  # referenced every pick round
+    )
+    wpick = Window.partitionBy(F.pmod(F.col("vec_id"), F.lit(1))).orderBy(
+        F.desc("score2"), F.asc("vec_id")
+    )
+    first = (
+        pool.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            "vec_id",
+            "rel",
+            F.lit(0).cast("bigint").alias("pen"),
+            F.col("rel").alias("score2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    picks = [first]
+    picked = first.select("vec_id")
+    for i in range(2, _MMR_K + 1):
+        pen = (
+            pw.join(F.broadcast(picked.select(F.col("vec_id").alias("b"))), "b")
+            .groupBy("a")
+            .agg(F.max("w").alias("pen"))
+        )
+        cand = (
+            pool.join(picked, "vec_id", "left_anti")
+            .join(pen, pen.a == F.col("vec_id"))
+            .select("vec_id", "rel", "pen", (F.col("rel") - F.col("pen")).alias("score2"))
+        )
+        pick = (
+            cand.withColumn("rk_m", F.row_number().over(wpick))
+            .filter(F.col("rk_m") == 1)
+            .select("vec_id", "rel", F.col("pen").cast("bigint").alias("pen"), "score2")
+            .localCheckpoint(eager=True)
+        )
+        picks.append(pick)
+        picked = picked.unionAll(pick.select("vec_id")).localCheckpoint(
+            eager=True
+        )
+    out = None
+    for i, p in enumerate(picks, 1):
+        row = p.select(
+            F.lit(i).cast("bigint").alias("pick_order"),
+            "vec_id",
+            "rel",
+            "pen",
+            "score2",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+sim_mmr_diversify.__doc__ = sim_mmr_diversify.__doc__.format(
+    k=_MMR_K, pool=_MMR_POOL
+)
