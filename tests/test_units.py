@@ -1033,11 +1033,12 @@ def test_driver_window_composition(spark):
     change can never silently evict a query: the 10 activated M243-M252
     queries (never sampled) lead, and EVERY
     remaining window slot goes to the rotation queue — queries whose
-    latest driver row is the OLDEST post-regeneration vintage (<= r04;
+    latest driver row is the OLDEST post-regeneration vintage (<= r05;
     the pre-regeneration debt is zero since round 8, so the bound
-    relaxed from <= 3 once r04-vintage rows became the oldest rotation
-    class — CLAUDE.md round-10 plan, relaxed BEFORE composing the
-    window per VERDICT r9 item 4's warning) or IS from the most
+    relaxed from <= 4 once the last r04-vintage rows plus the oldest
+    r05 rows became the round-11 rotation class — CLAUDE.md round-11
+    plan, relaxed BEFORE composing the window per the r9/r10
+    precedent) or IS from the most
     recent driver round (a fresh row from the current round is the
     queue working, not a wasted slot — the r6 verdict's fix for the
     self-invalidating assertion; the max_round escape is deliberately
@@ -1063,7 +1064,7 @@ def test_driver_window_composition(spark):
     missing = [q for q in never if q not in set(window)]
     assert not missing, f"never-sampled queries outside the window: {missing}"
     for q in window[len(head):]:
-        assert latest.get(q, 0) <= 4 or latest[q] == max_round, (
+        assert latest.get(q, 0) <= 5 or latest[q] == max_round, (
             f"non-stale query {q} burns a window slot"
         )
     for q in window:
