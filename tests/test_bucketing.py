@@ -327,11 +327,7 @@ def test_bq_index_persist_reload(spark, tmp_path, monkeypatch):
     import tropology_spark.operators.similarity as S
     from tropology_spark import QUERIES
 
-    fn = QUERIES.get("sim_bq_hamming_topk")
-    if fn is None:  # pre-activation: the staged body is the referent
-        from tropology_spark.operators.staged_r11 import STAGED
-
-        fn = STAGED["sim_bq_hamming_topk"][0]
+    fn = QUERIES["sim_bq_hamming_topk"]
     want = [
         (r["vec_id"], r["hamming"], r["cosine"])
         for r in fn(spark, SF_UNIT).collect()

@@ -109,6 +109,13 @@ BNLJ_ALLOWED = {
     # truth composition's query-vector scalar attach.
     "text_pmi_collocations", "graph_rich_club_terms",
     "analytics_chisq_priority_era", "sim_matryoshka_recall",
+    # round-11 scalar attaches (pre-activation plan sweep in the staged
+    # suite): M256 broadcasts the 1-row query signature+vector; M257
+    # crosses the 3-row threshold table into the M2 pair set; M263
+    # inherits ivf_topk's query attach per probe branch; M264 crosses
+    # the three 1-row config counts per (b, r) setting.
+    "sim_bq_hamming_topk", "dedup_threshold_curve", "sim_ivf_probe_curve",
+    "dedup_band_curve",
 }
 
 #: The ONLY row-at-a-time Python evaluation sites: L1 (the declared

@@ -1,100 +1,32 @@
-"""Driver-replica parity for the STAGED round-11 operators
-(tropology_spark/operators/staged_r11.py) — the full compare the
-registry queries get, run over the staged (fn, oracle) pairs at both
-verification scales, plus independent Python twins for the
-formula-risk ops and the partitioning-invariance probe.  Activation in
-round 11 is then a mechanical move-and-register.
+"""Independent pure-Python twins for the round-11 activations
+(M253-M269) — the NEW-OP CROSS-CHECK DISCIPLINE (CLAUDE.md round 7):
+Spark-vs-DuckDB parity cannot catch a shared-formula error, so every
+formula-bearing new operator is re-derived here with hashlib / sets /
+Counter / NumPy / plain loops and compared against the REGISTERED
+query, plus the composed-audit consistency pins and the three
+hypothesis property suites on the exact registered code paths (frame
+injection through the registry wrapper's **kwargs).
 
-The staged module must never be imported by package __init__ (registry
-order is externally significant); importing it here is safe because it
-registers nothing.
+(These ops were staged in round 10 as operators/staged_r11.py and
+activated in round 11; oracle parity + partitioning invariance now run
+through the registry-wide suites — tests/test_oracle_parity.py and
+test_units.py's invariance probe.)
 """
 
 from __future__ import annotations
 
-import pytest
-
-from tests.conftest import SF_ORACLE, SF_UNIT, make_duckdb
-from tropology_spark.operators.staged_r11 import STAGED
+from tests.conftest import SF_UNIT
+from tropology_spark import QUERIES
 
 
-def test_staged_module_registers_nothing():
-    from tropology_spark import QUERIES
-
-    assert not (set(STAGED) & set(QUERIES))
-
-
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_parity_both_scales(spark, name):
-    from tests.parity import compare
-
-    fn, oracle = STAGED[name]
-    for sf in (SF_UNIT, SF_ORACLE):
-        con = make_duckdb(sf)
-        try:
-            compare(name, spark, con, fn, oracle, sf)
-        finally:
-            con.close()
-
-
-def test_staged_partitioning_invariance(spark):
-    """The activation-time lockstep requires partitioning invariance;
-    pin it NOW for every staged op (three shuffle-partition settings
-    must produce identical value sets)."""
-    from tests.parity import canon_rows, spark_result
-    from tropology_spark.sources.tables import clear_session_caches
-
-    orig = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        results = {n: set() for n in STAGED}
-        for parts in ("5", "13", "32"):
-            spark.conf.set("spark.sql.shuffle.partitions", parts)
-            clear_session_caches()
-            for n, (fn, _) in STAGED.items():
-                cols, rows = spark_result(fn(spark, SF_UNIT))
-                results[n].add(tuple(canon_rows(cols, rows)))
-        for n, seen in results.items():
-            assert len(seen) == 1, f"staged {n} varies with shuffle partitioning"
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig)
-        clear_session_caches()
-
-
-def test_staged_no_new_plan_antipatterns(spark):
-    """Pre-activation plan sweep: no CartesianProduct, no row-Python
-    UDF anywhere in the staged plans; BroadcastNestedLoopJoin only at
-    the four noted scalar attaches (sim_bq_hamming_topk's 1-row query
-    broadcast, dedup_threshold_curve's 3-row threshold cross,
-    sim_ivf_probe_curve's inherited ivf_topk query attach,
-    dedup_band_curve's per-config count crosses) — the names to add
-    to BNLJ_ALLOWED at activation."""
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "simple"
-    )
-    bnlj_expected = {
-        "sim_bq_hamming_topk", "dedup_threshold_curve", "sim_ivf_probe_curve",
-        "dedup_band_curve",
-    }
-    bad = {}
-    for name, (fn, _) in STAGED.items():
-        s = fn(spark, SF_UNIT)._jdf.queryExecution().explainString(mode)
-        if "CartesianProduct" in s:
-            bad[name] = "CartesianProduct"
-        if "BatchEvalPython" in s:
-            bad[name] = "row-Python UDF"
-        if "BroadcastNestedLoopJoin" in s and name not in bnlj_expected:
-            bad[name] = "unexpected BNLJ"
-    assert not bad, bad
-
-
-def test_staged_quota_matches_pure_python(spark):
-    """pipeline_quota_sample — largest-remainder allocation recomputed
-    with Counter arithmetic; also pins the Hare guarantee Σ quota = N."""
+def test_quota_matches_pure_python(spark):
+    """M253 — largest-remainder allocation recomputed with Counter
+    arithmetic; also pins the Hare guarantee Σ quota = N."""
     from collections import Counter
 
     import duckdb
 
-    fn, _ = STAGED["pipeline_quota_sample"]
+    fn = QUERIES["pipeline_quota_sample"]
     rows = duckdb.sql(
         f"SELECT source FROM read_parquet('{SF_UNIT}/documents.parquet')"
     ).fetchall()
@@ -116,14 +48,14 @@ def test_staged_quota_matches_pure_python(spark):
     assert sum(q for *_, q in got.values()) == 1000
 
 
-def test_staged_ols_matches_pure_python(spark):
-    """analytics_ols_terms — co-moment terms with arbitrary-precision
-    Python ints (independent check of the DECIMAL/HUGEINT carriers)."""
+def test_ols_matches_pure_python(spark):
+    """M254 — co-moment terms with arbitrary-precision Python ints
+    (independent check of the DECIMAL/HUGEINT carriers)."""
     from collections import defaultdict
 
     import duckdb
 
-    fn, _ = STAGED["analytics_ols_terms"]
+    fn = QUERIES["analytics_ols_terms"]
     rows = duckdb.sql(
         f"""SELECT p.p_brand, CAST(l.l_quantity AS BIGINT),
                    CAST(round(l.l_extendedprice * 100) AS BIGINT)
@@ -153,13 +85,13 @@ def test_staged_ols_matches_pure_python(spark):
     assert got == want
 
 
-def test_staged_bq_matches_numpy(spark):
-    """sim_bq_hamming_topk — sign-bit packing, Hamming candidates and
-    cosine rerank recomputed with NumPy/plain ints."""
+def test_bq_matches_numpy(spark):
+    """M256 — sign-bit packing, Hamming candidates and cosine rerank
+    recomputed with NumPy/plain ints."""
     import duckdb
     import numpy as np
 
-    fn, _ = STAGED["sim_bq_hamming_topk"]
+    fn = QUERIES["sim_bq_hamming_topk"]
     rows = duckdb.sql(
         f"SELECT vec_id, embedding FROM read_parquet('{SF_UNIT}/embeddings.parquet')"
     ).fetchall()
@@ -194,14 +126,14 @@ def test_staged_bq_matches_numpy(spark):
     assert sorted(got, key=lambda t: (-t[2], t[0])) == want
 
 
-def test_staged_cv_folds_matches_pure_python(spark):
-    """pipeline_rolling_cv_folds — expanding-window counts from a day
-    Counter; also pins the expanding-window property."""
+def test_cv_folds_matches_pure_python(spark):
+    """M255 — expanding-window counts from a day Counter; also pins
+    the expanding-window property."""
     from collections import Counter
 
     import duckdb
 
-    fn, _ = STAGED["pipeline_rolling_cv_folds"]
+    fn = QUERIES["pipeline_rolling_cv_folds"]
     days = [
         d
         for (d,) in duckdb.sql(
@@ -226,14 +158,13 @@ def test_staged_cv_folds_matches_pure_python(spark):
     assert got[2][1] + got[2][2] <= got[3][1]
 
 
-def test_staged_wmedian_matches_pure_python(spark):
-    """agg_weighted_median — lower weighted median from a sorted
-    cumulative scan."""
+def test_wmedian_matches_pure_python(spark):
+    """M258 — lower weighted median from a sorted cumulative scan."""
     from collections import defaultdict
 
     import duckdb
 
-    fn, _ = STAGED["agg_weighted_median"]
+    fn = QUERIES["agg_weighted_median"]
     rows = duckdb.sql(
         f"""SELECT o.o_orderpriority, CAST(round(o.o_totalprice * 100) AS BIGINT),
                    CAST(count(*) AS BIGINT)
@@ -261,14 +192,14 @@ def test_staged_wmedian_matches_pure_python(spark):
     assert got == want
 
 
-def test_staged_winnowing_matches_pure_python(spark):
-    """text_winnowing_fingerprints — window-min selection recomputed
-    with hashlib and plain list scans."""
+def test_winnowing_matches_pure_python(spark):
+    """M259 — window-min selection recomputed with hashlib and plain
+    list scans."""
     import hashlib
 
     import duckdb
 
-    fn, _ = STAGED["text_winnowing_fingerprints"]
+    fn = QUERIES["text_winnowing_fingerprints"]
     texts = duckdb.sql(
         f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
     ).fetchall()
@@ -293,14 +224,14 @@ def test_staged_winnowing_matches_pure_python(spark):
     assert got == want
 
 
-def test_staged_cdc_matches_pure_python(spark):
-    """mm_cdc_chunking — rolling-hash boundaries recomputed with
-    hashlib over the hex encoding."""
+def test_cdc_matches_pure_python(spark):
+    """M260 — rolling-hash boundaries recomputed with hashlib over the
+    hex encoding."""
     import hashlib
 
     import duckdb
 
-    fn, _ = STAGED["mm_cdc_chunking"]
+    fn = QUERIES["mm_cdc_chunking"]
     texts = duckdb.sql(
         f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
     ).fetchall()
@@ -328,16 +259,13 @@ def test_staged_cdc_matches_pure_python(spark):
     assert got == want
 
 
-def test_staged_cluster3_matches_pure_python(spark):
-    """dedup_cluster3 — 3-round min-label propagation recomputed with
-    dicts over the SAME registered candidate pair set; also pins
-    consistency with dedup_minhash_lsh (every pair ends in one
-    cluster)."""
+def test_cluster3_matches_pure_python(spark):
+    """M261 — 3-round min-label propagation recomputed with dicts over
+    the SAME registered candidate pair set; also pins consistency with
+    dedup_minhash_lsh (every pair ends in one cluster)."""
     from collections import defaultdict
 
-    from tropology_spark import QUERIES
-
-    fn, _ = STAGED["dedup_cluster3"]
+    fn = QUERIES["dedup_cluster3"]
     pairs = [
         (r["doc_a"], r["doc_b"])
         for r in QUERIES["dedup_minhash_lsh"](spark, SF_UNIT).collect()
@@ -363,14 +291,14 @@ def test_staged_cluster3_matches_pure_python(spark):
         assert got[a] == got[b], (a, b)  # candidate pairs co-cluster
 
 
-def test_staged_path_counts_matches_pure_python(spark):
-    """graph_path_counts3 — the A^h mat-vec recomputed with dict
-    arithmetic (exact integer path counts)."""
+def test_path_counts_matches_pure_python(spark):
+    """M262 — the A^h mat-vec recomputed with dict arithmetic (exact
+    integer path counts)."""
     from collections import Counter, defaultdict
 
     import duckdb
 
-    fn, _ = STAGED["graph_path_counts3"]
+    fn = QUERIES["graph_path_counts3"]
     edges = duckdb.sql(
         f"""SELECT DISTINCT o_custkey, l_partkey
             FROM read_parquet('{SF_UNIT}/orders.parquet') o
@@ -409,14 +337,12 @@ def test_staged_path_counts_matches_pure_python(spark):
     assert got == want
 
 
-def test_staged_threshold_curve_consistent_with_registered_pairs(spark):
-    """dedup_threshold_curve — composed audit: the lowest threshold
-    (0.4 = the registered M2 cutoff) must count EXACTLY the registered
+def test_threshold_curve_consistent_with_registered_pairs(spark):
+    """M257 — composed audit: the lowest threshold (0.4 = the
+    registered M2 cutoff) must count EXACTLY the registered
     dedup_embedding_cosine pair set, and the curve must be
     monotonically non-increasing in the threshold."""
-    from tropology_spark import QUERIES
-
-    fn, _ = STAGED["dedup_threshold_curve"]
+    fn = QUERIES["dedup_threshold_curve"]
     n_pairs = QUERIES["dedup_embedding_cosine"](spark, SF_UNIT).count()
     got = {
         r["t_ppm"]: (r["n_pairs"], r["n_docs"])
@@ -428,7 +354,7 @@ def test_staged_threshold_curve_consistent_with_registered_pairs(spark):
 
 
 # ---------------------------------------------------------------------------
-# Property tests over the EXACT staged code paths (frame injection)
+# Property tests over the EXACT registered code paths (frame injection)
 # ---------------------------------------------------------------------------
 
 from hypothesis import given, settings, strategies as st  # noqa: E402
@@ -443,11 +369,11 @@ _SMALL = dict(max_examples=8, deadline=None)
     )
 )
 def test_quota_sample_hare_invariants(spark, counts):
-    """pipeline_quota_sample on injected corpora: Σ quota = N exactly,
-    every source gets base or base+1 (the Hare quota property — never
-    off by more than one seat from its exact share), and the
-    allocation matches the pure-Python largest-remainder rule."""
-    fn, _ = STAGED["pipeline_quota_sample"]
+    """M253 on injected corpora: Σ quota = N exactly, every source
+    gets base or base+1 (the Hare quota property — never off by more
+    than one seat from its exact share), and the allocation matches
+    the pure-Python largest-remainder rule."""
+    fn = QUERIES["pipeline_quota_sample"]
     rows = [(f"s{i:02d}",) for i, n in enumerate(counts) for _ in range(n)]
     docs = spark.createDataFrame(rows, "source string")
     got = {
@@ -481,12 +407,13 @@ def test_quota_sample_hare_invariants(spark, counts):
     shared=st.lists(st.sampled_from("klmno"), min_size=6, max_size=10),
 )
 def test_winnowing_containment_guarantee(spark, prefix_a, prefix_b, shared):
-    """The winnowing GUARANTEE on the exact staged selection path: two
-    documents sharing a run of ≥ k+w−1 = 6 tokens contain at least one
-    identical full window of gram hashes, whose minimum BOTH documents
-    select — their fingerprint sets must intersect.  (Disjoint prefix
-    alphabets keep the shared run the only overlap.)"""
-    from tropology_spark.operators.staged_r11 import winnowing_selected
+    """The winnowing GUARANTEE on the exact registered selection path:
+    two documents sharing a run of ≥ k+w−1 = 6 tokens contain at least
+    one identical full window of gram hashes, whose minimum BOTH
+    documents select — their fingerprint sets must intersect.
+    (Disjoint prefix alphabets keep the shared run the only
+    overlap.)"""
+    from tropology_spark.operators.text import winnowing_selected
 
     doc_a = " ".join([*prefix_a, *shared])
     doc_b = " ".join([*prefix_b, *shared])
@@ -505,17 +432,14 @@ def test_winnowing_containment_guarantee(spark, prefix_a, prefix_b, shared):
     prefix=st.text(alphabet="pqrstuvw", min_size=9, max_size=20),
 )
 def test_cdc_boundaries_shift_resistant(spark, body, prefix):
-    """The defining CDC property, on the exact staged window-hash
+    """The defining CDC property, on the exact registered window-hash
     path: prefixing an asset shifts every boundary UNIFORMLY — the
     boundary set over the shared suffix is preserved (every window
     fully inside the original content hashes identically at its
     shifted position) — where M185's fixed grid would recut every
-    chunk.  Windows overlapping the splice point (< {w} bytes into
-    the body) are the only ones allowed to differ."""
-    from tropology_spark.operators.staged_r11 import (
-        _CDC_WIN_BYTES,
-        cdc_boundary_positions,
-    )
+    chunk.  Windows overlapping the splice point are the only ones
+    allowed to differ."""
+    from tropology_spark.operators.multimodal import cdc_boundary_positions
 
     docs = spark.createDataFrame(
         [(1, body), (2, prefix + body)], "doc_id long, text string"
@@ -527,15 +451,12 @@ def test_cdc_boundaries_shift_resistant(spark, body, prefix):
     assert {p - shift for p in b2 if p > shift} == b1, (body, prefix)
 
 
-def test_staged_probe_curve_consistent_with_registered_ivf(spark):
-    """sim_ivf_probe_curve — composed audit: the n_probe=2 point must
-    count EXACTLY the registered sim_ivf_topk list's overlap with the
-    registered brute-force truth, and recall must be monotonically
-    non-decreasing in n_probe (more cells scanned can only add
-    candidates)."""
-    from tropology_spark import QUERIES
-
-    fn, _ = STAGED["sim_ivf_probe_curve"]
+def test_probe_curve_consistent_with_registered_ivf(spark):
+    """M263 — composed audit: the n_probe=2 point must count EXACTLY
+    the registered sim_ivf_topk list's overlap with the registered
+    brute-force truth, and recall must be monotonically non-decreasing
+    in n_probe (more cells scanned can only add candidates)."""
+    fn = QUERIES["sim_ivf_probe_curve"]
     truth = {
         r["vec_id"]
         for r in QUERIES["sim_topk_cosine"](spark, SF_UNIT).collect()
@@ -551,11 +472,11 @@ def test_staged_probe_curve_consistent_with_registered_ivf(spark):
     assert got[1][0] <= got[2][0] <= got[4][0]
 
 
-def test_staged_band_curve_matches_pure_python(spark):
-    """dedup_band_curve — truth (prefix-blocked Jaccard), signatures,
-    all three band groupings and the hit counts recomputed with
-    hashlib/sets (only the permutation CONSTANTS are imported — the
-    formulas are re-derived)."""
+def test_band_curve_matches_pure_python(spark):
+    """M264 — truth (prefix-blocked Jaccard), signatures, all three
+    band groupings and the hit counts recomputed with hashlib/sets
+    (only the permutation CONSTANTS are imported — the formulas are
+    re-derived)."""
     import hashlib
     from itertools import combinations
 
@@ -563,7 +484,7 @@ def test_staged_band_curve_matches_pure_python(spark):
 
     from tropology_spark.operators.dedup import _MH_PERMS, _MH_PRIME
 
-    fn, _ = STAGED["dedup_band_curve"]
+    fn = QUERIES["dedup_band_curve"]
     texts = duckdb.sql(
         f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
     ).fetchall()
@@ -609,14 +530,14 @@ def test_staged_band_curve_matches_pure_python(spark):
     assert got[2][3] >= got[4][3] >= got[8][3]
 
 
-def test_staged_uniformity_matches_pure_python(spark):
-    """mm_payload_uniformity — digit counts via Counter, the squared
-    deviations with arbitrary-precision Python ints."""
+def test_uniformity_matches_pure_python(spark):
+    """M265 — digit counts via Counter, the squared deviations with
+    arbitrary-precision Python ints."""
     from collections import Counter
 
     import duckdb
 
-    fn, _ = STAGED["mm_payload_uniformity"]
+    fn = QUERIES["mm_payload_uniformity"]
     texts = duckdb.sql(
         f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
     ).fetchall()
@@ -638,23 +559,23 @@ def test_staged_uniformity_matches_pure_python(spark):
     assert got == want
 
 
-def test_staged_phash_clusters_matches_pure_python(spark):
-    """mm_phash_clusters — the pHash band candidates AND the 3-round
-    min-label propagation recomputed from raw sha256 digests with
-    hashlib/dicts (unlike the cluster3 twin, the pair set here is
-    re-derived too).  No blanket pair-co-clustering pin: the pHash
-    band graph has chains (unlike the LSH near-clique components), so
-    diameter > 3 components legitimately carry several labels after
-    the bounded unroll — the documented stepping-stone semantics.
-    Instead pin that every doc within 3 hops of its component minimum
-    has converged to it."""
+def test_phash_clusters_matches_pure_python(spark):
+    """M266 — the pHash band candidates AND the 3-round min-label
+    propagation recomputed from raw sha256 digests with hashlib/dicts
+    (unlike the cluster3 twin, the pair set here is re-derived too).
+    No blanket pair-co-clustering pin: the pHash band graph has chains
+    (unlike the LSH near-clique components), so diameter > 3
+    components legitimately carry several labels after the bounded
+    unroll — the documented stepping-stone semantics.  Instead pin
+    that every doc within 3 hops of its component minimum has
+    converged to it."""
     import hashlib
     from collections import defaultdict
     from itertools import combinations
 
     import duckdb
 
-    fn, _ = STAGED["mm_phash_clusters"]
+    fn = QUERIES["mm_phash_clusters"]
     texts = duckdb.sql(
         f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
     ).fetchall()
@@ -685,12 +606,10 @@ def test_staged_phash_clusters_matches_pure_python(spark):
         for r in fn(spark, SF_UNIT).collect()
     }
     assert got == want
-    # BFS from every local-minimum node (label == itself after round
-    # 3 with neighbors): all nodes within 3 hops of their component's
-    # global minimum must have adopted it.
+    # BFS from every component: all nodes within 3 hops of their
+    # component's global minimum must have adopted it.
     comp_min = {}
     for d in sorted(ph):
-        # component via full BFS (unbounded) to find the true minimum
         if d in comp_min:
             continue
         stack, seen = [d], {d}
@@ -703,7 +622,6 @@ def test_staged_phash_clusters_matches_pure_python(spark):
         mn = min(seen)
         for x in seen:
             comp_min[x] = mn
-    # 3-hop ball around each component minimum
     for d in sorted(ph):
         mn = comp_min[d]
         frontier, dist = {mn}, 0
@@ -726,8 +644,8 @@ def test_staged_phash_clusters_matches_pure_python(spark):
 )
 def test_band_curve_config_containment(spark, texts):
     """The structural guarantee behind the (b, r) curve, on the exact
-    staged banding path: a pair sharing an 8-row band shares both its
-    4-row halves, and a pair sharing a 4-row band shares both its
+    registered banding path: a pair sharing an 8-row band shares both
+    its 4-row halves, and a pair sharing a 4-row band shares both its
     2-row halves — so the candidate SETS must nest
     cand(r=8) ⊆ cand(r=4) ⊆ cand(r=2) on any corpus (the count
     monotonicity the twin checks is a corollary)."""
@@ -755,20 +673,20 @@ def test_band_curve_config_containment(spark, texts):
     assert cand[8] <= cand[4] <= cand[2], cand
 
 
-def test_staged_hll_matches_pure_python(spark):
-    """agg_hll_audit — the full HLL pipeline (bucket split, rho via
-    bit_length, register max-merge, dyadic harmonic-sum carrier,
-    integral alpha*m^2/S estimate, ppm ratio) recomputed from raw
-    parquet with hashlib + Python ints (arbitrary precision — an
-    independent check on every BIGINT carrier)."""
+def test_hll_matches_pure_python(spark):
+    """M267 — the full HLL pipeline (bucket split, rho via bit_length,
+    register max-merge, dyadic harmonic-sum carrier, integral
+    alpha*m^2/S estimate, ppm ratio) recomputed from raw parquet with
+    hashlib + Python ints (arbitrary precision — an independent check
+    on every BIGINT carrier)."""
     import hashlib
     from collections import defaultdict
 
     import duckdb
 
-    from tropology_spark.operators.staged_r11 import _HLL_M, _HLL_NUM
+    from tropology_spark.operators.aggregates import _HLL_M, _HLL_NUM
 
-    fn, _ = STAGED["agg_hll_audit"]
+    fn = QUERIES["agg_hll_audit"]
     rows = duckdb.sql(
         "SELECT o_orderpriority, o_custkey "
         f"FROM read_parquet('{SF_UNIT}/orders.parquet')"
@@ -804,15 +722,15 @@ def test_staged_hll_matches_pure_python(spark):
         assert n // 3 <= est <= 3 * n, (pri, n, est)
 
 
-def test_staged_simpson_matches_pure_python(spark):
-    """text_simpson_concentration — Counter twin over the raw text:
-    token counts, the unbiased collision numerator, and the ppm
-    division recomputed with Python ints."""
+def test_simpson_matches_pure_python(spark):
+    """M268 — Counter twin over the raw text: token counts, the
+    unbiased collision numerator, and the ppm division recomputed with
+    Python ints."""
     from collections import Counter
 
     import duckdb
 
-    fn, _ = STAGED["text_simpson_concentration"]
+    fn = QUERIES["text_simpson_concentration"]
     texts = duckdb.sql(
         f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
     ).fetchall()

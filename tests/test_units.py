@@ -971,6 +971,24 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "analytics_chisq_priority_era",
         "graph_sample_neighbors2",
         "sim_matryoshka_recall",
+        # round-11 activations (M253-M269)
+        "pipeline_quota_sample",
+        "analytics_ols_terms",
+        "pipeline_rolling_cv_folds",
+        "sim_bq_hamming_topk",
+        "dedup_threshold_curve",
+        "agg_weighted_median",
+        "text_winnowing_fingerprints",
+        "mm_cdc_chunking",
+        "dedup_cluster3",
+        "graph_path_counts3",
+        "sim_ivf_probe_curve",
+        "dedup_band_curve",
+        "mm_payload_uniformity",
+        "mm_phash_clusters",
+        "agg_hll_audit",
+        "text_simpson_concentration",
+        "dedup_method_overlap",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -1029,8 +1047,8 @@ def test_materialized_view_build_is_shared_across_threads(spark):
 
 def test_driver_window_composition(spark):
     """The driver hash-checks the FIRST 50 registry entries.  Pin the
-    round-10 window invariants so a module-import or registration-order
-    change can never silently evict a query: the 10 activated M243-M252
+    round-11 window invariants so a module-import or registration-order
+    change can never silently evict a query: the 17 activated M253-M269
     queries (never sampled) lead, and EVERY
     remaining window slot goes to the rotation queue — queries whose
     latest driver row is the OLDEST post-regeneration vintage (<= r05;
@@ -1049,7 +1067,7 @@ def test_driver_window_composition(spark):
     from pathlib import Path
 
     from tropology_spark import ORACLES, QUERIES
-    from tropology_spark import _R10_NEW
+    from tropology_spark import _R11_NEW
 
     latest: dict[str, int] = {}
     for f in Path(".").glob("CORRECTNESS_r*.json"):
@@ -1058,7 +1076,7 @@ def test_driver_window_composition(spark):
             latest[k] = max(latest.get(k, 0), rnd)
     max_round = max(latest.values(), default=0)
     window = list(QUERIES)[:50]
-    head = _R10_NEW
+    head = _R11_NEW
     assert window[: len(head)] == head, window[: len(head)]
     never = [q for q in QUERIES if q not in latest]
     missing = [q for q in never if q not in set(window)]

@@ -41,12 +41,12 @@ from tropology_spark.operators import windows  # noqa: F401
 from tropology_spark.operators import aggregates  # noqa: F401
 from tropology_spark.operators import relational  # noqa: F401
 
-# Round-10 driver window (the driver hash-checks the FIRST 50 entries
-# per round): the 10 activated round-10 staged operators (M243-M252,
-# never sampled) lead; the remaining 40 slots rotate the OLDEST
-# evidence — the 19 r03-vintage rows left over from round 9 plus the
-# 21 oldest r04-vintage rows in registry order — 10 + 19 + 21 = 50
-# (CLAUDE.md round-10 plan; distribution verified against all nine
+# Round-11 driver window (the driver hash-checks the FIRST 50 entries
+# per round): the 17 activated round-11 staged operators (M253-M269,
+# never sampled) lead; the remaining 33 slots rotate the OLDEST
+# evidence — the 28 r04-vintage rows left over from round 10 plus the
+# 5 oldest r05-vintage rows in registry order — 17 + 28 + 5 = 50
+# (CLAUDE.md round-11 plan; distribution verified against all ten
 # CORRECTNESS files).
 
 #: Round-6 additions (M169+) — appended here as they are registered.
@@ -315,6 +315,73 @@ _R10_STALE_R04 = [
     "ts_sessionize",
 ]
 
-prioritize(_R10_NEW + _R10_STALE_R03 + _R10_STALE_R04)
+#: Round-11 additions (M253-M269) — the activated round-10-staged ops.
+_R11_NEW = [
+    "pipeline_quota_sample",
+    "analytics_ols_terms",
+    "pipeline_rolling_cv_folds",
+    "sim_bq_hamming_topk",
+    "dedup_threshold_curve",
+    "agg_weighted_median",
+    "text_winnowing_fingerprints",
+    "mm_cdc_chunking",
+    "dedup_cluster3",
+    "graph_path_counts3",
+    "sim_ivf_probe_curve",
+    "dedup_band_curve",
+    "mm_payload_uniformity",
+    "mm_phash_clusters",
+    "agg_hll_audit",
+    "text_simpson_concentration",
+    "dedup_method_overlap",
+]
+
+#: The 28 remaining r04-vintage rows (latest driver CORRECTNESS row is
+#: r04), in registry order — verified against all ten CORRECTNESS
+#: files before composing (the r10 confirmation precedent).  This
+#: empties the r04 class.
+_R11_STALE_R04 = [
+    "ts_ewma",
+    "ts_anomaly_topk",
+    "ts_pattern_triples",
+    "ts_runs",
+    "ts_ohlc_hourly",
+    "ts_cusum_changepoint",
+    "ts_seasonal_profile",
+    "ts_acf_terms",
+    "analytics_funnel",
+    "analytics_retention",
+    "analytics_rolling_wau",
+    "analytics_attribution",
+    "pipeline_curation_e2e",
+    "analytics_markov_transitions",
+    "analytics_new_vs_returning",
+    "win_range_1h",
+    "win_pareto_abc",
+    "agg_median_mode",
+    "agg_heavy_hitters",
+    "agg_histogram",
+    "agg_multi_distinct",
+    "agg_weighted_avg",
+    "agg_min_max_by",
+    "agg_bitmap_distinct",
+    "agg_approx_distinct",
+    "agg_unpivot_measures",
+    "join_lateral_topk",
+    "sub_exists_notexists",
+]
+
+#: The 5 OLDEST r05-vintage rows in registry order; 42 r05 queries
+#: remain for the round-12 rotation (sim_cluster_cohesion, sim_topk_l2,
+#: sim_batch_topk, dedup_lsh_recall, dedup_topk_similar head them).
+_R11_STALE_R05 = [
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_maxsim_topk",
+]
+
+prioritize(_R11_NEW + _R11_STALE_R04 + _R11_STALE_R05)
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

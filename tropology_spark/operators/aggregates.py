@@ -1304,3 +1304,219 @@ def agg_mergeable_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("all_equal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M258 agg_weighted_median — exact lower weighted median (integer compare)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH ow AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS w
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2, o.o_orderkey
+    ),
+    v AS (SELECT priority, cents, CAST(sum(w) AS BIGINT) AS w
+          FROM ow GROUP BY 1, 2),
+    c AS (SELECT priority, cents, w,
+                 CAST(sum(w) OVER (PARTITION BY priority ORDER BY cents)
+                      AS BIGINT) AS cw,
+                 CAST(sum(w) OVER (PARTITION BY priority) AS BIGINT) AS wt
+          FROM v)
+    SELECT priority, w_total, wmedian_cents FROM (
+      SELECT priority, wt AS w_total, cents AS wmedian_cents,
+             row_number() OVER (PARTITION BY priority ORDER BY cents) AS rm1
+      FROM c WHERE 2 * cw >= wt) t
+    WHERE rm1 = 1
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M258 — exact LOWER WEIGHTED MEDIAN of order price per
+    priority, weighted by the order's line-item count: the smallest
+    cents value whose cumulative weight reaches half the total
+    (2·cumw ≥ W — integer compare only, no halving, no midpoint, so
+    the result is always an OBSERVED value and crosses the engine
+    hash gate with zero float carriers; the med2x doubling trick is
+    unnecessary because the lower-median definition never averages).
+    The weighted complement of M59's unweighted median — "the price
+    of the median SHIPPED LINE, not the median order".
+
+    Scale: orders collapse to the per-(priority, cents) weight table
+    (two map-side-combinable rollups); the cumulative runs per
+    priority — a real partition key, no constant-key window; the
+    winner is one rank filter."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    ow = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("priority", "cents", "o_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    v = ow.groupBy("priority", "cents").agg(
+        F.sum("w").cast("bigint").alias("w")
+    )
+    wp = Window.partitionBy("priority")
+    c = v.select(
+        "priority",
+        "cents",
+        "w",
+        F.sum("w")
+        .over(wp.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cw"),
+        F.sum("w").over(wp).cast("bigint").alias("wt"),
+    )
+    r = (
+        c.filter(2 * F.col("cw") >= F.col("wt"))
+        .withColumn("rm1", F.row_number().over(wp.orderBy("cents")))
+        .filter(F.col("rm1") == 1)
+    )
+    return r.select(
+        "priority",
+        F.col("wt").alias("w_total"),
+        F.col("cents").alias("wmedian_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M267 agg_hll_audit — HyperLogLog register audit, exact dyadic estimate
+# ---------------------------------------------------------------------------
+
+#: HLL geometry: b = 4 bucket bits (one md5 hex digit) -> m = 16
+#: registers; rho is measured over the NEXT 32 hash bits (8 hex
+#: chars), so rho in [1, 33] and an empty register carries 0.
+_HLL_M = 16
+#: alpha_16 = 0.673 carried as a /1000 fixed point, and the whole raw
+#: estimate kept integral: E = alpha*m^2 / sum(2^-rho_j).  With
+#: S = sum_j 2^(33 - M_j) (an integer, since M_j <= 33) the estimate
+#: is exactly (673 * m^2 * 2^33) div (1000 * S) — a dyadic-rational
+#: carrier, no float anywhere (the KMV-estimate discipline applied to
+#: HLL's harmonic mean).
+_HLL_NUM = 673 * _HLL_M * _HLL_M * (1 << 33)
+
+
+@register(
+    "agg_hll_audit",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderpriority,
+             ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 1))::BIGINT
+               AS bucket,
+             ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 2, 8))::BIGINT
+               AS w
+      FROM orders),
+    regs AS (
+      SELECT o_orderpriority, bucket,
+             max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END) AS m
+      FROM h GROUP BY o_orderpriority, bucket),
+    spine AS (
+      SELECT g.o_orderpriority, s.b AS bucket
+      FROM (SELECT DISTINCT o_orderpriority FROM orders) g,
+           (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS b) s),
+    full_regs AS (
+      SELECT spine.o_orderpriority, spine.bucket, coalesce(regs.m, 0) AS m0
+      FROM spine LEFT JOIN regs
+        ON spine.o_orderpriority = regs.o_orderpriority
+       AND spine.bucket = regs.bucket),
+    agg AS (
+      SELECT o_orderpriority,
+             CAST(sum(1::BIGINT << (33 - m0)) AS BIGINT) AS s_carrier,
+             CAST(sum(CASE WHEN m0 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty
+      FROM full_regs GROUP BY o_orderpriority),
+    ex AS (SELECT o_orderpriority,
+                  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+           FROM orders GROUP BY o_orderpriority),
+    est AS (
+      SELECT agg.o_orderpriority, ex.n_exact, agg.v_empty, agg.s_carrier,
+             CAST({_HLL_NUM} // (1000 * agg.s_carrier) AS BIGINT) AS hll_est
+      FROM agg JOIN ex ON agg.o_orderpriority = ex.o_orderpriority)
+    SELECT o_orderpriority, n_exact, v_empty, s_carrier, hll_est,
+           CAST((1000000 * hll_est) // n_exact AS BIGINT) AS ratio_ppm
+    FROM est
+    """,
+)
+def agg_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M267 — HyperLogLog distinct-count audit, the one
+    canonical mergeable sketch the family (KMV M138/M161/M214, bitmap
+    M97, CMS M128, quantile M175) did not yet cover: per order
+    priority, the m=16 max-rho register vector summarized to its
+    dyadic harmonic-sum carrier, the raw HLL estimate, and the
+    estimate/exact ratio in ppm.
+
+    All integer arithmetic end to end: bucket = first md5 hex digit,
+    rho = 33 - bit_length of the next 32 hash bits (length(bin(w)) —
+    both engines agree exactly), registers max-merge, and the
+    harmonic mean is carried as S = sum 2^(33-M_j) so the alpha*m^2/S
+    estimate is one integral division (no float, no engine libm — the
+    cross-engine float rule).  Empty registers enter as M_j = 0 via a
+    16-slot spine (explode of a bounded literal sequence, no join
+    blowup), exactly the standard-HLL convention, and v_empty is
+    emitted so a consumer can see when the linear-counting regime
+    (many empty registers) applies.
+
+    Scale: register max-merge is map-side combinable (the entire point
+    of HLL at 100 TB — per-partition partials are 16 bytes and merge
+    associatively, vs D3's expand-mode raw-key reshuffle); one shuffle
+    on (group, bucket), one on group; the exact side exists only
+    because this is an AUDIT."""
+    o = load(spark, sf_dir, "orders")
+    md = F.md5(F.col("o_custkey").cast("string"))
+    h = o.select(
+        "o_orderpriority",
+        F.conv(F.substring(md, 1, 1), 16, 10).cast("bigint").alias("bucket"),
+        F.conv(F.substring(md, 2, 8), 16, 10).cast("bigint").alias("w"),
+        "o_custkey",
+    )
+    regs = h.groupBy("o_orderpriority", "bucket").agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(33)).otherwise(
+                F.lit(33) - F.length(F.bin("w"))
+            )
+        ).alias("m")
+    )
+    spine = (
+        o.select("o_orderpriority")
+        .distinct()
+        .select(
+            "o_orderpriority",
+            F.expr(f"explode(sequence(0L, {_HLL_M - 1}L))").alias("bucket"),
+        )
+    )
+    full = spine.join(regs, ["o_orderpriority", "bucket"], "left").withColumn(
+        "m0", F.coalesce(F.col("m"), F.lit(0))
+    )
+    agg = full.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("shiftleft(1L, CAST(33 - m0 AS INT))"))
+        .cast("bigint")
+        .alias("s_carrier"),
+        F.sum(F.when(F.col("m0") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_empty"),
+    )
+    ex = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_exact")
+    )
+    return (
+        agg.join(ex, "o_orderpriority")
+        .withColumn(
+            "hll_est",
+            F.expr(f"CAST({_HLL_NUM} div (1000 * s_carrier) AS BIGINT)"),
+        )
+        .withColumn(
+            "ratio_ppm",
+            F.expr("CAST((1000000 * hll_est) div n_exact AS BIGINT)"),
+        )
+        .select(
+            "o_orderpriority", "n_exact", "v_empty", "s_carrier",
+            "hll_est", "ratio_ppm",
+        )
+    )

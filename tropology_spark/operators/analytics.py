@@ -2053,3 +2053,85 @@ def analytics_chisq_priority_era(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chi_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M254 analytics_ols_terms — exact OLS slope terms (price elasticity shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_ols_terms",
+    oracle="""
+    WITH xy AS (
+      SELECT p.p_brand AS brand,
+             CAST(l.l_quantity AS BIGINT) AS x,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    m AS (
+      SELECT brand,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM xy GROUP BY brand
+    )
+    SELECT brand, n, sx, sy, sxy, sxx,
+           CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                AS BIGINT) AS slope_num,
+           CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                AS BIGINT) AS slope_den
+    FROM m
+    """,
+)
+def analytics_ols_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M254 — exact OLS REGRESSION-SLOPE terms per brand for
+    (quantity, line price): n, Σx, Σy, Σxy, Σx² plus the slope's
+    numerator n·Σxy − Σx·Σy and denominator n·Σx² − (Σx)² — the
+    price-elasticity regression every pricing dashboard fits, emitted
+    as the exact integer co-moment terms (the M144/M234 "terms"
+    discipline: the float division happens client-side; the hash gate
+    carries only integers).  The num/den products are computed in
+    DECIMAL(38,0)/HUGEINT (M192 wide-integer rule — at 100 TB
+    n·Σxy ~ 1e9·1e15 is far past BIGINT) with the final cast to BIGINT
+    safe at every fixture scale (≤ ~3e17 at sf0.1).
+
+    Scale: one lineitem pass with a broadcast part join collapses to
+    O(brands) rows; everything after is per-row arithmetic.  No
+    window, no second scan — slope sign analysis avoids the
+    negative-numerator integer-division trap entirely by never
+    dividing."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    m = (
+        li.join(F.broadcast(p), "l_partkey")
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        )
+    )
+    return m.select(
+        "brand", "n", "sx", "sy", "sxy", "sxx",
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+        )
+        .cast("bigint")
+        .alias("slope_num"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+        )
+        .cast("bigint")
+        .alias("slope_den"),
+    )

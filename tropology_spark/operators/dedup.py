@@ -1087,3 +1087,323 @@ def minhash_read_index(spark: SparkSession, table: str) -> DataFrame:
     """Reload a :func:`minhash_write_index` artifact (bucket spec
     carried by the catalog)."""
     return spark.table(table)
+
+
+# ---------------------------------------------------------------------------
+# M257 dedup_threshold_curve — near-dup pair counts across cosine thresholds
+# ---------------------------------------------------------------------------
+
+_CURVE_T_PPM = (400000, 600000, 800000)
+
+
+def _threshold_curve_oracle() -> str:
+    ts = ", ".join(str(t) for t in _CURVE_T_PPM)
+    return f"""
+    WITH pairs AS ({ORACLES['dedup_embedding_cosine']}),
+    ts AS (SELECT unnest([{ts}]) AS t_ppm),
+    pe AS (SELECT ts.t_ppm, p.vec_a, p.vec_b
+           FROM pairs p JOIN ts ON round(p.cosine * 1000000) >= ts.t_ppm),
+    np AS (SELECT t_ppm, CAST(count(*) AS BIGINT) AS n_pairs
+           FROM pe GROUP BY t_ppm),
+    du AS (SELECT t_ppm, vec_a AS d FROM pe
+           UNION SELECT t_ppm, vec_b FROM pe),
+    nd AS (SELECT t_ppm, CAST(count(*) AS BIGINT) AS n_docs
+           FROM du GROUP BY t_ppm)
+    SELECT CAST(ts.t_ppm AS BIGINT) AS t_ppm,
+           CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+    FROM ts LEFT JOIN np ON ts.t_ppm = np.t_ppm
+            LEFT JOIN nd ON ts.t_ppm = nd.t_ppm
+    """
+
+
+@register("dedup_threshold_curve", oracle=_threshold_curve_oracle())
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M257 — the NEAR-DUP THRESHOLD CURVE: pair and
+    affected-document counts at cosine ≥ 0.4/0.6/0.8 over the
+    quantizer-cell-blocked pair set — the tuning audit every dedup
+    rollout runs before picking its cutoff (too low deletes distinct
+    content; too high ships duplicates; this table IS that tradeoff).
+    Thresholds compare as exact integers (round(cosine·10⁶) vs ppm).
+    All three threshold rows are always emitted (LEFT joins from the
+    threshold axis).
+
+    Composed, not copied: the oracle wraps ORACLES
+    ['dedup_embedding_cosine'] verbatim and the Spark side runs the
+    registered M2 query (the _J2_ORACLE rule); the pair set reuses the
+    session-shared quantizer blocking, so the curve costs one pair
+    pass + bounded rollups."""
+    from tropology_spark.registry import QUERIES
+    from tropology_spark.session import iter_materialize
+
+    pairs = QUERIES["dedup_embedding_cosine"](spark, sf_dir)
+    ts = spark.createDataFrame([(t,) for t in _CURVE_T_PPM], "t_ppm long")
+    pe = iter_materialize(
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            F.round(F.col("cosine") * 1000000).cast("bigint").alias("c_ppm"),
+        )
+        .crossJoin(F.broadcast(ts))
+        .filter(F.col("c_ppm") >= F.col("t_ppm"))
+        .select("t_ppm", "vec_a", "vec_b")
+    )  # referenced by the pair rollup AND the doc-union rollup
+    np_ = pe.groupBy("t_ppm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    du = (
+        pe.select("t_ppm", F.col("vec_a").alias("d"))
+        .union(pe.select("t_ppm", F.col("vec_b").alias("d")))
+        .distinct()
+    )
+    nd = du.groupBy("t_ppm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return (
+        ts.join(np_, "t_ppm", "left")
+        .join(nd, "t_ppm", "left")
+        .select(
+            F.col("t_ppm").cast("bigint").alias("t_ppm"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M261 dedup_cluster3 — 3-round min-label clusters over the LSH candidate
+# graph.  minlabel_rounds / _minlabel_steps_sql are the SINGLE HOME of the
+# propagation arithmetic — mm_phash_clusters (M266, multimodal.py) imports
+# them; the two ops differ only in the candidate graph.
+# ---------------------------------------------------------------------------
+
+
+#: One synchronous min-label round as SQL — shared by the dedup_cluster3
+#: oracle (over the J3 LSH graph) and the mm_phash_clusters oracle (over
+#: the M99 pHash graph).  Expects CTEs ``und(u, v)`` (both edge
+#: directions) and ``l{p}(doc_id, lbl)`` in scope.
+_MINLABEL_STEP_SQL = """
+    l{n} AS (
+      SELECT l{p}.doc_id,
+             least(l{p}.lbl, coalesce(min(nb.lbl), l{p}.lbl)) AS lbl
+      FROM l{p} LEFT JOIN und ON und.u = l{p}.doc_id
+                LEFT JOIN l{p} nb ON nb.doc_id = und.v
+      GROUP BY l{p}.doc_id, l{p}.lbl
+    )"""
+
+
+def _minlabel_steps_sql(rounds: int = 3) -> str:
+    return ",".join(
+        _MINLABEL_STEP_SQL.format(n=n, p=n - 1) for n in range(1, rounds + 1)
+    )
+
+
+def minlabel_rounds(lab: DataFrame, und: DataFrame, rounds: int = 3) -> DataFrame:
+    """``rounds`` synchronous min-label propagation steps over an
+    undirected edge list ``und(u, v)`` starting from ``lab(doc_id,
+    lbl)`` — the Spark twin of :func:`_minlabel_steps_sql` and the
+    single home of the propagation arithmetic (dedup_cluster3 and
+    mm_phash_clusters differ only in the candidate graph).  Each
+    round's label vector is checkpointed (the DOUBLE-REFERENCE rule:
+    round k feeds round k+1 as both the self and the neighbor
+    side)."""
+    from tropology_spark.session import iter_materialize
+
+    for _ in range(rounds):
+        nb = lab.select(F.col("doc_id").alias("v"), F.col("lbl").alias("nlbl"))
+        lab = iter_materialize(
+            lab.join(und, lab.doc_id == und.u, "left")
+            .join(nb, "v", "left")
+            .groupBy("doc_id", "lbl")
+            .agg(F.min("nlbl").alias("mnl"))
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("mnl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+    return lab
+
+
+def _cluster3_oracle() -> str:
+    return (
+        _minhash_bands_cte()
+        + """
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id
+    ),
+    und AS (SELECT doc_a AS u, doc_b AS v FROM cand
+            UNION ALL SELECT doc_b, doc_a FROM cand),
+    l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),"""
+        + _minlabel_steps_sql(3)
+        + """
+    SELECT doc_id, CAST(lbl AS BIGINT) AS label3 FROM l3
+    """
+    )
+
+
+@register("dedup_cluster3", oracle=_cluster3_oracle())
+def dedup_cluster3(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """M261 — near-dup CLUSTER ASSIGNMENT by 3-round min-label
+    propagation over the J3 MinHash-LSH candidate graph: every doc
+    starts as its own label; each round takes the min over itself and
+    its LSH neighbors — after 3 rounds every doc in a candidate
+    component of diameter ≤ 3 carries the component's minimum doc_id,
+    the cluster representative a dedup DROP stage keys on (J3 emits
+    PAIRS; production needs the transitive grouping — pairs (a,b),
+    (b,c) must drop against ONE keeper, not two).  The bounded-round
+    unroll is the M130/I8 discipline: exact in both engines, no
+    iterate-to-fixpoint in the oracle, and diameter > 3 components
+    (rare for near-dup graphs, which are dense cliques by
+    construction) converge in the registered CC operator (M8) —
+    documented stepping-stone semantics.
+
+    Composed, not copied: the oracle extends _minhash_bands_cte (the
+    J3/M211 single home) and the Spark side reads the session-shared
+    minhash_bands_materialized through minhash_candidate_pairs.
+    Scale: each round is one shuffle on the doc key; the label vector
+    is checkpointed per round (the DOUBLE-REFERENCE rule: round k
+    feeds round k+1 as both the self and the neighbor side).
+
+    ``docs=`` substitutes the document frame — (doc_id, text) — for
+    the weak-scaling probe (tools/scale_probes/cluster3_scale.py, via
+    minhash_bands_frame); the driver contract never passes it."""
+    from tropology_spark.session import iter_materialize
+
+    bands = (
+        minhash_bands_frame(spark, sf_dir, docs=docs)
+        if docs is not None
+        else minhash_bands_materialized(spark, sf_dir)
+    )
+    pairs = minhash_candidate_pairs(bands)
+    und = iter_materialize(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+    )  # referenced by all three rounds
+    lab = (
+        docs if docs is not None else load(spark, sf_dir, "documents")
+    ).select("doc_id", F.col("doc_id").alias("lbl"))
+    lab = minlabel_rounds(lab, und, 3)
+    return lab.select("doc_id", F.col("lbl").cast("bigint").alias("label3"))
+
+
+# ---------------------------------------------------------------------------
+# M264 dedup_band_curve — LSH (bands x rows) tuning curve from ONE
+# signature pass
+# ---------------------------------------------------------------------------
+
+_BAND_CURVE_RS = (2, 4, 8)
+
+
+def _band_curve_oracle() -> str:
+    parts = [
+        "WITH truth AS (SELECT doc_a, doc_b FROM ({j2}) t)".format(
+            j2=ORACLES["dedup_jaccard_pairs"]
+        ),
+        _minhash_sig_cte(prefix=","),
+    ]
+    rows = []
+    for r in _BAND_CURVE_RS:
+        parts.append(_band_rows_cte(r, f"bands{r}"))
+        parts.append(
+            f""",
+    cand{r} AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands{r} a JOIN bands{r} b
+                 ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id),
+    hit{r} AS (SELECT doc_a, doc_b FROM truth
+               INTERSECT SELECT doc_a, doc_b FROM cand{r})"""
+        )
+        rows.append(
+            f"""SELECT CAST({r} AS BIGINT) AS band_rows,
+           CAST({16 // r} AS BIGINT) AS n_bands,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+           CAST((SELECT count(*) FROM cand{r}) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM hit{r}) AS BIGINT) AS n_hit,
+           round(CAST((SELECT count(*) FROM hit{r}) AS DOUBLE)
+                 / greatest((SELECT count(*) FROM truth), 1), 6) AS recall,
+           round(CAST((SELECT count(*) FROM hit{r}) AS DOUBLE)
+                 / greatest((SELECT count(*) FROM cand{r}), 1), 6) AS precision"""
+        )
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(rows)
+
+
+@register("dedup_band_curve", oracle=_band_curve_oracle())
+def dedup_band_curve(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """M264 — the LSH BAND-CONFIGURATION tuning curve: from
+    the SAME 16 min-hash signatures, evaluate the three (bands x rows)
+    groupings 8x2 / 4x4 / 2x8 against the exact prefix-blocked Jaccard
+    truth (J2, threshold 0.5) and report candidate volume, hits,
+    recall and precision per configuration — the (b, r) axis of the
+    S-curve P(candidate) = 1 - (1 - J^r)^b that M126 fixes at the
+    registered 4x4 and sim_ivf_probe_curve (M263) covers for IVF.
+    Fewer rows per band (r=2) recalls aggressively at the cost of
+    candidate volume; r=8 is near-exact-match only.  The tuning table
+    IS how an operator picks a config before committing a 100 TB LSH
+    pass.
+
+    Composed, not copied: the truth branch runs the registered J2
+    pipeline; the signature pass is minhash_sigs_frame (the J3/M211
+    single home, computed ONCE and checkpointed — only the cheap band
+    regrouping runs per config); the candidate join is
+    minhash_candidate_pairs, the exact registered path.  Counts are
+    exact BIGINTs; the two ratios divide identical integers in both
+    engines and are rounded once (the M126 discipline).  Scale: the
+    signature pass dominates and is shared; each config adds one
+    band-bucket equi-join, never an all-pairs product.
+
+    ``docs=`` substitutes the document frame for weak-scaling probes
+    (tools/scale_probes/bandcurve_scale.py); the driver contract
+    never passes it."""
+    from tropology_spark.registry import QUERIES
+    from tropology_spark.session import iter_materialize
+
+    truth = iter_materialize(
+        (
+            jaccard_pairs(docs, block_width=40)
+            if docs is not None
+            else QUERIES["dedup_jaccard_pairs"](spark, sf_dir)
+        ).select("doc_a", "doc_b")
+    )
+    sigs = iter_materialize(minhash_sigs_frame(spark, sf_dir, docs=docs))
+    out = None
+    for r in _BAND_CURVE_RS:
+        cand = iter_materialize(
+            minhash_candidate_pairs(bands_from_sigs(sigs, band_rows=r))
+        )
+        hit = truth.intersect(cand)
+        n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+        n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        n_hit = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+        row = (
+            n_true.crossJoin(n_cand)
+            .crossJoin(n_hit)
+            .select(
+                F.lit(r).cast("bigint").alias("band_rows"),
+                F.lit(16 // r).cast("bigint").alias("n_bands"),
+                "n_true",
+                "n_candidates",
+                "n_hit",
+                F.round(
+                    F.col("n_hit").cast("double")
+                    / F.greatest(F.col("n_true"), F.lit(1)),
+                    6,
+                ).alias("recall"),
+                F.round(
+                    F.col("n_hit").cast("double")
+                    / F.greatest(F.col("n_candidates"), F.lit(1)),
+                    6,
+                ).alias("precision"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("band_rows")

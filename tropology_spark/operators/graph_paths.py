@@ -311,3 +311,80 @@ def graph_closeness3(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - 1).cast("bigint").alias("n_reached"),
         F.sum("dist").cast("bigint").alias("sum_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M262 graph_path_counts3 — exact path counts from a seed set (PPR numerator)
+# ---------------------------------------------------------------------------
+
+_PATH_SEEDS = 3
+
+
+@register(
+    "graph_path_counts3",
+    oracle=f"""
+    WITH edges AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    seeds AS (SELECT src FROM (
+                SELECT src, row_number() OVER (ORDER BY d DESC, src) AS rs1
+                FROM deg) t
+              WHERE rs1 <= {_PATH_SEEDS}),
+    p1 AS (SELECT e.dst AS node, CAST(count(*) AS BIGINT) AS n_paths
+           FROM edges e JOIN seeds s ON e.src = s.src GROUP BY e.dst),
+    p2 AS (SELECT e2.src AS node, CAST(sum(p1.n_paths) AS BIGINT) AS n_paths
+           FROM p1 JOIN edges e2 ON e2.dst = p1.node GROUP BY e2.src),
+    p3 AS (SELECT e3.dst AS node, CAST(sum(p2.n_paths) AS BIGINT) AS n_paths
+           FROM p2 JOIN edges e3 ON e3.src = p2.node GROUP BY e3.dst)
+    SELECT CAST(1 AS BIGINT) AS hop, node, n_paths FROM p1
+    UNION ALL SELECT CAST(2 AS BIGINT), node, n_paths FROM p2
+    UNION ALL SELECT CAST(3 AS BIGINT), node, n_paths FROM p3
+    """,
+)
+def graph_path_counts3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M262 — exact PATH COUNTS from a deterministic seed set
+    (the 3 highest-out-degree works, degree-desc/key-asc tie-break):
+    per node, the number of distinct length-1/2/3 paths from any seed,
+    alternating work→trope→work→trope on the bipartite edge list —
+    the exact-integer numerator of personalized PageRank (PPR mass at
+    hop h = path counts weighted by damping^h / degree products; the
+    COUNTS cross the engine hash gate where the float masses never
+    would — I8's accepted-risk carrier avoided entirely).  Paths may
+    revisit nodes (pure path semantics, the standard A^h definition).
+
+    Scale: each hop is one equi-join against the shared edge view +
+    one map-side-combinable rollup — the A^h·x sparse mat-vec shape;
+    per-hop frontiers are checkpointed (each feeds the next hop AND
+    the output union).  Counts are BIGINT-exact: ≤ seeds·maxdeg³ ~
+    1e12 at 100 TB, far inside the carrier."""
+    from tropology_spark.session import iter_materialize
+    from tropology_spark.sources.tables import edges_materialized
+
+    e = edges_materialized(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    seeds = (
+        deg.orderBy(F.desc("d"), F.asc("src"))
+        .limit(_PATH_SEEDS)
+        .select("src")
+    )
+    p1 = iter_materialize(
+        e.join(F.broadcast(seeds), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+    )
+    e2 = e.select(F.col("src").alias("node2"), F.col("dst").alias("node"))
+    p2 = iter_materialize(
+        p1.join(e2, "node")
+        .groupBy(F.col("node2").alias("node"))
+        .agg(F.sum("n_paths").cast("bigint").alias("n_paths"))
+    )
+    e3 = e.select(F.col("src").alias("node"), F.col("dst").alias("node3"))
+    p3 = (
+        p2.join(e3, "node")
+        .groupBy(F.col("node3").alias("node"))
+        .agg(F.sum("n_paths").cast("bigint").alias("n_paths"))
+    )
+    hop = lambda n, df: df.select(  # noqa: E731
+        F.lit(n).cast("bigint").alias("hop"), "node", "n_paths"
+    )
+    return hop(1, p1).unionByName(hop(2, p2)).unionByName(hop(3, p3))

@@ -814,3 +814,308 @@ def mm_tiering_plan(spark, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("saved_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M260 mm_cdc_chunking — content-defined chunk boundaries (rolling-hash CDC)
+# ---------------------------------------------------------------------------
+
+_CDC_WIN_BYTES = 8
+_CDC_MOD = 64
+
+
+def cdc_boundary_positions(spark, sf_dir: str, docs: DataFrame | None = None):
+    """The CDC boundary-position frame ``(doc_id, n_bytes, p, bound)``
+    — one row per rolling-window start byte, bound = 1 where the
+    window hash declares a chunk boundary — the single home of the
+    window-hash arithmetic, shared by the registered rollup and the
+    shift-resistance property test (``docs=`` substitutes a (doc_id,
+    text) frame)."""
+    from tropology_spark.sources.tables import load
+
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    hx = d.select(
+        "doc_id",
+        F.hex(F.encode(F.col("text"), "UTF-8")).alias("hs"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8"))
+        .cast("bigint")
+        .alias("n_bytes"),
+    )
+    pos = hx.select(
+        "doc_id",
+        "n_bytes",
+        "hs",
+        F.explode(
+            F.when(
+                F.col("n_bytes") >= _CDC_WIN_BYTES,
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.col("n_bytes") - (_CDC_WIN_BYTES - 1), F.lit(4096)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("p"),
+    )
+    bound = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.expr(
+                        f"substring(hs, CAST(2 * p - 1 AS INT),"
+                        f" {2 * _CDC_WIN_BYTES})"
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CDC_MOD
+        == 0,
+        1,
+    ).otherwise(0)
+    return pos.select("doc_id", "n_bytes", "p", bound.alias("bound"))
+
+
+@register(
+    "mm_cdc_chunking",
+    oracle=f"""
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS hs,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    b AS (
+      SELECT hx.doc_id,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(sum(CASE WHEN
+                    ('0x' || substring(md5(substring(hs, 2 * p - 1,
+                                                     {2 * _CDC_WIN_BYTES})),
+                                       1, 4))::BIGINT % {_CDC_MOD} = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_bound
+      FROM hx, (SELECT unnest(generate_series(1, 4096)) AS p)
+      WHERE p <= n_bytes - {_CDC_WIN_BYTES - 1}
+      GROUP BY hx.doc_id
+    )
+    SELECT hx.doc_id, n_bytes,
+           CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(n_bound, 0) AS BIGINT) AS n_bound,
+           CAST(coalesce(n_bound, 0) + 1 AS BIGINT) AS n_chunks,
+           CAST((100 * n_bytes) // (coalesce(n_bound, 0) + 1) AS BIGINT)
+             AS avg_chunk_x100
+    FROM hx LEFT JOIN b ON hx.doc_id = b.doc_id
+    """,
+)
+def mm_cdc_chunking(spark, sf_dir: str) -> DataFrame:
+    """M260 — CONTENT-DEFINED CHUNKING boundaries: a chunk
+    boundary wherever the rolling 8-byte window's hash ≡ 0 mod 64
+    (expected chunk ≈ 64 bytes) — the Rabin/FastCDC splitting rule
+    every dedup store (restic/borg/LBFS lineage) uses instead of
+    M185's fixed grid, because insertions shift fixed-grid chunk
+    contents globally but re-align content-defined boundaries within
+    one window.  Per asset: window count, boundary count, chunk count
+    and average chunk size ×100 (exact integer div).  The window hash
+    follows the established discipline: md5 of the HEX encoding at
+    doubled offsets (byte-aligned; DuckDB md5 is VARCHAR-only —
+    mm_chunk_manifest's rule), low-16-bits mod 64.  Assets shorter
+    than 8 bytes have zero windows and one chunk (LEFT JOIN keeps
+    them; the byte axis is enumerated at the 4096 cap).
+
+    Scale: the boundary test is per-position map-only work over the
+    payload scan — no shuffle until the per-asset rollup, which is
+    map-side combinable; payloads never shuffle (only (doc_id,
+    position-window) projections do)."""
+    from tropology_spark.sources.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    sizes = d.select(
+        "doc_id",
+        F.octet_length(F.encode(F.col("text"), "UTF-8"))
+        .cast("bigint")
+        .alias("n_bytes"),
+    )
+    b = (
+        cdc_boundary_positions(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum("bound").cast("bigint").alias("n_bound"),
+        )
+    )
+    return (
+        sizes.join(b, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bytes",
+            F.coalesce(F.col("n_windows"), F.lit(0))
+            .cast("bigint")
+            .alias("n_windows"),
+            F.coalesce(F.col("n_bound"), F.lit(0))
+            .cast("bigint")
+            .alias("n_bound"),
+            (F.coalesce(F.col("n_bound"), F.lit(0)) + 1)
+            .cast("bigint")
+            .alias("n_chunks"),
+            F.expr(
+                "(100 * n_bytes) div (coalesce(n_bound, 0) + 1)"
+            )
+            .cast("bigint")
+            .alias("avg_chunk_x100"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M265 mm_payload_uniformity — chi-square-vs-uniform byte profile
+# ---------------------------------------------------------------------------
+
+_HEX_DIGITS = "0123456789ABCDEF"
+
+
+def _uniformity_terms_sql() -> str:
+    """Σ over the 16 hex digits of (16·count − L)² where L =
+    length(hx) — counts come from length-difference after replace(),
+    so absent digits contribute L² with no enumeration at all."""
+    # The deviation is lifted to BIGINT BEFORE squaring: length() is
+    # 32-bit in Spark and the 16-term sum of squares exceeds INT range
+    # from ~2 KB payloads (ANSI Spark raises where DuckDB widens).
+    dev = (
+        "(16 * CAST(length(hx) - length(replace(hx, '{d}', '')) AS BIGINT)"
+        " - length(hx))"
+    )
+    return " + ".join(f"{dev.format(d=d)} * {dev.format(d=d)}" for d in _HEX_DIGITS)
+
+
+@register(
+    "mm_payload_uniformity",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             hex(encode(text)) AS hx
+      FROM documents
+      WHERE octet_length(encode(text)) > 0
+    )
+    SELECT media_id, n_bytes,
+           CAST({_uniformity_terms_sql()} AS BIGINT) AS dev2_sum,
+           CAST(1000 * ({_uniformity_terms_sql()}) AS BIGINT)
+             // (16 * length(hx)) AS chisq_milli
+    FROM m
+    """,
+)
+def mm_payload_uniformity(spark, sf_dir: str) -> DataFrame:
+    """M265 — BYTE-UNIFORMITY profile per payload: the exact
+    chi-square-vs-uniform statistic over the 16 hex digits of the
+    payload's hex encoding, the standard compressed/encrypted-asset
+    detector (already-compressed payloads score near the df=15
+    expectation ~15 000 milli; text/structured assets score orders of
+    magnitude higher) — the triage a media pipeline runs BEFORE
+    spending codec or compression work, on the same hex substrate as
+    M185/M199.
+
+    Integer-exact with no enumeration: each digit count is
+    length(hx) − length(replace(hx, d, '')) — 16 scalar expressions
+    per row, identical in both engines — and absent digits fall out
+    of the algebra ((16·0 − L)² = L²) instead of needing a
+    domain-completion join.  dev2_sum = Σ(16·c_d − L)² = 16L·χ²;
+    chisq_milli = 1000·dev2_sum div (16L) is the exact milli-χ²
+    (non-negative numerator: DuckDB // and Spark div agree).  BIGINT
+    bound: dev2_sum ≤ 240·L², so the 1000× carrier is exact for
+    payloads up to ~3 MB — beyond that, switch the carrier to
+    DECIMAL(38,0)/HUGEINT per the wide-integer finale rule.
+    Scale: a pure scan-side projection — no shuffle, no explode, no
+    payload movement."""
+    from tropology_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    m = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8"))
+        .cast("bigint")
+        .alias("n_bytes"),
+        F.hex(F.encode(F.col("text"), "UTF-8")).alias("hx"),
+    ).filter(F.col("n_bytes") > 0)
+    terms = _uniformity_terms_sql()
+    return m.select(
+        "media_id",
+        "n_bytes",
+        F.expr(f"CAST({terms} AS BIGINT)").alias("dev2_sum"),
+        F.expr(f"CAST(1000 * ({terms}) AS BIGINT) div (16 * length(hx))")
+        .cast("bigint")
+        .alias("chisq_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M266 mm_phash_clusters — visual near-dup clusters over the M99 pHash graph
+# ---------------------------------------------------------------------------
+
+
+def _phash_clusters_oracle() -> str:
+    from tropology_spark.operators.dedup import _minlabel_steps_sql
+    from tropology_spark.registry import ORACLES
+
+    return (
+        """
+    WITH cand AS (SELECT id_a AS doc_a, id_b AS doc_b FROM ({ph}) p),
+    und AS (SELECT doc_a AS u, doc_b AS v FROM cand
+            UNION ALL SELECT doc_b, doc_a FROM cand),
+    l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),""".format(
+            ph=ORACLES["mm_phash_hamming"]
+        )
+        + _minlabel_steps_sql(3)
+        + """
+    , siz AS (SELECT lbl, count(*) AS n FROM l3 GROUP BY lbl)
+    SELECT l3.doc_id, CAST(l3.lbl AS BIGINT) AS phash_cluster,
+           CAST(siz.n AS BIGINT) AS cluster_size
+    FROM l3 JOIN siz ON l3.lbl = siz.lbl
+    """
+    )
+
+
+@register("mm_phash_clusters", oracle=_phash_clusters_oracle())
+def mm_phash_clusters(spark, sf_dir: str) -> DataFrame:
+    """M266 — VISUAL near-dup cluster assignment: 3-round
+    min-label propagation over the M99 perceptual-hash Hamming graph
+    (banded LSH candidates at distance ≤ 3), emitting every asset's
+    cluster representative AND its cluster size — M99 emits PAIRS;
+    a media dedup DROP stage needs the transitive grouping plus the
+    size (keep 1 per cluster ⇒ drop budget = Σ(size − 1)), exactly
+    the dedup_cluster3 argument applied to the multimodal corpus.
+
+    Composed, not copied: the candidate graph is the registered
+    mm_phash_hamming pipeline (oracle composed verbatim); the
+    propagation is minlabel_rounds / _minlabel_steps_sql — the SAME
+    single-home arithmetic dedup_cluster3 (M261) uses, differing only
+    in the input graph.  Scale: the pair graph is banded (never
+    all-pairs; band width grows with log2(n) at corpus scale — the
+    M99 note); each round is one shuffle on the asset key; the label
+    vector is checkpointed per round (DOUBLE-REFERENCE rule), and the
+    size rollup is one map-side-combinable groupBy.  Unlike the LSH
+    near-clique components, pHash band chains can exceed diameter 3 —
+    partial labels after the bounded unroll are the documented
+    stepping-stone semantics (full convergence = the registered M8
+    operator), and the twin pins exact 3-hop-ball convergence."""
+    from tropology_spark.operators.dedup import minlabel_rounds
+    from tropology_spark.registry import QUERIES
+    from tropology_spark.session import iter_materialize
+    from tropology_spark.sources.tables import load
+
+    pairs = QUERIES["mm_phash_hamming"](spark, sf_dir).select("id_a", "id_b")
+    und = iter_materialize(
+        pairs.select(
+            F.col("id_a").alias("u"), F.col("id_b").alias("v")
+        ).unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+    )  # referenced by all three rounds
+    lab = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("doc_id").alias("lbl")
+    )
+    lab = minlabel_rounds(lab, und, 3)
+    siz = lab.groupBy("lbl").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return lab.join(siz, "lbl").select(
+        "doc_id",
+        F.col("lbl").cast("bigint").alias("phash_cluster"),
+        F.col("n").alias("cluster_size"),
+    )

@@ -3432,3 +3432,280 @@ def pipeline_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("delta_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M253 pipeline_quota_sample — largest-remainder (Hare) quota allocation
+# ---------------------------------------------------------------------------
+
+_QUOTA_BUDGET = 1000
+
+
+@register(
+    "pipeline_quota_sample",
+    oracle=f"""
+    WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM s),
+    q AS (SELECT source, n_docs,
+                 CAST(({_QUOTA_BUDGET} * n_docs) // total AS BIGINT) AS base_quota,
+                 CAST(({_QUOTA_BUDGET} * n_docs) % total AS BIGINT) AS rem
+          FROM s CROSS JOIN t),
+    k AS (SELECT CAST({_QUOTA_BUDGET} - sum(base_quota) AS BIGINT) AS seats
+          FROM q),
+    r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q)
+    SELECT source, n_docs, base_quota, rem,
+           CAST(CASE WHEN rk <= seats THEN 1 ELSE 0 END AS BIGINT) AS extra,
+           CAST(base_quota + CASE WHEN rk <= seats THEN 1 ELSE 0 END AS BIGINT)
+             AS quota
+    FROM r CROSS JOIN k
+    """,
+)
+def pipeline_quota_sample(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """M253 — LARGEST-REMAINDER (Hare) quota allocation: split
+    a fixed sample budget of 1000 documents across sources proportional
+    to their counts — base = floor(N·n_s/T) per source, then the
+    leftover seats go to the largest fractional remainders (tie-break
+    by source name) — the apportionment rule every fixed-budget
+    eval-set / human-annotation draw uses, with the classic guarantee
+    Σ quota = N exactly (floor-only allocation under-fills; naive
+    rounding over- or under-fills).  All integer arithmetic: remainders
+    compare as exact integers because every source shares the
+    denominator T.
+
+    Scale: the corpus collapses to O(sources) rows in one map-side-
+    combinable pass; the total, the remainder rank, and the leftover
+    seat count all ride pmod-constant-key windows over the bounded
+    source axis — no scalar-attach join, no second corpus scan.
+
+    ``docs=`` substitutes the document frame — (source,) suffices —
+    for the Hare-invariant property test; the driver contract never
+    passes it."""
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    w = Window.partitionBy(F.pmod(F.length("source"), F.lit(1)))
+    q = s.select(
+        "source",
+        "n_docs",
+        F.sum("n_docs").over(w).cast("bigint").alias("total"),
+    ).select(
+        "source",
+        "n_docs",
+        F.expr(f"({_QUOTA_BUDGET} * n_docs) div total")
+        .cast("bigint")
+        .alias("base_quota"),
+        (F.lit(_QUOTA_BUDGET) * F.col("n_docs") % F.col("total"))
+        .cast("bigint")
+        .alias("rem"),
+    )
+    wr = w.orderBy(F.desc("rem"), F.asc("source"))
+    r = q.select(
+        "source",
+        "n_docs",
+        "base_quota",
+        "rem",
+        F.row_number().over(wr).alias("rk"),
+        (F.lit(_QUOTA_BUDGET) - F.sum("base_quota").over(w))
+        .cast("bigint")
+        .alias("seats"),
+    )
+    extra = F.when(F.col("rk") <= F.col("seats"), 1).otherwise(0)
+    return r.select(
+        "source",
+        "n_docs",
+        "base_quota",
+        "rem",
+        extra.cast("bigint").alias("extra"),
+        (F.col("base_quota") + extra).cast("bigint").alias("quota"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M255 pipeline_rolling_cv_folds — rolling-origin time-series CV audit
+# ---------------------------------------------------------------------------
+
+_CV_FOLDS = 3
+_CV_STEP_DAYS = 7
+
+
+@register(
+    "pipeline_rolling_cv_folds",
+    oracle=f"""
+    WITH dc AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    d0 AS (SELECT CAST(min(day) AS BIGINT) AS d0 FROM dc),
+    f AS (SELECT unnest(generate_series(1, {_CV_FOLDS})) AS fold)
+    SELECT CAST(f.fold AS BIGINT) AS fold,
+           CAST(d0.d0 + {_CV_STEP_DAYS} * f.fold - 1 AS BIGINT) AS train_end_day,
+           CAST(coalesce(sum(CASE WHEN dc.day < d0.d0 + {_CV_STEP_DAYS} * f.fold
+                                  THEN dc.n END), 0) AS BIGINT) AS n_train,
+           CAST(coalesce(sum(CASE WHEN dc.day >= d0.d0 + {_CV_STEP_DAYS} * f.fold
+                                   AND dc.day < d0.d0 + {_CV_STEP_DAYS} * (f.fold + 1)
+                                  THEN dc.n END), 0) AS BIGINT) AS n_val
+    FROM f CROSS JOIN d0 CROSS JOIN dc
+    GROUP BY f.fold, d0.d0
+    """,
+)
+def pipeline_rolling_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M255 — ROLLING-ORIGIN cross-validation folds over the
+    event stream: for fold f ∈ 1..3, train = everything before
+    origin + 7·f days, validation = the next 7-day window — the
+    only CV scheme that respects time's arrow (random K-fold leaks the
+    future into training; the M215 PIT-leakage audit's prevention
+    counterpart).  Per fold: the training cutoff day and exact
+    train/validation event counts; by construction train(f) ⊇
+    train(f−1) + val(f−1) — the expanding-window property a
+    forecasting eval harness asserts before trusting fold metrics.
+
+    Scale: events collapse to the bounded O(days) count table first;
+    the ×3 fold explode rides that table, never the event stream;
+    the origin day is a pmod-constant-key window min over the same
+    bounded axis — one corpus pass total."""
+    e = load(spark, sf_dir, "events")
+    dc = e.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy(F.pmod(F.col("day"), F.lit(1)))
+    folds = F.explode(
+        F.expr(f"sequence(1L, {_CV_FOLDS}L)")
+    ).alias("fold")
+    x = dc.select(
+        "day", "n", F.min("day").over(w).cast("bigint").alias("d0")
+    ).select("day", "n", "d0", folds)
+    cut = F.col("d0") + _CV_STEP_DAYS * F.col("fold")
+    return (
+        x.groupBy("fold", "d0")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("day") < cut, F.col("n"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_train"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("day") >= cut)
+                        & (F.col("day") < cut + _CV_STEP_DAYS),
+                        F.col("n"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_val"),
+        )
+        .select(
+            F.col("fold").cast("bigint").alias("fold"),
+            (F.col("d0") + _CV_STEP_DAYS * F.col("fold") - 1)
+            .cast("bigint")
+            .alias("train_end_day"),
+            "n_train",
+            "n_val",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M269 dedup_method_overlap — cross-method dedup Venn profile (composed)
+# ---------------------------------------------------------------------------
+
+
+def _method_overlap_oracle() -> str:
+    from tropology_spark.registry import ORACLES
+
+    return """
+    WITH ex AS ({ex}),
+    mh AS ({mh}),
+    sh AS ({sh}),
+    ng AS ({ng}),
+    flags AS (
+      SELECT 'exact' AS method, d.doc_id
+      FROM documents d JOIN ex
+        ON md5(d.text) = ex.text_hash AND d.doc_id > ex.keep_doc_id
+      UNION ALL SELECT 'minhash', doc_b FROM mh
+      UNION ALL SELECT 'simhash', doc_b FROM sh
+      UNION ALL SELECT 'ngram', doc_b FROM ng
+    ),
+    bm AS (
+      SELECT doc_id,
+             max(CASE WHEN method = 'exact' THEN 1 ELSE 0 END) AS f_exact,
+             max(CASE WHEN method = 'minhash' THEN 1 ELSE 0 END) AS f_minhash,
+             max(CASE WHEN method = 'simhash' THEN 1 ELSE 0 END) AS f_simhash,
+             max(CASE WHEN method = 'ngram' THEN 1 ELSE 0 END) AS f_ngram
+      FROM flags GROUP BY doc_id)
+    SELECT CAST(f_exact AS BIGINT) AS f_exact,
+           CAST(f_minhash AS BIGINT) AS f_minhash,
+           CAST(f_simhash AS BIGINT) AS f_simhash,
+           CAST(f_ngram AS BIGINT) AS f_ngram,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM bm GROUP BY f_exact, f_minhash, f_simhash, f_ngram
+    """.format(
+        ex=ORACLES["dedup_exact"],
+        mh=ORACLES["dedup_minhash_lsh"],
+        sh=ORACLES["dedup_simhash"],
+        ng=ORACLES["dedup_ngram_jaccard"],
+    )
+
+
+@register("dedup_method_overlap", oracle=_method_overlap_oracle())
+def dedup_method_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M269 — which dedup families flag which documents: the
+    per-doc drop-side flag under each of the four text methods (exact
+    md5, MinHash-LSH candidates, SimHash Hamming<=6, trigram Jaccard
+    >=0.4) rolled up to the full Venn combination profile (flag
+    bitmap -> doc count + min doc id anchor).  The audit a curation
+    team runs before ordering a cascade: a method whose flags are a
+    subset of a cheaper method's is redundant; the exclusive cells
+    are each stage's marginal contribution.
+
+    Composed, not copied: all four flag sets come from the REGISTERED
+    pipelines — QUERIES on the Spark side (sharing the session's
+    minhash-band and simhash signature caches), ORACLES verbatim on
+    the DuckDB side (the dedup_lsh_recall rule).  Drop-side
+    convention: a doc is flagged if it is the LARGER id of a candidate
+    pair (keep-smallest), and for exact groups every non-representative
+    copy.
+
+    Scale: every underlying method is banded/blocked (never
+    all-pairs); the overlay adds one union + two doc-keyed
+    map-side-combinable groupBys — the profile itself is O(2^4)
+    rows."""
+    from tropology_spark.registry import QUERIES
+
+    docs = load(spark, sf_dir, "documents")
+    ex = QUERIES["dedup_exact"](spark, sf_dir)
+    exact_flagged = docs.join(
+        ex,
+        (F.md5(F.col("text")) == F.col("text_hash"))
+        & (F.col("doc_id") > F.col("keep_doc_id")),
+    ).select(F.lit("exact").alias("method"), "doc_id")
+    flagged = exact_flagged
+    for method, qname in (
+        ("minhash", "dedup_minhash_lsh"),
+        ("simhash", "dedup_simhash"),
+        ("ngram", "dedup_ngram_jaccard"),
+    ):
+        flagged = flagged.unionAll(
+            QUERIES[qname](spark, sf_dir).select(
+                F.lit(method).alias("method"), F.col("doc_b").alias("doc_id")
+            )
+        )
+    bm = flagged.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("method") == m, 1).otherwise(0)).alias(f"f_{m}")
+            for m in ("exact", "minhash", "simhash", "ngram")
+        ]
+    )
+    return bm.groupBy(
+        *[F.col(f"f_{m}").cast("bigint").alias(f"f_{m}")
+          for m in ("exact", "minhash", "simhash", "ngram")]
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+    )

@@ -1269,7 +1269,26 @@ def bq_topk_from_index(
     ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false`` in
     the reading session so vec_id-keyed plans keep the bucketed
     scan."""
-    sig = spark.table(table)
+    return bq_search_signatures(
+        spark, spark.table(table), sf_dir, query_vec_id, n_cand, k
+    )
+
+
+def bq_search_signatures(
+    spark: SparkSession,
+    sig: DataFrame,
+    sf_dir: str,
+    query_vec_id: int = QUERY_VEC_ID,
+    n_cand: int = BQ_CAND,
+    k: int = BQ_K,
+) -> DataFrame:
+    """BQ search over a PRE-ENCODED signature frame ``sig(vec_id, h0,
+    h1)`` — the single home of the from-index search arithmetic,
+    shared by :func:`bq_topk_from_index` (saved-table flavor) and the
+    registered ``sim_bq_hamming_topk``'s ``TROPOLOGY_BQ_INDEX_DIR``
+    reload path, so the driver-checked op and the serving artifact
+    cannot drift.  Pinned equal to the in-suite single-pass body in
+    tests/test_bucketing.py::test_bq_index_persist_reload."""
     q_sig = sig.filter(F.col("vec_id") == query_vec_id).select(
         F.col("h0").alias("q0"), F.col("h1").alias("q1")
     )
@@ -2443,3 +2462,225 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 sim_matryoshka_recall.__doc__ = sim_matryoshka_recall.__doc__.format(
     k=_MRL_K, ps="/".join(str(p) for p in _MRL_PREFIXES)
 )
+
+
+# ---------------------------------------------------------------------------
+# M256 sim_bq_hamming_topk — binary-quantization retrieval (sign bits +
+# Hamming scan, exact cosine rerank)
+# ---------------------------------------------------------------------------
+
+
+def _bq_oracle() -> str:
+    return (
+        _EX_CTE
+        + f"""
+    , sig AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN pos <= 32 AND val >= 0
+                           THEN (CAST(1 AS BIGINT) << CAST(pos - 1 AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS h0,
+             CAST(sum(CASE WHEN pos > 32 AND val >= 0
+                           THEN (CAST(1 AS BIGINT) << CAST(pos - 33 AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS h1
+      FROM ex GROUP BY vec_id
+    ),
+    q AS (SELECT h0 AS q0, h1 AS q1 FROM sig WHERE vec_id = {QUERY_VEC_ID}),
+    hd AS (
+      SELECT s.vec_id,
+             CAST(bit_count(xor(s.h0, q.q0))
+                  + bit_count(xor(s.h1, q.q1)) AS BIGINT) AS hamming
+      FROM sig s CROSS JOIN q
+      WHERE s.vec_id <> {QUERY_VEC_ID}
+    ),
+    cand AS (SELECT vec_id, hamming FROM (
+               SELECT *, row_number() OVER (ORDER BY hamming, vec_id) AS rb1
+               FROM hd) t WHERE rb1 <= {BQ_CAND}),
+    qv AS (SELECT pos, val FROM ex WHERE vec_id = {QUERY_VEC_ID}),
+    d AS (SELECT e.vec_id, sum(e.val * qv.val) AS dp
+          FROM ex e JOIN qv ON e.pos = qv.pos
+          JOIN cand c ON c.vec_id = e.vec_id
+          GROUP BY e.vec_id)
+    SELECT d.vec_id, cand.hamming,
+           round(d.dp / (n1.nv * n2.nv), 6) AS cosine
+    FROM d JOIN cand ON d.vec_id = cand.vec_id
+    JOIN nrm n1 ON d.vec_id = n1.vec_id
+    JOIN nrm n2 ON n2.vec_id = {QUERY_VEC_ID}
+    ORDER BY cosine DESC, d.vec_id
+    LIMIT {BQ_K}
+    """
+    )
+
+
+@register("sim_bq_hamming_topk", oracle=_bq_oracle())
+def sim_bq_hamming_topk(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
+    """M256 — BINARY-QUANTIZATION retrieval: each 64-dim
+    vector collapses to its SIGN BITS packed into two BIGINTs (64
+    bits/vector — the 64x compression every vector store's BQ tier
+    ships), candidates come from Hamming distance (two XOR+popcount
+    ops — the cheapest distance computable), and the top 50 rerank
+    exactly by cosine, top 10 emitted — the third member of the
+    compressed-retrieval family (IVF cells M7, PQ codes M104, sign
+    bits here), and the only one whose scan distance is branch-free
+    integer ops.
+
+    Integer-exact end-to-end until the declared cosine rerank; the
+    Hamming scan carries only BIGINTs.  Scale: the signature table is
+    16 bytes/vector; the scan is corpus-linear with a 2-word working
+    set per row (at 100 TB: written bucketed, read columnar, SIMD
+    popcount in the JVM); the rerank touches 50 raw vectors by key —
+    point lookups, never a scan.
+
+    Index wiring (VERDICT r10 item 7 — the quantizer-reload
+    convention): when ``TROPOLOGY_BQ_INDEX_DIR`` is set, the compact
+    signature table is reloaded from ``<dir>/sig_<sf>`` (written there
+    after the first encode; ``_SUCCESS``-gated per the ADVICE r8 rule)
+    and the search runs through :func:`bq_search_signatures` — the
+    same single-home arithmetic the saved-table artifact uses, pinned
+    equal to this body in tests/test_bucketing.py.  The driver
+    contract never sets the env var.
+
+    ``e=`` substitutes the embeddings frame — (vec_id, embedding) —
+    for the weak-scaling probe (tools/scale_probes/bq_scale.py); the
+    driver contract never passes it."""
+    if e is None:
+        import os
+
+        idx_dir = os.environ.get("TROPOLOGY_BQ_INDEX_DIR")
+        if idx_dir:
+            p = os.path.join(
+                idx_dir, f"sig_{os.path.basename(os.path.normpath(sf_dir))}"
+            )
+            if not os.path.exists(os.path.join(p, "_SUCCESS")):
+                bq_signatures_frame(
+                    load(spark, sf_dir, "embeddings")
+                ).write.mode("overwrite").parquet(p)
+            return bq_search_signatures(spark, spark.read.parquet(p), sf_dir)
+    e = e if e is not None else load(spark, sf_dir, "embeddings")
+    sig = iter_materialize(
+        bq_signatures_frame(e, with_vectors=True)
+    )  # referenced by the query row AND the corpus scan
+    q = sig.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("h0").alias("q0"),
+        F.col("h1").alias("q1"),
+        F.col("emb").alias("qemb"),
+        F.col("nv").alias("nq"),
+    )
+    cand = (
+        sig.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.expr("CAST(bit_count(h0 ^ q0) + bit_count(h1 ^ q1) AS BIGINT)")
+            .alias("hamming"),
+            F.round(
+                dot(F.col("emb"), F.col("qemb")) / (F.col("nv") * F.col("nq")), 6
+            ).alias("cosine"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(BQ_CAND)
+    )
+    return cand.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(BQ_K).select(
+        "vec_id", "hamming", "cosine"
+    )
+
+
+# ---------------------------------------------------------------------------
+# M263 sim_ivf_probe_curve — recall vs n_probe (the other IVF tuning axis)
+# ---------------------------------------------------------------------------
+
+_PROBE_NPS = (1, 2, 4)
+_PROBE_K = 10
+
+
+def _probe_curve_oracle() -> str:
+    from tropology_spark.registry import ORACLES
+
+    nps = ", ".join(str(n) for n in _PROBE_NPS)
+    return (
+        _EX_CTE
+        + """
+    , assign0 AS (SELECT vec_id, label AS cell FROM embeddings)
+    """
+        + _LLOYD_SQL_ITER.format(n=1, p=0, vf="")
+        + f"""
+    , assign AS (SELECT * FROM assign1),
+    pr AS (SELECT tcell, row_number() OVER (ORDER BY ccos DESC, tcell) AS rnp
+           FROM vc1 WHERE vec_id = {QUERY_VEC_ID}),
+    nps AS (SELECT unnest([{nps}]) AS np),
+    cand AS (SELECT nps.np, a.vec_id FROM assign a
+             JOIN pr ON a.cell = pr.tcell
+             JOIN nps ON pr.rnp <= nps.np
+             WHERE a.vec_id <> {QUERY_VEC_ID}),
+    q AS (SELECT pos, val FROM ex WHERE vec_id = {QUERY_VEC_ID}),
+    d AS (SELECT c.np, e.vec_id, sum(e.val * q.val) AS dp
+          FROM ex e JOIN q ON e.pos = q.pos
+          JOIN cand c ON e.vec_id = c.vec_id
+          GROUP BY c.np, e.vec_id),
+    cos AS (SELECT d.np, d.vec_id, round(d.dp / (n1.nv * n2.nv), 6) AS cosine
+            FROM d JOIN nrm n1 ON d.vec_id = n1.vec_id
+            CROSS JOIN (SELECT nv FROM nrm
+                        WHERE vec_id = {QUERY_VEC_ID}) n2),
+    appr AS (SELECT np, vec_id FROM (
+               SELECT *, row_number() OVER (PARTITION BY np
+                                            ORDER BY cosine DESC, vec_id) AS ra1
+               FROM cos) t WHERE ra1 <= {_PROBE_K}),
+    truth AS (SELECT vec_id FROM ({ORACLES['sim_topk_cosine']}) t)
+    SELECT CAST(nps.np AS BIGINT) AS n_probe,
+           CAST(count(truth.vec_id) AS BIGINT) AS n_hits,
+           CAST((1000000 * count(truth.vec_id)) // {_PROBE_K} AS BIGINT)
+             AS recall_ppm
+    FROM nps LEFT JOIN appr ON appr.np = nps.np
+             LEFT JOIN truth ON appr.vec_id = truth.vec_id
+    GROUP BY nps.np
+    """
+    )
+
+
+@register("sim_ivf_probe_curve", oracle=_probe_curve_oracle())
+def sim_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M263 — the IVF recall-vs-N_PROBE curve: recall@10 of
+    the one-round IVF search probing 1/2/4 cells, against the J8
+    brute-force truth — M241 tunes the k axis, this tunes the OTHER
+    knob an IVF deployment has (probes = the scan-fraction dial:
+    n_probe/cells of the corpus read per query; the curve says what
+    recall each setting buys).  Hit = index top-10 ∩ truth top-10.
+
+    Composed, not copied: the oracle re-derives the inverted file
+    through the SAME _LLOYD_SQL_ITER prefix the registered sim_ivf_
+    topk oracle uses and wraps ORACLES['sim_topk_cosine'] for truth;
+    the Spark side runs the registered ivf_topk helper per probe
+    setting (the M241 single-home rule).  Scale: ×|probes| retrievals
+    (each already audited); the curve arithmetic is broadcast-trivial;
+    every threshold row always emitted (LEFT joins)."""
+    from tropology_spark.registry import QUERIES
+
+    truth = iter_materialize(
+        QUERIES["sim_topk_cosine"](spark, sf_dir).select(
+            F.col("vec_id").alias("t_id")
+        )
+    )  # referenced once per probe branch
+    e = load(spark, sf_dir, "embeddings")
+    branches = [
+        ivf_topk(e, QUERY_VEC_ID, n_probe=np, k=_PROBE_K).select(
+            F.lit(np).cast("bigint").alias("n_probe"), "vec_id"
+        )
+        for np in _PROBE_NPS
+    ]
+    appr = branches[0]
+    for b in branches[1:]:
+        appr = appr.unionByName(b)
+    nps = spark.createDataFrame([(n,) for n in _PROBE_NPS], "n_probe long")
+    hits = (
+        appr.join(F.broadcast(truth), appr.vec_id == F.col("t_id"), "left")
+        .groupBy("n_probe")
+        .agg(F.count(F.col("t_id")).cast("bigint").alias("n_hits"))
+    )
+    return nps.join(hits, "n_probe", "left").select(
+        F.col("n_probe").cast("bigint").alias("n_probe"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.expr(f"(1000000 * coalesce(n_hits, 0)) div {_PROBE_K}")
+        .cast("bigint")
+        .alias("recall_ppm"),
+    )

@@ -1,9 +1,9 @@
 """STAGED round-12 operators — implemented and parity-tested, NOT yet
 registered (the round-8/9/10 staging pattern, fourth application).
 
-The round-11 window is already fully budgeted (17 staged_r11
-activations + the r04/r05 stale queue — CLAUDE.md "Round-11 window"),
-so these thirteen bodies target ROUND 12.  Same (fn, oracle) contract as
+The round-11 window is already fully budgeted (the 17 round-11
+activations M253-M269 + the r04/r05 stale queue — CLAUDE.md "Round-11
+window"), so these thirteen bodies target ROUND 12.  Same (fn, oracle) contract as
 the registry; activation is the mechanical move + five-fold lockstep.
 tests/test_staged_r12.py runs the driver-replica compare at both
 verification scales, Python twins for the formula-bearing ops (plus

@@ -1853,3 +1853,168 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_pmi_collocations.__doc__ = text_pmi_collocations.__doc__.format(
     m=_PMI_MIN_N, t=_PMI_TOP
 )
+
+
+# ---------------------------------------------------------------------------
+# M259 text_winnowing_fingerprints — MOSS winnowing selection density
+# ---------------------------------------------------------------------------
+
+_WIN_W = 4  # window of consecutive k-gram hashes
+
+
+def winnowing_selected(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """The winnowing SELECTION frame ``(doc_id, n_grams, mh)`` —
+    distinct trigram hashes that are the minimum of some full
+    4-window — the single home of the window-min arithmetic, shared
+    by the registered rollup and the containment-guarantee property
+    test (``docs=`` substitutes a (doc_id, text) frame).  The window
+    min is computed over ALL gram rows BEFORE the full-window filter —
+    the subquery-order rule the oracle pins."""
+    from tropology_spark.operators.pipeline_ops import word_ngrams
+
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.posexplode(word_ngrams(F.split(F.col("text"), " "), 3)).alias(
+            "pos0", "gram"
+        ),
+        (F.size(F.split(F.col("text"), " ")) - 2).alias("n_grams"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        (F.col("pos0") + 1).alias("i"),
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, _WIN_W - 1)
+    wm = g.select("doc_id", "n_grams", "i", F.min("h").over(w).alias("mh"))
+    return (
+        wm.filter(F.col("i") + (_WIN_W - 1) <= F.col("n_grams"))
+        .select("doc_id", "n_grams", "mh")
+        .distinct()
+    )
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, i,
+             ('0x' || substring(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]),
+                                1, 8))::BIGINT AS h,
+             len(l) - 2 AS n_grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           (SELECT unnest(generate_series(1, 4096)) AS i)
+      WHERE i <= len(l) - 2
+    ),
+    wm AS (
+      SELECT doc_id, n_grams, i,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_WIN_W - 1} FOLLOWING) AS mh
+      FROM g
+    ),
+    sel AS (SELECT DISTINCT doc_id, n_grams, mh
+            FROM wm WHERE i + {_WIN_W - 1} <= n_grams)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           CAST((1000000 * count(*)) // n_grams AS BIGINT) AS density_ppm
+    FROM sel GROUP BY doc_id, n_grams
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M259 — WINNOWING fingerprint selection (the MOSS
+    algorithm): per document, the distinct trigram hashes that are the
+    minimum of some 4-wide sliding window over the hash sequence —
+    the local-sampling guarantee that any shared run of ≥ k+w−1 tokens
+    between two documents shares at least one SELECTED fingerprint, at
+    ~2/(w+1) storage of the full shingle set.  M6's rolling-hash
+    fingerprint samples globally (mod-p); winnowing samples LOCALLY,
+    which is what makes it the plagiarism/overlap detector of record.
+    Emitted per doc: gram count, selected count, selection density ppm
+    (docs shorter than k+w−1 tokens have no full window and are
+    absent — both engines agree by construction).
+
+    Scale: one shingle explode; the window min runs per-document
+    (real partition key) over a frame of 4 rows; the DISTINCT
+    collapse and rollup are map-side combinable.  The window-min
+    MUST be computed before the full-window filter (filtering first
+    would remove the tail rows from the frame — the staging lesson
+    pinned in the oracle's subquery order)."""
+    sel = winnowing_selected(spark, sf_dir)
+    return sel.groupBy("doc_id", "n_grams").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+        F.expr("(1000000 * count(1)) div n_grams")
+        .cast("bigint")
+        .alias("density_ppm"),
+    ).select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        "n_selected",
+        "density_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# M268 text_simpson_concentration — exact-integer lexical concentration
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_simpson_concentration",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    c AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+          FROM tok WHERE token <> '' GROUP BY doc_id, token),
+    per AS (SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(c * (c - 1)) AS BIGINT) AS s2
+            FROM c GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct, s2,
+           CAST(CASE WHEN n_tokens >= 2
+                     THEN (1000000 * s2) // (n_tokens * (n_tokens - 1))
+                     ELSE 0 END AS BIGINT) AS simpson_ppm
+    FROM per
+    """,
+)
+def text_simpson_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M268 — per-document Simpson concentration (unbiased
+    token collision probability sum c_i(c_i-1) / N(N-1), in ppm): the
+    exact-integer lexical-diversity quality signal.  Complements M5
+    (plain token counts) and M28 (bigram repetition): Simpson reacts
+    to a skewed unigram DISTRIBUTION (one token dominating) that both
+    of those miss — the classic low-quality signature of keyword-spam
+    and template pages — and 1/Simpson is the effective vocabulary
+    size filter pipelines threshold on.
+
+    The unbiased (sampling-without-replacement) form keeps the whole
+    statistic in BIGINT: numerator and denominator are integer
+    products, one ppm-scaled integral division at the end (DuckDB //
+    and Spark div agree — both operands non-negative).  The s2 carrier
+    is emitted so downstream can re-derive any rescaling exactly.
+
+    Scale: tokenize -> per-(doc,token) count (map-side combinable) ->
+    per-doc rollup; two shuffles on doc-keyed rows, no joins, no
+    windows — embarrassingly parallel over documents."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    c = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    per = c.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("s2"),
+    )
+    return per.select(
+        "doc_id", "n_tokens", "n_distinct", "s2",
+        F.expr(
+            "CAST(CASE WHEN n_tokens >= 2 THEN (1000000 * s2)"
+            " div (n_tokens * (n_tokens - 1)) ELSE 0 END AS BIGINT)"
+        ).alias("simpson_ppm"),
+    )
