@@ -926,40 +926,46 @@ def sub_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sub_scalar_global",
-    oracle="""
+#: The shared predicate (common Spark/DuckDB dialect): price > 1.8×avg
+#: cross-multiplied into exact integers — 10·cents·n > 18·Σcents — so
+#: both sides of the comparison are BIGINT-exact and the scalar
+#: subqueries stay scalar subqueries (VERDICT r10 item 4: the last
+#: accepted-risk float carrier with a known exact alternative).
+_SCALAR_GLOBAL_SQL = """
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
-    """,
-)
+    WHERE 10 * CAST(round(o_totalprice * 100) AS BIGINT)
+            * (SELECT count(*) FROM orders)
+          > 18 * (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  FROM orders)
+    """
+
+
+@register("sub_scalar_global", oracle=_SCALAR_GLOBAL_SQL)
 def sub_scalar_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subquery: orders well above the global
-    average price (the subquery executes once and broadcasts).
+    average price (the subqueries execute once and broadcast).
     Retuned in round 9: the fixture's max/avg(o_totalprice) is exactly
     2.0, so the original 2.0x threshold sat ON the distribution edge
     (2/0/0 rows across scales — no evidence); 1.8x exercises the same
     plan with 147/1449/14883 qualifying rows.
 
-    ACCEPTED RISK (ADVICE r9, the agg_stats class): the threshold
-    compares computed doubles (1.8 * avg of doubles), so a row landing
-    within ~1 ulp of the boundary could hash-flip between engines.
-    o_totalprice values sit far from the boundary at every fixture
-    scale today; flip probability ~1e-9/run, documented rather than
-    re-carried because the subquery-broadcast plan IS the declared
-    operator (an integer cross-multiplication would demote the scalar
-    subquery to a precomputed literal)."""
+    Round 11 closed the last closable accepted-risk float carrier
+    (VERDICT r10 item 4): price > 1.8·avg is cross-multiplied into the
+    exact integer predicate 10·cents·n > 18·Σcents, carried by TWO
+    uncorrelated scalar subqueries (count + cents sum) — the declared
+    scalar-subquery-broadcast plan shape is preserved (nothing is
+    precomputed driver-side) while the boundary compare becomes
+    engine-exact.  Qualifying rows are unchanged at every fixture
+    scale (147/1449/14883 — values sat far from the boundary, which is
+    why the float form never actually flipped).  BIGINT bound:
+    10·cents·n ~ 5e8·n and 18·Σcents both stay under 9.2e18 through
+    ~1e9 orders; past that, lift to DECIMAL(38,0)/HUGEINT per the
+    wide-integer rule."""
     from tropology_spark.sources.tables import register_views
 
     register_views(spark, sf_dir, ("orders",))
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_totalprice
-        FROM orders
-        WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
-        """
-    )
+    return spark.sql(_SCALAR_GLOBAL_SQL)
 
 
 @register(
