@@ -390,7 +390,9 @@ _SSJOIN_LOOKBACK_SEC = 3600
     GROUP BY p.event_id, p.user_id
     """,
 )
-def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_interval_join(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
     """K8 batch twin — every (purchase, click-within-preceding-hour)
     pair per user, aggregated to a per-purchase click count.  The
     ALL-matches complement of M55's last-touch pick; in streaming form
@@ -400,8 +402,13 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both sides pre-filter to their event subset and shuffle
     once on user_id; state per key is bounded by the 1-hour lookback ×
-    click rate — the watermark contract, not a heuristic."""
-    ev = load(spark, sf_dir, "events")
+    click rate — the watermark contract, not a heuristic.
+
+    ``events=`` substitutes the event frame — (event_id, user_id, ts,
+    event_type) — for the weak-scaling probe (tools/scale_probes/
+    streaming_scale.py, disjoint user populations); the driver
+    contract never passes it."""
+    ev = events if events is not None else load(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
@@ -540,15 +547,21 @@ def stream_latedrop_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rk <= 3
     """,
 )
-def stream_window_topk_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_window_topk_1h(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
     """M124 batch twin — top-3 event types per tumbling hour.  The
     streaming half is ``stream_window_counts`` (watermarked windowed
     counts, append mode); the rank runs over closed windows — exactly
     what a foreachBatch sink or this batch query computes.  Rank is on
     exact integer counts with the unique event_type tie-break (no float
     anywhere).  Scale: one shuffle on (window, type) with map-side
-    combine, then a per-window rank over at most |event_types| rows."""
-    e = load(spark, sf_dir, "events")
+    combine, then a per-window rank over at most |event_types| rows.
+
+    ``events=`` substitutes the event frame for the weak-scaling probe
+    (tools/scale_probes/streaming_scale.py); the driver contract never
+    passes it."""
+    e = events if events is not None else load(spark, sf_dir, "events")
     c = (
         e.groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"))
