@@ -1,0 +1,480 @@
+"""STAGED round-13 operators — implemented and parity-tested, NOT yet
+registered (the round-8/9/10/11 staging pattern, fifth application).
+
+The round-12 window is already fully budgeted (the 13 staged_r12
+activations + the 37 oldest r05 rows — CLAUDE.md "Round-12 window"),
+so these bodies target ROUND 13.  Same (fn, oracle) contract as the
+registry; activation is the mechanical move + five-fold lockstep.
+tests/test_staged_r13.py runs the driver-replica compare at both
+verification scales, Python twins for the formula-bearing ops, the
+partitioning-invariance probe, and the plan sweep.
+
+This module is intentionally NOT imported from ``tropology_spark/
+__init__.py`` — importing it must never perturb registry order (guard
+test pins that it registers nothing).
+
+New capability coverage (SURVEY §2.M candidates at activation):
+- text_heaps_curve — Heaps'-law vocabulary-growth audit at corpus
+  prefixes (the scaling diagnostic every tokenizer budget starts from).
+- dedup_minhash_estimate_error — signature-agreement Jaccard estimate
+  vs the exact shingle Jaccard per LSH candidate pair (the estimator-
+  quality audit completing the J3/M126/M264 family).
+- sim_hnsw_levels — geometric HNSW level assignment audit (the
+  hierarchy half of the r12 greedy layer-0 search).
+- ts_walsh_spectrum — full 8-point Walsh-Hadamard transform of each
+  day's 3-hour activity profile (extends M248's 2-level Haar to the
+  complete multi-resolution basis, exact signed integers).
+- mm_cdc_dedup_stats — content-addressed dedup over the M260 CDC
+  chunks per source (the bytes-saved argument FOR content-defined
+  chunking, vs M209's fixed grid).
+- ts_spearman_terms — Spearman rank-correlation co-moment terms via
+  integer DOUBLED midranks (the M-mannwhitney discipline applied to
+  the correlation family).
+- analytics_did_terms — difference-in-differences cell terms with a
+  data-derived era boundary and a deterministic hash-parity treatment
+  assignment; the DiD numerator/denominator in DECIMAL(38,0)/HUGEINT.
+- pipeline_ldp_freq_audit — k-randomized-response local-DP frequency
+  release with deterministic md5 coins and the exact debias carrier
+  3·t̂ = 8c − n (no division, signed BIGINT).
+- join_feature_window — per-purchase 24h windowed view/click counts
+  (the feature-store window-aggregate materialization; M197 bucketed
+  band equi-join, oracle keeps the raw inequality).
+- graph_ball2_sizes — exact 1/2-hop ball sizes for the top-degree
+  seeds (the ANF point values, integer-exact).
+- pipeline_importance_weights — uniform-target mixture reweighting
+  with exact ppm weights + ESS terms per source.
+- sim_pq_distortion — per-vector PQ reconstruction error (self-ADC)
+  histogram over the registered _pq_* helpers (the quantization-
+  distortion audit the PQ tier is tuned by).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tropology_spark.sources.tables import load
+
+#: name -> (query_fn, oracle_sql); the registry contract, unregistered.
+STAGED: dict = {}
+
+
+def _stage(name: str, oracle: str):
+    def deco(fn):
+        STAGED[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# text_heaps_curve — Heaps'-law vocabulary growth at corpus prefixes
+# ---------------------------------------------------------------------------
+
+_HEAPS_PCTS = (25, 50, 100)
+
+
+@_stage(
+    "text_heaps_curve",
+    oracle=f"""
+    WITH dmax AS (SELECT CAST(max(doc_id) AS BIGINT) AS dm FROM documents),
+    pcts AS (SELECT unnest([{", ".join(str(p) for p in _HEAPS_PCTS)}]) AS pct),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents),
+    t AS (SELECT doc_id, token FROM tok WHERE token <> '')
+    SELECT CAST(pcts.pct AS BIGINT) AS pct,
+           CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT t.token) AS BIGINT) AS n_vocab,
+           CAST((1000000 * count(DISTINCT t.token)) // count(*) AS BIGINT)
+             AS vocab_per_mtoken
+    FROM pcts CROSS JOIN dmax
+    JOIN t ON t.doc_id <= (pcts.pct * dmax.dm) // 100
+    GROUP BY pcts.pct
+    """,
+)
+def text_heaps_curve(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Staged M-row — HEAPS'-LAW vocabulary growth: total tokens,
+    distinct vocabulary and vocab-per-million-tokens at the 25% / 50%
+    / 100% corpus prefixes (by doc_id order — the ingestion axis).
+    V(n) ~ K·n^beta with beta < 1 is the sublinear law every tokenizer
+    vocab budget and every dedup-capacity plan starts from; the curve
+    makes the exponent VISIBLE as exact integers (the density column
+    falling with the prefix is the sublinearity), with no
+    transcendental fit inside the hash gate — the *_terms discipline.
+
+    Scale: one tokenize pass; the bounded ×3 prefix explode rides the
+    token rows with a filter (never three corpus scans); the prefix
+    cut is data-derived (max doc_id via a pmod-constant-key window —
+    regeneration-robust, no literal ids).  The distinct-vocab rollup
+    is the one real shuffle, keyed by (pct, token).
+
+    ``docs=`` substitutes the document frame for probes; the driver
+    contract never passes it."""
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1)))
+    base = d.select(
+        "doc_id",
+        "text",
+        F.max("doc_id").over(w).cast("bigint").alias("dm"),
+    )
+    pcts = F.explode(
+        F.array(*[F.lit(p) for p in _HEAPS_PCTS])
+    ).alias("pct")
+    t = (
+        base.select("doc_id", "text", "dm", pcts)
+        .filter(F.col("doc_id") <= F.expr("(pct * dm) div 100"))
+        .select(
+            "pct", "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    return (
+        t.groupBy("pct")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.countDistinct("token").cast("bigint").alias("n_vocab"),
+        )
+        .select(
+            F.col("pct").cast("bigint").alias("pct"),
+            "n_docs",
+            "n_tokens",
+            "n_vocab",
+            F.expr("(1000000 * n_vocab) div n_tokens")
+            .cast("bigint")
+            .alias("vocab_per_mtoken"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_estimate_error — signature-agreement estimate vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def _minhash_est_oracle() -> str:
+    from tropology_spark.operators.dedup import (
+        _MH_PERMS,
+        _band_rows_cte,
+        _minhash_sig_cte,
+    )
+
+    agree = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(len(_MH_PERMS))
+    )
+    return (
+        _minhash_sig_cte()
+        + _band_rows_cte()
+        + f"""
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    agr AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST({agree} AS BIGINT) AS agree
+      FROM cand c JOIN sig a ON a.doc_id = c.doc_a
+                  JOIN sig b ON b.doc_id = c.doc_b
+    ),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    itr AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.token = sa.token
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT agr.doc_a, agr.doc_b, agr.agree,
+           CAST(62500 * agr.agree AS BIGINT) AS est_ppm,
+           CAST((1000000 * coalesce(itr.inter, 0))
+                // (za.n + zb.n - coalesce(itr.inter, 0)) AS BIGINT) AS jac_ppm,
+           CAST(abs(62500 * agr.agree
+                    - (1000000 * coalesce(itr.inter, 0))
+                      // (za.n + zb.n - coalesce(itr.inter, 0))) AS BIGINT)
+             AS err_ppm
+    FROM agr
+    JOIN sz za ON za.doc_id = agr.doc_a
+    JOIN sz zb ON zb.doc_id = agr.doc_b
+    LEFT JOIN itr ON itr.doc_a = agr.doc_a AND itr.doc_b = agr.doc_b
+    """
+    )
+
+
+@_stage("dedup_minhash_estimate_error", oracle=_minhash_est_oracle())
+def dedup_minhash_estimate_error(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Staged M-row — the MinHash ESTIMATOR-QUALITY audit: for every
+    J3 LSH candidate pair, the signature agreement count (matching
+    positions of the 16 min-hashes), the Jaccard estimate it implies
+    (est_ppm = 10⁶·agree/16 = 62500·agree — exact, the divisor is a
+    power-of-two factor of 10⁶), the EXACT bigram-shingle Jaccard
+    (inter/union over the same shingle space the signatures sample),
+    and |est − exact| — the per-pair error the 1/√k theory bounds at
+    ~25% for k=16.  M126 audits the LSH BLOCKING (recall of the band
+    join); this audits the ESTIMATOR itself — the two failure modes a
+    MinHash deployment tunes independently.
+
+    Composed, not copied: candidates come from the registered
+    minhash_candidate_pairs over the session-shared band view; the
+    signatures are minhash_sigs_frame (the J3 single home).  Scale:
+    the agreement join touches only candidate pairs (banded, never
+    all-pairs); the exact-Jaccard side joins shingle rows on the
+    SAME bounded pair set.
+
+    ``docs=`` substitutes the document frame for probes; the driver
+    contract never passes it."""
+    from tropology_spark.operators.dedup import (
+        _MH_PERMS,
+        minhash_bands_frame,
+        minhash_bands_materialized,
+        minhash_candidate_pairs,
+        minhash_sigs_frame,
+    )
+    from tropology_spark.session import iter_materialize
+
+    bands = (
+        minhash_bands_frame(spark, sf_dir, docs=docs)
+        if docs is not None
+        else minhash_bands_materialized(spark, sf_dir)
+    )
+    cand = iter_materialize(minhash_candidate_pairs(bands))
+    sigs = minhash_sigs_frame(spark, sf_dir, docs=docs)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    agree_expr = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(len(_MH_PERMS))
+    )
+    agr = (
+        cand.join(a, cand.doc_a == F.col("a.doc_id"))
+        .join(b, cand.doc_b == F.col("b.doc_id"))
+        .select("doc_a", "doc_b", agree_expr.cast("bigint").alias("agree"))
+    )
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    )
+    sh = iter_materialize(
+        d.select("doc_id", F.explode(shingles).alias("token"))
+    )  # referenced by the size rollup AND both intersection sides
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "token")
+    sb = sh.select(F.col("doc_id").alias("db"), F.col("token").alias("tb"))
+    itr = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("db")) & (F.col("token") == F.col("tb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    za = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    out = (
+        agr.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .join(itr, ["doc_a", "doc_b"], "left")
+        .withColumn("inter0", F.coalesce(F.col("inter"), F.lit(0)))
+        .withColumn("est_ppm", (F.lit(62500) * F.col("agree")).cast("bigint"))
+        .withColumn(
+            "jac_ppm",
+            F.expr("(1000000 * inter0) div (na + nb - inter0)").cast("bigint"),
+        )
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "agree",
+        "est_ppm",
+        "jac_ppm",
+        F.abs(F.col("est_ppm") - F.col("jac_ppm")).cast("bigint").alias("err_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_hnsw_levels — geometric HNSW level-assignment audit
+# ---------------------------------------------------------------------------
+
+_HNSW_MAX_LEVEL = 4
+
+
+@_stage(
+    "sim_hnsw_levels",
+    oracle=f"""
+    WITH h AS (
+      SELECT vec_id,
+             ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS w
+      FROM embeddings),
+    lv AS (
+      SELECT vec_id,
+             CASE WHEN w % 16 = 0 THEN 4
+                  WHEN w % 8 = 0 THEN 3
+                  WHEN w % 4 = 0 THEN 2
+                  WHEN w % 2 = 0 THEN 1
+                  ELSE 0 END AS level
+      FROM h),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM lv),
+    spine AS (SELECT unnest(generate_series(0, {_HNSW_MAX_LEVEL})) AS level),
+    cnt AS (SELECT level, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM lv GROUP BY level)
+    SELECT CAST(spine.level AS BIGINT) AS level,
+           CAST(coalesce(cnt.n_nodes, 0) AS BIGINT) AS n_nodes,
+           CAST(sum(coalesce(cnt.n_nodes, 0))
+                  OVER (ORDER BY spine.level DESC) AS BIGINT) AS n_cum,
+           CAST((1000000 * sum(coalesce(cnt.n_nodes, 0))
+                             OVER (ORDER BY spine.level DESC)
+                 * (1 << spine.level)) // n.nt AS BIGINT) AS geo_ratio_ppm
+    FROM spine LEFT JOIN cnt ON spine.level = cnt.level
+    CROSS JOIN n
+    """,
+)
+def sim_hnsw_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — HNSW LEVEL-ASSIGNMENT audit: the geometric layer
+    draw (P(level ≥ ℓ) = 2^−ℓ, capped at {L}) realized
+    DETERMINISTICALLY from the md5-low-32 of each vec_id (level =
+    trailing-zero count, the I7/M43 reproducibility discipline —
+    rand() would unpin the hash gate), rolled up to per-level node
+    counts, the cumulative layer occupancy, and the occupancy-vs-
+    geometric-expectation ratio in ppm (10⁶·n_cum·2^ℓ/n — exactly 10⁶
+    ×(observed/expected), one integral division).  The hierarchy half
+    of the r12 staged greedy layer-0 search: together they are the
+    HNSW story — this op audits the LAYER CAPACITY an index build
+    would allocate before any graph is wired.
+
+    Scale: one scan projecting two BIGINTs per vector, one bounded
+    rollup; the spine/window ride the 5-row level axis (the
+    bounded-domain counting idiom).  All integers; the trailing-zero
+    test is a CASE chain over power-of-two moduli — identical
+    arithmetic in both engines, no ctz builtin needed."""
+    e = load(spark, sf_dir, "embeddings")
+    w = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    lv = e.select(
+        F.when(w % 16 == 0, 4)
+        .when(w % 8 == 0, 3)
+        .when(w % 4 == 0, 2)
+        .when(w % 2 == 0, 1)
+        .otherwise(0)
+        .alias("level")
+    )
+    cnt = lv.groupBy("level").agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    spine = spark.range(_HNSW_MAX_LEVEL + 1).select(F.col("id").alias("level"))
+    ww = Window.partitionBy(F.pmod(F.col("level"), F.lit(1))).orderBy(
+        F.desc("level")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy(F.pmod(F.col("level"), F.lit(1)))
+    full = spine.join(cnt, "level", "left").select(
+        "level", F.coalesce(F.col("n_nodes"), F.lit(0)).cast("bigint").alias("n_nodes")
+    )
+    return full.select(
+        F.col("level").cast("bigint").alias("level"),
+        "n_nodes",
+        F.sum("n_nodes").over(ww).cast("bigint").alias("n_cum"),
+        F.expr(
+            "(1000000 * sum(n_nodes) OVER (PARTITION BY pmod(level, 1)"
+            " ORDER BY level DESC ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            " CURRENT ROW) * shiftleft(1L, CAST(level AS INT)))"
+        )
+        .cast("bigint")
+        .alias("num"),
+        F.sum("n_nodes").over(wt).cast("bigint").alias("nt"),
+    ).select(
+        "level",
+        "n_nodes",
+        "n_cum",
+        F.expr("num div nt").cast("bigint").alias("geo_ratio_ppm"),
+    )
+
+
+sim_hnsw_levels.__doc__ = sim_hnsw_levels.__doc__.format(L=_HNSW_MAX_LEVEL)
+
+
+# ---------------------------------------------------------------------------
+# ts_walsh_spectrum — 8-point Walsh-Hadamard transform of daily activity
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "ts_walsh_spectrum",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST((epoch_us(ts) // 10800000000) % 8 AS BIGINT) AS i,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT d.day, s.i
+      FROM (SELECT DISTINCT day FROM b) d,
+           (SELECT unnest(generate_series(0, 7)) AS i) s
+    ),
+    z AS (SELECT spine.day, spine.i, coalesce(b.c, 0) AS c
+          FROM spine LEFT JOIN b ON spine.day = b.day AND spine.i = b.i),
+    sgn AS (
+      SELECT i.i, j.j,
+             CAST(1 - 2 * (bit_count(i.i & j.j) % 2) AS BIGINT) AS sg
+      FROM (SELECT unnest(generate_series(0, 7)) AS i) i,
+           (SELECT unnest(generate_series(0, 7)) AS j) j
+    )
+    SELECT z.day, CAST(sgn.j AS BIGINT) AS j,
+           CAST(sum(sgn.sg * z.c) AS BIGINT) AS w
+    FROM z JOIN sgn ON z.i = sgn.i
+    GROUP BY z.day, sgn.j
+    """,
+)
+def ts_walsh_spectrum(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """Staged M-row — the full 8-point WALSH-HADAMARD spectrum of each
+    day's 3-hour activity profile: w_j = Σ_i (−1)^popcount(i AND j)·c_i
+    over the zero-filled 8-bucket day — j=0 is the day total, the
+    single-bit rows j ∈ {{1,2,4}} are the three dyadic scales (M248's
+    Haar details), and the composite rows are the cross-scale
+    interactions Haar cannot see.  Every coefficient is an exact
+    SIGNED sum of counts — multi-resolution analysis as pure integer
+    hierarchical aggregation, no floats, no recursion.
+
+    Scale: events collapse map-side to the (day, bucket) table; the
+    ×8 transform rides a broadcast 64-row sign matrix over the
+    bounded day axis — one shuffle total.  The sign is
+    1 − 2·(bit_count(i&j) mod 2): identical branch-free arithmetic in
+    both engines.
+
+    ``events=`` substitutes the event frame for probes; the driver
+    contract never passes it."""
+    e = events if events is not None else load(spark, sf_dir, "events")
+    b = e.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("day"),
+        F.expr("(unix_micros(ts) div 10800000000) % 8").cast("bigint").alias("i"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    days = b.select("day").distinct()
+    spine = days.select(
+        "day", F.explode(F.expr("sequence(0L, 7L)")).alias("i")
+    )
+    z = spine.join(b, ["day", "i"], "left").select(
+        "day", "i", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    sgn = spark.createDataFrame(
+        [
+            (i, j, 1 - 2 * (bin(i & j).count("1") % 2))
+            for i in range(8)
+            for j in range(8)
+        ],
+        "i long, j long, sg long",
+    )
+    return (
+        z.join(F.broadcast(sgn), "i")
+        .groupBy("day", "j")
+        .agg(F.sum(F.col("sg") * F.col("c")).cast("bigint").alias("w"))
+        .select("day", F.col("j").cast("bigint").alias("j"), "w")
+    )
