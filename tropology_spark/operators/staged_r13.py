@@ -478,3 +478,360 @@ def ts_walsh_spectrum(
         .agg(F.sum(F.col("sg") * F.col("c")).cast("bigint").alias("w"))
         .select("day", F.col("j").cast("bigint").alias("j"), "w")
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_cdc_dedup_stats — content-addressed dedup over the M260 CDC chunks
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "mm_cdc_dedup_stats",
+    oracle="""
+    WITH hx AS (
+      SELECT doc_id, source, hex(encode(text)) AS hs,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+      WHERE octet_length(encode(text)) > 0
+    ),
+    bpos AS (
+      SELECT hx.doc_id, p
+      FROM hx, (SELECT unnest(generate_series(1, 4096)) AS p)
+      WHERE p <= n_bytes - 7
+        AND ('0x' || substring(md5(substring(hs, 2 * p - 1, 16)),
+                               1, 4))::BIGINT % 64 = 0
+    ),
+    cuts AS (
+      SELECT doc_id, p FROM bpos
+      UNION SELECT doc_id, 1 FROM hx
+    ),
+    ext AS (
+      SELECT doc_id, p AS st,
+             coalesce(lead(p) OVER (PARTITION BY doc_id ORDER BY p),
+                      (SELECT n_bytes + 1 FROM hx h WHERE h.doc_id = cuts.doc_id))
+               AS en
+      FROM cuts
+    ),
+    ch AS (
+      SELECT hx.source,
+             md5(substring(hx.hs, CAST(2 * ext.st - 1 AS INTEGER),
+                           CAST(2 * (ext.en - ext.st) AS INTEGER))) AS dg,
+             CAST(ext.en - ext.st AS BIGINT) AS cb
+      FROM ext JOIN hx ON ext.doc_id = hx.doc_id
+    ),
+    per AS (
+      SELECT source, dg, CAST(count(*) AS BIGINT) AS refs,
+             CAST(max(cb) AS BIGINT) AS cb
+      FROM ch GROUP BY source, dg
+    )
+    SELECT source,
+           CAST(sum(refs) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(refs * cb) AS BIGINT) AS bytes_total,
+           CAST(sum(cb) AS BIGINT) AS bytes_unique,
+           CAST((1000000 * (sum(refs * cb) - sum(cb))) // sum(refs * cb)
+                AS BIGINT) AS saved_ppm
+    FROM per GROUP BY source
+    """,
+)
+def mm_cdc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — content-addressed DEDUP over the M260
+    content-defined chunks, per source: chunk count, unique-digest
+    count, raw vs deduplicated bytes, and the bytes-saved ppm — the
+    quantitative argument FOR content-defined chunking (M209 measures
+    the same economics over M185's FIXED grid; insertions recut a
+    fixed grid globally but re-align CDC boundaries, so the CDC tier
+    saves strictly more on near-duplicate corpora).  Chunk extents are
+    the gaps between the M260 boundary positions ({{1}} ∪ bounds →
+    lead() per doc → [start, next)); the digest is md5 of the HEX
+    substring at doubled offsets (the mm_chunk_manifest discipline).
+
+    Composed, not copied (Spark side): boundary positions come from
+    the registered cdc_boundary_positions helper — the M260 single
+    home; the oracle re-derives them with the same window-hash formula
+    the M260 oracle pins.  Scale: boundary detection is map-only over
+    the payload scan; extents ride a per-doc (real key) lead window;
+    the digest rollup shuffles (source, digest) projections — payloads
+    never shuffle."""
+    from tropology_spark.operators.multimodal import cdc_boundary_positions
+    from tropology_spark.session import iter_materialize
+
+    d = load(spark, sf_dir, "documents")
+    hx = iter_materialize(
+        d.select(
+            "doc_id",
+            "source",
+            F.hex(F.encode(F.col("text"), "UTF-8")).alias("hs"),
+            F.octet_length(F.encode(F.col("text"), "UTF-8"))
+            .cast("bigint")
+            .alias("n_bytes"),
+        ).filter(F.col("n_bytes") > 0)
+    )  # referenced by the cut sentinel union AND the chunk-slice join
+    bounds = (
+        cdc_boundary_positions(spark, sf_dir)
+        .filter(F.col("bound") == 1)
+        .select("doc_id", "p")
+    )
+    cuts = bounds.union(hx.select("doc_id", F.lit(1).alias("p"))).distinct()
+    wd = Window.partitionBy("doc_id").orderBy("p")
+    ext = cuts.select(
+        "doc_id", F.col("p").alias("st"), F.lead("p").over(wd).alias("en0")
+    )
+    ch = ext.join(hx, "doc_id").select(
+        "source",
+        F.md5(
+            F.expr(
+                "substring(hs, CAST(2 * st - 1 AS INT),"
+                " CAST(2 * (coalesce(en0, n_bytes + 1) - st) AS INT))"
+            )
+        ).alias("dg"),
+        (F.coalesce(F.col("en0"), F.col("n_bytes") + 1) - F.col("st"))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    per = ch.groupBy("source", "dg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("refs"),
+        F.max("cb").cast("bigint").alias("cb"),
+    )
+    return per.groupBy("source").agg(
+        F.sum("refs").cast("bigint").alias("n_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        F.sum(F.col("refs") * F.col("cb")).cast("bigint").alias("bytes_total"),
+        F.sum("cb").cast("bigint").alias("bytes_unique"),
+    ).select(
+        "source",
+        "n_chunks",
+        "n_unique",
+        "bytes_total",
+        "bytes_unique",
+        F.expr(
+            "(1000000 * (bytes_total - bytes_unique)) div bytes_total"
+        )
+        .cast("bigint")
+        .alias("saved_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_spearman_terms — Spearman rank correlation via integer doubled midranks
+# ---------------------------------------------------------------------------
+
+_SPEAR_ORACLE = """
+    WITH e AS (
+      SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ),
+    cx AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY x),
+    wx AS (SELECT x, (sum(cnt) OVER (ORDER BY x) - cnt + 1)
+                     + sum(cnt) OVER (ORDER BY x) AS u2 FROM cx),
+    cy AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY y),
+    wy AS (SELECT y, (sum(cnt) OVER (ORDER BY y) - cnt + 1)
+                     + sum(cnt) OVER (ORDER BY y) AS v2 FROM cy),
+    r AS (SELECT wx.u2 AS u, wy.v2 AS v
+          FROM e JOIN wx ON e.x = wx.x JOIN wy ON e.y = wy.y)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(u) AS BIGINT) AS su,
+           CAST(sum(v) AS BIGINT) AS sv,
+           CAST(sum(u * v) AS BIGINT) AS suv,
+           CAST(sum(u * u) AS BIGINT) AS su2,
+           CAST(sum(v * v) AS BIGINT) AS sv2,
+           CAST(CAST(count(*) AS HUGEINT) * sum(u * v)
+                - CAST(sum(u) AS HUGEINT) * sum(v) AS BIGINT) AS rho_num,
+           CAST(CAST(count(*) AS HUGEINT) * sum(u * u)
+                - CAST(sum(u) AS HUGEINT) * sum(u) AS BIGINT) AS den_x,
+           CAST(CAST(count(*) AS HUGEINT) * sum(v * v)
+                - CAST(sum(v) AS HUGEINT) * sum(v) AS BIGINT) AS den_y
+    FROM r
+"""
+
+
+@_stage("ts_spearman_terms", oracle=_SPEAR_ORACLE)
+def ts_spearman_terms(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """Staged M-row — SPEARMAN rank-correlation terms between hourly
+    click and purchase counts, via integer DOUBLED MIDRANKS: on the
+    union spine of observed hours (zero-filled per side), each axis's
+    value gets 2·midrank = (cum − cnt + 1) + cum — always integral,
+    the analytics_mannwhitney discipline applied to the CORRELATION
+    family (Pearson on ranks = Spearman; M144 is Pearson on raw
+    values, which outliers dominate — rank correlation is the robust
+    complement a metrics pipeline wants for heavy-tailed counts).
+    Emitted: n, Σu, Σv, Σuv, Σu², Σv² plus the assembled rho numerator
+    n·Σuv − Σu·Σv and the two denominator factors (HUGEINT/
+    DECIMAL(38,0) products, M192 rule) — the float sqrt happens
+    client-side (*_terms discipline).
+
+    Scale: events collapse map-side to the bounded O(hours) table;
+    midranks ride pmod-constant-key windows over the bounded count-
+    value axes; one final 1-row rollup."""
+    e = events if events is not None else load(spark, sf_dir, "events")
+    hc = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("h")
+        )
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+
+    def midrank2(df: DataFrame, col: str, out: str) -> DataFrame:
+        c = df.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        w = (
+            Window.partitionBy(F.pmod(F.col(col), F.lit(1)))
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return c.select(
+            col,
+            (
+                (F.sum("cnt").over(w) - F.col("cnt") + 1) + F.sum("cnt").over(w)
+            ).alias(out),
+        )
+
+    r = hc.join(midrank2(hc, "x", "u"), "x").join(midrank2(hc, "y", "v"), "y")
+    agg = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("u").cast("bigint").alias("su"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum(F.col("u") * F.col("v")).cast("bigint").alias("suv"),
+        F.sum(F.col("u") * F.col("u")).cast("bigint").alias("su2"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("sv2"),
+    )
+    return agg.select(
+        "n", "su", "sv", "suv", "su2", "sv2",
+        F.expr("CAST(n AS DECIMAL(38,0)) * suv - CAST(su AS DECIMAL(38,0)) * sv")
+        .cast("bigint")
+        .alias("rho_num"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * su2 - CAST(su AS DECIMAL(38,0)) * su")
+        .cast("bigint")
+        .alias("den_x"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * sv2 - CAST(sv AS DECIMAL(38,0)) * sv")
+        .cast("bigint")
+        .alias("den_y"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytics_did_terms — difference-in-differences cell terms
+# ---------------------------------------------------------------------------
+
+_DID_BIG = 1_000_000_000  # shift constant for the signed integral division
+
+_DID_ORACLE = f"""
+    WITH o AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN substring(md5(CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS t
+      FROM orders
+    ),
+    b AS (SELECT (min(d) + max(d)) // 2 AS bd FROM o),
+    c AS (
+      SELECT t, CASE WHEN d > bd THEN 1 ELSE 0 END AS p,
+             cents
+      FROM o CROSS JOIN b
+    ),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN t = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+             CAST(sum(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN t = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN t = 0 AND p = 0 THEN cents ELSE 0 END) AS BIGINT) AS s00,
+             CAST(sum(CASE WHEN t = 0 AND p = 1 THEN cents ELSE 0 END) AS BIGINT) AS s01,
+             CAST(sum(CASE WHEN t = 1 AND p = 0 THEN cents ELSE 0 END) AS BIGINT) AS s10,
+             CAST(sum(CASE WHEN t = 1 AND p = 1 THEN cents ELSE 0 END) AS BIGINT) AS s11
+      FROM c
+    )
+    SELECT n00, n01, n10, n11, s00, s01, s10, s11,
+           CAST((((CAST(s11 AS HUGEINT) * n10 - CAST(s10 AS HUGEINT) * n11)
+                    * n01 * n00
+                  - (CAST(s01 AS HUGEINT) * n00 - CAST(s00 AS HUGEINT) * n01)
+                    * n11 * n10)
+                 + CAST({_DID_BIG} AS HUGEINT)
+                   * (CAST(n11 AS HUGEINT) * n10 * n01 * n00))
+                // (CAST(n11 AS HUGEINT) * n10 * n01 * n00)
+                - {_DID_BIG} AS BIGINT) AS did_cents
+    FROM cells
+"""
+
+
+@_stage("analytics_did_terms", oracle=_DID_ORACLE)
+def analytics_did_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — DIFFERENCE-IN-DIFFERENCES terms on the order
+    history: treatment = the deterministic md5-first-hex customer
+    split (analytics_ab_lift's rule), period = the data-derived
+    epoch-day midpoint (the CUPED boundary rule — regeneration-robust,
+    never a wall-clock literal); the 2×2 (treatment, post) cells emit
+    exact counts and cents sums, plus the assembled DiD effect
+    (mean11 − mean10) − (mean01 − mean00) in CENTS as one exact
+    integral division — numerator and denominator are HUGEINT/
+    DECIMAL(38,0) products (M192 rule), and the possibly-NEGATIVE
+    numerator goes through the +BIG·den shift identity
+    ((num + BIG·den) div den − BIG, the ts_theilsen rule) so DuckDB's
+    floor and Spark's truncation agree.  The causal-estimator
+    complement of analytics_cuped_terms (CUPED adjusts variance;
+    DiD removes the time trend).
+
+    Scale: one orders pass + a 1-row boundary attach (deliberate
+    scalar crossJoin, BNLJ-allowlisted at activation) + one 1-row
+    conditional rollup — everything map-side combinable."""
+    o = load(spark, sf_dir, "orders").select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1) < "8", 1
+        )
+        .otherwise(0)
+        .alias("t"),
+    )
+    b = o.agg(F.expr("(min(d) + max(d)) div 2").alias("bd"))
+    c = o.crossJoin(F.broadcast(b)).select(
+        "t", F.when(F.col("d") > F.col("bd"), 1).otherwise(0).alias("p"), "cents"
+    )
+
+    def cell(tv: int, pv: int, expr, name: str):
+        return (
+            F.sum(F.when((F.col("t") == tv) & (F.col("p") == pv), expr).otherwise(0))
+            .cast("bigint")
+            .alias(name)
+        )
+
+    cells = c.agg(
+        cell(0, 0, F.lit(1), "n00"),
+        cell(0, 1, F.lit(1), "n01"),
+        cell(1, 0, F.lit(1), "n10"),
+        cell(1, 1, F.lit(1), "n11"),
+        cell(0, 0, F.col("cents"), "s00"),
+        cell(0, 1, F.col("cents"), "s01"),
+        cell(1, 0, F.col("cents"), "s10"),
+        cell(1, 1, F.col("cents"), "s11"),
+    )
+    num = (
+        "((CAST(s11 AS DECIMAL(38,0)) * n10 - CAST(s10 AS DECIMAL(38,0)) * n11)"
+        " * n01 * n00"
+        " - (CAST(s01 AS DECIMAL(38,0)) * n00 - CAST(s00 AS DECIMAL(38,0)) * n01)"
+        " * n11 * n10)"
+    )
+    den = "(CAST(n11 AS DECIMAL(38,0)) * n10 * n01 * n00)"
+    return cells.select(
+        "n00", "n01", "n10", "n11", "s00", "s01", "s10", "s11",
+        F.expr(
+            f"CAST(({num} + CAST({_DID_BIG} AS DECIMAL(38,0)) * {den})"
+            f" div {den} - {_DID_BIG} AS BIGINT)"
+        ).alias("did_cents"),
+    )
