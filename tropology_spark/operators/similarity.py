@@ -967,10 +967,12 @@ def _pq_enc0(sub: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "sim_pq_topk",
-    oracle=_EX_CTE
-    + f"""
+#: The shared PQ encode-chain CTE (micro-unit long form → subspace tag
+#: → seeded codebook → per-(vector, subspace, code) exact squared
+#: distance) — the SQL single home mirrored by the _pq_exm/_pq_sub/
+#: _pq_cb/_pq_enc0 Spark helpers; spliced after _EX_CTE by the
+#: registered sim_pq_topk oracle and the staged distortion audit.
+_PQ_ENC_CTE = f"""
     , exm AS (SELECT vec_id, pos, CAST(round(val * 1000000) AS BIGINT) AS vm
               FROM ex),
     sub AS (SELECT vec_id, pos, vm,
@@ -981,7 +983,14 @@ def _pq_enc0(sub: DataFrame, cb: DataFrame) -> DataFrame:
     enc0 AS (SELECT v.vec_id, v.s, c.code,
                     CAST(sum((v.vm - c.cm) * (v.vm - c.cm)) AS BIGINT) AS d2
              FROM sub v JOIN cb c ON c.s = v.s AND c.pos = v.pos
-             GROUP BY v.vec_id, v.s, c.code),
+             GROUP BY v.vec_id, v.s, c.code)"""
+
+
+@register(
+    "sim_pq_topk",
+    oracle=_EX_CTE
+    + _PQ_ENC_CTE
+    + f""",
     enc AS (SELECT vec_id, s, code FROM (
               SELECT vec_id, s, code,
                      row_number() OVER (PARTITION BY vec_id, s

@@ -835,3 +835,438 @@ def analytics_did_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div {den} - {_DID_BIG} AS BIGINT)"
         ).alias("did_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_ldp_freq_audit — k-randomized-response local-DP frequency release
+# ---------------------------------------------------------------------------
+
+_LDP_ORACLE = """
+    WITH tt AS (
+      SELECT event_type AS tname,
+             row_number() OVER (ORDER BY event_type) - 1 AS idx
+      FROM (SELECT DISTINCT event_type FROM events)
+    ),
+    e AS (
+      SELECT ev.event_type AS true_type, tt.idx AS i,
+             CASE WHEN substring(md5(CAST(ev.event_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS keep,
+             ('0x' || substring(md5(CAST(ev.event_id AS VARCHAR)), 2, 1))::BIGINT
+               % 4 AS j
+      FROM events ev JOIN tt ON ev.event_type = tt.tname
+    ),
+    rep AS (
+      SELECT e.true_type,
+             CASE WHEN e.keep = 1 THEN e.true_type ELSE t2.tname END AS rep_type
+      FROM e LEFT JOIN tt t2
+        ON t2.idx = e.j + CASE WHEN e.j >= e.i THEN 1 ELSE 0 END
+    ),
+    tc AS (SELECT true_type AS event_type, CAST(count(*) AS BIGINT) AS true_n
+           FROM rep GROUP BY true_type),
+    rc AS (SELECT rep_type AS event_type, CAST(count(*) AS BIGINT) AS reported_n
+           FROM rep GROUP BY rep_type),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM rep)
+    SELECT tc.event_type, tc.true_n,
+           CAST(coalesce(rc.reported_n, 0) AS BIGINT) AS reported_n,
+           CAST(8 * coalesce(rc.reported_n, 0) - n.nt AS BIGINT) AS t3_est,
+           CAST(8 * coalesce(rc.reported_n, 0) - n.nt - 3 * tc.true_n AS BIGINT)
+             AS err3
+    FROM tc LEFT JOIN rc ON tc.event_type = rc.event_type
+    CROSS JOIN n
+    """
+
+
+@_stage("pipeline_ldp_freq_audit", oracle=_LDP_ORACLE)
+def pipeline_ldp_freq_audit(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """Staged M-row — k-RANDOMIZED-RESPONSE local-DP frequency release
+    (Warner's mechanism, the local-privacy primitive every telemetry
+    pipeline that cannot see raw values runs): each event reports its
+    TRUE type with p = 1/2, else one of the other k−1 = 4 types
+    uniformly — both coins DETERMINISTIC md5 hex digits of event_id
+    (the I7/M43 reproducibility discipline; real deployments use a
+    private RNG, the audit needs replayability), the replacement
+    picked by alphabetical index arithmetic j + (j ≥ i) so both
+    engines choose identically.  Per type: true count, reported
+    (perturbed) count, and the exact debias carrier
+    t3_est = 8·c − n ≡ 3·t̂ (from c = t/2 + (n−t)/8 — NO division, a
+    SIGNED BIGINT) plus err3 = t3_est − 3·true — the utility-loss
+    audit (ε = ln(p·(k−1)/(1−p)) = ln 4 here) a privacy review signs
+    off on.
+
+    Scale: one events pass (the ×1 tt join is a broadcast against the
+    bounded type table), two map-side-combinable rollups, a 1-row
+    total via the bounded-axis window."""
+    e = events if events is not None else load(spark, sf_dir, "events")
+    tt = (
+        e.select("event_type")
+        .distinct()
+        .select(
+            F.col("event_type").alias("tname"),
+            (
+                F.row_number().over(
+                    Window.partitionBy(
+                        F.pmod(F.length("event_type"), F.lit(1))
+                    ).orderBy("event_type")
+                )
+                - 1
+            ).alias("idx"),
+        )
+    )
+    md = F.md5(F.col("event_id").cast("string"))
+    ev = e.select(
+        F.col("event_type").alias("true_type"),
+        F.when(F.substring(md, 1, 1) < "8", 1).otherwise(0).alias("keep"),
+        (F.conv(F.substring(md, 2, 1), 16, 10).cast("bigint") % 4).alias("j"),
+    ).join(
+        F.broadcast(tt.select(F.col("tname").alias("true_type"), F.col("idx").alias("i"))),
+        "true_type",
+    )
+    t2 = tt.select(F.col("tname").alias("alt_type"), F.col("idx").alias("idx2"))
+    rep = ev.join(
+        F.broadcast(t2),
+        F.col("idx2")
+        == F.col("j") + F.when(F.col("j") >= F.col("i"), 1).otherwise(0),
+        "left",
+    ).select(
+        "true_type",
+        F.when(F.col("keep") == 1, F.col("true_type"))
+        .otherwise(F.col("alt_type"))
+        .alias("rep_type"),
+    )
+    tc = rep.groupBy(F.col("true_type").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n")
+    )
+    rc = rep.groupBy(F.col("rep_type").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("reported_n")
+    )
+    w = Window.partitionBy(F.pmod(F.length("event_type"), F.lit(1)))
+    out = (
+        tc.join(rc, "event_type", "left")
+        .withColumn("reported_n", F.coalesce(F.col("reported_n"), F.lit(0)))
+        .withColumn("nt", F.sum("true_n").over(w).cast("bigint"))
+    )
+    return out.select(
+        "event_type",
+        "true_n",
+        F.col("reported_n").cast("bigint").alias("reported_n"),
+        (8 * F.col("reported_n") - F.col("nt")).cast("bigint").alias("t3_est"),
+        (8 * F.col("reported_n") - F.col("nt") - 3 * F.col("true_n"))
+        .cast("bigint")
+        .alias("err3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_feature_window — per-purchase 24h windowed activity counts
+# ---------------------------------------------------------------------------
+
+_FW_WIN_US = 86_400_000_000  # 24 h in microseconds == the bucket width
+
+
+@_stage(
+    "join_feature_window",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us
+      FROM events WHERE event_type IN ('view', 'click')
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(coalesce(sum(CASE WHEN v.event_type = 'view' THEN 1 END), 0)
+                AS BIGINT) AS n_views_24h,
+           CAST(coalesce(sum(CASE WHEN v.event_type = 'click' THEN 1 END), 0)
+                AS BIGINT) AS n_clicks_24h
+    FROM p LEFT JOIN v
+      ON v.user_id = p.user_id
+     AND v.us >= p.us - {_FW_WIN_US}
+     AND v.us < p.us
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def join_feature_window(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """Staged M-row — the FEATURE-WINDOW join: for every purchase,
+    the user's view and click counts in the preceding 24 hours — the
+    windowed-aggregate feature materialization every feature store
+    backfills (M217 fetches the LATEST in-tolerance row; training
+    features are usually window AGGREGATES, this shape).  Every
+    purchase is emitted (LEFT join semantics — zero-activity
+    purchases carry 0s, exactly what the model sees).
+
+    Spark side is the M197 bucket idiom on the time axis: both sides
+    key by the 24h bucket (bucket width == window length), purchases
+    probe (b, b−1), the exact microsecond band filters after — an
+    EQUI-join in which each true pair meets exactly once; the oracle
+    keeps the raw inequality join.  Scale: one shuffle on (user,
+    bucket) each side; state per key is bounded by the 24h activity
+    rate — the same contract the streaming interval join (K8) keeps.
+
+    ``events=`` substitutes the event frame for probes; the driver
+    contract never passes it."""
+    e = events if events is not None else load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts)").alias("pus"),
+    )
+    v = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("vtype"),
+        F.expr("unix_micros(ts)").alias("vus"),
+        F.expr(f"unix_micros(ts) div {_FW_WIN_US}").alias("vb"),
+    )
+    probe = p.select(
+        "event_id",
+        "user_id",
+        "pus",
+        F.explode(
+            F.array(
+                F.expr(f"pus div {_FW_WIN_US}"),
+                F.expr(f"pus div {_FW_WIN_US} - 1"),
+            )
+        ).alias("vb"),
+    )
+    hits = (
+        probe.join(v, ["user_id", "vb"])
+        .filter(
+            (F.col("vus") >= F.col("pus") - _FW_WIN_US)
+            & (F.col("vus") < F.col("pus"))
+        )
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.sum(F.when(F.col("vtype") == "view", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_views_24h"),
+            F.sum(F.when(F.col("vtype") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clicks_24h"),
+        )
+    )
+    return (
+        p.select("event_id", "user_id")
+        .join(hits, ["event_id", "user_id"], "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("n_views_24h"), F.lit(0))
+            .cast("bigint")
+            .alias("n_views_24h"),
+            F.coalesce(F.col("n_clicks_24h"), F.lit(0))
+            .cast("bigint")
+            .alias("n_clicks_24h"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_ball2_sizes — exact 1/2-hop ball sizes for the top-degree seeds
+# ---------------------------------------------------------------------------
+
+_BALL_SEEDS = 3
+
+
+@_stage(
+    "graph_ball2_sizes",
+    oracle=f"""
+    WITH edges AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    seeds AS (SELECT src FROM (
+                SELECT src, row_number() OVER (ORDER BY d DESC, src) AS rs1
+                FROM deg) t
+              WHERE rs1 <= {_BALL_SEEDS}),
+    b1 AS (SELECT DISTINCT s.src AS seed, e.dst
+           FROM seeds s JOIN edges e ON e.src = s.src),
+    b2 AS (SELECT DISTINCT b1.seed, e2.src AS w
+           FROM b1 JOIN edges e2 ON e2.dst = b1.dst
+           WHERE e2.src <> b1.seed)
+    SELECT b1c.seed, b1c.n_ball1, b2c.n_ball2
+    FROM (SELECT seed, CAST(count(*) AS BIGINT) AS n_ball1
+          FROM b1 GROUP BY seed) b1c
+    JOIN (SELECT seed, CAST(count(*) AS BIGINT) AS n_ball2
+          FROM b2 GROUP BY seed) b2c
+      ON b1c.seed = b2c.seed
+    """,
+)
+def graph_ball2_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — exact NEIGHBORHOOD-FUNCTION point values: for
+    the {s} highest-out-degree works (graph_path_counts3's seed rule),
+    |ball(seed, 1)| = its distinct tropes and |ball(seed, 2)| = the
+    distinct OTHER works sharing any trope — the first two points of
+    the ANF curve N(v, h) that reachability/influence analyses
+    estimate with sketches at scale; exact DISTINCT counts here (M262
+    counts PATHS — multiplicities; this counts the reached SET, the
+    other half of the A^h story).
+
+    Scale: the seed set is bounded (broadcast); hop 1 is one
+    broadcast-semi join; hop 2 is one equi-join back on the shared
+    edge view + a distinct rollup keyed by (seed, work).  At 100 TB
+    the per-seed frontier is the only growing state — the exact-ANF
+    shape; corpus-wide N(h) needs the HLL register trick (M267) on
+    the frontier, the documented scale path."""
+    from tropology_spark.session import iter_materialize
+    from tropology_spark.sources.tables import edges_materialized
+
+    e = edges_materialized(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    seeds = deg.orderBy(F.desc("d"), F.asc("src")).limit(_BALL_SEEDS).select("src")
+    b1 = iter_materialize(
+        e.join(F.broadcast(seeds), "src").select(
+            F.col("src").alias("seed"), "dst"
+        ).distinct()
+    )  # referenced by the hop-1 count AND the hop-2 expansion
+    e2 = e.select(F.col("src").alias("w"), "dst")
+    b2 = (
+        b1.join(e2, "dst")
+        .filter(F.col("w") != F.col("seed"))
+        .select("seed", "w")
+        .distinct()
+    )
+    b1c = b1.groupBy("seed").agg(F.count(F.lit(1)).cast("bigint").alias("n_ball1"))
+    b2c = b2.groupBy("seed").agg(F.count(F.lit(1)).cast("bigint").alias("n_ball2"))
+    return b1c.join(b2c, "seed")
+
+
+graph_ball2_sizes.__doc__ = graph_ball2_sizes.__doc__.format(s=_BALL_SEEDS)
+
+
+# ---------------------------------------------------------------------------
+# pipeline_importance_weights — uniform-target mixture reweighting
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "pipeline_importance_weights",
+    oracle="""
+    WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS k FROM s)
+    SELECT source, n_docs,
+           CAST((1000000 * total) // (k * n_docs) AS BIGINT) AS w_ppm,
+           CAST(n_docs * ((1000000 * total) // (k * n_docs)) AS BIGINT)
+             AS contrib_w,
+           CAST(n_docs * ((1000000 * total) // (k * n_docs))
+                       * ((1000000 * total) // (k * n_docs)) AS BIGINT)
+             AS contrib_w2
+    FROM s CROSS JOIN t
+    """,
+)
+def pipeline_importance_weights(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Staged M-row — IMPORTANCE REWEIGHTING to a uniform source mix:
+    per source, the exact ppm weight w = (T/k)/n_s (the ratio that
+    makes every source contribute equally in expectation — the
+    domain-reweighting primitive behind every data-mixture retrain,
+    M87's weights applied as per-EXAMPLE importance factors), plus the
+    ESS terms n_s·w and n_s·w² whose client-side ratio (Σw)²/Σw² is
+    Kish's effective sample size — the number that says how much the
+    reweighting costs in variance before anyone trains.
+
+    All integer: w_ppm = (10⁶·T) div (k·n_s) (non-negative integral
+    division, both engines agree), and the ESS contributions reuse the
+    w_ppm integer verbatim so the audit is self-consistent.  Scale:
+    the corpus collapses to O(sources) in one map-side-combinable
+    pass; totals ride pmod-constant-key windows on the bounded source
+    axis.
+
+    ``docs=`` substitutes the document frame for probes; the driver
+    contract never passes it."""
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w = Window.partitionBy(F.pmod(F.length("source"), F.lit(1)))
+    out = s.select(
+        "source",
+        "n_docs",
+        F.sum("n_docs").over(w).cast("bigint").alias("total"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("k"),
+    ).withColumn(
+        "w_ppm",
+        F.expr("(1000000 * total) div (k * n_docs)").cast("bigint"),
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "w_ppm",
+        (F.col("n_docs") * F.col("w_ppm")).cast("bigint").alias("contrib_w"),
+        (F.col("n_docs") * F.col("w_ppm") * F.col("w_ppm"))
+        .cast("bigint")
+        .alias("contrib_w2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_pq_distortion — per-vector PQ reconstruction-error histogram
+# ---------------------------------------------------------------------------
+
+_PQD_BUCKET = 10_000_000_000  # 1e10 in the micro-unit² distance domain
+
+
+def _pq_distortion_oracle() -> str:
+    from tropology_spark.operators.similarity import _EX_CTE, _PQ_ENC_CTE
+
+    return (
+        _EX_CTE
+        + _PQ_ENC_CTE
+        + f""",
+    best AS (SELECT vec_id, s, min(d2) AS bd2 FROM enc0 GROUP BY vec_id, s),
+    q AS (SELECT vec_id, CAST(sum(bd2) AS BIGINT) AS qerr
+          FROM best GROUP BY vec_id)
+    SELECT CAST(qerr // {_PQD_BUCKET} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(qerr) AS BIGINT) AS min_qerr,
+           CAST(max(qerr) AS BIGINT) AS max_qerr,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id
+    FROM q GROUP BY 1
+    """
+    )
+
+
+@_stage("sim_pq_distortion", oracle=_pq_distortion_oracle())
+def sim_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged M-row — PQ QUANTIZATION-DISTORTION histogram: every
+    vector's reconstruction error under the M104 codebook (self-ADC =
+    Σ over subspaces of the minimum squared distance to any code —
+    exactly the error the ADC scan substitutes for the true distance),
+    bucketed at 10¹⁰ micro-unit² — the audit that says whether the
+    codebook fits the corpus BEFORE recall degrades (codebook vectors
+    1..8 land in bucket 0 at distortion 0 by construction — the
+    built-in sanity anchor).  M182 measures PQ's end-to-end RECALL;
+    this measures the geometric CAUSE, per vector, exactly.
+
+    Composed, not copied: the Spark side reuses the registered
+    _pq_exm/_pq_sub/_pq_cb/_pq_enc0 helpers verbatim; the oracle
+    splices the shared _PQ_ENC_CTE (the M104 single home, factored at
+    staging with byte-identical registered SQL).  Scale: enc0 is the
+    same bounded (n × subspaces × codes) table the registered query
+    builds; the rollups are map-side combinable; distances stay
+    BIGINT (micro-unit² ≤ ~4e12 per subspace at unit norm)."""
+    from tropology_spark.operators.similarity import (
+        _pq_cb,
+        _pq_enc0,
+        _pq_exm,
+        _pq_sub,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    sub = _pq_sub(_pq_exm(e))
+    enc0 = _pq_enc0(sub, _pq_cb(sub))
+    best = enc0.groupBy("vec_id", "s").agg(F.min("d2").alias("bd2"))
+    q = best.groupBy("vec_id").agg(F.sum("bd2").cast("bigint").alias("qerr"))
+    return q.groupBy(
+        F.expr(f"qerr div {_PQD_BUCKET}").cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.min("qerr").cast("bigint").alias("min_qerr"),
+        F.max("qerr").cast("bigint").alias("max_qerr"),
+        F.min("vec_id").cast("bigint").alias("min_vec_id"),
+    )
