@@ -353,6 +353,56 @@ def test_bq_index_persist_reload(spark, tmp_path, monkeypatch):
         spark.sql("DROP TABLE IF EXISTS bq_idx_test")
 
 
+def test_bq_env_index_skips_reencoding(spark, tmp_path, monkeypatch):
+    """TROPOLOGY_BQ_INDEX_DIR — the registered sim_bq_hamming_topk's
+    artifact-reload wiring (VERDICT r10 item 7, the quantizer-env
+    precedent): with the env var set, the first run encodes once and
+    WRITES ``<dir>/sig_<sf>``; a second run must reload it through
+    bq_search_signatures with NO corpus re-encoding (the signature
+    builder raises) and return the default path's rows exactly.  A
+    partial artifact (no _SUCCESS) must trigger a re-encode, never a
+    load (the ADVICE r8 gate)."""
+    import os
+
+    import tropology_spark.operators.similarity as S
+    from tropology_spark import QUERIES
+
+    fn = QUERIES["sim_bq_hamming_topk"]
+    want = [
+        (r["vec_id"], r["hamming"], r["cosine"])
+        for r in fn(spark, SF_UNIT).collect()
+    ]
+    monkeypatch.setenv("TROPOLOGY_BQ_INDEX_DIR", str(tmp_path))
+    sig_path = tmp_path / f"sig_{os.path.basename(SF_UNIT)}"
+    got1 = [
+        (r["vec_id"], r["hamming"], r["cosine"])
+        for r in fn(spark, SF_UNIT).collect()
+    ]
+    assert got1 == want
+    assert (sig_path / "_SUCCESS").exists(), "first env run must write the artifact"
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("corpus re-encoded despite saved signatures")
+
+    monkeypatch.setattr(S, "bq_signatures_frame", boom)
+    got2 = [
+        (r["vec_id"], r["hamming"], r["cosine"])
+        for r in fn(spark, SF_UNIT).collect()
+    ]
+    assert got2 == want
+
+    # partial artifact: strip the marker -> must re-encode + rewrite
+    monkeypatch.undo()  # restores the real signature builder
+    monkeypatch.setenv("TROPOLOGY_BQ_INDEX_DIR", str(tmp_path))
+    (sig_path / "_SUCCESS").unlink()
+    got3 = [
+        (r["vec_id"], r["hamming"], r["cosine"])
+        for r in fn(spark, SF_UNIT).collect()
+    ]
+    assert got3 == want
+    assert (sig_path / "_SUCCESS").exists(), "re-encode must rewrite the artifact"
+
+
 def test_ivfpq_index_persist_reload(spark, tmp_path, monkeypatch):
     """The SIXTH saved-index artifact — the IVF+PQ composite (PQ codes
     bucketed by coarse cell): persist, reload in a fresh session, and
