@@ -64,13 +64,14 @@ def test_staged_partitioning_invariance(spark):
 def test_staged_no_new_plan_antipatterns(spark):
     """Pre-activation plan sweep: no CartesianProduct, no row-Python
     UDF anywhere in the staged plans; BroadcastNestedLoopJoin only at
-    the one noted scalar attach (analytics_did_terms' 1-row boundary
-    crossJoin — the CUPED precedent) — the name to add to
-    BNLJ_ALLOWED at activation."""
+    the two noted scalar attaches (analytics_did_terms' 1-row boundary
+    crossJoin — the CUPED precedent — and agg_cms_width_curve's 3-row
+    width-table crosses) — the names to add to BNLJ_ALLOWED at
+    activation."""
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "simple"
     )
-    bnlj_expected = {"analytics_did_terms"}
+    bnlj_expected = {"analytics_did_terms", "agg_cms_width_curve"}
     bad = {}
     for name, (fn, _) in STAGED.items():
         s = fn(spark, SF_UNIT)._jdf.queryExecution().explainString(mode)
@@ -673,3 +674,108 @@ def test_ldp_debias_identity_on_injected_events(spark, rows):
     if len(present) == 5:
         assert sum(r["reported_n"] for r in got) == n
         assert sum(r["err3"] for r in got) == 0
+
+
+def test_staged_cms_width_matches_pure_python(spark):
+    """agg_cms_width_curve — sketch cells, per-user min estimates and
+    the error rollups recomputed with hashlib + dicts; also pins the
+    CMS guarantees: overcount ≥ 0 everywhere, and (because 8 | 16 | 32
+    makes narrower grids coarsenings of wider ones: ph % 8 ==
+    (ph % 16) % 8) the total overcount is non-increasing in width."""
+    import hashlib
+    from collections import Counter
+
+    import duckdb
+
+    from tropology_spark.operators.aggregates import _CMS_PRIME, _CMS_ROWS
+
+    fn, _ = STAGED["agg_cms_width_curve"]
+    users = [
+        u
+        for (u,) in duckdb.sql(
+            f"SELECT user_id FROM read_parquet('{SF_UNIT}/events.parquet')"
+        ).fetchall()
+    ]
+    hv = {
+        u: int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16)
+        for u in set(users)
+    }
+    true_n = Counter(users)
+    want = {}
+    for w in (8, 16, 32):
+        cells = Counter()
+        for u in users:
+            for i, (a, b) in enumerate(_CMS_ROWS):
+                cells[(i, ((hv[u] * a + b) % _CMS_PRIME) % w)] += 1
+        n_exact = 0
+        s_over = 0
+        m_over = 0
+        for u, t in true_n.items():
+            est = min(
+                cells[(i, ((hv[u] * a + b) % _CMS_PRIME) % w)]
+                for i, (a, b) in enumerate(_CMS_ROWS)
+            )
+            assert est >= t  # CMS never underestimates
+            n_exact += est == t
+            s_over += est - t
+            m_over = max(m_over, est - t)
+        want[w] = (len(true_n), n_exact, s_over, m_over)
+    got = {
+        r["w"]: (r["n_users"], r["n_exact"], r["sum_overcount"], r["max_overcount"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+    assert got[8][2] >= got[16][2] >= got[32][2]  # grid-refinement containment
+
+
+def test_staged_reach2_hll_matches_pure_python(spark):
+    """graph_reach2_hll_audit — frontier, registers, dyadic carrier
+    and the integral estimate recomputed with hashlib + Python ints;
+    also pins n_exact == graph_ball2_sizes' n_ball2 (the two staged
+    bodies share the frontier by construction)."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from tropology_spark.operators.aggregates import _HLL_M, _HLL_NUM
+
+    fn, _ = STAGED["graph_reach2_hll_audit"]
+    edges = duckdb.sql(
+        f"""SELECT DISTINCT o_custkey, l_partkey
+            FROM read_parquet('{SF_UNIT}/orders.parquet') o
+            JOIN read_parquet('{SF_UNIT}/lineitem.parquet') l
+              ON o.o_orderkey = l.l_orderkey"""
+    ).fetchall()
+    out_n = defaultdict(set)
+    in_n = defaultdict(set)
+    deg = Counter()
+    for s, d in edges:
+        out_n[s].add(d)
+        in_n[d].add(s)
+        deg[s] += 1
+    seeds = sorted(deg, key=lambda s: (-deg[s], s))[:3]
+    want = {}
+    for s in seeds:
+        b2 = {w for d in out_n[s] for w in in_n[d]} - {s}
+        regs = defaultdict(int)
+        for w in b2:
+            h = hashlib.md5(str(w).encode()).hexdigest()
+            bucket = int(h[0], 16)
+            hw = int(h[1:9], 16)
+            rho = 33 if hw == 0 else 33 - hw.bit_length()
+            regs[bucket] = max(regs[bucket], rho)
+        sc = sum(1 << (33 - regs[b]) for b in range(_HLL_M))
+        est = _HLL_NUM // (1000 * sc)
+        want[s] = (len(b2), est, (1_000_000 * est) // len(b2))
+    got = {
+        r["seed"]: (r["n_exact"], r["hll_est"], r["ratio_ppm"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+    ball2 = {
+        r["seed"]: r["n_ball2"]
+        for r in STAGED["graph_ball2_sizes"][0](spark, SF_UNIT).collect()
+    }
+    for s, (n_exact, _e, _r) in got.items():
+        assert ball2[s] == n_exact  # shared frontier, cross-body pin
