@@ -779,3 +779,36 @@ def test_staged_reach2_hll_matches_pure_python(spark):
     }
     for s, (n_exact, _e, _r) in got.items():
         assert ball2[s] == n_exact  # shared frontier, cross-body pin
+
+
+@settings(**_SMALL)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd ", min_size=6, max_size=40),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_minhash_estimate_exact_on_duplicates(spark, texts):
+    """The estimator's fixed point, on the exact staged path: a
+    DUPLICATED document shares every shingle with its copy, so the
+    pair must surface as an LSH candidate with agree = 16,
+    est_ppm = jac_ppm = 10⁶ and err_ppm = 0 — any drift between the
+    signature arithmetic and the exact-Jaccard side breaks the
+    identity immediately (corpus built as originals + one verbatim
+    copy each, ids offset by 1000)."""
+    fn, _ = STAGED["dedup_minhash_estimate_error"]
+    rows = [(i, t) for i, t in enumerate(texts)] + [
+        (1000 + i, t) for i, t in enumerate(texts)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["agree"], r["est_ppm"], r["jac_ppm"], r["err_ppm"])
+        for r in fn(spark, "unused", docs=docs).collect()
+    }
+    for i, t in enumerate(texts):
+        if len(t.split(" ")) < 2 or all(x == "" for x in t.split(" ")):
+            continue  # no bigram shingles -> no signature
+        key = (i, 1000 + i)
+        assert key in got, (t, sorted(got))
+        assert got[key] == (16, 1_000_000, 1_000_000, 0), got[key]
