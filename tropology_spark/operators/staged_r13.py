@@ -541,7 +541,9 @@ def ts_walsh_spectrum(
     FROM per GROUP BY source
     """,
 )
-def mm_cdc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm_cdc_dedup_stats(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """Staged M-row — content-addressed DEDUP over the M260
     content-defined chunks, per source: chunk count, unique-digest
     count, raw vs deduplicated bytes, and the bytes-saved ppm — the
@@ -559,11 +561,15 @@ def mm_cdc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the M260 oracle pins.  Scale: boundary detection is map-only over
     the payload scan; extents ride a per-doc (real key) lead window;
     the digest rollup shuffles (source, digest) projections — payloads
-    never shuffle."""
+    never shuffle.
+
+    ``docs=`` substitutes a (doc_id, source, text) frame for the
+    weak-scaling probe (tools/scale_probes/cdc_scale.py); the driver
+    contract never passes it."""
     from tropology_spark.operators.multimodal import cdc_boundary_positions
     from tropology_spark.session import iter_materialize
 
-    d = load(spark, sf_dir, "documents")
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
     hx = iter_materialize(
         d.select(
             "doc_id",
@@ -575,7 +581,7 @@ def mm_cdc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).filter(F.col("n_bytes") > 0)
     )  # referenced by the cut sentinel union AND the chunk-slice join
     bounds = (
-        cdc_boundary_positions(spark, sf_dir)
+        cdc_boundary_positions(spark, sf_dir, docs=docs)
         .filter(F.col("bound") == 1)
         .select("doc_id", "p")
     )
