@@ -406,17 +406,17 @@ def test_bq_env_index_skips_reencoding(spark, tmp_path, monkeypatch):
 def test_ivfpq_index_persist_reload(spark, tmp_path, monkeypatch):
     """The SIXTH saved-index artifact — the IVF+PQ composite (PQ codes
     bucketed by coarse cell): persist, reload in a fresh session, and
-    pin (a) the from-index search returning the staged sim_ivfpq_topk
-    rows exactly, (b) NO training on the read path (both the Lloyd
-    trainer and the codebook constructor raise — centroids and
-    codebook can only come from the artifact), and (c) the probed code
-    scan BUCKET-PRUNED to the probed cells (SelectedBucketsCount: 2 of
-    16 — IVF's I/O pruning now composing with PQ's 2-ints-per-vector
-    payload in one artifact)."""
+    pin (a) the from-index search returning the REGISTERED
+    sim_ivfpq_topk rows exactly, (b) NO training on the read path
+    (both the Lloyd trainer and the codebook constructor raise —
+    centroids and codebook can only come from the artifact), and (c)
+    the probed code scan BUCKET-PRUNED to the probed cells
+    (SelectedBucketsCount: 2 of 16 — IVF's I/O pruning now composing
+    with PQ's 2-ints-per-vector payload in one artifact)."""
     import tropology_spark.operators.similarity as S
-    from tropology_spark.operators.staged_r12 import STAGED
+    from tropology_spark import QUERIES
 
-    fn, _ = STAGED["sim_ivfpq_topk"]
+    fn = QUERIES["sim_ivfpq_topk"]
     want = [
         (r["vec_id"], r["cell"], r["adc_d2"], r["dist2"])
         for r in fn(spark, SF_UNIT).collect()
@@ -448,3 +448,55 @@ def test_ivfpq_index_persist_reload(spark, tmp_path, monkeypatch):
         spark.sql("DROP TABLE IF EXISTS ivfpq_idx_test")
         spark.sql("DROP TABLE IF EXISTS ivfpq_idx_test_centroids")
         spark.sql("DROP TABLE IF EXISTS ivfpq_idx_test_codebook")
+
+
+def test_ivfpq_env_index_skips_training(spark, tmp_path, monkeypatch):
+    """TROPOLOGY_IVFPQ_INDEX_DIR — the registered sim_ivfpq_topk's
+    artifact-reload wiring (VERDICT r11 item 6, the BQ-env precedent):
+    with the env var set, the first run trains once and WRITES
+    ``<dir>/ivfpq_<sf>`` (+ centroids/codebook siblings; the inverted
+    file LAST so its _SUCCESS implies the siblings completed); a
+    second run must reload all three frames through the single-home
+    ivfpq_search_frames with NO training (the build-frames helper
+    raises) and return the default path's rows exactly.  A partial
+    artifact (no _SUCCESS on the inverted file) must trigger a
+    retrain, never a load (the ADVICE r8 gate)."""
+    import os
+
+    import tropology_spark.operators.similarity as S
+    from tropology_spark import QUERIES
+
+    fn = QUERIES["sim_ivfpq_topk"]
+    want = [
+        (r["vec_id"], r["cell"], r["adc_d2"], r["dist2"])
+        for r in fn(spark, SF_UNIT).collect()
+    ]
+    monkeypatch.setenv("TROPOLOGY_IVFPQ_INDEX_DIR", str(tmp_path))
+    inv_path = tmp_path / f"ivfpq_{os.path.basename(SF_UNIT)}"
+    got1 = [
+        (r["vec_id"], r["cell"], r["adc_d2"], r["dist2"])
+        for r in fn(spark, SF_UNIT).collect()
+    ]
+    assert got1 == want
+    assert (inv_path / "_SUCCESS").exists(), "first env run must write the artifact"
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("training ran despite a saved IVF+PQ artifact")
+
+    monkeypatch.setattr(S, "_ivfpq_build_frames", boom)
+    got2 = [
+        (r["vec_id"], r["cell"], r["adc_d2"], r["dist2"])
+        for r in fn(spark, SF_UNIT).collect()
+    ]
+    assert got2 == want
+
+    # partial artifact: strip the marker -> must retrain + rewrite
+    monkeypatch.undo()  # restores the real build helper
+    monkeypatch.setenv("TROPOLOGY_IVFPQ_INDEX_DIR", str(tmp_path))
+    (inv_path / "_SUCCESS").unlink()
+    got3 = [
+        (r["vec_id"], r["cell"], r["adc_d2"], r["dist2"])
+        for r in fn(spark, SF_UNIT).collect()
+    ]
+    assert got3 == want
+    assert (inv_path / "_SUCCESS").exists(), "retrain must rewrite the artifact"

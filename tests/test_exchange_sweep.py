@@ -111,11 +111,22 @@ BNLJ_ALLOWED = {
     "analytics_chisq_priority_era", "sim_matryoshka_recall",
     # round-11 scalar attaches (pre-activation plan sweep in the staged
     # suite): M256 broadcasts the 1-row query signature+vector; M257
-    # crosses the 3-row threshold table into the M2 pair set; M263
-    # inherits ivf_topk's query attach per probe branch; M264 crosses
-    # the three 1-row config counts per (b, r) setting.
-    "sim_bq_hamming_topk", "dedup_threshold_curve", "sim_ivf_probe_curve",
+    # crosses the 3-row threshold table into the M2 pair set; M264
+    # crosses the three 1-row config counts per (b, r) setting.
+    # (M263 sim_ivf_probe_curve left this list in round 12: its
+    # single-build rewrite hides the query attach behind the scored-
+    # frame checkpoint, so its final plan is BNLJ-free.)
+    "sim_bq_hamming_topk", "dedup_threshold_curve",
     "dedup_band_curve",
+    # round-12 scalar attaches (pre-activation plan sweep in the staged
+    # suite): M271 broadcasts the 1-row exact-F2 cross; M272 the 1-row
+    # corpus-totals cross; M273 the 1-row query/walker rows per hop;
+    # M270 inherits the composed sim_topk_cosine query attach; M276 the
+    # 1-row full-sample cross; M278 the 1-row query-vector broadcast
+    # (the J8 shape); M279 the 1-row period-boundary attach.
+    "agg_ams_f2", "text_bm25_terms", "sim_graph_greedy_search",
+    "sim_sq8_recall", "analytics_poisson_bootstrap", "sim_filtered_topk",
+    "analytics_cuped_terms",
 }
 
 #: The ONLY row-at-a-time Python evaluation sites: L1 (the declared

@@ -1,102 +1,22 @@
-"""Driver-replica parity for the STAGED round-12 operators
-(tropology_spark/operators/staged_r12.py) — the full compare the
-registry queries get, run over the staged (fn, oracle) pairs at both
-verification scales, plus independent Python twins for the
-formula-bearing ops and the partitioning-invariance probe.  Activation
-in round 12 is then a mechanical move-and-register.
+"""Independent pure-Python twins for the round-12 activations
+(M270-M282) — the NEW-OP CROSS-CHECK DISCIPLINE (CLAUDE.md round 7):
+Spark-vs-DuckDB parity cannot catch a shared-formula error, so every
+formula-bearing new operator is re-derived here with hashlib / sets /
+Counter / NumPy / plain loops and compared against the REGISTERED
+query, plus the IVF+PQ-vs-PQ consistency pin and the four hypothesis
+property suites on the exact registered code paths (frame injection
+through the registry wrapper's **kwargs).
 
-The staged module must never be imported by package __init__ (registry
-order is externally significant); importing it here is safe because it
-registers nothing.
+(These ops were staged in round 11 as operators/staged_r12.py and
+activated in round 12; oracle parity + partitioning invariance now run
+through the registry-wide suites — tests/test_oracle_parity.py and
+test_units.py's invariance probe.)
 """
 
 from __future__ import annotations
 
-import pytest
-
-from tests.conftest import SF_ORACLE, SF_UNIT, make_duckdb
-from tropology_spark.operators.staged_r12 import STAGED
-
-
-def test_staged_r12_module_registers_nothing():
-    from tropology_spark import QUERIES
-
-    assert not (set(STAGED) & set(QUERIES))
-
-
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_r12_parity_both_scales(spark, name):
-    from tests.parity import compare
-
-    fn, oracle = STAGED[name]
-    for sf in (SF_UNIT, SF_ORACLE):
-        con = make_duckdb(sf)
-        try:
-            compare(name, spark, con, fn, oracle, sf)
-        finally:
-            con.close()
-
-
-def test_staged_r12_partitioning_invariance(spark):
-    """The activation-time lockstep requires partitioning invariance;
-    pin it NOW for every staged op (three shuffle-partition settings
-    must produce identical value sets)."""
-    from tests.parity import canon_rows, spark_result
-    from tropology_spark.sources.tables import clear_session_caches
-
-    orig = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        results = {n: set() for n in STAGED}
-        for parts in ("5", "13", "32"):
-            spark.conf.set("spark.sql.shuffle.partitions", parts)
-            clear_session_caches()
-            for n, (fn, _) in STAGED.items():
-                cols, rows = spark_result(fn(spark, SF_UNIT))
-                results[n].add(tuple(canon_rows(cols, rows)))
-        for n, seen in results.items():
-            assert len(seen) == 1, f"staged {n} varies with shuffle partitioning"
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig)
-        clear_session_caches()
-
-
-def test_staged_r12_no_new_plan_antipatterns(spark):
-    """Pre-activation plan sweep: no CartesianProduct, no row-Python
-    UDF anywhere in the staged plans; BroadcastNestedLoopJoin only at
-    the five noted scalar attaches (agg_ams_f2's 1-row exact-F2
-    cross, text_bm25_terms' 1-row corpus-totals cross,
-    sim_graph_greedy_search's 1-row query/walker crosses,
-    sim_sq8_recall's inherited sim_topk_cosine query attach,
-    analytics_poisson_bootstrap's 1-row full-sample cross) — the
-    names to add to BNLJ_ALLOWED at activation."""
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "simple"
-    )
-    bnlj_expected = {
-        "agg_ams_f2",
-        "text_bm25_terms",
-        "sim_graph_greedy_search",
-        "sim_sq8_recall",
-        "analytics_poisson_bootstrap",
-        "sim_filtered_topk",  # 1-row query broadcast (the J8 shape)
-        "analytics_cuped_terms",  # 1-row boundary attach
-    }
-    bad = {}
-    for name, (fn, _) in STAGED.items():
-        s = fn(spark, SF_UNIT)._jdf.queryExecution().explainString(mode)
-        if "CartesianProduct" in s:
-            bad[name] = "CartesianProduct"
-        if "BatchEvalPython" in s:
-            bad[name] = "row-Python UDF"
-        if "BroadcastNestedLoopJoin" in s and name not in bnlj_expected:
-            bad[name] = "unexpected BNLJ"
-    assert not bad, bad
-
-
-# ---------------------------------------------------------------------------
-# Python twins (NEW-OP CROSS-CHECK DISCIPLINE) — hashlib / Counter /
-# NumPy recomputations with arbitrary-precision ints; no SQL engine.
-# ---------------------------------------------------------------------------
+from tests.conftest import SF_UNIT, make_duckdb
+from tropology_spark import QUERIES
 
 
 def _load_vm():
@@ -114,10 +34,10 @@ def _load_vm():
     return ids, vm
 
 
-def test_staged_sq8_matches_pure_python(spark):
-    """sim_sq8_recall — codes, reconstruction, and ADC top-10
-    recomputed with NumPy int64 arithmetic (floor division on
-    non-negative numerators == both engines' div)."""
+def test_sq8_matches_pure_python(spark):
+    """M270 — codes, reconstruction, and ADC top-10 recomputed with
+    NumPy int64 arithmetic (floor division on non-negative numerators
+    == both engines' div)."""
     import numpy as np
 
     ids, vm = _load_vm()
@@ -134,23 +54,22 @@ def test_staged_sq8_matches_pure_python(spark):
     order = sorted(corpus, key=lambda v: (-scores[v], v))[:10]
     want = {(rk, v, scores[v]) for rk, v in enumerate(order, 1)}
 
-    fn, _ = STAGED["sim_sq8_recall"]
-    got_rows = fn(spark, SF_UNIT).collect()
+    got_rows = QUERIES["sim_sq8_recall"](spark, SF_UNIT).collect()
     got = {(r["rk"], r["vec_id"], r["adc_score"]) for r in got_rows}
     assert got == want
     # hit flags sum to |SQ8 top10 ∩ exact top10| — bounded sanity
     assert 0 <= sum(r["hit"] for r in got_rows) <= 10
 
 
-def test_staged_ams_f2_matches_pure_python(spark):
-    """agg_ams_f2 — counters, estimates, exact F2, and the wide ppm
-    carrier recomputed with hashlib + Counter + Python ints."""
+def test_ams_f2_matches_pure_python(spark):
+    """M271 — counters, estimates, exact F2, and the wide ppm carrier
+    recomputed with hashlib + Counter + Python ints."""
     import hashlib
     from collections import Counter
 
     import duckdb
 
-    from tropology_spark.operators.staged_r12 import _AMS_PAIRS, _AMS_PRIME
+    from tropology_spark.operators.aggregates import _AMS_PAIRS, _AMS_PRIME
 
     pks = [
         int(r[0])
@@ -167,17 +86,16 @@ def test_staged_ams_f2_matches_pure_python(spark):
             c += 1 if ((h * a + b) % _AMS_PRIME) % 2 == 0 else -1
         want.add((j, c, c * c, f2, (c * c * 1_000_000) // f2))
 
-    fn, _ = STAGED["agg_ams_f2"]
     got = {
         (r["sketch_id"], r["counter"], r["est"], r["f2_exact"], r["ratio_ppm"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["agg_ams_f2"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_bm25_matches_pure_python(spark):
-    """text_bm25_terms — the integer rational milli carrier recomputed
-    with Counter arithmetic over the exact split(' ') tokenization."""
+def test_bm25_matches_pure_python(spark):
+    """M272 — the integer rational milli carrier recomputed with
+    Counter arithmetic over the exact split(' ') tokenization."""
     from collections import Counter
 
     import duckdb
@@ -212,25 +130,24 @@ def test_staged_bm25_matches_pure_python(spark):
         for rk, (doc_id, f, length, milli) in enumerate(scored[:10], 1):
             want.add((t, doc_id, f, length, dfc[t], n_docs, milli, rk))
 
-    fn, _ = STAGED["text_bm25_terms"]
     got = {
         (
             r["token"], r["doc_id"], r["tf"], r["dl"], r["df"],
             r["n_docs"], r["milli_tf_comp"], r["rk"],
         )
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["text_bm25_terms"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_greedy_search_matches_pure_python(spark):
-    """sim_graph_greedy_search — the walk recomputed over the FULLY
-    materialized kNN graph with NumPy int64 dots (the oracle's
-    formulation), independently checking the Spark side's on-demand
-    edge expansion."""
+def test_greedy_search_matches_pure_python(spark):
+    """M273 — the walk recomputed over the FULLY materialized kNN
+    graph with NumPy int64 dots (the oracle's formulation),
+    independently checking the Spark side's on-demand edge
+    expansion."""
     import numpy as np
 
-    from tropology_spark.operators.staged_r12 import (
+    from tropology_spark.operators.similarity import (
         _GG_ENTRY,
         _GG_K,
         _GG_STEPS,
@@ -251,19 +168,18 @@ def test_staged_greedy_search_matches_pure_python(spark):
         cur = min([cur] + edges[cur], key=lambda v: (-dq[v], v))
         want.add((step, cur, dq[cur]))
 
-    fn, _ = STAGED["sim_graph_greedy_search"]
     got = {
         (r["step"], r["vec_id"], r["dq"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["sim_graph_greedy_search"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_motif_counts_matches_pure_python(spark):
-    """ts_motif_counts — the sliding-window count recomputed with
-    Counter over the ORACLE's sax words (the counting formula is the
-    op's own contribution; the words are the already-registered
-    ts_sax_symbols output)."""
+def test_motif_counts_matches_pure_python(spark):
+    """M274 — the sliding-window count recomputed with Counter over
+    the ORACLE's sax words (the counting formula is the op's own
+    contribution; the words are the already-registered ts_sax_symbols
+    output)."""
     from collections import Counter, defaultdict
 
     from tropology_spark.registry import ORACLES
@@ -285,24 +201,21 @@ def test_staged_motif_counts_matches_pure_python(spark):
     top = sorted(occ, key=lambda m: (-occ[m], m))[:20]
     want = {(m, occ[m], len(users[m])) for m in top}
 
-    fn, _ = STAGED["ts_motif_counts"]
     got = {
         (r["motif"], r["n_occ"], r["n_users"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["ts_motif_counts"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_ivfpq_consistent_with_pq(spark):
-    """sim_ivfpq_topk — cross-path consistency pin (the
-    batch-vs-scalar IVF precedent): the composite shares the PQ
-    codebook and the exact-L2 rerank with the registered sim_pq_topk,
-    so for every vec_id both emit, adc_d2 and dist2 must be IDENTICAL
-    (restricting the ADC scan to the probed cells may drop candidates
-    but can never change a survivor's distances)."""
-    from tropology_spark import QUERIES
-
-    fn, _ = STAGED["sim_ivfpq_topk"]
+def test_ivfpq_consistent_with_pq(spark):
+    """M275 — cross-path consistency pin (the batch-vs-scalar IVF
+    precedent): the composite shares the PQ codebook and the exact-L2
+    rerank with the registered sim_pq_topk, so for every vec_id both
+    emit, adc_d2 and dist2 must be IDENTICAL (restricting the ADC scan
+    to the probed cells may drop candidates but can never change a
+    survivor's distances)."""
+    fn = QUERIES["sim_ivfpq_topk"]
     ivfpq = {
         r["vec_id"]: (r["adc_d2"], r["dist2"])
         for r in fn(spark, SF_UNIT).collect()
@@ -324,14 +237,14 @@ def test_staged_ivfpq_consistent_with_pq(spark):
     assert got_cells <= ivf_cells or len(ivf_cells) < 2
 
 
-def test_staged_poisson_bootstrap_matches_pure_python(spark):
-    """analytics_poisson_bootstrap — weights, per-resample sums, and
-    the milli-mean carriers recomputed with hashlib + Python ints."""
+def test_poisson_bootstrap_matches_pure_python(spark):
+    """M276 — weights, per-resample sums, and the milli-mean carriers
+    recomputed with hashlib + Python ints."""
     import hashlib
 
     import duckdb
 
-    from tropology_spark.operators.staged_r12 import _BOOT_B
+    from tropology_spark.operators.analytics import _BOOT_B
 
     rows = duckdb.sql(
         f"SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)"
@@ -359,21 +272,21 @@ def test_staged_poisson_bootstrap_matches_pure_python(spark):
             )
         )
 
-    fn, _ = STAGED["analytics_poisson_bootstrap"]
     got = {
         (
             r["resample"], r["n_eff"], r["sum_cents"],
             r["milli_mean"], r["milli_mean_full"],
         )
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["analytics_poisson_bootstrap"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
 # ---------------------------------------------------------------------------
-# Hypothesis property suites on the EXACT staged paths (the round-11
-# precedent) — frame-injection kwargs for the Spark-backed ones, pure
-# integer algebra for the shared-formula ones.
+# Hypothesis property suites on the EXACT registered paths (the
+# round-11 precedent) — frame-injection kwargs through the registry
+# wrapper for the Spark-backed ones, pure integer algebra for the
+# shared-formula ones.
 # ---------------------------------------------------------------------------
 
 from hypothesis import given, settings, strategies as st  # noqa: E402
@@ -391,7 +304,7 @@ _SMALL = dict(max_examples=5, deadline=None)
     )
 )
 def test_sq8_property_matches_int_recompute(spark, mat):
-    """sim_sq8_recall on injected corpora (e= kwarg): the staged path's
+    """M270 on injected corpora (e= kwarg): the registered path's
     codes/reconstruction/ADC ranking must equal the pure-int recompute
     for ARBITRARY vectors, and every reconstruction must sit within
     the SQ8 grid-error bound span div 255 + 1 of its input.  (Values
@@ -402,10 +315,9 @@ def test_sq8_property_matches_int_recompute(spark, mat):
 
     rows = [(i, [v / 1000.0 for v in vec]) for i, vec in enumerate(mat)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    fn, _ = STAGED["sim_sq8_recall"]
     got = {
         (r["rk"], r["vec_id"], r["adc_score"])
-        for r in fn(spark, SF_UNIT, e=emb).collect()
+        for r in QUERIES["sim_sq8_recall"](spark, SF_UNIT, e=emb).collect()
     }
 
     vm = [[v * 1000 for v in vec] for vec in mat]  # micro-units of x/1000
@@ -439,14 +351,14 @@ def test_sq8_property_matches_int_recompute(spark, mat):
     )
 )
 def test_ams_property_doubling_algebra(spark, keys):
-    """agg_ams_f2 on injected key streams (li= kwarg): overlaying the
-    stream with itself must EXACTLY double every counter, quadruple
-    every estimate and the exact F2, and leave every ppm ratio
-    bit-identical — the mergeable-sketch algebra the weak-scaling
-    probe spot-checked, pinned as a law on arbitrary inputs."""
+    """M271 on injected key streams (li= kwarg): overlaying the stream
+    with itself must EXACTLY double every counter, quadruple every
+    estimate and the exact F2, and leave every ppm ratio bit-identical
+    — the mergeable-sketch algebra the weak-scaling probe
+    spot-checked, pinned as a law on arbitrary inputs."""
     li1 = spark.createDataFrame([(k,) for k in keys], "l_partkey long")
     li2 = li1.unionAll(li1)
-    fn, _ = STAGED["agg_ams_f2"]
+    fn = QUERIES["agg_ams_f2"]
     r1 = {r["sketch_id"]: r for r in fn(spark, "unused", li=li1).collect()}
     r2 = {r["sketch_id"]: r for r in fn(spark, "unused", li=li2).collect()}
     assert set(r1) == set(r2) == set(range(8))
@@ -465,10 +377,10 @@ def test_ams_property_doubling_algebra(spark, keys):
     n_docs=st.integers(min_value=1, max_value=10**4),
 )
 def test_bm25_property_saturation(tf, dl, d_total, n_docs):
-    """text_bm25_terms' integer rational: the tf component must be
-    strictly bounded by k1+1 (milli < 2200) and monotone non-
-    decreasing in tf for fixed (dl, D, N) — the BM25 saturation
-    semantics, pinned on the exact formula both engines evaluate."""
+    """M272's integer rational: the tf component must be strictly
+    bounded by k1+1 (milli < 2200) and monotone non-decreasing in tf
+    for fixed (dl, D, N) — the BM25 saturation semantics, pinned on
+    the exact formula both engines evaluate."""
     def milli(t):
         return (22000 * t * d_total) // (
             10 * t * d_total + 3 * d_total + 9 * dl * n_docs
@@ -488,10 +400,10 @@ def test_bm25_property_saturation(tf, dl, d_total, n_docs):
     )
 )
 def test_greedy_walk_property_monotone_absorbing(mat):
-    """sim_graph_greedy_search's walk semantics on arbitrary integer
-    vectors (the twin's full-graph formulation): the query-dot
-    sequence is non-decreasing, and once the walker repeats a position
-    it stays there forever (greedy fixed points are absorbing)."""
+    """M273's walk semantics on arbitrary integer vectors (the twin's
+    full-graph formulation): the query-dot sequence is non-decreasing,
+    and once the walker repeats a position it stays there forever
+    (greedy fixed points are absorbing)."""
     n = len(mat)
     ids = list(range(1, n))  # vec 0 is the query
     dq = {i: sum(a * b for a, b in zip(mat[i], mat[0])) for i in ids}
@@ -517,13 +429,13 @@ def test_greedy_walk_property_monotone_absorbing(mat):
             break
 
 
-def test_staged_curriculum_matches_pure_python(spark):
-    """pipeline_curriculum_stages — the ppm quality score, the SQL
-    ntile (front-loaded remainder) cut, and the stage manifest
-    recomputed with Counter arithmetic."""
+def test_curriculum_matches_pure_python(spark):
+    """M277 — the ppm quality score, the SQL ntile (front-loaded
+    remainder) cut, and the stage manifest recomputed with Counter
+    arithmetic."""
     import duckdb
 
-    from tropology_spark.operators.staged_r12 import _CURR_STAGES
+    from tropology_spark.operators.pipeline_ops import _CURR_STAGES
     from tropology_spark.operators.text import _STOPWORDS
 
     docs = duckdb.sql(
@@ -553,17 +465,16 @@ def test_staged_curriculum_matches_pure_python(spark):
             max(r[2] for r in chunk),
         )
 
-    fn, _ = STAGED["pipeline_curriculum_stages"]
     got = {
         r["stage"]: (r["n_docs"], r["sum_tokens"], r["min_q_ppm"], r["max_q_ppm"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["pipeline_curriculum_stages"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_filtered_topk_matches_pure_python(spark):
-    """sim_filtered_topk — per-label cosine ranking recomputed with
-    NumPy (the matryoshka twin's rounding discipline)."""
+def test_filtered_topk_matches_pure_python(spark):
+    """M278 — per-label cosine ranking recomputed with NumPy (the
+    matryoshka twin's rounding discipline)."""
     from collections import defaultdict
 
     import duckdb
@@ -593,17 +504,16 @@ def test_staged_filtered_topk_matches_pure_python(spark):
         for rk, (c, v) in enumerate(entries[:3], 1):
             want.add((lab, rk, v, c))
 
-    fn, _ = STAGED["sim_filtered_topk"]
     got = {
         (r["label"], r["rk"], r["vec_id"], r["cosine"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["sim_filtered_topk"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_cuped_matches_pure_python(spark):
-    """analytics_cuped_terms — boundary, per-user pre/post cents, and
-    the co-moment terms recomputed with hashlib + Counter ints."""
+def test_cuped_matches_pure_python(spark):
+    """M279 — boundary, per-user pre/post cents, and the co-moment
+    terms recomputed with hashlib + Counter ints."""
     import hashlib
     from collections import defaultdict
 
@@ -624,7 +534,6 @@ def test_staged_cuped_matches_pure_python(spark):
             xs[uid] += cents
         else:
             ys[uid] += cents
-    want = {}
     agg = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
     for uid in set(xs) | set(ys):
         v = (
@@ -642,21 +551,20 @@ def test_staged_cuped_matches_pure_python(spark):
         a[5] += y * y
     want = {(v, *vals) for v, vals in ((v, tuple(a)) for v, a in agg.items())}
 
-    fn, _ = STAGED["analytics_cuped_terms"]
     got = {
         (
             r["variant"], r["n_users"], r["sum_x"], r["sum_y"],
             r["sum_xy"], r["sum_x2"], r["sum_y2"],
         )
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["analytics_cuped_terms"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_mannwhitney_matches_pure_python(spark):
-    """analytics_mannwhitney_terms — doubled midranks, rank sums, and
-    the doubled U recomputed with hashlib + Counter ints; also pins
-    the identity u2_A + u2_B = 2·n_A·n_B."""
+def test_mannwhitney_matches_pure_python(spark):
+    """M280 — doubled midranks, rank sums, and the doubled U
+    recomputed with hashlib + Counter ints; also pins the identity
+    u2_A + u2_B = 2·n_A·n_B."""
     import hashlib
     from collections import Counter, defaultdict
 
@@ -692,8 +600,7 @@ def test_staged_mannwhitney_matches_pure_python(spark):
         (v, n[v], r2[v], r2[v] - n[v] * (n[v] + 1)) for v in ("A", "B")
     }
 
-    fn, _ = STAGED["analytics_mannwhitney_terms"]
-    got_rows = fn(spark, SF_UNIT).collect()
+    got_rows = QUERIES["analytics_mannwhitney_terms"](spark, SF_UNIT).collect()
     got = {
         (r["variant"], r["n_users"], r["rank2_sum"], r["u2"])
         for r in got_rows
@@ -704,10 +611,10 @@ def test_staged_mannwhitney_matches_pure_python(spark):
     assert u2["A"] + u2["B"] == 2 * nn["A"] * nn["B"]  # the MW identity
 
 
-def test_staged_theilsen_matches_pure_python(spark):
-    """ts_theilsen_micro — shifted floor-div micro-slopes and the
-    lower counting median recomputed with Python ints (floor division
-    directly — the shift identity must make the engines equal it)."""
+def test_theilsen_matches_pure_python(spark):
+    """M281 — shifted floor-div micro-slopes and the lower counting
+    median recomputed with Python ints (floor division directly — the
+    shift identity must make the engines equal it)."""
     from collections import Counter, defaultdict
 
     import duckdb
@@ -735,23 +642,22 @@ def test_staged_theilsen_matches_pure_python(spark):
         med = slopes[(np_ + 1) // 2 - 1]
         want.add((et, np_, med, min(slopes), max(slopes)))
 
-    fn, _ = STAGED["ts_theilsen_micro"]
     got = {
         (
             r["event_type"], r["n_pairs"], r["slope_micro"],
             r["min_smicro"], r["max_smicro"],
         )
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["ts_theilsen_micro"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_mmr_matches_pure_python(spark):
-    """sim_mmr_diversify — the greedy MMR walk recomputed with NumPy
-    int64 dots (pool cut, pairwise penalties, argmax picks)."""
+def test_mmr_matches_pure_python(spark):
+    """M282 — the greedy MMR walk recomputed with NumPy int64 dots
+    (pool cut, pairwise penalties, argmax picks)."""
     import numpy as np
 
-    from tropology_spark.operators.staged_r12 import _MMR_K, _MMR_POOL
+    from tropology_spark.operators.similarity import _MMR_K, _MMR_POOL
 
     ids, vm = _load_vm()
     idx = {v: i for i, v in enumerate(ids)}
@@ -777,9 +683,8 @@ def test_staged_mmr_matches_pure_python(spark):
         picked.append(v)
     want = set(picks)
 
-    fn, _ = STAGED["sim_mmr_diversify"]
     got = {
         (r["pick_order"], r["vec_id"], r["rel"], r["pen"], r["score2"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["sim_mmr_diversify"](spark, SF_UNIT).collect()
     }
     assert got == want

@@ -989,6 +989,20 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "agg_hll_audit",
         "text_simpson_concentration",
         "dedup_method_overlap",
+        # round-12 activations (M270-M282)
+        "sim_sq8_recall",
+        "agg_ams_f2",
+        "text_bm25_terms",
+        "sim_graph_greedy_search",
+        "ts_motif_counts",
+        "sim_ivfpq_topk",
+        "analytics_poisson_bootstrap",
+        "pipeline_curriculum_stages",
+        "sim_filtered_topk",
+        "analytics_cuped_terms",
+        "analytics_mannwhitney_terms",
+        "ts_theilsen_micro",
+        "sim_mmr_diversify",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -1047,16 +1061,14 @@ def test_materialized_view_build_is_shared_across_threads(spark):
 
 def test_driver_window_composition(spark):
     """The driver hash-checks the FIRST 50 registry entries.  Pin the
-    round-11 window invariants so a module-import or registration-order
-    change can never silently evict a query: the 17 activated M253-M269
+    round-12 window invariants so a module-import or registration-order
+    change can never silently evict a query: the 13 activated M270-M282
     queries (never sampled) lead, and EVERY
     remaining window slot goes to the rotation queue — queries whose
     latest driver row is the OLDEST post-regeneration vintage (<= r05;
-    the pre-regeneration debt is zero since round 8, so the bound
-    relaxed from <= 4 once the last r04-vintage rows plus the oldest
-    r05 rows became the round-11 rotation class — CLAUDE.md round-11
-    plan, relaxed BEFORE composing the window per the r9/r10
-    precedent) or IS from the most
+    the round-11 bound still admits the r05 class that IS the round-12
+    rotation, so no relaxation was needed this round — CLAUDE.md
+    round-12 plan) or IS from the most
     recent driver round (a fresh row from the current round is the
     queue working, not a wasted slot — the r6 verdict's fix for the
     self-invalidating assertion; the max_round escape is deliberately
@@ -1067,7 +1079,7 @@ def test_driver_window_composition(spark):
     from pathlib import Path
 
     from tropology_spark import ORACLES, QUERIES
-    from tropology_spark import _R11_NEW
+    from tropology_spark import _R12_NEW
 
     latest: dict[str, int] = {}
     for f in Path(".").glob("CORRECTNESS_r*.json"):
@@ -1076,7 +1088,7 @@ def test_driver_window_composition(spark):
             latest[k] = max(latest.get(k, 0), rnd)
     max_round = max(latest.values(), default=0)
     window = list(QUERIES)[:50]
-    head = _R11_NEW
+    head = _R12_NEW
     assert window[: len(head)] == head, window[: len(head)]
     never = [q for q in QUERIES if q not in latest]
     missing = [q for q in never if q not in set(window)]

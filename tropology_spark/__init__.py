@@ -41,13 +41,15 @@ from tropology_spark.operators import windows  # noqa: F401
 from tropology_spark.operators import aggregates  # noqa: F401
 from tropology_spark.operators import relational  # noqa: F401
 
-# Round-11 driver window (the driver hash-checks the FIRST 50 entries
-# per round): the 17 activated round-11 staged operators (M253-M269,
-# never sampled) lead; the remaining 33 slots rotate the OLDEST
-# evidence — the 28 r04-vintage rows left over from round 10 plus the
-# 5 oldest r05-vintage rows in registry order — 17 + 28 + 5 = 50
-# (CLAUDE.md round-11 plan; distribution verified against all ten
-# CORRECTNESS files).
+# Round-12 driver window (the driver hash-checks the FIRST 50 entries
+# per round): the 13 activated round-12 staged operators (M270-M282,
+# never sampled) lead; every remaining slot rotates the OLDEST
+# evidence — the 37 oldest r05-vintage rows in registry order —
+# 13 + 37 = 50 (CLAUDE.md round-12 plan; distribution verified against
+# all eleven CORRECTNESS files: post-r11 the evidence classes are
+# r05:42 · r06:49 · r07:48 · r08:50 · r09:50 · r10:50 · r11:50 = 339).
+# The `latest <= 5` freshness bound still admits r05 rows, so NO bound
+# relaxation was needed this round (a first since round 8).
 
 #: Round-6 additions (M169+) — appended here as they are registered.
 _R6_NEW = [
@@ -382,6 +384,67 @@ _R11_STALE_R05 = [
     "sim_maxsim_topk",
 ]
 
-prioritize(_R11_NEW + _R11_STALE_R04 + _R11_STALE_R05)
+#: Round-12 additions (M270-M282) — the activated round-11-staged ops.
+_R12_NEW = [
+    "sim_sq8_recall",
+    "agg_ams_f2",
+    "text_bm25_terms",
+    "sim_graph_greedy_search",
+    "ts_motif_counts",
+    "sim_ivfpq_topk",
+    "analytics_poisson_bootstrap",
+    "pipeline_curriculum_stages",
+    "sim_filtered_topk",
+    "analytics_cuped_terms",
+    "analytics_mannwhitney_terms",
+    "ts_theilsen_micro",
+    "sim_mmr_diversify",
+]
+
+#: The 37 OLDEST r05-vintage rows in registry order; 5 r05 rows remain
+#: for the round-13 rotation (agg_kmv_intersect, join_asof_forward,
+#: sub_any_all, join_asof_nearest, agg_kmv_audit), ahead of the 49-row
+#: r06 class.
+_R12_STALE_R05 = [
+    "sim_cluster_cohesion",
+    "sim_topk_l2",
+    "sim_batch_topk",
+    "dedup_lsh_recall",
+    "dedup_topk_similar",
+    "text_token_rank_score",
+    "text_prefix_block_profile",
+    "graph_related_tropes",
+    "graph_trope_lift",
+    "fn_date_intervals",
+    "fn_hash_sha2",
+    "mm_bytes_histogram",
+    "stream_window_topk_1h",
+    "stream_dedup_counts",
+    "stream_running_counts",
+    "stream_static_join_counts",
+    "text_dup_span_frac",
+    "pipeline_token_fertility",
+    "pipeline_dup_rate_by_source",
+    "pipeline_split_leakage",
+    "pipeline_length_profile",
+    "graph_butterflies_capped",
+    "graph_clustering_pairs_capped",
+    "graph_modularity_terms",
+    "graph_label_prop3",
+    "ts_sax_symbols",
+    "ts_corr_terms",
+    "ts_peak_hours",
+    "ts_session_revenue",
+    "ts_wow_delta",
+    "analytics_cohort_revenue",
+    "analytics_stickiness_terms",
+    "analytics_time_to_convert",
+    "analytics_activity_histogram",
+    "analytics_mau_kmv_audit",
+    "topk_with_ties",
+    "agg_cms_matrix",
+]
+
+prioritize(_R12_NEW + _R12_STALE_R05)
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

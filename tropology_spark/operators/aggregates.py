@@ -1520,3 +1520,114 @@ def agg_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hll_est", "ratio_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M271 agg_ams_f2 — AMS tug-of-war F2 sketch audit
+# ---------------------------------------------------------------------------
+
+#: AMS sign-hash family: ±1 from the parity of (a·h + b) mod p over
+#: the md5-low-32 base hash (the dedup.py portability rationale —
+#: both engines parse the same 8 hex chars).  Multipliers < 2^30 so
+#: a·h < 2^62 never overflows int64 under ANSI Spark.
+_AMS_PRIME = 4294967311  # smallest prime > 2^32
+_AMS_PAIRS = [
+    (664525013, 1073741789),
+    (931386389, 1073741597),
+    (822752279, 1073741399),
+    (668265263, 1073741201),
+    (374761393, 1073741003),
+    (536870923, 1073740805),
+    (715827883, 1073740607),
+    (611603851, 1073740409),
+]
+
+_AMS_SIGN_SQL = [
+    f"CASE WHEN ((h * {a} + {b}) % {_AMS_PRIME}) % 2 = 0 "
+    "THEN 1 ELSE -1 END"
+    for a, b in _AMS_PAIRS
+]
+
+_AMS_ORACLE = f"""
+    WITH h AS (
+      SELECT ('0x' || substring(md5(CAST(l_partkey AS STRING)), 1, 8))::BIGINT
+               AS h
+      FROM lineitem
+    ),
+    s AS (SELECT
+      {", ".join(f"CAST(sum({sql}) AS BIGINT) AS c{j}" for j, sql in enumerate(_AMS_SIGN_SQL))}
+      FROM h),
+    u AS ({" UNION ALL ".join(f"SELECT CAST({j} AS BIGINT) AS sketch_id, c{j} AS counter FROM s" for j in range(8))}),
+    f2 AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact
+           FROM (SELECT CAST(count(*) AS BIGINT) AS c
+                 FROM lineitem GROUP BY l_partkey))
+    SELECT sketch_id, counter,
+           CAST(counter * counter AS BIGINT) AS est,
+           f2_exact,
+           CAST((CAST(counter * counter AS HUGEINT) * 1000000) // f2_exact
+                AS BIGINT) AS ratio_ppm
+    FROM u CROSS JOIN f2
+"""
+
+
+@register("agg_ams_f2", oracle=_AMS_ORACLE)
+def agg_ams_f2(
+    spark: SparkSession, sf_dir: str, li: DataFrame | None = None
+) -> DataFrame:
+    """M271 — AMS ("tug-of-war") second-frequency-moment sketch audit
+    over the lineitem part-key stream: eight ±1-sign counters (sign =
+    parity of a universal hash over the md5-low-32 of the key), each
+    counter's square an unbiased F2 estimate, reported against the
+    exact F2 = Σ_v c_v² with the estimate/truth ratio in ppm.  The
+    KMV/HLL audit discipline applied to the classic AMS sketch
+    (Alon-Matias-Szegedy 1996): the registered query IS the quality
+    gate a production F2 sketch ships with.
+
+    Integer-exact cross engines: signs/counters/squares are BIGINTs
+    (|counter| ≤ n_rows, est ≤ n²  — 3.6·10¹¹ at sf0.1); the ppm ratio
+    is computed in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) per the
+    wide-integer finale rule because est·10⁶ exceeds BIGINT once
+    n_rows passes ~3·10⁶ on a regenerated fixture.  Numerator and
+    denominator are both non-negative so div//floor agree.
+
+    Scale: the sketch is ONE map-side-combinable aggregate over a
+    single-column projection — each partition emits 8 partial sums,
+    the classic mergeable-sketch shape; the exact branch (a groupBy on
+    the key) exists only because this is the audit.  The 1-row exact
+    attach is a deliberate scalar crossJoin (BNLJ-allowlisted).
+    ``li=`` overrides the lineitem frame (weak-scaling probe kwarg —
+    tools/scale_probes/ams_scale.py; the driver contract never passes
+    it)."""
+    if li is None:
+        li = load(spark, sf_dir, "lineitem")
+    li_keys = li.select("l_partkey")
+    hashed = li_keys.select(
+        F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    counters = hashed.agg(
+        *[
+            F.sum(F.expr(sql)).cast("bigint").alias(f"c{j}")
+            for j, sql in enumerate(_AMS_SIGN_SQL)
+        ]
+    )
+    stack_args = ", ".join(f"{j}L, c{j}" for j in range(8))
+    u = counters.select(
+        F.expr(f"stack(8, {stack_args}) AS (sketch_id, counter)")
+    )
+    f2 = (
+        li_keys.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact"))
+    )
+    return u.crossJoin(F.broadcast(f2)).select(
+        F.col("sketch_id").cast("bigint").alias("sketch_id"),
+        "counter",
+        (F.col("counter") * F.col("counter")).cast("bigint").alias("est"),
+        "f2_exact",
+        F.expr(
+            "CAST((CAST(counter AS DECIMAL(38,0)) * counter * 1000000)"
+            " div f2_exact AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )

@@ -2135,3 +2135,316 @@ def analytics_ols_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("slope_den"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M276 analytics_poisson_bootstrap — deterministic single-pass bootstrap
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 8  # resamples
+
+#: Dyadic Poisson(1) weight table over h % 8: P(0)=P(1)=3/8,
+#: P(2)=P(3)=1/8 — EXACT unit mean (0·3+1·3+2+3 = 8), the truncated
+#: dyadic approximation of Poisson(1) (true p₀=p₁≈.368, p₂≈.184,
+#: p₃≈.061).  A dyadic table keeps the weight a pure integer CASE on
+#: the hash residue — no float thresholds anywhere.
+_BOOT_W_SQL = (
+    "CASE WHEN {h} % 8 <= 2 THEN 0 WHEN {h} % 8 <= 5 THEN 1"
+    " WHEN {h} % 8 = 6 THEN 2 ELSE 3 END"
+)
+
+_BOOT_ORACLE = f"""
+    WITH o AS (SELECT o_orderkey,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    r AS (
+      SELECT b.b, o.o_orderkey, o.cents,
+             ('0x' || substring(md5(CAST(b.b AS STRING) || '-'
+                                    || CAST(o.o_orderkey AS STRING)), 1, 8))
+               ::BIGINT AS h
+      FROM o CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS b)
+                          b),
+    w AS (SELECT b, cents, {_BOOT_W_SQL.format(h="h")} AS m FROM r),
+    agg AS (SELECT CAST(b AS BIGINT) AS resample,
+                   CAST(sum(m) AS BIGINT) AS n_eff,
+                   CAST(sum(m * cents) AS BIGINT) AS sum_cents
+            FROM w GROUP BY b),
+    full_s AS (SELECT CAST(count(*) AS BIGINT) AS n_full,
+                      CAST(sum(cents) AS BIGINT) AS cents_full
+               FROM o)
+    SELECT resample, n_eff, sum_cents,
+           CAST((1000 * sum_cents) // n_eff AS BIGINT) AS milli_mean,
+           CAST((1000 * cents_full) // n_full AS BIGINT) AS milli_mean_full
+    FROM agg CROSS JOIN full_s
+"""
+
+
+@register("analytics_poisson_bootstrap", oracle=_BOOT_ORACLE)
+def analytics_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M276 — deterministic single-pass Poisson bootstrap of the mean
+    order value: the bootstrap that actually runs at 100 TB (Chamandy
+    et al.'s Poisson bootstrap: every row draws an independent
+    ~Poisson(1) multiplicity per resample, so ONE scan serves all B
+    resamples and each partition emits B partial sums; no resample
+    materialization, no sampling pass per replicate).  Randomness is
+    the md5-low-32 of (resample, orderkey) — deterministic,
+    partition-invariant, reproducible cross-engine — mapped through an
+    exact-unit-mean dyadic weight table (P(0)=P(1)=3/8, P(2)=P(3)=1/8
+    on the hash residue; no float thresholds).  Emits per resample the
+    effective count, the weighted cents sum, and the milli-cent mean,
+    with the full-sample milli-mean attached for the spread-vs-truth
+    read — the min/max across the 8 resamples IS the CI estimate a
+    downstream consumer derives.
+
+    All-integer: cents carriers, non-negative integer division both
+    sides (1000·sum_cents ≤ 3·10³·n·maxcents — BIGINT-safe to ~10⁸
+    orders on this price range; the wide-integer rule applies past
+    that).  The 1-row full-sample attach is a deliberate scalar
+    crossJoin (BNLJ-allowlisted)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    r = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0).cast("bigint"),
+                             F.lit(_BOOT_B - 1).cast("bigint"))).alias("b"),
+    ).select(
+        "b",
+        "cents",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("b").cast("string"),
+                        F.lit("-"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = r.select("b", "cents", F.expr(_BOOT_W_SQL.format(h="h")).alias("m"))
+    agg = w.groupBy("b").agg(
+        F.sum("m").cast("bigint").alias("n_eff"),
+        F.sum(F.col("m") * F.col("cents")).cast("bigint").alias("sum_cents"),
+    )
+    full_s = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_full"),
+        F.sum("cents").cast("bigint").alias("cents_full"),
+    )
+    return agg.crossJoin(F.broadcast(full_s)).select(
+        F.col("b").cast("bigint").alias("resample"),
+        "n_eff",
+        "sum_cents",
+        F.expr("CAST((1000 * sum_cents) div n_eff AS BIGINT)").alias(
+            "milli_mean"
+        ),
+        F.expr("CAST((1000 * cents_full) div n_full AS BIGINT)").alias(
+            "milli_mean_full"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M279 analytics_cuped_terms — CUPED variance-reduction co-moment terms
+# ---------------------------------------------------------------------------
+
+_CUPED_ORACLE = """
+    WITH e AS (
+      SELECT user_id,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    b AS (SELECT (min(d) + max(d)) // 2 AS bd FROM e),
+    u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN d <= bd THEN cents ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN d > bd THEN cents ELSE 0 END) AS BIGINT) AS y
+      FROM e CROSS JOIN b GROUP BY user_id
+    ),
+    v AS (
+      SELECT user_id, x, y,
+             CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM u
+    )
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(x * y) AS BIGINT) AS sum_xy,
+           CAST(sum(x * x) AS BIGINT) AS sum_x2,
+           CAST(sum(y * y) AS BIGINT) AS sum_y2
+    FROM v GROUP BY variant
+"""
+
+
+@register("analytics_cuped_terms", oracle=_CUPED_ORACLE)
+def analytics_cuped_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M279 — CUPED variance-reduction TERMS for the hash-split
+    experiment (Deng et al. 2013 — the standard pre-period covariate
+    adjustment every experimentation platform runs): per user, x =
+    pre-period spend cents and y = experiment-period spend cents (the
+    boundary is the DATA-DERIVED midpoint (min_day + max_day) div 2 on
+    the epoch-day axis — regeneration-robust, non-negative division,
+    never a wall-clock literal); per variant the exact integer
+    co-moments (n, Σx, Σy, Σxy, Σx², Σy²) from which a consumer
+    computes θ = cov(x,y)/var(x) and the CUPED-adjusted lift.  The
+    *_terms discipline: the final ratios are floats, so the engine
+    emits their exact integer inputs (ts_corr_terms' rule applied to
+    the experimentation pipeline).  Variant assignment reuses
+    analytics_ab_lift's md5 first-hex split verbatim.
+
+    Scale: one events pass + a 1-row boundary attach (deliberate
+    scalar crossJoin, BNLJ-allowlisted) + a user-level agg + a 2-group
+    rollup — every aggregate map-side combinable."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    b = e.agg(F.expr("(min(d) + max(d)) div 2").alias("bd"))
+    u = (
+        e.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("d") <= F.col("bd"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("d") > F.col("bd"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    v = u.withColumn(
+        "variant",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "A"
+        ).otherwise("B"),
+    )
+    return v.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_x2"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sum_y2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M280 analytics_mannwhitney_terms — Mann-Whitney U via doubled midranks
+# ---------------------------------------------------------------------------
+
+_MW_ORACLE = """
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT s,
+             CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS is_a
+      FROM u
+    ),
+    c AS (SELECT s,
+                 CAST(sum(is_a) AS BIGINT) AS ca,
+                 CAST(sum(1 - is_a) AS BIGINT) AS cb,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM v GROUP BY s),
+    w AS (SELECT s, ca, cb, cnt,
+                 CAST(sum(cnt) OVER (ORDER BY s) AS BIGINT) AS cum
+          FROM c),
+    m AS (SELECT ca, cb, (cum - cnt + 1) + cum AS twomr FROM w),
+    agg AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                   CAST(sum(cb) AS BIGINT) AS n_b,
+                   CAST(sum(ca * twomr) AS BIGINT) AS r2_a,
+                   CAST(sum(cb * twomr) AS BIGINT) AS r2_b
+            FROM m)
+    SELECT 'A' AS variant, n_a AS n_users, r2_a AS rank2_sum,
+           CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2
+    FROM agg
+    UNION ALL
+    SELECT 'B', n_b, r2_b, CAST(r2_b - n_b * (n_b + 1) AS BIGINT)
+    FROM agg
+"""
+
+
+@register("analytics_mannwhitney_terms", oracle=_MW_ORACLE)
+def analytics_mannwhitney_terms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """M280 — Mann-Whitney U terms for the hash-split experiment over
+    per-user spend: the NONPARAMETRIC lift test (rank-based, no
+    normality assumption; the robust companion to analytics_ab_lift's
+    rates, analytics_cuped_terms' co-moments, and the Poisson
+    bootstrap's resampling).  Everything is integer-exact: ties take
+    the midrank, and 2·midrank = lo + hi (first + last rank of the tie
+    group) is always integral, so the engine carries DOUBLED rank sums
+    and the doubled statistic u2 = Σ2mr − n(n+1) ≡ 2U — the consumer
+    checks u2_A + u2_B = 2·n_A·n_B (the twin pins this identity) and
+    normalizes by 2·n_A·n_B for the rank-biserial effect size.
+
+    The cumulative rank window runs over the DISTINCT spend values —
+    the bounded-cardinality single-axis window family (the merged-KS
+    support rule), kept off the partition-less-WindowExec path via the
+    non-foldable constant partition key.  All other stages are
+    map-side-combinable aggs."""
+    u = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("cents").cast("bigint").alias("s"))
+    )
+    v = u.select(
+        "s",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", 1
+        )
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    c = v.groupBy("s").agg(
+        F.sum("is_a").cast("bigint").alias("ca"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("bigint").alias("cb"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    const_part = F.pmod(F.col("s"), F.lit(1))  # non-foldable constant
+    w_cum = Window.partitionBy(const_part).orderBy("s")
+    w = c.select(
+        "ca",
+        "cb",
+        "cnt",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("cum"),
+    )
+    m = w.select(
+        "ca", "cb", ((F.col("cum") - F.col("cnt") + 1) + F.col("cum")).alias("twomr")
+    )
+    agg = m.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+        F.sum(F.col("ca") * F.col("twomr")).cast("bigint").alias("r2_a"),
+        F.sum(F.col("cb") * F.col("twomr")).cast("bigint").alias("r2_b"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(2, 'A', n_a, r2_a, CAST(r2_a - n_a * (n_a + 1) AS BIGINT),"
+            " 'B', n_b, r2_b, CAST(r2_b - n_b * (n_b + 1) AS BIGINT))"
+            " AS (variant, n_users, rank2_sum, u2)"
+        )
+    )

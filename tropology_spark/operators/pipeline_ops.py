@@ -3709,3 +3709,104 @@ def dedup_method_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M277 pipeline_curriculum_stages — quality-ordered curriculum buckets
+# ---------------------------------------------------------------------------
+
+from tropology_spark.operators.text import _STOPWORDS  # noqa: E402
+
+_CURR_STAGES = 4
+
+#: Integer quality carrier: the M-quality heuristic (stopword ratio ×
+#: 0.5 + min(n_tokens,100)/200) in exact ppm — (500000·n_stop) div
+#: n_tokens + 5000·least(n_tokens, 100).  Non-negative numerators →
+#: div//floor agree; ties broken by doc_id everywhere.
+_CURR_ORACLE = f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    st AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN token IN {_STOPWORDS!r} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_stop
+      FROM tok GROUP BY doc_id
+    ),
+    q AS (SELECT doc_id, n_tokens,
+                 (500000 * n_stop) // n_tokens
+                   + 5000 * least(n_tokens, 100) AS q_ppm
+          FROM st),
+    r AS (SELECT *, ntile({_CURR_STAGES})
+                      OVER (ORDER BY q_ppm DESC, doc_id) AS stage
+          FROM q)
+    SELECT CAST(stage AS BIGINT) AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(min(q_ppm) AS BIGINT) AS min_q_ppm,
+           CAST(max(q_ppm) AS BIGINT) AS max_q_ppm
+    FROM r GROUP BY stage
+"""
+
+
+@register("pipeline_curriculum_stages", oracle=_CURR_ORACLE)
+def pipeline_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M277 — curriculum staging for training-data scheduling: rank
+    the corpus by an exact integer quality score (the M-quality
+    stopword/length heuristic in ppm — (500000·n_stop) div n_tokens +
+    5000·least(n_tokens, 100); highest quality first, doc_id
+    tie-break), cut it into {n} equal ntile stages, and emit each
+    stage's document count, token budget, and quality range — the
+    stage manifest a curriculum-ordered training run consumes (stage 1
+    = cleanest data first).
+
+    The global quality ORDER is the scale hazard: a bare
+    ``ntile OVER (ORDER BY ...)`` funnels the corpus through one task,
+    so the Spark side uses the two-pass range-partitioned rank
+    (plans/global_order.py: global_row_number + ntile_expr — exact SQL
+    ntile semantics, bit-equal to the oracle's window at every
+    partitioning).  Everything is integer: the ppm score's numerators
+    are non-negative so div//floor agree, and the stage aggregate is
+    map-side combinable on a {n}-value key."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    st = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("token").isin(*_STOPWORDS), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    q = st.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            "(500000 * n_stop) div n_tokens"
+            " + 5000 * least(n_tokens, 100L)"
+        ).alias("q_ppm"),
+    )
+    ranked = global_row_number(
+        q,
+        [F.col("q_ppm").desc(), F.col("doc_id")],
+        out="position",
+        total_col="n_total",
+    )
+    staged = ranked.select(
+        "n_tokens",
+        "q_ppm",
+        ntile_expr(F.col("position"), F.col("n_total"), _CURR_STAGES).alias(
+            "stage"
+        ),
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.min("q_ppm").cast("bigint").alias("min_q_ppm"),
+        F.max("q_ppm").cast("bigint").alias("max_q_ppm"),
+    )
+
+
+pipeline_curriculum_stages.__doc__ = pipeline_curriculum_stages.__doc__.format(
+    n=_CURR_STAGES
+)

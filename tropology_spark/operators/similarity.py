@@ -689,14 +689,23 @@ def ivf_candidates(
     n_probe: int = 2,
     lloyd_iters: int = 1,
     dim: int = EMB_DIM,
+    with_probe_rank: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The COARSE stage of the IVF search — train/assign cells, probe
     the query's ``n_probe`` nearest, return ``(ev, cand)`` where
     ``ev`` is the materialized (vec_id, label, emb, nv) frame and
     ``cand`` the (vec_id, cell) candidate list inside the probed
     cells.  Single home of the cell-probe arithmetic: ``ivf_topk``
-    (exact fine stage) and the staged IVF+PQ composite (ADC fine
-    stage) both consume it."""
+    (exact fine stage) and the registered IVF+PQ composite (ADC fine
+    stage) both consume it.
+
+    ``with_probe_rank=True`` additionally carries each candidate's
+    cell PROBE RANK as ``rnp`` (1 = nearest probed cell) — the
+    candidate set at any smaller ``n_probe`` is exactly the
+    ``rnp <= n_probe`` slice, which is what lets the probe CURVE
+    (sim_ivf_probe_curve) build candidates ONCE at max n_probe and
+    derive every curve point by filter (VERDICT r11 item 4).  The
+    default path is unchanged (left-semi, no extra column)."""
     ev = iter_materialize(
         e.select(
             "vec_id",
@@ -722,10 +731,21 @@ def ivf_candidates(
             ),
         )
         .filter(F.col("rn") <= n_probe)
-        .select(F.col("cell").alias("pcell"))
+        .select(F.col("cell").alias("pcell"), F.col("rn").alias("rnp"))
     )
+    if with_probe_rank:
+        cand = (
+            assign.join(F.broadcast(probe), assign.cell == F.col("pcell"))
+            .filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id", "cell", "rnp")
+        )
+        return ev, cand
     cand = (
-        assign.join(F.broadcast(probe), assign.cell == F.col("pcell"), "left_semi")
+        assign.join(
+            F.broadcast(probe.select("pcell")),
+            assign.cell == F.col("pcell"),
+            "left_semi",
+        )
         .filter(F.col("vec_id") != query_vec_id)
     )
     return ev, cand
@@ -1341,6 +1361,41 @@ def bq_search_signatures(
 # ---------------------------------------------------------------------------
 
 
+def _ivfpq_build_frames(
+    spark: SparkSession,
+    sf_dir: str,
+    lloyd_iters: int = 1,
+    e: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the IVF+PQ composite's three artifact frames — ``(inv,
+    cen, cb)``: the (vec_id, cell, s, code) composite inverted file,
+    the k-row centroid table of the LAST coarse round, and the PQ
+    codebook.  Single home of the BUILD: :func:`ivfpq_write_index`
+    (bucketed catalog artifact) and the registered sim_ivfpq_topk's
+    ``TROPOLOGY_IVFPQ_INDEX_DIR`` write-if-missing path both call it,
+    so the two artifact flavors cannot drift."""
+    if e is None:
+        e = load(spark, sf_dir, "embeddings")
+    ev = e.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    ).withColumn("nv", norm(F.col("emb")))
+    assign0 = ev.select("vec_id", F.col("label").alias("cell"))
+    _, assign, cen = lloyd_rounds(
+        ev.select("vec_id", "emb", "nv"), assign0, lloyd_iters, return_cen=True
+    )
+    sub = _pq_sub(_pq_exm(e))
+    cb = _pq_cb(sub)
+    enc0 = _pq_enc0(sub, cb)
+    w_enc = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
+    enc = (
+        enc0.withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code")
+    )
+    inv = enc.join(assign, "vec_id").select("vec_id", "cell", "s", "code")
+    return inv, cen, cb
+
+
 def ivfpq_write_index(
     spark: SparkSession,
     sf_dir: str,
@@ -1372,25 +1427,7 @@ def ivfpq_write_index(
     rerank rows.  ``e=`` overrides the embeddings frame — needs
     (vec_id, label, embedding); weak-scaling probe kwarg
     (tools/scale_probes/ivfpq_scale.py)."""
-    if e is None:
-        e = load(spark, sf_dir, "embeddings")
-    ev = e.select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
-    ).withColumn("nv", norm(F.col("emb")))
-    assign0 = ev.select("vec_id", F.col("label").alias("cell"))
-    _, assign, cen = lloyd_rounds(
-        ev.select("vec_id", "emb", "nv"), assign0, lloyd_iters, return_cen=True
-    )
-    sub = _pq_sub(_pq_exm(e))
-    cb = _pq_cb(sub)
-    enc0 = _pq_enc0(sub, cb)
-    w_enc = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
-    enc = (
-        enc0.withColumn("rn", F.row_number().over(w_enc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", "code")
-    )
-    inv = enc.join(assign, "vec_id").select("vec_id", "cell", "s", "code")
+    inv, cen, cb = _ivfpq_build_frames(spark, sf_dir, lloyd_iters, e)
     w = (
         inv.write.mode("overwrite")
         .format("parquet")
@@ -1436,9 +1473,41 @@ def ivfpq_topk_from_index(
     the reading session or Spark drops the bucketed scan and with it
     the pruning.  ``e=`` overrides the query/rerank vector source
     (probe kwarg — must be the corpus the index was built on)."""
-    inv = spark.table(table)
-    cen = spark.table(table + "_centroids")
-    cb = spark.table(table + "_codebook")
+    return ivfpq_search_frames(
+        spark,
+        spark.table(table),
+        spark.table(table + "_centroids"),
+        spark.table(table + "_codebook"),
+        sf_dir,
+        query_vec_id=query_vec_id,
+        n_probe=n_probe,
+        n_cand=n_cand,
+        k=k,
+        e=e,
+    )
+
+
+def ivfpq_search_frames(
+    spark: SparkSession,
+    inv: DataFrame,
+    cen: DataFrame,
+    cb: DataFrame,
+    sf_dir: str,
+    query_vec_id: int = QUERY_VEC_ID,
+    n_probe: int = 2,
+    n_cand: int = _PQ_CAND,
+    k: int = 10,
+    e: DataFrame | None = None,
+) -> DataFrame:
+    """IVF+PQ search over PRE-TRAINED artifact frames — ``inv``
+    (vec_id, cell, s, code), ``cen`` (cell, cemb, nc), ``cb`` (code,
+    s, pos, cm) — the single home of the from-index search arithmetic,
+    shared by :func:`ivfpq_topk_from_index` (bucketed saved-table
+    flavor) and the registered ``sim_ivfpq_topk``'s
+    ``TROPOLOGY_IVFPQ_INDEX_DIR`` reload path (plain-parquet flavor),
+    so the driver-checked op and the serving artifact cannot drift —
+    the bq_search_signatures precedent.  Trains nothing: centroids and
+    codebook can only come from the caller's frames."""
     if e is None:
         e = load(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == query_vec_id).select(
@@ -2648,7 +2717,9 @@ def _probe_curve_oracle() -> str:
 
 
 @register("sim_ivf_probe_curve", oracle=_probe_curve_oracle())
-def sim_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ivf_probe_curve(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
     """M263 — the IVF recall-vs-N_PROBE curve: recall@10 of
     the one-round IVF search probing 1/2/4 cells, against the J8
     brute-force truth — M241 tunes the k axis, this tunes the OTHER
@@ -2659,10 +2730,19 @@ def sim_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composed, not copied: the oracle re-derives the inverted file
     through the SAME _LLOYD_SQL_ITER prefix the registered sim_ivf_
     topk oracle uses and wraps ORACLES['sim_topk_cosine'] for truth;
-    the Spark side runs the registered ivf_topk helper per probe
-    setting (the M241 single-home rule).  Scale: ×|probes| retrievals
-    (each already audited); the curve arithmetic is broadcast-trivial;
-    every threshold row always emitted (LEFT joins)."""
+    the Spark side builds :func:`ivf_candidates` ONCE at
+    n_probe = max(probes) with the probe rank retained and derives
+    each curve point as the ``rnp <= n_probe`` slice of ONE scored
+    candidate frame (VERDICT r11 item 4 — the candidate set at any
+    smaller n_probe is exactly a probe-rank prefix, so the per-point
+    top-10 over the filtered slice equals the registered ivf_topk at
+    that setting; one Lloyd build + one cosine pass serve the whole
+    curve instead of ×|probes| retrievals).  Scale: the curve
+    arithmetic is broadcast-trivial; every threshold row always
+    emitted (LEFT joins).  ``e=`` overrides the embeddings frame fed
+    to the candidate build + scored pass (weak-scaling probe kwarg —
+    tools/scale_probes/probecurve_scale.py; the truth stays the
+    fixture J8 top-10, and the driver contract never passes it)."""
     from tropology_spark.registry import QUERIES
 
     truth = iter_materialize(
@@ -2670,11 +2750,30 @@ def sim_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("t_id")
         )
     )  # referenced once per probe branch
-    e = load(spark, sf_dir, "embeddings")
-    branches = [
-        ivf_topk(e, QUERY_VEC_ID, n_probe=np, k=_PROBE_K).select(
-            F.lit(np).cast("bigint").alias("n_probe"), "vec_id"
+    if e is None:
+        e = load(spark, sf_dir, "embeddings")
+    ev, cand = ivf_candidates(
+        e, QUERY_VEC_ID, n_probe=max(_PROBE_NPS), with_probe_rank=True
+    )
+    q = ev.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("qemb"), F.col("nv").alias("nq")
+    )
+    scored = iter_materialize(
+        ev.join(cand, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "rnp",
+            F.round(
+                dot(F.col("emb"), F.col("qemb")) / (F.col("nv") * F.col("nq")), 6
+            ).alias("cosine"),
         )
+    )  # one cosine pass, referenced once per curve point
+    branches = [
+        scored.filter(F.col("rnp") <= np)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(_PROBE_K)
+        .select(F.lit(np).cast("bigint").alias("n_probe"), "vec_id")
         for np in _PROBE_NPS
     ]
     appr = branches[0]
@@ -2693,3 +2792,736 @@ def sim_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recall_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M270 sim_sq8_recall — int8 scalar quantization retrieval + recall audit
+# ---------------------------------------------------------------------------
+
+#: Micro-unit long form of the embeddings (the M104 vm carrier),
+#: shared CTE head for the SQ8 / greedy-walk / MMR oracles.
+_SQ8_EX_CTE = f"""
+    WITH ex AS (
+      SELECT vec_id, i AS pos,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS vm
+      FROM embeddings, (SELECT unnest(generate_series(1, {EMB_DIM})) AS i) s
+    )
+"""
+
+_SQ8_ORACLE = (
+    _SQ8_EX_CTE
+    + f"""
+    , st AS (SELECT pos, min(vm) AS mn, max(vm) AS mx FROM ex GROUP BY pos),
+    cd AS (
+      SELECT e.vec_id, e.pos, st.mn, st.mx,
+             CASE WHEN st.mx = st.mn THEN CAST(0 AS BIGINT)
+                  ELSE ((e.vm - st.mn) * 255) // (st.mx - st.mn) END AS code
+      FROM ex e JOIN st ON e.pos = st.pos
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+    ),
+    rc AS (SELECT vec_id, pos,
+                  mn + (code * (mx - mn)) // 255 AS recon FROM cd),
+    q AS (SELECT pos, vm AS qvm FROM ex WHERE vec_id = {QUERY_VEC_ID}),
+    sc AS (SELECT r.vec_id, CAST(sum(q.qvm * r.recon) AS BIGINT) AS adc_score
+           FROM rc r JOIN q ON r.pos = q.pos GROUP BY r.vec_id),
+    tp AS (SELECT vec_id, adc_score,
+                  row_number() OVER (ORDER BY adc_score DESC, vec_id) AS rk_sq
+           FROM sc),
+    exact AS ({{exact}})
+    SELECT CAST(tp.rk_sq AS BIGINT) AS rk, tp.vec_id, tp.adc_score,
+           CAST(CASE WHEN e2.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS hit
+    FROM tp LEFT JOIN (SELECT vec_id FROM exact) e2 ON tp.vec_id = e2.vec_id
+    WHERE tp.rk_sq <= 10
+    """
+).format(exact=_ORACLES["sim_topk_cosine"])
+
+
+@register("sim_sq8_recall", oracle=_SQ8_ORACLE)
+def sim_sq8_recall(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
+    """M270 — SQ8 scalar-quantization retrieval + recall audit: the
+    standard int8 codec (per-dimension min/max grid, 256 levels)
+    evaluated against the brute-force cosine truth.  Completes the
+    quantization family: BQ (1 bit/dim), PQ (subspace codebooks), IVF
+    (coarse cells), matryoshka (prefix dims) — SQ8 is the 8-bit/dim
+    point on the same accuracy/footprint curve.
+
+    Everything is integer-exact cross-engine: values enter as the
+    M104 micro-unit carrier vm = round(val·10⁶); the code
+    ((vm−mn)·255) div (mx−mn) and the reconstruction
+    mn + (code·(mx−mn)) div 255 use non-negative numerators only, so
+    Spark ``div`` (truncating) and DuckDB ``//`` (flooring) agree; the
+    ADC score Σ qvm·recon is a BIGINT (≤ 64·(6·10⁵)² ≈ 2.3·10¹³).
+    Ranking is (adc_score DESC, vec_id) — fully deterministic.  The
+    hit flag joins the registered sim_topk_cosine truth (oracle
+    composes that oracle verbatim, the sim_ann_recall rule).
+
+    Scale: the per-dim min/max is one map-side-combinable agg over a
+    narrow projection; codes are a scan-local transform (at 100 TB the
+    encoded corpus is a saved artifact like the PQ/BQ indexes — 64
+    bytes/vector); the query-side scan is one broadcast join + a
+    map-combinable sum.  The exploded ex frame feeds three branches
+    (stats, codes, query) → checkpointed per the double-reference
+    rule.  ``e=`` overrides the embeddings frame (weak-scaling probe
+    kwarg — tools/scale_probes/sq8_scale.py; the driver contract
+    never passes it)."""
+    if e is None:
+        e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ex = iter_materialize(_pq_exm(e))
+    st = ex.groupBy("pos").agg(
+        F.min("vm").alias("mn"), F.max("vm").alias("mx")
+    )
+    cd = (
+        ex.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(st), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            "mn",
+            "mx",
+            F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint"))
+            .otherwise(F.expr("((vm - mn) * 255) div (mx - mn)"))
+            .alias("code"),
+        )
+    )
+    rc = cd.select(
+        "vec_id", "pos", F.expr("mn + (code * (mx - mn)) div 255").alias("recon")
+    )
+    q = ex.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "pos", F.col("vm").alias("qvm")
+    )
+    sc = (
+        rc.join(F.broadcast(q), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("qvm") * F.col("recon")).cast("bigint").alias("adc_score"))
+    )
+    top = sc.orderBy(F.desc("adc_score"), F.asc("vec_id")).limit(10)
+    # rank over the 10 survivors only — non-foldable constant partition
+    # key so no partition-less WindowExec appears (global_order idiom).
+    w = Window.partitionBy(F.pmod(F.col("vec_id"), F.lit(1))).orderBy(
+        F.desc("adc_score"), F.asc("vec_id")
+    )
+    exact = (
+        sim_topk_cosine(spark, sf_dir)
+        .select("vec_id")
+        .withColumn("h1", F.lit(1).cast("bigint"))
+    )
+    return (
+        top.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .join(F.broadcast(exact), "vec_id", "left")
+        .select(
+            "rk",
+            "vec_id",
+            "adc_score",
+            F.coalesce(F.col("h1"), F.lit(0)).cast("bigint").alias("hit"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M273 sim_graph_greedy_search — greedy routing over a kNN graph (HNSW layer 0)
+# ---------------------------------------------------------------------------
+
+_GG_K = 4  # out-degree of the kNN graph
+_GG_STEPS = 3  # unrolled greedy hops
+_GG_ENTRY = 1  # fixed entry point (HNSW's fixed entry node)
+
+#: One greedy step, oracle side: the walker stands at cur{p}; the
+#: next position is the best of {cur} ∪ outgoing neighbors by
+#: (query-dot DESC, vec_id ASC) — moves only when a neighbor improves,
+#: ties resolved to the smaller id, fully deterministic.
+_GG_STEP_SQL = """
+    , cur{n} AS MATERIALIZED (
+      SELECT vec_id, dq FROM (
+        SELECT u.vec_id, u.dq,
+               row_number() OVER (ORDER BY u.dq DESC, u.vec_id) AS rk_s{n}
+        FROM (SELECT vec_id, dq FROM cur{p}
+              UNION ALL
+              SELECT d.vec_id, d.dq
+              FROM edges e JOIN cur{p} c ON e.a = c.vec_id
+              JOIN dqs d ON d.vec_id = e.b) u) w
+      WHERE rk_s{n} = 1)
+"""
+
+
+def _gg_oracle() -> str:
+    steps = "".join(
+        _GG_STEP_SQL.format(n=i, p=i - 1) for i in range(1, _GG_STEPS + 1)
+    )
+    walk = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, vec_id, dq FROM cur{i}"
+        for i in range(_GG_STEPS + 1)
+    )
+    return (
+        _SQ8_EX_CTE
+        + f"""
+    , pw AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             CAST(sum(a.vm * b.vm) AS BIGINT) AS w
+      FROM ex a JOIN ex b ON a.pos = b.pos
+      WHERE a.vec_id <> b.vec_id
+        AND a.vec_id <> {QUERY_VEC_ID} AND b.vec_id <> {QUERY_VEC_ID}
+      GROUP BY a.vec_id, b.vec_id),
+    edges AS MATERIALIZED (SELECT a, b FROM (
+        SELECT a, b, row_number() OVER (PARTITION BY a
+                                        ORDER BY w DESC, b) AS rk_e
+        FROM pw) e WHERE rk_e <= {_GG_K}),
+    q AS (SELECT pos, vm AS qvm FROM ex WHERE vec_id = {QUERY_VEC_ID}),
+    dqs AS MATERIALIZED (SELECT e.vec_id, CAST(sum(e.vm * q.qvm) AS BIGINT) AS dq
+            FROM ex e JOIN q ON e.pos = q.pos
+            WHERE e.vec_id <> {QUERY_VEC_ID}
+            GROUP BY e.vec_id),
+    cur0 AS (SELECT vec_id, dq FROM dqs WHERE vec_id = {_GG_ENTRY})
+    {steps}
+    , walk AS ({walk}),
+    exact AS ({{exact}})
+    SELECT w.step, w.vec_id, w.dq,
+           CAST(CASE WHEN e2.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS in_exact_top10
+    FROM walk w
+    LEFT JOIN (SELECT vec_id FROM exact) e2 ON w.vec_id = e2.vec_id
+    """
+    ).format(exact=_ORACLES["sim_topk_cosine"])
+
+
+@register("sim_graph_greedy_search", oracle=_gg_oracle())
+def sim_graph_greedy_search(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
+    """M273 — greedy routing over a kNN graph: the HNSW layer-0 search
+    story: build the out-degree-{k} exact kNN graph (integer micro-dot
+    weights, (w DESC, b) tie-break), start at the fixed entry node,
+    and take {s} unrolled greedy hops, each moving to the best of
+    {{current}} ∪ out-neighbors by (query-dot DESC, vec_id ASC) — the
+    walker stays put when no neighbor improves, so the walk is a
+    monotone deterministic descent.  Emits the 4-row walk with each
+    position's integer query-dot and whether it already sits in the
+    registered exact top-10 (oracle composes sim_topk_cosine
+    verbatim).
+
+    All scores are BIGINT micro-dots (Σ vm_a·vm_b ≤ 64·(6·10⁵)² ≈
+    2.3·10¹³) — no floats anywhere in the ranking.  Scale: the walk
+    only ever inspects out-edges of VISITED nodes, so the Spark side
+    expands each hop's top-{k} neighbor list ON DEMAND (one broadcast
+    1-row walker × corpus scan per hop, whole-stage-codegen zip_with
+    dots — {s}·n dot products total, never the n² graph build), while
+    the oracle states the same walk over the fully materialized kNN
+    graph — a deliberate cross-FORMULATION check that the on-demand
+    expansion equals the precomputed-graph walk.  At 100 TB the graph
+    IS a saved artifact (like the IVF/PQ/BQ indexes) built once via
+    LSH-blocked candidate generation, and each hop is k row lookups.
+    The vm-array frame feeds the query row, the per-hop scans, and the
+    dq pass → checkpointed per the double-reference rule (per-round
+    materializations via iter_materialize — the durable-checkpoint
+    posture).  ``e=`` overrides the embeddings frame (weak-scaling
+    probe kwarg — tools/scale_probes/gg_scale.py; the driver contract
+    never passes it)."""
+    if e is None:
+        e = load(spark, sf_dir, "embeddings")
+    vmarr = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000).cast("bigint"),
+    )
+    ev = iter_materialize(e.select("vec_id", vmarr.alias("vm")))
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    corpus = ev.filter(F.col("vec_id") != QUERY_VEC_ID)
+    q = ev.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("vm").alias("qvm")
+    )
+    dqs = iter_materialize(
+        corpus.crossJoin(F.broadcast(q))
+        .select("vec_id", "vm", idot(F.col("vm"), F.col("qvm")).alias("dq"))
+    )  # referenced once per hop + entry
+    cur = iter_materialize(dqs.filter(F.col("vec_id") == _GG_ENTRY))
+    walk = [cur.select(F.lit(0).cast("bigint").alias("step"), "vec_id", "dq")]
+    wstep = Window.partitionBy(F.pmod(F.col("vec_id"), F.lit(1))).orderBy(
+        F.desc("dq"), F.asc("vec_id")
+    )
+    for i in range(1, _GG_STEPS + 1):
+        # On-demand out-edges of the walker: top-k corpus neighbors of
+        # cur by (micro-dot DESC, vec_id) — identical to the oracle's
+        # precomputed edges because the graph ranking is per-source.
+        nb = (
+            dqs.crossJoin(
+                F.broadcast(
+                    cur.select(
+                        F.col("vec_id").alias("cid"), F.col("vm").alias("cvm")
+                    )
+                )
+            )
+            .filter(F.col("vec_id") != F.col("cid"))
+            .select(
+                "vec_id", "vm", "dq", idot(F.col("vm"), F.col("cvm")).alias("w")
+            )
+        )
+        cand = (
+            nb.orderBy(F.desc("w"), F.asc("vec_id"))
+            .limit(_GG_K)
+            .select("vec_id", "vm", "dq")
+        )
+        cur = iter_materialize(
+            cur.select("vec_id", "vm", "dq")
+            .unionAll(cand)
+            .withColumn("rk_s", F.row_number().over(wstep))
+            .filter(F.col("rk_s") == 1)
+            .select("vec_id", "vm", "dq")
+        )
+        walk.append(
+            cur.select(F.lit(i).cast("bigint").alias("step"), "vec_id", "dq")
+        )
+    walk_df = walk[0]
+    for wdf in walk[1:]:
+        walk_df = walk_df.unionAll(wdf)
+    exact = (
+        sim_topk_cosine(spark, sf_dir)
+        .select("vec_id")
+        .withColumn("h1", F.lit(1).cast("bigint"))
+    )
+    return walk_df.join(F.broadcast(exact), "vec_id", "left").select(
+        "step",
+        "vec_id",
+        "dq",
+        F.coalesce(F.col("h1"), F.lit(0)).cast("bigint").alias("in_exact_top10"),
+    )
+
+
+sim_graph_greedy_search.__doc__ = sim_graph_greedy_search.__doc__.format(
+    k=_GG_K, s=_GG_STEPS
+)
+
+
+# ---------------------------------------------------------------------------
+# M275 sim_ivfpq_topk — the IVF+PQ composite (coarse cells + ADC codes)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_ORACLE = (
+    _EX_CTE
+    + """
+    , assign0 AS (SELECT vec_id, label AS cell FROM embeddings)
+    """
+    + _LLOYD_SQL_ITER.format(n=1, p=0, vf="")
+    + f"""
+    , assign AS (SELECT * FROM assign1),
+    probe AS (SELECT tcell AS pcell
+              FROM (SELECT *, row_number() OVER (ORDER BY ccos DESC, tcell)
+                              AS rn_p
+                    FROM vc1 WHERE vec_id = {QUERY_VEC_ID}) t
+              WHERE rn_p <= 2),
+    cand0 AS MATERIALIZED (
+      SELECT a.vec_id, a.cell FROM assign a
+      JOIN probe ON a.cell = probe.pcell
+      WHERE a.vec_id <> {QUERY_VEC_ID}),
+    exm AS (SELECT vec_id, pos, CAST(round(val * 1000000) AS BIGINT) AS vm
+            FROM ex),
+    sub AS (SELECT vec_id, pos, vm,
+                   CASE WHEN pos <= {EMB_DIM // 2} THEN 0 ELSE 1 END AS s
+            FROM exm),
+    cb AS (SELECT vec_id AS code, s, pos, vm AS cm FROM sub
+           WHERE vec_id BETWEEN 1 AND {_PQ_K}),
+    encc AS (SELECT v.vec_id, v.s, c.code,
+                    CAST(sum((v.vm - c.cm) * (v.vm - c.cm)) AS BIGINT) AS d2
+             FROM sub v
+             JOIN cand0 ON v.vec_id = cand0.vec_id
+             JOIN cb c ON c.s = v.s AND c.pos = v.pos
+             GROUP BY v.vec_id, v.s, c.code),
+    enc AS (SELECT vec_id, s, code FROM (
+              SELECT vec_id, s, code,
+                     row_number() OVER (PARTITION BY vec_id, s
+                                        ORDER BY d2, code) AS rn_e
+              FROM encc) t WHERE rn_e = 1),
+    qd AS (SELECT v.s, c.code,
+                  CAST(sum((v.vm - c.cm) * (v.vm - c.cm)) AS BIGINT) AS qd2
+           FROM sub v JOIN cb c ON c.s = v.s AND c.pos = v.pos
+           WHERE v.vec_id = {QUERY_VEC_ID}
+           GROUP BY v.s, c.code),
+    adc AS (SELECT e.vec_id, CAST(sum(q.qd2) AS BIGINT) AS adc_d2
+            FROM enc e JOIN qd q ON q.s = e.s AND q.code = e.code
+            GROUP BY e.vec_id),
+    candk AS MATERIALIZED (
+      SELECT vec_id, adc_d2 FROM (
+        SELECT vec_id, adc_d2,
+               row_number() OVER (ORDER BY adc_d2, vec_id) AS rn_c
+        FROM adc) t WHERE rn_c <= {_PQ_CAND}),
+    rer AS (SELECT v.vec_id,
+                   CAST(sum((v.vm - q.vm) * (v.vm - q.vm)) AS BIGINT) AS dist2
+            FROM exm v
+            JOIN exm q ON q.vec_id = {QUERY_VEC_ID} AND q.pos = v.pos
+            JOIN candk ON candk.vec_id = v.vec_id
+            GROUP BY v.vec_id)
+    SELECT r.vec_id, c0.cell, ck.adc_d2, r.dist2
+    FROM rer r
+    JOIN candk ck ON r.vec_id = ck.vec_id
+    JOIN cand0 c0 ON r.vec_id = c0.vec_id
+    ORDER BY r.dist2, r.vec_id
+    LIMIT 10
+    """
+)
+
+
+@register("sim_ivfpq_topk", oracle=_IVFPQ_ORACLE)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M275 — the IVF+PQ composite: the standard two-stage vector index
+    (coarse inverted-file cells prune the corpus, PQ asymmetric
+    distance scans only the probed cells' CODES, exact rerank touches
+    only the ADC top-{c}): sim_ivf_topk's coarse stage feeding
+    sim_pq_topk's fine stage, each reused from its single home
+    (:func:`ivf_candidates` — extracted from ivf_topk with identical
+    semantics — and the ``_pq_*`` helpers).  Oracle composes the same
+    two registered oracle fragments (the Lloyd iter SQL + the PQ
+    CTEs), restricted to the candidate cells.
+
+    All fine-stage arithmetic is integer-exact (micro-unit BIGINT
+    squared distances, (d2, code)/(adc, vec_id) unique tie-breaks);
+    the coarse stage carries the registered 6-dp-rounded cell cosines.
+    cand0 and candk are referenced from two plan branches each →
+    Spark checkpoints (iter_materialize), oracle MATERIALIZED (the
+    DuckDB materialized rule).
+
+    Index wiring (VERDICT r11 item 6 — the sim_bq_hamming_topk
+    precedent): when ``TROPOLOGY_IVFPQ_INDEX_DIR`` is set, the three
+    artifact frames are reloaded from ``<dir>/ivfpq_<sf>`` (+
+    ``_centroids`` / ``_codebook`` siblings; written there on first
+    use — the inverted file is written LAST so its ``_SUCCESS`` marker
+    implies the siblings completed, per the ADVICE r8 partial-artifact
+    rule) and the search runs through :func:`ivfpq_search_frames` —
+    the same single-home arithmetic :func:`ivfpq_topk_from_index`
+    uses, so the registered op and the saved artifact cannot drift.
+    The driver contract never sets the env var.
+
+    Scale: this IS the 100 TB retrieval posture — the inverted file
+    prunes to n_probe/k of the corpus, the ADC scan reads 2 small ints
+    per surviving vector (codes only, never raw vectors), the codebook
+    is a {k2}×d broadcast, and the rerank touches {c} rows.  Both
+    stages' artifacts are persistable in one composite
+    (ivfpq_write_index)."""
+    import os
+
+    idx_dir = os.environ.get("TROPOLOGY_IVFPQ_INDEX_DIR")
+    if idx_dir:
+        sf = os.path.basename(os.path.normpath(sf_dir))
+        base = os.path.join(idx_dir, f"ivfpq_{sf}")
+        if not os.path.exists(os.path.join(base, "_SUCCESS")):
+            inv, cen, cb = _ivfpq_build_frames(spark, sf_dir)
+            cen.write.mode("overwrite").parquet(base + "_centroids")
+            cb.write.mode("overwrite").parquet(base + "_codebook")
+            inv.write.mode("overwrite").parquet(base)  # _SUCCESS gate LAST
+        return ivfpq_search_frames(
+            spark,
+            spark.read.parquet(base),
+            spark.read.parquet(base + "_centroids"),
+            spark.read.parquet(base + "_codebook"),
+            sf_dir,
+        )
+    e = load(spark, sf_dir, "embeddings")
+    ev, cand = ivf_candidates(e, QUERY_VEC_ID)
+    cand = iter_materialize(cand)  # 2 refs: encode filter + cell attach
+    exm = _pq_exm(e)
+    sub = _pq_sub(exm)
+    cb = _pq_cb(sub)
+    subc = sub.join(cand.select("vec_id"), "vec_id", "left_semi")
+    encc = _pq_enc0(subc, cb)
+    w_enc = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
+    enc = (
+        encc.withColumn("rn_e", F.row_number().over(w_enc))
+        .filter(F.col("rn_e") == 1)
+        .select("vec_id", "s", "code")
+    )
+    qd = _pq_enc0(sub.filter(F.col("vec_id") == QUERY_VEC_ID), cb).select(
+        "s", "code", F.col("d2").alias("qd2")
+    )
+    adc = (
+        enc.join(F.broadcast(qd), ["s", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd2").cast("bigint").alias("adc_d2"))
+    )
+    candk = iter_materialize(
+        adc.orderBy("adc_d2", "vec_id").limit(_PQ_CAND)
+    )  # 2 refs: rerank filter + adc attach
+    qm = exm.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("pos").alias("qpos"), F.col("vm").alias("qm")
+    )
+    rdiff = F.col("vm") - F.col("qm")
+    rer = (
+        exm.join(candk.select("vec_id"), "vec_id", "left_semi")
+        .join(F.broadcast(qm), F.col("pos") == F.col("qpos"))
+        .groupBy("vec_id")
+        .agg(F.sum(rdiff * rdiff).cast("bigint").alias("dist2"))
+    )
+    return (
+        rer.join(candk, "vec_id")
+        .join(cand, "vec_id")
+        .select("vec_id", "cell", "adc_d2", "dist2")
+        .orderBy("dist2", "vec_id")
+        .limit(10)
+    )
+
+
+sim_ivfpq_topk.__doc__ = sim_ivfpq_topk.__doc__.format(c=_PQ_CAND, k2=_PQ_K)
+
+
+# ---------------------------------------------------------------------------
+# M278 sim_filtered_topk — metadata-filtered vector search (per-label top-k)
+# ---------------------------------------------------------------------------
+
+_FILT_K = 3
+
+_FILT_ORACLE = f"""
+    WITH ex AS (
+      SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, (SELECT unnest(generate_series(1, {EMB_DIM})) AS i) s
+    ),
+    nrm AS (SELECT vec_id, sqrt(sum(val * val)) AS nv FROM ex GROUP BY vec_id),
+    q AS (SELECT pos, val FROM ex WHERE vec_id = {QUERY_VEC_ID}),
+    d AS (SELECT e.vec_id, any_value(e.label) AS label, sum(e.val * q.val) AS dp
+          FROM ex e JOIN q ON e.pos = q.pos
+          WHERE e.vec_id <> {QUERY_VEC_ID}
+          GROUP BY e.vec_id),
+    cos AS (SELECT d.vec_id, d.label,
+                   round(d.dp / (n1.nv * n2.nv), 6) AS cosine
+            FROM d
+            JOIN nrm n1 ON d.vec_id = n1.vec_id
+            CROSS JOIN (SELECT nv FROM nrm WHERE vec_id = {QUERY_VEC_ID}) n2)
+    SELECT label, CAST(rk_f AS BIGINT) AS rk, vec_id, cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY label
+                                       ORDER BY cosine DESC, vec_id) AS rk_f
+          FROM cos) t
+    WHERE rk_f <= {_FILT_K}
+"""
+
+
+@register("sim_filtered_topk", oracle=_FILT_ORACLE)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M278 — metadata-FILTERED vector search: top-{k} by cosine within
+    every label group for the fixture query vector: the production
+    feature every vector store ships (filtered/faceted ANN — "nearest
+    documents WHERE source = X") that none of the other sim ops
+    exercises.  One corpus pass computes all per-label answers
+    simultaneously (the batch form of a filtered query; a single
+    filter is the label = X slice of this result).
+
+    Cross-engine float discipline matches the sim family: cosines
+    rounded to 6 dp, (cosine DESC, vec_id) unique tie-break, per-label
+    window — never a global one.  Scale: at 100 TB filtered search is
+    the argument FOR metadata-partitioned vector layouts — with the
+    corpus bucketed/partitioned by the filter column (exactly the
+    IVF+PQ artifact's bucketBy(cell) discipline applied to a metadata
+    key) each filtered query scans only its slice; the registered
+    one-pass batch shape is the offline-eval form."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("emb")
+    ).withColumn("nv", norm(F.col("emb")))
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("qemb"), F.col("nv").alias("nq")
+    )
+    cos = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                dot(F.col("emb"), F.col("qemb")) / (F.col("nv") * F.col("nq")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cos.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _FILT_K)
+        .select("label", "rk", "vec_id", "cosine")
+    )
+
+
+sim_filtered_topk.__doc__ = sim_filtered_topk.__doc__.format(k=_FILT_K)
+
+
+# ---------------------------------------------------------------------------
+# M282 sim_mmr_diversify — Maximal Marginal Relevance (unrolled greedy)
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 20  # relevance candidate pool
+_MMR_K = 5  # diversified picks
+
+#: One greedy MMR pick, oracle side: among unpicked pool members,
+#: maximize score2 = rel − max(pair-dot to any previous pick); the
+#: pick CTEs are MATERIALIZED (oracle-side double-reference rule).
+_MMR_STEP_SQL = """
+    , pen{n} AS (
+      SELECT p.vec_id, max(pd.w) AS pen
+      FROM pool p
+      JOIN pw_mmr pd ON pd.a = p.vec_id
+      WHERE pd.b IN (SELECT vec_id FROM picked{p})
+        AND p.vec_id NOT IN (SELECT vec_id FROM picked{p})
+      GROUP BY p.vec_id),
+    pick{n} AS MATERIALIZED (
+      SELECT vec_id, rel, pen, rel - pen AS score2 FROM (
+        SELECT p.vec_id, p.rel, pn.pen,
+               row_number() OVER (ORDER BY p.rel - pn.pen DESC, p.vec_id)
+                 AS rk_m{n}
+        FROM pool p JOIN pen{n} pn ON p.vec_id = pn.vec_id) t
+      WHERE rk_m{n} = 1),
+    picked{n} AS MATERIALIZED (
+      SELECT vec_id FROM picked{p}
+      UNION ALL SELECT vec_id FROM pick{n})
+"""
+
+
+def _mmr_oracle() -> str:
+    steps = "".join(
+        _MMR_STEP_SQL.format(n=i, p=i - 1) for i in range(2, _MMR_K + 1)
+    )
+    picks = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS pick_order, vec_id, rel,"
+        f" pen, score2 FROM pick{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return (
+        _SQ8_EX_CTE
+        + f"""
+    , q AS (SELECT pos, vm AS qvm FROM ex WHERE vec_id = {QUERY_VEC_ID}),
+    rel0 AS (SELECT e.vec_id, CAST(sum(e.vm * q.qvm) AS BIGINT) AS rel
+             FROM ex e JOIN q ON e.pos = q.pos
+             WHERE e.vec_id <> {QUERY_VEC_ID}
+             GROUP BY e.vec_id),
+    pool AS MATERIALIZED (
+      SELECT vec_id, rel FROM (
+        SELECT vec_id, rel,
+               row_number() OVER (ORDER BY rel DESC, vec_id) AS rk_p
+        FROM rel0) t WHERE rk_p <= {_MMR_POOL}),
+    pw_mmr AS MATERIALIZED (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             CAST(sum(ea.vm * eb.vm) AS BIGINT) AS w
+      FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+      JOIN ex ea ON ea.vec_id = a.vec_id
+      JOIN ex eb ON eb.vec_id = b.vec_id AND ea.pos = eb.pos
+      GROUP BY a.vec_id, b.vec_id),
+    pick1 AS MATERIALIZED (
+      SELECT vec_id, rel, CAST(0 AS BIGINT) AS pen, rel AS score2 FROM (
+        SELECT vec_id, rel,
+               row_number() OVER (ORDER BY rel DESC, vec_id) AS rk_m1
+        FROM pool) t WHERE rk_m1 = 1),
+    picked1 AS MATERIALIZED (SELECT vec_id FROM pick1)
+    {steps}
+    SELECT * FROM ({picks}) all_picks
+    """
+    )
+
+
+@register("sim_mmr_diversify", oracle=_mmr_oracle())
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M282 — Maximal Marginal Relevance re-ranking (Carbonell &
+    Goldstein 1998): the diversity stage every production retrieval
+    system runs after relevance ranking: greedily pick {k} results
+    from the relevance top-{pool}, each pick maximizing
+    λ·rel(q,d) − (1−λ)·max_sim(d, already-picked).  At λ = 1/2 the
+    doubled objective is the pure integer difference
+    score2 = rel − max_pair_dot — zero floats anywhere (micro-unit
+    BIGINT dots, (score DESC, vec_id) tie-breaks; pick 1 is pure
+    relevance with penalty 0).
+
+    The greedy loop is unrolled ({k} − 1 dependent steps); the
+    selected-set frame is re-referenced every step → Spark
+    materializes per round through iter_materialize (the durable-
+    checkpoint posture) and the oracle marks pool/pair/pick CTEs
+    MATERIALIZED (the oracle-side double-reference rule).  Scale:
+    the pairwise stage is {pool}×{pool} over the POOL, never the
+    corpus — MMR cost is independent of corpus size once the
+    relevance pool is cut, which is why it composes after any of the
+    ANN tiers (BQ/PQ/IVF/SQ8)."""
+    vmarr = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000000).cast("bigint"),
+    )
+    ev = iter_materialize(
+        load(spark, sf_dir, "embeddings").select("vec_id", vmarr.alias("vm"))
+    )  # feeds q, rel, and the pool pairs
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    q = ev.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("vm").alias("qvm")
+    )
+    rel = (
+        ev.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "vm", idot(F.col("vm"), F.col("qvm")).alias("rel"))
+    )
+    pool = iter_materialize(
+        rel.orderBy(F.desc("rel"), F.asc("vec_id")).limit(_MMR_POOL)
+    )  # feeds pair dots + every pick round
+    pw = iter_materialize(
+        pool.select("vec_id", "vm")
+        .crossJoin(
+            F.broadcast(
+                pool.select(
+                    F.col("vec_id").alias("b"), F.col("vm").alias("vmb")
+                )
+            )
+        )
+        .filter(F.col("vec_id") != F.col("b"))
+        .select(
+            F.col("vec_id").alias("a"), "b", idot(F.col("vm"), F.col("vmb")).alias("w")
+        )
+    )  # referenced every pick round
+    wpick = Window.partitionBy(F.pmod(F.col("vec_id"), F.lit(1))).orderBy(
+        F.desc("score2"), F.asc("vec_id")
+    )
+    first = iter_materialize(
+        pool.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            "vec_id",
+            "rel",
+            F.lit(0).cast("bigint").alias("pen"),
+            F.col("rel").alias("score2"),
+        )
+    )
+    picks = [first]
+    picked = first.select("vec_id")
+    for i in range(2, _MMR_K + 1):
+        pen = (
+            pw.join(F.broadcast(picked.select(F.col("vec_id").alias("b"))), "b")
+            .groupBy("a")
+            .agg(F.max("w").alias("pen"))
+        )
+        cand = (
+            pool.join(picked, "vec_id", "left_anti")
+            .join(pen, pen.a == F.col("vec_id"))
+            .select("vec_id", "rel", "pen", (F.col("rel") - F.col("pen")).alias("score2"))
+        )
+        pick = iter_materialize(
+            cand.withColumn("rk_m", F.row_number().over(wpick))
+            .filter(F.col("rk_m") == 1)
+            .select("vec_id", "rel", F.col("pen").cast("bigint").alias("pen"), "score2")
+        )
+        picks.append(pick)
+        picked = iter_materialize(picked.unionAll(pick.select("vec_id")))
+    out = None
+    for i, p in enumerate(picks, 1):
+        row = p.select(
+            F.lit(i).cast("bigint").alias("pick_order"),
+            "vec_id",
+            "rel",
+            "pen",
+            "score2",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+sim_mmr_diversify.__doc__ = sim_mmr_diversify.__doc__.format(
+    k=_MMR_K, pool=_MMR_POOL
+)

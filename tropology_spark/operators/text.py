@@ -2018,3 +2018,112 @@ def text_simpson_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n_tokens * (n_tokens - 1)) ELSE 0 END AS BIGINT)"
         ).alias("simpson_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M272 text_bm25_terms — BM25 tf-component scoring, integer rational carriers
+# ---------------------------------------------------------------------------
+
+# BM25 with k1 = 1.2, b = 0.75: tf_comp = tf·(k1+1) / (tf + k1·(1−b)
+# + k1·b·dl/avgdl).  Multiplying numerator and denominator by 10·D
+# (D = Σdl, avgdl = D/N) clears every fraction:
+#   milli = 22000·tf·D  //  (10·tf·D + 3·D + 9·dl·N)
+# All terms non-negative BIGINTs (22000·tf·D stays < 2^63 up to
+# tf·D ≈ 4·10¹⁴ — a ~10¹²-token corpus; docstring bound).
+_BM25_ORACLE = """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, token),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM tok GROUP BY doc_id),
+    df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM tok GROUP BY token),
+    g AS (SELECT CAST(sum(dl) AS BIGINT) AS d_total,
+                 CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+    terms AS (SELECT token, df FROM (
+        SELECT token, df,
+               row_number() OVER (ORDER BY df DESC, token) AS rk_t
+        FROM df) t WHERE rk_t <= 5),
+    sc AS (SELECT t.token, f.doc_id, f.tf, l.dl, t.df,
+                  CAST((22000 * f.tf * g.d_total)
+                       // (10 * f.tf * g.d_total + 3 * g.d_total
+                           + 9 * l.dl * g.n_docs) AS BIGINT) AS milli_tf_comp,
+                  g.n_docs
+           FROM terms t
+           JOIN tf f ON f.token = t.token
+           JOIN dl l ON l.doc_id = f.doc_id
+           CROSS JOIN g)
+    SELECT token, doc_id, tf, dl, df, n_docs, milli_tf_comp,
+           CAST(rk_d AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY token
+                                       ORDER BY milli_tf_comp DESC, doc_id)
+                      AS rk_d
+          FROM sc) r
+    WHERE rk_d <= 10
+"""
+
+
+@register("text_bm25_terms", oracle=_BM25_ORACLE)
+def text_bm25_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M272 — BM25 retrieval scoring for the five highest-df corpus
+    terms: per (term, doc) the exact tf-saturation component
+    tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) at the standard k1=1.2,
+    b=0.75, carried as the integer rational
+    milli = 22000·tf·D div (10·tf·D + 3·D + 9·dl·N) — multiplying
+    through by 10·D clears every fraction, all terms are non-negative
+    BIGINTs, and div//floor agree.  The idf factor is transcendental
+    (ln), so per the *_terms discipline its exact integer inputs
+    (n_docs, df) ride along as columns; top-10 docs per term by
+    (milli DESC, doc_id).  Safe to ~10¹² corpus tokens
+    (22000·tf·D < 2⁶³); beyond that the wide-integer rule applies.
+
+    Scale: tf/dl/df are three map-side-combinable aggs over one
+    tokenize pass; the corpus totals are a 1-row scalar attach
+    (deliberate crossJoin, BNLJ-allowlisted); the per-term ranking
+    window is partitioned by token — no global window.  At 100 TB the
+    df/dl tables ARE the inverted-index statistics a retrieval system
+    persists."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    df = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    g = dl.agg(
+        F.sum("dl").cast("bigint").alias("d_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    terms = df.orderBy(F.desc("df"), F.asc("token")).limit(5)
+    sc = (
+        tf.join(F.broadcast(terms), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "token",
+            "doc_id",
+            "tf",
+            "dl",
+            "df",
+            "n_docs",
+            F.expr(
+                "CAST((22000 * tf * d_total) div (10 * tf * d_total"
+                " + 3 * d_total + 9 * dl * n_docs) AS BIGINT)"
+            ).alias("milli_tf_comp"),
+        )
+    )
+    w = Window.partitionBy("token").orderBy(
+        F.desc("milli_tf_comp"), F.asc("doc_id")
+    )
+    return (
+        sc.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "token", "doc_id", "tf", "dl", "df", "n_docs", "milli_tf_comp", "rk"
+        )
+    )

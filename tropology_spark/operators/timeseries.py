@@ -2249,3 +2249,198 @@ def ts_haar_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.join(sad1, "day").join(sad2, "day")
         .select("day", "total", "sad1", "sad2")
     )
+
+
+# ---------------------------------------------------------------------------
+# M274 ts_motif_counts — SAX motif mining on the registered symbol words
+# ---------------------------------------------------------------------------
+
+from tropology_spark.registry import ORACLES as _TS_ORACLES  # noqa: E402
+
+_MOTIF_W = 4  # motif width (symbols)
+_MOTIF_TOP = 20
+
+_MOTIF_ORACLE = f"""
+    WITH sax AS ({_TS_ORACLES["ts_sax_symbols"]}),
+    p AS (
+      SELECT user_id, substring(symbols, i, {_MOTIF_W}) AS motif
+      FROM sax, (SELECT unnest(generate_series(1, 4096)) AS i) s
+      WHERE i <= len(symbols) - {_MOTIF_W - 1}
+    )
+    SELECT motif, CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM p GROUP BY motif
+    ORDER BY n_occ DESC, motif
+    LIMIT {_MOTIF_TOP}
+"""
+
+
+@register("ts_motif_counts", oracle=_MOTIF_ORACLE)
+def ts_motif_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M274 — SAX motif mining composed on the registered
+    ts_sax_symbols words: every sliding width-{w} symbol window of
+    every (user, day) word, counted corpus-wide, top-{t} motifs by
+    (occurrences DESC, motif) — the classic symbolic motif-discovery
+    step that runs on SAX output (Lin et al. 2003).  Spark side calls
+    the registered query function; the oracle composes its oracle
+    verbatim (the dedup_lsh_recall composition rule).
+
+    Position enumeration is capped at 4096 on BOTH sides (the Spark
+    sequence end is least(len−{wm1}, 4096)) — the relational-
+    enumeration cap discipline; a day-word is one symbol per event, so
+    the cap binds only past 4099 events/user/day.  The sequence is
+    guarded against the descending-sequence trap (len < {w} → empty
+    array).  Scale: word lengths are bounded by events/user/day, so
+    the explode is linear in events; the motif agg is map-side
+    combinable on a ≤4^{w}-value key domain."""
+    sax = ts_sax_symbols(spark, sf_dir)
+    pos = sax.select(
+        "user_id",
+        F.explode(
+            F.when(
+                F.length("symbols") >= _MOTIF_W,
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.length("symbols") - (_MOTIF_W - 1), F.lit(4096)
+                    ),
+                ),
+            )  # len < width → NULL array → explode yields no rows
+        ).alias("i"),
+        "symbols",
+    ).select(
+        "user_id",
+        F.expr(f"substring(symbols, i, {_MOTIF_W})").alias("motif"),
+    )
+    return (
+        pos.groupBy("motif")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occ"), F.asc("motif"))
+        .limit(_MOTIF_TOP)
+    )
+
+
+ts_motif_counts.__doc__ = ts_motif_counts.__doc__.format(
+    w=_MOTIF_W, t=_MOTIF_TOP, wm1=_MOTIF_W - 1
+)
+
+
+# ---------------------------------------------------------------------------
+# M281 ts_theilsen_micro — Theil-Sen robust slope (shifted floor-div slopes)
+# ---------------------------------------------------------------------------
+
+_TS_BIG = 10**12  # shift making every slope numerator non-negative
+
+_THEILSEN_ORACLE = f"""
+    WITH e AS (
+      SELECT event_type,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 24
+               + hour(ts) AS h
+      FROM events
+    ),
+    c AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY event_type, h),
+    p AS (
+      SELECT a.event_type,
+             ((b.n - a.n) * 1000000 + {_TS_BIG} * (b.h - a.h))
+               // (b.h - a.h) - {_TS_BIG} AS smicro
+      FROM c a JOIN c b
+        ON a.event_type = b.event_type AND a.h < b.h
+    ),
+    g AS (SELECT event_type, smicro, CAST(count(*) AS BIGINT) AS cnt
+          FROM p GROUP BY event_type, smicro),
+    w AS (SELECT event_type, smicro, cnt,
+                 CAST(sum(cnt) OVER (PARTITION BY event_type
+                                     ORDER BY smicro) AS BIGINT) AS cum,
+                 CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_pairs
+          FROM g)
+    SELECT event_type, n_pairs,
+           CAST(min(CASE WHEN cum >= (n_pairs + 1) // 2 THEN smicro END)
+                AS BIGINT) AS slope_micro,
+           CAST(min(smicro) AS BIGINT) AS min_smicro,
+           CAST(max(smicro) AS BIGINT) AS max_smicro
+    FROM w GROUP BY event_type, n_pairs
+"""
+
+
+@register("ts_theilsen_micro", oracle=_THEILSEN_ORACLE)
+def ts_theilsen_micro(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """M281 — Theil-Sen robust trend per event type over the hourly
+    count series: the median of all pairwise slopes (up to 29% outlier
+    breakdown vs OLS's zero; the robust companion to the M254
+    analytics_ols_terms).  Slopes are carried as micro-slopes
+    floor(10⁶·Δn/Δh) made ENGINE-EXACT by the +shift identity
+    (dy·10⁶ + BIG·dx) div dx − BIG with BIG = 10¹² ≥ |dy|·10⁶ (the
+    sim_cluster_cohesion shift rule: the shifted numerator is
+    non-negative so truncation == flooring, and (a + k·dx) div dx =
+    a floor-div dx + k exactly); the per-type median is the lower
+    counting median over per-value counts (the bounded-domain
+    counting-quantile rule — never a corpus sort), safe while hourly
+    counts stay under 10⁶ (fixture max ~10²; document before lifting).
+
+    Scale: the hourly rollup is map-side combinable; the pair join is
+    per-type over the HOURLY series (bounded by the time span, not
+    the event count — 720 points/month → 259k pairs regardless of
+    corpus size), and the median windows partition by event_type.
+    ``events=`` overrides the events frame (weak-scaling probe kwarg —
+    tools/scale_probes/theilsen_scale.py tests exactly the
+    span-bounded claim; the driver contract never passes it)."""
+    epoch = F.lit("1970-01-01").cast("date")
+    if events is None:
+        events = load(spark, sf_dir, "events")
+    e = events.select(
+        "event_type",
+        (
+            F.datediff(F.col("ts").cast("date"), epoch) * 24
+            + F.hour(F.col("ts"))
+        ).alias("h"),
+    )
+    c = e.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = c.select(
+        F.col("event_type").alias("et"),
+        F.col("h").alias("ha"),
+        F.col("n").alias("na"),
+    )
+    p = (
+        a.join(
+            c,
+            (F.col("et") == F.col("event_type")) & (F.col("ha") < F.col("h")),
+        )
+        .select(
+            "event_type",
+            F.expr(
+                f"((n - na) * 1000000 + {_TS_BIG}L * (h - ha))"
+                f" div (h - ha) - {_TS_BIG}L"
+            ).alias("smicro"),
+        )
+    )
+    g = p.groupBy("event_type", "smicro").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("smicro")
+    w_all = Window.partitionBy("event_type")
+    w = g.select(
+        "event_type",
+        "smicro",
+        F.sum("cnt").over(w_cum).cast("bigint").alias("cum"),
+        F.sum("cnt").over(w_all).cast("bigint").alias("n_pairs"),
+    )
+    return w.groupBy("event_type", "n_pairs").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(n_pairs + 1) div 2"), F.col("smicro")
+            )
+        )
+        .cast("bigint")
+        .alias("slope_micro"),
+        F.min("smicro").cast("bigint").alias("min_smicro"),
+        F.max("smicro").cast("bigint").alias("max_smicro"),
+    )
