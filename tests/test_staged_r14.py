@@ -55,14 +55,15 @@ def test_staged_partitioning_invariance(spark):
 
 
 def test_staged_no_new_plan_antipatterns(spark):
-    """No CartesianProduct / row-Python UDF; BNLJ only at the one
-    noted scalar attach (ts_hurst_rs_terms' 2-row window-size table
-    crossed into the bounded hour spine) — the name to add to
-    BNLJ_ALLOWED at activation."""
+    """No CartesianProduct / row-Python UDF; BNLJ only at the two
+    noted scalar attaches (ts_hurst_rs_terms' 2-row window-size table
+    crossed into the bounded hour spine; agg_bloom_fpr_curve's 1-row
+    member-count modulus + probe-total attaches) — the names to add
+    to BNLJ_ALLOWED at activation."""
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "simple"
     )
-    bnlj_expected = {"ts_hurst_rs_terms"}
+    bnlj_expected = {"ts_hurst_rs_terms", "agg_bloom_fpr_curve"}
     bad = {}
     for name, (fn, _) in STAGED.items():
         s = fn(spark, SF_UNIT)._jdf.queryExecution().explainString(mode)
@@ -267,3 +268,383 @@ def test_hurst_constant_series_has_zero_range(spark, rate, hours):
         assert got[w]["sum_r_xw"] == 0, got[w]
         assert got[w]["sum_s2num"] == 0, got[w]
         assert got[w]["sum_x"] == rate * w * (hours // w)
+
+
+# ---------------------------------------------------------------------------
+# Twins for the round-14 extension slate (second staging session)
+# ---------------------------------------------------------------------------
+
+
+def test_staged_srm_matches_pure_python(spark):
+    """analytics_srm_audit — cohort split counts and the milli-chi2
+    carrier recomputed with hashlib + Counters; also pins the identity
+    Σ dev over cohorts = n_A_total − n_B_total."""
+    import hashlib
+    from collections import defaultdict
+
+    import duckdb
+
+    fn, _ = STAGED["analytics_srm_audit"]
+    rows = duckdb.sql(
+        f"""SELECT user_id,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+            FROM read_parquet('{SF_UNIT}/events.parquet')"""
+    ).fetchall()
+    d0 = {}
+    for uid, d in rows:
+        d0[uid] = min(d, d0.get(uid, d))
+    coh = defaultdict(lambda: [0, 0])
+    for uid, d in d0.items():
+        a = hashlib.md5(str(uid).encode()).hexdigest()[0] < "8"
+        coh[d][0 if a else 1] += 1
+    want = {
+        d: (na, nb, na + nb, na - nb, (1000 * (na - nb) * (na - nb)) // (na + nb))
+        for d, (na, nb) in coh.items()
+    }
+    got_rows = fn(spark, SF_UNIT).collect()
+    got = {
+        r["cohort_day"]: (r["n_a"], r["n_b"], r["n_users"], r["dev"], r["chisq_milli"])
+        for r in got_rows
+    }
+    assert got == want
+    assert sum(r["dev"] for r in got_rows) == sum(
+        na - nb for na, nb, *_ in want.values()
+    )
+
+
+def test_staged_bloom_fpr_matches_pure_python(spark):
+    """agg_bloom_fpr_curve — bit sets, double-hash positions, and
+    false positives recomputed with hashlib + Python ints; also pins
+    FPR monotone non-increasing in bits-per-key."""
+    import hashlib
+
+    import duckdb
+
+    fn, _ = STAGED["agg_bloom_fpr_curve"]
+    mem = {
+        int(k)
+        for (k,) in duckdb.sql(
+            f"SELECT DISTINCT o_custkey FROM read_parquet('{SF_UNIT}/orders.parquet')"
+        ).fetchall()
+    }
+    probes = [
+        int(k) + 1_000_000_000
+        for (k,) in duckdb.sql(
+            f"SELECT c_custkey FROM read_parquet('{SF_UNIT}/customer.parquet')"
+        ).fetchall()
+    ]
+    n_members = len(mem)
+
+    def h12(k):
+        hx = hashlib.md5(str(k).encode()).hexdigest()
+        return int(hx[:8], 16), int(hx[8:16], 16)
+
+    want = {}
+    for bpk in (8, 16, 32):
+        m = bpk * n_members
+        bits = set()
+        for k in mem:
+            h1, h2 = h12(k)
+            bits.add(h1 % m)
+            bits.add((h1 + h2) % m)
+        n_fp = 0
+        for k in probes:
+            h1, h2 = h12(k)
+            if h1 % m in bits and (h1 + h2) % m in bits:
+                n_fp += 1
+        want[bpk] = (
+            n_members, len(probes), n_fp, (1_000_000 * n_fp) // len(probes),
+        )
+    got = {
+        r["bits_per_key"]: (r["n_members"], r["n_nonmembers"], r["n_fp"], r["fpr_ppm"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+    fprs = [got[b][3] for b in (8, 16, 32)]
+    assert fprs[0] >= fprs[1] >= fprs[2]  # more bits, fewer false positives
+
+
+def test_staged_continuation_matches_pure_python(spark):
+    """text_continuation_terms — bigram counts, continuation counts,
+    and the follower Simpson numerator recomputed with Counters over
+    the exact split(' ') tokenization (empty tokens included — the J6
+    discipline)."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    fn, _ = STAGED["text_continuation_terms"]
+    texts = duckdb.sql(
+        f"SELECT text FROM read_parquet('{SF_UNIT}/documents.parquet')"
+    ).fetchall()
+    bc = defaultdict(Counter)
+    for (t,) in texts:
+        toks = t.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            bc[a][b] += 1
+    agg = {
+        tok: (
+            sum(c.values()),
+            len(c),
+            sum(v * (v - 1) for v in c.values()),
+        )
+        for tok, c in bc.items()
+    }
+    top = sorted(agg, key=lambda t: (-agg[t][0], t))[:20]
+    want = {
+        tok: (*agg[tok], rk) for rk, tok in enumerate(top, 1)
+    }
+    got = {
+        r["token"]: (r["n_bigrams"], r["n_continuations"], r["simpson_num"], r["rk"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_staged_truncation_matches_pure_python(spark):
+    """pipeline_truncation_loss_curve — histogram cut recomputed with
+    plain ints; also pins the curve monotonicity (lost and docs_over
+    non-increasing in max_len) and kept+lost = total."""
+    import duckdb
+
+    fn, _ = STAGED["pipeline_truncation_loss_curve"]
+    lens = [
+        len(t.split(" "))
+        for (t,) in duckdb.sql(
+            f"SELECT text FROM read_parquet('{SF_UNIT}/documents.parquet')"
+        ).fetchall()
+    ]
+    total = sum(lens)
+    want = {}
+    for L in (128, 256, 512):
+        lost = sum(max(0, n - L) for n in lens)
+        over = sum(1 for n in lens if n > L)
+        want[L] = (over, lost, total, (1_000_000 * lost) // total)
+    got = {
+        r["max_len"]: (r["n_docs_over"], r["tokens_lost"], r["tokens_total"], r["loss_ppm"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+    assert got[128][1] >= got[256][1] >= got[512][1]
+    assert got[128][0] >= got[256][0] >= got[512][0]
+
+
+def test_staged_quantizer_drift_matches_pure_python(spark):
+    """sim_quantizer_drift — one NumPy Lloyd round (cell means, 6-dp
+    cosine, (ccos DESC, cell) tie-break) compared cell by cell; also
+    pins the conservation identities Σn_before = Σn_after = n_vectors
+    and n_stayed ≤ min(n_before, n_after) per cell."""
+    from collections import defaultdict
+
+    import duckdb
+    import numpy as np
+
+    fn, _ = STAGED["sim_quantizer_drift"]
+    rows = duckdb.sql(
+        f"SELECT vec_id, label, embedding FROM "
+        f"read_parquet('{SF_UNIT}/embeddings.parquet')"
+    ).fetchall()
+    ids = [int(r[0]) for r in rows]
+    lab = {int(r[0]): int(r[1]) for r in rows}
+    m = np.array([r[2] for r in rows], dtype=np.float64)
+    idx = {v: i for i, v in enumerate(ids)}
+    nv = {v: float(np.linalg.norm(m[idx[v]])) for v in ids}
+    cells = sorted(set(lab.values()))
+    cen = {}
+    for c in cells:
+        members = [v for v in ids if lab[v] == c]
+        cen[c] = m[[idx[v] for v in members]].mean(axis=0)
+    nc = {c: float(np.linalg.norm(cen[c])) for c in cells}
+    assign1 = {}
+    for v in ids:
+        scored = sorted(
+            (
+                (-round(float(np.dot(m[idx[v]], cen[c])) / (nv[v] * nc[c]), 6), c)
+                for c in cells
+            ),
+        )
+        assign1[v] = scored[0][1]
+    before = defaultdict(int)
+    after = defaultdict(int)
+    stayed = defaultdict(int)
+    for v in ids:
+        before[lab[v]] += 1
+        after[assign1[v]] += 1
+        if assign1[v] == lab[v]:
+            stayed[assign1[v]] += 1
+    want = {}
+    for c in set(before) | set(after):
+        na = after.get(c, 0)
+        ns = stayed.get(c, 0)
+        want[c] = (
+            before.get(c, 0), na, ns, na - ns,
+            0 if na == 0 else (1_000_000 * (na - ns)) // na,
+        )
+    got = {
+        r["cell"]: (r["n_before"], r["n_after"], r["n_stayed"], r["n_arrived"], r["arrived_ppm"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == sum(v[1] for v in got.values()) == len(ids)
+    for c, (nb, na, ns, *_rest) in got.items():
+        assert ns <= min(nb, na)
+
+
+def test_staged_record_hours_matches_pure_python(spark):
+    """ts_record_hours — prefix maxima recomputed with plain loops."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    fn, _ = STAGED["ts_record_hours"]
+    rows = duckdb.sql(
+        f"""SELECT event_type,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 24
+                     + hour(ts)
+            FROM read_parquet('{SF_UNIT}/events.parquet')"""
+    ).fetchall()
+    cnt = Counter(rows)
+    series = defaultdict(dict)
+    for (et, h), n in cnt.items():
+        series[et][h] = n
+    want = {}
+    for et, hs in series.items():
+        best = None
+        n_rec = 0
+        last = None
+        for h in sorted(hs):
+            if best is None or hs[h] > best:
+                n_rec += 1
+                last = h
+                best = max(best or 0, hs[h])
+        want[et] = (len(hs), n_rec, last, max(hs.values()))
+    got = {
+        r["event_type"]: (r["n_hours"], r["n_records"], r["last_record_h"], r["max_n"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_staged_sequential_matches_pure_python(spark):
+    """analytics_sequential_counts — per-day cumulative users and
+    converters recomputed with hashlib + dict loops; also pins
+    monotonicity of both cumulative columns and converted ≤ users."""
+    import hashlib
+    from collections import defaultdict
+
+    import duckdb
+
+    fn, _ = STAGED["analytics_sequential_counts"]
+    rows = duckdb.sql(
+        f"""SELECT user_id, event_type,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+            FROM read_parquet('{SF_UNIT}/events.parquet')"""
+    ).fetchall()
+    d0 = {}
+    fp = {}
+    days = set()
+    for uid, et, d in rows:
+        days.add(d)
+        d0[uid] = min(d, d0.get(uid, d))
+        if et == "purchase":
+            fp[uid] = min(d, fp.get(uid, d))
+    var = {
+        uid: ("A" if hashlib.md5(str(uid).encode()).hexdigest()[0] < "8" else "B")
+        for uid in d0
+    }
+    want = {}
+    for v in ("A", "B"):
+        cu = cc = 0
+        nu = defaultdict(int)
+        nc = defaultdict(int)
+        for uid in d0:
+            if var[uid] != v:
+                continue
+            nu[d0[uid]] += 1
+            if uid in fp:
+                nc[fp[uid]] += 1
+        for d in sorted(days):
+            cu += nu.get(d, 0)
+            cc += nc.get(d, 0)
+            want[(d, v)] = (cu, cc, 0 if cu == 0 else (1_000_000 * cc) // cu)
+    got_rows = fn(spark, SF_UNIT).collect()
+    got = {
+        (r["day"], r["variant"]): (r["cum_users"], r["cum_converted"], r["conv_ppm"])
+        for r in got_rows
+    }
+    assert got == want
+    for v in ("A", "B"):
+        seq = sorted(
+            (d for d, vv in got if vv == v),
+        )
+        for a, b in zip(seq, seq[1:]):
+            assert got[(b, v)][0] >= got[(a, v)][0]
+            assert got[(b, v)][1] >= got[(a, v)][1]
+    for (_d, _v), (cu, cc, _p) in got.items():
+        assert cc <= cu
+
+
+def test_staged_degree_gini_matches_pure_python(spark):
+    """graph_degree_gini — the Lorenz identity recomputed with
+    arbitrary-precision Python ints over the distinct edge list."""
+    from collections import Counter
+
+    import duckdb
+
+    fn, _ = STAGED["graph_degree_gini"]
+    pairs = duckdb.sql(
+        f"""SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+            FROM read_parquet('{SF_UNIT}/orders.parquet') o
+            JOIN read_parquet('{SF_UNIT}/lineitem.parquet') l
+              ON o.o_orderkey = l.l_orderkey"""
+    ).fetchall()
+    deg = Counter(dst for _src, dst in pairs)
+    ranked = sorted(deg.items(), key=lambda t: (t[1], t[0]))
+    n = len(ranked)
+    total = sum(d for _, d in ranked)
+    s1 = sum(pos * d for pos, (_, d) in enumerate(ranked, 1))
+    gini_ppm = (1_000_000 * (2 * s1 - (n + 1) * total)) // (n * total)
+    rows = fn(spark, SF_UNIT).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_nodes"], r["total_degree"], r["gini_ppm"]) == (n, total, gini_ppm)
+    assert 0 <= r["gini_ppm"] < 1_000_000
+
+
+@settings(**_SMALL)
+@given(
+    series=st.lists(
+        st.integers(min_value=1, max_value=9), min_size=2, max_size=24
+    )
+)
+def test_record_hours_property_prefix_maxima(spark, series):
+    """ts_record_hours on injected series (events= kwarg): the staged
+    path must equal the pure prefix-maxima recompute for ARBITRARY
+    hourly series — every count/record/argmax column, not just the
+    fixture's."""
+    fn, _ = STAGED["ts_record_hours"]
+    base = 1_700_000_000_000_000
+    rows = [
+        (h * 100 + i, 0, base + h * 3_600_000_000 + i, "click")
+        for h, n in enumerate(series)
+        for i in range(n)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, event_type string"
+    ).selectExpr("event_id", "user_id", "timestamp_micros(us) AS ts", "event_type")
+    got = {r["event_type"]: r for r in fn(spark, "unused", events=ev).collect()}
+    best = None
+    n_rec = 0
+    last_i = None
+    for i, n in enumerate(series):
+        if best is None or n > best:
+            n_rec += 1
+            last_i = i
+            best = n
+    r = got["click"]
+    assert r["n_hours"] == len(series)
+    assert r["n_records"] == n_rec
+    assert r["max_n"] == max(series)
+    # last_record_h is the absolute hour of the last record index
+    h0 = base // 3_600_000_000
+    assert r["last_record_h"] - h0 == last_i
