@@ -1062,17 +1062,29 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = bi_materialized(spark, sf_dir).select(
         F.col("u").alias("a"), F.col("v").alias("b")
     )
-    for _ in range(_KCORE_ROUNDS):
+    cur = kcore_peel(cur, _KCORE_K, _KCORE_ROUNDS)
+    return cur.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+
+
+def kcore_peel(cur: DataFrame, k: int, rounds: int) -> DataFrame:
+    """``rounds`` unrolled k-core peel steps over a directed
+    both-ways edge frame ``(a, b)`` — the single home of the peel
+    arithmetic, shared by the registered graph_kcore (k=25) and the
+    staged core-profile curve (k ∈ {5, 25, 50}).  Each surviving edge
+    set is eagerly materialized: round i+1 references round i from
+    THREE plan branches (degree agg + both endpoint joins) — the
+    double-reference rule."""
+    for _ in range(rounds):
         deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.filter(F.col("deg") >= _KCORE_K).select("a")
+        keep = deg.filter(F.col("deg") >= k).select("a")
         cur = iter_materialize(
             cur.join(keep, "a", "left_semi")
             .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
             .select("a", "b")
         )
-    return cur.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("degree")
-    )
+    return cur
 
 
 # ---------------------------------------------------------------------------

@@ -824,13 +824,15 @@ _CDC_WIN_BYTES = 8
 _CDC_MOD = 64
 
 
-def cdc_boundary_positions(spark, sf_dir: str, docs: DataFrame | None = None):
-    """The CDC boundary-position frame ``(doc_id, n_bytes, p, bound)``
-    — one row per rolling-window start byte, bound = 1 where the
-    window hash declares a chunk boundary — the single home of the
-    window-hash arithmetic, shared by the registered rollup and the
-    shift-resistance property test (``docs=`` substitutes a (doc_id,
-    text) frame)."""
+def cdc_hash_positions(spark, sf_dir: str, docs: DataFrame | None = None):
+    """The CDC window-HASH frame ``(doc_id, n_bytes, p, h16)`` — one
+    row per rolling-window start byte with the 16-bit window hash
+    itself — the single home of the window-hash arithmetic.
+    :func:`cdc_boundary_positions` derives the boundary flag from it
+    at any modulus; the staged chunk-size curve reads it ONCE and
+    derives every modulus from the same pass (powers of two nest:
+    h % 128 = 0 ⇒ h % 64 = 0 ⇒ h % 32 = 0 — the curve-over-prefix
+    rule's hash analog)."""
     from tropology_spark.sources.tables import load
 
     d = docs if docs is not None else load(spark, sf_dir, "documents")
@@ -857,25 +859,35 @@ def cdc_boundary_positions(spark, sf_dir: str, docs: DataFrame | None = None):
             ).otherwise(F.array().cast("array<bigint>"))
         ).alias("p"),
     )
-    bound = F.when(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.expr(
-                        f"substring(hs, CAST(2 * p - 1 AS INT),"
-                        f" {2 * _CDC_WIN_BYTES})"
-                    )
-                ),
-                1,
-                4,
+    h16 = F.conv(
+        F.substring(
+            F.md5(
+                F.expr(
+                    f"substring(hs, CAST(2 * p - 1 AS INT),"
+                    f" {2 * _CDC_WIN_BYTES})"
+                )
             ),
-            16,
-            10,
-        ).cast("bigint")
-        % _CDC_MOD
-        == 0,
-        1,
-    ).otherwise(0)
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return pos.select("doc_id", "n_bytes", "p", h16.alias("h16"))
+
+
+def cdc_boundary_positions(
+    spark, sf_dir: str, docs: DataFrame | None = None, mod: int = _CDC_MOD
+):
+    """The CDC boundary-position frame ``(doc_id, n_bytes, p, bound)``
+    — one row per rolling-window start byte, bound = 1 where the
+    window hash declares a chunk boundary at modulus ``mod`` (default
+    the registered 64) — shared by the registered rollup and the
+    shift-resistance property test (``docs=`` substitutes a (doc_id,
+    text) frame).  The hash arithmetic lives in
+    :func:`cdc_hash_positions`; this derives only the flag."""
+    pos = cdc_hash_positions(spark, sf_dir, docs)
+    bound = F.when(F.col("h16") % mod == 0, 1).otherwise(0)
     return pos.select("doc_id", "n_bytes", "p", bound.alias("bound"))
 
 

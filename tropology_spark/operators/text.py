@@ -1863,15 +1863,22 @@ _WIN_W = 4  # window of consecutive k-gram hashes
 
 
 def winnowing_selected(
-    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    w: int = _WIN_W,
 ) -> DataFrame:
     """The winnowing SELECTION frame ``(doc_id, n_grams, mh)`` —
     distinct trigram hashes that are the minimum of some full
-    4-window — the single home of the window-min arithmetic, shared
-    by the registered rollup and the containment-guarantee property
-    test (``docs=`` substitutes a (doc_id, text) frame).  The window
+    ``w``-window (default the registered 4) — the single home of the
+    window-min arithmetic, shared by the registered rollup, the
+    containment-guarantee property test, and the staged w-curve
+    (``docs=`` substitutes a (doc_id, text) frame).  The window
     min is computed over ALL gram rows BEFORE the full-window filter —
-    the subquery-order rule the oracle pins."""
+    the subquery-order rule the oracle pins.  Selections NEST across
+    window sizes (the min of a w2-window is also the min of the
+    w1-subwindow containing its argmin, for w1 ≤ w2) — the staged
+    property suite pins Selected(w2) ⊆ Selected(w1)."""
     from tropology_spark.operators.pipeline_ops import word_ngrams
 
     d = docs if docs is not None else load(spark, sf_dir, "documents")
@@ -1889,10 +1896,10 @@ def winnowing_selected(
         .cast("bigint")
         .alias("h"),
     )
-    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, _WIN_W - 1)
-    wm = g.select("doc_id", "n_grams", "i", F.min("h").over(w).alias("mh"))
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    wm = g.select("doc_id", "n_grams", "i", F.min("h").over(win).alias("mh"))
     return (
-        wm.filter(F.col("i") + (_WIN_W - 1) <= F.col("n_grams"))
+        wm.filter(F.col("i") + (w - 1) <= F.col("n_grams"))
         .select("doc_id", "n_grams", "mh")
         .distinct()
     )
