@@ -623,7 +623,12 @@ _BLOOM_FPR_ORACLE = f"""
 
 
 @_stage("agg_bloom_fpr_curve", oracle=_BLOOM_FPR_ORACLE)
-def agg_bloom_fpr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_bloom_fpr_curve(
+    spark: SparkSession,
+    sf_dir: str,
+    mem: DataFrame | None = None,
+    probes: DataFrame | None = None,
+) -> DataFrame:
     """Bloom-filter false-positive-rate curve vs bits-per-key — the
     SIZING axis of the approximate-membership family (M174 audits ONE
     fixed 4096-bit/3-hash dedup filter; this measures the FPR a
@@ -644,17 +649,24 @@ def agg_bloom_fpr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the bit table is a distinct-agg over members ×2 positions
     ×|configs| (map-side combinable); the probe is an equi-join on
     (config, position).  The 1-row member-count attach (the modulus)
-    is a deliberate scalar crossJoin — BNLJ-allowlist at activation."""
+    is a deliberate scalar crossJoin — BNLJ-allowlist at activation.
+    ``mem=``/``probes=`` override the member/probe key frames (one
+    ``k`` column each; weak-scaling probe kwargs —
+    tools/scale_probes/bloomfpr_scale.py, which measures the claim
+    that FPR at fixed bits-per-key is SCALE-FREE; the driver contract
+    never passes them)."""
     from tropology_spark.session import iter_materialize
 
     # mem feeds the count AND the hash pass; the 1-row count feeds the
     # bit table, the probe positions, and the final attach — both are
     # multi-referenced, so both checkpoint (the double-reference rule).
-    mem = iter_materialize(
-        load(spark, sf_dir, "orders")
-        .select(F.col("o_custkey").alias("k"))
-        .distinct()
-    )
+    if mem is None:
+        mem = (
+            load(spark, sf_dir, "orders")
+            .select(F.col("o_custkey").alias("k"))
+            .distinct()
+        )
+    mem = iter_materialize(mem)
     nm = iter_materialize(
         mem.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
     )
@@ -690,11 +702,11 @@ def agg_bloom_fpr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    nonm = hashes(
-        load(spark, sf_dir, "customer").select(
+    if probes is None:
+        probes = load(spark, sf_dir, "customer").select(
             (F.col("c_custkey") + 1000000000).alias("k")
         )
-    )
+    nonm = hashes(probes)
     tot = nonm.agg(F.count(F.lit(1)).cast("bigint").alias("n_nonmembers"))
     pp = (
         nonm.crossJoin(F.broadcast(nm))
