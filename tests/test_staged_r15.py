@@ -55,11 +55,12 @@ def test_staged_partitioning_invariance(spark):
 
 
 def test_staged_no_new_plan_antipatterns(spark):
-    """No CartesianProduct / row-Python UDF; BNLJ only at the three
+    """No CartesianProduct / row-Python UDF; BNLJ only at the four
     noted scalar attaches (agg_hll_m_curve's 1-row exact-count cross,
     mm_cdc_size_curve's 1-row corpus-totals cross,
     pipeline_contamination_ngram_curve's 1-row train-count cross per
-    point) — the names to add to BNLJ_ALLOWED at activation."""
+    point, agg_join_size_ams' 1-row exact-join-size cross) — the
+    names to add to BNLJ_ALLOWED at activation."""
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "simple"
     )
@@ -67,6 +68,7 @@ def test_staged_no_new_plan_antipatterns(spark):
         "agg_hll_m_curve",
         "mm_cdc_size_curve",
         "pipeline_contamination_ngram_curve",
+        "agg_join_size_ams",  # the 1-row exact-join-size cross
     }
     bad = {}
     for name, (fn, _) in STAGED.items():
@@ -480,3 +482,44 @@ def test_paa_lb_property_admissible(spark, prof_a, prof_b):
     true3 = 3 * sum(x * x for x in dx)
     assert (r["lb3"], r["true3"]) == (lb3, true3)
     assert r["lb3"] <= r["true3"]
+
+
+def test_staged_join_size_ams_matches_pure_python(spark):
+    """agg_join_size_ams — both sketch vectors, the exact join size
+    and the signed errors recomputed with hashlib + Counter ints;
+    also pins unbiasedness-adjacent sanity (median-of-8 within 3
+    sigma-ish of exact is NOT pinned — estimates are noisy by design;
+    what IS pinned: est = sa*sb and diff = est - exact per sketch)."""
+    import hashlib
+    from collections import Counter
+
+    import duckdb
+
+    from tropology_spark.operators.aggregates import _AMS_PAIRS, _AMS_PRIME
+    from tropology_spark.operators.staged_r15 import _JSZ_QTY
+
+    fn, _ = STAGED["agg_join_size_ams"]
+    rows = duckdb.sql(
+        f"""SELECT l_partkey, l_quantity
+            FROM read_parquet('{SF_UNIT}/lineitem.parquet')"""
+    ).fetchall()
+    ca = Counter(int(k) for k, _q in rows)
+    cb = Counter(int(k) for k, q in rows if q > _JSZ_QTY)
+    j_exact = sum(ca[k] * cb.get(k, 0) for k in ca)
+    signs = {}
+    for k in ca:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        signs[k] = [
+            1 if ((h * a + b) % _AMS_PRIME) % 2 == 0 else -1
+            for a, b in _AMS_PAIRS
+        ]
+    want = set()
+    for j in range(8):
+        sa = sum(ca[k] * signs[k][j] for k in ca)
+        sb = sum(cb[k] * signs[k][j] for k in cb)
+        want.add((j, sa, sb, sa * sb, j_exact, sa * sb - j_exact))
+    got = {
+        (r["sketch_id"], r["sa"], r["sb"], r["est"], r["j_exact"], r["diff"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want

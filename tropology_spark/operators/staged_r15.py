@@ -33,6 +33,8 @@ plus the remaining exact-integer analytics terms:
   width n ∈ {2, 3, 4} (the decontamination discrimination axis).
 - sim_dim_variance_profile — per-dimension variance terms of the
   embedding corpus (the matryoshka/PCA prefix-dimension evidence).
+- agg_join_size_ams — AGMS join-cardinality estimation audit (the
+  optimizer question; agg_ams_f2 is its self-join special case).
 """
 
 from __future__ import annotations
@@ -960,3 +962,139 @@ def sim_dim_variance_profile(
         "var_num",
         F.row_number().over(w).cast("bigint").alias("rk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_join_size_ams — AGMS join-cardinality estimate vs exact join size
+# ---------------------------------------------------------------------------
+
+from tropology_spark.operators.aggregates import (  # noqa: E402
+    _AMS_SIGN_SQL,
+)
+
+_JSZ_QTY = 25  # the filtered side: lineitem rows with l_quantity > 25
+
+
+def _join_size_oracle() -> str:
+    sa = ", ".join(
+        f"CAST(sum({sql}) AS BIGINT) AS sa{j}"
+        for j, sql in enumerate(_AMS_SIGN_SQL)
+    )
+    sb = ", ".join(
+        f"CAST(sum(CASE WHEN fb = 1 THEN {sql.replace('THEN 1 ELSE -1', 'THEN 1 ELSE -1')} ELSE 0 END) AS BIGINT) AS sb{j}"
+        for j, sql in enumerate(_AMS_SIGN_SQL)
+    )
+    u = " UNION ALL ".join(
+        f"SELECT CAST({j} AS BIGINT) AS sketch_id, sa{j} AS sa, sb{j} AS sb"
+        f" FROM s"
+        for j in range(8)
+    )
+    return f"""
+    WITH h AS (
+      SELECT ('0x' || substring(md5(CAST(l_partkey AS STRING)), 1, 8))::BIGINT
+               AS h,
+             CASE WHEN l_quantity > {_JSZ_QTY} THEN 1 ELSE 0 END AS fb
+      FROM lineitem
+    ),
+    s AS (SELECT {sa}, {sb} FROM h),
+    u AS ({u}),
+    ex AS (
+      SELECT CAST(sum(a.ca * b.cb) AS BIGINT) AS j_exact
+      FROM (SELECT l_partkey, CAST(count(*) AS BIGINT) AS ca
+            FROM lineitem GROUP BY l_partkey) a
+      JOIN (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cb
+            FROM lineitem WHERE l_quantity > {_JSZ_QTY}
+            GROUP BY l_partkey) b
+        ON a.l_partkey = b.l_partkey
+    )
+    SELECT u.sketch_id, u.sa, u.sb,
+           CAST(u.sa * u.sb AS BIGINT) AS est,
+           ex.j_exact,
+           CAST(u.sa * u.sb - ex.j_exact AS BIGINT) AS diff
+    FROM u CROSS JOIN ex
+    """
+
+
+@_stage("agg_join_size_ams", oracle=_join_size_oracle())
+def agg_join_size_ams(
+    spark: SparkSession, sf_dir: str, li: DataFrame | None = None
+) -> DataFrame:
+    """AGMS JOIN-CARDINALITY estimation audit — the Alon-Gibbons-
+    Matias-Szegedy result that the dot product of two independent
+    ±1-sign sketches is an unbiased estimator of the join size
+    Σ_k a_k·b_k: here side A = the full lineitem part-key stream and
+    side B = the ``l_quantity > {q}`` slice, so the estimate answers
+    the cardinality question a cost-based optimizer asks before
+    picking a join strategy ("how many rows survive this filtered
+    join?") — the r12 agg_ams_f2 is exactly the SELF-join special
+    case of this sketch.  Eight independent estimates est_j =
+    SA_j·SB_j ship next to the exact join size and the SIGNED error
+    diff = est − exact (no division anywhere — signed integer
+    division is the div//floor trap, so the consumer takes the
+    median-of-8 and normalizes; the twin pins the exact values).
+
+    Sign hashes reuse the aggregates.py _AMS_SIGN_SQL single home
+    (same md5-low-32 base hash, same multiplier family — the two
+    sketches for A and B use the SAME hash per sketch id, which is
+    what makes E[SA·SB] = Σ a_k·b_k).  Scale: BOTH sketch vectors
+    come from ONE lineitem scan (SB_j is the fb-masked partial of the
+    same pass) — 16 map-side-combinable partial sums per partition;
+    the exact branch (two groupBys + an equi-join) exists only
+    because this is the audit.  The 1-row exact attach is a
+    deliberate scalar crossJoin (BNLJ-allowlist at activation).
+    ``li=`` overrides the lineitem frame — (l_partkey, l_quantity)
+    (probe/property kwarg; the driver contract never passes it)."""
+    if li is None:
+        li = load(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+        F.when(F.col("l_quantity") > _JSZ_QTY, 1).otherwise(0).alias("fb"),
+        "l_partkey",
+    )
+    s = rows.agg(
+        *(
+            [
+                F.sum(F.expr(sql)).cast("bigint").alias(f"sa{j}")
+                for j, sql in enumerate(_AMS_SIGN_SQL)
+            ]
+            + [
+                F.sum(
+                    F.when(F.col("fb") == 1, F.expr(sql)).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"sb{j}")
+                for j, sql in enumerate(_AMS_SIGN_SQL)
+            ]
+        )
+    )
+    stack_args = ", ".join(f"{j}L, sa{j}, sb{j}" for j in range(8))
+    u = s.select(
+        F.expr(f"stack(8, {stack_args}) AS (sketch_id, sa, sb)")
+    )
+    a = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ca")
+    )
+    b = (
+        li.filter(F.col("l_quantity") > _JSZ_QTY)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    )
+    ex = (
+        a.join(b, "l_partkey")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("j_exact"))
+    )
+    return u.crossJoin(F.broadcast(ex)).select(
+        F.col("sketch_id").cast("bigint").alias("sketch_id"),
+        "sa",
+        "sb",
+        (F.col("sa") * F.col("sb")).cast("bigint").alias("est"),
+        "j_exact",
+        (F.col("sa") * F.col("sb") - F.col("j_exact"))
+        .cast("bigint")
+        .alias("diff"),
+    )
+
+
+agg_join_size_ams.__doc__ = agg_join_size_ams.__doc__.format(q=_JSZ_QTY)
