@@ -127,6 +127,11 @@ BNLJ_ALLOWED = {
     "agg_ams_f2", "text_bm25_terms", "sim_graph_greedy_search",
     "sim_sq8_recall", "analytics_poisson_bootstrap", "sim_filtered_topk",
     "analytics_cuped_terms",
+    # round-13 scalar attaches (pre-activation plan sweep in the staged
+    # suite): M289 broadcasts the 1-row era-boundary cross (the CUPED
+    # precedent); M295 crosses the 3-row width table into the sketch
+    # cell build and the per-user estimate probe.
+    "analytics_did_terms", "agg_cms_width_curve",
 }
 
 #: The ONLY row-at-a-time Python evaluation sites: L1 (the declared

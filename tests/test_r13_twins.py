@@ -1,88 +1,22 @@
-"""Driver-replica parity for the STAGED round-13 operators
-(tropology_spark/operators/staged_r13.py) — the full compare the
-registry queries get, run over the staged (fn, oracle) pairs at both
-verification scales, plus independent Python twins for the
-formula-risk ops, hypothesis property suites on the exact staged
-paths (frame injection), and the partitioning-invariance probe.
-Activation in round 13 is then a mechanical move-and-register.
+"""Independent pure-Python twins for the round-13 activations
+(M283-M296) — the NEW-OP CROSS-CHECK DISCIPLINE (CLAUDE.md round 7):
+Spark-vs-DuckDB parity cannot catch a shared-formula error, so every
+formula-bearing new operator is re-derived here with hashlib / sets /
+Counter / plain loops and compared against the REGISTERED query, plus
+the ball2/reach2 shared-frontier consistency pin and the three
+hypothesis property suites on the exact registered code paths (frame
+injection through the registry wrapper's **kwargs).
 
-The staged module must never be imported by package __init__ (registry
-order is externally significant); importing it here is safe because it
-registers nothing.
+(These ops were staged in round 11 as operators/staged_r13.py and
+activated in round 13; oracle parity + partitioning invariance now run
+through the registry-wide suites — tests/test_oracle_parity.py and
+test_units.py's invariance probe.)
 """
 
 from __future__ import annotations
 
-import pytest
-
-from tests.conftest import SF_ORACLE, SF_UNIT, make_duckdb
-from tropology_spark.operators.staged_r13 import STAGED
-
-
-def test_staged_module_registers_nothing():
-    from tropology_spark import QUERIES
-
-    assert not (set(STAGED) & set(QUERIES))
-
-
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_parity_both_scales(spark, name):
-    from tests.parity import compare
-
-    fn, oracle = STAGED[name]
-    for sf in (SF_UNIT, SF_ORACLE):
-        con = make_duckdb(sf)
-        try:
-            compare(name, spark, con, fn, oracle, sf)
-        finally:
-            con.close()
-
-
-def test_staged_partitioning_invariance(spark):
-    """The activation-time lockstep requires partitioning invariance;
-    pin it NOW for every staged op (three shuffle-partition settings
-    must produce identical value sets)."""
-    from tests.parity import canon_rows, spark_result
-    from tropology_spark.sources.tables import clear_session_caches
-
-    orig = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        results = {n: set() for n in STAGED}
-        for parts in ("5", "13", "32"):
-            spark.conf.set("spark.sql.shuffle.partitions", parts)
-            clear_session_caches()
-            for n, (fn, _) in STAGED.items():
-                cols, rows = spark_result(fn(spark, SF_UNIT))
-                results[n].add(tuple(canon_rows(cols, rows)))
-        for n, seen in results.items():
-            assert len(seen) == 1, f"staged {n} varies with shuffle partitioning"
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig)
-        clear_session_caches()
-
-
-def test_staged_no_new_plan_antipatterns(spark):
-    """Pre-activation plan sweep: no CartesianProduct, no row-Python
-    UDF anywhere in the staged plans; BroadcastNestedLoopJoin only at
-    the two noted scalar attaches (analytics_did_terms' 1-row boundary
-    crossJoin — the CUPED precedent — and agg_cms_width_curve's 3-row
-    width-table crosses) — the names to add to BNLJ_ALLOWED at
-    activation."""
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "simple"
-    )
-    bnlj_expected = {"analytics_did_terms", "agg_cms_width_curve"}
-    bad = {}
-    for name, (fn, _) in STAGED.items():
-        s = fn(spark, SF_UNIT)._jdf.queryExecution().explainString(mode)
-        if "CartesianProduct" in s:
-            bad[name] = "CartesianProduct"
-        if "BatchEvalPython" in s:
-            bad[name] = "row-Python UDF"
-        if "BroadcastNestedLoopJoin" in s and name not in bnlj_expected:
-            bad[name] = "unexpected BNLJ"
-    assert not bad, bad
-
+from tests.conftest import SF_UNIT
+from tropology_spark import QUERIES
 
 # ---------------------------------------------------------------------------
 # Pure-Python twins (the NEW-OP CROSS-CHECK DISCIPLINE)
@@ -97,10 +31,10 @@ def _docs(sf):
     ).fetchall()
 
 
-def test_staged_heaps_matches_pure_python(spark):
+def test_heaps_matches_pure_python(spark):
     """text_heaps_curve — Counter twin over doc_id prefixes; also pins
     vocab monotonicity in the prefix."""
-    fn, _ = STAGED["text_heaps_curve"]
+    fn = QUERIES["text_heaps_curve"]
     texts = _docs(SF_UNIT)
     dm = max(d for d, _ in texts)
     want = {}
@@ -127,7 +61,7 @@ def test_staged_heaps_matches_pure_python(spark):
     assert got[25][2] <= got[50][2] <= got[100][2]
 
 
-def test_staged_minhash_estimate_matches_pure_python(spark):
+def test_minhash_estimate_matches_pure_python(spark):
     """dedup_minhash_estimate_error — signatures, agreement counts and
     exact bigram Jaccard recomputed with hashlib/sets (only the
     permutation CONSTANTS are imported)."""
@@ -136,7 +70,7 @@ def test_staged_minhash_estimate_matches_pure_python(spark):
 
     from tropology_spark.operators.dedup import _MH_PERMS, _MH_PRIME
 
-    fn, _ = STAGED["dedup_minhash_estimate_error"]
+    fn = QUERIES["dedup_minhash_estimate_error"]
     texts = _docs(SF_UNIT)
     grams = {}
     sigs = {}
@@ -175,7 +109,7 @@ def test_staged_minhash_estimate_matches_pure_python(spark):
     assert got == want
 
 
-def test_staged_hnsw_levels_matches_pure_python(spark):
+def test_hnsw_levels_matches_pure_python(spark):
     """sim_hnsw_levels — trailing-zero levels recomputed with hashlib;
     also pins the cumulative/geometric shape (n_cum halves-ish and
     level-0 cum equals the corpus)."""
@@ -183,7 +117,7 @@ def test_staged_hnsw_levels_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["sim_hnsw_levels"]
+    fn = QUERIES["sim_hnsw_levels"]
     ids = [
         v
         for (v,) in duckdb.sql(
@@ -211,7 +145,7 @@ def test_staged_hnsw_levels_matches_pure_python(spark):
     assert got[0][1] == n
 
 
-def test_staged_walsh_matches_pure_python(spark):
+def test_walsh_matches_pure_python(spark):
     """ts_walsh_spectrum — the 8-point WHT recomputed with plain loops
     from raw event timestamps; also pins the exact Parseval identity
     Σ_j w_j² = 8·Σ_i c_i² per day."""
@@ -219,7 +153,7 @@ def test_staged_walsh_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["ts_walsh_spectrum"]
+    fn = QUERIES["ts_walsh_spectrum"]
     rows = duckdb.sql(
         f"""SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT),
                    CAST((epoch_us(ts) // 10800000000) % 8 AS BIGINT)
@@ -244,7 +178,7 @@ def test_staged_walsh_matches_pure_python(spark):
         assert lhs == rhs, d  # Parseval, exact in integers
 
 
-def test_staged_cdc_dedup_matches_pure_python(spark):
+def test_cdc_dedup_matches_pure_python(spark):
     """mm_cdc_dedup_stats — boundaries, chunk extents, digests and the
     per-source dedup economics recomputed with hashlib."""
     import hashlib
@@ -252,7 +186,7 @@ def test_staged_cdc_dedup_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["mm_cdc_dedup_stats"]
+    fn = QUERIES["mm_cdc_dedup_stats"]
     texts = duckdb.sql(
         f"SELECT doc_id, source, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
     ).fetchall()
@@ -294,7 +228,7 @@ def test_staged_cdc_dedup_matches_pure_python(spark):
     assert got == want
 
 
-def test_staged_spearman_matches_pure_python(spark):
+def test_spearman_matches_pure_python(spark):
     """ts_spearman_terms — doubled midranks and every co-moment term
     recomputed with plain dict arithmetic (arbitrary-precision ints
     check the DECIMAL/HUGEINT carriers)."""
@@ -302,7 +236,7 @@ def test_staged_spearman_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["ts_spearman_terms"]
+    fn = QUERIES["ts_spearman_terms"]
     rows = duckdb.sql(
         f"""SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT), event_type
             FROM read_parquet('{SF_UNIT}/events.parquet')
@@ -345,14 +279,14 @@ def test_staged_spearman_matches_pure_python(spark):
     assert got == want
 
 
-def test_staged_did_matches_pure_python(spark):
+def test_did_matches_pure_python(spark):
     """analytics_did_terms — cells and the shifted integral division
     recomputed with arbitrary-precision Python ints."""
     import hashlib
 
     import duckdb
 
-    fn, _ = STAGED["analytics_did_terms"]
+    fn = QUERIES["analytics_did_terms"]
     rows = duckdb.sql(
         f"""SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)),
                    CAST(round(o_totalprice * 100) AS BIGINT), o_custkey
@@ -384,7 +318,7 @@ def test_staged_did_matches_pure_python(spark):
     assert got == want
 
 
-def test_staged_ldp_matches_pure_python(spark):
+def test_ldp_matches_pure_python(spark):
     """pipeline_ldp_freq_audit — coins, replacement pick and the
     debias carrier recomputed with hashlib; also pins the exact
     algebraic identity Σ err3 = 0 (Σ t3_est ≡ 3n ≡ Σ 3·true)."""
@@ -393,7 +327,7 @@ def test_staged_ldp_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["pipeline_ldp_freq_audit"]
+    fn = QUERIES["pipeline_ldp_freq_audit"]
     rows = duckdb.sql(
         f"""SELECT event_id, event_type
             FROM read_parquet('{SF_UNIT}/events.parquet')"""
@@ -423,12 +357,12 @@ def test_staged_ldp_matches_pure_python(spark):
     assert sum(e for *_, e in got.values()) == 0  # exact debias identity
 
 
-def test_staged_feature_window_matches_bruteforce(spark):
+def test_feature_window_matches_bruteforce(spark):
     """join_feature_window — the bucketed band equi-join equals the
     O(P x V) brute-force scan."""
     import duckdb
 
-    fn, _ = STAGED["join_feature_window"]
+    fn = QUERIES["join_feature_window"]
     ev = duckdb.sql(
         f"""SELECT event_id, user_id, epoch_us(ts), event_type
             FROM read_parquet('{SF_UNIT}/events.parquet')"""
@@ -454,14 +388,14 @@ def test_staged_feature_window_matches_bruteforce(spark):
     assert got == want
 
 
-def test_staged_ball2_matches_pure_python(spark):
+def test_ball2_matches_pure_python(spark):
     """graph_ball2_sizes — seed pick and both ball sizes recomputed
     with sets."""
     from collections import Counter, defaultdict
 
     import duckdb
 
-    fn, _ = STAGED["graph_ball2_sizes"]
+    fn = QUERIES["graph_ball2_sizes"]
     edges = duckdb.sql(
         f"""SELECT DISTINCT o_custkey, l_partkey
             FROM read_parquet('{SF_UNIT}/orders.parquet') o
@@ -487,14 +421,14 @@ def test_staged_ball2_matches_pure_python(spark):
     assert got == want
 
 
-def test_staged_importance_matches_pure_python(spark):
+def test_importance_matches_pure_python(spark):
     """pipeline_importance_weights — weights and ESS contributions
     recomputed with Counter arithmetic."""
     from collections import Counter
 
     import duckdb
 
-    fn, _ = STAGED["pipeline_importance_weights"]
+    fn = QUERIES["pipeline_importance_weights"]
     rows = duckdb.sql(
         f"SELECT source FROM read_parquet('{SF_UNIT}/documents.parquet')"
     ).fetchall()
@@ -511,13 +445,13 @@ def test_staged_importance_matches_pure_python(spark):
     assert got == want
 
 
-def test_staged_pq_distortion_matches_pure_python(spark):
+def test_pq_distortion_matches_pure_python(spark):
     """sim_pq_distortion — micro-unit codes and the self-ADC error
     recomputed with plain int loops; also pins the codebook anchor
     (vectors 1..8 at distortion 0)."""
     import duckdb
 
-    fn, _ = STAGED["sim_pq_distortion"]
+    fn = QUERIES["sim_pq_distortion"]
     rows = duckdb.sql(
         f"SELECT vec_id, embedding FROM read_parquet('{SF_UNIT}/embeddings.parquet')"
     ).fetchall()
@@ -572,7 +506,7 @@ def test_feature_window_bucket_idiom_on_random_events(spark, rows):
     arbitrary event layouts (timestamps straddling bucket edges), the
     (b, b-1) probe explode + exact band filter equals the brute-force
     window count."""
-    fn, _ = STAGED["join_feature_window"]
+    fn = QUERIES["join_feature_window"]
     base = 1_700_000_000_000_000  # epoch micros anchor
     data = [
         (i, u, (base + sec * 1_000_000), t)
@@ -619,7 +553,7 @@ def test_walsh_parseval_on_injected_events(spark, rows):
     """The exact WHT energy identity Σ_j w_j² = 8·Σ_i c_i² per day, on
     the exact staged path over arbitrary event layouts — a formula
     error in the sign matrix or the zero-fill breaks it immediately."""
-    fn, _ = STAGED["ts_walsh_spectrum"]
+    fn = QUERIES["ts_walsh_spectrum"]
     base = 1_700_000_000_000_000
     ev = spark.createDataFrame(
         [
@@ -657,7 +591,7 @@ def test_ldp_debias_identity_on_injected_events(spark, rows):
     """The exact k-RR debias algebra on the staged path: reported
     counts sum to n, and Σ err3 = 0 identically (Σ(8c − n) = 3n =
     Σ 3·true) — independent of the coin outcomes."""
-    fn, _ = STAGED["pipeline_ldp_freq_audit"]
+    fn = QUERIES["pipeline_ldp_freq_audit"]
     base = 1_700_000_000_000_000
     ev = spark.createDataFrame(
         [(i, 0, base + i * 1_000_000, t) for i, t in enumerate(rows)],
@@ -676,7 +610,7 @@ def test_ldp_debias_identity_on_injected_events(spark, rows):
         assert sum(r["err3"] for r in got) == 0
 
 
-def test_staged_cms_width_matches_pure_python(spark):
+def test_cms_width_matches_pure_python(spark):
     """agg_cms_width_curve — sketch cells, per-user min estimates and
     the error rollups recomputed with hashlib + dicts; also pins the
     CMS guarantees: overcount ≥ 0 everywhere, and (because 8 | 16 | 32
@@ -689,7 +623,7 @@ def test_staged_cms_width_matches_pure_python(spark):
 
     from tropology_spark.operators.aggregates import _CMS_PRIME, _CMS_ROWS
 
-    fn, _ = STAGED["agg_cms_width_curve"]
+    fn = QUERIES["agg_cms_width_curve"]
     users = [
         u
         for (u,) in duckdb.sql(
@@ -728,7 +662,7 @@ def test_staged_cms_width_matches_pure_python(spark):
     assert got[8][2] >= got[16][2] >= got[32][2]  # grid-refinement containment
 
 
-def test_staged_reach2_hll_matches_pure_python(spark):
+def test_reach2_hll_matches_pure_python(spark):
     """graph_reach2_hll_audit — frontier, registers, dyadic carrier
     and the integral estimate recomputed with hashlib + Python ints;
     also pins n_exact == graph_ball2_sizes' n_ball2 (the two staged
@@ -740,7 +674,7 @@ def test_staged_reach2_hll_matches_pure_python(spark):
 
     from tropology_spark.operators.aggregates import _HLL_M, _HLL_NUM
 
-    fn, _ = STAGED["graph_reach2_hll_audit"]
+    fn = QUERIES["graph_reach2_hll_audit"]
     edges = duckdb.sql(
         f"""SELECT DISTINCT o_custkey, l_partkey
             FROM read_parquet('{SF_UNIT}/orders.parquet') o
@@ -775,7 +709,7 @@ def test_staged_reach2_hll_matches_pure_python(spark):
     assert got == want
     ball2 = {
         r["seed"]: r["n_ball2"]
-        for r in STAGED["graph_ball2_sizes"][0](spark, SF_UNIT).collect()
+        for r in QUERIES["graph_ball2_sizes"](spark, SF_UNIT).collect()
     }
     for s, (n_exact, _e, _r) in got.items():
         assert ball2[s] == n_exact  # shared frontier, cross-body pin
@@ -797,7 +731,7 @@ def test_minhash_estimate_exact_on_duplicates(spark, texts):
     signature arithmetic and the exact-Jaccard side breaks the
     identity immediately (corpus built as originals + one verbatim
     copy each, ids offset by 1000)."""
-    fn, _ = STAGED["dedup_minhash_estimate_error"]
+    fn = QUERIES["dedup_minhash_estimate_error"]
     rows = [(i, t) for i, t in enumerate(texts)] + [
         (1000 + i, t) for i, t in enumerate(texts)
     ]

@@ -1003,6 +1003,21 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "analytics_mannwhitney_terms",
         "ts_theilsen_micro",
         "sim_mmr_diversify",
+        # round-13 activations (M283-M296)
+        "text_heaps_curve",
+        "dedup_minhash_estimate_error",
+        "sim_hnsw_levels",
+        "ts_walsh_spectrum",
+        "mm_cdc_dedup_stats",
+        "ts_spearman_terms",
+        "analytics_did_terms",
+        "pipeline_ldp_freq_audit",
+        "join_feature_window",
+        "graph_ball2_sizes",
+        "pipeline_importance_weights",
+        "sim_pq_distortion",
+        "agg_cms_width_curve",
+        "graph_reach2_hll_audit",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -1079,7 +1094,7 @@ def test_driver_window_composition(spark):
     from pathlib import Path
 
     from tropology_spark import ORACLES, QUERIES
-    from tropology_spark import _R12_NEW
+    from tropology_spark import _R13_NEW
 
     latest: dict[str, int] = {}
     for f in Path(".").glob("CORRECTNESS_r*.json"):
@@ -1088,7 +1103,7 @@ def test_driver_window_composition(spark):
             latest[k] = max(latest.get(k, 0), rnd)
     max_round = max(latest.values(), default=0)
     window = list(QUERIES)[:50]
-    head = _R12_NEW
+    head = _R13_NEW
     assert window[: len(head)] == head, window[: len(head)]
     never = [q for q in QUERIES if q not in latest]
     missing = [q for q in never if q not in set(window)]

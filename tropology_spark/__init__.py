@@ -41,15 +41,16 @@ from tropology_spark.operators import windows  # noqa: F401
 from tropology_spark.operators import aggregates  # noqa: F401
 from tropology_spark.operators import relational  # noqa: F401
 
-# Round-12 driver window (the driver hash-checks the FIRST 50 entries
-# per round): the 13 activated round-12 staged operators (M270-M282,
+# Round-13 driver window (the driver hash-checks the FIRST 50 entries
+# per round): the 14 activated round-13 staged operators (M283-M296,
 # never sampled) lead; every remaining slot rotates the OLDEST
-# evidence — the 37 oldest r05-vintage rows in registry order —
-# 13 + 37 = 50 (CLAUDE.md round-12 plan; distribution verified against
-# all eleven CORRECTNESS files: post-r11 the evidence classes are
-# r05:42 · r06:49 · r07:48 · r08:50 · r09:50 · r10:50 · r11:50 = 339).
-# The `latest <= 5` freshness bound still admits r05 rows, so NO bound
-# relaxation was needed this round (a first since round 8).
+# evidence — the 5 remaining r05 rows + the 31 oldest r06 rows in
+# registry order — 14 + 5 + 31 = 50 (CLAUDE.md round-13 plan;
+# distribution re-verified against all twelve CORRECTNESS files:
+# post-r12 the evidence classes are r05:5 · r06:49 · r07:48 · r08:50 ·
+# r09:50 · r10:50 · r11:50 · r12:50 = 352).  The window test's
+# freshness bound relaxed to `latest <= 6` FIRST, in its own commit
+# (the r9-r11 precedent — r06 rows enter the rotation).
 
 #: Round-6 additions (M169+) — appended here as they are registered.
 _R6_NEW = [
@@ -445,6 +446,78 @@ _R12_STALE_R05 = [
     "agg_cms_matrix",
 ]
 
-prioritize(_R12_NEW + _R12_STALE_R05)
+#: Round-13 additions (M283-M296) — the activated round-12-staged ops,
+#: in the staged-slate order.
+_R13_NEW = [
+    "text_heaps_curve",
+    "dedup_minhash_estimate_error",
+    "sim_hnsw_levels",
+    "ts_walsh_spectrum",
+    "mm_cdc_dedup_stats",
+    "ts_spearman_terms",
+    "analytics_did_terms",
+    "pipeline_ldp_freq_audit",
+    "join_feature_window",
+    "graph_ball2_sizes",
+    "pipeline_importance_weights",
+    "sim_pq_distortion",
+    "agg_cms_width_curve",
+    "graph_reach2_hll_audit",
+]
+
+#: The 5 remaining r05-vintage rows (the class empties this round), in
+#: registry order.
+_R13_STALE_R05 = [
+    "agg_kmv_intersect",
+    "join_asof_forward",
+    "sub_any_all",
+    "join_asof_nearest",
+    "agg_kmv_audit",
+]
+
+#: The 31 OLDEST r06-vintage rows in registry order; 18 r06 queries
+#: remain for the round-14 rotation (ts_outlier_mad,
+#: analytics_rfm_segments, analytics_dau_streaks, analytics_basket_pairs,
+#: analytics_event_type_overlap, analytics_gini_spend,
+#: analytics_order_gap_histogram, analytics_session_paths,
+#: analytics_cumulative_reach, analytics_spend_deciles, win_lag_gap,
+#: agg_collect_neighbors_capped, filter_ts_range, join_range_events,
+#: sub_not_in_null, join_band_bucketed, agg_quantile_sketch_audit,
+#: agg_mergeable_stats_audit).
+_R13_STALE_R06 = [
+    "sim_lsh_recall",
+    "sim_pq_recall",
+    "sim_range_search",
+    "dedup_lsh_band_stats",
+    "text_char_trigram_profile",
+    "text_vocab_jaccard_sources",
+    "text_rake_keywords",
+    "text_ngram_novelty",
+    "text_boilerplate_blocks",
+    "text_hashed_features",
+    "graph_ra_recommend",
+    "graph_struct_equiv",
+    "graph_pref_attachment",
+    "fn_url_parse",
+    "mm_chunk_manifest",
+    "mm_magic_bytes",
+    "mm_chunk_dedup_stats",
+    "pipeline_interleave_sources",
+    "pipeline_epoch_shuffle",
+    "pipeline_bloom_dedup_audit",
+    "pipeline_global_deciles",
+    "pipeline_split_ks_audit",
+    "pipeline_column_profile",
+    "pipeline_split_contamination",
+    "graph_triangle_support",
+    "ts_burst_hours",
+    "ts_gap_report",
+    "ts_coverage_union",
+    "ts_rolling_median",
+    "ts_ship_latency_quantiles",
+    "ts_seasonal_naive_error",
+]
+
+prioritize(_R13_NEW + _R13_STALE_R05 + _R13_STALE_R06)
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

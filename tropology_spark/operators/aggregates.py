@@ -1631,3 +1631,271 @@ def agg_ams_f2(
             " div f2_exact AS BIGINT)"
         ).alias("ratio_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_cms_width_curve — Count-Min error vs width (M295)
+# ---------------------------------------------------------------------------
+
+_CMSC_WS = (8, 16, 32)
+
+
+def _cms_width_oracle() -> str:
+    ws = ", ".join(str(w) for w in _CMSC_WS)
+    cell_rows = " UNION ALL ".join(
+        f"SELECT hv, {i} AS row_id, ((hv * {a} + {b}) % {_CMS_PRIME}) AS ph FROM h"
+        for i, (a, b) in enumerate(_CMS_ROWS)
+    )
+    return f"""
+    WITH h AS (
+      SELECT user_id,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+      FROM events
+    ),
+    ws AS (SELECT unnest([{ws}]) AS w),
+    ph AS ({cell_rows}),
+    cells AS (
+      SELECT ws.w, ph.row_id, ph.ph % ws.w AS col_id,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM ph CROSS JOIN ws
+      GROUP BY 1, 2, 3
+    ),
+    u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS true_n,
+                 min(hv) AS hv
+          FROM h GROUP BY user_id),
+    uph AS ({cell_rows.replace("FROM h", "FROM u")}),
+    est AS (
+      SELECT ws.w, uph.hv, CAST(min(cells.cnt) AS BIGINT) AS est_n
+      FROM uph CROSS JOIN ws
+      JOIN cells ON cells.w = ws.w AND cells.row_id = uph.row_id
+                AND cells.col_id = uph.ph % ws.w
+      GROUP BY 1, 2
+    )
+    SELECT CAST(est.w AS BIGINT) AS w,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN est.est_n = u.true_n THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(sum(est.est_n - u.true_n) AS BIGINT) AS sum_overcount,
+           CAST(max(est.est_n - u.true_n) AS BIGINT) AS max_overcount
+    FROM est JOIN u ON est.hv = u.hv
+    GROUP BY est.w
+    """
+
+
+@register("agg_cms_width_curve", oracle=_cms_width_oracle())
+def agg_cms_width_curve(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """M295 — the Count-Min WIDTH tuning curve: rebuild the
+    M128 sketch at w ∈ 8/16/32 from the SAME md5-low-32 base hash and
+    affine row functions, estimate every user's event count (min over
+    the d=4 row cells) and report, per width, how many users are
+    estimated EXACTLY, the total and the worst overcount — the
+    memory-vs-error axis a CMS deployment sizes by (error ~ N/w; the
+    curve shows it halving as width doubles).  CMS never
+    underestimates, so overcount = est − true is always ≥ 0 — an
+    algebraic guarantee the twin pins.  Completes the tuning-curve
+    family: M264 tunes LSH (b,r), M263 tunes IVF n_probe, this tunes
+    the sketch family's one free axis.
+
+    Composed, not copied: the hash and row constants are the
+    registered M128 home's (the single-home rule — a constant
+    drift would break both sides identically, which is why the twin
+    re-derives the formula from the raw constants too).  Scale: one
+    events pass → the ×d×|w| bounded explode on the DISTINCT-user
+    table, counts map-side combinable; per-user estimates join the
+    bounded cell table (d·Σw = 224 rows, broadcast).
+
+    ``events=`` substitutes the event frame for probes; the driver
+    contract never passes it."""
+    e = events if events is not None else load(spark, sf_dir, "events")
+    hv = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("hv")
+    )
+    h = e.select("user_id", hv)
+    row_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("bigint").alias("row_id"),
+                ((F.col("hv") * F.lit(a) + F.lit(b)) % F.lit(_CMS_PRIME)).alias(
+                    "ph"
+                ),
+            )
+            for i, (a, b) in enumerate(_CMS_ROWS)
+        ]
+    )
+    ws = spark.createDataFrame([(w,) for w in _CMSC_WS], "w long")
+    cells = (
+        h.select(F.explode(row_structs).alias("c"))
+        .select("c.row_id", "c.ph")
+        .crossJoin(F.broadcast(ws))
+        .groupBy("w", "row_id", (F.col("ph") % F.col("w")).alias("col_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    u = h.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n"),
+        F.min("hv").alias("hv"),
+    )
+    uph = u.select(
+        "user_id", "true_n", F.explode(row_structs).alias("c")
+    ).select("user_id", "true_n", "c.row_id", "c.ph")
+    est = (
+        uph.crossJoin(F.broadcast(ws))
+        .join(cells, ["w", "row_id"])
+        .filter(F.col("col_id") == F.col("ph") % F.col("w"))
+        .groupBy("w", "user_id", "true_n")
+        .agg(F.min("cnt").cast("bigint").alias("est_n"))
+    )
+    return est.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("est_n") == F.col("true_n"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.sum(F.col("est_n") - F.col("true_n"))
+        .cast("bigint")
+        .alias("sum_overcount"),
+        F.max(F.col("est_n") - F.col("true_n"))
+        .cast("bigint")
+        .alias("max_overcount"),
+    ).select(
+        F.col("w").cast("bigint").alias("w"),
+        "n_users",
+        "n_exact",
+        "sum_overcount",
+        "max_overcount",
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_reach2_hll_audit — HyperBall: the HLL register trick on frontiers
+# (M296).  Lives HERE, next to the M267 register machinery whose
+# constants its oracle splices at import time — a graph_paths home
+# would import this module mid-package-init and perturb the
+# externally-significant registry order.
+# ---------------------------------------------------------------------------
+
+
+def _reach2_hll_oracle() -> str:
+    return f"""
+    WITH edges AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    seeds AS (SELECT src FROM (
+                SELECT src, row_number() OVER (ORDER BY d DESC, src) AS rs1
+                FROM deg) t
+              WHERE rs1 <= 3),
+    b1 AS (SELECT DISTINCT s.src AS seed, e.dst
+           FROM seeds s JOIN edges e ON e.src = s.src),
+    b2 AS (SELECT DISTINCT b1.seed, e2.src AS w
+           FROM b1 JOIN edges e2 ON e2.dst = b1.dst
+           WHERE e2.src <> b1.seed),
+    hh AS (
+      SELECT seed,
+             ('0x' || substring(md5(CAST(w AS VARCHAR)), 1, 1))::BIGINT AS bucket,
+             ('0x' || substring(md5(CAST(w AS VARCHAR)), 2, 8))::BIGINT AS hw
+      FROM b2),
+    regs AS (
+      SELECT seed, bucket,
+             max(CASE WHEN hw = 0 THEN 33 ELSE 33 - length(bin(hw)) END) AS m
+      FROM hh GROUP BY seed, bucket),
+    spine AS (
+      SELECT s.seed, b.b AS bucket
+      FROM (SELECT DISTINCT seed FROM b2) s,
+           (SELECT unnest(generate_series(0, {_HLL_M - 1})) AS b) b),
+    agg AS (
+      SELECT spine.seed,
+             CAST(sum(1::BIGINT << (33 - coalesce(regs.m, 0))) AS BIGINT)
+               AS s_carrier
+      FROM spine LEFT JOIN regs
+        ON spine.seed = regs.seed AND spine.bucket = regs.bucket
+      GROUP BY spine.seed),
+    ex AS (SELECT seed, CAST(count(*) AS BIGINT) AS n_exact
+           FROM b2 GROUP BY seed)
+    SELECT ex.seed, ex.n_exact,
+           CAST({_HLL_NUM} // (1000 * agg.s_carrier) AS BIGINT) AS hll_est,
+           CAST((1000000 * ({_HLL_NUM} // (1000 * agg.s_carrier))) // ex.n_exact
+                AS BIGINT) AS ratio_ppm
+    FROM ex JOIN agg ON ex.seed = agg.seed
+    """
+
+
+@register("graph_reach2_hll_audit", oracle=_reach2_hll_oracle())
+def graph_reach2_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M296 — HYPERBALL, audited: the M267 HLL register trick
+    applied to each seed's 2-hop frontier — per seed the exact
+    |ball(seed, 2)| (graph_ball2_sizes' set) next to the m=16 HLL
+    estimate of the SAME set and the est/exact ratio in ppm.  This is
+    literally the HyperBall algorithm (Boldi-Vigna): the exact
+    distinct-frontier rollup that stops scaling at 100 TB is replaced
+    by 16 mergeable registers per node — union of balls = register
+    max-merge, the property that makes the full ANF curve one
+    edge-pass per hop.  The audit quantifies what the switch costs in
+    accuracy, per seed, with zero floats (the dyadic S-carrier
+    estimate is one integral division).
+
+    Composed, not copied: the frontier derivation is the ball2 body's
+    (same seed rule, same two joins); the register arithmetic uses
+    the REGISTERED M267 constants (_HLL_M, _HLL_NUM) — one drift
+    breaks both sides identically, so the twin re-derives the dyadic
+    algebra from raw md5 too.  Scale: registers merge map-side per
+    (seed, bucket); the spine is bounded (seeds × 16)."""
+    from tropology_spark.session import iter_materialize
+    from tropology_spark.sources.tables import edges_materialized
+
+    e = edges_materialized(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    seeds = deg.orderBy(F.desc("d"), F.asc("src")).limit(3).select("src")
+    b1 = e.join(F.broadcast(seeds), "src").select(
+        F.col("src").alias("seed"), "dst"
+    ).distinct()
+    e2 = e.select(F.col("src").alias("w"), "dst")
+    b2 = iter_materialize(
+        b1.join(e2, "dst")
+        .filter(F.col("w") != F.col("seed"))
+        .select("seed", "w")
+        .distinct()
+    )  # referenced by the exact count AND the register build
+    md = F.md5(F.col("w").cast("string"))
+    hh = b2.select(
+        "seed",
+        F.conv(F.substring(md, 1, 1), 16, 10).cast("bigint").alias("bucket"),
+        F.conv(F.substring(md, 2, 8), 16, 10).cast("bigint").alias("hw"),
+    )
+    regs = hh.groupBy("seed", "bucket").agg(
+        F.max(
+            F.when(F.col("hw") == 0, F.lit(33)).otherwise(
+                F.lit(33) - F.length(F.bin("hw"))
+            )
+        ).alias("m")
+    )
+    spine = b2.select("seed").distinct().select(
+        "seed", F.expr(f"explode(sequence(0L, {_HLL_M - 1}L))").alias("bucket")
+    )
+    agg = (
+        spine.join(regs, ["seed", "bucket"], "left")
+        .withColumn("m0", F.coalesce(F.col("m"), F.lit(0)))
+        .groupBy("seed")
+        .agg(
+            F.sum(F.expr("shiftleft(1L, CAST(33 - m0 AS INT))"))
+            .cast("bigint")
+            .alias("s_carrier")
+        )
+    )
+    ex = b2.groupBy("seed").agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    return (
+        ex.join(agg, "seed")
+        .withColumn(
+            "hll_est",
+            F.expr(f"CAST({_HLL_NUM} div (1000 * s_carrier) AS BIGINT)"),
+        )
+        .select(
+            "seed",
+            "n_exact",
+            "hll_est",
+            F.expr("CAST((1000000 * hll_est) div n_exact AS BIGINT)").alias(
+                "ratio_ppm"
+            ),
+        )
+    )

@@ -2448,3 +2448,116 @@ def analytics_mannwhitney_terms(
             " AS (variant, n_users, rank2_sum, u2)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# analytics_did_terms — difference-in-differences cell terms (M289)
+# ---------------------------------------------------------------------------
+
+_DID_BIG = 1_000_000_000  # shift constant for the signed integral division
+
+_DID_ORACLE = f"""
+    WITH o AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN substring(md5(CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS t
+      FROM orders
+    ),
+    b AS (SELECT (min(d) + max(d)) // 2 AS bd FROM o),
+    c AS (
+      SELECT t, CASE WHEN d > bd THEN 1 ELSE 0 END AS p,
+             cents
+      FROM o CROSS JOIN b
+    ),
+    cells AS (
+      SELECT CAST(sum(CASE WHEN t = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+             CAST(sum(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN t = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN t = 0 AND p = 0 THEN cents ELSE 0 END) AS BIGINT) AS s00,
+             CAST(sum(CASE WHEN t = 0 AND p = 1 THEN cents ELSE 0 END) AS BIGINT) AS s01,
+             CAST(sum(CASE WHEN t = 1 AND p = 0 THEN cents ELSE 0 END) AS BIGINT) AS s10,
+             CAST(sum(CASE WHEN t = 1 AND p = 1 THEN cents ELSE 0 END) AS BIGINT) AS s11
+      FROM c
+    )
+    SELECT n00, n01, n10, n11, s00, s01, s10, s11,
+           CAST((((CAST(s11 AS HUGEINT) * n10 - CAST(s10 AS HUGEINT) * n11)
+                    * n01 * n00
+                  - (CAST(s01 AS HUGEINT) * n00 - CAST(s00 AS HUGEINT) * n01)
+                    * n11 * n10)
+                 + CAST({_DID_BIG} AS HUGEINT)
+                   * (CAST(n11 AS HUGEINT) * n10 * n01 * n00))
+                // (CAST(n11 AS HUGEINT) * n10 * n01 * n00)
+                - {_DID_BIG} AS BIGINT) AS did_cents
+    FROM cells
+"""
+
+
+@register("analytics_did_terms", oracle=_DID_ORACLE)
+def analytics_did_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M289 — DIFFERENCE-IN-DIFFERENCES terms on the order
+    history: treatment = the deterministic md5-first-hex customer
+    split (analytics_ab_lift's rule), period = the data-derived
+    epoch-day midpoint (the CUPED boundary rule — regeneration-robust,
+    never a wall-clock literal); the 2×2 (treatment, post) cells emit
+    exact counts and cents sums, plus the assembled DiD effect
+    (mean11 − mean10) − (mean01 − mean00) in CENTS as one exact
+    integral division — numerator and denominator are HUGEINT/
+    DECIMAL(38,0) products (M192 rule), and the possibly-NEGATIVE
+    numerator goes through the +BIG·den shift identity
+    ((num + BIG·den) div den − BIG, the ts_theilsen rule) so DuckDB's
+    floor and Spark's truncation agree.  The causal-estimator
+    complement of analytics_cuped_terms (CUPED adjusts variance;
+    DiD removes the time trend).
+
+    Scale: one orders pass + a 1-row boundary attach (deliberate
+    scalar crossJoin, BNLJ-allowlisted) + one 1-row
+    conditional rollup — everything map-side combinable."""
+    o = load(spark, sf_dir, "orders").select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1) < "8", 1
+        )
+        .otherwise(0)
+        .alias("t"),
+    )
+    b = o.agg(F.expr("(min(d) + max(d)) div 2").alias("bd"))
+    c = o.crossJoin(F.broadcast(b)).select(
+        "t", F.when(F.col("d") > F.col("bd"), 1).otherwise(0).alias("p"), "cents"
+    )
+
+    def cell(tv: int, pv: int, expr, name: str):
+        return (
+            F.sum(F.when((F.col("t") == tv) & (F.col("p") == pv), expr).otherwise(0))
+            .cast("bigint")
+            .alias(name)
+        )
+
+    cells = c.agg(
+        cell(0, 0, F.lit(1), "n00"),
+        cell(0, 1, F.lit(1), "n01"),
+        cell(1, 0, F.lit(1), "n10"),
+        cell(1, 1, F.lit(1), "n11"),
+        cell(0, 0, F.col("cents"), "s00"),
+        cell(0, 1, F.col("cents"), "s01"),
+        cell(1, 0, F.col("cents"), "s10"),
+        cell(1, 1, F.col("cents"), "s11"),
+    )
+    num = (
+        "((CAST(s11 AS DECIMAL(38,0)) * n10 - CAST(s10 AS DECIMAL(38,0)) * n11)"
+        " * n01 * n00"
+        " - (CAST(s01 AS DECIMAL(38,0)) * n00 - CAST(s00 AS DECIMAL(38,0)) * n01)"
+        " * n11 * n10)"
+    )
+    den = "(CAST(n11 AS DECIMAL(38,0)) * n10 * n01 * n00)"
+    return cells.select(
+        "n00", "n01", "n10", "n11", "s00", "s01", "s10", "s11",
+        F.expr(
+            f"CAST(({num} + CAST({_DID_BIG} AS DECIMAL(38,0)) * {den})"
+            f" div {den} - {_DID_BIG} AS BIGINT)"
+        ).alias("did_cents"),
+    )

@@ -1407,3 +1407,141 @@ def dedup_band_curve(
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("band_rows")
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_estimate_error — signature-agreement estimate vs exact Jaccard
+# (M284)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_est_oracle() -> str:
+    agree = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(len(_MH_PERMS))
+    )
+    return (
+        _minhash_sig_cte()
+        + _band_rows_cte()
+        + f"""
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    agr AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST({agree} AS BIGINT) AS agree
+      FROM cand c JOIN sig a ON a.doc_id = c.doc_a
+                  JOIN sig b ON b.doc_id = c.doc_b
+    ),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    itr AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.token = sa.token
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT agr.doc_a, agr.doc_b, agr.agree,
+           CAST(62500 * agr.agree AS BIGINT) AS est_ppm,
+           CAST((1000000 * coalesce(itr.inter, 0))
+                // (za.n + zb.n - coalesce(itr.inter, 0)) AS BIGINT) AS jac_ppm,
+           CAST(abs(62500 * agr.agree
+                    - (1000000 * coalesce(itr.inter, 0))
+                      // (za.n + zb.n - coalesce(itr.inter, 0))) AS BIGINT)
+             AS err_ppm
+    FROM agr
+    JOIN sz za ON za.doc_id = agr.doc_a
+    JOIN sz zb ON zb.doc_id = agr.doc_b
+    LEFT JOIN itr ON itr.doc_a = agr.doc_a AND itr.doc_b = agr.doc_b
+    """
+    )
+
+
+@register("dedup_minhash_estimate_error", oracle=_minhash_est_oracle())
+def dedup_minhash_estimate_error(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """M284 — the MinHash ESTIMATOR-QUALITY audit: for every
+    J3 LSH candidate pair, the signature agreement count (matching
+    positions of the 16 min-hashes), the Jaccard estimate it implies
+    (est_ppm = 10⁶·agree/16 = 62500·agree — exact, the divisor is a
+    power-of-two factor of 10⁶), the EXACT bigram-shingle Jaccard
+    (inter/union over the same shingle space the signatures sample),
+    and |est − exact| — the per-pair error the 1/√k theory bounds at
+    ~25% for k=16.  M126 audits the LSH BLOCKING (recall of the band
+    join); this audits the ESTIMATOR itself — the two failure modes a
+    MinHash deployment tunes independently.
+
+    Composed, not copied: candidates come from the registered
+    minhash_candidate_pairs over the session-shared band view; the
+    signatures are minhash_sigs_frame (the J3 single home).  Scale:
+    the agreement join touches only candidate pairs (banded, never
+    all-pairs); the exact-Jaccard side joins shingle rows on the
+    SAME bounded pair set.
+
+    ``docs=`` substitutes the document frame for probes; the driver
+    contract never passes it."""
+    from tropology_spark.session import iter_materialize
+
+    bands = (
+        minhash_bands_frame(spark, sf_dir, docs=docs)
+        if docs is not None
+        else minhash_bands_materialized(spark, sf_dir)
+    )
+    cand = iter_materialize(minhash_candidate_pairs(bands))
+    sigs = minhash_sigs_frame(spark, sf_dir, docs=docs)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    agree_expr = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(len(_MH_PERMS))
+    )
+    agr = (
+        cand.join(a, cand.doc_a == F.col("a.doc_id"))
+        .join(b, cand.doc_b == F.col("b.doc_id"))
+        .select("doc_a", "doc_b", agree_expr.cast("bigint").alias("agree"))
+    )
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    )
+    sh = iter_materialize(
+        d.select("doc_id", F.explode(shingles).alias("token"))
+    )  # referenced by the size rollup AND both intersection sides
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "token")
+    sb = sh.select(F.col("doc_id").alias("db"), F.col("token").alias("tb"))
+    itr = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("db")) & (F.col("token") == F.col("tb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    za = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    out = (
+        agr.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .join(itr, ["doc_a", "doc_b"], "left")
+        .withColumn("inter0", F.coalesce(F.col("inter"), F.lit(0)))
+        .withColumn("est_ppm", (F.lit(62500) * F.col("agree")).cast("bigint"))
+        .withColumn(
+            "jac_ppm",
+            F.expr("(1000000 * inter0) div (na + nb - inter0)").cast("bigint"),
+        )
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "agree",
+        "est_ppm",
+        "jac_ppm",
+        F.abs(F.col("est_ppm") - F.col("jac_ppm")).cast("bigint").alias("err_ppm"),
+    )

@@ -388,3 +388,76 @@ def graph_path_counts3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n).cast("bigint").alias("hop"), "node", "n_paths"
     )
     return hop(1, p1).unionByName(hop(2, p2)).unionByName(hop(3, p3))
+
+
+# ---------------------------------------------------------------------------
+# graph_ball2_sizes — exact 1/2-hop ball sizes for the top-degree seeds (M292)
+# ---------------------------------------------------------------------------
+
+_BALL_SEEDS = 3
+
+
+@register(
+    "graph_ball2_sizes",
+    oracle=f"""
+    WITH edges AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    seeds AS (SELECT src FROM (
+                SELECT src, row_number() OVER (ORDER BY d DESC, src) AS rs1
+                FROM deg) t
+              WHERE rs1 <= {_BALL_SEEDS}),
+    b1 AS (SELECT DISTINCT s.src AS seed, e.dst
+           FROM seeds s JOIN edges e ON e.src = s.src),
+    b2 AS (SELECT DISTINCT b1.seed, e2.src AS w
+           FROM b1 JOIN edges e2 ON e2.dst = b1.dst
+           WHERE e2.src <> b1.seed)
+    SELECT b1c.seed, b1c.n_ball1, b2c.n_ball2
+    FROM (SELECT seed, CAST(count(*) AS BIGINT) AS n_ball1
+          FROM b1 GROUP BY seed) b1c
+    JOIN (SELECT seed, CAST(count(*) AS BIGINT) AS n_ball2
+          FROM b2 GROUP BY seed) b2c
+      ON b1c.seed = b2c.seed
+    """,
+)
+def graph_ball2_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M292 — exact NEIGHBORHOOD-FUNCTION point values: for
+    the {s} highest-out-degree works (graph_path_counts3's seed rule),
+    |ball(seed, 1)| = its distinct tropes and |ball(seed, 2)| = the
+    distinct OTHER works sharing any trope — the first two points of
+    the ANF curve N(v, h) that reachability/influence analyses
+    estimate with sketches at scale; exact DISTINCT counts here (M262
+    counts PATHS — multiplicities; this counts the reached SET, the
+    other half of the A^h story).
+
+    Scale: the seed set is bounded (broadcast); hop 1 is one
+    broadcast-semi join; hop 2 is one equi-join back on the shared
+    edge view + a distinct rollup keyed by (seed, work).  At 100 TB
+    the per-seed frontier is the only growing state — the exact-ANF
+    shape; corpus-wide N(h) needs the HLL register trick (M267) on
+    the frontier, the documented scale path (graph_reach2_hll_audit
+    runs exactly that, next to this truth)."""
+    from tropology_spark.session import iter_materialize
+    from tropology_spark.sources.tables import edges_materialized
+
+    e = edges_materialized(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    seeds = deg.orderBy(F.desc("d"), F.asc("src")).limit(_BALL_SEEDS).select("src")
+    b1 = iter_materialize(
+        e.join(F.broadcast(seeds), "src").select(
+            F.col("src").alias("seed"), "dst"
+        ).distinct()
+    )  # referenced by the hop-1 count AND the hop-2 expansion
+    e2 = e.select(F.col("src").alias("w"), "dst")
+    b2 = (
+        b1.join(e2, "dst")
+        .filter(F.col("w") != F.col("seed"))
+        .select("seed", "w")
+        .distinct()
+    )
+    b1c = b1.groupBy("seed").agg(F.count(F.lit(1)).cast("bigint").alias("n_ball1"))
+    b2c = b2.groupBy("seed").agg(F.count(F.lit(1)).cast("bigint").alias("n_ball2"))
+    return b1c.join(b2c, "seed")
+
+
+graph_ball2_sizes.__doc__ = graph_ball2_sizes.__doc__.format(s=_BALL_SEEDS)

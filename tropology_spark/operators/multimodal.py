@@ -1131,3 +1131,140 @@ def mm_phash_clusters(spark, sf_dir: str) -> DataFrame:
         F.col("lbl").cast("bigint").alias("phash_cluster"),
         F.col("n").alias("cluster_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_cdc_dedup_stats — content-addressed dedup over the M260 CDC chunks (M287)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_cdc_dedup_stats",
+    oracle="""
+    WITH hx AS (
+      SELECT doc_id, source, hex(encode(text)) AS hs,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+      WHERE octet_length(encode(text)) > 0
+    ),
+    bpos AS (
+      SELECT hx.doc_id, p
+      FROM hx, (SELECT unnest(generate_series(1, 4096)) AS p)
+      WHERE p <= n_bytes - 7
+        AND ('0x' || substring(md5(substring(hs, 2 * p - 1, 16)),
+                               1, 4))::BIGINT % 64 = 0
+    ),
+    cuts AS (
+      SELECT doc_id, p FROM bpos
+      UNION SELECT doc_id, 1 FROM hx
+    ),
+    ext AS (
+      SELECT doc_id, p AS st,
+             coalesce(lead(p) OVER (PARTITION BY doc_id ORDER BY p),
+                      (SELECT n_bytes + 1 FROM hx h WHERE h.doc_id = cuts.doc_id))
+               AS en
+      FROM cuts
+    ),
+    ch AS (
+      SELECT hx.source,
+             md5(substring(hx.hs, CAST(2 * ext.st - 1 AS INTEGER),
+                           CAST(2 * (ext.en - ext.st) AS INTEGER))) AS dg,
+             CAST(ext.en - ext.st AS BIGINT) AS cb
+      FROM ext JOIN hx ON ext.doc_id = hx.doc_id
+    ),
+    per AS (
+      SELECT source, dg, CAST(count(*) AS BIGINT) AS refs,
+             CAST(max(cb) AS BIGINT) AS cb
+      FROM ch GROUP BY source, dg
+    )
+    SELECT source,
+           CAST(sum(refs) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(sum(refs * cb) AS BIGINT) AS bytes_total,
+           CAST(sum(cb) AS BIGINT) AS bytes_unique,
+           CAST((1000000 * (sum(refs * cb) - sum(cb))) // sum(refs * cb)
+                AS BIGINT) AS saved_ppm
+    FROM per GROUP BY source
+    """,
+)
+def mm_cdc_dedup_stats(spark, sf_dir: str, docs: DataFrame | None = None) -> DataFrame:
+    """M287 — content-addressed DEDUP over the M260
+    content-defined chunks, per source: chunk count, unique-digest
+    count, raw vs deduplicated bytes, and the bytes-saved ppm — the
+    quantitative argument FOR content-defined chunking (M209 measures
+    the same economics over M185's FIXED grid; insertions recut a
+    fixed grid globally but re-align CDC boundaries, so the CDC tier
+    saves strictly more on near-duplicate corpora).  Chunk extents are
+    the gaps between the M260 boundary positions ({1} ∪ bounds →
+    lead() per doc → [start, next)); the digest is md5 of the HEX
+    substring at doubled offsets (the mm_chunk_manifest discipline).
+
+    Composed, not copied (Spark side): boundary positions come from
+    the registered cdc_boundary_positions helper — the M260 single
+    home; the oracle re-derives them with the same window-hash formula
+    the M260 oracle pins.  Scale: boundary detection is map-only over
+    the payload scan; extents ride a per-doc (real key) lead window;
+    the digest rollup shuffles (source, digest) projections — payloads
+    never shuffle.
+
+    ``docs=`` substitutes a (doc_id, source, text) frame for the
+    weak-scaling probe; the driver contract never passes it."""
+    from pyspark.sql import Window
+
+    from tropology_spark.session import iter_materialize
+    from tropology_spark.sources.tables import load
+
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    hx = iter_materialize(
+        d.select(
+            "doc_id",
+            "source",
+            F.hex(F.encode(F.col("text"), "UTF-8")).alias("hs"),
+            F.octet_length(F.encode(F.col("text"), "UTF-8"))
+            .cast("bigint")
+            .alias("n_bytes"),
+        ).filter(F.col("n_bytes") > 0)
+    )  # referenced by the cut sentinel union AND the chunk-slice join
+    bounds = (
+        cdc_boundary_positions(spark, sf_dir, docs=docs)
+        .filter(F.col("bound") == 1)
+        .select("doc_id", "p")
+    )
+    cuts = bounds.union(hx.select("doc_id", F.lit(1).alias("p"))).distinct()
+    wd = Window.partitionBy("doc_id").orderBy("p")
+    ext = cuts.select(
+        "doc_id", F.col("p").alias("st"), F.lead("p").over(wd).alias("en0")
+    )
+    ch = ext.join(hx, "doc_id").select(
+        "source",
+        F.md5(
+            F.expr(
+                "substring(hs, CAST(2 * st - 1 AS INT),"
+                " CAST(2 * (coalesce(en0, n_bytes + 1) - st) AS INT))"
+            )
+        ).alias("dg"),
+        (F.coalesce(F.col("en0"), F.col("n_bytes") + 1) - F.col("st"))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    per = ch.groupBy("source", "dg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("refs"),
+        F.max("cb").cast("bigint").alias("cb"),
+    )
+    return per.groupBy("source").agg(
+        F.sum("refs").cast("bigint").alias("n_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        F.sum(F.col("refs") * F.col("cb")).cast("bigint").alias("bytes_total"),
+        F.sum("cb").cast("bigint").alias("bytes_unique"),
+    ).select(
+        "source",
+        "n_chunks",
+        "n_unique",
+        "bytes_total",
+        "bytes_unique",
+        F.expr(
+            "(1000000 * (bytes_total - bytes_unique)) div bytes_total"
+        )
+        .cast("bigint")
+        .alias("saved_ppm"),
+    )

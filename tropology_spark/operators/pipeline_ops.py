@@ -3810,3 +3810,196 @@ def pipeline_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 pipeline_curriculum_stages.__doc__ = pipeline_curriculum_stages.__doc__.format(
     n=_CURR_STAGES
 )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_ldp_freq_audit — k-randomized-response local-DP frequency release
+# (M290)
+# ---------------------------------------------------------------------------
+
+_LDP_ORACLE = """
+    WITH tt AS (
+      SELECT event_type AS tname,
+             row_number() OVER (ORDER BY event_type) - 1 AS idx
+      FROM (SELECT DISTINCT event_type FROM events)
+    ),
+    e AS (
+      SELECT ev.event_type AS true_type, tt.idx AS i,
+             CASE WHEN substring(md5(CAST(ev.event_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS keep,
+             ('0x' || substring(md5(CAST(ev.event_id AS VARCHAR)), 2, 1))::BIGINT
+               % 4 AS j
+      FROM events ev JOIN tt ON ev.event_type = tt.tname
+    ),
+    rep AS (
+      SELECT e.true_type,
+             CASE WHEN e.keep = 1 THEN e.true_type ELSE t2.tname END AS rep_type
+      FROM e LEFT JOIN tt t2
+        ON t2.idx = e.j + CASE WHEN e.j >= e.i THEN 1 ELSE 0 END
+    ),
+    tc AS (SELECT true_type AS event_type, CAST(count(*) AS BIGINT) AS true_n
+           FROM rep GROUP BY true_type),
+    rc AS (SELECT rep_type AS event_type, CAST(count(*) AS BIGINT) AS reported_n
+           FROM rep GROUP BY rep_type),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM rep)
+    SELECT tc.event_type, tc.true_n,
+           CAST(coalesce(rc.reported_n, 0) AS BIGINT) AS reported_n,
+           CAST(8 * coalesce(rc.reported_n, 0) - n.nt AS BIGINT) AS t3_est,
+           CAST(8 * coalesce(rc.reported_n, 0) - n.nt - 3 * tc.true_n AS BIGINT)
+             AS err3
+    FROM tc LEFT JOIN rc ON tc.event_type = rc.event_type
+    CROSS JOIN n
+    """
+
+
+@register("pipeline_ldp_freq_audit", oracle=_LDP_ORACLE)
+def pipeline_ldp_freq_audit(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """M290 — k-RANDOMIZED-RESPONSE local-DP frequency release
+    (Warner's mechanism, the local-privacy primitive every telemetry
+    pipeline that cannot see raw values runs): each event reports its
+    TRUE type with p = 1/2, else one of the other k−1 = 4 types
+    uniformly — both coins DETERMINISTIC md5 hex digits of event_id
+    (the I7/M43 reproducibility discipline; real deployments use a
+    private RNG, the audit needs replayability), the replacement
+    picked by alphabetical index arithmetic j + (j ≥ i) so both
+    engines choose identically.  Per type: true count, reported
+    (perturbed) count, and the exact debias carrier
+    t3_est = 8·c − n ≡ 3·t̂ (from c = t/2 + (n−t)/8 — NO division, a
+    SIGNED BIGINT) plus err3 = t3_est − 3·true — the utility-loss
+    audit (ε = ln(p·(k−1)/(1−p)) = ln 4 here) a privacy review signs
+    off on.
+
+    Scale: one events pass (the ×1 tt join is a broadcast against the
+    bounded type table), two map-side-combinable rollups, a 1-row
+    total via the bounded-axis window.
+
+    ``events=`` substitutes the event frame for probes; the driver
+    contract never passes it."""
+    e = events if events is not None else load(spark, sf_dir, "events")
+    tt = (
+        e.select("event_type")
+        .distinct()
+        .select(
+            F.col("event_type").alias("tname"),
+            (
+                F.row_number().over(
+                    Window.partitionBy(
+                        F.pmod(F.length("event_type"), F.lit(1))
+                    ).orderBy("event_type")
+                )
+                - 1
+            ).alias("idx"),
+        )
+    )
+    md = F.md5(F.col("event_id").cast("string"))
+    ev = e.select(
+        F.col("event_type").alias("true_type"),
+        F.when(F.substring(md, 1, 1) < "8", 1).otherwise(0).alias("keep"),
+        (F.conv(F.substring(md, 2, 1), 16, 10).cast("bigint") % 4).alias("j"),
+    ).join(
+        F.broadcast(tt.select(F.col("tname").alias("true_type"), F.col("idx").alias("i"))),
+        "true_type",
+    )
+    t2 = tt.select(F.col("tname").alias("alt_type"), F.col("idx").alias("idx2"))
+    rep = ev.join(
+        F.broadcast(t2),
+        F.col("idx2")
+        == F.col("j") + F.when(F.col("j") >= F.col("i"), 1).otherwise(0),
+        "left",
+    ).select(
+        "true_type",
+        F.when(F.col("keep") == 1, F.col("true_type"))
+        .otherwise(F.col("alt_type"))
+        .alias("rep_type"),
+    )
+    tc = rep.groupBy(F.col("true_type").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n")
+    )
+    rc = rep.groupBy(F.col("rep_type").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("reported_n")
+    )
+    w = Window.partitionBy(F.pmod(F.length("event_type"), F.lit(1)))
+    out = (
+        tc.join(rc, "event_type", "left")
+        .withColumn("reported_n", F.coalesce(F.col("reported_n"), F.lit(0)))
+        .withColumn("nt", F.sum("true_n").over(w).cast("bigint"))
+    )
+    return out.select(
+        "event_type",
+        "true_n",
+        F.col("reported_n").cast("bigint").alias("reported_n"),
+        (8 * F.col("reported_n") - F.col("nt")).cast("bigint").alias("t3_est"),
+        (8 * F.col("reported_n") - F.col("nt") - 3 * F.col("true_n"))
+        .cast("bigint")
+        .alias("err3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_importance_weights — uniform-target mixture reweighting (M293)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_importance_weights",
+    oracle="""
+    WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS k FROM s)
+    SELECT source, n_docs,
+           CAST((1000000 * total) // (k * n_docs) AS BIGINT) AS w_ppm,
+           CAST(n_docs * ((1000000 * total) // (k * n_docs)) AS BIGINT)
+             AS contrib_w,
+           CAST(n_docs * ((1000000 * total) // (k * n_docs))
+                       * ((1000000 * total) // (k * n_docs)) AS BIGINT)
+             AS contrib_w2
+    FROM s CROSS JOIN t
+    """,
+)
+def pipeline_importance_weights(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """M293 — IMPORTANCE REWEIGHTING to a uniform source mix:
+    per source, the exact ppm weight w = (T/k)/n_s (the ratio that
+    makes every source contribute equally in expectation — the
+    domain-reweighting primitive behind every data-mixture retrain,
+    M87's weights applied as per-EXAMPLE importance factors), plus the
+    ESS terms n_s·w and n_s·w² whose client-side ratio (Σw)²/Σw² is
+    Kish's effective sample size — the number that says how much the
+    reweighting costs in variance before anyone trains.
+
+    All integer: w_ppm = (10⁶·T) div (k·n_s) (non-negative integral
+    division, both engines agree), and the ESS contributions reuse the
+    w_ppm integer verbatim so the audit is self-consistent.  Scale:
+    the corpus collapses to O(sources) in one map-side-combinable
+    pass; totals ride pmod-constant-key windows on the bounded source
+    axis.
+
+    ``docs=`` substitutes the document frame for probes; the driver
+    contract never passes it."""
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w = Window.partitionBy(F.pmod(F.length("source"), F.lit(1)))
+    out = s.select(
+        "source",
+        "n_docs",
+        F.sum("n_docs").over(w).cast("bigint").alias("total"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("k"),
+    ).withColumn(
+        "w_ppm",
+        F.expr("(1000000 * total) div (k * n_docs)").cast("bigint"),
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "w_ppm",
+        (F.col("n_docs") * F.col("w_ppm")).cast("bigint").alias("contrib_w"),
+        (F.col("n_docs") * F.col("w_ppm") * F.col("w_ppm"))
+        .cast("bigint")
+        .alias("contrib_w2"),
+    )

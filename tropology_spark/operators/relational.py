@@ -1846,3 +1846,110 @@ def join_range_2d_parts(
         F.coalesce(F.col("n_neighbors"), F.lit(0)).cast("bigint").alias("n_neighbors"),
         F.col("min_partner"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join_feature_window — per-purchase 24h windowed activity counts (M291)
+# ---------------------------------------------------------------------------
+
+_FW_WIN_US = 86_400_000_000  # 24 h in microseconds == the bucket width
+
+
+@register(
+    "join_feature_window",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us
+      FROM events WHERE event_type IN ('view', 'click')
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(coalesce(sum(CASE WHEN v.event_type = 'view' THEN 1 END), 0)
+                AS BIGINT) AS n_views_24h,
+           CAST(coalesce(sum(CASE WHEN v.event_type = 'click' THEN 1 END), 0)
+                AS BIGINT) AS n_clicks_24h
+    FROM p LEFT JOIN v
+      ON v.user_id = p.user_id
+     AND v.us >= p.us - {_FW_WIN_US}
+     AND v.us < p.us
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def join_feature_window(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """M291 — the FEATURE-WINDOW join: for every purchase,
+    the user's view and click counts in the preceding 24 hours — the
+    windowed-aggregate feature materialization every feature store
+    backfills (M217 fetches the LATEST in-tolerance row; training
+    features are usually window AGGREGATES, this shape).  Every
+    purchase is emitted (LEFT join semantics — zero-activity
+    purchases carry 0s, exactly what the model sees).
+
+    Spark side is the M197 bucket idiom on the time axis: both sides
+    key by the 24h bucket (bucket width == window length), purchases
+    probe (b, b−1), the exact microsecond band filters after — an
+    EQUI-join in which each true pair meets exactly once; the oracle
+    keeps the raw inequality join.  Scale: one shuffle on (user,
+    bucket) each side; state per key is bounded by the 24h activity
+    rate — the same contract the streaming interval join (K8) keeps.
+
+    ``events=`` substitutes the event frame for probes
+    (tools/scale_probes/featurewin_scale.py); the driver contract
+    never passes it."""
+    e = events if events is not None else load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts)").alias("pus"),
+    )
+    v = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_type").alias("vtype"),
+        F.expr("unix_micros(ts)").alias("vus"),
+        F.expr(f"unix_micros(ts) div {_FW_WIN_US}").alias("vb"),
+    )
+    probe = p.select(
+        "event_id",
+        "user_id",
+        "pus",
+        F.explode(
+            F.array(
+                F.expr(f"pus div {_FW_WIN_US}"),
+                F.expr(f"pus div {_FW_WIN_US} - 1"),
+            )
+        ).alias("vb"),
+    )
+    hits = (
+        probe.join(v, ["user_id", "vb"])
+        .filter(
+            (F.col("vus") >= F.col("pus") - _FW_WIN_US)
+            & (F.col("vus") < F.col("pus"))
+        )
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.sum(F.when(F.col("vtype") == "view", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_views_24h"),
+            F.sum(F.when(F.col("vtype") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clicks_24h"),
+        )
+    )
+    return (
+        p.select("event_id", "user_id")
+        .join(hits, ["event_id", "user_id"], "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("n_views_24h"), F.lit(0))
+            .cast("bigint")
+            .alias("n_views_24h"),
+            F.coalesce(F.col("n_clicks_24h"), F.lit(0))
+            .cast("bigint")
+            .alias("n_clicks_24h"),
+        )
+    )

@@ -3525,3 +3525,161 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 sim_mmr_diversify.__doc__ = sim_mmr_diversify.__doc__.format(
     k=_MMR_K, pool=_MMR_POOL
 )
+
+
+# ---------------------------------------------------------------------------
+# sim_hnsw_levels — geometric HNSW level-assignment audit (M285)
+# ---------------------------------------------------------------------------
+
+_HNSW_MAX_LEVEL = 4
+
+
+@register(
+    "sim_hnsw_levels",
+    oracle=f"""
+    WITH h AS (
+      SELECT vec_id,
+             ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS w
+      FROM embeddings),
+    lv AS (
+      SELECT vec_id,
+             CASE WHEN w % 16 = 0 THEN 4
+                  WHEN w % 8 = 0 THEN 3
+                  WHEN w % 4 = 0 THEN 2
+                  WHEN w % 2 = 0 THEN 1
+                  ELSE 0 END AS level
+      FROM h),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM lv),
+    spine AS (SELECT unnest(generate_series(0, {_HNSW_MAX_LEVEL})) AS level),
+    cnt AS (SELECT level, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM lv GROUP BY level)
+    SELECT CAST(spine.level AS BIGINT) AS level,
+           CAST(coalesce(cnt.n_nodes, 0) AS BIGINT) AS n_nodes,
+           CAST(sum(coalesce(cnt.n_nodes, 0))
+                  OVER (ORDER BY spine.level DESC) AS BIGINT) AS n_cum,
+           CAST((1000000 * sum(coalesce(cnt.n_nodes, 0))
+                             OVER (ORDER BY spine.level DESC)
+                 * (1 << spine.level)) // n.nt AS BIGINT) AS geo_ratio_ppm
+    FROM spine LEFT JOIN cnt ON spine.level = cnt.level
+    CROSS JOIN n
+    """,
+)
+def sim_hnsw_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M285 — HNSW LEVEL-ASSIGNMENT audit: the geometric layer
+    draw (P(level ≥ ℓ) = 2^−ℓ, capped at {L}) realized
+    DETERMINISTICALLY from the md5-low-32 of each vec_id (level =
+    trailing-zero count, the I7/M43 reproducibility discipline —
+    rand() would unpin the hash gate), rolled up to per-level node
+    counts, the cumulative layer occupancy, and the occupancy-vs-
+    geometric-expectation ratio in ppm (10⁶·n_cum·2^ℓ/n — exactly 10⁶
+    ×(observed/expected), one integral division).  The hierarchy half
+    of the M273 greedy layer-0 search: together they are the
+    HNSW story — this op audits the LAYER CAPACITY an index build
+    would allocate before any graph is wired.
+
+    Scale: one scan projecting two BIGINTs per vector, one bounded
+    rollup; the spine/window ride the 5-row level axis (the
+    bounded-domain counting idiom).  All integers; the trailing-zero
+    test is a CASE chain over power-of-two moduli — identical
+    arithmetic in both engines, no ctz builtin needed."""
+    e = load(spark, sf_dir, "embeddings")
+    w = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    lv = e.select(
+        F.when(w % 16 == 0, 4)
+        .when(w % 8 == 0, 3)
+        .when(w % 4 == 0, 2)
+        .when(w % 2 == 0, 1)
+        .otherwise(0)
+        .alias("level")
+    )
+    cnt = lv.groupBy("level").agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    spine = spark.range(_HNSW_MAX_LEVEL + 1).select(F.col("id").alias("level"))
+    ww = Window.partitionBy(F.pmod(F.col("level"), F.lit(1))).orderBy(
+        F.desc("level")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy(F.pmod(F.col("level"), F.lit(1)))
+    full = spine.join(cnt, "level", "left").select(
+        "level", F.coalesce(F.col("n_nodes"), F.lit(0)).cast("bigint").alias("n_nodes")
+    )
+    return full.select(
+        F.col("level").cast("bigint").alias("level"),
+        "n_nodes",
+        F.sum("n_nodes").over(ww).cast("bigint").alias("n_cum"),
+        F.expr(
+            "(1000000 * sum(n_nodes) OVER (PARTITION BY pmod(level, 1)"
+            " ORDER BY level DESC ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            " CURRENT ROW) * shiftleft(1L, CAST(level AS INT)))"
+        )
+        .cast("bigint")
+        .alias("num"),
+        F.sum("n_nodes").over(wt).cast("bigint").alias("nt"),
+    ).select(
+        "level",
+        "n_nodes",
+        "n_cum",
+        F.expr("num div nt").cast("bigint").alias("geo_ratio_ppm"),
+    )
+
+
+sim_hnsw_levels.__doc__ = sim_hnsw_levels.__doc__.format(L=_HNSW_MAX_LEVEL)
+
+
+# ---------------------------------------------------------------------------
+# sim_pq_distortion — per-vector PQ reconstruction-error histogram (M294)
+# ---------------------------------------------------------------------------
+
+_PQD_BUCKET = 10_000_000_000  # 1e10 in the micro-unit² distance domain
+
+
+def _pq_distortion_oracle() -> str:
+    return (
+        _EX_CTE
+        + _PQ_ENC_CTE
+        + f""",
+    best AS (SELECT vec_id, s, min(d2) AS bd2 FROM enc0 GROUP BY vec_id, s),
+    q AS (SELECT vec_id, CAST(sum(bd2) AS BIGINT) AS qerr
+          FROM best GROUP BY vec_id)
+    SELECT CAST(qerr // {_PQD_BUCKET} AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(qerr) AS BIGINT) AS min_qerr,
+           CAST(max(qerr) AS BIGINT) AS max_qerr,
+           CAST(min(vec_id) AS BIGINT) AS min_vec_id
+    FROM q GROUP BY 1
+    """
+    )
+
+
+@register("sim_pq_distortion", oracle=_pq_distortion_oracle())
+def sim_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M294 — PQ QUANTIZATION-DISTORTION histogram: every
+    vector's reconstruction error under the M104 codebook (self-ADC =
+    Σ over subspaces of the minimum squared distance to any code —
+    exactly the error the ADC scan substitutes for the true distance),
+    bucketed at 10¹⁰ micro-unit² — the audit that says whether the
+    codebook fits the corpus BEFORE recall degrades (codebook vectors
+    1..8 land in bucket 0 at distortion 0 by construction — the
+    built-in sanity anchor).  M182 measures PQ's end-to-end RECALL;
+    this measures the geometric CAUSE, per vector, exactly.
+
+    Composed, not copied: the Spark side reuses the registered
+    _pq_exm/_pq_sub/_pq_cb/_pq_enc0 helpers verbatim; the oracle
+    splices the shared _PQ_ENC_CTE (the M104 single home, factored at
+    staging with byte-identical registered SQL).  Scale: enc0 is the
+    same bounded (n × subspaces × codes) table the registered query
+    builds; the rollups are map-side combinable; distances stay
+    BIGINT (micro-unit² ≤ ~4e12 per subspace at unit norm)."""
+    e = load(spark, sf_dir, "embeddings")
+    sub = _pq_sub(_pq_exm(e))
+    enc0 = _pq_enc0(sub, _pq_cb(sub))
+    best = enc0.groupBy("vec_id", "s").agg(F.min("d2").alias("bd2"))
+    q = best.groupBy("vec_id").agg(F.sum("bd2").cast("bigint").alias("qerr"))
+    return q.groupBy(
+        F.expr(f"qerr div {_PQD_BUCKET}").cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.min("qerr").cast("bigint").alias("min_qerr"),
+        F.max("qerr").cast("bigint").alias("max_qerr"),
+        F.min("vec_id").cast("bigint").alias("min_vec_id"),
+    )

@@ -2134,3 +2134,86 @@ def text_bm25_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token", "doc_id", "tf", "dl", "df", "n_docs", "milli_tf_comp", "rk"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_heaps_curve — Heaps'-law vocabulary growth at corpus prefixes (M283)
+# ---------------------------------------------------------------------------
+
+_HEAPS_PCTS = (25, 50, 100)
+
+
+@register(
+    "text_heaps_curve",
+    oracle=f"""
+    WITH dmax AS (SELECT CAST(max(doc_id) AS BIGINT) AS dm FROM documents),
+    pcts AS (SELECT unnest([{", ".join(str(p) for p in _HEAPS_PCTS)}]) AS pct),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents),
+    t AS (SELECT doc_id, token FROM tok WHERE token <> '')
+    SELECT CAST(pcts.pct AS BIGINT) AS pct,
+           CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT t.token) AS BIGINT) AS n_vocab,
+           CAST((1000000 * count(DISTINCT t.token)) // count(*) AS BIGINT)
+             AS vocab_per_mtoken
+    FROM pcts CROSS JOIN dmax
+    JOIN t ON t.doc_id <= (pcts.pct * dmax.dm) // 100
+    GROUP BY pcts.pct
+    """,
+)
+def text_heaps_curve(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """M283 — HEAPS'-LAW vocabulary growth: total tokens,
+    distinct vocabulary and vocab-per-million-tokens at the 25% / 50%
+    / 100% corpus prefixes (by doc_id order — the ingestion axis).
+    V(n) ~ K·n^beta with beta < 1 is the sublinear law every tokenizer
+    vocab budget and every dedup-capacity plan starts from; the curve
+    makes the exponent VISIBLE as exact integers (the density column
+    falling with the prefix is the sublinearity), with no
+    transcendental fit inside the hash gate — the *_terms discipline.
+
+    Scale: one tokenize pass; the bounded ×3 prefix explode rides the
+    token rows with a filter (never three corpus scans); the prefix
+    cut is data-derived (max doc_id via a pmod-constant-key window —
+    regeneration-robust, no literal ids).  The distinct-vocab rollup
+    is the one real shuffle, keyed by (pct, token).
+
+    ``docs=`` substitutes the document frame for probes; the driver
+    contract never passes it."""
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1)))
+    base = d.select(
+        "doc_id",
+        "text",
+        F.max("doc_id").over(w).cast("bigint").alias("dm"),
+    )
+    pcts = F.explode(
+        F.array(*[F.lit(p) for p in _HEAPS_PCTS])
+    ).alias("pct")
+    t = (
+        base.select("doc_id", "text", "dm", pcts)
+        .filter(F.col("doc_id") <= F.expr("(pct * dm) div 100"))
+        .select(
+            "pct", "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    return (
+        t.groupBy("pct")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.countDistinct("token").cast("bigint").alias("n_vocab"),
+        )
+        .select(
+            F.col("pct").cast("bigint").alias("pct"),
+            "n_docs",
+            "n_tokens",
+            "n_vocab",
+            F.expr("(1000000 * n_vocab) div n_tokens")
+            .cast("bigint")
+            .alias("vocab_per_mtoken"),
+        )
+    )

@@ -2444,3 +2444,197 @@ def ts_theilsen_micro(
         F.min("smicro").cast("bigint").alias("min_smicro"),
         F.max("smicro").cast("bigint").alias("max_smicro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_walsh_spectrum — 8-point Walsh-Hadamard transform of daily activity (M286)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_walsh_spectrum",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             CAST((epoch_us(ts) // 10800000000) % 8 AS BIGINT) AS i,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT d.day, s.i
+      FROM (SELECT DISTINCT day FROM b) d,
+           (SELECT unnest(generate_series(0, 7)) AS i) s
+    ),
+    z AS (SELECT spine.day, spine.i, coalesce(b.c, 0) AS c
+          FROM spine LEFT JOIN b ON spine.day = b.day AND spine.i = b.i),
+    sgn AS (
+      SELECT i.i, j.j,
+             CAST(1 - 2 * (bit_count(i.i & j.j) % 2) AS BIGINT) AS sg
+      FROM (SELECT unnest(generate_series(0, 7)) AS i) i,
+           (SELECT unnest(generate_series(0, 7)) AS j) j
+    )
+    SELECT z.day, CAST(sgn.j AS BIGINT) AS j,
+           CAST(sum(sgn.sg * z.c) AS BIGINT) AS w
+    FROM z JOIN sgn ON z.i = sgn.i
+    GROUP BY z.day, sgn.j
+    """,
+)
+def ts_walsh_spectrum(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """M286 — the full 8-point WALSH-HADAMARD spectrum of each
+    day's 3-hour activity profile: w_j = Σ_i (−1)^popcount(i AND j)·c_i
+    over the zero-filled 8-bucket day — j=0 is the day total, the
+    single-bit rows j ∈ {1,2,4} are the three dyadic scales (M248's
+    Haar details), and the composite rows are the cross-scale
+    interactions Haar cannot see.  Every coefficient is an exact
+    SIGNED sum of counts — multi-resolution analysis as pure integer
+    hierarchical aggregation, no floats, no recursion.
+
+    Scale: events collapse map-side to the (day, bucket) table; the
+    ×8 transform rides a broadcast 64-row sign matrix over the
+    bounded day axis — one shuffle total.  The sign is
+    1 − 2·(bit_count(i&j) mod 2): identical branch-free arithmetic in
+    both engines.
+
+    ``events=`` substitutes the event frame for probes; the driver
+    contract never passes it."""
+    e = events if events is not None else load(spark, sf_dir, "events")
+    b = e.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("day"),
+        F.expr("(unix_micros(ts) div 10800000000) % 8").cast("bigint").alias("i"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    days = b.select("day").distinct()
+    spine = days.select(
+        "day", F.explode(F.expr("sequence(0L, 7L)")).alias("i")
+    )
+    z = spine.join(b, ["day", "i"], "left").select(
+        "day", "i", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    sgn = spark.createDataFrame(
+        [
+            (i, j, 1 - 2 * (bin(i & j).count("1") % 2))
+            for i in range(8)
+            for j in range(8)
+        ],
+        "i long, j long, sg long",
+    )
+    return (
+        z.join(F.broadcast(sgn), "i")
+        .groupBy("day", "j")
+        .agg(F.sum(F.col("sg") * F.col("c")).cast("bigint").alias("w"))
+        .select("day", F.col("j").cast("bigint").alias("j"), "w")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_spearman_terms — Spearman rank correlation via integer doubled midranks
+# (M288)
+# ---------------------------------------------------------------------------
+
+_SPEAR_ORACLE = """
+    WITH e AS (
+      SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ),
+    cx AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY x),
+    wx AS (SELECT x, (sum(cnt) OVER (ORDER BY x) - cnt + 1)
+                     + sum(cnt) OVER (ORDER BY x) AS u2 FROM cx),
+    cy AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY y),
+    wy AS (SELECT y, (sum(cnt) OVER (ORDER BY y) - cnt + 1)
+                     + sum(cnt) OVER (ORDER BY y) AS v2 FROM cy),
+    r AS (SELECT wx.u2 AS u, wy.v2 AS v
+          FROM e JOIN wx ON e.x = wx.x JOIN wy ON e.y = wy.y)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(u) AS BIGINT) AS su,
+           CAST(sum(v) AS BIGINT) AS sv,
+           CAST(sum(u * v) AS BIGINT) AS suv,
+           CAST(sum(u * u) AS BIGINT) AS su2,
+           CAST(sum(v * v) AS BIGINT) AS sv2,
+           CAST(CAST(count(*) AS HUGEINT) * sum(u * v)
+                - CAST(sum(u) AS HUGEINT) * sum(v) AS BIGINT) AS rho_num,
+           CAST(CAST(count(*) AS HUGEINT) * sum(u * u)
+                - CAST(sum(u) AS HUGEINT) * sum(u) AS BIGINT) AS den_x,
+           CAST(CAST(count(*) AS HUGEINT) * sum(v * v)
+                - CAST(sum(v) AS HUGEINT) * sum(v) AS BIGINT) AS den_y
+    FROM r
+"""
+
+
+@register("ts_spearman_terms", oracle=_SPEAR_ORACLE)
+def ts_spearman_terms(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """M288 — SPEARMAN rank-correlation terms between hourly
+    click and purchase counts, via integer DOUBLED MIDRANKS: on the
+    union spine of observed hours (zero-filled per side), each axis's
+    value gets 2·midrank = (cum − cnt + 1) + cum — always integral,
+    the analytics_mannwhitney discipline applied to the CORRELATION
+    family (Pearson on ranks = Spearman; M144 is Pearson on raw
+    values, which outliers dominate — rank correlation is the robust
+    complement a metrics pipeline wants for heavy-tailed counts).
+    Emitted: n, Σu, Σv, Σuv, Σu², Σv² plus the assembled rho numerator
+    n·Σuv − Σu·Σv and the two denominator factors (HUGEINT/
+    DECIMAL(38,0) products, M192 rule) — the float sqrt happens
+    client-side (*_terms discipline).
+
+    Scale: events collapse map-side to the bounded O(hours) table;
+    midranks ride pmod-constant-key windows over the bounded count-
+    value axes; one final 1-row rollup."""
+    e = events if events is not None else load(spark, sf_dir, "events")
+    hc = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("h")
+        )
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+
+    def midrank2(df: DataFrame, col: str, out: str) -> DataFrame:
+        c = df.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        w = (
+            Window.partitionBy(F.pmod(F.col(col), F.lit(1)))
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return c.select(
+            col,
+            (
+                (F.sum("cnt").over(w) - F.col("cnt") + 1) + F.sum("cnt").over(w)
+            ).alias(out),
+        )
+
+    r = hc.join(midrank2(hc, "x", "u"), "x").join(midrank2(hc, "y", "v"), "y")
+    agg = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("u").cast("bigint").alias("su"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum(F.col("u") * F.col("v")).cast("bigint").alias("suv"),
+        F.sum(F.col("u") * F.col("u")).cast("bigint").alias("su2"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("sv2"),
+    )
+    return agg.select(
+        "n", "su", "sv", "suv", "su2", "sv2",
+        F.expr("CAST(n AS DECIMAL(38,0)) * suv - CAST(su AS DECIMAL(38,0)) * sv")
+        .cast("bigint")
+        .alias("rho_num"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * su2 - CAST(su AS DECIMAL(38,0)) * su")
+        .cast("bigint")
+        .alias("den_x"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * sv2 - CAST(sv AS DECIMAL(38,0)) * sv")
+        .cast("bigint")
+        .alias("den_y"),
+    )
