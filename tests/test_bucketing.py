@@ -500,3 +500,106 @@ def test_ivfpq_env_index_skips_training(spark, tmp_path, monkeypatch):
     ]
     assert got3 == want
     assert (inv_path / "_SUCCESS").exists(), "retrain must rewrite the artifact"
+
+
+def test_ivf_env_index_skips_training(spark, tmp_path, monkeypatch):
+    """TROPOLOGY_IVF_INDEX_DIR — the registered sim_ivf_topk's
+    artifact-reload wiring (VERDICT r12 item 5, the IVF+PQ-env
+    precedent): with the env var set, the first run trains once and
+    WRITES ``<dir>/ivf_<sf>`` (+ the centroid sibling; the inverted
+    file LAST so its _SUCCESS implies the sibling completed); a second
+    run must reload both frames through the single-home
+    ivf_search_frames with NO training (the build-frames helper
+    raises) and return the default path's rows exactly.  A partial
+    artifact (no _SUCCESS on the inverted file) must trigger a
+    retrain, never a load (the ADVICE r8 gate)."""
+    import os
+
+    import tropology_spark.operators.similarity as S
+    from tropology_spark import QUERIES
+
+    fn = QUERIES["sim_ivf_topk"]
+    want = [
+        (r["vec_id"], r["cell"], r["cosine"])
+        for r in fn(spark, SF_UNIT).collect()
+    ]
+    monkeypatch.setenv("TROPOLOGY_IVF_INDEX_DIR", str(tmp_path))
+    inv_path = tmp_path / f"ivf_{os.path.basename(SF_UNIT)}"
+    got1 = [
+        (r["vec_id"], r["cell"], r["cosine"])
+        for r in fn(spark, SF_UNIT).collect()
+    ]
+    assert got1 == want
+    assert (inv_path / "_SUCCESS").exists(), "first env run must write the artifact"
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("training ran despite a saved IVF artifact")
+
+    monkeypatch.setattr(S, "_ivf_build_frames", boom)
+    got2 = [
+        (r["vec_id"], r["cell"], r["cosine"])
+        for r in fn(spark, SF_UNIT).collect()
+    ]
+    assert got2 == want
+
+    # partial artifact: strip the marker -> must retrain + rewrite
+    monkeypatch.undo()  # restores the real build helper
+    monkeypatch.setenv("TROPOLOGY_IVF_INDEX_DIR", str(tmp_path))
+    (inv_path / "_SUCCESS").unlink()
+    got3 = [
+        (r["vec_id"], r["cell"], r["cosine"])
+        for r in fn(spark, SF_UNIT).collect()
+    ]
+    assert got3 == want
+    assert (inv_path / "_SUCCESS").exists(), "retrain must rewrite the artifact"
+
+
+def test_pq_env_index_skips_encoding(spark, tmp_path, monkeypatch):
+    """TROPOLOGY_PQ_INDEX_DIR — the registered sim_pq_topk's
+    artifact-reload wiring (VERDICT r12 item 5): with the env var set,
+    the first run encodes once and WRITES ``<dir>/pq_<sf>`` (+ the
+    codebook sibling; the encoded corpus LAST so its _SUCCESS implies
+    the sibling completed); a second run must reload both frames
+    through the single-home pq_search_frames with NO corpus re-encode
+    (the build-frames helper raises) and return the default path's
+    rows exactly.  A partial artifact must trigger a re-encode, never
+    a load."""
+    import os
+
+    import tropology_spark.operators.similarity as S
+    from tropology_spark import QUERIES
+
+    fn = QUERIES["sim_pq_topk"]
+    want = [
+        (r["vec_id"], r["adc_d2"], r["dist2"])
+        for r in fn(spark, SF_UNIT).collect()
+    ]
+    monkeypatch.setenv("TROPOLOGY_PQ_INDEX_DIR", str(tmp_path))
+    enc_path = tmp_path / f"pq_{os.path.basename(SF_UNIT)}"
+    got1 = [
+        (r["vec_id"], r["adc_d2"], r["dist2"])
+        for r in fn(spark, SF_UNIT).collect()
+    ]
+    assert got1 == want
+    assert (enc_path / "_SUCCESS").exists(), "first env run must write the artifact"
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("corpus encoding ran despite a saved PQ artifact")
+
+    monkeypatch.setattr(S, "_pq_build_frames", boom)
+    got2 = [
+        (r["vec_id"], r["adc_d2"], r["dist2"])
+        for r in fn(spark, SF_UNIT).collect()
+    ]
+    assert got2 == want
+
+    # partial artifact: strip the marker -> must re-encode + rewrite
+    monkeypatch.undo()  # restores the real build helper
+    monkeypatch.setenv("TROPOLOGY_PQ_INDEX_DIR", str(tmp_path))
+    (enc_path / "_SUCCESS").unlink()
+    got3 = [
+        (r["vec_id"], r["adc_d2"], r["dist2"])
+        for r in fn(spark, SF_UNIT).collect()
+    ]
+    assert got3 == want
+    assert (enc_path / "_SUCCESS").exists(), "re-encode must rewrite the artifact"

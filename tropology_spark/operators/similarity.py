@@ -380,6 +380,31 @@ def quantizer_read_index(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def _ivf_build_frames(
+    spark: SparkSession, sf_dir: str, lloyd_iters: int = 1
+) -> tuple[DataFrame, DataFrame]:
+    """Build the two IVF artifact frames — the INVERTED FILE
+    ``(vec_id, cell, emb, nv)`` and the k-row LAST-round centroid
+    table ``(cell, cemb, nc)`` — with the registered sim_ivf_topk's
+    own training (label-seeded assignment + ``lloyd_iters`` Lloyd
+    rounds).  Single home of the build: :func:`ivf_write_index`
+    (bucketed saveAsTable flavor) and the registered op's
+    ``TROPOLOGY_IVF_INDEX_DIR`` write-if-missing path (plain-parquet
+    flavor) both call it, so the persisted artifact can never drift
+    from the driver-checked training."""
+    ev = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", as_double(F.col("embedding")).alias("emb"))
+        .withColumn("nv", norm(F.col("emb")))
+    )
+    assign0 = ev.select("vec_id", F.col("label").alias("cell"))
+    _, assign, cen = lloyd_rounds(
+        ev.select("vec_id", "emb", "nv"), assign0, lloyd_iters, return_cen=True
+    )
+    inv = ev.join(assign, "vec_id").select("vec_id", "cell", "emb", "nv")
+    return inv, cen
+
+
 def ivf_write_index(
     spark: SparkSession,
     sf_dir: str,
@@ -405,16 +430,7 @@ def ivf_write_index(
     The build is the registered sim_ivf_topk's own: label-seeded
     assignment refined by ``lloyd_rounds`` with the same iteration
     count."""
-    ev = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", "label", as_double(F.col("embedding")).alias("emb"))
-        .withColumn("nv", norm(F.col("emb")))
-    )
-    assign0 = ev.select("vec_id", F.col("label").alias("cell"))
-    _, assign, cen = lloyd_rounds(
-        ev.select("vec_id", "emb", "nv"), assign0, lloyd_iters, return_cen=True
-    )
-    inv = ev.join(assign, "vec_id").select("vec_id", "cell", "emb", "nv")
+    inv, cen = _ivf_build_frames(spark, sf_dir, lloyd_iters)
     w = (
         inv.write.mode("overwrite")
         .format("parquet")
@@ -456,8 +472,27 @@ def ivf_topk_from_index(
     criterion is shuffle avoidance, not I/O) and with it the pruning.
     Ranking is pinned equal to the registered sim_ivf_topk in
     tests/test_bucketing.py::test_ivf_index_persist_reload."""
-    inv = spark.table(table)
-    cen = spark.table(table + "_centroids")
+    return ivf_search_frames(
+        spark.table(table), spark.table(table + "_centroids"),
+        query_vec_id, n_probe, k,
+    )
+
+
+def ivf_search_frames(
+    inv: DataFrame,
+    cen: DataFrame,
+    query_vec_id: int,
+    n_probe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """The from-index IVF search over the two artifact FRAMES — the
+    single home of the probe + rerank arithmetic:
+    :func:`ivf_topk_from_index` (bucketed-table flavor, where the
+    literal ``cell IN (...)`` predicate bucket-prunes) and the
+    registered op's ``TROPOLOGY_IVF_INDEX_DIR`` reload path
+    (plain-parquet flavor) both delegate here, so the saved artifact
+    and the driver-checked search cannot drift (the
+    ivfpq_search_frames / bq_search_signatures precedent)."""
     q = inv.filter(F.col("vec_id") == query_vec_id).select(
         F.col("emb").alias("qemb"), F.col("nv").alias("nq")
     )
@@ -679,7 +714,33 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     refined vs one-shot on clustered synthetic data.
 
     At 100 TB the assignment is written bucketed by cell so a probe
-    touches only matching buckets."""
+    touches only matching buckets.
+
+    Index wiring (the sim_ivfpq_topk precedent): when
+    ``TROPOLOGY_IVF_INDEX_DIR`` is set, the inverted file + centroid
+    frames are reloaded from ``<dir>/ivf_<sf>`` (+ ``_centroids``
+    sibling; written there on first use — the inverted file is written
+    LAST so its ``_SUCCESS`` marker implies the sibling completed, per
+    the ADVICE r8 partial-artifact rule) and the search runs through
+    :func:`ivf_search_frames` — the same single-home arithmetic
+    :func:`ivf_topk_from_index` uses, so the registered op and the
+    saved artifact cannot drift.  The driver contract never sets the
+    env var."""
+    import os
+
+    idx_dir = os.environ.get("TROPOLOGY_IVF_INDEX_DIR")
+    if idx_dir:
+        sf = os.path.basename(os.path.normpath(sf_dir))
+        base = os.path.join(idx_dir, f"ivf_{sf}")
+        if not os.path.exists(os.path.join(base, "_SUCCESS")):
+            inv, cen = _ivf_build_frames(spark, sf_dir)
+            cen.write.mode("overwrite").parquet(base + "_centroids")
+            inv.write.mode("overwrite").parquet(base)  # _SUCCESS gate LAST
+        return ivf_search_frames(
+            spark.read.parquet(base),
+            spark.read.parquet(base + "_centroids"),
+            QUERY_VEC_ID,
+        )
     return ivf_topk(load(spark, sf_dir, "embeddings"), QUERY_VEC_ID)
 
 
@@ -1057,7 +1118,33 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never raw vectors), the codebook is a {k}x{d} broadcast, and the
     rerank touches {c} vectors.  At 100 TB the encoded table is the
     only full-corpus artifact, written bucketed by (s0_code) so probes
-    prune."""
+    prune.
+
+    Index wiring (the sim_ivfpq_topk precedent): when
+    ``TROPOLOGY_PQ_INDEX_DIR`` is set, the encoded corpus + codebook
+    frames are reloaded from ``<dir>/pq_<sf>`` (+ ``_codebook``
+    sibling; written there on first use — the encoded corpus is
+    written LAST so its ``_SUCCESS`` marker implies the sibling
+    completed, per the ADVICE r8 partial-artifact rule) and the search
+    runs through :func:`pq_search_frames` — the same single-home
+    arithmetic :func:`pq_topk_from_index` uses, so the registered op
+    and the saved artifact cannot drift.  The driver contract never
+    sets the env var."""
+    import os
+
+    idx_dir = os.environ.get("TROPOLOGY_PQ_INDEX_DIR")
+    if idx_dir:
+        sf = os.path.basename(os.path.normpath(sf_dir))
+        base = os.path.join(idx_dir, f"pq_{sf}")
+        if not os.path.exists(os.path.join(base, "_SUCCESS")):
+            enc, cb = _pq_build_frames(spark, sf_dir)
+            cb.write.mode("overwrite").parquet(base + "_codebook")
+            enc.write.mode("overwrite").parquet(base)  # _SUCCESS gate LAST
+        return pq_search_frames(
+            spark.read.parquet(base),
+            spark.read.parquet(base + "_codebook"),
+            load(spark, sf_dir, "embeddings"),
+        )
     e = load(spark, sf_dir, "embeddings")
     exm = _pq_exm(e)
     sub = _pq_sub(exm)
@@ -1097,6 +1184,29 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_build_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Build the two PQ artifact frames — the ENCODED corpus
+    ``(vec_id, s, code)`` and the k×d codebook ``(code, s, pos, cm)``
+    — with the registered sim_pq_topk's own encode chain (the shared
+    ``_pq_*`` helpers).  Single home of the build:
+    :func:`pq_write_index` (bucketed saveAsTable flavor) and the
+    registered op's ``TROPOLOGY_PQ_INDEX_DIR`` write-if-missing path
+    (plain-parquet flavor) both call it."""
+    e = load(spark, sf_dir, "embeddings")
+    sub = _pq_sub(_pq_exm(e))
+    cb = _pq_cb(sub)
+    enc0 = _pq_enc0(sub, cb)
+    w_enc = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
+    enc = (
+        enc0.withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code")
+    )
+    return enc, cb
+
+
 def pq_write_index(
     spark: SparkSession,
     sf_dir: str,
@@ -1123,16 +1233,7 @@ def pq_write_index(
     distance evaluations per vector) runs ONCE here; the read path
     (:func:`pq_topk_from_index`) never re-encodes anything but the
     query."""
-    e = load(spark, sf_dir, "embeddings")
-    sub = _pq_sub(_pq_exm(e))
-    cb = _pq_cb(sub)
-    enc0 = _pq_enc0(sub, cb)
-    w_enc = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
-    enc = (
-        enc0.withColumn("rn", F.row_number().over(w_enc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", "code")
-    )
+    enc, cb = _pq_build_frames(spark, sf_dir)
     w = (
         enc.write.mode("overwrite")
         .format("parquet")
@@ -1169,9 +1270,28 @@ def pq_topk_from_index(
     ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false`` in
     the reading session so the ADC rollup keeps the bucketed scan and
     plans shuffle-free."""
-    enc = spark.table(table)
-    cb = spark.table(table + "_codebook")
-    e = load(spark, sf_dir, "embeddings")
+    return pq_search_frames(
+        spark.table(table), spark.table(table + "_codebook"),
+        load(spark, sf_dir, "embeddings"), query_vec_id, n_cand, k,
+    )
+
+
+def pq_search_frames(
+    enc: DataFrame,
+    cb: DataFrame,
+    e: DataFrame,
+    query_vec_id: int = QUERY_VEC_ID,
+    n_cand: int = _PQ_CAND,
+    k: int = 10,
+) -> DataFrame:
+    """The from-index PQ search over the two artifact FRAMES plus the
+    raw embeddings source (query encode + rerank point lookups only) —
+    the single home of the ADC + rerank arithmetic:
+    :func:`pq_topk_from_index` (bucketed-table flavor, zero-Exchange
+    ADC rollup) and the registered op's ``TROPOLOGY_PQ_INDEX_DIR``
+    reload path (plain-parquet flavor) both delegate here, so the
+    saved artifact and the driver-checked search cannot drift (the
+    ivfpq_search_frames / bq_search_signatures precedent)."""
     # Filter BEFORE the explode: the query encode is a point lookup.
     qexm = _pq_exm(e.filter(F.col("vec_id") == query_vec_id))
     qd = _pq_enc0(_pq_sub(qexm), cb).select(
