@@ -1,6 +1,6 @@
-"""Weak-scaling probe for the staged mm_cdc_dedup_stats (round-13
+"""Weak-scaling probe for the registered mm_cdc_dedup_stats (round-13
 slate): replicate sf0.1 documents <mult> times and run the EXACT
-staged CDC chunk-dedup path.  Two modes:
+registered CDC chunk-dedup path.  Two modes:
 
 * ``copy``    — verbatim copies (doc_id offset only): content x mult,
   unique chunks ~flat — measures the content-addressed ABSORPTION
@@ -26,7 +26,7 @@ mode = sys.argv[2]
 from pyspark.sql import functions as F  # noqa: E402
 
 from tropology_spark.session import get_spark, iter_materialize  # noqa: E402
-from tropology_spark.operators.staged_r13 import mm_cdc_dedup_stats  # noqa: E402
+from tropology_spark.operators.multimodal import mm_cdc_dedup_stats  # noqa: E402
 from tropology_spark.sources.tables import load  # noqa: E402
 
 t0 = time.time()

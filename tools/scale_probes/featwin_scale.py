@@ -1,7 +1,7 @@
-"""Weak-scaling probe for the staged join_feature_window (round-13
+"""Weak-scaling probe for the registered join_feature_window (round-13
 slate): replicate sf0.1 events into <mult> disjoint user populations
 (per-user activity density preserved — join state per key constant,
-keys grow with users) and run the EXACT staged bucketed band equi-join.
+keys grow with users) and run the EXACT registered bucketed band equi-join (activated round 13).
 Usage: python featwin_scale.py <mult>
 """
 import json
@@ -16,7 +16,7 @@ mult = int(sys.argv[1])
 from pyspark.sql import functions as F  # noqa: E402
 
 from tropology_spark.session import get_spark, iter_materialize  # noqa: E402
-from tropology_spark.operators.staged_r13 import join_feature_window  # noqa: E402
+from tropology_spark.operators.relational import join_feature_window  # noqa: E402
 from tropology_spark.sources.tables import load  # noqa: E402
 
 t0 = time.time()

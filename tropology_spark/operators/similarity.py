@@ -3772,7 +3772,9 @@ def _pq_distortion_oracle() -> str:
 
 
 @register("sim_pq_distortion", oracle=_pq_distortion_oracle())
-def sim_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_pq_distortion(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
     """M294 — PQ QUANTIZATION-DISTORTION histogram: every
     vector's reconstruction error under the M104 codebook (self-ADC =
     Σ over subspaces of the minimum squared distance to any code —
@@ -3789,8 +3791,13 @@ def sim_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     staging with byte-identical registered SQL).  Scale: enc0 is the
     same bounded (n × subspaces × codes) table the registered query
     builds; the rollups are map-side combinable; distances stay
-    BIGINT (micro-unit² ≤ ~4e12 per subspace at unit norm)."""
-    e = load(spark, sf_dir, "embeddings")
+    BIGINT (micro-unit² ≤ ~4e12 per subspace at unit norm).
+
+    ``e=`` substitutes the embedding frame for the weak-scaling probe
+    (tools/scale_probes/pqdist_scale.py); the driver contract never
+    passes it."""
+    if e is None:
+        e = load(spark, sf_dir, "embeddings")
     sub = _pq_sub(_pq_exm(e))
     enc0 = _pq_enc0(sub, _pq_cb(sub))
     best = enc0.groupBy("vec_id", "s").agg(F.min("d2").alias("bd2"))
