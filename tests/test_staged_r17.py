@@ -1,0 +1,561 @@
+"""Driver-replica parity for the STAGED round-17 operators
+(tropology_spark/operators/staged_r17.py) — the staging pattern's
+ninth application: the full compare at both verification scales,
+pure-Python twins for every formula-bearing op, two hypothesis
+property suites on the exact staged paths (frame injection), and the
+partitioning-invariance + plan sweeps.  Activation in round 17 is then
+a mechanical move-and-register.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_ORACLE, SF_UNIT, make_duckdb
+from tropology_spark.operators.staged_r17 import STAGED
+
+
+def test_staged_module_registers_nothing():
+    from tropology_spark import QUERIES
+
+    assert not (set(STAGED) & set(QUERIES))
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_parity_both_scales(spark, name):
+    from tests.parity import compare
+
+    fn, oracle = STAGED[name]
+    for sf in (SF_UNIT, SF_ORACLE):
+        con = make_duckdb(sf)
+        try:
+            compare(name, spark, con, fn, oracle, sf)
+        finally:
+            con.close()
+
+
+def test_staged_partitioning_invariance(spark):
+    from tests.parity import canon_rows, spark_result
+    from tropology_spark.sources.tables import clear_session_caches
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {n: set() for n in STAGED}
+        for parts in ("5", "13", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            clear_session_caches()
+            for n, (fn, _) in STAGED.items():
+                cols, rows = spark_result(fn(spark, SF_UNIT))
+                results[n].add(tuple(canon_rows(cols, rows)))
+        for n, seen in results.items():
+            assert len(seen) == 1, f"staged {n} varies with shuffle partitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+        clear_session_caches()
+
+
+def test_staged_no_new_plan_antipatterns(spark):
+    """No CartesianProduct / row-Python UDF; BNLJ only at the one
+    noted scalar attach (join_bloom_prefilter_audit's 1-row
+    build-count modulus crosses — the r14 Bloom-curve precedent) —
+    the name to add to BNLJ_ALLOWED at activation."""
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    bnlj_expected = {"join_bloom_prefilter_audit"}
+    bad = {}
+    for name, (fn, _) in STAGED.items():
+        s = fn(spark, SF_UNIT)._jdf.queryExecution().explainString(mode)
+        if "CartesianProduct" in s:
+            bad[name] = "CartesianProduct"
+        if "BatchEvalPython" in s:
+            bad[name] = "row-Python UDF"
+        if "BroadcastNestedLoopJoin" in s and name not in bnlj_expected:
+            bad[name] = "unexpected BNLJ"
+    assert not bad, bad
+
+
+# ---------------------------------------------------------------------------
+# Twins (NEW-OP CROSS-CHECK DISCIPLINE) — hashlib / Counter / NumPy
+# recomputations with arbitrary-precision ints; no SQL engine (DuckDB
+# appears only as a parquet reader / cents-rounding source).
+# ---------------------------------------------------------------------------
+
+
+def test_staged_distinct_sample_curve_matches_pure_python(spark):
+    """agg_distinct_sample_curve — samples, distinct counts and the
+    signed extrapolation errors recomputed with hashlib + sets; also
+    pins the power-of-two sample NESTING s=16 ⊆ s=4 ⊆ s=1."""
+    import hashlib
+
+    import duckdb
+
+    fn, _ = STAGED["agg_distinct_sample_curve"]
+    rows = duckdb.sql(
+        f"""SELECT o_orderkey, o_custkey
+            FROM read_parquet('{SF_UNIT}/orders.parquet')"""
+    ).fetchall()
+    samples = {1: set(), 4: set(), 16: set()}
+    counts = {1: 0, 4: 0, 16: 0}
+    for ok, ck in rows:
+        hk = int(hashlib.md5(str(int(ok)).encode()).hexdigest()[:8], 16)
+        for s in samples:
+            if hk % s == 0:
+                samples[s].add(int(ck))
+                counts[s] += 1
+    d_true = len(samples[1])
+    want = {
+        s: (
+            counts[s], len(ks), s * len(ks), d_true,
+            s * len(ks) - d_true, (1_000_000 * len(ks)) // d_true,
+        )
+        for s, ks in samples.items()
+    }
+    got = {
+        r["s"]: (r["n_rows"], r["d_sample"], r["est_naive"], r["d_true"],
+                 r["err"], r["seen_ppm"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+    assert samples[16] <= samples[4] <= samples[1]  # moduli nest
+
+
+def test_staged_zipf_rank_curve_matches_pure_python(spark):
+    """text_zipf_rank_curve — vocabulary counts, ranks and the Zipf
+    products recomputed with Counter + Python ints."""
+    from collections import Counter
+
+    import duckdb
+
+    fn, _ = STAGED["text_zipf_rank_curve"]
+    docs = duckdb.sql(
+        f"SELECT text FROM read_parquet('{SF_UNIT}/documents.parquet')"
+    ).fetchall()
+    vocab = Counter(t for (txt,) in docs for t in txt.split(" "))
+    ranked = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    top = ranked[0][1]
+    want = {
+        r: (tok, c, top, (1_000_000 * c * r) // top,
+            (1_000_000 * c * r) // top - 1_000_000)
+        for r, (tok, c) in enumerate(ranked, 1)
+    }
+    got = {
+        r["rank"]: (r["token"], r["freq"], r["top_freq"],
+                    r["zipf_ratio_ppm"], r["dev_ppm"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_staged_shard_balance_matches_pure_python(spark):
+    """pipeline_shard_balance — ring points re-derived with hashlib,
+    per-shard occupancy, shares and deviations recomputed with ints;
+    also pins the zero-sum of each scheme's deviations to the 8·ideal
+    remainder and the totals to the corpus size."""
+    import hashlib
+
+    import duckdb
+
+    from tropology_spark.operators.staged_r16 import _CH_MOD, _CH_VNODES
+
+    fn, _ = STAGED["pipeline_shard_balance"]
+    ids = [
+        int(d)
+        for (d,) in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{SF_UNIT}/documents.parquet')"
+        ).fetchall()
+    ]
+    ring = [
+        (s, int(hashlib.md5(f"{s}_{v}".encode()).hexdigest()[:8], 16))
+        for s in range(8)
+        for v in range(_CH_VNODES)
+    ]
+    cnt = {("mod8", s): 0 for s in range(8)}
+    cnt.update({("ring8", s): 0 for s in range(8)})
+    for did in ids:
+        h = int(hashlib.md5(str(did).encode()).hexdigest()[:8], 16)
+        cnt[("mod8", h % 8)] += 1
+        ra = min(((r - h) % _CH_MOD, s, r) for s, r in ring)[1]
+        cnt[("ring8", ra)] += 1
+    n = len(ids)
+    want = {
+        k: (c, (1_000_000 * c) // n, 1000 * c - (1000 * n) // 8)
+        for k, c in cnt.items()
+    }
+    got = {
+        (r["scheme"], r["shard"]): (r["n_keys"], r["share_ppm"], r["dev_milli"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+    for scheme in ("mod8", "ring8"):
+        assert sum(got[(scheme, s)][0] for s in range(8)) == n
+
+
+def test_staged_reservoir_merge_matches_pure_python(spark):
+    """pipeline_reservoir_merge_audit — both derivations recomputed
+    with hashlib + sorted(); pins the structural guarantee the audit
+    exists for: merged == global, positions and all, agree ≡ 1."""
+    import hashlib
+
+    import duckdb
+
+    fn, _ = STAGED["pipeline_reservoir_merge_audit"]
+    rows = duckdb.sql(
+        f"""SELECT doc_id, source
+            FROM read_parquet('{SF_UNIT}/documents.parquet')"""
+    ).fetchall()
+    keyed = sorted(
+        (int(hashlib.md5(str(int(d)).encode()).hexdigest()[:8], 16), int(d), s)
+        for d, s in rows
+    )
+    want = {
+        d: (s, h, i, i, 1) for i, (h, d, s) in enumerate(keyed[:20], 1)
+    }
+    got = {
+        r["doc_id"]: (r["source"], r["h"], r["pos_global"], r["pos_merged"],
+                      r["agree"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+    assert len(got) == 20 and all(v[4] == 1 for v in got.values())
+
+
+def test_staged_dominant_period_matches_pure_python(spark):
+    """ts_dominant_period — hourly counts, per-lag co-moments and the
+    fixed-point scores recomputed with Counter + Python big ints,
+    including the (score DESC, lag) argmax."""
+    from collections import Counter
+
+    import duckdb
+
+    fn, _ = STAGED["ts_dominant_period"]
+    rows = duckdb.sql(
+        f"""SELECT event_type, epoch_us(ts) // 3600000000
+            FROM read_parquet('{SF_UNIT}/events.parquet')"""
+    ).fetchall()
+    hc = Counter((et, int(h)) for et, h in rows)
+    types = {et for et, _h in hc}
+    want = {}
+    for et in types:
+        series = {h: c for (t, h), c in hc.items() if t == et}
+        best = None
+        for lag in range(2, 49):
+            pairs = [
+                (series[h], series[h - lag])
+                for h in series
+                if h - lag in series
+            ]
+            m = len(pairs)
+            if m < 24:
+                continue
+            sxy = sum(a * b for a, b in pairs)
+            sh = sum(a for a, _b in pairs)
+            st = sum(b for _a, b in pairs)
+            shh = sum(a * a for a, _b in pairs)
+            stt = sum(b * b for _a, b in pairs)
+            num = m * sxy - sh * st
+            dh = m * shh - sh * sh
+            dt = m * stt - st * st
+            if num <= 0 or dh <= 0 or dt <= 0:
+                continue
+            score = (1_000_000_000 * num * num) // (dh * dt)
+            key = (-score, lag)
+            if best is None or key < best[0]:
+                best = (key, (lag, m, num, dh, dt, score))
+        if best is not None:
+            want[et] = best[1]
+    got = {
+        r["event_type"]: (r["best_lag"], r["m"], r["num"], r["dh"], r["dt"],
+                          r["score_ppb"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_staged_misra_gries_matches_pure_python(spark):
+    """agg_misra_gries_audit — per-shard counts, offset summaries,
+    the merge, the re-prune and the exact meet recomputed with
+    Counter; also pins est ≤ exact everywhere AND the mergeable-MG
+    theory bound under ≤ Σ shard thresholds + merge threshold."""
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    fn, _ = STAGED["agg_misra_gries_audit"]
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
+    ).fetchall()
+    sc = defaultdict(Counter)
+    for did, txt in docs:
+        toks = txt.split(" ")
+        sc[int(did) % 4].update(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+    merged = Counter()
+    bound = 0
+    for shard in sc:
+        ranked = sorted(sc[shard].items(), key=lambda kv: (-kv[1], kv[0]))
+        t_s = ranked[8][1] if len(ranked) > 8 else 0
+        bound += t_s
+        for bg, c in ranked[:8]:
+            if c - t_s > 0:
+                merged[bg] += c - t_s
+    ranked_m = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+    t_m = ranked_m[8][1] if len(ranked_m) > 8 else 0
+    bound += t_m
+    gc = Counter()
+    for c in sc.values():
+        gc.update(c)
+    want = {
+        bg: (ws - t_m, gc[bg], gc[bg] - (ws - t_m))
+        for bg, ws in ranked_m[:8]
+        if ws - t_m > 0
+    }
+    got = {
+        r["bigram"]: (r["est"], r["exact"], r["under"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+    for _bg, (est, exact, under) in got.items():
+        assert 0 <= under == exact - est  # the summary only subtracts
+        assert under <= bound  # the mergeable-MG error budget
+
+
+def test_staged_bloom_prefilter_matches_pure_python(spark):
+    """join_bloom_prefilter_audit — filter bits, per-key hits and the
+    weighted pass/true/fp masses recomputed with hashlib + Counter;
+    also pins the no-false-negative guarantee n_pass >= n_true."""
+    import hashlib
+    from collections import Counter
+
+    import duckdb
+
+    fn, _ = STAGED["join_bloom_prefilter_audit"]
+    build = {
+        int(k)
+        for (k,) in duckdb.sql(
+            f"""SELECT p_partkey FROM read_parquet('{SF_UNIT}/part.parquet')
+                WHERE p_size >= 40"""
+        ).fetchall()
+    }
+    probe = Counter(
+        int(k)
+        for (k,) in duckdb.sql(
+            f"SELECT l_partkey FROM read_parquet('{SF_UNIT}/lineitem.parquet')"
+        ).fetchall()
+    )
+
+    def hh(k):
+        hx = hashlib.md5(str(k).encode()).hexdigest()
+        return int(hx[:8], 16), int(hx[8:16], 16)
+
+    nb = len(build)
+    n_probe = sum(probe.values())
+    n_true = sum(c for k, c in probe.items() if k in build)
+    want = {}
+    for bpk in (8, 16):
+        m = bpk * nb
+        bits = {(h1 + j * h2) % m for k in build for h1, h2 in [hh(k)] for j in (0, 1)}
+        n_pass = sum(
+            c
+            for k, c in probe.items()
+            if all((hh(k)[0] + j * hh(k)[1]) % m in bits for j in (0, 1))
+        )
+        want[bpk] = (
+            nb, n_probe, n_true, n_pass, n_pass - n_true,
+            (1_000_000 * (n_pass - n_true)) // (n_probe - n_true),
+            (1_000_000 * (n_probe - n_pass)) // n_probe,
+        )
+    got = {
+        r["bits_per_key"]: (
+            r["n_build"], r["n_probe"], r["n_true"], r["n_pass"], r["n_fp"],
+            r["fp_ppm"], r["reduction_ppm"],
+        )
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+    for bpk, (_nb, _np, nt, npass, _f, _fp, _red) in got.items():
+        assert npass >= nt  # Bloom has no false negatives
+
+
+def test_staged_mutual_knn_consistent_with_registered(spark):
+    """sim_mutual_knn — a composed audit: the mutual pairs recomputed
+    in Python from the collected registered sim_knn_join frame."""
+    from tropology_spark import QUERIES
+
+    fn, _ = STAGED["sim_mutual_knn"]
+    knn = {
+        (r["vec_id"], r["neighbor_id"]): (r["rn"], r["cosine"])
+        for r in QUERIES["sim_knn_join"](spark, SF_UNIT).collect()
+    }
+    want = {}
+    for (a, b), (rn_ab, cos) in knn.items():
+        if a < b and (b, a) in knn:
+            want[(a, b)] = (rn_ab, knn[(b, a)][0], cos)
+    got = {
+        (r["vec_a"], r["vec_b"]): (r["rn_ab"], r["rn_ba"], r["cosine"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_staged_rocchio_matches_pure_python(spark):
+    """sim_rocchio_feedback — both retrieval rounds, the shifted
+    centroid floor and the overlap flags recomputed with NumPy round +
+    Python big ints."""
+    import duckdb
+    import numpy as np
+
+    fn, _ = STAGED["sim_rocchio_feedback"]
+    rows = duckdb.sql(
+        f"""SELECT vec_id, embedding
+            FROM read_parquet('{SF_UNIT}/embeddings.parquet')"""
+    ).fetchall()
+    vm = {
+        int(vid): [
+            int(x)
+            for x in np.round(
+                np.array(emb, dtype=np.float64) * 1_000_000
+            ).astype(np.int64)
+        ]
+        for vid, emb in rows
+    }
+    q = vm[0]
+    sc = {
+        v: sum(a * b for a, b in zip(vec, q))
+        for v, vec in vm.items()
+        if v != 0
+    }
+    order0 = sorted(sc, key=lambda v: (-sc[v], v))
+    top5, orig10 = order0[:5], set(order0[:10])
+    cen = [
+        sum(vm[v][p] for v in top5) // 5  # Python // IS the shifted floor
+        for p in range(len(q))
+    ]
+    sc2 = {
+        v: sum(a * b for a, b in zip(vec, cen))
+        for v, vec in vm.items()
+        if v != 0
+    }
+    order2 = sorted(sc2, key=lambda v: (-sc2[v], v))[:10]
+    want = {
+        rk: (v, sc2[v], 1 if v in orig10 else 0)
+        for rk, v in enumerate(order2, 1)
+    }
+    got = {
+        r["rk"]: (r["vec_id"], r["dot_c_u2"], r["in_orig10"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_staged_lehr_matches_pure_python(spark):
+    """analytics_lehr_sample_size — every carrier recomputed with
+    Python big ints from the DuckDB cents, including the signed
+    shifted gap and the ceiled Lehr division."""
+    import duckdb
+
+    fn, _ = STAGED["analytics_lehr_sample_size"]
+    rows = duckdb.sql(
+        f"""SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT)
+            FROM read_parquet('{SF_UNIT}/orders.parquet')
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')"""
+    ).fetchall()
+    a = [int(c) for p, c in rows if p == "1-URGENT"]
+    b = [int(c) for p, c in rows if p == "5-LOW"]
+    na, nb = len(a), len(b)
+    s1a, s1b = sum(a), sum(b)
+    s2a, s2b = sum(x * x for x in a), sum(x * x for x in b)
+    dnum = s1a * nb - s1b * na
+    ssnum = nb * (na * s2a - s1a * s1a) + na * (nb * s2b - s1b * s1b)
+    den = (na + nb - 2) * dnum * dnum
+    want = (
+        na, nb, s1a // na, s1b // nb,
+        (na * s2a - s1a * s1a) // na,
+        (nb * s2b - s1b * s1b) // nb,
+        (1000 * dnum) // (na * nb),  # Python // IS the shifted floor
+        None if dnum == 0 else (16 * ssnum * na * nb + den - 1) // den,
+    )
+    [r] = fn(spark, SF_UNIT).collect()
+    assert (
+        r["na"], r["nb"], r["mean_a_cents"], r["mean_b_cents"],
+        r["ssa"], r["ssb"], r["gap_milli_cents"], r["n_lehr"],
+    ) == want
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis property suites on the EXACT staged paths (frame injection)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_SMALL = dict(max_examples=5, deadline=None)
+
+
+@settings(**_SMALL)
+@given(
+    period=st.integers(min_value=2, max_value=12),
+    base=st.integers(min_value=1, max_value=4),
+    amp=st.integers(min_value=3, max_value=9),
+)
+def test_dominant_period_finds_planted_period(spark, period, base, amp):
+    """ts_dominant_period on injected events (events= kwarg): plant an
+    exactly periodic hourly series (one bump per cycle — minimal
+    period = the cycle length by construction) and the detector must
+    return EXACTLY that period with a perfect score: at every multiple
+    of P the shifted series is identical, Cauchy-Schwarz holds with
+    equality (num² = dh·dt → score_ppb = 10⁹), and the (score DESC,
+    lag) tie-break picks the smallest such lag = P."""
+    if amp == base:
+        amp += 1
+    pattern = [amp] + [base] * (period - 1)
+    rows = []
+    eid = 0
+    for h in range(120):
+        for i in range(pattern[h % period]):
+            us = (h * 3_600 + i) * 1_000_000
+            rows.append((eid, 0, us, "click"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, event_type string"
+    ).selectExpr(
+        "event_id", "user_id", "timestamp_micros(us) AS ts", "event_type"
+    )
+    fn, _ = STAGED["ts_dominant_period"]
+    [r] = fn(spark, "unused", events=ev).collect()
+    assert r["best_lag"] == period
+    assert r["score_ppb"] == 1_000_000_000  # exact Cauchy-Schwarz equality
+
+
+@settings(**_SMALL)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),
+            st.sampled_from(["a", "b", "c", "d"]),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_reservoir_merge_property(spark, docs):
+    """pipeline_reservoir_merge_audit on injected corpora (docs=
+    kwarg): for ARBITRARY (doc_id, source) sets the merged per-source
+    sample must equal the global sample — min(k, n) rows, agree ≡ 1,
+    and the selected set is exactly the bottom-k by (h, doc_id)."""
+    import hashlib
+
+    d = spark.createDataFrame(list(docs), "doc_id long, source string")
+    fn, _ = STAGED["pipeline_reservoir_merge_audit"]
+    got = fn(spark, "unused", docs=d).collect()
+    keyed = sorted(
+        (int(hashlib.md5(str(did).encode()).hexdigest()[:8], 16), did)
+        for did, _s in docs
+    )
+    want_ids = [did for _h, did in keyed[: min(20, len(docs))]]
+    assert sorted(r["doc_id"] for r in got) == sorted(want_ids)
+    assert all(r["agree"] == 1 for r in got)
+    assert {r["doc_id"]: r["pos_global"] for r in got} == {
+        did: i for i, (_h, did) in enumerate(keyed[: len(want_ids)], 1)
+    }

@@ -280,6 +280,30 @@ _RING8 = _ring_points(8)
 _RING9 = _ring_points(9)
 
 
+def ring_assign(
+    h: DataFrame, points: list[tuple[int, int, int]], out: str
+) -> DataFrame:
+    """Successor-on-the-ring assignment for a ``(doc_id, h)`` frame:
+    ``out`` = the shard whose nearest clockwise ring point follows the
+    key hash — array_min over the literal (dist, shard, r) structs, so
+    the whole ring rides the row (no join at all).  The single Spark
+    home of the ring arithmetic, shared by the moves audit (here) and
+    the staged round-17 balance profile."""
+    structs = F.array(
+        *[
+            F.struct(
+                ((F.lit(r) - F.col("h") + _CH_MOD) % _CH_MOD).alias("dist"),
+                F.lit(s).cast("bigint").alias("shard"),
+                F.lit(r).cast("bigint").alias("r"),
+            )
+            for s, _v, r in points
+        ]
+    )
+    return h.select(
+        "doc_id", F.array_min(structs).getField("shard").alias(out)
+    )
+
+
 def _ch_oracle() -> str:
     r8 = ", ".join(f"({s}, {r})" for s, _v, r in _RING8)
     r9 = ", ".join(f"({s}, {r})" for s, _v, r in _RING9)
@@ -359,30 +383,14 @@ def pipeline_consistent_hash_moves(
         .cast("bigint")
         .alias("h"),
     )
-
-    def ring_assign(points: list[tuple[int, int, int]], out: str) -> DataFrame:
-        structs = F.array(
-            *[
-                F.struct(
-                    ((F.lit(r) - F.col("h") + _CH_MOD) % _CH_MOD).alias("dist"),
-                    F.lit(s).cast("bigint").alias("shard"),
-                    F.lit(r).cast("bigint").alias("r"),
-                )
-                for s, _v, r in points
-            ]
-        )
-        return h.select(
-            "doc_id", F.array_min(structs).getField("shard").alias(out)
-        )
-
     per = (
         h.select(
             "doc_id",
             (F.col("h") % 8).alias("m8"),
             (F.col("h") % 9).alias("m9"),
         )
-        .join(ring_assign(_RING8, "r8a"), "doc_id")
-        .join(ring_assign(_RING9, "r9a"), "doc_id")
+        .join(ring_assign(h, _RING8, "r8a"), "doc_id")
+        .join(ring_assign(h, _RING9, "r9a"), "doc_id")
     )
 
     def row(method: str, old: str, new: str) -> DataFrame:
