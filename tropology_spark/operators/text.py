@@ -1905,9 +1905,11 @@ def winnowing_selected(
     )
 
 
-@register(
-    "text_winnowing_fingerprints",
-    oracle=f"""
+#: The winnowing selection CTE prefix (gram hashes -> window minima
+#: -> DISTINCT selected fingerprints) -- the SQL single home mirrored
+#: by the ``winnowing_selected`` Spark helper; spliced by the
+#: registered M259 rollup and the staged MOSS pair join (r19 slate).
+_WINNOW_SEL_CTE = f"""
     WITH g AS (
       SELECT doc_id, i,
              ('0x' || substring(md5(l[i] || ' ' || l[i+1] || ' ' || l[i+2]),
@@ -1925,7 +1927,13 @@ def winnowing_selected(
       FROM g
     ),
     sel AS (SELECT DISTINCT doc_id, n_grams, mh
-            FROM wm WHERE i + {_WIN_W - 1} <= n_grams)
+            FROM wm WHERE i + {_WIN_W - 1} <= n_grams)"""
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=_WINNOW_SEL_CTE
+    + """
     SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
            CAST(count(*) AS BIGINT) AS n_selected,
            CAST((1000000 * count(*)) // n_grams AS BIGINT) AS density_ppm
