@@ -74,7 +74,16 @@ def _stage(name: str, oracle: str):
 # sim_anisotropy_terms — one-pass embedding anisotropy diagnostic
 # ---------------------------------------------------------------------------
 
-_ANI_BIG = 1_000_000_000  # shift constant for the signed integral divisions
+# Shift constants for the two signed integral divisions, sized from
+# DOMAIN BOUNDS (the r17 Lehr lesson — never size a shift by habit):
+# |mean pair dot| <= mean norm^2 <= 64e12 u^2 (components cap at 1e6),
+# so the pair carrier shifts by 1e14; |ani| <= 1e6 ppm by
+# Cauchy-Schwarz, so the ppm carrier shifts by 1e7.  (The original
+# shared 1e9 was too small for anti-aligned corpora — both engines
+# truncated identically so parity couldn't see it; the Gram-identity
+# hypothesis suite caught it.)
+_ANI_BIG_PAIR = 10**14
+_ANI_BIG_PPM = 10**7
 
 
 @_stage(
@@ -104,11 +113,11 @@ _ANI_BIG = 1_000_000_000  # shift constant for the signed integral divisions
            CAST(sn2 AS BIGINT) AS sum_norm2_u2,
            CAST(sn2 // n AS BIGINT) AS mean_norm2_u2,
            CAST(gram // n AS BIGINT) AS gram_div_n,
-           CAST((gram - sn2 + CAST({_ANI_BIG} AS HUGEINT) * (n * (n - 1)))
-                // (n * (n - 1)) - {_ANI_BIG} AS BIGINT) AS mean_pair_dot_u2,
+           CAST((gram - sn2 + CAST({_ANI_BIG_PAIR} AS HUGEINT) * (n * (n - 1)))
+                // (n * (n - 1)) - {_ANI_BIG_PAIR} AS BIGINT) AS mean_pair_dot_u2,
            CAST((1000000 * (gram - sn2)
-                 + CAST({_ANI_BIG} AS HUGEINT) * ((n - 1) * sn2))
-                // ((n - 1) * sn2) - {_ANI_BIG} AS BIGINT) AS ani_ppm
+                 + CAST({_ANI_BIG_PPM} AS HUGEINT) * ((n - 1) * sn2))
+                // ((n - 1) * sn2) - {_ANI_BIG_PPM} AS BIGINT) AS ani_ppm
     FROM tot
     """,
 )
@@ -161,12 +170,12 @@ def sim_anisotropy_terms(
         F.expr("CAST(sn2 div n AS BIGINT)").alias("mean_norm2_u2"),
         F.expr("CAST(gram div n AS BIGINT)").alias("gram_div_n"),
         F.expr(
-            f"CAST((gram - sn2 + CAST({_ANI_BIG} AS DECIMAL(38,0))"
-            f" * (n * (n - 1))) div (n * (n - 1)) - {_ANI_BIG} AS BIGINT)"
+            f"CAST((gram - sn2 + CAST({_ANI_BIG_PAIR} AS DECIMAL(38,0))"
+            f" * (n * (n - 1))) div (n * (n - 1)) - {_ANI_BIG_PAIR} AS BIGINT)"
         ).alias("mean_pair_dot_u2"),
         F.expr(
-            f"CAST((1000000 * (gram - sn2) + CAST({_ANI_BIG} AS DECIMAL(38,0))"
-            f" * ((n - 1) * sn2)) div ((n - 1) * sn2) - {_ANI_BIG} AS BIGINT)"
+            f"CAST((1000000 * (gram - sn2) + CAST({_ANI_BIG_PPM} AS DECIMAL(38,0))"
+            f" * ((n - 1) * sn2)) div ((n - 1) * sn2) - {_ANI_BIG_PPM} AS BIGINT)"
         ).alias("ani_ppm"),
     )
 
@@ -1049,7 +1058,9 @@ def ts_local_maxima(
 # agg_higher_moments_terms — exact power sums + central-moment carriers
 # ---------------------------------------------------------------------------
 
-_HM_BIG = 1_000_000_000  # shift constant for the signed m3 division
+_HM_BIG = 10**13  # shift for the signed m3 division, sized from the
+# domain bound |sum (x-mu)^3| <= n*50^3 (quantity <= 50): covers n to
+# ~10^7 group rows (the r17 Lehr lesson -- domain bound, not habit)
 
 
 @_stage(
