@@ -603,3 +603,72 @@ def test_pq_env_index_skips_encoding(spark, tmp_path, monkeypatch):
     ]
     assert got3 == want
     assert (enc_path / "_SUCCESS").exists(), "re-encode must rewrite the artifact"
+
+
+def test_minhash_env_index_skips_signatures(spark, tmp_path, monkeypatch):
+    """TROPOLOGY_MINHASH_INDEX_DIR — the cross-session artifact path
+    for the band table (completing the env wiring across the artifact
+    family): a cold cache with the env var set must REUSE the written
+    bands instead of re-running the signature pass (pinned by making
+    the builder raise), and the reloaded bands must equal the
+    computed ones."""
+    import tropology_spark.operators.dedup as D
+    from tropology_spark.sources.tables import clear_session_caches
+
+    want = {
+        (r["doc_id"], r["band"], r["bucket"])
+        for r in D.minhash_bands_materialized(spark, SF_UNIT).collect()
+    }
+    monkeypatch.setenv("TROPOLOGY_MINHASH_INDEX_DIR", str(tmp_path))
+    clear_session_caches()
+    try:
+        # First cold build with the env var: one signature pass, writes.
+        b1 = D.minhash_bands_materialized(spark, SF_UNIT)
+        assert {(r["doc_id"], r["band"], r["bucket"]) for r in b1.collect()} == want
+
+        # Second cold build: must come from the artifact — no signatures.
+        clear_session_caches()
+
+        def boom(*a, **k):  # pragma: no cover - failure path
+            raise AssertionError("minhash_bands_frame ran despite saved index")
+
+        monkeypatch.setattr(D, "minhash_bands_frame", boom)
+        b2 = D.minhash_bands_materialized(spark, SF_UNIT)
+        assert {(r["doc_id"], r["band"], r["bucket"]) for r in b2.collect()} == want
+    finally:
+        clear_session_caches()
+
+
+def test_minhash_partial_env_index_triggers_rebuild(spark, tmp_path, monkeypatch):
+    """A parquet dir without the _SUCCESS marker must be treated as
+    absent (rebuild + overwrite), never loaded — the ADVICE r8 gate,
+    applied to the minhash env artifact."""
+    import os
+
+    import tropology_spark.operators.dedup as D
+    from tropology_spark.sources.tables import clear_session_caches
+
+    want = {
+        (r["doc_id"], r["band"], r["bucket"])
+        for r in D.minhash_bands_materialized(spark, SF_UNIT).collect()
+    }
+    idx_path = tmp_path / f"bands_{os.path.basename(SF_UNIT)}"
+    idx_path.mkdir()
+    (idx_path / "part-00000.parquet").write_bytes(b"PAR1garbagePAR1")
+    monkeypatch.setenv("TROPOLOGY_MINHASH_INDEX_DIR", str(tmp_path))
+    clear_session_caches()
+    try:
+        calls = {"n": 0}
+        real = D.minhash_bands_frame
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(D, "minhash_bands_frame", counting)
+        b1 = D.minhash_bands_materialized(spark, SF_UNIT)
+        assert calls["n"] == 1, "partial index dir must trigger a rebuild"
+        assert {(r["doc_id"], r["band"], r["bucket"]) for r in b1.collect()} == want
+        assert (idx_path / "_SUCCESS").exists(), "rebuild must rewrite the artifact"
+    finally:
+        clear_session_caches()

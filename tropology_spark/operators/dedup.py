@@ -330,11 +330,38 @@ SESSION_CACHES.append(_BANDS_CACHE)
 def minhash_bands_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``(doc_id, band, bucket)`` eagerly materialized per (session,
     sf).  Callers that substitute their own docs frame (scale probes)
-    keep using :func:`minhash_bands_frame` directly."""
+    keep using :func:`minhash_bands_frame` directly.
+
+    Index persistence (the quantizer-env precedent, completing the
+    artifact family's env wiring): when ``TROPOLOGY_MINHASH_INDEX_DIR``
+    is set, a cold cache reads the band table from ``<dir>/bands_<sf>``
+    if present (gated on the parquet ``_SUCCESS`` marker — a partial
+    writer dir must trigger a rebuild) and writes it there after the
+    signature pass otherwise — the signature scan runs at most once
+    across sessions.  The driver contract never sets the env var, so
+    registered-query behavior is unchanged by default.  For the
+    plan-level benefit (zero-shuffle band joins) persist via
+    :func:`minhash_write_index`, which keeps the bucketing metadata a
+    plain parquet round-trip loses."""
+    import os
+
+    def build() -> DataFrame:
+        idx_dir = os.environ.get("TROPOLOGY_MINHASH_INDEX_DIR")
+        idx_path = None
+        if idx_dir:
+            idx_path = os.path.join(
+                idx_dir, f"bands_{os.path.basename(os.path.normpath(sf_dir))}"
+            )
+            if os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+                return spark.read.parquet(idx_path).localCheckpoint(eager=True)
+        bands = minhash_bands_frame(spark, sf_dir)
+        if idx_path is not None:
+            bands.write.mode("overwrite").parquet(idx_path)
+            return spark.read.parquet(idx_path).localCheckpoint(eager=True)
+        return bands.localCheckpoint(eager=True)
+
     return cache_get_or_build(
-        _BANDS_CACHE,
-        (spark.sparkContext.applicationId, sf_dir),
-        lambda: minhash_bands_frame(spark, sf_dir).localCheckpoint(eager=True),
+        _BANDS_CACHE, (spark.sparkContext.applicationId, sf_dir), build
     )
 
 
