@@ -1076,13 +1076,13 @@ def test_materialized_view_build_is_shared_across_threads(spark):
 
 def test_driver_window_composition(spark):
     """The driver hash-checks the FIRST 50 registry entries.  Pin the
-    round-13 window invariants so a module-import or registration-order
+    round-14 window invariants so a module-import or registration-order
     change can never silently evict a query: the activated staged
     queries (never sampled) lead, and EVERY
     remaining window slot goes to the rotation queue — queries whose
-    latest driver row is the OLDEST post-regeneration vintage (<= r06;
+    latest driver row is the OLDEST post-regeneration vintage (<= r07;
     the bound relaxes by one each time a fresher class becomes the
-    oldest — the r06 class enters the round-13 rotation, the r9-r11
+    oldest — the r07 class enters the round-14 rotation, the r9-r11
     precedent) or IS from the most
     recent driver round (a fresh row from the current round is the
     queue working, not a wasted slot — the r6 verdict's fix for the
@@ -1109,7 +1109,7 @@ def test_driver_window_composition(spark):
     missing = [q for q in never if q not in set(window)]
     assert not missing, f"never-sampled queries outside the window: {missing}"
     for q in window[len(head):]:
-        assert latest.get(q, 0) <= 6 or latest[q] == max_round, (
+        assert latest.get(q, 0) <= 7 or latest[q] == max_round, (
             f"non-stale query {q} burns a window slot"
         )
     for q in window:
