@@ -132,6 +132,11 @@ BNLJ_ALLOWED = {
     # precedent); M295 crosses the 3-row width table into the sketch
     # cell build and the per-user estimate probe.
     "analytics_did_terms", "agg_cms_width_curve",
+    # round-14 scalar attaches (pre-activation plan sweep in the staged
+    # suite): M300 crosses the 2-row window-size table into the bounded
+    # hour spine; M302 broadcasts the 1-row member-count modulus and
+    # the 1-row probe-total attach.
+    "ts_hurst_rs_terms", "agg_bloom_fpr_curve",
 }
 
 #: The ONLY row-at-a-time Python evaluation sites: L1 (the declared

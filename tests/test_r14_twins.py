@@ -1,89 +1,31 @@
-"""Driver-replica parity for the STAGED round-14 operators
-(tropology_spark/operators/staged_r14.py) — the staging pattern's
-sixth application: the full compare at both verification scales,
-pure-Python twins for every formula-bearing op, a hypothesis property
-suite on the exact staged path, and the partitioning-invariance +
-plan sweeps.  Activation in round 14 is then a mechanical
-move-and-register.
+"""Independent pure-Python twins for the round-14 activations
+(M297-M308) — the NEW-OP CROSS-CHECK DISCIPLINE (CLAUDE.md round 7):
+Spark-vs-DuckDB parity cannot catch a shared-formula error, so every
+formula-bearing new operator is re-derived here with hashlib / sets /
+Counter / NumPy / plain loops and compared against the REGISTERED
+query, plus the two hypothesis property suites on the exact registered
+code paths (frame injection through the registry wrapper's **kwargs).
+
+(These ops were staged in rounds 11-12 as operators/staged_r14.py and
+activated in round 14; oracle parity + partitioning invariance now run
+through the registry-wide suites — tests/test_oracle_parity.py and
+test_units.py's invariance probe.)
 """
 
 from __future__ import annotations
 
-import pytest
-
-from tests.conftest import SF_ORACLE, SF_UNIT, make_duckdb
-from tropology_spark.operators.staged_r14 import STAGED
+from tests.conftest import SF_UNIT
+from tropology_spark import QUERIES
 
 
-def test_staged_module_registers_nothing():
-    from tropology_spark import QUERIES
-
-    assert not (set(STAGED) & set(QUERIES))
-
-
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_parity_both_scales(spark, name):
-    from tests.parity import compare
-
-    fn, oracle = STAGED[name]
-    for sf in (SF_UNIT, SF_ORACLE):
-        con = make_duckdb(sf)
-        try:
-            compare(name, spark, con, fn, oracle, sf)
-        finally:
-            con.close()
-
-
-def test_staged_partitioning_invariance(spark):
-    from tests.parity import canon_rows, spark_result
-    from tropology_spark.sources.tables import clear_session_caches
-
-    orig = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        results = {n: set() for n in STAGED}
-        for parts in ("5", "13", "32"):
-            spark.conf.set("spark.sql.shuffle.partitions", parts)
-            clear_session_caches()
-            for n, (fn, _) in STAGED.items():
-                cols, rows = spark_result(fn(spark, SF_UNIT))
-                results[n].add(tuple(canon_rows(cols, rows)))
-        for n, seen in results.items():
-            assert len(seen) == 1, f"staged {n} varies with shuffle partitioning"
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig)
-        clear_session_caches()
-
-
-def test_staged_no_new_plan_antipatterns(spark):
-    """No CartesianProduct / row-Python UDF; BNLJ only at the two
-    noted scalar attaches (ts_hurst_rs_terms' 2-row window-size table
-    crossed into the bounded hour spine; agg_bloom_fpr_curve's 1-row
-    member-count modulus + probe-total attaches) — the names to add
-    to BNLJ_ALLOWED at activation."""
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "simple"
-    )
-    bnlj_expected = {"ts_hurst_rs_terms", "agg_bloom_fpr_curve"}
-    bad = {}
-    for name, (fn, _) in STAGED.items():
-        s = fn(spark, SF_UNIT)._jdf.queryExecution().explainString(mode)
-        if "CartesianProduct" in s:
-            bad[name] = "CartesianProduct"
-        if "BatchEvalPython" in s:
-            bad[name] = "row-Python UDF"
-        if "BroadcastNestedLoopJoin" in s and name not in bnlj_expected:
-            bad[name] = "unexpected BNLJ"
-    assert not bad, bad
-
-
-def test_staged_decay_matches_pure_python(spark):
+def test_decay_matches_pure_python(spark):
     """agg_exp_decay_counts — dyadic weights recomputed with plain
     ints; also pins the dyadic bound decayed <= 4096 * n."""
     from collections import Counter, defaultdict
 
     import duckdb
 
-    fn, _ = STAGED["agg_exp_decay_counts"]
+    fn = QUERIES["agg_exp_decay_counts"]
     rows = duckdb.sql(
         f"""SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT)
             FROM read_parquet('{SF_UNIT}/events.parquet')"""
@@ -104,7 +46,7 @@ def test_staged_decay_matches_pure_python(spark):
         assert 0 <= d <= 4096 * cnt
 
 
-def test_staged_burstiness_matches_pure_python(spark):
+def test_burstiness_matches_pure_python(spark):
     """text_burstiness_terms — top-k cut, per-day counts and the
     variance numerator recomputed with Counters; also pins the
     variance identity var_num_x29 = 29·Σc² − total² ≥ 0 iff ...
@@ -114,7 +56,7 @@ def test_staged_burstiness_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["text_burstiness_terms"]
+    fn = QUERIES["text_burstiness_terms"]
     texts = duckdb.sql(
         f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
     ).fetchall()
@@ -142,7 +84,7 @@ def test_staged_burstiness_matches_pure_python(spark):
         assert v >= 0  # 29^2 * population variance over the full axis
 
 
-def test_staged_cascade_matches_registered_sets(spark):
+def test_cascade_matches_registered_sets(spark):
     """pipeline_cascade_marginals — recompute the cascade from the
     four REGISTERED flag sets (the composed-audit rule) and pin the
     accounting identities: Σ marginal = |union|, marginal ≤ flagged
@@ -150,9 +92,7 @@ def test_staged_cascade_matches_registered_sets(spark):
     equals its flag count (nothing runs before exact)."""
     from collections import defaultdict
 
-    from tropology_spark import QUERIES
-
-    fn, _ = STAGED["pipeline_cascade_marginals"]
+    fn = QUERIES["pipeline_cascade_marginals"]
     import duckdb
 
     docs = duckdb.sql(
@@ -190,7 +130,7 @@ def test_staged_cascade_matches_registered_sets(spark):
         assert got[s][2] <= got[s][1]
 
 
-def test_staged_hurst_matches_pure_python(spark):
+def test_hurst_matches_pure_python(spark):
     """ts_hurst_rs_terms — spine, windows, n-scaled cumulative
     deviations, ranges and variance numerators recomputed with plain
     int loops."""
@@ -198,7 +138,7 @@ def test_staged_hurst_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["ts_hurst_rs_terms"]
+    fn = QUERIES["ts_hurst_rs_terms"]
     hs = [
         h
         for (h,) in duckdb.sql(
@@ -252,7 +192,7 @@ def test_hurst_constant_series_has_zero_range(spark, rate, hours):
     R·w = 0 and the variance numerator = 0 in every window, at every
     scale — any arithmetic drift in the n-scaled deviation or the
     window cut breaks it immediately."""
-    fn, _ = STAGED["ts_hurst_rs_terms"]
+    fn = QUERIES["ts_hurst_rs_terms"]
     base = 1_700_000_000_000_000
     rows = [
         (h * 10 + i, 0, base + h * 3_600_000_000 + i, "click")
@@ -275,7 +215,7 @@ def test_hurst_constant_series_has_zero_range(spark, rate, hours):
 # ---------------------------------------------------------------------------
 
 
-def test_staged_srm_matches_pure_python(spark):
+def test_srm_matches_pure_python(spark):
     """analytics_srm_audit — cohort split counts and the milli-chi2
     carrier recomputed with hashlib + Counters; also pins the identity
     Σ dev over cohorts = n_A_total − n_B_total."""
@@ -284,7 +224,7 @@ def test_staged_srm_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["analytics_srm_audit"]
+    fn = QUERIES["analytics_srm_audit"]
     rows = duckdb.sql(
         f"""SELECT user_id,
                    datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
@@ -312,7 +252,7 @@ def test_staged_srm_matches_pure_python(spark):
     )
 
 
-def test_staged_bloom_fpr_matches_pure_python(spark):
+def test_bloom_fpr_matches_pure_python(spark):
     """agg_bloom_fpr_curve — bit sets, double-hash positions, and
     false positives recomputed with hashlib + Python ints; also pins
     FPR monotone non-increasing in bits-per-key."""
@@ -320,7 +260,7 @@ def test_staged_bloom_fpr_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["agg_bloom_fpr_curve"]
+    fn = QUERIES["agg_bloom_fpr_curve"]
     mem = {
         int(k)
         for (k,) in duckdb.sql(
@@ -364,7 +304,7 @@ def test_staged_bloom_fpr_matches_pure_python(spark):
     assert fprs[0] >= fprs[1] >= fprs[2]  # more bits, fewer false positives
 
 
-def test_staged_continuation_matches_pure_python(spark):
+def test_continuation_matches_pure_python(spark):
     """text_continuation_terms — bigram counts, continuation counts,
     and the follower Simpson numerator recomputed with Counters over
     the exact split(' ') tokenization (empty tokens included — the J6
@@ -373,7 +313,7 @@ def test_staged_continuation_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["text_continuation_terms"]
+    fn = QUERIES["text_continuation_terms"]
     texts = duckdb.sql(
         f"SELECT text FROM read_parquet('{SF_UNIT}/documents.parquet')"
     ).fetchall()
@@ -401,13 +341,13 @@ def test_staged_continuation_matches_pure_python(spark):
     assert got == want
 
 
-def test_staged_truncation_matches_pure_python(spark):
+def test_truncation_matches_pure_python(spark):
     """pipeline_truncation_loss_curve — histogram cut recomputed with
     plain ints; also pins the curve monotonicity (lost and docs_over
     non-increasing in max_len) and kept+lost = total."""
     import duckdb
 
-    fn, _ = STAGED["pipeline_truncation_loss_curve"]
+    fn = QUERIES["pipeline_truncation_loss_curve"]
     lens = [
         len(t.split(" "))
         for (t,) in duckdb.sql(
@@ -429,7 +369,7 @@ def test_staged_truncation_matches_pure_python(spark):
     assert got[128][0] >= got[256][0] >= got[512][0]
 
 
-def test_staged_quantizer_drift_matches_pure_python(spark):
+def test_quantizer_drift_matches_pure_python(spark):
     """sim_quantizer_drift — one NumPy Lloyd round (cell means, 6-dp
     cosine, (ccos DESC, cell) tie-break) compared cell by cell; also
     pins the conservation identities Σn_before = Σn_after = n_vectors
@@ -439,7 +379,7 @@ def test_staged_quantizer_drift_matches_pure_python(spark):
     import duckdb
     import numpy as np
 
-    fn, _ = STAGED["sim_quantizer_drift"]
+    fn = QUERIES["sim_quantizer_drift"]
     rows = duckdb.sql(
         f"SELECT vec_id, label, embedding FROM "
         f"read_parquet('{SF_UNIT}/embeddings.parquet')"
@@ -490,13 +430,13 @@ def test_staged_quantizer_drift_matches_pure_python(spark):
         assert ns <= min(nb, na)
 
 
-def test_staged_record_hours_matches_pure_python(spark):
+def test_record_hours_matches_pure_python(spark):
     """ts_record_hours — prefix maxima recomputed with plain loops."""
     from collections import Counter, defaultdict
 
     import duckdb
 
-    fn, _ = STAGED["ts_record_hours"]
+    fn = QUERIES["ts_record_hours"]
     rows = duckdb.sql(
         f"""SELECT event_type,
                    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 24
@@ -525,7 +465,7 @@ def test_staged_record_hours_matches_pure_python(spark):
     assert got == want
 
 
-def test_staged_sequential_matches_pure_python(spark):
+def test_sequential_matches_pure_python(spark):
     """analytics_sequential_counts — per-day cumulative users and
     converters recomputed with hashlib + dict loops; also pins
     monotonicity of both cumulative columns and converted ≤ users."""
@@ -534,7 +474,7 @@ def test_staged_sequential_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["analytics_sequential_counts"]
+    fn = QUERIES["analytics_sequential_counts"]
     rows = duckdb.sql(
         f"""SELECT user_id, event_type,
                    datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
@@ -584,14 +524,14 @@ def test_staged_sequential_matches_pure_python(spark):
         assert cc <= cu
 
 
-def test_staged_degree_gini_matches_pure_python(spark):
+def test_degree_gini_matches_pure_python(spark):
     """graph_degree_gini — the Lorenz identity recomputed with
     arbitrary-precision Python ints over the distinct edge list."""
     from collections import Counter
 
     import duckdb
 
-    fn, _ = STAGED["graph_degree_gini"]
+    fn = QUERIES["graph_degree_gini"]
     pairs = duckdb.sql(
         f"""SELECT DISTINCT o_custkey AS src, l_partkey AS dst
             FROM read_parquet('{SF_UNIT}/orders.parquet') o
@@ -622,7 +562,7 @@ def test_record_hours_property_prefix_maxima(spark, series):
     path must equal the pure prefix-maxima recompute for ARBITRARY
     hourly series — every count/record/argmax column, not just the
     fixture's."""
-    fn, _ = STAGED["ts_record_hours"]
+    fn = QUERIES["ts_record_hours"]
     base = 1_700_000_000_000_000
     rows = [
         (h * 100 + i, 0, base + h * 3_600_000_000 + i, "click")

@@ -1018,6 +1018,19 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "sim_pq_distortion",
         "agg_cms_width_curve",
         "graph_reach2_hll_audit",
+        # round-14 activations (M297-M308)
+        "agg_exp_decay_counts",
+        "text_burstiness_terms",
+        "pipeline_cascade_marginals",
+        "ts_hurst_rs_terms",
+        "analytics_srm_audit",
+        "agg_bloom_fpr_curve",
+        "text_continuation_terms",
+        "pipeline_truncation_loss_curve",
+        "sim_quantizer_drift",
+        "ts_record_hours",
+        "analytics_sequential_counts",
+        "graph_degree_gini",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -1094,7 +1107,7 @@ def test_driver_window_composition(spark):
     from pathlib import Path
 
     from tropology_spark import ORACLES, QUERIES
-    from tropology_spark import _R13_NEW
+    from tropology_spark import _R14_NEW
 
     latest: dict[str, int] = {}
     for f in Path(".").glob("CORRECTNESS_r*.json"):
@@ -1103,7 +1116,7 @@ def test_driver_window_composition(spark):
             latest[k] = max(latest.get(k, 0), rnd)
     max_round = max(latest.values(), default=0)
     window = list(QUERIES)[:50]
-    head = _R13_NEW
+    head = _R14_NEW
     assert window[: len(head)] == head, window[: len(head)]
     never = [q for q in QUERIES if q not in latest]
     missing = [q for q in never if q not in set(window)]

@@ -518,6 +518,79 @@ _R13_STALE_R06 = [
     "ts_seasonal_naive_error",
 ]
 
-prioritize(_R13_NEW + _R13_STALE_R05 + _R13_STALE_R06)
+#: Round-14 additions (M297-M308) — the activated round-13-staged ops,
+#: in the staged-slate order.
+_R14_NEW = [
+    "agg_exp_decay_counts",
+    "text_burstiness_terms",
+    "pipeline_cascade_marginals",
+    "ts_hurst_rs_terms",
+    "analytics_srm_audit",
+    "agg_bloom_fpr_curve",
+    "text_continuation_terms",
+    "pipeline_truncation_loss_curve",
+    "sim_quantizer_drift",
+    "ts_record_hours",
+    "analytics_sequential_counts",
+    "graph_degree_gini",
+]
+
+#: The 18 remaining r06-vintage rows (the class empties this round), in
+#: registry order.
+_R14_STALE_R06 = [
+    "ts_outlier_mad",
+    "analytics_rfm_segments",
+    "analytics_dau_streaks",
+    "analytics_basket_pairs",
+    "analytics_event_type_overlap",
+    "analytics_gini_spend",
+    "analytics_order_gap_histogram",
+    "analytics_session_paths",
+    "analytics_cumulative_reach",
+    "analytics_spend_deciles",
+    "win_lag_gap",
+    "agg_collect_neighbors_capped",
+    "filter_ts_range",
+    "join_range_events",
+    "sub_not_in_null",
+    "join_band_bucketed",
+    "agg_quantile_sketch_audit",
+    "agg_mergeable_stats_audit",
+]
+
+#: The 20 OLDEST r07-vintage rows in registry order; 28 r07 queries
+#: remain for the round-15 rotation (flagship_revenue_by_region,
+#: scan_project, scan_pushdown_lookup, json_extract_props,
+#: select_compute, filter_in, filter_boolean_logic, filter_like,
+#: filter_null_semantics, join_inner, join_broadcast_star,
+#: join_full_outer, join_semi, join_self_twohop, join_asof_lastevent,
+#: join_cross_count, agg_degree, agg_pricing_summary,
+#: agg_count_distinct, agg_conditional, agg_having, sort_multi_key,
+#: topk_global, set_union_all, set_union_distinct,
+#: set_intersect_common, set_except, sub_correlated_avg).
+_R14_STALE_R07 = [
+    "dedup_embedding_cosine",
+    "dedup_embedding_clusters",
+    "fn_date",
+    "pipeline_pit_leakage_audit",
+    "pipeline_stratified_reservoir",
+    "graph_ktruss",
+    "win_rank",
+    "win_moving_avg",
+    "win_running_sum",
+    "win_distribution",
+    "win_first_last",
+    "topk_per_group",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_collect_neighbors",
+    "agg_pivot",
+    "agg_percentiles",
+    "agg_stats",
+    "agg_kmv_diff",
+]
+
+prioritize(_R14_NEW + _R14_STALE_R06 + _R14_STALE_R07)
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

@@ -1899,3 +1899,255 @@ def graph_reach2_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_exp_decay_counts — dyadic exponentially-decayed activity
+# ---------------------------------------------------------------------------
+
+#: Half-life = 7 days; the decay weight is the exact dyadic rational
+#: 4096 div 2^(age_days div 7), zero past 12 half-lives (2^12 = 4096).
+_DECAY_SCALE = 4096
+_DECAY_HL_DAYS = 7
+
+
+@register(
+    "agg_exp_decay_counts",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events
+    ),
+    mx AS (SELECT CAST(max(day) AS BIGINT) AS dmax FROM e),
+    w AS (
+      SELECT event_type,
+             CASE WHEN (mx.dmax - day) // {_DECAY_HL_DAYS} >= 12 THEN 0
+                  ELSE {_DECAY_SCALE}
+                       // (1 << CAST((mx.dmax - day) // {_DECAY_HL_DAYS}
+                                     AS INTEGER))
+             END AS wt
+      FROM e CROSS JOIN mx
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(wt) AS BIGINT) AS decayed_x4096,
+           CAST(sum(wt) // count(*) AS BIGINT) AS mean_weight_x4096
+    FROM w GROUP BY event_type
+    """,
+)
+def agg_exp_decay_counts(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """M297 — exponentially TIME-DECAYED activity per event
+    type: each event contributes the exact dyadic weight
+    4096 div 2^(age_in_half_lives) (half-life 7 days, age measured
+    from the corpus' max day — data-derived, regeneration-robust;
+    weights past 12 half-lives are exactly 0) — the freshness-weighted
+    popularity signal every trending/ranking surface maintains, with
+    the decay carried as an INTEGER dyadic rational instead of the
+    usual float exp() (the M58/M230 dyadic-taps discipline applied to
+    the aggregation family).  Emitted: raw count, the ×4096 decayed
+    mass, and the mean weight — a consumer divides by 4096 exactly.
+
+    Scale: the decayed sum is a plain map-side-combinable SUM (each
+    row's weight depends only on its own age) — the property that
+    makes dyadic decay deployable where exp() scores would need a
+    re-normalization pass; one shuffle on the type key.
+
+    ``events=`` substitutes the event frame for probes; the driver
+    contract never passes it."""
+    e0 = events if events is not None else load(spark, sf_dir, "events")
+    e = e0.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("day"),
+    )
+    w = Window.partitionBy(F.pmod(F.col("day"), F.lit(1)))
+    x = e.select(
+        "event_type",
+        "day",
+        F.max("day").over(w).cast("bigint").alias("dmax"),
+    ).select(
+        "event_type",
+        F.expr(
+            f"CASE WHEN (dmax - day) div {_DECAY_HL_DAYS} >= 12 THEN 0"
+            f" ELSE {_DECAY_SCALE} div shiftleft(1L,"
+            f" CAST((dmax - day) div {_DECAY_HL_DAYS} AS INT)) END"
+        )
+        .cast("bigint")
+        .alias("wt"),
+    )
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("wt").cast("bigint").alias("decayed_x4096"),
+    ).select(
+        "event_type",
+        "n_events",
+        "decayed_x4096",
+        F.expr("decayed_x4096 div n_events")
+        .cast("bigint")
+        .alias("mean_weight_x4096"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_bloom_fpr_curve — Bloom false-positive rate vs bits-per-key
+# ---------------------------------------------------------------------------
+
+_BLOOM_BPKS = (8, 16, 32)
+
+_BLOOM_FPR_ORACLE = f"""
+    WITH mem AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    nm AS (SELECT CAST(count(*) AS BIGINT) AS n_members FROM mem),
+    cfg AS (SELECT CAST(unnest([{", ".join(str(b) for b in _BLOOM_BPKS)}]) AS BIGINT) AS bpk),
+    mh AS (SELECT k,
+                  ('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT AS h1,
+                  ('0x' || substring(md5(CAST(k AS VARCHAR)), 9, 8))::BIGINT AS h2
+           FROM mem),
+    bits AS (
+      SELECT DISTINCT cfg.bpk,
+             (mh.h1 + j.j * mh.h2) % (cfg.bpk * nm.n_members) AS pos
+      FROM mh CROSS JOIN nm CROSS JOIN cfg, unnest([0, 1]) AS j(j)
+    ),
+    nonm AS (SELECT c_custkey + 1000000000 AS k FROM customer),
+    ph AS (SELECT k,
+                  ('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT AS h1,
+                  ('0x' || substring(md5(CAST(k AS VARCHAR)), 9, 8))::BIGINT AS h2
+           FROM nonm),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nonmembers FROM nonm),
+    pp AS (
+      SELECT cfg.bpk, ph.k,
+             (ph.h1 + j.j * ph.h2) % (cfg.bpk * nm.n_members) AS pos
+      FROM ph CROSS JOIN nm CROSS JOIN cfg, unnest([0, 1]) AS j(j)
+    ),
+    hit AS (SELECT pp.bpk, pp.k, CAST(count(*) AS BIGINT) AS n_hit
+            FROM pp JOIN bits ON pp.bpk = bits.bpk AND pp.pos = bits.pos
+            GROUP BY pp.bpk, pp.k),
+    fp AS (SELECT bpk, CAST(count(*) AS BIGINT) AS n_fp
+           FROM hit WHERE n_hit = 2 GROUP BY bpk)
+    SELECT cfg.bpk AS bits_per_key, nm.n_members, tot.n_nonmembers,
+           CAST(coalesce(fp.n_fp, 0) AS BIGINT) AS n_fp,
+           CAST((1000000 * coalesce(fp.n_fp, 0)) // tot.n_nonmembers
+                AS BIGINT) AS fpr_ppm
+    FROM cfg LEFT JOIN fp ON cfg.bpk = fp.bpk
+    CROSS JOIN nm CROSS JOIN tot
+"""
+
+
+@register("agg_bloom_fpr_curve", oracle=_BLOOM_FPR_ORACLE)
+def agg_bloom_fpr_curve(
+    spark: SparkSession,
+    sf_dir: str,
+    mem: DataFrame | None = None,
+    probes: DataFrame | None = None,
+) -> DataFrame:
+    """M302 — Bloom-filter false-positive-rate curve vs bits-per-key — the
+    SIZING axis of the approximate-membership family (M174 audits ONE
+    fixed 4096-bit/3-hash dedup filter; this measures the FPR a
+    deployment buys at m/n ∈ {8, 16, 32} bits per key, the number that
+    decides the filter's memory budget at 100 TB).  Members = custkeys
+    with orders; probes = the customer keys shifted by 10⁹ — a
+    DISJOINT key space, so every probe is a non-member by construction
+    (scale-robust: at sf0.001 every customer has orders, so an
+    anti-join probe set would be empty).  A false positive is a probe
+    whose both hash positions (k = 2: h1 mod m, (h1+h2) mod m over
+    the md5-low/high-32 halves — the Kirsch-Mitzenmacher
+    double-hashing scheme) land on set bits.
+    Emits per config the member/probe counts, false positives, and
+    fpr_ppm = (10⁶·n_fp) div n_nonmembers — all integers, md5-only
+    randomness, every config row always emitted (LEFT join from the
+    config spine).
+
+    Scale: the bit table is a distinct-agg over members ×2 positions
+    ×|configs| (map-side combinable); the probe is an equi-join on
+    (config, position).  The 1-row member-count attach (the modulus)
+    is a deliberate scalar crossJoin — BNLJ-allowlist at activation.
+    ``mem=``/``probes=`` override the member/probe key frames (one
+    ``k`` column each; weak-scaling probe kwargs —
+    tools/scale_probes/bloomfpr_scale.py, which measures the claim
+    that FPR at fixed bits-per-key is SCALE-FREE; the driver contract
+    never passes them)."""
+    from tropology_spark.session import iter_materialize
+
+    # mem feeds the count AND the hash pass; the 1-row count feeds the
+    # bit table, the probe positions, and the final attach — both are
+    # multi-referenced, so both checkpoint (the double-reference rule).
+    if mem is None:
+        mem = (
+            load(spark, sf_dir, "orders")
+            .select(F.col("o_custkey").alias("k"))
+            .distinct()
+        )
+    mem = iter_materialize(mem)
+    nm = iter_materialize(
+        mem.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    )
+
+    def hashes(df):
+        md5s = F.md5(F.col("k").cast("string"))
+        return df.select(
+            "k",
+            F.conv(F.substring(md5s, 1, 8), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring(md5s, 9, 8), 16, 10).cast("bigint").alias("h2"),
+        )
+
+    cfg_arr = F.array(*[F.lit(b).cast("bigint") for b in _BLOOM_BPKS])
+    j_arr = F.array(F.lit(0).cast("bigint"), F.lit(1).cast("bigint"))
+    mh = hashes(mem).crossJoin(F.broadcast(nm))
+    bits = (
+        mh.select(
+            "h1",
+            "h2",
+            "n_members",
+            F.explode(cfg_arr).alias("bpk"),
+        )
+        .select(
+            "bpk",
+            "h1",
+            "h2",
+            "n_members",
+            F.explode(j_arr).alias("j"),
+        )
+        .select(
+            "bpk",
+            F.expr("(h1 + j * h2) % (bpk * n_members)").alias("pos"),
+        )
+        .distinct()
+    )
+    if probes is None:
+        probes = load(spark, sf_dir, "customer").select(
+            (F.col("c_custkey") + 1000000000).alias("k")
+        )
+    nonm = hashes(probes)
+    tot = nonm.agg(F.count(F.lit(1)).cast("bigint").alias("n_nonmembers"))
+    pp = (
+        nonm.crossJoin(F.broadcast(nm))
+        .select("k", "h1", "h2", "n_members", F.explode(cfg_arr).alias("bpk"))
+        .select("k", "bpk", "h1", "h2", "n_members", F.explode(j_arr).alias("j"))
+        .select("bpk", "k", F.expr("(h1 + j * h2) % (bpk * n_members)").alias("pos"))
+    )
+    hit = pp.join(bits, ["bpk", "pos"]).groupBy("bpk", "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    fp = (
+        hit.filter(F.col("n_hit") == 2)
+        .groupBy("bpk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_fp"))
+    )
+    cfg = spark.createDataFrame(
+        [(b,) for b in _BLOOM_BPKS], "bits_per_key long"
+    )
+    return (
+        cfg.join(fp, cfg.bits_per_key == fp.bpk, "left")
+        .crossJoin(F.broadcast(nm))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bits_per_key",
+            "n_members",
+            "n_nonmembers",
+            F.coalesce(F.col("n_fp"), F.lit(0)).cast("bigint").alias("n_fp"),
+            F.expr(
+                "CAST((1000000 * coalesce(n_fp, 0L)) div n_nonmembers AS BIGINT)"
+            ).alias("fpr_ppm"),
+        )
+    )

@@ -2561,3 +2561,209 @@ def analytics_did_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div {den} - {_DID_BIG} AS BIGINT)"
         ).alias("did_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# analytics_srm_audit — per-cohort sample-ratio-mismatch guardrail
+# ---------------------------------------------------------------------------
+
+_SRM_ORACLE = """
+    WITH e AS (
+      SELECT user_id,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+      FROM events
+    ),
+    u AS (SELECT user_id, CAST(min(d) AS BIGINT) AS d0
+          FROM e GROUP BY user_id),
+    v AS (
+      SELECT d0,
+             CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS is_a
+      FROM u
+    )
+    SELECT d0 AS cohort_day,
+           CAST(sum(is_a) AS BIGINT) AS n_a,
+           CAST(sum(1 - is_a) AS BIGINT) AS n_b,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(is_a) - sum(1 - is_a) AS BIGINT) AS dev,
+           CAST((1000 * (sum(is_a) - sum(1 - is_a))
+                      * (sum(is_a) - sum(1 - is_a))) // count(*)
+                AS BIGINT) AS chisq_milli
+    FROM v GROUP BY d0
+"""
+
+
+@register("analytics_srm_audit", oracle=_SRM_ORACLE)
+def analytics_srm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M301 — Sample-ratio-mismatch guardrail for the md5 hash split, per
+    signup cohort (first-event day): n_A, n_B, the signed deviation
+    d = n_A − n_B, and the exact milli-χ² against the expected 50/50
+    — χ² = (n_A − n/2)²/(n/2) + (n_B − n/2)²/(n/2) = d²/n, carried as
+    (1000·d²) div n (d² non-negative → div//floor agree).  SRM is the
+    FIRST check every experimentation platform runs before reading a
+    lift number (a mismatched split invalidates the experiment); the
+    per-cohort-day breakdown is the production monitoring shape —
+    one corrupted assignment day shows as one bad row, not a diluted
+    global statistic.  Companion to analytics_ab_lift (rates), CUPED
+    (variance reduction) and Mann-Whitney (nonparametric): this one
+    validates the DENOMINATORS those tests trust.
+
+    Scale: two map-side-combinable aggs (per-user min-day, per-cohort
+    counts) — no joins, no windows, corpus collapses to O(days)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+    )
+    u = e.groupBy("user_id").agg(F.min("d").cast("bigint").alias("d0"))
+    v = u.select(
+        "d0",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", 1
+        )
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    return v.groupBy(F.col("d0").alias("cohort_day")).agg(
+        F.sum("is_a").cast("bigint").alias("n_a"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("bigint").alias("n_b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        (F.sum("is_a") - F.sum(F.lit(1) - F.col("is_a")))
+        .cast("bigint")
+        .alias("dev"),
+        F.expr(
+            "CAST((1000 * (sum(is_a) - sum(1 - is_a))"
+            " * (sum(is_a) - sum(1 - is_a))) div count(*) AS BIGINT)"
+        ).alias("chisq_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytics_sequential_counts — cumulative per-day conversion (peeking audit)
+# ---------------------------------------------------------------------------
+
+_SEQ_ORACLE = """
+    WITH e AS (
+      SELECT user_id, event_type,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+      FROM events
+    ),
+    u AS (SELECT user_id, CAST(min(d) AS BIGINT) AS d0,
+                 CAST(min(CASE WHEN event_type = 'purchase' THEN d END)
+                      AS BIGINT) AS fp
+          FROM e GROUP BY user_id),
+    v AS (SELECT *,
+                 CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                      THEN 'A' ELSE 'B' END AS variant
+          FROM u),
+    days AS (SELECT DISTINCT CAST(d AS BIGINT) AS day FROM e),
+    spine AS (SELECT day, variant
+              FROM days, unnest(['A', 'B']) AS t(variant)),
+    nu AS (SELECT variant, d0 AS day, CAST(count(*) AS BIGINT) AS new_users
+           FROM v GROUP BY variant, d0),
+    nc AS (SELECT variant, fp AS day, CAST(count(*) AS BIGINT) AS new_conv
+           FROM v WHERE fp IS NOT NULL GROUP BY variant, fp),
+    j AS (SELECT s.day, s.variant,
+                 coalesce(nu.new_users, 0) AS new_users,
+                 coalesce(nc.new_conv, 0) AS new_conv
+          FROM spine s
+          LEFT JOIN nu ON s.day = nu.day AND s.variant = nu.variant
+          LEFT JOIN nc ON s.day = nc.day AND s.variant = nc.variant),
+    c AS (SELECT day, variant,
+                 CAST(sum(new_users) OVER (PARTITION BY variant
+                                           ORDER BY day) AS BIGINT)
+                   AS cum_users,
+                 CAST(sum(new_conv) OVER (PARTITION BY variant
+                                          ORDER BY day) AS BIGINT)
+                   AS cum_converted
+          FROM j)
+    SELECT day, variant, cum_users, cum_converted,
+           CAST(CASE WHEN cum_users = 0 THEN 0
+                     ELSE (1000000 * cum_converted) // cum_users END
+                AS BIGINT) AS conv_ppm
+    FROM c
+"""
+
+
+@register("analytics_sequential_counts", oracle=_SEQ_ORACLE)
+def analytics_sequential_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """M307 — The sequential-testing (peeking) audit trail for the hash-split
+    experiment: per (day, variant) the CUMULATIVE user count (first
+    event ≤ day) and cumulative converters (first 'purchase' ≤ day),
+    with the running conversion rate in ppm — exactly the
+    day-by-day table an always-valid-inference / mSPRT monitor
+    consumes, and what an honest experiment readout shows instead of
+    the single end-date number (peeking at interim rates without
+    sequential correction is the classic false-positive factory; the
+    audit trail is how you detect it happened).  Completes the
+    experimentation family: SRM validates denominators, ab_lift /
+    CUPED / Mann-Whitney read the end state, this one exposes the
+    whole path.
+
+    Integer-exact: epoch-day axis, first-event/first-purchase days
+    from one user rollup, zero-filled via the (days × 2 variants)
+    spine (explode of a 2-literal array, never a join), cumulative
+    windows on the REAL variant partition key, ppm division guarded
+    at cum_users = 0 (a variant with no users yet).  Scale: the
+    corpus collapses to O(users) then O(days × 2)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.min("d").cast("bigint").alias("d0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("d")))
+        .cast("bigint")
+        .alias("fp"),
+    )
+    v = u.withColumn(
+        "variant",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "A"
+        ).otherwise("B"),
+    )
+    days = e.select(F.col("d").cast("bigint").alias("day")).distinct()
+    spine = days.select(
+        "day", F.explode(F.array(F.lit("A"), F.lit("B"))).alias("variant")
+    )
+    nu = v.groupBy("variant", F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    nc = (
+        v.filter(F.col("fp").isNotNull())
+        .groupBy("variant", F.col("fp").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_conv"))
+    )
+    j = (
+        spine.join(nu, ["day", "variant"], "left")
+        .join(nc, ["day", "variant"], "left")
+        .select(
+            "day",
+            "variant",
+            F.coalesce(F.col("new_users"), F.lit(0)).alias("new_users"),
+            F.coalesce(F.col("new_conv"), F.lit(0)).alias("new_conv"),
+        )
+    )
+    w_cum = Window.partitionBy("variant").orderBy("day")
+    c = j.select(
+        "day",
+        "variant",
+        F.sum("new_users").over(w_cum).cast("bigint").alias("cum_users"),
+        F.sum("new_conv").over(w_cum).cast("bigint").alias("cum_converted"),
+    )
+    return c.select(
+        "day",
+        "variant",
+        "cum_users",
+        "cum_converted",
+        F.expr(
+            "CAST(CASE WHEN cum_users = 0 THEN 0"
+            " ELSE (1000000 * cum_converted) div cum_users END AS BIGINT)"
+        ).alias("conv_ppm"),
+    )

@@ -1698,3 +1698,76 @@ def graph_sample_neighbors2(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_sample_neighbors2.__doc__ = graph_sample_neighbors2.__doc__.format(
     f=_SAMPLE_FANOUT
 )
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_gini — attention concentration over trope in-degrees
+# ---------------------------------------------------------------------------
+
+from tropology_spark.plans.global_order import global_row_number  # noqa: E402
+
+_DEG_GINI_ORACLE = (
+    _EDGES_CTE
+    + """
+    , deg AS (SELECT dst, CAST(count(*) AS BIGINT) AS degree
+              FROM edges GROUP BY dst),
+    r AS (SELECT degree,
+                 CAST(row_number() OVER (ORDER BY degree, dst) AS BIGINT)
+                   AS pos
+          FROM deg),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(degree) AS BIGINT) AS total_degree,
+                 CAST(sum(pos * degree) AS BIGINT) AS s1
+          FROM r)
+    SELECT n_nodes, total_degree,
+           CAST((1000000 * (2 * CAST(s1 AS HUGEINT)
+                            - (n_nodes + 1) * CAST(total_degree AS HUGEINT)))
+                // (CAST(n_nodes AS HUGEINT) * total_degree)
+                AS BIGINT) AS gini_ppm
+    FROM a
+    """
+)
+
+
+@register("graph_degree_gini", oracle=_DEG_GINI_ORACLE)
+def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M308 — Gini coefficient of the trope in-degree distribution — the
+    attention-concentration number for the link graph (the scalar
+    companion to M249's rich-club terms and M114's degree histogram:
+    one inequality index instead of a curve).  Degree inequality is
+    what decides whether the celebrity-capping machinery
+    (capped_copair / twohop_capped) matters at all on a given corpus
+    — a near-uniform graph (gini → 0) never needs it, a hub-dominated
+    one (gini → 1) always does, so this IS the audit that sizes the
+    cap.
+
+    The exact integer Lorenz identity from M192 reused verbatim:
+    G = (2·Σ i·x_i − (n+1)·Σx_i)/(n·Σx_i) over degrees ranked
+    ascending with the unique (degree, dst) tie-break; the global
+    rank is the two-pass range-partitioned prefix sum
+    (plans/global_order.py — never a single-partition window), and
+    the one-row finale runs in DECIMAL(38,0)/HUGEINT per the
+    wide-integer rule."""
+    deg = (
+        edges(spark, sf_dir)
+        .groupBy("dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    r = global_row_number(deg, ["degree", "dst"], out="pos")
+    a = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("degree").cast("bigint").alias("total_degree"),
+        F.sum(F.col("pos") * F.col("degree")).cast("bigint").alias("s1"),
+    )
+    return a.select(
+        "n_nodes",
+        "total_degree",
+        F.expr(
+            "(CAST(1000000 AS DECIMAL(38,0))"
+            " * (2 * CAST(s1 AS DECIMAL(38,0))"
+            "    - (n_nodes + 1) * CAST(total_degree AS DECIMAL(38,0))))"
+            " div (CAST(n_nodes AS DECIMAL(38,0)) * total_degree)"
+        )
+        .cast("bigint")
+        .alias("gini_ppm"),
+    )

@@ -4003,3 +4003,227 @@ def pipeline_importance_weights(
         .cast("bigint")
         .alias("contrib_w2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_cascade_marginals — dedup cascade marginal contributions
+# ---------------------------------------------------------------------------
+
+_CASCADE = ("exact", "minhash", "simhash", "ngram")
+
+
+def _cascade_oracle() -> str:
+    from tropology_spark.registry import ORACLES
+
+    return """
+    WITH ex AS ({ex}),
+    mh AS ({mh}),
+    sh AS ({sh}),
+    ng AS ({ng}),
+    flags AS (
+      SELECT 1 AS stage, d.doc_id
+      FROM documents d JOIN ex
+        ON md5(d.text) = ex.text_hash AND d.doc_id > ex.keep_doc_id
+      UNION ALL SELECT 2, doc_b FROM mh
+      UNION ALL SELECT 3, doc_b FROM sh
+      UNION ALL SELECT 4, doc_b FROM ng
+    ),
+    first_stage AS (
+      SELECT doc_id, CAST(min(stage) AS BIGINT) AS stage
+      FROM flags GROUP BY doc_id
+    ),
+    axis AS (SELECT unnest(generate_series(1, 4)) AS stage),
+    per AS (
+      SELECT axis.stage,
+             CAST(coalesce(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+             CAST(coalesce(m.n_marginal, 0) AS BIGINT) AS n_marginal
+      FROM axis
+      LEFT JOIN (SELECT stage, count(DISTINCT doc_id) AS n_flagged
+                 FROM flags GROUP BY stage) f ON axis.stage = f.stage
+      LEFT JOIN (SELECT stage, count(*) AS n_marginal
+                 FROM first_stage GROUP BY stage) m ON axis.stage = m.stage
+    )
+    SELECT CAST(stage AS BIGINT) AS stage,
+           CASE stage WHEN 1 THEN 'exact' WHEN 2 THEN 'minhash'
+                      WHEN 3 THEN 'simhash' ELSE 'ngram' END AS method,
+           n_flagged, n_marginal,
+           CAST(sum(n_marginal) OVER (ORDER BY stage) AS BIGINT)
+             AS cum_removed
+    FROM per
+    """.format(
+        ex=ORACLES["dedup_exact"],
+        mh=ORACLES["dedup_minhash_lsh"],
+        sh=ORACLES["dedup_simhash"],
+        ng=ORACLES["dedup_ngram_jaccard"],
+    )
+
+
+@register("pipeline_cascade_marginals", oracle=_cascade_oracle())
+def pipeline_cascade_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M299 — the dedup CASCADE economics under the production
+    order exact → MinHash → SimHash → n-gram: per stage, the raw flag
+    count AND the MARGINAL contribution (docs first flagged at that
+    stage — what the stage still removes AFTER everything cheaper ran)
+    plus the cumulative removal — the table that justifies (or kills)
+    each stage of a 100 TB dedup budget.  M269's Venn says which
+    methods OVERLAP; the cascade view is order-aware: a method with
+    large flags but zero marginal is pure cost.  All four stage rows
+    are ALWAYS emitted (LEFT joins from the stage axis — the
+    threshold-curve rule; at sf0.001 the fixture has no exact dups
+    and stage 1 legitimately reads 0/0).
+
+    Composed, not copied: all four flag sets come from the REGISTERED
+    pipelines — QUERIES on the Spark side (sharing the session's band
+    and signature caches), ORACLES verbatim on the DuckDB side (the
+    M269/dedup_lsh_recall rule); drop-side convention identical to
+    M269 (larger id of a pair; non-representative copies for exact).
+    Scale: every underlying method is banded/blocked; the overlay
+    adds one union + a doc-keyed min-stage rollup + a 4-row window."""
+    from tropology_spark.registry import QUERIES
+
+    docs = load(spark, sf_dir, "documents")
+    ex = QUERIES["dedup_exact"](spark, sf_dir)
+    flagged = docs.join(
+        ex,
+        (F.md5(F.col("text")) == F.col("text_hash"))
+        & (F.col("doc_id") > F.col("keep_doc_id")),
+    ).select(F.lit(1).alias("stage"), "doc_id")
+    for stage, qname in (
+        (2, "dedup_minhash_lsh"),
+        (3, "dedup_simhash"),
+        (4, "dedup_ngram_jaccard"),
+    ):
+        flagged = flagged.unionAll(
+            QUERIES[qname](spark, sf_dir).select(
+                F.lit(stage).alias("stage"), F.col("doc_b").alias("doc_id")
+            )
+        )
+    from tropology_spark.session import iter_materialize
+
+    flagged = iter_materialize(
+        flagged.distinct()
+    )  # referenced by the per-stage count AND the min-stage rollup
+    per_stage = flagged.groupBy("stage").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_flagged")
+    )
+    first = flagged.groupBy("doc_id").agg(
+        F.min("stage").cast("bigint").alias("stage")
+    )
+    marg = first.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_marginal")
+    )
+    axis = spark.range(1, len(_CASCADE) + 1).select(
+        F.col("id").cast("int").alias("stage")
+    )
+    w = (
+        Window.partitionBy(F.pmod(F.col("stage"), F.lit(1)))
+        .orderBy("stage")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    method = (
+        F.when(F.col("stage") == 1, "exact")
+        .when(F.col("stage") == 2, "minhash")
+        .when(F.col("stage") == 3, "simhash")
+        .otherwise("ngram")
+    )
+    return (
+        axis.join(per_stage, "stage", "left")
+        .join(marg, "stage", "left")
+        .withColumn("n_flagged", F.coalesce(F.col("n_flagged"), F.lit(0)))
+        .withColumn("n_marginal", F.coalesce(F.col("n_marginal"), F.lit(0)))
+        .select(
+            F.col("stage").cast("bigint").alias("stage"),
+            method.alias("method"),
+            F.col("n_flagged").cast("bigint").alias("n_flagged"),
+            F.col("n_marginal").cast("bigint").alias("n_marginal"),
+            F.sum("n_marginal").over(w).cast("bigint").alias("cum_removed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_truncation_loss_curve — token loss vs context length
+# ---------------------------------------------------------------------------
+
+_TRUNC_LENS = (128, 256, 512)
+
+_TRUNC_ORACLE = f"""
+    WITH tok AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+                   AS n_tokens
+                 FROM documents),
+    h AS (SELECT n_tokens, CAST(count(*) AS BIGINT) AS n_docs
+          FROM tok GROUP BY n_tokens),
+    cfg AS (SELECT CAST(unnest([{", ".join(str(n) for n in _TRUNC_LENS)}]) AS BIGINT)
+                     AS max_len)
+    SELECT cfg.max_len,
+           CAST(sum(CASE WHEN h.n_tokens > cfg.max_len THEN h.n_docs
+                         ELSE 0 END) AS BIGINT) AS n_docs_over,
+           CAST(sum(CASE WHEN h.n_tokens > cfg.max_len
+                         THEN (h.n_tokens - cfg.max_len) * h.n_docs
+                         ELSE 0 END) AS BIGINT) AS tokens_lost,
+           CAST(sum(h.n_tokens * h.n_docs) AS BIGINT) AS tokens_total,
+           CAST((1000000 * sum(CASE WHEN h.n_tokens > cfg.max_len
+                                    THEN (h.n_tokens - cfg.max_len) * h.n_docs
+                                    ELSE 0 END))
+                // sum(h.n_tokens * h.n_docs) AS BIGINT) AS loss_ppm
+    FROM h CROSS JOIN cfg GROUP BY cfg.max_len
+"""
+
+
+@register("pipeline_truncation_loss_curve", oracle=_TRUNC_ORACLE)
+def pipeline_truncation_loss_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """M304 — Context-length budgeting curve: the exact token loss at
+    max-length {lens} — documents over the limit, tokens truncated,
+    and loss_ppm = (10⁶·lost) div total per setting.  This is the
+    first number a training-data pipeline reads when choosing a
+    context length (M108 budgets a corpus DOWN to a token target;
+    this measures what each TRUNCATION point costs), and the curve
+    shape tells whether the corpus is truncation-bound or
+    padding-bound.
+
+    Scale discipline: the corpus collapses to the LENGTH HISTOGRAM
+    first (bounded by distinct lengths — the bounded-domain counting
+    rule), and the ×{k} config axis explodes the histogram, never the
+    corpus; every aggregate map-side combinable, integer-exact
+    (non-negative numerators)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    h = tok.groupBy("n_tokens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    cfg_arr = F.array(*[F.lit(n).cast("bigint") for n in _TRUNC_LENS])
+    x = h.select("n_tokens", "n_docs", F.explode(cfg_arr).alias("max_len"))
+    return x.groupBy("max_len").agg(
+        F.sum(
+            F.when(F.col("n_tokens") > F.col("max_len"), F.col("n_docs")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_docs_over"),
+        F.sum(
+            F.when(
+                F.col("n_tokens") > F.col("max_len"),
+                (F.col("n_tokens") - F.col("max_len")) * F.col("n_docs"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tokens_lost"),
+        F.sum(F.col("n_tokens") * F.col("n_docs"))
+        .cast("bigint")
+        .alias("tokens_total"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN n_tokens > max_len"
+            " THEN (n_tokens - max_len) * n_docs ELSE 0 END))"
+            " div sum(n_tokens * n_docs) AS BIGINT)"
+        ).alias("loss_ppm"),
+    )
+
+
+pipeline_truncation_loss_curve.__doc__ = (
+    pipeline_truncation_loss_curve.__doc__.format(
+        lens="/".join(str(n) for n in _TRUNC_LENS), k=len(_TRUNC_LENS)
+    )
+)

@@ -3810,3 +3810,102 @@ def sim_pq_distortion(
         F.max("qerr").cast("bigint").alias("max_qerr"),
         F.min("vec_id").cast("bigint").alias("min_vec_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_quantizer_drift — Lloyd-round reassignment audit (index maintenance)
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = (
+    _EX_CTE
+    + """
+    , assign0 AS (SELECT vec_id, label AS cell FROM embeddings)
+    """
+    + _LLOYD_SQL_ITER.format(n=1, p=0, vf="")
+    + """
+    , lab AS (SELECT vec_id, CAST(label AS BIGINT) AS cell0 FROM embeddings),
+    mv AS (SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell1, l.cell0
+           FROM assign1 a JOIN lab l ON a.vec_id = l.vec_id),
+    aft AS (SELECT cell1 AS cell, CAST(count(*) AS BIGINT) AS n_after,
+                   CAST(sum(CASE WHEN cell1 = cell0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_stayed
+            FROM mv GROUP BY cell1),
+    bef AS (SELECT cell0 AS cell, CAST(count(*) AS BIGINT) AS n_before
+            FROM lab GROUP BY cell0)
+    SELECT CAST(coalesce(aft.cell, bef.cell) AS BIGINT) AS cell,
+           CAST(coalesce(bef.n_before, 0) AS BIGINT) AS n_before,
+           CAST(coalesce(aft.n_after, 0) AS BIGINT) AS n_after,
+           CAST(coalesce(aft.n_stayed, 0) AS BIGINT) AS n_stayed,
+           CAST(coalesce(aft.n_after, 0) - coalesce(aft.n_stayed, 0)
+                AS BIGINT) AS n_arrived,
+           CAST(CASE WHEN coalesce(aft.n_after, 0) = 0 THEN 0
+                     ELSE (1000000 * (aft.n_after - aft.n_stayed))
+                          // aft.n_after END AS BIGINT) AS arrived_ppm
+    FROM aft FULL OUTER JOIN bef ON aft.cell = bef.cell
+    """
+)
+
+
+@register("sim_quantizer_drift", oracle=_DRIFT_ORACLE)
+def sim_quantizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M305 — Quantizer-drift audit — one Lloyd refinement round over the
+    label-seeded coarse cells (the registered sim_ivf_topk's exact
+    training step) compared against the seed assignment: per cell the
+    before/after occupancy, how many vectors stayed, how many arrived,
+    and the arrival fraction in ppm.  This is the INDEX-MAINTENANCE
+    signal a 100 TB vector deployment monitors: when fresh data's
+    reassignment fraction rises, the saved IVF/IVF+PQ artifacts
+    (ivf_write_index / ivfpq_write_index) are due for a retrain —
+    the audit that tells you WHEN to rebuild, next to the recall
+    curves that tell you what rebuild buys.
+
+    Cells are compared on the same 6-dp-rounded cosine ranking the
+    registered IVF family pins ((ccos DESC, cell) unique tie-break);
+    all emitted columns are BIGINTs, the ppm guard keeps emptied
+    cells at 0, and the full-outer merge emits cells present on
+    EITHER side (a cell can empty out — that row is the drift
+    signal).  Scale: one Lloyd round (k-row broadcast centroids) +
+    two map-side rollups + a cell-keyed full join — no pairwise
+    stage anywhere."""
+    ev = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("cell0"),
+            as_double(F.col("embedding")).alias("emb"),
+        )
+        .withColumn("nv", norm(F.col("emb")))
+    )
+    assign0 = ev.select("vec_id", F.col("cell0").alias("cell"))
+    _, assign1 = lloyd_rounds(
+        ev.select("vec_id", "emb", "nv"), assign0, 1
+    )
+    mv = assign1.select(
+        "vec_id", F.col("cell").cast("bigint").alias("cell1")
+    ).join(ev.select("vec_id", "cell0"), "vec_id")
+    aft = mv.groupBy(F.col("cell1").alias("cell")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after"),
+        F.sum(F.when(F.col("cell1") == F.col("cell0"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_stayed"),
+    )
+    bef = ev.groupBy(F.col("cell0").alias("b_cell")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before")
+    )
+    j = aft.join(bef, aft.cell == F.col("b_cell"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("cell"), F.col("b_cell")).cast("bigint").alias("cell"),
+        F.coalesce(F.col("n_before"), F.lit(0)).cast("bigint").alias("n_before"),
+        F.coalesce(F.col("n_after"), F.lit(0)).cast("bigint").alias("n_after"),
+        F.coalesce(F.col("n_stayed"), F.lit(0)).cast("bigint").alias("n_stayed"),
+        (
+            F.coalesce(F.col("n_after"), F.lit(0))
+            - F.coalesce(F.col("n_stayed"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_arrived"),
+        F.expr(
+            "CAST(CASE WHEN coalesce(n_after, 0L) = 0 THEN 0"
+            " ELSE (1000000 * (n_after - n_stayed)) div n_after END AS BIGINT)"
+        ).alias("arrived_ppm"),
+    )

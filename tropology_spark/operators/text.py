@@ -2225,3 +2225,178 @@ def text_heaps_curve(
             .alias("vocab_per_mtoken"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_burstiness_terms — per-token Fano-factor terms on the daily axis
+# ---------------------------------------------------------------------------
+
+_BURST_TOPK = 30
+
+
+@register(
+    "text_burstiness_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id % 29 AS day, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    t AS (SELECT day, token FROM tok WHERE token <> ''),
+    tot AS (SELECT token, CAST(count(*) AS BIGINT) AS total
+            FROM t GROUP BY token),
+    top AS (SELECT token, total FROM (
+              SELECT token, total,
+                     row_number() OVER (ORDER BY total DESC, token) AS rk
+              FROM tot) x WHERE rk <= {_BURST_TOPK}),
+    dc AS (SELECT t.token, t.day, CAST(count(*) AS BIGINT) AS c
+           FROM t JOIN top ON t.token = top.token
+           GROUP BY t.token, t.day),
+    terms AS (
+      SELECT token,
+             CAST(count(*) AS BIGINT) AS n_active_days,
+             CAST(sum(c) AS BIGINT) AS sum_c,
+             CAST(sum(c * c) AS BIGINT) AS sum_c2
+      FROM dc GROUP BY token
+    )
+    SELECT terms.token, top.total, terms.n_active_days,
+           terms.sum_c2,
+           CAST(29 * terms.sum_c2 - top.total * top.total AS BIGINT)
+             AS var_num_x29
+    FROM terms JOIN top ON terms.token = top.token
+    """,
+)
+def text_burstiness_terms(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """M298 — token BURSTINESS terms: for the corpus' top-{k}
+    tokens, the exact inputs of the Fano factor (variance-to-mean of
+    per-day counts over the FULL 29-day axis, zero-filled days
+    included): total count, active-day count, Σc² and the assembled
+    population-variance numerator 29·Σc² − total² (σ²·29² = that; the
+    day axis is the deterministic doc_id % 29 spread — documents carry
+    no timestamp, so the fixture's ingestion-day proxy is the id
+    residue, the M26-style deterministic assignment).  A bursty token
+    (template spam, event-driven vocab) has var ≫ mean; a uniform
+    token has var ≈ mean — the signal a drift monitor thresholds,
+    emitted as integers (*_terms discipline; absent days contribute
+    exactly via the algebra — no domain-completion join, the
+    mm_payload_uniformity trick on the time axis).
+
+    Scale: tokenize once; the top-k cut bounds everything downstream
+    (the per-(token, day) rollup joins a {k}-row broadcast); the rank
+    rides a pmod-constant-key window over the bounded token-total
+    axis.
+
+    ``docs=`` substitutes the document frame for probes; the driver
+    contract never passes it."""
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    t = d.select(
+        (F.col("doc_id") % 29).alias("day"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    tot = t.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    top = (
+        tot.orderBy(F.desc("total"), F.asc("token"))
+        .limit(_BURST_TOPK)
+    )
+    dc = (
+        t.join(F.broadcast(top.select("token")), "token")
+        .groupBy("token", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    terms = dc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active_days"),
+        F.sum("c").cast("bigint").alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+    )
+    return terms.join(F.broadcast(top), "token").select(
+        "token",
+        "total",
+        "n_active_days",
+        "sum_c2",
+        (29 * F.col("sum_c2") - F.col("total") * F.col("total"))
+        .cast("bigint")
+        .alias("var_num_x29"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_continuation_terms — Kneser-Ney continuation-count inputs
+# ---------------------------------------------------------------------------
+
+_CONT_TOP = 20
+
+_CONT_ORACLE = f"""
+    WITH pr AS (
+      SELECT l[i] AS tok, l[i + 1] AS nxt
+      FROM (SELECT string_split(text, ' ') AS l FROM documents),
+           (SELECT unnest(generate_series(1, 4096)) AS i)
+      WHERE i <= len(l) - 1
+    ),
+    bc AS (SELECT tok, nxt, CAST(count(*) AS BIGINT) AS c
+           FROM pr GROUP BY tok, nxt),
+    agg AS (SELECT tok,
+                   CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   CAST(count(*) AS BIGINT) AS n_continuations,
+                   CAST(sum(c * (c - 1)) AS BIGINT) AS simpson_num
+            FROM bc GROUP BY tok),
+    top AS (SELECT *, row_number() OVER (ORDER BY n_bigrams DESC, tok)
+                        AS rk_c
+            FROM agg)
+    SELECT tok AS token, n_bigrams, n_continuations, simpson_num,
+           CAST(rk_c AS BIGINT) AS rk
+    FROM top WHERE rk_c <= {_CONT_TOP}
+"""
+
+
+@register("text_continuation_terms", oracle=_CONT_ORACLE)
+def text_continuation_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M303 — Kneser-Ney continuation-count inputs for the {t} most frequent
+    bigram left-contexts: per token, total bigram occurrences Σc,
+    distinct continuations (the KN continuation count — how many
+    DIFFERENT words follow), and the continuation concentration
+    Σc(c−1) (the Simpson numerator over the follower distribution;
+    with Σc it yields the repeat-follower probability).  These are
+    exactly the integer statistics a backoff language model — and a
+    data-quality pipeline judging formulaic text — derives smoothing
+    weights from: high Σc with low continuations = boilerplate
+    contexts.  The *_terms discipline: the KN discount ratio is a
+    float, so its exact integer inputs ship instead.
+
+    Pair generation is the J6 zip_with-slice idiom (scan-local, no
+    position explode on the Spark side; the oracle enumerates
+    positions with the standard 4096 cap).  Scale: one tokenize pass,
+    two map-side-combinable aggs on (tok, nxt) then (tok); the top-{t}
+    cut ranks an already-aggregated vocabulary table."""
+    d = load(spark, sf_dir, "documents")
+    toked = d.select(F.split(F.col("text"), " ").alias("t"))
+    pairs = F.zip_with(
+        F.slice(F.col("t"), 1, F.greatest(F.size(F.col("t")) - 1, F.lit(0))),
+        F.slice(F.col("t"), 2, F.greatest(F.size(F.col("t")) - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("tok"), y.alias("nxt")),
+    )
+    pr = toked.select(F.explode(pairs).alias("p")).select("p.tok", "p.nxt")
+    bc = pr.groupBy("tok", "nxt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    agg = bc.groupBy("tok").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_continuations"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("simpson_num"),
+    )
+    top = agg.orderBy(F.desc("n_bigrams"), F.asc("tok")).limit(_CONT_TOP)
+    w = Window.partitionBy(F.pmod(F.length("tok"), F.lit(1))).orderBy(
+        F.desc("n_bigrams"), F.asc("tok")
+    )
+    return top.select(
+        F.col("tok").alias("token"),
+        "n_bigrams",
+        "n_continuations",
+        "simpson_num",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    )
+
+
+text_continuation_terms.__doc__ = text_continuation_terms.__doc__.format(
+    t=_CONT_TOP
+)

@@ -2638,3 +2638,242 @@ def ts_spearman_terms(
         .cast("bigint")
         .alias("den_y"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_hurst_rs_terms — rescaled-range (R/S) terms over dyadic window scales
+# ---------------------------------------------------------------------------
+
+_HURST_WS = (8, 16)
+
+
+@register(
+    "ts_hurst_rs_terms",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    mm AS (SELECT CAST(min(h) AS BIGINT) AS h0,
+                  CAST(max(h) AS BIGINT) AS hmax FROM e),
+    spine AS (
+      SELECT h0 + s.i AS h, h0, hmax
+      FROM mm, (SELECT unnest(generate_series(0, 4096)) AS i) s
+      WHERE h0 + s.i <= hmax
+    ),
+    z AS (SELECT spine.h, spine.h0, spine.hmax, coalesce(e.x, 0) AS x
+          FROM spine LEFT JOIN e ON spine.h = e.h),
+    ws AS (SELECT unnest([{", ".join(str(w) for w in _HURST_WS)}]) AS w),
+    win AS (
+      SELECT ws.w, z.h, z.x,
+             (z.h - z.h0) // ws.w AS idx
+      FROM z CROSS JOIN ws
+      WHERE z.h - z.h0 < ws.w * ((z.hmax - z.h0 + 1) // ws.w)
+    ),
+    dev AS (
+      SELECT w, idx, x,
+             w * sum(x) OVER (PARTITION BY w, idx ORDER BY h)
+               - row_number() OVER (PARTITION BY w, idx ORDER BY h)
+                 * sum(x) OVER (PARTITION BY w, idx) AS d
+      FROM win
+    ),
+    per AS (
+      SELECT w, idx,
+             CAST(max(d) - min(d) AS BIGINT) AS r_xw,
+             CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+               AS s2num,
+             CAST(sum(x) AS BIGINT) AS total
+      FROM dev GROUP BY w, idx
+    )
+    SELECT CAST(w AS BIGINT) AS w,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(r_xw) AS BIGINT) AS sum_r_xw,
+           CAST(sum(s2num) AS BIGINT) AS sum_s2num,
+           CAST(sum(total) AS BIGINT) AS sum_x
+    FROM per GROUP BY w
+    """,
+)
+def ts_hurst_rs_terms(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """M300 — RESCALED-RANGE (Hurst R/S) terms at the dyadic
+    window scales w ∈ 8/16 hours: the zero-filled hourly count series
+    is cut into complete w-windows; within each, the mean-adjusted
+    cumulative deviation at position k is carried ×w as the exact
+    integer w·cum_k − k·total (the M192 scale-lift — the float mean
+    never materializes), R·w = max − min of those deviations (the
+    k = w anchor is exactly 0, so the range always brackets zero), and
+    the variance numerator w·Σx² − (Σx)² rides along — per scale the
+    summed R and S² terms whose client-side log-log slope is the Hurst
+    exponent (H > 1/2 = long-range dependence, the question every
+    capacity model asks of arrival series; M101's ACF sees only fixed
+    lags — R/S sees the scaling law).
+
+    Scale: events collapse map-side to the bounded O(hours) table; the
+    spine is one bounded sequence explode (4096 cap, the oracle-
+    enumeration rule); the deviations ride REAL (w, window) partition
+    keys; everything after is map-side combinable.
+
+    ``events=`` substitutes the event frame for probes; the driver
+    contract never passes it."""
+    e0 = events if events is not None else load(spark, sf_dir, "events")
+    e = e0.groupBy(
+        F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    mm = e.agg(
+        F.min("h").cast("bigint").alias("h0"),
+        F.max("h").cast("bigint").alias("hmax"),
+    )
+    spine = mm.select(
+        "h0",
+        "hmax",
+        F.explode(
+            F.expr("sequence(0L, least(hmax - h0, 4096L))")
+        ).alias("i"),
+    ).select((F.col("h0") + F.col("i")).alias("h"), "h0", "hmax")
+    z = spine.join(e, "h", "left").select(
+        "h", "h0", "hmax", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    )
+    ws = spark.createDataFrame([(w,) for w in _HURST_WS], "w long")
+    win = (
+        z.crossJoin(F.broadcast(ws))
+        .filter(
+            F.col("h") - F.col("h0")
+            < F.col("w") * F.expr("(hmax - h0 + 1) div w")
+        )
+        .select("w", "h", "x", F.expr("(h - h0) div w").alias("idx"))
+    )
+    wp = Window.partitionBy("w", "idx")
+    wo = wp.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    dev = win.select(
+        "w",
+        "idx",
+        "x",
+        (
+            F.col("w") * F.sum("x").over(wo)
+            - F.row_number().over(wp.orderBy("h")) * F.sum("x").over(wp)
+        ).alias("d"),
+    )
+    per = dev.groupBy("w", "idx").agg(
+        (F.max("d") - F.min("d")).cast("bigint").alias("r_xw"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+            - F.sum("x") * F.sum("x")
+        )
+        .cast("bigint")
+        .alias("s2num"),
+        F.sum("x").cast("bigint").alias("total"),
+    )
+    return per.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum("r_xw").cast("bigint").alias("sum_r_xw"),
+        F.sum("s2num").cast("bigint").alias("sum_s2num"),
+        F.sum("total").cast("bigint").alias("sum_x"),
+    ).select(
+        F.col("w").cast("bigint").alias("w"),
+        "n_windows",
+        "sum_r_xw",
+        "sum_s2num",
+        "sum_x",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_record_hours — running-record (prefix-maximum) audit per event type
+# ---------------------------------------------------------------------------
+
+_RECORD_ORACLE = """
+    WITH e AS (
+      SELECT event_type,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 24
+               + hour(ts) AS h
+      FROM events
+    ),
+    c AS (SELECT event_type, CAST(h AS BIGINT) AS h,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY event_type, h),
+    w AS (SELECT event_type, h, n,
+                 max(n) OVER (PARTITION BY event_type ORDER BY h
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prevmax
+          FROM c),
+    r AS (SELECT event_type, h, n,
+                 CASE WHEN prevmax IS NULL OR n > prevmax THEN 1 ELSE 0 END
+                   AS is_rec
+          FROM w)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(is_rec) AS BIGINT) AS n_records,
+           CAST(max(CASE WHEN is_rec = 1 THEN h END) AS BIGINT)
+             AS last_record_h,
+           CAST(max(n) AS BIGINT) AS max_n
+    FROM r GROUP BY event_type
+"""
+
+
+@register("ts_record_hours", oracle=_RECORD_ORACLE)
+def ts_record_hours(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """M306 — Record statistics over the hourly count series per event type:
+    a RECORD hour strictly exceeds every earlier hour's count (the
+    first observed hour is a record by convention); emits hours
+    observed, record count, the last record's hour, and the all-time
+    maximum.  Record counts are the classic drift detector from
+    extreme-value theory — an i.i.d. stationary series produces only
+    ~ln(n) records ever (~7 for a month of hours), so a record count
+    far above that, or a recent last_record_h, is a trending/shifted
+    load signal no mean-based monitor shows this cheaply.
+
+    Exact integers end to end: the prefix maximum is a plain
+    ROWS-bounded window max on the real event_type partition key,
+    records compare BIGINTs (strict >), and ties with the running
+    maximum correctly do NOT count as records.  Scale: the corpus
+    collapses to the O(types × hours) hourly rollup before the window
+    (the ts family discipline).  ``events=`` overrides the events
+    frame (the hypothesis property suite injects arbitrary series and
+    pins equality with the pure-Python prefix-maxima recompute; the
+    driver contract never passes it)."""
+    if events is None:
+        events = load(spark, sf_dir, "events")
+    e = events.select(
+        "event_type",
+        (
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            * 24
+            + F.hour(F.col("ts"))
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    c = e.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = c.select(
+        "event_type",
+        "h",
+        "n",
+        F.when(
+            F.max("n").over(w_prev).isNull()
+            | (F.col("n") > F.max("n").over(w_prev)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_rec"),
+    )
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum("is_rec").cast("bigint").alias("n_records"),
+        F.max(F.when(F.col("is_rec") == 1, F.col("h")))
+        .cast("bigint")
+        .alias("last_record_h"),
+        F.max("n").cast("bigint").alias("max_n"),
+    )
