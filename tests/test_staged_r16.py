@@ -158,7 +158,7 @@ def _ch_twin(doc_ids):
     the two (n_keys, n_moved, moved_ppm, n_to_new) rows."""
     import hashlib
 
-    from tropology_spark.operators.staged_r16 import _CH_MOD, _CH_VNODES
+    from tropology_spark.operators.pipeline_ops import _CH_MOD, _CH_VNODES
 
     rings = {}
     for ns in (8, 9):

@@ -156,7 +156,7 @@ def test_staged_shard_balance_matches_pure_python(spark):
 
     import duckdb
 
-    from tropology_spark.operators.staged_r16 import _CH_MOD, _CH_VNODES
+    from tropology_spark.operators.pipeline_ops import _CH_MOD, _CH_VNODES
 
     fn, _ = STAGED["pipeline_shard_balance"]
     ids = [

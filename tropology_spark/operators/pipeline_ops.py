@@ -4227,3 +4227,59 @@ pipeline_truncation_loss_curve.__doc__ = (
         lens="/".join(str(n) for n in _TRUNC_LENS), k=len(_TRUNC_LENS)
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Consistent-hashing ring helpers — the permanent single home (ADVICE r13
+# item 1): pipeline_consistent_hash_moves (staged r16) and
+# pipeline_shard_balance (staged r17) both build on these, so neither
+# slate's activation order can break the other.  Registers nothing.
+# ---------------------------------------------------------------------------
+
+import hashlib  # noqa: E402
+
+
+_CH_VNODES = 4
+_CH_MOD = 1 << 32
+
+
+def _ring_points(n_shards: int) -> list[tuple[int, int, int]]:
+    """(shard, vnode, ring_position) for ``n_shards`` — md5-low-32 of
+    "<shard>_<vnode>", computed once at import and embedded as
+    LITERALS in both engines (the _CMS_ROWS constant discipline; the
+    twin re-derives them with hashlib independently).  The n=8 points
+    are a strict subset of the n=9 points — the consistent-hashing
+    property under test."""
+    return [
+        (s, v, int(hashlib.md5(f"{s}_{v}".encode()).hexdigest()[:8], 16))
+        for s in range(n_shards)
+        for v in range(_CH_VNODES)
+    ]
+
+
+_RING8 = _ring_points(8)
+_RING9 = _ring_points(9)
+
+
+def ring_assign(
+    h: DataFrame, points: list[tuple[int, int, int]], out: str
+) -> DataFrame:
+    """Successor-on-the-ring assignment for a ``(doc_id, h)`` frame:
+    ``out`` = the shard whose nearest clockwise ring point follows the
+    key hash — array_min over the literal (dist, shard, r) structs, so
+    the whole ring rides the row (no join at all).  The single Spark
+    home of the ring arithmetic, shared by the moves audit (here) and
+    the staged round-17 balance profile."""
+    structs = F.array(
+        *[
+            F.struct(
+                ((F.lit(r) - F.col("h") + _CH_MOD) % _CH_MOD).alias("dist"),
+                F.lit(s).cast("bigint").alias("shard"),
+                F.lit(r).cast("bigint").alias("r"),
+            )
+            for s, _v, r in points
+        ]
+    )
+    return h.select(
+        "doc_id", F.array_min(structs).getField("shard").alias(out)
+    )

@@ -272,7 +272,7 @@ def text_zipf_rank_curve(
 
 
 def _shard_balance_oracle() -> str:
-    from tropology_spark.operators.staged_r16 import _CH_MOD, _RING8
+    from tropology_spark.operators.pipeline_ops import _CH_MOD, _RING8
 
     r8 = ", ".join(f"({s}, {r})" for s, _v, r in _RING8)
     return f"""
@@ -334,13 +334,13 @@ def pipeline_shard_balance(
     total rides a PARTITION BY scheme window — real key, no scalar
     attach.
 
-    Composed: the ring successor arithmetic is staged_r16's
-    ``ring_assign`` single home (at r16 activation the import moves to
-    the home module with it).  Scale: one hash pass, a 16-row rollup.
+    Composed: the ring successor arithmetic is pipeline_ops.py's
+    ``ring_assign`` permanent single home (ADVICE r13 item 1 — no
+    cross-slate coupling).  Scale: one hash pass, a 16-row rollup.
 
     ``docs=`` substitutes the document frame for probes; the driver
     contract never passes it."""
-    from tropology_spark.operators.staged_r16 import _RING8, ring_assign
+    from tropology_spark.operators.pipeline_ops import _RING8, ring_assign
 
     d = docs if docs is not None else load(spark, sf_dir, "documents")
     # h feeds the mod count AND the ring assignment — DOUBLE-REFERENCE.
