@@ -672,3 +672,82 @@ def test_minhash_partial_env_index_triggers_rebuild(spark, tmp_path, monkeypatch
         assert (idx_path / "_SUCCESS").exists(), "rebuild must rewrite the artifact"
     finally:
         clear_session_caches()
+
+
+def test_publish_parquet_is_atomic_and_race_safe(spark, tmp_path):
+    """ADVICE r13 item 2: env-artifact publishes must be atomic —
+    write to a temp sibling, rename into place.  Pins the protocol:
+    (a) the published dir carries _SUCCESS and the right rows, with no
+    temp sibling left behind; (b) a partial (gate-less) leftover at
+    the path is replaced; (c) when a COMPLETE artifact already exists
+    (a concurrent writer won), the temp copy is discarded and the
+    winner's content is untouched."""
+    import os
+
+    from tropology_spark.sources.tables import publish_parquet
+
+    final = str(tmp_path / "artifact")
+    df1 = spark.range(5).selectExpr("id AS k")
+    publish_parquet(df1, final)
+    assert os.path.exists(os.path.join(final, "_SUCCESS"))
+    assert {r["k"] for r in spark.read.parquet(final).collect()} == set(range(5))
+    assert [p for p in os.listdir(tmp_path) if ".tmp-" in p] == []
+
+    # (b) partial leftover (no _SUCCESS) is replaced
+    os.remove(os.path.join(final, "_SUCCESS"))
+    df2 = spark.range(10, 13).selectExpr("id AS k")
+    publish_parquet(df2, final)
+    assert os.path.exists(os.path.join(final, "_SUCCESS"))
+    assert {r["k"] for r in spark.read.parquet(final).collect()} == {10, 11, 12}
+
+    # (c) complete artifact wins; the loser's temp is discarded
+    publish_parquet(df1, final)
+    assert {r["k"] for r in spark.read.parquet(final).collect()} == {10, 11, 12}
+    assert [p for p in os.listdir(tmp_path) if ".tmp-" in p] == []
+
+
+def test_all_env_artifact_knobs_composite(spark, tmp_path, monkeypatch):
+    """VERDICT r13 item 6: the seven env knobs are each pinned
+    separately; this composite sets ALL of them in one session (the
+    cluster posture a real deployment runs) and asserts the six
+    artifact-consuming registered queries return rows identical to the
+    knob-less run — catching any cross-artifact interaction.  Also
+    sweeps for leaked atomic-publish temp dirs."""
+    import os
+
+    from tests.parity import canon_rows, spark_result
+    from tropology_spark import QUERIES
+    from tropology_spark.sources.tables import clear_session_caches
+
+    consumers = [
+        "dedup_embedding_cosine",   # TROPOLOGY_QUANT_INDEX_DIR
+        "dedup_minhash_lsh",        # TROPOLOGY_MINHASH_INDEX_DIR
+        "sim_ivf_topk",             # TROPOLOGY_IVF_INDEX_DIR
+        "sim_pq_topk",              # TROPOLOGY_PQ_INDEX_DIR
+        "sim_bq_hamming_topk",      # TROPOLOGY_BQ_INDEX_DIR
+        "sim_ivfpq_topk",           # TROPOLOGY_IVFPQ_INDEX_DIR
+    ]
+    clear_session_caches()
+    baseline = {}
+    try:
+        for n in consumers:
+            cols, rows = spark_result(QUERIES[n](spark, SF_UNIT))
+            baseline[n] = tuple(canon_rows(cols, rows))
+    finally:
+        clear_session_caches()
+    for v in ("QUANT", "MINHASH", "IVF", "PQ", "BQ", "IVFPQ"):
+        monkeypatch.setenv(f"TROPOLOGY_{v}_INDEX_DIR", str(tmp_path))
+    monkeypatch.setenv("TROPOLOGY_CHECKPOINT_DIR", str(tmp_path / "ckpt"))
+    try:
+        # twice: first run WRITES every artifact, second run RELOADS
+        for phase in ("write", "reload"):
+            clear_session_caches()
+            for n in consumers:
+                cols, rows = spark_result(QUERIES[n](spark, SF_UNIT))
+                assert tuple(canon_rows(cols, rows)) == baseline[n], (
+                    f"{n} diverges under the composite env posture ({phase})"
+                )
+        leftovers = [p for p in os.listdir(tmp_path) if ".tmp-" in p]
+        assert leftovers == [], leftovers
+    finally:
+        clear_session_caches()

@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tropology_spark.registry import ORACLES, register
-from tropology_spark.sources.tables import SESSION_CACHES, cache_get_or_build, load
+from tropology_spark.sources.tables import (
+    SESSION_CACHES,
+    cache_get_or_build,
+    load,
+    publish_parquet,
+)
 
 
 @register(
@@ -356,7 +361,7 @@ def minhash_bands_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return spark.read.parquet(idx_path).localCheckpoint(eager=True)
         bands = minhash_bands_frame(spark, sf_dir)
         if idx_path is not None:
-            bands.write.mode("overwrite").parquet(idx_path)
+            publish_parquet(bands, idx_path)  # atomic (ADVICE r13)
             return spark.read.parquet(idx_path).localCheckpoint(eager=True)
         return bands.localCheckpoint(eager=True)
 

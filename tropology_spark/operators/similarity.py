@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from tropology_spark.registry import register
 from tropology_spark.session import iter_materialize
-from tropology_spark.sources.tables import SESSION_CACHES, load
+from tropology_spark.sources.tables import SESSION_CACHES, load, publish_parquet
 
 QUERY_VEC_ID = 0
 EMB_DIM = 64  # fixed (FIXTURES.md §2)
@@ -331,7 +331,7 @@ def quantizer_assign_materialized(
             e, assign0, 1 + _LLOYD_ITERS, train_mod=_LLOYD_TRAIN_MOD, pin="assign"
         )
         if idx_path is not None:
-            assign.write.mode("overwrite").parquet(idx_path)
+            publish_parquet(assign, idx_path)  # atomic (ADVICE r13)
             assign = spark.read.parquet(idx_path)
         return (e, assign)
 
@@ -734,8 +734,8 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = os.path.join(idx_dir, f"ivf_{sf}")
         if not os.path.exists(os.path.join(base, "_SUCCESS")):
             inv, cen = _ivf_build_frames(spark, sf_dir)
-            cen.write.mode("overwrite").parquet(base + "_centroids")
-            inv.write.mode("overwrite").parquet(base)  # _SUCCESS gate LAST
+            publish_parquet(cen, base + "_centroids")  # atomic publishes
+            publish_parquet(inv, base)  # _SUCCESS gate LAST (ADVICE r13)
         return ivf_search_frames(
             spark.read.parquet(base),
             spark.read.parquet(base + "_centroids"),
@@ -1138,8 +1138,8 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = os.path.join(idx_dir, f"pq_{sf}")
         if not os.path.exists(os.path.join(base, "_SUCCESS")):
             enc, cb = _pq_build_frames(spark, sf_dir)
-            cb.write.mode("overwrite").parquet(base + "_codebook")
-            enc.write.mode("overwrite").parquet(base)  # _SUCCESS gate LAST
+            publish_parquet(cb, base + "_codebook")  # atomic publishes
+            publish_parquet(enc, base)  # _SUCCESS gate LAST (ADVICE r13)
         return pq_search_frames(
             spark.read.parquet(base),
             spark.read.parquet(base + "_codebook"),
@@ -2751,9 +2751,9 @@ def sim_bq_hamming_topk(
                 idx_dir, f"sig_{os.path.basename(os.path.normpath(sf_dir))}"
             )
             if not os.path.exists(os.path.join(p, "_SUCCESS")):
-                bq_signatures_frame(
-                    load(spark, sf_dir, "embeddings")
-                ).write.mode("overwrite").parquet(p)
+                publish_parquet(  # atomic (ADVICE r13)
+                    bq_signatures_frame(load(spark, sf_dir, "embeddings")), p
+                )
             return bq_search_signatures(spark, spark.read.parquet(p), sf_dir)
     e = e if e is not None else load(spark, sf_dir, "embeddings")
     sig = iter_materialize(
@@ -3330,9 +3330,9 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = os.path.join(idx_dir, f"ivfpq_{sf}")
         if not os.path.exists(os.path.join(base, "_SUCCESS")):
             inv, cen, cb = _ivfpq_build_frames(spark, sf_dir)
-            cen.write.mode("overwrite").parquet(base + "_centroids")
-            cb.write.mode("overwrite").parquet(base + "_codebook")
-            inv.write.mode("overwrite").parquet(base)  # _SUCCESS gate LAST
+            publish_parquet(cen, base + "_centroids")  # atomic publishes
+            publish_parquet(cb, base + "_codebook")
+            publish_parquet(inv, base)  # _SUCCESS gate LAST (ADVICE r13)
         return ivfpq_search_frames(
             spark,
             spark.read.parquet(base),

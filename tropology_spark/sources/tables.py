@@ -215,3 +215,36 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     """Register fixture tables as temp views for ``spark.sql`` queries."""
     for name in names:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def publish_parquet(df: DataFrame, final_path: str) -> None:
+    """Write ``df`` as parquet and ATOMICALLY publish it at
+    ``final_path`` (ADVICE r13 item 2: the write-if-missing env
+    artifact paths had no cross-process guard — two concurrent cold
+    sessions both built, and ``mode('overwrite')``'s delete-then-write
+    window could expose a ``_SUCCESS``-less dir to a concurrent
+    reader mid-run).
+
+    Protocol: write to a unique sibling temp dir, then ``os.rename``
+    into place — readers gate on ``<final_path>/_SUCCESS``, which only
+    becomes visible with the rename, so no reader ever sees a partial
+    directory at the published path.  If a concurrent writer already
+    published (``_SUCCESS`` present), or wins the rename race, the
+    temp copy is discarded — env-artifact builds are deterministic,
+    so either winner's content is identical.  A partial leftover at
+    ``final_path`` (crashed writer, no ``_SUCCESS``) is replaced,
+    preserving the pinned partial-artifact-retrain behavior."""
+    import os
+    import shutil
+    import uuid
+
+    tmp = f"{final_path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(os.path.join(final_path, "_SUCCESS")):
+        shutil.rmtree(tmp, ignore_errors=True)  # a concurrent writer won
+        return
+    shutil.rmtree(final_path, ignore_errors=True)  # partial leftover only
+    try:
+        os.rename(tmp, final_path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the rename race
