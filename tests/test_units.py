@@ -11,7 +11,7 @@ import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from tests.conftest import SF_UNIT
+from tests.conftest import SF_ORACLE, SF_UNIT
 from tropology_spark import QUERIES
 
 
@@ -2289,3 +2289,135 @@ def test_rake_keywords_matches_pure_python(spark):
         for r in QUERIES["text_rake_keywords"](spark, SF_UNIT).collect()
     }
     assert got == want
+
+
+def test_registered_shift_constants_sized_from_domain_bounds(spark):
+    """VERDICT r13 item 2 — the systematic shift-constant audit.  The
+    +BIG·den shift identity ((num + BIG·den) div den − BIG) turns both
+    engines' truncating integer division into a true mathematical
+    FLOOR only while BIG·den ≥ |num|; an undersized constant passes
+    Spark-vs-DuckDB parity SILENTLY (both truncate identically — the
+    r13 lehr/anisotropy lesson), so every constant must be sized from
+    its DOMAIN bound and pinned against Python floor on an adversarial
+    NEGATIVE, non-divisible numerator.
+
+    This test (a) enumerates the registered surface's shift sites by
+    sweep — any NEW site must use a named ``*BIG*`` constant (or the
+    inline ``+ 1000000 *`` cosine-carrier spelling) and be added to
+    the expected set below with a derived bound; (b) re-derives each
+    constant's bound from data/structure; (c) pins each site's floor
+    semantics on an injected adversarial corpus."""
+    import re
+    from pathlib import Path
+
+    import duckdb
+
+    from tropology_spark import QUERIES
+    from tropology_spark.operators.analytics import _DID_BIG
+    from tropology_spark.operators.timeseries import _TS_BIG
+
+    # (a) enumeration sweep over the REGISTERED surface
+    found = set()
+    for p in Path("tropology_spark").rglob("*.py"):
+        if p.name.startswith("staged_r"):
+            continue
+        text = p.read_text()
+        for line in text.splitlines():
+            s = line.strip()
+            if re.match(r"_[A-Z0-9_]*BIG[A-Z0-9_]* *=", s):
+                found.add((p.name, s.split("=")[0].strip()))
+        for _m in re.finditer(r"\+ 1000000 \* (count\(\*\)|n_vectors)", text):
+            found.add((p.name, "inline-1e6-shift"))
+    assert found == {
+        ("analytics.py", "_DID_BIG"),
+        ("timeseries.py", "_TS_BIG"),
+        ("similarity.py", "inline-1e6-shift"),
+    }, f"new/renamed shift site — extend this audit: {sorted(found)}"
+
+    # (b) domain-bound re-derivations
+    # analytics_did_terms: |num/den| = |(mean11−mean10) − (mean01−mean00)|
+    # ≤ 2·max cents.  The order-price domain is scale-FREE (TPC-H price
+    # formula, not row count), so the fixture max is the domain max.
+    max_cents = duckdb.sql(
+        f"""SELECT max(CAST(round(o_totalprice * 100) AS BIGINT))
+            FROM read_parquet('{SF_ORACLE}/orders.parquet')"""
+    ).fetchone()[0]
+    assert _DID_BIG >= 4 * 2 * max_cents, (
+        f"_DID_BIG={_DID_BIG} under 4x the 2*max_cents={2*max_cents} bound"
+    )
+    # ts_theilsen_micro: |num| = |dy|·10⁶ ≤ max_hourly_count·10⁶ per
+    # unit dx.  Hourly counts grow ~linearly with SF: require >= 1000x
+    # headroom at sf0.01 (→ still >= 10x at sf1; the docstring bound
+    # 'hourly counts under 10⁶' stays the lift trigger).
+    max_hourly = duckdb.sql(
+        f"""SELECT max(n) FROM (
+              SELECT count(*) AS n
+              FROM read_parquet('{SF_ORACLE}/events.parquet')
+              GROUP BY event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT))"""
+    ).fetchone()[0]
+    assert _TS_BIG >= 1000 * max_hourly * 1_000_000, (
+        f"_TS_BIG={_TS_BIG} under 1000x the hourly-count bound {max_hourly}e6"
+    )
+    # sim_cluster_cohesion: the inline 10⁶ shift is STRUCTURAL —
+    # cos_micro = round(10⁶·cosine) with |cosine| ≤ 1, so the per-row
+    # bound |cos_micro| ≤ 10⁶ equals the constant; verify on the
+    # fixture output that no label violates it.
+    for r in QUERIES["sim_cluster_cohesion"](spark, SF_UNIT).collect():
+        assert abs(r["sum_cos_micro"]) <= 1_000_000 * r["n_vectors"]
+
+    # (c) adversarial floor pins — negative, NON-divisible numerators,
+    # where floor (−100) and truncation (−99) genuinely differ.
+    from pyspark.sql import functions as F
+
+    # c1. analytics_did_terms via orders=: custkey 6 is t=1, custkey 1
+    # is t=0 (md5 first hex '1' / 'c'); bd = 5; did = (1/3 − 100) − 0.
+    o_rows = (
+        [("1970-01-11", 0.01, 6), ("1970-01-11", 0.00, 6), ("1970-01-11", 0.00, 6)]
+        + [("1970-01-01", 1.00, 6)]
+        + [("1970-01-11", 0.00, 1), ("1970-01-01", 0.00, 1)]
+    )
+    odf = spark.createDataFrame(
+        o_rows, "o_orderdate string, o_totalprice double, o_custkey long"
+    )
+    r = QUERIES["analytics_did_terms"](spark, "unused", orders=odf).collect()[0]
+    assert (r["n11"], r["s11"], r["n10"], r["s10"]) == (3, 1, 1, 100)
+    num = (r["s11"] * r["n10"] - r["s10"] * r["n11"]) * r["n01"] * r["n00"] - (
+        r["s01"] * r["n00"] - r["s00"] * r["n01"]
+    ) * r["n11"] * r["n10"]
+    den = r["n11"] * r["n10"] * r["n01"] * r["n00"]
+    assert num < 0 and num % den != 0, "corpus stopped being adversarial"
+    assert r["did_cents"] == num // den == -100  # trunc would read −99
+
+    # c2. ts_theilsen_micro via events=: counts 10 → 3 over dx = 3 h;
+    # slope = floor(−7·10⁶ / 3) = −2333334 (trunc reads −2333333).
+    base = 1_700_000_000_000_000
+    e_rows = [(i, 0, base + i, "click") for i in range(10)] + [
+        (100 + i, 0, base + 3 * 3_600_000_000 + i, "click") for i in range(3)
+    ]
+    edf = spark.createDataFrame(
+        e_rows, "event_id long, user_id long, us long, event_type string"
+    ).selectExpr("event_id", "user_id", "timestamp_micros(us) AS ts", "event_type")
+    tr = QUERIES["ts_theilsen_micro"](spark, "unused", events=edf).collect()
+    assert len(tr) == 1 and tr[0]["n_pairs"] == 1
+    assert tr[0]["slope_micro"] == (-7 * 1_000_000) // 3 == -2333334
+
+    # c3. sim_cluster_cohesion via e=: one dominant vector + ten
+    # anti-aligned ones → a NEGATIVE mean cosine to the label centroid.
+    import numpy as np
+
+    vecs = [[100.0, 0.0]] + [[-1.0, 0.01]] * 10
+    emb = spark.createDataFrame(
+        [(i, 7, v) for i, v in enumerate(vecs)],
+        "vec_id long, label long, embedding array<double>",
+    )
+    cen = np.mean(np.array(vecs), axis=0)
+    cos_micros = [
+        int(round(1e6 * float(np.dot(v, cen))
+                  / (float(np.linalg.norm(v)) * float(np.linalg.norm(cen)))))
+        for v in vecs
+    ]
+    s, n = sum(cos_micros), len(cos_micros)
+    assert s < 0 and s % n != 0, "corpus stopped being adversarial"
+    cr = QUERIES["sim_cluster_cohesion"](spark, "unused", e=emb).collect()
+    assert len(cr) == 1
+    assert (cr[0]["sum_cos_micro"], cr[0]["cohesion_micro"]) == (s, s // n)

@@ -2495,7 +2495,9 @@ _DID_ORACLE = f"""
 
 
 @register("analytics_did_terms", oracle=_DID_ORACLE)
-def analytics_did_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def analytics_did_terms(
+    spark: SparkSession, sf_dir: str, orders: DataFrame | None = None
+) -> DataFrame:
     """M289 — DIFFERENCE-IN-DIFFERENCES terms on the order
     history: treatment = the deterministic md5-first-hex customer
     split (analytics_ab_lift's rule), period = the data-derived
@@ -2513,8 +2515,13 @@ def analytics_did_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one orders pass + a 1-row boundary attach (deliberate
     scalar crossJoin, BNLJ-allowlisted) + one 1-row
-    conditional rollup — everything map-side combinable."""
-    o = load(spark, sf_dir, "orders").select(
+    conditional rollup — everything map-side combinable.
+
+    ``orders=`` substitutes the order frame (the shift-constant audit
+    injects adversarial negative-numerator corpora through it; the
+    driver contract never passes it)."""
+    o0 = orders if orders is not None else load(spark, sf_dir, "orders")
+    o = o0.select(
         F.datediff(
             F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
         ).alias("d"),

@@ -1887,7 +1887,9 @@ def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM vc GROUP BY label
     """,
 )
-def sim_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_cluster_cohesion(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
     """M148 — intra-cluster cohesion audit: for each label, the mean
     cosine of member vectors to their OWN label centroid, carried as
     integers (per-vector cosine rounded once to µ-units, summed
@@ -1897,9 +1899,13 @@ def sim_cluster_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells need re-training or splitting).  Scale: centroids are
     O(labels×dim) from one map-side-combinable agg; members join their
     centroid BY LABEL (co-partitioned with the next agg, no pair
-    work); everything after the first explode is label-keyed."""
+    work); everything after the first explode is label-keyed.
+
+    ``e=`` substitutes the embeddings frame (the shift-constant audit
+    injects adversarial negative-mean-cosine labels through it; the
+    driver contract never passes it)."""
     ex = (
-        load(spark, sf_dir, "embeddings")
+        (e if e is not None else load(spark, sf_dir, "embeddings"))
         .select(
             "vec_id",
             "label",
