@@ -2333,6 +2333,26 @@ def test_registered_shift_constants_sized_from_domain_bounds(spark):
         ("timeseries.py", "_TS_BIG"),
         ("similarity.py", "inline-1e6-shift"),
     }, f"new/renamed shift site — extend this audit: {sorted(found)}"
+    # Tripwire for the staged bank: when a slate activates, its BIG
+    # constants move into home modules — the registered sweep above
+    # then finds new names AND this staged inventory shrinks, both
+    # failing until the activator extends the audit with the new
+    # site's domain bound and adversarial floor pin (the five-fold
+    # lockstep's sixth fold for shift carriers).
+    staged_found = set()
+    for p in Path("tropology_spark/operators").glob("staged_r*.py"):
+        for line in p.read_text().splitlines():
+            s = line.strip()
+            if re.match(r"_[A-Z0-9_]*BIG[A-Z0-9_]* *=", s):
+                staged_found.add((p.name, s.split("=")[0].strip()))
+    assert staged_found == {
+        ("staged_r16.py", "_ANI_BIG_PAIR"),
+        ("staged_r16.py", "_ANI_BIG_PPM"),
+        ("staged_r16.py", "_HM_BIG"),
+        ("staged_r17.py", "_ROC_BIG"),
+        ("staged_r17.py", "_LEHR_BIG"),
+        ("staged_r18.py", "_PR_BIG"),
+    }, f"staged shift inventory drifted: {sorted(staged_found)}"
 
     # (b) domain-bound re-derivations
     # analytics_did_terms: |num/den| = |(mean11−mean10) − (mean01−mean00)|
