@@ -6,7 +6,7 @@ Counter / NumPy / plain loops and compared against the REGISTERED
 query, plus the two hypothesis property suites on the exact registered
 code paths (frame injection through the registry wrapper's **kwargs).
 
-(These ops were staged in rounds 11-12 as operators/staged_r14.py and
+(These ops were staged in round 12 as operators/staged_r14.py and
 activated in round 14; oracle parity + partitioning invariance now run
 through the registry-wide suites — tests/test_oracle_parity.py and
 test_units.py's invariance probe.)
