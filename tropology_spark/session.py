@@ -88,6 +88,11 @@ def iter_materialize(df):
     if not ckdir:
         return df.localCheckpoint(eager=True)
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is None:
+    # Re-apply whenever the env dir is not the one currently active
+    # (getCheckpointDir returns <dir>/<uuid>, possibly URI-qualified):
+    # a long-lived session must follow an operator-changed env path,
+    # not stay pinned to the first dir it ever saw.
+    cur = sc.getCheckpointDir()
+    if cur is None or ckdir not in cur:
         sc.setCheckpointDir(ckdir)
     return df.checkpoint(eager=True)
