@@ -633,3 +633,36 @@ def test_exp_decay_property_dyadic_weights(spark, days):
     assert len(r) == 1 and r[0]["event_type"] == "click"
     assert (r[0]["n_events"], r[0]["decayed_x4096"]) == (want_n, want_dec)
     assert r[0]["mean_weight_x4096"] == want_dec // want_n
+
+
+def test_bloom_fpr_zero_fp_rows_still_emitted(spark):
+    """agg_bloom_fpr_curve's config spine is a LEFT join: with a
+    single member and a single (almost surely) missing probe, every
+    bits-per-key row must still appear with n_fp = 0 and fpr_ppm = 0
+    (the fixture plausibly has false positives at every config, so
+    the zero branch needs an injection to be exercised at all)."""
+    fn = QUERIES["agg_bloom_fpr_curve"]
+    mem = spark.createDataFrame([(1,)], "k long")
+    probes = spark.createDataFrame([(2_000_000_007,)], "k long")
+    got = {
+        r["bits_per_key"]: (r["n_members"], r["n_nonmembers"], r["n_fp"], r["fpr_ppm"])
+        for r in fn(spark, "unused", mem=mem, probes=probes).collect()
+    }
+    # replicate the k=2 double-hash membership check to confirm the
+    # probe genuinely misses at every config (else the corpus choice
+    # stopped being a zero-fp case and this test must pick another key)
+    import hashlib
+
+    def h12(k):
+        hx = hashlib.md5(str(k).encode()).hexdigest()
+        return int(hx[:8], 16), int(hx[8:16], 16)
+
+    for bpk in (8, 16, 32):
+        m = bpk * 1
+        h1m, h2m = h12(1)
+        bits = {h1m % m, (h1m + h2m) % m}
+        h1p, h2p = h12(2_000_000_007)
+        is_fp = h1p % m in bits and (h1p + h2p) % m in bits
+        want_fp = 1 if is_fp else 0
+        assert got[bpk] == (1, 1, want_fp, want_fp * 1_000_000)
+    assert sum(v[2] for v in got.values()) < 3, "pick a probe key that misses"
