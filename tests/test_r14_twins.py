@@ -666,3 +666,33 @@ def test_bloom_fpr_zero_fp_rows_still_emitted(spark):
         want_fp = 1 if is_fp else 0
         assert got[bpk] == (1, 1, want_fp, want_fp * 1_000_000)
     assert sum(v[2] for v in got.values()) < 3, "pick a probe key that misses"
+
+
+def test_quantizer_drift_emptied_cell_row(spark):
+    """sim_quantizer_drift's drift signal is the EMPTIED cell (the
+    full-outer merge + the arrived_ppm zero-guard) — a branch the
+    fixture's one Lloyd round plausibly never reaches.  Inject two
+    seed cells with IDENTICAL centroids: every member ties on cosine
+    and the (ccos DESC, cell) tie-break sends all of them to the
+    lower cell id, so the higher cell must emit a
+    (n_before=2, n_after=0, stayed=0, arrived=0, ppm=0) row."""
+    fn = QUERIES["sim_quantizer_drift"]
+
+    def pad(x, y):  # the Lloyd chain runs at the fixture EMB_DIM=64
+        return [x, y] + [0.0] * 62
+
+    vecs = [
+        (0, 0, pad(1.0, 0.2)), (1, 0, pad(1.0, -0.2)),
+        (2, 1, pad(1.0, 0.01)), (3, 1, pad(1.0, -0.01)),
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, label long, embedding array<double>"
+    )
+    got = {r["cell"]: r for r in fn(spark, "unused", e=emb).collect()}
+    assert set(got) == {0, 1}
+    r1 = got[1]
+    assert (r1["n_before"], r1["n_after"], r1["n_stayed"],
+            r1["n_arrived"], r1["arrived_ppm"]) == (2, 0, 0, 0, 0)
+    r0 = got[0]
+    assert (r0["n_before"], r0["n_after"], r0["n_stayed"]) == (2, 4, 2)
+    assert r0["n_arrived"] == 2 and r0["arrived_ppm"] == 500_000

@@ -3853,7 +3853,9 @@ _DRIFT_ORACLE = (
 
 
 @register("sim_quantizer_drift", oracle=_DRIFT_ORACLE)
-def sim_quantizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_quantizer_drift(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
     """M305 — Quantizer-drift audit — one Lloyd refinement round over the
     label-seeded coarse cells (the registered sim_ivf_topk's exact
     training step) compared against the seed assignment: per cell the
@@ -3872,9 +3874,13 @@ def sim_quantizer_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     EITHER side (a cell can empty out — that row is the drift
     signal).  Scale: one Lloyd round (k-row broadcast centroids) +
     two map-side rollups + a cell-keyed full join — no pairwise
-    stage anywhere."""
+    stage anywhere.
+
+    ``e=`` substitutes the embeddings frame (the emptied-cell pin
+    injects centroid-degenerate corpora through it; the driver
+    contract never passes it)."""
     ev = (
-        load(spark, sf_dir, "embeddings")
+        (e if e is not None else load(spark, sf_dir, "embeddings"))
         .select(
             "vec_id",
             F.col("label").cast("bigint").alias("cell0"),
