@@ -696,3 +696,29 @@ def test_quantizer_drift_emptied_cell_row(spark):
     r0 = got[0]
     assert (r0["n_before"], r0["n_after"], r0["n_stayed"]) == (2, 4, 2)
     assert r0["n_arrived"] == 2 and r0["arrived_ppm"] == 500_000
+
+
+def test_sequential_counts_zero_users_guard(spark):
+    """analytics_sequential_counts' conv_ppm guard at cum_users = 0 —
+    the fixture has users in both md5 variants from day one, so the
+    guard needs an injection: variant A (user 6, md5 '1…') signs up
+    on day 0, variant B (user 1, md5 'c…') only on day 1, so the
+    (day 0, B) spine row must read (0, 0, 0) instead of dividing."""
+    fn = QUERIES["analytics_sequential_counts"]
+    base = 1_700_006_400_000_000  # mid-day: no day-edge ambiguity
+    rows = [
+        (1, 6, base, "purchase"),               # day d0, variant A, converts
+        (2, 1, base + 86_400_000_000, "click"), # day d0+1, variant B
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, event_type string"
+    ).selectExpr("event_id", "user_id", "timestamp_micros(us) AS ts", "event_type")
+    got = {
+        (r["day"], r["variant"]): (r["cum_users"], r["cum_converted"], r["conv_ppm"])
+        for r in fn(spark, "unused", events=ev).collect()
+    }
+    d0 = base // 86_400_000_000
+    assert got[(d0, "B")] == (0, 0, 0)                 # the guarded row
+    assert got[(d0, "A")] == (1, 1, 1_000_000)
+    assert got[(d0 + 1, "A")] == (1, 1, 1_000_000)
+    assert got[(d0 + 1, "B")] == (1, 0, 0)

@@ -2695,7 +2695,7 @@ _SEQ_ORACLE = """
 
 @register("analytics_sequential_counts", oracle=_SEQ_ORACLE)
 def analytics_sequential_counts(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
 ) -> DataFrame:
     """M307 — The sequential-testing (peeking) audit trail for the hash-split
     experiment: per (day, variant) the CUMULATIVE user count (first
@@ -2715,8 +2715,12 @@ def analytics_sequential_counts(
     spine (explode of a 2-literal array, never a join), cumulative
     windows on the REAL variant partition key, ppm division guarded
     at cum_users = 0 (a variant with no users yet).  Scale: the
-    corpus collapses to O(users) then O(days × 2)."""
-    e = load(spark, sf_dir, "events").select(
+    corpus collapses to O(users) then O(days × 2).
+
+    ``events=`` substitutes the events frame (the zero-users-guard pin
+    injects a late-arriving variant through it; the driver contract
+    never passes it)."""
+    e = (events if events is not None else load(spark, sf_dir, "events")).select(
         "user_id",
         "event_type",
         F.datediff(
