@@ -137,6 +137,12 @@ BNLJ_ALLOWED = {
     # hour spine; M302 broadcasts the 1-row member-count modulus and
     # the 1-row probe-total attach.
     "ts_hurst_rs_terms", "agg_bloom_fpr_curve",
+    # round-15 scalar attaches (pre-activation plan sweep in the staged
+    # suite): M309 broadcasts the 1-row exact-distinct cross; M310 the
+    # 1-row corpus-totals cross; M315 the 1-row train-count cross per
+    # curve point; M317 the 1-row exact-join-size cross.
+    "agg_hll_m_curve", "mm_cdc_size_curve",
+    "pipeline_contamination_ngram_curve", "agg_join_size_ams",
 }
 
 #: The ONLY row-at-a-time Python evaluation sites: L1 (the declared

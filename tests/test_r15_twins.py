@@ -1,94 +1,26 @@
-"""Driver-replica parity for the STAGED round-15 operators
-(tropology_spark/operators/staged_r15.py) — the staging pattern's
-seventh application: the full compare at both verification scales,
-pure-Python twins for every formula-bearing op, two hypothesis
-property suites on the exact staged paths (frame injection), and the
-partitioning-invariance + plan sweeps.  Activation in round 15 is then
-a mechanical move-and-register.
+"""Independent pure-Python twins for the round-15 activations
+(M309-M317) — the NEW-OP CROSS-CHECK DISCIPLINE (CLAUDE.md round 7):
+Spark-vs-DuckDB parity cannot catch a shared-formula error, so every
+formula-bearing new operator is re-derived here with hashlib / sets /
+Counter / NumPy / plain loops and compared against the REGISTERED
+query, plus the two hypothesis property suites on the exact registered
+code paths (frame injection through the registry wrapper's **kwargs)
+and the seventh-fold BRANCH-COVERAGE INJECTIONS for the guard/zero
+branches the fixture cannot reach (the round-14 rule).
+
+(These ops were staged in round 12 as operators/staged_r15.py and
+activated in round 15; oracle parity + partitioning invariance now run
+through the registry-wide suites — tests/test_oracle_parity.py and
+test_units.py's invariance probe.)
 """
 
 from __future__ import annotations
 
-import pytest
-
-from tests.conftest import SF_ORACLE, SF_UNIT, make_duckdb
-from tropology_spark.operators.staged_r15 import STAGED
+from tests.conftest import SF_UNIT
+from tropology_spark import QUERIES
 
 
-def test_staged_module_registers_nothing():
-    from tropology_spark import QUERIES
-
-    assert not (set(STAGED) & set(QUERIES))
-
-
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_parity_both_scales(spark, name):
-    from tests.parity import compare
-
-    fn, oracle = STAGED[name]
-    for sf in (SF_UNIT, SF_ORACLE):
-        con = make_duckdb(sf)
-        try:
-            compare(name, spark, con, fn, oracle, sf)
-        finally:
-            con.close()
-
-
-def test_staged_partitioning_invariance(spark):
-    from tests.parity import canon_rows, spark_result
-    from tropology_spark.sources.tables import clear_session_caches
-
-    orig = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        results = {n: set() for n in STAGED}
-        for parts in ("5", "13", "32"):
-            spark.conf.set("spark.sql.shuffle.partitions", parts)
-            clear_session_caches()
-            for n, (fn, _) in STAGED.items():
-                cols, rows = spark_result(fn(spark, SF_UNIT))
-                results[n].add(tuple(canon_rows(cols, rows)))
-        for n, seen in results.items():
-            assert len(seen) == 1, f"staged {n} varies with shuffle partitioning"
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig)
-        clear_session_caches()
-
-
-def test_staged_no_new_plan_antipatterns(spark):
-    """No CartesianProduct / row-Python UDF; BNLJ only at the four
-    noted scalar attaches (agg_hll_m_curve's 1-row exact-count cross,
-    mm_cdc_size_curve's 1-row corpus-totals cross,
-    pipeline_contamination_ngram_curve's 1-row train-count cross per
-    point, agg_join_size_ams' 1-row exact-join-size cross) — the
-    names to add to BNLJ_ALLOWED at activation."""
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "simple"
-    )
-    bnlj_expected = {
-        "agg_hll_m_curve",
-        "mm_cdc_size_curve",
-        "pipeline_contamination_ngram_curve",
-        "agg_join_size_ams",  # the 1-row exact-join-size cross
-    }
-    bad = {}
-    for name, (fn, _) in STAGED.items():
-        s = fn(spark, SF_UNIT)._jdf.queryExecution().explainString(mode)
-        if "CartesianProduct" in s:
-            bad[name] = "CartesianProduct"
-        if "BatchEvalPython" in s:
-            bad[name] = "row-Python UDF"
-        if "BroadcastNestedLoopJoin" in s and name not in bnlj_expected:
-            bad[name] = "unexpected BNLJ"
-    assert not bad, bad
-
-
-# ---------------------------------------------------------------------------
-# Twins (NEW-OP CROSS-CHECK DISCIPLINE) — hashlib / Counter / NumPy
-# recomputations with arbitrary-precision ints; no SQL engine.
-# ---------------------------------------------------------------------------
-
-
-def test_staged_hll_m_curve_matches_pure_python(spark):
+def test_hll_m_curve_matches_pure_python(spark):
     """agg_hll_m_curve — buckets, registers, the dyadic carrier, and
     the estimates recomputed with hashlib + Python ints for all three
     register counts from the same hash pass."""
@@ -96,7 +28,7 @@ def test_staged_hll_m_curve_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["agg_hll_m_curve"]
+    fn = QUERIES["agg_hll_m_curve"]
     keys = [
         int(k)
         for (k,) in duckdb.sql(
@@ -125,7 +57,49 @@ def test_staged_hll_m_curve_matches_pure_python(spark):
     assert got == want
 
 
-def test_staged_cdc_size_curve_matches_pure_python(spark):
+def test_hll_m_curve_single_key_reaches_empty_register_spine(spark):
+    """Branch-coverage injection (seventh fold): a SINGLE-key corpus
+    (o= kwarg) occupies exactly one register per m, so the spine's
+    coalesce(mj, 0) zero-fill and the m0 = 0 / v_empty branch are
+    exercised deterministically at every register count — the fixture
+    fills nearly every register, so this branch needs the injection.
+    v_empty = m − 1 and S = 2^(33−rho) + (m−1)·2³³ exactly."""
+    import hashlib
+
+    fn = QUERIES["agg_hll_m_curve"]
+    o = spark.createDataFrame([(42,)], "o_custkey long")
+    hx = hashlib.md5(b"42").hexdigest()
+    w = int(hx[2:10], 16)
+    rho = 33 if w == 0 else 33 - w.bit_length()
+    got = {
+        r["m"]: (r["n_exact"], r["v_empty"], r["s_carrier"])
+        for r in fn(spark, SF_UNIT, o=o).collect()
+    }
+    for m in (16, 64, 256):
+        s = (1 << (33 - rho)) + (m - 1) * (1 << 33)
+        assert got[m] == (1, m - 1, s), (m, got[m])
+
+
+def test_hll_rho_zero_word_guard_matches_cross_engine(spark):
+    """Branch-coverage pin for the w = 0 → rho = 33 guard — the one
+    branch NO injection can reach (it needs md5 bits 8..40 of the key
+    to be all-zero, probability 2⁻³²): evaluate the shared CASE
+    expression on a literal 0 in BOTH engines and pin 33 (without the
+    guard both would compute 33 − length(bin(0)) = 32: bin(0) = '0')."""
+    import duckdb
+
+    (got_spark,) = spark.sql(
+        "SELECT CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END"
+        " FROM VALUES (0L) t(w)"
+    ).collect()[0]
+    (got_duck,) = duckdb.sql(
+        "SELECT CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END"
+        " FROM (VALUES (CAST(0 AS BIGINT))) t(w)"
+    ).fetchone()
+    assert got_spark == got_duck == 33
+
+
+def test_cdc_size_curve_matches_pure_python(spark):
     """mm_cdc_size_curve — window hashes, nested boundaries, chunk
     starts and mean sizes recomputed with hashlib over the hex
     strings; also pins the nesting n_chunks(32) >= n_chunks(64) >=
@@ -134,7 +108,7 @@ def test_staged_cdc_size_curve_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["mm_cdc_size_curve"]
+    fn = QUERIES["mm_cdc_size_curve"]
     docs = duckdb.sql(
         f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
     ).fetchall()
@@ -164,7 +138,7 @@ def test_staged_cdc_size_curve_matches_pure_python(spark):
     assert got[32][2] >= got[64][2] >= got[128][2]  # moduli nest
 
 
-def test_staged_beta_posterior_matches_pure_python(spark):
+def test_beta_posterior_matches_pure_python(spark):
     """analytics_beta_posterior_terms — posterior parameters, means
     and the wide-integer variance carrier recomputed with hashlib +
     Python ints; also pins the Beta variance bound var_ppb <= 2.5e8
@@ -175,7 +149,7 @@ def test_staged_beta_posterior_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["analytics_beta_posterior_terms"]
+    fn = QUERIES["analytics_beta_posterior_terms"]
     rows = duckdb.sql(
         f"""SELECT user_id, event_type
             FROM read_parquet('{SF_UNIT}/events.parquet')"""
@@ -210,7 +184,7 @@ def test_staged_beta_posterior_matches_pure_python(spark):
         assert min(mle, 500_000) <= post <= max(mle, 500_000) + 1  # shrinkage
 
 
-def test_staged_winnowing_w_curve_matches_pure_python(spark):
+def test_winnowing_w_curve_matches_pure_python(spark):
     """text_winnowing_w_curve — gram hashes, window minima, selections
     and densities recomputed with hashlib at all three window sizes;
     also pins density monotone non-increasing in w."""
@@ -218,7 +192,7 @@ def test_staged_winnowing_w_curve_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["text_winnowing_w_curve"]
+    fn = QUERIES["text_winnowing_w_curve"]
     docs = duckdb.sql(
         f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
     ).fetchall()
@@ -254,7 +228,7 @@ def test_staged_winnowing_w_curve_matches_pure_python(spark):
     assert got[2][3] >= got[4][3] >= got[8][3]  # density falls with w
 
 
-def test_staged_paa_lb_matches_pure_python(spark):
+def test_paa_lb_matches_pure_python(spark):
     """ts_paa_lb_audit — zero-filled profiles, segment sums and both
     distance carriers recomputed with plain int loops; also pins the
     GEMINI admissibility lb3 <= true3 on every emitted pair."""
@@ -262,7 +236,7 @@ def test_staged_paa_lb_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["ts_paa_lb_audit"]
+    fn = QUERIES["ts_paa_lb_audit"]
     rows = duckdb.sql(
         f"""SELECT event_type,
                    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)),
@@ -301,7 +275,32 @@ def test_staged_paa_lb_matches_pure_python(spark):
         assert 0 <= lb3 <= true3 and slack == true3 - lb3
 
 
-def test_staged_core_profile_matches_pure_python(spark):
+def test_paa_identical_profiles_reach_true3_zero_guard(spark):
+    """Branch-coverage injection (seventh fold): two IDENTICAL
+    non-empty day profiles (events= kwarg) make every Δx zero, so
+    true3 = lb3 = 0 and the guarded ppm branch fires — tight_ppm is
+    DEFINED as 10⁶ (the bound is tight).  The fixture's organic day
+    pairs never produce identical hourly profiles."""
+    fn = QUERIES["ts_paa_lb_audit"]
+    base_day = 20_000
+    rows = []
+    eid = 0
+    for day in (base_day, base_day + 1):
+        for h in (1, 5, 23):
+            us = (day * 86_400 + h * 3_600) * 1_000_000
+            for i in range(3):
+                rows.append((eid, 0, us + i, "click"))
+                eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, event_type string"
+    ).selectExpr("event_id", "user_id", "timestamp_micros(us) AS ts", "event_type")
+    got = fn(spark, SF_UNIT, events=ev).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["lb3"], r["true3"], r["slack"], r["tight_ppm"]) == (0, 0, 0, 1_000_000)
+
+
+def test_core_profile_matches_pure_python(spark):
     """graph_core_profile — the 3-round peel recomputed with set/dict
     loops at every k; also pins the survivor-set monotonicity
     (nodes and edges non-increasing in k)."""
@@ -309,7 +308,7 @@ def test_staged_core_profile_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["graph_core_profile"]
+    fn = QUERIES["graph_core_profile"]
     pairs = duckdb.sql(
         f"""SELECT DISTINCT o_custkey AS src, l_partkey AS dst
             FROM read_parquet('{SF_UNIT}/orders.parquet') o
@@ -335,13 +334,13 @@ def test_staged_core_profile_matches_pure_python(spark):
     assert got[5][1] >= got[25][1] >= got[50][1]
 
 
-def test_staged_contamination_curve_matches_pure_python(spark):
+def test_contamination_curve_matches_pure_python(spark):
     """pipeline_contamination_ngram_curve — shingle sets, flags and
     pair counts recomputed with Python sets; also pins the width
     containment flagged(4) ⊆ flagged(3) ⊆ flagged(2)."""
     import duckdb
 
-    fn, _ = STAGED["pipeline_contamination_ngram_curve"]
+    fn = QUERIES["pipeline_contamination_ngram_curve"]
     docs = duckdb.sql(
         f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
     ).fetchall()
@@ -378,13 +377,13 @@ def test_staged_contamination_curve_matches_pure_python(spark):
     assert flagged_sets[4] <= flagged_sets[3] <= flagged_sets[2]
 
 
-def test_staged_dim_variance_matches_pure_python(spark):
+def test_dim_variance_matches_pure_python(spark):
     """sim_dim_variance_profile — the variance numerators and ranks
     recomputed with NumPy int64 / Python ints."""
     import duckdb
     import numpy as np
 
-    fn, _ = STAGED["sim_dim_variance_profile"]
+    fn = QUERIES["sim_dim_variance_profile"]
     rows = duckdb.sql(
         f"SELECT embedding FROM read_parquet('{SF_UNIT}/embeddings.parquet')"
     ).fetchall()
@@ -407,8 +406,85 @@ def test_staged_dim_variance_matches_pure_python(spark):
     assert got == want
 
 
+def test_dim_variance_constant_dimension_reaches_zero_floor(spark):
+    """Branch-coverage injection (seventh fold): a CONSTANT dimension
+    (e= kwarg — every vector identical in dim 1) drives the variance
+    numerator to its exact floor n·Σvm² − (Σvm)² = 0, ranking LAST —
+    a value the fixture's continuous embeddings cannot produce."""
+    fn = QUERIES["sim_dim_variance_profile"]
+    e = spark.createDataFrame(
+        [(i, [0.5, float(i) / 10.0]) for i in range(1, 6)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["pos"]: (r["var_num"], r["rk"]) for r in fn(spark, SF_UNIT, e=e).collect()}
+    assert got[1][0] == 0 and got[2][0] > 0
+    assert got[1][1] == 2 and got[2][1] == 1  # zero-variance dim ranks last
+
+
+def test_join_size_ams_matches_pure_python(spark):
+    """agg_join_size_ams — both sketch vectors, the exact join size
+    and the signed errors recomputed with hashlib + Counter ints;
+    also pins unbiasedness-adjacent sanity (median-of-8 within 3
+    sigma-ish of exact is NOT pinned — estimates are noisy by design;
+    what IS pinned: est = sa*sb and diff = est - exact per sketch)."""
+    import hashlib
+    from collections import Counter
+
+    import duckdb
+
+    from tropology_spark.operators.aggregates import (
+        _AMS_PAIRS,
+        _AMS_PRIME,
+        _JSZ_QTY,
+    )
+
+    fn = QUERIES["agg_join_size_ams"]
+    rows = duckdb.sql(
+        f"""SELECT l_partkey, l_quantity
+            FROM read_parquet('{SF_UNIT}/lineitem.parquet')"""
+    ).fetchall()
+    ca = Counter(int(k) for k, _q in rows)
+    cb = Counter(int(k) for k, q in rows if q > _JSZ_QTY)
+    j_exact = sum(ca[k] * cb.get(k, 0) for k in ca)
+    signs = {}
+    for k in ca:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        signs[k] = [
+            1 if ((h * a + b) % _AMS_PRIME) % 2 == 0 else -1
+            for a, b in _AMS_PAIRS
+        ]
+    want = set()
+    for j in range(8):
+        sa = sum(ca[k] * signs[k][j] for k in ca)
+        sb = sum(cb[k] * signs[k][j] for k in cb)
+        want.add((j, sa, sb, sa * sb, j_exact, sa * sb - j_exact))
+    got = {
+        (r["sketch_id"], r["sa"], r["sb"], r["est"], r["j_exact"], r["diff"])
+        for r in fn(spark, SF_UNIT).collect()
+    }
+    assert got == want
+
+
+def test_join_size_ams_empty_filtered_side_yields_null_exact(spark):
+    """Branch-coverage injection (seventh fold): when NO row passes
+    the l_quantity > 25 filter (li= kwarg), the exact join collapses
+    to an empty aggregate — j_exact and diff are NULL on all 8 sketch
+    rows (absence of evidence, loudly: the pipeline_sample_bias_audit
+    convention), while the sb sketch coordinates are exact zeros and
+    est = sa·0 = 0.  The fixture always has qty > 25 rows."""
+    fn = QUERIES["agg_join_size_ams"]
+    li = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (1, 3.0)], "l_partkey long, l_quantity double"
+    )
+    got = fn(spark, SF_UNIT, li=li).collect()
+    assert len(got) == 8
+    for r in got:
+        assert r["sb"] == 0 and r["est"] == 0
+        assert r["j_exact"] is None and r["diff"] is None
+
+
 # ---------------------------------------------------------------------------
-# Hypothesis property suites on the EXACT staged paths (frame injection)
+# Hypothesis property suites on the EXACT registered paths (frame injection)
 # ---------------------------------------------------------------------------
 
 from hypothesis import given, settings, strategies as st  # noqa: E402
@@ -452,9 +528,9 @@ def test_winnowing_selection_nests_across_w(spark, texts):
 )
 def test_paa_lb_property_admissible(spark, prof_a, prof_b):
     """ts_paa_lb_audit on injected day profiles (events= kwarg): the
-    staged path must equal the pure recompute AND satisfy the GEMINI
-    bound lb3 <= true3 for ARBITRARY hour profiles."""
-    fn, _ = STAGED["ts_paa_lb_audit"]
+    registered path must equal the pure recompute AND satisfy the
+    GEMINI bound lb3 <= true3 for ARBITRARY hour profiles."""
+    fn = QUERIES["ts_paa_lb_audit"]
     base_day = 20_000  # epoch days
     rows = []
     eid = 0
@@ -469,7 +545,7 @@ def test_paa_lb_property_admissible(spark, prof_a, prof_b):
     ev = spark.createDataFrame(
         rows, "event_id long, user_id long, us long, event_type string"
     ).selectExpr("event_id", "user_id", "timestamp_micros(us) AS ts", "event_type")
-    got = fn(spark, "unused", events=ev).collect()
+    got = fn(spark, SF_UNIT, events=ev).collect()
     pairs = [r for r in got if r["day_a"] == base_day]
     if not any(prof_a) or not any(prof_b):
         # a fully-empty day never enters the hourly rollup -> no pair
@@ -482,44 +558,3 @@ def test_paa_lb_property_admissible(spark, prof_a, prof_b):
     true3 = 3 * sum(x * x for x in dx)
     assert (r["lb3"], r["true3"]) == (lb3, true3)
     assert r["lb3"] <= r["true3"]
-
-
-def test_staged_join_size_ams_matches_pure_python(spark):
-    """agg_join_size_ams — both sketch vectors, the exact join size
-    and the signed errors recomputed with hashlib + Counter ints;
-    also pins unbiasedness-adjacent sanity (median-of-8 within 3
-    sigma-ish of exact is NOT pinned — estimates are noisy by design;
-    what IS pinned: est = sa*sb and diff = est - exact per sketch)."""
-    import hashlib
-    from collections import Counter
-
-    import duckdb
-
-    from tropology_spark.operators.aggregates import _AMS_PAIRS, _AMS_PRIME
-    from tropology_spark.operators.staged_r15 import _JSZ_QTY
-
-    fn, _ = STAGED["agg_join_size_ams"]
-    rows = duckdb.sql(
-        f"""SELECT l_partkey, l_quantity
-            FROM read_parquet('{SF_UNIT}/lineitem.parquet')"""
-    ).fetchall()
-    ca = Counter(int(k) for k, _q in rows)
-    cb = Counter(int(k) for k, q in rows if q > _JSZ_QTY)
-    j_exact = sum(ca[k] * cb.get(k, 0) for k in ca)
-    signs = {}
-    for k in ca:
-        h = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
-        signs[k] = [
-            1 if ((h * a + b) % _AMS_PRIME) % 2 == 0 else -1
-            for a, b in _AMS_PAIRS
-        ]
-    want = set()
-    for j in range(8):
-        sa = sum(ca[k] * signs[k][j] for k in ca)
-        sb = sum(cb[k] * signs[k][j] for k in cb)
-        want.add((j, sa, sb, sa * sb, j_exact, sa * sb - j_exact))
-    got = {
-        (r["sketch_id"], r["sa"], r["sb"], r["est"], r["j_exact"], r["diff"])
-        for r in fn(spark, SF_UNIT).collect()
-    }
-    assert got == want

@@ -1031,6 +1031,16 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "ts_record_hours",
         "analytics_sequential_counts",
         "graph_degree_gini",
+        # round-15 activations (M309-M317)
+        "agg_hll_m_curve",
+        "mm_cdc_size_curve",
+        "analytics_beta_posterior_terms",
+        "text_winnowing_w_curve",
+        "ts_paa_lb_audit",
+        "graph_core_profile",
+        "pipeline_contamination_ngram_curve",
+        "sim_dim_variance_profile",
+        "agg_join_size_ams",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -1089,7 +1099,7 @@ def test_materialized_view_build_is_shared_across_threads(spark):
 
 def test_driver_window_composition(spark):
     """The driver hash-checks the FIRST 50 registry entries.  Pin the
-    round-14 window invariants so a module-import or registration-order
+    round-15 window invariants so a module-import or registration-order
     change can never silently evict a query: the activated staged
     queries (never sampled) lead, and EVERY
     remaining window slot goes to the rotation queue — queries whose
@@ -1107,7 +1117,7 @@ def test_driver_window_composition(spark):
     from pathlib import Path
 
     from tropology_spark import ORACLES, QUERIES
-    from tropology_spark import _R14_NEW
+    from tropology_spark import _R15_NEW
 
     latest: dict[str, int] = {}
     for f in Path(".").glob("CORRECTNESS_r*.json"):
@@ -1116,7 +1126,7 @@ def test_driver_window_composition(spark):
             latest[k] = max(latest.get(k, 0), rnd)
     max_round = max(latest.values(), default=0)
     window = list(QUERIES)[:50]
-    head = _R14_NEW
+    head = _R15_NEW
     assert window[: len(head)] == head, window[: len(head)]
     never = [q for q in QUERIES if q not in latest]
     missing = [q for q in never if q not in set(window)]

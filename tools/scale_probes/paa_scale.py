@@ -28,7 +28,7 @@ mode = sys.argv[2] if len(sys.argv) > 2 else "overlay"
 from pyspark.sql import functions as F  # noqa: E402
 
 from tropology_spark.session import get_spark, iter_materialize  # noqa: E402
-from tropology_spark.operators.staged_r15 import ts_paa_lb_audit  # noqa: E402
+from tropology_spark.operators.timeseries import ts_paa_lb_audit  # noqa: E402
 from tropology_spark.sources.tables import load  # noqa: E402
 
 t0 = time.time()

@@ -591,6 +591,72 @@ _R14_STALE_R07 = [
     "agg_kmv_diff",
 ]
 
-prioritize(_R14_NEW + _R14_STALE_R06 + _R14_STALE_R07)
+#: Round-15 additions (M309-M317) — the activated round-13-staged ops,
+#: in the staged-slate order.
+_R15_NEW = [
+    "agg_hll_m_curve",
+    "mm_cdc_size_curve",
+    "analytics_beta_posterior_terms",
+    "text_winnowing_w_curve",
+    "ts_paa_lb_audit",
+    "graph_core_profile",
+    "pipeline_contamination_ngram_curve",
+    "sim_dim_variance_profile",
+    "agg_join_size_ams",
+]
+
+#: The 28 remaining r07-vintage rows (the class empties this round), in
+#: registry order — the relational/set head of the registry.
+_R15_STALE_R07 = [
+    "flagship_revenue_by_region",
+    "scan_project",
+    "scan_pushdown_lookup",
+    "json_extract_props",
+    "select_compute",
+    "filter_in",
+    "filter_boolean_logic",
+    "filter_like",
+    "filter_null_semantics",
+    "join_inner",
+    "join_broadcast_star",
+    "join_full_outer",
+    "join_semi",
+    "join_self_twohop",
+    "join_asof_lastevent",
+    "join_cross_count",
+    "agg_degree",
+    "agg_pricing_summary",
+    "agg_count_distinct",
+    "agg_conditional",
+    "agg_having",
+    "sort_multi_key",
+    "topk_global",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect_common",
+    "set_except",
+    "sub_correlated_avg",
+]
+
+#: The 13 OLDEST r08-vintage rows in registry order; 37 r08 queries
+#: remain for the round-16 rotation (text_langid_nb,
+#: text_quality_score, text_token_stats head them in registry order).
+_R15_STALE_R08 = [
+    "sim_topk_cosine",
+    "sim_knn_join",
+    "sim_centroid_assign",
+    "sim_ivf_topk",
+    "sim_rp_lsh_topk",
+    "sim_pq_topk",
+    "sim_ivf_cell_stats",
+    "dedup_containment",
+    "dedup_survivorship_report",
+    "text_wordcount",
+    "text_tfidf_top",
+    "text_bigrams",
+    "text_lang_stats",
+]
+
+prioritize(_R15_NEW + _R15_STALE_R07 + _R15_STALE_R08)
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

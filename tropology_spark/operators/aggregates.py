@@ -2151,3 +2151,290 @@ def agg_bloom_fpr_curve(
             ).alias("fpr_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_hll_m_curve — HLL error vs register count (the sketch sizing axis)
+# ---------------------------------------------------------------------------
+
+#: (m, alpha_milli, b8_divisor): bucket = first-byte div (256/m), so
+#: every register count reads the SAME md5 pass; alpha constants from
+#: Flajolet et al. (0.673 / 0.709 / 0.7213/(1+1.079/256) ~ 0.718).
+_HLL_MS = ((16, 673, 16), (64, 709, 4), (256, 718, 1))
+
+
+def _hll_curve_oracle() -> str:
+    cfg_rows = ", ".join(f"({m}, {a}, {dv})" for m, a, dv in _HLL_MS)
+    return f"""
+    WITH h AS (
+      SELECT ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 2))::BIGINT
+               AS b8,
+             ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 3, 8))::BIGINT
+               AS w
+      FROM orders),
+    cfg AS (SELECT CAST(m AS BIGINT) AS m, CAST(am AS BIGINT) AS am,
+                   CAST(dv AS BIGINT) AS dv
+            FROM (VALUES {cfg_rows}) t(m, am, dv)),
+    regs AS (
+      SELECT cfg.m, h.b8 // cfg.dv AS bucket,
+             max(CASE WHEN h.w = 0 THEN 33 ELSE 33 - length(bin(h.w)) END)
+               AS mj
+      FROM h CROSS JOIN cfg GROUP BY cfg.m, h.b8 // cfg.dv),
+    spine AS (SELECT cfg.m, cfg.am, s.b AS bucket
+              FROM cfg, unnest(generate_series(0, cfg.m - 1)) AS s(b)),
+    full_regs AS (
+      SELECT spine.m, spine.am, spine.bucket, coalesce(regs.mj, 0) AS m0
+      FROM spine LEFT JOIN regs
+        ON spine.m = regs.m AND spine.bucket = regs.bucket),
+    agg AS (
+      SELECT m, am,
+             CAST(sum(1::BIGINT << (33 - m0)) AS BIGINT) AS s_carrier,
+             CAST(sum(CASE WHEN m0 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_empty
+      FROM full_regs GROUP BY m, am),
+    ex AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+           FROM orders)
+    SELECT agg.m, ex.n_exact, agg.v_empty, agg.s_carrier,
+           CAST((agg.am * agg.m * agg.m * (1::BIGINT << 33))
+                // (1000 * agg.s_carrier) AS BIGINT) AS hll_est,
+           CAST((1000000 * ((agg.am * agg.m * agg.m * (1::BIGINT << 33))
+                            // (1000 * agg.s_carrier)))
+                // ex.n_exact AS BIGINT) AS ratio_ppm
+    FROM agg CROSS JOIN ex
+    """
+
+
+@register("agg_hll_m_curve", oracle=_hll_curve_oracle())
+def agg_hll_m_curve(
+    spark: SparkSession, sf_dir: str, o: DataFrame | None = None
+) -> DataFrame:
+    """M309 — HLL accuracy vs REGISTER COUNT m ∈ {16, 64, 256} — the
+    sketch sizing axis the fixed-m M267 audit cannot show (HLL's
+    standard error is ~1.04/√m, so 16→256 registers buys a 4× error
+    cut for a 16× memory cost; this curve measures the actual trade on
+    the data).  Completes the sketch-tuning-curve family: CMS width
+    (M295), bloom bits-per-key (M302), LSH bands (M264), IVF probes
+    (M263) — every approximate structure in the engine now ships
+    with its sizing curve.
+
+    ONE md5 pass serves every m: bucket = first-byte div (256/m)
+    (power-of-two register counts nest on the same 8 bucket bits —
+    the curve-over-prefix discipline applied to a sketch), rho = 33 −
+    bit_length of the NEXT 32 bits (disjoint from the bucket bits,
+    unlike M267's m=16 layout — documented difference), registers
+    max-merge per (m, bucket), empty registers zero-filled from the
+    per-m spine.  The estimate keeps the M267 dyadic-rational carrier
+    exactly: est = (α_milli·m²·2³³) div (1000·S) with
+    S = Σ 2^(33−M_j) — max value 718·256²·2³³ ≈ 4·10¹⁷ < 2⁶³.
+
+    Scale: the register table is ≤ 336 rows total; the map-side
+    register max-merge is the whole point of HLL at 100 TB.  The
+    1-row exact attach is a deliberate scalar crossJoin
+    (BNLJ-allowlisted); the config axis EXPLODES the hash rows (never
+    a join).  ``o=`` overrides the orders frame (branch-coverage
+    injection: a single-key corpus reaches the empty-register
+    m0 = 0 / v_empty spine branch deterministically at every m — the
+    driver contract never passes it)."""
+    if o is None:
+        o = load(spark, sf_dir, "orders")
+    md = F.md5(F.col("o_custkey").cast("string"))
+    h = o.select(
+        F.conv(F.substring(md, 1, 2), 16, 10).cast("bigint").alias("b8"),
+        F.conv(F.substring(md, 3, 8), 16, 10).cast("bigint").alias("w"),
+    )
+    cfg_arr = F.array(
+        *[
+            F.struct(
+                F.lit(m).cast("bigint").alias("m"),
+                F.lit(a).cast("bigint").alias("am"),
+                F.lit(dv).cast("bigint").alias("dv"),
+            )
+            for m, a, dv in _HLL_MS
+        ]
+    )
+    hx = h.select("b8", "w", F.explode(cfg_arr).alias("c")).select(
+        "b8", "w", "c.m", "c.am", "c.dv"
+    )
+    regs = hx.groupBy("m", F.expr("b8 div dv").alias("bucket")).agg(
+        F.max(
+            F.when(F.col("w") == 0, F.lit(33)).otherwise(
+                F.lit(33) - F.length(F.bin("w"))
+            )
+        ).alias("mj")
+    )
+    cfg = spark.createDataFrame(
+        [(m, a) for m, a, _ in _HLL_MS], "m long, am long"
+    )
+    spine = cfg.select(
+        "m",
+        "am",
+        F.explode(F.expr("sequence(0L, m - 1)")).alias("bucket"),
+    )
+    full = spine.join(regs, ["m", "bucket"], "left").withColumn(
+        "m0", F.coalesce(F.col("mj"), F.lit(0))
+    )
+    agg = full.groupBy("m", "am").agg(
+        F.sum(F.expr("shiftleft(1L, CAST(33 - m0 AS INT))"))
+        .cast("bigint")
+        .alias("s_carrier"),
+        F.sum(F.when(F.col("m0") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_empty"),
+    )
+    ex = o.agg(F.countDistinct("o_custkey").cast("bigint").alias("n_exact"))
+    return (
+        agg.crossJoin(F.broadcast(ex))
+        .withColumn(
+            "hll_est",
+            F.expr(
+                "CAST((am * m * m * shiftleft(1L, 33))"
+                " div (1000 * s_carrier) AS BIGINT)"
+            ),
+        )
+        .select(
+            "m",
+            "n_exact",
+            "v_empty",
+            "s_carrier",
+            "hll_est",
+            F.expr("CAST((1000000 * hll_est) div n_exact AS BIGINT)").alias(
+                "ratio_ppm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_join_size_ams — AGMS join-cardinality estimate vs exact join size
+# ---------------------------------------------------------------------------
+
+_JSZ_QTY = 25  # the filtered side: lineitem rows with l_quantity > 25
+
+
+def _join_size_oracle() -> str:
+    sa = ", ".join(
+        f"CAST(sum({sql}) AS BIGINT) AS sa{j}"
+        for j, sql in enumerate(_AMS_SIGN_SQL)
+    )
+    sb = ", ".join(
+        f"CAST(sum(CASE WHEN fb = 1 THEN {sql} ELSE 0 END) AS BIGINT) AS sb{j}"
+        for j, sql in enumerate(_AMS_SIGN_SQL)
+    )
+    u = " UNION ALL ".join(
+        f"SELECT CAST({j} AS BIGINT) AS sketch_id, sa{j} AS sa, sb{j} AS sb"
+        f" FROM s"
+        for j in range(8)
+    )
+    return f"""
+    WITH h AS (
+      SELECT ('0x' || substring(md5(CAST(l_partkey AS STRING)), 1, 8))::BIGINT
+               AS h,
+             CASE WHEN l_quantity > {_JSZ_QTY} THEN 1 ELSE 0 END AS fb
+      FROM lineitem
+    ),
+    s AS (SELECT {sa}, {sb} FROM h),
+    u AS ({u}),
+    ex AS (
+      SELECT CAST(sum(a.ca * b.cb) AS BIGINT) AS j_exact
+      FROM (SELECT l_partkey, CAST(count(*) AS BIGINT) AS ca
+            FROM lineitem GROUP BY l_partkey) a
+      JOIN (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cb
+            FROM lineitem WHERE l_quantity > {_JSZ_QTY}
+            GROUP BY l_partkey) b
+        ON a.l_partkey = b.l_partkey
+    )
+    SELECT u.sketch_id, u.sa, u.sb,
+           CAST(u.sa * u.sb AS BIGINT) AS est,
+           ex.j_exact,
+           CAST(u.sa * u.sb - ex.j_exact AS BIGINT) AS diff
+    FROM u CROSS JOIN ex
+    """
+
+
+@register("agg_join_size_ams", oracle=_join_size_oracle())
+def agg_join_size_ams(
+    spark: SparkSession, sf_dir: str, li: DataFrame | None = None
+) -> DataFrame:
+    """M317 — AGMS JOIN-CARDINALITY estimation audit — the Alon-
+    Gibbons-Matias-Szegedy result that the dot product of two
+    independent ±1-sign sketches is an unbiased estimator of the join
+    size Σ_k a_k·b_k: here side A = the full lineitem part-key stream
+    and side B = the ``l_quantity > {q}`` slice, so the estimate
+    answers the cardinality question a cost-based optimizer asks
+    before picking a join strategy ("how many rows survive this
+    filtered join?") — the r12 agg_ams_f2 is exactly the SELF-join
+    special case of this sketch.  Eight independent estimates est_j =
+    SA_j·SB_j ship next to the exact join size and the SIGNED error
+    diff = est − exact (no division anywhere — signed integer
+    division is the div//floor trap, so the consumer takes the
+    median-of-8 and normalizes; the twin pins the exact values).
+
+    Sign hashes reuse the aggregates.py _AMS_SIGN_SQL single home
+    (same md5-low-32 base hash, same multiplier family — the two
+    sketches for A and B use the SAME hash per sketch id, which is
+    what makes E[SA·SB] = Σ a_k·b_k).  Scale: BOTH sketch vectors
+    come from ONE lineitem scan (SB_j is the fb-masked partial of the
+    same pass) — 16 map-side-combinable partial sums per partition;
+    the exact branch (two groupBys + an equi-join) exists only
+    because this is the audit.  The 1-row exact attach is a
+    deliberate scalar crossJoin (BNLJ-allowlisted).  When the
+    filtered side is EMPTY the exact join collapses to an empty
+    aggregate and j_exact/diff are NULL — absence of evidence,
+    loudly (the pipeline_sample_bias_audit convention; pinned by an
+    ``li=`` injection).  ``li=`` overrides the lineitem frame —
+    (l_partkey, l_quantity) (probe/property kwarg; the driver
+    contract never passes it)."""
+    if li is None:
+        li = load(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.conv(F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+        F.when(F.col("l_quantity") > _JSZ_QTY, 1).otherwise(0).alias("fb"),
+        "l_partkey",
+    )
+    s = rows.agg(
+        *(
+            [
+                F.sum(F.expr(sql)).cast("bigint").alias(f"sa{j}")
+                for j, sql in enumerate(_AMS_SIGN_SQL)
+            ]
+            + [
+                F.sum(
+                    F.when(F.col("fb") == 1, F.expr(sql)).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"sb{j}")
+                for j, sql in enumerate(_AMS_SIGN_SQL)
+            ]
+        )
+    )
+    stack_args = ", ".join(f"{j}L, sa{j}, sb{j}" for j in range(8))
+    u = s.select(
+        F.expr(f"stack(8, {stack_args}) AS (sketch_id, sa, sb)")
+    )
+    a = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ca")
+    )
+    b = (
+        li.filter(F.col("l_quantity") > _JSZ_QTY)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    )
+    ex = (
+        a.join(b, "l_partkey")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("j_exact"))
+    )
+    return u.crossJoin(F.broadcast(ex)).select(
+        F.col("sketch_id").cast("bigint").alias("sketch_id"),
+        "sa",
+        "sb",
+        (F.col("sa") * F.col("sb")).cast("bigint").alias("est"),
+        "j_exact",
+        (F.col("sa") * F.col("sb") - F.col("j_exact"))
+        .cast("bigint")
+        .alias("diff"),
+    )
+
+
+agg_join_size_ams.__doc__ = agg_join_size_ams.__doc__.format(q=_JSZ_QTY)

@@ -2778,3 +2778,104 @@ def analytics_sequential_counts(
             " ELSE (1000000 * cum_converted) div cum_users END AS BIGINT)"
         ).alias("conv_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# analytics_beta_posterior_terms — Bayesian conversion terms, Beta(1,1) prior
+# ---------------------------------------------------------------------------
+
+_BETA_ORACLE = """
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT converted,
+             CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM u
+    ),
+    t AS (
+      SELECT variant,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_conv
+      FROM v GROUP BY variant
+    )
+    SELECT variant, n_users, n_conv,
+           CAST(n_conv + 1 AS BIGINT) AS a,
+           CAST(n_users - n_conv + 1 AS BIGINT) AS b,
+           CAST((1000000 * n_conv) // n_users AS BIGINT) AS mle_ppm,
+           CAST((1000000 * (n_conv + 1)) // (n_users + 2) AS BIGINT)
+             AS post_mean_ppm,
+           CAST((CAST(1000000000 AS HUGEINT)
+                 * (n_conv + 1) * (n_users - n_conv + 1))
+                // (CAST(n_users + 2 AS HUGEINT) * (n_users + 2)
+                    * (n_users + 3)) AS BIGINT) AS post_var_ppb
+    FROM t
+"""
+
+
+@register("analytics_beta_posterior_terms", oracle=_BETA_ORACLE)
+def analytics_beta_posterior_terms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """M311 — Bayesian conversion terms for the hash-split experiment
+    under the uniform Beta(1,1) prior: per variant the exact posterior
+    Beta(a, b) parameters (a = conversions + 1, b = failures + 1),
+    the MLE and posterior-mean rates in ppm, and the posterior
+    VARIANCE in ppb — the numbers a Thompson-sampling allocator or a
+    "probability B beats A" readout consumes (the Bayesian companion
+    to the frequentist family: ab_lift rates, CUPED, Mann-Whitney,
+    the sequential trail, SRM).
+
+    Integer-exact: posterior mean (10⁶·a) div (a+b) and variance
+    10⁹·a·b div ((a+b)²·(a+b+1)) — the variance numerator exceeds
+    BIGINT past ~3·10⁵ users, so both engines compute it in wide
+    integers (DECIMAL(38,0) / HUGEINT, the wide-integer finale rule)
+    and the quotient (≤ 2.5·10⁸ — the Beta variance bound 1/4 in ppb)
+    casts back exactly.  Scale: one events pass + two
+    map-side-combinable rollups — the corpus collapses to 2 rows."""
+    u = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("c"),
+        )
+        .groupBy("user_id")
+        .agg(F.max("c").alias("converted"))
+    )
+    v = u.select(
+        "converted",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "A"
+        )
+        .otherwise("B")
+        .alias("variant"),
+    )
+    t = v.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+    )
+    return t.select(
+        "variant",
+        "n_users",
+        "n_conv",
+        (F.col("n_conv") + 1).cast("bigint").alias("a"),
+        (F.col("n_users") - F.col("n_conv") + 1).cast("bigint").alias("b"),
+        F.expr("CAST((1000000 * n_conv) div n_users AS BIGINT)").alias(
+            "mle_ppm"
+        ),
+        F.expr(
+            "CAST((1000000 * (n_conv + 1)) div (n_users + 2) AS BIGINT)"
+        ).alias("post_mean_ppm"),
+        F.expr(
+            "CAST((CAST(1000000000 AS DECIMAL(38,0))"
+            " * (n_conv + 1) * (n_users - n_conv + 1))"
+            " div (CAST(n_users + 2 AS DECIMAL(38,0)) * (n_users + 2)"
+            "      * (n_users + 3)) AS BIGINT)"
+        ).alias("post_var_ppb"),
+    )

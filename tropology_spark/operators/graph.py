@@ -1771,3 +1771,92 @@ def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gini_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_core_profile — bounded k-core survivors vs k (degeneracy profile)
+# ---------------------------------------------------------------------------
+
+_CORE_KS = (5, 25, 50)
+_CORE_ROUNDS = 3
+
+
+def _core_chain_sql(k: int) -> str:
+    out = f"d0_{k} AS (SELECT a, count(*) AS deg FROM ue GROUP BY a),\n"
+    out += f"    k0_{k} AS (SELECT a FROM d0_{k} WHERE deg >= {k}),\n"
+    out += (
+        f"    e1_{k} AS (SELECT ue.a, ue.b FROM ue"
+        f" JOIN k0_{k} x ON ue.a = x.a JOIN k0_{k} y ON ue.b = y.a),\n"
+    )
+    for r in (1, 2):
+        out += (
+            f"    d{r}_{k} AS (SELECT a, count(*) AS deg FROM e{r}_{k}"
+            f" GROUP BY a),\n"
+        )
+        out += f"    k{r}_{k} AS (SELECT a FROM d{r}_{k} WHERE deg >= {k}),\n"
+        out += (
+            f"    e{r + 1}_{k} AS (SELECT e{r}_{k}.a, e{r}_{k}.b FROM e{r}_{k}"
+            f" JOIN k{r}_{k} x ON e{r}_{k}.a = x.a"
+            f" JOIN k{r}_{k} y ON e{r}_{k}.b = y.a),\n"
+        )
+    return out.rstrip().rstrip(",")
+
+
+def _core_profile_oracle() -> str:
+    chains = ",\n    ".join(_core_chain_sql(k) for k in _CORE_KS)
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS k,"
+        f" CAST(count(DISTINCT a) AS BIGINT) AS n_core_nodes,"
+        f" CAST(count(*) // 2 AS BIGINT) AS n_core_edges FROM e3_{k}"
+        for k in _CORE_KS
+    )
+    return (
+        _EDGES_CTE
+        + f"""
+    , ue AS (
+      SELECT 'c:' || CAST(src AS VARCHAR) AS a, 'p:' || CAST(dst AS VARCHAR) AS b
+      FROM edges
+      UNION ALL
+      SELECT 'p:' || CAST(dst AS VARCHAR), 'c:' || CAST(src AS VARCHAR)
+      FROM edges
+    ),
+    {chains}
+    {finals}
+    """
+    )
+
+
+@register("graph_core_profile", oracle=_core_profile_oracle())
+def graph_core_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M314 — The DEGENERACY PROFILE — surviving nodes and edges of
+    the 3-round k-core peel at k ∈ {5, 25, 50}: where the registered
+    graph_kcore (M91) extracts the one k=25 core, this curve shows
+    how the dense backbone collapses as the threshold rises — the
+    number that picks k in the first place, and (with
+    graph_degree_gini) the audit that decides whether hub-capping
+    machinery matters on a corpus.
+
+    Each point runs the single-home :func:`kcore_peel` (factored out
+    of the registered M91 body — identical per-round arithmetic and
+    checkpoint discipline).  Peels at different k are NOT derivable
+    from each other by filtering (induced degrees change), so the
+    curve deliberately runs ×|ks| bounded peels — but the SURVIVOR
+    SETS NEST (core_50 ⊆ core_25 ⊆ core_5, by round-wise induction on
+    the keep sets), so the twin pins n_core_nodes and n_core_edges
+    monotone non-increasing in k.  Scale: each peel round is a
+    degree agg + two semi joins on key-partitioned shuffles; the
+    curve output is 3 rows."""
+    ue = bi_materialized(spark, sf_dir).select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    )
+    out = None
+    for k in _CORE_KS:
+        cur = kcore_peel(ue, k, _CORE_ROUNDS)
+        row = cur.agg(
+            F.countDistinct("a").cast("bigint").alias("n_core_nodes"),
+            F.expr("CAST(count(*) div 2 AS BIGINT)").alias("n_core_edges"),
+        ).select(
+            F.lit(k).cast("bigint").alias("k"), "n_core_nodes", "n_core_edges"
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

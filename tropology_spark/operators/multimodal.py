@@ -1268,3 +1268,107 @@ def mm_cdc_dedup_stats(spark, sf_dir: str, docs: DataFrame | None = None) -> Dat
         .cast("bigint")
         .alias("saved_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mm_cdc_size_curve — CDC chunk-size economics vs boundary modulus
+# ---------------------------------------------------------------------------
+
+_CDC_MODS = (32, 64, 128)
+
+
+def _cdc_curve_oracle() -> str:
+    mods = ", ".join(str(m) for m in _CDC_MODS)
+    return f"""
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS hs,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, n_bytes, i AS p,
+             ('0x' || substring(md5(substring(hs, CAST(2 * i - 1 AS INT),
+                                              {2 * _CDC_WIN_BYTES})),
+                                1, 4))::BIGINT AS h16
+      FROM hx, (SELECT unnest(generate_series(1, 4096)) AS i) s
+      WHERE n_bytes >= {_CDC_WIN_BYTES}
+        AND i <= least(n_bytes - {_CDC_WIN_BYTES - 1}, 4096)
+    ),
+    cfg AS (SELECT CAST(unnest([{mods}]) AS BIGINT) AS mod),
+    starts AS (
+      SELECT DISTINCT cfg.mod, pos.doc_id, pos.p
+      FROM pos CROSS JOIN cfg
+      WHERE pos.h16 % cfg.mod = 0
+      UNION
+      SELECT cfg.mod, d.doc_id, 1 AS p
+      FROM (SELECT doc_id FROM documents) d CROSS JOIN cfg
+    ),
+    per AS (SELECT mod, CAST(count(*) AS BIGINT) AS n_chunks
+            FROM starts GROUP BY mod),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CAST(octet_length(encode(text)) AS BIGINT))
+                        AS BIGINT) AS total_bytes
+            FROM documents)
+    SELECT per.mod, tot.n_docs, tot.total_bytes, per.n_chunks,
+           CAST((1000 * tot.total_bytes) // per.n_chunks AS BIGINT)
+             AS mean_chunk_milli_bytes
+    FROM per CROSS JOIN tot
+    """
+
+
+@register("mm_cdc_size_curve", oracle=_cdc_curve_oracle())
+def mm_cdc_size_curve(spark, sf_dir: str) -> DataFrame:
+    """M310 — CDC chunk-size economics vs the boundary modulus ∈ {32,
+    64, 128} — the content-defined-chunking TUNING axis (expected
+    chunk size ≈ modulus bytes under a uniform window hash; smaller
+    chunks dedup better but cost more metadata — this curve measures
+    the actual size the corpus produces at each setting, next to
+    M260's fixed-64 production rule).
+
+    ONE window-hash pass serves every modulus: the single-home
+    :func:`cdc_hash_positions` emits the 16-bit window hash itself
+    and power-of-two moduli NEST (h % 128 = 0 ⇒ h % 64 = 0 ⇒
+    h % 32 = 0) — the curve-over-prefix rule's hash analog, so the
+    config axis is a flag derivation, never a re-hash.  A chunk
+    start is position 1 (every document, including those shorter
+    than the window) plus every boundary position — the r13
+    mm_cdc_dedup_stats extent convention ({1} ∪ bounds, distinct).
+    mean_chunk_milli_bytes = (1000·total_bytes) div n_chunks — exact
+    non-negative division.
+
+    Scale: the boundary scan is the M260 map-only pass (one md5 per
+    byte position); the per-mod rollup is map-side combinable; the
+    1-row corpus-totals attach is a deliberate scalar crossJoin
+    (BNLJ-allowlisted)."""
+    from tropology_spark.sources.tables import load
+
+    pos = cdc_hash_positions(spark, sf_dir)
+    mod_arr = F.array(*[F.lit(m).cast("bigint") for m in _CDC_MODS])
+    bounds = (
+        pos.select("doc_id", "p", "h16", F.explode(mod_arr).alias("mod"))
+        .filter(F.col("h16") % F.col("mod") == 0)
+        .select("mod", "doc_id", "p")
+    )
+    d = load(spark, sf_dir, "documents")
+    first = d.select(
+        "doc_id", F.explode(mod_arr).alias("mod"), F.lit(1).cast("bigint").alias("p")
+    ).select("mod", "doc_id", "p")
+    starts = bounds.union(first).distinct()
+    per = starts.groupBy("mod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks")
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("bigint"))
+        .cast("bigint")
+        .alias("total_bytes"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "mod",
+        "n_docs",
+        "total_bytes",
+        "n_chunks",
+        F.expr("CAST((1000 * total_bytes) div n_chunks AS BIGINT)").alias(
+            "mean_chunk_milli_bytes"
+        ),
+    )

@@ -4283,3 +4283,111 @@ def ring_assign(
     return h.select(
         "doc_id", F.array_min(structs).getField("shard").alias(out)
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_contamination_ngram_curve — contamination vs shingle width
+# ---------------------------------------------------------------------------
+
+_CONTAM_NS = (2, 3, 4)
+
+
+def _contam_curve_oracle() -> str:
+    parts = []
+    for n in _CONTAM_NS:
+        parts.append(
+            f"""
+    SELECT CAST({n} AS BIGINT) AS n,
+           (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents
+            WHERE doc_id % {_CONTAM_EVAL_MOD} <> 0) AS n_train_docs,
+           CAST(count(DISTINCT tr.doc_id) AS BIGINT) AS n_flagged,
+           CAST(count(DISTINCT (tr.doc_id, ev.doc_id)) AS BIGINT) AS n_pairs,
+           CAST((1000000 * count(DISTINCT tr.doc_id))
+                // (SELECT count(DISTINCT doc_id) FROM documents
+                    WHERE doc_id % {_CONTAM_EVAL_MOD} <> 0) AS BIGINT)
+             AS flagged_ppm
+    FROM (
+      SELECT DISTINCT doc_id,
+             array_to_string(l[i:i+{n - 1}], ' ') AS token
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           (SELECT unnest(generate_series(1, 4096)) AS i)
+      WHERE i <= len(l) - {n - 1}
+    ) tr
+    JOIN (
+      SELECT DISTINCT doc_id,
+             array_to_string(l[i:i+{n - 1}], ' ') AS token
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            WHERE doc_id % {_CONTAM_EVAL_MOD} = 0),
+           (SELECT unnest(generate_series(1, 4096)) AS i)
+      WHERE i <= len(l) - {n - 1}
+    ) ev ON tr.token = ev.token
+    WHERE tr.doc_id % {_CONTAM_EVAL_MOD} <> 0
+    """
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("pipeline_contamination_ngram_curve", oracle=_contam_curve_oracle())
+def pipeline_contamination_ngram_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """M315 — Contamination rate vs SHINGLE WIDTH n ∈ {2, 3, 4} — the
+    decontamination DISCRIMINATION axis: short shingles flag the
+    whole corpus (collision noise — at n=2 nearly every training doc
+    shares a bigram with the benchmark), long ones miss paraphrases;
+    the curve shows the cliff and is how a pipeline picks the width
+    the registered M25 fixes at 4.  Per width: training docs flagged
+    (≥1 shared n-gram with the doc_id%97 benchmark split), distinct
+    (train, eval) pairs hit, and the flagged fraction in ppm.
+
+    Each point is one tokenize pass at its width (shingle sets at
+    different n do NOT derive from each other) — ×|ns| corpus-linear
+    scans, the same deliberate cost class as the winnowing curve;
+    at 100 TB the eval side stays tiny and broadcasts, so each pass
+    is exactly M25's one-scan shape.  flagged_ppm divides by the
+    total training-doc count (a 1-row attach — BNLJ-allowlisted).
+    The twin pins the monotone containment flagged(n+1) ⊆ flagged(n)
+    (an (n+1)-gram match contains an n-gram match)."""
+    from tropology_spark.session import iter_materialize
+
+    d = load(spark, sf_dir, "documents")
+    # the 1-row train count is referenced once per curve point — the
+    # double-reference rule (each bare reference re-scans documents).
+    n_train = iter_materialize(
+        d.filter(F.col("doc_id") % _CONTAM_EVAL_MOD != 0).agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_train_docs")
+        )
+    )
+    out = None
+    for n in _CONTAM_NS:
+        tok = d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_ngrams(F.split(F.col("text"), " "), n))
+            ).alias("token"),
+        )
+        ev = tok.filter(F.col("doc_id") % _CONTAM_EVAL_MOD == 0).select(
+            F.col("doc_id").alias("eval_id"), F.col("token").alias("ev_token")
+        )
+        tr = tok.filter(F.col("doc_id") % _CONTAM_EVAL_MOD != 0)
+        j = tr.join(F.broadcast(ev), tr.token == ev.ev_token)
+        row = (
+            j.agg(
+                F.countDistinct("doc_id").cast("bigint").alias("n_flagged"),
+                F.countDistinct("doc_id", "eval_id")
+                .cast("bigint")
+                .alias("n_pairs"),
+            )
+            .crossJoin(F.broadcast(n_train))
+            .select(
+                F.lit(n).cast("bigint").alias("n"),
+                "n_train_docs",
+                "n_flagged",
+                "n_pairs",
+                F.expr(
+                    "CAST((1000000 * n_flagged) div n_train_docs AS BIGINT)"
+                ).alias("flagged_ppm"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -3921,3 +3921,87 @@ def sim_quantizer_drift(
             " ELSE (1000000 * (n_after - n_stayed)) div n_after END AS BIGINT)"
         ).alias("arrived_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_dim_variance_profile — per-dimension variance terms of the corpus
+# ---------------------------------------------------------------------------
+
+_DIMVAR_ORACLE = (
+    _SQ8_EX_CTE
+    + """
+    , st AS (
+      SELECT pos,
+             CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(sum(vm) AS BIGINT) AS sum_vm,
+             CAST(sum(vm * vm) AS BIGINT) AS sum_vm2
+      FROM ex GROUP BY pos
+    ),
+    v AS (
+      SELECT pos, n_vecs, sum_vm, sum_vm2,
+             CAST(CAST(n_vecs AS HUGEINT) * sum_vm2
+                  - CAST(sum_vm AS HUGEINT) * sum_vm AS BIGINT) AS var_num
+      FROM st
+    )
+    SELECT pos, n_vecs, sum_vm, sum_vm2, var_num,
+           CAST(row_number() OVER (ORDER BY var_num DESC, pos) AS BIGINT)
+             AS rk
+    FROM v
+"""
+)
+
+
+@register("sim_dim_variance_profile", oracle=_DIMVAR_ORACLE)
+def sim_dim_variance_profile(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
+    """M316 — Per-DIMENSION variance terms of the embedding corpus —
+    n, Σvm, Σvm² on the micro-unit carrier plus the exact
+    population-variance numerator n·Σvm² − (Σvm)² and the variance
+    rank: the evidence behind every prefix-dimension decision
+    (matryoshka truncation M252 keeps the FIRST dims; this profile
+    shows whether the first dims actually carry the variance, and is
+    the integer input a PCA/OPQ rotation decision reads).  The
+    *_terms discipline: the variance itself divides by n², so its
+    exact integer numerator ships instead.
+
+    var_num is computed in wide integers (DECIMAL(38,0)/HUGEINT —
+    n·Σvm² ≈ n²·(6·10⁵)² passes BIGINT at ~2.5·10³ vectors… the
+    FIXTURE's 2·10³ stays under, but a regenerated or scaled corpus
+    would not, so the wide-integer rule applies unconditionally) and
+    the result casts back to BIGINT while n ≤ ~10⁷ (docstring bound;
+    past that, normalize first).  The rank window rides the pmod
+    constant key over the 64-row dimension table.  Scale: ONE
+    map-side-combinable agg over the exploded (pos, vm) projection —
+    corpus-linear, no joins; the profile is d rows.  ``e=`` overrides
+    the embeddings frame (probe kwarg; a constant-dimension injection
+    pins the var_num = 0 floor the fixture cannot reach)."""
+    if e is None:
+        e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ex = _pq_exm(e)
+    st = ex.groupBy("pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("vm").cast("bigint").alias("sum_vm"),
+        F.sum(F.col("vm") * F.col("vm")).cast("bigint").alias("sum_vm2"),
+    )
+    v = st.select(
+        "pos",
+        "n_vecs",
+        "sum_vm",
+        "sum_vm2",
+        F.expr(
+            "CAST(CAST(n_vecs AS DECIMAL(38,0)) * sum_vm2"
+            " - CAST(sum_vm AS DECIMAL(38,0)) * sum_vm AS BIGINT)"
+        ).alias("var_num"),
+    )
+    w = Window.partitionBy(F.pmod(F.col("pos"), F.lit(1))).orderBy(
+        F.desc("var_num"), F.asc("pos")
+    )
+    return v.select(
+        "pos",
+        "n_vecs",
+        "sum_vm",
+        "sum_vm2",
+        "var_num",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    )

@@ -2400,3 +2400,91 @@ def text_continuation_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_continuation_terms.__doc__ = text_continuation_terms.__doc__.format(
     t=_CONT_TOP
 )
+
+
+# ---------------------------------------------------------------------------
+# text_winnowing_w_curve — selection density vs winnowing window size
+# ---------------------------------------------------------------------------
+
+_WIN_WS = (2, 4, 8)
+
+
+def _winnow_curve_oracle() -> str:
+    parts = []
+    for w in _WIN_WS:
+        parts.append(
+            f"""
+    SELECT CAST({w} AS BIGINT) AS w,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(n_grams) AS BIGINT) AS total_grams,
+           CAST(sum(n_sel) AS BIGINT) AS n_selected,
+           CAST((1000000 * sum(n_sel)) // sum(n_grams) AS BIGINT)
+             AS density_ppm
+    FROM (
+      SELECT doc_id, any_value(n_grams) AS n_grams,
+             CAST(count(*) AS BIGINT) AS n_sel
+      FROM (
+        SELECT DISTINCT doc_id, n_grams, mh FROM (
+          SELECT doc_id, n_grams, i,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW
+                              AND {w - 1} FOLLOWING) AS mh
+          FROM (
+            SELECT doc_id, i,
+                   ('0x' || substring(md5(l[i] || ' ' || l[i+1] || ' '
+                                          || l[i+2]), 1, 8))::BIGINT AS h,
+                   len(l) - 2 AS n_grams
+            FROM (SELECT doc_id, string_split(text, ' ') AS l
+                  FROM documents),
+                 (SELECT unnest(generate_series(1, 4096)) AS i)
+            WHERE i <= len(l) - 2
+          ) g
+        ) wm WHERE i + {w - 1} <= n_grams
+      ) sel GROUP BY doc_id
+    ) per
+    """
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("text_winnowing_w_curve", oracle=_winnow_curve_oracle())
+def text_winnowing_w_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M312 — Winnowing selection DENSITY vs window size w ∈ {2, 4, 8}
+    — the fingerprint-budget tuning axis (MOSS's guarantee threshold
+    t = w + k − 1 grows with w while expected density falls as
+    2/(w+1): this curve measures the actual storage/guarantee trade
+    on the corpus, next to M259's fixed-4 production rule).
+
+    Each point runs the single-home :func:`winnowing_selected` at its
+    w — deliberately ×|ws| window passes (window minima at different
+    w do NOT derive from each other by filtering... but the SELECTED
+    SETS NEST: the min of a w₂-window is also the min of the
+    w₁-subwindow containing its argmin for w₁ ≤ w₂, so
+    Selected(8) ⊆ Selected(4) ⊆ Selected(2) — the property suite
+    pins the containment on arbitrary injected corpora, which also
+    forces density monotone non-increasing in w).  Corpus rollup per
+    w: covered docs, their gram total, selected fingerprints, density
+    ppm.  Scale: each pass is the M259 shape (per-doc windows, no
+    global window); the curve is 3 rows."""
+    out = None
+    for w in _WIN_WS:
+        sel = winnowing_selected(spark, sf_dir, w=w)
+        per = sel.groupBy("doc_id").agg(
+            F.first("n_grams").alias("n_grams"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sel"),
+        )
+        row = per.agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum("n_grams").cast("bigint").alias("total_grams"),
+            F.sum("n_sel").cast("bigint").alias("n_selected"),
+        ).select(
+            F.lit(w).cast("bigint").alias("w"),
+            "n_docs",
+            "total_grams",
+            "n_selected",
+            F.expr(
+                "CAST((1000000 * n_selected) div total_grams AS BIGINT)"
+            ).alias("density_ppm"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

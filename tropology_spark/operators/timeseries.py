@@ -2877,3 +2877,174 @@ def ts_record_hours(
         .alias("last_record_h"),
         F.max("n").cast("bigint").alias("max_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_paa_lb_audit — PAA lower-bound admissibility (GEMINI) audit
+# ---------------------------------------------------------------------------
+
+_PAA_SEG = 3  # hours per segment (24h day -> 8 segments)
+
+_PAA_ORACLE = f"""
+    WITH e AS (
+      SELECT event_type,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             hour(ts) AS h
+      FROM events
+    ),
+    c AS (SELECT event_type, CAST(day AS BIGINT) AS day, h,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY event_type, day, h),
+    dd AS (SELECT DISTINCT event_type, day FROM c),
+    pr AS (SELECT a.event_type, a.day AS day_a, b.day AS day_b
+           FROM dd a JOIN dd b
+             ON a.event_type = b.event_type AND b.day = a.day + 1),
+    hx0 AS (
+      SELECT pr.event_type, pr.day_a, pr.day_b, s.h
+      FROM pr CROSS JOIN (SELECT unnest(generate_series(0, 23)) AS h) s
+    ),
+    hx AS (
+      SELECT hx0.event_type, hx0.day_a, hx0.day_b, hx0.h,
+             coalesce(ca.n, 0) - coalesce(cb.n, 0) AS dx
+      FROM hx0
+      LEFT JOIN c ca ON ca.event_type = hx0.event_type
+                    AND ca.day = hx0.day_a AND ca.h = hx0.h
+      LEFT JOIN c cb ON cb.event_type = hx0.event_type
+                    AND cb.day = hx0.day_b AND cb.h = hx0.h
+    ),
+    seg AS (
+      SELECT event_type, day_a, day_b, h // {_PAA_SEG} AS s,
+             CAST(sum(dx) AS BIGINT) AS dss,
+             CAST(sum(dx * dx) AS BIGINT) AS dx2
+      FROM hx GROUP BY event_type, day_a, day_b, h // {_PAA_SEG}
+    ),
+    agg AS (
+      SELECT event_type, day_a, day_b,
+             CAST(sum(dss * dss) AS BIGINT) AS lb3,
+             CAST({_PAA_SEG} * sum(dx2) AS BIGINT) AS true3
+      FROM seg GROUP BY event_type, day_a, day_b
+    )
+    SELECT event_type, day_a, day_b, lb3, true3,
+           CAST(true3 - lb3 AS BIGINT) AS slack,
+           CAST(CASE WHEN true3 = 0 THEN 1000000
+                     ELSE (1000000 * lb3) // true3 END AS BIGINT)
+             AS tight_ppm
+    FROM agg
+"""
+
+
+@register("ts_paa_lb_audit", oracle=_PAA_ORACLE)
+def ts_paa_lb_audit(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """M313 — PAA lower-bound ADMISSIBILITY audit — the GEMINI
+    guarantee that makes PAA/SAX retrieval correct (Keogh et al.: the
+    Piecewise-Aggregate distance never exceeds the true Euclidean
+    distance, so index-level pruning can never produce false
+    dismissals): for every consecutive-day pair of hourly profiles
+    per event type, the exact integer carriers lb3 = Σ_seg (ΔSS)² and
+    true3 = 3·Σ_h (Δx)² — Cauchy-Schwarz per 3-hour segment gives
+    lb3 ≤ true3 ALWAYS, and tight_ppm = (10⁶·lb3) div true3 measures
+    how much pruning power the 8-segment sketch keeps (the empirical
+    companion to ts_sax_symbols/ts_motif_counts: SAX mining is only
+    sound because this bound holds).
+
+    All-integer: hour profiles zero-filled over the bounded 0..23
+    spine (explode of a literal sequence per pair — the hx frame is
+    |pairs|×24), segment sums ΔSS are BIGINTs, both distance carriers
+    scale by 3 so no division appears before the final guarded ppm
+    (both-zero profiles → defined as 10⁶: the bound is tight).
+    Scale: the corpus collapses to the O(types × days × 24) hourly
+    rollup; pairs join on the integer day key (the gappy-axis
+    equi-join rule — a missing day produces no pair, never a wrong
+    lag).  ``events=`` overrides the events frame (the property suite
+    injects arbitrary profiles and pins lb3 ≤ true3 plus equality
+    with the pure recompute; an identical-profiles injection pins the
+    true3 = 0 → tight_ppm = 10⁶ guard branch the fixture cannot
+    reach)."""
+    if events is None:
+        events = load(spark, sf_dir, "events")
+    e = events.select(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("day"),
+        F.hour(F.col("ts")).alias("h"),
+    )
+    c = e.groupBy("event_type", "day", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    dd = c.select("event_type", "day").distinct()
+    pr = dd.alias("a").join(
+        dd.alias("b"),
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.day") == F.col("a.day") + 1),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.day").alias("day_a"),
+        F.col("b.day").alias("day_b"),
+    )
+    hx = (
+        pr.select(
+            "event_type",
+            "day_a",
+            "day_b",
+            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("h"),
+        )
+        .join(
+            c.select(
+                F.col("event_type").alias("et_a"),
+                F.col("day").alias("da"),
+                F.col("h").alias("ha"),
+                F.col("n").alias("na"),
+            ),
+            (F.col("event_type") == F.col("et_a"))
+            & (F.col("day_a") == F.col("da"))
+            & (F.col("h") == F.col("ha")),
+            "left",
+        )
+        .join(
+            c.select(
+                F.col("event_type").alias("et_b"),
+                F.col("day").alias("db"),
+                F.col("h").alias("hb"),
+                F.col("n").alias("nb"),
+            ),
+            (F.col("event_type") == F.col("et_b"))
+            & (F.col("day_b") == F.col("db"))
+            & (F.col("h") == F.col("hb")),
+            "left",
+        )
+        .select(
+            "event_type",
+            "day_a",
+            "day_b",
+            "h",
+            (F.coalesce(F.col("na"), F.lit(0)) - F.coalesce(F.col("nb"), F.lit(0)))
+            .alias("dx"),
+        )
+    )
+    seg = hx.groupBy(
+        "event_type", "day_a", "day_b", F.expr(f"h div {_PAA_SEG}").alias("s")
+    ).agg(
+        F.sum("dx").cast("bigint").alias("dss"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("dx2"),
+    )
+    agg = seg.groupBy("event_type", "day_a", "day_b").agg(
+        F.sum(F.col("dss") * F.col("dss")).cast("bigint").alias("lb3"),
+        (F.lit(_PAA_SEG) * F.sum("dx2")).cast("bigint").alias("true3"),
+    )
+    return agg.select(
+        "event_type",
+        "day_a",
+        "day_b",
+        "lb3",
+        "true3",
+        (F.col("true3") - F.col("lb3")).cast("bigint").alias("slack"),
+        F.expr(
+            "CAST(CASE WHEN true3 = 0 THEN 1000000"
+            " ELSE (1000000 * lb3) div true3 END AS BIGINT)"
+        ).alias("tight_ppm"),
+    )
