@@ -722,3 +722,24 @@ def test_sequential_counts_zero_users_guard(spark):
     assert got[(d0, "A")] == (1, 1, 1_000_000)
     assert got[(d0 + 1, "A")] == (1, 1, 1_000_000)
     assert got[(d0 + 1, "B")] == (1, 0, 0)
+
+
+def test_hurst_span_over_spine_cap_keeps_complete_windows_only(spark):
+    """ADVICE r14 (low), fixed: a span over the 4096-hour spine cap
+    used to admit a truncated trailing window (the complete-window
+    bound read the UNCAPPED hmax).  Inject a 5001-hour unit-rate
+    series (events= kwarg): the spine holds hours h0..h0+4096, so the
+    complete-window counts must be 4097 div w — 512 at w=8, 256 at
+    w=16 — covering exactly 4096 hours each (sum_x = 4096, never
+    4097), with zero range and zero variance on the constant series."""
+    fn = QUERIES["ts_hurst_rs_terms"]
+    base_us = 1_700_000_000_000_000 - (1_700_000_000_000_000 % 3_600_000_000)
+    rows = [(i, 0, base_us + i * 3_600_000_000, "click") for i in range(5001)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, event_type string"
+    ).selectExpr("event_id", "user_id", "timestamp_micros(us) AS ts", "event_type")
+    got = {
+        r["w"]: (r["n_windows"], r["sum_r_xw"], r["sum_s2num"], r["sum_x"])
+        for r in fn(spark, "unused", events=ev).collect()
+    }
+    assert got == {8: (512, 0, 0, 4096), 16: (256, 0, 0, 4096)}

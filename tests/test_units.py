@@ -1247,6 +1247,32 @@ def test_checkpoint_dir_swap(spark, tmp_path, monkeypatch):
     assert found, "no RDD checkpoint files written under TROPOLOGY_CHECKPOINT_DIR"
 
 
+def test_checkpoint_dir_prefix_substring_still_reapplies(spark, tmp_path, monkeypatch):
+    """ADVICE r14 (low): the staleness check used substring
+    containment (`ckdir not in cur`), so switching the env from
+    /tmp/ckpt-a to /tmp/ckpt — a path-PREFIX substring of the active
+    `<dir>/<uuid>` — false-matched and left checkpoints pinned to the
+    stale directory.  The normalized-parent comparison must re-apply;
+    sanity-pin the non-stale direction too (same dir → no pointless
+    re-application that would fragment the uuid leaf)."""
+    from tropology_spark.session import iter_materialize
+
+    df = spark.range(4)
+    long_dir = str(tmp_path / "ckpt-a")
+    short_dir = str(tmp_path / "ckpt")
+    monkeypatch.setenv("TROPOLOGY_CHECKPOINT_DIR", long_dir)
+    iter_materialize(df)
+    sc = spark.sparkContext
+    assert long_dir in (sc.getCheckpointDir() or "")
+    monkeypatch.setenv("TROPOLOGY_CHECKPOINT_DIR", short_dir)
+    iter_materialize(df)
+    cur = sc.getCheckpointDir() or ""
+    assert short_dir in cur and "ckpt-a" not in cur, cur
+    # unchanged env -> the active uuid leaf stays (no re-application)
+    iter_materialize(df)
+    assert (sc.getCheckpointDir() or "") == cur
+
+
 def test_kmv_intersect_tracks_exact_overlap(spark):
     """M138 — for every event-type pair, the KMV estimate must be
     EXACT when the union has fewer than k distinct hashes and within

@@ -2295,9 +2295,12 @@ def text_burstiness_terms(
         F.explode(F.split(F.col("text"), " ")).alias("token"),
     ).filter(F.col("token") != "")
     tot = t.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("total"))
-    top = (
-        tot.orderBy(F.desc("total"), F.asc("token"))
-        .limit(_BURST_TOPK)
+    # the 30-row top-k frame feeds TWO plan branches (the broadcast
+    # into the per-(token, day) rollup and the final join) — the
+    # DOUBLE-REFERENCE rule: pin it or the tokenize+aggregate+sort
+    # subplan re-derives per reference (ADVICE r14).
+    top = iter_materialize(
+        tot.orderBy(F.desc("total"), F.asc("token")).limit(_BURST_TOPK)
     )
     dc = (
         t.join(F.broadcast(top.select("token")), "token")

@@ -2669,7 +2669,8 @@ _HURST_WS = (8, 16)
       SELECT ws.w, z.h, z.x,
              (z.h - z.h0) // ws.w AS idx
       FROM z CROSS JOIN ws
-      WHERE z.h - z.h0 < ws.w * ((z.hmax - z.h0 + 1) // ws.w)
+      WHERE z.h - z.h0
+            < ws.w * ((least(z.hmax, z.h0 + 4096) - z.h0 + 1) // ws.w)
     ),
     dev AS (
       SELECT w, idx, x,
@@ -2713,7 +2714,13 @@ def ts_hurst_rs_terms(
     Scale: events collapse map-side to the bounded O(hours) table; the
     spine is one bounded sequence explode (4096 cap, the oracle-
     enumeration rule); the deviations ride REAL (w, window) partition
-    keys; everything after is map-side combinable.
+    keys; everything after is map-side combinable.  The
+    complete-window bound clamps hmax to the spine cap —
+    least(hmax, h0 + 4096) — on BOTH sides (ADVICE r14: the uncapped
+    bound admitted a truncated < w-row trailing window once the span
+    exceeded the 4096-hour spine; parity held because both engines
+    truncated identically, but the documented complete-w-windows
+    semantics did not).
 
     ``events=`` substitutes the event frame for probes; the driver
     contract never passes it."""
@@ -2740,7 +2747,8 @@ def ts_hurst_rs_terms(
         z.crossJoin(F.broadcast(ws))
         .filter(
             F.col("h") - F.col("h0")
-            < F.col("w") * F.expr("(hmax - h0 + 1) div w")
+            < F.col("w")
+            * F.expr("(least(hmax, h0 + 4096) - h0 + 1) div w")
         )
         .select("w", "h", "x", F.expr("(h - h0) div w").alias("idx"))
     )

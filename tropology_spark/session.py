@@ -91,8 +91,32 @@ def iter_materialize(df):
     # Re-apply whenever the env dir is not the one currently active
     # (getCheckpointDir returns <dir>/<uuid>, possibly URI-qualified):
     # a long-lived session must follow an operator-changed env path,
-    # not stay pinned to the first dir it ever saw.
+    # not stay pinned to the first dir it ever saw.  The comparison is
+    # on NORMALIZED parent paths, never substring containment (ADVICE
+    # r14: /tmp/ckpt is a substring of /tmp/ckpt-a/<uuid>, so
+    # switching to the shorter path false-matched and left checkpoints
+    # pinned to the stale directory).
     cur = sc.getCheckpointDir()
-    if cur is None or ckdir not in cur:
+    if cur is None or os.path.dirname(_ckpt_norm(cur)) != _ckpt_norm(ckdir):
         sc.setCheckpointDir(ckdir)
     return df.checkpoint(eager=True)
+
+
+def _ckpt_norm(path: str) -> str:
+    """Normalize a checkpoint path for equality: strip any URI scheme
+    (``file:/x``, ``file:///x``, ``hdfs://nn/x`` all keep their
+    authority+path part) and trailing slashes; absolutize scheme-less
+    local paths.  Both sides of the comparison in
+    :func:`iter_materialize` go through this, so a URI-qualified
+    active dir compares equal to the plain env path that produced
+    it."""
+    import re
+
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:(//)?", path)
+    if m:
+        # file:/x and file:///x both leave the local path /x; an
+        # hdfs-style authority (nn:8020/x) stays verbatim — both
+        # sides of the comparison strip identically, so equality
+        # holds for any scheme.
+        return path[m.end() :].rstrip("/")
+    return os.path.abspath(path).rstrip("/") or "/"

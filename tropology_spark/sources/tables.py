@@ -233,7 +233,19 @@ def publish_parquet(df: DataFrame, final_path: str) -> None:
     temp copy is discarded — env-artifact builds are deterministic,
     so either winner's content is identical.  A partial leftover at
     ``final_path`` (crashed writer, no ``_SUCCESS``) is replaced,
-    preserving the pinned partial-artifact-retrain behavior."""
+    preserving the pinned partial-artifact-retrain behavior.
+
+    The rename is attempted FIRST (it only succeeds on an empty slot),
+    and the ``_SUCCESS`` gate is re-checked immediately before the
+    leftover rmtree (ADVICE r14: a concurrent writer completing
+    between the first check and the replace must keep its artifact).
+    Residual honesty note: between that re-check and the rmtree a
+    nanosecond window remains in which a just-completed concurrent
+    publish is replaced with byte-identical content — the END STATE
+    is always a complete gated artifact, but a reader that passed its
+    gate mid-window can observe files vanish and should retry; only a
+    filesystem with atomic exchange (renameat2 RENAME_EXCHANGE) could
+    close it entirely."""
     import os
     import shutil
     import uuid
@@ -243,7 +255,18 @@ def publish_parquet(df: DataFrame, final_path: str) -> None:
     if os.path.exists(os.path.join(final_path, "_SUCCESS")):
         shutil.rmtree(tmp, ignore_errors=True)  # a concurrent writer won
         return
-    shutil.rmtree(final_path, ignore_errors=True)  # partial leftover only
+    try:
+        os.rename(tmp, final_path)  # empty slot: the common path, no rmtree
+        return
+    except OSError:
+        pass
+    # Something occupies final_path.  Re-check the gate IMMEDIATELY
+    # before replacing: a writer that completed since the first check
+    # keeps its (identical) artifact.
+    if os.path.exists(os.path.join(final_path, "_SUCCESS")):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    shutil.rmtree(final_path, ignore_errors=True)  # gate-less partial only
     try:
         os.rename(tmp, final_path)
     except OSError:
