@@ -1317,7 +1317,9 @@ def _cdc_curve_oracle() -> str:
 
 
 @register("mm_cdc_size_curve", oracle=_cdc_curve_oracle())
-def mm_cdc_size_curve(spark, sf_dir: str) -> DataFrame:
+def mm_cdc_size_curve(
+    spark, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """M310 — CDC chunk-size economics vs the boundary modulus ∈ {32,
     64, 128} — the content-defined-chunking TUNING axis (expected
     chunk size ≈ modulus bytes under a uniform window hash; smaller
@@ -1339,17 +1341,19 @@ def mm_cdc_size_curve(spark, sf_dir: str) -> DataFrame:
     Scale: the boundary scan is the M260 map-only pass (one md5 per
     byte position); the per-mod rollup is map-side combinable; the
     1-row corpus-totals attach is a deliberate scalar crossJoin
-    (BNLJ-allowlisted)."""
+    (BNLJ-allowlisted).  ``docs=`` substitutes the document frame for
+    the weak-scaling probe (threaded into the cdc_hash_positions
+    single home; the driver contract never passes it)."""
     from tropology_spark.sources.tables import load
 
-    pos = cdc_hash_positions(spark, sf_dir)
+    pos = cdc_hash_positions(spark, sf_dir, docs=docs)
     mod_arr = F.array(*[F.lit(m).cast("bigint") for m in _CDC_MODS])
     bounds = (
         pos.select("doc_id", "p", "h16", F.explode(mod_arr).alias("mod"))
         .filter(F.col("h16") % F.col("mod") == 0)
         .select("mod", "doc_id", "p")
     )
-    d = load(spark, sf_dir, "documents")
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
     first = d.select(
         "doc_id", F.explode(mod_arr).alias("mod"), F.lit(1).cast("bigint").alias("p")
     ).select("mod", "doc_id", "p")
