@@ -1068,16 +1068,29 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kcore_peel(cur: DataFrame, k: int, rounds: int) -> DataFrame:
+def kcore_peel(
+    cur: DataFrame, k: int, rounds: int, deg0: DataFrame | None = None
+) -> DataFrame:
     """``rounds`` unrolled k-core peel steps over a directed
     both-ways edge frame ``(a, b)`` — the single home of the peel
     arithmetic, shared by the registered graph_kcore (k=25) and the
-    staged core-profile curve (k ∈ {5, 25, 50}).  Each surviving edge
+    core-profile curve (k ∈ {5, 25, 50}).  Each surviving edge
     set is eagerly materialized: round i+1 references round i from
     THREE plan branches (degree agg + both endpoint joins) — the
-    double-reference rule."""
-    for _ in range(rounds):
-        deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    double-reference rule.
+
+    ``deg0`` optionally supplies the ROUND-0 degree table
+    ``(a, deg)`` of ``cur``: the input degrees do not depend on k, so
+    a caller running peels at several thresholds over the SAME edge
+    frame (the M314 curve) aggregates once and shares it — later
+    rounds always re-aggregate the induced subgraph (induced degrees
+    change per k)."""
+    for i in range(rounds):
+        deg = (
+            deg0
+            if i == 0 and deg0 is not None
+            else cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        )
         keep = deg.filter(F.col("deg") >= k).select("a")
         cur = iter_materialize(
             cur.join(keep, "a", "left_semi")
@@ -1849,9 +1862,16 @@ def graph_core_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ue = bi_materialized(spark, sf_dir).select(
         F.col("u").alias("a"), F.col("v").alias("b")
     )
+    # the round-0 degree table is k-INDEPENDENT — aggregate it once
+    # and share it across all three peels (it feeds three plan
+    # branches: the double-reference rule); later rounds re-aggregate
+    # their induced subgraphs inside kcore_peel as before.
+    deg0 = iter_materialize(
+        ue.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    )
     out = None
     for k in _CORE_KS:
-        cur = kcore_peel(ue, k, _CORE_ROUNDS)
+        cur = kcore_peel(ue, k, _CORE_ROUNDS, deg0=deg0)
         row = cur.agg(
             F.countDistinct("a").cast("bigint").alias("n_core_nodes"),
             F.expr("CAST(count(*) div 2 AS BIGINT)").alias("n_core_edges"),
