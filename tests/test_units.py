@@ -1273,6 +1273,32 @@ def test_checkpoint_dir_prefix_substring_still_reapplies(spark, tmp_path, monkey
     assert (sc.getCheckpointDir() or "") == cur
 
 
+def test_checkpoint_dir_authority_qualified_comparison():
+    """The cluster posture (code-review r15): a scheme-less env path
+    on a defaultFS that qualifies paths with an authority must
+    compare EQUAL to the authority-qualified active dir (else every
+    in-loop materialization re-applies setCheckpointDir and sprays
+    checkpoints across fresh uuid roots), while an env value carrying
+    its own authority keeps the strict comparison so switching
+    clusters re-applies."""
+    from tropology_spark.session import _ckpt_same_dir
+
+    # scheme-less env vs authority-qualified active dir: path-only
+    assert _ckpt_same_dir("hdfs://nn:8020/shared/ckpt/uuid-1", "/shared/ckpt")
+    assert not _ckpt_same_dir("hdfs://nn:8020/shared/ckpt-a/u", "/shared/ckpt")
+    # env with its own authority: strict (same cluster yes, other no)
+    assert _ckpt_same_dir(
+        "hdfs://nn:8020/shared/ckpt/u", "hdfs://nn:8020/shared/ckpt"
+    )
+    assert not _ckpt_same_dir(
+        "hdfs://other:8020/shared/ckpt/u", "hdfs://nn:8020/shared/ckpt"
+    )
+    # local file URIs vs plain paths (the pinned local behavior)
+    assert _ckpt_same_dir("file:/tmp/ck/u", "/tmp/ck")
+    assert _ckpt_same_dir("file:///tmp/ck/u", "/tmp/ck")
+    assert not _ckpt_same_dir("file:/tmp/ck-a/u", "/tmp/ck")
+
+
 def test_kmv_intersect_tracks_exact_overlap(spark):
     """M138 — for every event-type pair, the KMV estimate must be
     EXACT when the union has fewer than k distinct hashes and within

@@ -591,7 +591,7 @@ _R14_STALE_R07 = [
     "agg_kmv_diff",
 ]
 
-#: Round-15 additions (M309-M317) — the activated round-13-staged ops,
+#: Round-15 additions (M309-M317) — the activated round-12-staged ops,
 #: in the staged-slate order.
 _R15_NEW = [
     "agg_hll_m_curve",

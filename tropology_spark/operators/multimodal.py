@@ -829,7 +829,8 @@ def cdc_hash_positions(spark, sf_dir: str, docs: DataFrame | None = None):
     row per rolling-window start byte with the 16-bit window hash
     itself — the single home of the window-hash arithmetic.
     :func:`cdc_boundary_positions` derives the boundary flag from it
-    at any modulus; the staged chunk-size curve reads it ONCE and
+    at any modulus; the registered size curve mm_cdc_size_curve
+    (M310) reads it ONCE and
     derives every modulus from the same pass (powers of two nest:
     h % 128 = 0 ⇒ h % 64 = 0 ⇒ h % 32 = 0 — the curve-over-prefix
     rule's hash analog)."""

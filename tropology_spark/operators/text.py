@@ -1872,13 +1872,15 @@ def winnowing_selected(
     distinct trigram hashes that are the minimum of some full
     ``w``-window (default the registered 4) — the single home of the
     window-min arithmetic, shared by the registered rollup, the
-    containment-guarantee property test, and the staged w-curve
+    containment-guarantee property test, and the registered w-curve
+    text_winnowing_w_curve (M312)
     (``docs=`` substitutes a (doc_id, text) frame).  The window
     min is computed over ALL gram rows BEFORE the full-window filter —
     the subquery-order rule the oracle pins.  Selections NEST across
     window sizes (the min of a w2-window is also the min of the
-    w1-subwindow containing its argmin, for w1 ≤ w2) — the staged
-    property suite pins Selected(w2) ⊆ Selected(w1)."""
+    w1-subwindow containing its argmin, for w1 ≤ w2) — the
+    property suite (tests/test_r15_twins.py) pins
+    Selected(w2) ⊆ Selected(w1)."""
     from tropology_spark.operators.pipeline_ops import word_ngrams
 
     d = docs if docs is not None else load(spark, sf_dir, "documents")

@@ -97,9 +97,41 @@ def iter_materialize(df):
     # switching to the shorter path false-matched and left checkpoints
     # pinned to the stale directory).
     cur = sc.getCheckpointDir()
-    if cur is None or os.path.dirname(_ckpt_norm(cur)) != _ckpt_norm(ckdir):
+    if cur is None or not _ckpt_same_dir(cur, ckdir):
         sc.setCheckpointDir(ckdir)
     return df.checkpoint(eager=True)
+
+
+def _ckpt_same_dir(active: str, env: str) -> bool:
+    """True iff the ACTIVE checkpoint dir (``<dir>/<uuid>``, possibly
+    URI-qualified by the context's default filesystem) lives inside
+    the ENV-configured directory.  Exact normalized-parent equality
+    first; when the env value is a plain scheme-less PATH (the common
+    cluster posture — ``TROPOLOGY_CHECKPOINT_DIR=/shared/ckpt`` with
+    ``defaultFS hdfs://nn:8020``), the active dir comes back
+    authority-qualified, so the fallback compares PATH components
+    only — otherwise every in-loop materialization would re-apply
+    setCheckpointDir and spray each checkpoint into a fresh uuid
+    root.  An env value carrying its own scheme/authority keeps the
+    strict authority-inclusive comparison (switching clusters must
+    re-apply)."""
+    import re
+
+    a_parent = os.path.dirname(_ckpt_norm(active))
+    e = _ckpt_norm(env)
+    if a_parent == e:
+        return True
+    if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", env):
+        return _authority_free(a_parent) == e
+    return False
+
+
+def _authority_free(p: str) -> str:
+    """Drop a leading ``host[:port]`` authority segment left by
+    :func:`_ckpt_norm` on ``scheme://authority/path`` inputs."""
+    if p.startswith("/") or "/" not in p:
+        return p
+    return "/" + p.split("/", 1)[1]
 
 
 def _ckpt_norm(path: str) -> str:
@@ -115,8 +147,7 @@ def _ckpt_norm(path: str) -> str:
     m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:(//)?", path)
     if m:
         # file:/x and file:///x both leave the local path /x; an
-        # hdfs-style authority (nn:8020/x) stays verbatim — both
-        # sides of the comparison strip identically, so equality
-        # holds for any scheme.
+        # hdfs-style authority (nn:8020/x) stays verbatim until the
+        # caller's authority-free fallback.
         return path[m.end() :].rstrip("/")
     return os.path.abspath(path).rstrip("/") or "/"
