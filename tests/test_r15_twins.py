@@ -80,6 +80,27 @@ def test_hll_m_curve_single_key_reaches_empty_register_spine(spark):
         assert got[m] == (1, m - 1, s), (m, got[m])
 
 
+def test_hll_m_curve_empty_corpus_null_ratio(spark):
+    """ADVICE r15 item 3 — an EMPTY o= injection makes n_exact = 0;
+    ratio_ppm must come back NULL (the CASE guard, mirrored in the
+    oracle), never an ANSI division error.  The all-empty register
+    spine still emits every m row with v_empty = m and the dyadic
+    floor estimate am·m div 1000."""
+    fn = QUERIES["agg_hll_m_curve"]
+    o = spark.createDataFrame([], "o_custkey long")
+    got = {
+        r["m"]: (r["n_exact"], r["v_empty"], r["s_carrier"],
+                 r["hll_est"], r["ratio_ppm"])
+        for r in fn(spark, SF_UNIT, o=o).collect()
+    }
+    from tropology_spark.operators.aggregates import _HLL_MS
+
+    for m, am, _dv in _HLL_MS:
+        assert got[m] == (0, m, m * (1 << 33), (am * m) // 1000, None), (
+            m, got[m],
+        )
+
+
 def test_hll_rho_zero_word_guard_matches_cross_engine(spark):
     """Branch-coverage pin for the w = 0 → rho = 33 guard — the one
     branch NO injection can reach (it needs md5 bits 8..40 of the key

@@ -1,95 +1,28 @@
-"""Driver-replica parity for the STAGED round-16 operators
-(tropology_spark/operators/staged_r16.py) — the staging pattern's
-eighth application: the full compare at both verification scales,
-pure-Python twins for every formula-bearing op, two hypothesis
-property suites on the exact staged paths (frame injection), and the
-partitioning-invariance + plan sweeps.  Activation in round 16 is then
-a mechanical move-and-register.
+"""Pure-Python twins + property suites for the round-16 activations
+(M318-M327) — converted from tests/test_staged_r16.py at activation
+(the r9-r15 precedent: drop the staged-only parity/invariance/plan
+sweeps — the registry-wide suites cover registered queries — keep the
+twins and both hypothesis property suites, now running against
+QUERIES, and add the seventh-fold branch-coverage injection pins).
+
+Twins are hashlib / Counter / NumPy / big-int recomputations with no
+SQL engine (DuckDB appears only as a parquet reader / cents-rounding
+source) — the NEW-OP CROSS-CHECK DISCIPLINE: Spark-vs-DuckDB parity
+cannot catch a shared-formula error; these can.
 """
 
 from __future__ import annotations
 
-import pytest
-
-from tests.conftest import SF_ORACLE, SF_UNIT, make_duckdb
-from tropology_spark.operators.staged_r16 import STAGED
+from tests.conftest import SF_UNIT
+from tropology_spark import QUERIES
 
 
-def test_staged_module_registers_nothing():
-    from tropology_spark import QUERIES
-
-    assert not (set(STAGED) & set(QUERIES))
-
-
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_parity_both_scales(spark, name):
-    from tests.parity import compare
-
-    fn, oracle = STAGED[name]
-    for sf in (SF_UNIT, SF_ORACLE):
-        con = make_duckdb(sf)
-        try:
-            compare(name, spark, con, fn, oracle, sf)
-        finally:
-            con.close()
-
-
-def test_staged_partitioning_invariance(spark):
-    from tests.parity import canon_rows, spark_result
-    from tropology_spark.sources.tables import clear_session_caches
-
-    orig = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        results = {n: set() for n in STAGED}
-        for parts in ("5", "13", "32"):
-            spark.conf.set("spark.sql.shuffle.partitions", parts)
-            clear_session_caches()
-            for n, (fn, _) in STAGED.items():
-                cols, rows = spark_result(fn(spark, SF_UNIT))
-                results[n].add(tuple(canon_rows(cols, rows)))
-        for n, seen in results.items():
-            assert len(seen) == 1, f"staged {n} varies with shuffle partitioning"
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig)
-        clear_session_caches()
-
-
-def test_staged_no_new_plan_antipatterns(spark):
-    """No CartesianProduct / row-Python UDF — and for the FIRST time a
-    whole slate with NO BroadcastNestedLoopJoin either: every bounded
-    axis (Benford digit spine, ring points, moduli, k grid) rides an
-    explode, a literal-array min-struct, or a broadcast equi-join.
-    Nothing to add to BNLJ_ALLOWED at activation."""
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "simple"
-    )
-    bad = {}
-    for name, (fn, _) in STAGED.items():
-        s = fn(spark, SF_UNIT)._jdf.queryExecution().explainString(mode)
-        if "CartesianProduct" in s:
-            bad[name] = "CartesianProduct"
-        if "BatchEvalPython" in s:
-            bad[name] = "row-Python UDF"
-        if "BroadcastNestedLoopJoin" in s:
-            bad[name] = "unexpected BNLJ"
-    assert not bad, bad
-
-
-# ---------------------------------------------------------------------------
-# Twins (NEW-OP CROSS-CHECK DISCIPLINE) — hashlib / Counter / NumPy
-# recomputations with arbitrary-precision ints; no SQL engine (DuckDB
-# appears only as a parquet reader / cents-rounding source).
-# ---------------------------------------------------------------------------
-
-
-def test_staged_anisotropy_matches_pure_python(spark):
-    """sim_anisotropy_terms — the Gram-identity carriers recomputed
-    with NumPy round + Python big ints, including both shifted signed
-    floor divisions."""
+def test_anisotropy_matches_pure_python(spark):
+    """M318 — the Gram-identity carriers recomputed with NumPy round +
+    Python big ints, including both shifted signed floor divisions."""
     import duckdb
     import numpy as np
 
-    fn, _ = STAGED["sim_anisotropy_terms"]
     rows = duckdb.sql(
         f"SELECT embedding FROM read_parquet('{SF_UNIT}/embeddings.parquet')"
     ).fetchall()
@@ -107,30 +40,29 @@ def test_staged_anisotropy_matches_pure_python(spark):
         (gram - sn2) // (n * (n - 1)),  # Python // IS floor == the shift
         (1_000_000 * (gram - sn2)) // ((n - 1) * sn2),
     )
-    [r] = fn(spark, SF_UNIT).collect()
+    [r] = QUERIES["sim_anisotropy_terms"](spark, SF_UNIT).collect()
     assert (
         r["n_vectors"], r["sum_norm2_u2"], r["mean_norm2_u2"],
         r["gram_div_n"], r["mean_pair_dot_u2"], r["ani_ppm"],
     ) == want
 
 
-def test_staged_benford_matches_pure_python(spark):
-    """analytics_benford_audit — digit counts from the cents integers
-    plus the published ppm constants recomputed independently (and the
-    constants re-derived from log10 to prove they ARE Benford)."""
+def test_benford_matches_pure_python(spark):
+    """M319 — digit counts from the cents integers plus the published
+    ppm constants recomputed independently (and the constants
+    re-derived from log10 to prove they ARE Benford)."""
     import math
     from collections import Counter
 
     import duckdb
 
-    from tropology_spark.operators.staged_r16 import _BENFORD_PPM
+    from tropology_spark.operators.analytics import _BENFORD_PPM
 
     # the embedded constants really are round(1e6 * log10(1 + 1/d))
     for d, p in _BENFORD_PPM:
         assert p == round(1_000_000 * math.log10(1 + 1 / d))
     assert sum(p for _d, p in _BENFORD_PPM) == 1_000_000
 
-    fn, _ = STAGED["analytics_benford_audit"]
     cents = [
         int(c)
         for (c,) in duckdb.sql(
@@ -147,9 +79,33 @@ def test_staged_benford_matches_pure_python(spark):
     }
     got = {
         r["digit"]: (r["n_obs"], r["obs_ppm"], r["benford_ppm"], r["dev_ppm"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["analytics_benford_audit"](spark, SF_UNIT).collect()
     }
     assert got == want
+
+
+def test_benford_absent_digit_zero_fill_injection(spark):
+    """M319 seventh fold — the absent-digit spine branch the fixture
+    cannot reach (TPC-H order totals span every leading digit): an
+    injected corpus whose totals all lead with 1 must still emit all
+    NINE digit rows, zero-filled with n_obs = 0, obs_ppm = 0 and
+    dev_ppm = −benford_ppm for digits 2-9."""
+    from tropology_spark.operators.analytics import _BENFORD_PPM
+
+    odf = spark.createDataFrame(
+        [(1.23,), (10.00,), (199.99,)], "o_totalprice double"
+    )
+    got = {
+        r["digit"]: (r["n_obs"], r["obs_ppm"], r["dev_ppm"])
+        for r in QUERIES["analytics_benford_audit"](
+            spark, "unused", orders=odf
+        ).collect()
+    }
+    assert set(got) == set(range(1, 10))
+    assert got[1] == (3, 1_000_000, 1_000_000 - 301030)
+    for d, p in _BENFORD_PPM:
+        if d != 1:
+            assert got[d] == (0, 0, -p)
 
 
 def _ch_twin(doc_ids):
@@ -184,14 +140,13 @@ def _ch_twin(doc_ids):
     return out
 
 
-def test_staged_consistent_hash_matches_pure_python(spark):
-    """pipeline_consistent_hash_moves — the full audit recomputed with
-    hashlib (ring points NOT reused from the module constants); also
-    pins the structural ring guarantee n_moved == n_to_new and the
-    mod-vs-ring economics (mod moves the majority, ring a minority)."""
+def test_consistent_hash_matches_pure_python(spark):
+    """M320 — the full audit recomputed with hashlib (ring points NOT
+    reused from the module constants); also pins the structural ring
+    guarantee n_moved == n_to_new and the mod-vs-ring economics (mod
+    moves the majority, ring a minority)."""
     import duckdb
 
-    fn, _ = STAGED["pipeline_consistent_hash_moves"]
     ids = [
         int(d)
         for (d,) in duckdb.sql(
@@ -201,24 +156,25 @@ def test_staged_consistent_hash_matches_pure_python(spark):
     want = _ch_twin(ids)
     got = {
         r["method"]: (r["n_keys"], r["n_moved"], r["moved_ppm"], r["n_to_new"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["pipeline_consistent_hash_moves"](
+            spark, SF_UNIT
+        ).collect()
     }
     assert got == want
     assert got["ring"][1] == got["ring"][3]  # every ring move -> new shard
     assert got["ring"][1] < got["mod"][1]  # ring re-shards a minority
 
 
-def test_staged_triangle_downsample_matches_pure_python(spark):
-    """ts_triangle_downsample — hourly counts, bucket anchors and the
-    integer doubled-areas recomputed with Counter + Python ints,
-    including the (area DESC, h) tie-break and interior-bucket rule."""
+def test_triangle_downsample_matches_pure_python(spark):
+    """M321 — hourly counts, bucket anchors and the integer
+    doubled-areas recomputed with Counter + Python ints, including the
+    (area DESC, h) tie-break and interior-bucket rule."""
     from collections import Counter, defaultdict
 
     import duckdb
 
-    from tropology_spark.operators.staged_r16 import _LT_BUCKET_H
+    from tropology_spark.operators.timeseries import _LT_BUCKET_H
 
-    fn, _ = STAGED["ts_triangle_downsample"]
     hours = [
         int(h)
         for (h,) in duckdb.sql(
@@ -250,21 +206,20 @@ def test_staged_triangle_downsample_matches_pure_python(spark):
     want = {b: v for b, (_k, v) in want.items()}
     got = {
         r["bucket"]: (r["h"], r["c"], r["area2"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["ts_triangle_downsample"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_ldiversity_matches_pure_python(spark):
-    """pipeline_ldiversity_audit — equivalence classes, distinct
-    sensitive counts and both violation flags recomputed with sets."""
+def test_ldiversity_matches_pure_python(spark):
+    """M322 — equivalence classes, distinct sensitive counts and both
+    violation flags recomputed with sets."""
     from collections import defaultdict
 
     import duckdb
 
-    from tropology_spark.operators.staged_r16 import _LDIV_BUCKET
+    from tropology_spark.operators.pipeline_ops import _LDIV_BUCKET
 
-    fn, _ = STAGED["pipeline_ldiversity_audit"]
     rows = duckdb.sql(
         f"""SELECT source, n_chars, lang
             FROM read_parquet('{SF_UNIT}/documents.parquet')"""
@@ -282,27 +237,46 @@ def test_staged_ldiversity_matches_pure_python(spark):
         (r["source"], r["size_bucket"]): (
             r["n_rows"], r["l_distinct"], r["below_l2"], r["below_l3"]
         )
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["pipeline_ldiversity_audit"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_wedge_sample_matches_pure_python(spark):
-    """graph_wedge_sample_closure — wedge keys, per-modulus samples
-    and closure counts recomputed with hashlib + sets over the SAME
-    capped projection (the projection is M120's already-twinned
-    machinery; the new sampling/closure formula is what's re-derived);
-    also pins the power-of-two sample NESTING s=16 ⊆ s=4 ⊆ s=1."""
+def test_ldiversity_violation_flags_injection(spark):
+    """M322 seventh fold — both flag states pinned on an injected
+    corpus: a single-language class trips below_l2 AND below_l3, a
+    two-language class trips only below_l3, a three-language class
+    trips neither."""
+    rows = (
+        [("a", 10, "en")] * 3
+        + [("b", 10, "en"), ("b", 20, "de")]
+        + [("c", 10, "en"), ("c", 20, "de"), ("c", 30, "fr")]
+    )
+    ddf = spark.createDataFrame(rows, "source string, n_chars long, lang string")
+    got = {
+        r["source"]: (r["n_rows"], r["l_distinct"], r["below_l2"], r["below_l3"])
+        for r in QUERIES["pipeline_ldiversity_audit"](
+            spark, "unused", docs=ddf
+        ).collect()
+    }
+    assert got == {"a": (3, 1, 1, 1), "b": (2, 2, 0, 1), "c": (3, 3, 0, 0)}
+
+
+def test_wedge_sample_matches_pure_python(spark):
+    """M323 — wedge keys, per-modulus samples and closure counts
+    recomputed with hashlib + sets over the SAME capped projection
+    (the projection is M120's already-twinned machinery; the new
+    sampling/closure formula is what's re-derived); also pins the
+    power-of-two sample NESTING s=16 ⊆ s=4 ⊆ s=1."""
     import hashlib
     from collections import defaultdict
 
     from tropology_spark.operators.graph_motifs import (
         _HUB_CAP,
+        _WS_MODS,
         copurchase_projection,
     )
-    from tropology_spark.operators.staged_r16 import _WS_MODS
 
-    fn, _ = STAGED["graph_wedge_sample_closure"]
     proj = {
         (r["u"], r["v"])
         for r in copurchase_projection(spark, SF_UNIT, hub_cap=_HUB_CAP).collect()
@@ -331,26 +305,55 @@ def test_staged_wedge_sample_matches_pure_python(spark):
     want = {}
     for s in _WS_MODS:
         nw, ncl = samples[s]
-        ppm = None if nw == 0 else (1_000_000 * ncl) // nw
-        want[s] = (nw, ncl, ppm, None if ppm is None else ppm - full_ppm)
+        if nw == 0:
+            continue  # a modulus sampling nothing emits NO row
+        ppm = (1_000_000 * ncl) // nw
+        want[s] = (nw, ncl, ppm, ppm - full_ppm)
     got = {
         r["s"]: (r["n_wedges"], r["n_closed"], r["closure_ppm"], r["dev_ppm"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["graph_wedge_sample_closure"](spark, SF_UNIT).collect()
     }
     assert got == want
     assert nested[16] <= nested[4] <= nested[1]  # moduli nest
 
 
-def test_staged_minhash_k_curve_consistent_with_registered(spark):
-    """dedup_minhash_k_curve — a composed audit: the k=16 point must
-    equal the aggregate of the REGISTERED dedup_minhash_estimate_error
-    frame, and the k=8 point must equal the Python recompute of
+def test_wedge_sample_empty_modulus_emits_no_row_injection(spark):
+    """M323 seventh fold — the n_wedges = 0 CASE branch is structurally
+    DEAD (groupBy emits only observed moduli, both engines): pin the
+    actual semantics on an injected one-wedge projection whose md5 key
+    is divisible by neither 4 nor 16 — only the s = 1 row appears, with
+    dev_ppm 0 against itself."""
+    import hashlib
+
+    # find a small (x, u, w) wedge key not divisible by 4: edges
+    # (x,u),(x,w) with u < w; scan a few candidates deterministically.
+    pick = None
+    for x in range(1, 50):
+        u, w = 100, 101
+        hk = int(hashlib.md5(f"{x}_{u}_{w}".encode()).hexdigest()[:8], 16)
+        if hk % 4 != 0:
+            pick = (x, u, w)
+            break
+    assert pick is not None
+    x, u, w = pick
+    proj = spark.createDataFrame([(x, u), (x, w)], "u long, v long")
+    got = {
+        r["s"]: (r["n_wedges"], r["n_closed"], r["closure_ppm"], r["dev_ppm"])
+        for r in QUERIES["graph_wedge_sample_closure"](
+            spark, "unused", proj=proj
+        ).collect()
+    }
+    assert got == {1: (1, 0, 0, 0)}
+
+
+def test_minhash_k_curve_consistent_with_registered(spark):
+    """M324 — a composed audit: the k=16 point must equal the
+    aggregate of the REGISTERED dedup_minhash_estimate_error frame,
+    and the k=8 point must equal the Python recompute of
     |125000·agree8 − jac_ppm| from the collected signature prefixes
     joined to the same pairs (big-int arithmetic, no SQL)."""
-    from tropology_spark import QUERIES
     from tropology_spark.operators.dedup import minhash_sigs_frame
 
-    fn, _ = STAGED["dedup_minhash_k_curve"]
     base = QUERIES["dedup_minhash_estimate_error"](spark, SF_UNIT).collect()
     sigs = {
         r["doc_id"]: [r[f"mh{i}"] for i in range(16)]
@@ -378,22 +381,21 @@ def test_staged_minhash_k_curve_consistent_with_registered(spark):
         )
     got = {
         r["k"]: (r["n_pairs"], r["n_exact"], r["sum_abs_err_ppm"], r["max_abs_err_ppm"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["dedup_minhash_k_curve"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_pq_k_curve_matches_pure_python(spark):
-    """sim_pq_k_curve — the per-k self-ADC distortions recomputed with
-    NumPy round + Python big ints (codebook = vectors 1..k, subspace
+def test_pq_k_curve_matches_pure_python(spark):
+    """M325 — the per-k self-ADC distortions recomputed with NumPy
+    round + Python big ints (codebook = vectors 1..k, subspace
     halves); also pins the monotone non-increasing distortion and the
     n_zero == k anchor."""
     import duckdb
     import numpy as np
 
-    from tropology_spark.operators.staged_r16 import _PQK_KS
+    from tropology_spark.operators.similarity import _PQK_KS
 
-    fn, _ = STAGED["sim_pq_k_curve"]
     rows = duckdb.sql(
         f"""SELECT vec_id, embedding
             FROM read_parquet('{SF_UNIT}/embeddings.parquet')"""
@@ -431,7 +433,7 @@ def test_staged_pq_k_curve_matches_pure_python(spark):
         )
     got = {
         r["k"]: (r["n_vectors"], r["n_zero"], r["sum_qerr"], r["mean_qerr"], r["max_qerr"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["sim_pq_k_curve"](spark, SF_UNIT).collect()
     }
     assert got == want
     for k in _PQK_KS:
@@ -440,14 +442,13 @@ def test_staged_pq_k_curve_matches_pure_python(spark):
     assert got[2][4] >= got[4][4] >= got[8][4]
 
 
-def test_staged_local_maxima_matches_pure_python(spark):
-    """ts_local_maxima — per-type daily counts, the strict triple test
-    and the Laplacian sharpness recomputed with Counter ints."""
+def test_local_maxima_matches_pure_python(spark):
+    """M326 — per-type daily counts, the strict triple test and the
+    Laplacian sharpness recomputed with Counter ints."""
     from collections import Counter
 
     import duckdb
 
-    fn, _ = STAGED["ts_local_maxima"]
     rows = duckdb.sql(
         f"""SELECT event_type, epoch_us(ts) // 86400000000
             FROM read_parquet('{SF_UNIT}/events.parquet')"""
@@ -460,21 +461,20 @@ def test_staged_local_maxima_matches_pure_python(spark):
             want[(et, d)] = (c, p, n, 2 * c - p - n)
     got = {
         (r["event_type"], r["day"]): (r["c"], r["prev_c"], r["next_c"], r["sharp2"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["ts_local_maxima"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_higher_moments_matches_pure_python(spark):
-    """agg_higher_moments_terms — power sums and all three assembled
-    central-moment carriers recomputed with Python big ints (the m3c
-    signed floor via Python's native floor division — the shift
-    identity's fixed point)."""
+def test_higher_moments_matches_pure_python(spark):
+    """M327 — power sums and all three assembled central-moment
+    carriers recomputed with Python big ints (the m3c signed floor via
+    Python's native floor division — the shift identity's fixed
+    point)."""
     from collections import defaultdict
 
     import duckdb
 
-    fn, _ = STAGED["agg_higher_moments_terms"]
     rows = duckdb.sql(
         f"""SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT)
             FROM read_parquet('{SF_UNIT}/lineitem.parquet')"""
@@ -502,13 +502,13 @@ def test_staged_higher_moments_matches_pure_python(spark):
             r["n"], r["s1"], r["s2"], r["s3"], r["s4"],
             r["m2c"], r["m3c"], r["m4c"],
         )
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["agg_higher_moments_terms"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
 # ---------------------------------------------------------------------------
-# Hypothesis property suites on the EXACT staged paths (frame injection)
+# Hypothesis property suites on the EXACT registered paths (frame injection)
 # ---------------------------------------------------------------------------
 
 from hypothesis import given, settings, strategies as st  # noqa: E402
@@ -529,18 +529,17 @@ _SMALL = dict(max_examples=5, deadline=None)
     )
 )
 def test_anisotropy_gram_identity_property(spark, vecs):
-    """sim_anisotropy_terms on injected embeddings (e= kwarg): the
-    one-pass Gram identity must equal the BRUTE-FORCE ordered-pair dot
-    sum for ARBITRARY vectors (eighth-exact floats, so vm is exact),
-    and every carrier must match the Python floor recompute."""
+    """M318 on injected embeddings (e= kwarg): the one-pass Gram
+    identity must equal the BRUTE-FORCE ordered-pair dot sum for
+    ARBITRARY vectors (eighth-exact floats, so vm is exact), and every
+    carrier must match the Python floor recompute."""
     vecs = [list(v) for v in vecs]
     vecs[0][0] = 0.5  # guarantee sn2 > 0 (the ani_ppm denominator)
     e = spark.createDataFrame(
         [(i, v) for i, v in enumerate(vecs)],
         "vec_id long, embedding array<float>",
     )
-    fn, _ = STAGED["sim_anisotropy_terms"]
-    [r] = fn(spark, "unused", e=e).collect()
+    [r] = QUERIES["sim_anisotropy_terms"](spark, "unused", e=e).collect()
     vm = [[round(x * 1_000_000) for x in v] for v in vecs]
     n = len(vm)
     sn2 = sum(x * x for v in vm for x in v)
@@ -572,15 +571,16 @@ def test_anisotropy_gram_identity_property(spark, vecs):
     )
 )
 def test_consistent_hash_ring_property(spark, ids):
-    """pipeline_consistent_hash_moves on injected key sets (docs=
-    kwarg): for ARBITRARY doc_id sets the staged path must equal the
-    hashlib twin, and the structural ring guarantee must hold — every
-    ring-moved key lands on the NEW shard (n_moved == n_to_new)."""
+    """M320 on injected key sets (docs= kwarg): for ARBITRARY doc_id
+    sets the registered path must equal the hashlib twin, and the
+    structural ring guarantee must hold — every ring-moved key lands
+    on the NEW shard (n_moved == n_to_new)."""
     docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
-    fn, _ = STAGED["pipeline_consistent_hash_moves"]
     got = {
         r["method"]: (r["n_keys"], r["n_moved"], r["moved_ppm"], r["n_to_new"])
-        for r in fn(spark, "unused", docs=docs).collect()
+        for r in QUERIES["pipeline_consistent_hash_moves"](
+            spark, "unused", docs=docs
+        ).collect()
     }
     assert got == _ch_twin(ids)
     assert got["ring"][1] == got["ring"][3]

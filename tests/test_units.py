@@ -1041,6 +1041,17 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "pipeline_contamination_ngram_curve",
         "sim_dim_variance_profile",
         "agg_join_size_ams",
+        # round-16 activations (M318-M327)
+        "sim_anisotropy_terms",
+        "analytics_benford_audit",
+        "pipeline_consistent_hash_moves",
+        "ts_triangle_downsample",
+        "pipeline_ldiversity_audit",
+        "graph_wedge_sample_closure",
+        "dedup_minhash_k_curve",
+        "sim_pq_k_curve",
+        "ts_local_maxima",
+        "agg_higher_moments_terms",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -1099,7 +1110,7 @@ def test_materialized_view_build_is_shared_across_threads(spark):
 
 def test_driver_window_composition(spark):
     """The driver hash-checks the FIRST 50 registry entries.  Pin the
-    round-15 window invariants so a module-import or registration-order
+    round-16 window invariants so a module-import or registration-order
     change can never silently evict a query: the activated staged
     queries (never sampled) lead, and EVERY
     remaining window slot goes to the rotation queue — queries whose
@@ -1117,7 +1128,7 @@ def test_driver_window_composition(spark):
     from pathlib import Path
 
     from tropology_spark import ORACLES, QUERIES
-    from tropology_spark import _R15_NEW
+    from tropology_spark import _R16_NEW
 
     latest: dict[str, int] = {}
     for f in Path(".").glob("CORRECTNESS_r*.json"):
@@ -1126,7 +1137,7 @@ def test_driver_window_composition(spark):
             latest[k] = max(latest.get(k, 0), rnd)
     max_round = max(latest.values(), default=0)
     window = list(QUERIES)[:50]
-    head = _R15_NEW
+    head = _R16_NEW
     assert window[: len(head)] == head, window[: len(head)]
     never = [q for q in QUERIES if q not in latest]
     missing = [q for q in never if q not in set(window)]
@@ -1286,6 +1297,13 @@ def test_checkpoint_dir_authority_qualified_comparison():
     # scheme-less env vs authority-qualified active dir: path-only
     assert _ckpt_same_dir("hdfs://nn:8020/shared/ckpt/uuid-1", "/shared/ckpt")
     assert not _ckpt_same_dir("hdfs://nn:8020/shared/ckpt-a/u", "/shared/ckpt")
+    # scheme-qualified but AUTHORITY-LESS env (hdfs:/shared/ckpt —
+    # resolved against the default authority, ADVICE r15): path-only
+    # fallback too, never a permanent re-apply loop.
+    assert _ckpt_same_dir("hdfs://nn:8020/shared/ckpt/u", "hdfs:/shared/ckpt")
+    assert not _ckpt_same_dir(
+        "hdfs://nn:8020/shared/ckpt-a/u", "hdfs:/shared/ckpt"
+    )
     # env with its own authority: strict (same cluster yes, other no)
     assert _ckpt_same_dir(
         "hdfs://nn:8020/shared/ckpt/u", "hdfs://nn:8020/shared/ckpt"
@@ -2394,6 +2412,10 @@ def test_registered_shift_constants_sized_from_domain_bounds(spark):
         ("analytics.py", "_DID_BIG"),
         ("timeseries.py", "_TS_BIG"),
         ("similarity.py", "inline-1e6-shift"),
+        # round-16 activations (the sixth fold executed):
+        ("similarity.py", "_ANI_BIG_PAIR"),
+        ("similarity.py", "_ANI_BIG_PPM"),
+        ("aggregates.py", "_HM_BIG"),
     }, f"new/renamed shift site — extend this audit: {sorted(found)}"
     # Tripwire for the staged bank: when a slate activates, its BIG
     # constants move into home modules — the registered sweep above
@@ -2408,9 +2430,6 @@ def test_registered_shift_constants_sized_from_domain_bounds(spark):
             if re.match(r"_[A-Z0-9_]*BIG[A-Z0-9_]* *=", s):
                 staged_found.add((p.name, s.split("=")[0].strip()))
     assert staged_found == {
-        ("staged_r16.py", "_ANI_BIG_PAIR"),
-        ("staged_r16.py", "_ANI_BIG_PPM"),
-        ("staged_r16.py", "_HM_BIG"),
         ("staged_r17.py", "_ROC_BIG"),
         ("staged_r17.py", "_LEHR_BIG"),
         ("staged_r18.py", "_PR_BIG"),
@@ -2446,6 +2465,37 @@ def test_registered_shift_constants_sized_from_domain_bounds(spark):
     # fixture output that no label violates it.
     for r in QUERIES["sim_cluster_cohesion"](spark, SF_UNIT).collect():
         assert abs(r["sum_cos_micro"]) <= 1_000_000 * r["n_vectors"]
+    # sim_anisotropy_terms (M318): |mean pair dot| ≤ mean norm² ≤
+    # 64·(10⁶)² µ² (64 dims, components in [−1, 1] so |vm| ≤ 10⁶ —
+    # verified on the fixture), so the pair carrier needs ≥ 6.4e13;
+    # |ani_ppm| ≤ 10⁶ by Cauchy-Schwarz (0 ≤ gram ≤ n·sn2), so the
+    # ppm carrier needs ≥ 10⁶ — held at 10× headroom.
+    from tropology_spark.operators.similarity import _ANI_BIG_PAIR, _ANI_BIG_PPM
+
+    max_absval = duckdb.sql(
+        f"""SELECT max(abs(CAST(v AS DOUBLE))) FROM (
+              SELECT unnest(embedding) AS v
+              FROM read_parquet('{SF_ORACLE}/embeddings.parquet'))"""
+    ).fetchone()[0]
+    assert max_absval <= 1.0, "embedding component domain drifted"
+    assert _ANI_BIG_PAIR >= 64 * 10**6 * 10**6, (
+        f"_ANI_BIG_PAIR={_ANI_BIG_PAIR} under the 64·(1e6)² norm² bound"
+    )
+    assert _ANI_BIG_PPM >= 10 * 10**6, (
+        f"_ANI_BIG_PPM={_ANI_BIG_PPM} under 10x the Cauchy-Schwarz 1e6 bound"
+    )
+    # agg_higher_moments_terms (M327): |m3 numerator/den| = |Σ(x−μ)³|
+    # ≤ n·max_q³ with quantity ≤ 50; require 1000× headroom at sf0.01
+    # (→ still ≥ 10× at sf1; lineitem count grows linearly with SF).
+    from tropology_spark.operators.aggregates import _HM_BIG
+
+    n_li, max_q = duckdb.sql(
+        f"""SELECT count(*), max(CAST(round(l_quantity) AS BIGINT))
+            FROM read_parquet('{SF_ORACLE}/lineitem.parquet')"""
+    ).fetchone()
+    assert _HM_BIG >= 1000 * n_li * max_q**3, (
+        f"_HM_BIG={_HM_BIG} under 1000x the n·max_q³={n_li * max_q**3} bound"
+    )
 
     # (c) adversarial floor pins — negative, NON-divisible numerators,
     # where floor (−100) and truncation (−99) genuinely differ.
@@ -2503,3 +2553,52 @@ def test_registered_shift_constants_sized_from_domain_bounds(spark):
     cr = QUERIES["sim_cluster_cohesion"](spark, "unused", e=emb).collect()
     assert len(cr) == 1
     assert (cr[0]["sum_cos_micro"], cr[0]["cohesion_micro"]) == (s, s // n)
+
+    # c4. sim_anisotropy_terms via e=: an anti-aligned 3-vector corpus
+    # (exact-eighth components, so vm is exact) whose pair-dot sum is
+    # NEGATIVE and non-divisible by n(n−1), and whose ppm numerator is
+    # non-divisible by (n−1)·sn2 — both shifted floors must match
+    # Python's native floor division.
+    a_vecs = [
+        [1 / 8] + [0.0] * 63,
+        [-3 / 8] + [0.0] * 63,
+        [1 / 8, 1 / 8] + [0.0] * 62,
+    ]
+    a_emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(a_vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    a_vm = [[round(x * 1_000_000) for x in v] for v in a_vecs]
+    a_n = len(a_vm)
+    a_sn2 = sum(x * x for v in a_vm for x in v)
+    a_gram = sum(
+        s_ * s_ for s_ in (sum(v[p] for v in a_vm) for p in range(64))
+    )
+    a_num = a_gram - a_sn2
+    assert a_num < 0 and a_num % (a_n * (a_n - 1)) != 0, (
+        "corpus stopped being adversarial (pair carrier)"
+    )
+    assert (1_000_000 * a_num) % ((a_n - 1) * a_sn2) != 0, (
+        "corpus stopped being adversarial (ppm carrier)"
+    )
+    [ar] = QUERIES["sim_anisotropy_terms"](spark, "unused", e=a_emb).collect()
+    assert ar["mean_pair_dot_u2"] == a_num // (a_n * (a_n - 1))
+    assert ar["ani_ppm"] == (1_000_000 * a_num) // ((a_n - 1) * a_sn2)
+
+    # c5. agg_higher_moments_terms via li=: quantities (1, 9, 9) give
+    # the negatively-skewed m3 numerator −1024 over n² = 9 — floor
+    # −114 where truncation would read −113.
+    ldf = spark.createDataFrame(
+        [("X", 1.0), ("X", 9.0), ("X", 9.0)],
+        "l_returnflag string, l_quantity double",
+    )
+    [hr] = QUERIES["agg_higher_moments_terms"](spark, "unused", li=ldf).collect()
+    hm_num = (
+        hr["n"] ** 2 * hr["s3"]
+        - 3 * hr["n"] * hr["s1"] * hr["s2"]
+        + 2 * hr["s1"] ** 3
+    )
+    assert hm_num < 0 and hm_num % hr["n"] ** 2 != 0, (
+        "corpus stopped being adversarial"
+    )
+    assert hr["m3c"] == hm_num // hr["n"] ** 2 == -114  # trunc reads −113

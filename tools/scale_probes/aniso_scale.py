@@ -1,6 +1,6 @@
-"""Weak-scaling probe for the STAGED sim_anisotropy_terms (round-16
-slate): replicate the fixture embedding table into <mult> copies with
-vec_id offsets and run the EXACT staged one-pass Gram-identity path in
+"""Weak-scaling probe for the REGISTERED sim_anisotropy_terms (M318):
+replicate the fixture embedding table into <mult> copies with vec_id
+offsets and run the EXACT registered one-pass Gram-identity path in
 a fresh JVM.  Usage::
 
     python aniso_scale.py <mult>
@@ -28,7 +28,7 @@ mult = int(sys.argv[1])
 from pyspark.sql import functions as F  # noqa: E402
 
 from tropology_spark.session import get_spark, iter_materialize  # noqa: E402
-from tropology_spark.operators.staged_r16 import sim_anisotropy_terms  # noqa: E402
+from tropology_spark.operators.similarity import sim_anisotropy_terms  # noqa: E402
 from tropology_spark.sources.tables import load  # noqa: E402
 
 t0 = time.time()

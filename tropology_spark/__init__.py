@@ -657,6 +657,74 @@ _R15_STALE_R08 = [
     "text_lang_stats",
 ]
 
-prioritize(_R15_NEW + _R15_STALE_R07 + _R15_STALE_R08)
+#: Round-16 additions (M318-M327) — the activated round-13-staged ops,
+#: in the staged-slate order.
+_R16_NEW = [
+    "sim_anisotropy_terms",
+    "analytics_benford_audit",
+    "pipeline_consistent_hash_moves",
+    "ts_triangle_downsample",
+    "pipeline_ldiversity_audit",
+    "graph_wedge_sample_closure",
+    "dedup_minhash_k_curve",
+    "sim_pq_k_curve",
+    "ts_local_maxima",
+    "agg_higher_moments_terms",
+]
+
+#: The 37 remaining r08-vintage rows (the class empties this round), in
+#: registry order — re-verified against all fifteen CORRECTNESS files
+#: (post-r15 classes: r08:37 · r09:50 · r10:50 · r11:50 · r12:50 ·
+#: r13:50 · r14:50 · r15:50 = 387).
+_R16_STALE_R08 = [
+    "text_langid_nb",
+    "text_quality_score",
+    "text_token_stats",
+    "text_fingerprint",
+    "text_snippets",
+    "text_rare_token_rate",
+    "text_readability",
+    "text_source_drift",
+    "text_bpe_pairs",
+    "text_gopher_rules",
+    "text_bpe_merge2",
+    "graph_build_edges",
+    "graph_degrees",
+    "graph_neighbors",
+    "graph_common_neighbors",
+    "graph_ego_edges",
+    "graph_twohop_count",
+    "graph_sample_nodes",
+    "graph_pagerank3",
+    "graph_network_payload",
+    "graph_neighbors_in",
+    "graph_link_prediction",
+    "graph_kcore",
+    "fn_string_core",
+    "fn_explode_tokens",
+    "fn_regex",
+    "fn_math",
+    "fn_conditional",
+    "fn_array_ops",
+    "fn_hash_md5",
+    "fn_fuzzy_levenshtein",
+    "mm_stratified_sample",
+    "ts_sliding_distinct",
+    "join_left_outer",
+    "limit_unordered",
+    "source_range",
+    "join_asof_tolerance",
+]
+
+#: The 3 OLDEST r09-vintage rows in registry order; 47 r09 queries
+#: remain for the round-17 rotation (no further bound relaxation
+#: needed — `latest <= 9` already admits them, the r12 precedent).
+_R16_STALE_R09 = [
+    "sim_ann_recall",
+    "sim_rrf_fusion",
+    "sim_recall_at_k_curve",
+]
+
+prioritize(_R16_NEW + _R16_STALE_R08 + _R16_STALE_R09)
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

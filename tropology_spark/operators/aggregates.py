@@ -2197,9 +2197,11 @@ def _hll_curve_oracle() -> str:
     SELECT agg.m, ex.n_exact, agg.v_empty, agg.s_carrier,
            CAST((agg.am * agg.m * agg.m * (1::BIGINT << 33))
                 // (1000 * agg.s_carrier) AS BIGINT) AS hll_est,
-           CAST((1000000 * ((agg.am * agg.m * agg.m * (1::BIGINT << 33))
-                            // (1000 * agg.s_carrier)))
-                // ex.n_exact AS BIGINT) AS ratio_ppm
+           CAST(CASE WHEN ex.n_exact = 0 THEN NULL
+                     ELSE (1000000 * ((agg.am * agg.m * agg.m
+                                       * (1::BIGINT << 33))
+                                      // (1000 * agg.s_carrier)))
+                          // ex.n_exact END AS BIGINT) AS ratio_ppm
     FROM agg CROSS JOIN ex
     """
 
@@ -2234,7 +2236,10 @@ def agg_hll_m_curve(
     a join).  ``o=`` overrides the orders frame (branch-coverage
     injection: a single-key corpus reaches the empty-register
     m0 = 0 / v_empty spine branch deterministically at every m — the
-    driver contract never passes it)."""
+    driver contract never passes it).  ratio_ppm NULL-guards
+    n_exact = 0 in BOTH engines (ADVICE r15 — reachable only through
+    an empty/all-NULL-key ``o=`` injection; the fixture always has
+    customers)."""
     if o is None:
         o = load(spark, sf_dir, "orders")
     md = F.md5(F.col("o_custkey").cast("string"))
@@ -2297,9 +2302,10 @@ def agg_hll_m_curve(
             "v_empty",
             "s_carrier",
             "hll_est",
-            F.expr("CAST((1000000 * hll_est) div n_exact AS BIGINT)").alias(
-                "ratio_ppm"
-            ),
+            F.expr(
+                "CAST(CASE WHEN n_exact = 0 THEN NULL"
+                " ELSE (1000000 * hll_est) div n_exact END AS BIGINT)"
+            ).alias("ratio_ppm"),
         )
     )
 
@@ -2438,3 +2444,109 @@ def agg_join_size_ams(
 
 
 agg_join_size_ams.__doc__ = agg_join_size_ams.__doc__.format(q=_JSZ_QTY)
+
+
+# ---------------------------------------------------------------------------
+# agg_higher_moments_terms (M327) — exact power sums + central carriers
+# ---------------------------------------------------------------------------
+
+_HM_BIG = 10**13  # shift for the signed m3 division, sized from the
+# domain bound |sum (x-mu)^3| <= n*50^3 (quantity <= 50): covers n to
+# ~10^7 group rows (the r17 Lehr lesson -- domain bound, not habit).
+# Bound re-derived + adversarially floor-pinned in tests/
+# test_units.py::test_registered_shift_constants_sized_from_domain_bounds.
+
+
+@register(
+    "agg_higher_moments_terms",
+    oracle=f"""
+    WITH q AS (
+      SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS x
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(x * x) AS BIGINT) AS s2,
+             CAST(sum(x * x * x) AS BIGINT) AS s3,
+             CAST(sum(x * x * x * x) AS BIGINT) AS s4
+      FROM q GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, s1, s2, s3, s4,
+           CAST((CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1) // n
+                AS BIGINT) AS m2c,
+           CAST((CAST(n AS HUGEINT) * n * s3
+                 - 3 * CAST(n AS HUGEINT) * s1 * s2
+                 + 2 * CAST(s1 AS HUGEINT) * s1 * s1
+                 + CAST({_HM_BIG} AS HUGEINT) * (CAST(n AS HUGEINT) * n))
+                // (CAST(n AS HUGEINT) * n) - {_HM_BIG} AS BIGINT) AS m3c,
+           CAST((CAST(n AS HUGEINT) * n * n * s4
+                 - 4 * CAST(n AS HUGEINT) * n * s1 * s3
+                 + 6 * CAST(n AS HUGEINT) * s1 * s1 * s2
+                 - 3 * CAST(s1 AS HUGEINT) * s1 * s1 * s1)
+                // (CAST(n AS HUGEINT) * n * n) AS BIGINT) AS m4c
+    FROM s
+    """,
+)
+def agg_higher_moments_terms(
+    spark: SparkSession, sf_dir: str, li: DataFrame | None = None
+) -> DataFrame:
+    """M327 — HIGHER-MOMENT terms of line quantity per return flag:
+    the exact power sums n, Σx, Σx², Σx³, Σx⁴ (quantity is an integral
+    1..50 domain — the safe axis for fourth powers) plus the assembled
+    CENTRAL-moment carriers as single integral divisions: m2c =
+    (nΣx² − (Σx)²) div n ≡ ⌊Σ(x−μ)²⌋, m3c = (n²Σx³ − 3nΣxΣx² +
+    2(Σx)³) div n² ≡ ⌊Σ(x−μ)³⌋ (SIGNED numerator → the +BIG·den shift
+    identity), m4c likewise at n³ (provably non-negative, plain
+    floor).  Skewness and kurtosis — the distribution-SHAPE monitors
+    a data-quality pipeline tracks beyond M15's mean/variance — are
+    client-side ratios of these exact integers (*_terms discipline:
+    the fractional powers stay outside the hash gate).
+
+    Intermediates ride HUGEINT/DECIMAL(38,0) (M192 rule); the
+    documented headroom bound is (Σx)⁴ < 10³⁸ — holds through a 100×
+    corpus replication of sf0.1 (Σx ≈ 7.5e9 → 3.2e39 exceeds it at
+    ~100×; group-level sums in this fixture are 1000× below the
+    ceiling).  Scale: ONE map-side-combinable aggregate — power sums
+    are the canonical mergeable statistic (M187's audit shape).
+
+    ``li=`` substitutes the lineitem frame for probes (the
+    adversarial negative-skew m3c floor pin); the driver contract
+    never passes it."""
+    if li is None:
+        li = load(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_returnflag",
+        F.round(F.col("l_quantity")).cast("bigint").alias("x"),
+    )
+    s = q.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).cast("bigint").alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x"))
+        .cast("bigint")
+        .alias("s4"),
+    )
+    return s.select(
+        "l_returnflag", "n", "s1", "s2", "s3", "s4",
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1)"
+            " div n AS BIGINT)"
+        ).alias("m2c"),
+        F.expr(
+            f"CAST((CAST(n AS DECIMAL(38,0)) * n * s3"
+            f" - 3 * CAST(n AS DECIMAL(38,0)) * s1 * s2"
+            f" + 2 * CAST(s1 AS DECIMAL(38,0)) * s1 * s1"
+            f" + CAST({_HM_BIG} AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n))"
+            f" div (CAST(n AS DECIMAL(38,0)) * n) - {_HM_BIG} AS BIGINT)"
+        ).alias("m3c"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * n * n * s4"
+            " - 4 * CAST(n AS DECIMAL(38,0)) * n * s1 * s3"
+            " + 6 * CAST(n AS DECIMAL(38,0)) * s1 * s1 * s2"
+            " - 3 * CAST(s1 AS DECIMAL(38,0)) * s1 * s1 * s1)"
+            " div (CAST(n AS DECIMAL(38,0)) * n * n) AS BIGINT)"
+        ).alias("m4c"),
+    )

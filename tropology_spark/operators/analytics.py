@@ -2879,3 +2879,93 @@ def analytics_beta_posterior_terms(
             "      * (n_users + 3)) AS BIGINT)"
         ).alias("post_var_ppb"),
     )
+
+
+# ---------------------------------------------------------------------------
+# analytics_benford_audit (M319) — first-significant-digit profile vs Benford
+# ---------------------------------------------------------------------------
+
+#: Benford P(d) = log10(1 + 1/d) rounded to ppm — data-independent
+#: published constants (they sum to exactly 1,000,000 at this
+#: rounding), embedded as literals in BOTH engines.
+_BENFORD_PPM = (
+    (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+    (6, 66947), (7, 57992), (8, 51153), (9, 45757),
+)
+
+
+@register(
+    "analytics_benford_audit",
+    oracle=f"""
+    WITH o AS (
+      SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+    ),
+    obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+            FROM o GROUP BY digit),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM o),
+    bf(digit, benford_ppm) AS (VALUES
+      {", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM)})
+    SELECT CAST(bf.digit AS BIGINT) AS digit,
+           CAST(coalesce(obs.n_obs, 0) AS BIGINT) AS n_obs,
+           CAST((1000000 * coalesce(obs.n_obs, 0)) // n.nt AS BIGINT)
+             AS obs_ppm,
+           CAST(bf.benford_ppm AS BIGINT) AS benford_ppm,
+           CAST((1000000 * coalesce(obs.n_obs, 0)) // n.nt
+                - bf.benford_ppm AS BIGINT) AS dev_ppm
+    FROM bf LEFT JOIN obs ON bf.digit = obs.digit
+    CROSS JOIN n
+    """,
+)
+def analytics_benford_audit(
+    spark: SparkSession, sf_dir: str, orders: DataFrame | None = None
+) -> DataFrame:
+    """M319 — BENFORD'S-LAW first-digit audit of order totals (in
+    cents, so the digit extraction is exact integer string work): per
+    leading digit 1-9, the observed count, observed ppm, the published
+    Benford expectation P(d) = log10(1+1/d) as fixed ppm constants
+    (data-independent literals in both engines — the ln/log10
+    transcendentals never enter the hash gate), and the signed
+    deviation — the forensic-accounting / synthetic-data screen every
+    financial pipeline runs (invented amounts are Benford-deviant;
+    so are unit-price × round-quantity artifacts, which is exactly
+    what this fixture exposes).
+
+    Scale: one map-side-combinable digit rollup; the 9-row spine
+    zero-fills absent digits and carries the corpus total on the
+    bounded digit axis (pmod-constant-key window — no scalar attach).
+
+    ``orders=`` substitutes the order frame for probes (the
+    absent-digit zero-fill injection); the driver contract never
+    passes it."""
+    if orders is None:
+        orders = load(spark, sf_dir, "orders")
+    o = orders.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    obs = o.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    bf = spark.createDataFrame(list(_BENFORD_PPM), "digit long, benford_ppm long")
+    w = Window.partitionBy(F.pmod(F.col("digit"), F.lit(1)))
+    full = (
+        bf.join(obs, "digit", "left")
+        .withColumn("n_obs", F.coalesce(F.col("n_obs"), F.lit(0)).cast("bigint"))
+        .withColumn("nt", F.sum("n_obs").over(w).cast("bigint"))
+    )
+    return full.select(
+        F.col("digit").cast("bigint").alias("digit"),
+        "n_obs",
+        F.expr("(1000000 * n_obs) div nt").cast("bigint").alias("obs_ppm"),
+        F.col("benford_ppm").cast("bigint").alias("benford_ppm"),
+        (
+            F.expr("(1000000 * n_obs) div nt") - F.col("benford_ppm")
+        )
+        .cast("bigint")
+        .alias("dev_ppm"),
+    )

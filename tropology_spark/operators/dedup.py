@@ -1577,3 +1577,134 @@ def dedup_minhash_estimate_error(
         "jac_ppm",
         F.abs(F.col("est_ppm") - F.col("jac_ppm")).cast("bigint").alias("err_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_k_curve (M324) — MinHash estimator error vs k, ONE sig pass
+# ---------------------------------------------------------------------------
+
+
+def _minhash_k_oracle() -> str:
+    agree8 = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(8)
+    )
+    agree16 = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(len(_MH_PERMS))
+    )
+    return (
+        _minhash_sig_cte()
+        + _band_rows_cte()
+        + f"""
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    agr AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST({agree8} AS BIGINT) AS agree8,
+             CAST({agree16} AS BIGINT) AS agree16
+      FROM cand c JOIN sig a ON a.doc_id = c.doc_a
+                  JOIN sig b ON b.doc_id = c.doc_b
+    ),
+    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    itr AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.token = sa.token
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT agr.doc_a, agr.doc_b, agr.agree8, agr.agree16,
+             CAST((1000000 * coalesce(itr.inter, 0))
+                  // (za.n + zb.n - coalesce(itr.inter, 0)) AS BIGINT) AS jac_ppm
+      FROM agr
+      JOIN sz za ON za.doc_id = agr.doc_a
+      JOIN sz zb ON zb.doc_id = agr.doc_b
+      LEFT JOIN itr ON itr.doc_a = agr.doc_a AND itr.doc_b = agr.doc_b
+    ),
+    ks AS (
+      SELECT 8 AS k, abs(125000 * agree8 - jac_ppm) AS aerr FROM pairs
+      UNION ALL
+      SELECT 16, abs(62500 * agree16 - jac_ppm) FROM pairs
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN aerr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(sum(aerr) AS BIGINT) AS sum_abs_err_ppm,
+           CAST(max(aerr) AS BIGINT) AS max_abs_err_ppm
+    FROM ks GROUP BY k
+    """
+    )
+
+
+@register("dedup_minhash_k_curve", oracle=_minhash_k_oracle())
+def dedup_minhash_k_curve(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """M324 — the MinHash K tuning curve: per-pair estimator error at
+    k = 8 (the FIRST 8 permutations — a strict prefix of the 16, so
+    one signature pass serves both points: the curve-over-prefix rule)
+    vs k = 16, aggregated over the J3 candidate pairs as n_pairs /
+    exactly-estimated count / total and worst |est − exact| ppm — the
+    memory-accuracy axis (err ~ 1/√k) that M284 fixes at k=16,
+    completing the family: M264 tunes (b,r), this tunes k.
+
+    Composed, not copied: the per-pair agree16/exact-Jaccard base IS
+    the registered dedup_minhash_estimate_error frame (QUERIES
+    composition, the dedup_lsh_recall rule); only the prefix agreement
+    agree8 is joined on from the shared minhash_sigs_frame.  Scale:
+    everything is bounded by the banded candidate set; the k axis is
+    a ×2 explode on the pair rows.
+
+    ``docs=`` substitutes the document frame for probes; the driver
+    contract never passes it."""
+    from tropology_spark.registry import QUERIES
+
+    base = QUERIES["dedup_minhash_estimate_error"](spark, sf_dir, docs=docs)
+    sigs = minhash_sigs_frame(spark, sf_dir, docs=docs)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    agree8 = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    pairs = (
+        base.join(a, base.doc_a == F.col("a.doc_id"))
+        .join(b, base.doc_b == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "jac_ppm",
+            F.col("agree").alias("agree16"),
+            agree8.cast("bigint").alias("agree8"),
+        )
+    )
+    ks = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(8).cast("bigint").alias("k"),
+                    F.abs(F.lit(125000) * F.col("agree8") - F.col("jac_ppm"))
+                    .cast("bigint")
+                    .alias("aerr"),
+                ),
+                F.struct(
+                    F.lit(16).cast("bigint").alias("k"),
+                    F.abs(F.lit(62500) * F.col("agree16") - F.col("jac_ppm"))
+                    .cast("bigint")
+                    .alias("aerr"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.k", "r.aerr")
+    return ks.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("aerr") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.sum("aerr").cast("bigint").alias("sum_abs_err_ppm"),
+        F.max("aerr").cast("bigint").alias("max_abs_err_ppm"),
+    )

@@ -26,7 +26,7 @@ each wedge closed once instead of six times.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tropology_spark.operators.graph import TWOHOP_DEGREE_CAP
@@ -1238,4 +1238,146 @@ def graph_rich_club_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("density_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_wedge_sample_closure (M323) — closure rate on md5-sampled wedges
+# ---------------------------------------------------------------------------
+
+_WS_MODS = (1, 4, 16)
+
+
+def _wedge_sample_oracle() -> str:
+    mods = ", ".join(str(s) for s in _WS_MODS)
+    return (
+        _CAPPED_PROJ_CTE
+        + f"""
+    , und AS (SELECT u AS x, v AS y FROM proj0
+              UNION ALL SELECT v, u FROM proj0),
+    wed AS (
+      SELECT a.x, a.y AS u, b.y AS w,
+             ('0x' || substring(md5(CAST(a.x AS VARCHAR) || '_'
+                  || CAST(a.y AS VARCHAR) || '_'
+                  || CAST(b.y AS VARCHAR)), 1, 8))::BIGINT AS hk
+      FROM und a JOIN und b ON a.x = b.x AND a.y < b.y
+    ),
+    wc AS (
+      SELECT wed.*, CASE WHEN p.u IS NULL THEN 0 ELSE 1 END AS closed
+      FROM wed LEFT JOIN proj0 p ON p.u = wed.u AND p.v = wed.w
+    ),
+    per AS (
+      SELECT s.s,
+             CAST(count(*) AS BIGINT) AS n_wedges,
+             CAST(sum(closed) AS BIGINT) AS n_closed
+      FROM wc JOIN (SELECT unnest([{mods}]) AS s) s ON wc.hk % s.s = 0
+      GROUP BY s.s
+    )
+    SELECT CAST(s AS BIGINT) AS s, n_wedges, n_closed,
+           CAST(CASE WHEN n_wedges = 0 THEN NULL
+                     ELSE (1000000 * n_closed) // n_wedges END AS BIGINT)
+             AS closure_ppm,
+           CAST(CASE WHEN n_wedges = 0 THEN NULL
+                     ELSE (1000000 * n_closed) // n_wedges
+                          - max(CASE WHEN s = 1 THEN
+                                  (1000000 * n_closed) // n_wedges END)
+                              OVER () END AS BIGINT) AS dev_ppm
+    FROM per
+    """
+    )
+
+
+@register("graph_wedge_sample_closure", oracle=_wedge_sample_oracle())
+def graph_wedge_sample_closure(
+    spark: SparkSession, sf_dir: str, proj: DataFrame | None = None
+) -> DataFrame:
+    """M323 — WEDGE-SAMPLED closure rate (the approximate
+    triangle-counting audit, Seshadhri et al.): enumerate the capped
+    projection's wedges, sample them by the deterministic md5 key at
+    moduli s ∈ 1/4/16 (power-of-two moduli NEST: the s=16 sample is a
+    subset of the s=4 sample — twin-pinned containment), and report
+    per modulus the sampled wedge count, closed count, closure ppm and
+    the signed deviation from the full (s=1) truth — exactly M231's
+    global clustering coefficient, estimated from 1/s of the work.
+    At 100 TB wedge enumeration is THE cost (Σ C(d,2)); this measures
+    what sampling buys and what it costs in accuracy, on the same
+    hub-capped projection the exact ops run.
+
+    Composed, not copied: the Spark side reads the session-shared
+    copurchase_projection view; the oracle extends _CAPPED_PROJ_CTE
+    (the M120/M204/M213/M231 single home).  The ×3 modulus axis rides
+    an explode on the wedge rows; the closed test is one LEFT
+    equi-join against the projection — no BNLJ anywhere.  A modulus
+    that samples ZERO wedges emits NO row (groupBy on observed keys
+    only, both engines — injection-pinned in tests/test_r16_twins.py).
+
+    ``proj=`` substitutes the projection frame for probes; the driver
+    contract never passes it."""
+    if proj is None:
+        proj = copurchase_projection(spark, sf_dir, hub_cap=_HUB_CAP)
+    und = proj.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+        proj.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    a = und.select("x", F.col("y").alias("wu"))
+    b = und.select("x", F.col("y").alias("ww"))
+    wed = (
+        a.join(b, "x")
+        .filter(F.col("wu") < F.col("ww"))
+        .select(
+            "x",
+            "wu",
+            "ww",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws("_", F.col("x"), F.col("wu"), F.col("ww"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("hk"),
+        )
+    )
+    pr = proj.select(F.col("u").alias("wu"), F.col("v").alias("ww"), F.lit(1).alias("cl"))
+    wc = wed.join(pr, ["wu", "ww"], "left").select(
+        "hk", F.coalesce(F.col("cl"), F.lit(0)).alias("closed")
+    )
+    per = (
+        wc.select(
+            "hk",
+            "closed",
+            F.explode(F.array(*[F.lit(s) for s in _WS_MODS])).alias("s"),
+        )
+        .filter(F.col("hk") % F.col("s") == 0)
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_wedges"),
+            F.sum("closed").cast("bigint").alias("n_closed"),
+        )
+    )
+    w = Window.partitionBy(F.pmod(F.col("s"), F.lit(1)))
+    rate = F.expr(
+        "CASE WHEN n_wedges = 0 THEN NULL"
+        " ELSE (1000000 * n_closed) div n_wedges END"
+    )
+    return per.select(
+        F.col("s").cast("bigint").alias("s"),
+        "n_wedges",
+        "n_closed",
+        rate.cast("bigint").alias("closure_ppm"),
+    ).select(
+        "s",
+        "n_wedges",
+        "n_closed",
+        "closure_ppm",
+        (
+            F.col("closure_ppm")
+            - F.max(F.when(F.col("s") == 1, F.col("closure_ppm"))).over(w)
+        )
+        .cast("bigint")
+        .alias("dev_ppm"),
     )

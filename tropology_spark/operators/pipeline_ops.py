@@ -4391,3 +4391,183 @@ def pipeline_contamination_ngram_curve(
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# pipeline_consistent_hash_moves (M320) — mod vs ring reassignment at 8 -> 9
+# ---------------------------------------------------------------------------
+
+
+def _ch_oracle() -> str:
+    r8 = ", ".join(f"({s}, {r})" for s, _v, r in _RING8)
+    r9 = ", ".join(f"({s}, {r})" for s, _v, r in _RING9)
+    assign = """
+      SELECT h.doc_id,
+             (SELECT shard FROM {ring} rp
+              ORDER BY (rp.r - h.h + {m}) % {m}, rp.shard, rp.r
+              LIMIT 1) AS a
+      FROM h"""
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM documents
+    ),
+    ring8(shard, r) AS (VALUES {r8}),
+    ring9(shard, r) AS (VALUES {r9}),
+    a8 AS ({assign.format(ring="ring8", m=_CH_MOD)}),
+    a9 AS ({assign.format(ring="ring9", m=_CH_MOD)}),
+    per AS (
+      SELECT h.doc_id,
+             h.h % 8 AS m8, h.h % 9 AS m9,
+             a8.a AS r8a, a9.a AS r9a
+      FROM h JOIN a8 ON h.doc_id = a8.doc_id
+             JOIN a9 ON h.doc_id = a9.doc_id
+    )
+    SELECT method, n_keys, n_moved,
+           CAST((1000000 * n_moved) // n_keys AS BIGINT) AS moved_ppm,
+           n_to_new
+    FROM (
+      SELECT 'mod' AS method,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(CASE WHEN m8 <> m9 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved,
+             CAST(sum(CASE WHEN m8 <> m9 AND m9 = 8 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_to_new
+      FROM per
+      UNION ALL
+      SELECT 'ring',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN r8a <> r9a THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN r8a <> r9a AND r9a = 8 THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM per
+    ) t
+    """
+
+
+@register("pipeline_consistent_hash_moves", oracle=_ch_oracle())
+def pipeline_consistent_hash_moves(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """M320 — CONSISTENT-HASHING reassignment audit: grow the shard
+    count 8 → 9 and count, per placement scheme, how many keys MOVE —
+    mod hashing reassigns ~8/9 of the corpus (every residue shifts),
+    the consistent ring (4 virtual nodes per shard, md5 ring
+    positions, successor assignment) reassigns ~1/(n+1), and EVERY
+    ring-moved key lands on the NEW shard (n_moved == n_to_new for
+    'ring' — the structural guarantee, twin-pinned; under mod it is a
+    ~1/9 coincidence).  This is the shuffle-economics argument for
+    ring-partitioned layouts at 100 TB: re-sharding cost is
+    proportional to 1/n of the data, not all of it.
+
+    Determinism: key hash = md5-low-32 of doc_id; ring positions are
+    import-time md5 literals embedded in BOTH engines (the _CMS_ROWS
+    constant discipline — the twin re-derives them with hashlib).
+    Scale: the ring is a 36-row broadcast riding an EXPLODE on the key
+    rows (no BNLJ); assignment is one per-key min-struct aggregation —
+    map-side combinable.
+
+    ``docs=`` substitutes the document frame for probes; the driver
+    contract never passes it."""
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    per = (
+        h.select(
+            "doc_id",
+            (F.col("h") % 8).alias("m8"),
+            (F.col("h") % 9).alias("m9"),
+        )
+        .join(ring_assign(h, _RING8, "r8a"), "doc_id")
+        .join(ring_assign(h, _RING9, "r9a"), "doc_id")
+    )
+
+    def row(method: str, old: str, new: str) -> DataFrame:
+        return per.agg(
+            F.lit(method).alias("method"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.when(F.col(old) != F.col(new), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_moved"),
+            F.sum(
+                F.when((F.col(old) != F.col(new)) & (F.col(new) == 8), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_to_new"),
+        ).select(
+            "method",
+            "n_keys",
+            "n_moved",
+            F.expr("(1000000 * n_moved) div n_keys").cast("bigint").alias("moved_ppm"),
+            "n_to_new",
+        )
+
+    return row("mod", "m8", "m9").unionByName(row("ring", "r8a", "r9a"))
+
+
+# ---------------------------------------------------------------------------
+# pipeline_ldiversity_audit (M322) — l-diversity per quasi-identifier group
+# ---------------------------------------------------------------------------
+
+_LDIV_BUCKET = 200  # n_chars generalization width (the QI coarsening)
+
+
+@register(
+    "pipeline_ldiversity_audit",
+    oracle=f"""
+    SELECT source,
+           CAST(n_chars // {_LDIV_BUCKET} AS BIGINT) AS size_bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT lang) AS BIGINT) AS l_distinct,
+           CAST(CASE WHEN count(DISTINCT lang) < 2 THEN 1 ELSE 0 END AS BIGINT)
+             AS below_l2,
+           CAST(CASE WHEN count(DISTINCT lang) < 3 THEN 1 ELSE 0 END AS BIGINT)
+             AS below_l3
+    FROM documents
+    GROUP BY source, n_chars // {_LDIV_BUCKET}
+    """,
+)
+def pipeline_ldiversity_audit(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """M322 — L-DIVERSITY audit over the quasi-identifier tuple
+    (source, generalized length bucket) with ``lang`` as the sensitive
+    attribute: per equivalence class, the row count AND the number of
+    DISTINCT sensitive values, plus the l<2 / l<3 violation flags —
+    the privacy gate k-anonymity (M115) cannot express: a class of
+    1,000 rows that all share one language still discloses the
+    attribute of every member (the homogeneity attack Machanavajjhala
+    et al. named l-diversity to stop).  Release rule: suppress or
+    re-generalize every below-l class before the corpus ships.
+
+    Scale: one aggregate keyed by the QI tuple; count(DISTINCT) over
+    the bounded sensitive domain is a partial-agg-friendly shuffle of
+    (QI, lang) projections; the violation list is |distinct QI| rows.
+
+    ``docs=`` substitutes the document frame for probes; the driver
+    contract never passes it."""
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    g = d.groupBy(
+        "source",
+        F.expr(f"n_chars div {_LDIV_BUCKET}").cast("bigint").alias("size_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("lang").cast("bigint").alias("l_distinct"),
+    )
+    return g.select(
+        "source",
+        "size_bucket",
+        "n_rows",
+        "l_distinct",
+        F.when(F.col("l_distinct") < 2, 1).otherwise(0).cast("bigint").alias(
+            "below_l2"
+        ),
+        F.when(F.col("l_distinct") < 3, 1).otherwise(0).cast("bigint").alias(
+            "below_l3"
+        ),
+    )

@@ -3969,8 +3969,13 @@ def sim_dim_variance_profile(
     n·Σvm² ≈ n²·(6·10⁵)² passes BIGINT at ~2.5·10³ vectors… the
     FIXTURE's 2·10³ stays under, but a regenerated or scaled corpus
     would not, so the wide-integer rule applies unconditionally) and
-    the result casts back to BIGINT while n ≤ ~10⁷ (docstring bound;
-    past that, normalize first).  The rank window rides the pmod
+    the result casts back to BIGINT only while n ≤ √(2⁶³/var(vm)) —
+    ~5·10³ vectors at the worst-case ±6·10⁵ component spread, ~10⁵ at
+    a typical 10¹⁰-µ² per-dimension variance (ADVICE r15: the earlier
+    ~10⁷ figure was off by orders of magnitude).  Both engines raise
+    loudly on overflow (ANSI / HUGEINT→BIGINT cast); past the bound,
+    normalize per-dimension first or consume the DECIMAL upstream of
+    the cast.  The rank window rides the pmod
     constant key over the 64-row dimension table.  Scale: ONE
     map-side-combinable agg over the exploded (pos, vm) projection —
     corpus-linear, no joins; the profile is d rows.  ``e=`` overrides
@@ -4004,4 +4009,210 @@ def sim_dim_variance_profile(
         "sum_vm2",
         "var_num",
         F.row_number().over(w).cast("bigint").alias("rk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_anisotropy_terms (M318) — one-pass embedding anisotropy diagnostic
+# ---------------------------------------------------------------------------
+
+# Shift constants for the two signed integral divisions, sized from
+# DOMAIN BOUNDS (the r17 Lehr lesson — never size a shift by habit):
+# |mean pair dot| <= mean norm^2 <= 64e12 u^2 (components cap at 1e6),
+# so the pair carrier shifts by 1e14; |ani| <= 1e6 ppm by
+# Cauchy-Schwarz, so the ppm carrier shifts by 1e7.  (The original
+# shared 1e9 was too small for anti-aligned corpora — both engines
+# truncated identically so parity couldn't see it; the Gram-identity
+# hypothesis suite caught it.)  Bounds re-derived + adversarially
+# floor-pinned in tests/test_units.py::
+# test_registered_shift_constants_sized_from_domain_bounds.
+_ANI_BIG_PAIR = 10**14
+_ANI_BIG_PPM = 10**7
+
+
+@register(
+    "sim_anisotropy_terms",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) s
+    ),
+    exm AS (
+      SELECT vec_id, pos, CAST(round(val * 1000000) AS BIGINT) AS vm FROM ex
+    ),
+    per_pos AS (
+      SELECT pos,
+             CAST(sum(vm) AS BIGINT) AS s_pos,
+             CAST(sum(vm * vm) AS BIGINT) AS ssq_pos,
+             CAST(count(*) AS BIGINT) AS cnt_pos
+      FROM exm GROUP BY pos
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt_pos) // 64 AS BIGINT) AS n,
+             CAST(sum(ssq_pos) AS HUGEINT) AS sn2,
+             sum(CAST(s_pos AS HUGEINT) * s_pos) AS gram
+      FROM per_pos
+    )
+    SELECT CAST(n AS BIGINT) AS n_vectors,
+           CAST(sn2 AS BIGINT) AS sum_norm2_u2,
+           CAST(sn2 // n AS BIGINT) AS mean_norm2_u2,
+           CAST(gram // n AS BIGINT) AS gram_div_n,
+           CAST((gram - sn2 + CAST({_ANI_BIG_PAIR} AS HUGEINT) * (n * (n - 1)))
+                // (n * (n - 1)) - {_ANI_BIG_PAIR} AS BIGINT) AS mean_pair_dot_u2,
+           CAST((1000000 * (gram - sn2)
+                 + CAST({_ANI_BIG_PPM} AS HUGEINT) * ((n - 1) * sn2))
+                // ((n - 1) * sn2) - {_ANI_BIG_PPM} AS BIGINT) AS ani_ppm
+    FROM tot
+    """,
+)
+def sim_anisotropy_terms(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
+    """M318 — embedding ANISOTROPY terms (Ethayarajh's diagnostic; an
+    isotropic embedding space has mean pairwise cosine ≈ 0, a
+    collapsed one ≈ 1 — the single number that says whether cosine
+    similarity is still informative before any retrieval tier is
+    tuned): mean pairwise dot (µ-unit², over ALL n(n−1) ordered
+    pairs) and its ratio to the mean squared norm in ppm.  The
+    all-pairs sum NEVER materializes pairs — the Gram identity
+    Σ_{{i≠j}} <vi,vj> = |Σvi|² − Σ|vi|² turns it into per-dimension
+    component sums: one scan, one 64-row rollup, zero joins.
+
+    All integer: vm micro-carriers, gram/sn2 in HUGEINT/DECIMAL(38,0)
+    (M192 rule), and the two signed ratios through the +BIG·den shift
+    identity (floor == truncate).  Scale: the per-pos partial is
+    map-side combinable — the 100 TB cost is exactly one corpus scan,
+    which is why this is THE cheap drift probe to run before the
+    O(n·k) quantizer retrain (sim_quantizer_drift, M305).
+
+    ``e=`` substitutes the embedding frame for probes; the driver
+    contract never passes it."""
+    if e is None:
+        e = load(spark, sf_dir, "embeddings")
+    exm = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos0", "val")
+    ).select(
+        "vec_id",
+        F.round(F.col("val").cast("double") * 1_000_000)
+        .cast("bigint")
+        .alias("vm"),
+        (F.col("pos0") + 1).alias("pos"),
+    )
+    per_pos = exm.groupBy("pos").agg(
+        F.sum("vm").cast("bigint").alias("s_pos"),
+        F.sum(F.col("vm") * F.col("vm")).cast("bigint").alias("ssq_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt_pos"),
+    )
+    tot = per_pos.agg(
+        F.expr("sum(cnt_pos) div 64").cast("bigint").alias("n"),
+        F.sum("ssq_pos").cast("decimal(38,0)").alias("sn2"),
+        F.sum(F.expr("CAST(s_pos AS DECIMAL(38,0)) * s_pos")).alias("gram"),
+    )
+    return tot.select(
+        F.col("n").alias("n_vectors"),
+        F.col("sn2").cast("bigint").alias("sum_norm2_u2"),
+        F.expr("CAST(sn2 div n AS BIGINT)").alias("mean_norm2_u2"),
+        F.expr("CAST(gram div n AS BIGINT)").alias("gram_div_n"),
+        F.expr(
+            f"CAST((gram - sn2 + CAST({_ANI_BIG_PAIR} AS DECIMAL(38,0))"
+            f" * (n * (n - 1))) div (n * (n - 1)) - {_ANI_BIG_PAIR} AS BIGINT)"
+        ).alias("mean_pair_dot_u2"),
+        F.expr(
+            f"CAST((1000000 * (gram - sn2) + CAST({_ANI_BIG_PPM} AS DECIMAL(38,0))"
+            f" * ((n - 1) * sn2)) div ((n - 1) * sn2) - {_ANI_BIG_PPM} AS BIGINT)"
+        ).alias("ani_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_pq_k_curve (M325) — PQ distortion vs codebook size from ONE encode pass
+# ---------------------------------------------------------------------------
+
+_PQK_KS = (2, 4, 8)
+
+
+def _pq_k_oracle() -> str:
+    sel = " UNION ALL ".join(
+        f"SELECT vec_id, {k} AS k, sum(m{k}) AS qerr FROM best GROUP BY vec_id"
+        for k in _PQK_KS
+    )
+    mins = ", ".join(
+        f"min(CASE WHEN code <= {k} THEN d2 END) AS m{k}" for k in _PQK_KS
+    )
+    return (
+        _EX_CTE
+        + _PQ_ENC_CTE
+        + f""",
+    best AS (SELECT vec_id, s, {mins} FROM enc0 GROUP BY vec_id, s),
+    q AS ({sel})
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(CASE WHEN qerr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(sum(qerr) AS BIGINT) AS sum_qerr,
+           CAST(sum(qerr) // count(*) AS BIGINT) AS mean_qerr,
+           CAST(max(qerr) AS BIGINT) AS max_qerr
+    FROM q GROUP BY k
+    """
+    )
+
+
+@register("sim_pq_k_curve", oracle=_pq_k_oracle())
+def sim_pq_k_curve(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
+    """M325 — the PQ CODEBOOK-SIZE tuning curve: total / mean / worst
+    self-ADC distortion at k ∈ 2/4/8 codebook entries per subspace,
+    from ONE encode pass (the code sets nest — codes 1..2 ⊂ 1..4 ⊂
+    1..8 — so the per-(vector, subspace) minimum at every k is a
+    conditional min over the SAME enc0 table: the curve-over-prefix
+    rule on the code axis).  Distortion is provably non-increasing in
+    k (min over a superset — twin-pinned monotone), and n_zero == k is
+    the built-in anchor (exactly the k codebook vectors reconstruct
+    exactly).  M294 histograms the distortion AT k=8; this is the
+    memory-vs-distortion axis a PQ deployment sizes by — the third
+    index tuning curve after IVF n_probe (M263) and LSH (b,r) (M264).
+
+    Composed, not copied: the Spark side reuses the registered
+    _pq_exm/_pq_sub/_pq_cb/_pq_enc0 helpers; the oracle splices the
+    shared _PQ_ENC_CTE (the M104 single home).  Scale: one bounded
+    (n × subspaces × 8) encode table, one conditional-min rollup, a
+    ×3 explode on the per-vector rows — map-side combinable
+    throughout.
+
+    ``e=`` substitutes the embedding frame for probes; the driver
+    contract never passes it."""
+    if e is None:
+        e = load(spark, sf_dir, "embeddings")
+    sub = _pq_sub(_pq_exm(e))
+    enc0 = _pq_enc0(sub, _pq_cb(sub))
+    best = enc0.groupBy("vec_id", "s").agg(
+        *[
+            F.min(F.when(F.col("code") <= k, F.col("d2"))).alias(f"m{k}")
+            for k in _PQK_KS
+        ]
+    )
+    q = best.groupBy("vec_id").agg(
+        *[F.sum(f"m{k}").cast("bigint").alias(f"q{k}") for k in _PQK_KS]
+    )
+    ks = q.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("bigint").alias("k"),
+                        F.col(f"q{k}").alias("qerr"),
+                    )
+                    for k in _PQK_KS
+                ]
+            )
+        ).alias("r")
+    ).select("r.k", "r.qerr")
+    return ks.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(F.when(F.col("qerr") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+        F.sum("qerr").cast("bigint").alias("sum_qerr"),
+        F.expr("sum(qerr) div count(*)").cast("bigint").alias("mean_qerr"),
+        F.max("qerr").cast("bigint").alias("max_qerr"),
     )

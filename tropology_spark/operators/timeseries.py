@@ -3056,3 +3056,186 @@ def ts_paa_lb_audit(
             " ELSE (1000000 * lb3) div true3 END AS BIGINT)"
         ).alias("tight_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_triangle_downsample (M321) — largest-triangle decimation, bucket anchors
+# ---------------------------------------------------------------------------
+
+_LT_BUCKET_H = 6  # hours per bucket
+
+
+@register(
+    "ts_triangle_downsample",
+    oracle=f"""
+    WITH hc AS (
+      SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    hb AS (SELECT h, c, h // {_LT_BUCKET_H} AS b FROM hc),
+    bs AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(h) AS BIGINT) AS sh,
+                  CAST(sum(c) AS BIGINT) AS sc
+           FROM hb GROUP BY b),
+    a AS (
+      SELECT hb.b, hb.h, hb.c,
+             abs((hb.h * p.n - p.sh) * (nx.sc * p.n - p.sc * nx.n)
+                 - (nx.sh * p.n - p.sh * nx.n) * (hb.c * p.n - p.sc))
+               AS area2
+      FROM hb
+      JOIN bs p ON p.b = hb.b - 1
+      JOIN bs nx ON nx.b = hb.b + 1
+    )
+    SELECT b AS bucket, h, c, CAST(area2 AS BIGINT) AS area2
+    FROM (SELECT *, row_number() OVER (PARTITION BY b
+                                       ORDER BY area2 DESC, h) AS rk16
+          FROM a) t
+    WHERE rk16 = 1
+    """,
+)
+def ts_triangle_downsample(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """M321 — LARGEST-TRIANGLE downsampling of the hourly activity
+    series (the LTTB family, fixed-anchor variant: anchors are the
+    PREVIOUS and NEXT buckets' mean points, so every bucket's pick is
+    independent — the sequential previously-selected-point dependency
+    of classic LTTB is gone and the operator parallelizes per
+    bucket): within each {w}-hour bucket, keep the point whose
+    triangle against the neighbor-bucket means has the largest area —
+    the visually-dominant point a dashboard decimates to.
+
+    Exact: the doubled area is cleared of the two mean divisions by
+    P·N (both bucket populations), giving a pure integer
+    |cross-product| with a (area DESC, h) unique tie-break.  First and
+    last buckets (and gap-adjacent ones) have no neighbor row and
+    drop out of the equi-joins — the interior-bucket semantics.
+    Scale: one hourly rollup, one bounded bucket rollup, two
+    broadcast-size equi-joins, one per-bucket (real key) window.
+
+    ``events=`` substitutes the event frame for probes; the driver
+    contract never passes it."""
+    e = events if events is not None else load(spark, sf_dir, "events")
+    hc = e.groupBy(
+        F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    hb = hc.select("h", "c", F.expr(f"h div {_LT_BUCKET_H}").alias("b"))
+    bs = hb.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("h").cast("bigint").alias("sh"),
+        F.sum("c").cast("bigint").alias("sc"),
+    )
+    p = bs.select(
+        (F.col("b") + 1).alias("b"),
+        F.col("n").alias("pn"),
+        F.col("sh").alias("psh"),
+        F.col("sc").alias("psc"),
+    )
+    nx = bs.select(
+        (F.col("b") - 1).alias("b"),
+        F.col("n").alias("nn"),
+        F.col("sh").alias("nsh"),
+        F.col("sc").alias("nsc"),
+    )
+    a = (
+        hb.join(p, "b")
+        .join(nx, "b")
+        .select(
+            "b",
+            "h",
+            "c",
+            F.abs(
+                (F.col("h") * F.col("pn") - F.col("psh"))
+                * (F.col("nsc") * F.col("pn") - F.col("psc") * F.col("nn"))
+                - (F.col("nsh") * F.col("pn") - F.col("psh") * F.col("nn"))
+                * (F.col("c") * F.col("pn") - F.col("psc"))
+            ).alias("area2"),
+        )
+    )
+    w = Window.partitionBy("b").orderBy(F.desc("area2"), F.asc("h"))
+    return (
+        a.withColumn("rk16", F.row_number().over(w))
+        .filter(F.col("rk16") == 1)
+        .select(
+            F.col("b").alias("bucket"),
+            "h",
+            "c",
+            F.col("area2").cast("bigint").alias("area2"),
+        )
+    )
+
+
+ts_triangle_downsample.__doc__ = ts_triangle_downsample.__doc__.format(
+    w=_LT_BUCKET_H
+)
+
+
+# ---------------------------------------------------------------------------
+# ts_local_maxima (M326) — strict per-type daily local maxima with sharpness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_local_maxima",
+    oracle="""
+    WITH dc AS (
+      SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT m.event_type, m.d AS day, m.c,
+           p.c AS prev_c, n.c AS next_c,
+           CAST(2 * m.c - p.c - n.c AS BIGINT) AS sharp2
+    FROM dc m
+    JOIN dc p ON p.event_type = m.event_type AND p.d = m.d - 1
+    JOIN dc n ON n.event_type = m.event_type AND n.d = m.d + 1
+    WHERE m.c > p.c AND m.c > n.c
+    """,
+)
+def ts_local_maxima(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """M326 — strict LOCAL MAXIMA of the per-type daily activity
+    series (consecutive-day triples only: a day qualifies iff both
+    calendar neighbors have rows for the type and it strictly exceeds
+    both — gap- and boundary-adjacent days drop out of the equi-joins,
+    the ts_seasonal_naive_error rule that row-lags silently violate),
+    with the discrete-Laplacian sharpness 2c − c_prev − c_next — the
+    peak-detection primitive under burst/campaign attribution (M171
+    flags level bursts against a global threshold; this finds SHAPE —
+    days that stick up from their immediate neighborhood, at any
+    level).
+
+    Scale: events collapse map-side to the O(types × days) table;
+    the neighbor tests are two self equi-joins on the integer day
+    key — broadcastable, no windows, no inequality joins.
+
+    ``events=`` substitutes the event frame for probes; the driver
+    contract never passes it."""
+    e = events if events is not None else load(spark, sf_dir, "events")
+    dc = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    p = dc.select(
+        "event_type", (F.col("d") + 1).alias("d"), F.col("c").alias("prev_c")
+    )
+    n = dc.select(
+        "event_type", (F.col("d") - 1).alias("d"), F.col("c").alias("next_c")
+    )
+    return (
+        dc.join(p, ["event_type", "d"])
+        .join(n, ["event_type", "d"])
+        .filter((F.col("c") > F.col("prev_c")) & (F.col("c") > F.col("next_c")))
+        .select(
+            "event_type",
+            F.col("d").alias("day"),
+            "c",
+            "prev_c",
+            "next_c",
+            (2 * F.col("c") - F.col("prev_c") - F.col("next_c"))
+            .cast("bigint")
+            .alias("sharp2"),
+        )
+    )

@@ -112,16 +112,21 @@ def _ckpt_same_dir(active: str, env: str) -> bool:
     authority-qualified, so the fallback compares PATH components
     only — otherwise every in-loop materialization would re-apply
     setCheckpointDir and spray each checkpoint into a fresh uuid
-    root.  An env value carrying its own scheme/authority keeps the
-    strict authority-inclusive comparison (switching clusters must
-    re-apply)."""
+    root.  The same path-only fallback applies to a scheme-qualified
+    but AUTHORITY-LESS env value (``hdfs:/shared/ckpt`` — Hadoop
+    resolves it against the default authority, so the active dir
+    comes back authority-qualified while the env side normalizes to
+    the bare path; ADVICE r15).  Only an env value carrying its own
+    ``scheme://authority`` keeps the strict authority-inclusive
+    comparison (switching clusters must re-apply)."""
     import re
 
     a_parent = os.path.dirname(_ckpt_norm(active))
     e = _ckpt_norm(env)
     if a_parent == e:
         return True
-    if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", env):
+    m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:(//)?", env)
+    if m is None or m.group(1) is None:
         return _authority_free(a_parent) == e
     return False
 
