@@ -108,6 +108,26 @@ def test_benford_absent_digit_zero_fill_injection(spark):
             assert got[d] == (0, 0, -p)
 
 
+def test_benford_population_excludes_nonpositive_totals(spark):
+    """M319 population rule (self-review r16) — zero, negative and
+    NULL totals are OUT of the Benford population in BOTH engines
+    (the law is defined for positive magnitudes; a negative total's
+    '-' first char would otherwise fail the ANSI BIGINT cast and a
+    zero/NULL row would desynchronize the two denominators): only the
+    one positive row counts, nt = 1."""
+    odf = spark.createDataFrame(
+        [(1.23,), (0.00,), (-5.00,), (None,)], "o_totalprice double"
+    )
+    got = {
+        r["digit"]: (r["n_obs"], r["obs_ppm"])
+        for r in QUERIES["analytics_benford_audit"](
+            spark, "unused", orders=odf
+        ).collect()
+    }
+    assert got[1] == (1, 1_000_000)
+    assert all(got[d] == (0, 0) for d in range(2, 10))
+
+
 def _ch_twin(doc_ids):
     """Pure-hashlib twin of the consistent-hash audit: ring points
     re-derived independently, per-key mod and successor assignments,

@@ -2901,6 +2901,7 @@ _BENFORD_PPM = (
       SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
                                  AS VARCHAR), 1, 1) AS BIGINT) AS digit
       FROM orders
+      WHERE CAST(round(o_totalprice * 100) AS BIGINT) >= 1
     ),
     obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
             FROM o GROUP BY digit),
@@ -2936,19 +2937,30 @@ def analytics_benford_audit(
     zero-fills absent digits and carries the corpus total on the
     bounded digit axis (pmod-constant-key window — no scalar attach).
 
+    Population rule (BOTH engines): only rows with cents ≥ 1 —
+    Benford's law is defined for positive magnitudes, and the filter
+    keeps the two denominators structurally identical (without it the
+    oracle's count(*) would include zero/negative/NULL totals the
+    Spark spine join drops, and a negative total's '-' first char
+    would fail the BIGINT cast).  The fixture has no such totals —
+    values unchanged; the rule exists for the ``orders=`` probe
+    surface.
+
     ``orders=`` substitutes the order frame for probes (the
     absent-digit zero-fill injection); the driver contract never
     passes it."""
     if orders is None:
         orders = load(spark, sf_dir, "orders")
-    o = orders.select(
-        F.substring(
-            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
-            1,
-            1,
+    o = (
+        orders.select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
         )
-        .cast("bigint")
-        .alias("digit")
+        .filter(F.col("cents") >= 1)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("bigint")
+            .alias("digit")
+        )
     )
     obs = o.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
     bf = spark.createDataFrame(list(_BENFORD_PPM), "digit long, benford_ppm long")

@@ -1585,45 +1585,30 @@ def dedup_minhash_estimate_error(
 
 
 def _minhash_k_oracle() -> str:
+    """Composed, never copied (the dedup_lsh_recall/_J2_ORACLE rule):
+    the per-pair (agree16, jac_ppm) base IS the registered M284 oracle
+    spliced AS MATERIALIZED — a future fix to the estimator-error
+    query propagates to BOTH sides of this curve structurally.  Only
+    the prefix agreement agree8 (per-perm signature columns the M284
+    frame does not expose) is joined on from the shared sig CTE."""
+    from tropology_spark.registry import ORACLES
+
     agree8 = " + ".join(
         f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(8)
     )
-    agree16 = " + ".join(
-        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
-        for i in range(len(_MH_PERMS))
-    )
     return (
         _minhash_sig_cte()
-        + _band_rows_cte()
         + f"""
-    , cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    , base AS MATERIALIZED (
+      {ORACLES["dedup_minhash_estimate_error"]}
     ),
-    agr AS (
-      SELECT c.doc_a, c.doc_b,
+    pairs AS MATERIALIZED (
+      SELECT base.doc_a, base.doc_b,
              CAST({agree8} AS BIGINT) AS agree8,
-             CAST({agree16} AS BIGINT) AS agree16
-      FROM cand c JOIN sig a ON a.doc_id = c.doc_a
-                  JOIN sig b ON b.doc_id = c.doc_b
-    ),
-    sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
-    itr AS (
-      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS inter
-      FROM cand c
-      JOIN sh sa ON sa.doc_id = c.doc_a
-      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.token = sa.token
-      GROUP BY c.doc_a, c.doc_b
-    ),
-    pairs AS (
-      SELECT agr.doc_a, agr.doc_b, agr.agree8, agr.agree16,
-             CAST((1000000 * coalesce(itr.inter, 0))
-                  // (za.n + zb.n - coalesce(itr.inter, 0)) AS BIGINT) AS jac_ppm
-      FROM agr
-      JOIN sz za ON za.doc_id = agr.doc_a
-      JOIN sz zb ON zb.doc_id = agr.doc_b
-      LEFT JOIN itr ON itr.doc_a = agr.doc_a AND itr.doc_b = agr.doc_b
+             base.agree AS agree16,
+             base.jac_ppm
+      FROM base JOIN sig a ON a.doc_id = base.doc_a
+                JOIN sig b ON b.doc_id = base.doc_b
     ),
     ks AS (
       SELECT 8 AS k, abs(125000 * agree8 - jac_ppm) AS aerr FROM pairs

@@ -4477,7 +4477,11 @@ def pipeline_consistent_hash_moves(
         .cast("bigint")
         .alias("h"),
     )
-    per = (
+    # DOUBLE-REFERENCE RULE: the mod and ring rows both aggregate this
+    # frame — without the materialization each union branch re-derives
+    # the documents scan, the per-key md5 and BOTH ring assignments
+    # (2x the corpus work at scale).
+    per = iter_materialize(
         h.select(
             "doc_id",
             (F.col("h") % 8).alias("m8"),
