@@ -143,6 +143,11 @@ BNLJ_ALLOWED = {
     # curve point; M317 the 1-row exact-join-size cross.
     "agg_hll_m_curve", "mm_cdc_size_curve",
     "pipeline_contamination_ngram_curve", "agg_join_size_ams",
+    # round-17 scalar attach (pre-activation plan sweep in the staged
+    # suite): M334 broadcasts the 1-row build-count modulus + the
+    # 1-row probe-totals cross (the r14 Bloom-curve precedent); the
+    # other nine r17 activations are BNLJ-free.
+    "join_bloom_prefilter_audit",
 }
 
 #: The ONLY row-at-a-time Python evaluation sites: L1 (the declared

@@ -1,96 +1,30 @@
-"""Driver-replica parity for the STAGED round-17 operators
-(tropology_spark/operators/staged_r17.py) — the staging pattern's
-ninth application: the full compare at both verification scales,
-pure-Python twins for every formula-bearing op, two hypothesis
-property suites on the exact staged paths (frame injection), and the
-partitioning-invariance + plan sweeps.  Activation in round 17 is then
-a mechanical move-and-register.
+"""Pure-Python twins + property suites for the round-17 activations
+(M328-M337) — converted from tests/test_staged_r17.py at activation
+(the r9-r16 precedent: drop the staged-only parity/invariance/plan
+sweeps — the registry-wide suites cover registered queries — keep the
+twins and both hypothesis property suites, now running against
+QUERIES, and add the seventh-fold branch-coverage injection pins).
+
+Twins are hashlib / Counter / NumPy / big-int recomputations with no
+SQL engine (DuckDB appears only as a parquet reader / cents-rounding
+source) — the NEW-OP CROSS-CHECK DISCIPLINE: Spark-vs-DuckDB parity
+cannot catch a shared-formula error; these can.
 """
 
 from __future__ import annotations
 
-import pytest
-
-from tests.conftest import SF_ORACLE, SF_UNIT, make_duckdb
-from tropology_spark.operators.staged_r17 import STAGED
+from tests.conftest import SF_UNIT
+from tropology_spark import QUERIES
 
 
-def test_staged_module_registers_nothing():
-    from tropology_spark import QUERIES
-
-    assert not (set(STAGED) & set(QUERIES))
-
-
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_parity_both_scales(spark, name):
-    from tests.parity import compare
-
-    fn, oracle = STAGED[name]
-    for sf in (SF_UNIT, SF_ORACLE):
-        con = make_duckdb(sf)
-        try:
-            compare(name, spark, con, fn, oracle, sf)
-        finally:
-            con.close()
-
-
-def test_staged_partitioning_invariance(spark):
-    from tests.parity import canon_rows, spark_result
-    from tropology_spark.sources.tables import clear_session_caches
-
-    orig = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        results = {n: set() for n in STAGED}
-        for parts in ("5", "13", "32"):
-            spark.conf.set("spark.sql.shuffle.partitions", parts)
-            clear_session_caches()
-            for n, (fn, _) in STAGED.items():
-                cols, rows = spark_result(fn(spark, SF_UNIT))
-                results[n].add(tuple(canon_rows(cols, rows)))
-        for n, seen in results.items():
-            assert len(seen) == 1, f"staged {n} varies with shuffle partitioning"
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig)
-        clear_session_caches()
-
-
-def test_staged_no_new_plan_antipatterns(spark):
-    """No CartesianProduct / row-Python UDF; BNLJ only at the one
-    noted scalar attach (join_bloom_prefilter_audit's 1-row
-    build-count modulus crosses — the r14 Bloom-curve precedent) —
-    the name to add to BNLJ_ALLOWED at activation."""
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "simple"
-    )
-    bnlj_expected = {"join_bloom_prefilter_audit"}
-    bad = {}
-    for name, (fn, _) in STAGED.items():
-        s = fn(spark, SF_UNIT)._jdf.queryExecution().explainString(mode)
-        if "CartesianProduct" in s:
-            bad[name] = "CartesianProduct"
-        if "BatchEvalPython" in s:
-            bad[name] = "row-Python UDF"
-        if "BroadcastNestedLoopJoin" in s and name not in bnlj_expected:
-            bad[name] = "unexpected BNLJ"
-    assert not bad, bad
-
-
-# ---------------------------------------------------------------------------
-# Twins (NEW-OP CROSS-CHECK DISCIPLINE) — hashlib / Counter / NumPy
-# recomputations with arbitrary-precision ints; no SQL engine (DuckDB
-# appears only as a parquet reader / cents-rounding source).
-# ---------------------------------------------------------------------------
-
-
-def test_staged_distinct_sample_curve_matches_pure_python(spark):
-    """agg_distinct_sample_curve — samples, distinct counts and the
-    signed extrapolation errors recomputed with hashlib + sets; also
-    pins the power-of-two sample NESTING s=16 ⊆ s=4 ⊆ s=1."""
+def test_distinct_sample_curve_matches_pure_python(spark):
+    """M328 — samples, distinct counts and the signed extrapolation
+    errors recomputed with hashlib + sets; also pins the power-of-two
+    sample NESTING s=16 ⊆ s=4 ⊆ s=1."""
     import hashlib
 
     import duckdb
 
-    fn, _ = STAGED["agg_distinct_sample_curve"]
     rows = duckdb.sql(
         f"""SELECT o_orderkey, o_custkey
             FROM read_parquet('{SF_UNIT}/orders.parquet')"""
@@ -114,20 +48,19 @@ def test_staged_distinct_sample_curve_matches_pure_python(spark):
     got = {
         r["s"]: (r["n_rows"], r["d_sample"], r["est_naive"], r["d_true"],
                  r["err"], r["seen_ppm"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["agg_distinct_sample_curve"](spark, SF_UNIT).collect()
     }
     assert got == want
     assert samples[16] <= samples[4] <= samples[1]  # moduli nest
 
 
-def test_staged_zipf_rank_curve_matches_pure_python(spark):
-    """text_zipf_rank_curve — vocabulary counts, ranks and the Zipf
-    products recomputed with Counter + Python ints."""
+def test_zipf_rank_curve_matches_pure_python(spark):
+    """M329 — vocabulary counts, ranks and the Zipf products recomputed
+    with Counter + Python ints."""
     from collections import Counter
 
     import duckdb
 
-    fn, _ = STAGED["text_zipf_rank_curve"]
     docs = duckdb.sql(
         f"SELECT text FROM read_parquet('{SF_UNIT}/documents.parquet')"
     ).fetchall()
@@ -142,23 +75,21 @@ def test_staged_zipf_rank_curve_matches_pure_python(spark):
     got = {
         r["rank"]: (r["token"], r["freq"], r["top_freq"],
                     r["zipf_ratio_ppm"], r["dev_ppm"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["text_zipf_rank_curve"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_shard_balance_matches_pure_python(spark):
-    """pipeline_shard_balance — ring points re-derived with hashlib,
-    per-shard occupancy, shares and deviations recomputed with ints;
-    also pins the zero-sum of each scheme's deviations to the 8·ideal
-    remainder and the totals to the corpus size."""
+def test_shard_balance_matches_pure_python(spark):
+    """M330 — ring points re-derived with hashlib, per-shard occupancy,
+    shares and deviations recomputed with ints; also pins the totals
+    to the corpus size."""
     import hashlib
 
     import duckdb
 
     from tropology_spark.operators.pipeline_ops import _CH_MOD, _CH_VNODES
 
-    fn, _ = STAGED["pipeline_shard_balance"]
     ids = [
         int(d)
         for (d,) in duckdb.sql(
@@ -184,22 +115,21 @@ def test_staged_shard_balance_matches_pure_python(spark):
     }
     got = {
         (r["scheme"], r["shard"]): (r["n_keys"], r["share_ppm"], r["dev_milli"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["pipeline_shard_balance"](spark, SF_UNIT).collect()
     }
     assert got == want
     for scheme in ("mod8", "ring8"):
         assert sum(got[(scheme, s)][0] for s in range(8)) == n
 
 
-def test_staged_reservoir_merge_matches_pure_python(spark):
-    """pipeline_reservoir_merge_audit — both derivations recomputed
-    with hashlib + sorted(); pins the structural guarantee the audit
-    exists for: merged == global, positions and all, agree ≡ 1."""
+def test_reservoir_merge_matches_pure_python(spark):
+    """M331 — both derivations recomputed with hashlib + sorted();
+    pins the structural guarantee the audit exists for: merged ==
+    global, positions and all, agree ≡ 1."""
     import hashlib
 
     import duckdb
 
-    fn, _ = STAGED["pipeline_reservoir_merge_audit"]
     rows = duckdb.sql(
         f"""SELECT doc_id, source
             FROM read_parquet('{SF_UNIT}/documents.parquet')"""
@@ -214,21 +144,20 @@ def test_staged_reservoir_merge_matches_pure_python(spark):
     got = {
         r["doc_id"]: (r["source"], r["h"], r["pos_global"], r["pos_merged"],
                       r["agree"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["pipeline_reservoir_merge_audit"](spark, SF_UNIT).collect()
     }
     assert got == want
     assert len(got) == 20 and all(v[4] == 1 for v in got.values())
 
 
-def test_staged_dominant_period_matches_pure_python(spark):
-    """ts_dominant_period — hourly counts, per-lag co-moments and the
-    fixed-point scores recomputed with Counter + Python big ints,
-    including the (score DESC, lag) argmax."""
+def test_dominant_period_matches_pure_python(spark):
+    """M332 — hourly counts, per-lag co-moments and the fixed-point
+    scores recomputed with Counter + Python big ints, including the
+    (score DESC, lag) argmax."""
     from collections import Counter
 
     import duckdb
 
-    fn, _ = STAGED["ts_dominant_period"]
     rows = duckdb.sql(
         f"""SELECT event_type, epoch_us(ts) // 3600000000
             FROM read_parquet('{SF_UNIT}/events.parquet')"""
@@ -267,21 +196,20 @@ def test_staged_dominant_period_matches_pure_python(spark):
     got = {
         r["event_type"]: (r["best_lag"], r["m"], r["num"], r["dh"], r["dt"],
                           r["score_ppb"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["ts_dominant_period"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_misra_gries_matches_pure_python(spark):
-    """agg_misra_gries_audit — per-shard counts, offset summaries,
-    the merge, the re-prune and the exact meet recomputed with
-    Counter; also pins est ≤ exact everywhere AND the mergeable-MG
-    theory bound under ≤ Σ shard thresholds + merge threshold."""
+def test_misra_gries_matches_pure_python(spark):
+    """M333 — per-shard counts, offset summaries, the merge, the
+    re-prune and the exact meet recomputed with Counter; also pins
+    est ≤ exact everywhere AND the mergeable-MG theory bound
+    under ≤ Σ shard thresholds + merge threshold."""
     from collections import Counter, defaultdict
 
     import duckdb
 
-    fn, _ = STAGED["agg_misra_gries_audit"]
     docs = duckdb.sql(
         f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
     ).fetchall()
@@ -313,7 +241,7 @@ def test_staged_misra_gries_matches_pure_python(spark):
     }
     got = {
         r["bigram"]: (r["est"], r["exact"], r["under"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["agg_misra_gries_audit"](spark, SF_UNIT).collect()
     }
     assert got == want
     for _bg, (est, exact, under) in got.items():
@@ -321,16 +249,64 @@ def test_staged_misra_gries_matches_pure_python(spark):
         assert under <= bound  # the mergeable-MG error budget
 
 
-def test_staged_bloom_prefilter_matches_pure_python(spark):
-    """join_bloom_prefilter_audit — filter bits, per-key hits and the
-    weighted pass/true/fp masses recomputed with hashlib + Counter;
-    also pins the no-false-negative guarantee n_pass >= n_true."""
+def test_misra_gries_zero_error_spine(spark):
+    """M333 seventh-fold branch pin — the fixture corpus always prunes
+    (every shard has > k distinct bigrams), so the zero-error spine
+    (every threshold 0, est == exact, under ≡ 0) is unreachable
+    without injection: a 4-doc corpus (one per shard) with ≤ k
+    distinct bigrams per shard must emit exact summaries."""
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(4)], "doc_id long, text string"
+    )
+    got = {
+        (r["bigram"]): (r["est"], r["exact"], r["under"])
+        for r in QUERIES["agg_misra_gries_audit"](
+            spark, "unused", docs=docs
+        ).collect()
+    }
+    assert got == {"a b": (4, 4, 0), "b c": (4, 4, 0)}
+
+
+def test_reservoir_merge_empty_corpus(spark):
+    """M331 seventh-fold branch pin — an EMPTY docs= frame flows
+    through the two-pass global rank, the per-source windows and the
+    join to zero rows (no guard exists to diverge)."""
+    docs = spark.createDataFrame([], "doc_id long, source string")
+    assert (
+        QUERIES["pipeline_reservoir_merge_audit"](
+            spark, "unused", docs=docs
+        ).count()
+        == 0
+    )
+
+
+def test_bloom_prefilter_empty_probe_propagates_null(spark):
+    """M334 seventh-fold branch pin — an EMPTY probe side (li=) leaves
+    n_probe/n_true NULL (sum over zero rows) and every derived column
+    NULL-propagates: absence of evidence, loudly, never a fabricated
+    zero.  n_pass stays 0 (the coalesced left join) and n_build keeps
+    the real fixture build count."""
+    li = spark.createDataFrame([], "l_partkey long")
+    rows = QUERIES["join_bloom_prefilter_audit"](
+        spark, SF_UNIT, li=li
+    ).collect()
+    assert sorted(r["bits_per_key"] for r in rows) == [8, 16]
+    for r in rows:
+        assert r["n_build"] > 0
+        assert r["n_pass"] == 0
+        for c in ("n_probe", "n_true", "n_fp", "fp_ppm", "reduction_ppm"):
+            assert r[c] is None, (c, r[c])
+
+
+def test_bloom_prefilter_matches_pure_python(spark):
+    """M334 — filter bits, per-key hits and the weighted pass/true/fp
+    masses recomputed with hashlib + Counter; also pins the
+    no-false-negative guarantee n_pass >= n_true."""
     import hashlib
     from collections import Counter
 
     import duckdb
 
-    fn, _ = STAGED["join_bloom_prefilter_audit"]
     build = {
         int(k)
         for (k,) in duckdb.sql(
@@ -371,19 +347,16 @@ def test_staged_bloom_prefilter_matches_pure_python(spark):
             r["n_build"], r["n_probe"], r["n_true"], r["n_pass"], r["n_fp"],
             r["fp_ppm"], r["reduction_ppm"],
         )
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["join_bloom_prefilter_audit"](spark, SF_UNIT).collect()
     }
     assert got == want
     for bpk, (_nb, _np, nt, npass, _f, _fp, _red) in got.items():
         assert npass >= nt  # Bloom has no false negatives
 
 
-def test_staged_mutual_knn_consistent_with_registered(spark):
-    """sim_mutual_knn — a composed audit: the mutual pairs recomputed
-    in Python from the collected registered sim_knn_join frame."""
-    from tropology_spark import QUERIES
-
-    fn, _ = STAGED["sim_mutual_knn"]
+def test_mutual_knn_consistent_with_registered(spark):
+    """M335 — a composed audit: the mutual pairs recomputed in Python
+    from the collected registered sim_knn_join frame."""
     knn = {
         (r["vec_id"], r["neighbor_id"]): (r["rn"], r["cosine"])
         for r in QUERIES["sim_knn_join"](spark, SF_UNIT).collect()
@@ -394,19 +367,17 @@ def test_staged_mutual_knn_consistent_with_registered(spark):
             want[(a, b)] = (rn_ab, knn[(b, a)][0], cos)
     got = {
         (r["vec_a"], r["vec_b"]): (r["rn_ab"], r["rn_ba"], r["cosine"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["sim_mutual_knn"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_rocchio_matches_pure_python(spark):
-    """sim_rocchio_feedback — both retrieval rounds, the shifted
-    centroid floor and the overlap flags recomputed with NumPy round +
-    Python big ints."""
+def test_rocchio_matches_pure_python(spark):
+    """M336 — both retrieval rounds, the shifted centroid floor and
+    the overlap flags recomputed with NumPy round + Python big ints."""
     import duckdb
     import numpy as np
 
-    fn, _ = STAGED["sim_rocchio_feedback"]
     rows = duckdb.sql(
         f"""SELECT vec_id, embedding
             FROM read_parquet('{SF_UNIT}/embeddings.parquet')"""
@@ -444,18 +415,17 @@ def test_staged_rocchio_matches_pure_python(spark):
     }
     got = {
         r["rk"]: (r["vec_id"], r["dot_c_u2"], r["in_orig10"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["sim_rocchio_feedback"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_lehr_matches_pure_python(spark):
-    """analytics_lehr_sample_size — every carrier recomputed with
-    Python big ints from the DuckDB cents, including the signed
-    shifted gap and the ceiled Lehr division."""
+def test_lehr_matches_pure_python(spark):
+    """M337 — every carrier recomputed with Python big ints from the
+    DuckDB cents, including the signed shifted gap and the ceiled Lehr
+    division."""
     import duckdb
 
-    fn, _ = STAGED["analytics_lehr_sample_size"]
     rows = duckdb.sql(
         f"""SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT)
             FROM read_parquet('{SF_UNIT}/orders.parquet')
@@ -468,15 +438,19 @@ def test_staged_lehr_matches_pure_python(spark):
     s2a, s2b = sum(x * x for x in a), sum(x * x for x in b)
     dnum = s1a * nb - s1b * na
     ssnum = nb * (na * s2a - s1a * s1a) + na * (nb * s2b - s1b * s1b)
-    den = (na + nb - 2) * dnum * dnum
+    # floored pooled variance (cents²) FIRST — the two-step form that
+    # keeps the final numerator ~10³² (the single-division clearing
+    # measured 1.63e38 at sf0.1 and overflowed Decimal(38)).
+    s2p = ssnum // ((na + nb - 2) * na * nb)
+    d2 = dnum * dnum
     want = (
         na, nb, s1a // na, s1b // nb,
         (na * s2a - s1a * s1a) // na,
         (nb * s2b - s1b * s1b) // nb,
         (1000 * dnum) // (na * nb),  # Python // IS the shifted floor
-        None if dnum == 0 else (16 * ssnum * na * nb + den - 1) // den,
+        None if dnum == 0 else (16 * s2p * na * nb * na * nb + d2 - 1) // d2,
     )
-    [r] = fn(spark, SF_UNIT).collect()
+    [r] = QUERIES["analytics_lehr_sample_size"](spark, SF_UNIT).collect()
     assert (
         r["na"], r["nb"], r["mean_a_cents"], r["mean_b_cents"],
         r["ssa"], r["ssb"], r["gap_milli_cents"], r["n_lehr"],
@@ -484,7 +458,7 @@ def test_staged_lehr_matches_pure_python(spark):
 
 
 # ---------------------------------------------------------------------------
-# Hypothesis property suites on the EXACT staged paths (frame injection)
+# Hypothesis property suites on the EXACT registered paths (frame injection)
 # ---------------------------------------------------------------------------
 
 from hypothesis import given, settings, strategies as st  # noqa: E402
@@ -499,13 +473,13 @@ _SMALL = dict(max_examples=5, deadline=None)
     amp=st.integers(min_value=3, max_value=9),
 )
 def test_dominant_period_finds_planted_period(spark, period, base, amp):
-    """ts_dominant_period on injected events (events= kwarg): plant an
-    exactly periodic hourly series (one bump per cycle — minimal
-    period = the cycle length by construction) and the detector must
-    return EXACTLY that period with a perfect score: at every multiple
-    of P the shifted series is identical, Cauchy-Schwarz holds with
-    equality (num² = dh·dt → score_ppb = 10⁹), and the (score DESC,
-    lag) tie-break picks the smallest such lag = P."""
+    """M332 on injected events (events= kwarg): plant an exactly
+    periodic hourly series (one bump per cycle — minimal period = the
+    cycle length by construction) and the detector must return EXACTLY
+    that period with a perfect score: at every multiple of P the
+    shifted series is identical, Cauchy-Schwarz holds with equality
+    (num² = dh·dt → score_ppb = 10⁹), and the (score DESC, lag)
+    tie-break picks the smallest such lag = P."""
     if amp == base:
         amp += 1
     pattern = [amp] + [base] * (period - 1)
@@ -521,8 +495,7 @@ def test_dominant_period_finds_planted_period(spark, period, base, amp):
     ).selectExpr(
         "event_id", "user_id", "timestamp_micros(us) AS ts", "event_type"
     )
-    fn, _ = STAGED["ts_dominant_period"]
-    [r] = fn(spark, "unused", events=ev).collect()
+    [r] = QUERIES["ts_dominant_period"](spark, "unused", events=ev).collect()
     assert r["best_lag"] == period
     assert r["score_ppb"] == 1_000_000_000  # exact Cauchy-Schwarz equality
 
@@ -540,15 +513,16 @@ def test_dominant_period_finds_planted_period(spark, period, base, amp):
     )
 )
 def test_reservoir_merge_property(spark, docs):
-    """pipeline_reservoir_merge_audit on injected corpora (docs=
-    kwarg): for ARBITRARY (doc_id, source) sets the merged per-source
-    sample must equal the global sample — min(k, n) rows, agree ≡ 1,
-    and the selected set is exactly the bottom-k by (h, doc_id)."""
+    """M331 on injected corpora (docs= kwarg): for ARBITRARY
+    (doc_id, source) sets the merged per-source sample must equal the
+    global sample — min(k, n) rows, agree ≡ 1, and the selected set is
+    exactly the bottom-k by (h, doc_id)."""
     import hashlib
 
     d = spark.createDataFrame(list(docs), "doc_id long, source string")
-    fn, _ = STAGED["pipeline_reservoir_merge_audit"]
-    got = fn(spark, "unused", docs=d).collect()
+    got = QUERIES["pipeline_reservoir_merge_audit"](
+        spark, "unused", docs=d
+    ).collect()
     keyed = sorted(
         (int(hashlib.md5(str(did).encode()).hexdigest()[:8], 16), did)
         for did, _s in docs

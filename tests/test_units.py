@@ -1052,6 +1052,17 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "sim_pq_k_curve",
         "ts_local_maxima",
         "agg_higher_moments_terms",
+        # round-17 activations (M328-M337)
+        "agg_distinct_sample_curve",
+        "text_zipf_rank_curve",
+        "pipeline_shard_balance",
+        "pipeline_reservoir_merge_audit",
+        "ts_dominant_period",
+        "agg_misra_gries_audit",
+        "join_bloom_prefilter_audit",
+        "sim_mutual_knn",
+        "sim_rocchio_feedback",
+        "analytics_lehr_sample_size",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -1110,14 +1121,15 @@ def test_materialized_view_build_is_shared_across_threads(spark):
 
 def test_driver_window_composition(spark):
     """The driver hash-checks the FIRST 50 registry entries.  Pin the
-    round-16 window invariants so a module-import or registration-order
+    round-17 window invariants so a module-import or registration-order
     change can never silently evict a query: the activated staged
     queries (never sampled) lead, and EVERY
     remaining window slot goes to the rotation queue — queries whose
     latest driver row is the OLDEST post-regeneration vintage (<= r09;
     the bound relaxes by one each time a fresher class becomes the
-    oldest — the r09 class enters the round-16 rotation, the r9-r11
-    precedent) or IS from the most
+    oldest — the r09 class entered the round-16 rotation and still
+    heads the queue in round 17, the r12/r16 no-relaxation precedent)
+    or IS from the most
     recent driver round (a fresh row from the current round is the
     queue working, not a wasted slot — the r6 verdict's fix for the
     self-invalidating assertion; the max_round escape is deliberately
@@ -1128,7 +1140,7 @@ def test_driver_window_composition(spark):
     from pathlib import Path
 
     from tropology_spark import ORACLES, QUERIES
-    from tropology_spark import _R16_NEW
+    from tropology_spark import _R17_NEW
 
     latest: dict[str, int] = {}
     for f in Path(".").glob("CORRECTNESS_r*.json"):
@@ -1137,7 +1149,7 @@ def test_driver_window_composition(spark):
             latest[k] = max(latest.get(k, 0), rnd)
     max_round = max(latest.values(), default=0)
     window = list(QUERIES)[:50]
-    head = _R16_NEW
+    head = _R17_NEW
     assert window[: len(head)] == head, window[: len(head)]
     never = [q for q in QUERIES if q not in latest]
     missing = [q for q in never if q not in set(window)]
@@ -2416,6 +2428,9 @@ def test_registered_shift_constants_sized_from_domain_bounds(spark):
         ("similarity.py", "_ANI_BIG_PAIR"),
         ("similarity.py", "_ANI_BIG_PPM"),
         ("aggregates.py", "_HM_BIG"),
+        # round-17 activations:
+        ("similarity.py", "_ROC_BIG"),
+        ("analytics.py", "_LEHR_BIG"),
     }, f"new/renamed shift site — extend this audit: {sorted(found)}"
     # Tripwire for the staged bank: when a slate activates, its BIG
     # constants move into home modules — the registered sweep above
@@ -2430,8 +2445,6 @@ def test_registered_shift_constants_sized_from_domain_bounds(spark):
             if re.match(r"_[A-Z0-9_]*BIG[A-Z0-9_]* *=", s):
                 staged_found.add((p.name, s.split("=")[0].strip()))
     assert staged_found == {
-        ("staged_r17.py", "_ROC_BIG"),
-        ("staged_r17.py", "_LEHR_BIG"),
         ("staged_r18.py", "_PR_BIG"),
     }, f"staged shift inventory drifted: {sorted(staged_found)}"
 
@@ -2495,6 +2508,24 @@ def test_registered_shift_constants_sized_from_domain_bounds(spark):
     ).fetchone()
     assert _HM_BIG >= 1000 * n_li * max_q**3, (
         f"_HM_BIG={_HM_BIG} under 1000x the n·max_q³={n_li * max_q**3} bound"
+    )
+    # sim_rocchio_feedback (M336): cm = (Σ_{top5} vm + BIG·5) div 5 −
+    # BIG per dimension; |Σ vm| ≤ 5·10⁶ (|component| ≤ 1 ⇒ |vm| ≤ 10⁶,
+    # fixture-verified by max_absval above), so BIG ≥ 10⁶ — held at
+    # 1000× headroom.  The bound is scale-FREE (5 vectors always).
+    from tropology_spark.operators.similarity import _ROC_BIG, _ROC_FB
+
+    assert _ROC_FB == 5 and _ROC_BIG >= 1000 * 10**6, (
+        f"_ROC_BIG={_ROC_BIG} under 1000x the 1e6 component-sum bound"
+    )
+    # analytics_lehr_sample_size (M337): gap carrier |1000·dnum| ≤
+    # 1000·max_cents·na·nb, and the order-price domain is scale-FREE
+    # (the TPC-H price formula), so BIG ≥ 1000·max_cents — held at
+    # ≥ 10× headroom (the r13 undersized-10⁹ lesson's own site).
+    from tropology_spark.operators.analytics import _LEHR_BIG
+
+    assert _LEHR_BIG >= 10 * 1000 * max_cents, (
+        f"_LEHR_BIG={_LEHR_BIG} under 10x the 1000·max_cents={1000 * max_cents} bound"
     )
 
     # (c) adversarial floor pins — negative, NON-divisible numerators,
@@ -2602,3 +2633,48 @@ def test_registered_shift_constants_sized_from_domain_bounds(spark):
         "corpus stopped being adversarial"
     )
     assert hr["m3c"] == hm_num // hr["n"] ** 2 == -114  # trunc reads −113
+
+    # c6. sim_rocchio_feedback via e=: a 5-vector corpus whose top-5
+    # dim-1 component sum is −3 (negative, non-divisible by 5) — the
+    # centroid floor is −1 where truncation reads 0, and the
+    # difference propagates into every dot_c_u2 of the dim-1-bearing
+    # vectors.
+    r_vecs = (
+        [(0, [1.0, 0.0])]
+        + [(i, [1.0, -1e-6]) for i in (1, 2, 3)]
+        + [(i, [1.0, 0.0]) for i in (4, 5)]
+    )
+    r_emb = spark.createDataFrame(r_vecs, "vec_id long, embedding array<double>")
+    cen_sum = 3 * round(-1e-6 * 1_000_000)  # Σ_{top5} vm at dim 1
+    assert cen_sum < 0 and cen_sum % 5 != 0, "corpus stopped being adversarial"
+    cm1 = cen_sum // 5  # −1; truncation would read 0
+    rr = {
+        r["vec_id"]: (r["rk"], r["dot_c_u2"], r["in_orig10"])
+        for r in QUERIES["sim_rocchio_feedback"](spark, "unused", e=r_emb).collect()
+    }
+    want_rr = {
+        i: (i, 10**12 + (-1) * cm1, 1) for i in (1, 2, 3)
+    } | {i: (i, 10**12, 1) for i in (4, 5)}
+    assert rr == want_rr  # trunc cm1=0 would read dot_c_u2 = 10¹² for 1-3
+
+    # c7. analytics_lehr_sample_size via orders=: cohorts A=[0¢],
+    # B=[0¢, 0¢, 301¢] give dnum = −301 → gap = floor(−301000/3) =
+    # −100334 (truncation reads −100333); the two-step Lehr finale
+    # reads s2p = 181202 div 6 = 30200 and n_lehr =
+    # ⌈16·30200·9/90601⌉ = 48 — a genuine round-up (remainder 90553).
+    l_odf = spark.createDataFrame(
+        [("1-URGENT", 0.00), ("5-LOW", 0.00), ("5-LOW", 0.00), ("5-LOW", 3.01)],
+        "o_orderpriority string, o_totalprice double",
+    )
+    [lr] = QUERIES["analytics_lehr_sample_size"](
+        spark, "unused", orders=l_odf
+    ).collect()
+    l_dnum = 0 * 3 - 301 * 1  # s1a·nb − s1b·na
+    assert (1000 * l_dnum) % (1 * 3) != 0, "corpus stopped being adversarial"
+    assert (lr["na"], lr["nb"]) == (1, 3)
+    assert lr["gap_milli_cents"] == (1000 * l_dnum) // 3 == -100334
+    l_s2p = 181202 // 6
+    assert (16 * l_s2p * 9) % (301 * 301) != 0, (
+        "corpus stopped exercising the ceil"
+    )
+    assert lr["n_lehr"] == -((-16 * l_s2p * 9) // (301 * 301)) == 48

@@ -25,7 +25,7 @@ mult = int(sys.argv[1])
 from pyspark.sql import functions as F  # noqa: E402
 
 from tropology_spark.session import get_spark, iter_materialize  # noqa: E402
-from tropology_spark.operators.staged_r17 import ts_dominant_period  # noqa: E402
+from tropology_spark.operators.timeseries import ts_dominant_period  # noqa: E402
 from tropology_spark.sources.tables import load  # noqa: E402
 
 t0 = time.time()

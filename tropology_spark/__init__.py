@@ -725,6 +725,73 @@ _R16_STALE_R09 = [
     "sim_recall_at_k_curve",
 ]
 
-prioritize(_R16_NEW + _R16_STALE_R08 + _R16_STALE_R09)
+#: Round-17 additions (M328-M337) — the activated round-13-staged ops,
+#: in the staged-slate order.
+_R17_NEW = [
+    "agg_distinct_sample_curve",
+    "text_zipf_rank_curve",
+    "pipeline_shard_balance",
+    "pipeline_reservoir_merge_audit",
+    "ts_dominant_period",
+    "agg_misra_gries_audit",
+    "join_bloom_prefilter_audit",
+    "sim_mutual_knn",
+    "sim_rocchio_feedback",
+    "analytics_lehr_sample_size",
+]
+
+#: The 40 OLDEST r09-vintage rows in registry order — re-verified
+#: against all sixteen CORRECTNESS files (post-r16 classes: r09:47 ·
+#: r10:50 · r11:50 · r12:50 · r13:50 · r14:50 · r15:50 · r16:50 =
+#: 397).  No bound relaxation was needed (`latest <= 9` already admits
+#: the r09 rotation class — the r12/r16 precedent).  The 7 r09 rows
+#: remaining for round 18: analytics_winback_counts,
+#: analytics_window_funnel, analytics_value_band_migration,
+#: join_anti_frontier, sub_scalar_global, join_skyline_pareto,
+#: join_session_overlap.
+_R17_STALE_R09 = [
+    "text_pii_redact",
+    "text_bpe_vocab4",
+    "text_lang_confusion",
+    "graph_connected_components",
+    "graph_component_sizes",
+    "graph_degree_histogram",
+    "fn_bitwise",
+    "fn_higher_order",
+    "fn_try_arithmetic",
+    "fn_tz_day_profile",
+    "mm_features",
+    "mm_dedup_exact",
+    "mm_phash_hamming",
+    "mm_tiering_plan",
+    "stream_tumbling_1h",
+    "stream_sliding_1h_30m",
+    "stream_sessionize_30m",
+    "stream_interval_join",
+    "stream_latedrop_1h",
+    "udf_scalar_code_norm",
+    "udf_pandas_vectorized",
+    "udf_grouped_normalize",
+    "udf_udtf_tokenize",
+    "dedup_cluster_canonical",
+    "text_contamination",
+    "pipeline_split_assign",
+    "dedup_ngram_jaccard",
+    "text_repetition",
+    "pipeline_pack_sequences",
+    "text_token_histogram",
+    "dedup_incremental",
+    "text_inverted_index",
+    "pipeline_shard_layout",
+    "text_length_gate",
+    "pipeline_dataset_diff",
+    "graph_closure_rate_capped",
+    "ts_double_smooth",
+    "ts_xcorr_lagged_terms",
+    "ts_open_orders_sweep",
+    "analytics_survival_curve",
+]
+
+prioritize(_R17_NEW + _R17_STALE_R09)
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

@@ -2550,3 +2550,253 @@ def agg_higher_moments_terms(
             " div (CAST(n AS DECIMAL(38,0)) * n * n) AS BIGINT)"
         ).alias("m4c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_distinct_sample_curve — distinct-count extrapolation bias vs sample rate
+# ---------------------------------------------------------------------------
+
+_DSC_MODS = (1, 4, 16)
+
+
+@register(
+    "agg_distinct_sample_curve",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_custkey AS k,
+             ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               AS hk
+      FROM orders
+    ),
+    per AS (
+      SELECT s.s,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT k) AS BIGINT) AS d_sample
+      FROM h JOIN (SELECT unnest([{", ".join(str(s) for s in _DSC_MODS)}]) AS s) s
+        ON h.hk % s.s = 0
+      GROUP BY s.s
+    ),
+    t AS (
+      SELECT CAST(s AS BIGINT) AS s, n_rows, d_sample,
+             CAST(s * d_sample AS BIGINT) AS est_naive,
+             CAST(max(CASE WHEN s = 1 THEN d_sample END) OVER () AS BIGINT)
+               AS d_true
+      FROM per
+    )
+    SELECT s, n_rows, d_sample, est_naive, d_true,
+           CAST(est_naive - d_true AS BIGINT) AS err,
+           CAST((1000000 * d_sample) // d_true AS BIGINT) AS seen_ppm
+    FROM t
+    """,
+)
+def agg_distinct_sample_curve(
+    spark: SparkSession, sf_dir: str, orders: DataFrame | None = None
+) -> DataFrame:
+    """M328 — the DISTINCT-COUNT EXTRAPOLATION bias curve: sample
+    order ROWS by the deterministic md5 key at moduli s ∈ 1/4/16
+    (power-of-two moduli NEST — the s=16 sample is a subset of the
+    s=4 sample, twin-pinned), count distinct customers in each
+    sample, and report the naive scale-up estimate s·d against the
+    full truth — the species-estimation bias (distinct counts do NOT
+    extrapolate linearly: popular customers survive any sample, rare
+    ones vanish) that separates row-samplable aggregates from
+    cardinality questions.  The practical planner rule this audit
+    grounds: never estimate distinct counts from a row sample — use a
+    KMV/HLL sketch over the FULL scan (M138/M267), which costs the
+    same one pass this curve does.
+
+    Exact: counts, signed err = s·d − d_true (NO division — the
+    div//floor trap), coverage seen_ppm.  The truth is the s=1 point
+    (pmod-constant window attach on the 3-row axis, no scalar cross).
+    Scale: one scan; the ×3 modulus axis rides an explode on the rows;
+    count(DISTINCT) shuffles (s, custkey) projections — map-side
+    partial, bounded by 3 × |customers|.
+
+    ``orders=`` substitutes the order frame for probes; the driver
+    contract never passes it."""
+    o = orders if orders is not None else load(spark, sf_dir, "orders")
+    h = o.select(
+        F.col("o_custkey").alias("k"),
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("hk"),
+    )
+    per = (
+        h.select(
+            "k",
+            "hk",
+            F.explode(F.array(*[F.lit(s) for s in _DSC_MODS])).alias("s"),
+        )
+        .filter(F.col("hk") % F.col("s") == 0)
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("k").cast("bigint").alias("d_sample"),
+        )
+    )
+    w = Window.partitionBy(F.pmod(F.col("s"), F.lit(1)))
+    t = per.select(
+        F.col("s").cast("bigint").alias("s"),
+        "n_rows",
+        "d_sample",
+        (F.col("s") * F.col("d_sample")).cast("bigint").alias("est_naive"),
+        F.max(F.when(F.col("s") == 1, F.col("d_sample")))
+        .over(w)
+        .cast("bigint")
+        .alias("d_true"),
+    )
+    return t.select(
+        "s",
+        "n_rows",
+        "d_sample",
+        "est_naive",
+        "d_true",
+        (F.col("est_naive") - F.col("d_true")).cast("bigint").alias("err"),
+        F.expr("(1000000 * d_sample) div d_true").cast("bigint").alias("seen_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_misra_gries_audit — mergeable heavy-hitter summaries vs exact top-k
+# ---------------------------------------------------------------------------
+
+_MG_K = 8
+_MG_SHARDS = 4
+
+
+@register(
+    "agg_misra_gries_audit",
+    oracle=f"""
+    WITH bg AS (
+      SELECT doc_id % {_MG_SHARDS} AS shard, l[i] || ' ' || l[i + 1] AS bigram
+      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           (SELECT unnest(generate_series(1, 4096)) AS i)
+      WHERE i <= len(l) - 1
+    ),
+    sc AS (SELECT shard, bigram, CAST(count(*) AS BIGINT) AS c
+           FROM bg GROUP BY 1, 2),
+    sr AS (
+      SELECT shard, bigram, c,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY c DESC, bigram) AS rn17s
+      FROM sc
+    ),
+    st AS (
+      SELECT *, coalesce(max(CASE WHEN rn17s = {_MG_K + 1} THEN c END)
+                           OVER (PARTITION BY shard), 0) AS t_s
+      FROM sr
+    ),
+    summ AS (
+      SELECT bigram, c - t_s AS w FROM st
+      WHERE rn17s <= {_MG_K} AND c - t_s > 0
+    ),
+    mrg AS (SELECT bigram, CAST(sum(w) AS BIGINT) AS ws
+            FROM summ GROUP BY bigram),
+    mr AS (
+      SELECT bigram, ws,
+             row_number() OVER (ORDER BY ws DESC, bigram) AS rn17m
+      FROM mrg
+    ),
+    mt AS (
+      SELECT *, coalesce(max(CASE WHEN rn17m = {_MG_K + 1} THEN ws END)
+                           OVER (), 0) AS t_m
+      FROM mr
+    ),
+    fin AS (
+      SELECT bigram, CAST(ws - t_m AS BIGINT) AS est FROM mt
+      WHERE rn17m <= {_MG_K} AND ws - t_m > 0
+    ),
+    gc AS (SELECT bigram, CAST(sum(c) AS BIGINT) AS exact FROM sc
+           GROUP BY bigram)
+    SELECT fin.bigram, fin.est, gc.exact,
+           CAST(gc.exact - fin.est AS BIGINT) AS under
+    FROM fin JOIN gc ON fin.bigram = gc.bigram
+    """,
+)
+def agg_misra_gries_audit(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """M333 — the MISRA-GRIES mergeable heavy-hitter audit, completing
+    the mergeable-sketch family (KMV M138, HLL M267, CMS M128, AMS
+    M271, Bloom M174 all have audits; the deterministic counter-based
+    top-k summary did not): per shard (doc_id mod 4) the k=8 counter
+    summary of document BIGRAM counts in the order-free offset form —
+    counts of the top-8 minus the (k+1)-th largest, the Agarwal-et-al
+    mergeable formulation — then the summaries MERGE (sum weights,
+    prune again by the same rule) and the merged estimates meet the
+    exact global counts: est ≤ exact always (the summary only ever
+    subtracts), and exact − est is bounded by the sum of the pruning
+    thresholds — the theory bound the twin pins.  At 100 TB this is
+    THE map-side top-k: each executor keeps k counters, the driver
+    merges s·k rows, the error budget is known in advance.
+
+    Oracle enumerates bigram positions with the standard 4096 cap
+    (the chunking precedent).  Scale: the corpus collapses to the
+    (shard, bigram) count table ONCE (materialized — it feeds the
+    per-shard summaries AND the exact rollup: DOUBLE-REFERENCE RULE);
+    per-shard windows ride the real shard key; the merged re-rank is
+    a ≤ shards·k row frame on the pmod-constant window.
+
+    ``docs=`` substitutes the document frame for probes (an injected
+    corpus with ≤ k distinct bigrams per shard drives every pruning
+    threshold to 0 and pins the zero-error spine under ≡ 0 — the
+    seventh-fold branch pin); the driver contract never passes it."""
+    from tropology_spark.session import iter_materialize
+
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    bg = d.select(
+        (F.col("doc_id") % _MG_SHARDS).alias("shard"),
+        F.explode(bigrams).alias("bigram"),
+    )
+    # (shard, bigram) counts feed the summaries AND the exact rollup.
+    sc = iter_materialize(
+        bg.groupBy("shard", "bigram").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+    )
+    ws_shard = Window.partitionBy("shard")
+    sr = sc.withColumn(
+        "rn17s",
+        F.row_number().over(
+            ws_shard.orderBy(F.col("c").desc(), F.col("bigram"))
+        ),
+    ).withColumn(
+        "t_s",
+        F.coalesce(
+            F.max(F.when(F.col("rn17s") == _MG_K + 1, F.col("c"))).over(
+                ws_shard
+            ),
+            F.lit(0),
+        ),
+    )
+    summ = sr.filter(
+        (F.col("rn17s") <= _MG_K) & (F.col("c") - F.col("t_s") > 0)
+    ).select("bigram", (F.col("c") - F.col("t_s")).alias("w"))
+    mrg = summ.groupBy("bigram").agg(F.sum("w").cast("bigint").alias("ws"))
+    wm = Window.partitionBy(F.pmod(F.col("ws"), F.lit(1)))
+    mr = mrg.withColumn(
+        "rn17m",
+        F.row_number().over(wm.orderBy(F.col("ws").desc(), F.col("bigram"))),
+    ).withColumn(
+        "t_m",
+        F.coalesce(
+            F.max(F.when(F.col("rn17m") == _MG_K + 1, F.col("ws"))).over(wm),
+            F.lit(0),
+        ),
+    )
+    fin = mr.filter(
+        (F.col("rn17m") <= _MG_K) & (F.col("ws") - F.col("t_m") > 0)
+    ).select("bigram", (F.col("ws") - F.col("t_m")).cast("bigint").alias("est"))
+    gc = sc.groupBy("bigram").agg(F.sum("c").cast("bigint").alias("exact"))
+    return fin.join(gc, "bigram").select(
+        "bigram",
+        "est",
+        "exact",
+        (F.col("exact") - F.col("est")).cast("bigint").alias("under"),
+    )

@@ -2981,3 +2981,152 @@ def analytics_benford_audit(
         .cast("bigint")
         .alias("dev_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# analytics_lehr_sample_size — the experiment-design sample-size terms
+# ---------------------------------------------------------------------------
+
+_LEHR_A = "1-URGENT"
+_LEHR_B = "5-LOW"
+#: Shift for the signed mean gap carrier (1000·dnum + BIG·(na·nb)) div
+#: (na·nb) − BIG with dnum = s1a·nb − s1b·na.  Domain bound:
+#: |1000·dnum| ≤ 1000·max_cents·na·nb, and the order-price domain is
+#: scale-FREE (the TPC-H price formula — max_cents ~ 5·10⁷), so
+#: BIG ≥ 1000·max_cents ≈ 5·10¹⁰; held at ≥ 10× headroom.  The r13
+#: lesson lives here: the first draft's 10⁹ was TOO SMALL for a
+#: cents-scale mean gap and both engines truncated identically —
+#: only the floor twin caught it.
+_LEHR_BIG = 10**12
+
+
+@register(
+    "analytics_lehr_sample_size",
+    oracle=f"""
+    WITH x AS (
+      SELECT CASE WHEN o_orderpriority = '{_LEHR_A}' THEN 1 ELSE 0 END AS ia,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+      WHERE o_orderpriority IN ('{_LEHR_A}', '{_LEHR_B}')
+    ),
+    s AS (
+      SELECT CAST(sum(ia) AS BIGINT) AS na,
+             CAST(sum(1 - ia) AS BIGINT) AS nb,
+             CAST(sum(ia * c) AS BIGINT) AS s1a,
+             CAST(sum((1 - ia) * c) AS BIGINT) AS s1b,
+             sum(CAST(ia AS HUGEINT) * c * c) AS s2a,
+             sum(CAST(1 - ia AS HUGEINT) * c * c) AS s2b
+      FROM x
+    ),
+    d AS (
+      SELECT na, nb, s1a, s1b,
+             CAST((na * s2a - CAST(s1a AS HUGEINT) * s1a) // na AS BIGINT)
+               AS ssa,
+             CAST((nb * s2b - CAST(s1b AS HUGEINT) * s1b) // nb AS BIGINT)
+               AS ssb,
+             CAST(s1a AS HUGEINT) * nb - CAST(s1b AS HUGEINT) * na AS dnum,
+             nb * (na * s2a - CAST(s1a AS HUGEINT) * s1a)
+               + na * (nb * s2b - CAST(s1b AS HUGEINT) * s1b) AS ssnum
+      FROM s
+    )
+    SELECT na, nb,
+           CAST(s1a // na AS BIGINT) AS mean_a_cents,
+           CAST(s1b // nb AS BIGINT) AS mean_b_cents,
+           ssa, ssb,
+           CAST((1000 * dnum + CAST({_LEHR_BIG} AS HUGEINT) * (na * nb))
+                // (na * nb) - {_LEHR_BIG} AS BIGINT) AS gap_milli_cents,
+           CAST(CASE WHEN dnum = 0 THEN NULL
+                     ELSE (16 * (ssnum // ((na + nb - 2) * na * nb))
+                             * (CAST(na AS HUGEINT) * nb) * (na * nb)
+                           + dnum * dnum - 1)
+                          // (dnum * dnum) END AS BIGINT)
+             AS n_lehr
+    FROM d
+    """,
+)
+def analytics_lehr_sample_size(
+    spark: SparkSession, sf_dir: str, orders: DataFrame | None = None
+) -> DataFrame:
+    """M337 — the EXPERIMENT-DESIGN terms between the URGENT and LOW
+    order-priority cohorts: per-cohort counts, floor means, the exact
+    centered sum-of-squares carriers Σ(x−μ)² (the M15/m2c
+    discipline), the signed mean gap in milli-cents (+BIG shift), and
+    LEHR'S RULE n = 16·s²/d² — the per-arm sample size for 80% power
+    at α=0.05 — in TWO exact integral steps: the pooled variance is
+    FLOORED to integer cents² first (s2p = SSnum div ((na+nb−2)·na·nb)
+    with SSnum the pooled-SS numerator over the common na·nb
+    denominator — a < 1-cents² loss against a ~10¹³ cents² value),
+    then n = ⌈16·s2p·(na·nb)²/D²⌉ with D = s1a·nb − s1b·na the
+    cleared mean gap.  The number every A/B platform quotes before
+    launching; a near-zero observed gap correctly yields an
+    astronomically large n — that IS the answer (you cannot power a
+    test for an effect this small).
+
+    Exactness: x⁴-free (only x² enters), intermediates in
+    DECIMAL(38,0)/HUGEINT.  The two-step form exists because the
+    fully-cleared single division 16·SSnum·na·nb overflows: MEASURED
+    1.63·10³⁸ at sf0.1 > Decimal(38) — the staged slate's single-
+    division headroom claim was wrong by six decades and the sf0.1
+    bench caught it at activation; the two-step numerator
+    16·s2p·(na·nb)² is ~1.6·10³² at sf0.1 (~10³⁶ at sf1).  D = 0
+    yields NULL (no detectable direction).  Scale: ONE
+    map-side-combinable conditional aggregate over the two cohorts; a
+    1-row finale with no joins at all.
+
+    ``orders=`` substitutes the order frame for probes (the shift
+    audit injects a negative non-divisible gap numerator); the driver
+    contract never passes it."""
+    o = orders if orders is not None else load(spark, sf_dir, "orders")
+    o = o.filter(F.col("o_orderpriority").isin(_LEHR_A, _LEHR_B))
+    x = o.select(
+        F.when(F.col("o_orderpriority") == _LEHR_A, 1).otherwise(0).alias("ia"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    s = x.agg(
+        F.sum("ia").cast("bigint").alias("na"),
+        F.sum(F.lit(1) - F.col("ia")).cast("bigint").alias("nb"),
+        F.sum(F.col("ia") * F.col("c")).cast("bigint").alias("s1a"),
+        F.sum((F.lit(1) - F.col("ia")) * F.col("c")).cast("bigint").alias("s1b"),
+        F.sum(F.expr("CAST(ia AS DECIMAL(38,0)) * c * c")).alias("s2a"),
+        F.sum(F.expr("CAST(1 - ia AS DECIMAL(38,0)) * c * c")).alias("s2b"),
+    )
+    d = s.select(
+        "na",
+        "nb",
+        "s1a",
+        "s1b",
+        F.expr(
+            "CAST((na * s2a - CAST(s1a AS DECIMAL(38,0)) * s1a) div na"
+            " AS BIGINT)"
+        ).alias("ssa"),
+        F.expr(
+            "CAST((nb * s2b - CAST(s1b AS DECIMAL(38,0)) * s1b) div nb"
+            " AS BIGINT)"
+        ).alias("ssb"),
+        F.expr(
+            "CAST(s1a AS DECIMAL(38,0)) * nb - CAST(s1b AS DECIMAL(38,0)) * na"
+        ).alias("dnum"),
+        F.expr(
+            "nb * (na * s2a - CAST(s1a AS DECIMAL(38,0)) * s1a)"
+            " + na * (nb * s2b - CAST(s1b AS DECIMAL(38,0)) * s1b)"
+        ).alias("ssnum"),
+    )
+    return d.select(
+        "na",
+        "nb",
+        F.expr("CAST(s1a div na AS BIGINT)").alias("mean_a_cents"),
+        F.expr("CAST(s1b div nb AS BIGINT)").alias("mean_b_cents"),
+        "ssa",
+        "ssb",
+        F.expr(
+            f"CAST((1000 * dnum + CAST({_LEHR_BIG} AS DECIMAL(38,0))"
+            f" * (na * nb)) div (na * nb) - {_LEHR_BIG} AS BIGINT)"
+        ).alias("gap_milli_cents"),
+        F.expr(
+            "CAST(CASE WHEN dnum = 0 THEN NULL"
+            " ELSE (16 * (ssnum div ((na + nb - 2) * na * nb))"
+            "         * (CAST(na AS DECIMAL(38,0)) * nb) * (na * nb)"
+            "       + dnum * dnum - 1)"
+            "      div (dnum * dnum) END AS BIGINT)"
+        ).alias("n_lehr"),
+    )

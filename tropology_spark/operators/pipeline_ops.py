@@ -4575,3 +4575,212 @@ def pipeline_ldiversity_audit(
             "below_l3"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_shard_balance — per-shard occupancy under mod vs ring placement
+# ---------------------------------------------------------------------------
+
+
+def _md5_low32_pl(col: F.Column) -> F.Column:
+    """The repo-wide portable hash: md5-low-32 of the string form."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+
+
+_SHARD_BAL_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM documents
+    ),
+    ring8(shard, r) AS (VALUES {", ".join(f"({s}, {r})" for s, _v, r in _RING8)}),
+    a8 AS (
+      SELECT h.doc_id,
+             (SELECT shard FROM ring8 rp
+              ORDER BY (rp.r - h.h + {_CH_MOD}) % {_CH_MOD}, rp.shard, rp.r
+              LIMIT 1) AS a
+      FROM h
+    ),
+    cnt AS (
+      SELECT 'mod8' AS scheme, h.h % 8 AS shard, CAST(count(*) AS BIGINT) AS c
+      FROM h GROUP BY 2
+      UNION ALL
+      SELECT 'ring8', a, CAST(count(*) AS BIGINT) FROM a8 GROUP BY 2
+    ),
+    spine AS (
+      SELECT sc.scheme, sh.shard
+      FROM (SELECT unnest(['mod8', 'ring8']) AS scheme) sc,
+           (SELECT unnest(generate_series(0, 7)) AS shard) sh
+    ),
+    f AS (
+      SELECT spine.scheme, CAST(spine.shard AS BIGINT) AS shard,
+             CAST(coalesce(cnt.c, 0) AS BIGINT) AS n_keys
+      FROM spine LEFT JOIN cnt
+        ON spine.scheme = cnt.scheme AND spine.shard = cnt.shard
+    ),
+    t AS (
+      SELECT scheme, shard, n_keys,
+             CAST(sum(n_keys) OVER (PARTITION BY scheme) AS BIGINT) AS n_total
+      FROM f
+    )
+    SELECT scheme, shard, n_keys,
+           CAST((1000000 * n_keys) // n_total AS BIGINT) AS share_ppm,
+           CAST(1000 * n_keys - (1000 * n_total) // 8 AS BIGINT) AS dev_milli
+    FROM t
+    """
+
+
+@register("pipeline_shard_balance", oracle=_SHARD_BAL_ORACLE)
+def pipeline_shard_balance(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """M330 — per-shard OCCUPANCY under the two placement schemes the
+    M320 moves audit compares: mod hashing (perfectly balanced on a
+    uniform hash) vs the 4-vnode consistent ring (arc lengths are
+    uneven, so low vnode counts buy cheap re-sharding at the price of
+    skewed shards — THE vnode-count trade-off, and exactly the skew a
+    100 TB ring-partitioned layout must size executor memory for).
+    Per (scheme, shard): key count, share_ppm, and the signed
+    deviation from the ideal n/8 in milli-keys.  The 8-shard spine is
+    zero-filled (an arc can be empty), the per-scheme total rides a
+    PARTITION BY scheme window — real key, no scalar attach.
+
+    Composed: the ring successor arithmetic is ``ring_assign``'s
+    permanent single home above (ADVICE r13 item 1 — no cross-slate
+    coupling).  Scale: one hash pass, a 16-row rollup.
+
+    ``docs=`` substitutes the document frame for probes; the driver
+    contract never passes it."""
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    # h feeds the mod count AND the ring assignment — DOUBLE-REFERENCE.
+    h = iter_materialize(
+        d.select("doc_id", _md5_low32_pl(F.col("doc_id")).alias("h"))
+    )
+    cnt = (
+        h.select(F.lit("mod8").alias("scheme"), (F.col("h") % 8).alias("shard"))
+        .unionByName(
+            ring_assign(h, _RING8, "shard").select(
+                F.lit("ring8").alias("scheme"), "shard"
+            )
+        )
+        .groupBy("scheme", "shard")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    spine = spark.createDataFrame(
+        [(sc, sh) for sc in ("mod8", "ring8") for sh in range(8)],
+        "scheme string, shard long",
+    )
+    f = spine.join(cnt, ["scheme", "shard"], "left").select(
+        "scheme",
+        F.col("shard").cast("bigint").alias("shard"),
+        F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n_keys"),
+    )
+    w = Window.partitionBy("scheme")
+    t = f.withColumn("n_total", F.sum("n_keys").over(w).cast("bigint"))
+    return t.select(
+        "scheme",
+        "shard",
+        "n_keys",
+        F.expr("(1000000 * n_keys) div n_total").cast("bigint").alias("share_ppm"),
+        (F.lit(1000) * F.col("n_keys") - F.expr("(1000 * n_total) div 8"))
+        .cast("bigint")
+        .alias("dev_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_reservoir_merge_audit — per-source top-k merge == global sample
+# ---------------------------------------------------------------------------
+
+_RES_K = 20
+
+
+@register(
+    "pipeline_reservoir_merge_audit",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, h,
+             row_number() OVER (ORDER BY h, doc_id) AS pos_global
+      FROM h
+    ),
+    shard AS (
+      SELECT doc_id, h,
+             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rs17
+      FROM h
+    ),
+    merged AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY h, doc_id) AS pos_merged
+      FROM shard WHERE rs17 <= {_RES_K}
+    )
+    SELECT g.doc_id, g.source, g.h,
+           CAST(g.pos_global AS BIGINT) AS pos_global,
+           CAST(m.pos_merged AS BIGINT) AS pos_merged,
+           CAST(CASE WHEN g.pos_global = m.pos_merged THEN 1 ELSE 0 END
+                AS BIGINT) AS agree
+    FROM g JOIN merged m ON g.doc_id = m.doc_id
+    WHERE g.pos_global <= {_RES_K} AND m.pos_merged <= {_RES_K}
+    """,
+)
+def pipeline_reservoir_merge_audit(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """M331 — the MERGEABLE-SAMPLE guarantee, audited: a deterministic
+    uniform k-sample (bottom-k by the md5 key — the bottom-k sketch)
+    taken PER SOURCE and merged must equal the GLOBAL k-sample
+    exactly, positions and all, because the global bottom-k of a
+    union is the bottom-k of the per-part bottom-ks.  This is what
+    makes distributed uniform sampling a map-side operation at
+    100 TB: each executor keeps k rows, the driver merges s·k — no
+    global shuffle of the corpus.  The audit derives both sides
+    INDEPENDENTLY — the global side through the two-pass
+    range-partitioned rank (plans/global_order.py, no
+    single-partition window), the merged side through per-source
+    windows + the bounded ≤ sources·k re-rank — and joins them: k
+    rows, agree = 1 everywhere.
+
+    Scale: the global rank is the measured two-pass idiom (0.14×
+    per-unit at 10×, SCALE.md); the merged side shuffles once on
+    source and once on a ≤ s·k frame.
+
+    ``docs=`` substitutes the document frame for probes (an EMPTY
+    injected frame yields zero rows from both engines — no guard
+    exists to diverge, pinned by the seventh-fold injection); the
+    driver contract never passes it."""
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    # h feeds the global rank AND the per-source ranks — DOUBLE-REF.
+    h = iter_materialize(
+        d.select("doc_id", "source", _md5_low32_pl(F.col("doc_id")).alias("h"))
+    )
+    g = global_row_number(
+        h, [F.col("h").asc(), F.col("doc_id").asc()], out="pos_global"
+    ).filter(F.col("pos_global") <= _RES_K)
+    ws = Window.partitionBy("source").orderBy("h", "doc_id")
+    cand = (
+        h.withColumn("rs17", F.row_number().over(ws))
+        .filter(F.col("rs17") <= _RES_K)
+    )
+    wm = Window.partitionBy(F.pmod(F.col("h"), F.lit(1))).orderBy("h", "doc_id")
+    merged = (
+        cand.withColumn("pos_merged", F.row_number().over(wm))
+        .filter(F.col("pos_merged") <= _RES_K)
+        .select("doc_id", "pos_merged")
+    )
+    return g.join(merged, "doc_id").select(
+        "doc_id",
+        "source",
+        "h",
+        F.col("pos_global").cast("bigint").alias("pos_global"),
+        F.col("pos_merged").cast("bigint").alias("pos_merged"),
+        F.when(F.col("pos_global") == F.col("pos_merged"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("agree"),
+    )

@@ -1953,3 +1953,205 @@ def join_feature_window(
             .alias("n_clicks_24h"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# join_bloom_prefilter_audit — runtime-filter economics on a real join
+# ---------------------------------------------------------------------------
+
+_JBF_BPKS = (8, 16)
+_JBF_SIZE = 40  # build side: parts with p_size >= this
+
+
+@register(
+    "join_bloom_prefilter_audit",
+    oracle=f"""
+    WITH build AS (SELECT p_partkey AS k FROM part WHERE p_size >= {_JBF_SIZE}),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_build FROM build),
+    cfg AS (SELECT CAST(unnest([{", ".join(str(b) for b in _JBF_BPKS)}]) AS BIGINT)
+              AS bpk),
+    mh AS (SELECT k,
+                  ('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT AS h1,
+                  ('0x' || substring(md5(CAST(k AS VARCHAR)), 9, 8))::BIGINT AS h2
+           FROM build),
+    bits AS (
+      SELECT DISTINCT cfg.bpk, (mh.h1 + j.j * mh.h2) % (cfg.bpk * nb.n_build)
+               AS pos
+      FROM mh CROSS JOIN nb CROSS JOIN cfg, unnest([0, 1]) AS j(j)
+    ),
+    kc AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS cnt
+           FROM lineitem GROUP BY 1),
+    ph AS (SELECT kc.k, kc.cnt,
+                  ('0x' || substring(md5(CAST(kc.k AS VARCHAR)), 1, 8))::BIGINT AS h1,
+                  ('0x' || substring(md5(CAST(kc.k AS VARCHAR)), 9, 8))::BIGINT AS h2,
+                  CASE WHEN build.k IS NULL THEN 0 ELSE 1 END AS member
+           FROM kc LEFT JOIN build ON kc.k = build.k
+    ),
+    pp AS (
+      SELECT cfg.bpk, ph.k, ph.cnt, ph.member,
+             (ph.h1 + j.j * ph.h2) % (cfg.bpk * nb.n_build) AS pos
+      FROM ph CROSS JOIN nb CROSS JOIN cfg, unnest([0, 1]) AS j(j)
+    ),
+    hit AS (
+      SELECT pp.bpk, pp.k, max(pp.cnt) AS cnt, max(pp.member) AS member,
+             CAST(count(*) AS BIGINT) AS n_hit
+      FROM pp JOIN bits ON pp.bpk = bits.bpk AND pp.pos = bits.pos
+      GROUP BY pp.bpk, pp.k
+    ),
+    per AS (
+      SELECT cfg.bpk,
+             CAST(coalesce(sum(CASE WHEN hit.n_hit = 2 THEN hit.cnt END), 0)
+                  AS BIGINT) AS n_pass
+      FROM cfg LEFT JOIN hit ON cfg.bpk = hit.bpk
+      GROUP BY cfg.bpk
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_probe,
+             CAST(sum(member * cnt) AS BIGINT) AS n_true
+      FROM ph
+    )
+    SELECT per.bpk AS bits_per_key, nb.n_build, tot.n_probe, tot.n_true,
+           per.n_pass,
+           CAST(per.n_pass - tot.n_true AS BIGINT) AS n_fp,
+           CAST((1000000 * (per.n_pass - tot.n_true))
+                // (tot.n_probe - tot.n_true) AS BIGINT) AS fp_ppm,
+           CAST((1000000 * (tot.n_probe - per.n_pass)) // tot.n_probe
+                AS BIGINT) AS reduction_ppm
+    FROM per CROSS JOIN nb CROSS JOIN tot
+    """,
+)
+def join_bloom_prefilter_audit(
+    spark: SparkSession, sf_dir: str, li: DataFrame | None = None
+) -> DataFrame:
+    """M334 — RUNTIME-FILTER economics on a real join: build a k=2
+    double-hashed Bloom filter over the join keys of the BUILD side
+    (parts with p_size ≥ 40, ~20% of parts) at 8 and 16 bits per key
+    and apply it to the PROBE side (every lineitem row, real skewed
+    key multiplicities — the probe collapses to its key histogram
+    first, so the filter is evaluated once per DISTINCT key and
+    weighted by row count): rows passed, false passes (non-member
+    rows the filter lets through), fp_ppm over the true non-member
+    mass, and the headline number — reduction_ppm, the fraction of
+    probe-side shuffle a pre-shuffle filter deletes.  This is exactly
+    what Spark's runtime row-level filtering / DPP buys on a selective
+    build side; the audit prices it per bits-per-key so the 100 TB
+    deployment can trade filter memory against shuffle bytes.
+
+    Bloom has NO false negatives by construction (members' bits are
+    set by themselves), so n_pass ≥ n_true always — twin-pinned along
+    with the exact per-key hit set.  Scale: bits ≤ 2/key map-side
+    distinct; the probe histogram is one map-side rollup; the 1-row
+    build-count modulus cross is the r14 Bloom-curve scalar attach
+    (BNLJ_ALLOWED).
+
+    ``li=`` substitutes the probe frame for probes (an EMPTY probe
+    side leaves n_probe/n_true NULL — sum over zero rows — and every
+    derived column NULL-propagates identically in both engines:
+    absence of evidence, loudly; pinned by the seventh-fold
+    injection); the driver contract never passes it."""
+    from tropology_spark.session import iter_materialize
+
+    p = load(spark, sf_dir, "part")
+    if li is None:
+        li = load(spark, sf_dir, "lineitem")
+    # build keys feed bits + the member flag + the count — DOUBLE-REF.
+    build = iter_materialize(
+        p.filter(F.col("p_size") >= _JBF_SIZE).select(F.col("p_partkey").alias("k"))
+    )
+    nb = build.agg(F.count(F.lit(1)).cast("bigint").alias("n_build"))
+    cfg = spark.createDataFrame([(b,) for b in _JBF_BPKS], "bpk long")
+    mh = build.select(
+        "k",
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h1"),
+        F.conv(F.substring(F.md5(F.col("k").cast("string")), 9, 8), 16, 10)
+        .cast("bigint")
+        .alias("h2"),
+    )
+    j = F.explode(F.array(F.lit(0), F.lit(1))).alias("j")
+    bits = (
+        mh.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(cfg))
+        .select("bpk", "h1", "h2", "n_build", j)
+        .select(
+            "bpk",
+            ((F.col("h1") + F.col("j") * F.col("h2"))
+             % (F.col("bpk") * F.col("n_build"))).alias("pos"),
+        )
+        .dropDuplicates(["bpk", "pos"])
+    )
+    kc = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    # the probe key histogram feeds the totals AND the hit join.
+    ph = iter_materialize(
+        kc.join(build.withColumn("member", F.lit(1)), "k", "left")
+        .select(
+            "k",
+            "cnt",
+            F.coalesce(F.col("member"), F.lit(0)).alias("member"),
+            F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h1"),
+            F.conv(F.substring(F.md5(F.col("k").cast("string")), 9, 8), 16, 10)
+            .cast("bigint")
+            .alias("h2"),
+        )
+    )
+    pp = (
+        ph.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(cfg))
+        .select("bpk", "k", "cnt", "member", "h1", "h2", "n_build", j)
+        .select(
+            "bpk",
+            "k",
+            "cnt",
+            "member",
+            ((F.col("h1") + F.col("j") * F.col("h2"))
+             % (F.col("bpk") * F.col("n_build"))).alias("pos"),
+        )
+    )
+    hit = (
+        pp.join(bits, ["bpk", "pos"])
+        .groupBy("bpk", "k")
+        .agg(
+            F.max("cnt").alias("cnt"),
+            F.max("member").alias("member"),
+            F.count(F.lit(1)).alias("n_hit"),
+        )
+    )
+    per = (
+        cfg.join(
+            hit.filter(F.col("n_hit") == 2)
+            .groupBy("bpk")
+            .agg(F.sum("cnt").cast("bigint").alias("n_pass")),
+            "bpk",
+            "left",
+        )
+        .select(
+            "bpk", F.coalesce(F.col("n_pass"), F.lit(0)).cast("bigint").alias("n_pass")
+        )
+    )
+    tot = ph.agg(
+        F.sum("cnt").cast("bigint").alias("n_probe"),
+        F.sum(F.col("member") * F.col("cnt")).cast("bigint").alias("n_true"),
+    )
+    return (
+        per.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bpk").cast("bigint").alias("bits_per_key"),
+            "n_build",
+            "n_probe",
+            "n_true",
+            "n_pass",
+            (F.col("n_pass") - F.col("n_true")).cast("bigint").alias("n_fp"),
+            F.expr("(1000000 * (n_pass - n_true)) div (n_probe - n_true)")
+            .cast("bigint")
+            .alias("fp_ppm"),
+            F.expr("(1000000 * (n_probe - n_pass)) div n_probe")
+            .cast("bigint")
+            .alias("reduction_ppm"),
+        )
+    )

@@ -4216,3 +4216,193 @@ def sim_pq_k_curve(
         F.expr("sum(qerr) div count(*)").cast("bigint").alias("mean_qerr"),
         F.max("qerr").cast("bigint").alias("max_qerr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_mutual_knn — mutual top-3 pairs from the registered kNN join
+# ---------------------------------------------------------------------------
+
+
+def _mutual_knn_oracle() -> str:
+    from tropology_spark.registry import ORACLES
+
+    return f"""
+    WITH knn AS MATERIALIZED ({ORACLES["sim_knn_join"]})
+    SELECT a.vec_id AS vec_a, a.neighbor_id AS vec_b,
+           CAST(a.rn AS BIGINT) AS rn_ab, CAST(b.rn AS BIGINT) AS rn_ba,
+           a.cosine
+    FROM knn a
+    JOIN knn b ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+    WHERE a.vec_id < a.neighbor_id
+    """
+
+
+@register("sim_mutual_knn", oracle=_mutual_knn_oracle())
+def sim_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M335 — MUTUAL kNN pairs: vector pairs that each rank the other
+    inside their cell-blocked top-3 (the registered J9 frame, both
+    directions) — the matching-robust retrieval primitive (mutual-NN
+    pairs are the classic seed for dedup clustering, bitext mining
+    and correspondence problems precisely because one-directional
+    neighbors are hub-polluted: a celebrity vector is in everyone's
+    top-k, but almost nobody is in ITS top-k).  Emits (vec_a < vec_b,
+    both ranks, the shared cosine).
+
+    Composed, not copied: QUERIES['sim_knn_join'] IS the base frame
+    (checkpointed once — it feeds both join sides: DOUBLE-REFERENCE
+    RULE), and the oracle wraps ORACLES['sim_knn_join'] AS MATERIALIZED
+    (the DuckDB inlining trap).  The cosine column inherits J9's
+    6-dp-rounded carrier (ranks-on-rounded-scores rule).  Scale: the
+    mutual join touches only the O(3n) kNN result, never the corpus."""
+    from tropology_spark.registry import QUERIES
+
+    knn = iter_materialize(QUERIES["sim_knn_join"](spark, sf_dir))
+    a = knn.alias("a")
+    b = knn.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.neighbor_id"))
+            & (F.col("a.neighbor_id") == F.col("b.vec_id")),
+        )
+        .filter(F.col("a.vec_id") < F.col("a.neighbor_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("a.neighbor_id").alias("vec_b"),
+            F.col("a.rn").cast("bigint").alias("rn_ab"),
+            F.col("b.rn").cast("bigint").alias("rn_ba"),
+            F.col("a.cosine").alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_rocchio_feedback — one round of pseudo-relevance feedback
+# ---------------------------------------------------------------------------
+
+_ROC_FB = 5  # feedback depth (top-k whose centroid expands the query)
+_ROC_K = 10  # final retrieval depth
+#: Shift constant for the signed centroid floor cm = (Σvm + BIG·k)
+#: div k − BIG.  Domain bound: |Σ_{top5} vm| ≤ 5·10⁶ per dimension
+#: (|component| ≤ 1 ⇒ |vm| ≤ 10⁶ — fixture-verified in the shift
+#: audit), so BIG ≥ 10⁶; held at 1000× headroom.
+_ROC_BIG = 1_000_000_000
+
+
+def _rocchio_oracle() -> str:
+    return (
+        _EX_CTE
+        + f""",
+    exm AS MATERIALIZED (
+      SELECT vec_id, pos, CAST(round(val * 1000000) AS BIGINT) AS vm FROM ex
+    ),
+    q AS (SELECT pos, vm AS qm FROM exm WHERE vec_id = {QUERY_VEC_ID}),
+    sc AS MATERIALIZED (
+      SELECT e.vec_id, CAST(sum(e.vm * q.qm) AS BIGINT) AS dot0
+      FROM exm e JOIN q USING (pos)
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+      GROUP BY e.vec_id
+    ),
+    top5 AS (SELECT vec_id FROM sc ORDER BY dot0 DESC, vec_id
+             LIMIT {_ROC_FB}),
+    cen AS (
+      SELECT pos,
+             CAST((sum(vm) + CAST({_ROC_BIG} AS HUGEINT) * {_ROC_FB})
+                  // {_ROC_FB} - {_ROC_BIG} AS BIGINT) AS cm
+      FROM exm JOIN top5 USING (vec_id) GROUP BY pos
+    ),
+    sc2 AS (
+      SELECT e.vec_id, CAST(sum(e.vm * c.cm) AS BIGINT) AS dot_c
+      FROM exm e JOIN cen c USING (pos)
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+      GROUP BY e.vec_id
+    ),
+    orig AS (SELECT vec_id FROM sc ORDER BY dot0 DESC, vec_id
+             LIMIT {_ROC_K}),
+    out AS (
+      SELECT vec_id, dot_c,
+             row_number() OVER (ORDER BY dot_c DESC, vec_id) AS rk17
+      FROM sc2
+    )
+    SELECT CAST(out.rk17 AS BIGINT) AS rk, out.vec_id,
+           out.dot_c AS dot_c_u2,
+           CAST(CASE WHEN orig.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS in_orig10
+    FROM out LEFT JOIN orig ON out.vec_id = orig.vec_id
+    WHERE out.rk17 <= {_ROC_K}
+    """
+    )
+
+
+@register("sim_rocchio_feedback", oracle=_rocchio_oracle())
+def sim_rocchio_feedback(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
+    """M336 — one round of ROCCHIO pseudo-relevance feedback (query
+    expansion, the alpha=0 beta=1 corner): retrieve the query vector's
+    top-5 by the exact integer dot, replace the query with their
+    micro-unit integer CENTROID (per-dimension sum floored by the
+    +BIG·k shift — component sums are SIGNED), retrieve the top-10 by
+    the centroid, and flag which of them the ORIGINAL top-10 already
+    contained — in_orig10 = 0 rows are what feedback bought.  The
+    retrieval-quality family's missing member: RRF fuses rankings
+    (M232), recall curves grade them (M241), MMR diversifies them
+    (M282) — this one EXPANDS the query, the first-round trick of
+    every IR stack.
+
+    All-integer: dots in µ-unit², the one signed floor via the shift
+    identity; ranks on exact integers with unique tie-breaks (NOT the
+    6-dp cosine carrier — unnormalized dots need no norms at all).
+    Scale: two corpus passes (score against a 64-row broadcast query,
+    then a 64-row broadcast centroid) + two global sort-limits; the
+    scored frame is checkpointed once (it feeds top-5 AND the original
+    top-10: DOUBLE-REFERENCE RULE).
+
+    ``e=`` substitutes the embedding frame for probes; the driver
+    contract never passes it."""
+    if e is None:
+        e = load(spark, sf_dir, "embeddings")
+    exm = _pq_exm(e).select("vec_id", "pos", "vm")
+    q = exm.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "pos", F.col("vm").alias("qm")
+    )
+    corpus = exm.filter(F.col("vec_id") != QUERY_VEC_ID)
+    # the first-round scores feed top-5 AND the original top-10.
+    sc = iter_materialize(
+        corpus.join(F.broadcast(q), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("vm") * F.col("qm")).cast("bigint").alias("dot0"))
+    )
+    top5 = sc.orderBy(F.col("dot0").desc(), F.col("vec_id")).limit(_ROC_FB)
+    cen = (
+        exm.join(F.broadcast(top5.select("vec_id")), "vec_id")
+        .groupBy("pos")
+        .agg(
+            F.expr(
+                f"CAST((sum(vm) + CAST({_ROC_BIG} AS DECIMAL(38,0))"
+                f" * {_ROC_FB}) div {_ROC_FB} - {_ROC_BIG} AS BIGINT)"
+            ).alias("cm")
+        )
+    )
+    sc2 = (
+        corpus.join(F.broadcast(cen), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("vm") * F.col("cm")).cast("bigint").alias("dot_c"))
+    )
+    out = sc2.orderBy(F.col("dot_c").desc(), F.col("vec_id")).limit(_ROC_K)
+    w = Window.partitionBy(F.pmod(F.col("dot_c"), F.lit(1))).orderBy(
+        F.col("dot_c").desc(), F.col("vec_id")
+    )
+    orig10 = sc.orderBy(F.col("dot0").desc(), F.col("vec_id")).limit(
+        _ROC_K
+    ).select("vec_id", F.lit(1).alias("hit"))
+    return (
+        out.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .join(orig10, "vec_id", "left")
+        .select(
+            "rk",
+            "vec_id",
+            F.col("dot_c").alias("dot_c_u2"),
+            F.coalesce(F.col("hit"), F.lit(0)).cast("bigint").alias("in_orig10"),
+        )
+    )

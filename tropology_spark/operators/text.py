@@ -2493,3 +2493,90 @@ def text_winnowing_w_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_rank_curve — rank x frequency Zipf product for the top-20 tokens
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 20
+
+
+@register(
+    "text_zipf_rank_curve",
+    oracle=f"""
+    WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents),
+    vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+              FROM tk GROUP BY token),
+    rk AS (SELECT token, freq,
+                  row_number() OVER (ORDER BY freq DESC, token) AS rk17
+           FROM vocab),
+    top AS (SELECT * FROM rk WHERE rk17 <= {_ZIPF_TOP}),
+    t AS (
+      SELECT CAST(rk17 AS BIGINT) AS rank, token, freq,
+             CAST(max(CASE WHEN rk17 = 1 THEN freq END) OVER () AS BIGINT)
+               AS top_freq
+      FROM top
+    )
+    SELECT rank, token, freq, top_freq,
+           CAST((1000000 * freq * rank) // top_freq AS BIGINT)
+             AS zipf_ratio_ppm,
+           CAST((1000000 * freq * rank) // top_freq - 1000000 AS BIGINT)
+             AS dev_ppm
+    FROM t
+    """,
+)
+def text_zipf_rank_curve(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """M329 — the ZIPF rank-frequency product for the top-20 tokens:
+    under Zipf's law with s=1, rank × frequency is constant, so the
+    exact integer carrier 10⁶·c_r·r/c_1 sits near 10⁶ for a
+    natural-language corpus and drifts for synthetic or boilerplate
+    text — the corpus-naturalness screen that needs NO logarithms
+    (the log-log regression's transcendentals never enter the hash
+    gate).  dev_ppm is the signed per-rank deviation — the fitted
+    residual a quality monitor tracks release-over-release.
+
+    Ranking: the vocabulary is tiny next to the corpus (M164's
+    argument), so its global (freq DESC, token) rank rides the
+    pmod-constant-key window over the vocab frame — no corpus sort,
+    no partition-less window over data-scale rows.  Scale: one token
+    rollup (map-side combinable), one O(vocab) window, a 20-row tail.
+
+    ``docs=`` substitutes the document frame for probes; the driver
+    contract never passes it."""
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    tk = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    vocab = tk.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    rk = vocab.withColumn(
+        "rk17",
+        F.row_number().over(
+            Window.partitionBy(F.pmod(F.col("freq"), F.lit(1))).orderBy(
+                F.col("freq").desc(), F.col("token")
+            )
+        ),
+    ).filter(F.col("rk17") <= _ZIPF_TOP)
+    w = Window.partitionBy(F.pmod(F.col("rk17"), F.lit(1)))
+    t = rk.select(
+        F.col("rk17").cast("bigint").alias("rank"),
+        "token",
+        "freq",
+        F.max(F.when(F.col("rk17") == 1, F.col("freq")))
+        .over(w)
+        .cast("bigint")
+        .alias("top_freq"),
+    )
+    return t.select(
+        "rank",
+        "token",
+        "freq",
+        "top_freq",
+        F.expr("(1000000 * freq * rank) div top_freq")
+        .cast("bigint")
+        .alias("zipf_ratio_ppm"),
+        (F.expr("(1000000 * freq * rank) div top_freq") - F.lit(1_000_000))
+        .cast("bigint")
+        .alias("dev_ppm"),
+    )

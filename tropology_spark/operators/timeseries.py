@@ -3239,3 +3239,163 @@ def ts_local_maxima(
             .alias("sharp2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_dominant_period — argmax over hour-axis lags of the exact ACF score
+# ---------------------------------------------------------------------------
+
+_DP_MIN_LAG = 2
+_DP_MAX_LAG = 48
+_DP_MIN_OVERLAP = 24  # >= a day of co-present hours per (type, lag)
+
+
+@register(
+    "ts_dominant_period",
+    oracle=f"""
+    WITH hc AS (
+      SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    lagd AS (
+      SELECT a.event_type, l.lag_k, a.c AS head, b.c AS tail
+      FROM hc a
+      JOIN (SELECT unnest(generate_series({_DP_MIN_LAG}, {_DP_MAX_LAG}))
+              AS lag_k) l ON true
+      JOIN hc b ON b.event_type = a.event_type AND b.h = a.h - l.lag_k
+    ),
+    t AS (
+      SELECT event_type, CAST(lag_k AS BIGINT) AS lag_k,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(head * tail) AS BIGINT) AS s_xy,
+             CAST(sum(head) AS BIGINT) AS s_h,
+             CAST(sum(tail) AS BIGINT) AS s_t,
+             CAST(sum(head * head) AS BIGINT) AS s_hh,
+             CAST(sum(tail * tail) AS BIGINT) AS s_tt
+      FROM lagd GROUP BY 1, 2
+    ),
+    sc AS (
+      SELECT event_type, lag_k, m,
+             CAST(m * s_xy - s_h * s_t AS BIGINT) AS num,
+             CAST(m * s_hh - s_h * s_h AS BIGINT) AS dh,
+             CAST(m * s_tt - s_t * s_t AS BIGINT) AS dt
+      FROM t WHERE m >= {_DP_MIN_OVERLAP}
+    ),
+    v AS (
+      SELECT event_type, lag_k, m, num, dh, dt,
+             CAST((1000000000 * CAST(num AS HUGEINT) * num)
+                  // (CAST(dh AS HUGEINT) * dt) AS BIGINT) AS score_ppb
+      FROM sc WHERE num > 0 AND dh > 0 AND dt > 0
+    )
+    SELECT event_type, CAST(lag_k AS BIGINT) AS best_lag, m, num, dh, dt,
+           score_ppb
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                       ORDER BY score_ppb DESC, lag_k) AS rk17
+          FROM v) z
+    WHERE rk17 = 1
+    """,
+)
+def ts_dominant_period(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """M332 — the DOMINANT PERIOD of each type's hourly activity
+    series: over calendar-hour lags 2..48, the lag maximizing the
+    exact integer autocorrelation score — the periodicity detector
+    (expect ~24 for anything diurnal) that decides resampling rates
+    and seasonal-model windows.  M101 carries the ACF terms at row
+    lags 1..3; this searches the PERIOD axis, on the hour key, with
+    equi-joined lags (the ts_seasonal_naive_error gap rule — row-lags
+    silently cross gaps) and only co-present hour pairs.
+
+    Exact argmax without floats: corr²'s denominators cleared —
+    score_ppb = 10⁹·num² div (dh·dt) with num = m·Σxy − ΣxΣy > 0
+    (positive-correlation lags only; squaring would otherwise lose
+    the sign), dh/dt the variance numerators, everything BIGINT with
+    the one division in DECIMAL(38,0)/HUGEINT.  Overlap gate m ≥ 24
+    (a day of co-present hours) keeps boundary lags from winning on
+    tiny overlaps.  Headroom: 10⁹·num² at sf0.1 is ~10²⁹ — two more
+    decades fit; past that the carrier drops to ppm.  Tie-break
+    (score DESC, lag) is unique.  Scale: events collapse map-side to
+    O(types × hours); the ×47 lag axis explodes THAT table, never the
+    corpus; one per-type window on a real key.
+
+    ``events=`` substitutes the event frame for probes; the driver
+    contract never passes it."""
+    e = events if events is not None else load(spark, sf_dir, "events")
+    hc = iter_materialize(  # head AND tail sides — DOUBLE-REFERENCE
+        e.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("h"),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    head = hc.select(
+        "event_type",
+        "h",
+        F.col("c").alias("head"),
+        F.explode(
+            F.array(
+                *[F.lit(k) for k in range(_DP_MIN_LAG, _DP_MAX_LAG + 1)]
+            )
+        ).alias("lag_k"),
+    )
+    # Rename BOTH tail-side keys: head/tail share the checkpointed
+    # frame's attribute ids, and an un-renamed event_type would build
+    # a trivially-true self-comparison (WARN Column at plan time).
+    tail = hc.select(
+        F.col("event_type").alias("et_t"),
+        F.col("h").alias("ht"),
+        F.col("c").alias("tail"),
+    )
+    lagd = head.join(
+        tail,
+        (F.col("et_t") == head.event_type)
+        & (F.col("ht") == head.h - head.lag_k),
+    ).select(head.event_type, "lag_k", "head", "tail")
+    t = lagd.groupBy("event_type", "lag_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.col("head") * F.col("tail")).cast("bigint").alias("s_xy"),
+        F.sum("head").cast("bigint").alias("s_h"),
+        F.sum("tail").cast("bigint").alias("s_t"),
+        F.sum(F.col("head") * F.col("head")).cast("bigint").alias("s_hh"),
+        F.sum(F.col("tail") * F.col("tail")).cast("bigint").alias("s_tt"),
+    )
+    sc = t.filter(F.col("m") >= _DP_MIN_OVERLAP).select(
+        "event_type",
+        F.col("lag_k").cast("bigint").alias("lag_k"),
+        "m",
+        (F.col("m") * F.col("s_xy") - F.col("s_h") * F.col("s_t"))
+        .cast("bigint")
+        .alias("num"),
+        (F.col("m") * F.col("s_hh") - F.col("s_h") * F.col("s_h"))
+        .cast("bigint")
+        .alias("dh"),
+        (F.col("m") * F.col("s_tt") - F.col("s_t") * F.col("s_t"))
+        .cast("bigint")
+        .alias("dt"),
+    )
+    v = sc.filter(
+        (F.col("num") > 0) & (F.col("dh") > 0) & (F.col("dt") > 0)
+    ).withColumn(
+        "score_ppb",
+        F.expr(
+            "CAST((1000000000 * CAST(num AS DECIMAL(38,0)) * num)"
+            " div (CAST(dh AS DECIMAL(38,0)) * dt) AS BIGINT)"
+        ),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("score_ppb").desc(), F.col("lag_k")
+    )
+    return (
+        v.withColumn("rk17", F.row_number().over(w))
+        .filter(F.col("rk17") == 1)
+        .select(
+            "event_type",
+            F.col("lag_k").alias("best_lag"),
+            "m",
+            "num",
+            "dh",
+            "dt",
+            "score_ppb",
+        )
+    )
