@@ -604,3 +604,60 @@ def test_consistent_hash_ring_property(spark, ids):
     }
     assert got == _ch_twin(ids)
     assert got["ring"][1] == got["ring"][3]
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r16 guard pins (closed round 17): the three division guards
+# added to r16 activations, each reachable only through a probe kwarg.
+# ---------------------------------------------------------------------------
+
+
+def test_anisotropy_single_vector_guard(spark):
+    """M318 — a single-vector e= injection reaches the n <= 1 guard:
+    the pair axis n(n−1) is empty, so mean_pair_dot_u2/ani_ppm are
+    NULL in BOTH engines (before the guard, ANSI division by zero
+    errored); the norm carriers stay exact."""
+    e = spark.createDataFrame(
+        [(0, [1 / 8] + [0.0] * 63)], "vec_id long, embedding array<double>"
+    )
+    [r] = QUERIES["sim_anisotropy_terms"](spark, "unused", e=e).collect()
+    assert r["n_vectors"] == 1
+    assert r["sum_norm2_u2"] == 125_000**2
+    assert r["mean_pair_dot_u2"] is None
+    assert r["ani_ppm"] is None
+
+
+def test_benford_empty_population_guard(spark):
+    """M319 — an orders= injection whose totals are all zero or
+    negative leaves the cents >= 1 population EMPTY (nt = 0): the
+    9-digit spine still emits with n_obs = 0 and NULL obs_ppm/dev_ppm
+    in BOTH engines (absence of evidence, loudly)."""
+    odf = spark.createDataFrame(
+        [(0.00,), (-5.25,)], "o_totalprice double"
+    )
+    rows = QUERIES["analytics_benford_audit"](
+        spark, "unused", orders=odf
+    ).collect()
+    assert sorted(r["digit"] for r in rows) == list(range(1, 10))
+    for r in rows:
+        assert r["n_obs"] == 0
+        assert r["obs_ppm"] is None and r["dev_ppm"] is None
+        assert r["benford_ppm"] > 0  # the published constants still ride
+
+
+def test_consistent_hash_moves_empty_corpus_guard(spark):
+    """M320 — an empty docs= injection reaches the n_keys = 0 guard:
+    both method rows emit with n_keys 0, NULL n_moved/n_to_new (sums
+    over zero rows) and NULL moved_ppm (before the guard, ANSI
+    division by zero errored)."""
+    docs = spark.createDataFrame([], "doc_id long")
+    got = {
+        r["method"]: (r["n_keys"], r["n_moved"], r["moved_ppm"], r["n_to_new"])
+        for r in QUERIES["pipeline_consistent_hash_moves"](
+            spark, "unused", docs=docs
+        ).collect()
+    }
+    assert got == {
+        "mod": (0, None, None, None),
+        "ring": (0, None, None, None),
+    }

@@ -2910,11 +2910,13 @@ _BENFORD_PPM = (
       {", ".join(f"({d}, {p})" for d, p in _BENFORD_PPM)})
     SELECT CAST(bf.digit AS BIGINT) AS digit,
            CAST(coalesce(obs.n_obs, 0) AS BIGINT) AS n_obs,
-           CAST((1000000 * coalesce(obs.n_obs, 0)) // n.nt AS BIGINT)
+           CAST(CASE WHEN n.nt = 0 THEN NULL ELSE
+                (1000000 * coalesce(obs.n_obs, 0)) // n.nt END AS BIGINT)
              AS obs_ppm,
            CAST(bf.benford_ppm AS BIGINT) AS benford_ppm,
-           CAST((1000000 * coalesce(obs.n_obs, 0)) // n.nt
-                - bf.benford_ppm AS BIGINT) AS dev_ppm
+           CAST(CASE WHEN n.nt = 0 THEN NULL ELSE
+                (1000000 * coalesce(obs.n_obs, 0)) // n.nt
+                - bf.benford_ppm END AS BIGINT) AS dev_ppm
     FROM bf LEFT JOIN obs ON bf.digit = obs.digit
     CROSS JOIN n
     """,
@@ -2973,10 +2975,13 @@ def analytics_benford_audit(
     return full.select(
         F.col("digit").cast("bigint").alias("digit"),
         "n_obs",
-        F.expr("(1000000 * n_obs) div nt").cast("bigint").alias("obs_ppm"),
+        F.expr("CASE WHEN nt = 0 THEN NULL ELSE (1000000 * n_obs) div nt END")
+        .cast("bigint")
+        .alias("obs_ppm"),
         F.col("benford_ppm").cast("bigint").alias("benford_ppm"),
-        (
-            F.expr("(1000000 * n_obs) div nt") - F.col("benford_ppm")
+        F.expr(
+            "CASE WHEN nt = 0 THEN NULL"
+            " ELSE (1000000 * n_obs) div nt - benford_ppm END"
         )
         .cast("bigint")
         .alias("dev_ppm"),

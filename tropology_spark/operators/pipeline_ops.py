@@ -4425,7 +4425,8 @@ def _ch_oracle() -> str:
              JOIN a9 ON h.doc_id = a9.doc_id
     )
     SELECT method, n_keys, n_moved,
-           CAST((1000000 * n_moved) // n_keys AS BIGINT) AS moved_ppm,
+           CAST(CASE WHEN n_keys = 0 THEN NULL
+                ELSE (1000000 * n_moved) // n_keys END AS BIGINT) AS moved_ppm,
            n_to_new
     FROM (
       SELECT 'mod' AS method,
@@ -4507,7 +4508,12 @@ def pipeline_consistent_hash_moves(
             "method",
             "n_keys",
             "n_moved",
-            F.expr("(1000000 * n_moved) div n_keys").cast("bigint").alias("moved_ppm"),
+            F.expr(
+                "CASE WHEN n_keys = 0 THEN NULL"
+                " ELSE (1000000 * n_moved) div n_keys END"
+            )
+            .cast("bigint")
+            .alias("moved_ppm"),
             "n_to_new",
         )
 

@@ -4057,11 +4057,14 @@ _ANI_BIG_PPM = 10**7
            CAST(sn2 AS BIGINT) AS sum_norm2_u2,
            CAST(sn2 // n AS BIGINT) AS mean_norm2_u2,
            CAST(gram // n AS BIGINT) AS gram_div_n,
-           CAST((gram - sn2 + CAST({_ANI_BIG_PAIR} AS HUGEINT) * (n * (n - 1)))
-                // (n * (n - 1)) - {_ANI_BIG_PAIR} AS BIGINT) AS mean_pair_dot_u2,
-           CAST((1000000 * (gram - sn2)
+           CAST(CASE WHEN n <= 1 THEN NULL ELSE
+                (gram - sn2 + CAST({_ANI_BIG_PAIR} AS HUGEINT) * (n * (n - 1)))
+                // (n * (n - 1)) - {_ANI_BIG_PAIR} END AS BIGINT)
+             AS mean_pair_dot_u2,
+           CAST(CASE WHEN n <= 1 OR sn2 = 0 THEN NULL ELSE
+                (1000000 * (gram - sn2)
                  + CAST({_ANI_BIG_PPM} AS HUGEINT) * ((n - 1) * sn2))
-                // ((n - 1) * sn2) - {_ANI_BIG_PPM} AS BIGINT) AS ani_ppm
+                // ((n - 1) * sn2) - {_ANI_BIG_PPM} END AS BIGINT) AS ani_ppm
     FROM tot
     """,
 )
@@ -4114,12 +4117,14 @@ def sim_anisotropy_terms(
         F.expr("CAST(sn2 div n AS BIGINT)").alias("mean_norm2_u2"),
         F.expr("CAST(gram div n AS BIGINT)").alias("gram_div_n"),
         F.expr(
-            f"CAST((gram - sn2 + CAST({_ANI_BIG_PAIR} AS DECIMAL(38,0))"
-            f" * (n * (n - 1))) div (n * (n - 1)) - {_ANI_BIG_PAIR} AS BIGINT)"
+            f"CAST(CASE WHEN n <= 1 THEN NULL ELSE"
+            f" (gram - sn2 + CAST({_ANI_BIG_PAIR} AS DECIMAL(38,0))"
+            f" * (n * (n - 1))) div (n * (n - 1)) - {_ANI_BIG_PAIR} END AS BIGINT)"
         ).alias("mean_pair_dot_u2"),
         F.expr(
-            f"CAST((1000000 * (gram - sn2) + CAST({_ANI_BIG_PPM} AS DECIMAL(38,0))"
-            f" * ((n - 1) * sn2)) div ((n - 1) * sn2) - {_ANI_BIG_PPM} AS BIGINT)"
+            f"CAST(CASE WHEN n <= 1 OR sn2 = 0 THEN NULL ELSE"
+            f" (1000000 * (gram - sn2) + CAST({_ANI_BIG_PPM} AS DECIMAL(38,0))"
+            f" * ((n - 1) * sn2)) div ((n - 1) * sn2) - {_ANI_BIG_PPM} END AS BIGINT)"
         ).alias("ani_ppm"),
     )
 
