@@ -533,3 +533,82 @@ def test_reservoir_merge_property(spark, docs):
     assert {r["doc_id"]: r["pos_global"] for r in got} == {
         did: i for i, (_h, did) in enumerate(keyed[: len(want_ids)], 1)
     }
+
+
+# ---------------------------------------------------------------------------
+# Self-review guard pins (round-17 activation review): the same ANSI
+# division-by-zero probe-surface class the r16 ADVICE items closed,
+# found on three of this round's own ops and guarded the same way.
+# ---------------------------------------------------------------------------
+
+
+def test_shard_balance_empty_corpus_guard(spark):
+    """M330 — an empty docs= injection still emits the 16-row
+    zero-filled spine: n_keys 0 everywhere, share_ppm guarded NULL in
+    both engines (n_total = 0), dev_milli exactly 0."""
+    docs = spark.createDataFrame([], "doc_id long")
+    rows = QUERIES["pipeline_shard_balance"](
+        spark, "unused", docs=docs
+    ).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert (r["n_keys"], r["share_ppm"], r["dev_milli"]) == (0, None, 0)
+
+
+def test_lehr_degenerate_cohorts_guard(spark):
+    """M337 — degenerate orders= injections: a single-cohort corpus
+    (na = 0) NULLs the a-side mean/SS plus gap and n_lehr; a
+    one-row-per-cohort corpus (na = nb = 1) has zero pooled degrees
+    of freedom, so n_lehr is NULL while the means, SS carriers and
+    the gap stay defined."""
+    one_cohort = spark.createDataFrame(
+        [("5-LOW", 1.00), ("5-LOW", 2.00)],
+        "o_orderpriority string, o_totalprice double",
+    )
+    [r] = QUERIES["analytics_lehr_sample_size"](
+        spark, "unused", orders=one_cohort
+    ).collect()
+    assert (r["na"], r["nb"]) == (0, 2)
+    assert r["mean_a_cents"] is None and r["ssa"] is None
+    assert r["mean_b_cents"] == 150 and r["ssb"] == (2 * 50000 - 90000) // 2
+    assert r["gap_milli_cents"] is None and r["n_lehr"] is None
+
+    one_each = spark.createDataFrame(
+        [("1-URGENT", 1.00), ("5-LOW", 2.00)],
+        "o_orderpriority string, o_totalprice double",
+    )
+    [r2] = QUERIES["analytics_lehr_sample_size"](
+        spark, "unused", orders=one_each
+    ).collect()
+    assert (r2["na"], r2["nb"]) == (1, 1)
+    assert (r2["mean_a_cents"], r2["mean_b_cents"]) == (100, 200)
+    assert (r2["ssa"], r2["ssb"]) == (0, 0)
+    assert r2["gap_milli_cents"] == (1000 * (100 - 200)) // 1 == -100000
+    assert r2["n_lehr"] is None  # na + nb - 2 == 0: no pooled variance
+
+
+def test_bloom_prefilter_all_member_probe_guard(spark):
+    """M334 — an li= injection whose keys are ALL build-side members
+    leaves no non-member mass: n_probe == n_true, fp_ppm guarded NULL
+    in both engines; n_fp and reduction_ppm stay defined (the filter
+    passes every member — no false negatives — so n_pass == n_probe
+    and reduction_ppm == 0)."""
+    import duckdb
+
+    member_keys = [
+        int(k)
+        for (k,) in duckdb.sql(
+            f"""SELECT p_partkey FROM read_parquet('{SF_UNIT}/part.parquet')
+                WHERE p_size >= 40 LIMIT 5"""
+        ).fetchall()
+    ]
+    assert member_keys, "fixture lost its p_size >= 40 parts"
+    li = spark.createDataFrame([(k,) for k in member_keys], "l_partkey long")
+    rows = QUERIES["join_bloom_prefilter_audit"](
+        spark, SF_UNIT, li=li
+    ).collect()
+    assert sorted(r["bits_per_key"] for r in rows) == [8, 16]
+    for r in rows:
+        assert r["n_probe"] == r["n_true"] == r["n_pass"] == len(member_keys)
+        assert r["fp_ppm"] is None
+        assert (r["n_fp"], r["reduction_ppm"]) == (0, 0)

@@ -3025,9 +3025,11 @@ _LEHR_BIG = 10**12
     ),
     d AS (
       SELECT na, nb, s1a, s1b,
-             CAST((na * s2a - CAST(s1a AS HUGEINT) * s1a) // na AS BIGINT)
+             CAST(CASE WHEN na = 0 THEN NULL ELSE
+                  (na * s2a - CAST(s1a AS HUGEINT) * s1a) // na END AS BIGINT)
                AS ssa,
-             CAST((nb * s2b - CAST(s1b AS HUGEINT) * s1b) // nb AS BIGINT)
+             CAST(CASE WHEN nb = 0 THEN NULL ELSE
+                  (nb * s2b - CAST(s1b AS HUGEINT) * s1b) // nb END AS BIGINT)
                AS ssb,
              CAST(s1a AS HUGEINT) * nb - CAST(s1b AS HUGEINT) * na AS dnum,
              nb * (na * s2a - CAST(s1a AS HUGEINT) * s1a)
@@ -3035,12 +3037,16 @@ _LEHR_BIG = 10**12
       FROM s
     )
     SELECT na, nb,
-           CAST(s1a // na AS BIGINT) AS mean_a_cents,
-           CAST(s1b // nb AS BIGINT) AS mean_b_cents,
+           CAST(CASE WHEN na = 0 THEN NULL ELSE s1a // na END AS BIGINT)
+             AS mean_a_cents,
+           CAST(CASE WHEN nb = 0 THEN NULL ELSE s1b // nb END AS BIGINT)
+             AS mean_b_cents,
            ssa, ssb,
-           CAST((1000 * dnum + CAST({_LEHR_BIG} AS HUGEINT) * (na * nb))
-                // (na * nb) - {_LEHR_BIG} AS BIGINT) AS gap_milli_cents,
-           CAST(CASE WHEN dnum = 0 THEN NULL
+           CAST(CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE
+                (1000 * dnum + CAST({_LEHR_BIG} AS HUGEINT) * (na * nb))
+                // (na * nb) - {_LEHR_BIG} END AS BIGINT) AS gap_milli_cents,
+           CAST(CASE WHEN dnum = 0 OR na = 0 OR nb = 0 OR na + nb = 2
+                     THEN NULL
                      ELSE (16 * (ssnum // ((na + nb - 2) * na * nb))
                              * (CAST(na AS HUGEINT) * nb) * (na * nb)
                            + dnum * dnum - 1)
@@ -3074,9 +3080,12 @@ def analytics_lehr_sample_size(
     division headroom claim was wrong by six decades and the sf0.1
     bench caught it at activation; the two-step numerator
     16·s2p·(na·nb)² is ~1.6·10³² at sf0.1 (~10³⁶ at sf1).  D = 0
-    yields NULL (no detectable direction).  Scale: ONE
-    map-side-combinable conditional aggregate over the two cohorts; a
-    1-row finale with no joins at all.
+    yields NULL (no detectable direction); degenerate cohorts guard
+    the same way in both engines — an empty cohort NULLs its mean/SS
+    plus the gap and n, and na = nb = 1 NULLs n (zero pooled degrees
+    of freedom) — reachable only through ``orders=``, injection-
+    pinned.  Scale: ONE map-side-combinable conditional aggregate
+    over the two cohorts; a 1-row finale with no joins at all.
 
     ``orders=`` substitutes the order frame for probes (the shift
     audit injects a negative non-divisible gap numerator); the driver
@@ -3101,12 +3110,14 @@ def analytics_lehr_sample_size(
         "s1a",
         "s1b",
         F.expr(
-            "CAST((na * s2a - CAST(s1a AS DECIMAL(38,0)) * s1a) div na"
-            " AS BIGINT)"
+            "CAST(CASE WHEN na = 0 THEN NULL ELSE"
+            " (na * s2a - CAST(s1a AS DECIMAL(38,0)) * s1a) div na"
+            " END AS BIGINT)"
         ).alias("ssa"),
         F.expr(
-            "CAST((nb * s2b - CAST(s1b AS DECIMAL(38,0)) * s1b) div nb"
-            " AS BIGINT)"
+            "CAST(CASE WHEN nb = 0 THEN NULL ELSE"
+            " (nb * s2b - CAST(s1b AS DECIMAL(38,0)) * s1b) div nb"
+            " END AS BIGINT)"
         ).alias("ssb"),
         F.expr(
             "CAST(s1a AS DECIMAL(38,0)) * nb - CAST(s1b AS DECIMAL(38,0)) * na"
@@ -3119,16 +3130,22 @@ def analytics_lehr_sample_size(
     return d.select(
         "na",
         "nb",
-        F.expr("CAST(s1a div na AS BIGINT)").alias("mean_a_cents"),
-        F.expr("CAST(s1b div nb AS BIGINT)").alias("mean_b_cents"),
+        F.expr(
+            "CAST(CASE WHEN na = 0 THEN NULL ELSE s1a div na END AS BIGINT)"
+        ).alias("mean_a_cents"),
+        F.expr(
+            "CAST(CASE WHEN nb = 0 THEN NULL ELSE s1b div nb END AS BIGINT)"
+        ).alias("mean_b_cents"),
         "ssa",
         "ssb",
         F.expr(
-            f"CAST((1000 * dnum + CAST({_LEHR_BIG} AS DECIMAL(38,0))"
-            f" * (na * nb)) div (na * nb) - {_LEHR_BIG} AS BIGINT)"
+            f"CAST(CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE"
+            f" (1000 * dnum + CAST({_LEHR_BIG} AS DECIMAL(38,0))"
+            f" * (na * nb)) div (na * nb) - {_LEHR_BIG} END AS BIGINT)"
         ).alias("gap_milli_cents"),
         F.expr(
-            "CAST(CASE WHEN dnum = 0 THEN NULL"
+            "CAST(CASE WHEN dnum = 0 OR na = 0 OR nb = 0 OR na + nb = 2"
+            " THEN NULL"
             " ELSE (16 * (ssnum div ((na + nb - 2) * na * nb))"
             "         * (CAST(na AS DECIMAL(38,0)) * nb) * (na * nb)"
             "       + dnum * dnum - 1)"

@@ -4268,8 +4268,8 @@ def ring_assign(
     ``out`` = the shard whose nearest clockwise ring point follows the
     key hash — array_min over the literal (dist, shard, r) structs, so
     the whole ring rides the row (no join at all).  The single Spark
-    home of the ring arithmetic, shared by the moves audit (here) and
-    the staged round-17 balance profile."""
+    home of the ring arithmetic, shared by the moves audit (M320) and
+    the registered balance profile (M330, below)."""
     structs = F.array(
         *[
             F.struct(
@@ -4632,7 +4632,8 @@ _SHARD_BAL_ORACLE = f"""
       FROM f
     )
     SELECT scheme, shard, n_keys,
-           CAST((1000000 * n_keys) // n_total AS BIGINT) AS share_ppm,
+           CAST(CASE WHEN n_total = 0 THEN NULL
+                ELSE (1000000 * n_keys) // n_total END AS BIGINT) AS share_ppm,
            CAST(1000 * n_keys - (1000 * n_total) // 8 AS BIGINT) AS dev_milli
     FROM t
     """
@@ -4657,8 +4658,10 @@ def pipeline_shard_balance(
     permanent single home above (ADVICE r13 item 1 — no cross-slate
     coupling).  Scale: one hash pass, a 16-row rollup.
 
-    ``docs=`` substitutes the document frame for probes; the driver
-    contract never passes it."""
+    ``docs=`` substitutes the document frame for probes (an EMPTY
+    frame still emits the 16-row spine with n_keys 0, share_ppm
+    guarded NULL in both engines, dev_milli 0 — injection-pinned);
+    the driver contract never passes it."""
     d = docs if docs is not None else load(spark, sf_dir, "documents")
     # h feeds the mod count AND the ring assignment — DOUBLE-REFERENCE.
     h = iter_materialize(
@@ -4689,7 +4692,12 @@ def pipeline_shard_balance(
         "scheme",
         "shard",
         "n_keys",
-        F.expr("(1000000 * n_keys) div n_total").cast("bigint").alias("share_ppm"),
+        F.expr(
+            "CASE WHEN n_total = 0 THEN NULL"
+            " ELSE (1000000 * n_keys) div n_total END"
+        )
+        .cast("bigint")
+        .alias("share_ppm"),
         (F.lit(1000) * F.col("n_keys") - F.expr("(1000 * n_total) div 8"))
         .cast("bigint")
         .alias("dev_milli"),

@@ -2013,8 +2013,9 @@ _JBF_SIZE = 40  # build side: parts with p_size >= this
     SELECT per.bpk AS bits_per_key, nb.n_build, tot.n_probe, tot.n_true,
            per.n_pass,
            CAST(per.n_pass - tot.n_true AS BIGINT) AS n_fp,
-           CAST((1000000 * (per.n_pass - tot.n_true))
-                // (tot.n_probe - tot.n_true) AS BIGINT) AS fp_ppm,
+           CAST(CASE WHEN tot.n_probe = tot.n_true THEN NULL ELSE
+                (1000000 * (per.n_pass - tot.n_true))
+                // (tot.n_probe - tot.n_true) END AS BIGINT) AS fp_ppm,
            CAST((1000000 * (tot.n_probe - per.n_pass)) // tot.n_probe
                 AS BIGINT) AS reduction_ppm
     FROM per CROSS JOIN nb CROSS JOIN tot
@@ -2047,8 +2048,10 @@ def join_bloom_prefilter_audit(
     ``li=`` substitutes the probe frame for probes (an EMPTY probe
     side leaves n_probe/n_true NULL — sum over zero rows — and every
     derived column NULL-propagates identically in both engines:
-    absence of evidence, loudly; pinned by the seventh-fold
-    injection); the driver contract never passes it."""
+    absence of evidence, loudly; an ALL-MEMBER probe side has no
+    non-member mass, so fp_ppm is guarded NULL in both engines while
+    n_fp/reduction_ppm stay defined — both injection-pinned); the
+    driver contract never passes it."""
     from tropology_spark.session import iter_materialize
 
     p = load(spark, sf_dir, "part")
@@ -2147,7 +2150,10 @@ def join_bloom_prefilter_audit(
             "n_true",
             "n_pass",
             (F.col("n_pass") - F.col("n_true")).cast("bigint").alias("n_fp"),
-            F.expr("(1000000 * (n_pass - n_true)) div (n_probe - n_true)")
+            F.expr(
+                "CASE WHEN n_probe = n_true THEN NULL"
+                " ELSE (1000000 * (n_pass - n_true)) div (n_probe - n_true) END"
+            )
             .cast("bigint")
             .alias("fp_ppm"),
             F.expr("(1000000 * (n_probe - n_pass)) div n_probe")
