@@ -612,3 +612,110 @@ def test_bloom_prefilter_all_member_probe_guard(spark):
         assert r["n_probe"] == r["n_true"] == r["n_pass"] == len(member_keys)
         assert r["fp_ppm"] is None
         assert (r["n_fp"], r["reduction_ppm"]) == (0, 0)
+
+
+@settings(**_SMALL)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.lists(
+                st.sampled_from(list("abcdef")), min_size=2, max_size=12
+            ).map(" ".join),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_misra_gries_property(spark, docs):
+    """M333 on injected corpora (docs= kwarg): for ARBITRARY
+    (doc_id, text) sets the registered offset-form MG pipeline must
+    equal a from-scratch Python Misra-Gries recompute (per-shard
+    summaries, merge, re-prune), with est ≤ exact everywhere and the
+    total under-estimate bounded by the sum of pruning thresholds —
+    the mergeable-summary theory bound on corpora the fixture never
+    shows (tiny shards, all-tie counts, empty summaries)."""
+    from collections import Counter, defaultdict
+
+    d = spark.createDataFrame(list(docs), "doc_id long, text string")
+    sc = defaultdict(Counter)
+    for did, txt in docs:
+        toks = txt.split(" ")
+        sc[did % 4].update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    merged = Counter()
+    bound = 0
+    for shard in sc:
+        ranked = sorted(sc[shard].items(), key=lambda kv: (-kv[1], kv[0]))
+        t_s = ranked[8][1] if len(ranked) > 8 else 0
+        bound += t_s
+        for bg, c in ranked[:8]:
+            if c - t_s > 0:
+                merged[bg] += c - t_s
+    ranked_m = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+    t_m = ranked_m[8][1] if len(ranked_m) > 8 else 0
+    bound += t_m
+    gc = Counter()
+    for c in sc.values():
+        gc.update(c)
+    want = {
+        bg: (ws - t_m, gc[bg], gc[bg] - (ws - t_m))
+        for bg, ws in ranked_m[:8]
+        if ws - t_m > 0
+    }
+    got = {
+        r["bigram"]: (r["est"], r["exact"], r["under"])
+        for r in QUERIES["agg_misra_gries_audit"](
+            spark, "unused", docs=d
+        ).collect()
+    }
+    assert got == want
+    for _bg, (est, exact, under) in got.items():
+        assert 0 <= under == exact - est
+        assert under <= bound
+
+
+@settings(**_SMALL)
+@given(
+    member_idx=st.lists(
+        st.integers(min_value=0, max_value=4), min_size=0, max_size=5,
+        unique=True,
+    ),
+    extra=st.lists(
+        st.integers(min_value=10**9, max_value=10**9 + 50),
+        min_size=0, max_size=8, unique=True,
+    ),
+    mult=st.integers(min_value=1, max_value=3),
+)
+def test_bloom_prefilter_no_false_negative_property(
+    spark, member_idx, extra, mult
+):
+    """M334 on injected probe sets (li= kwarg): for ARBITRARY mixes of
+    build-side members and disjoint non-member keys (the 10⁹+ range
+    the fixture never reaches), Bloom's structural guarantee holds at
+    every bits-per-key: every member row passes (no false negatives ⇒
+    n_pass ≥ n_true), n_true counts exactly the member mass, and
+    n_probe the whole probe mass — weighted by multiplicity."""
+    import duckdb
+
+    fixture_members = [
+        int(k)
+        for (k,) in duckdb.sql(
+            f"""SELECT p_partkey FROM read_parquet('{SF_UNIT}/part.parquet')
+                WHERE p_size >= 40 ORDER BY p_partkey LIMIT 5"""
+        ).fetchall()
+    ]
+    keys = [fixture_members[i] for i in member_idx] + list(extra)
+    rows = [(k,) for k in keys for _ in range(mult)]
+    li = spark.createDataFrame(rows, "l_partkey long")
+    got = QUERIES["join_bloom_prefilter_audit"](spark, SF_UNIT, li=li).collect()
+    assert sorted(r["bits_per_key"] for r in got) == [8, 16]
+    n_probe = len(rows) if rows else None
+    n_true = len(member_idx) * mult if rows else None
+    for r in got:
+        assert r["n_probe"] == n_probe and r["n_true"] == n_true
+        if rows:
+            assert r["n_pass"] >= r["n_true"]  # no false negatives
+            assert r["n_fp"] == r["n_pass"] - r["n_true"] >= 0
+        else:
+            assert r["n_pass"] == 0 and r["n_fp"] is None
