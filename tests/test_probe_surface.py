@@ -35,6 +35,10 @@ PARAM_TABLE = {
     "e": "embeddings",
     "li": "lineitem",
     "parts": "part",
+    # pipeline_kanon_curve (staged r18) registers with customers= —
+    # swept empty-frame-green during the round-17 bank sweep; the
+    # mapping is pre-added so its activation needs no test change.
+    "customers": "customer",
 }
 
 #: Probe kwargs that substitute DERIVED frames (not fixture tables):
