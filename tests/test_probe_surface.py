@@ -97,7 +97,15 @@ def test_probe_kwarg_ops_survive_empty_frames(spark):
 
     with ThreadPoolExecutor(max_workers=8) as pool:
         list(pool.map(run, todo))
-    assert len(todo) >= 58  # the round-17 sweep size; only grows
+    # Coverage identity derived from the registry (ADVICE r17): every
+    # op with probe params is either swept here or consciously parked
+    # in DERIVED_FRAME_PARAMS with its own targeted pin — no magic
+    # count to re-baseline when the probe surface legitimately moves.
+    with_params = {n for n, fn in QUERIES.items() if _probe_params(fn)}
+    derived_ops = {n for n, _p in DERIVED_FRAME_PARAMS}
+    assert {n for n, _f, _p in todo} == with_params - derived_ops
+    assert derived_ops <= with_params, "stale DERIVED_FRAME_PARAMS entry"
+    assert len(with_params) >= 58  # the probe surface only grows
     assert not failures, (
         f"{len(failures)} probe-kwarg ops crash on an empty injected "
         f"frame (guard the zeroed denominators NULL in BOTH engines):\n"

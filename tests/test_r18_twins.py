@@ -1,77 +1,16 @@
-"""Driver-replica parity for the STAGED round-18 operators
-(tropology_spark/operators/staged_r18.py) — the staging pattern's
-tenth application: the full compare at both verification scales,
-pure-Python twins for every formula-bearing op, two hypothesis
-property suites on the exact staged paths (frame injection), and the
-partitioning-invariance + plan sweeps.  Activation in round 18 is then
-a mechanical move-and-register.
-"""
+"""Pure-Python twins + property suites for the round-18 activations
+(M338-M347) — converted from tests/test_staged_r18.py at activation
+(the r9-r17 pattern): the staged-only parity/invariance/plan sweeps
+are dropped (registry-wide suites cover the activated queries), the
+twins and the two hypothesis property suites run against QUERIES, and
+the SEVENTH-fold branch-coverage injections pin the guard branches the
+fixture can't reach (permutation degenerate cohorts, label-scatter
+n = 0, the TA dropped-depth edge)."""
 
 from __future__ import annotations
 
-import pytest
-
-from tests.conftest import SF_ORACLE, SF_UNIT, make_duckdb
-from tropology_spark.operators.staged_r18 import STAGED
-
-
-def test_staged_module_registers_nothing():
-    from tropology_spark import QUERIES
-
-    assert not (set(STAGED) & set(QUERIES))
-
-
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_parity_both_scales(spark, name):
-    from tests.parity import compare
-
-    fn, oracle = STAGED[name]
-    for sf in (SF_UNIT, SF_ORACLE):
-        con = make_duckdb(sf)
-        try:
-            compare(name, spark, con, fn, oracle, sf)
-        finally:
-            con.close()
-
-
-def test_staged_partitioning_invariance(spark):
-    from tests.parity import canon_rows, spark_result
-    from tropology_spark.sources.tables import clear_session_caches
-
-    orig = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        results = {n: set() for n in STAGED}
-        for parts in ("5", "13", "32"):
-            spark.conf.set("spark.sql.shuffle.partitions", parts)
-            clear_session_caches()
-            for n, (fn, _) in STAGED.items():
-                cols, rows = spark_result(fn(spark, SF_UNIT))
-                results[n].add(tuple(canon_rows(cols, rows)))
-        for n, seen in results.items():
-            assert len(seen) == 1, f"staged {n} varies with shuffle partitioning"
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig)
-        clear_session_caches()
-
-
-def test_staged_no_new_plan_antipatterns(spark):
-    """No CartesianProduct / row-Python UDF / BNLJ anywhere in this
-    slate (the second all-BNLJ-free slate after r16: the TA depth
-    grid rides a filtered-literal-array explode, never an inequality
-    join).  Nothing to add to BNLJ_ALLOWED at activation."""
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "simple"
-    )
-    bad = {}
-    for name, (fn, _) in STAGED.items():
-        s = fn(spark, SF_UNIT)._jdf.queryExecution().explainString(mode)
-        if "CartesianProduct" in s:
-            bad[name] = "CartesianProduct"
-        if "BatchEvalPython" in s:
-            bad[name] = "row-Python UDF"
-        if "BroadcastNestedLoopJoin" in s:
-            bad[name] = "unexpected BNLJ"
-    assert not bad, bad
+from tests.conftest import SF_UNIT
+from tropology_spark import QUERIES
 
 
 # ---------------------------------------------------------------------------
@@ -125,12 +64,11 @@ def _leadlag_twin(rows, max_lag=6):
     return out
 
 
-def test_staged_leadlag_matrix_matches_pure_python(spark):
+def test_leadlag_matrix_matches_pure_python(spark):
     """ts_leadlag_matrix — the zero-filled spine, per-pair co-moments
     and fixed-point argmax recomputed with Counter + Python ints."""
     import duckdb
 
-    fn, _ = STAGED["ts_leadlag_matrix"]
     rows = [
         (et, int(h))
         for et, h in duckdb.sql(
@@ -143,12 +81,12 @@ def test_staged_leadlag_matrix_matches_pure_python(spark):
         (r["type_x"], r["type_y"]): (
             r["best_lag"], r["m"], r["num"], r["dh"], r["dt"], r["score_ppb"]
         )
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["ts_leadlag_matrix"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_permutation_rank_matches_pure_python(spark):
+def test_permutation_rank_matches_pure_python(spark):
     """analytics_permutation_rank — all nine labelings, gaps and
     flags recomputed with hashlib + Python floor division; also pins
     the +1 correction (the observed row always counts itself)."""
@@ -156,7 +94,6 @@ def test_staged_permutation_rank_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["analytics_permutation_rank"]
     rows = duckdb.sql(
         f"""SELECT o_orderkey, o_orderpriority,
                    CAST(round(o_totalprice * 100) AS BIGINT)
@@ -186,13 +123,43 @@ def test_staged_permutation_rank_matches_pure_python(spark):
     got = {
         r["perm_id"]: (r["na"], r["nb"], r["gap_milli"], r["abs_gap_milli"],
                        r["ge_obs"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["analytics_permutation_rank"](spark, SF_UNIT).collect()
     }
     assert got == want
     assert got[0][4] == 1  # the observed row counts itself
 
 
-def test_staged_source_tv_matrix_matches_pure_python(spark):
+def test_permutation_rank_degenerate_cohort_guard(spark):
+    """SEVENTH fold — the na·nb = 0 guard is unreachable on the
+    fixture (md5 coins split thousands of rows); pin it by injection:
+    an all-URGENT corpus puts every row in cohort A under the
+    OBSERVED labeling (perm 0), so gap_milli/abs_gap_milli are NULL
+    and ge_obs reads 0 via CASE NULL semantics — never an ANSI
+    division error.  The md5 perms split the 8 keys both ways, so
+    the guard fires exactly where nb = 0."""
+    odf = spark.createDataFrame(
+        [(k, "1-URGENT", float(k)) for k in range(1, 9)],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    rows = {
+        r["perm_id"]: r
+        for r in QUERIES["analytics_permutation_rank"](
+            spark, "unused", orders=odf
+        ).collect()
+    }
+    assert len(rows) == 9
+    r0 = rows[0]
+    assert (r0["na"], r0["nb"]) == (8, 0)
+    assert r0["gap_milli"] is None and r0["abs_gap_milli"] is None
+    assert r0["ge_obs"] == 0
+    for j, r in rows.items():
+        if r["na"] * r["nb"] == 0:
+            assert r["gap_milli"] is None
+        else:
+            assert r["gap_milli"] is not None
+
+
+def test_source_tv_matrix_matches_pure_python(spark):
     """text_source_tv_matrix — zero-filled distributions and the
     cleared TV sums recomputed with Counter; also pins the TV range
     [0, 10⁶] and the complete pair count s·(s−1)/2."""
@@ -200,7 +167,6 @@ def test_staged_source_tv_matrix_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["text_source_tv_matrix"]
     docs = duckdb.sql(
         f"""SELECT source, text
             FROM read_parquet('{SF_UNIT}/documents.parquet')"""
@@ -224,14 +190,14 @@ def test_staged_source_tv_matrix_matches_pure_python(spark):
             )
     got = {
         (r["src_a"], r["src_b"]): (r["n_tokens_a"], r["n_tokens_b"], r["tv_ppm"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["text_source_tv_matrix"](spark, SF_UNIT).collect()
     }
     assert got == want
     assert len(got) == len(srcs) * (len(srcs) - 1) // 2
     assert all(0 <= v[2] <= 1_000_000 for v in got.values())
 
 
-def test_staged_seasonal_anova_matches_pure_python(spark):
+def test_seasonal_anova_matches_pure_python(spark):
     """ts_seasonal_anova_terms — hourly counts, hour-of-day groups and
     the cleared within scatter recomputed with Counter; pins
     within_num >= 0 (Cauchy-Schwarz)."""
@@ -239,7 +205,6 @@ def test_staged_seasonal_anova_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["ts_seasonal_anova_terms"]
     rows = duckdb.sql(
         f"""SELECT event_type, epoch_us(ts) // 3600000000
             FROM read_parquet('{SF_UNIT}/events.parquet')"""
@@ -257,13 +222,13 @@ def test_staged_seasonal_anova_matches_pure_python(spark):
     got = {
         (r["event_type"], r["hod"]): (r["n_k"], r["s_k"], r["ssq_k"],
                                       r["within_num"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["ts_seasonal_anova_terms"](spark, SF_UNIT).collect()
     }
     assert got == want
     assert all(v[3] >= 0 for v in got.values())
 
 
-def test_staged_degree_quantiles_matches_pure_python(spark):
+def test_degree_quantiles_matches_pure_python(spark):
     """graph_degree_quantiles — degrees, counting quantiles and the
     rank thresholds recomputed with Counter + sorted(); also pins the
     ordering p50 <= p90 <= p99 <= max."""
@@ -271,7 +236,6 @@ def test_staged_degree_quantiles_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["graph_degree_quantiles"]
     pairs = duckdb.sql(
         f"""SELECT DISTINCT o.o_custkey, l.l_partkey
             FROM read_parquet('{SF_UNIT}/orders.parquet') o
@@ -290,21 +254,20 @@ def test_staged_degree_quantiles_matches_pure_python(spark):
         )
     got = {
         r["side"]: (r["n_nodes"], r["p50"], r["p90"], r["p99"], r["max_degree"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["graph_degree_quantiles"](spark, SF_UNIT).collect()
     }
     assert got == want
     for _s, (_n, p50, p90, p99, mx) in got.items():
         assert p50 <= p90 <= p99 <= mx
 
 
-def test_staged_qte_deciles_matches_pure_python(spark):
+def test_qte_deciles_matches_pure_python(spark):
     """analytics_qte_deciles — the per-variant sorted boundaries and
     signed gaps recomputed with hashlib + sorted()."""
     import hashlib
 
     import duckdb
 
-    fn, _ = STAGED["analytics_qte_deciles"]
     rows = duckdb.sql(
         f"""SELECT o_orderkey, o_custkey,
                    CAST(round(o_totalprice * 100) AS BIGINT)
@@ -325,7 +288,7 @@ def test_staged_qte_deciles_matches_pure_python(spark):
     }
     got = {
         r["decile"]: (r["val_a_cents"], r["val_b_cents"], r["qte_cents"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["analytics_qte_deciles"](spark, SF_UNIT).collect()
     }
     assert got == want
 
@@ -352,13 +315,12 @@ def _kanon_twin(rows):
     return out, risk_sets
 
 
-def test_staged_kanon_curve_matches_pure_python(spark):
+def test_kanon_curve_matches_pure_python(spark):
     """pipeline_kanon_curve — classes, violations and rows at risk
     recomputed with Counter over the shifted buckets; also pins the
     at-risk ROW-SET nesting as buckets coarsen."""
     import duckdb
 
-    fn, _ = STAGED["pipeline_kanon_curve"]
     rows = [
         (int(n), int(c))
         for n, c in duckdb.sql(
@@ -370,13 +332,13 @@ def test_staged_kanon_curve_matches_pure_python(spark):
     got = {
         r["width_cents"]: (r["n_classes"], r["n_below_k"], r["rows_at_risk"],
                            r["risk_ppm"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["pipeline_kanon_curve"](spark, SF_UNIT).collect()
     }
     assert got == want
     assert risk_sets[400_000] <= risk_sets[200_000] <= risk_sets[100_000]
 
 
-def test_staged_overlap_duration_matches_brute_force(spark):
+def test_overlap_duration_matches_brute_force(spark):
     """join_session_overlap_duration — the bucket-candidate machinery
     vs the BRUTE-FORCE all-pairs interval scan in Python over the
     same session_spans frame (the stronger cross-formulation check:
@@ -385,7 +347,6 @@ def test_staged_overlap_duration_matches_brute_force(spark):
 
     from tropology_spark.operators.timeseries import session_spans
 
-    fn, _ = STAGED["join_session_overlap_duration"]
     spans = [
         (r["user_id"], r["sess_seq"], r["start_us"], r["end_us"])
         for r in session_spans(spark, SF_UNIT).collect()
@@ -401,12 +362,12 @@ def test_staged_overlap_duration_matches_brute_force(spark):
     want = {k: tuple(v) for k, v in top}
     got = {
         (r["user_a"], r["user_b"]): (r["n_overlaps"], r["total_ovl_us"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["join_session_overlap_duration"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_label_scatter_matches_pure_python(spark):
+def test_label_scatter_matches_pure_python(spark):
     """sim_label_scatter_terms — per-label component sums and the
     Gram-identity scatter recomputed with NumPy round + Python ints;
     pins within_num >= 0 (Cauchy-Schwarz)."""
@@ -415,7 +376,6 @@ def test_staged_label_scatter_matches_pure_python(spark):
     import duckdb
     import numpy as np
 
-    fn, _ = STAGED["sim_label_scatter_terms"]
     rows = duckdb.sql(
         f"""SELECT label, embedding
             FROM read_parquet('{SF_UNIT}/embeddings.parquet')"""
@@ -438,22 +398,38 @@ def test_staged_label_scatter_matches_pure_python(spark):
     got = {
         r["label"]: (r["n_vecs"], r["ssq_u2"], r["s2_u2"], r["within_num"],
                      r["mean_norm2_u2"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["sim_label_scatter_terms"](spark, SF_UNIT).collect()
     }
     assert got == want
     assert all(v[3] >= 0 for v in got.values())
 
 
-def test_staged_ta_depth_curve_matches_pure_python(spark):
+def test_label_scatter_short_embedding_guard(spark):
+    """SEVENTH fold — n = Σcnt div 64 hits 0 only when an injected
+    frame carries embeddings shorter than 64 components (the fixture
+    is always 64-dim); pin that mean_norm2_u2 reads NULL — never an
+    ANSI division error — and the raw carriers still flow."""
+    emb = spark.createDataFrame(
+        [(1, 3, [0.5, -0.25])],
+        "vec_id long, label long, embedding array<double>",
+    )
+    [r] = QUERIES["sim_label_scatter_terms"](spark, "unused", e=emb).collect()
+    assert r["n_vecs"] == 0  # 2 components div 64
+    assert r["mean_norm2_u2"] is None
+    assert r["ssq_u2"] == 500_000**2 + 250_000**2
+
+
+def test_ta_depth_curve_matches_pure_python(spark):
     """analytics_ta_depth_curve — both ranked lists, thresholds,
     seen sets and stop flags recomputed with sorted() + Python ints;
     also pins the stop monotonicity (thresholds fall, the k-th seen
-    score rises — once stopped, stopped at every deeper probe)."""
+    score rises — once stopped, stopped at every deeper probe) AND
+    the dropped-depth edge: sf0.001 has 150 customers, so depths 256
+    and 512 have no rank-p row and emit NOTHING in both engines."""
     from collections import defaultdict
 
     import duckdb
 
-    fn, _ = STAGED["analytics_ta_depth_curve"]
     cust = [
         int(k)
         for (k,) in duckdb.sql(
@@ -488,15 +464,38 @@ def test_staged_ta_depth_curve_matches_pure_python(spark):
     got = {
         r["depth"]: (r["t_threshold"], r["kth_seen_score"], r["n_seen"],
                      r["stopped"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["analytics_ta_depth_curve"](spark, SF_UNIT).collect()
     }
     assert got == want
+    # the dropped-depth edge is fixture-REACHABLE at sf0.001
+    assert len(cust) < 256 and set(got) == {1, 2, 4, 8, 16, 32, 64, 128}
     flags = [got[p][3] for p in sorted(got)]
     assert flags == sorted(flags)  # stop is monotone in depth
 
 
+def test_distinct_sample_curve_all_null_key_guard(spark):
+    """ADVICE r17 — an injected orders= with rows but all-NULL
+    o_custkey drives d_true to 0 (countDistinct of NULLs) while
+    n_rows > 0: seen_ppm must read NULL in both engines, never an
+    ANSI division error (the empty-frame sweep can't reach this —
+    empty frames yield zero rows and no division)."""
+    odf = spark.createDataFrame(
+        [(k, None) for k in range(1, 17)],
+        "o_orderkey long, o_custkey long",
+    )
+    rows = {
+        r["s"]: r
+        for r in QUERIES["agg_distinct_sample_curve"](
+            spark, "unused", orders=odf
+        ).collect()
+    }
+    assert rows[1]["n_rows"] == 16 and rows[1]["d_sample"] == 0
+    for r in rows.values():
+        assert r["d_true"] == 0 and r["seen_ppm"] is None
+
+
 # ---------------------------------------------------------------------------
-# Hypothesis property suites on the EXACT staged paths (frame injection)
+# Hypothesis property suites on the EXACT registered paths (frame injection)
 # ---------------------------------------------------------------------------
 
 from hypothesis import given, settings, strategies as st  # noqa: E402
@@ -537,10 +536,9 @@ def test_leadlag_finds_planted_lead(spark, lead, bump_at, base, amp):
     ).selectExpr(
         "event_id", "user_id", "timestamp_micros(us) AS ts", "event_type"
     )
-    fn, _ = STAGED["ts_leadlag_matrix"]
     got = {
         (r["type_x"], r["type_y"]): (r["best_lag"], r["score_ppb"])
-        for r in fn(spark, "unused", events=ev).collect()
+        for r in QUERIES["ts_leadlag_matrix"](spark, "unused", events=ev).collect()
     }
     assert got[("a", "b")] == (lead, 1_000_000_000)
 
@@ -559,18 +557,19 @@ def test_leadlag_finds_planted_lead(spark, lead, bump_at, base, amp):
 def test_kanon_curve_risk_nesting_property(spark, rows):
     """pipeline_kanon_curve on injected customers (customers= kwarg):
     for ARBITRARY (nationkey, balance-cents) corpora — negative
-    balances included — the staged path must equal the Counter twin
-    and the at-risk row sets must NEST as buckets coarsen (a merged
-    class only gains population)."""
+    balances included — the registered path must equal the Counter
+    twin and the at-risk row sets must NEST as buckets coarsen (a
+    merged class only gains population)."""
     cust = spark.createDataFrame(
         [(n, c / 100) for n, c in rows],
         "c_nationkey long, c_acctbal double",
     )
-    fn, _ = STAGED["pipeline_kanon_curve"]
     got = {
         r["width_cents"]: (r["n_classes"], r["n_below_k"], r["rows_at_risk"],
                            r["risk_ppm"])
-        for r in fn(spark, "unused", customers=cust).collect()
+        for r in QUERIES["pipeline_kanon_curve"](
+            spark, "unused", customers=cust
+        ).collect()
     }
     want, risk_sets = _kanon_twin(rows)
     assert got == want

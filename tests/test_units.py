@@ -1063,6 +1063,17 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "sim_mutual_knn",
         "sim_rocchio_feedback",
         "analytics_lehr_sample_size",
+        # round-18 activations (M338-M347)
+        "ts_leadlag_matrix",
+        "analytics_permutation_rank",
+        "text_source_tv_matrix",
+        "ts_seasonal_anova_terms",
+        "graph_degree_quantiles",
+        "analytics_qte_deciles",
+        "pipeline_kanon_curve",
+        "join_session_overlap_duration",
+        "sim_label_scatter_terms",
+        "analytics_ta_depth_curve",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -1140,7 +1151,7 @@ def test_driver_window_composition(spark):
     from pathlib import Path
 
     from tropology_spark import ORACLES, QUERIES
-    from tropology_spark import _R17_NEW
+    from tropology_spark import _R18_NEW
 
     latest: dict[str, int] = {}
     for f in Path(".").glob("CORRECTNESS_r*.json"):
@@ -1149,7 +1160,7 @@ def test_driver_window_composition(spark):
             latest[k] = max(latest.get(k, 0), rnd)
     max_round = max(latest.values(), default=0)
     window = list(QUERIES)[:50]
-    head = _R17_NEW
+    head = _R18_NEW
     assert window[: len(head)] == head, window[: len(head)]
     never = [q for q in QUERIES if q not in latest]
     missing = [q for q in never if q not in set(window)]
@@ -2431,6 +2442,8 @@ def test_registered_shift_constants_sized_from_domain_bounds(spark):
         # round-17 activations:
         ("similarity.py", "_ROC_BIG"),
         ("analytics.py", "_LEHR_BIG"),
+        # round-18 activation:
+        ("analytics.py", "_PR_BIG"),
     }, f"new/renamed shift site — extend this audit: {sorted(found)}"
     # Tripwire for the staged bank: when a slate activates, its BIG
     # constants move into home modules — the registered sweep above
@@ -2444,9 +2457,10 @@ def test_registered_shift_constants_sized_from_domain_bounds(spark):
             s = line.strip()
             if re.match(r"_[A-Z0-9_]*BIG[A-Z0-9_]* *=", s):
                 staged_found.add((p.name, s.split("=")[0].strip()))
-    assert staged_found == {
-        ("staged_r18.py", "_PR_BIG"),
-    }, f"staged shift inventory drifted: {sorted(staged_found)}"
+    assert staged_found == set(), (
+        f"staged shift inventory drifted (the r19/r20 slates carry no "
+        f"named BIG constant): {sorted(staged_found)}"
+    )
 
     # (b) domain-bound re-derivations
     # analytics_did_terms: |num/den| = |(mean11−mean10) − (mean01−mean00)|
@@ -2526,6 +2540,15 @@ def test_registered_shift_constants_sized_from_domain_bounds(spark):
 
     assert _LEHR_BIG >= 10 * 1000 * max_cents, (
         f"_LEHR_BIG={_LEHR_BIG} under 10x the 1000·max_cents={1000 * max_cents} bound"
+    )
+    # analytics_permutation_rank (M339): the SAME gap shape as Lehr —
+    # |1000·(s1a·nb − s1b·na)| ≤ 1000·max_cents·na·nb per unit na·nb,
+    # and the order-price domain is scale-FREE (the TPC-H price
+    # formula), so BIG ≥ 1000·max_cents — held at ≥ 10× headroom.
+    from tropology_spark.operators.analytics import _PR_BIG
+
+    assert _PR_BIG >= 10 * 1000 * max_cents, (
+        f"_PR_BIG={_PR_BIG} under 10x the 1000·max_cents={1000 * max_cents} bound"
     )
 
     # (c) adversarial floor pins — negative, NON-divisible numerators,
@@ -2678,3 +2701,28 @@ def test_registered_shift_constants_sized_from_domain_bounds(spark):
         "corpus stopped exercising the ceil"
     )
     assert lr["n_lehr"] == -((-16 * l_s2p * 9) // (301 * 301)) == 48
+
+    # c8. analytics_permutation_rank via orders=: the Lehr corpus with
+    # orderkeys — perm 0 (observed labels) reads cohorts A=[0¢],
+    # B=[0¢, 0¢, 301¢], so gap_milli = floor(−301000/3) = −100334
+    # where truncation reads −100333.
+    p_odf = spark.createDataFrame(
+        [
+            (1, "1-URGENT", 0.00),
+            (2, "5-LOW", 0.00),
+            (3, "5-LOW", 0.00),
+            (4, "5-LOW", 3.01),
+        ],
+        "o_orderkey long, o_orderpriority string, o_totalprice double",
+    )
+    p_rows = {
+        r["perm_id"]: r
+        for r in QUERIES["analytics_permutation_rank"](
+            spark, "unused", orders=p_odf
+        ).collect()
+    }
+    p0 = p_rows[0]
+    assert (p0["na"], p0["nb"]) == (1, 3)
+    p_num = 1000 * (0 * 3 - 301 * 1)
+    assert p_num < 0 and p_num % 3 != 0, "corpus stopped being adversarial"
+    assert p0["gap_milli"] == p_num // 3 == -100334  # trunc reads −100333

@@ -792,6 +792,80 @@ _R17_STALE_R09 = [
     "analytics_survival_curve",
 ]
 
-prioritize(_R17_NEW + _R17_STALE_R09)
+#: Round-18 additions (M338-M347) — the activated round-13-staged ops,
+#: in the staged-slate order.
+_R18_NEW = [
+    "ts_leadlag_matrix",
+    "analytics_permutation_rank",
+    "text_source_tv_matrix",
+    "ts_seasonal_anova_terms",
+    "graph_degree_quantiles",
+    "analytics_qte_deciles",
+    "pipeline_kanon_curve",
+    "join_session_overlap_duration",
+    "sim_label_scatter_terms",
+    "analytics_ta_depth_curve",
+]
+
+#: The 7 remaining r09-vintage rows (the class empties this round) —
+#: re-verified against all seventeen CORRECTNESS files (post-r17
+#: classes: r09:7 · r10:50 · r11:50 · r12:50 · r13:50 · r14:50 ·
+#: r15:50 · r16:50 · r17:50 = 407).
+_R18_STALE_R09 = [
+    "analytics_winback_counts",
+    "analytics_window_funnel",
+    "analytics_value_band_migration",
+    "join_anti_frontier",
+    "sub_scalar_global",
+    "join_skyline_pareto",
+    "join_session_overlap",
+]
+
+#: The 33 OLDEST r10-vintage rows in registry order (the bound relaxed
+#: to `latest <= 10` first, in its own commit — r10 rows enter the
+#: rotation).  The 17 r10 rows remaining for round 19:
+#: graph_closeness3, graph_triangles, graph_triangles_capped,
+#: graph_butterflies, graph_clustering_pairs, graph_assortativity_terms,
+#: graph_hits_paths, graph_rich_club_terms, mm_frame_sample,
+#: ts_resample_gapfill, ts_sessionize, ts_drawdown, ts_winsorize,
+#: ts_haar_volatility, analytics_ab_lift, analytics_chisq_priority_era,
+#: join_range_2d_parts.
+_R18_STALE_R10 = [
+    "sim_norm_histogram",
+    "sim_ivf_batch_topk",
+    "sim_matryoshka_recall",
+    "text_pmi_collocations",
+    "graph_twohop_capped",
+    "graph_link_prediction_capped",
+    "graph_sample_neighbors2",
+    "mm_modality_stats",
+    "text_vocab_oov",
+    "pipeline_stratified_sample",
+    "pipeline_skew_profile",
+    "pipeline_zorder_layout",
+    "pipeline_cdc_apply",
+    "pipeline_dq_report",
+    "pipeline_scd2",
+    "pipeline_weighted_sample",
+    "pipeline_minmax_scale",
+    "join_point_in_time",
+    "pipeline_negative_sample",
+    "pipeline_dataset_card",
+    "pipeline_chunk_documents",
+    "pipeline_mixture_weights",
+    "join_salted_hotkey",
+    "pipeline_label_balance",
+    "dedup_keep_best",
+    "pipeline_token_budget",
+    "pipeline_kanon_audit",
+    "pipeline_filter_funnel",
+    "pipeline_compaction_plan",
+    "pipeline_profile_drift",
+    "graph_bfs3",
+    "graph_random_walk3",
+    "graph_sssp3",
+]
+
+prioritize(_R18_NEW + _R18_STALE_R09 + _R18_STALE_R10)
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

@@ -2585,7 +2585,9 @@ _DSC_MODS = (1, 4, 16)
     )
     SELECT s, n_rows, d_sample, est_naive, d_true,
            CAST(est_naive - d_true AS BIGINT) AS err,
-           CAST((1000000 * d_sample) // d_true AS BIGINT) AS seen_ppm
+           CASE WHEN d_true = 0 THEN NULL
+                ELSE CAST((1000000 * d_sample) // d_true AS BIGINT)
+           END AS seen_ppm
     FROM t
     """,
 )
@@ -2652,7 +2654,15 @@ def agg_distinct_sample_curve(
         "est_naive",
         "d_true",
         (F.col("est_naive") - F.col("d_true")).cast("bigint").alias("err"),
-        F.expr("(1000000 * d_sample) div d_true").cast("bigint").alias("seen_ppm"),
+        # ADVICE r17: an injected orders= with rows but all-NULL
+        # o_custkey gives d_true = 0 (countDistinct of NULLs) — NULL
+        # the coverage ratio in BOTH engines instead of an ANSI error
+        # (the shard-balance/benford precedent); unreachable on the
+        # fixture, injection-pinned in tests/test_r18_twins.py.
+        F.expr(
+            "CASE WHEN d_true = 0 THEN NULL"
+            " ELSE CAST((1000000 * d_sample) div d_true AS BIGINT) END"
+        ).alias("seen_ppm"),
     )
 
 

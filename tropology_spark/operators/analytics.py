@@ -3152,3 +3152,398 @@ def analytics_lehr_sample_size(
             "      div (dnum * dnum) END AS BIGINT)"
         ).alias("n_lehr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M339 analytics_permutation_rank — deterministic permutation test of the gap
+# ---------------------------------------------------------------------------
+
+_PR_A = "1-URGENT"
+_PR_B = "5-LOW"
+_PR_PERMS = 8
+_PR_BIG = 10**12  # gap shift constant — the r17 Lehr lesson: sized
+# from the domain bound (cents < 10^8, so |1000*dnum| << BIG*na*nb)
+
+
+@register(
+    "analytics_permutation_rank",
+    oracle=f"""
+    WITH x AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderpriority = '{_PR_A}' THEN 1 ELSE 0 END AS true_a,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+      WHERE o_orderpriority IN ('{_PR_A}', '{_PR_B}')
+    ),
+    lab AS (
+      SELECT p.j, x.c,
+             CASE WHEN p.j = 0 THEN x.true_a
+                  WHEN substring(md5(CAST(x.o_orderkey AS VARCHAR)
+                                     || '_' || CAST(p.j AS VARCHAR)), 1, 1)
+                       < '8' THEN 1 ELSE 0 END AS ia
+      FROM x CROSS JOIN
+           (SELECT unnest(generate_series(0, {_PR_PERMS})) AS j) p
+    ),
+    s AS (
+      SELECT CAST(j AS BIGINT) AS perm_id,
+             CAST(sum(ia) AS BIGINT) AS na,
+             CAST(sum(1 - ia) AS BIGINT) AS nb,
+             CAST(sum(ia * c) AS BIGINT) AS s1a,
+             CAST(sum((1 - ia) * c) AS BIGINT) AS s1b
+      FROM lab GROUP BY j
+    ),
+    g AS (
+      SELECT perm_id, na, nb,
+             CASE WHEN na * nb = 0 THEN NULL ELSE
+             CAST((1000 * (CAST(s1a AS HUGEINT) * nb - CAST(s1b AS HUGEINT) * na)
+                   + CAST({_PR_BIG} AS HUGEINT) * (na * nb))
+                  // (na * nb) - {_PR_BIG} AS BIGINT) END AS gap_milli
+      FROM s
+    ),
+    o AS (
+      SELECT *, max(CASE WHEN perm_id = 0 THEN abs(gap_milli) END) OVER ()
+               AS obs_abs
+      FROM g
+    )
+    SELECT perm_id, na, nb, gap_milli,
+           CAST(abs(gap_milli) AS BIGINT) AS abs_gap_milli,
+           CAST(CASE WHEN abs(gap_milli) >= obs_abs THEN 1 ELSE 0 END
+                AS BIGINT) AS ge_obs
+    FROM o
+    """,
+)
+def analytics_permutation_rank(
+    spark: SparkSession, sf_dir: str, orders: DataFrame | None = None
+) -> DataFrame:
+    """M339 — a deterministic PERMUTATION TEST of the
+    URGENT-vs-LOW mean-value gap: 8 md5 relabelings of the order rows
+    (perm j assigns variant by the first hex digit of
+    md5(orderkey_j) — the poisson-bootstrap coin discipline) next to
+    the observed labeling (perm 0), each with its exact shifted-floor
+    mean gap in milli-cents, the absolute gap, and the ge_obs flag —
+    #{{j : |gap_j| ≥ |gap_0|}} / (P+1) IS the exact finite-sample
+    permutation p-value (numerator visible in the output, obs row
+    included so the p-value is never 0 — the standard +1 correction).
+    No distributional assumption, no transcendentals: this is the
+    inference companion to analytics_lehr_sample_size (M337) —
+    Lehr sizes the test, this one runs it.
+
+    Degenerate-cohort guard (probe-kwarg guard rule): a labeling that
+    puts every row in one cohort has no mean gap — gap_milli is NULL
+    when na·nb = 0 in BOTH engines (abs_gap NULL, ge_obs 0 via CASE
+    NULL semantics); unreachable on the fixture, injection-pinned in
+    tests/test_r18_twins.py.
+
+    Scale: the ×9 permutation axis rides an explode on the order rows
+    (one scan), the per-perm rollup is map-side combinable, and the
+    observed-gap attach is a window over the 9-row axis keyed by the
+    pmod constant-partition idiom.  Gap shift constant 10¹² — sized
+    from the cents domain bound.
+
+    ``orders=`` substitutes the order frame for probes; the driver
+    contract never passes it."""
+    o = orders if orders is not None else load(spark, sf_dir, "orders")
+    o = o.filter(F.col("o_orderpriority").isin(_PR_A, _PR_B))
+    x = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == _PR_A, 1).otherwise(0).alias("true_a"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    lab = x.select(
+        "o_orderkey",
+        "true_a",
+        "c",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(_PR_PERMS + 1)])
+        ).alias("j"),
+    ).select(
+        "j",
+        "c",
+        F.when(F.col("j") == 0, F.col("true_a"))
+        .otherwise(
+            F.when(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("o_orderkey").cast("string"),
+                            F.lit("_"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                )
+                < "8",
+                1,
+            ).otherwise(0)
+        )
+        .alias("ia"),
+    )
+    s = lab.groupBy("j").agg(
+        F.sum("ia").cast("bigint").alias("na"),
+        F.sum(F.lit(1) - F.col("ia")).cast("bigint").alias("nb"),
+        F.sum(F.col("ia") * F.col("c")).cast("bigint").alias("s1a"),
+        F.sum((F.lit(1) - F.col("ia")) * F.col("c")).cast("bigint").alias("s1b"),
+    )
+    g = s.select(
+        F.col("j").cast("bigint").alias("perm_id"),
+        "na",
+        "nb",
+        F.expr(
+            f"CASE WHEN na * nb = 0 THEN NULL ELSE"
+            f" CAST((1000 * (CAST(s1a AS DECIMAL(38,0)) * nb"
+            f" - CAST(s1b AS DECIMAL(38,0)) * na)"
+            f" + CAST({_PR_BIG} AS DECIMAL(38,0)) * (na * nb))"
+            f" div (na * nb) - {_PR_BIG} AS BIGINT) END"
+        ).alias("gap_milli"),
+    )
+    w = Window.partitionBy(F.pmod(F.col("perm_id"), F.lit(1)))
+    return g.withColumn(
+        "obs_abs", F.max(F.when(F.col("perm_id") == 0, F.abs(F.col("gap_milli")))).over(w)
+    ).select(
+        "perm_id",
+        "na",
+        "nb",
+        "gap_milli",
+        F.abs(F.col("gap_milli")).cast("bigint").alias("abs_gap_milli"),
+        F.when(F.abs(F.col("gap_milli")) >= F.col("obs_abs"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("ge_obs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M343 analytics_qte_deciles — quantile treatment effects via grouped rank
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_qte_deciles",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderkey,
+             CASE WHEN substring(md5(CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ),
+    r AS (
+      SELECT variant, c,
+             row_number() OVER (PARTITION BY variant
+                                ORDER BY c, o_orderkey) AS pos,
+             count(*) OVER (PARTITION BY variant) AS n
+      FROM x
+    ),
+    tgt AS (
+      SELECT r.variant, d.d, r.c
+      FROM r JOIN (SELECT unnest(generate_series(1, 9)) AS d) d
+        ON r.pos = (d.d * (r.n + 1)) // 10
+    )
+    SELECT CAST(d AS BIGINT) AS decile,
+           CAST(max(CASE WHEN variant = 'A' THEN c END) AS BIGINT)
+             AS val_a_cents,
+           CAST(max(CASE WHEN variant = 'B' THEN c END) AS BIGINT)
+             AS val_b_cents,
+           CAST(max(CASE WHEN variant = 'B' THEN c END)
+                - max(CASE WHEN variant = 'A' THEN c END) AS BIGINT)
+             AS qte_cents
+    FROM tgt GROUP BY d
+    """,
+)
+def analytics_qte_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M343 — QUANTILE TREATMENT EFFECTS: the nine decile
+    boundaries of order value per md5-split variant, joined into a
+    decile-gap table (B − A in exact signed cents, NO division) —
+    the distributional A/B readout that catches what the mean hides
+    (a treatment that helps small orders and hurts large ones nets to
+    zero in analytics_ab_lift; it shows as opposite-sign QTEs here).
+    Boundary rank = (d·(n+1)) div 10 — the M196 lower counting
+    quantile, positive so both engines' division agrees.
+
+    Scale: per-variant ranks ride the GROUPED two-pass global rank
+    (plans/global_order.py group_cols — range-partitioned, a variant
+    can span many partitions, no single-partition window); the decile
+    targets join on the exact (variant, pos) key; the 9-row pivot is
+    a bounded rollup."""
+    o = load(spark, sf_dir, "orders")
+    x = o.select(
+        "o_orderkey",
+        F.when(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1) < "8",
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+    )
+    r = global_row_number(
+        x,
+        [F.col("c").asc(), F.col("o_orderkey").asc()],
+        group_cols=["variant"],
+        out="pos",
+        total_col="n",
+    )
+    tgt = (
+        r.select(
+            "variant",
+            "c",
+            "pos",
+            "n",
+            F.explode(F.array(*[F.lit(d) for d in range(1, 10)])).alias("d"),
+        )
+        .filter(F.col("pos") == F.expr("(d * (n + 1)) div 10"))
+    )
+    return tgt.groupBy(F.col("d").cast("bigint").alias("decile")).agg(
+        F.max(F.when(F.col("variant") == "A", F.col("c")))
+        .cast("bigint")
+        .alias("val_a_cents"),
+        F.max(F.when(F.col("variant") == "B", F.col("c")))
+        .cast("bigint")
+        .alias("val_b_cents"),
+        (
+            F.max(F.when(F.col("variant") == "B", F.col("c")))
+            - F.max(F.when(F.col("variant") == "A", F.col("c")))
+        )
+        .cast("bigint")
+        .alias("qte_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M347 analytics_ta_depth_curve — Fagin Threshold-Algorithm early-stop audit
+# ---------------------------------------------------------------------------
+
+_TA_K = 5
+_TA_W = 100_000  # cents weight per order in the monotone combined score
+_TA_DEPTHS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+
+
+@register(
+    "analytics_ta_depth_curve",
+    oracle=f"""
+    WITH base AS (
+      SELECT c.c_custkey AS k,
+             CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+                  AS BIGINT) AS spend,
+             CAST(count(o.o_orderkey) AS BIGINT) AS nord
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    ),
+    r AS (
+      SELECT k, spend, nord,
+             CAST(spend + {_TA_W} * nord AS BIGINT) AS score,
+             row_number() OVER (ORDER BY spend DESC, k) AS rx,
+             row_number() OVER (ORDER BY nord DESC, k) AS ry
+      FROM base
+    ),
+    grid AS (SELECT unnest([{", ".join(str(p) for p in _TA_DEPTHS)}]) AS p),
+    thr AS (
+      SELECT grid.p,
+             CAST(x.spend + {_TA_W} * y.nord AS BIGINT) AS t_threshold
+      FROM grid JOIN r x ON x.rx = grid.p JOIN r y ON y.ry = grid.p
+    ),
+    seen AS (
+      SELECT grid.p, r.score,
+             row_number() OVER (PARTITION BY grid.p
+                                ORDER BY r.score DESC, r.k) AS rk18
+      FROM grid JOIN r ON least(r.rx, r.ry) <= grid.p
+    ),
+    kth AS (
+      SELECT p, CAST(max(CASE WHEN rk18 = {_TA_K} THEN score END) AS BIGINT)
+               AS kth_seen_score,
+             CAST(count(*) AS BIGINT) AS n_seen
+      FROM seen GROUP BY p
+    )
+    SELECT CAST(thr.p AS BIGINT) AS depth, thr.t_threshold,
+           kth.kth_seen_score, kth.n_seen,
+           CAST(CASE WHEN kth.kth_seen_score >= thr.t_threshold THEN 1
+                     ELSE 0 END AS BIGINT) AS stopped
+    FROM thr JOIN kth ON thr.p = kth.p
+    """,
+)
+def analytics_ta_depth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M347 — FAGIN'S THRESHOLD ALGORITHM depth curve: two
+    ranked attribute lists over customers (total spend in cents;
+    order count weighted $1000 each — a fixed monotone linear score),
+    and at probe depths 1..512 (powers of two) the TA threshold
+    T(p) = x_value@p + w·y_value@p next to the k=5-th best COMBINED
+    score among customers already SEEN (entered at min(rank_x,
+    rank_y) ≤ p) — stopped = 1 once the k-th seen score meets the
+    threshold, the classic top-k early-termination certificate.  The
+    depth where `stopped` flips is how much of each ranked list a
+    rank-aware engine must actually read — the audit behind every
+    "don't scan the whole index for top-k" plan.  Depths past the
+    list length drop out of BOTH engines — the rank-p rows don't
+    exist (fixture-reachable at sf0.001, where 256/512 > 150
+    customers; pinned in tests/test_r18_twins.py).
+
+    Exactness: all-integer scores and thresholds; unique tie-breaks
+    by custkey everywhere.  Scale: both global ranks ride the
+    two-pass range-partitioned rank; the per-depth membership is an
+    EXPLODE of each row to its eligible grid depths (a filtered
+    literal array — no inequality join, no BNLJ); per-depth windows
+    key on the real depth column.  Σ eligible rows ≤ 2·Σ grid depths
+    — bounded by the grid, not the corpus."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    base = (
+        c.join(o, "k", "left")
+        .groupBy("k")
+        .agg(
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("spend"),
+            F.count("cents").cast("bigint").alias("nord"),
+        )
+    )
+    rx = global_row_number(base, [F.col("spend").desc(), F.col("k").asc()], out="rx")
+    r = iter_materialize(  # feeds thresholds AND the seen explode
+        global_row_number(
+            rx, [F.col("nord").desc(), F.col("k").asc()], out="ry"
+        ).withColumn(
+            "score", (F.col("spend") + F.lit(_TA_W) * F.col("nord")).cast("bigint")
+        )
+    )
+    grid = F.array(*[F.lit(p) for p in _TA_DEPTHS])
+    xv = r.filter(F.col("rx").isin(list(_TA_DEPTHS))).select(
+        F.col("rx").alias("p"), F.col("spend").alias("x_at")
+    )
+    yv = r.filter(F.col("ry").isin(list(_TA_DEPTHS))).select(
+        F.col("ry").alias("p"), F.col("nord").alias("y_at")
+    )
+    thr = xv.join(yv, "p").select(
+        "p",
+        (F.col("x_at") + F.lit(_TA_W) * F.col("y_at"))
+        .cast("bigint")
+        .alias("t_threshold"),
+    )
+    seen = r.select(
+        "k",
+        "score",
+        F.explode(
+            F.filter(grid, lambda g: g >= F.least(F.col("rx"), F.col("ry")))
+        ).alias("p"),
+    )
+    wp = Window.partitionBy("p").orderBy(F.col("score").desc(), F.col("k"))
+    kth = (
+        seen.withColumn("rk18", F.row_number().over(wp))
+        .groupBy("p")
+        .agg(
+            F.max(F.when(F.col("rk18") == _TA_K, F.col("score")))
+            .cast("bigint")
+            .alias("kth_seen_score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_seen"),
+        )
+    )
+    return thr.join(kth, "p").select(
+        F.col("p").cast("bigint").alias("depth"),
+        "t_threshold",
+        "kth_seen_score",
+        "n_seen",
+        F.when(F.col("kth_seen_score") >= F.col("t_threshold"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("stopped"),
+    )

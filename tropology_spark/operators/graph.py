@@ -1880,3 +1880,90 @@ def graph_core_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# M342 graph_degree_quantiles — exact degree-distribution quantiles per side
+# ---------------------------------------------------------------------------
+
+
+def _degree_quantiles_oracle() -> str:
+    return (
+        _EDGES_CTE
+        + """
+    , deg AS (
+      SELECT 'customer' AS side, src AS node, CAST(count(*) AS BIGINT) AS d
+      FROM edges GROUP BY src
+      UNION ALL
+      SELECT 'part', dst, CAST(count(*) AS BIGINT) FROM edges GROUP BY dst
+    ),
+    vc AS (SELECT side, d, CAST(count(*) AS BIGINT) AS cnt
+           FROM deg GROUP BY side, d),
+    cum AS (
+      SELECT side, d, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY side ORDER BY d) AS BIGINT)
+               AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY side) AS BIGINT) AS n
+      FROM vc
+    )
+    SELECT side, CAST(any_value(n) AS BIGINT) AS n_nodes,
+           CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN d END) AS BIGINT)
+             AS p50,
+           CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN d END) AS BIGINT)
+             AS p90,
+           CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN d END)
+                AS BIGINT) AS p99,
+           CAST(max(d) AS BIGINT) AS max_degree
+    FROM cum GROUP BY side
+    """
+    )
+
+
+@register("graph_degree_quantiles", oracle=_degree_quantiles_oracle())
+def graph_degree_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M342 — exact p50/p90/p99/max of BOTH degree
+    distributions (customer out-degree, part in-degree) — the skew
+    summary that sizes every celebrity-capping decision (the
+    _HUB_CAP = 32 constant, the copair caps, the salting thresholds
+    all price against exactly these numbers; M114 ships the full
+    histogram, this ships the four planning points).
+
+    The M196 bounded-domain counting-quantile idiom on the DEGREE
+    axis: per-(side, degree) counts + ONE cumulative window over the
+    value axis (real side key), then rank-threshold picks p50 =
+    value at ceil(n/2), p90 at ceil(0.9n), p99 at ceil(0.99n) — never
+    a corpus sort; a degree histogram is value-bounded by max-degree
+    regardless of node count.  Composed: the edge set is the
+    registered I1 single home (Spark: edges; oracle: _EDGES_CTE)."""
+    e = edges(spark, sf_dir)
+    deg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        .select(F.lit("customer").alias("side"), "d")
+        .unionByName(
+            e.groupBy(F.col("dst").alias("node"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+            .select(F.lit("part").alias("side"), "d")
+        )
+    )
+    vc = deg.groupBy("side", "d").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    ws = Window.partitionBy("side")
+    cum = vc.select(
+        "side",
+        "d",
+        F.sum("cnt").over(ws.orderBy("d")).cast("bigint").alias("cum"),
+        F.sum("cnt").over(ws).cast("bigint").alias("n"),
+    )
+    return cum.groupBy("side").agg(
+        F.first("n").cast("bigint").alias("n_nodes"),
+        F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("d")))
+        .cast("bigint")
+        .alias("p50"),
+        F.min(F.when(F.col("cum") >= F.expr("(9 * n + 9) div 10"), F.col("d")))
+        .cast("bigint")
+        .alias("p90"),
+        F.min(F.when(F.col("cum") >= F.expr("(99 * n + 99) div 100"), F.col("d")))
+        .cast("bigint")
+        .alias("p99"),
+        F.max("d").cast("bigint").alias("max_degree"),
+    )

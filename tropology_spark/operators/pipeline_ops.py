@@ -4798,3 +4798,87 @@ def pipeline_reservoir_merge_audit(
         .cast("bigint")
         .alias("agree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M344 pipeline_kanon_curve — k-anonymity risk vs generalization width
+# ---------------------------------------------------------------------------
+
+_KC_WIDTHS = (100_000, 200_000, 400_000)  # acctbal bucket widths, cents
+_KC_SHIFT = 10_000_000  # acctbal >= -$1000; multiple of every width,
+# so the +shift keeps buckets NESTING across widths AND makes the
+# numerator non-negative (div//floor trap on negative balances)
+_KC_K = 5
+
+
+@register(
+    "pipeline_kanon_curve",
+    oracle=f"""
+    WITH b AS (
+      SELECT w.w, c_nationkey AS nat,
+             (CAST(round(c_acctbal * 100) AS BIGINT) + {_KC_SHIFT}) // w.w
+               AS bucket
+      FROM customer,
+           (SELECT unnest([{", ".join(str(w) for w in _KC_WIDTHS)}]) AS w) w
+    ),
+    cls AS (
+      SELECT w, nat, bucket, CAST(count(*) AS BIGINT) AS n_rows
+      FROM b GROUP BY 1, 2, 3
+    )
+    SELECT CAST(w AS BIGINT) AS width_cents,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN n_rows < {_KC_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below_k,
+           CAST(sum(CASE WHEN n_rows < {_KC_K} THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_at_risk,
+           CAST((1000000 * sum(CASE WHEN n_rows < {_KC_K} THEN n_rows
+                                    ELSE 0 END)) // sum(n_rows) AS BIGINT)
+             AS risk_ppm
+    FROM cls GROUP BY w
+    """,
+)
+def pipeline_kanon_curve(
+    spark: SparkSession, sf_dir: str, customers: DataFrame | None = None
+) -> DataFrame:
+    """M344 — the K-ANONYMITY GENERALIZATION curve: re-run the
+    M115 below-k audit at account-balance bucket widths $1000 / $2000
+    / $4000 over the QI (nationkey, balance bucket) and report classes,
+    below-k classes and ROWS AT RISK per width — the
+    generalization-vs-utility trade every privacy release tunes (M115
+    audits ONE fixed QI; this prices the knob).  The at-risk row sets
+    NEST as buckets coarsen — a merged class only gains population, so
+    a below-k class at width 4W implies every constituent W-class was
+    below k (twin-pinned containment); the +shift constant is a
+    multiple of every width, preserving the nesting AND keeping the
+    bucket numerator non-negative (balances go to −$1000: the
+    div//floor trap).
+
+    Scale: one scan; the ×3 width axis explodes the customer rows;
+    class rollups are map-side combinable.
+
+    ``customers=`` substitutes the customer frame for probes; the
+    driver contract never passes it."""
+    c = customers if customers is not None else load(spark, sf_dir, "customer")
+    b = c.select(
+        F.col("c_nationkey").alias("nat"),
+        (F.round(F.col("c_acctbal") * 100).cast("bigint") + _KC_SHIFT).alias(
+            "cents_sh"
+        ),
+        F.explode(F.array(*[F.lit(w) for w in _KC_WIDTHS])).alias("w"),
+    ).select("w", "nat", F.expr("cents_sh div w").alias("bucket"))
+    cls = b.groupBy("w", "nat", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    return cls.groupBy(F.col("w").cast("bigint").alias("width_cents")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum(F.when(F.col("n_rows") < _KC_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_below_k"),
+        F.sum(F.when(F.col("n_rows") < _KC_K, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.expr(
+            f"CAST((1000000 * sum(CASE WHEN n_rows < {_KC_K} THEN n_rows"
+            f" ELSE 0 END)) div sum(n_rows) AS BIGINT)"
+        ).alias("risk_ppm"),
+    )

@@ -2161,3 +2161,108 @@ def join_bloom_prefilter_audit(
             .alias("reduction_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M345 join_session_overlap_duration — co-active TIME per user pair
+# ---------------------------------------------------------------------------
+
+_OVD_BUCKET_US = 3_600_000_000  # the M238 1-hour candidate buckets
+
+
+def _overlap_duration_oracle() -> str:
+    from tropology_spark.operators.timeseries import SESS_SPANS_SQL
+
+    return (
+        SESS_SPANS_SQL
+        + f"""
+    , b AS (
+      SELECT user_id, sess_seq, start_us, end_us,
+             unnest(generate_series(start_us // {_OVD_BUCKET_US},
+                                    end_us // {_OVD_BUCKET_US})) AS bk
+      FROM spans
+    ),
+    cand AS (
+      SELECT DISTINCT a.user_id AS user_a, a.sess_seq AS seq_a,
+                      c.user_id AS user_b, c.sess_seq AS seq_b,
+                      least(a.end_us, c.end_us)
+                        - greatest(a.start_us, c.start_us) AS ovl_us
+      FROM b a JOIN b c
+        ON a.bk = c.bk AND a.user_id < c.user_id
+       AND a.start_us <= c.end_us AND c.start_us <= a.end_us
+    )
+    SELECT user_a, user_b, CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(sum(ovl_us) AS BIGINT) AS total_ovl_us
+    FROM cand GROUP BY 1, 2
+    ORDER BY total_ovl_us DESC, user_a, user_b LIMIT 20
+    """
+    )
+
+
+@register("join_session_overlap_duration", oracle=_overlap_duration_oracle())
+def join_session_overlap_duration(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """M345 — co-active TIME per user pair: the M238 interval
+    join re-aggregated over exact overlap MICROSECONDS
+    (least(end) − greatest(start), non-negative under the intersect
+    predicate), top-20 pairs by total co-active time — M238 counts
+    co-active session PAIRS; duration is the fraud/shared-device
+    signal that a thousand one-microsecond touches cannot fake.
+
+    Composed, not copied: spans from the session_spans /
+    SESS_SPANS_SQL single home; the SAME 1-hour bucket candidate
+    machinery (two overlapping intervals share the later start's
+    bucket; DISTINCT collapses multi-bucket meetings, the overlap
+    length riding the candidate row as a derived column).  Scale: the
+    span frame is checkpointed once (both join sides), candidate cost
+    bounded by per-bucket concurrency.
+
+    ``events=`` substitutes the event frame for probes; the driver
+    contract never passes it."""
+    from tropology_spark.operators.timeseries import session_spans
+    from tropology_spark.session import iter_materialize
+
+    spans = iter_materialize(session_spans(spark, sf_dir, events=events))
+    b = spans.select(
+        "user_id",
+        "sess_seq",
+        "start_us",
+        "end_us",
+        F.explode(
+            F.expr(
+                f"sequence(start_us div {_OVD_BUCKET_US},"
+                f" end_us div {_OVD_BUCKET_US})"
+            )
+        ).alias("bk"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.bk") == F.col("c.bk"))
+            & (F.col("a.user_id") < F.col("c.user_id"))
+            & (F.col("a.start_us") <= F.col("c.end_us"))
+            & (F.col("c.start_us") <= F.col("a.end_us")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.sess_seq").alias("seq_a"),
+            F.col("c.user_id").alias("user_b"),
+            F.col("c.sess_seq").alias("seq_b"),
+            (
+                F.least(F.col("a.end_us"), F.col("c.end_us"))
+                - F.greatest(F.col("a.start_us"), F.col("c.start_us"))
+            ).alias("ovl_us"),
+        )
+        .distinct()
+    )
+    return (
+        cand.groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
+            F.sum("ovl_us").cast("bigint").alias("total_ovl_us"),
+        )
+        .orderBy(F.desc("total_ovl_us"), F.asc("user_a"), F.asc("user_b"))
+        .limit(20)
+    )

@@ -4411,3 +4411,103 @@ def sim_rocchio_feedback(
             F.coalesce(F.col("hit"), F.lit(0)).cast("bigint").alias("in_orig10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M346 sim_label_scatter_terms — exact within-label scatter carriers
+# ---------------------------------------------------------------------------
+
+
+def _label_scatter_oracle() -> str:
+    return (
+        _EX_CTE
+        + """,
+    exm AS (
+      SELECT vec_id, label, pos, CAST(round(val * 1000000) AS BIGINT) AS vm
+      FROM ex
+    ),
+    pp AS (
+      SELECT label, pos, CAST(sum(vm) AS BIGINT) AS s_pos,
+             CAST(sum(vm * vm) AS BIGINT) AS ssq_pos,
+             CAST(count(*) AS BIGINT) AS cnt_pos
+      FROM exm GROUP BY label, pos
+    ),
+    t AS (
+      SELECT label,
+             CAST(sum(cnt_pos) // 64 AS BIGINT) AS n,
+             CAST(sum(ssq_pos) AS HUGEINT) AS ssq,
+             sum(CAST(s_pos AS HUGEINT) * s_pos) AS s2
+      FROM pp GROUP BY label
+    )
+    SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n_vecs,
+           CAST(ssq AS BIGINT) AS ssq_u2,
+           CAST(s2 AS BIGINT) AS s2_u2,
+           CAST(n * ssq - s2 AS BIGINT) AS within_num,
+           CASE WHEN n = 0 THEN NULL
+                ELSE CAST(ssq // n AS BIGINT) END AS mean_norm2_u2
+    FROM t
+    """
+    )
+
+
+@register("sim_label_scatter_terms", oracle=_label_scatter_oracle())
+def sim_label_scatter_terms(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
+    """M346 — exact WITHIN-LABEL scatter carriers per label:
+    n·Σ|v|² − |Σv|² ≡ n²·Var-like scatter in µ² (the Gram identity
+    per group — the r16 anisotropy machinery partitioned by label),
+    plus the raw Σ|v|² and |Σv|² terms and the mean norm² — the
+    integer inputs of Calinski-Harabasz / silhouette-style cluster
+    quality (M148's cohesion is a ROUNDED cosine to the centroid;
+    these are exact integers that survive the hash gate, the *_terms
+    discipline).  within_num ≥ 0 by Cauchy-Schwarz — twin-pinned.
+
+    Headroom: |Σv|² per (label, pos) is (Σvm)² ≤ (n·10⁶)² only if
+    every member saturates a component; unit-norm embeddings bound
+    typical |vm| at ~10⁶/√64, and the HUGEINT/DECIMAL(38,0) carriers
+    hold to n ~ 10¹⁰ per label regardless.  Scale: one scan to the
+    (label, pos) partials — map-side combinable, zero joins.
+
+    Degenerate-n guard (probe-kwarg guard rule): an injected frame
+    whose embeddings carry fewer than 64 components can drive
+    n = Σcnt div 64 to 0 — mean_norm2_u2 is NULL (not an ANSI
+    division error) in BOTH engines; unreachable on the 64-dim
+    fixture, injection-pinned in tests/test_r18_twins.py.
+
+    ``e=`` substitutes the embedding frame for probes; the driver
+    contract never passes it."""
+    if e is None:
+        e = load(spark, sf_dir, "embeddings")
+    exm = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos0", "val"),
+    ).select(
+        "label",
+        F.round(F.col("val").cast("double") * 1_000_000)
+        .cast("bigint")
+        .alias("vm"),
+        (F.col("pos0") + 1).alias("pos"),
+    )
+    pp = exm.groupBy("label", "pos").agg(
+        F.sum("vm").cast("bigint").alias("s_pos"),
+        F.sum(F.col("vm") * F.col("vm")).cast("bigint").alias("ssq_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt_pos"),
+    )
+    t = pp.groupBy("label").agg(
+        F.expr("sum(cnt_pos) div 64").cast("bigint").alias("n"),
+        F.sum("ssq_pos").cast("decimal(38,0)").alias("ssq"),
+        F.sum(F.expr("CAST(s_pos AS DECIMAL(38,0)) * s_pos")).alias("s2"),
+    )
+    return t.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.col("n").alias("n_vecs"),
+        F.col("ssq").cast("bigint").alias("ssq_u2"),
+        F.col("s2").cast("bigint").alias("s2_u2"),
+        F.expr("CAST(n * ssq - s2 AS BIGINT)").alias("within_num"),
+        F.expr(
+            "CASE WHEN n = 0 THEN NULL"
+            " ELSE CAST(ssq div n AS BIGINT) END"
+        ).alias("mean_norm2_u2"),
+    )

@@ -2580,3 +2580,116 @@ def text_zipf_rank_curve(
         .cast("bigint")
         .alias("dev_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M340 text_source_tv_matrix — pairwise total-variation drift matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_source_tv_matrix",
+    oracle="""
+    WITH per AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      GROUP BY source, token
+    ),
+    srcs AS (SELECT source, CAST(sum(n) AS BIGINT) AS nt FROM per
+             GROUP BY source),
+    vocab AS (SELECT DISTINCT token FROM per),
+    z AS (
+      SELECT srcs.source, srcs.nt, vocab.token, coalesce(per.n, 0) AS c
+      FROM srcs CROSS JOIN vocab
+      LEFT JOIN per ON per.source = srcs.source AND per.token = vocab.token
+    ),
+    pair AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             any_value(a.nt) AS na, any_value(b.nt) AS nb,
+             sum(abs(CAST(a.c AS HUGEINT) * b.nt
+                     - CAST(b.c AS HUGEINT) * a.nt)) AS sad
+      FROM z a JOIN z b ON a.token = b.token AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, CAST(na AS BIGINT) AS n_tokens_a,
+           CAST(nb AS BIGINT) AS n_tokens_b,
+           CAST((1000000 * sad) // (2 * CAST(na AS HUGEINT) * nb) AS BIGINT)
+             AS tv_ppm
+    FROM pair
+    """,
+)
+def text_source_tv_matrix(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """M340 — the pairwise TOTAL-VARIATION drift matrix: for
+    every source pair, TV(p, q) = ½·Σ_tokens |p_t − q_t| over the
+    unigram distributions, as the exact rational
+    (10⁶·Σ|c_a·N_b − c_b·N_a|) div (2·N_a·N_b) — the
+    distribution-distance every ingest monitor wants between corpus
+    slices, with no logarithms (KL/JS are transcendental; TV is the
+    exact member of the divergence family, and bounds JS via
+    Pinsker's cousin).  M94 ranks over-represented tokens WITHIN a
+    source; this compares sources TO EACH OTHER — the numbers that
+    say which ingest streams are interchangeable.
+
+    The zero-filled (source × vocab) long frame feeds both pair sides
+    — DOUBLE-REFERENCE RULE.  Scale: the corpus collapses to the
+    (source, token) counts once; the pair stage is bounded by
+    |sources|² · |vocab| — source counts are curated-small, and a
+    100 TB deployment caps the vocab axis exactly like the 4096
+    oracle-enumeration discipline caps positions.
+
+    ``docs=`` substitutes the document frame for probes; the driver
+    contract never passes it."""
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    per = (
+        d.select("source", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    srcs = per.groupBy("source").agg(F.sum("n").cast("bigint").alias("nt"))
+    vocab = per.select("token").distinct()
+    z = iter_materialize(  # both pair sides — DOUBLE-REFERENCE RULE
+        srcs.crossJoin(vocab)
+        .join(per, ["source", "token"], "left")
+        .select(
+            "source", "nt", "token", F.coalesce(F.col("n"), F.lit(0)).alias("c")
+        )
+    )
+    a = z.select(
+        F.col("source").alias("src_a"),
+        F.col("nt").alias("na"),
+        "token",
+        F.col("c").alias("ca"),
+    )
+    b = z.select(
+        F.col("source").alias("src_b"),
+        F.col("nt").alias("nb"),
+        F.col("token").alias("tb"),
+        F.col("c").alias("cb"),
+    )
+    pair = (
+        a.join(b, (F.col("token") == F.col("tb")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+            F.sum(
+                F.abs(
+                    F.expr("CAST(ca AS DECIMAL(38,0)) * nb")
+                    - F.expr("CAST(cb AS DECIMAL(38,0)) * na")
+                )
+            ).alias("sad"),
+        )
+    )
+    return pair.select(
+        "src_a",
+        "src_b",
+        F.col("na").cast("bigint").alias("n_tokens_a"),
+        F.col("nb").cast("bigint").alias("n_tokens_b"),
+        F.expr(
+            "CAST((1000000 * sad) div (2 * CAST(na AS DECIMAL(38,0)) * nb)"
+            " AS BIGINT)"
+        ).alias("tv_ppm"),
+    )

@@ -3399,3 +3399,229 @@ def ts_dominant_period(
             "score_ppb",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M338 ts_leadlag_matrix — pairwise lead-lag matrix over event types
+# ---------------------------------------------------------------------------
+
+_LL_MAX_LAG = 6
+
+
+@register(
+    "ts_leadlag_matrix",
+    oracle=f"""
+    WITH hrs AS (
+      SELECT DISTINCT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h
+      FROM events
+    ),
+    ty AS (SELECT DISTINCT event_type AS t FROM events),
+    cnt AS (
+      SELECT event_type AS t, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT ty.t, hrs.h, coalesce(cnt.c, 0) AS c
+      FROM ty CROSS JOIN hrs
+      LEFT JOIN cnt ON cnt.t = ty.t AND cnt.h = hrs.h
+    ),
+    j AS (
+      SELECT x.t AS tx, y.t AS ty, l.lag_k, x.c AS xv, y.c AS yv
+      FROM z y
+      JOIN (SELECT unnest(generate_series(0, {_LL_MAX_LAG})) AS lag_k) l
+        ON true
+      JOIN z x ON x.h = y.h - l.lag_k AND x.t <> y.t
+    ),
+    t AS (
+      SELECT tx, ty, CAST(lag_k AS BIGINT) AS lag_k,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(xv * yv) AS BIGINT) AS s_xy,
+             CAST(sum(xv) AS BIGINT) AS s_x,
+             CAST(sum(yv) AS BIGINT) AS s_y,
+             CAST(sum(xv * xv) AS BIGINT) AS s_xx,
+             CAST(sum(yv * yv) AS BIGINT) AS s_yy
+      FROM j GROUP BY 1, 2, 3
+    ),
+    sc AS (
+      SELECT tx, ty, lag_k, m,
+             CAST(m * s_xy - s_x * s_y AS BIGINT) AS num,
+             CAST(m * s_xx - s_x * s_x AS BIGINT) AS dh,
+             CAST(m * s_yy - s_y * s_y AS BIGINT) AS dt
+      FROM t
+    ),
+    v AS (
+      SELECT tx, ty, lag_k, m, num, dh, dt,
+             CAST((1000000000 * CAST(num AS HUGEINT) * num)
+                  // (CAST(dh AS HUGEINT) * dt) AS BIGINT) AS score_ppb
+      FROM sc WHERE num > 0 AND dh > 0 AND dt > 0
+    )
+    SELECT tx AS type_x, ty AS type_y, CAST(lag_k AS BIGINT) AS best_lag,
+           m, num, dh, dt, score_ppb
+    FROM (SELECT *, row_number() OVER (PARTITION BY tx, ty
+                                       ORDER BY score_ppb DESC, lag_k) AS rk18
+          FROM v) q
+    WHERE rk18 = 1
+    """,
+)
+def ts_leadlag_matrix(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """M338 — the pairwise LEAD-LAG matrix: for every ordered
+    pair of event types (x leads, y follows), the hour lag 0..6
+    maximizing the exact integer cross-correlation score — the
+    causal-screening matrix behind funnel design and alerting
+    dependencies (M234 carries the terms for ONE pair at lags 0..3;
+    this searches every pair and reports only the argmax).  Series
+    are ZERO-FILLED on the observed-hour spine (the M234 rule —
+    absent hours are load-bearing zeros for cross-type comparison,
+    unlike the single-series period search where co-presence is the
+    contract), so the matrix is symmetric-complete: a pair drops out
+    only if no lag has positive correlation.
+
+    Exact argmax without floats: the domper score (10⁹·num² div
+    (dh·dt), num > 0 only) with the (score DESC, lag) unique
+    tie-break.  Scale: one map-side rollup to O(types × hours), a ×7
+    lag explode on THAT table, one window on the real (tx, ty) key.
+    The zero-filled long frame feeds both join sides —
+    DOUBLE-REFERENCE RULE.
+
+    ``events=`` substitutes the event frame for probes; the driver
+    contract never passes it."""
+    e = events if events is not None else load(spark, sf_dir, "events")
+    hour = F.expr("unix_micros(ts) div 3600000000").cast("bigint")
+    hrs = e.select(hour.alias("h")).distinct()
+    ty = e.select(F.col("event_type").alias("t")).distinct()
+    cnt = e.groupBy(
+        F.col("event_type").alias("t"), hour.alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    z = iter_materialize(  # x AND y sides — DOUBLE-REFERENCE RULE
+        ty.crossJoin(hrs)
+        .join(cnt, ["t", "h"], "left")
+        .select("t", "h", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    y = z.select(
+        F.col("t").alias("ty"),
+        "h",
+        F.col("c").alias("yv"),
+        F.explode(
+            F.array(*[F.lit(k) for k in range(_LL_MAX_LAG + 1)])
+        ).alias("lag_k"),
+    )
+    x = z.select(F.col("t").alias("tx"), F.col("h").alias("hx"), F.col("c").alias("xv"))
+    j = y.join(
+        x,
+        (F.col("hx") == F.col("h") - F.col("lag_k"))
+        & (F.col("tx") != F.col("ty")),
+    )
+    t = j.groupBy("tx", "ty", "lag_k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.col("xv") * F.col("yv")).cast("bigint").alias("s_xy"),
+        F.sum("xv").cast("bigint").alias("s_x"),
+        F.sum("yv").cast("bigint").alias("s_y"),
+        F.sum(F.col("xv") * F.col("xv")).cast("bigint").alias("s_xx"),
+        F.sum(F.col("yv") * F.col("yv")).cast("bigint").alias("s_yy"),
+    )
+    sc = t.select(
+        "tx",
+        "ty",
+        F.col("lag_k").cast("bigint").alias("lag_k"),
+        "m",
+        (F.col("m") * F.col("s_xy") - F.col("s_x") * F.col("s_y"))
+        .cast("bigint")
+        .alias("num"),
+        (F.col("m") * F.col("s_xx") - F.col("s_x") * F.col("s_x"))
+        .cast("bigint")
+        .alias("dh"),
+        (F.col("m") * F.col("s_yy") - F.col("s_y") * F.col("s_y"))
+        .cast("bigint")
+        .alias("dt"),
+    )
+    v = sc.filter(
+        (F.col("num") > 0) & (F.col("dh") > 0) & (F.col("dt") > 0)
+    ).withColumn(
+        "score_ppb",
+        F.expr(
+            "CAST((1000000000 * CAST(num AS DECIMAL(38,0)) * num)"
+            " div (CAST(dh AS DECIMAL(38,0)) * dt) AS BIGINT)"
+        ),
+    )
+    w = Window.partitionBy("tx", "ty").orderBy(
+        F.col("score_ppb").desc(), F.col("lag_k")
+    )
+    return (
+        v.withColumn("rk18", F.row_number().over(w))
+        .filter(F.col("rk18") == 1)
+        .select(
+            F.col("tx").alias("type_x"),
+            F.col("ty").alias("type_y"),
+            F.col("lag_k").alias("best_lag"),
+            "m",
+            "num",
+            "dh",
+            "dt",
+            "score_ppb",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M341 ts_seasonal_anova_terms — hour-of-day ANOVA decomposition terms
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_seasonal_anova_terms",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(h % 24 AS BIGINT) AS hod,
+           CAST(count(*) AS BIGINT) AS n_k,
+           CAST(sum(c) AS BIGINT) AS s_k,
+           CAST(sum(c * c) AS BIGINT) AS ssq_k,
+           CAST(count(*) * sum(c * c) - sum(c) * sum(c) AS BIGINT)
+             AS within_num
+    FROM hc GROUP BY event_type, h % 24
+    """,
+)
+def ts_seasonal_anova_terms(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """M341 — the seasonal ANOVA decomposition's integer
+    inputs: per (type, hour-of-day) over the hourly activity series,
+    the group size, sum, sum of squares and the CLEARED within-group
+    scatter n_k·Σc² − (Σc)² ≡ n_k·Σ(c − μ_k)² — from which the
+    seasonal-strength statistic F_s = 1 − SS_within/SS_total (the STL
+    diagnostic that says how much of the variance the daily cycle
+    explains) assembles client-side as ratios of exact integers (the
+    *_terms discipline: the final division never enters the hash
+    gate).  Observed hours only (the gap rule — a missing hour is
+    absence of evidence here, unlike the zero-filled cross-type
+    comparison).
+
+    Scale: two nested map-side rollups (events → hourly counts →
+    24-row-per-type terms); no joins, no windows.
+
+    ``events=`` substitutes the event frame for probes; the driver
+    contract never passes it."""
+    e = events if events is not None else load(spark, sf_dir, "events")
+    hc = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return hc.groupBy(
+        "event_type", (F.col("h") % 24).cast("bigint").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_k"),
+        F.sum("c").cast("bigint").alias("s_k"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ssq_k"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("c") * F.col("c"))
+            - F.sum("c") * F.sum("c")
+        )
+        .cast("bigint")
+        .alias("within_num"),
+    )
