@@ -50,6 +50,13 @@ def main() -> None:
     # contamination this phase exists to remove (CC's pinned checkpoint
     # blocks inflated link_prediction 11 s → 26 s, measured).
     isolated: dict[str, float] = {}
+    # VERDICT r17 item 3: the driver's isolated re-times have twice
+    # read above-band under host contention (dedup_embedding_clusters
+    # 18.07 → 25.56 s vs its 9.5-13.6 s quiet band) and adjudication
+    # depended on builder re-runs — capture the 1-minute loadavg at
+    # the START of each re-time so every artifact self-adjudicates.
+    isolated_load1: dict[str, float] = {}
+    isolated_loadavg: dict[str, list] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
         from tropology_spark.sources.tables import clear_session_caches
 
@@ -65,6 +72,12 @@ def main() -> None:
             spark = get_spark(f"tropology-bench-isolated-{name}")
             try:
                 QUERIES["flagship_revenue_by_region"](spark, sf_dir).collect()
+                try:
+                    la = os.getloadavg()
+                    isolated_load1[name] = round(la[0], 2)
+                    isolated_loadavg[name] = [round(x, 2) for x in la]
+                except OSError:  # pragma: no cover
+                    pass
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
@@ -147,6 +160,7 @@ def main() -> None:
         "sf": sf,
         "queries": per_query,
         "isolated": isolated,
+        "isolated_loadavg": isolated_loadavg,
         "errors": errors,
     }
     try:
@@ -172,6 +186,10 @@ def main() -> None:
             {
                 "queries": slowest,
                 "isolated": isolated,
+                # 1-min loadavg at each isolated re-time's start —
+                # compact on purpose (the tail budget); full 3-tuples
+                # live in bench_detail.json's isolated_loadavg.
+                "isolated_load1": isolated_load1,
                 "metric": "declared_suite_wall_time",
                 "unit": "sec",
                 "sf": sf,
