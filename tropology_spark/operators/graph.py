@@ -1934,8 +1934,13 @@ def graph_degree_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     value at ceil(n/2), p90 at ceil(0.9n), p99 at ceil(0.99n) — never
     a corpus sort; a degree histogram is value-bounded by max-degree
     regardless of node count.  Composed: the edge set is the
-    registered I1 single home (Spark: edges; oracle: _EDGES_CTE)."""
-    e = edges(spark, sf_dir)
+    registered I1 single home via the session-shared materialized
+    view (Spark: edges_materialized; oracle: _EDGES_CTE — the
+    CLAUDE.md shared-shape rule: re-deriving the orders ⋈ lineitem
+    distinct join costs seconds per query at sf0.1)."""
+    from tropology_spark.sources.tables import edges_materialized
+
+    e = edges_materialized(spark, sf_dir)
     deg = (
         e.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
