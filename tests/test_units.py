@@ -1132,7 +1132,7 @@ def test_materialized_view_build_is_shared_across_threads(spark):
 
 def test_driver_window_composition(spark):
     """The driver hash-checks the FIRST 50 registry entries.  Pin the
-    round-17 window invariants so a module-import or registration-order
+    round-18 window invariants so a module-import or registration-order
     change can never silently evict a query: the activated staged
     queries (never sampled) lead, and EVERY
     remaining window slot goes to the rotation queue — queries whose
