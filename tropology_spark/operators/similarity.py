@@ -4463,11 +4463,14 @@ def sim_label_scatter_terms(
     these are exact integers that survive the hash gate, the *_terms
     discipline).  within_num ≥ 0 by Cauchy-Schwarz — twin-pinned.
 
-    Headroom: |Σv|² per (label, pos) is (Σvm)² ≤ (n·10⁶)² only if
-    every member saturates a component; unit-norm embeddings bound
-    typical |vm| at ~10⁶/√64, and the HUGEINT/DECIMAL(38,0) carriers
-    hold to n ~ 10¹⁰ per label regardless.  Scale: one scan to the
-    (label, pos) partials — map-side combinable, zero joins.
+    Headroom: the binding stage in BOTH engines is the per-(label,
+    pos) BIGINT partials (ssq_pos ≤ n·10¹², (s_pos)² via the widened
+    product) — safe to n ≈ 9·10⁶ saturated-component vectors per
+    label (~6·10⁸ typical unit-norm, |vm| ~ 10⁶/√64); past that,
+    lift the partials to DECIMAL.  The label-level sums are widened
+    BEFORE aggregation on the Spark side to match the oracle's native
+    HUGEINT sums.  Scale: one scan to the (label, pos) partials —
+    map-side combinable, zero joins.
 
     Degenerate-n guard (probe-kwarg guard rule): an injected frame
     whose embeddings carry fewer than 64 components can drive
@@ -4497,7 +4500,10 @@ def sim_label_scatter_terms(
     )
     t = pp.groupBy("label").agg(
         F.expr("sum(cnt_pos) div 64").cast("bigint").alias("n"),
-        F.sum("ssq_pos").cast("decimal(38,0)").alias("ssq"),
+        # widen BEFORE summing — a BIGINT-aggregated sum would give the
+        # Spark side less headroom than the oracle's native HUGEINT sum
+        # (the asymmetric-overflow class the r17 Lehr lesson named)
+        F.sum(F.expr("CAST(ssq_pos AS DECIMAL(38,0))")).alias("ssq"),
         F.sum(F.expr("CAST(s_pos AS DECIMAL(38,0)) * s_pos")).alias("s2"),
     )
     return t.select(
