@@ -4108,7 +4108,11 @@ def sim_anisotropy_terms(
     )
     tot = per_pos.agg(
         F.expr("sum(cnt_pos) div 64").cast("bigint").alias("n"),
-        F.sum("ssq_pos").cast("decimal(38,0)").alias("sn2"),
+        # widen BEFORE summing — a BIGINT-aggregated sum would give
+        # the Spark side less headroom than the oracle's native
+        # HUGEINT sum (the r17 Lehr asymmetric-overflow class; the
+        # binding stage in both engines is the per-pos BIGINT partial)
+        F.sum(F.expr("CAST(ssq_pos AS DECIMAL(38,0))")).alias("sn2"),
         F.sum(F.expr("CAST(s_pos AS DECIMAL(38,0)) * s_pos")).alias("gram"),
     )
     return tot.select(
