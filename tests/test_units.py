@@ -2394,6 +2394,36 @@ def test_rake_keywords_matches_pure_python(spark):
     assert got == want
 
 
+def test_no_aggregate_then_widen_sums():
+    """Round-18 code-review class (the r17 Lehr lesson's sibling):
+    ``F.sum("col").cast("decimal(...)")`` aggregates in LongType and
+    only then widens, giving the Spark side ~3 orders of magnitude
+    less headroom than a DuckDB oracle whose ``sum`` is natively
+    HUGEINT — an ASYMMETRIC latent overflow invisible to parity at
+    any fixture scale.  The discipline: widen BEFORE summing
+    (``F.sum(F.expr("CAST(col AS DECIMAL(38,0))"))``), so the
+    binding stage is the same pre-aggregation carrier in both
+    engines.  Two instances existed (sim_anisotropy_terms sn2,
+    sim_label_scatter_terms ssq — both fixed); this static sweep
+    pins the spelling out of the source tree."""
+    import re
+    from pathlib import Path
+
+    pat = re.compile(
+        r"""F\.sum\(\s*(?:"[^"]+"|F\.col\([^)]*\))\s*\)\s*\.cast\(\s*"decimal"""
+    )
+    hits = []
+    for p in Path("tropology_spark").rglob("*.py"):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if pat.search(line):
+                hits.append(f"{p}:{i}: {line.strip()}")
+    assert not hits, (
+        "BIGINT-aggregate-then-widen sum (asymmetric overflow vs the "
+        "HUGEINT oracle) — widen the column BEFORE F.sum:\n"
+        + "\n".join(hits)
+    )
+
+
 def test_registered_shift_constants_sized_from_domain_bounds(spark):
     """VERDICT r13 item 2 — the systematic shift-constant audit.  The
     +BIG·den shift identity ((num + BIG·den) div den − BIG) turns both
