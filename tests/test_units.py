@@ -1136,10 +1136,10 @@ def test_driver_window_composition(spark):
     change can never silently evict a query: the activated staged
     queries (never sampled) lead, and EVERY
     remaining window slot goes to the rotation queue — queries whose
-    latest driver row is the OLDEST post-regeneration vintage (<= r10;
+    latest driver row is the OLDEST post-regeneration vintage (<= r11;
     the bound relaxes by one each time a fresher class becomes the
-    oldest — the r09 class empties inside the round-18 window, so the
-    50-row r10 class enters the rotation this round)
+    oldest — the r10 class empties inside the round-19 window, so the
+    50-row r11 class enters the rotation this round)
     or IS from the most
     recent driver round (a fresh row from the current round is the
     queue working, not a wasted slot — the r6 verdict's fix for the
@@ -1166,7 +1166,7 @@ def test_driver_window_composition(spark):
     missing = [q for q in never if q not in set(window)]
     assert not missing, f"never-sampled queries outside the window: {missing}"
     for q in window[len(head):]:
-        assert latest.get(q, 0) <= 10 or latest[q] == max_round, (
+        assert latest.get(q, 0) <= 11 or latest[q] == max_round, (
             f"non-stale query {q} burns a window slot"
         )
     for q in window:
