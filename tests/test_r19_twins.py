@@ -1,88 +1,30 @@
-"""Driver-replica parity for the STAGED round-19 operators
-(tropology_spark/operators/staged_r19.py) — the staging pattern's
-eleventh application: the full compare at both verification scales,
-pure-Python twins for every formula-bearing op, two hypothesis
-property suites on the exact staged paths (frame injection), and the
-partitioning-invariance + plan sweeps.  Activation in round 19 is then
-a mechanical move-and-register.
-"""
+"""Pure-Python twins + property suites for the round-19 activations
+(M348-M357) — converted from tests/test_staged_r19.py at activation
+(the r9-r18 pattern): the staged-only parity/invariance/plan sweeps
+are dropped (registry-wide suites cover the activated queries), the
+twins and the two hypothesis property suites run against QUERIES, and
+the SEVENTH-fold branch-coverage injections pin the guard branches the
+fixture can't reach (the LOO single-source NULL guard — new at
+activation per the probe-kwarg guard rule — and the sample-bias
+empty-sample NULL branch)."""
 
 from __future__ import annotations
 
-import pytest
-
-from tests.conftest import SF_ORACLE, SF_UNIT, make_duckdb
-from tropology_spark.operators.staged_r19 import STAGED
-
-
-def test_staged_module_registers_nothing():
-    from tropology_spark import QUERIES
-
-    assert not (set(STAGED) & set(QUERIES))
+from tests.conftest import SF_UNIT
+from tropology_spark import QUERIES
 
 
 def test_winnowing_cte_factoring_is_byte_identical():
     """The _WINNOW_SEL_CTE factoring must reconstruct the registered
     M259 oracle exactly: the shared prefix ends at the sel CTE and
-    the registered suffix starts at the final SELECT."""
+    the registered suffix starts at the final SELECT (the M353 oracle
+    splices the same constant — this pin keeps them from drifting)."""
     from tropology_spark import ORACLES
     from tropology_spark.operators.text import _WINNOW_SEL_CTE
 
     oracle = ORACLES["text_winnowing_fingerprints"]
     assert oracle.startswith(_WINNOW_SEL_CTE)
     assert oracle[len(_WINNOW_SEL_CTE):].lstrip().startswith("SELECT doc_id")
-
-
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_parity_both_scales(spark, name):
-    from tests.parity import compare
-
-    fn, oracle = STAGED[name]
-    for sf in (SF_UNIT, SF_ORACLE):
-        con = make_duckdb(sf)
-        try:
-            compare(name, spark, con, fn, oracle, sf)
-        finally:
-            con.close()
-
-
-def test_staged_partitioning_invariance(spark):
-    from tests.parity import canon_rows, spark_result
-    from tropology_spark.sources.tables import clear_session_caches
-
-    orig = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        results = {n: set() for n in STAGED}
-        for parts in ("5", "13", "32"):
-            spark.conf.set("spark.sql.shuffle.partitions", parts)
-            clear_session_caches()
-            for n, (fn, _) in STAGED.items():
-                cols, rows = spark_result(fn(spark, SF_UNIT))
-                results[n].add(tuple(canon_rows(cols, rows)))
-        for n, seen in results.items():
-            assert len(seen) == 1, f"staged {n} varies with shuffle partitioning"
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig)
-        clear_session_caches()
-
-
-def test_staged_no_new_plan_antipatterns(spark):
-    """No CartesianProduct / row-Python UDF / BNLJ anywhere — the
-    third all-BNLJ-free slate.  Nothing to add to BNLJ_ALLOWED at
-    activation."""
-    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "simple"
-    )
-    bad = {}
-    for name, (fn, _) in STAGED.items():
-        s = fn(spark, SF_UNIT)._jdf.queryExecution().explainString(mode)
-        if "CartesianProduct" in s:
-            bad[name] = "CartesianProduct"
-        if "BatchEvalPython" in s:
-            bad[name] = "row-Python UDF"
-        if "BroadcastNestedLoopJoin" in s:
-            bad[name] = "unexpected BNLJ"
-    assert not bad, bad
 
 
 # ---------------------------------------------------------------------------
@@ -119,12 +61,11 @@ def _discord_twin(rows):
     return out
 
 
-def test_staged_discord_days_matches_pure_python(spark):
+def test_discord_days_matches_pure_python(spark):
     """ts_discord_days — zero-filled profiles, pair distances and the
     argmin recomputed with Counter + Python ints."""
     import duckdb
 
-    fn, _ = STAGED["ts_discord_days"]
     rows = [
         (et, int(d), int(h))
         for et, d, h in duckdb.sql(
@@ -136,12 +77,12 @@ def test_staged_discord_days_matches_pure_python(spark):
     want = _discord_twin(rows)
     got = {
         (r["event_type"], r["day"]): (r["nn_day"], r["min_d2"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["ts_discord_days"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_linear_interpolate_matches_pure_python(spark):
+def test_linear_interpolate_matches_pure_python(spark):
     """ts_linear_interpolate — gaps, brackets and the rational
     interpolants recomputed with Counter + Python floor division;
     also pins every interpolant inside [min, max]·1000 of its
@@ -150,7 +91,6 @@ def test_staged_linear_interpolate_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["ts_linear_interpolate"]
     rows = duckdb.sql(
         f"""SELECT event_type, epoch_us(ts) // 3600000000
             FROM read_parquet('{SF_UNIT}/events.parquet')"""
@@ -172,21 +112,20 @@ def test_staged_linear_interpolate_matches_pure_python(spark):
             r["prev_h"], r["next_h"], r["v_prev"], r["v_next"],
             r["interp_milli"],
         )
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["ts_linear_interpolate"](spark, SF_UNIT).collect()
     }
     assert got == want
     for _k, (_h1, _h2, v1, v2, im) in got.items():
         assert 1000 * min(v1, v2) <= im <= 1000 * max(v1, v2)
 
 
-def test_staged_loo_source_impact_matches_pure_python(spark):
+def test_loo_source_impact_matches_pure_python(spark):
     """pipeline_loo_source_impact — totals, floors and deltas
     recomputed with Counter ints."""
     from collections import defaultdict
 
     import duckdb
 
-    fn, _ = STAGED["pipeline_loo_source_impact"]
     rows = duckdb.sql(
         f"""SELECT source, len(string_split(text, ' '))
             FROM read_parquet('{SF_UNIT}/documents.parquet')"""
@@ -206,12 +145,34 @@ def test_staged_loo_source_impact_matches_pure_python(spark):
     got = {
         r["source"]: (r["n_docs"], r["n_tokens"], r["full_mean_milli"],
                       r["loo_mean_milli"], r["delta_milli"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["pipeline_loo_source_impact"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_log2_histogram_matches_pure_python(spark):
+def test_loo_single_source_guard(spark):
+    """SEVENTH-fold injection pin (the probe-kwarg guard rule): a
+    SINGLE-SOURCE corpus has no leave-one-out population (nn ==
+    n_docs) — the fixture never reaches this branch, an injected
+    ``docs=`` frame does.  loo/delta must be NULL (not a
+    division-by-zero error) and the full mean stays exact."""
+    docs = spark.createDataFrame(
+        [(1, "only", "a b c"), (2, "only", "d e")],
+        "doc_id long, source string, text string",
+    )
+    rows = QUERIES["pipeline_loo_source_impact"](
+        spark, "unused", docs=docs
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["source"] == "only"
+    assert (r["n_docs"], r["n_tokens"]) == (2, 5)
+    assert r["full_mean_milli"] == (1000 * 5) // 2
+    assert r["loo_mean_milli"] is None
+    assert r["delta_milli"] is None
+
+
+def test_log2_histogram_matches_pure_python(spark):
     """agg_log2_value_histogram — buckets via int.bit_length and the
     per-bucket stats recomputed in Python; also pins the power-of-two
     bucket bounds 2^(b−1) <= min <= max < 2^b."""
@@ -219,7 +180,6 @@ def test_staged_log2_histogram_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["agg_log2_value_histogram"]
     cents = [
         int(c)
         for (c,) in duckdb.sql(
@@ -236,14 +196,14 @@ def test_staged_log2_histogram_matches_pure_python(spark):
     got = {
         r["bucket"]: (r["n_orders"], r["min_cents"], r["max_cents"],
                       r["sum_cents"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["agg_log2_value_histogram"](spark, SF_UNIT).collect()
     }
     assert got == want
     for b, (_n, mn, mx, _s) in got.items():
         assert (1 << (b - 1)) <= mn <= mx < (1 << b)
 
 
-def test_staged_knn_hubness_consistent_with_registered(spark):
+def test_knn_hubness_consistent_with_registered(spark):
     """sim_knn_hubness — the in-degree histogram recomputed in Python
     from the collected registered kNN frame; also pins the edge-mass
     identity Σ degree·count == |kNN edges| and the spine identity
@@ -252,9 +212,6 @@ def test_staged_knn_hubness_consistent_with_registered(spark):
 
     import duckdb
 
-    from tropology_spark import QUERIES
-
-    fn, _ = STAGED["sim_knn_hubness"]
     knn = QUERIES["sim_knn_join"](spark, SF_UNIT).collect()
     indeg = Counter(r["neighbor_id"] for r in knn)
     vecs = [
@@ -271,7 +228,7 @@ def test_staged_knn_hubness_consistent_with_registered(spark):
     want = {d: (n, firsts[d]) for d, n in per.items()}
     got = {
         r["in_degree"]: (r["n_vectors"], r["first_vec"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["sim_knn_hubness"](spark, SF_UNIT).collect()
     }
     assert got == want
     assert sum(d * n for d, (n, _f) in got.items()) == len(knn)
@@ -295,13 +252,12 @@ def _winnow_sel_twin(docs, w=4):
     return out
 
 
-def test_staged_moss_pairs_matches_pure_python(spark):
+def test_moss_pairs_matches_pure_python(spark):
     """dedup_moss_pairs — selections re-derived with hashlib (fully
     independent of the SQL single home) and the pair/containment
     arithmetic recomputed with sets."""
     import duckdb
 
-    fn, _ = STAGED["dedup_moss_pairs"]
     docs = duckdb.sql(
         f"SELECT doc_id, text FROM read_parquet('{SF_UNIT}/documents.parquet')"
     ).fetchall()
@@ -319,20 +275,17 @@ def test_staged_moss_pairs_matches_pure_python(spark):
     got = {
         (r["doc_a"], r["doc_b"]): (r["n_shared"], r["n_sel_a"], r["n_sel_b"],
                                    r["cont_ppm"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["dedup_moss_pairs"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_katz3_consistent_with_registered(spark):
+def test_katz3_consistent_with_registered(spark):
     """graph_katz3_score — the dyadic 16/4/1 assembly and top-20
     recomputed in Python from the collected registered path-count
     frame."""
     from collections import defaultdict
 
-    from tropology_spark import QUERIES
-
-    fn, _ = STAGED["graph_katz3_score"]
     pc = QUERIES["graph_path_counts3"](spark, SF_UNIT).collect()
     acc = defaultdict(lambda: [0, 0, 0])
     for r in pc:
@@ -347,12 +300,12 @@ def test_staged_katz3_consistent_with_registered(spark):
     want = {node: (k, p1, p2, p3) for k, node, p1, p2, p3 in scored}
     got = {
         r["node"]: (r["katz_x64"], r["p1"], r["p2"], r["p3"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["graph_katz3_score"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_elasticity_matches_pure_python(spark):
+def test_elasticity_matches_pure_python(spark):
     """analytics_price_elasticity_terms — per-part demand, per-brand
     co-moments and the signed slope numerators recomputed with
     Counter ints; pins slope_den >= 0."""
@@ -360,7 +313,6 @@ def test_staged_elasticity_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["analytics_price_elasticity_terms"]
     rows = duckdb.sql(
         f"""SELECT p.p_brand, p.p_partkey,
                    CAST(round(p.p_retailprice * 100) AS BIGINT),
@@ -370,11 +322,9 @@ def test_staged_elasticity_matches_pure_python(spark):
               ON l.l_partkey = p.p_partkey"""
     ).fetchall()
     per = defaultdict(lambda: [0, 0])
-    brand_x = {}
     for b, pk, x, q in rows:
         per[(b, int(pk))][1] += int(q)
         per[(b, int(pk))][0] = int(x)
-        brand_x[(b, int(pk))] = b
     acc = defaultdict(lambda: [0, 0, 0, 0, 0])
     for (b, _pk), (x, y) in per.items():
         a = acc[b]
@@ -390,13 +340,15 @@ def test_staged_elasticity_matches_pure_python(spark):
     got = {
         r["brand"]: (r["n_parts"], r["s_x"], r["s_y"], r["s_xy"], r["s_xx"],
                      r["slope_num"], r["slope_den"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["analytics_price_elasticity_terms"](
+            spark, SF_UNIT
+        ).collect()
     }
     assert got == want
     assert all(v[6] >= 0 for v in got.values())
 
 
-def test_staged_sample_bias_matches_pure_python(spark):
+def test_sample_bias_matches_pure_python(spark):
     """pipeline_sample_bias_audit — the md5 sample membership and both
     floor means recomputed with hashlib ints (NULL on empty
     samples)."""
@@ -405,7 +357,6 @@ def test_staged_sample_bias_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["pipeline_sample_bias_audit"]
     rows = duckdb.sql(
         f"""SELECT doc_id, source, len(string_split(text, ' '))
             FROM read_parquet('{SF_UNIT}/documents.parquet')"""
@@ -427,12 +378,41 @@ def test_staged_sample_bias_matches_pure_python(spark):
     got = {
         r["source"]: (r["n_full"], r["n_sample"], r["full_mean_milli"],
                       r["sample_mean_milli"], r["bias_milli"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["pipeline_sample_bias_audit"](spark, SF_UNIT).collect()
     }
     assert got == want
 
 
-def test_staged_gini_by_month_matches_pure_python(spark):
+def test_sample_bias_empty_sample_guard(spark):
+    """SEVENTH-fold injection pin: a source whose md5 1/16 sample is
+    EMPTY reports NULL sample mean and bias (absence of evidence,
+    loudly).  doc_ids are chosen with hashlib so every id hashes to a
+    NON-zero residue mod 16 — the branch the sf fixture may never
+    reach."""
+    import hashlib
+
+    ids = [
+        i
+        for i in range(1, 200)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 16 != 0
+    ][:5]
+    assert len(ids) == 5
+    docs = spark.createDataFrame(
+        [(i, "s", "w x y z") for i in ids],
+        "doc_id long, source string, text string",
+    )
+    rows = QUERIES["pipeline_sample_bias_audit"](
+        spark, "unused", docs=docs
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_full"], r["n_sample"]) == (5, 0)
+    assert r["full_mean_milli"] == 4000
+    assert r["sample_mean_milli"] is None
+    assert r["bias_milli"] is None
+
+
+def test_gini_by_month_matches_pure_python(spark):
     """analytics_gini_by_month — monthly spend, ranks and the Lorenz
     carriers recomputed with sorted() + Python big ints; pins
     0 <= gini_ppm < 10⁶."""
@@ -440,7 +420,6 @@ def test_staged_gini_by_month_matches_pure_python(spark):
 
     import duckdb
 
-    fn, _ = STAGED["analytics_gini_by_month"]
     rows = duckdb.sql(
         f"""SELECT year(o_orderdate) * 100 + month(o_orderdate),
                    o_custkey, CAST(round(o_totalprice * 100) AS BIGINT)
@@ -464,14 +443,15 @@ def test_staged_gini_by_month_matches_pure_python(spark):
         )
     got = {
         r["month_key"]: (r["n_customers"], r["total_cents"], r["gini_ppm"])
-        for r in fn(spark, SF_UNIT).collect()
+        for r in QUERIES["analytics_gini_by_month"](spark, SF_UNIT).collect()
     }
     assert got == want
     assert all(0 <= v[2] < 1_000_000 for v in got.values())
 
 
 # ---------------------------------------------------------------------------
-# Hypothesis property suites on the EXACT staged paths (frame injection)
+# Hypothesis property suites on the EXACT registered paths (frame
+# injection via the probe kwargs)
 # ---------------------------------------------------------------------------
 
 from hypothesis import given, settings, strategies as st  # noqa: E402
@@ -506,8 +486,12 @@ def test_linear_interpolate_recovers_exact_line(spark, a, b, gaps):
     ).selectExpr(
         "event_id", "user_id", "timestamp_micros(us) AS ts", "event_type"
     )
-    fn, _ = STAGED["ts_linear_interpolate"]
-    got = {r["h"]: r["interp_milli"] for r in fn(spark, "unused", events=ev).collect()}
+    got = {
+        r["h"]: r["interp_milli"]
+        for r in QUERIES["ts_linear_interpolate"](
+            spark, "unused", events=ev
+        ).collect()
+    }
     want = {
         h: 1000 * (a + b * h)
         for h1, h2 in zip(hours, hours[1:])
@@ -548,10 +532,9 @@ def test_discord_days_isolates_planted_anomaly(spark, base, odd_day, bump_hod, b
     ).selectExpr(
         "event_id", "user_id", "timestamp_micros(us) AS ts", "event_type"
     )
-    fn, _ = STAGED["ts_discord_days"]
     got = {
         r["day"] - base_day: r["min_d2"]
-        for r in fn(spark, "unused", events=ev).collect()
+        for r in QUERIES["ts_discord_days"](spark, "unused", events=ev).collect()
         if r["event_type"] == "click"
     }
     # days with zero total events never enter the day spine

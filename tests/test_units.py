@@ -1074,6 +1074,17 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "join_session_overlap_duration",
         "sim_label_scatter_terms",
         "analytics_ta_depth_curve",
+        # round-19 activations (M348-M357)
+        "ts_discord_days",
+        "ts_linear_interpolate",
+        "pipeline_loo_source_impact",
+        "agg_log2_value_histogram",
+        "sim_knn_hubness",
+        "dedup_moss_pairs",
+        "graph_katz3_score",
+        "analytics_price_elasticity_terms",
+        "pipeline_sample_bias_audit",
+        "analytics_gini_by_month",
     ]
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -1132,7 +1143,7 @@ def test_materialized_view_build_is_shared_across_threads(spark):
 
 def test_driver_window_composition(spark):
     """The driver hash-checks the FIRST 50 registry entries.  Pin the
-    round-18 window invariants so a module-import or registration-order
+    round-19 window invariants so a module-import or registration-order
     change can never silently evict a query: the activated staged
     queries (never sampled) lead, and EVERY
     remaining window slot goes to the rotation queue — queries whose
@@ -1151,7 +1162,7 @@ def test_driver_window_composition(spark):
     from pathlib import Path
 
     from tropology_spark import ORACLES, QUERIES
-    from tropology_spark import _R18_NEW
+    from tropology_spark import _R19_NEW
 
     latest: dict[str, int] = {}
     for f in Path(".").glob("CORRECTNESS_r*.json"):
@@ -1160,7 +1171,7 @@ def test_driver_window_composition(spark):
             latest[k] = max(latest.get(k, 0), rnd)
     max_round = max(latest.values(), default=0)
     window = list(QUERIES)[:50]
-    head = _R18_NEW
+    head = _R19_NEW
     assert window[: len(head)] == head, window[: len(head)]
     never = [q for q in QUERIES if q not in latest]
     missing = [q for q in never if q not in set(window)]

@@ -34,7 +34,7 @@ mode = sys.argv[2] if len(sys.argv) > 2 else "disjoint"
 from pyspark.sql import functions as F  # noqa: E402
 
 from tropology_spark.session import get_spark, iter_materialize  # noqa: E402
-from tropology_spark.operators.staged_r19 import dedup_moss_pairs  # noqa: E402
+from tropology_spark.operators.text import dedup_moss_pairs  # noqa: E402
 from tropology_spark.sources.tables import load  # noqa: E402
 
 t0 = time.time()

@@ -866,6 +866,83 @@ _R18_STALE_R10 = [
     "graph_sssp3",
 ]
 
-prioritize(_R18_NEW + _R18_STALE_R09 + _R18_STALE_R10)
+#: Round-19 additions (M348-M357) — the activated round-13-staged ops,
+#: in the staged-slate order.
+_R19_NEW = [
+    "ts_discord_days",
+    "ts_linear_interpolate",
+    "pipeline_loo_source_impact",
+    "agg_log2_value_histogram",
+    "sim_knn_hubness",
+    "dedup_moss_pairs",
+    "graph_katz3_score",
+    "analytics_price_elasticity_terms",
+    "pipeline_sample_bias_audit",
+    "analytics_gini_by_month",
+]
+
+#: The 17 remaining r10-vintage rows (the class empties this round) —
+#: re-verified against all eighteen CORRECTNESS files (post-r18
+#: classes: r10:17 · r11:50 · r12:50 · r13:50 · r14:50 · r15:50 ·
+#: r16:50 · r17:50 · r18:50 = 417).
+_R19_STALE_R10 = [
+    "graph_closeness3",
+    "graph_triangles",
+    "graph_triangles_capped",
+    "graph_butterflies",
+    "graph_clustering_pairs",
+    "graph_assortativity_terms",
+    "graph_hits_paths",
+    "graph_rich_club_terms",
+    "mm_frame_sample",
+    "ts_resample_gapfill",
+    "ts_sessionize",
+    "ts_drawdown",
+    "ts_winsorize",
+    "ts_haar_volatility",
+    "analytics_ab_lift",
+    "analytics_chisq_priority_era",
+    "join_range_2d_parts",
+]
+
+#: The 23 OLDEST r11-vintage rows in registry order (the bound relaxed
+#: to `latest <= 11` first, in its own commit — r11 rows enter the
+#: rotation).  The 27 r11 rows remaining for round 20:
+#: ts_ohlc_hourly, ts_cusum_changepoint, ts_seasonal_profile,
+#: ts_acf_terms, analytics_funnel, analytics_retention,
+#: analytics_rolling_wau, analytics_attribution, pipeline_curation_e2e,
+#: analytics_markov_transitions, analytics_new_vs_returning,
+#: analytics_ols_terms, win_range_1h, win_pareto_abc, agg_median_mode,
+#: agg_heavy_hitters, agg_histogram, agg_multi_distinct,
+#: agg_weighted_avg, agg_min_max_by, agg_bitmap_distinct,
+#: agg_approx_distinct, agg_unpivot_measures, join_lateral_topk,
+#: sub_exists_notexists, agg_weighted_median, agg_hll_audit.
+_R19_STALE_R11 = [
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_maxsim_topk",
+    "sim_bq_hamming_topk",
+    "sim_ivf_probe_curve",
+    "dedup_threshold_curve",
+    "dedup_cluster3",
+    "dedup_band_curve",
+    "text_winnowing_fingerprints",
+    "text_simpson_concentration",
+    "mm_cdc_chunking",
+    "mm_payload_uniformity",
+    "mm_phash_clusters",
+    "pipeline_quota_sample",
+    "pipeline_rolling_cv_folds",
+    "dedup_method_overlap",
+    "graph_path_counts3",
+    "ts_ewma",
+    "ts_anomaly_topk",
+    "ts_pattern_triples",
+    "ts_runs",
+]
+
+prioritize(_R19_NEW + _R19_STALE_R10 + _R19_STALE_R11)
 
 __all__ = ["QUERIES", "ORACLES", "register", "prioritize"]

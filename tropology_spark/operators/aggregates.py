@@ -2810,3 +2810,49 @@ def agg_misra_gries_audit(
         "exact",
         (F.col("exact") - F.col("est")).cast("bigint").alias("under"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M351 agg_log2_value_histogram — HDR-style power-of-two value histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_log2_value_histogram",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CAST(length(bin(cents)) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM c GROUP BY 1
+    """,
+)
+def agg_log2_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.M M351 — the POWER-OF-TWO (HDR-style) histogram of
+    order values: bucket = bit_length of the cents amount (the M267
+    length(bin(x)) idiom — both engines agree bit-for-bit on positive
+    BIGINTs), with count, min, max and sum per bucket — the log-scale
+    value summary every monitoring stack ships because a linear
+    histogram can't hold nine orders of magnitude (latencies, bytes,
+    revenues) in bounded rows.  ~2× relative error per bucket by
+    construction, ≤ 63 rows ever.
+
+    Scale: ONE map-side-combinable rollup; the bucket function is a
+    pure JVM expression.  This is the cheap first look before the
+    exact counting quantiles (M196 idiom) are run on a chosen
+    sub-range."""
+    o = load(spark, sf_dir, "orders")
+    c = o.select(F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    return c.groupBy(
+        F.length(F.bin(F.col("cents"))).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.min("cents").cast("bigint").alias("min_cents"),
+        F.max("cents").cast("bigint").alias("max_cents"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )

@@ -3547,3 +3547,168 @@ def analytics_ta_depth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("stopped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M355 analytics_price_elasticity_terms — per-brand OLS slope terms
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_price_elasticity_terms",
+    oracle="""
+    WITH pq AS (
+      SELECT p.p_brand AS brand,
+             CAST(round(p.p_retailprice * 100) AS BIGINT) AS x,
+             CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS y
+      FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, p.p_partkey, p.p_retailprice
+    )
+    SELECT brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(x) AS BIGINT) AS s_x,
+           CAST(sum(y) AS BIGINT) AS s_y,
+           CAST(sum(x * y) AS BIGINT) AS s_xy,
+           CAST(sum(x * x) AS BIGINT) AS s_xx,
+           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+             AS slope_num,
+           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+             AS slope_den
+    FROM pq GROUP BY brand
+    """,
+)
+def analytics_price_elasticity_terms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SURVEY §2.M M355 — per-brand PRICE-ELASTICITY slope terms: for
+    each brand, the exact OLS terms of total demanded quantity (y) on
+    retail price in cents (x) across that brand's parts — slope_num =
+    nΣxy − ΣxΣy (SIGNED: demand curves slope down, the numerator
+    carries the sign with NO division anywhere — the M254 discipline
+    made group-wise), slope_den = nΣx² − (Σx)² ≥ 0.  The elasticity
+    read every pricing team wants per product family; the per-brand
+    slope is slope_num/slope_den client-side.
+
+    Scale: lineitem collapses map-side onto parts (one join keyed by
+    partkey), then a |brands|-row rollup of the co-moments — all
+    map-side combinable.  Headroom: x ≤ 2·10⁵ cents, y ≤ 10⁴ per
+    part, n ≤ parts/brand — every term orders of magnitude inside
+    BIGINT through 100× replication."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("x"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.round(F.col("l_quantity")).cast("bigint").alias("q")
+    )
+    pq = (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .groupBy("p_partkey", "brand", "x")
+        .agg(F.sum("q").cast("bigint").alias("y"))
+    )
+    return pq.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("x").cast("bigint").alias("s_x"),
+        F.sum("y").cast("bigint").alias("s_y"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("s_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s_xx"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+            - F.sum("x") * F.sum("y")
+        )
+        .cast("bigint")
+        .alias("slope_num"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+            - F.sum("x") * F.sum("x")
+        )
+        .cast("bigint")
+        .alias("slope_den"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M357 analytics_gini_by_month — the M192 Lorenz identity as a trend
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytics_gini_by_month",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+               AS mk,
+             o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS spend_cents
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT mk, spend_cents,
+             CAST(row_number() OVER (PARTITION BY mk
+                                     ORDER BY spend_cents, o_custkey)
+                  AS BIGINT) AS pos
+      FROM s
+    ),
+    a AS (
+      SELECT mk, CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(spend_cents) AS BIGINT) AS total_cents,
+             CAST(sum(pos * spend_cents) AS BIGINT) AS s1
+      FROM r GROUP BY mk
+    )
+    SELECT mk AS month_key, n_customers, total_cents,
+           CAST((1000000 * (2 * CAST(s1 AS HUGEINT)
+                            - (n_customers + 1) * CAST(total_cents AS HUGEINT)))
+                // (CAST(n_customers AS HUGEINT) * total_cents)
+                AS BIGINT) AS gini_ppm
+    FROM a
+    """,
+)
+def analytics_gini_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.M M357 — the M192 Lorenz-identity GINI per order
+    month: inequality of per-customer monthly spend as a TREND (month
+    key = year·100 + month, pure integer both engines), G = (2·Σ i·x_i
+    − (n+1)·Σx_i) / (n·Σx_i) over each month's ascending spend rank
+    with the unique (spend, custkey) tie-break — concentration
+    drifting up month-over-month is the marketplace-health alarm the
+    single M192 scalar cannot ring.
+
+    Scale: the per-month ranks ride the GROUPED two-pass global rank
+    (group_cols=["mk"] — months are range-partitioned together with
+    the order keys, so one month can span many partitions; never a
+    per-month single-partition window), then a |months|-row finale in
+    DECIMAL(38,0)/HUGEINT (the wide-integer rule)."""
+    o = load(spark, sf_dir, "orders")
+    s = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("mk"),
+        "o_custkey",
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("spend_cents")
+    )
+    r = global_row_number(
+        s,
+        [F.col("spend_cents").asc(), F.col("o_custkey").asc()],
+        group_cols=["mk"],
+        out="pos",
+    )
+    a = r.groupBy("mk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("spend_cents").cast("bigint").alias("total_cents"),
+        F.sum(F.col("pos") * F.col("spend_cents")).cast("bigint").alias("s1"),
+    )
+    return a.select(
+        F.col("mk").alias("month_key"),
+        "n_customers",
+        "total_cents",
+        F.expr(
+            "CAST((1000000 * (2 * CAST(s1 AS DECIMAL(38,0))"
+            " - (n_customers + 1) * CAST(total_cents AS DECIMAL(38,0))))"
+            " div (CAST(n_customers AS DECIMAL(38,0)) * total_cents)"
+            " AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

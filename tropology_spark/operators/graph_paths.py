@@ -461,3 +461,69 @@ def graph_ball2_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 graph_ball2_sizes.__doc__ = graph_ball2_sizes.__doc__.format(s=_BALL_SEEDS)
+
+
+# ---------------------------------------------------------------------------
+# M354 graph_katz3_score — dyadic truncated Katz centrality over seed paths
+# ---------------------------------------------------------------------------
+
+
+def _katz3_oracle() -> str:
+    from tropology_spark.registry import ORACLES
+
+    return f"""
+    WITH pc AS MATERIALIZED ({ORACLES["graph_path_counts3"]})
+    SELECT node,
+           CAST(sum(CASE hop WHEN 1 THEN 16 * n_paths
+                             WHEN 2 THEN 4 * n_paths
+                             ELSE n_paths END) AS BIGINT) AS katz_x64,
+           CAST(coalesce(sum(CASE WHEN hop = 1 THEN n_paths END), 0)
+                AS BIGINT) AS p1,
+           CAST(coalesce(sum(CASE WHEN hop = 2 THEN n_paths END), 0)
+                AS BIGINT) AS p2,
+           CAST(coalesce(sum(CASE WHEN hop = 3 THEN n_paths END), 0)
+                AS BIGINT) AS p3
+    FROM pc GROUP BY node
+    ORDER BY katz_x64 DESC, node LIMIT 20
+    """
+
+
+@register("graph_katz3_score", oracle=_katz3_oracle())
+def graph_katz3_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.M M354 — truncated KATZ centrality from the M262 seed
+    set: katz_x64 = 16·p1 + 4·p2 + p3, the hop-discounted path count
+    with attenuation β = 1/4 carried ×4³ so every term is an exact
+    integer (the dyadic-weight discipline of agg_exp_decay_counts) —
+    top-20 nodes by discounted reachability from the hubs, the
+    influence ranking that, unlike raw reach, cannot be dominated by
+    a long tail of barely-reachable nodes.
+
+    Composed, not copied: QUERIES['graph_path_counts3'] IS the input
+    (its unrolled A^h propagation already rides iter_materialize);
+    the oracle wraps ORACLES['graph_path_counts3'] AS MATERIALIZED
+    (the DuckDB inlining trap).  Scale: a 3-row-per-node rollup over
+    the existing frame + one bounded top-20 sort-limit."""
+    from tropology_spark.registry import QUERIES
+
+    pc = QUERIES["graph_path_counts3"](spark, sf_dir)
+    agg = pc.groupBy("node").agg(
+        F.sum(
+            F.when(F.col("hop") == 1, 16 * F.col("n_paths"))
+            .when(F.col("hop") == 2, 4 * F.col("n_paths"))
+            .otherwise(F.col("n_paths"))
+        )
+        .cast("bigint")
+        .alias("katz_x64"),
+        F.coalesce(F.sum(F.when(F.col("hop") == 1, F.col("n_paths"))), F.lit(0))
+        .cast("bigint")
+        .alias("p1"),
+        F.coalesce(F.sum(F.when(F.col("hop") == 2, F.col("n_paths"))), F.lit(0))
+        .cast("bigint")
+        .alias("p2"),
+        F.coalesce(F.sum(F.when(F.col("hop") == 3, F.col("n_paths"))), F.lit(0))
+        .cast("bigint")
+        .alias("p3"),
+    )
+    return agg.select("node", "katz_x64", "p1", "p2", "p3").orderBy(
+        F.desc("katz_x64"), F.asc("node")
+    ).limit(20)

@@ -4882,3 +4882,179 @@ def pipeline_kanon_curve(
             f" ELSE 0 END)) div sum(n_rows) AS BIGINT)"
         ).alias("risk_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M350 pipeline_loo_source_impact — leave-one-source-out corpus statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_loo_source_impact",
+    oracle="""
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(sum(n_docs) OVER () AS BIGINT) AS nn,
+             CAST(sum(n_tokens) OVER () AS BIGINT) AS tt
+      FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST((1000 * tt) // nn AS BIGINT) AS full_mean_milli,
+           CAST(CASE WHEN nn = n_docs THEN NULL
+                     ELSE (1000 * (tt - n_tokens)) // (nn - n_docs) END
+                AS BIGINT) AS loo_mean_milli,
+           CAST(CASE WHEN nn = n_docs THEN NULL
+                     ELSE (1000 * (tt - n_tokens)) // (nn - n_docs)
+                          - (1000 * tt) // nn END AS BIGINT) AS delta_milli
+    FROM t
+    """,
+)
+def pipeline_loo_source_impact(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """SURVEY §2.M M350 — LEAVE-ONE-SOURCE-OUT impact on the corpus
+    mean document length (milli-tokens): per source, the corpus mean
+    with that source REMOVED next to the full mean and the signed
+    delta — the cheapest data-valuation screen (a source whose removal
+    moves the corpus statistic is the one to audit first; the
+    Shapley-style full attribution starts from exactly these marginal
+    deltas).  delta is a DIFFERENCE OF TWO EXACT FLOORS — each floor
+    is deterministic in both engines, so the difference is too (no
+    signed division anywhere).  A SINGLE-SOURCE corpus has no
+    leave-one-out population (nn = n_docs): loo/delta are NULL in both
+    engines — the probe-kwarg guard rule (an injected one-source frame
+    would otherwise zero the denominator; injection-pinned in
+    tests/test_r19_twins.py).
+
+    Scale: one token-count scan collapsing to |sources| rows; the
+    totals ride the pmod-constant window on the bounded source axis.
+    The LOO arithmetic is pure subtraction from the totals — removal
+    never rescans the corpus.
+
+    ``docs=`` substitutes the document frame for probes; the driver
+    contract never passes it."""
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = Window.partitionBy(F.pmod(F.col("n_docs"), F.lit(1)))
+    t = per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_docs").over(w).cast("bigint").alias("nn"),
+        F.sum("n_tokens").over(w).cast("bigint").alias("tt"),
+    )
+    return t.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("(1000 * tt) div nn").cast("bigint").alias("full_mean_milli"),
+        F.expr(
+            "CASE WHEN nn = n_docs THEN NULL"
+            " ELSE (1000 * (tt - n_tokens)) div (nn - n_docs) END"
+        )
+        .cast("bigint")
+        .alias("loo_mean_milli"),
+        F.expr(
+            "CASE WHEN nn = n_docs THEN NULL"
+            " ELSE (1000 * (tt - n_tokens)) div (nn - n_docs)"
+            "      - (1000 * tt) div nn END"
+        )
+        .cast("bigint")
+        .alias("delta_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M356 pipeline_sample_bias_audit — sampled vs full statistics per source
+# ---------------------------------------------------------------------------
+
+_SB_MOD = 16
+
+
+@register(
+    "pipeline_sample_bias_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, len(string_split(text, ' ')) AS tok,
+             CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % {_SB_MOD} = 0 THEN 1 ELSE 0 END AS samp
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_full,
+           CAST(sum(samp) AS BIGINT) AS n_sample,
+           CAST((1000 * sum(tok)) // count(*) AS BIGINT) AS full_mean_milli,
+           CAST(CASE WHEN sum(samp) = 0 THEN NULL
+                     ELSE (1000 * sum(samp * tok)) // sum(samp) END AS BIGINT)
+             AS sample_mean_milli,
+           CAST(CASE WHEN sum(samp) = 0 THEN NULL
+                     ELSE (1000 * sum(samp * tok)) // sum(samp)
+                          - (1000 * sum(tok)) // count(*) END AS BIGINT)
+             AS bias_milli
+    FROM d GROUP BY source
+    """,
+)
+def pipeline_sample_bias_audit(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """SURVEY §2.M M356 — SAMPLING-BIAS audit: per source, the mean
+    document length of the deterministic 1/16 md5 row sample next to
+    the full-corpus mean and the signed bias (a difference of two
+    exact floors) — the check run before trusting any sampled
+    dashboard: md5 sampling is unbiased in EXPECTATION, but a small
+    per-source sample can sit far from its stratum mean, and this
+    audit puts the realized gap on the table (sources whose sample is
+    EMPTY report NULL — absence of evidence, loudly; the empty-sample
+    branch is injection-pinned in tests/test_r19_twins.py).
+
+    Scale: one scan with the sample flag as a computed column — the
+    audit costs nothing beyond the rollup it grades; the same pattern
+    prices any md5-mod sampling rate.
+
+    ``docs=`` substitutes the document frame for probes; the driver
+    contract never passes it."""
+    d = docs if docs is not None else load(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("tok"),
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("bigint")
+            % _SB_MOD
+            == 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("samp"),
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_full"),
+        F.sum("samp").cast("bigint").alias("n_sample"),
+        F.expr("(1000 * sum(tok)) div count(*)")
+        .cast("bigint")
+        .alias("full_mean_milli"),
+        F.expr(
+            "CASE WHEN sum(samp) = 0 THEN NULL"
+            " ELSE (1000 * sum(samp * tok)) div sum(samp) END"
+        )
+        .cast("bigint")
+        .alias("sample_mean_milli"),
+        F.expr(
+            "CASE WHEN sum(samp) = 0 THEN NULL"
+            " ELSE (1000 * sum(samp * tok)) div sum(samp)"
+            "      - (1000 * sum(tok)) div count(*) END"
+        )
+        .cast("bigint")
+        .alias("bias_milli"),
+    )

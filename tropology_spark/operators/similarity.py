@@ -4521,3 +4521,63 @@ def sim_label_scatter_terms(
             " ELSE CAST(ssq div n AS BIGINT) END"
         ).alias("mean_norm2_u2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M352 sim_knn_hubness — in-degree distribution of the kNN graph
+# ---------------------------------------------------------------------------
+
+
+def _knn_hubness_oracle() -> str:
+    from tropology_spark.registry import ORACLES
+
+    return f"""
+    WITH knn AS MATERIALIZED ({ORACLES["sim_knn_join"]}),
+    ind AS (
+      SELECT e.vec_id,
+             CAST(coalesce(k.c, 0) AS BIGINT) AS in_degree
+      FROM embeddings e
+      LEFT JOIN (SELECT neighbor_id, CAST(count(*) AS BIGINT) AS c
+                 FROM knn GROUP BY neighbor_id) k
+        ON k.neighbor_id = e.vec_id
+    )
+    SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(min(vec_id) AS BIGINT) AS first_vec
+    FROM ind GROUP BY in_degree
+    """
+
+
+@register("sim_knn_hubness", oracle=_knn_hubness_oracle())
+def sim_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.M M352 — HUBNESS of the registered kNN graph: the
+    in-degree distribution of J9's cell-blocked top-3 neighbor
+    relation, zero-in-degree vectors included (the corpus spine LEFT
+    joins the neighbor counts) — the intrinsic-dimensionality
+    pathology meter: in high-dimensional spaces a few vectors appear
+    in EVERYONE'S top-k (hubs) while many appear in no one's
+    (anti-hubs), which silently degrades retrieval and is exactly why
+    mutual-kNN (M335) filters one-directional neighbors.  A healthy
+    distribution concentrates near k; a hub-heavy tail says
+    re-normalize or re-embed.
+
+    Composed, not copied: QUERIES['sim_knn_join'] IS the edge frame;
+    the oracle wraps ORACLES['sim_knn_join'] AS MATERIALIZED (the
+    DuckDB inlining trap).  Scale: the rollup touches the O(3n) kNN
+    result and the vector spine — never pairs."""
+    from tropology_spark.registry import QUERIES
+
+    knn = QUERIES["sim_knn_join"](spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings").select("vec_id")
+    ind = e.join(
+        knn.groupBy(F.col("neighbor_id").alias("vec_id")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        ),
+        "vec_id",
+        "left",
+    ).select(
+        "vec_id", F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("in_degree")
+    )
+    return ind.groupBy("in_degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.min("vec_id").cast("bigint").alias("first_vec"),
+    )

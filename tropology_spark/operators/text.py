@@ -2693,3 +2693,91 @@ def text_source_tv_matrix(
             " AS BIGINT)"
         ).alias("tv_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M353 dedup_moss_pairs — winnowing-fingerprint pair detection (MOSS)
+#
+# PLACEMENT EXCEPTION (the graph_reach2_hll_audit rule): this dedup-family
+# op registers in text.py, NOT dedup.py — its oracle builder splices
+# ``_WINNOW_SEL_CTE`` at import time, and dedup.py imports BEFORE text.py
+# in the package init, so a dedup-level import of text would run text's
+# registrations mid-package-init and silently reorder the registry.
+# ---------------------------------------------------------------------------
+
+_MOSS_MIN_SHARED = 2
+
+
+def _moss_oracle() -> str:
+    return (
+        _WINNOW_SEL_CTE
+        + f""",
+    ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sel
+           FROM sel GROUP BY doc_id),
+    pr AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM sel a JOIN sel b ON a.mh = b.mh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= {_MOSS_MIN_SHARED}
+    )
+    SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+           na.n_sel AS n_sel_a, nb.n_sel AS n_sel_b,
+           CAST((1000000 * pr.n_shared) // least(na.n_sel, nb.n_sel)
+                AS BIGINT) AS cont_ppm
+    FROM pr JOIN ns na ON na.doc_id = pr.doc_a
+            JOIN ns nb ON nb.doc_id = pr.doc_b
+    """
+    )
+
+
+@register("dedup_moss_pairs", oracle=_moss_oracle())
+def dedup_moss_pairs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """SURVEY §2.M M353 — MOSS itself: document pairs sharing ≥ 2
+    winnowing fingerprints, with the shared count and containment ppm
+    (shared / the smaller selected set) — the plagiarism/overlap
+    detector of record, now as the PAIR stage on top of M259's
+    selection (M259 measures selection density per doc; M125 measures
+    span fraction per doc; this is the cross-document join the
+    winnowing guarantee exists FOR: any shared run of ≥ k+w−1 tokens
+    shares a selected fingerprint, so true overlaps cannot be
+    missed).
+
+    Composed, not copied: the Spark side reuses ``winnowing_selected``
+    (checkpointed once — it feeds both join sides AND the per-doc
+    size rollup); the oracle splices the factored ``_WINNOW_SEL_CTE``
+    (verified byte-identical to the registered M259 prefix at the
+    factoring commit).  Scale: candidates meet on the shared
+    fingerprint key — the LSH band-join economics, never all-pairs;
+    the ≥ 2 gate prunes singleton-hash coincidences.
+
+    ``docs=`` substitutes the document frame for probes; the driver
+    contract never passes it."""
+    sel = iter_materialize(winnowing_selected(spark, sf_dir, docs=docs))
+    ns = sel.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sel"))
+    a = sel.select(F.col("doc_id").alias("doc_a"), "mh")
+    b = sel.select(F.col("doc_id").alias("doc_b"), F.col("mh").alias("mhb"))
+    pr = (
+        a.join(b, (F.col("mh") == F.col("mhb")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= _MOSS_MIN_SHARED)
+    )
+    na = ns.select(F.col("doc_id").alias("doc_a"), F.col("n_sel").alias("n_sel_a"))
+    nb = ns.select(F.col("doc_id").alias("doc_b"), F.col("n_sel").alias("n_sel_b"))
+    return (
+        pr.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_sel_a",
+            "n_sel_b",
+            F.expr("(1000000 * n_shared) div least(n_sel_a, n_sel_b)")
+            .cast("bigint")
+            .alias("cont_ppm"),
+        )
+    )

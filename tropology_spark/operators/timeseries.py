@@ -3625,3 +3625,198 @@ def ts_seasonal_anova_terms(
         .cast("bigint")
         .alias("within_num"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M348 ts_discord_days — nearest-neighbor distance between daily profiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_discord_days",
+    oracle="""
+    WITH dc AS (
+      SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+             CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3
+    ),
+    days AS (SELECT DISTINCT event_type, d FROM dc),
+    spine AS (
+      SELECT days.event_type, days.d, h.hod
+      FROM days, (SELECT unnest(generate_series(0, 23)) AS hod) h
+    ),
+    z AS (
+      SELECT spine.event_type, spine.d, spine.hod, coalesce(dc.c, 0) AS c
+      FROM spine
+      LEFT JOIN dc ON dc.event_type = spine.event_type AND dc.d = spine.d
+                  AND dc.hod = spine.hod
+    ),
+    pd AS (
+      SELECT a.event_type, a.d AS da, b.d AS db,
+             CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS d2
+      FROM z a JOIN z b
+        ON a.event_type = b.event_type AND a.hod = b.hod AND a.d <> b.d
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_type, da AS day, db AS nn_day, d2 AS min_d2
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type, da
+                                       ORDER BY d2, db) AS rk19
+          FROM pd) t
+    WHERE rk19 = 1
+    """,
+)
+def ts_discord_days(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """SURVEY §2.M M348 — DISCORD detection on daily profiles: per
+    (type, day), the exact squared L2 distance to the NEAREST other
+    day of the same type over zero-filled 24-hour count vectors — the
+    matrix-profile primitive (a day is anomalous not because it
+    crosses a threshold but because NO other day looks like it: the
+    max of this min-distance column is the discord).  M68 ranks hours
+    against a global level; this compares SHAPES of whole days.
+
+    Exact integers throughout; (d2, nn_day) tie-break unique.  Oracle
+    caveat (pinned by the staged test at staging): the DuckDB hod
+    spine must stay a SUBQUERY inside the comma-cross — a LEFT JOIN
+    written directly onto the comma-cross throws "Non-inner join on
+    correlated columns".  Scale: the corpus collapses map-side to
+    O(types × days × 24); the pair stage is bounded by days² per type
+    — the TIME-SPAN-bounded cost (the PAA/domper argument), never
+    event volume; zero-filled hod spine via a 24-literal explode.
+
+    ``events=`` substitutes the event frame for probes; the driver
+    contract never passes it."""
+    e = events if events is not None else load(spark, sf_dir, "events")
+    dc = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("d"),
+        F.expr("(unix_micros(ts) div 3600000000) % 24").cast("bigint").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    days = dc.select("event_type", "d").distinct()
+    z = iter_materialize(  # both pair sides — DOUBLE-REFERENCE RULE
+        days.select(
+            "event_type",
+            "d",
+            F.explode(F.array(*[F.lit(h) for h in range(24)])).alias("hod"),
+        )
+        .join(dc, ["event_type", "d", "hod"], "left")
+        .select(
+            "event_type", "d", "hod", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    a = z.select("event_type", F.col("d").alias("da"), "hod", F.col("c").alias("ca"))
+    b = z.select(
+        "event_type", F.col("d").alias("db"), "hod", F.col("c").alias("cb")
+    )
+    pd = (
+        a.join(b, ["event_type", "hod"])
+        .filter(F.col("da") != F.col("db"))
+        .groupBy("event_type", "da", "db")
+        .agg(
+            F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+            .cast("bigint")
+            .alias("d2")
+        )
+    )
+    w = Window.partitionBy("event_type", "da").orderBy(F.col("d2"), F.col("db"))
+    return (
+        pd.withColumn("rk19", F.row_number().over(w))
+        .filter(F.col("rk19") == 1)
+        .select(
+            "event_type",
+            F.col("da").alias("day"),
+            F.col("db").alias("nn_day"),
+            F.col("d2").alias("min_d2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M349 ts_linear_interpolate — exact interpolation at missing hours
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_linear_interpolate",
+    oracle="""
+    WITH hv AS (
+      SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    nxt AS (
+      SELECT event_type, h AS h1, v AS v1,
+             lead(h) OVER (PARTITION BY event_type ORDER BY h) AS h2,
+             lead(v) OVER (PARTITION BY event_type ORDER BY h) AS v2
+      FROM hv
+    ),
+    gaps AS (SELECT * FROM nxt WHERE h2 IS NOT NULL AND h2 > h1 + 1),
+    g AS (
+      SELECT event_type, h1, h2, v1, v2,
+             unnest(generate_series(h1 + 1, h2 - 1)) AS h
+      FROM gaps
+    )
+    SELECT event_type, CAST(h AS BIGINT) AS h,
+           CAST(h1 AS BIGINT) AS prev_h, CAST(h2 AS BIGINT) AS next_h,
+           CAST(v1 AS BIGINT) AS v_prev, CAST(v2 AS BIGINT) AS v_next,
+           CAST((1000 * (v1 * (h2 - h) + v2 * (h - h1))) // (h2 - h1)
+                AS BIGINT) AS interp_milli
+    FROM g
+    """,
+)
+def ts_linear_interpolate(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
+    """SURVEY §2.M M349 — exact LINEAR INTERPOLATION of the hourly
+    count series at MISSING hours: for every gap between consecutive
+    observed hours of a type, the rational
+    (v1·(h2−h) + v2·(h−h1)) / (h2−h1) at each absent hour, carried
+    ×1000 as one non-negative integral division — the resampling
+    primitive between M40's zero-fill and a model-based impute
+    (dashboards draw this line; feature pipelines feed it to models).
+
+    The ROW-LEAD here is the semantics, not the gap bug: the M203
+    rule forbids row-lags that SILENTLY cross gaps when the formula
+    means calendar neighbors — this operator's entire purpose is to
+    bridge the gap between consecutive OBSERVED points, so lead() over
+    the observed hour sequence is the specified pairing.  Scale: the
+    corpus collapses to O(types × hours); the per-gap explode is
+    bounded by the span; one per-type window on the real key.
+
+    ``events=`` substitutes the event frame for probes; the driver
+    contract never passes it."""
+    e = events if events is not None else load(spark, sf_dir, "events")
+    hv = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").cast("bigint").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    nxt = hv.select(
+        "event_type",
+        F.col("h").alias("h1"),
+        F.col("v").alias("v1"),
+        F.lead("h").over(w).alias("h2"),
+        F.lead("v").over(w).alias("v2"),
+    )
+    gaps = nxt.filter(F.col("h2").isNotNull() & (F.col("h2") > F.col("h1") + 1))
+    g = gaps.select(
+        "event_type",
+        "h1",
+        "h2",
+        "v1",
+        "v2",
+        F.explode(F.expr("sequence(h1 + 1, h2 - 1)")).alias("h"),
+    )
+    return g.select(
+        "event_type",
+        F.col("h").cast("bigint").alias("h"),
+        F.col("h1").cast("bigint").alias("prev_h"),
+        F.col("h2").cast("bigint").alias("next_h"),
+        F.col("v1").cast("bigint").alias("v_prev"),
+        F.col("v2").cast("bigint").alias("v_next"),
+        F.expr("(1000 * (v1 * (h2 - h) + v2 * (h - h1))) div (h2 - h1)")
+        .cast("bigint")
+        .alias("interp_milli"),
+    )
