@@ -2416,18 +2416,39 @@ def test_no_aggregate_then_widen_sums():
     binding stage is the same pre-aggregation carrier in both
     engines.  Two instances existed (sim_anisotropy_terms sn2,
     sim_label_scatter_terms ssq — both fixed); this static sweep
-    pins the spelling out of the source tree."""
+    pins the spelling out of the source tree.
+
+    ADVICE r18 broadening: the original single-line regex only
+    matched ``F.sum("col")``/``F.sum(F.col(...))`` — compound
+    aggregates (``F.sum(F.col("a") * F.col("b"))``) and multi-line
+    formatting escaped it.  The sweep now paren-matches EVERY
+    ``F.sum(...)`` call in the whole-file text (any argument shape,
+    any line breaks) and flags a following ``.cast("decimal`` unless
+    the argument already widens (contains a DECIMAL cast — then the
+    aggregation itself runs on the wide carrier and an outer cast is
+    a no-op, not the latent class)."""
     import re
     from pathlib import Path
 
-    pat = re.compile(
-        r"""F\.sum\(\s*(?:"[^"]+"|F\.col\([^)]*\))\s*\)\s*\.cast\(\s*"decimal"""
-    )
+    cast_after = re.compile(r'\s*\.\s*cast\(\s*"decimal', re.IGNORECASE)
+    already_wide = re.compile(r"DECIMAL\s*\(", re.IGNORECASE)
     hits = []
     for p in Path("tropology_spark").rglob("*.py"):
-        for i, line in enumerate(p.read_text().splitlines(), 1):
-            if pat.search(line):
-                hits.append(f"{p}:{i}: {line.strip()}")
+        text = p.read_text()
+        for m in re.finditer(r"F\.sum\(", text):
+            depth, j = 1, m.end()
+            while j < len(text) and depth:
+                if text[j] == "(":
+                    depth += 1
+                elif text[j] == ")":
+                    depth -= 1
+                j += 1
+            arg = text[m.end() : j - 1]
+            if already_wide.search(arg):
+                continue
+            if cast_after.match(text[j:]):
+                line = text.count("\n", 0, m.start()) + 1
+                hits.append(f"{p}:{line}: F.sum({arg.strip()[:60]}...)")
     assert not hits, (
         "BIGINT-aggregate-then-widen sum (asymmetric overflow vs the "
         "HUGEINT oracle) — widen the column BEFORE F.sum:\n"

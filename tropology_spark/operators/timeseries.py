@@ -3602,6 +3602,15 @@ def ts_seasonal_anova_terms(
     absence of evidence here, unlike the zero-filled cross-type
     comparison).
 
+    Headroom (ADVICE r18): within_num's intermediates n_k·Σc² and
+    (Σc)² are formed on DECIMAL(38,0) carriers — the oracle's
+    un-cast DuckDB sums are HUGEINT-wide until its final BIGINT cast,
+    so a LongType Spark product would have asymmetrically less
+    headroom (the widen-before-sum rule's product sibling).  Both
+    engines now bind only at the final BIGINT cast; with c ≤ 10⁶/h
+    and n_k ≤ 10⁵ observed hours per cell the products stay under
+    10¹⁷ ≪ 2⁶³ anyway at every supported scale.
+
     Scale: two nested map-side rollups (events → hourly counts →
     24-row-per-type terms); no joins, no windows.
 
@@ -3618,12 +3627,11 @@ def ts_seasonal_anova_terms(
         F.count(F.lit(1)).cast("bigint").alias("n_k"),
         F.sum("c").cast("bigint").alias("s_k"),
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ssq_k"),
-        (
-            F.count(F.lit(1)) * F.sum(F.col("c") * F.col("c"))
-            - F.sum("c") * F.sum("c")
-        )
-        .cast("bigint")
-        .alias("within_num"),
+        F.expr(
+            "CAST((count(1) * sum(CAST(c AS DECIMAL(38,0)) * c)"
+            " - sum(CAST(c AS DECIMAL(38,0))) * sum(CAST(c AS DECIMAL(38,0))))"
+            " AS BIGINT)"
+        ).alias("within_num"),
     )
 
 
