@@ -286,6 +286,12 @@ def ts_dow_anova_terms(
     is all a strength statistic needs).  Observed days only (the gap
     rule).
 
+    Headroom (the ADVICE-r18 sibling fix, applied in-bank):
+    within_num's products are formed on DECIMAL(38,0) carriers so the
+    Spark side matches the oracle's HUGEINT-wide intermediates — both
+    engines bind only at the final BIGINT cast (the widen-before-sum
+    rule's product form, same as the activated M341).
+
     Scale: two nested map-side rollups; no joins, no windows.
 
     ``events=`` substitutes the event frame for probes; the driver
@@ -301,12 +307,11 @@ def ts_dow_anova_terms(
         F.count(F.lit(1)).cast("bigint").alias("n_k"),
         F.sum("c").cast("bigint").alias("s_k"),
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ssq_k"),
-        (
-            F.count(F.lit(1)) * F.sum(F.col("c") * F.col("c"))
-            - F.sum("c") * F.sum("c")
-        )
-        .cast("bigint")
-        .alias("within_num"),
+        F.expr(
+            "CAST((count(1) * sum(CAST(c AS DECIMAL(38,0)) * c)"
+            " - sum(CAST(c AS DECIMAL(38,0))) * sum(CAST(c AS DECIMAL(38,0))))"
+            " AS BIGINT)"
+        ).alias("within_num"),
     )
 
 
