@@ -95,17 +95,44 @@ def extract_features(media: DataFrame) -> DataFrame:
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            # One digest pass per payload: the hex column and the fake
+            # feature vector both derive from the same digest (the old
+            # shape hashed every payload twice — guide §4.2, do the
+            # heavy per-batch work once).
+            digests = payloads.map(lambda b: hashlib.sha256(b).digest())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "mime": [m["mime"] for m in pdf["meta"]],
                     "n_bytes": payloads.map(len).astype("int64"),
-                    "sha256": payloads.map(lambda b: hashlib.sha256(b).hexdigest()),
-                    "features": payloads.map(fake_features),
+                    "sha256": digests.map(bytes.hex),
+                    "features": digests.map(
+                        lambda d: [d[i] / 255.0 for i in range(FEATURE_DIM)]
+                    ),
                 }
             )
 
     return media.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+def payload_stats(media: DataFrame) -> DataFrame:
+    """JVM-side twin of :func:`extract_features` for consumers that use
+    only the METADATA columns (media_id, mime, n_bytes, sha256) and not
+    the decode-stage ``features`` vector: ``length``/``sha2`` are
+    whole-stage-codegen built-ins computing the identical values
+    (``sha2(_, 256)`` emits the same lowercase hex as
+    ``hashlib.sha256().hexdigest()``; binary ``length`` is ``len()``),
+    so no payload byte ever crosses the JVM↔Python boundary
+    (optimization guide §4.1 — the MapInPandas node disappears from the
+    plan).  The Arrow feature stage itself stays exercised end-to-end
+    by mm_features / mm_frame_sample, whose outputs need the Python
+    stage; rollups that aggregate digests/sizes route here."""
+    return media.select(
+        "media_id",
+        F.col("meta.mime").alias("mime"),
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.col("meta.sha256").alias("sha256"),
+    )
 
 
 def attach_media(
@@ -186,10 +213,13 @@ def mm_features(spark, sf_dir: str) -> DataFrame:
 )
 def mm_dedup_exact(spark, sf_dir: str) -> DataFrame:
     """M77 — exact BINARY-payload dedup: content-hash the media blobs
-    through the real Arrow mapInPandas stage (the same digest a crawler
-    stores beside each asset), group by digest, keep the smallest id —
-    J1's dedup policy applied to the multimodal column instead of
-    text.  Retuned in round 9: the fixture has NO exact payload
+    (the same digest a crawler stores beside each asset), group by
+    digest, keep the smallest id — J1's dedup policy applied to the
+    multimodal column instead of text.  Round-19 optimization: the
+    digest comes from the JVM ``sha2`` built-in (payload_stats) instead
+    of the Python feature stage — same bytes, same hex, zero rows
+    across the Python boundary (guide §4; mm_features still drives the
+    Arrow stage end-to-end).  Retuned in round 9: the fixture has NO exact payload
     duplicates below sf0.1, so the original HAVING>1 drop list verified
     empty-vs-empty at the gate scale; EVERY digest group is emitted
     with an is_dup flag instead, so the Arrow digest arithmetic
@@ -197,17 +227,17 @@ def mm_dedup_exact(spark, sf_dir: str) -> DataFrame:
     is_dup=1 slice, still populated at sf0.1's 8 dup groups).
 
     The oracle recomputes the digests from the source text the payloads
-    were encoded from, so a payload corrupted anywhere in the Arrow
-    round-trip would change its sha256 and break the match.  Scale:
-    shuffle on the 32-byte digest only — payloads themselves never
-    shuffle (the hash is computed in the scan-side map stage)."""
+    were encoded from, so a corrupted payload would change its sha256
+    and break the match.  Scale: shuffle on the 32-byte digest only —
+    payloads themselves never shuffle (the hash is computed in the
+    scan-side map stage)."""
     from tropology_spark.sources.tables import load
 
     docs = load(spark, sf_dir, "documents").withColumn(
         "payload", F.encode(F.col("text"), "UTF-8")
     )
     media = attach_media(docs, "payload", "text/plain", id_col="doc_id")
-    feats = extract_features(media)
+    feats = payload_stats(media)  # JVM sha2 — no Python boundary (guide §4)
     return (
         feats.groupBy("sha256")
         .agg(
@@ -249,9 +279,12 @@ def mm_modality_stats(spark, sf_dir: str) -> DataFrame:
     dataset owner reads (items, byte volume, distinct payloads, largest
     asset per modality).  Fixture docs are deterministically assigned a
     pseudo-modality by md5 bucket (no modality column exists in the
-    testdata); payloads flow through the REAL Arrow mapInPandas feature
-    stage with a per-row mime, so the stage's handling of mixed-mime
-    batches is what the oracle checks.  All outputs are exact integers.
+    testdata).  Round-19 optimization: the rollup needs only metadata
+    columns, so it reads the JVM-computed payload_stats twin (sha2 /
+    length built-ins — identical values, no Python boundary, guide §4);
+    the Arrow stage's mixed-mime batch handling stays pinned by the
+    mm_features oracle and the extract_features unit test.  All
+    outputs are exact integers.
     Scale: scan → map stage → one map-side-combinable groupBy on a
     3-value key; the distinct-payload count shuffles 32-byte digests,
     never payloads."""
@@ -279,7 +312,7 @@ def mm_modality_stats(spark, sf_dir: str) -> DataFrame:
             F.sha2(F.col("payload"), 256).alias("sha256"),
         ).alias("meta"),
     )
-    feats = extract_features(media)
+    feats = payload_stats(media)  # JVM sha2/length — no Python boundary
     return feats.groupBy(F.col("mime").alias("modality")).agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum("n_bytes").cast("bigint").alias("sum_bytes"),
@@ -327,9 +360,10 @@ def mm_phash_hamming(spark, sf_dir: str) -> DataFrame:
     within distance 1 per half, and most within {d}), then the exact
     popcount-of-XOR filter verifies.  With real codecs the hash would
     be a DCT pHash from the decode stage (decode_payload); the fixture
-    derives a deterministic stand-in from the payload digest through
-    the same Arrow mapInPandas plumbing, so the banding/verify shape —
-    the part that must scale — is fully exercised and oracle-checked.
+    derives a deterministic stand-in from the payload digest — since
+    round 19 via the JVM ``sha2`` built-in (payload_stats; identical
+    hex, no Python boundary, guide §4) — so the banding/verify shape,
+    the part that must scale, is fully exercised and oracle-checked.
 
     Scale: two band-equi-joins (shuffle on an 8-bit key + doc ordering
     keeps pairs unique), no all-pairs product; popcount is JVM-side.
@@ -344,7 +378,7 @@ def mm_phash_hamming(spark, sf_dir: str) -> DataFrame:
         "payload", F.encode(F.col("text"), "UTF-8")
     )
     media = attach_media(docs, "payload", "text/plain", id_col="doc_id")
-    feats = extract_features(media)  # Arrow stage computes sha256
+    feats = payload_stats(media)  # JVM sha2 — no Python boundary (guide §4)
     ph = feats.select(
         F.col("media_id").alias("doc_id"),
         F.conv(F.substring(F.col("sha256"), 1, _PH_BITS_HEX), 16, 10)
