@@ -103,9 +103,14 @@ def main() -> None:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
+    import itertools
+
+    completions = itertools.count(1)
+
     def run_one(name: str) -> None:
         t0 = time.perf_counter()
         try:
+            spark.sparkContext.setJobDescription(f"bench:{name}")
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001 — one bad query must not
@@ -113,6 +118,17 @@ def main() -> None:
             # single loader exception); correctness is gated elsewhere.
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
         per_query[name] = round(time.perf_counter() - t0, 3)
+        # GC cadence by COMPLETION COUNT, not wave barrier (round-19
+        # optimization, guide §2.6): the old wave structure
+        # (list(pool.map(...)) per 24 queries) idled up to parallel-1
+        # workers during every wave's straggler tail — pure lost
+        # overlap, 18 barriers per suite.  The ContextCleaner still
+        # gets its periodic full GC (same cadence: every ~4 waves'
+        # worth of completions), it just runs inside a worker instead
+        # of a scheduling barrier.  Results and methodology unchanged:
+        # same queries, same noop sink, same thread-pool concurrency.
+        if next(completions) % (4 * max(parallel, 1)) == 0:
+            release_cached_blocks()
 
     names = sorted(QUERIES)
     # Heavy queries first so they overlap the long tail of small ones.
@@ -133,17 +149,15 @@ def main() -> None:
 
     t_all = time.perf_counter()
     if parallel <= 1:
-        for i, name in enumerate(ordered):
+        for name in ordered:
             run_one(name)
-            if i % 4 == 3:
-                release_cached_blocks()
     else:
-        # Waves bound peak concurrent memory; GC between waves.
-        wave = parallel * 4
+        # One continuous pool over the whole ordered list: heavies
+        # lead (they overlap the long tail of small queries) and no
+        # intermediate barrier ever parks a worker.  GC cadence lives
+        # in run_one.
         with ThreadPoolExecutor(max_workers=parallel) as pool:
-            for start in range(0, len(ordered), wave):
-                list(pool.map(run_one, ordered[start : start + wave]))
-                release_cached_blocks()
+            list(pool.map(run_one, ordered))
     total = round(time.perf_counter() - t_all, 3)
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
