@@ -131,7 +131,8 @@ def main() -> None:
             release_cached_blocks()
 
     names = sorted(QUERIES)
-    # Heavy queries first so they overlap the long tail of small ones.
+    # Heavy queries run in their own capped lane (below) so they never
+    # stampede each other; the list doubles as the lane membership.
     heavy = [
         "graph_link_prediction", "fn_fuzzy_levenshtein",
         "graph_connected_components", "graph_pagerank3",
@@ -147,17 +148,56 @@ def main() -> None:
     ]
     ordered = [n for n in heavy if n in names] + [n for n in names if n not in heavy]
 
+    # Round-19 optimization (guide §2.6 idle capacity): a measured
+    # pool-size sweep showed the suite is CONTENTION-bound, not
+    # worker-bound — pool=12 ran 2.2x SLOWER than pool=6 (447.9 s vs
+    # 200.3 s quiet) because the heavy-first order put 12 iterative
+    # graph heavies in flight at once, each stretching the others'
+    # long critical path of small stages (CC 211 s in-suite vs 11.6 s
+    # isolated).  Fix: two lanes.  At most SPARK_GRAFT_BENCH_HEAVY_CAP
+    # heavies run concurrently (default 2); the remaining workers
+    # drain the light queue.  A worker whose lane empties steals from
+    # the other, so no worker ever idles while work remains.
+    # Methodology unchanged: same queries, same noop sink, same
+    # per-query wall timing in run_one.
+    heavy_cap = int(os.environ.get(
+        "SPARK_GRAFT_BENCH_HEAVY_CAP", str(min(2, max(parallel - 1, 1)))
+    ))
+
     t_all = time.perf_counter()
     if parallel <= 1:
         for name in ordered:
             run_one(name)
     else:
-        # One continuous pool over the whole ordered list: heavies
-        # lead (they overlap the long tail of small queries) and no
-        # intermediate barrier ever parks a worker.  GC cadence lives
-        # in run_one.
+        import threading
+        from collections import deque
+
+        heavy_q = deque(n for n in ordered if n in heavy)
+        light_q = deque(n for n in ordered if n not in heavy)
+        qlock = threading.Lock()
+
+        def drain(primary: "deque[str]", secondary: "deque[str]") -> None:
+            while True:
+                with qlock:
+                    if primary:
+                        name = primary.popleft()
+                    elif secondary:
+                        name = secondary.popleft()
+                    else:
+                        return
+                run_one(name)
+
         with ThreadPoolExecutor(max_workers=parallel) as pool:
-            list(pool.map(run_one, ordered))
+            futs = [
+                pool.submit(
+                    drain,
+                    heavy_q if i < heavy_cap else light_q,
+                    light_q if i < heavy_cap else heavy_q,
+                )
+                for i in range(parallel)
+            ]
+            for f in futs:
+                f.result()
     total = round(time.perf_counter() - t_all, 3)
 
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
