@@ -391,6 +391,33 @@ def minhash_candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
+_MH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+SESSION_CACHES.append(_MH_PAIRS_CACHE)
+
+
+def minhash_pairs_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered J3 candidate-pair frame ``(doc_a, doc_b)`` at
+    the production band config, eagerly materialized once per
+    (session, sf_dir) — shared by dedup_minhash_lsh and every
+    composed consumer of the J3 candidate set (cluster3, the
+    estimator audit, the method-overlap/survivorship compositions via
+    QUERIES); each used to re-run the band-bucket join + DISTINCT
+    (round-19).  Probe (``docs=``) and non-default band configs keep
+    calling :func:`minhash_candidate_pairs` directly."""
+    from tropology_spark.sources.tables import cache_get_or_build
+
+    def build() -> DataFrame:
+        from tropology_spark.session import iter_materialize
+
+        return iter_materialize(
+            minhash_candidate_pairs(minhash_bands_materialized(spark, sf_dir))
+        )
+
+    return cache_get_or_build(
+        _MH_PAIRS_CACHE, (spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
 @register("dedup_minhash_lsh", oracle=_minhash_oracle_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 — MinHash-LSH near-dup candidates, the 100 TB-scale
@@ -407,8 +434,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the entire sketch is portable arithmetic — the DuckDB twin is
     generated from the same constant table, so the driver hash-compares
     the candidate set exactly.  Recall against J2's confirmed pairs is
-    additionally pinned by tests/test_units.py."""
-    return minhash_candidate_pairs(minhash_bands_materialized(spark, sf_dir))
+    additionally pinned by tests/test_units.py.  Round-19: served
+    from the session-shared :func:`minhash_pairs_materialized` view."""
+    return minhash_pairs_materialized(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -598,7 +626,39 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     count at O(n^1.5) — and cells are REAL clusters (Lloyd-refined),
     so near-dup recall inside a cell beats an arbitrary label block.
     The oracle composes ``KNN_ASSIGN_CTE`` verbatim, the single SQL
-    home of the cell arithmetic (the _J2_ORACLE rule)."""
+    home of the cell arithmetic (the _J2_ORACLE rule).
+
+    Round-19 optimization: served from the session-shared
+    :func:`embedding_cosine_materialized` view — three registered
+    queries consume the identical pair frame (this one + the M189
+    cluster closure + the M257 threshold curve), and each used to
+    re-run the full cell-blocked pair join."""
+    return embedding_cosine_materialized(spark, sf_dir)
+
+
+_EMB_COS_CACHE: dict[tuple[str, str], DataFrame] = {}
+SESSION_CACHES.append(_EMB_COS_CACHE)
+
+
+def embedding_cosine_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered M2 pair frame ``(vec_a, vec_b, cosine)``
+    (cosine ≥ the 0.4 threshold, quantizer-cell-blocked), eagerly
+    materialized once per (session, sf_dir) — shared by
+    dedup_embedding_cosine, dedup_embedding_clusters (M189) and
+    dedup_threshold_curve (M257)."""
+    from tropology_spark.sources.tables import cache_get_or_build
+
+    def build() -> DataFrame:
+        from tropology_spark.session import iter_materialize
+
+        return iter_materialize(_embedding_cosine_frame(spark, sf_dir))
+
+    return cache_get_or_build(
+        _EMB_COS_CACHE, (spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
+def _embedding_cosine_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tropology_spark.operators.similarity import (
         dot,
         quantizer_assign_materialized,
@@ -923,14 +983,11 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph; the rollup is one shuffle on cluster id.  Singleton
     documents never enter (no pair, no row) — by design: the cluster
     table is consumed as a worklist of redundancy groups."""
-    from tropology_spark import QUERIES
     from tropology_spark.operators.graph import connected_components
 
-    pairs = (
-        QUERIES["dedup_embedding_cosine"](spark, sf_dir)
-        .select("vec_a", "vec_b")
-        .localCheckpoint(eager=True)
-    )
+    # round-19: the session-shared M2 pair view (already checkpointed
+    # — its pin serves the two bi-union references below)
+    pairs = embedding_cosine_materialized(spark, sf_dir).select("vec_a", "vec_b")
     pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")  # noqa: E731
     bi = pairs.select(pad("vec_a").alias("u"), pad("vec_b").alias("v")).unionByName(
         pairs.select(pad("vec_b").alias("u"), pad("vec_a").alias("v"))
@@ -1163,12 +1220,11 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composed, not copied: the oracle wraps ORACLES
     ['dedup_embedding_cosine'] verbatim and the Spark side runs the
     registered M2 query (the _J2_ORACLE rule); the pair set reuses the
-    session-shared quantizer blocking, so the curve costs one pair
-    pass + bounded rollups."""
-    from tropology_spark.registry import QUERIES
+    session-shared quantizer blocking AND (round-19) the session-shared
+    M2 pair view itself, so the curve costs bounded rollups only."""
     from tropology_spark.session import iter_materialize
 
-    pairs = QUERIES["dedup_embedding_cosine"](spark, sf_dir)
+    pairs = embedding_cosine_materialized(spark, sf_dir)
     ts = spark.createDataFrame([(t,) for t in _CURVE_T_PPM], "t_ppm long")
     pe = iter_materialize(
         pairs.select(
@@ -1308,12 +1364,11 @@ def dedup_cluster3(
     minhash_bands_frame); the driver contract never passes it."""
     from tropology_spark.session import iter_materialize
 
-    bands = (
-        minhash_bands_frame(spark, sf_dir, docs=docs)
+    pairs = (
+        minhash_candidate_pairs(minhash_bands_frame(spark, sf_dir, docs=docs))
         if docs is not None
-        else minhash_bands_materialized(spark, sf_dir)
+        else minhash_pairs_materialized(spark, sf_dir)
     )
-    pairs = minhash_candidate_pairs(bands)
     und = iter_materialize(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
             pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
@@ -1517,12 +1572,13 @@ def dedup_minhash_estimate_error(
     contract never passes it."""
     from tropology_spark.session import iter_materialize
 
-    bands = (
-        minhash_bands_frame(spark, sf_dir, docs=docs)
+    cand = (
+        iter_materialize(
+            minhash_candidate_pairs(minhash_bands_frame(spark, sf_dir, docs=docs))
+        )
         if docs is not None
-        else minhash_bands_materialized(spark, sf_dir)
+        else minhash_pairs_materialized(spark, sf_dir)
     )
-    cand = iter_materialize(minhash_candidate_pairs(bands))
     sigs = minhash_sigs_frame(spark, sf_dir, docs=docs)
     a = sigs.alias("a")
     b = sigs.alias("b")

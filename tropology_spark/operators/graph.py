@@ -1096,7 +1096,14 @@ def kcore_peel(
     a caller running peels at several thresholds over the SAME edge
     frame (the M314 curve) aggregates once and shares it — later
     rounds always re-aggregate the induced subgraph (induced degrees
-    change per k)."""
+    change per k).
+
+    Round-19 note: a lazy FINAL round (the result is consumed once by
+    a rollup, so the last checkpoint looks skippable) was tried and
+    MEASURED SLOWER (graph_kcore 0.81 s → 1.44 s, graph_core_profile
+    1.74 s → 2.24 s at sf0.1): ``localCheckpoint`` is an in-memory
+    block write, far cheaper than re-deriving the two semi joins +
+    degree agg inside the final aggregate — keep every round pinned."""
     for i in range(rounds):
         deg = (
             deg0

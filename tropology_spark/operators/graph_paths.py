@@ -356,7 +356,40 @@ def graph_path_counts3(spark: SparkSession, sf_dir: str) -> DataFrame:
     one map-side-combinable rollup — the A^h·x sparse mat-vec shape;
     per-hop frontiers are checkpointed (each feeds the next hop AND
     the output union).  Counts are BIGINT-exact: ≤ seeds·maxdeg³ ~
-    1e12 at 100 TB, far inside the carrier."""
+    1e12 at 100 TB, far inside the carrier.
+
+    Round-19 optimization: served from the session-shared
+    :func:`path_counts3_materialized` view — the M354 Katz
+    composition consumes the identical frame, and before the view it
+    re-ran the whole 3-hop propagation."""
+    return path_counts3_materialized(spark, sf_dir)
+
+
+_PC3_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+from tropology_spark.sources.tables import SESSION_CACHES  # noqa: E402
+
+SESSION_CACHES.append(_PC3_CACHE)
+
+
+def path_counts3_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered M262 frame ``(hop, node, n_paths)``, eagerly
+    materialized once per (session, sf_dir) — the single home of the
+    3-hop path-count propagation, shared by graph_path_counts3 and
+    graph_katz3_score (M354)."""
+    from tropology_spark.sources.tables import cache_get_or_build
+
+    def build() -> DataFrame:
+        from tropology_spark.session import iter_materialize
+
+        return iter_materialize(_path_counts3_frame(spark, sf_dir))
+
+    return cache_get_or_build(
+        _PC3_CACHE, (spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
+def _path_counts3_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tropology_spark.session import iter_materialize
     from tropology_spark.sources.tables import edges_materialized
 
@@ -498,14 +531,14 @@ def graph_katz3_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     influence ranking that, unlike raw reach, cannot be dominated by
     a long tail of barely-reachable nodes.
 
-    Composed, not copied: QUERIES['graph_path_counts3'] IS the input
-    (its unrolled A^h propagation already rides iter_materialize);
-    the oracle wraps ORACLES['graph_path_counts3'] AS MATERIALIZED
-    (the DuckDB inlining trap).  Scale: a 3-row-per-node rollup over
-    the existing frame + one bounded top-20 sort-limit."""
-    from tropology_spark.registry import QUERIES
-
-    pc = QUERIES["graph_path_counts3"](spark, sf_dir)
+    Composed, not copied: the session-shared
+    path_counts3_materialized view IS the input
+    (QUERIES['graph_path_counts3'] serves the same view — round-19
+    sharing); the oracle wraps ORACLES['graph_path_counts3'] AS
+    MATERIALIZED (the DuckDB inlining trap).  Scale: a
+    3-row-per-node rollup over the existing frame + one bounded
+    top-20 sort-limit."""
+    pc = path_counts3_materialized(spark, sf_dir)
     agg = pc.groupBy("node").agg(
         F.sum(
             F.when(F.col("hop") == 1, 16 * F.col("n_paths"))

@@ -911,6 +911,30 @@ def cdc_hash_positions(spark, sf_dir: str, docs: DataFrame | None = None):
     return pos.select("doc_id", "n_bytes", "p", h16.alias("h16"))
 
 
+_CDC_POS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+from tropology_spark.sources.tables import SESSION_CACHES  # noqa: E402
+
+SESSION_CACHES.append(_CDC_POS_CACHE)
+
+
+def cdc_hash_positions_materialized(spark, sf_dir: str) -> DataFrame:
+    """The corpus CDC window-hash frame, eagerly materialized once per
+    (session, sf_dir) — three registered queries (mm_cdc_chunking,
+    mm_cdc_dedup_stats, mm_cdc_size_curve) consume the identical
+    frame and each used to re-run the hex + position-explode + md5
+    pass (round-19).  Probe (``docs=``) callers keep private frames."""
+    from tropology_spark.session import iter_materialize
+    from tropology_spark.sources.tables import cache_get_or_build
+
+    def build() -> DataFrame:
+        return iter_materialize(cdc_hash_positions(spark, sf_dir))
+
+    return cache_get_or_build(
+        _CDC_POS_CACHE, (spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
 def cdc_boundary_positions(
     spark, sf_dir: str, docs: DataFrame | None = None, mod: int = _CDC_MOD
 ):
@@ -921,7 +945,11 @@ def cdc_boundary_positions(
     shift-resistance property test (``docs=`` substitutes a (doc_id,
     text) frame).  The hash arithmetic lives in
     :func:`cdc_hash_positions`; this derives only the flag."""
-    pos = cdc_hash_positions(spark, sf_dir, docs)
+    pos = (
+        cdc_hash_positions_materialized(spark, sf_dir)
+        if docs is None
+        else cdc_hash_positions(spark, sf_dir, docs)
+    )
     bound = F.when(F.col("h16") % mod == 0, 1).otherwise(0)
     return pos.select("doc_id", "n_bytes", "p", bound.alias("bound"))
 
@@ -1381,7 +1409,11 @@ def mm_cdc_size_curve(
     single home; the driver contract never passes it)."""
     from tropology_spark.sources.tables import load
 
-    pos = cdc_hash_positions(spark, sf_dir, docs=docs)
+    pos = (
+        cdc_hash_positions_materialized(spark, sf_dir)
+        if docs is None
+        else cdc_hash_positions(spark, sf_dir, docs=docs)
+    )
     mod_arr = F.array(*[F.lit(m).cast("bigint") for m in _CDC_MODS])
     bounds = (
         pos.select("doc_id", "p", "h16", F.explode(mod_arr).alias("mod"))

@@ -76,7 +76,33 @@ _EX_CTE = f"""
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 — brute-force cosine top-10 for one query vector.  The query
     row is broadcast; the corpus is scanned once.  At scale this is the
-    exact-rerank stage after an ANN pre-filter (J9's blocking)."""
+    exact-rerank stage after an ANN pre-filter (J9's blocking).
+
+    Round-19: served from the session-shared
+    :func:`topk_cosine_materialized` view — eight composed audits use
+    this frame as their exact truth and each re-ran the corpus scan."""
+    return topk_cosine_materialized(spark, sf_dir)
+
+
+_TOPK_COS_CACHE: dict[tuple[str, str], DataFrame] = {}
+SESSION_CACHES.append(_TOPK_COS_CACHE)
+
+
+def topk_cosine_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered J8 top-10 frame ``(vec_id, cosine)``, eagerly
+    materialized (10 rows) once per (session, sf_dir) — the exact
+    truth consumed by the ANN/recall audit family."""
+    from tropology_spark.sources.tables import cache_get_or_build
+
+    def build() -> DataFrame:
+        return iter_materialize(_topk_cosine_frame(spark, sf_dir))
+
+    return cache_get_or_build(
+        _TOPK_COS_CACHE, (spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
+def _topk_cosine_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         as_double(F.col("embedding")).alias("emb"),
@@ -551,6 +577,13 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9 — cell-blocked kNN self-join: top-3 neighbors per vector
     within its LEARNED coarse-quantizer cell (the IVF bucket idea).
 
+    Round-19 optimization: the O(3n) result frame is served from the
+    session-shared :func:`knn_join_materialized` view — three
+    registered queries consume the identical frame (this one + the
+    M335 mutual join + the M352 hubness rollup), and before the view
+    each composition re-ran the FULL cell-blocked pair join (the
+    suite paid the n^1.5 dot stage three times per session).
+
     Blocking that survives 100×: ``k = ceil(sqrt(n))`` cells are
     seeded by a deterministic multiplicative hash of vec_id, then
     refined with ``1 + _LLOYD_ITERS`` nearest-centroid rounds
@@ -565,6 +598,29 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB the final assignment table is written bucketed by cell
     so the pair join is shuffle-free (SURVEY.md §7.7)."""
+    return knn_join_materialized(spark, sf_dir)
+
+
+_KNN_JOIN_CACHE: dict[tuple[str, str], DataFrame] = {}
+SESSION_CACHES.append(_KNN_JOIN_CACHE)
+
+
+def knn_join_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered J9 kNN frame ``(vec_id, neighbor_id, cosine,
+    rn)``, eagerly materialized once per (session, sf_dir) — the
+    single home of the cell-blocked pair join, shared by
+    sim_knn_join, sim_mutual_knn (M335) and sim_knn_hubness (M352)."""
+    from tropology_spark.sources.tables import cache_get_or_build
+
+    def build() -> DataFrame:
+        return iter_materialize(_knn_join_frame(spark, sf_dir))
+
+    return cache_get_or_build(
+        _KNN_JOIN_CACHE, (spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
+def _knn_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Session-shared quantizer (also the M2/M189 blocking): e feeds
     # both pair-join sides; assign is the pinned n-row branch point.
     e, assign = quantizer_assign_materialized(spark, sf_dir)
@@ -741,7 +797,67 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.read.parquet(base + "_centroids"),
             QUERY_VEC_ID,
         )
-    return ivf_topk(load(spark, sf_dir, "embeddings"), QUERY_VEC_ID)
+    return ivf_topk_result_materialized(spark, sf_dir)
+
+
+_IVF_TRAIN_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]] = {}
+SESSION_CACHES.append(_IVF_TRAIN_CACHE)
+
+
+def ivf_train_materialized(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """``(ev, vc, assign)`` of the registered IVF training over the
+    corpus embeddings (label-seeded assignment + ONE Lloyd round —
+    exactly :func:`ivf_candidates`' train stage), materialized once
+    per (session, sf_dir).  Round-19: four registered IVF consumers
+    (scalar top-k, batch top-k, probe curve, IVF+PQ) each re-ran this
+    identical train; the probe/rerank stages stay per-query."""
+    from tropology_spark.sources.tables import cache_get_or_build
+
+    def build() -> tuple[DataFrame, DataFrame, DataFrame]:
+        ev = iter_materialize(
+            load(spark, sf_dir, "embeddings")
+            .select(
+                "vec_id",
+                "label",
+                as_double(F.col("embedding")).alias("emb"),
+            )
+            .withColumn("nv", norm(F.col("emb")))
+        )
+        assign0 = ev.select("vec_id", F.col("label").alias("cell"))
+        vc, assign = lloyd_rounds(ev.select("vec_id", "emb", "nv"), assign0, 1)
+        # vc is pinned by lloyd_rounds (pin="vc"); assign is branched
+        # on by every consumer's candidate join — pin it too.
+        return (ev, vc, iter_materialize(assign))
+
+    return cache_get_or_build(
+        _IVF_TRAIN_CACHE, (spark.sparkContext.applicationId, sf_dir), build
+    )
+
+
+_IVF_TOPK_CACHE: dict[tuple[str, str], DataFrame] = {}
+SESSION_CACHES.append(_IVF_TOPK_CACHE)
+
+
+def ivf_topk_result_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered sim_ivf_topk result (10 rows), materialized once
+    per (session, sf_dir) — its recall-audit composers re-ran the
+    whole IVF search per reference before round 19."""
+    from tropology_spark.sources.tables import cache_get_or_build
+
+    def build() -> DataFrame:
+        return iter_materialize(
+            ivf_topk(
+                load(spark, sf_dir, "embeddings"),
+                QUERY_VEC_ID,
+                train=ivf_train_materialized(spark, sf_dir),
+            )
+        )
+
+    return cache_get_or_build(
+        _IVF_TOPK_CACHE, (spark.sparkContext.applicationId, sf_dir), build
+    )
 
 
 def ivf_candidates(
@@ -751,6 +867,7 @@ def ivf_candidates(
     lloyd_iters: int = 1,
     dim: int = EMB_DIM,
     with_probe_rank: bool = False,
+    train: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The COARSE stage of the IVF search — train/assign cells, probe
     the query's ``n_probe`` nearest, return ``(ev, cand)`` where
@@ -766,18 +883,25 @@ def ivf_candidates(
     ``rnp <= n_probe`` slice, which is what lets the probe CURVE
     (sim_ivf_probe_curve) build candidates ONCE at max n_probe and
     derive every curve point by filter (VERDICT r11 item 4).  The
-    default path is unchanged (left-semi, no extra column)."""
-    ev = iter_materialize(
-        e.select(
-            "vec_id",
-            "label",  # native type: cell ordering must match the oracle's
-            as_double(F.col("embedding")).alias("emb"),
-        ).withColumn("nv", norm(F.col("emb")))
-    )  # referenced by assign0, every Lloyd round, rerank, and q
-    assign0 = ev.select("vec_id", F.col("label").alias("cell"))
-    vc, assign = lloyd_rounds(
-        ev.select("vec_id", "emb", "nv"), assign0, lloyd_iters, dim=dim
-    )
+    default path is unchanged (left-semi, no extra column).
+
+    ``train``: a pre-built ``(ev, vc, assign)`` — registered corpus
+    consumers pass :func:`ivf_train_materialized` so one session
+    trains once (round-19); probe (``e=``) callers leave it None."""
+    if train is not None:
+        ev, vc, assign = train
+    else:
+        ev = iter_materialize(
+            e.select(
+                "vec_id",
+                "label",  # native type: cell ordering must match the oracle's
+                as_double(F.col("embedding")).alias("emb"),
+            ).withColumn("nv", norm(F.col("emb")))
+        )  # referenced by assign0, every Lloyd round, rerank, and q
+        assign0 = ev.select("vec_id", F.col("label").alias("cell"))
+        vc, assign = lloyd_rounds(
+            ev.select("vec_id", "emb", "nv"), assign0, lloyd_iters, dim=dim
+        )
     probe = (
         vc.filter(F.col("vec_id") == query_vec_id)
         .withColumn(
@@ -819,6 +943,7 @@ def ivf_topk(
     k: int = 10,
     lloyd_iters: int = 1,
     dim: int = EMB_DIM,
+    train: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """The IVF search pipeline over any ``(vec_id, label, embedding)``
     frame (labels seed the initial partition; ``lloyd_iters`` > 1 adds
@@ -826,7 +951,7 @@ def ivf_topk(
     fixture (sim_ivf_topk); recall quality is pinned on clustered
     synthetic data in
     tests/test_units.py::test_ivf_recall_on_clustered_data."""
-    ev, cand = ivf_candidates(e, query_vec_id, n_probe, lloyd_iters, dim)
+    ev, cand = ivf_candidates(e, query_vec_id, n_probe, lloyd_iters, dim, train=train)
     q = ev.filter(F.col("vec_id") == query_vec_id).select(
         F.col("emb").alias("qemb"), F.col("nv").alias("nq")
     )
@@ -2487,14 +2612,10 @@ def sim_ivf_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     |Q|×(corpus/cells×{p}) — the IVF contract; the rerank joins each
     candidate to its query's broadcast vector, so the corpus is
     touched once regardless of |Q|."""
-    e = load(spark, sf_dir, "embeddings")
-    ev = iter_materialize(
-        e.select(
-            "vec_id", "label", as_double(F.col("embedding")).alias("emb")
-        ).withColumn("nv", norm(F.col("emb")))
-    )
-    assign0 = ev.select("vec_id", F.col("label").alias("cell"))
-    vc, assign = lloyd_rounds(ev.select("vec_id", "emb", "nv"), assign0, 1)
+    # round-19: the (ev, vc, assign) train is the session-shared view
+    # (identical label-seeded one-round training; the probe/rerank
+    # below stay per-query-set).
+    ev, vc, assign = ivf_train_materialized(spark, sf_dir)
     qset = list(_BATCH_QUERY_IDS)
     probe = (
         vc.filter(F.col("vec_id").isin(qset))
@@ -2876,10 +2997,12 @@ def sim_ivf_probe_curve(
             F.col("vec_id").alias("t_id")
         )
     )  # referenced once per probe branch
+    train = None
     if e is None:
         e = load(spark, sf_dir, "embeddings")
+        train = ivf_train_materialized(spark, sf_dir)  # round-19 sharing
     ev, cand = ivf_candidates(
-        e, QUERY_VEC_ID, n_probe=max(_PROBE_NPS), with_probe_rank=True
+        e, QUERY_VEC_ID, n_probe=max(_PROBE_NPS), with_probe_rank=True, train=train
     )
     q = ev.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("emb").alias("qemb"), F.col("nv").alias("nq")
@@ -3347,7 +3470,9 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             sf_dir,
         )
     e = load(spark, sf_dir, "embeddings")
-    ev, cand = ivf_candidates(e, QUERY_VEC_ID)
+    ev, cand = ivf_candidates(
+        e, QUERY_VEC_ID, train=ivf_train_materialized(spark, sf_dir)
+    )
     cand = iter_materialize(cand)  # 2 refs: encode filter + cell attach
     exm = _pq_exm(e)
     sub = _pq_sub(exm)
@@ -4262,10 +4387,13 @@ def sim_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     RULE), and the oracle wraps ORACLES['sim_knn_join'] AS MATERIALIZED
     (the DuckDB inlining trap).  The cosine column inherits J9's
     6-dp-rounded carrier (ranks-on-rounded-scores rule).  Scale: the
-    mutual join touches only the O(3n) kNN result, never the corpus."""
-    from tropology_spark.registry import QUERIES
-
-    knn = iter_materialize(QUERIES["sim_knn_join"](spark, sf_dir))
+    mutual join touches only the O(3n) kNN result, never the corpus.
+    The base frame is the session-shared knn_join_materialized view
+    (round-19: QUERIES['sim_knn_join'] now serves exactly that view,
+    so the composition shares one pair-join run instead of re-running
+    it; the frame arrives already checkpointed — the
+    DOUBLE-REFERENCE pin lives in the view)."""
+    knn = knn_join_materialized(spark, sf_dir)
     a = knn.alias("a")
     b = knn.alias("b")
     return (
@@ -4560,13 +4688,13 @@ def sim_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution concentrates near k; a hub-heavy tail says
     re-normalize or re-embed.
 
-    Composed, not copied: QUERIES['sim_knn_join'] IS the edge frame;
-    the oracle wraps ORACLES['sim_knn_join'] AS MATERIALIZED (the
-    DuckDB inlining trap).  Scale: the rollup touches the O(3n) kNN
-    result and the vector spine — never pairs."""
-    from tropology_spark.registry import QUERIES
-
-    knn = QUERIES["sim_knn_join"](spark, sf_dir)
+    Composed, not copied: the session-shared knn_join_materialized
+    view IS the edge frame (QUERIES['sim_knn_join'] serves the same
+    view — round-19 sharing); the oracle wraps
+    ORACLES['sim_knn_join'] AS MATERIALIZED (the DuckDB inlining
+    trap).  Scale: the rollup touches the O(3n) kNN result and the
+    vector spine — never pairs."""
+    knn = knn_join_materialized(spark, sf_dir)
     e = load(spark, sf_dir, "embeddings").select("vec_id")
     ind = e.join(
         knn.groupBy(F.col("neighbor_id").alias("vec_id")).agg(

@@ -1881,10 +1881,24 @@ def winnowing_selected(
     w1-subwindow containing its argmin, for w1 ≤ w2) — the
     property suite (tests/test_r15_twins.py) pins
     Selected(w2) ⊆ Selected(w1)."""
+    g = _winnow_grams(docs if docs is not None else load(spark, sf_dir, "documents"))
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    wm = g.select("doc_id", "n_grams", "i", F.min("h").over(win).alias("mh"))
+    return (
+        wm.filter(F.col("i") + (w - 1) <= F.col("n_grams"))
+        .select("doc_id", "n_grams", "mh")
+        .distinct()
+    )
+
+
+def _winnow_grams(d: DataFrame) -> DataFrame:
+    """The winnowing GRAM frame ``(doc_id, n_grams, i, h)`` — one
+    trigram explode + md5 per document, the w-independent prefix of
+    the selection arithmetic (shared by the per-w selection and the
+    single-pass w-curve)."""
     from tropology_spark.operators.pipeline_ops import word_ngrams
 
-    d = docs if docs is not None else load(spark, sf_dir, "documents")
-    g = d.select(
+    return d.select(
         "doc_id",
         F.posexplode(word_ngrams(F.split(F.col("text"), " "), 3)).alias(
             "pos0", "gram"
@@ -1898,12 +1912,29 @@ def winnowing_selected(
         .cast("bigint")
         .alias("h"),
     )
-    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
-    wm = g.select("doc_id", "n_grams", "i", F.min("h").over(win).alias("mh"))
-    return (
-        wm.filter(F.col("i") + (w - 1) <= F.col("n_grams"))
-        .select("doc_id", "n_grams", "mh")
-        .distinct()
+
+
+_WINNOW_SEL_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+
+from tropology_spark.sources.tables import SESSION_CACHES  # noqa: E402
+
+SESSION_CACHES.append(_WINNOW_SEL_CACHE)
+
+
+def winnowing_sel_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered-w (=4) winnowing selection over the corpus
+    documents, eagerly materialized once per (session, sf_dir) —
+    shared by the M259 rollup and the M353 MOSS pair join (round-19:
+    each used to re-run the explode + md5 + window-min pass).  Probe
+    (``docs=``) and curve (``w=``) callers keep calling
+    :func:`winnowing_selected` directly."""
+    from tropology_spark.sources.tables import cache_get_or_build
+
+    def build() -> DataFrame:
+        return iter_materialize(winnowing_selected(spark, sf_dir))
+
+    return cache_get_or_build(
+        _WINNOW_SEL_CACHE, (spark.sparkContext.applicationId, sf_dir), build
     )
 
 
@@ -1960,8 +1991,10 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse and rollup are map-side combinable.  The window-min
     MUST be computed before the full-window filter (filtering first
     would remove the tail rows from the frame — the staging lesson
-    pinned in the oracle's subquery order)."""
-    sel = winnowing_selected(spark, sf_dir)
+    pinned in the oracle's subquery order).  Round-19: the selection
+    comes from the session-shared winnowing_sel_materialized view
+    (also the M353 base), not a private pass."""
+    sel = winnowing_sel_materialized(spark, sf_dir)
     return sel.groupBy("doc_id", "n_grams").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_selected"),
         F.expr("(1000000 * count(1)) div n_grams")
@@ -2460,20 +2493,42 @@ def text_winnowing_w_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     2/(w+1): this curve measures the actual storage/guarantee trade
     on the corpus, next to M259's fixed-4 production rule).
 
-    Each point runs the single-home :func:`winnowing_selected` at its
-    w — deliberately ×|ws| window passes (window minima at different
-    w do NOT derive from each other by filtering... but the SELECTED
-    SETS NEST: the min of a w₂-window is also the min of the
-    w₁-subwindow containing its argmin for w₁ ≤ w₂, so
-    Selected(8) ⊆ Selected(4) ⊆ Selected(2) — the property suite
-    pins the containment on arbitrary injected corpora, which also
-    forces density monotone non-increasing in w).  Corpus rollup per
-    w: covered docs, their gram total, selected fingerprints, density
-    ppm.  Scale: each pass is the M259 shape (per-doc windows, no
+    Round-19 optimization (guide §1.3 — do the expensive thing once):
+    ONE gram pass serves all three points.  The explode + md5 + the
+    per-doc sort are w-independent; the three window minima are three
+    ``min OVER (rowsBetween(0, w-1))`` columns over the SAME window
+    partition/order, so Spark computes them in one WindowExec over
+    one sort (before: ×|ws| full explode+hash+sort passes).  Each
+    point's selection then filters/distincts its own column —
+    per-value arithmetic identical to :func:`winnowing_selected` at
+    that w (the twin + the nesting property suite pin the values:
+    Selected(8) ⊆ Selected(4) ⊆ Selected(2), density monotone).
+    Corpus rollup per w: covered docs, their gram total, selected
+    fingerprints, density ppm.  Scale: one pass (per-doc windows, no
     global window); the curve is 3 rows."""
+    g = _winnow_grams(load(spark, sf_dir, "documents"))
+    wm = iter_materialize(
+        g.select(
+            "doc_id",
+            "n_grams",
+            "i",
+            *[
+                F.min("h")
+                .over(
+                    Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+                )
+                .alias(f"mh{w}")
+                for w in _WIN_WS
+            ],
+        )
+    )  # one frame, three curve-point branches — DOUBLE-REFERENCE RULE
     out = None
     for w in _WIN_WS:
-        sel = winnowing_selected(spark, sf_dir, w=w)
+        sel = (
+            wm.filter(F.col("i") + (w - 1) <= F.col("n_grams"))
+            .select("doc_id", "n_grams", F.col(f"mh{w}").alias("mh"))
+            .distinct()
+        )
         per = sel.groupBy("doc_id").agg(
             F.first("n_grams").alias("n_grams"),
             F.count(F.lit(1)).cast("bigint").alias("n_sel"),
@@ -2755,7 +2810,11 @@ def dedup_moss_pairs(
 
     ``docs=`` substitutes the document frame for probes; the driver
     contract never passes it."""
-    sel = iter_materialize(winnowing_selected(spark, sf_dir, docs=docs))
+    sel = (
+        winnowing_sel_materialized(spark, sf_dir)
+        if docs is None
+        else iter_materialize(winnowing_selected(spark, sf_dir, docs=docs))
+    )
     ns = sel.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sel"))
     a = sel.select(F.col("doc_id").alias("doc_a"), "mh")
     b = sel.select(F.col("doc_id").alias("doc_b"), F.col("mh").alias("mhb"))
