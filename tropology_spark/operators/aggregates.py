@@ -1701,13 +1701,19 @@ def agg_cms_width_curve(
     Composed, not copied: the hash and row constants are the
     registered M128 home's (the single-home rule — a constant
     drift would break both sides identically, which is why the twin
-    re-derives the formula from the raw constants too).  Scale: one
-    events pass → the ×d×|w| bounded explode on the DISTINCT-user
-    table, counts map-side combinable; per-user estimates join the
-    bounded cell table (d·Σw = 224 rows, broadcast).
+    re-derives the formula from the raw constants too).  Scale: ONE
+    events pass → the per-user (true_n, hv) table (hv is a pure
+    function of user_id, so every event of a user lands in the same
+    cells and the cell count equals Σ true_n over its users — the
+    round-19 restructure: the ×d explode runs over DISTINCT USERS,
+    never over raw events, and the events scan happens once);
+    per-user estimates join the bounded cell table (d·Σw = 224 rows,
+    broadcast).
 
     ``events=`` substitutes the event frame for probes; the driver
     contract never passes it."""
+    from tropology_spark.session import iter_materialize
+
     e = events if events is not None else load(spark, sf_dir, "events")
     hv = (
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
@@ -1727,16 +1733,23 @@ def agg_cms_width_curve(
         ]
     )
     ws = spark.createDataFrame([(w,) for w in _CMSC_WS], "w long")
+    # u feeds TWO plan branches (cells + uph) — materialized per the
+    # DOUBLE-REFERENCE RULE (it is one small row per distinct user;
+    # re-deriving it costs a full events scan per branch).
+    u = iter_materialize(
+        h.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("true_n"),
+            F.min("hv").alias("hv"),
+        )
+    )
+    # Every event of a user hashes to the user's cells, so the cell
+    # count over raw events is exactly sum(true_n) over its users.
     cells = (
-        h.select(F.explode(row_structs).alias("c"))
-        .select("c.row_id", "c.ph")
+        u.select("true_n", F.explode(row_structs).alias("c"))
+        .select("true_n", "c.row_id", "c.ph")
         .crossJoin(F.broadcast(ws))
         .groupBy("w", "row_id", (F.col("ph") % F.col("w")).alias("col_id"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
-    u = h.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("true_n"),
-        F.min("hv").alias("hv"),
+        .agg(F.sum("true_n").cast("bigint").alias("cnt"))
     )
     uph = u.select(
         "user_id", "true_n", F.explode(row_structs).alias("c")

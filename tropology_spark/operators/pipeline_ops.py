@@ -121,7 +121,10 @@ _LABEL_ITER = """
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M24 — near-dup CLUSTERING with canonical-document selection: the
     stage after pair generation that an actual dedup pipeline needs
-    (pairs alone don't tell you which rows to drop).
+    (pairs alone don't tell you which rows to drop).  The final label
+    frame is a session-shared materialized view (round-19): the
+    curation composition (M53) consumes the identical stage through
+    ``QUERIES`` and used to re-run the whole 3-round propagation.
 
     Three min-label propagation rounds over the J2 Jaccard pair graph
     (plus self-loops) assign every doc the smallest doc_id reachable
@@ -132,30 +135,54 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative; `anti-join docs against is_kept=0` is the actual
     drop step.  For arbitrary-diameter graphs use
     graph_connected_components (fixpoint loop, rows-only)."""
-    from tropology_spark.operators.dedup import jaccard_pairs_materialized
-
-    d = load(spark, sf_dir, "documents")
-    # Materialized once per session: three label rounds reuse it (Spark
-    # does not reuse non-materialized shared subplans), and the curation
-    # composition (M53) shares the same cached handle.
-    pairs = jaccard_pairs_materialized(spark, sf_dir, block_width=40)
-    ids = d.select("doc_id")
-    es = (
-        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
-        .unionByName(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
-        .unionByName(ids.select(F.col("doc_id").alias("s"), F.col("doc_id").alias("d")))
-    )
-    labels = ids.select("doc_id", F.col("doc_id").alias("lbl"))
-    for _ in range(3):
-        labels = (
-            es.join(labels, es.s == labels.doc_id)
-            .groupBy(F.col("d").alias("doc_id"))
-            .agg(F.min("lbl").alias("lbl"))
-        )
+    labels = canonical_labels_materialized(spark, sf_dir)
     return labels.select(
         "doc_id",
         F.col("lbl").alias("canonical_id"),
         F.when(F.col("doc_id") == F.col("lbl"), 1).otherwise(0).cast("bigint").alias("is_kept"),
+    )
+
+
+_CANON_LBL_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+from tropology_spark.sources.tables import SESSION_CACHES  # noqa: E402
+
+SESSION_CACHES.append(_CANON_LBL_CACHE)
+
+
+def canonical_labels_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The M24 3-round min-label propagation result — the per-doc
+    ``(doc_id, lbl)`` frame — materialized once per (session, sf_dir).
+    Shared by the registered M24 query and (through ``QUERIES``) the
+    M53 curation composition; round-19 A/B at sf0.1: the composition
+    used to re-run the whole pair join + 3 propagation rounds
+    (~0.8 s warm) per reference."""
+    from tropology_spark.sources.tables import cache_get_or_build
+
+    def build() -> DataFrame:
+        from tropology_spark.operators.dedup import jaccard_pairs_materialized
+
+        d = load(spark, sf_dir, "documents")
+        # Materialized once per session: three label rounds reuse it
+        # (Spark does not reuse non-materialized shared subplans).
+        pairs = jaccard_pairs_materialized(spark, sf_dir, block_width=40)
+        ids = d.select("doc_id")
+        es = (
+            pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+            .unionByName(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d")))
+            .unionByName(ids.select(F.col("doc_id").alias("s"), F.col("doc_id").alias("d")))
+        )
+        labels = ids.select("doc_id", F.col("doc_id").alias("lbl"))
+        for _ in range(3):
+            labels = (
+                es.join(labels, es.s == labels.doc_id)
+                .groupBy(F.col("d").alias("doc_id"))
+                .agg(F.min("lbl").alias("lbl"))
+            )
+        return iter_materialize(labels)
+
+    return cache_get_or_build(
+        _CANON_LBL_CACHE, (spark.sparkContext.applicationId, sf_dir), build
     )
 
 
@@ -384,22 +411,48 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition signal (high ratio = boilerplate/spam loops; the filter
     downstream drops docs above a threshold).  Complements
     text_quality_score's surface stats with the one signal that needs
-    an n-gram pass.  Exact integers + one rounded division."""
-    d = load(spark, sf_dir, "documents")
-    bg = d.select(
-        "doc_id",
-        F.explode(word_ngrams(F.split(F.col("text"), " "), 2)).alias("bg"),
-    )
-    st = bg.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.countDistinct("bg").alias("n_unique"),
-    )
+    an n-gram pass.  Exact integers + one rounded division.
+
+    The per-doc bigram stats frame is a session-shared materialized
+    view (round-19): the M53 curation composition consumes the
+    identical stage through ``QUERIES`` and used to re-run the whole
+    O(tokens) bigram explode (~2.5 s warm at sf0.1) per reference."""
+    st = repetition_stats_materialized(spark, sf_dir)
     ratio = (F.col("n_bigrams") - F.col("n_unique")).cast("double") / F.col("n_bigrams")
     return st.select(
         "doc_id",
         F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
         F.col("n_unique").cast("bigint").alias("n_unique"),
         F.round(ratio, 6).alias("dup_bigram_ratio"),
+    )
+
+
+_REP_STATS_CACHE: dict[tuple[str, str], DataFrame] = {}
+SESSION_CACHES.append(_REP_STATS_CACHE)
+
+
+def repetition_stats_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The M28 per-doc bigram stats — ``(doc_id, n_bigrams, n_unique)``
+    — materialized once per (session, sf_dir).  The bigram explode is
+    the expensive upstream (O(total tokens)); the stats frame itself
+    is one small row per document."""
+    from tropology_spark.sources.tables import cache_get_or_build
+
+    def build() -> DataFrame:
+        d = load(spark, sf_dir, "documents")
+        bg = d.select(
+            "doc_id",
+            F.explode(word_ngrams(F.split(F.col("text"), " "), 2)).alias("bg"),
+        )
+        return iter_materialize(
+            bg.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.countDistinct("bg").alias("n_unique"),
+            )
+        )
+
+    return cache_get_or_build(
+        _REP_STATS_CACHE, (spark.sparkContext.applicationId, sf_dir), build
     )
 
 
@@ -2152,12 +2205,18 @@ def text_dup_span_frac(
     the weak-scaling probe (tools/scale_probes/textdup_scale.py); the
     driver contract never passes it."""
     d = docs if docs is not None else load(spark, sf_dir, "documents")
-    g = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(word_ngrams(F.split(F.col("text"), " "), _NGRAM_N))
-        ).alias("gram"),
+    g = iter_materialize(
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_ngrams(F.split(F.col("text"), " "), _NGRAM_N))
+            ).alias("gram"),
+        )
     )
+    # g feeds TWO plan branches (the per-gram df agg and the probe
+    # join) — the DOUBLE-REFERENCE RULE: without the materialization
+    # Spark re-derives the split+ngram+array_distinct explode per
+    # branch (round-19 A/B at sf0.1: 4.7 s -> 2.4 s warm).
     # g is distinct (doc_id, gram) by construction, so count(*) per
     # gram is its document frequency.
     bo = (
