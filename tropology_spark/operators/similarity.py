@@ -186,11 +186,23 @@ def lloyd_rounds(
       same numbers, summation-order drift ~1e-14 vs the 6-dp rounding
       bucket, the module-header convention).  k centroid arrays are
       then broadcast.
-    * Assignment: n x k rounded cosines via one zip_with/aggregate
-      dot per pair, argmax as min(struct(-ccos, cell)) — a hash
-      aggregate with partial combine (ties in the ROUNDED cosine
-      break to the smallest cell, matching the oracle's ORDER BY
-      ccos DESC, cell), not an n x k sort window.
+    * Assignment — MAP-SIDE (round-19 optimization, guide §2.1
+      "remove shuffles outright"): the k centroid structs are rolled
+      into ONE array row (collect_list — order-irrelevant, the argmax
+      is a min over the set) and attached to every vector by a
+      literal-key BroadcastHashJoin; each vector then scores all k
+      centroids IN PLACE (transform + the same zip_with/aggregate dot)
+      and picks argmax as array_min(struct(-ccos, cell)) — the
+      identical struct ordering min (ties in the ROUNDED cosine break
+      to the smallest cell, matching the oracle's ORDER BY ccos DESC,
+      cell) with ZERO shuffle: the per-round groupBy(vec_id) argmax
+      exchange of the scored corpus is gone (measured 3.4 s → 1.3 s
+      median warm train at sf0.1; at 100 TB each round saves a
+      full-corpus/sample shuffle — assignment becomes one broadcast
+      map pass).  The ``pin="vc"`` FINAL round keeps the row-form
+      crossJoin + groupBy argmax: its consumers read the n × k vc
+      FRAME itself (the IVF probe), so the explode would be rebuilt
+      anyway and the pinned frame serves the argmax.
 
     Every in-loop frame is referenced exactly ONCE by the next step,
     so the unrolled lineage is a single linear chain — no exponential
@@ -217,17 +229,24 @@ def lloyd_rounds(
     assignment, instead of every round.  Centroid steps need no
     extra filter — joining against a sample-only assignment restricts
     them automatically."""
-    dims = list(range(dim))
+    # ONE SQL-string expression for the whole centroid array (the
+    # avgs compose inside array() in a single aggregate expression) —
+    # the per-dimension Column-object loop it replaces cost ~3 s of
+    # DRIVER-side py4j round-trips per 3-round train at any scale
+    # (~200 gateway calls), measured construct 4.2 → 1.3 s at dim=64
+    # with bit-identical centroids.  Lazy-plan construction runs
+    # inside every bench/view timer, so driver-side build time is
+    # real suite cost (round-19 optimization, guide §5 driver).
+    cen_array_sql = (
+        "array(" + ",".join(f"avg(emb[{d}])" for d in range(dim)) + ") AS cemb"
+    )
     assign = assign0
     vc = None
     for i in range(iters):
         cen = (
             e.join(assign, "vec_id")
             .groupBy("cell")
-            .agg(*[F.avg(F.col("emb")[d]).alias(f"c{d}") for d in dims])
-            .select(
-                "cell", F.array(*[F.col(f"c{d}") for d in dims]).alias("cemb")
-            )
+            .agg(F.expr(cen_array_sql))
             .withColumn("nc", norm(F.col("cemb")))
         )
         scored = (
@@ -235,31 +254,68 @@ def lloyd_rounds(
             if train_mod is not None and i < iters - 1
             else e
         )
-        vc = scored.crossJoin(F.broadcast(cen)).select(
-            "vec_id",
-            "cell",
-            F.round(
-                dot(F.col("emb"), F.col("cemb")) / (F.col("nv") * F.col("nc")), 6
-            ).alias("ccos"),
-        )
         if i == iters - 1 and pin == "vc":
-            vc = iter_materialize(vc)
-        assign = (
-            vc.groupBy("vec_id")
-            .agg(
-                F.min(
-                    F.struct((-F.col("ccos")).alias("negc"), F.col("cell").alias("cell"))
-                ).alias("m")
+            # vc-consuming callers (the IVF probe branch) need the
+            # n × k row frame itself — keep the row form and derive
+            # the argmax from the pinned blocks.
+            vc = scored.crossJoin(F.broadcast(cen)).select(
+                "vec_id",
+                "cell",
+                F.round(
+                    dot(F.col("emb"), F.col("cemb")) / (F.col("nv") * F.col("nc")), 6
+                ).alias("ccos"),
             )
-            .select("vec_id", F.col("m.cell").alias("cell"))
-        )
-        if i == iters - 1 and pin == "assign":
-            # n-row pin serving the two pair-join references
-            # (DOUBLE-REFERENCE RULE applied to the frame actually
-            # branched on; per-round pins were measured SLOWER — each
-            # adds a blocking job and the in-loop frames are
-            # single-reference).
-            assign = iter_materialize(assign)
+            vc = iter_materialize(vc)
+            assign = (
+                vc.groupBy("vec_id")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("ccos")).alias("negc"),
+                            F.col("cell").alias("cell"),
+                        )
+                    ).alias("m")
+                )
+                .select("vec_id", F.col("m.cell").alias("cell"))
+            )
+        else:
+            # Map-side argmax (docstring above): one k-struct array
+            # row, literal-key broadcast attach, per-vector in-place
+            # scoring — no groupBy(vec_id) exchange.  The final
+            # isNotNull filter restores the empty-centroid edge of
+            # the row form (an empty cen used to cross-join to zero
+            # rows; array_min over the empty array is NULL).
+            cen_row = cen.agg(
+                F.collect_list(F.struct("cell", "cemb", "nc")).alias("cens")
+            ).withColumn("_j", F.lit(1))
+            best = F.array_min(
+                F.transform(
+                    F.col("cens"),
+                    lambda c: F.struct(
+                        (
+                            -F.round(
+                                dot(F.col("emb"), c["cemb"])
+                                / (F.col("nv") * c["nc"]),
+                                6,
+                            )
+                        ).alias("negc"),
+                        c["cell"].alias("cell"),
+                    ),
+                )
+            )
+            assign = (
+                scored.withColumn("_j", F.lit(1))
+                .join(F.broadcast(cen_row), "_j")
+                .select("vec_id", best["cell"].alias("cell"))
+                .filter(F.col("cell").isNotNull())
+            )
+            if i == iters - 1 and pin == "assign":
+                # n-row pin serving the two pair-join references
+                # (DOUBLE-REFERENCE RULE applied to the frame actually
+                # branched on; per-round pins were measured SLOWER —
+                # each adds a blocking job and the in-loop frames are
+                # single-reference).
+                assign = iter_materialize(assign)
         if i == iters - 1:
             cen_last = cen
     if return_cen:
