@@ -66,6 +66,13 @@ def main() -> None:
             # round-6: the heaviest new query (Hash-to-Min over the M2
             # cosine pair graph) gets a clean fresh-session number too
             "dedup_embedding_clusters",
+            # round-20 (VERDICT r19 item 2): extend the list to the
+            # real top of the suite so driver artifacts carry clean
+            # comparable fresh-session numbers for >=10 cost centers —
+            # the in-suite walls for these are wall-under-concurrency
+            # and oscillate 2-7x with host phase.
+            "mm_cdc_dedup_stats", "graph_label_prop3",
+            "graph_core_profile", "graph_closeness3",
         ]:
             if name not in QUERIES:
                 continue

@@ -62,20 +62,20 @@ def main() -> None:
     # The unpinned final-assign lineage — the train's real plan shape.
     import tropology_spark.session as sess
 
+    import tropology_spark.operators.similarity as sim
+
     orig = sess.iter_materialize
+    sim_orig = sim.iter_materialize
     try:
         sess.iter_materialize = lambda df: df  # capture pre-pin lineage
-        import tropology_spark.operators.similarity as sim
-
-        sim_orig = sim.iter_materialize
         sim.iter_materialize = lambda df: df
         _, assign_lazy = lloyd_rounds(
             e, seed(), 1 + _LLOYD_ITERS, train_mod=_LLOYD_TRAIN_MOD,
             pin="assign",
         )
-        sim.iter_materialize = sim_orig
     finally:
         sess.iter_materialize = orig
+        sim.iter_materialize = sim_orig
 
     plan = assign_lazy._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(

@@ -173,7 +173,10 @@ def lloyd_rounds(
     assignment (Lloyd's algorithm; round 1 over a seed partition IS
     the classic one-shot "hash-init k-means", further rounds refine
     it).  Returns ``(vc, assign)`` — the last round's per-(vector,
-    cell) rounded cosines and the final argmax assignment.
+    cell) rounded cosines and the final argmax assignment.  ``vc`` is
+    only produced under ``pin="vc"`` (the IVF consumers that read the
+    n×k row form); under ``pin="assign"`` the rounds run the map-side
+    argmax with no row-form frame at all and ``vc`` is ``None``.
 
     ``e``: (vec_id, emb: array<double>, nv) — one row per vector.
     ``assign0``: (vec_id, cell).
@@ -190,7 +193,12 @@ def lloyd_rounds(
       "remove shuffles outright"): the k centroid structs are rolled
       into ONE array row (collect_list — order-irrelevant, the argmax
       is a min over the set) and attached to every vector by a
-      literal-key BroadcastHashJoin; each vector then scores all k
+      literal-key broadcast join (Spark constant-folds the ``_j=1``
+      equi-key, so the executed plan is a 1-row-build
+      BroadcastNestedLoopJoin — see plans/r19/quantizer_train_after
+      .txt; harmless, pinned away from the BNLJ sweep, and exactly
+      what an explicit crossJoin(broadcast(cen_row)) would run);
+      each vector then scores all k
       centroids IN PLACE (transform + the same zip_with/aggregate dot)
       and picks argmax as array_min(struct(-ccos, cell)) — the
       identical struct ordering min (ties in the ROUNDED cosine break
