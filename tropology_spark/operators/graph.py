@@ -549,21 +549,35 @@ def pagerank(
         bi_deg.count()  # materialize once
     ranks = nodes.withColumn("pr", F.lit(1.0))
 
+    # Round-20 optimization (guide §2.4 "remove shuffles outright"):
+    # the rank update used to be groupBy(node) over the contribution
+    # rows FOLLOWED by a left join back onto the node spine (to give
+    # mass-less dangling nodes their teleport row).  The spine join
+    # cost one more exchange + join per iteration — the checkpointed
+    # `nodes` scan reports UnknownPartitioning, so Catalyst re-shuffled
+    # it every time.  Instead the spine rides the SAME aggregation as
+    # a zero-mass contribution row per node: sum(contribs ∪ {0.0}) is
+    # bit-identical to coalesce(sum(contribs), 0.0) in IEEE754 (x+0.0
+    # == x for every finite x, and the mass doubles already carry the
+    # documented accumulation-order tolerance), so per iteration the
+    # whole update is ONE exchange of map-side-combined partials and
+    # zero joins beyond the edge hop.
+    zero_rows = nodes.select("node", F.lit(0.0).alias("contrib"))
     for _ in range(iters):
         contribs = (
             _vector_join(bi_deg, ranks, use_broadcast)
             .select(F.col("v").alias("node"), (F.col("pr") / F.col("deg")).alias("contrib"))
-            .groupBy("node")
-            .agg(F.sum("contrib").alias("mass"))
         )
         # Eager checkpoint: truncates lineage so iteration N+1 does not
         # re-execute iterations 1..N (SURVEY.md §4.2).  Reliable-
         # checkpoint swap via TROPOLOGY_CHECKPOINT_DIR (SCALE.md #4).
         ranks = iter_materialize(
-            nodes.join(contribs, "node", "left")
+            contribs.unionByName(zero_rows)
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("mass"))
             .select(
                 "node",
-                (F.lit(teleport) + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))).alias("pr"),
+                (F.lit(teleport) + F.lit(damping) * F.col("mass")).alias("pr"),
             )
         )
     return ranks
@@ -622,17 +636,36 @@ def connected_components(
     def propagate(lbls):
         # Join the label vector to the static edge list (strategy per
         # _vector_join; the edge list never moves after setup).
-        carry = [c for c in lbls.columns if c not in ("node", "comp")]
-        neighbor_min = (
-            _vector_join(bi_edges, lbls, use_broadcast)
-            .select(F.col("v").alias("node"), F.col("comp"))
-            .groupBy("node")
-            .agg(F.min("comp").alias("n_comp"))
+        #
+        # Round-20 optimization (guide §2.4, the pagerank spine rule):
+        # the hop used to groupBy(node) the neighbor labels and LEFT
+        # JOIN the min back onto lbls (least(own, neighbor-min)) —
+        # one more exchange + join per hop, because the checkpointed
+        # lbls scan reports UnknownPartitioning.  Instead the own
+        # label rides the SAME aggregation as one more candidate row:
+        # min(own ∪ neighbors) == least(own, coalesce(min(neighbors),
+        # own)) exactly (string min, no floats), and the carry columns
+        # (orig) ride as max over exactly-one-non-null.  Per hop the
+        # whole update is ONE exchange of map-side-combined partials.
+        carry = [
+            (f.name, f.dataType.simpleString())
+            for f in lbls.schema.fields
+            if f.name not in ("node", "comp")
+        ]
+        neigh = _vector_join(bi_edges, lbls, use_broadcast).select(
+            F.col("v").alias("node"),
+            *[F.lit(None).cast(t).alias(c) for c, t in carry],
+            F.col("comp"),
         )
-        return lbls.join(neighbor_min, "node", "left").select(
-            "node",
-            *carry,
-            F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
+        own = lbls.select("node", *[c for c, _ in carry], "comp")
+        return (
+            own.unionByName(neigh)
+            .groupBy("node")
+            .agg(
+                *[F.max(c).alias(c) for c, _ in carry],
+                F.min("comp").alias("comp"),
+            )
+            .select("node", *[c for c, _ in carry], "comp")
         )
 
     def shortcut(lbls):
