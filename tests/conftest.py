@@ -20,8 +20,12 @@ from tropology_spark.sources.tables import TABLES  # noqa: E402
 def spark():
     from tropology_spark.session import get_spark
 
-    # Keep unit-test sessions modest; bench uses the full core count.
-    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    # Round-20 (VERDICT r19 item 1, suite-fits-the-verify-budget): 16
+    # cores for the test session — the sandbox has 32 and the suite is
+    # Spark-throughput-bound (the registry-wide sweeps halved when
+    # measured at 16 vs 8: trivially-empty 124.5 -> 59.6 s).  Bench
+    # still uses the full count via its own env.
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "16")
     spark = get_spark("tropology-tests")
     yield spark
     spark.stop()

@@ -1086,6 +1086,8 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         "pipeline_sample_bias_audit",
         "analytics_gini_by_month",
     ]
+    from concurrent.futures import ThreadPoolExecutor
+
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         results: dict[str, set] = {n: set() for n in names}
@@ -1093,9 +1095,21 @@ def test_upgraded_oracle_partitioning_invariance(spark):
         for parts in ("5", "13", "32"):
             spark.conf.set("spark.sql.shuffle.partitions", parts)
             clear_session_caches()
-            for n in names:
+
+            # Round-20: the ~270 probes per setting run CONCURRENTLY
+            # (the parity-suite thread-pool discipline; the per-key
+            # build locks in cache_get_or_build make concurrent view
+            # rebuilds share one build).  The conf is set once per
+            # setting BEFORE the pool, so every probe in a wave plans
+            # under the same partitioning; the barrier between
+            # settings is the pool shutdown.  Sequential wall was
+            # ~17 min — the single largest test in the suite.
+            def probe(n: str) -> None:
                 cols, rows = spark_result(QUERIES[n](spark, SF_UNIT))
                 results[n].add(tuple(canon_rows(cols, rows)))
+
+            with ThreadPoolExecutor(max_workers=6) as pool:
+                list(pool.map(probe, names))
             # the permanent rows-only entry: row COUNT must be stable
             rows_only.add(QUERIES["limit_unordered"](spark, SF_UNIT).count())
         for n, seen in results.items():

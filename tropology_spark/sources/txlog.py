@@ -126,6 +126,14 @@ def tx_write(
     raise RuntimeError(f"tx_write: lost the commit race {max_retries} times")
 
 
+#: Compaction output-file size goal (bytes).  Guide §6: aim for output
+#: files in the 128 MB - 1 GB range; overridable for deployments with
+#: different storage economics.
+TX_COMPACT_TARGET_BYTES = int(
+    os.environ.get("TROPOLOGY_TX_COMPACT_TARGET_BYTES", str(128 * 1024 * 1024))
+)
+
+
 def tx_compact(spark: SparkSession, path: str) -> int:
     """Rewrite the current snapshot as one fresh batch and commit it as
     an overwrite: append-heavy tables accumulate one file set per
@@ -135,8 +143,24 @@ def tx_compact(spark: SparkSession, path: str) -> int:
     immutable and compaction only publishes a NEW manifest.  Vacuuming
     unreferenced files is intentionally separate (and not implemented):
     deleting data is a retention policy, not a compaction side
-    effect."""
-    snapshot = tx_read(spark, path)
+    effect.
+
+    The rewrite SIZES ITS OUTPUT explicitly (guide §6: files in the
+    128 MB - 1 GB band): a compaction that inherits the reader's input
+    splits re-emits one file per split — at high core counts the tiny
+    per-commit files map 1:1 onto splits and the "compaction" changes
+    nothing.  ``coalesce`` (not ``repartition``) keeps the rewrite
+    shuffle-free: snapshot bytes stream straight into ceil(bytes /
+    target) writers."""
+    versions = tx_versions(path)
+    manifest = _read_manifest(path, versions[-1]) if versions else {"files": []}
+    total_bytes = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in manifest.get("files", [])
+        if os.path.exists(os.path.join(path, f))
+    )
+    n_out = max(1, -(-total_bytes // TX_COMPACT_TARGET_BYTES))
+    snapshot = tx_read(spark, path).coalesce(n_out)
     return tx_write(spark, snapshot, path, mode="overwrite")
 
 
